@@ -1,0 +1,61 @@
+package graft.eval
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Alignment-quality metrics.
+  *
+  * Formula semantics follow the reference byte-for-byte
+  * (ref: `Stable Schema Matching/eval/eval_utils.py:477-502`,
+  * `Schema Mapping/AnalysisUtils/AnaylsisUtils.py:9-28`):
+  *   - precision = tp/(tp+fp), 0 when tp+fp == 0
+  *   - recall    = tp/(tp+fn), 0 when tp+fn == 0
+  *   - f1        = 2pr/(p+r), 0 when p+r == 0
+  *   - accuracy2 = (tp+tn)/(tp+tn+fp+fn)
+  *   - effort    = (3·fn+fp)/|gold| with |gold| = tp+fn
+  *   - the all-zero case (tp=fp=fn=0) counts as perfect (1.0) for p/r/f1
+  *     (`AnaylsisUtils.py:11-12`)
+  *
+  * All expressions are plain Catalyst columns (whole-stage-codegen'd); the
+  * float operation structure is kept identical to the DuckDB oracle SQL so
+  * IEEE results match bit-for-bit.
+  */
+object Metrics {
+
+  private val allZero: Column = col("tp") === 0 && col("fp") === 0 && col("fn") === 0
+
+  val precision: Column =
+    when(allZero, lit(1.0))
+      .when(col("tp") + col("fp") === 0, lit(0.0))
+      .otherwise(col("tp") / (col("tp") + col("fp")))
+
+  val recall: Column =
+    when(allZero, lit(1.0))
+      .when(col("tp") + col("fn") === 0, lit(0.0))
+      .otherwise(col("tp") / (col("tp") + col("fn")))
+
+  private val pRaw = when(col("tp") + col("fp") === 0, lit(0.0)).otherwise(col("tp") / (col("tp") + col("fp")))
+  private val rRaw = when(col("tp") + col("fn") === 0, lit(0.0)).otherwise(col("tp") / (col("tp") + col("fn")))
+
+  val f1: Column =
+    when(allZero, lit(1.0))
+      .when(pRaw + rRaw === 0, lit(0.0))
+      .otherwise(lit(2) * pRaw * rRaw / (pRaw + rRaw))
+
+  val accuracy2: Column =
+    when(col("tp") + col("tn") + col("fp") + col("fn") === 0, lit(0.0))
+      .otherwise((col("tp") + col("tn")) / (col("tp") + col("tn") + col("fp") + col("fn")))
+
+  val effort: Column =
+    when(col("tp") + col("fn") === 0, lit(0.0))
+      .otherwise((lit(3) * col("fn") + col("fp")) / (col("tp") + col("fn")))
+
+  /** Append the metric columns to a frame that has double columns tp/fp/fn/tn. */
+  def withPrfAccuracyEffort(counts: DataFrame): DataFrame =
+    counts
+      .withColumn("precision", precision)
+      .withColumn("recall", recall)
+      .withColumn("f1", f1)
+      .withColumn("accuracy2", accuracy2)
+      .withColumn("effort", effort)
+}

@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+
+/** One engine query: a Spark implementation plus (where SQL-expressible) an
+  * equivalent ANSI-SQL oracle the driver runs in DuckDB over the same parquet
+  * tables. Column names and ORDER BY must match exactly between the two.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+trait Registry {
+  def entries: Seq[Q]
+}
+
+object Num {
+  /** Exact-money cast: double → decimal(18,2). Spark's parallel double sums
+    * are order-dependent (non-deterministic vs a single-threaded oracle at
+    * 60k+ rows); decimal arithmetic is exact and associative, so aggregate
+    * results hash-match DuckDB bit-for-bit at any parallelism / scale.
+    */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+}

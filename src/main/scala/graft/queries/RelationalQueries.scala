@@ -1,0 +1,408 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import Num.dec2
+
+/** Relational operator inventory (SURVEY.md §2 B/C/D/E/G/H/I) expressed over
+  * the driver-generated TPC-H-ish tables so the DuckDB oracle can verify each
+  * operator family end-to-end.
+  *
+  * Design rules (scale-first):
+  *   - declarative DataFrame plans only — Catalyst does pushdown/pruning;
+  *   - money aggregates in decimal (exact, order-independent — see [[Num.dec2]]);
+  *   - every query ends in a total ORDER BY so results are deterministic;
+  *   - small dimensions joined with `broadcast(...)` hints.
+  */
+object RelationalQueries extends Registry {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  override def entries: Seq[Q] = Seq(
+
+    // ---- D4 grouped aggregates (ref: eval/eval_dataset.py:399-447) -------
+    Q("q01_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").cast("long").as("sum_qty"),
+            sum(dec2($"l_extendedprice")).as("sum_base_price"),
+            sum(dec2($"l_extendedprice") * (lit(1).cast("decimal(19,2)") - dec2($"l_discount"))).as("sum_disc_price"),
+            avg($"l_quantity").as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(19,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        AVG(l_quantity) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- B1/B2 projection + predicate (ref: InstanceDataHandler.py:211-217,439) ----
+    Q("q02_filter_project",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_quantity" > 45 && $"l_returnflag" === "R")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- C1 equi-join + grouped agg (ref: eval/eval_dataset.py:336-341) ----
+    Q("q03_join_segment_revenue",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(sum(dec2($"o_totalprice")).as("total_revenue"),
+               count(lit(1)).as("n_orders"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+        COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- C3 semi-join membership (ref: eval/eval_utils.py:257-307) -------
+    Q("q04_semi_join_active",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_active_customers"))
+          .orderBy($"c_nationkey")
+      },
+      Some("""SELECT c_nationkey, COUNT(*) AS n_active_customers
+        FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ---- C2 anti-join (FP/FN difference; ref: eval/eval_dataset.py:336-341) ----
+    Q("q05_anti_join_inactive",
+      (s, dir) => {
+        import s.implicits._
+        val bigOrders = t(s, dir, "orders").filter($"o_totalprice" > 300000)
+        t(s, dir, "customer")
+          .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name", $"c_nationkey")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey
+        FROM customer WHERE NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        ORDER BY c_custkey""")),
+
+    // ---- C4 bidirectional score fusion, full-outer + coalesce arithmetic
+    //      (ref: ask_StableMatcher.py:142-198 save_avg_logits) --------------
+    Q("q06_score_fusion",
+      (s, dir) => {
+        import s.implicits._
+        val fwd = t(s, dir, "customer").groupBy($"c_nationkey".as("nationkey"))
+          .agg(sum(dec2($"c_acctbal")).as("fwd_score"))
+        val bwd = t(s, dir, "supplier").groupBy($"s_nationkey".as("nationkey"))
+          .agg(sum(dec2($"s_acctbal")).as("bwd_score"))
+        val z = lit(0).cast("decimal(28,2)")
+        fwd.join(bwd, Seq("nationkey"), "full_outer")
+          .select($"nationkey",
+            coalesce($"fwd_score", z).as("fwd_score"),
+            coalesce($"bwd_score", z).as("bwd_score"),
+            (coalesce($"fwd_score", z) + coalesce($"bwd_score", z)).as("combined"))
+          .filter($"combined" =!= 0)
+          .orderBy($"nationkey")
+      },
+      Some("""WITH f AS (SELECT c_nationkey AS nationkey,
+                SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS fwd_score FROM customer GROUP BY 1),
+             b AS (SELECT s_nationkey AS nationkey,
+                SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS bwd_score FROM supplier GROUP BY 1)
+        SELECT nationkey,
+               COALESCE(fwd_score, 0) AS fwd_score,
+               COALESCE(bwd_score, 0) AS bwd_score,
+               COALESCE(fwd_score, 0) + COALESCE(bwd_score, 0) AS combined
+        FROM f FULL OUTER JOIN b USING (nationkey)
+        WHERE COALESCE(fwd_score, 0) + COALESCE(bwd_score, 0) <> 0
+        ORDER BY nationkey""")),
+
+    // ---- C7 multi-way join through the star schema (ref: DatabaseManager.py:202-238
+    //      executes arbitrary LLM-generated join SQL) ----------------------
+    Q("q07_region_revenue",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val o  = t(s, dir, "orders").filter(year($"o_orderdate") === 1995)
+        val c  = t(s, dir, "customer")
+        val n  = broadcast(t(s, dir, "nation"))
+        val r  = broadcast(t(s, dir, "region"))
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
+          .join(n, $"c_nationkey" === $"n_nationkey")
+          .join(r, $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(sum(dec2($"l_extendedprice") * (lit(1).cast("decimal(19,2)") - dec2($"l_discount"))).as("revenue"),
+               count(lit(1)).as("n_lineitems"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(19,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE EXTRACT(year FROM o_orderdate) = 1995
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // ---- E1/E2 ranking + top-k cut (ref: ask_StableMatcher.py:196-198,
+    //      eval_MatchMaker.py:227-244) -------------------------------------
+    Q("q08_topk_suppliers",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal".desc, $"s_suppkey")
+        t(s, dir, "supplier")
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"s_nationkey", $"s_suppkey", $"s_acctbal", $"rnk")
+          .orderBy($"s_nationkey", $"rnk")
+      },
+      Some("""SELECT s_nationkey, s_suppkey, s_acctbal, CAST(rnk AS INT) AS rnk FROM (
+          SELECT s_nationkey, s_suppkey, s_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+          FROM supplier) WHERE rnk <= 3
+        ORDER BY s_nationkey, rnk""")),
+
+    // ---- D1/D2 value frequency (ref: InstanceDataHandler.py:503-506,
+    //      PromptBuilder.py:81-87) -----------------------------------------
+    Q("q09_value_counts",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+        GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority""")),
+
+    // ---- D3 distinct values (ref: InstanceDataHandler.py:483) ------------
+    Q("q10_distinct_segments",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer").select($"c_mktsegment").distinct().orderBy($"c_mktsegment")
+      },
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
+
+    // ---- D6/E4 majority vote keeping ties at group max
+    //      (ref: eval/eval_ensemble.py:70-88) ------------------------------
+    Q("q11_majority_segment",
+      (s, dir) => {
+        import s.implicits._
+        val cnt = t(s, dir, "customer")
+          .groupBy($"c_nationkey", $"c_mktsegment")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"c_nationkey")
+        cnt.withColumn("mx", max($"n").over(w))
+          .filter($"n" === $"mx")
+          .select($"c_nationkey", $"c_mktsegment", $"n")
+          .orderBy($"c_nationkey", $"c_mktsegment")
+      },
+      Some("""SELECT c_nationkey, c_mktsegment, n FROM (
+          SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+                 MAX(COUNT(*)) OVER (PARTITION BY c_nationkey) AS mx
+          FROM customer GROUP BY c_nationkey, c_mktsegment)
+        WHERE n = mx ORDER BY c_nationkey, c_mktsegment""")),
+
+    // ---- H4/H2 INTERSECT distinct semantics (ref: Evaluator.py:126-130) ----
+    Q("q12_setop_intersect",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        o.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+          .intersect(o.filter(year($"o_orderdate") === 1996).select($"o_custkey"))
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        ORDER BY o_custkey""")),
+
+    // ---- H4 EXCEPT distinct semantics (ref: Evaluator.py:126-130) --------
+    Q("q13_setop_except",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        o.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+          .except(o.filter(year($"o_orderdate") === 1996).select($"o_custkey"))
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        ORDER BY o_custkey""")),
+
+    // ---- H1 distinct union (ref: eval_ensemble.py:20-28) -----------------
+    Q("q14_setop_union",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        o.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+          .union(o.filter(year($"o_orderdate") === 1996).select($"o_custkey"))
+          .distinct()
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        UNION
+        SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        ORDER BY o_custkey""")),
+
+    // ---- D9 uniqueness-violation audit (ref: DatabaseManager.py:195-198) ----
+    Q("q15_uniqueness_audit",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(count(lit(1)).as("n"))
+          .filter($"n" > 1)
+          .agg(count(lit(1)).as("n_violating_keys"),
+               coalesce(sum($"n" - 1), lit(0)).cast("long").as("n_extra_rows"))
+      },
+      Some("""SELECT COUNT(*) AS n_violating_keys,
+        CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_extra_rows
+        FROM (SELECT l_partkey, l_suppkey, COUNT(*) AS n FROM lineitem
+              GROUP BY l_partkey, l_suppkey HAVING COUNT(*) > 1)""")),
+
+    // ---- D10 constraint audit counters (ref: DatabaseManager.py:163-200) ----
+    Q("q16_constraint_audit",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer").agg(
+          sum(when($"c_acctbal".isNull, 1).otherwise(0)).cast("long").as("null_acctbal"),
+          sum(when($"c_name".isNull || length($"c_name") === 0, 1).otherwise(0)).cast("long").as("empty_name"),
+          sum(when($"c_acctbal" < 0, 1).otherwise(0)).cast("long").as("negative_acctbal"),
+          sum(when(length($"c_name") > 25, 1).otherwise(0)).cast("long").as("oversize_name"),
+          count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT
+        CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_acctbal,
+        CAST(SUM(CASE WHEN c_name IS NULL OR length(c_name) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_name,
+        CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_acctbal,
+        CAST(SUM(CASE WHEN length(c_name) > 25 THEN 1 ELSE 0 END) AS BIGINT) AS oversize_name,
+        COUNT(*) AS n_rows
+        FROM customer""")),
+
+    // ---- D13/D14 confusion counts + P/R/F1/accuracy2/effort incl. the
+    //      all-zero⇒perfect rule (ref: eval/eval_utils.py:477-502,
+    //      AnalysisUtils/AnaylsisUtils.py:9-28) ----------------------------
+    Q("q17_alignment_metrics",
+      (s, dir) => {
+        import s.implicits._
+        val flags = t(s, dir, "part").select($"p_brand",
+          ($"p_retailprice" > 950).as("gold"),
+          ($"p_size" >= 25).as("pred"))
+        val c = flags.groupBy($"p_brand").agg(
+          sum(when($"gold" && $"pred", 1).otherwise(0)).cast("double").as("tp"),
+          sum(when(!$"gold" && $"pred", 1).otherwise(0)).cast("double").as("fp"),
+          sum(when($"gold" && !$"pred", 1).otherwise(0)).cast("double").as("fn"),
+          sum(when(!$"gold" && !$"pred", 1).otherwise(0)).cast("double").as("tn"))
+        graft.eval.Metrics.withPrfAccuracyEffort(c).orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand, tp, fp, fn, tn,
+        CASE WHEN tp = 0 AND fp = 0 AND fn = 0 THEN 1.0
+             WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+        CASE WHEN tp = 0 AND fp = 0 AND fn = 0 THEN 1.0
+             WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+        CASE WHEN tp = 0 AND fp = 0 AND fn = 0 THEN 1.0
+             WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+                + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END) = 0 THEN 0.0
+             ELSE 2 * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+                    * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)
+                  / ((CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+                   + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)) END AS f1,
+        CASE WHEN tp + tn + fp + fn = 0 THEN 0.0
+             ELSE (tp + tn) / (tp + tn + fp + fn) END AS accuracy2,
+        CASE WHEN tp + fn = 0 THEN 0.0
+             ELSE (3 * fn + fp) / (tp + fn) END AS effort
+        FROM (SELECT p_brand,
+          CAST(SUM(CASE WHEN p_retailprice > 950 AND p_size >= 25 THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+          CAST(SUM(CASE WHEN NOT (p_retailprice > 950) AND p_size >= 25 THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+          CAST(SUM(CASE WHEN p_retailprice > 950 AND NOT (p_size >= 25) THEN 1 ELSE 0 END) AS DOUBLE) AS fn,
+          CAST(SUM(CASE WHEN NOT (p_retailprice > 950) AND NOT (p_size >= 25) THEN 1 ELSE 0 END) AS DOUBLE) AS tn
+          FROM part GROUP BY p_brand)
+        ORDER BY p_brand""")),
+
+    // ---- D12 reciprocal rank of first gold hit (ref: eval/eval_utils.py:9-21) ----
+    Q("q18_reciprocal_rank",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"s_nationkey").orderBy($"s_suppkey")
+        t(s, dir, "supplier")
+          .withColumn("rnk", row_number().over(w))
+          .filter($"s_acctbal" > 4000)
+          .groupBy($"s_nationkey")
+          .agg(min($"rnk").as("first_gold_rank"))
+          .select($"s_nationkey", $"first_gold_rank",
+                  (lit(1.0) / $"first_gold_rank").as("rr"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, CAST(first_gold_rank AS INT) AS first_gold_rank,
+          CAST(1.0 AS DOUBLE) / first_gold_rank AS rr FROM (
+          SELECT s_nationkey, MIN(rnk) AS first_gold_rank FROM (
+            SELECT s_nationkey, s_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS rnk
+            FROM supplier)
+          WHERE s_acctbal > 4000 GROUP BY s_nationkey)
+        ORDER BY s_nationkey""")),
+
+    // ---- I string kernel: lower/trim/regexp/substr/truncate/split
+    //      (ref: stable_match.py:9-24, eval_utils.py:239-243,
+    //      PromptBuilder.py:103-104) ---------------------------------------
+    Q("q19_string_normalize",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part").select(
+          $"p_partkey",
+          lower($"p_brand").as("brand_lc"),
+          upper(trim($"p_name")).as("name_uc"),
+          regexp_extract($"p_type", "^(\\w+)", 1).as("type_head"),
+          when(length($"p_name") > 20,
+               concat(substring($"p_name", 1, 20), lit("...")))
+            .otherwise($"p_name").as("name_trunc"),
+          split($"p_type", " ").getItem(0).as("type_tok0"),
+          length($"p_name").as("name_len"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+        lower(p_brand) AS brand_lc,
+        upper(trim(p_name)) AS name_uc,
+        regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        CASE WHEN length(p_name) > 20 THEN substr(p_name, 1, 20) || '...'
+             ELSE p_name END AS name_trunc,
+        string_split(p_type, ' ')[1] AS type_tok0,
+        CAST(length(p_name) AS INT) AS name_len
+        FROM part ORDER BY p_partkey""")),
+
+    // ---- F4 surrogate-key mapping via dense_rank (ref: DatabaseManager.py:84-95) ----
+    Q("q20_surrogate_keys",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part").select($"p_brand").distinct()
+          .withColumn("brand_id", dense_rank().over(Window.orderBy($"p_brand")))
+          .orderBy($"brand_id")
+      },
+      Some("""SELECT p_brand, CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS INT) AS brand_id
+        FROM (SELECT DISTINCT p_brand FROM part) ORDER BY brand_id"""))
+  )
+}
