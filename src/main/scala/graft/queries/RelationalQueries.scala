@@ -23,6 +23,13 @@ object RelationalQueries extends Registry {
   override def entries: Seq[Q] = Seq(
 
     // ---- D4 grouped aggregates (ref: eval/eval_dataset.py:399-447) -------
+    // Money math is exact decimal internally; FINAL columns are cast to
+    // double on BOTH sides — the driver stringifies values, and a decimal
+    // read from Spark parquet keeps trailing zeros ("318117.40") while the
+    // DuckDB oracle's decimals surface as float64 ("318117.4"), so any
+    // decimal output column hash-mismatches whenever a value ends in a zero
+    // digit. Sums here stay < 2^53 units, so decimal→double is exact and
+    // identical on both engines.
     Q("q01_pricing_summary",
       (s, dir) => {
         import s.implicits._
@@ -30,18 +37,18 @@ object RelationalQueries extends Registry {
           .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            sum($"l_quantity").cast("long").as("sum_qty"),
-            sum(dec2($"l_extendedprice")).as("sum_base_price"),
-            sum(dec2($"l_extendedprice") * (lit(1).cast("decimal(19,2)") - dec2($"l_discount"))).as("sum_disc_price"),
-            avg($"l_quantity").as("avg_qty"),
+            sum(dec2($"l_quantity")).cast("long").as("sum_qty"),
+            sum(dec2($"l_extendedprice")).cast("double").as("sum_base_price"),
+            sum(dec2($"l_extendedprice") * (lit(1).cast("decimal(19,2)") - dec2($"l_discount"))).cast("double").as("sum_disc_price"),
+            (sum(dec2($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-        CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(19,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-        AVG(l_quantity) AS avg_qty,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(19,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -67,12 +74,12 @@ object RelationalQueries extends Registry {
         t(s, dir, "orders")
           .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
           .groupBy($"c_mktsegment")
-          .agg(sum(dec2($"o_totalprice")).as("total_revenue"),
+          .agg(sum(dec2($"o_totalprice")).cast("double").as("total_revenue"),
                count(lit(1)).as("n_orders"))
           .orderBy($"c_mktsegment")
       },
       Some("""SELECT c_mktsegment,
-        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
         COUNT(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
@@ -118,9 +125,9 @@ object RelationalQueries extends Registry {
         val z = lit(0).cast("decimal(28,2)")
         fwd.join(bwd, Seq("nationkey"), "full_outer")
           .select($"nationkey",
-            coalesce($"fwd_score", z).as("fwd_score"),
-            coalesce($"bwd_score", z).as("bwd_score"),
-            (coalesce($"fwd_score", z) + coalesce($"bwd_score", z)).as("combined"))
+            coalesce($"fwd_score", z).cast("double").as("fwd_score"),
+            coalesce($"bwd_score", z).cast("double").as("bwd_score"),
+            (coalesce($"fwd_score", z) + coalesce($"bwd_score", z)).cast("double").as("combined"))
           .filter($"combined" =!= 0)
           .orderBy($"nationkey")
       },
@@ -129,9 +136,9 @@ object RelationalQueries extends Registry {
              b AS (SELECT s_nationkey AS nationkey,
                 SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS bwd_score FROM supplier GROUP BY 1)
         SELECT nationkey,
-               COALESCE(fwd_score, 0) AS fwd_score,
-               COALESCE(bwd_score, 0) AS bwd_score,
-               COALESCE(fwd_score, 0) + COALESCE(bwd_score, 0) AS combined
+               CAST(COALESCE(fwd_score, 0) AS DOUBLE) AS fwd_score,
+               CAST(COALESCE(bwd_score, 0) AS DOUBLE) AS bwd_score,
+               CAST(COALESCE(fwd_score, 0) + COALESCE(bwd_score, 0) AS DOUBLE) AS combined
         FROM f FULL OUTER JOIN b USING (nationkey)
         WHERE COALESCE(fwd_score, 0) + COALESCE(bwd_score, 0) <> 0
         ORDER BY nationkey""")),
@@ -151,12 +158,12 @@ object RelationalQueries extends Registry {
           .join(n, $"c_nationkey" === $"n_nationkey")
           .join(r, $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name")
-          .agg(sum(dec2($"l_extendedprice") * (lit(1).cast("decimal(19,2)") - dec2($"l_discount"))).as("revenue"),
+          .agg(sum(dec2($"l_extendedprice") * (lit(1).cast("decimal(19,2)") - dec2($"l_discount"))).cast("double").as("revenue"),
                count(lit(1)).as("n_lineitems"))
           .orderBy($"r_name")
       },
       Some("""SELECT r_name,
-        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(19,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(19,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         COUNT(*) AS n_lineitems
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -394,13 +401,19 @@ object RelationalQueries extends Registry {
         CAST(length(p_name) AS INT) AS name_len
         FROM part ORDER BY p_partkey""")),
 
-    // ---- F4 surrogate-key mapping via dense_rank (ref: DatabaseManager.py:84-95) ----
+    // ---- F4 surrogate-key mapping (ref: DatabaseManager.py:84-95) --------
+    // Scale-safe: a dense_rank over a global Window collapses to ONE
+    // partition; instead range-partition-sort the distinct keys and
+    // zipWithIndex — each id is the global sort position, computed without
+    // funnelling all keys through a single task.
     Q("q20_surrogate_keys",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "part").select($"p_brand").distinct()
-          .withColumn("brand_id", dense_rank().over(Window.orderBy($"p_brand")))
-          .orderBy($"brand_id")
+        val ids = t(s, dir, "part").select($"p_brand").distinct()
+          .orderBy($"p_brand")
+          .rdd.map(_.getString(0)).zipWithIndex()
+          .map { case (b, i) => (b, (i + 1).toInt) }
+        ids.toDF("p_brand", "brand_id").orderBy($"brand_id")
       },
       Some("""SELECT p_brand, CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS INT) AS brand_id
         FROM (SELECT DISTINCT p_brand FROM part) ORDER BY brand_id"""))
