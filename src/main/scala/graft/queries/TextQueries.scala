@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), document
+  * fingerprinting, language ID, quality scoring, token counting.
+  *
+  * These extend the reference's surface (its dedup appears only as
+  * drop-duplicates on ingest, DataLoader.py:190-196; its string kernel in
+  * eval_utils.py:239-243 / stable_match.py:9-24) to the operators a 100 TB
+  * pretraining-data pipeline needs. Scale design notes per query; every
+  * plan is shuffle-bounded (no cross join of the full corpus — candidate
+  * generation always goes through an inverted index or LSH buckets).
+  */
+object TextQueries extends Registry {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  /** Distinct (doc_id, shingle) pairs — the inverted-index building block. */
+  private def shingleSet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", explode(wordShingles(tokens($"text"), 3)).as("shingle"))
+      .distinct()
+  }
+
+  private val shingleCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM w, UNNEST(range(1, len(w) - 1)) AS t(i))""".stripMargin
+
+  private val nPerms = 16
+  private val nBands = 4
+
+  /** doc_id -> 16 minhash columns h0..h15. */
+  private def minhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aggs = (0 until nPerms).map(j => minhashAgg($"shingle", j).as(s"h$j"))
+    shingleSet(s, dir).groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val minhashCte = {
+    val mins = (0 until nPerms)
+      .map(j => s"min(md5('$j|' || shingle)) AS h$j").mkString(", ")
+    s"""$shingleCte,
+       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  override def entries: Seq[Q] = Seq(
+
+    // ---- exact dedup: hash-groupBy on content (ref: DataLoader.py:190-196
+    //      duplicate-line detection; Spark-scale: one shuffle on md5(text),
+    //      survivor = min id — no sort, no window) ------------------------
+    Q("q21_exact_dedup",
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .groupBy(md5($"text").as("content_hash"))
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select($"keep_id", $"n_copies")
+          .orderBy($"keep_id")
+      },
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
+
+    // ---- n-gram Jaccard near-dup: top-50 most similar pairs. Candidate
+    //      generation via the shingle inverted index (self-join on shingle),
+    //      with stop-shingles (doc-freq > 100) dropped first — at 100 TB the
+    //      df-filter is what keeps the join from exploding on boilerplate. --
+    Q("q22_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingleSet(s, dir)
+        val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+          .filter($"df" <= 100).select($"shingle")
+        val shf = sh.join(rare, "shingle")
+        val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val common = shf.as("a").join(shf.as("b"),
+            $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .groupBy($"doc_a", $"doc_b")
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+          .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+          .select($"doc_a", $"doc_b", $"common",
+            ($"common".cast("double") / ($"na" + $"nb" - $"common")).as("jaccard"))
+          .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+          .limit(50)
+      },
+      Some(s"""WITH $shingleCte,
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+        com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+                FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, common,
+               CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        FROM com JOIN sizes sa ON com.doc_a = sa.doc_id
+                 JOIN sizes sb ON com.doc_b = sb.doc_id
+        ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""")),
+
+    // ---- MinHash + LSH near-dup: shingle → 16 seeded minhashes → 4 bands
+    //      of 4 → bucket-join candidates → estimated Jaccard = fraction of
+    //      agreeing minhashes. The scale path: candidates come only from
+    //      band-bucket collisions, never all-pairs. ------------------------
+    Q("q23_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val mh = minhashes(s, dir)
+        val bandStructs = (0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            bandKey((0 until nPerms / nBands).map(j => col(s"h${nPerms / nBands * b + j}"))).as("bkey"))
+        }
+        val bands = mh.select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+          .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+        val cand = bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .distinct()
+        val agree = (0 until nPerms)
+          .map(j => when(col(s"ma.h$j") === col(s"mb.h$j"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand
+          .join(mh.as("ma"), $"doc_a" === $"ma.doc_id")
+          .join(mh.as("mb"), $"doc_b" === $"mb.doc_id")
+          .select($"doc_a", $"doc_b", (agree.cast("double") / nPerms).as("est_jaccard"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some {
+        val bandSelects = (0 until nBands).map { b =>
+          val hs = (0 until nPerms / nBands).map(j => s"h${nPerms / nBands * b + j}").mkString(" || ")
+          s"SELECT doc_id, $b AS band, md5($hs) AS bkey FROM mh"
+        }.mkString(" UNION ALL ")
+        val agree = (0 until nPerms)
+          .map(j => s"(CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH $minhashCte,
+          bands AS ($bandSelects),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, CAST($agree AS DOUBLE) / $nPerms AS est_jaccard
+          FROM cand JOIN mh ma ON doc_a = ma.doc_id JOIN mh mb ON doc_b = mb.doc_id
+          ORDER BY doc_a, doc_b"""
+      }),
+
+    // ---- SimHash: 60-bit signature from token-frequency-weighted bit
+    //      votes. Hash bits come from md5 hex digits (portable to the
+    //      oracle); the 60-bit cap keeps every sum inside BIGINT. ----------
+    Q("q24_simhash",
+      (s, dir) => simhashDF(s, dir).orderBy(col("doc_id")),
+      Some(s"""WITH $simhashCte
+        SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
+
+    // ---- SimHash near-dup pairs: 4 bands of 15 bits index the signature;
+    //      candidates share a band value; keep pairs with hamming <= 20. ---
+    Q("q25_simhash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val sim = simhashDF(s, dir)
+        val bandStructs = (0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"shiftright(simhash, ${15 * b}) & 32767").as("bval")))
+        val bands = sim.select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bb"))
+          .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bval".as("bval"))
+        bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.bval" === $"b.bval" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
+          .distinct()
+          .filter($"hamming" <= 20)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""WITH $simhashCte,
+        bands AS (SELECT doc_id, simhash, b AS band,
+                         (simhash >> CAST(15 * b AS INT)) & 32767 AS bval
+                  FROM sim, UNNEST(range(0, 4)) AS r(b)),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+                  FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM pairs
+        WHERE hamming <= 20 ORDER BY doc_a, doc_b""")),
+
+    // ---- document fingerprint: md5 over normalized content — catches
+    //      case/punctuation-variant duplicates exact dedup misses. ---------
+    Q("q26_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val fp = docs(s, dir).select($"doc_id", md5(normalize($"text")).as("fingerprint"))
+        val dups = fp.groupBy($"fingerprint").agg(count(lit(1)).as("n_same"))
+        fp.join(dups, "fingerprint")
+          .select($"doc_id", $"fingerprint", $"n_same")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+          md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+          FROM documents),
+        dups AS (SELECT fingerprint, count(*) AS n_same FROM fp GROUP BY fingerprint)
+        SELECT doc_id, fingerprint, n_same FROM fp JOIN dups USING (fingerprint)
+        ORDER BY doc_id""")),
+
+    // ---- language ID: stopword-lexicon scoring (n-gram heuristic family).
+    //      argmax language by stopword hits, deterministic tie-break on
+    //      language code; docs with no hits -> 'und'. ----------------------
+    Q("q27_langid",
+      (s, dir) => {
+        import s.implicits._
+        val lex = LangLexicon.entries.toDF("word", "cand_lang")
+        val hits = docs(s, dir)
+          .select($"doc_id", explode(tokens(lower($"text"))).as("word"))
+          .join(broadcast(lex), "word")
+          .groupBy($"doc_id", $"cand_lang").agg(count(lit(1)).as("n_hits"))
+        val w = Window.partitionBy($"doc_id").orderBy($"n_hits".desc, $"cand_lang")
+        val best = hits.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"doc_id", $"cand_lang", $"n_hits")
+        docs(s, dir).select($"doc_id", $"lang")
+          .join(best, Seq("doc_id"), "left")
+          .select($"doc_id", $"lang",
+            coalesce($"cand_lang", lit("und")).as("pred_lang"),
+            coalesce($"n_hits", lit(0L)).as("n_hits"),
+            when(coalesce($"cand_lang", lit("und")) === $"lang", 1).otherwise(0).as("correct"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH lex(word, cand_lang) AS (VALUES ${LangLexicon.sqlValues}),
+        hits AS (SELECT doc_id, cand_lang, count(*) AS n_hits
+                 FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                       FROM documents) tok
+                 JOIN lex USING (word) GROUP BY doc_id, cand_lang),
+        best AS (SELECT doc_id, cand_lang, n_hits FROM (
+                   SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY n_hits DESC, cand_lang) AS rn FROM hits)
+                 WHERE rn = 1)
+        SELECT d.doc_id, d.lang,
+               COALESCE(best.cand_lang, 'und') AS pred_lang,
+               COALESCE(best.n_hits, 0) AS n_hits,
+               CASE WHEN COALESCE(best.cand_lang, 'und') = d.lang THEN 1 ELSE 0 END AS correct
+        FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---- quality scoring: length/stopword/digit/punct ratios composed
+    //      into a [0,1] score — all row-local expressions (codegen'd, no
+    //      shuffle at any scale). -----------------------------------------
+    Q("q28_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        val w = tokens($"text")
+        val stops = LangLexicon.entries.map(_._1)
+        val nTok = size(w).cast("double")
+        val len = length($"text").cast("double")
+        val digitRatio = (len - length(regexp_replace($"text", "[0-9]", "")).cast("double")) / len
+        val nPunct = length(regexp_replace(lower($"text"), "[a-z0-9 ]", "")).cast("double")
+        val stopRatio = size(filter(w, x => x.isin(stops: _*))).cast("double") / nTok
+        docs(s, dir).select(
+          $"doc_id",
+          size(w).as("n_tokens"),
+          digitRatio.as("digit_ratio"),
+          ((len - nPunct) / len).as("alnum_ratio"),
+          stopRatio.as("stopword_ratio"),
+          (least(lit(1.0), nTok / 100.0) * (lit(1.0) - digitRatio)
+            * (lit(1.0) - lit(0.5) * stopRatio)).as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
+        (CAST(length(text) AS DOUBLE) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))) / length(text) AS alnum_ratio,
+        CAST(len(list_filter(string_split(text, ' '), x -> x IN (${LangLexicon.sqlWordList}))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+          * (1.0 - (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text))
+          * (1.0 - 0.5 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN (${LangLexicon.sqlWordList}))) AS DOUBLE)
+                          / len(string_split(text, ' ')))) AS quality
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- token counting: whitespace tokens + BPE-ish regex tokens
+    //      (letters / digit runs / single punctuation) + char audit. -------
+    Q("q29_token_count",
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir).select(
+          $"doc_id",
+          size(tokens($"text")).as("n_ws_tokens"),
+          size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_re_tokens"),
+          when(length($"text") === $"n_chars", 1).otherwise(0).as("chars_match"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_re_tokens,
+        CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END AS chars_match
+        FROM documents ORDER BY doc_id"""))
+  )
+
+  /** Shared 60-bit SimHash plan: tokens weighted by in-doc frequency vote
+    * per bit; bit k of a token's hash = bit (k%4) of hex digit (15 - k/4)
+    * of md5(token) — no >60-bit arithmetic anywhere.
+    */
+  private def simhashDF(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = docs(s, dir)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+    val bits = s.range(60).select($"id".cast("int").as("k"))
+    tok.crossJoin(broadcast(bits))
+      .withColumn("dig",
+        expr("instr('0123456789abcdef', substring(md5(tok), 15 - (k div 4), 1)) - 1"))
+      .withColumn("vote", expr("cnt * (2 * (shiftright(dig, k % 4) & 1) - 1)"))
+      .groupBy($"doc_id", $"k").agg(sum($"vote").as("s"))
+      .groupBy($"doc_id")
+      .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END"))
+        .cast("long").as("simhash"))
+  }
+
+  private val simhashCte =
+    """tok AS (SELECT doc_id, t AS tok, count(*) AS cnt
+      |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |        GROUP BY doc_id, t),
+      |votes AS (SELECT doc_id, k,
+      |            sum(cnt * (2 * (((strpos('0123456789abcdef',
+      |                 substr(md5(tok), CAST(15 - k // 4 AS INT), 1)) - 1)
+      |                 >> CAST(k % 4 AS INT)) & 1) - 1)) AS s
+      |          FROM tok, UNNEST(range(0, 60)) AS r(k) GROUP BY doc_id, k),
+      |sim AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+      |        FROM votes GROUP BY doc_id)""".stripMargin
+}
+
+/** Tiny stopword lexicon for language ID + quality scoring — the classifier
+  * contract matters (argmax over per-language hit counts with deterministic
+  * tie-break), not lexicon completeness.
+  */
+object LangLexicon {
+  val entries: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "of" -> "en", "and" -> "en", "to" -> "en",
+    "der" -> "de", "die" -> "de", "und" -> "de", "das" -> "de", "ist" -> "de",
+    "le" -> "fr", "la" -> "fr", "et" -> "fr", "les" -> "fr", "des" -> "fr",
+    "el" -> "es", "los" -> "es", "y" -> "es", "las" -> "es", "una" -> "es")
+
+  def sqlValues: String =
+    entries.map { case (w, l) => s"('$w', '$l')" }.mkString(", ")
+
+  def sqlWordList: String =
+    entries.map(_._1).distinct.map(w => s"'$w'").mkString(", ")
+}
