@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   private def registries: Seq[Registry] = Seq(
-    RelationalQueries, TextQueries)
+    RelationalQueries, TextQueries, VectorQueries, EventQueries)
 
   private lazy val all: Seq[Q] = {
     val es = registries.flatMap(_.entries)

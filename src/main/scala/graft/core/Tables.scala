@@ -1,18 +1,35 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet table loader for the driver-generated test tables (TESTDATA.md).
   *
   * All engine queries take `(SparkSession, sfDir)` and resolve tables through
   * here so the same code runs at any scale factor. At cluster scale the same
   * contract points at a distributed FS path; nothing here is local-mode-only.
+  *
+  * The `events` table stores TIMESTAMP(NANOS) which Spark's vectorized
+  * reader rejects; sessions must set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[configure]]) and the
+  * loader converts the nano longs back to a proper timestamp column (the
+  * generator emits whole-microsecond values, so the ns→µs cast is lossless).
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Confs every graft session needs (Verify, Bench, tests). */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("CAST(ts div 1000 AS BIGINT)")))
+    else df
+  }
 }

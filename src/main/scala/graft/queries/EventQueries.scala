@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Event-time operators over the `events` table (batch shape of the
+  * streaming surface — graft.streaming runs the same logic incrementally
+  * with watermarks). The reference is strictly batch (SURVEY §2.J); these
+  * are the Spark-native extension.
+  *
+  * Scale: both queries shuffle once on their natural keys (window bucket /
+  * user). Sessionization partitions by user_id, so state per task is one
+  * user's ordered events — no global sort.
+  */
+object EventQueries extends Registry {
+
+  private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  override def entries: Seq[Q] = Seq(
+
+    // ---- tumbling event-time window aggregation + JSON prop extraction ----
+    Q("q32_event_tumbling",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum($"value".cast("decimal(18,6)")).cast("double").as("total_value"),
+            countDistinct($"user_id").as("n_users"),
+            sum(get_json_object($"props", "$.k").cast("long")).as("sum_k"))
+          .select($"window.start".as("window_start"), $"event_type",
+            $"n_events", $"total_value", $"n_users", $"sum_k")
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+        count(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        count(DISTINCT user_id) AS n_users,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // ---- gap-based sessionization (30 min inactivity closes a session) ----
+    Q("q33_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .withColumn("prev_ms", lag(unix_millis($"ts"), 1).over(w))
+          .withColumn("new_sess",
+            when($"prev_ms".isNull || unix_millis($"ts") - $"prev_ms" > 30 * 60 * 1000L, 1)
+              .otherwise(0))
+          .withColumn("sess_idx", sum($"new_sess").over(cum))
+          .groupBy($"user_id", $"sess_idx")
+          .agg(
+            min($"ts").as("session_start"),
+            max($"ts").as("session_end"),
+            count(lit(1)).as("n_events"),
+            countDistinct($"event_type").as("n_types"))
+          .orderBy($"user_id", $"sess_idx")
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts, event_type,
+          CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+               THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        sess AS (SELECT user_id, ts, event_type,
+            CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+          FROM g)
+        SELECT user_id, sess_idx,
+          min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events, count(DISTINCT event_type) AS n_types
+        FROM sess GROUP BY user_id, sess_idx
+        ORDER BY user_id, sess_idx"""))
+  )
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Scale design: the brute-force variant broadcasts only the QUERY set
+  * (small) against the corpus — one pass, no shuffle of the corpus, O(Q·N)
+  * dot products distributed over corpus partitions. The IVF variant is the
+  * 100 TB path: a broadcast centroid table assigns every vector to a
+  * cluster in one map-side pass, and search touches only the query's own
+  * cluster (nprobe=1 here; raise nprobe / centroid count at scale).
+  */
+object VectorQueries extends Registry {
+
+  private def emb(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
+
+  override def entries: Seq[Q] = Seq(
+
+    // ---- brute-force cosine top-k (baseline; exact) ----------------------
+    Q("q30_cosine_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+        val q = e.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qn"))
+        val scored = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            (dot($"qv", $"embedding") / ($"qn" * $"nrm")).as("cosine"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id % 100 = 0),
+        scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                     ${dotSql("qv", "e.embedding")}
+                       / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cosine
+                   FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= 5 ORDER BY query_id, rank""")),
+
+    // ---- IVF approximate NN: 8 deterministic centroids (vec_id < 8),
+    //      map-side cluster assignment, search restricted to the query's
+    //      cluster ---------------------------------------------------------
+    Q("q31_ivf_ann",
+      (s, dir) => {
+        import s.implicits._
+        val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+        val cents = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cn"))
+        val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+        val assign = e.join(broadcast(cents))
+          .select($"vec_id", $"embedding", $"nrm", $"cid",
+            (dot($"cv", $"embedding") / ($"cn" * $"nrm")).as("ccos"))
+          .withColumn("arn", row_number().over(aw))
+          .filter($"arn" === 1)
+          .select($"vec_id", $"embedding", $"nrm", $"cid")
+        val q = assign.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qn"), $"cid")
+        val scored = assign.join(broadcast(q), Seq("cid"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            (dot($"qv", $"embedding") / ($"qn" * $"nrm")).as("cosine"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings WHERE vec_id < 8),
+        assign AS (SELECT vec_id, embedding, cid FROM (
+                     SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${dotSql("c.cv", "e.embedding")}
+                           / (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                         c.cid) AS arn
+                     FROM embeddings e, cents c)
+                   WHERE arn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, cid
+              FROM assign WHERE vec_id % 100 = 0),
+        scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                     ${dotSql("q.qv", "a.embedding")}
+                       / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("a.embedding", "a.embedding")})) AS cosine
+                   FROM q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= 3 ORDER BY query_id, rank"""))
+  )
+}
