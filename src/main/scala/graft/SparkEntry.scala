@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registries: Seq[Registry] = Seq(
-    RelationalQueries, TextQueries, VectorQueries, EventQueries)
+    RelationalQueries, TextQueries, VectorQueries, EventQueries,
+    PipelineQueries)
 
   private lazy val all: Seq[Q] = {
     val es = registries.flatMap(_.entries)

@@ -21,10 +21,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Confs every graft session needs (Verify, Bench, tests). */
+  /** Confs every graft session needs (Verify, Bench, tests). The warehouse
+    * gets a fresh per-process dir so managed-table locations never collide
+    * with leftovers of an earlier JVM.
+    */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.warehouse.dir" ->
+      s"/tmp/graft-warehouse/${java.util.UUID.randomUUID()}")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

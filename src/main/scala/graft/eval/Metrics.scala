@@ -58,4 +58,45 @@ object Metrics {
       .withColumn("f1", f1)
       .withColumn("accuracy2", accuracy2)
       .withColumn("effort", effort)
+
+  /** D12 mean reciprocal rank: ranked predictions (query, candidate, rank)
+    * joined to gold (query, candidate); rr = 1/min(rank of a gold hit),
+    * queries with no hit contribute 0 (ref: eval_utils.py:9-21).
+    */
+  def meanReciprocalRank(ranked: DataFrame, gold: DataFrame, queryCols: Seq[String]): DataFrame = {
+    val qc = queryCols.map(col)
+    val hits = ranked.join(gold, queryCols :+ "candidate")
+      .groupBy(qc: _*).agg(min(col("rank")).as("first_rank"))
+    ranked.select(qc: _*).distinct()
+      .join(hits, queryCols, "left")
+      .select((qc :+
+        coalesce(lit(1.0) / col("first_rank"), lit(0.0)).as("rr")): _*)
+      .agg(avg(col("rr")).as("mrr"))
+  }
+
+  /** D5 cross-seed 95% normal CI: per-group mean ± 1.96·std/√n over
+    * per-seed aggregates (ref: eval_dataset.py:448-475).
+    */
+  def crossSeedCI(perSeed: DataFrame, dims: Seq[String], metric: String): DataFrame = {
+    val g = if (dims.isEmpty) perSeed.groupBy() else perSeed.groupBy(dims.map(col): _*)
+    g.agg(
+        avg(col(metric)).as("mean"),
+        coalesce(stddev_samp(col(metric)), lit(0.0)).as("sd"),
+        count(lit(1)).as("n"))
+      .withColumn("ci95", lit(1.96) * col("sd") / sqrt(col("n")))
+      .drop("sd")
+  }
+
+  /** D11 token/cost stats: total, mean, and Student-t 95% CI half-width
+    * (t-quantile supplied by the caller — driver-side lookup, the engine
+    * aggregates; ref: computational_eval.py:11-29).
+    */
+  def tokenStats(df: DataFrame, tokenCol: String, tQuantile: Double): DataFrame =
+    df.agg(
+        sum(col(tokenCol)).cast("long").as("total_tokens"),
+        avg(col(tokenCol)).as("mean_tokens"),
+        coalesce(stddev_samp(col(tokenCol)), lit(0.0)).as("sd"),
+        count(lit(1)).as("n"))
+      .withColumn("ci95_t", lit(tQuantile) * col("sd") / sqrt(col("n")))
+      .drop("sd")
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Seeded sampling operators (SURVEY §2.F2/F3, D1-D3; ref:
+  * `prompt/InstanceDataHandler.py:412-493`, `PromptBuilder.py:45-110`).
+  *
+  * Determinism design (SURVEY §4): the reference threads ONE sequential RNG
+  * through loops — unreproducible under parallelism. Here every "random"
+  * draw is a pure hash of (seed, group, value), so results are identical
+  * for any partitioning, any executor count, any scale. That is the only
+  * sound way to do seeded sampling on a cluster; outputs are pinned by
+  * golden tests rather than bit-matching NumPy.
+  */
+object Sampling {
+
+  /** Deterministic uniform(0,1] "random" keyed by (seed, cols). */
+  def detRand(seed: Long, cols: Column*): Column =
+    (pmod(xxhash64(lit(seed) +: cols: _*), lit(1000000007L)).cast("double") + 0.5) / 1000000007.0
+
+  /** Uniform sample of n rows per group, without replacement
+    * (ref: InstanceDataHandler.py:412-424 rng.choice replace=False).
+    */
+  def uniformPerGroup(df: DataFrame, groupCols: Seq[String], n: Int, seed: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(detRand(seed, keyCols.map(col): _*), keyCols.map(col).last)
+    df.withColumn("__r", row_number().over(w)).filter(col("__r") <= n).drop("__r")
+  }
+
+  /** Distinct values per column, n each (ref: :459-474 unique variant). */
+  def distinctValues(df: DataFrame, column: String, n: Int, seed: Long): DataFrame = {
+    val d = df.select(col(column)).filter(col(column).isNotNull).distinct()
+    val w = Window.orderBy(detRand(seed, col(column)), col(column))
+    d.withColumn("__r", row_number().over(w)).filter(col("__r") <= n).drop("__r")
+  }
+
+  /** Weighted sampling without replacement, n per group —
+    * Efraimidis–Spirakis A-ES: key = u^(1/w), take top-n by key. With
+    * deterministic u this is exactly one pass + one per-group top-n window
+    * (no sequential state; ref: InstanceDataHandler.py:428-457 draws
+    * sequentially with inverse-frequency weights).
+    */
+  def weightedPerGroup(df: DataFrame, groupCols: Seq[String], weightCol: String,
+      n: Int, seed: Long, keyCols: Seq[String]): DataFrame = {
+    val u = detRand(seed, keyCols.map(col): _*)
+    val key = pow(u, lit(1.0) / greatest(col(weightCol).cast("double"), lit(1e-12)))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(key.desc, keyCols.map(col).last)
+    df.withColumn("__k", key)
+      .withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
+      .drop("__k", "__r")
+  }
+
+  /** Inverse-frequency weights per (group, value): rarer values more likely
+    * (ref: InstanceDataHandler.py:443-449 `(1-freq)` normalized).
+    */
+  def inverseFrequencyWeights(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val counts = df.groupBy(g :+ col(valueCol): _*).agg(count(lit(1)).as("__n"))
+    val totals = Window.partitionBy(g: _*)
+    counts
+      .withColumn("__tot", sum(col("__n")).over(totals))
+      .withColumn("weight", lit(1.0) - col("__n").cast("double") / col("__tot"))
+      .drop("__n", "__tot")
+  }
+
+  /** Value truncation for prompt rendering
+    * (ref: PromptBuilder.py:18,103-104 — 100 chars + ellipsis).
+    */
+  def truncate(c: Column, maxLen: Int = 100): Column =
+    when(length(c) > maxLen, concat(substring(c, 1, maxLen), lit("..."))).otherwise(c)
+}

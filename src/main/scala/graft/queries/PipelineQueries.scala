@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Model, Tables}
+import graft.core.Model._
+import graft.llm.{LlmOperator, MockLlmClient}
+import graft.operators.{Sampling, StableMatcher}
+import graft.ops.{Parsers, PromptRenderer}
+
+/** The schema-matching pipeline itself as driver-visible queries
+  * (SURVEY §3.1/§3.2/§7.2): scan → sample → prompt → (mock) LLM → parse →
+  * validate → match/score → metrics, distributed end-to-end.
+  *
+  * Test cases are synthesized deterministically from the benchmark tables'
+  * own schemas: source = the table's columns, target = `t_`-prefixed
+  * copies, gold = the identity alignment. The LLM is the deterministic
+  * MockLlmClient, so every run yields identical output (rows-only check:
+  * a mock LLM is not expressible in the DuckDB oracle).
+  */
+object PipelineQueries extends Registry {
+
+  /** Deterministic schema-pair cases from the benchmark star schema. */
+  private def cases(s: SparkSession, dir: String): Seq[TestCase] = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part")
+    tables.map { t =>
+      val cols = Tables(s, dir, t).schema.fields.toSeq
+        .map(f => ColumnMeta(f.name, f.dataType.simpleString))
+      val tgt = cols.map(c => c.copy(name = "t_" + c.name))
+      TestCase(s"src:$t|tgt:$t", cols, tgt, cols.map(c => c.name -> ("t_" + c.name)))
+    }
+  }
+
+  /** Per-column value samples for prompt rendering — one aggregate job per
+    * (small) table, values truncated like the reference's 100-char cap.
+    */
+  private def samplesFor(s: SparkSession, dir: String, table: String): Map[String, Seq[String]] = {
+    val df = Tables(s, dir, table)
+    val aggs = df.schema.fieldNames.toSeq.map { c =>
+      slice(array_sort(collect_set(Sampling.truncate(col(c).cast("string"), 20))), 1, 3).as(c)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    df.schema.fieldNames.zipWithIndex.map { case (c, i) =>
+      c -> row.getSeq[String](i).toSeq
+    }.toMap
+  }
+
+  override def entries: Seq[Q] = Seq(
+
+    // ---- §7.2 flagship slice: full matching pipeline with mock LLM -------
+    Q("q34_matching_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val tcs = cases(s, dir)
+        val sampleMaps = Seq("region", "nation").map(t => t -> samplesFor(s, dir, t)).toMap
+        val questions = s.createDataset(for {
+          tc <- tcs
+          samples = sampleMaps.getOrElse(tc.id.stripPrefix("src:").takeWhile(_ != '|'), Map.empty[String, Seq[String]])
+          tgtAttr <- tc.targetSchema.map(_.name)
+        } yield PromptRenderer.n2oneQuestion(tc, tgtAttr, samples))
+        val generations = LlmOperator.generate(questions, MockLlmClient.Factory())
+        // parse + validate predictions against the source schema (B4/C3)
+        val schemaCols = s.createDataset(tcs.flatMap(tc =>
+          tc.sourceSchema.map(c => (tc.id, c.name)))).toDF("sc_case_id", "sc_col")
+        val predictions = generations.flatMap(g =>
+          Parsers.parseMatches(g.response).map(m => (g.caseId, m, g.queryAttr)))
+          .toDF("case_id", "src_attr", "tgt_attr")
+          .join(schemaCols,
+            col("case_id") === col("sc_case_id") && lower(col("src_attr")) === lower(col("sc_col")),
+            "left_semi")
+        val gold = s.createDataset(tcs.flatMap(tc =>
+          tc.goldMapping.map(gm => (tc.id, gm._1, gm._2)))).toDF("case_id", "src_attr", "tgt_attr")
+        val tp = predictions.intersect(gold).groupBy($"case_id").agg(count(lit(1)).as("tp"))
+        val fp = predictions.except(gold).groupBy($"case_id").agg(count(lit(1)).as("fp"))
+        val fn = gold.except(predictions).groupBy($"case_id").agg(count(lit(1)).as("fn"))
+        val counts = gold.select($"case_id").distinct()
+          .join(tp, Seq("case_id"), "left").join(fp, Seq("case_id"), "left")
+          .join(fn, Seq("case_id"), "left")
+          .select($"case_id",
+            coalesce($"tp", lit(0L)).cast("double").as("tp"),
+            coalesce($"fp", lit(0L)).cast("double").as("fp"),
+            coalesce($"fn", lit(0L)).cast("double").as("fn"),
+            lit(0.0).as("tn"))
+        graft.eval.Metrics.withPrfAccuracyEffort(counts)
+          .drop("tn", "accuracy2")
+          .orderBy($"case_id")
+      },
+      None),
+
+    // ---- §3.2: dual-direction scoring + stable matching ------------------
+    Q("q35_stable_matching",
+      (s, dir) => {
+        import s.implicits._
+        val tcs = cases(s, dir)
+        val fwdQ = s.createDataset(for {
+          tc <- tcs; t <- tc.targetSchema.map(_.name)
+        } yield Question(tc.id, t, s"fwd|${tc.id}|$t", tc.sourceSchema.map(_.name)))
+        val bwdQ = s.createDataset(for {
+          tc <- tcs; c <- tc.sourceSchema.map(_.name)
+        } yield Question(tc.id, c, s"bwd|${tc.id}|$c", tc.targetSchema.map(_.name)))
+        val fwd = LlmOperator.score(fwdQ, MockLlmClient.Factory())
+          .toDF("case_id", "query_attr", "cand_attr", "score")
+          .withColumn("direction", lit("bwd")) // target-queries = backward prefs
+        val bwd = LlmOperator.score(bwdQ, MockLlmClient.Factory())
+          .toDF("case_id", "query_attr", "cand_attr", "score")
+          .withColumn("direction", lit("fwd")) // source-queries propose
+        val matches = StableMatcher.matchCases(fwd.unionByName(bwd), maxRounds = 2)
+        StableMatcher.topRounds(matches, 2)
+          .orderBy($"case_id", $"round", $"src_attr", $"tgt_attr")
+      },
+      None),
+
+    // ---- F2 weighted sampling without replacement (A-ES, seeded) ---------
+    Q("q36_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem")
+        Sampling.weightedPerGroup(li, Seq("l_returnflag"), "l_quantity",
+            n = 5, seed = 42, keyCols = Seq("l_orderkey", "l_linenumber"))
+          .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity")
+          .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber")
+      },
+      None),
+
+    // ---- H4+D14 tuple-overlap scoring as one declarative plan ------------
+    Q("q37_overlap_eval",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables(s, dir, "orders")
+        val pred = o.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+        val gold = o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
+        val counts = s.range(1).select(
+          lit("orders_1995_vs_1996").as("relation"),
+          lit(pred.intersect(gold).count()).cast("double").as("tp"),
+          lit(pred.except(gold).count()).cast("double").as("fp"),
+          lit(gold.except(pred).count()).cast("double").as("fn"),
+          lit(0.0).as("tn"))
+        graft.eval.Metrics.withPrfAccuracyEffort(counts).drop("tn", "accuracy2")
+      },
+      Some("""WITH p AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995),
+        g AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996),
+        c AS (SELECT 'orders_1995_vs_1996' AS relation,
+          CAST((SELECT count(*) FROM (SELECT o_custkey FROM p INTERSECT SELECT o_custkey FROM g)) AS DOUBLE) AS tp,
+          CAST((SELECT count(*) FROM (SELECT o_custkey FROM p EXCEPT SELECT o_custkey FROM g)) AS DOUBLE) AS fp,
+          CAST((SELECT count(*) FROM (SELECT o_custkey FROM g EXCEPT SELECT o_custkey FROM p)) AS DOUBLE) AS fn)
+        SELECT relation, tp, fp, fn,
+          CASE WHEN tp = 0 AND fp = 0 AND fn = 0 THEN 1.0
+               WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+          CASE WHEN tp = 0 AND fp = 0 AND fn = 0 THEN 1.0
+               WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+          CASE WHEN tp = 0 AND fp = 0 AND fn = 0 THEN 1.0
+               WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+                  + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END) = 0 THEN 0.0
+               ELSE 2 * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+                      * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)
+                    / ((CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+                     + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)) END AS f1,
+          CASE WHEN tp + fn = 0 THEN 0.0
+               ELSE (3 * fn + fp) / (tp + fn) END AS effort
+        FROM c"""))
+  )
+}
