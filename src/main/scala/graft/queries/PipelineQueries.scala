@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.core.{Model, Tables}
 import graft.core.Model._
 import graft.llm.{LlmOperator, MockLlmClient}
-import graft.operators.{Sampling, StableMatcher}
+import graft.operators.{Multimodal, Sampling, StableMatcher}
 import graft.ops.{Parsers, PromptRenderer}
+import graft.streaming.StreamingOps
 
 /** The schema-matching pipeline itself as driver-visible queries
   * (SURVEY §3.1/§3.2/§7.2): scan → sample → prompt → (mock) LLM → parse →
@@ -157,6 +158,53 @@ object PipelineQueries extends Registry {
                      + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)) END AS f1,
           CASE WHEN tp + fn = 0 THEN 0.0
                ELSE (3 * fn + fp) / (tp + fn) END AS effort
-        FROM c"""))
+        FROM c""")),
+
+    // ---- multimodal binary-column plumbing (stubbed decode) --------------
+    Q("q38_multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val modality = Seq("image", "audio", "video")((id % 3).toInt)
+            Multimodal.MediaRow(id, modality, s"application/x-$modality",
+              text.getBytes("UTF-8"))
+          }
+        Multimodal.extractFeatures(media)
+          .toDF()
+          .select($"id", $"modality", $"n_bytes", $"byte_entropy",
+            $"width", $"height", $"n_frames", $"sample_rate")
+          .orderBy($"id")
+      },
+      None),
+
+    // ---- Structured Streaming sessionization, driven to completion -------
+    // (MemoryStream-fed incremental run of the q33 semantics; the driver
+    // sees the closed sessions as a batch result)
+    Q("q39_streaming_sessions",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        val evts = Tables(s, dir, "events")
+          .select($"user_id", $"ts").orderBy($"ts").limit(2000)
+          .as[(Long, java.sql.Timestamp)]
+          .collect().map(e => StreamingOps.Evt(e._1, e._2))
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingOps.Evt]
+        val qn = s"graft_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val query = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+        try {
+          val (b1, b2) = evts.splitAt(evts.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          mem.addData(b2.toSeq); query.processAllAvailable()
+          s.table(qn)
+            .orderBy($"user_id", $"session_start")
+            .localCheckpoint(eager = true) // detach result from the stopped stream
+        } finally query.stop()
+      },
+      None)
   )
 }

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.J — extension; the reference is
+  * strictly batch). The batch q32/q33 semantics re-expressed incrementally:
+  * the SAME logical aggregation runs over an unbounded source with
+  * watermark-bounded state.
+  *
+  * Scale: state is keyed (window×type / user), partitioned by key across
+  * executors; the watermark bounds state size — late events beyond it are
+  * dropped, so memory is O(active keys), not O(stream length).
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour event-time aggregation (streaming twin of q32). */
+  def tumblingCounts(events: DataFrame, watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class Evt(user_id: Long, ts: Timestamp)
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+  final case class SessState(startMs: Long, endMs: Long, n: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState (streaming twin of
+    * q33): a session closes when `gapMinutes` pass without an event —
+    * either observed in-batch, or via event-time timeout once the watermark
+    * passes the gap horizon.
+    */
+  def sessionize(
+      events: Dataset[Evt],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evts: Iterator[Evt], state: GroupState[SessState]) =>
+          if (evts.isEmpty && state.hasTimedOut) {
+            // watermark passed the gap horizon: close the open session
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
+          } else {
+            val sorted = evts.map(_.ts.getTime).toSeq.sorted
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            for (t <- sorted) {
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.endMs + gapMs)
+              case None => // timed-out call with no state handled above
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

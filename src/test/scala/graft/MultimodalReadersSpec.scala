@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.core.Readers
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaFeatures, MediaRow}
+
+class MultimodalSpec extends SparkSpec {
+
+  private def media = {
+    val s = spark
+    import s.implicits._
+    graft.core.Tables(s, sfDir, "documents")
+      .limit(50)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val modality = Seq("image", "audio", "video")((id % 3).toInt)
+        MediaRow(id, modality, s"application/x-$modality", text.getBytes("UTF-8"))
+      }
+  }
+
+  test("binary feature extraction: schema, determinism, batch independence") {
+    val a = Multimodal.extractFeatures(media, batchSize = 7).collect().sortBy(_.id)
+    val b = Multimodal.extractFeatures(media.repartition(5), batchSize = 3).collect().sortBy(_.id)
+    assert(a.toSeq == b.toSeq, "features must not depend on partitioning or batch size")
+    assert(a.length == 50)
+    val f = a.head
+    assert(f.n_bytes > 0 && f.byte_entropy > 0 && f.head_hist.length == 16)
+    // entropy of ~31-word lowercase text: bounded by log2(256)
+    assert(a.forall(x => x.byte_entropy > 1.0 && x.byte_entropy < 8.0))
+    // stub decode fills modality-appropriate metadata
+    assert(a.filter(_.modality == "image").forall(x => x.width >= 64 && x.n_frames == 1))
+    assert(a.filter(_.modality == "audio").forall(x => x.sample_rate >= 8000))
+    assert(a.filter(_.modality == "video").forall(x => x.n_frames >= 1))
+  }
+
+  test("resize and frame-sample stubs preserve the plumbing contract") {
+    val bytes = "hello world".getBytes("UTF-8")
+    assert(Multimodal.resizeStub(bytes, 4).toSeq == bytes.take(4).toSeq)
+    assert(Multimodal.resizeStub(bytes, 20).length == 20)
+    assert(Multimodal.frameSampleStub(bytes, 3).length == 4)
+  }
+}
+
+class ReadersSpec extends SparkSpec {
+
+  test("schema-pair JSON scan builds typed TestCases") {
+    val json =
+      """[{"id": "db:t1|db2:t2",
+        |  "gold_mapping": [["subject_id", "person_id"]],
+        |  "source_schema": [{"name": "subject_id", "type": "integer", "column_description": "pk", "is_pk": true},
+        |                    {"name": "dob", "type": "timestamp"}],
+        |  "target_schema": [{"name": "person_id", "type": "integer"}]}]""".stripMargin
+    val dir = Files.createTempDirectory("graft-json")
+    val f = dir.resolve("cases.json")
+    Files.writeString(f, json)
+    val cases = Readers.schemaPairJson(spark, f.toString)
+    assert(cases.length == 1)
+    val tc = cases.head
+    assert(tc.id == "db:t1|db2:t2")
+    assert(tc.goldMapping == Seq("subject_id" -> "person_id"))
+    assert(tc.sourceSchema.map(_.name) == Seq("subject_id", "dob"))
+    assert(tc.sourceSchema.head.isPk && tc.sourceSchema.head.description == "pk")
+    assert(tc.targetSchema.map(_.name) == Seq("person_id"))
+  }
+
+  test("all-string CSV reconciles to the declared schema") {
+    val dir = Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("t.csv")
+    Files.writeString(f, "Subject_ID,Old_Name\n1,alice\n2,bob\n")
+    val df = Readers.csvAllString(spark, f.toString,
+      declaredCols = Seq("subject_id", "name", "missing_col"),
+      renames = Map("old_name" -> "name"))
+    assert(df.columns.toSeq == Seq("subject_id", "name", "missing_col"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    val rows = df.orderBy("subject_id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("alice", "bob"))
+    assert(rows.forall(_.isNullAt(2)))
+  }
+
+  test("JSONL ingest normalizes null tokens and dedups") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("t.jsonl")
+    Files.writeString(f,
+      """{"a": "x", "b": "null"}
+        |{"a": "x", "b": "null"}
+        |{"a": "", "b": "y"}
+        |""".stripMargin)
+    val df = Readers.jsonlNormalized(spark, f.toString, Readers.allStringSchema(Seq("a", "b")))
+    val rows = df.orderBy(col("a").asc_nulls_first).collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(0) && rows(0).getString(1) == "y")
+    assert(rows(1).getString(0) == "x" && rows(1).isNullAt(1))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Evt, Session}
+
+/** Hermetic Structured Streaming specs over MemoryStream — the streaming
+  * twins of q32/q33 must agree with their batch semantics.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming tumbling counts equal the batch aggregation (complete mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.tumblingCounts(df)
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:55:00"), "click", 2.5),
+        (ts("2024-01-01 11:05:00"), "click", 4.0),
+        (ts("2024-01-01 10:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      val out = s.table("tumbling")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(out == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.5),
+        ("2024-01-01 11:00:00.0", "click", 1L, 4.0),
+        ("2024-01-01 10:00:00.0", "view", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions on in-batch gap and on watermark timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Evt]
+    val q = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two sessions for user 1 — the 2h gap closes the first in-batch
+      mem.addData(
+        Evt(1L, ts("2024-01-01 10:00:00")), Evt(1L, ts("2024-01-01 10:10:00")),
+        Evt(1L, ts("2024-01-01 12:30:00")),
+        Evt(2L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val closed1 = s.table("sessions").as[Session].collect().toSet
+      // user 1's first session closes on the in-batch 2h gap; user 2's may
+      // ALSO close already — the batch's own max event time (12:30) pushes
+      // the watermark past user 2's gap horizon
+      assert(closed1.contains(
+        Session(1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2)))
+      assert(!closed1.exists(s0 => s0.user_id == 1L && s0.session_start == ts("2024-01-01 12:30:00")))
+
+      // batch 2: advance the watermark far past everyone's gap horizon —
+      // the open sessions for users 1 and 2 must time out and emit
+      mem.addData(Evt(3L, ts("2024-01-02 09:00:00")))
+      q.processAllAvailable()
+      // one more batch so the new watermark triggers the timeouts
+      mem.addData(Evt(3L, ts("2024-01-02 09:01:00")))
+      q.processAllAvailable()
+      val closedAll = s.table("sessions").as[Session].collect().toSet
+      assert(closedAll.contains(
+        Session(1L, ts("2024-01-01 12:30:00"), ts("2024-01-01 12:30:00"), 1)))
+      assert(closedAll.contains(
+        Session(2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1)))
+    } finally q.stop()
+  }
+}
