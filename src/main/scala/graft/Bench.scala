@@ -11,6 +11,10 @@ object Bench {
     graft.core.Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (scheduler, parquet reader, codegen paths) so the
+    // first measured query doesn't absorb one-time startup cost
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.core.Tables(spark, sfDir, "region").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

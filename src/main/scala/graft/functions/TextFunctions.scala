@@ -37,14 +37,46 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
-  /** Seeded, per-permutation MinHash value: min over the doc's shingle set
-    * of md5(perm-salt || shingle). String min = lexicographic on lowercase
-    * hex — identical ordering on both engines.
+  /** MinHash base hash: first 15 hex chars of md5 → 60-bit integer, reduced
+    * mod p. ONE md5 per shingle; the 16 "permutations" are cheap affine
+    * maps over it (2-universal family) — 16× fewer digests than hashing
+    * per-permutation, and pure integer arithmetic the oracle reproduces
+    * exactly.
     */
-  def minhashAgg(shingle: Column, perm: Int): Column =
-    min(md5(concat(lit(s"$perm|"), shingle)))
+  val minhashP: Long = 1000000007L
 
-  /** LSH band key: hash of the band's concatenated minhash values. */
+  def baseHash(shingle: Column): Column =
+    (conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % minhashP).as("hm")
+
+  /** Affine permutation constants, derived once — shared with the oracle
+    * SQL generator so both engines use identical arithmetic.
+    */
+  def permConsts(perm: Int): (Long, Long) =
+    ((2654435761L * (perm + 1)) % minhashP, (40503L * (perm + 7)) % minhashP)
+
+  /** Seeded, per-permutation MinHash value over a base-hash column. */
+  def minhashAgg(hm: Column, perm: Int): Column = {
+    val (a, b) = permConsts(perm)
+    min((lit(a) * hm + lit(b)) % minhashP)
+  }
+
+  /** DuckDB mirror of [[baseHash]]: 15-digit hex→BIGINT polynomial with
+    * bit-shift powers (kept integral — a double 16^k sum would lose bits
+    * past 2^53).
+    */
+  def baseHashSql(shingleExpr: String): String = {
+    val terms = (1 to 15).map { k =>
+      s"(strpos('0123456789abcdef', substr(md5($shingleExpr), $k, 1)) - 1) * (1::BIGINT << ${4 * (15 - k)})"
+    }.mkString(" + ")
+    s"(($terms) % $minhashP)"
+  }
+
+  def minhashAggSql(perm: Int): String = {
+    val (a, b) = permConsts(perm)
+    s"min(($a * hm + $b) % $minhashP)"
+  }
+
+  /** LSH band key from minhash values (string-joined). */
   def bandKey(minhashes: Seq[Column]): Column =
-    md5(concat_ws("", minhashes: _*))
+    concat_ws("_", minhashes: _*)
 }

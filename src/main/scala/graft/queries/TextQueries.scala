@@ -21,11 +21,17 @@ object TextQueries extends Registry {
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
-  /** Distinct (doc_id, shingle) pairs — the inverted-index building block. */
+  /** Distinct (doc_id, shingle) pairs — the inverted-index building block.
+    * The token array is materialized as a column BEFORE the shingle lambda:
+    * common-subexpression elimination does not reach inside higher-order
+    * functions, so an inline `split()` would be re-evaluated per
+    * element_at — O(words²) per document (measured 10× slower).
+    */
   private def shingleSet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .select($"doc_id", explode(wordShingles(tokens($"text"), 3)).as("shingle"))
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", explode(wordShingles($"w", 3)).as("shingle"))
       .distinct()
   }
 
@@ -37,18 +43,32 @@ object TextQueries extends Registry {
   private val nPerms = 16
   private val nBands = 4
 
-  /** doc_id -> 16 minhash columns h0..h15. */
+  /** Materialize a reused subplan once (eager persist): a LAZY persist that
+    * first gets populated inside a self-join plans pathologically (measured
+    * 3-8× slower than computing it twice); forcing it with a count first
+    * makes every downstream use a cheap cache scan.
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    p
+  }
+
+  /** doc_id -> 16 minhash columns h0..h15 (bigint). */
   private def minhashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val aggs = (0 until nPerms).map(j => minhashAgg($"shingle", j).as(s"h$j"))
-    shingleSet(s, dir).groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val aggs = (0 until nPerms).map(j => minhashAgg($"hm", j).as(s"h$j"))
+    shingleSet(s, dir)
+      .withColumn("hm", baseHash($"shingle"))
+      .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   private val minhashCte = {
     val mins = (0 until nPerms)
-      .map(j => s"min(md5('$j|' || shingle)) AS h$j").mkString(", ")
+      .map(j => s"${minhashAggSql(j)} AS h$j").mkString(", ")
     s"""$shingleCte,
-       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
+       |shh AS (SELECT doc_id, ${baseHashSql("shingle")} AS hm FROM sh),
+       |mh AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id)""".stripMargin
   }
 
   override def entries: Seq[Q] = Seq(
@@ -75,14 +95,20 @@ object TextQueries extends Registry {
     Q("q22_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
-        val sh = shingleSet(s, dir)
-        val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-          .filter($"df" <= 100).select($"shingle")
-        val shf = sh.join(rare, "shingle")
-        val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val common = shf.as("a").join(shf.as("b"),
-            $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        // one shuffle builds the inverted index: shingle -> sorted doc list
+        // (df-filtered); pairs expand LOCALLY per posting list instead of a
+        // self-join — at scale this avoids re-shuffling the whole shingle
+        // table against itself and caps pair fan-out at df².
+        val postings = materialize(shingleSet(s, dir)
+          .groupBy($"shingle").agg(sort_array(collect_list($"doc_id")).as("ds"))
+          .filter(size($"ds") <= 100))
+        val sizes = postings.select(explode($"ds").as("doc_id"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val common = postings
+          .select(explode(expr(
+            "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"))
+            .as("p"))
+          .select($"p.doc_a", $"p.doc_b")
           .groupBy($"doc_a", $"doc_b")
           .agg(count(lit(1)).as("common"))
         common
@@ -113,7 +139,10 @@ object TextQueries extends Registry {
     Q("q23_minhash_lsh",
       (s, dir) => {
         import s.implicits._
-        val mh = minhashes(s, dir)
+        // signatures feed three downstream uses (bands + both sides of the
+        // candidate join) — materialize once instead of recomputing the
+        // shingle scan + 16 aggregations per use
+        val mh = materialize(minhashes(s, dir))
         val bandStructs = (0 until nBands).map { b =>
           struct(lit(b).as("band"),
             bandKey((0 until nPerms / nBands).map(j => col(s"h${nPerms / nBands * b + j}"))).as("bkey"))
@@ -135,8 +164,9 @@ object TextQueries extends Registry {
       },
       Some {
         val bandSelects = (0 until nBands).map { b =>
-          val hs = (0 until nPerms / nBands).map(j => s"h${nPerms / nBands * b + j}").mkString(" || ")
-          s"SELECT doc_id, $b AS band, md5($hs) AS bkey FROM mh"
+          val hs = (0 until nPerms / nBands)
+            .map(j => s"CAST(h${nPerms / nBands * b + j} AS VARCHAR)").mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $hs AS bkey FROM mh"
         }.mkString(" UNION ALL ")
         val agree = (0 until nPerms)
           .map(j => s"(CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END)").mkString(" + ")
@@ -163,7 +193,8 @@ object TextQueries extends Registry {
     Q("q25_simhash_neardup",
       (s, dir) => {
         import s.implicits._
-        val sim = simhashDF(s, dir)
+        // both sides of the band self-join reuse the signature table
+        val sim = materialize(simhashDF(s, dir))
         val bandStructs = (0 until 4).map(b =>
           struct(lit(b).as("band"),
             expr(s"shiftright(simhash, ${15 * b}) & 32767").as("bval")))
@@ -250,14 +281,14 @@ object TextQueries extends Registry {
     Q("q28_quality_score",
       (s, dir) => {
         import s.implicits._
-        val w = tokens($"text")
+        val w = $"w" // token array materialized below (lambda-CSE, see shingleSet)
         val stops = LangLexicon.entries.map(_._1)
         val nTok = size(w).cast("double")
         val len = length($"text").cast("double")
         val digitRatio = (len - length(regexp_replace($"text", "[0-9]", "")).cast("double")) / len
         val nPunct = length(regexp_replace(lower($"text"), "[a-z0-9 ]", "")).cast("double")
         val stopRatio = size(filter(w, x => x.isin(stops: _*))).cast("double") / nTok
-        docs(s, dir).select(
+        docs(s, dir).withColumn("w", tokens($"text")).select(
           $"doc_id",
           size(w).as("n_tokens"),
           digitRatio.as("digit_ratio"),
