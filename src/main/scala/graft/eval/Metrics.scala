@@ -87,6 +87,17 @@ object Metrics {
       .drop("sd")
   }
 
+  /** D15 pass-rate: per group, the fraction of rows whose metric is >= 1
+    * (perfect), then the max over a config dimension
+    * (ref: AnaylsisUtils.py:121-166).
+    */
+  def passRate(df: DataFrame, groupDims: Seq[String], configDim: String, metric: String): DataFrame = {
+    val per = df.groupBy((groupDims :+ configDim).map(col): _*)
+      .agg(avg(when(col(metric) >= 1.0, 1.0).otherwise(0.0)).as("pass_rate"))
+    per.groupBy(groupDims.map(col): _*)
+      .agg(max(col("pass_rate")).as("best_pass_rate"))
+  }
+
   /** D11 token/cost stats: total, mean, and Student-t 95% CI half-width
     * (t-quantile supplied by the caller — driver-side lookup, the engine
     * aggregates; ref: computational_eval.py:11-29).

@@ -72,4 +72,18 @@ object Sampling {
     */
   def truncate(c: Column, maxLen: Int = 100): Column =
     when(length(c) > maxLen, concat(substring(c, 1, maxLen), lit("..."))).otherwise(c)
+
+  /** B8: stable row-index window [start, end] over a deterministic sort
+    * order — the resume/limit window of `ask_LLM.py:156-160`, re-keyed on a
+    * sort instead of file position (file order is not stable on a cluster).
+    */
+  def rowRange(df: DataFrame, sortCols: Seq[String], start: Long, end: Long): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val indexed = df.orderBy(sortCols.map(col): _*).rdd.zipWithIndex()
+      .filter { case (_, i) => i >= start && i <= end }
+      .map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(indexed,
+      schema.add("row_idx", org.apache.spark.sql.types.LongType, nullable = false))
+  }
 }
