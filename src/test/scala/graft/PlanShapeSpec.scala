@@ -1,0 +1,50 @@
+package graft
+
+/** Physical-plan shape assertions: the optimizations the 100 TB design
+  * depends on must actually appear in the executed plan — filter/column
+  * pushdown into the parquet scan, broadcast joins for small sides, no
+  * cartesian products.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sfDir)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q02: predicate and projection push into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,45"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      "projection not pruned — scan reads unused columns")
+  }
+
+  test("q07: small dimensions join via broadcast, no shuffle of nation/region") {
+    val p = plan("q07_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q04: semi-join stays a semi-join") {
+    assert(plan("q04_semi_join_active").contains("LeftSemi"))
+  }
+
+  test("q30: query side broadcast, no cartesian product") {
+    val p = plan("q30_cosine_topk")
+    assert(p.contains("Broadcast"), s"query set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no partial aggregation:\n$p")
+  }
+
+  test("q33: one shuffle on user_id serves both the window and the session agg") {
+    val p = plan("q33_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges:\n$p")
+  }
+}
