@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-tolerant aggregation: two-stage salted combine for algebraic
+  * aggregates. At 100 TB a hot key (one language, one boilerplate
+  * fingerprint) funnels its whole group through a single reducer; salting
+  * spreads the partial aggregation over `buckets` tasks and the final
+  * stage combines `buckets` rows per key instead of billions.
+  *
+  * Only algebraic aggregates compose across stages — counts and sums here
+  * (avg = sum/count at the end). AQE's skew-join handling covers JOIN skew;
+  * this covers GROUP BY skew, which AQE does not re-balance.
+  */
+object SkewAgg {
+
+  /** count per key, salted. Identical result to `groupBy(key).count()`. */
+  def saltedCount(df: DataFrame, keyCols: Seq[String], buckets: Int = 64): DataFrame = {
+    val salt = pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets))
+    df.withColumn("__salt", salt)
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__partial")).as("count"))
+  }
+
+  /** sum of a column per key, salted (exact for integral/decimal types;
+    * for doubles the result is a sum in SOME order, as any parallel sum is).
+    */
+  def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      buckets: Int = 64): DataFrame = {
+    val salt = pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets))
+    df.withColumn("__salt", salt)
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SkewAgg
+import graft.operators.Sampling
+
+/** Scale-mechanics specs: salted aggregation equivalence, bucketed
+  * co-located joins, approximate distinct accuracy, golden seeded samples.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("salted count/sum agree exactly with direct aggregation") {
+    val li = graft.core.Tables(spark, sfDir, "lineitem")
+    val direct = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewAgg.saltedCount(li, Seq("l_returnflag"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+    val directSum = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val saltedSum = SkewAgg.saltedSum(
+        li.withColumn("q", col("l_quantity").cast("decimal(18,2)")), Seq("l_returnflag"), "q")
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(saltedSum.keySet == directSum.keySet &&
+      saltedSum.forall { case (k, v) => v.compareTo(directSum(k)) == 0 })
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    s.sql("DROP TABLE IF EXISTS bucketdemo.o")
+    s.sql("DROP TABLE IF EXISTS bucketdemo.c")
+    val o = graft.core.Tables(s, sfDir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = graft.core.Tables(s, sfDir, "customer").select("c_custkey", "c_mktsegment")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("bucketdemo.o")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("bucketdemo.c")
+    val j = s.table("bucketdemo.o").join(s.table("bucketdemo.c"),
+      col("o_custkey") === col("c_custkey"))
+    val plan = j.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(j.count() == o.count()) // every order has a customer
+  }
+
+  test("approx_count_distinct lands within 5% of exact at default rsd") {
+    val li = graft.core.Tables(spark, sfDir, "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("golden seeded samples are pinned (engine-version determinism)") {
+    // if these change, seeded sampling semantics changed — a breaking
+    // change for any pipeline that relies on reproducible samples
+    val keys = Sampling.distinctValues(
+        graft.core.Tables(spark, sfDir, "nation"), "n_name", 3, seed = 42)
+      .collect().map(_.getString(0)).toSeq
+    assert(keys == Seq("NATION_3", "NATION_4", "NATION_15"), s"golden drift: $keys")
+    val w = Sampling.weightedPerGroup(
+        graft.core.Tables(spark, sfDir, "region"), Seq.empty, "r_regionkey", 2, 7,
+        keyCols = Seq("r_name"))
+      .select("r_name").collect().map(_.getString(0)).sorted.toSeq
+    assert(w.size == 2, s"golden drift: $w")
+  }
+}
