@@ -180,6 +180,66 @@ object PipelineQueries extends Registry {
       },
       None),
 
+    // ---- C4 avg-logits fusion through the production operator, with
+    //      deterministic inputs so the oracle can check the full path ------
+    Q("q40_fusion_operator",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables(s, dir, "customer")
+          .join(broadcast(Tables(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_regionkey".cast("string").as("case_id"),
+            $"n_name".as("src_attr"), $"n_name".as("tgt_attr"))
+          .agg(sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("score"))
+        val su = Tables(s, dir, "supplier")
+          .join(broadcast(Tables(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_regionkey".cast("string").as("case_id"),
+            $"n_name".as("src_attr"), $"n_name".as("tgt_attr"))
+          .agg(sum($"s_acctbal".cast("decimal(18,2)")).cast("double").as("score"))
+        graft.ops.ScoreFusion.avgLogits(c, su, graft.ops.ScoreFusion.Average)
+          .orderBy($"case_id", $"src_attr")
+      },
+      Some("""WITH f AS (SELECT CAST(n_regionkey AS VARCHAR) AS case_id, n_name AS src_attr,
+                n_name AS tgt_attr,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS fwd_score
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_regionkey, n_name),
+            b AS (SELECT CAST(n_regionkey AS VARCHAR) AS case_id, n_name AS src_attr,
+                n_name AS tgt_attr,
+                CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bwd_score
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY n_regionkey, n_name)
+        SELECT case_id, src_attr, tgt_attr,
+          COALESCE(fwd_score, 0.0) AS fwd_score,
+          COALESCE(bwd_score, 0.0) AS bwd_score,
+          (COALESCE(fwd_score, 0.0) + COALESCE(bwd_score, 0.0)) / 2.0 AS score
+        FROM f FULL OUTER JOIN b USING (case_id, src_attr, tgt_attr)
+        WHERE (COALESCE(fwd_score, 0.0) + COALESCE(bwd_score, 0.0)) / 2.0 <> 0.0
+        ORDER BY case_id, src_attr""")),
+
+    // ---- Structured Streaming tumbling aggregation, driven to completion --
+    Q("q41_streaming_tumbling",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        val evts = Tables(s, dir, "events")
+          .select($"ts", $"event_type", $"value").orderBy($"ts").limit(2000)
+          .as[(java.sql.Timestamp, String, Double)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
+        val qn = s"graft_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val query = StreamingOps.tumblingCounts(mem.toDF().toDF("ts", "event_type", "value"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+        try {
+          val (b1, b2) = evts.splitAt(evts.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          mem.addData(b2.toSeq); query.processAllAvailable()
+          s.table(qn)
+            .orderBy($"window_start", $"event_type")
+            .localCheckpoint(eager = true)
+        } finally query.stop()
+      },
+      None),
+
     // ---- Structured Streaming sessionization, driven to completion -------
     // (MemoryStream-fed incremental run of the q33 semantics; the driver
     // sees the closed sessions as a batch result)
