@@ -17,8 +17,11 @@ import graft.core.Model._
   */
 object Readers {
 
-  /** A1: `[{id, gold_mapping: [[src,tgt]...], source_schema: [{name, type,
-    * column_description, is_pk}], target_schema: [...]}]`.
+  /** A1: schema-pair dataset JSON. Two dialects accepted (the reference's
+    * datasets use the nested one — FIXTURES.md §A1):
+    *   - nested: `source_schema: {name, description, columns: [{name, type,
+    *     column_description, is_pk: "YES"/"NO"}]}`;
+    *   - flat:   `source_schema: [{name, type, column_description, is_pk}]`.
     */
   def schemaPairJson(spark: SparkSession, path: String): Seq[TestCase] = {
     import spark.implicits._
@@ -26,14 +29,22 @@ object Readers {
     // optional fields (column_description, is_pk) may be absent from the
     // inferred struct entirely — reference dataset JSON is loose about them
     def cols(field: String) = {
-      val st = df.schema(field).dataType
-        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-        .asInstanceOf[StructType]
+      val (arrayExpr, st) = df.schema(field).dataType match {
+        case at: org.apache.spark.sql.types.ArrayType =>
+          (field, at.elementType.asInstanceOf[StructType])
+        case obj: StructType => // nested dialect: the array is under .columns
+          (s"$field.columns",
+            obj("columns").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType.asInstanceOf[StructType])
+        case other => sys.error(s"unexpected $field type: $other")
+      }
       val desc = if (st.fieldNames.contains("column_description"))
         "coalesce(c.column_description, '')" else "''"
+      // is_pk is a boolean in the flat dialect, "YES"/"NO" in the nested one
       val pk = if (st.fieldNames.contains("is_pk"))
-        "coalesce(c.is_pk, false)" else "false"
-      expr(s"transform($field, c -> struct(c.name as name, c.type as type, " +
+        "coalesce(lower(CAST(c.is_pk AS STRING)) IN ('yes', 'true'), false)"
+      else "false"
+      expr(s"transform($arrayExpr, c -> struct(c.name as name, c.type as type, " +
         s"$desc as description, $pk as is_pk))")
     }
     df.select(

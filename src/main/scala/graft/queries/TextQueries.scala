@@ -33,6 +33,10 @@ object TextQueries extends Registry {
       .select($"doc_id", tokens($"text").as("w"))
       .select($"doc_id", explode(wordShingles($"w", 3)).as("shingle"))
       .distinct()
+      // lazy persist: the shingle table is the shared base of q22 and q23 —
+      // Spark's CacheManager matches the identical logical plan, so within
+      // one session the second query reads the cache instead of re-deriving
+      .persist()
   }
 
   private val shingleCte =

@@ -66,6 +66,27 @@ class ReadersSpec extends SparkSpec {
     assert(tc.targetSchema.map(_.name) == Seq("person_id"))
   }
 
+  test("schema-pair JSON: the reference's NESTED dialect with YES/NO pk flags") {
+    val json =
+      """[{"id": "mimic-iii:ADMISSIONS|omop:VISIT_OCCURRENCE",
+        |  "gold_mapping": [["SUBJECT_ID", "person_id"], ["HADM_ID", "visit_occurrence_id"]],
+        |  "source_schema": {"name": "ADMISSIONS", "description": "admissions table",
+        |    "columns": [{"name": "subject_id", "type": "integer",
+        |                 "column_description": "links to PATIENTS", "is_pk": "NO"},
+        |                {"name": "hadm_id", "type": "integer", "is_pk": "YES"}]},
+        |  "target_schema": {"name": "VISIT_OCCURRENCE",
+        |    "columns": [{"name": "person_id", "type": "integer", "is_pk": "NO"}]},
+        |  "source_rows": 129, "target_rows": 116}]""".stripMargin
+    val dir = Files.createTempDirectory("graft-json2")
+    Files.writeString(dir.resolve("cases.json"), json)
+    val tc = Readers.schemaPairJson(spark, dir.resolve("cases.json").toString).head
+    assert(tc.goldMapping == Seq("SUBJECT_ID" -> "person_id", "HADM_ID" -> "visit_occurrence_id"))
+    assert(tc.sourceSchema.map(_.name) == Seq("subject_id", "hadm_id"))
+    assert(!tc.sourceSchema.head.isPk && tc.sourceSchema(1).isPk)
+    assert(tc.sourceSchema.head.description == "links to PATIENTS")
+    assert(tc.targetSchema.map(_.name) == Seq("person_id"))
+  }
+
   test("all-string CSV reconciles to the declared schema") {
     val dir = Files.createTempDirectory("graft-csv")
     val f = dir.resolve("t.csv")
