@@ -61,6 +61,24 @@ object Readers {
       }.toSeq
   }
 
+  /** A1 post-load transforms (ref: `utils/data_builder.py:16-43`): seeded
+    * per-example column shuffle for prompt-order robustness, and the
+    * source↔target swap that ALSO swaps every gold pair. Randomness is
+    * keyed on (seed, case id) — deterministic regardless of load order.
+    */
+  def shuffleCase(tc: TestCase, seed: Long): TestCase = {
+    val rnd = new scala.util.Random(seed ^ tc.id.hashCode.toLong)
+    tc.copy(
+      sourceSchema = rnd.shuffle(tc.sourceSchema),
+      targetSchema = rnd.shuffle(tc.targetSchema))
+  }
+
+  def swapCase(tc: TestCase): TestCase =
+    tc.copy(
+      sourceSchema = tc.targetSchema,
+      targetSchema = tc.sourceSchema,
+      goldMapping = tc.goldMapping.map { case (s, t) => (t, s) })
+
   /** A2: CSV as all-string with declared-schema reconciliation. */
   def csvAllString(
       spark: SparkSession,
