@@ -44,6 +44,46 @@ object PromptRenderer {
     Question(tc.id, targetAttr, prompt, cands)
   }
 
+  /** Numbered-MCQ repr (Logits 1..N family, ref:
+    * PromptReprTemplate.py:18-119): candidates as `1. <col>`, answer is the
+    * number — pairs with `LlmClient.scoreCandidates` over the option texts.
+    */
+  def mcqQuestion(tc: TestCase, targetAttr: String): Question = {
+    val cands = tc.sourceSchema.map(_.name) :+ "There is no match."
+    val opts = cands.zipWithIndex.map { case (c, i) => s"${i + 1}. $c" }.mkString("\n")
+    val prompt =
+      s"""Target attribute: "${esc(targetAttr)}"
+         |Which option matches? Reply with the option number.
+         |$opts""".stripMargin
+    Question(tc.id, targetAttr, prompt, cands)
+  }
+
+  /** Confidence-scoring MCQ with A..F letters (ref:
+    * PromptReprTemplate.py:460-566): asks for a letter AND a 0-100
+    * confidence — parsed by `Parsers.parseMcqLetter` /
+    * `Parsers.parseConfidence`.
+    */
+  def confidenceMcq(tc: TestCase, targetAttr: String): Question = {
+    val cands = (tc.sourceSchema.map(_.name) :+ "None of the options").take(6)
+    val opts = cands.zipWithIndex
+      .map { case (c, i) => s"${('A' + i).toChar}. $c" }.mkString("\n")
+    val prompt =
+      s"""Target attribute: "${esc(targetAttr)}"
+         |$opts
+         |Answer with the letter of the best match, then "Confidence: <0-100>".""".stripMargin
+    Question(tc.id, targetAttr, prompt, cands)
+  }
+
+  /** TaDa-style yes/no repr (ref: PromptReprTemplate.py:123-207): one
+    * question per (source, target) pair, answered yes/no — feeds
+    * `Ensemble.yesNoMajority`.
+    */
+  def tadaQuestion(tc: TestCase, srcAttr: String, targetAttr: String): Question =
+    Question(tc.id, targetAttr,
+      s"""Do source column "${esc(srcAttr)}" and target column "${esc(targetAttr)}"
+         |represent the same attribute? Answer yes or no.""".stripMargin,
+      Seq("yes", "no"))
+
   /** Whitespace token count — the budget proxy (the real tokenizer lives
     * behind the LlmClient boundary; ref counts with a HF tokenizer,
     * PromptICLTemplate.py:24-25).
