@@ -50,11 +50,7 @@ object EntityReaders {
       .select($"pub_id", explode(split($"author_str", " and ")).as("a"))
       .select($"pub_id", initcap(trim($"a")).as("author_name"))
       .filter($"author_name" =!= "")
-    val authors = rawAuthors.select($"author_name").distinct()
-      .orderBy($"author_name")
-      .rdd.map(_.getString(0)).zipWithIndex()
-      .map { case (n, i) => (i + 1, n) }
-      .toDF("author_id", "author_name")
+    val authors = graft.functions.SurrogateKeys.denseIds(rawAuthors, "author_name", "author_id")
     val pubAuthors = rawAuthors.join(authors, "author_name")
       .select($"pub_id", $"author_id")
     BibTables(pubs.drop("author_str"), authors, pubAuthors)
@@ -68,6 +64,8 @@ object EntityReaders {
     import spark.implicits._
     val raw = spark.read.json(jsonPath)
     def has(c: String) = raw.columns.contains(c)
+    def opt(c: String) =
+      if (has(c)) col(c) else lit(null).cast("string")
     val authorsCol =
       if (has("authors")) col("authors") // array
       else array(col("author")) // single
@@ -79,17 +77,13 @@ object EntityReaders {
       }
     val pubs = raw.select(
       monotonically_increasing_id().as("pub_id"),
-      coalesce(col("type"), lit("article")).as("entry_type"),
-      col("title"), col("year").cast("string").as("year"),
+      coalesce(opt("type"), lit("article")).as("entry_type"),
+      opt("title").as("title"), opt("year").cast("string").as("year"),
       eeCol.as("ee"), authorsCol.as("authors_arr"))
     val rawAuthors = pubs
       .select($"pub_id", explode($"authors_arr").as("author_name"))
       .filter($"author_name".isNotNull && trim($"author_name") =!= "")
-    val authors = rawAuthors.select($"author_name").distinct()
-      .orderBy($"author_name")
-      .rdd.map(_.getString(0)).zipWithIndex()
-      .map { case (n, i) => (i + 1, n) }
-      .toDF("author_id", "author_name")
+    val authors = graft.functions.SurrogateKeys.denseIds(rawAuthors, "author_name", "author_id")
     val pubAuthors = rawAuthors.join(authors, "author_name")
       .select($"pub_id", $"author_id")
     BibTables(pubs.drop("authors_arr"), authors, pubAuthors)

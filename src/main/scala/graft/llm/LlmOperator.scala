@@ -33,6 +33,7 @@ object LlmOperator {
       if (it.isEmpty) Iterator.empty
       else {
         val client = factory.create()
+        try {
         val out = it.grouped(batchSize).flatMap { batch =>
           val t0 = System.nanoTime()
           var attempt = 0
@@ -58,10 +59,10 @@ object LlmOperator {
                 s"LLM generate failed after $maxRetries retries", lastErr)
           }
         }
-        // exhaust before close: mapPartitions iterators are lazy
-        val materialized = out.toVector
-        client.close()
-        materialized.iterator
+        // exhaust before close: mapPartitions iterators are lazy; the
+        // finally keeps the client from leaking when retries exhaust
+        out.toVector.iterator
+        } finally client.close()
       }
     }
   }
@@ -78,6 +79,7 @@ object LlmOperator {
       if (it.isEmpty) Iterator.empty
       else {
         val client = factory.create()
+        try {
         val out = it.flatMap { q =>
           var attempt = 0
           var result: Option[Seq[(String, Double)]] = None
@@ -95,8 +97,8 @@ object LlmOperator {
               s"LLM score failed after $maxRetries retries", lastErr))
             .map { case (c, s) => Scored(q.caseId, q.queryAttr, c, s) }
         }.toVector
-        client.close()
         out.iterator
+        } finally client.close()
       }
     }
   }

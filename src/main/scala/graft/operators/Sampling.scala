@@ -25,8 +25,11 @@ object Sampling {
     */
   def uniformPerGroup(df: DataFrame, groupCols: Seq[String], n: Int, seed: Long,
       keyCols: Seq[String]): DataFrame = {
+    // tie-break on ALL key columns: the hash has only ~1e9 buckets, so
+    // collisions are certain at scale and a partial tie-break would make
+    // the boundary rows partition-dependent
     val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(detRand(seed, keyCols.map(col): _*), keyCols.map(col).last)
+      .orderBy(detRand(seed, keyCols.map(col): _*) +: keyCols.map(col): _*)
     df.withColumn("__r", row_number().over(w)).filter(col("__r") <= n).drop("__r")
   }
 
@@ -48,7 +51,7 @@ object Sampling {
     val u = detRand(seed, keyCols.map(col): _*)
     val key = pow(u, lit(1.0) / greatest(col(weightCol).cast("double"), lit(1e-12)))
     val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(key.desc, keyCols.map(col).last)
+      .orderBy(key.desc +: keyCols.map(col): _*)
     df.withColumn("__k", key)
       .withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
       .drop("__k", "__r")

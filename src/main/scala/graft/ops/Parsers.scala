@@ -13,10 +13,12 @@ import scala.util.Try
   */
 object Parsers {
 
-  private val jsonBlock: Regex = """(?s)\{.*?\}""".r
   private val fencedCode: Regex = """(?s)```(?:json|sql|sqlite|datalog)?\s*(.*?)```""".r
+  // select-list capture stops at the first FROM (word-bounded): an optional
+  // trailing group like (FROM (\w+))? would backtrack on "FROM t AS alias"
+  // and spill the whole FROM clause into the alias scan
   private val createView: Regex =
-    """(?is)CREATE\s+VIEW\s+(\w+)\s+AS\s+SELECT\s+(.*?)(?:\s+FROM\s+(\w+))?\s*;?\s*$""".r
+    """(?is)CREATE\s+VIEW\s+(\w+)\s+AS\s+SELECT\s+(.*?)(?:\s+FROM\b.*)?$""".r
   private val aliasPair: Regex = """(?i)(\w+)\s+AS\s+(\w+)""".r
   private val mcqLetter: Regex = """(?m)^\s*(?:Answer|Best Match)\s*[:\-]?\s*([A-F])\b""".r
   private val confidence: Regex = """(?i)(?:confidence|score)\s*[:=]?\s*(\d{1,3})""".r

@@ -64,7 +64,9 @@ object PromptRenderer {
     * `Parsers.parseConfidence`.
     */
   def confidenceMcq(tc: TestCase, targetAttr: String): Question = {
-    val cands = (tc.sourceSchema.map(_.name) :+ "None of the options").take(6)
+    // cap at 6 options INCLUDING the sentinel — the no-match option must
+    // survive even for wide schemas
+    val cands = tc.sourceSchema.map(_.name).take(5) :+ "None of the options"
     val opts = cands.zipWithIndex
       .map { case (c, i) => s"${('A' + i).toChar}. $c" }.mkString("\n")
     val prompt =

@@ -409,11 +409,9 @@ object RelationalQueries extends Registry {
     Q("q20_surrogate_keys",
       (s, dir) => {
         import s.implicits._
-        val ids = t(s, dir, "part").select($"p_brand").distinct()
-          .orderBy($"p_brand")
-          .rdd.map(_.getString(0)).zipWithIndex()
-          .map { case (b, i) => (b, (i + 1).toInt) }
-        ids.toDF("p_brand", "brand_id").orderBy($"brand_id")
+        graft.functions.SurrogateKeys.denseIds(t(s, dir, "part"), "p_brand", "brand_id")
+          .select($"p_brand", $"brand_id".cast("int").as("brand_id"))
+          .orderBy($"brand_id")
       },
       Some("""SELECT p_brand, CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS INT) AS brand_id
         FROM (SELECT DISTINCT p_brand FROM part) ORDER BY brand_id"""))

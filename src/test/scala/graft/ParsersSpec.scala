@@ -31,6 +31,13 @@ class ParsersSpec extends AnyFunSuite {
       Seq(("subject_id", "person_id"), ("hadm_id", "visit_id")))
   }
 
+  test("parseViewAlignments ignores table aliases in the FROM clause") {
+    // regression: an optional-FROM regex group used to backtrack and spill
+    // "admissions AS adm" into the alias scan
+    val sql = "CREATE VIEW m AS SELECT subject_id AS person_id FROM admissions AS adm;"
+    assert(Parsers.parseViewAlignments(sql) == Seq(("subject_id", "person_id")))
+  }
+
   test("parseFencedBlocks returns fenced SQL in order") {
     val text = "First:\n```sql\nINSERT INTO t VALUES (1);\n```\nthen\n```\nSELECT 1\n```"
     assert(Parsers.parseFencedBlocks(text) == Seq("INSERT INTO t VALUES (1);", "SELECT 1"))

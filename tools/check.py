@@ -41,8 +41,13 @@ def main(out, sf):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
-    for name in sorted(os.listdir(out)):
-        if not os.path.isdir(f"{out}/{name}"):
+    outputs = {n for n in os.listdir(out) if os.path.isdir(f"{out}/{n}")}
+    # a query whose Verify run crashed writes NO output dir — that must be
+    # a FAIL, not a silent skip, so iterate oracle keys and outputs both
+    for name in sorted(outputs | set(oracle)):
+        if name not in outputs:
+            print(f"FAIL {name}: no Spark output written (query crashed in Verify?)")
+            n_fail += 1
             continue
         parts = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         if name not in oracle:
