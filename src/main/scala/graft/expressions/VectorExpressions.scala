@@ -89,7 +89,7 @@ object VectorExpressions {
   * `spark.sql.extensions=graft.expressions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
@@ -97,4 +97,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(args.length == 2, "vec_dot takes exactly 2 arguments")
           VecDot(args.head, args(1))
         }))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

@@ -1,0 +1,128 @@
+package graft.plans
+
+import scala.collection.mutable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator custom plan (SURVEY §7.3 tier (c); the one operator where
+  * Spark's built-ins genuinely leave throughput on the table): top-k rows
+  * per key WITHOUT a per-partition sort.
+  *
+  * `Window.partitionBy(key).orderBy(o) + row_number <= k` must sort every
+  * partition — O(n log n) per partition and full materialization before the
+  * filter. This operator keeps one bounded k-heap per key — O(n log k),
+  * memory O(keys·k) — the difference between sorting 100 TB and streaming
+  * over it. Same required distribution (one shuffle on the key), so the
+  * plan shape is otherwise identical.
+  *
+  * Wired the idiomatic way: a LogicalPlan node + a SparkStrategy planning
+  * it to a physical UnaryExecNode, registered via
+  * `spark.experimental.extraStrategies` (done lazily by [[TopK.perKey]])
+  * or `GraftExtensions` (spark.sql.extensions).
+  */
+final case class TopKPerKeyLogical(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyLogical =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyLogical(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+
+  /** One shuffle on the keys; NO required ordering — that's the point. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val kk = k
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord = RowOrdering.create(sortOrder, childOutput)
+      // max-heap under ord: head = currently-worst of the best k
+      val heapOrd: Ordering[InternalRow] = (a, b) => ord.compare(a, b)
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      for (row <- it) {
+        val key = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+            heaps.put(key.copy(), h)
+            h
+        }
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.iterator.flatMap { case (_, heap) =>
+        heap.dequeueAll.reverseIterator // ascending under ord
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Public API. */
+object TopK {
+
+  /** One sort spec: column name + direction. */
+  final case class Order(column: String, ascending: Boolean = true)
+
+  /** Top-k rows per key group, ranked by `order`. Result contains every
+    * input column; within a key, rows come back in rank order. Provide a
+    * TOTAL order (unique tie-break column) for partition-invariant results
+    * — the same requirement `row_number` has.
+    *
+    * Columns are resolved by name against the analyzed child, so the
+    * custom logical node enters the planner fully resolved (Spark 4's
+    * ColumnNode wrappers are only converted inside built-in operators).
+    */
+  def perKey(df: DataFrame, keyCols: Seq[String], order: Seq[Order], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute =
+      analyzed.output.find(_.name.equalsIgnoreCase(n))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $n in [${analyzed.output.map(_.name).mkString(", ")}]"))
+    val keyExprs: Seq[Expression] = keyCols.map(attr)
+    val sortOrder = order.map(o =>
+      SortOrder(attr(o.column), if (o.ascending) Ascending else Descending))
+    GraftSqlBridge.ofRows(spark,
+      TopKPerKeyLogical(keyExprs, sortOrder, k, analyzed))
+  }
+}

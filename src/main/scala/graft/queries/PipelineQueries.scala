@@ -216,6 +216,25 @@ object PipelineQueries extends Registry {
         WHERE (COALESCE(fwd_score, 0.0) + COALESCE(bwd_score, 0.0)) / 2.0 <> 0.0
         ORDER BY case_id, src_attr""")),
 
+    // ---- custom physical operator: heap-based top-k per key (no sort) ----
+    Q("q42_topk_custom",
+      (s, dir) => {
+        import s.implicits._
+        graft.plans.TopK.perKey(
+            Tables(s, dir, "part").select($"p_brand", $"p_partkey", $"p_retailprice"),
+            keyCols = Seq("p_brand"),
+            order = Seq(graft.plans.TopK.Order("p_retailprice", ascending = false),
+              graft.plans.TopK.Order("p_partkey")),
+            k = 3)
+          .orderBy($"p_brand", $"p_retailprice".desc, $"p_partkey")
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS rn
+          FROM part) WHERE rn <= 3
+        ORDER BY p_brand, p_retailprice DESC, p_partkey""")),
+
     // ---- Structured Streaming tumbling aggregation, driven to completion --
     Q("q41_streaming_tumbling",
       (s, dir) => {
