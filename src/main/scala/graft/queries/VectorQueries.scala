@@ -97,6 +97,45 @@ object VectorQueries extends Registry {
         SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cosine FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
-        WHERE rn <= 3 ORDER BY query_id, rank"""))
+        WHERE rn <= 3 ORDER BY query_id, rank""")),
+
+    // ---- embedding-cosine near-dup: the dedup variant — candidate pairs
+    //      come ONLY from shared IVF clusters (never all-pairs); top-40
+    //      most-similar pairs with the min-id survivor decision ------------
+    Q("q43_embedding_neardup",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
+        val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+        val assign = e.join(broadcast(e.filter($"vec_id" < 8)
+            .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cn"))))
+          .select($"vec_id", $"embedding", $"nrm", $"cid",
+            (dotFast($"cv", $"embedding") / ($"cn" * $"nrm")).as("ccos"))
+          .withColumn("arn", row_number().over(aw))
+          .filter($"arn" === 1)
+          .select($"vec_id", $"embedding", $"nrm", $"cid")
+        val pairs = assign.as("a").join(assign.as("b"),
+            $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+          .select($"a.vec_id".as("keep_id"), $"b.vec_id".as("dup_id"),
+            (dotFast($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cosine"))
+        pairs.orderBy($"cosine".desc, $"keep_id", $"dup_id").limit(40)
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings WHERE vec_id < 8),
+        assign AS (SELECT vec_id, embedding FROM embeddings),
+        asg AS (SELECT vec_id, embedding, cid FROM (
+                  SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      ${dotSql("c.cv", "e.embedding")}
+                        / (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                      c.cid) AS arn
+                  FROM embeddings e, cents c)
+                WHERE arn = 1)
+        SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+          ${dotSql("a.embedding", "b.embedding")}
+            / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cosine
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        ORDER BY cosine DESC, keep_id, dup_id LIMIT 40"""))
   )
 }
