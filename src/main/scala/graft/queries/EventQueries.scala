@@ -75,6 +75,55 @@ object EventQueries extends Registry {
           min(ts) AS session_start, max(ts) AS session_end,
           count(*) AS n_events, count(DISTINCT event_type) AS n_types
         FROM sess GROUP BY user_id, sess_idx
-        ORDER BY user_id, sess_idx"""))
+        ORDER BY user_id, sess_idx""")),
+
+    // ---- built-in session_window: must produce the same sessions as the
+    //      lag+cumsum formulation in q33 (oracle = the same gap logic) -----
+    Q("q44_session_window",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .groupBy($"user_id", session_window($"ts", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id",
+            $"session_window.start".as("session_start"),
+            $"session_window.end".as("session_end"),
+            $"n_events")
+          .orderBy($"user_id", $"session_start")
+      },
+      // the oracle derives sessions with the q33 gap logic; session_window's
+      // end = last event + gap, so the oracle adds the 30-min gap to max(ts)
+      Some("""WITH g AS (SELECT user_id, event_id, ts,
+          CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000
+               THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        sess AS (SELECT user_id, ts,
+            CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+          FROM g)
+        SELECT user_id, min(ts) AS session_start,
+          max(ts) + INTERVAL 30 MINUTE AS session_end,
+          count(*) AS n_events
+        FROM sess GROUP BY user_id, sess_idx
+        ORDER BY user_id, session_start""")),
+
+    // ---- sliding event-time windows (2h window, 1h slide): each event
+    //      lands in two windows ------------------------------------------
+    Q("q45_sliding_window",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n_events"))
+          .select($"window.start".as("window_start"), $"event_type", $"n_events")
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""SELECT ws AS window_start, event_type, count(*) AS n_events
+        FROM (SELECT event_type,
+                unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                        date_trunc('hour', ts)]) AS ws
+              FROM events)
+        GROUP BY ws, event_type ORDER BY window_start, event_type"""))
   )
 }
