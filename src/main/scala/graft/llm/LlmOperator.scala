@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.Dataset
 import graft.core.Model.Question
 
 /** The LLM inference operator (SURVEY §2.F5): `mapPartitions` — NOT a UDF —

@@ -3,7 +3,7 @@ package graft.mapping
 import java.util.UUID
 import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
 import scala.util.matching.Regex
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 
 /** Guarded execution of LLM-generated SQL (SURVEY §2.B6/F10/C7; behavior
   * of `Schema Mapping/AnalysisUtils/Evaluator.py:59-119` +

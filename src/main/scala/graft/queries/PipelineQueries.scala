@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.core.{Model, Tables}
+import graft.core.Tables
 import graft.core.Model._
 import graft.llm.{LlmOperator, MockLlmClient}
 import graft.operators.{Multimodal, Sampling, StableMatcher}
