@@ -27,6 +27,17 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: watermark-bounded `dropDuplicates` on a key —
+    * the incremental twin of q21's hash-groupBy dedup. State holds one
+    * entry per key seen within the watermark horizon; late duplicates
+    * beyond it are dropped by the watermark itself.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keyCols :+ "ts")
+
   final case class Evt(user_id: Long, ts: Timestamp)
   final case class Session(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)

@@ -38,6 +38,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated keys within the watermark horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "event_id", "payload")
+    val q = StreamingOps.dedupStream(df, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:00:00"), 1L, "a-dup"),
+        (ts("2024-01-01 10:01:00"), 2L, "b"))
+      q.processAllAvailable()
+      // duplicate in a later batch, still within the watermark horizon
+      mem.addData((ts("2024-01-01 10:00:00"), 1L, "a-dup-2"))
+      q.processAllAvailable()
+      val out = s.table("dedup").collect().map(r => (r.getLong(1), r.getString(2)))
+      assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L))
+      assert(out.toMap.apply(1L) == "a") // first occurrence wins
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on in-batch gap and on watermark timeout") {
     val s = spark
     import s.implicits._
