@@ -50,6 +50,13 @@ object Metrics {
     when(col("tp") + col("fn") === 0, lit(0.0))
       .otherwise((lit(3) * col("fn") + col("fp")) / (col("tp") + col("fn")))
 
+  /** The reference's FIRST accuracy definition: (tp+tn)/N with N an
+    * external population size (total target columns), distinct from
+    * accuracy2's (tp+tn)/(tp+tn+fp+fn) (ref: eval_utils.py:493-496).
+    */
+  def accuracyOf(n: Column): Column =
+    when(n === 0, lit(0.0)).otherwise((col("tp") + col("tn")) / n)
+
   /** Append the metric columns to a frame that has double columns tp/fp/fn/tn. */
   def withPrfAccuracyEffort(counts: DataFrame): DataFrame =
     counts

@@ -154,6 +154,9 @@ class MetricsSpec extends SparkSpec {
     assert(m("norecallbase").getDouble(6) == 0.0) // recall, tp+fn=0
     assert(m("mixed").getDouble(5) == 2.0 / 3)
     assert(m("mixed").getDouble(8) == 0.5) // accuracy2 = (2+0)/(2+0+1+1)
+    // accuracy (population variant): (tp+tn)/N with external N
+    val acc = counts.select(graft.eval.Metrics.accuracyOf(lit(8.0))).collect().map(_.getDouble(0))
+    assert(acc.toSeq == Seq(5.0 / 8, 0.0 / 8, 2.0 / 8))
     assert(m("mixed").getDouble(9) == (3 * 1.0 + 1.0) / 3) // effort=(3fn+fp)/(tp+fn)
   }
 
