@@ -253,8 +253,8 @@ object PipelineQueries extends Registry {
           mem.addData(b1.toSeq); query.processAllAvailable()
           mem.addData(b2.toSeq); query.processAllAvailable()
           s.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
             .orderBy($"window_start", $"event_type")
-            .localCheckpoint(eager = true)
         } finally query.stop()
       },
       None),
@@ -280,8 +280,8 @@ object PipelineQueries extends Registry {
           mem.addData(b1.toSeq); query.processAllAvailable()
           mem.addData(b2.toSeq); query.processAllAvailable()
           s.table(qn)
-            .orderBy($"user_id", $"session_start")
             .localCheckpoint(eager = true) // detach result from the stopped stream
+            .orderBy($"user_id", $"session_start")
         } finally query.stop()
       },
       None)

@@ -16,6 +16,19 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every multi-row query ends in a global ORDER BY (driver gate requirement)") {
+    // single-row aggregates are order-free by construction
+    val singleRow = Set("q15_uniqueness_audit", "q16_constraint_audit", "q37_overlap_eval")
+    val missing = SparkEntry.queries.toSeq.collect {
+      case (name, fn) if !singleRow.contains(name) =>
+        val hasSort = fn(spark, sfDir).queryExecution.analyzed.collectFirst {
+          case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+        }.isDefined
+        (name, hasSort)
+    }.filterNot(_._2).map(_._1)
+    assert(missing.isEmpty, s"queries without a global sort: $missing")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs, is non-degenerate and deterministic") {
       val df1 = fn(spark, sfDir)
