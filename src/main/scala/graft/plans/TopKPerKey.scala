@@ -10,16 +10,21 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
-/** Whole-operator custom plan (SURVEY §7.3 tier (c); the one operator where
-  * Spark's built-ins genuinely leave throughput on the table): top-k rows
-  * per key WITHOUT a per-partition sort.
+/** Whole-operator custom plan (SURVEY §7.3 tier (c)): top-k rows per key
+  * WITHOUT a per-partition sort.
   *
-  * `Window.partitionBy(key).orderBy(o) + row_number <= k` must sort every
-  * partition — O(n log n) per partition and full materialization before the
-  * filter. This operator keeps one bounded k-heap per key — O(n log k),
-  * memory O(keys·k) — the difference between sorting 100 TB and streaming
-  * over it. Same required distribution (one shuffle on the key), so the
-  * plan shape is otherwise identical.
+  * `Window.partitionBy(key).orderBy(o) + row_number <= k` sorts and fully
+  * materializes every partition before filtering; this operator keeps one
+  * bounded k-heap per key — O(n log k) compares, memory O(keys·k).
+  *
+  * Measured honestly (graft.BenchTopK, 20M rows × 1000 keys, k=5,
+  * local[32]): comparable wall time to the window plan while it fits in
+  * memory (~1.5 s vs ~1.9 s — Tungsten's codegen'd sort is excellent). The
+  * heap's advantage is the MEMORY BOUND: a partition that exceeds executor
+  * memory makes the sort spill to disk, while heap state stays O(keys·k)
+  * regardless of partition size — that, not raw speed, is the 100 TB
+  * argument. Same required distribution (one key shuffle), so the plan
+  * shape is otherwise identical.
   *
   * Wired the idiomatic way: a LogicalPlan node + a SparkStrategy planning
   * it to a physical UnaryExecNode, registered via
