@@ -115,15 +115,26 @@ object TopK {
     */
   def perKey(df: DataFrame, keyCols: Seq[String], order: Seq[Order], k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty (for global top-k use orderBy().limit())")
+    require(order.nonEmpty, "order must be non-empty")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // registration is read-modify-write on a shared var — synchronize so a
+    // concurrent first call cannot lose the strategy
+    TopK.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+    }
     val analyzed = df.queryExecution.analyzed
-    def attr(n: String): Attribute =
-      analyzed.output.find(_.name.equalsIgnoreCase(n))
-        .getOrElse(throw new IllegalArgumentException(
-          s"no column $n in [${analyzed.output.map(_.name).mkString(", ")}]"))
+    val resolver = spark.sessionState.conf.resolver
+    def attr(n: String): Attribute = {
+      val hits = analyzed.output.filter(a => resolver(a.name, n))
+      require(hits.size == 1,
+        s"column $n resolves to ${hits.size} attributes in " +
+          s"[${analyzed.output.map(_.name).mkString(", ")}]")
+      hits.head
+    }
     val keyExprs: Seq[Expression] = keyCols.map(attr)
     val sortOrder = order.map(o =>
       SortOrder(attr(o.column), if (o.ascending) Ascending else Descending))

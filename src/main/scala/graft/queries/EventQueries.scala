@@ -91,11 +91,14 @@ object EventQueries extends Registry {
             $"n_events")
           .orderBy($"user_id", $"session_start")
       },
-      // the oracle derives sessions with the q33 gap logic; session_window's
-      // end = last event + gap, so the oracle adds the 30-min gap to max(ts)
+      // the oracle derives sessions with gap logic at MICROSECOND precision
+      // (epoch_us — ms truncation could flip boundary-adjacent gaps) and the
+      // session_window boundary semantics verified empirically: events
+      // EXACTLY gap apart merge, so a new session starts only when the gap
+      // is STRICTLY greater; end = last event + gap
       Some("""WITH g AS (SELECT user_id, event_id, ts,
-          CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                 OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000
+          CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                THEN 1 ELSE 0 END AS new_sess
           FROM events),
         sess AS (SELECT user_id, ts,

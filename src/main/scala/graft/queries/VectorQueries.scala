@@ -19,6 +19,25 @@ object VectorQueries extends Registry {
 
   private def emb(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
 
+  /** IVF coarse quantizer shared by q31/q43: broadcast the deterministic
+    * centroid set (vec_id < 8) and assign every vector to its
+    * max-cosine centroid in one map-side pass.
+    * Input/output columns: (vec_id, embedding, nrm) -> + cid.
+    */
+  private def ivfAssign(s: SparkSession, e: org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cn"))
+    val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    e.join(broadcast(cents))
+      .select($"vec_id", $"embedding", $"nrm", $"cid",
+        (dotFast($"cv", $"embedding") / ($"cn" * $"nrm")).as("ccos"))
+      .withColumn("arn", row_number().over(aw))
+      .filter($"arn" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cid")
+  }
+
   override def entries: Seq[Q] = Seq(
 
     // ---- brute-force cosine top-k (baseline; exact) ----------------------
@@ -57,15 +76,7 @@ object VectorQueries extends Registry {
         import s.implicits._
         graft.expressions.VectorExpressions.register(s)
         val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
-        val cents = e.filter($"vec_id" < 8)
-          .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cn"))
-        val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-        val assign = e.join(broadcast(cents))
-          .select($"vec_id", $"embedding", $"nrm", $"cid",
-            (dotFast($"cv", $"embedding") / ($"cn" * $"nrm")).as("ccos"))
-          .withColumn("arn", row_number().over(aw))
-          .filter($"arn" === 1)
-          .select($"vec_id", $"embedding", $"nrm", $"cid")
+        val assign = ivfAssign(s, e)
         val q = assign.filter($"vec_id" % 100 === 0)
           .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qn"), $"cid")
         val scored = assign.join(broadcast(q), Seq("cid"))
@@ -107,14 +118,7 @@ object VectorQueries extends Registry {
         import s.implicits._
         graft.expressions.VectorExpressions.register(s)
         val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
-        val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-        val assign = e.join(broadcast(e.filter($"vec_id" < 8)
-            .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cn"))))
-          .select($"vec_id", $"embedding", $"nrm", $"cid",
-            (dotFast($"cv", $"embedding") / ($"cn" * $"nrm")).as("ccos"))
-          .withColumn("arn", row_number().over(aw))
-          .filter($"arn" === 1)
-          .select($"vec_id", $"embedding", $"nrm", $"cid")
+        val assign = ivfAssign(s, e)
         val pairs = assign.as("a").join(assign.as("b"),
             $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
           .select($"a.vec_id".as("keep_id"), $"b.vec_id".as("dup_id"),

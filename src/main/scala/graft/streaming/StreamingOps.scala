@@ -27,16 +27,18 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
-  /** Streaming exact dedup: watermark-bounded `dropDuplicates` on a key —
-    * the incremental twin of q21's hash-groupBy dedup. State holds one
-    * entry per key seen within the watermark horizon; late duplicates
-    * beyond it are dropped by the watermark itself.
+  /** Streaming exact dedup: watermark-bounded per-KEY dedup — the
+    * incremental twin of q21's hash-groupBy dedup. State holds one entry
+    * per key within the watermark horizon, and a redelivered duplicate is
+    * dropped even when its timestamp was re-stamped
+    * (`dropDuplicatesWithinWatermark` keys on the columns alone; a plain
+    * `dropDuplicates(key :+ ts)` would let re-stamped copies through).
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
       watermarkDelay: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   final case class Evt(user_id: Long, ts: Timestamp)
   final case class Session(

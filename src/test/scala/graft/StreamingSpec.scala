@@ -53,8 +53,9 @@ class StreamingSpec extends SparkSpec {
         (ts("2024-01-01 10:00:00"), 1L, "a-dup"),
         (ts("2024-01-01 10:01:00"), 2L, "b"))
       q.processAllAvailable()
-      // duplicate in a later batch, still within the watermark horizon
-      mem.addData((ts("2024-01-01 10:00:00"), 1L, "a-dup-2"))
+      // redelivered duplicate with a RE-STAMPED timestamp, still within the
+      // watermark horizon — must be dropped (per-key dedup, not per key+ts)
+      mem.addData((ts("2024-01-01 10:05:00"), 1L, "a-restamped"))
       q.processAllAvailable()
       val out = s.table("dedup").collect().map(r => (r.getLong(1), r.getString(2)))
       assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L))
