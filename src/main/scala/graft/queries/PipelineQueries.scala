@@ -216,6 +216,17 @@ object PipelineQueries extends Registry {
         WHERE (COALESCE(fwd_score, 0.0) + COALESCE(bwd_score, 0.0)) / 2.0 <> 0.0
         ORDER BY case_id, src_attr""")),
 
+    // ---- skew-tolerant salted aggregation, oracle-checked ----------------
+    Q("q46_salted_counts",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.SkewAgg.saltedCount(
+            Tables(s, dir, "lineitem"), Seq("l_returnflag"), buckets = 64)
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS count
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- custom physical operator: heap-based top-k per key (no sort) ----
     Q("q42_topk_custom",
       (s, dir) => {
