@@ -36,6 +36,20 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries whose final operator is not a global sort: $missing")
   }
 
+  test("rows-only queries match their golden sf0.001 row counts") {
+    // these have no DuckDB oracle (mock LLM / seeded sampling / streaming),
+    // so pin their cardinality to catch silent semantic drift
+    val golden = Map(
+      "q34_matching_pipeline" -> 5L,
+      "q35_stable_matching" -> 39L,
+      "q36_weighted_sample" -> 15L,
+      "q38_multimodal_features" -> 500L,
+      "q39_streaming_sessions" -> 945L,
+      "q41_streaming_tumbling" -> 868L)
+    val got = golden.keys.map(n => n -> SparkEntry.queries(n)(spark, sfDir).count()).toMap
+    assert(got == golden, s"golden drift: $got")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs, is non-degenerate and deterministic") {
       val df1 = fn(spark, sfDir)
