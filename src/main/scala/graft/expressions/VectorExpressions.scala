@@ -98,5 +98,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           VecDot(args.head, args(1))
         }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
   }
 }

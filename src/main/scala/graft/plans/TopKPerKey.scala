@@ -49,6 +49,26 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule: a Filter that references ONLY key columns commutes with
+  * per-key top-k (keys partition the rows — dropping whole groups before
+  * or after selecting each group's top k is identical). Pushing it below
+  * the operator lets Catalyst keep pushing, typically all the way into the
+  * parquet scan — without this rule a custom node is an optimization
+  * barrier and the scan reads every group.
+  */
+object PushFilterThroughTopK
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, t: TopKPerKeyLogical)
+        if cond.references.subsetOf(AttributeSet(t.keys.flatMap(_.references)))
+          && cond.deterministic =>
+      t.copy(child = Filter(cond, t.child))
+  }
+}
+
 final case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -119,12 +139,15 @@ object TopK {
       "keyCols must be non-empty (for global top-k use orderBy().limit())")
     require(order.nonEmpty, "order must be non-empty")
     val spark = df.sparkSession
-    // registration is read-modify-write on a shared var — synchronize so a
-    // concurrent first call cannot lose the strategy
+    // registration is read-modify-write on shared vars — synchronize so a
+    // concurrent first call cannot lose the strategy/rule
     TopK.synchronized {
       if (!spark.experimental.extraStrategies.contains(TopKStrategy))
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ TopKStrategy
+      if (!spark.experimental.extraOptimizations.contains(PushFilterThroughTopK))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ PushFilterThroughTopK
     }
     val analyzed = df.queryExecution.analyzed
     val resolver = spark.sessionState.conf.resolver

@@ -49,6 +49,42 @@ class TopKSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("key-only filters push through TopK into the parquet scan (custom rule)") {
+    val s = spark
+    import s.implicits._
+    val df = TopK.perKey(supplier, Seq("s_nationkey"),
+        Seq(TopK.Order("s_acctbal", ascending = false), TopK.Order("s_suppkey")), 3)
+      .filter($"s_nationkey" === 7)
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    // the Filter must sit BELOW the TopK node after optimization
+    assert(optimized.indexOf("TopKPerKeyLogical") < optimized.indexOf("s_nationkey = 7")
+      || optimized.indexOf("topkperkey") < optimized.toLowerCase.indexOf("filter"),
+      s"filter not pushed below TopK:\n$optimized")
+    // ...and all the way into the scan
+    val physical = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(physical.contains("PushedFilters: [IsNotNull(s_nationkey), EqualTo(s_nationkey,7)]")
+      || physical.contains("EqualTo(s_nationkey,7)"),
+      s"filter did not reach the parquet scan:\n$physical")
+    // semantics unchanged: same as filtering the input first
+    val direct = TopK.perKey(supplier.filter($"s_nationkey" === 7), Seq("s_nationkey"),
+        Seq(TopK.Order("s_acctbal", ascending = false), TopK.Order("s_suppkey")), 3)
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == direct)
+  }
+
+  test("non-key filters are NOT pushed (would change results)") {
+    val s = spark
+    import s.implicits._
+    val df = TopK.perKey(supplier, Seq("s_nationkey"),
+        Seq(TopK.Order("s_acctbal", ascending = false), TopK.Order("s_suppkey")), 3)
+      .filter($"s_acctbal" > 0)
+    val optimized = df.queryExecution.optimizedPlan
+    // root must still be the Filter (not pushed below the TopK node)
+    assert(optimized.getClass.getSimpleName == "Filter",
+      s"non-key filter must stay above TopK:\n$optimized")
+  }
+
   test("k larger than group size returns whole groups in rank order") {
     val s = spark
     import s.implicits._
