@@ -216,6 +216,57 @@ object PipelineQueries extends Registry {
         WHERE (COALESCE(fwd_score, 0.0) + COALESCE(bwd_score, 0.0)) / 2.0 <> 0.0
         ORDER BY case_id, src_attr""")),
 
+    // ---- cross-run ensembling over three seeded mock runs (H1-H3/D6) -----
+    Q("q47_ensemble_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val tcs = cases(s, dir)
+        val runs = Seq(1, 2, 3).map { seed =>
+          val qs = s.createDataset(for {
+            tc <- tcs.map(graft.core.Readers.shuffleCase(_, seed))
+            tgt <- tc.targetSchema.map(_.name)
+          } yield PromptRenderer.n2oneQuestion(tc, tgt, Map.empty))
+          LlmOperator.generate(qs, MockLlmClient.Factory())
+            .flatMap(g => Parsers.parseMatches(g.response)
+              .map(m => (g.caseId, g.queryAttr, m, g.queryAttr)))
+            .toDF("case_id", "query_attr", "src_attr", "tgt_attr")
+            .withColumn("run_id", lit(seed))
+        }.reduce(_ unionByName _)
+        val union = graft.ops.Ensemble.union(runs).withColumn("mode", lit("union"))
+        val inter = graft.ops.Ensemble.intersection(runs, 3).withColumn("mode", lit("intersection"))
+        val maj = graft.ops.Ensemble.majority(runs).drop("votes").withColumn("mode", lit("majority"))
+        union.unionByName(inter).unionByName(maj)
+          .groupBy($"mode").agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"mode")
+      },
+      None),
+
+    // ---- ICL-enabled matching pipeline: leave-one-out demos packed under
+    //      a token budget (F9), then the standard generate->parse path -----
+    Q("q48_icl_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val tcs = cases(s, dir)
+        // demo pool: gold pairs of OTHER cases (leave-one-out)
+        val questions = s.createDataset(for {
+          tc <- tcs
+          demoPool = tcs.filterNot(_.id == tc.id)
+            .flatMap(o => o.goldMapping.take(2).map(g => (s"match ${g._2}", g._1)))
+          tgt <- tc.targetSchema.map(_.name)
+        } yield {
+          def render(ds: Seq[(String, String)]) =
+            PromptRenderer.n2oneQuestion(tc, tgt, Map.empty,
+              icl = ds).prompt
+          val kept = PromptRenderer.packIcl(render, demoPool, maxTokens = 120)
+          PromptRenderer.n2oneQuestion(tc, tgt, Map.empty, icl = kept)
+        })
+        LlmOperator.generate(questions, MockLlmClient.Factory())
+          .flatMap(g => Parsers.parseMatches(g.response).map(m => (g.caseId, g.queryAttr, m)))
+          .toDF("case_id", "tgt_attr", "src_attr")
+          .orderBy($"case_id", $"tgt_attr", $"src_attr")
+      },
+      None),
+
     // ---- skew-tolerant salted aggregation, oracle-checked ----------------
     Q("q46_salted_counts",
       (s, dir) => {

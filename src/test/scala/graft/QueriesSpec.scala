@@ -45,7 +45,9 @@ class QueriesSpec extends SparkSpec {
       "q36_weighted_sample" -> 15L,
       "q38_multimodal_features" -> 500L,
       "q39_streaming_sessions" -> 945L,
-      "q41_streaming_tumbling" -> 868L)
+      "q41_streaming_tumbling" -> 868L,
+      "q47_ensemble_pipeline" -> 3L,
+      "q48_icl_pipeline" -> 20L)
     val got = golden.keys.map(n => n -> SparkEntry.queries(n)(spark, sfDir).count()).toMap
     assert(got == golden, s"golden drift: $got")
   }
