@@ -119,6 +119,16 @@ class ReportRangeSpec extends SparkSpec {
     assert(Report.tsv(df).linesIterator.toSeq == Seq("k\tf1", "a\t0.5", "b\t1.0"))
   }
 
+  test("csv sink round-trips a report frame") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-csvout").resolve("report")
+    Report.writeCsv(Seq(("a", 0.5), ("b", 1.0)).toDF("k", "f1"), dir.toString)
+    val back = s.read.option("header", true).csv(dir.toString)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq == Seq(("a", "0.5"), ("b", "1.0")))
+  }
+
   test("row-range window is stable and bounded") {
     val li = graft.core.Tables(spark, sfDir, "lineitem")
     val r = Sampling.rowRange(li, Seq("l_orderkey", "l_linenumber"), 10, 14)

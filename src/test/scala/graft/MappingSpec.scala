@@ -115,4 +115,15 @@ class MappingSpec extends SparkSpec {
     val outcome = SqlGuard.execute(spark, Seq("SELECT * FROM nonexistent_xyz"))
     assert(outcome.isInstanceOf[SqlGuard.Failed])
   }
+
+  test("generated CREATE VIEW executes through the guard") {
+    setup()
+    val stmts = SqlGuard.triage(Seq(
+      "CREATE VIEW alignment_view AS SELECT subject_id AS person_id FROM source.subjects"))
+    assert(stmts.nonEmpty, "CREATE VIEW must pass triage")
+    spark.sql("DROP VIEW IF EXISTS alignment_view")
+    assert(SqlGuard.execute(spark, stmts) == SqlGuard.Ok(1))
+    assert(spark.table("alignment_view").count() == 3)
+    spark.sql("DROP VIEW IF EXISTS alignment_view")
+  }
 }
