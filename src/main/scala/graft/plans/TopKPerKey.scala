@@ -49,23 +49,37 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
-/** Optimizer rule: a Filter that references ONLY key columns commutes with
-  * per-key top-k (keys partition the rows — dropping whole groups before
-  * or after selecting each group's top k is identical). Pushing it below
-  * the operator lets Catalyst keep pushing, typically all the way into the
-  * parquet scan — without this rule a custom node is an optimization
-  * barrier and the scan reads every group.
+/** Optimizer rule: a Filter conjunct that references ONLY key ATTRIBUTES
+  * commutes with per-key top-k (keys partition the rows — dropping whole
+  * groups before or after selecting each group's top k is identical).
+  * Mixed predicates are SPLIT: key-only conjuncts push below, the rest
+  * stays above. The commutation argument needs the keys to be bare
+  * attributes — with an expression key like `a % 10`, a predicate on `a`
+  * drops rows WITHIN groups, so such nodes are left untouched.
+  *
+  * Registration caveat: `experimental.extraOptimizations` runs in the LAST
+  * optimizer batch — after DataSource V2 scan pushdown — so the pushed
+  * filter reaches the scan for V1 sources (parquet default). For V2
+  * sources register through `GraftExtensions` (injectOptimizerRule), which
+  * runs early enough.
   */
 object PushFilterThroughTopK
-    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
   import org.apache.spark.sql.catalyst.plans.logical.Filter
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, t: TopKPerKeyLogical)
-        if cond.references.subsetOf(AttributeSet(t.keys.flatMap(_.references)))
-          && cond.deterministic =>
-      t.copy(child = Filter(cond, t.child))
+        if t.keys.forall(_.isInstanceOf[Attribute]) =>
+      val keyAttrs = AttributeSet(t.keys.flatMap(_.references))
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(c => c.deterministic && c.references.subsetOf(keyAttrs))
+      if (push.isEmpty) f
+      else {
+        val pushed = t.copy(child = Filter(push.reduce(And), t.child))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
   }
 }
 

@@ -232,9 +232,13 @@ object PipelineQueries extends Registry {
             .toDF("case_id", "query_attr", "src_attr", "tgt_attr")
             .withColumn("run_id", lit(seed))
         }.reduce(_ unionByName _)
-        val union = graft.ops.Ensemble.union(runs).withColumn("mode", lit("union"))
-        val inter = graft.ops.Ensemble.intersection(runs, 3).withColumn("mode", lit("intersection"))
-        val maj = graft.ops.Ensemble.majority(runs).drop("votes").withColumn("mode", lit("majority"))
+        // one pass over the 3-run subtree: the three ensemble modes each
+        // reference `runs`, and Spark re-executes common subtrees per
+        // branch — checkpoint once (pattern shared with q39/q41)
+        val runsOnce = runs.localCheckpoint(true)
+        val union = graft.ops.Ensemble.union(runsOnce).withColumn("mode", lit("union"))
+        val inter = graft.ops.Ensemble.intersection(runsOnce, 3).withColumn("mode", lit("intersection"))
+        val maj = graft.ops.Ensemble.majority(runsOnce).drop("votes").withColumn("mode", lit("majority"))
         union.unionByName(inter).unionByName(maj)
           .groupBy($"mode").agg(count(lit(1)).as("n_pairs"))
           .orderBy($"mode")

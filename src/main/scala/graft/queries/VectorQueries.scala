@@ -145,50 +145,41 @@ object VectorQueries extends Registry {
     // ---- random-hyperplane LSH bucketing: the OTHER scale path next to
     //      IVF. 12 sign bits of dots with pseudo-random hyperplanes whose
     //      components derive from pure integer arithmetic — identical on
-    //      both engines, no literal tables. Candidates share the 12-bit
-    //      signature bucket (4096 buckets; more bits at corpus scale). -----
+    //      both engines, no literal tables. Each projection is a ROW-LOCAL
+    //      deterministic left fold (a grouped parallel double sum would be
+    //      order-dependent and could flip boundary signs across engines);
+    //      signature derivation needs no shuffle at all. 4096 buckets;
+    //      more bits at corpus scale. --------------------------------------
     Q("q49_lsh_ann",
       (s, dir) => {
         import s.implicits._
-        // hp(j,d) = ((j*64+d)*2654435761 % 1000003)/1000003 - 0.5; 12 bits -> 4096 buckets
-        val contrib = emb(s, dir)
-          .select($"vec_id", posexplode($"embedding").as(Seq("d", "x")))
-          .crossJoin(broadcast(s.range(12).select($"id".cast("int").as("j"))))
-          .select($"vec_id", $"j",
-            (col("x").cast("double") *
-              (expr("CAST((j * 64 + d) * 2654435761 % 1000003 AS DOUBLE)") / 1000003.0 - 0.5))
-              .as("c"))
-        val sig = contrib.groupBy($"vec_id", $"j")
-          .agg(sum($"c").as("dot"))
-          .groupBy($"vec_id")
-          .agg(sum(expr("CASE WHEN dot >= 0 THEN shiftleft(1, j) ELSE 0 END"))
-            .cast("int").as("sig"))
-        val e = emb(s, dir).join(sig, "vec_id")
+        // hp(j,d) = ((j*64+d)*2654435761 % 1000003)/1000003 - 0.5
+        def projection(j: Int) = expr(
+          s"""aggregate(sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE),
+             |  (acc, d) -> acc + CAST(element_at(embedding, d + 1) AS DOUBLE) *
+             |    (CAST(($j * 64 + d) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5))""".stripMargin)
+        val sigExpr = (0 until 12)
+          .map(j => when(projection(j) >= 0, lit(1 << j)).otherwise(lit(0)))
+          .reduce(_ + _)
+        val e = emb(s, dir).select($"vec_id", $"embedding", sigExpr.as("sig"))
         val pairs = e.as("a").join(e.as("b"),
             $"a.sig" === $"b.sig" && $"a.vec_id" < $"b.vec_id")
           .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"a.sig".as("sig"),
-            (dot($"a.embedding", $"b.embedding")
-              / (norm($"a.embedding") * norm($"b.embedding"))).as("cosine"))
+            cosine($"a.embedding", $"b.embedding").as("cosine"))
         pairs.orderBy($"cosine".desc, $"vec_a", $"vec_b").limit(30)
       },
-      Some(s"""WITH contrib AS (
-          SELECT vec_id, j,
-            CAST(e.x AS DOUBLE) *
-              (CAST((j * 64 + (e.d - 1)) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS c
-          FROM (SELECT vec_id, unnest(embedding) AS x,
-                       generate_subscripts(embedding, 1) AS d
-                FROM embeddings) e,
-               UNNEST(range(0, 12)) AS r(j)),
-        sig AS (SELECT vec_id,
-            CAST(sum(CASE WHEN dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS sig
-          FROM (SELECT vec_id, j, sum(c) AS dot FROM contrib GROUP BY vec_id, j)
-          GROUP BY vec_id),
-        e AS (SELECT em.vec_id, em.embedding, sig.sig
-              FROM embeddings em JOIN sig ON em.vec_id = sig.vec_id)
+      Some {
+        def projSql(j: Int, emb: String) =
+          s"list_reduce(list_transform(range(0, 64), d -> CAST($emb[d + 1] AS DOUBLE) * " +
+            s"(CAST(($j * 64 + d) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)), (acc, x) -> acc + x)"
+        val sigSql = (0 until 12)
+          .map(j => s"(CASE WHEN ${projSql(j, "embedding")} >= 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding, ($sigSql) AS sig FROM embeddings)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.sig AS sig,
-          ${dotSql("a.embedding", "b.embedding")}
-            / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cosine
+          ${cosineSql("a.embedding", "b.embedding")} AS cosine
         FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
-        ORDER BY cosine DESC, vec_a, vec_b LIMIT 30"""))
+        ORDER BY cosine DESC, vec_a, vec_b LIMIT 30"""
+      })
   )
 }

@@ -46,10 +46,15 @@ class QueriesSpec extends SparkSpec {
       "q38_multimodal_features" -> 500L,
       "q39_streaming_sessions" -> 945L,
       "q41_streaming_tumbling" -> 868L,
-      "q47_ensemble_pipeline" -> 3L,
       "q48_icl_pipeline" -> 20L)
     val got = golden.keys.map(n => n -> SparkEntry.queries(n)(spark, sfDir).count()).toMap
     assert(got == golden, s"golden drift: $got")
+    // q47's row count is just the number of modes — pin the VALUES so a
+    // regression in union/intersection/majority semantics is caught
+    val q47 = SparkEntry.queries("q47_ensemble_pipeline")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q47 == Map("union" -> 47L, "intersection" -> 2L, "majority" -> 38L),
+      s"q47 golden drift: $q47")
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

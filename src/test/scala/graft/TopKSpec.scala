@@ -55,10 +55,10 @@ class TopKSpec extends SparkSpec {
     val df = TopK.perKey(supplier, Seq("s_nationkey"),
         Seq(TopK.Order("s_acctbal", ascending = false), TopK.Order("s_suppkey")), 3)
       .filter($"s_nationkey" === 7)
-    val optimized = df.queryExecution.optimizedPlan.toString()
     // the Filter must sit BELOW the TopK node after optimization
-    assert(optimized.indexOf("TopKPerKeyLogical") < optimized.indexOf("s_nationkey = 7")
-      || optimized.indexOf("topkperkey") < optimized.toLowerCase.indexOf("filter"),
+    val optimized = df.queryExecution.optimizedPlan.toString().toLowerCase
+    assert(optimized.indexOf("topkperkey") >= 0 && optimized.indexOf("filter") >= 0
+      && optimized.indexOf("topkperkey") < optimized.indexOf("filter"),
       s"filter not pushed below TopK:\n$optimized")
     // ...and all the way into the scan
     val physical = df.queryExecution.explainString(
@@ -83,6 +83,31 @@ class TopKSpec extends SparkSpec {
     // root must still be the Filter (not pushed below the TopK node)
     assert(optimized.getClass.getSimpleName == "Filter",
       s"non-key filter must stay above TopK:\n$optimized")
+  }
+
+  test("mixed conjunctions split: key conjunct pushes, the rest stays above") {
+    val s = spark
+    import s.implicits._
+    val df = TopK.perKey(supplier, Seq("s_nationkey"),
+        Seq(TopK.Order("s_acctbal", ascending = false), TopK.Order("s_suppkey")), 3)
+      .filter($"s_nationkey" === 7 && $"s_acctbal" > 0)
+    val optimized = df.queryExecution.optimizedPlan
+    // top: residual Filter(acctbal); below TopK: pushed key filter
+    assert(optimized.getClass.getSimpleName == "Filter")
+    val low = optimized.toString().toLowerCase
+    assert(low.indexOf("topkperkey") < low.lastIndexOf("filter")
+      || low.indexOf("s_nationkey#") > low.indexOf("topkperkey"),
+      s"key conjunct not pushed:\n$optimized")
+    // the pushed key conjunct reaches the parquet scan
+    val physical = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(physical.contains("EqualTo(s_nationkey,7)"),
+      s"key conjunct did not reach the scan:\n$physical")
+    // semantics: equal to filtering input on key, result on non-key
+    val direct = TopK.perKey(supplier.filter($"s_nationkey" === 7), Seq("s_nationkey"),
+        Seq(TopK.Order("s_acctbal", ascending = false), TopK.Order("s_suppkey")), 3)
+      .filter($"s_acctbal" > 0).collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == direct)
   }
 
   test("k larger than group size returns whole groups in rank order") {
