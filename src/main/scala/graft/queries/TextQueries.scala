@@ -224,14 +224,17 @@ object TextQueries extends Registry {
         WHERE hamming <= 20 ORDER BY doc_a, doc_b""")),
 
     // ---- document fingerprint: md5 over normalized content — catches
-    //      case/punctuation-variant duplicates exact dedup misses. ---------
+    //      case/punctuation-variant duplicates exact dedup misses. The group
+    //      size is attached with a window count over the fingerprint — one
+    //      shuffle, and normalize (two full-text regex passes) runs exactly
+    //      once per row, vs the join-back-to-groupBy form that re-derives
+    //      the fingerprint subtree on both sides of a shuffle join. --------
     Q("q26_fingerprint",
       (s, dir) => {
         import s.implicits._
-        val fp = docs(s, dir).select($"doc_id", md5(normalize($"text")).as("fingerprint"))
-        val dups = fp.groupBy($"fingerprint").agg(count(lit(1)).as("n_same"))
-        fp.join(dups, "fingerprint")
-          .select($"doc_id", $"fingerprint", $"n_same")
+        docs(s, dir)
+          .select($"doc_id", md5(normalize($"text")).as("fingerprint"))
+          .withColumn("n_same", count(lit(1)).over(Window.partitionBy($"fingerprint")))
           .orderBy($"doc_id")
       },
       Some("""WITH fp AS (SELECT doc_id,
@@ -333,24 +336,38 @@ object TextQueries extends Registry {
         FROM documents ORDER BY doc_id"""))
   )
 
-  /** Shared 60-bit SimHash plan: tokens weighted by in-doc frequency vote
-    * per bit; bit k of a token's hash = bit (k%4) of hex digit (15 - k/4)
-    * of md5(token) — no >60-bit arithmetic anywhere.
+  /** Shared 60-bit SimHash plan: token-frequency-weighted ±1 vote per bit;
+    * bit k of a token's hash = bit (k%4) of hex digit (15 - k/4) of
+    * md5(token) — no >60-bit arithmetic anywhere.
+    *
+    * All 60 votes are computed ROW-LOCALLY as separate columns, then
+    * aggregated with 60 partially-aggregating sums: the doc_id shuffle
+    * carries one 60-long row per (doc × map partition) thanks to map-side
+    * combine — shuffle volume is independent of both corpus token count and
+    * signature width. (The previous crossJoin(60-row bits) form shuffled a
+    * ×60 copy of the token table twice; at 100× corpus that IS the job.)
+    * The digest is materialized as a column first: CollapseProject refuses
+    * to inline a non-cheap expression referenced 60×, so md5 runs once per
+    * token occurrence, not per bit.
     */
   private def simhashDF(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = docs(s, dir)
       .select($"doc_id", explode(tokens($"text")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
-    val bits = s.range(60).select($"id".cast("int").as("k"))
-    tok.crossJoin(broadcast(bits))
-      .withColumn("dig",
-        expr("instr('0123456789abcdef', substring(md5(tok), 15 - (k div 4), 1)) - 1"))
-      .withColumn("vote", expr("cnt * (2 * (shiftright(dig, k % 4) & 1) - 1)"))
-      .groupBy($"doc_id", $"k").agg(sum($"vote").as("s"))
-      .groupBy($"doc_id")
-      .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END"))
-        .cast("long").as("simhash"))
+      .select($"doc_id", md5($"tok").as("h"))
+    // per-occurrence vote: summing ±1 over occurrences equals the
+    // cnt-weighted sum over distinct tokens the oracle CTE computes
+    val votes = (0 until 60).map { k =>
+      expr(s"2 * (shiftright(instr('0123456789abcdef', substring(h, ${15 - k / 4}, 1)) - 1, ${k % 4}) & 1) - 1")
+        .as(s"v$k")
+    }
+    val sums = (0 until 60).map(k => sum(col(s"v$k")).as(s"s$k"))
+    val sig = (0 until 60)
+      .map(k => when(col(s"s$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.select($"doc_id" +: votes: _*)
+      .groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+      .select($"doc_id", sig.cast("long").as("simhash"))
   }
 
   private val simhashCte =
