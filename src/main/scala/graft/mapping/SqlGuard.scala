@@ -45,14 +45,32 @@ object SqlGuard {
   private def identRegex(name: String): Regex =
     s"(?i)(?<![\\w.`])${Regex.quote(name)}(?![\\w`(])".r
 
-  /** F10: qualify unqualified table names with their namespace. */
+  // single-quoted string literals (with '' escapes): identifier rewriting
+  // must never reach inside these — a literal like 'visit to orders dept'
+  // is data, not a table reference (the reference's sqlglot AST walk gets
+  // this for free; a lexical pass has to mask the spans explicitly)
+  private val literalSpan: Regex = "'(?:[^']|'')*'".r
+
+  /** F10: qualify unqualified table names with their namespace. String
+    * literals are masked: only the spans between them are rewritten.
+    */
   def qualify(sql: String, sourceTables: Set[String], targetTables: Set[String]): String = {
     val both = sourceTables.map(_.toLowerCase) intersect targetTables.map(_.toLowerCase)
     def rewrite(s: String, tables: Set[String], ns: String): String =
       tables.filterNot(t => both.contains(t.toLowerCase)).foldLeft(s) { (acc, t) =>
         identRegex(t).replaceAllIn(acc, m => s"$ns.$t")
       }
-    rewrite(rewrite(sql, sourceTables, "source"), targetTables, "target")
+    def rewriteSegment(s: String): String =
+      rewrite(rewrite(s, sourceTables, "source"), targetTables, "target")
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- literalSpan.findAllMatchIn(sql)) {
+      sb.append(rewriteSegment(sql.substring(last, m.start)))
+      sb.append(m.matched)
+      last = m.end
+    }
+    sb.append(rewriteSegment(sql.substring(last)))
+    sb.toString
   }
 
   /** Execute a script of statements with a wall-clock budget enforced via

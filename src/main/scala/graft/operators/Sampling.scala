@@ -16,9 +16,32 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic uniform(0,1] "random" keyed by (seed, cols). */
-  def detRand(seed: Long, cols: Column*): Column =
-    (pmod(xxhash64(lit(seed) +: cols: _*), lit(1000000007L)).cast("double") + 0.5) / 1000000007.0
+  /** Modulus for the hash-derived uniform draw (shared with the SQL mirror). */
+  val detRandP: Long = 1000000007L
+
+  /** Deterministic uniform(0,1) "random" keyed by (seed, cols): first 15 hex
+    * chars of md5 over the '|'-joined key → 60-bit integer mod p, then
+    * (h + 0.5) / p. md5 — not xxhash64 — so the DuckDB oracle reproduces the
+    * exact same draw ([[detRandSql]]); both engines stringify integer key
+    * columns identically inside concat_ws.
+    */
+  def detRand(seed: Long, cols: Column*): Column = {
+    val h = conv(substring(md5(concat_ws("|", lit(seed) +: cols: _*)), 1, 15), 16, 10)
+      .cast("long") % detRandP
+    (h.cast("double") + lit(0.5)) / lit(detRandP.toDouble)
+  }
+
+  /** DuckDB mirror of [[detRand]]: hex→BIGINT via bit-shift powers (a double
+    * 16^k polynomial would lose bits past 2^53 — same trick as
+    * `TextFunctions.baseHashSql`).
+    */
+  def detRandSql(seed: Long, colExprs: Seq[String]): String = {
+    val key = (seed.toString +: colExprs).mkString("concat_ws('|', ", ", ", ")")
+    val terms = (1 to 15).map { k =>
+      s"(strpos('0123456789abcdef', substr(md5($key), $k, 1)) - 1) * (1::BIGINT << ${4 * (15 - k)})"
+    }.mkString(" + ")
+    s"((CAST(($terms) % $detRandP AS DOUBLE) + 0.5) / $detRandP.0)"
+  }
 
   /** Uniform sample of n rows per group, without replacement
     * (ref: InstanceDataHandler.py:412-424 rng.choice replace=False).

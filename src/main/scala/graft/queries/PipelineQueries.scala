@@ -111,7 +111,9 @@ object PipelineQueries extends Registry {
       },
       None),
 
-    // ---- F2 weighted sampling without replacement (A-ES, seeded) ---------
+    // ---- F2 weighted sampling without replacement (A-ES, seeded): the
+    //      md5-derived uniform makes the draw reproducible in DuckDB, so
+    //      the oracle replays the exact Efraimidis–Spirakis keys ------------
     Q("q36_weighted_sample",
       (s, dir) => {
         import s.implicits._
@@ -121,7 +123,43 @@ object PipelineQueries extends Registry {
           .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity")
           .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber")
       },
-      None),
+      Some(s"""WITH w AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+          pow(${Sampling.detRandSql(42, Seq("l_orderkey", "l_linenumber"))},
+              1.0 / greatest(CAST(l_quantity AS DOUBLE), 1e-12)) AS k
+        FROM lineitem),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                ORDER BY k DESC, l_orderkey, l_linenumber) AS rn FROM w)
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity FROM r WHERE rn <= 5
+        ORDER BY l_returnflag, l_orderkey, l_linenumber""")),
+
+    // ---- F3 uniform per-group sampling without replacement: the draw is a
+    //      pure md5 hash of (seed, key), so no pow — the oracle is exact ----
+    Q("q50_uniform_sample",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.uniformPerGroup(Tables(s, dir, "customer"),
+            Seq("c_mktsegment"), n = 4, seed = 7, keyCols = Seq("c_custkey"))
+          .select($"c_mktsegment", $"c_custkey", $"c_name")
+          .orderBy($"c_mktsegment", $"c_custkey")
+      },
+      Some(s"""WITH r AS (SELECT c_mktsegment, c_custkey, c_name,
+          ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+            ORDER BY ${Sampling.detRandSql(7, Seq("c_custkey"))}, c_custkey) AS rn
+        FROM customer)
+        SELECT c_mktsegment, c_custkey, c_name FROM r WHERE rn <= 4
+        ORDER BY c_mktsegment, c_custkey""")),
+
+    // ---- F3 seeded distinct-value sampling (prompt value sampling) -------
+    Q("q51_distinct_sample",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.distinctValues(Tables(s, dir, "part"), "p_type", n = 10, seed = 11)
+          .orderBy($"p_type")
+      },
+      Some(s"""WITH d AS (SELECT DISTINCT p_type FROM part WHERE p_type IS NOT NULL),
+        r AS (SELECT p_type, ROW_NUMBER() OVER (
+            ORDER BY ${Sampling.detRandSql(11, Seq("p_type"))}, p_type) AS rn FROM d)
+        SELECT p_type FROM r WHERE rn <= 10 ORDER BY p_type""")),
 
     // ---- H4+D14 tuple-overlap scoring as one declarative plan ------------
     Q("q37_overlap_eval",
@@ -301,13 +339,20 @@ object PipelineQueries extends Registry {
           FROM part) WHERE rn <= 3
         ORDER BY p_brand, p_retailprice DESC, p_partkey""")),
 
-    // ---- Structured Streaming tumbling aggregation, driven to completion --
+    // ---- Structured Streaming tumbling aggregation, driven to completion.
+    //      The 2000-event feed prefix is ordered by (ts, event_id) — a total
+    //      order, so the prefix is identical under any partitioning and the
+    //      DuckDB batch twin replays it exactly. Complete mode emits every
+    //      window, and the ts-ordered two-batch feed means no late drops, so
+    //      the streaming result EQUALS the batch aggregation of the prefix. -
     Q("q41_streaming_tumbling",
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx = s.sqlContext
         val evts = Tables(s, dir, "events")
-          .select($"ts", $"event_type", $"value").orderBy($"ts").limit(2000)
+          .select($"ts", $"event_type", $"value", $"event_id")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .select($"ts", $"event_type", $"value")
           .as[(java.sql.Timestamp, String, Double)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
         val qn = s"graft_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -323,17 +368,29 @@ object PipelineQueries extends Registry {
             .orderBy($"window_start", $"event_type")
         } finally query.stop()
       },
-      None),
+      Some("""WITH e AS (SELECT ts, event_type, value FROM events
+          ORDER BY ts, event_id LIMIT 2000)
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+          count(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
     // ---- Structured Streaming sessionization, driven to completion -------
     // (MemoryStream-fed incremental run of the q33 semantics; the driver
-    // sees the closed sessions as a batch result)
+    // sees the closed sessions as a batch result). Emitted rows = every
+    // session closed in-batch (a later event opened the next one) plus each
+    // user's LAST session iff the event-time timeout fired: the final
+    // watermark (max feed ts, ms precision, minus the 10-min delay) passed
+    // its end+gap horizon. Both rules are deterministic over the
+    // (ts, event_id)-ordered prefix, so the DuckDB twin replays them.
     Q("q39_streaming_sessions",
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx = s.sqlContext
         val evts = Tables(s, dir, "events")
-          .select($"user_id", $"ts").orderBy($"ts").limit(2000)
+          .select($"user_id", $"ts", $"event_id")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .select($"user_id", $"ts")
           .as[(Long, java.sql.Timestamp)]
           .collect().map(e => StreamingOps.Evt(e._1, e._2))
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingOps.Evt]
@@ -350,6 +407,29 @@ object PipelineQueries extends Registry {
             .orderBy($"user_id", $"session_start")
         } finally query.stop()
       },
-      None)
+      // batch twin: gaps-and-islands sessions over the same prefix (µs gap
+      // arithmetic), emitted = non-last session per user OR timeout fired
+      // (timeoutTs = end_ms + gap strictly below the final ms watermark)
+      Some("""WITH e AS (SELECT user_id, ts FROM events
+          ORDER BY ts, event_id LIMIT 2000),
+        wm AS (SELECT max(epoch_ms(ts)) - 600000 AS w FROM e),
+        g AS (SELECT user_id, ts,
+            CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+        sess AS (SELECT user_id, ts,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess_idx
+          FROM g),
+        agg AS (SELECT user_id, sess_idx,
+            min(ts) AS session_start, max(ts) AS session_end,
+            count(*) AS n_events
+          FROM sess GROUP BY user_id, sess_idx),
+        lst AS (SELECT *, max(sess_idx) OVER (PARTITION BY user_id) AS max_idx FROM agg)
+        SELECT user_id, session_start, session_end, n_events
+        FROM lst, wm
+        WHERE sess_idx < max_idx OR epoch_ms(session_end) + 1800000 < w
+        ORDER BY user_id, session_start"""))
   )
 }

@@ -228,7 +228,12 @@ object TextQueries extends Registry {
     //      size is attached with a window count over the fingerprint — one
     //      shuffle, and normalize (two full-text regex passes) runs exactly
     //      once per row, vs the join-back-to-groupBy form that re-derives
-    //      the fingerprint subtree on both sides of a shuffle join. --------
+    //      the fingerprint subtree on both sides of a shuffle join.
+    //      Skew caveat: WindowExec buffers each fingerprint partition, so a
+    //      mega duplicate group (boilerplate/empty docs collapsing to one
+    //      fingerprint, common in web corpora) lands on one task and relies
+    //      on spill; if a dominant fingerprint is expected, salt-count the
+    //      group sizes first and broadcast-join them back. ------------------
     Q("q26_fingerprint",
       (s, dir) => {
         import s.implicits._

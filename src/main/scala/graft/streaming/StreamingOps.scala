@@ -43,12 +43,25 @@ object StreamingOps {
   final case class Evt(user_id: Long, ts: Timestamp)
   final case class Session(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
-  final case class SessState(startMs: Long, endMs: Long, n: Long)
+  final case class SessState(startUs: Long, endUs: Long, n: Long)
+
+  // java.sql.Timestamp ↔ epoch-micros without precision loss: the events
+  // table carries µs-resolution times, and ms truncation (getTime alone)
+  // would silently shift session bounds off the batch twin's min/max(ts)
+  private def toUs(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+  private def fromUs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Gap-based sessionization via flatMapGroupsWithState (streaming twin of
     * q33): a session closes when `gapMinutes` pass without an event —
     * either observed in-batch, or via event-time timeout once the watermark
-    * passes the gap horizon.
+    * passes the gap horizon. All arithmetic is µs-resolution except the
+    * timeout timestamp (the GroupState API is ms-based, matching Spark's
+    * ms-based watermark).
     */
   def sessionize(
       events: Dataset[Evt],
@@ -56,7 +69,7 @@ object StreamingOps {
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60 * 1000L
+    val gapUs = gapMinutes * 60 * 1000000L
 
     events
       .withWatermark("ts", watermarkDelay)
@@ -68,17 +81,17 @@ object StreamingOps {
             // watermark passed the gap horizon: close the open session
             val s = state.get
             state.remove()
-            Iterator(Session(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
+            Iterator(Session(uid, fromUs(s.startUs), fromUs(s.endUs), s.n))
           } else {
-            val sorted = evts.map(_.ts.getTime).toSeq.sorted
+            val sorted = evts.map(e => toUs(e.ts)).toSeq.sorted
             val closed = Seq.newBuilder[Session]
             var cur = state.getOption
             for (t <- sorted) {
               cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) if t - s.endUs <= gapUs =>
+                  cur = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
                 case Some(s) =>
-                  closed += Session(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+                  closed += Session(uid, fromUs(s.startUs), fromUs(s.endUs), s.n)
                   cur = Some(SessState(t, t, 1))
                 case None =>
                   cur = Some(SessState(t, t, 1))
@@ -87,7 +100,7 @@ object StreamingOps {
             cur match {
               case Some(s) =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.endMs + gapMs)
+                state.setTimeoutTimestamp(s.endUs / 1000 + gapMinutes * 60 * 1000L)
               case None => // timed-out call with no state handled above
             }
             closed.result().iterator

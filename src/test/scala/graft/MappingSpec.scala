@@ -58,6 +58,14 @@ class MappingSpec extends SparkSpec {
       == "SELECT * FROM source.subjects")
   }
 
+  test("qualify never rewrites table names inside string literals") {
+    val sql = "SELECT 'visit to orders dept' AS note, o_comment FROM orders " +
+      "WHERE o_comment <> 'orders pending ''orders'' review'"
+    val q = SqlGuard.qualify(sql, Set("orders"), Set("person"))
+    assert(q == "SELECT 'visit to orders dept' AS note, o_comment FROM source.orders " +
+      "WHERE o_comment <> 'orders pending ''orders'' review'")
+  }
+
   test("guarded execution + perfect mapping scores P=R=F1=1") {
     setup()
     val generated =

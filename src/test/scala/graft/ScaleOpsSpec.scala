@@ -57,7 +57,9 @@ class ScaleOpsSpec extends SparkSpec {
     val keys = Sampling.distinctValues(
         graft.core.Tables(spark, sfDir, "nation"), "n_name", 3, seed = 42)
       .collect().map(_.getString(0)).toSeq
-    assert(keys == Seq("NATION_3", "NATION_4", "NATION_15"), s"golden drift: $keys")
+    // pinned against the md5-derived detRand (DuckDB-reproducible draw);
+    // independently recomputed with the detRandSql mirror in DuckDB
+    assert(keys == Seq("NATION_19", "NATION_21", "NATION_24"), s"golden drift: $keys")
     val w = Sampling.weightedPerGroup(
         graft.core.Tables(spark, sfDir, "region"), Seq.empty, "r_regionkey", 2, 7,
         keyCols = Seq("r_name"))
