@@ -118,6 +118,55 @@ object PromptRenderer {
       k: Int): Seq[String] =
     pool.sortBy { case (id, r) => (math.abs(r - targetRatio), id) }.take(k).map(_._1)
 
+  /** One MM demo-pool entry: a prior answer plus the free-text evaluation
+    * whose TRAILING CHARACTER carries the 0-9 rating.
+    */
+  final case class RatedDemo(caseId: String, question: String, answer: String, evalText: String)
+
+  /** Rating from the last character of an eval text (ref:
+    * eval_MatchMaker.py:174-184 `get_last_char_as_int` — `int(s[-1])`, None
+    * on empty/non-digit; its `rate <= 5 or rate >= 0` bound check is
+    * always true, so every digit 0-9 passes — behavior matched, not the
+    * presumably-intended `and`).
+    */
+  def lastCharRating(s: String): Option[Int] =
+    s.lastOption.filter(_.isDigit).map(_ - '0')
+
+  /** MatchMaker rating-sorted ICL demo selection (ref:
+    * eval_MatchMaker.py:188-208 `get_demo` filters rating >= minRating;
+    * :453 sorts by rating DESCENDING — Python's stable sort, so pool order
+    * breaks ties; ExampleSelectorTemplate.py:60-64 `get_examples` skips the
+    * target case and stops only once `len(examples) > num_example`, i.e. it
+    * takes numExample+1 demos — that off-by-one is reference behavior and
+    * is reproduced, cited, here).
+    */
+  def ratedDemos(
+      pool: Seq[RatedDemo],
+      targetCaseId: String,
+      numExample: Int,
+      minRating: Int = 4): Seq[(String, String)] =
+    pool
+      .flatMap(d => lastCharRating(d.evalText).filter(_ >= minRating).map(r => (d, r)))
+      .sortBy { case (_, r) => -r }
+      .iterator
+      .filter { case (d, _) => d.caseId != targetCaseId }
+      .take(numExample + 1)
+      .map { case (d, _) => (d.question, d.answer) }
+      .toSeq
+
+  /** C6/F9 distributed form of [[nearestDemos]]: global top-k by
+    * |ratio − target| with id tie-break. orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition heaps, no full sort, so a
+    * billion-row demo pool costs one narrow pass.
+    */
+  def nearestDemosDf(
+      pool: org.apache.spark.sql.DataFrame,
+      idCol: String, ratioCol: String,
+      targetRatio: Double, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    pool.orderBy(abs(col(ratioCol) - targetRatio), col(idCol)).limit(k)
+  }
+
   private def esc(s: String): String =
     s.flatMap {
       case '"' => "\\\""

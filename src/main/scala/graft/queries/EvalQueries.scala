@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.eval.Metrics
+import graft.operators.Sampling
+import graft.ops.{Ensemble, PromptRenderer}
+
+/** Evaluation-harness operators (SURVEY §2.D5/D7/D11/D15, H3, B8, C6) as
+  * driver-gated queries over the benchmark tables. Each query feeds the
+  * production operator deterministic, table-derived inputs so the DuckDB
+  * oracle can hash-check the full path — per VERDICT round 2 item 1c these
+  * were previously ScalaTest-only.
+  *
+  * Determinism note: the CI/stats queries use integer-derived metrics
+  * (counts, token counts), so every floating sum is exactly associative and
+  * the exact-sum variance in [[graft.eval.Metrics]] matches the
+  * single-threaded oracle bit-for-bit at any parallelism.
+  */
+object EvalQueries extends Registry {
+
+  override def entries: Seq[Q] = Seq(
+
+    // ---- D5: cross-seed 95% CI over per-seed aggregates ------------------
+    //      pseudo-seeds synthesized as o_orderkey % 5; metric = per-seed
+    //      order count per priority class (integer-valued → exact)
+    Q("q52_cross_seed_ci",
+      (s, dir) => {
+        import s.implicits._
+        val perSeed = Tables(s, dir, "orders")
+          .groupBy($"o_orderpriority", ($"o_orderkey" % 5).as("seed"))
+          .agg(count(lit(1)).cast("double").as("m"))
+        Metrics.crossSeedCI(perSeed, Seq("o_orderpriority"), "m")
+          .orderBy($"o_orderpriority")
+      },
+      Some("""WITH ps AS (SELECT o_orderpriority, o_orderkey % 5 AS seed,
+            CAST(count(*) AS DOUBLE) AS m
+          FROM orders GROUP BY 1, 2)
+        SELECT o_orderpriority,
+          sum(m) / count(*) AS mean,
+          CAST(count(*) AS BIGINT) AS n,
+          1.96 * sqrt(CASE WHEN count(*) > 1
+              THEN greatest((sum(m*m) - sum(m)*sum(m)/count(*)) / (count(*) - 1), 0.0)
+              ELSE 0.0 END) / sqrt(count(*)) AS ci95
+        FROM ps GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- D11: token/cost stats with Student-t CI over document tokens ----
+    Q("q53_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables(s, dir, "documents")
+          .select(size(split($"text", " ")).as("tokens"))
+        // 1.96 ≈ t(0.975, n→∞); the quantile is a caller-side input
+        Metrics.tokenStats(toks, "tokens", tQuantile = 1.96)
+      },
+      Some("""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS INT) AS tokens
+          FROM documents)
+        SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+          sum(CAST(tokens AS DOUBLE)) / count(*) AS mean_tokens,
+          CAST(count(*) AS BIGINT) AS n,
+          1.96 * sqrt(CASE WHEN count(*) > 1
+              THEN greatest((sum(CAST(tokens AS DOUBLE) * tokens)
+                             - sum(CAST(tokens AS DOUBLE)) * sum(CAST(tokens AS DOUBLE)) / count(*))
+                            / (count(*) - 1), 0.0)
+              ELSE 0.0 END) / sqrt(count(*)) AS ci95_t
+        FROM t""")),
+
+    // ---- D15: pass-rate per group, best config wins ----------------------
+    //      metric = l_quantity/25 (>=1 "passes"); fraction is an exact
+    //      0/1 average, max over l_linestatus configs
+    Q("q54_pass_rate",
+      (s, dir) => {
+        import s.implicits._
+        val df = Tables(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_linestatus",
+            ($"l_quantity" / 25.0).as("m"))
+        Metrics.passRate(df, Seq("l_returnflag"), "l_linestatus", "m")
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH per AS (SELECT l_returnflag, l_linestatus,
+            avg(CASE WHEN l_quantity / 25.0 >= 1.0 THEN 1.0 ELSE 0.0 END) AS pass_rate
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag, max(pass_rate) AS best_pass_rate
+        FROM per GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- D7: yes/no vote majority over customer-derived votes ------------
+    //      vote = sign of account balance; pair keys from segment/nation
+    Q("q55_yes_no_majority",
+      (s, dir) => {
+        import s.implicits._
+        val votes = Tables(s, dir, "customer").select(
+          $"c_mktsegment".as("case_id"),
+          $"c_nationkey".cast("string").as("query_attr"),
+          lit("acctbal").as("src_attr"),
+          lit("positive").as("tgt_attr"),
+          when($"c_acctbal" > 0, "yes").otherwise("no").as("vote"))
+        Ensemble.yesNoMajority(votes)
+          .orderBy($"case_id", $"query_attr")
+      },
+      Some("""SELECT c_mktsegment AS case_id,
+          CAST(c_nationkey AS VARCHAR) AS query_attr,
+          'acctbal' AS src_attr, 'positive' AS tgt_attr
+        FROM customer
+        GROUP BY 1, 2, 3, 4
+        HAVING sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+             > sum(CASE WHEN c_acctbal > 0 THEN 0 ELSE 1 END)
+        ORDER BY case_id, query_attr""")),
+
+    // ---- H3: ensemble disjoint (union − intersection) over three
+    //      year-sliced "runs" of order predictions --------------------------
+    Q("q56_ensemble_disjoint",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables(s, dir, "orders")
+        def run(y: Int, id: Int) = o
+          .filter(year($"o_orderdate") === y)
+          .select(lit("orders").as("case_id"),
+            $"o_orderpriority".as("query_attr"),
+            $"o_orderstatus".as("src_attr"),
+            ($"o_custkey" % 100).cast("string").as("tgt_attr"))
+          .withColumn("run_id", lit(id))
+        val runs = run(1995, 1).unionByName(run(1996, 2)).unionByName(run(1997, 3))
+        Ensemble.disjoint(runs, nRuns = 3)
+          .orderBy($"case_id", $"query_attr", $"src_attr", $"tgt_attr")
+      },
+      Some("""WITH r1 AS (SELECT DISTINCT 'orders' AS case_id, o_orderpriority AS query_attr,
+            o_orderstatus AS src_attr, CAST(o_custkey % 100 AS VARCHAR) AS tgt_attr
+          FROM orders WHERE extract(year FROM o_orderdate) = 1995),
+        r2 AS (SELECT DISTINCT 'orders' AS case_id, o_orderpriority AS query_attr,
+            o_orderstatus AS src_attr, CAST(o_custkey % 100 AS VARCHAR) AS tgt_attr
+          FROM orders WHERE extract(year FROM o_orderdate) = 1996),
+        r3 AS (SELECT DISTINCT 'orders' AS case_id, o_orderpriority AS query_attr,
+            o_orderstatus AS src_attr, CAST(o_custkey % 100 AS VARCHAR) AS tgt_attr
+          FROM orders WHERE extract(year FROM o_orderdate) = 1997),
+        u AS (SELECT * FROM r1 UNION SELECT * FROM r2 UNION SELECT * FROM r3),
+        i AS (SELECT * FROM r1 INTERSECT SELECT * FROM r2 INTERSECT SELECT * FROM r3)
+        SELECT case_id, query_attr, src_attr, tgt_attr FROM u
+        EXCEPT SELECT case_id, query_attr, src_attr, tgt_attr FROM i
+        ORDER BY case_id, query_attr, src_attr, tgt_attr""")),
+
+    // ---- B8: stable row-index window over a total sort -------------------
+    Q("q57_row_range",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.rowRange(
+            Tables(s, dir, "lineitem")
+              .select($"l_orderkey", $"l_linenumber", $"l_quantity"),
+            sortCols = Seq("l_orderkey", "l_linenumber"),
+            start = 100, end = 149)
+          .orderBy($"row_idx")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+          CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS row_idx
+        FROM lineitem
+        QUALIFY row_idx BETWEEN 100 AND 149
+        ORDER BY row_idx""")),
+
+    // ---- prediction-error classification (eval_utils.py:247-307) ---------
+    //      schemas synthesized from the distinct market segments (source =
+    //      segment names, target = t_-prefixed); predictions derived per
+    //      customer row by c_custkey % 4 to cover every category: valid /
+    //      same-attr / same-schema-rotation / invalid-first
+    Q("q59_error_categories",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables(s, dir, "customer")
+        val segs = cust.select(lower($"c_mktsegment").as("seg")).distinct()
+        val caseIds = cust.select(($"c_nationkey" % 3).cast("string").as("case_id")).distinct()
+        val schemaCols = caseIds.crossJoin(segs)
+          .select($"case_id", $"seg".as("col"),
+            lit(true).as("in_src"), lit(false).as("in_tgt"))
+          .unionByName(caseIds.crossJoin(segs)
+            .select($"case_id", concat(lit("t_"), $"seg").as("col"),
+              lit(false).as("in_src"), lit(true).as("in_tgt")))
+        val rot = expr("""CASE lower(c_mktsegment)
+          WHEN 'automobile' THEN 'building' WHEN 'building' THEN 'furniture'
+          WHEN 'furniture' THEN 'household' WHEN 'household' THEN 'machinery'
+          ELSE 'automobile' END""")
+        val preds = cust.select(
+          ($"c_nationkey" % 3).cast("string").as("case_id"),
+          when($"c_custkey" % 4 === 3, concat(lit("zz_"), lower($"c_mktsegment")))
+            .otherwise(lower($"c_mktsegment")).as("first"),
+          when($"c_custkey" % 4 === 1, lower($"c_mktsegment"))
+            .when($"c_custkey" % 4 === 2, rot)
+            .otherwise(concat(lit("t_"), lower($"c_mktsegment"))).as("second"))
+        Metrics.errorCategories(preds, schemaCols).orderBy($"case_id")
+      },
+      Some("""WITH segs AS (SELECT DISTINCT lower(c_mktsegment) AS seg FROM customer),
+        cases AS (SELECT DISTINCT CAST(c_nationkey % 3 AS VARCHAR) AS case_id FROM customer),
+        sc AS (SELECT case_id, seg AS col, TRUE AS in_src, FALSE AS in_tgt FROM cases, segs
+               UNION ALL
+               SELECT case_id, 't_' || seg, FALSE, TRUE FROM cases, segs),
+        preds AS (SELECT CAST(c_nationkey % 3 AS VARCHAR) AS case_id,
+            CASE WHEN c_custkey % 4 = 3 THEN 'zz_' || lower(c_mktsegment)
+                 ELSE lower(c_mktsegment) END AS pfirst,
+            CASE c_custkey % 4
+              WHEN 1 THEN lower(c_mktsegment)
+              WHEN 2 THEN CASE lower(c_mktsegment)
+                WHEN 'automobile' THEN 'building' WHEN 'building' THEN 'furniture'
+                WHEN 'furniture' THEN 'household' WHEN 'household' THEN 'machinery'
+                ELSE 'automobile' END
+              ELSE 't_' || lower(c_mktsegment) END AS psecond
+          FROM customer),
+        m AS (SELECT p.case_id, p.pfirst, p.psecond,
+            coalesce(s1.in_src, FALSE) AS f_src, coalesce(s1.in_tgt, FALSE) AS f_tgt,
+            coalesce(s2.in_src, FALSE) AS s_src, coalesce(s2.in_tgt, FALSE) AS s_tgt
+          FROM preds p
+          LEFT JOIN sc s1 ON p.case_id = s1.case_id AND p.pfirst = s1.col
+          LEFT JOIN sc s2 ON p.case_id = s2.case_id AND p.psecond = s2.col)
+        SELECT case_id,
+          CAST(sum(CASE WHEN f_src AND s_tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+          CAST(sum(CASE WHEN NOT (f_src AND s_tgt) THEN
+              (CASE WHEN NOT f_src AND NOT f_tgt THEN 1 ELSE 0 END)
+            + (CASE WHEN NOT s_src AND NOT s_tgt THEN 1 ELSE 0 END)
+            ELSE 0 END) AS BIGINT) AS n_invalid_attr,
+          CAST(sum(CASE WHEN NOT (f_src AND s_tgt)
+              AND ((f_src AND s_src AND NOT s_tgt) OR (f_tgt AND s_tgt AND NOT f_src))
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_same_schema,
+          CAST(sum(CASE WHEN NOT (f_src AND s_tgt)
+              AND ((f_src AND s_src AND NOT s_tgt) OR (f_tgt AND s_tgt AND NOT f_src))
+              AND pfirst = psecond THEN 1 ELSE 0 END) AS BIGINT) AS n_same_attr
+        FROM m GROUP BY case_id ORDER BY case_id""")),
+
+    // ---- C6: nearest-demo selection as a distributed top-k ---------------
+    Q("q58_nearest_demos",
+      (s, dir) => {
+        import s.implicits._
+        PromptRenderer.nearestDemosDf(
+            Tables(s, dir, "supplier").select($"s_suppkey", $"s_acctbal"),
+            idCol = "s_suppkey", ratioCol = "s_acctbal",
+            targetRatio = 1000.0, k = 10)
+          .orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_acctbal FROM (
+          SELECT s_suppkey, s_acctbal FROM supplier
+          ORDER BY abs(s_acctbal - 1000.0), s_suppkey LIMIT 10)
+        ORDER BY s_suppkey"""))
+  )
+}

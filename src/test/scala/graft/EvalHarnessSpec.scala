@@ -79,4 +79,27 @@ class EvalHarnessSpec extends SparkSpec {
     val tada = PromptRenderer.tadaQuestion(tc, tc.sourceSchema.head.name, tgt)
     assert(tada.candidates == Seq("yes", "no"))
   }
+
+  test("errorCategories classifies pairs like eval_utils.py:247-307") {
+    val s = spark
+    import s.implicits._
+    val schema = Seq(
+      ("c", "a", true, false), ("c", "b", true, false),
+      ("c", "t_a", false, true), ("c", "t_b", false, true)
+    ).toDF("case_id", "col", "in_src", "in_tgt")
+    val preds = Seq(
+      ("c", "a", "t_a"),   // valid — short-circuits the error checks
+      ("c", "a", "a"),     // same schema + same attribute
+      ("c", "a", "b"),     // same schema (both source)
+      ("c", "t_a", "t_b"), // same schema (both target)
+      ("c", "x", "y"),     // invalid attr counts PER SIDE: +2
+      ("c", "x", "t_a"),   // invalid first: +1
+      ("c", "a", "z")      // invalid second: +1, NOT same-schema
+    ).toDF("case_id", "first", "second")
+    val r = Metrics.errorCategories(preds, schema).head()
+    assert(r.getAs[Long]("n_valid") == 1)
+    assert(r.getAs[Long]("n_invalid_attr") == 4)
+    assert(r.getAs[Long]("n_same_schema") == 3)
+    assert(r.getAs[Long]("n_same_attr") == 1)
+  }
 }

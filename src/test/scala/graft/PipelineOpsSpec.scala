@@ -134,6 +134,34 @@ class PromptRendererSpec extends SparkSpec {
     val pool = Seq(("d1", 0.5), ("d2", 0.8), ("d3", 0.45), ("d4", 0.55))
     assert(PromptRenderer.nearestDemos(0.5, pool, 3) == Seq("d1", "d3", "d4"))
   }
+
+  test("lastCharRating reads the trailing digit like the reference") {
+    import PromptRenderer.lastCharRating
+    assert(lastCharRating("good match, rating: 5") == Some(5))
+    assert(lastCharRating("weak: 3") == Some(3))
+    // reference's `rate <= 5 or rate >= 0` is always true: 9 passes too
+    assert(lastCharRating("9") == Some(9))
+    assert(lastCharRating("no rating here") == None)
+    assert(lastCharRating("") == None)
+  }
+
+  test("ratedDemos: rating>=4 filter, stable desc sort, target-case skip, ref off-by-one") {
+    import PromptRenderer.{RatedDemo, ratedDemos}
+    val pool = Seq(
+      RatedDemo("c1", "q1", "a1", "ok 4"),
+      RatedDemo("c2", "q2", "a2", "great 5"),
+      RatedDemo("c3", "q3", "a3", "poor 2"),    // filtered: rating < 4
+      RatedDemo("c4", "q4", "a4", "fine 5"),
+      RatedDemo("c5", "q5", "a5", "unparseable"), // filtered: no digit
+      RatedDemo("c6", "q6", "a6", "ok 4"))
+    // sorted: 5s first in pool order (q2, q4), then 4s (q1, q6);
+    // numExample=2 takes 3 (reference `len > num_example` break)
+    assert(ratedDemos(pool, targetCaseId = "zz", numExample = 2)
+      == Seq(("q2", "a2"), ("q4", "a4"), ("q1", "a1")))
+    // target case excluded before the take
+    assert(ratedDemos(pool, targetCaseId = "c2", numExample = 2)
+      == Seq(("q4", "a4"), ("q1", "a1"), ("q6", "a6")))
+  }
 }
 
 class MetricsSpec extends SparkSpec {
