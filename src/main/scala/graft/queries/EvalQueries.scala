@@ -222,6 +222,48 @@ object EvalQueries extends Registry {
               AND pfirst = psecond THEN 1 ELSE 0 END) AS BIGINT) AS n_same_attr
         FROM m GROUP BY case_id ORDER BY case_id""")),
 
+    // ---- F7/B5: response parsing + prediction validation, end-to-end -----
+    //      responses are GENERATED per customer row in the five shapes the
+    //      parsers must handle (json-after-noise, invalid attr, no json,
+    //      empty matches, first-valid-wins on a matches-less block), so the
+    //      oracle can recompute the expected outcome straight from the
+    //      table: if parseMatches / columnInSchema / validateCandidates
+    //      drift, the per-segment counts diverge
+    Q("q63_parse_validate",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables(s, dir, "customer")
+        val segs: Seq[String] = cust.select(upper($"c_mktsegment")).distinct()
+          .as[String].collect().toSeq.sorted
+        val segSet = segs.toSet
+        cust.select($"c_custkey".cast("long"), upper($"c_mktsegment"))
+          .as[(Long, String)]
+          .map { case (k, segU) =>
+            val text = (k % 5) match {
+              case 0 => s"Sure:\n```sql\nSELECT 1\n```\n" +
+                s"""{"matches": ["$segU"]} — hope that helps"""
+              case 1 => s"""{"matches": ["zz_$segU"]}"""
+              case 2 => "no structured answer at all"
+              case 3 => """{"matches": []}"""
+              case _ => s"""{"other": ["x"]} {"matches": ["$segU"]}"""
+            }
+            val nValid = graft.ops.Parsers.parseMatches(text)
+              .count(p => graft.ops.Parsers.columnInSchema(p, segs)).toLong
+            val candRaw = if (k % 3 == 0) s"$segU, zzz" else segU
+            val candOk =
+              if (graft.ops.Parsers.validateCandidates(candRaw, segSet).isDefined) 1L else 0L
+            (segU.toLowerCase(java.util.Locale.ROOT), nValid, candOk)
+          }
+          .toDF("src_attr", "v", "c")
+          .groupBy($"src_attr")
+          .agg(sum($"v").as("n_valid"), sum($"c").as("n_cand_ok"))
+          .orderBy($"src_attr")
+      },
+      Some("""SELECT lower(c_mktsegment) AS src_attr,
+          CAST(sum(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+          CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_cand_ok
+        FROM customer GROUP BY 1 ORDER BY 1""")),
+
     // ---- C6: nearest-demo selection as a distributed top-k ---------------
     Q("q58_nearest_demos",
       (s, dir) => {
