@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.{EntityReaders, Readers, Tables}
+import graft.mapping.SqlGuard
 
 /** Ingest readers (SURVEY §2.A2/A5/A6/A8) as driver-gated queries.
   *
@@ -250,6 +251,123 @@ object IngestQueries extends Registry {
         SELECT DISTINCT 'm' || rk, 'tgt', 't_' || rk FROM n
         UNION ALL
         SELECT DISTINCT 'm' || rk, 'sql', 'SELECT ' || rk FROM n
-        ORDER BY mapping_id, kind, value"""))
+        ORDER BY mapping_id, kind, value""")),
+
+    // ---- B6 + F10: statement triage + namespace qualification ------------
+    //      four statement shapes generated per nation row (SELECT / DROP /
+    //      prose / INSERT with the table name inside a string literal); the
+    //      oracle reconstructs the expected post-guard strings, so triage
+    //      misclassification, a missed qualification, or a literal rewrite
+    //      all diverge the hash (ref: Evaluator.py:59-119)
+    Q("q67_sql_guard",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "nation")
+          .select($"n_nationkey".cast("long")).as[Long]
+          .flatMap { k =>
+            val stmt = (k % 4) match {
+              case 0 => s"SELECT $k FROM nations_tbl"
+              case 1 => s"DROP TABLE nations_tbl"
+              case 2 => s"Sure, here is the SQL for $k:"
+              case _ => s"INSERT INTO tgt_tbl SELECT $k FROM nations_tbl " +
+                "WHERE note <> 'keep nations_tbl'"
+            }
+            SqlGuard.triage(Seq(stmt))
+              .map(t => (k, SqlGuard.qualify(t, Set("nations_tbl"), Set("tgt_tbl"))))
+          }
+          .toDF("n_nationkey", "stmt")
+          .orderBy($"n_nationkey")
+      },
+      Some("""SELECT n_nationkey,
+          CASE WHEN n_nationkey % 4 = 0
+               THEN 'SELECT ' || CAST(n_nationkey AS VARCHAR) || ' FROM source.nations_tbl'
+               ELSE 'INSERT INTO target.tgt_tbl SELECT ' || CAST(n_nationkey AS VARCHAR)
+                 || ' FROM source.nations_tbl WHERE note <> ''keep nations_tbl'''
+          END AS stmt
+        FROM nation WHERE n_nationkey % 4 IN (0, 3)
+        ORDER BY n_nationkey""")),
+
+    // ---- B7 + H4: meaningful-attribute tuple overlap through the
+    //      production evaluator (surrogate/non-meaningful columns excluded
+    //      before the EXCEPT/INTERSECT; ref: Evaluator.py:194-203) ---------
+    Q("q68_meaningful_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables(s, dir, "orders")
+        val rel = graft.core.Model.Relation("orders_cust", Seq(
+          graft.core.Model.Attribute("o_custkey", "int"),
+          // non-meaningful: must NOT affect the overlap counts
+          graft.core.Model.Attribute("o_orderpriority", "text", meaningful = false)))
+        val pred = o.filter(year($"o_orderdate") === 1995)
+          .select($"o_custkey", $"o_orderpriority")
+        val gold = o.filter(year($"o_orderdate") === 1996)
+          .select($"o_custkey", $"o_orderpriority")
+        val ov = graft.mapping.OverlapEvaluator.tableOverlap(pred, gold, rel)
+        s.range(1).select(
+          lit(ov.relation).as("relation"),
+          lit(ov.tp).as("tp"), lit(ov.fp).as("fp"), lit(ov.fn).as("fn"),
+          lit(ov.precision).as("precision"), lit(ov.recall).as("recall"),
+          lit(ov.f1).as("f1"))
+      },
+      Some("""WITH p AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE extract(year FROM o_orderdate) = 1995),
+          g AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE extract(year FROM o_orderdate) = 1996),
+          c AS (SELECT
+            CAST((SELECT count(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM g)) AS BIGINT) AS tp,
+            CAST((SELECT count(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM g)) AS BIGINT) AS fp,
+            CAST((SELECT count(*) FROM (SELECT * FROM g EXCEPT SELECT * FROM p)) AS BIGINT) AS fn)
+        SELECT 'orders_cust' AS relation, tp, fp, fn,
+          CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+          CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+          CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
+                  + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END) = 0
+               THEN 0.0
+               ELSE 2 * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
+                      * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END)
+                    / ((CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
+                     + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END))
+          END AS f1
+        FROM c""")),
+
+    // ---- A10: catalog namespace registration + cached read-back ----------
+    //      region is imported into the `source` database via the production
+    //      registerTable (saveAsTable), read back through the catalog,
+    //      cached, aggregated; the oracle aggregates the parquet directly —
+    //      a corrupted import or a stale cache diverges the counts
+    Q("q69_catalog_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        graft.mapping.OverlapEvaluator.createNamespaces(s, Seq("source"))
+        val rel = graft.core.Model.Relation("graft_q69_region", Seq(
+          graft.core.Model.Attribute("r_regionkey", "int"),
+          graft.core.Model.Attribute("r_name", "text")))
+        graft.mapping.OverlapEvaluator.registerTable(s, "source", rel,
+          Tables(s, dir, "region").select($"r_regionkey", $"r_name"))
+        val back = s.table("source.graft_q69_region").cache()
+        back.groupBy($"r_regionkey")
+          .agg(count(lit(1)).as("n"), min($"r_name").as("r_name"))
+          .orderBy($"r_regionkey")
+      },
+      Some("""SELECT r_regionkey, CAST(count(*) AS BIGINT) AS n, min(r_name) AS r_name
+        FROM region GROUP BY r_regionkey ORDER BY r_regionkey""")),
+
+    // ---- A12: csv report sink round-trip ---------------------------------
+    //      the per-segment report is written through the production csv
+    //      sink, then BOTH engines read the same files back — the oracle
+    //      checks the sink's bytes, not just the pre-sink frame
+    Q("q70_report_sink",
+      (s, dir) => {
+        import s.implicits._
+        val report = Tables(s, dir, "customer")
+          .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        graft.eval.Report.writeCsv(report.coalesce(1), s"$fixDir/q70_report")
+        s.read.option("header", true).csv(s"$fixDir/q70_report")
+          .select($"c_mktsegment", $"n_customers")
+          .orderBy($"c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, n_customers
+        FROM read_csv('$fixDir/q70_report/*.csv', header=true, all_varchar=true)
+        ORDER BY c_mktsegment"""))
   )
 }

@@ -309,6 +309,88 @@ object PipelineQueries extends Registry {
       },
       None),
 
+    // ---- F5: the LLM inference operator (mapPartitions, batching, retry)
+    //      run END-TO-END against the DuckDB-replayable mock: the mock's
+    //      "generation" is argmax over candidates of a 48-bit md5 hash of
+    //      (prompt|candidate), and the prompt here is simple enough for the
+    //      oracle to rebuild byte-for-byte — so batching bugs, prompt
+    //      corruption, response drift and parse errors all diverge the hash.
+    //      Comparison stays integer-exact (no float crosses the gate). -----
+    Q("q71_llm_generate",
+      (s, dir) => {
+        import s.implicits._
+        val cands = Seq("alpha", "beta", "gamma", "delta")
+        val qs = Tables(s, dir, "nation")
+          .select($"n_nationkey".cast("long"), lower($"n_name").as("nm"))
+          .as[(Long, String)]
+          .map { case (k, nm) =>
+            Question(s"n$k", nm,
+              s"Match $nm\nOptions:\n" + cands.map("- " + _).mkString("\n"), cands)
+          }
+        LlmOperator.generate(qs, MockLlmClient.Factory(), batchSize = 4)
+          .flatMap(g => Parsers.parseMatches(g.response).map(m => (g.caseId, m)))
+          .toDF("case_id", "best")
+          .orderBy($"case_id", $"best")
+      },
+      Some {
+        // hashUnit mirror: first 6 md5 BYTES = first 12 hex digits → 48-bit int
+        val poly = (1 to 12).map { k =>
+          s"(strpos('0123456789abcdef', substr(md5(key), $k, 1)) - 1) * (1::BIGINT << ${4 * (12 - k)})"
+        }.mkString(" + ")
+        s"""WITH q AS (SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS case_id,
+            'Match ' || lower(n_name) || chr(10) || 'Options:' || chr(10)
+              || '- alpha' || chr(10) || '- beta' || chr(10)
+              || '- gamma' || chr(10) || '- delta' AS prompt
+          FROM nation),
+        c AS (SELECT case_id, cand, prompt || '|' || cand AS key
+              FROM q, UNNEST(['alpha', 'beta', 'gamma', 'delta']) AS u(cand)),
+        h AS (SELECT case_id, cand, $poly AS hv FROM c),
+        r AS (SELECT case_id, cand,
+                ROW_NUMBER() OVER (PARTITION BY case_id ORDER BY hv DESC, cand) AS rn
+              FROM h)
+        SELECT case_id, cand AS best FROM r WHERE rn = 1 ORDER BY case_id, best"""
+      }),
+
+    // ---- F6/E1: logit candidate scoring + score-descending ranking -------
+    //      softmax is strictly monotone in the hash, so the RANKS are
+    //      integer-exact and oracle-checkable even though the float scores
+    //      themselves never cross the gate
+    Q("q72_llm_score_rank",
+      (s, dir) => {
+        import s.implicits._
+        val cands = Seq("alpha", "beta", "gamma", "delta")
+        val qs = Tables(s, dir, "nation")
+          .select($"n_nationkey".cast("long"), lower($"n_name").as("nm"))
+          .as[(Long, String)]
+          .map { case (k, nm) =>
+            Question(s"n$k", nm,
+              s"Match $nm\nOptions:\n" + cands.map("- " + _).mkString("\n"), cands)
+          }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"caseId").orderBy($"score".desc, $"candAttr")
+        LlmOperator.score(qs, MockLlmClient.Factory()).toDF()
+          .withColumn("rank", row_number().over(w))
+          .select($"caseId".as("case_id"), $"candAttr".as("cand"), $"rank")
+          .orderBy($"case_id", $"rank")
+      },
+      Some {
+        val poly = (1 to 12).map { k =>
+          s"(strpos('0123456789abcdef', substr(md5(key), $k, 1)) - 1) * (1::BIGINT << ${4 * (12 - k)})"
+        }.mkString(" + ")
+        s"""WITH q AS (SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS case_id,
+            'Match ' || lower(n_name) || chr(10) || 'Options:' || chr(10)
+              || '- alpha' || chr(10) || '- beta' || chr(10)
+              || '- gamma' || chr(10) || '- delta' AS prompt
+          FROM nation),
+        c AS (SELECT case_id, cand, prompt || '|' || cand AS key
+              FROM q, UNNEST(['alpha', 'beta', 'gamma', 'delta']) AS u(cand)),
+        h AS (SELECT case_id, cand, $poly AS hv FROM c)
+        SELECT case_id, cand,
+          CAST(ROW_NUMBER() OVER (PARTITION BY case_id ORDER BY hv DESC, cand) AS INT) AS rank
+        FROM h
+        ORDER BY case_id, rank"""
+      }),
+
     // ---- skew-tolerant salted aggregation, oracle-checked ----------------
     Q("q46_salted_counts",
       (s, dir) => {
