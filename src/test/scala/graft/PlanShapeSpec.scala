@@ -47,4 +47,29 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges:\n$p")
   }
+
+  test("q58: nearest-demo top-k plans as TakeOrdered, not a global sort") {
+    val p = plan("q58_nearest_demos")
+    assert(p.contains("TakeOrdered"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("q59: schema-membership joins broadcast; classification is row-local") {
+    val p = plan("q59_error_categories")
+    assert(p.contains("BroadcastHashJoin"), s"membership join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"membership join shuffled:\n$p")
+  }
+
+  test("q52: cross-seed CI is two partial+final aggregations, no window") {
+    val p = plan("q52_cross_seed_ci")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"unexpected window operator:\n$p")
+  }
+
+  test("q55: yes/no majority is one aggregation with a pushed-down filter-free scan") {
+    val p = plan("q55_yes_no_majority")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
