@@ -84,10 +84,16 @@ object Metrics {
     * per-case counters.
     */
   def errorCategories(preds: DataFrame, schemaCols: DataFrame): DataFrame = {
-    val s1 = broadcast(schemaCols.select(
+    // collapse membership to ONE row per (case, col) first: a name present
+    // in BOTH schemas (the normal case in schema matching) may arrive as
+    // two rows (src + tgt); joining against them raw would fan each
+    // prediction out and inflate every counter
+    val m1 = schemaCols.groupBy(col("case_id"), col("col"))
+      .agg(max(col("in_src")).as("in_src"), max(col("in_tgt")).as("in_tgt"))
+    val s1 = broadcast(m1.select(
       col("case_id").as("m1_case"), col("col").as("m1_col"),
       col("in_src").as("f_src"), col("in_tgt").as("f_tgt")))
-    val s2 = broadcast(schemaCols.select(
+    val s2 = broadcast(m1.select(
       col("case_id").as("m2_case"), col("col").as("m2_col"),
       col("in_src").as("s_src"), col("in_tgt").as("s_tgt")))
     val m = preds

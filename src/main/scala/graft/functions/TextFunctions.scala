@@ -60,16 +60,21 @@ object TextFunctions {
     min((lit(a) * hm + lit(b)) % minhashP)
   }
 
-  /** DuckDB mirror of [[baseHash]]: 15-digit hex→BIGINT polynomial with
-    * bit-shift powers (kept integral — a double 16^k sum would lose bits
-    * past 2^53).
+  /** DuckDB mirror of a `conv(substring(md5(key), 1, n), 16, 10)` prefix
+    * hash: n-digit hex→BIGINT polynomial with bit-shift powers (kept
+    * integral — a double 16^k sum would lose bits past 2^53). Shared by
+    * the minhash/detRand/mock-LLM oracle generators.
     */
-  def baseHashSql(shingleExpr: String): String = {
-    val terms = (1 to 15).map { k =>
-      s"(strpos('0123456789abcdef', substr(md5($shingleExpr), $k, 1)) - 1) * (1::BIGINT << ${4 * (15 - k)})"
+  def hexPolySql(nDigits: Int, keyExpr: String): String = {
+    val terms = (1 to nDigits).map { k =>
+      s"(strpos('0123456789abcdef', substr(md5($keyExpr), $k, 1)) - 1) * (1::BIGINT << ${4 * (nDigits - k)})"
     }.mkString(" + ")
-    s"(($terms) % $minhashP)"
+    s"($terms)"
   }
+
+  /** DuckDB mirror of [[baseHash]]. */
+  def baseHashSql(shingleExpr: String): String =
+    s"(${hexPolySql(15, shingleExpr)} % $minhashP)"
 
   def minhashAggSql(perm: Int): String = {
     val (a, b) = permConsts(perm)

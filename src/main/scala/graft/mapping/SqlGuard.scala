@@ -45,14 +45,57 @@ object SqlGuard {
   private def identRegex(name: String): Regex =
     s"(?i)(?<![\\w.`])${Regex.quote(name)}(?![\\w`(])".r
 
-  // single-quoted string literals (with '' escapes): identifier rewriting
-  // must never reach inside these — a literal like 'visit to orders dept'
-  // is data, not a table reference (the reference's sqlglot AST walk gets
-  // this for free; a lexical pass has to mask the spans explicitly)
-  private val literalSpan: Regex = "'(?:[^']|'')*'".r
+  /** Split SQL into (isMasked, span) segments where masked spans are
+    * single-quoted literals (with '' escapes), double-quoted strings,
+    * `--` line comments and `/* */` block comments. A character scan —
+    * not a regex — so an apostrophe inside a comment (`-- don't`) can
+    * never be mispaired with a later literal quote (the reference walks a
+    * sqlglot AST and gets all of this for free).
+    */
+  private def maskedSegments(sql: String): Seq[(Boolean, String)] = {
+    val out = Seq.newBuilder[(Boolean, String)]
+    val n = sql.length
+    var i = 0
+    var segStart = 0
+    def flush(until: Int): Unit =
+      if (until > segStart) out += ((false, sql.substring(segStart, until)))
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        flush(i)
+        val q = c
+        var j = i + 1
+        var end = -1
+        while (j < n && end < 0) {
+          if (sql.charAt(j) == q) {
+            // '' (or "") is an escaped quote inside the literal
+            if (j + 1 < n && sql.charAt(j + 1) == q) j += 2 else end = j + 1
+          } else j += 1
+        }
+        if (end < 0) end = n // unterminated literal: mask to EOS
+        out += ((true, sql.substring(i, end)))
+        i = end; segStart = end
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        flush(i)
+        var end = sql.indexOf('\n', i)
+        if (end < 0) end = n
+        out += ((true, sql.substring(i, end)))
+        i = end; segStart = end
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        flush(i)
+        var end = sql.indexOf("*/", i + 2)
+        end = if (end < 0) n else end + 2
+        out += ((true, sql.substring(i, end)))
+        i = end; segStart = end
+      } else i += 1
+    }
+    flush(n)
+    out.result()
+  }
 
   /** F10: qualify unqualified table names with their namespace. String
-    * literals are masked: only the spans between them are rewritten.
+    * literals and comments are masked: only the spans between them are
+    * rewritten.
     */
   def qualify(sql: String, sourceTables: Set[String], targetTables: Set[String]): String = {
     val both = sourceTables.map(_.toLowerCase) intersect targetTables.map(_.toLowerCase)
@@ -60,17 +103,11 @@ object SqlGuard {
       tables.filterNot(t => both.contains(t.toLowerCase)).foldLeft(s) { (acc, t) =>
         identRegex(t).replaceAllIn(acc, m => s"$ns.$t")
       }
-    def rewriteSegment(s: String): String =
-      rewrite(rewrite(s, sourceTables, "source"), targetTables, "target")
-    val sb = new StringBuilder
-    var last = 0
-    for (m <- literalSpan.findAllMatchIn(sql)) {
-      sb.append(rewriteSegment(sql.substring(last, m.start)))
-      sb.append(m.matched)
-      last = m.end
-    }
-    sb.append(rewriteSegment(sql.substring(last)))
-    sb.toString
+    maskedSegments(sql).map {
+      case (true, span) => span
+      case (false, span) =>
+        rewrite(rewrite(span, sourceTables, "source"), targetTables, "target")
+    }.mkString
   }
 
   /** Execute a script of statements with a wall-clock budget enforced via

@@ -37,10 +37,8 @@ object Sampling {
     */
   def detRandSql(seed: Long, colExprs: Seq[String]): String = {
     val key = (seed.toString +: colExprs).mkString("concat_ws('|', ", ", ", ")")
-    val terms = (1 to 15).map { k =>
-      s"(strpos('0123456789abcdef', substr(md5($key), $k, 1)) - 1) * (1::BIGINT << ${4 * (15 - k)})"
-    }.mkString(" + ")
-    s"((CAST(($terms) % $detRandP AS DOUBLE) + 0.5) / $detRandP.0)"
+    val poly = graft.functions.TextFunctions.hexPolySql(15, key)
+    s"((CAST($poly % $detRandP AS DOUBLE) + 0.5) / $detRandP.0)"
   }
 
   /** Uniform sample of n rows per group, without replacement

@@ -130,7 +130,10 @@ object PromptRenderer {
     * presumably-intended `and`).
     */
   def lastCharRating(s: String): Option[Int] =
-    s.lastOption.filter(_.isDigit).map(_ - '0')
+    // Character.digit mirrors Python's int(s[-1]): a Unicode decimal digit
+    // (e.g. '٤') parses to its VALUE — naive `c - '0'` arithmetic would
+    // produce a garbage rating that outranks every real one
+    s.lastOption.map(c => Character.digit(c, 10)).filter(_ >= 0)
 
   /** MatchMaker rating-sorted ICL demo selection (ref:
     * eval_MatchMaker.py:188-208 `get_demo` filters rating >= minRating;

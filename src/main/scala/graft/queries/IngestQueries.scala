@@ -16,6 +16,13 @@ import graft.mapping.SqlGuard
   * (VERDICT r2: A-family was spec-only). Fixture rows are metadata-scale
   * (dimension tables); the READER itself is a plain distributed
   * spark.read, so the same code path scales to real inputs.
+  *
+  * Fixture contract: every fixture's CONTENT must be scale-factor
+  * invariant (nation/region are fixed-size; the first 10 suppliers are
+  * identical at every SF — verified against all three test dirs). The
+  * fixed /tmp path is then idempotent: a Bench or Verify run at a
+  * different SF between this query's dump and the driver's oracle replay
+  * rewrites identical bytes instead of corrupting the comparison.
   */
 object IngestQueries extends Registry {
 
@@ -58,9 +65,13 @@ object IngestQueries extends Registry {
     Q("q61_jsonl_normalize",
       (s, dir) => {
         import s.implicits._
+        // top-10 ONLY: the first 10 suppliers are identical at every scale
+        // factor (verified), so the fixture bytes are SF-invariant and a
+        // Bench run at another SF between Verify and the oracle replay
+        // rewrites the same content instead of corrupting the gate
         val sups = Tables(s, dir, "supplier")
           .select($"s_suppkey".cast("long"), $"s_name")
-          .orderBy($"s_suppkey").limit(20).collect()
+          .orderBy($"s_suppkey").limit(10).collect()
         val lines = sups.flatMap { r =>
           val k = r.getLong(0)
           val note = if (k % 3 == 0) "null" else s"ok$k"
@@ -359,15 +370,17 @@ object IngestQueries extends Registry {
     Q("q70_report_sink",
       (s, dir) => {
         import s.implicits._
-        val report = Tables(s, dir, "customer")
-          .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        // nation is fixed-size at every scale factor, so the sink bytes are
+        // SF-invariant (same rationale as the q61 fixture)
+        val report = Tables(s, dir, "nation")
+          .groupBy($"n_regionkey").agg(count(lit(1)).as("n_nations"))
         graft.eval.Report.writeCsv(report.coalesce(1), s"$fixDir/q70_report")
         s.read.option("header", true).csv(s"$fixDir/q70_report")
-          .select($"c_mktsegment", $"n_customers")
-          .orderBy($"c_mktsegment")
+          .select($"n_regionkey", $"n_nations")
+          .orderBy($"n_regionkey")
       },
-      Some(s"""SELECT c_mktsegment, n_customers
+      Some(s"""SELECT n_regionkey, n_nations
         FROM read_csv('$fixDir/q70_report/*.csv', header=true, all_varchar=true)
-        ORDER BY c_mktsegment"""))
+        ORDER BY n_regionkey"""))
   )
 }

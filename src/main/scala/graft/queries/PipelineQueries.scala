@@ -46,6 +46,36 @@ object PipelineQueries extends Registry {
     }.toMap
   }
 
+  // ---- shared q71/q72 scaffolding: one question per nation with a prompt
+  //      simple enough for the oracle to rebuild byte-for-byte, and the
+  //      mock's 48-bit hashUnit mirrored via the shared hex polynomial ----
+  private val mockCands = Seq("alpha", "beta", "gamma", "delta")
+
+  private def mockQuestions(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "nation")
+      .select($"n_nationkey".cast("long"), lower($"n_name").as("nm"))
+      .as[(Long, String)]
+      .map { case (k, nm) =>
+        Question(s"n$k", nm,
+          s"Match $nm\nOptions:\n" + mockCands.map("- " + _).mkString("\n"), mockCands)
+      }
+  }
+
+  /** CTEs q (prompt rebuild), c (candidate keys), h (48-bit hash). */
+  private def mockHashCtes: String = {
+    val candLines = mockCands.map(c => s"'- $c'").mkString(" || chr(10) || ")
+    val candList = mockCands.map(c => s"'$c'").mkString(", ")
+    s"""q AS (SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS case_id,
+           'Match ' || lower(n_name) || chr(10) || 'Options:' || chr(10)
+             || $candLines AS prompt
+         FROM nation),
+       c AS (SELECT case_id, cand, prompt || '|' || cand AS key
+             FROM q, UNNEST([$candList]) AS u(cand)),
+       h AS (SELECT case_id, cand,
+               ${graft.functions.TextFunctions.hexPolySql(12, "key")} AS hv FROM c)"""
+  }
+
   override def entries: Seq[Q] = Seq(
 
     // ---- §7.2 flagship slice: full matching pipeline with mock LLM -------
@@ -319,37 +349,16 @@ object PipelineQueries extends Registry {
     Q("q71_llm_generate",
       (s, dir) => {
         import s.implicits._
-        val cands = Seq("alpha", "beta", "gamma", "delta")
-        val qs = Tables(s, dir, "nation")
-          .select($"n_nationkey".cast("long"), lower($"n_name").as("nm"))
-          .as[(Long, String)]
-          .map { case (k, nm) =>
-            Question(s"n$k", nm,
-              s"Match $nm\nOptions:\n" + cands.map("- " + _).mkString("\n"), cands)
-          }
-        LlmOperator.generate(qs, MockLlmClient.Factory(), batchSize = 4)
+        LlmOperator.generate(mockQuestions(s, dir), MockLlmClient.Factory(), batchSize = 4)
           .flatMap(g => Parsers.parseMatches(g.response).map(m => (g.caseId, m)))
           .toDF("case_id", "best")
           .orderBy($"case_id", $"best")
       },
-      Some {
-        // hashUnit mirror: first 6 md5 BYTES = first 12 hex digits → 48-bit int
-        val poly = (1 to 12).map { k =>
-          s"(strpos('0123456789abcdef', substr(md5(key), $k, 1)) - 1) * (1::BIGINT << ${4 * (12 - k)})"
-        }.mkString(" + ")
-        s"""WITH q AS (SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS case_id,
-            'Match ' || lower(n_name) || chr(10) || 'Options:' || chr(10)
-              || '- alpha' || chr(10) || '- beta' || chr(10)
-              || '- gamma' || chr(10) || '- delta' AS prompt
-          FROM nation),
-        c AS (SELECT case_id, cand, prompt || '|' || cand AS key
-              FROM q, UNNEST(['alpha', 'beta', 'gamma', 'delta']) AS u(cand)),
-        h AS (SELECT case_id, cand, $poly AS hv FROM c),
+      Some(s"""WITH $mockHashCtes,
         r AS (SELECT case_id, cand,
                 ROW_NUMBER() OVER (PARTITION BY case_id ORDER BY hv DESC, cand) AS rn
               FROM h)
-        SELECT case_id, cand AS best FROM r WHERE rn = 1 ORDER BY case_id, best"""
-      }),
+        SELECT case_id, cand AS best FROM r WHERE rn = 1 ORDER BY case_id, best""")),
 
     // ---- F6/E1: logit candidate scoring + score-descending ranking -------
     //      softmax is strictly monotone in the hash, so the RANKS are
@@ -358,38 +367,18 @@ object PipelineQueries extends Registry {
     Q("q72_llm_score_rank",
       (s, dir) => {
         import s.implicits._
-        val cands = Seq("alpha", "beta", "gamma", "delta")
-        val qs = Tables(s, dir, "nation")
-          .select($"n_nationkey".cast("long"), lower($"n_name").as("nm"))
-          .as[(Long, String)]
-          .map { case (k, nm) =>
-            Question(s"n$k", nm,
-              s"Match $nm\nOptions:\n" + cands.map("- " + _).mkString("\n"), cands)
-          }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"caseId").orderBy($"score".desc, $"candAttr")
-        LlmOperator.score(qs, MockLlmClient.Factory()).toDF()
+        LlmOperator.score(mockQuestions(s, dir), MockLlmClient.Factory()).toDF()
           .withColumn("rank", row_number().over(w))
           .select($"caseId".as("case_id"), $"candAttr".as("cand"), $"rank")
           .orderBy($"case_id", $"rank")
       },
-      Some {
-        val poly = (1 to 12).map { k =>
-          s"(strpos('0123456789abcdef', substr(md5(key), $k, 1)) - 1) * (1::BIGINT << ${4 * (12 - k)})"
-        }.mkString(" + ")
-        s"""WITH q AS (SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS case_id,
-            'Match ' || lower(n_name) || chr(10) || 'Options:' || chr(10)
-              || '- alpha' || chr(10) || '- beta' || chr(10)
-              || '- gamma' || chr(10) || '- delta' AS prompt
-          FROM nation),
-        c AS (SELECT case_id, cand, prompt || '|' || cand AS key
-              FROM q, UNNEST(['alpha', 'beta', 'gamma', 'delta']) AS u(cand)),
-        h AS (SELECT case_id, cand, $poly AS hv FROM c)
+      Some(s"""WITH $mockHashCtes
         SELECT case_id, cand,
           CAST(ROW_NUMBER() OVER (PARTITION BY case_id ORDER BY hv DESC, cand) AS INT) AS rank
         FROM h
-        ORDER BY case_id, rank"""
-      }),
+        ORDER BY case_id, rank""")),
 
     // ---- skew-tolerant salted aggregation, oracle-checked ----------------
     Q("q46_salted_counts",

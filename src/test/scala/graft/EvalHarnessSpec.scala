@@ -102,4 +102,24 @@ class EvalHarnessSpec extends SparkSpec {
     assert(r.getAs[Long]("n_same_schema") == 3)
     assert(r.getAs[Long]("n_same_attr") == 1)
   }
+
+  test("errorCategories: a name in BOTH schemas must not fan predictions out") {
+    val s = spark
+    import s.implicits._
+    // 'id' arrives as two membership rows (src + tgt) — the union shape
+    // q59 builds; the operator must collapse them before joining
+    val schema = Seq(
+      ("c", "id", true, false), ("c", "id", false, true),
+      ("c", "t_x", false, true)
+    ).toDF("case_id", "col", "in_src", "in_tgt")
+    val preds = Seq(
+      ("c", "id", "t_x"), // valid: first in src, second in tgt — exactly once
+      ("c", "id", "id")   // valid too (id is in tgt): NOT a same-attr error
+    ).toDF("case_id", "first", "second")
+    val r = Metrics.errorCategories(preds, schema).head()
+    assert(r.getAs[Long]("n_valid") == 2, s"fan-out inflated counts: $r")
+    assert(r.getAs[Long]("n_invalid_attr") == 0)
+    assert(r.getAs[Long]("n_same_schema") == 0)
+    assert(r.getAs[Long]("n_same_attr") == 0)
+  }
 }

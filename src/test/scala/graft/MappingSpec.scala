@@ -66,6 +66,21 @@ class MappingSpec extends SparkSpec {
       "WHERE o_comment <> 'orders pending ''orders'' review'")
   }
 
+  test("qualify masks comments: an apostrophe in a comment cannot unbalance literals") {
+    val sql = "SELECT note FROM orders -- don't touch the 'orders dept' label\n" +
+      "WHERE note <> 'orders pending'"
+    val q = SqlGuard.qualify(sql, Set("orders"), Set())
+    assert(q == "SELECT note FROM source.orders -- don't touch the 'orders dept' label\n" +
+      "WHERE note <> 'orders pending'")
+    val block = "SELECT /* about orders */ o_id FROM orders"
+    assert(SqlGuard.qualify(block, Set("orders"), Set())
+      == "SELECT /* about orders */ o_id FROM source.orders")
+    // double-quoted strings are masked too (explicitly-quoted identifiers
+    // are user intent, left untouched)
+    assert(SqlGuard.qualify("SELECT \"orders\" FROM orders", Set("orders"), Set())
+      == "SELECT \"orders\" FROM source.orders")
+  }
+
   test("guarded execution + perfect mapping scores P=R=F1=1") {
     setup()
     val generated =

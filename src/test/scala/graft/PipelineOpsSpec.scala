@@ -143,6 +143,8 @@ class PromptRendererSpec extends SparkSpec {
     assert(lastCharRating("9") == Some(9))
     assert(lastCharRating("no rating here") == None)
     assert(lastCharRating("") == None)
+    // Unicode decimal digits parse to their VALUE (Python int(s[-1]) parity)
+    assert(lastCharRating("rating: ٤") == Some(4))
   }
 
   test("ratedDemos: rating>=4 filter, stable desc sort, target-case skip, ref off-by-one") {
