@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the dedup-cluster
+  * step of a near-duplicate pipeline: LSH/Jaccard emits PAIRS, but
+  * survivor selection needs the transitive GROUP (a~b, b~c ⇒ keep one of
+  * {a,b,c}). The reference has no distributed analogue (its dedup is
+  * row-level drop_duplicates, `DataLoader.py:190-196`); this is the
+  * Spark-native extension of that family.
+  *
+  * Algorithm: iterative min-label propagation. comp(v) starts at v; each
+  * round sets comp(v) = min(comp(v), min over neighbors comp(u)); fixpoint
+  * after diameter(component) rounds. Each round is one shuffle (join on
+  * dst + groupBy src); labels are persisted per round and the previous
+  * round unpersisted, so lineage stays bounded. Near-dup clusters have
+  * tiny diameters (dups of a page look like each other), so rounds ≈ 2-4
+  * in practice; `maxIter` caps pathological chains. At 100 TB this is the
+  * textbook approach (GraphX/GraphFrames CC is the same loop); for graphs
+  * with giant diameters switch to large-star/small-star contraction — not
+  * needed for dedup clusters.
+  */
+object Components {
+
+  /** (node, component) for every node incident to an edge; component = the
+    * minimum node id reachable from the node (deterministic survivor key).
+    */
+  def connectedComponents(
+      edges: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    und.count()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).persist()
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = und.join(labels, und("dst") === labels("node"))
+        .groupBy(und("src").as("nb_node")).agg(min(col("comp")).as("nbr_comp"))
+      val step = labels.withColumnRenamed("comp", "old_comp")
+        .join(nbrMin, col("node") === col("nb_node"), "left")
+        .select(col("node"), col("old_comp"),
+          least(col("old_comp"), coalesce(col("nbr_comp"), col("old_comp"))).as("comp"))
+        .persist()
+      step.count() // materialize before unpersisting the previous round
+      converged = step.filter(col("comp") < col("old_comp")).limit(1).count() == 0
+      val prev = labels
+      labels = step.select("node", "comp")
+      prev.unpersist()
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+}

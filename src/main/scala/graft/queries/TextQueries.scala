@@ -75,6 +75,71 @@ object TextQueries extends Registry {
        |mh AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id)""".stripMargin
   }
 
+  /** LSH candidate pairs with their minhash agreement count (shared by
+    * q23 similarity estimates and q73 component edges): band the signature,
+    * self-join on (band, band key), count agreeing permutations.
+    */
+  private def lshScored(mh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        bandKey((0 until nPerms / nBands).map(j => col(s"h${nPerms / nBands * b + j}"))).as("bkey"))
+    }
+    val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until nPerms)
+      .map(j => when(col(s"ma.h$j") === col(s"mb.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(mh.as("ma"), col("doc_a") === col("ma.doc_id"))
+      .join(mh.as("mb"), col("doc_b") === col("mb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), agree.as("agree"))
+  }
+
+  // ---- shared quality-score expressions (q28 columns + q74 filter);
+  //      operate on `text` plus a materialized token-array column `w` ------
+  private def docDigitRatio = {
+    val len = length(col("text")).cast("double")
+    (len - length(regexp_replace(col("text"), "[0-9]", "")).cast("double")) / len
+  }
+  private def docStopRatio = {
+    val stops = LangLexicon.entries.map(_._1)
+    size(filter(col("w"), x => x.isin(stops: _*))).cast("double") /
+      size(col("w")).cast("double")
+  }
+  private def docQuality =
+    least(lit(1.0), size(col("w")).cast("double") / 100.0) *
+      (lit(1.0) - docDigitRatio) * (lit(1.0) - lit(0.5) * docStopRatio)
+
+  private val qualitySqlExpr =
+    s"""least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+       * (1.0 - (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text))
+       * (1.0 - 0.5 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN (${LangLexicon.sqlWordList}))) AS DOUBLE)
+                       / len(string_split(text, ' '))))"""
+
+  /** DuckDB twin of [[lshScored]] (appended after [[minhashCte]]). */
+  private val lshScoredCte = {
+    val bandSelects = (0 until nBands).map { b =>
+      val hs = (0 until nPerms / nBands)
+        .map(j => s"CAST(h${nPerms / nBands * b + j} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $hs AS bkey FROM mh"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until nPerms)
+      .map(j => s"(CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$minhashCte,
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |scored AS (SELECT doc_a, doc_b, $agree AS agree
+       |           FROM cand JOIN mh ma ON doc_a = ma.doc_id
+       |                     JOIN mh mb ON doc_b = mb.doc_id)""".stripMargin
+  }
+
   override def entries: Seq[Q] = Seq(
 
     // ---- exact dedup: hash-groupBy on content (ref: DataLoader.py:190-196
@@ -147,42 +212,61 @@ object TextQueries extends Registry {
         // candidate join) — materialize once instead of recomputing the
         // shingle scan + 16 aggregations per use
         val mh = materialize(minhashes(s, dir))
-        val bandStructs = (0 until nBands).map { b =>
-          struct(lit(b).as("band"),
-            bandKey((0 until nPerms / nBands).map(j => col(s"h${nPerms / nBands * b + j}"))).as("bkey"))
-        }
-        val bands = mh.select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
-          .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-        val cand = bands.as("a").join(bands.as("b"),
-            $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-          .distinct()
-        val agree = (0 until nPerms)
-          .map(j => when(col(s"ma.h$j") === col(s"mb.h$j"), 1).otherwise(0))
-          .reduce(_ + _)
-        cand
-          .join(mh.as("ma"), $"doc_a" === $"ma.doc_id")
-          .join(mh.as("mb"), $"doc_b" === $"mb.doc_id")
-          .select($"doc_a", $"doc_b", (agree.cast("double") / nPerms).as("est_jaccard"))
+        lshScored(mh)
+          .select(col("doc_a"), col("doc_b"),
+            (col("agree").cast("double") / nPerms).as("est_jaccard"))
           .orderBy($"doc_a", $"doc_b")
       },
-      Some {
-        val bandSelects = (0 until nBands).map { b =>
-          val hs = (0 until nPerms / nBands)
-            .map(j => s"CAST(h${nPerms / nBands * b + j} AS VARCHAR)").mkString(" || '_' || ")
-          s"SELECT doc_id, $b AS band, $hs AS bkey FROM mh"
-        }.mkString(" UNION ALL ")
-        val agree = (0 until nPerms)
-          .map(j => s"(CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END)").mkString(" + ")
-        s"""WITH $minhashCte,
-          bands AS ($bandSelects),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-          SELECT doc_a, doc_b, CAST($agree AS DOUBLE) / $nPerms AS est_jaccard
-          FROM cand JOIN mh ma ON doc_a = ma.doc_id JOIN mh mb ON doc_b = mb.doc_id
-          ORDER BY doc_a, doc_b"""
-      }),
+      Some(s"""WITH $lshScoredCte
+          SELECT doc_a, doc_b, CAST(agree AS DOUBLE) / $nPerms AS est_jaccard
+          FROM scored ORDER BY doc_a, doc_b""")),
+
+    // ---- near-dup CLUSTERS: LSH pairs (est similarity >= 1/2) closed into
+    //      connected components — the survivor-selection step a dedup
+    //      pipeline actually needs (a~b, b~c ⇒ one survivor for {a,b,c}).
+    //      Iterative min-label propagation, one shuffle per round, rounds =
+    //      cluster diameter (tiny for near-dups); the oracle closes the same
+    //      edge set with a recursive CTE. ------------------------------------
+    Q("q73_dedup_components",
+      (s, dir) => {
+        import s.implicits._
+        val mh = materialize(minhashes(s, dir))
+        val edges = lshScored(mh)
+          .filter(col("agree") >= nPerms / 2)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        graft.operators.Components.connectedComponents(edges)
+          .select(col("node").as("doc_id"), col("comp").as("component"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $lshScoredCte,
+          und AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE agree >= ${nPerms / 2}
+                  UNION
+                  SELECT doc_b, doc_a FROM scored WHERE agree >= ${nPerms / 2}),
+          reach(a, b) AS (SELECT a, b FROM und
+                          UNION
+                          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+          SELECT a AS doc_id, least(a, min(b)) AS component
+          FROM reach GROUP BY a ORDER BY doc_id""")),
+
+    // ---- quality-percentile filter: keep the top 10% of documents by
+    //      quality score. The threshold is RANK-based (exact), not an
+    //      approximate percentile: n is one count, the cut is a TakeOrdered
+    //      top-k — no global sort, no percentile_approx drift vs the oracle.
+    Q("q74_quality_filter",
+      (s, dir) => {
+        import s.implicits._
+        val scored = docs(s, dir).withColumn("w", tokens($"text"))
+          .select($"doc_id", docQuality.as("quality"))
+        val k = math.ceil(scored.count() * 0.1).toInt
+        scored.orderBy($"quality".desc, $"doc_id").limit(k)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH q AS (SELECT doc_id, $qualitySqlExpr AS quality FROM documents),
+          r AS (SELECT doc_id, quality,
+                  ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS rn FROM q)
+        SELECT doc_id, quality FROM r
+        WHERE rn <= ceil(0.1 * (SELECT count(*) FROM documents))
+        ORDER BY doc_id""")),
 
     // ---- SimHash: 60-bit signature from token-frequency-weighted bit
     //      votes. Hash bits come from md5 hex digits (portable to the
@@ -293,21 +377,16 @@ object TextQueries extends Registry {
     Q("q28_quality_score",
       (s, dir) => {
         import s.implicits._
-        val w = $"w" // token array materialized below (lambda-CSE, see shingleSet)
-        val stops = LangLexicon.entries.map(_._1)
-        val nTok = size(w).cast("double")
         val len = length($"text").cast("double")
-        val digitRatio = (len - length(regexp_replace($"text", "[0-9]", "")).cast("double")) / len
         val nPunct = length(regexp_replace(lower($"text"), "[a-z0-9 ]", "")).cast("double")
-        val stopRatio = size(filter(w, x => x.isin(stops: _*))).cast("double") / nTok
+        // token array materialized as `w` (lambda-CSE, see shingleSet)
         docs(s, dir).withColumn("w", tokens($"text")).select(
           $"doc_id",
-          size(w).as("n_tokens"),
-          digitRatio.as("digit_ratio"),
+          size($"w").as("n_tokens"),
+          docDigitRatio.as("digit_ratio"),
           ((len - nPunct) / len).as("alnum_ratio"),
-          stopRatio.as("stopword_ratio"),
-          (least(lit(1.0), nTok / 100.0) * (lit(1.0) - digitRatio)
-            * (lit(1.0) - lit(0.5) * stopRatio)).as("quality"))
+          docStopRatio.as("stopword_ratio"),
+          docQuality.as("quality"))
           .orderBy($"doc_id")
       },
       Some(s"""SELECT doc_id,

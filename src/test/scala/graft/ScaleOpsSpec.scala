@@ -51,6 +51,19 @@ class ScaleOpsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("connectedComponents closes chains transitively; min id is the component") {
+    val s = spark
+    import s.implicits._
+    // a 4-chain, a pair, and a 3-chain — repartitioned so propagation must
+    // cross partition boundaries
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (22L, 21L), (21L, 20L)).toDF("a", "b").repartition(7)
+    val comps = graft.operators.Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("golden seeded samples are pinned (engine-version determinism)") {
     // if these change, seeded sampling semantics changed — a breaking
     // change for any pipeline that relies on reproducible samples
