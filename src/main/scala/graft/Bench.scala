@@ -33,13 +33,27 @@ object Bench {
       name -> (cold, warm)
     }
     def obj(vs: Iterable[(String, Double)]): String =
-      vs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      vs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = obj(results.map { case (k, (c, _)) => k -> c })
     val qsWarm = obj(results.map { case (k, (_, w)) => k -> w })
-    val total = results.values.map(_._1).sum
-    val totalWarm = results.values.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""total_warm":$totalWarm,"queries_warm":$qsWarm,"sf":"$sfDir"}""")
+    val total = f"${results.values.map(_._1).sum}%.3f"
+    val totalWarm = f"${results.values.map(_._2).sum}%.3f"
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""total_warm":$totalWarm,"queries_warm":$qsWarm,"sf":"$sfDir"}"""
+    // The harness keeps only the LAST ~2000 chars of output, and 74 queries
+    // × cold+warm of full-name timings is ~4 KB — the full line can never
+    // survive the tail. So: (a) persist the complete cold+warm JSON to
+    // BENCH_FULL.json next to the build, (b) print it early for any
+    // full-log consumer, and (c) end with a tail-sized line that keeps the
+    // driver contract (metric/value/unit/queries/sf) but limits the queries
+    // dict to the slowest 20 — the ones a plan reviewer actually looks at.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    println(full)
+    val top = results.toSeq.sortBy(-_._2._1).take(20)
+      .map { case (k, (c, _)) => k -> c }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(top)},""" +
+      s""""total_warm":$totalWarm,"n_queries":${results.size},""" +
+      s""""queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
