@@ -37,4 +37,25 @@ object SkewAgg {
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
   }
+
+  /** Salted equi-join for a SKEWED big side against a small side: the big
+    * side's hot keys are spread over `buckets` sub-keys (salt derived from
+    * the row, any expression — it only affects placement, never the
+    * result), and the small side is replicated ×buckets so every
+    * (key, salt) bucket finds its match. Result is exactly
+    * `big.join(small, keyCols)`; the shuffle just stops funneling a hot
+    * key through one reducer.
+    *
+    * Use when the small side is too big to broadcast but small enough to
+    * replicate ×buckets, and AQE's skew-join split is unavailable (e.g.
+    * the exchange is reused by another consumer) or insufficient. Inner
+    * join semantics; rows with NULL key join nothing, as in a plain join.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+      saltSource: org.apache.spark.sql.Column, buckets: Int = 16): DataFrame = {
+    val b = big.withColumn("__salt", pmod(saltSource, lit(buckets)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(array((0 until buckets).map(i => lit(i)): _*)))
+    b.join(s, keyCols :+ "__salt").drop("__salt")
+  }
 }

@@ -127,6 +127,60 @@ object EventQueries extends Registry {
                 unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
                         date_trunc('hour', ts)]) AS ws
               FROM events)
-        GROUP BY ws, event_type ORDER BY window_start, event_type"""))
+        GROUP BY ws, event_type ORDER BY window_start, event_type""")),
+
+    // ---- as-of join: each view event aligned to the user's most recent
+    //      prior-or-equal purchase (training-data feature alignment). The
+    //      purchase side is pre-aggregated to one row per (user, ts) so the
+    //      match is deterministic; DuckDB's native ASOF LEFT JOIN is the
+    //      oracle. Plan: union + one user_id shuffle + in-partition sort —
+    //      no O(|L|·|R|) range-join explosion. ----------------------------
+    Q("q75_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val e = events(s, dir)
+        val views = e.filter($"event_type" === "view")
+          .select($"user_id", $"ts", $"event_id")
+        val purchases = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id", $"ts").agg(max($"value").as("value"))
+        graft.operators.AsOfJoin.asOf(views, purchases, Seq("user_id"), "ts", prefix = "p_")
+          .select($"user_id", $"event_id", $"ts", $"p_ts", $"p_value")
+          .orderBy($"event_id")
+      },
+      Some("""WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+          p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT v.user_id, v.event_id, v.ts, p.ts AS p_ts, p.p_value
+        FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+        ORDER BY v.event_id""")),
+
+    // ---- salted skew join: events (hot event_type keys) joined to a
+    //      replicated weight dim via (key, salt) — result identical to the
+    //      plain join, but no hot key funnels through one reducer. Weighted
+    //      sums stay in exact decimal until the final double cast. ---------
+    Q("q76_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val dim = Seq(("click", "1.50"), ("view", "0.50"), ("purchase", "10.00"),
+            ("signup", "5.00"), ("error", "0.00")).toDF("event_type", "wt")
+          .select($"event_type", $"wt".cast("decimal(6,2)").as("wt"))
+        graft.functions.SkewAgg.saltedJoin(
+            events(s, dir), dim, Seq("event_type"),
+            saltSource = xxhash64($"event_id"), buckets = 16)
+          .groupBy($"event_type", $"wt")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast("decimal(18,6)")).as("sval"))
+          .select($"event_type", $"wt".cast("double").as("weight"),
+            $"n_events", ($"sval" * $"wt").cast("double").as("weighted_value"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH dim(event_type, wt) AS (VALUES
+            ('click', CAST('1.50' AS DECIMAL(6,2))), ('view', CAST('0.50' AS DECIMAL(6,2))),
+            ('purchase', CAST('10.00' AS DECIMAL(6,2))), ('signup', CAST('5.00' AS DECIMAL(6,2))),
+            ('error', CAST('0.00' AS DECIMAL(6,2)))),
+          j AS (SELECT e.event_type, wt, value FROM events e JOIN dim USING (event_type))
+        SELECT event_type, CAST(wt AS DOUBLE) AS weight, count(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) * wt AS DOUBLE) AS weighted_value
+        FROM j GROUP BY event_type, wt ORDER BY event_type"""))
   )
 }

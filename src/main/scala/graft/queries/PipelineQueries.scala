@@ -453,6 +453,44 @@ object PipelineQueries extends Registry {
           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    // ---- Structured Streaming watermark-bounded dedup, driven to
+    //      completion: batch 1 delivers the first half of the (ts, event_id)
+    //      ordered 2000-event prefix; batch 2 REDELIVERS that half re-stamped
+    //      +60 s (simulating at-least-once redelivery with a new ingest
+    //      time) plus the second half. Every redelivered copy must vanish:
+    //      either late (below the 30-min watermark) or deduplicated (its
+    //      original's state is still alive, since 30 min > 60 s — the two
+    //      regimes tile all cases exactly). The surviving rows are the
+    //      original prefix, which IS the DuckDB twin. ----------------------
+    Q("q77_streaming_dedup",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        val evts = Tables(s, dir, "events")
+          .select($"ts", $"user_id", $"event_id", $"value")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .as[(java.sql.Timestamp, Long, Long, Double)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+        val qn = s"graft_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val query = StreamingOps.dedupStream(
+            mem.toDF().toDF("ts", "user_id", "event_id", "value"), Seq("event_id"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+        try {
+          val (b1, b2) = evts.splitAt(evts.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          val redelivered = b1.map(e =>
+            (new java.sql.Timestamp(e._1.getTime + 60000L), e._2, e._3, e._4))
+          mem.addData((redelivered ++ b2).toSeq); query.processAllAvailable()
+          s.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .orderBy($"event_id")
+        } finally query.stop()
+      },
+      Some("""WITH e AS (SELECT ts, user_id, event_id, value FROM events
+          ORDER BY ts, event_id LIMIT 2000)
+        SELECT ts, user_id, event_id, value FROM e ORDER BY event_id""")),
+
     // ---- Structured Streaming sessionization, driven to completion -------
     // (MemoryStream-fed incremental run of the q33 semantics; the driver
     // sees the closed sessions as a batch result). Emitted rows = every

@@ -142,6 +142,52 @@ object TextQueries extends Registry {
 
   override def entries: Seq[Q] = Seq(
 
+    // ---- corpus curation: the end-to-end filter chain a training-data
+    //      pipeline actually runs — exact-dedup survivors ∩ lexicon
+    //      language-ID == 'en' ∩ quality threshold, emitting doc_id with
+    //      its token count and score. Composes the q21/q27/q28 subplans;
+    //      every stage keeps its own scale shape (one md5 shuffle, broadcast
+    //      lexicon, row-local quality). --------------------------------------
+    Q("q78_corpus_curation",
+      (s, dir) => {
+        import s.implicits._
+        val survivors = docs(s, dir)
+          .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id")
+        val lex = LangLexicon.entries.toDF("word", "cand_lang")
+        val hits = docs(s, dir)
+          .select($"doc_id", explode(tokens(lower($"text"))).as("word"))
+          .join(broadcast(lex), "word")
+          .groupBy($"doc_id", $"cand_lang").agg(count(lit(1)).as("n_hits"))
+        val w = Window.partitionBy($"doc_id").orderBy($"n_hits".desc, $"cand_lang")
+        val best = hits.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"doc_id", $"cand_lang".as("pred_lang"))
+        docs(s, dir).withColumn("w", tokens($"text"))
+          .select($"doc_id", size($"w").as("n_tokens"), docQuality.as("quality"))
+          .join(survivors, Seq("doc_id"))
+          .join(best, Seq("doc_id"))
+          .filter($"pred_lang" === "en" && $"quality" >= 0.4)
+          .select($"doc_id", $"pred_lang", $"n_tokens", $"quality")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          lex(word, cand_lang) AS (VALUES ${LangLexicon.sqlValues}),
+          hits AS (SELECT doc_id, cand_lang, count(*) AS n_hits
+                   FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                         FROM documents) tok
+                   JOIN lex USING (word) GROUP BY doc_id, cand_lang),
+          best AS (SELECT doc_id, cand_lang AS pred_lang FROM (
+                     SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY n_hits DESC, cand_lang) AS rn FROM hits)
+                   WHERE rn = 1),
+          q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                       $qualitySqlExpr AS quality FROM documents)
+        SELECT q.doc_id, pred_lang, n_tokens, quality
+        FROM q JOIN surv ON q.doc_id = surv.doc_id
+               JOIN best ON q.doc_id = best.doc_id
+        WHERE pred_lang = 'en' AND quality >= 0.4
+        ORDER BY q.doc_id""")),
+
     // ---- exact dedup: hash-groupBy on content (ref: DataLoader.py:190-196
     //      duplicate-line detection; Spark-scale: one shuffle on md5(text),
     //      survivor = min id — no sort, no window) ------------------------
