@@ -414,6 +414,55 @@ object RelationalQueries extends Registry {
           .orderBy($"brand_id")
       },
       Some("""SELECT p_brand, CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS INT) AS brand_id
-        FROM (SELECT DISTINCT p_brand FROM part) ORDER BY brand_id"""))
+        FROM (SELECT DISTINCT p_brand FROM part) ORDER BY brand_id""")),
+
+    // ---- D4 extension: hierarchical totals via ROLLUP — per-(segment,
+    //      nation) revenue plus segment subtotals plus a grand total in ONE
+    //      aggregation pass (Spark expands grouping sets in the partial
+    //      aggregate; no extra scan per level). NULL grouping keys are
+    //      coalesced to sentinels so both engines label totals identically. -
+    Q("q79_rollup_revenue",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .rollup($"c_mktsegment", $"c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec2($"o_totalprice")).cast("double").as("revenue"))
+          .select(coalesce($"c_mktsegment", lit("ALL")).as("segment"),
+            coalesce($"c_nationkey", lit(-1)).cast("int").as("nationkey"),
+            $"n_orders", $"revenue")
+          .orderBy($"segment", $"nationkey")
+      },
+      Some("""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+          CAST(COALESCE(c_nationkey, -1) AS INT) AS nationkey,
+          count(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+        ORDER BY segment, nationkey""")),
+
+    // ---- E extension: pivot (long → wide) — per-user event counts with one
+    //      column per event type. The value list is EXPLICIT, which is the
+    //      scale rule: an unlisted pivot runs a distinct-scan job first and
+    //      caps at spark.sql.pivotMaxValues; listing values keeps the plan a
+    //      single pass. Missing cells are 0, matching the CASE-count twin. --
+    Q("q80_pivot_events",
+      (s, dir) => {
+        import s.implicits._
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = t(s, dir, "events")
+          .groupBy($"user_id").pivot("event_type", types).agg(count(lit(1)))
+        types.foldLeft(wide)((df, c) =>
+            df.withColumn(c, coalesce(col(c), lit(0L))))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+          count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+          count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+          count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+          count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+          count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }
