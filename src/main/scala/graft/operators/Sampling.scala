@@ -41,6 +41,22 @@ object Sampling {
     s"((CAST($poly % $detRandP AS DOUBLE) + 0.5) / $detRandP.0)"
   }
 
+  /** Deterministic train/val/test split: the split label is a pure function
+    * of (seed, key), so the assignment is identical for any partitioning,
+    * executor count, or scale — unlike `DataFrame.randomSplit`, whose
+    * per-partition RNG re-deals rows whenever the input splits differently.
+    * Row-local (zero shuffle); fractions are expected proportions, exact in
+    * distribution, not exact counts.
+    */
+  def datasetSplit(df: DataFrame, seed: Long, keyCols: Seq[String],
+      valFrac: Double = 0.05, testFrac: Double = 0.05): DataFrame = {
+    val r = detRand(seed, keyCols.map(col): _*)
+    df.withColumn("split",
+      when(r < 1.0 - valFrac - testFrac, "train")
+        .when(r < 1.0 - testFrac, "val")
+        .otherwise("test"))
+  }
+
   /** Uniform sample of n rows per group, without replacement
     * (ref: InstanceDataHandler.py:412-424 rng.choice replace=False).
     */

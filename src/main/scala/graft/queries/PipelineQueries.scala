@@ -179,6 +179,26 @@ object PipelineQueries extends Registry {
         SELECT c_mktsegment, c_custkey, c_name FROM r WHERE rn <= 4
         ORDER BY c_mktsegment, c_custkey""")),
 
+    // ---- deterministic train/val/test split: the label is a pure hash of
+    //      (seed, doc_id) — identical assignment at any partitioning or
+    //      scale, which DataFrame.randomSplit cannot guarantee. Zero-shuffle
+    //      label, one aggregation for the per-(split, lang) audit. ----------
+    Q("q81_dataset_split",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.datasetSplit(Tables(s, dir, "documents"), seed = 13,
+            keyCols = Seq("doc_id"), valFrac = 0.05, testFrac = 0.05)
+          .groupBy($"split", $"lang").agg(count(lit(1)).as("n_docs"))
+          .orderBy($"split", $"lang")
+      },
+      Some(s"""WITH sp AS (SELECT lang,
+            CASE WHEN ${Sampling.detRandSql(13, Seq("doc_id"))} < 0.90 THEN 'train'
+                 WHEN ${Sampling.detRandSql(13, Seq("doc_id"))} < 0.95 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, lang, count(*) AS n_docs FROM sp
+        GROUP BY split, lang ORDER BY split, lang""")),
+
     // ---- F3 seeded distinct-value sampling (prompt value sampling) -------
     Q("q51_distinct_sample",
       (s, dir) => {

@@ -20,6 +20,21 @@ class SamplingSpec extends SparkSpec {
     assert(a.groupBy(_.getString(0)).forall(_._2.size == 5))
   }
 
+  test("datasetSplit: partition-invariant labels, full coverage, sane fractions") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      Sampling.datasetSplit(df, seed = 13, keyCols = Seq("doc_id"))
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = labels(docs)
+    val b = labels(docs.repartition(11)) // randomSplit would re-deal here
+    assert(a == b, "split labels must not depend on physical partitioning")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    val n = a.size.toDouble
+    val train = a.values.count(_ == "train") / n
+    assert(train > 0.8 && train < 0.98, s"train fraction off: $train")
+  }
+
   test("different seeds give different samples") {
     val a = Sampling.distinctValues(lineitem, "l_partkey", 10, seed = 1).collect().toSet
     val b = Sampling.distinctValues(lineitem, "l_partkey", 10, seed = 2).collect().toSet

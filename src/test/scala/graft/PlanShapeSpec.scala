@@ -72,4 +72,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q75: as-of join shuffles the union once (plus the right-side pre-agg), no range join") {
+    val p = plan("q75_asof_join")
+    // exchange 1: purchases pre-aggregate on (user_id, ts) — q75's own
+    // uniqueness step; exchange 2: the as-of union partitions on user_id.
+    // The final ORDER BY is rangepartitioning, not counted here.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"as-of join should shuffle at most twice, got $hashEx:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of join fell back to a product join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected running-window fill:\n$p")
+  }
+
+  test("q79: rollup is one aggregation pass (Expand), not one scan per level") {
+    val p = plan("q79_rollup_revenue")
+    assert(p.contains("Expand"), s"rollup should plan an Expand:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"rollup re-scanned inputs, $scans scans:\n$p")
+  }
+
+  test("q80: explicit-value pivot is a single scan — no distinct pre-scan job") {
+    val p = plan("q80_pivot_events")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"pivot should scan events once, got $scans:\n$p")
+    // pivot = two chained aggregations (count on (user, type), then
+    // pivotfirst on user) — two hash exchanges is the canonical shape
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"pivot should need at most two exchanges, got $hashEx:\n$p")
+  }
+
+  test("q81: split label is row-local — zero hash exchanges before the audit agg") {
+    val p = plan("q81_dataset_split")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"split labeling must not shuffle, got $hashEx:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in split plan:\n$p")
+  }
 }
