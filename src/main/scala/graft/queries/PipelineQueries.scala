@@ -275,6 +275,38 @@ object PipelineQueries extends Registry {
       },
       None),
 
+    // ---- multimodal byte audit — the ORACLE-CHECKABLE half of the q38
+    //      path: the same MediaRow → mapPartitions batch pipeline, but
+    //      aggregating features DuckDB can recompute (the binary content is
+    //      UTF-8 text bytes, so octet_length(encode(text)) replays n_bytes
+    //      exactly). Proves the binary plumbing end-to-end at the driver
+    //      gate; only the codec stub's outputs stay golden-pinned. ----------
+    Q("q82_multimodal_audit",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val modality = Seq("image", "audio", "video")((id % 3).toInt)
+            Multimodal.MediaRow(id, modality, s"application/x-$modality",
+              text.getBytes("UTF-8"))
+          }
+        Multimodal.extractFeatures(media)
+          .toDF()
+          .groupBy($"modality")
+          .agg(count(lit(1)).as("n_media"),
+            sum($"n_bytes").as("total_bytes"),
+            max($"n_bytes").as("max_bytes"))
+          .orderBy($"modality")
+      },
+      Some("""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                     ELSE 'video' END AS modality,
+          count(*) AS n_media,
+          CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+          CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        FROM documents GROUP BY 1 ORDER BY modality""")),
+
     // ---- C4 avg-logits fusion through the production operator, with
     //      deterministic inputs so the oracle can check the full path ------
     Q("q40_fusion_operator",
