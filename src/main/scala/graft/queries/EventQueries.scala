@@ -181,6 +181,27 @@ object EventQueries extends Registry {
           j AS (SELECT e.event_type, wt, value FROM events e JOIN dim USING (event_type))
         SELECT event_type, CAST(wt AS DOUBLE) AS weight, count(*) AS n_events,
           CAST(SUM(CAST(value AS DECIMAL(18,6))) * wt AS DOUBLE) AS weighted_value
-        FROM j GROUP BY event_type, wt ORDER BY event_type"""))
+        FROM j GROUP BY event_type, wt ORDER BY event_type""")),
+
+    // ---- running totals: per-user cumulative purchase value + purchase
+    //      index — both window functions share ONE (user_id) shuffle; the
+    //      running sum stays exact decimal until the per-row double cast. --
+    Q("q83_running_totals",
+      (s, dir) => {
+        import s.implicits._
+        val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir).filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"ts",
+            sum($"value".cast("decimal(18,6)")).over(cum).cast("double").as("running_value"),
+            row_number().over(ord).as("purchase_idx"))
+          .orderBy($"user_id", $"purchase_idx")
+      },
+      Some("""SELECT user_id, event_id, ts,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS purchase_idx
+        FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id, purchase_idx"""))
   )
 }

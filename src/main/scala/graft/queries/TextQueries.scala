@@ -188,6 +188,26 @@ object TextQueries extends Registry {
         WHERE pred_lang = 'en' AND quality >= 0.4
         ORDER BY q.doc_id""")),
 
+    // ---- vocabulary build: corpus-wide token frequency + document
+    //      frequency, top-100 — the vocab/stopword-discovery step of a
+    //      tokenizer pipeline. One shuffle for the (token) aggregation;
+    //      the top-k is TakeOrdered (per-partition heaps), not a global
+    //      sort, so the full vocab never funnels through one task. ---------
+    Q("q84_vocab_topk",
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select($"doc_id", explode(tokens(lower($"text"))).as("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("df"))
+          .orderBy($"n".desc, $"token").limit(100)
+          .orderBy($"n".desc, $"token")
+      },
+      Some("""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 100""")),
+
     // ---- exact dedup: hash-groupBy on content (ref: DataLoader.py:190-196
     //      duplicate-line detection; Spark-scale: one shuffle on md5(text),
     //      survivor = min id — no sort, no window) ------------------------
