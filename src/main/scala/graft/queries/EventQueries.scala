@@ -202,6 +202,72 @@ object EventQueries extends Registry {
             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS purchase_idx
         FROM events WHERE event_type = 'purchase'
-        ORDER BY user_id, purchase_idx"""))
+        ORDER BY user_id, purchase_idx""")),
+
+    // ---- inter-event gaps: lag() per user, then gap stats. One (user_id)
+    //      shuffle shared by the window and the aggregation (the groupBy
+    //      reuses the window's hash partitioning — no second exchange).
+    //      Gaps are exact microsecond longs end-to-end; the two double
+    //      divisions at the end are single operations, identical in any
+    //      IEEE engine — no parallel double summation anywhere. -----------
+    Q("q88_event_gaps",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        events(s, dir)
+          .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+          .withColumn("gap_us", $"us" - lag($"us", 1).over(w))
+          .filter($"gap_us".isNotNull)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum($"gap_us").as("sum_us"),
+            max($"gap_us").as("max_us"))
+          .select($"user_id", $"n_gaps",
+            ($"sum_us".cast("double") / 1000000.0 / $"n_gaps").as("avg_gap_sec"),
+            ($"max_us".cast("double") / 1000000.0).as("max_gap_sec"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH g AS (SELECT user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events)
+        SELECT user_id, count(*) AS n_gaps,
+          CAST(sum(gap_us) AS DOUBLE) / 1000000.0 / count(*) AS avg_gap_sec,
+          CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_sec
+        FROM g WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- interval join (batch twin of a stream-stream join): for every
+    //      purchase, the clicks by the same user in the preceding 30
+    //      minutes. Equi-key on user_id + a bounded time-range predicate —
+    //      Spark plans one hash shuffle on user_id and evaluates the range
+    //      inside the join; state is bounded exactly the way the streaming
+    //      interval join bounds it with watermarks (StreamingOps.intervalJoin
+    //      is the incremental twin, run on a MemoryStream in StreamingSpec).
+    //      LEFT join keeps
+    //      click-less purchases so the output is one row per purchase. ----
+    Q("q94_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        val purch = events(s, dir).filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+        val clicks = events(s, dir).filter($"event_type" === "click")
+          .select($"user_id", $"ts".as("c_ts"))
+        purch.join(clicks,
+            purch("user_id") === clicks("user_id") &&
+              $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") && $"c_ts" < $"p_ts",
+            "left")
+          .groupBy($"purchase_id", $"p_ts")
+          .agg(count($"c_ts").as("n_prior_clicks"),
+            max($"c_ts").as("last_click_ts"))
+          .select($"purchase_id", $"p_ts", $"n_prior_clicks", $"last_click_ts")
+          .orderBy($"purchase_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.ts AS p_ts,
+          count(c.ts) AS n_prior_clicks, max(c.ts) AS last_click_ts
+        FROM events p LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.ts ORDER BY purchase_id"""))
   )
 }

@@ -381,6 +381,37 @@ object IngestQueries extends Registry {
       },
       Some(s"""SELECT n_regionkey, n_nations
         FROM read_csv('$fixDir/q70_report/*.csv', header=true, all_varchar=true)
-        ORDER BY n_regionkey"""))
+        ORDER BY n_regionkey""")),
+
+    // ---- ORC sink + source roundtrip: write a filtered/projected orders
+    //      slice as ORC, read it back, aggregate. Exercises the second
+    //      columnar format end-to-end (schema, timestamps, predicate
+    //      pushdown on the re-read — ORC supports PushedFilters exactly
+    //      like parquet). The oracle can't read ORC, so it recomputes the
+    //      same aggregate from the parquet source — a lossless roundtrip
+    //      is exactly what makes the two agree. The fixture dir is keyed
+    //      by SF so Verify (sf0.01) and Bench (sf0.1) never clobber each
+    //      other's bytes mid-comparison. -----------------------------------
+    Q("q92_orc_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val sfKey = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+        val orcPath = s"$fixDir/q92_orders_$sfKey.orc"
+        Tables(s, dir, "orders")
+          .filter($"o_orderstatus" =!= "F")
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice", $"o_orderdate")
+          .write.mode("overwrite").orc(orcPath)
+        s.read.orc(orcPath)
+          .filter(year($"o_orderdate") >= 1993)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_orderstatus <> 'F' AND year(o_orderdate) >= 1993
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

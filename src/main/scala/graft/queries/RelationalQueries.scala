@@ -463,6 +463,55 @@ object RelationalQueries extends Registry {
           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
           count(CASE WHEN event_type = 'view' THEN 1 END) AS view
-        FROM events GROUP BY user_id ORDER BY user_id"""))
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- exact percentiles: linear-interpolated quantiles of the price
+    //      distribution per return flag. Spark's `percentile` is the exact
+    //      sort-based aggregate (per-group sort, distributes across flags);
+    //      at 100 TB swap in approx_percentile for a single-pass sketch —
+    //      this query pins the exact contract the sketch is judged against.
+    //      Both engines interpolate as lo + (hi-lo)*frac on doubles, a
+    //      three-op expression identical under IEEE — no rounding needed on
+    //      the quantile itself; inputs are exact 2-dp decimals. ------------
+    Q("q89_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            expr("percentile(l_extendedprice, 0.25)").as("p25"),
+            expr("percentile(l_extendedprice, 0.5)").as("p50"),
+            expr("percentile(l_extendedprice, 0.9)").as("p90"),
+            expr("percentile(l_extendedprice, 0.99)").as("p99"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+          quantile_cont(l_extendedprice, 0.25) AS p25,
+          quantile_cont(l_extendedprice, 0.5) AS p50,
+          quantile_cont(l_extendedprice, 0.9) AS p90,
+          quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- deterministic stratified sample: fixed-size per-stratum draw
+    //      keyed by md5 of the row key — partition-invariant (unlike
+    //      rand()-based sampleBy) and reproducible in any engine. One
+    //      (source) shuffle; per-task window state is one stratum. --------
+    Q("q90_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+        t(s, dir, "documents")
+          .select($"source", $"doc_id", $"lang")
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 2)
+          .orderBy($"source", $"rk")
+      },
+      Some("""SELECT source, doc_id, lang, CAST(rk AS INT) AS rk FROM (
+          SELECT source, doc_id, lang, row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 2 ORDER BY source, rk"""))
   )
 }

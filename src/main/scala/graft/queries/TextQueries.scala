@@ -483,7 +483,124 @@ object TextQueries extends Registry {
         CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_re_tokens,
         CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END AS chars_match
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- winnowing fingerprints (rolling-hash document fingerprinting,
+    //      Schleimer et al. MOSS): hash every char 8-gram, keep the min
+    //      hash of each 4-wide sliding window, count distinct selected
+    //      fingerprints. Entirely ROW-LOCAL via array higher-order
+    //      functions — zero shuffle, no per-position explode: at 100 TB
+    //      the whole operator is a map over the corpus partitions. The
+    //      O(len·w) window scan is bounded by w=4; the per-doc arrays
+    //      (len·32B md5 strings) stay under task memory for any document
+    //      that fits in a row. -------------------------------------------
+    Q("q85_winnowing",
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .withColumn("grams", expr(
+            """CASE WHEN length(text) >= 8
+                 THEN transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))
+                 ELSE array() END"""))
+          .withColumn("wins", expr(
+            """CASE WHEN size(grams) >= 4
+                 THEN transform(sequence(1, size(grams) - 3), i -> array_min(slice(grams, i, 4)))
+                 ELSE array() END"""))
+          .select($"doc_id",
+            size($"grams").as("n_kgrams"),
+            size(array_distinct($"wins")).as("n_fp"),
+            array_min($"wins").as("min_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+          [md5(substr(text, i, 8)) for i in range(1, greatest(len(text) - 7, 0) + 1)] AS grams
+          FROM documents),
+        w AS (SELECT doc_id, len(grams) AS n_kgrams,
+          [list_min(grams[i:i+3]) for i in range(1, greatest(len(grams) - 3, 0) + 1)] AS wins
+          FROM g)
+        SELECT doc_id, CAST(n_kgrams AS INT) AS n_kgrams,
+          CAST(len(list_distinct(wins)) AS INT) AS n_fp,
+          list_min(wins) AS min_fp
+        FROM w ORDER BY doc_id""")),
+
+    // ---- n-gram repetition filter (Gopher-style quality rule): fraction
+    //      of duplicated word bigrams/trigrams per document; high values
+    //      flag boilerplate/looping text. Row-local array ops — zero
+    //      shuffle; the dup fraction is a ratio of two small exact ints so
+    //      the double division is engine-agnostic. ------------------------
+    Q("q86_repetition_filter",
+      (s, dir) => {
+        import s.implicits._
+        def grams(n: Int) = expr(
+          s"""CASE WHEN size(toks) >= $n
+               THEN transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))
+               ELSE array() END""")
+        docs(s, dir)
+          .withColumn("toks", tokens(lower($"text")))
+          .withColumn("g2", grams(2)).withColumn("g3", grams(3))
+          .select($"doc_id",
+            size($"g2").as("n_bigrams"),
+            (size($"g2") - size(array_distinct($"g2"))).as("n_dup_bigrams"),
+            ((size($"g2") - size(array_distinct($"g2"))).cast("double") /
+              greatest(size($"g2"), lit(1))).as("dup2_frac"),
+            ((size($"g3") - size(array_distinct($"g3"))).cast("double") /
+              greatest(size($"g3"), lit(1))).as("dup3_frac"))
+          .withColumn("keep", when($"dup2_frac" <= 0.2, 1).otherwise(0))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        g AS (SELECT doc_id,
+          [array_to_string(toks[i:i+1], ' ') for i in range(1, greatest(len(toks) - 1, 0) + 1)] AS g2,
+          [array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks) - 2, 0) + 1)] AS g3
+          FROM t)
+        SELECT doc_id,
+          CAST(len(g2) AS INT) AS n_bigrams,
+          CAST(len(g2) - len(list_distinct(g2)) AS INT) AS n_dup_bigrams,
+          CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / greatest(len(g2), 1) AS dup2_frac,
+          CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / greatest(len(g3), 1) AS dup3_frac,
+          CASE WHEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / greatest(len(g2), 1) <= 0.2
+               THEN 1 ELSE 0 END AS keep
+        FROM g ORDER BY doc_id""")),
+
+    // ---- TF-IDF top terms per document: tf from the target docs only
+    //      (filter pushed below the explode), df from the whole corpus.
+    //      Scale: the df table is vocab-sized (≪ corpus) and joins on
+    //      token after its own single aggregation; the corpus-size scalar
+    //      rides in via a 1-row broadcast cross join, never a driver-side
+    //      collect. Top-3 cut per doc partitions by doc_id — per-task state
+    //      is one document's term list. ln() is not correctly-rounded
+    //      libm-portable, so the score is rounded to 6 dp on both sides. --
+    Q("q87_tfidf",
+      (s, dir) => {
+        import s.implicits._
+        val toks = docs(s, dir).select($"doc_id", explode(tokens(lower($"text"))).as("token"))
+        val tf = toks.filter($"doc_id" < 20)
+          .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
+        val total = docs(s, dir).agg(countDistinct($"doc_id").as("n_docs"))
+        val w = Window.partitionBy($"doc_id")
+          .orderBy($"tfidf".desc, $"token")
+        tf.join(dfreq, "token")
+          .join(broadcast(total))
+          .withColumn("tfidf", round($"tf" * log($"n_docs".cast("double") / $"df"), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"rank", $"token", $"tf".cast("long").as("tf"),
+            $"df".cast("long").as("df"), $"tfidf")
+          .orderBy($"doc_id", $"rank")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks WHERE doc_id < 20 GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+        total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (SELECT doc_id, token, tf, df,
+            round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+          FROM tf JOIN dfreq USING (token) CROSS JOIN total),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, token) AS rank FROM scored)
+        SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, tfidf
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
   )
 
   /** Shared 60-bit SimHash plan: token-frequency-weighted ±1 vote per bit;

@@ -180,6 +180,49 @@ object VectorQueries extends Registry {
           ${cosineSql("a.embedding", "b.embedding")} AS cosine
         FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
         ORDER BY cosine DESC, vec_a, vec_b LIMIT 30"""
-      })
+      }),
+
+    // ---- k-means Lloyd step (the IVF "training" pass): assign every
+    //      vector to its max-cosine centroid (broadcast centroids, one
+    //      map-side pass — the same coarse quantizer q31/q43 use), then
+    //      recompute the centroid means. Cross-row float sums are NOT
+    //      order-stable under parallelism, so each component is quantized
+    //      to an exact long (round(x·1000)) before the sum — the shuffle
+    //      carries longs, the aggregation is associative-exact at any
+    //      partitioning, and the mean divides back to double at the end.
+    //      Emits the first 8 dims per centroid (8×8 rows). At 100 TB this
+    //      is the per-iteration shape: broadcast k centroids, one shuffle
+    //      of (cid, dim, long) partial sums. ------------------------------
+    Q("q93_kmeans_step",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
+        ivfAssign(s, e)
+          .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
+          .filter($"dim" < 8)
+          .withColumn("q", round($"v".cast("double") * 1000.0).cast("long"))
+          .groupBy($"cid", $"dim")
+          .agg(count(lit(1)).as("n_members"), sum($"q").as("sq"))
+          .select($"cid", $"dim", $"n_members",
+            ($"sq".cast("double") / 1000.0 / $"n_members").as("mean_q"))
+          .orderBy($"cid", $"dim")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+            FROM embeddings WHERE vec_id < 8),
+        m AS (SELECT cid, embedding FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${dotSql("c.cv", "e.embedding")}
+                  / (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                c.cid) AS arn
+            FROM embeddings e, cents c)
+          WHERE arn = 1),
+        x AS (SELECT cid, dim,
+            CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+          FROM m, UNNEST(range(0, 8)) AS t(dim))
+        SELECT cid, CAST(dim AS INT) AS dim, count(*) AS n_members,
+          CAST(sum(q) AS DOUBLE) / 1000.0 / count(*) AS mean_q
+        FROM x GROUP BY cid, dim ORDER BY cid, dim"""))
   )
 }

@@ -40,6 +40,33 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join (streaming twin of q94): each purchase
+    * joined to the same user's clicks in the preceding `lookbackMinutes`.
+    * Both sides carry watermarks and the join predicate is time-bounded in
+    * BOTH directions, so Spark can expire buffered rows: click state is
+    * retained only `lookback + watermark` past the event time, purchase
+    * state until its lookback window can no longer match. Left-outer
+    * null-padding for click-less purchases is emitted once the watermark
+    * passes the purchase's window — the same rows the batch LEFT JOIN
+    * produces, delivered incrementally.
+    *
+    * Column contract: purchases(p_user, purchase_id, p_ts),
+    * clicks(c_user, c_ts).
+    */
+  def intervalJoin(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      lookbackMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("p_ts", watermarkDelay)
+    val c = clicks.withWatermark("c_ts", watermarkDelay)
+    p.join(c, expr(
+      s"""c_user = p_user
+          AND c_ts >= p_ts - INTERVAL $lookbackMinutes MINUTES
+          AND c_ts < p_ts"""), "leftOuter")
+      .select(col("p_user"), col("purchase_id"), col("p_ts"), col("c_ts"))
+  }
+
   final case class Evt(user_id: Long, ts: Timestamp)
   final case class Session(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)

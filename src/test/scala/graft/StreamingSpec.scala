@@ -63,6 +63,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches q94's batch semantics incrementally") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val purch = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val q = StreamingOps.intervalJoin(
+        purch.toDF().toDF("p_user", "purchase_id", "p_ts"),
+        clicks.toDF().toDF("c_user", "c_ts"))
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two clicks inside the 30-min lookback, one exactly ON the
+      // purchase instant (excluded: c_ts < p_ts is strict), one before the
+      // window. user 2: purchase with no clicks at all.
+      clicks.addData(
+        (1L, ts("2024-01-01 09:50:00")), (1L, ts("2024-01-01 09:59:00")),
+        (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 09:20:00")))
+      purch.addData((1L, 100L, ts("2024-01-01 10:00:00")),
+        (2L, 200L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val inner = s.table("ivj").filter($"c_ts".isNotNull)
+        .collect().map(r => (r.getLong(1), r.getTimestamp(3).toString)).toSet
+      assert(inner == Set((100L, "2024-01-01 09:50:00.0"), (100L, "2024-01-01 09:59:00.0")))
+
+      // advance both watermarks far past user 2's window; the next batch
+      // emits the null-padded row the batch LEFT JOIN would produce
+      clicks.addData((9L, ts("2024-01-01 12:00:00")))
+      purch.addData((9L, 900L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      clicks.addData((9L, ts("2024-01-01 12:30:00")))
+      purch.addData((9L, 901L, ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val unmatched = s.table("ivj").filter($"c_ts".isNull)
+        .collect().map(_.getLong(1)).toSet
+      assert(unmatched.contains(200L), "click-less purchase must null-pad after watermark")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on in-batch gap and on watermark timeout") {
     val s = spark
     import s.implicits._
