@@ -268,6 +268,124 @@ object EventQueries extends Registry {
           ON c.user_id = p.user_id AND c.event_type = 'click'
          AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
         WHERE p.event_type = 'purchase'
-        GROUP BY p.event_id, p.ts ORDER BY purchase_id"""))
+        GROUP BY p.event_id, p.ts ORDER BY purchase_id""")),
+
+    // ---- conversion funnel (forward as-of): for every signup, the same
+    //      user's FIRST purchase at-or-after it, aggregated per signup day.
+    //      Same union+window pattern as the q75 as-of join but scanning
+    //      DESCENDING: one (user_id) shuffle, running min over purchase
+    //      times seen so far = earliest purchase >= current signup. On
+    //      equal timestamps kind 'p' sorts before 's' in the desc scan, so
+    //      a same-instant purchase counts (inclusive at-or-after). No
+    //      range join, no per-signup subquery — state per task is one
+    //      user's event list. Waits stay exact microsecond longs; the two
+    //      trailing double divisions are single IEEE ops. -----------------
+    Q("q95_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+          .filter($"event_type".isin("signup", "purchase"))
+          .select($"user_id", unix_micros($"ts").as("us"), $"ts",
+            when($"event_type" === "purchase", "p").otherwise("s").as("kind"))
+        val w = Window.partitionBy($"user_id").orderBy($"us".desc, $"kind")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("next_p_us", min(when($"kind" === "p", $"us")).over(w))
+          .filter($"kind" === "s")
+          .withColumn("wait_us", $"next_p_us" - $"us")
+          .groupBy(date_trunc("day", $"ts").as("signup_day"))
+          .agg(count(lit(1)).as("n_signups"),
+            count($"wait_us").as("n_converted"),
+            sum(when($"wait_us" <= 24L * 3600 * 1000000, 1L).otherwise(0L))
+              .as("n_within_24h"),
+            sum($"wait_us").as("sum_wait_us"))
+          .select($"signup_day", $"n_signups", $"n_converted", $"n_within_24h",
+            ($"sum_wait_us".cast("double") / $"n_converted" / 3600000000.0)
+              .as("avg_hours_to_purchase"))
+          .orderBy($"signup_day")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, ts,
+            CASE WHEN event_type = 'purchase' THEN 'p' ELSE 's' END AS kind
+          FROM events WHERE event_type IN ('signup', 'purchase')),
+        nxt AS (SELECT *,
+            min(CASE WHEN kind = 'p' THEN us END) OVER (PARTITION BY user_id
+              ORDER BY us DESC, kind ROWS UNBOUNDED PRECEDING) AS next_p_us
+          FROM ev),
+        s AS (SELECT *, next_p_us - us AS wait_us FROM nxt WHERE kind = 's')
+        SELECT date_trunc('day', ts) AS signup_day, count(*) AS n_signups,
+          count(wait_us) AS n_converted,
+          CAST(sum(CASE WHEN wait_us <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_within_24h,
+          CAST(sum(wait_us) AS DOUBLE) / count(wait_us) / 3600000000.0
+            AS avg_hours_to_purchase
+        FROM s GROUP BY 1 ORDER BY signup_day""")),
+
+    // ---- weekly retention: active / new / retained / churned users per
+    //      week. Plan: one (user_id, week) distinct (shuffle 1), a per-user
+    //      lag window + first-week flag riding the SAME user partitioning,
+    //      then a week-keyed aggregation (shuffle 2, week-cardinality
+    //      rows). Churn needs the PREVIOUS week's active count — computed
+    //      with an unpartitioned lag over the aggregated weeks, which is
+    //      safe because that frame is O(weeks), not O(users). ------------
+    Q("q96_retention",
+      (s, dir) => {
+        import s.implicits._
+        val uw = events(s, dir)
+          .select($"user_id",
+            floor(datediff(to_date($"ts"), to_date(lit("2024-01-01"))) / 7)
+              .cast("int").as("week"))
+          .distinct()
+        val w = Window.partitionBy($"user_id").orderBy($"week")
+        val perWeek = uw
+          .withColumn("prev_week", lag($"week", 1).over(w))
+          .groupBy($"week")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when($"prev_week".isNull, 1L).otherwise(0L)).as("n_new"),
+            sum(when($"prev_week" === $"week" - 1, 1L).otherwise(0L)).as("n_retained"))
+        val wAll = Window.orderBy($"week")
+        perWeek
+          .withColumn("n_churned",
+            coalesce(lag($"n_active", 1).over(wAll) - $"n_retained", lit(0L)))
+          .orderBy($"week")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+            CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS INT) AS week
+          FROM events),
+        lagged AS (SELECT *, lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+          FROM uw),
+        pw AS (SELECT week, count(*) AS n_active,
+            CAST(sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+            CAST(sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+          FROM lagged GROUP BY week)
+        SELECT week, n_active, n_new, n_retained,
+          COALESCE(lag(n_active) OVER (ORDER BY week) - n_retained, 0) AS n_churned
+        FROM pw ORDER BY week""")),
+
+    // ---- event-type transition matrix (first-order Markov counts): lag
+    //      the per-user event sequence, count (prev → cur) pairs, and the
+    //      per-prev transition probability. One user shuffle for the lag,
+    //      one tiny (type², i.e. 25-row) aggregation; the probability is a
+    //      window sum over those 25 rows — driver-scale state only. -------
+    Q("q97_transitions",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        val pairs = events(s, dir)
+          .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type", $"event_type").agg(count(lit(1)).as("n"))
+        pairs
+          .withColumn("p",
+            $"n".cast("double") / sum($"n").over(Window.partitionBy($"prev_type")))
+          .orderBy($"prev_type", $"event_type")
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        pairs AS (SELECT prev_type, event_type, count(*) AS n FROM seq
+          WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type)
+        SELECT prev_type, event_type, n,
+          CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+        FROM pairs ORDER BY prev_type, event_type"""))
   )
 }

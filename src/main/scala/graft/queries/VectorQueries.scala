@@ -223,6 +223,70 @@ object VectorQueries extends Registry {
           FROM m, UNNEST(range(0, 8)) AS t(dim))
         SELECT cid, CAST(dim AS INT) AS dim, count(*) AS n_members,
           CAST(sum(q) AS DOUBLE) / 1000.0 / count(*) AS mean_q
-        FROM x GROUP BY cid, dim ORDER BY cid, dim"""))
+        FROM x GROUP BY cid, dim ORDER BY cid, dim""")),
+
+    // ---- product quantization encode (IVF-PQ's second half): the 64-dim
+    //      vector splits into 4 subspaces of 16 dims; each subvector maps
+    //      to its nearest of 8 deterministic codes (vec_id < 8 slices), so
+    //      a vector compresses to 4 small ints + a quantization error.
+    //      Scale shape: the codebook is broadcast (k·m tiny), distances are
+    //      evaluated map-side as row-local sequential folds (deterministic
+    //      IEEE order — a parallel sum could flip argmin boundaries), and
+    //      the only shuffle carries (vec, subspace, best-code) rows. The
+    //      per-vector error sums 4 doubles whose ADDITION ORDER must not
+    //      float — each distance is quantized to an exact 1e-6 long before
+    //      the sum, and divided back at the end. ---------------------------
+    Q("q98_pq_encode",
+      (s, dir) => {
+        import s.implicits._
+        val codes = emb(s, dir).filter($"vec_id" < 8)
+          .select($"vec_id".as("code"), $"embedding".as("cv"))
+        val dist = expr(
+          """aggregate(sequence(0, 15), CAST(0.0 AS DOUBLE),
+            |  (acc, i) -> acc +
+            |    (CAST(element_at(embedding, s * 16 + i + 1) AS DOUBLE) -
+            |     CAST(element_at(cv, s * 16 + i + 1) AS DOUBLE)) *
+            |    (CAST(element_at(embedding, s * 16 + i + 1) AS DOUBLE) -
+            |     CAST(element_at(cv, s * 16 + i + 1) AS DOUBLE)))""".stripMargin)
+        val w = Window.partitionBy($"vec_id", $"s").orderBy($"dist", $"code")
+        emb(s, dir).join(broadcast(codes))
+          .select($"vec_id", $"code", explode(sequence(lit(0), lit(3))).as("s"),
+            $"embedding", $"cv")
+          .withColumn("dist", dist)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .groupBy($"vec_id")
+          .agg(
+            max(when($"s" === 0, $"code")).as("code0"),
+            max(when($"s" === 1, $"code")).as("code1"),
+            max(when($"s" === 2, $"code")).as("code2"),
+            max(when($"s" === 3, $"code")).as("code3"),
+            (sum(round($"dist" * 1e6).cast("long")).cast("double") / 1e6).as("recon_err"))
+          .orderBy($"vec_id")
+      },
+      Some {
+        val distSql =
+          "list_reduce(list_transform(range(0, 16), i -> " +
+            "(CAST(e.embedding[t.s * 16 + i + 1] AS DOUBLE) - CAST(c.cv[t.s * 16 + i + 1] AS DOUBLE)) * " +
+            "(CAST(e.embedding[t.s * 16 + i + 1] AS DOUBLE) - CAST(c.cv[t.s * 16 + i + 1] AS DOUBLE))), " +
+            "(acc, x) -> acc + x)"
+        s"""WITH codes AS (SELECT vec_id AS code, embedding AS cv
+              FROM embeddings WHERE vec_id < 8),
+          d AS (SELECT e.vec_id, c.code, t.s, $distSql AS dist
+                FROM embeddings e CROSS JOIN codes c
+                CROSS JOIN (SELECT unnest(range(0, 4)) AS s) t),
+          best AS (SELECT vec_id, s, code, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                  ORDER BY dist, code) AS rn FROM d)
+              WHERE rn = 1)
+          SELECT vec_id,
+            max(CASE WHEN s = 0 THEN code END) AS code0,
+            max(CASE WHEN s = 1 THEN code END) AS code1,
+            max(CASE WHEN s = 2 THEN code END) AS code2,
+            max(CASE WHEN s = 3 THEN code END) AS code3,
+            CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+              AS recon_err
+          FROM best GROUP BY vec_id ORDER BY vec_id"""
+      })
   )
 }

@@ -109,4 +109,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx <= 1, s"split labeling must not shuffle, got $hashEx:\n$p")
     assert(!p.contains("Window"), s"unexpected window in split plan:\n$p")
   }
+
+  test("q85: winnowing fingerprints are row-local — no shuffle before the final sort") {
+    val p = plan("q85_winnowing")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"winnowing must not shuffle, got $hashEx:\n$p")
+  }
+
+  test("q87: df join is shuffled but the corpus-count join is broadcast") {
+    val p = plan("q87_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"1-row corpus count should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus count fell back to cartesian:\n$p")
+  }
+
+  test("q94: interval join is one hash join on user_id, not a product join") {
+    val p = plan("q94_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to a product join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join on user_id:\n$p")
+  }
+
+  test("q95: funnel as-of shuffles the signup/purchase union once on user_id") {
+    val p = plan("q95_funnel")
+    // exchange 1: the user_id window; exchange 2: the signup-day agg
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"funnel should shuffle at most twice, got $hashEx:\n$p")
+    assert(!p.contains("Join"), s"forward as-of must not plan a join:\n$p")
+  }
+
+  test("q98: PQ codebook is broadcast; distances are map-side") {
+    val p = plan("q98_pq_encode")
+    assert(p.contains("Broadcast"), s"codebook not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"codebook join shuffled:\n$p")
+  }
 }
