@@ -600,7 +600,88 @@ object TextQueries extends Registry {
         ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY tfidf DESC, token) AS rank FROM scored)
         SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, tfidf
-        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // ---- exact substring (chunk) dedup, Lee-et-al-style: hash overlapping
+    //      20-token chunks (stride 10), count how many documents share each
+    //      chunk, report the per-doc duplicated-chunk fraction. The suffix
+    //      -array of the paper collapses to a distributed-friendly shape:
+    //      chunking is row-local, the chunk table shuffles ONCE on the
+    //      chunk hash (window count — same pattern as q26), and the per-doc
+    //      rollup is the second, doc-keyed shuffle. Docs under 20 tokens
+    //      have no chunks and drop out (mirrored by the oracle). Skew
+    //      caveat: a boilerplate chunk shared by millions of docs lands one
+    //      window partition — salt-count + re-merge if expected. ----------
+    Q("q99_chunk_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val chunks = docs(s, dir)
+          .select($"doc_id", tokens(lower($"text")).as("toks"))
+          .withColumn("hs", expr(
+            """CASE WHEN size(toks) >= 20
+                 THEN transform(sequence(1, size(toks) - 19, 10),
+                        i -> md5(array_join(slice(toks, i, 20), ' ')))
+                 ELSE array() END"""))
+          .select($"doc_id", explode($"hs").as("chunk")).distinct()
+        chunks
+          .withColumn("n_docs", count(lit(1)).over(Window.partitionBy($"chunk")))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when($"n_docs" >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+          .select($"doc_id", $"n_chunks", $"n_dup_chunks",
+            ($"n_dup_chunks".cast("double") / $"n_chunks").as("dup_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        c AS (SELECT DISTINCT doc_id, unnest(
+            [md5(array_to_string(toks[i:i+19], ' ')) for i in range(1, greatest(len(toks) - 19, 0) + 1, 10)]
+          ) AS chunk FROM t),
+        w AS (SELECT doc_id, count(*) OVER (PARTITION BY chunk) AS n_docs FROM c)
+        SELECT doc_id, count(*) AS n_chunks,
+          CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+          CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        FROM w GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- PII scrubbing: redact emails / IPv4s / long digit runs, count
+    //      matches, pin the scrubbed text by md5. Entirely row-local
+    //      (regex over each doc; zero shuffle before the final sort). The
+    //      synthetic corpus has no organic PII, so the fixture is
+    //      generation-inverse (same pattern as the ingest queries): both
+    //      engines append a deterministic doc_id-derived email + IP to the
+    //      text, then both scrub it back out — the md5 pin proves the
+    //      redaction found exactly the planted + organic spans. -----------
+    Q("q100_pii_scrub",
+      (s, dir) => {
+        import s.implicits._
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val ip = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+        val digits = "\\d{9,}"
+        docs(s, dir)
+          .select($"doc_id",
+            concat($"text", lit(" reach user"), $"doc_id".cast("string"),
+              lit("@example.com at 10.0."), ($"doc_id" % 256).cast("string"),
+              lit(".7 ref 1234567890")).as("aug"))
+          .select($"doc_id",
+            regexp_count($"aug", lit(email)).cast("long").as("n_emails"),
+            regexp_count($"aug", lit(ip)).cast("long").as("n_ips"),
+            length($"aug").as("len_before"),
+            md5(regexp_replace(regexp_replace(regexp_replace(
+              $"aug", email, "[EMAIL]"), ip, "[IP]"), digits, "[NUM]")).as("scrub_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH a AS (SELECT doc_id,
+            text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7 ref 1234567890' AS aug
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(aug, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+          CAST(length(aug) AS INT) AS len_before,
+          md5(regexp_replace(regexp_replace(regexp_replace(aug,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+            '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g'),
+            '\d{9,}', '[NUM]', 'g')) AS scrub_md5
+        FROM a ORDER BY doc_id"""))
   )
 
   /** Shared 60-bit SimHash plan: token-frequency-weighted ±1 vote per bit;
