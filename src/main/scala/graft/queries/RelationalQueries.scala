@@ -512,6 +512,66 @@ object RelationalQueries extends Registry {
           SELECT source, doc_id, lang, row_number() OVER (PARTITION BY source
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           FROM documents)
-        WHERE rk <= 2 ORDER BY source, rk"""))
+        WHERE rk <= 2 ORDER BY source, rk""")),
+
+    // ---- CUBE grouping sets: revenue over every subset of
+    //      (market segment, order priority) in ONE aggregation pass —
+    //      Catalyst plans an Expand (×4 grouping sets) feeding a single
+    //      partial+final aggregate, exactly like q79's ROLLUP but over the
+    //      full lattice. grouping_id() disambiguates real NULLs from
+    //      subtotal rows. Exact decimal sums — associative under any
+    //      partitioning — cast to double at the edge. ---------------------
+    Q("q101_cube_revenue",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").join(t(s, dir, "customer"),
+            $"o_custkey" === $"c_custkey")
+          .cube($"c_mktsegment", $"o_orderpriority")
+          .agg(grouping_id().cast("int").as("gid"),
+            count(lit(1)).as("n_orders"),
+            sum(Num.dec2($"o_totalprice")).cast("double").as("revenue"))
+          .select($"gid", $"c_mktsegment", $"o_orderpriority", $"n_orders", $"revenue")
+          .orderBy($"gid", $"c_mktsegment", $"o_orderpriority")
+      },
+      Some("""SELECT CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+          c_mktsegment, o_orderpriority, count(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        ORDER BY gid, c_mktsegment, o_orderpriority""")),
+
+    // ---- time-series gap fill: hourly event counts INCLUDING empty hours.
+    //      The hour spine derives from a 1-row min/max aggregate expanded
+    //      row-locally (sequence + explode — no driver collect, no
+    //      generate_series job) and cross-joins the 5 event types — both
+    //      sides metadata-sized, so the spine build is a broadcast, and the
+    //      only data shuffle is the hourly count aggregation. LEFT join +
+    //      coalesce(0) fills the gaps. ------------------------------------
+    Q("q102_gap_fill",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val spine = ev
+          .agg(date_trunc("hour", min($"ts")).as("h0"),
+            date_trunc("hour", max($"ts")).as("h1"))
+          .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+          .crossJoin(ev.select($"event_type").distinct())
+        val counts = ev
+          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+        spine.join(counts, Seq("hour", "event_type"), "left")
+          .select($"hour", $"event_type", coalesce($"n", lit(0L)).as("n_events"))
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+            date_trunc('hour', max(ts)) AS h1 FROM events),
+        spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+        types AS (SELECT DISTINCT event_type FROM events),
+        counts AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT s.hour, t.event_type, COALESCE(c.n, 0) AS n_events
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+        ORDER BY s.hour, t.event_type"""))
   )
 }
