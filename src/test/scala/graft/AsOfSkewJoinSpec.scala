@@ -32,6 +32,49 @@ class AsOfSkewJoinSpec extends SparkSpec {
     assert(got(200L) == ((None, None))) // left-outer: no prior right row
   }
 
+  test("asOf carries a NULL right payload VALUE atomically — no field mixing") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, ts("2026-01-01 11:30:00"), 100L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts("2026-01-01 10:00:00"), Some(1.0)),
+      (1L, ts("2026-01-01 11:00:00"), None) // latest right row: v IS NULL
+    ).toDF("k", "ts", "v")
+    val r = AsOfJoin.asOf(left, right, Seq("k"), "ts")
+      .select($"r_ts", $"r_v").head()
+    // the 11:00 row must attach AS A WHOLE: (11:00, NULL) — a per-column
+    // ignoreNulls fill would fabricate (11:00, 1.0), a row that never existed
+    assert(r.getTimestamp(0) == ts("2026-01-01 11:00:00"))
+    assert(r.isNullAt(1), s"expected NULL r_v, got ${r.get(1)}")
+  }
+
+  test("asOf NULL keys match nothing, like an equi-join") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (Option.empty[Long], ts("2026-01-01 12:00:00"), 100L),
+      (Option(1L), ts("2026-01-01 12:00:00"), 101L)
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (Option.empty[Long], ts("2026-01-01 11:00:00"), 5.0),
+      (Option(1L), ts("2026-01-01 11:00:00"), 7.0)
+    ).toDF("k", "ts", "v")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts")
+      .collect().map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("r_v"))).toMap
+    assert(got(101L) == Some(7.0))
+    assert(got(100L).isEmpty, "NULL-key left row must not match NULL-key right rows")
+  }
+
+  test("saltedJoin keeps rows whose salt source is NULL") {
+    val s = spark
+    import s.implicits._
+    val big = Seq(("hot", Option(1L)), ("hot", Option.empty[Long]), ("cold", Option(3L)))
+      .toDF("k", "seed")
+    val dim = Seq(("hot", 2.0), ("cold", 3.0)).toDF("k", "w")
+    val salted = SkewAgg.saltedJoin(big, dim, Seq("k"), pmod($"seed", lit(97)))
+    assert(salted.count() == 3, "NULL salt source must not drop the row")
+  }
+
   test("asOf is partitioning-invariant (shuffled input, same result)") {
     val s = spark
     import s.implicits._
