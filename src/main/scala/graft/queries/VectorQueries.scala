@@ -239,15 +239,14 @@ object VectorQueries extends Registry {
     Q("q98_pq_encode",
       (s, dir) => {
         import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
         val codes = emb(s, dir).filter($"vec_id" < 8)
           .select($"vec_id".as("code"), $"embedding".as("cv"))
+        // native codegen'd kernel over the 16-dim slices: same left-to-right
+        // double accumulation as the lambda fold / DuckDB list_reduce, but a
+        // primitive loop inside whole-stage codegen
         val dist = expr(
-          """aggregate(sequence(0, 15), CAST(0.0 AS DOUBLE),
-            |  (acc, i) -> acc +
-            |    (CAST(element_at(embedding, s * 16 + i + 1) AS DOUBLE) -
-            |     CAST(element_at(cv, s * 16 + i + 1) AS DOUBLE)) *
-            |    (CAST(element_at(embedding, s * 16 + i + 1) AS DOUBLE) -
-            |     CAST(element_at(cv, s * 16 + i + 1) AS DOUBLE)))""".stripMargin)
+          "vec_l2sq(slice(embedding, s * 16 + 1, 16), slice(cv, s * 16 + 1, 16))")
         val w = Window.partitionBy($"vec_id", $"s").orderBy($"dist", $"code")
         emb(s, dir).join(broadcast(codes))
           .select($"vec_id", $"code", explode(sequence(lit(0), lit(3))).as("s"),

@@ -44,6 +44,23 @@ class VecDotSpec extends SparkSpec {
     assert(err.getMessage.contains("array<float>"))
   }
 
+  test("vec_l2sq matches the sequential fold bit-for-bit and codegens") {
+    VectorExpressions.register(spark)
+    val e = graft.core.Tables(spark, sfDir, "embeddings").limit(50)
+    val native = e.selectExpr("vec_id",
+      "vec_l2sq(slice(embedding, 1, 16), slice(embedding, 17, 16)) AS d")
+    val fold = e.selectExpr("vec_id",
+      """aggregate(sequence(0, 15), CAST(0.0 AS DOUBLE), (acc, i) -> acc +
+        |  (CAST(element_at(embedding, i + 1) AS DOUBLE) - CAST(element_at(embedding, i + 17) AS DOUBLE)) *
+        |  (CAST(element_at(embedding, i + 1) AS DOUBLE) - CAST(element_at(embedding, i + 17) AS DOUBLE))) AS d""".stripMargin)
+    val n = native.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val f = fold.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(n == f, "vec_l2sq must be bit-identical to the left-to-right fold")
+    val codegen = native.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), s"no codegen stage:\n$codegen")
+  }
+
   test("GraftExtensions injects vec_dot into a fresh session") {
     val fresh = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
