@@ -19,6 +19,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * via [[GraftExtensions]] (SparkSessionExtensions) or
   * [[VectorExpressions.register]] for an existing session.
   */
+private[expressions] object VecKernels {
+  /** Element accessors for float or double arrays; the math is always in
+    * doubles, so a float element is widened first — identical to
+    * `CAST(element_at(...) AS DOUBLE)` in the folds these kernels replace.
+    */
+  def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  def get(dt: DataType, arr: ArrayData, i: Int): Double = dt match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+  def getJava(dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(FloatType, _) => s"((double) $arr.getFloat($i))"
+    case _ => s"$arr.getDouble($i)"
+  }
+}
+
 final case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -26,14 +45,12 @@ final case class VecDot(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires two array<float> arguments, got " +
-            s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-    }
+    if (VecKernels.elemOk(left.dataType) && VecKernels.elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float>/array<double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -43,7 +60,7 @@ final case class VecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += VecKernels.get(left.dataType, x, i) * VecKernels.get(right.dataType, y, i)
       i += 1
     }
     acc
@@ -58,7 +75,7 @@ final case class VecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  $acc += ${VecKernels.getJava(left.dataType, x, i)} * ${VecKernels.getJava(right.dataType, y, i)};
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -153,13 +153,21 @@ object VectorQueries extends Registry {
     Q("q49_lsh_ann",
       (s, dir) => {
         import s.implicits._
-        // hp(j,d) = ((j*64+d)*2654435761 % 1000003)/1000003 - 0.5
-        def projection(j: Int) = expr(
-          s"""aggregate(sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE),
-             |  (acc, d) -> acc + CAST(element_at(embedding, d + 1) AS DOUBLE) *
-             |    (CAST(($j * 64 + d) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5))""".stripMargin)
+        graft.expressions.VectorExpressions.register(s)
+        // hp(j,d) = ((j*64+d)*2654435761 % 1000003)/1000003 - 0.5 — computed
+        // here with the same BIGINT/IEEE ops the oracle SQL uses, then baked
+        // in as literal double arrays so each projection is ONE native
+        // codegen'd vec_dot instead of an interpreted 64-step lambda fold
+        // (the fold dominated this query's runtime: 12 folds × corpus rows).
+        // vec_dot widens the float element before multiplying — the exact
+        // CAST(... AS DOUBLE) * hp product and left-to-right accumulation
+        // of the fold, so signatures are bit-identical.
+        def hp(j: Int): Seq[Double] = (0 until 64)
+          .map(d => ((j * 64 + d).toLong * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5)
         val sigExpr = (0 until 12)
-          .map(j => when(projection(j) >= 0, lit(1 << j)).otherwise(lit(0)))
+          .map(j => when(
+            call_function("vec_dot", $"embedding", typedLit(hp(j))) >= 0,
+            lit(1 << j)).otherwise(lit(0)))
           .reduce(_ + _)
         val e = emb(s, dir).select($"vec_id", $"embedding", sigExpr.as("sig"))
         val pairs = e.as("a").join(e.as("b"),
