@@ -102,6 +102,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file streaming source → aggregate → parquet sink roundtrip") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val (in, out, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+    // two parquet drops = two discovered micro-batches
+    Seq((ts("2024-01-01 10:05:00"), "click", 1.0))
+      .toDF("ts", "event_type", "value").write.parquet(s"$in/b1")
+    Seq((ts("2024-01-01 10:40:00"), "click", 2.0),
+        (ts("2024-01-01 11:10:00"), "view", 3.0))
+      .toDF("ts", "event_type", "value").write.parquet(s"$in/b2")
+    val src = s.readStream
+      .schema("ts timestamp, event_type string, value double")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = StreamingOps.tumblingCounts(src)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; force the 10:00
+      // window shut with a late-hour drop, then one more discovery pass
+      Seq((ts("2024-01-01 13:00:00"), "view", 9.0))
+        .toDF("ts", "event_type", "value").write.parquet(s"$in/b3")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)),
+      s"10:00 click window missing from file sink: $got")
+  }
+
   test("streaming sessionization closes sessions on in-batch gap and on watermark timeout") {
     val s = spark
     import s.implicits._
