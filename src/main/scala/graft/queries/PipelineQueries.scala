@@ -486,6 +486,12 @@ object PipelineQueries extends Registry {
           .as[(java.sql.Timestamp, String, Double)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
         val qn = s"graft_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        // the state-partition count is baked in at FIRST query start: 32
+        // stateful-store partitions per micro-batch for a 2000-row feed is
+        // pure overhead — scope the stream to 4 and restore after (results
+        // are partitioning-invariant; the oracle hash is unchanged)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         val query = StreamingOps.tumblingCounts(mem.toDF().toDF("ts", "event_type", "value"))
           .writeStream.format("memory").queryName(qn)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
@@ -496,7 +502,10 @@ object PipelineQueries extends Registry {
           s.table(qn)
             .localCheckpoint(eager = true) // detach from the stopped stream
             .orderBy($"window_start", $"event_type")
-        } finally query.stop()
+        } finally {
+          query.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
       },
       Some("""WITH e AS (SELECT ts, event_type, value FROM events
           ORDER BY ts, event_id LIMIT 2000)
@@ -524,6 +533,9 @@ object PipelineQueries extends Registry {
           .as[(java.sql.Timestamp, Long, Long, Double)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
         val qn = s"graft_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        // 4 state partitions for the 2000-row feed (see q41's comment)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         val query = StreamingOps.dedupStream(
             mem.toDF().toDF("ts", "user_id", "event_id", "value"), Seq("event_id"))
           .writeStream.format("memory").queryName(qn)
@@ -537,7 +549,10 @@ object PipelineQueries extends Registry {
           s.table(qn)
             .localCheckpoint(eager = true) // detach from the stopped stream
             .orderBy($"event_id")
-        } finally query.stop()
+        } finally {
+          query.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
       },
       Some("""WITH e AS (SELECT ts, user_id, event_id, value FROM events
           ORDER BY ts, event_id LIMIT 2000)
@@ -563,6 +578,9 @@ object PipelineQueries extends Registry {
           .collect().map(e => StreamingOps.Evt(e._1, e._2))
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingOps.Evt]
         val qn = s"graft_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        // 4 state partitions for the 2000-row feed (see q41's comment)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         val query = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
           .writeStream.format("memory").queryName(qn)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
@@ -573,7 +591,10 @@ object PipelineQueries extends Registry {
           s.table(qn)
             .localCheckpoint(eager = true) // detach result from the stopped stream
             .orderBy($"user_id", $"session_start")
-        } finally query.stop()
+        } finally {
+          query.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
       },
       // batch twin: gaps-and-islands sessions over the same prefix (µs gap
       // arithmetic), emitted = non-last session per user OR timeout fired
