@@ -495,17 +495,26 @@ object RelationalQueries extends Registry {
 
     // ---- deterministic stratified sample: fixed-size per-stratum draw
     //      keyed by md5 of the row key — partition-invariant (unlike
-    //      rand()-based sampleBy) and reproducible in any engine. One
-    //      (source) shuffle; per-task window state is one stratum. --------
+    //      rand()-based sampleBy) and reproducible in any engine. The
+    //      per-stratum cut runs on the custom heap-based TopKPerKey
+    //      operator: O(k) state per stratum, so a billion-row stratum
+    //      streams through instead of sorting on one task (the window
+    //      row_number form would buffer the whole stratum). The final
+    //      rk numbering windows over the ≤ k·strata SURVIVORS only. -------
     Q("q90_stratified_sample",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"source")
-          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
-        t(s, dir, "documents")
-          .select($"source", $"doc_id", $"lang")
-          .withColumn("rk", row_number().over(w))
-          .filter($"rk" <= 2)
+        val cut = graft.plans.TopK.perKey(
+          t(s, dir, "documents")
+            .select($"source", $"doc_id", $"lang",
+              md5($"doc_id".cast("string")).as("rk_hash")),
+          keyCols = Seq("source"),
+          order = Seq(graft.plans.TopK.Order("rk_hash"),
+            graft.plans.TopK.Order("doc_id")),
+          k = 2)
+        val w = Window.partitionBy($"source").orderBy($"rk_hash", $"doc_id")
+        cut.withColumn("rk", row_number().over(w))
+          .select($"source", $"doc_id", $"lang", $"rk")
           .orderBy($"source", $"rk")
       },
       Some("""SELECT source, doc_id, lang, CAST(rk AS INT) AS rk FROM (

@@ -139,6 +139,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"forward as-of must not plan a join:\n$p")
   }
 
+  test("q90: stratified cut runs on the heap-based TopKPerKey operator") {
+    val p = plan("q90_stratified_sample")
+    assert(p.contains("TopKPerKey"), s"expected the custom physical operator:\n$p")
+  }
+
   test("q98: PQ codebook is broadcast; distances are map-side") {
     val p = plan("q98_pq_encode")
     assert(p.contains("Broadcast"), s"codebook not broadcast:\n$p")
