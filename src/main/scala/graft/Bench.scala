@@ -25,10 +25,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Between-query isolation: several queries persist/localCheckpoint
+    // reused subplans and a single long session never frees them (round-4
+    // bench: the LAST query measured 143 s under accumulated block +
+    // GC pressure vs 5.7 s in isolation). Blocking unpersist so storage is
+    // actually free before the next query's cold run starts; sorted name
+    // order so a query's predecessors are the same every round.
+    def dropAllBlocks(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.err.println(s"[bench] start $name @${java.time.Instant.now()}")
       val cold = timeOne(name, fn)
       val warm = timeOne(name, fn)
+      dropAllBlocks()
       System.err.println(f"[bench] done  $name cold $cold%.2f s warm $warm%.2f s")
       name -> (cold, warm)
     }
@@ -39,8 +50,8 @@ object Bench {
       vs.map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
     val qs = obj(results.map { case (k, (c, _)) => k -> c })
     val qsWarm = obj(results.map { case (k, (_, w)) => k -> w })
-    val total = d3(results.values.map(_._1).sum)
-    val totalWarm = d3(results.values.map(_._2).sum)
+    val total = d3(results.map(_._2._1).sum)
+    val totalWarm = d3(results.map(_._2._2).sum)
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""total_warm":$totalWarm,"queries_warm":$qsWarm,"sf":"$sfDir"}"""
     // The harness keeps only the LAST ~2000 chars of output, and 74 queries
