@@ -681,7 +681,127 @@ object TextQueries extends Registry {
             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
             '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g'),
             '\d{9,}', '[NUM]', 'g')) AS scrub_md5
-        FROM a ORDER BY doc_id"""))
+        FROM a ORDER BY doc_id""")),
+
+    // ---- dedup survivor selection: closes the near-dup pipeline — every
+    //      doc gets its LSH connected component (own id when unclustered)
+    //      and a keep/drop verdict. Survivor = min doc_id in the component,
+    //      a choice that costs NO extra shuffle because the component label
+    //      IS the min reachable id. The component table is dup-pair-sized
+    //      (orders of magnitude below the corpus), so the join back is a
+    //      broadcast — the corpus side never shuffles. ----------------------
+    Q("q103_dedup_survivors",
+      (s, dir) => {
+        import s.implicits._
+        val mh = materialize(minhashes(s, dir))
+        val edges = lshScored(mh)
+          .filter(col("agree") >= nPerms / 2)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val comp = graft.operators.Components.connectedComponents(edges)
+        docs(s, dir).select($"doc_id")
+          .join(broadcast(comp), $"doc_id" === comp("node"), "left")
+          .select($"doc_id",
+            coalesce($"comp", $"doc_id").cast("long").as("component"),
+            when($"doc_id" === coalesce($"comp", $"doc_id"), 1L).otherwise(0L)
+              .as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $lshScoredCte,
+          und AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE agree >= ${nPerms / 2}
+                  UNION
+                  SELECT doc_b, doc_a FROM scored WHERE agree >= ${nPerms / 2}),
+          reach(a, b) AS (SELECT a, b FROM und
+                          UNION
+                          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          comp AS (SELECT a AS node, least(a, min(b)) AS component
+                   FROM reach GROUP BY a)
+          SELECT d.doc_id,
+                 CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+                 CAST(CASE WHEN d.doc_id = COALESCE(c.component, d.doc_id)
+                      THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+          ORDER BY doc_id""")),
+
+    // ---- benchmark decontamination: flag training docs that share any
+    //      3-token shingle with a held-out benchmark slice (sources src0/
+    //      src1 stand in for the eval suite). The benchmark shingle set is
+    //      tiny next to the corpus, so at 100 TB the contamination check is
+    //      a map-side broadcast semi-join over the training shingles; only
+    //      the per-doc hit rollup shuffles (on doc_id), and the final
+    //      left join is doc_id↔doc_id co-keyed. -----------------------------
+    Q("q104_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val benchSrc = Seq("src0", "src1")
+        val sh = materialize(
+          docs(s, dir).select($"doc_id", $"source", tokens($"text").as("w"))
+            .select($"doc_id", $"source", explode(wordShingles($"w", 3)).as("shingle"))
+            .distinct())
+        val bench = sh.filter($"source".isin(benchSrc: _*))
+          .select($"shingle").distinct()
+        val hits = sh.filter(!$"source".isin(benchSrc: _*))
+          .join(broadcast(bench), Seq("shingle"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+        docs(s, dir).filter(!$"source".isin(benchSrc: _*)).select($"doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_hits", lit(0L)).cast("long").as("n_hits"),
+            when(coalesce($"n_hits", lit(0L)) > 0, 1L).otherwise(0L)
+              .as("contaminated"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+          sh AS (SELECT DISTINCT doc_id, source,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                 FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
+          bench AS (SELECT DISTINCT shingle FROM sh WHERE source IN ('src0', 'src1')),
+          hits AS (SELECT doc_id, count(*) AS n_hits
+                   FROM sh JOIN bench USING (shingle)
+                   WHERE source NOT IN ('src0', 'src1') GROUP BY doc_id)
+          SELECT d.doc_id,
+                 CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                 CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS contaminated
+          FROM documents d LEFT JOIN hits h USING (doc_id)
+          WHERE d.source NOT IN ('src0', 'src1')
+          ORDER BY doc_id""")),
+
+    // ---- unigram LM scoring: corpus token frequencies → mean per-token
+    //      log-probability per doc (the cheap LM-perplexity proxy filter).
+    //      Two shuffles — token counts, then the per-doc mean; the corpus
+    //      total derives from the frequency table (no third scan) and rides
+    //      along as a broadcast scalar. Per-token logprob is quantized to
+    //      micro-units (round(ln·1e6) → long) BEFORE the cross-row sum, so
+    //      the mean is addition-order-independent and bit-identical to the
+    //      oracle at any parallelism. The token join is zipfian-skewed on
+    //      the head words — the vocab side is dimension-sized, broadcast. --
+    Q("q105_unigram_logprob",
+      (s, dir) => {
+        import s.implicits._
+        val toks = docs(s, dir)
+          .select($"doc_id", explode(tokens(lower($"text"))).as("token"))
+        val freq = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+        val total = freq.agg(sum($"cnt").cast("double").as("total"))
+        val lp = round(log($"cnt".cast("double") / $"total") * 1e6).cast("long")
+        toks.join(broadcast(freq), Seq("token"))
+          .join(broadcast(total))
+          .select($"doc_id", lp.as("lp"))
+          .groupBy($"doc_id")
+          .agg((sum($"lp").cast("double") / 1e6 / count(lit(1))).as("mean_logprob"),
+            count(lit(1)).cast("long").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents),
+          freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+          total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+          lp AS (SELECT doc_id,
+                        CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT) AS lp
+                 FROM toks JOIN freq USING (token) CROSS JOIN total)
+          SELECT doc_id,
+                 CAST(sum(lp) AS DOUBLE) / 1000000 / count(*) AS mean_logprob,
+                 count(*) AS n_tokens
+          FROM lp GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** Shared 60-bit SimHash plan: token-frequency-weighted ±1 vote per bit;
