@@ -64,10 +64,18 @@ object Sampling {
       keyCols: Seq[String]): DataFrame = {
     // tie-break on ALL key columns: the hash has only ~1e9 buckets, so
     // collisions are certain at scale and a partial tie-break would make
-    // the boundary rows partition-dependent
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(detRand(seed, keyCols.map(col): _*) +: keyCols.map(col): _*)
-    df.withColumn("__r", row_number().over(w)).filter(col("__r") <= n).drop("__r")
+    // the boundary rows partition-dependent. The per-group cut runs on the
+    // heap-based TopKPerKey operator: same single key-shuffle as the
+    // row_number window, but O(groups·n) state instead of a full
+    // partition sort — a billion-row group streams through one heap.
+    import graft.plans.TopK
+    val withU = df.withColumn("__u", detRand(seed, keyCols.map(col): _*))
+    val cut =
+      if (groupCols.isEmpty) // global draw: orderBy+limit plans as TakeOrdered (bounded heap)
+        withU.orderBy(col("__u") +: keyCols.map(col): _*).limit(n)
+      else TopK.perKey(withU, groupCols,
+        TopK.Order("__u") +: keyCols.map(TopK.Order(_)), n)
+    cut.drop("__u")
   }
 
   /** Distinct values per column, n each (ref: :459-474 unique variant). */
@@ -85,13 +93,18 @@ object Sampling {
     */
   def weightedPerGroup(df: DataFrame, groupCols: Seq[String], weightCol: String,
       n: Int, seed: Long, keyCols: Seq[String]): DataFrame = {
+    // heap-based per-group cut (see uniformPerGroup): the A-ES key ranks
+    // descending, keyCols break exact-key ties ascending
+    import graft.plans.TopK
     val u = detRand(seed, keyCols.map(col): _*)
     val key = pow(u, lit(1.0) / greatest(col(weightCol).cast("double"), lit(1e-12)))
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(key.desc +: keyCols.map(col): _*)
-    df.withColumn("__k", key)
-      .withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
-      .drop("__k", "__r")
+    val withK = df.withColumn("__k", key)
+    val cut =
+      if (groupCols.isEmpty) // global draw: orderBy+limit plans as TakeOrdered (bounded heap)
+        withK.orderBy(col("__k").desc +: keyCols.map(col): _*).limit(n)
+      else TopK.perKey(withK, groupCols,
+        TopK.Order("__k", ascending = false) +: keyCols.map(TopK.Order(_)), n)
+    cut.drop("__k")
   }
 
   /** Inverse-frequency weights per (group, value): rarer values more likely

@@ -144,6 +144,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), s"expected the custom physical operator:\n$p")
   }
 
+  test("q36/q50: sampling cuts run on TopKPerKey, not a window sort") {
+    for (q <- Seq("q36_weighted_sample", "q50_uniform_sample")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerKey"), s"$q: expected the custom physical operator:\n$p")
+      assert(!p.contains("Window"), s"$q: window sort should be gone:\n$p")
+    }
+  }
+
   test("q98: PQ codebook is broadcast; distances are map-side") {
     val p = plan("q98_pq_encode")
     assert(p.contains("Broadcast"), s"codebook not broadcast:\n$p")
