@@ -801,7 +801,68 @@ object TextQueries extends Registry {
           SELECT doc_id,
                  CAST(sum(lp) AS DOUBLE) / 1000000 / count(*) AS mean_logprob,
                  count(*) AS n_tokens
-          FROM lp GROUP BY doc_id ORDER BY doc_id"""))
+          FROM lp GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- training-sequence packing: concatenate each source's docs in
+    //      doc_id order and cut at a fixed token budget (2048) — the batch
+    //      prep step between curation and the trainer. Token-level layout
+    //      is a per-source prefix sum: one shuffle on source, window state
+    //      is a running long. At 100 TB a shard key replaces `source`
+    //      (pack within hash shards — packing has no cross-shard semantics)
+    //      so no single source can pin a task. ----------------------------
+    Q("q106_sequence_pack",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 2048L
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs(s, dir)
+          .select($"source", $"doc_id",
+            size(tokens($"text")).cast("long").as("n_tokens"))
+          .withColumn("start_off",
+            coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .withColumn("seq_id", floor($"start_off" / budget).cast("long"))
+          .withColumn("spans_boundary",
+            when(floor(($"start_off" + $"n_tokens" - 1) / budget) =!= $"seq_id", 1L)
+              .otherwise(0L))
+          .orderBy($"source", $"doc_id")
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+          o AS (SELECT source, doc_id, n_tokens,
+                  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS start_off
+                FROM t)
+          SELECT source, doc_id, n_tokens, start_off,
+                 CAST(floor(start_off / 2048) AS BIGINT) AS seq_id,
+                 CAST(CASE WHEN floor((start_off + n_tokens - 1) / 2048)
+                      != floor(start_off / 2048) THEN 1 ELSE 0 END AS BIGINT)
+                   AS spans_boundary
+          FROM o ORDER BY source, doc_id""")),
+
+    // ---- key-skew audit: heavy-hitter keys with their share of total —
+    //      the diagnostic that decides salting/broadcast strategy before a
+    //      big join. One key shuffle for counts, TakeOrdered top-10, the
+    //      scalar total broadcast back; nothing corpus-sized moves twice. --
+    Q("q107_skew_audit",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables(s, dir, "lineitem")
+          .groupBy($"l_suppkey").agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum($"n").cast("double").as("total"))
+        counts.orderBy($"n".desc, $"l_suppkey").limit(10)
+          .join(broadcast(total))
+          .select($"l_suppkey", $"n",
+            round($"n" / $"total", 8).as("share"))
+          .orderBy($"n".desc, $"l_suppkey")
+      },
+      Some("""WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey),
+          t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+          SELECT l_suppkey, n, round(n / total, 8) AS share
+          FROM c CROSS JOIN t
+          ORDER BY n DESC, l_suppkey LIMIT 10"""))
   )
 
   /** Shared 60-bit SimHash plan: token-frequency-weighted ±1 vote per bit;
