@@ -56,15 +56,30 @@ object Components {
     while (!converged && iter < maxIter) {
       val nbrMin = und.join(labels, und("dst") === labels("node"))
         .groupBy(und("src").as("nb_node")).agg(min(col("comp")).as("nbr_comp"))
-      val (step, stepIds) = ckWithIds(
-        labels.withColumnRenamed("comp", "old_comp")
-          .join(nbrMin, col("node") === col("nb_node"), "left")
-          .select(col("node"), col("old_comp"),
-            least(col("old_comp"), coalesce(col("nbr_comp"), col("old_comp"))).as("comp")))
+      // convergence detection piggybacks on the checkpoint's own
+      // materialization job via an accumulator in a narrow pass-through —
+      // one job per round instead of checkpoint + separate changed-count
+      // scan. Task retries can over-count; only zero-vs-nonzero is read,
+      // and a retried task that saw a change still reports nonzero.
+      val acc = sc.longAccumulator(s"cc-changed-$iter")
+      val stepPlan = labels.withColumnRenamed("comp", "old_comp")
+        .join(nbrMin, col("node") === col("nb_node"), "left")
+        .select(col("node"), col("old_comp"),
+          least(col("old_comp"), coalesce(col("nbr_comp"), col("old_comp"))).as("comp"))
+      val enc = org.apache.spark.sql.Encoders.row(stepPlan.schema)
+      val compIdx = stepPlan.schema.fieldIndex("comp")
+      val oldIdx = stepPlan.schema.fieldIndex("old_comp")
+      val instrumented = stepPlan.mapPartitions { it =>
+        it.map { r =>
+          if (r.get(compIdx) != r.get(oldIdx)) acc.add(1L)
+          r
+        }
+      }(enc)
+      val (step, stepIds) = ckWithIds(instrumented.toDF())
       // the new round is materialized — release the previous round's blocks
       prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       prevIds = stepIds
-      converged = step.filter(col("comp") < col("old_comp")).limit(1).count() == 0
+      converged = acc.value == 0L
       labels = step.select("node", "comp")
       iter += 1
     }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-5 corpus-curation operators — the
+  * properties the oracle hash cannot state directly.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q103: survivors are exactly one per component, and q73 labels agree") {
+    val rows = q("q103_dedup_survivors")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly one keeper per component, and it is the min doc_id
+    val byComp = rows.groupBy(_._2)
+    assert(byComp.forall { case (comp, members) =>
+      members.count(_._3 == 1L) == 1 &&
+        members.filter(_._3 == 1L).head._1 == comp &&
+        comp == members.map(_._1).min
+    })
+    // clustered docs carry the same label q73 assigns them
+    val cc = q("q73_dedup_components")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.forall { case (doc, comp) =>
+      rows.find(_._1 == doc).exists(_._2 == comp)
+    })
+  }
+
+  test("q104: no benchmark docs in output; hits imply a genuinely shared shingle") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables(s, sfDir, "documents")
+    val benchIds = docs.filter($"source".isin("src0", "src1"))
+      .select($"doc_id").as[Long].collect().toSet
+    val out = q("q104_decontaminate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall(r => !benchIds.contains(r._1)), "benchmark doc leaked into output")
+    assert(out.forall(r => (r._2 > 0) == (r._3 == 1L)), "flag disagrees with hit count")
+    // spot-check one contaminated doc end-to-end against a direct shingle overlap
+    out.find(_._3 == 1L).foreach { case (docId, nHits, _) =>
+      def shingles(ids: Set[Long]) = docs
+        .filter($"doc_id".isInCollection(ids))
+        .select(explode(graft.functions.TextFunctions.wordShingles(
+          split($"text", " "), 3)).as("sh"))
+        .as[String].collect().toSet
+      val overlap = shingles(Set(docId)) intersect shingles(benchIds)
+      assert(overlap.size.toLong == nHits,
+        s"doc $docId: counted $nHits, direct overlap ${overlap.size}")
+    }
+  }
+
+  test("q105: probabilities are valid (logprob < 0) and a uniform doc scores ln(freq/total)") {
+    val out = q("q105_unigram_logprob")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.forall(_._2 < 0.0), "a log-probability must be negative")
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables(s, sfDir, "documents")
+    val total = docs.select(explode(split(lower($"text"), " ")).as("t")).count()
+    assert(out.forall { case (_, lp, _) => lp >= math.log(1.0 / total) },
+      "mean logprob below the rarest-token floor")
+  }
+
+  test("q106: offsets are contiguous per source and seq ids are monotone") {
+    val rows = q("q106_sequence_pack")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    rows.foreach { case (src, ds) =>
+      val ordered = ds.sortBy(_._2)
+      var expect = 0L
+      ordered.foreach { case (_, doc, n, start, seq) =>
+        assert(start == expect, s"$src doc $doc: offset $start, expected $expect")
+        assert(seq == start / 2048, s"$src doc $doc: seq id mismatch")
+        expect += n
+      }
+    }
+  }
+
+  test("q107: shares are a probability vector prefix in descending order") {
+    val out = q("q107_skew_audit")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val shareSum = out.map(_._2).sum
+    assert(shareSum > 0.0 && shareSum <= 1.0 + 1e-9, s"share sum $shareSum")
+  }
+}
