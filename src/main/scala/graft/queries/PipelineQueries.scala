@@ -558,6 +558,58 @@ object PipelineQueries extends Registry {
           ORDER BY ts, event_id LIMIT 2000)
         SELECT ts, user_id, event_id, value FROM e ORDER BY event_id""")),
 
+    // ---- stream-static decontamination: incoming docs (two micro-batches)
+    //      shingle row-locally and probe the STATIC benchmark shingle set
+    //      via a broadcast inner join — stateless, no watermark, stream
+    //      side never shuffles. The per-doc distinct-hit rollup runs batch-
+    //      side on the sink table; the oracle is q104's hits CTE (docs with
+    //      at least one shared shingle). ------------------------------------
+    Q("q108_streaming_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        import graft.functions.TextFunctions.{tokens, wordShingles}
+        val benchSrc = Seq("src0", "src1")
+        val d = Tables(s, dir, "documents")
+        val bench = d.filter($"source".isin(benchSrc: _*))
+          .select(explode(wordShingles(tokens($"text"), 3)).as("shingle"))
+          .distinct()
+        val feed = d.filter(!$"source".isin(benchSrc: _*))
+          .select($"doc_id", $"text").orderBy($"doc_id")
+          .as[(Long, String)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val qn = s"graft_decon_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val stream = mem.toDF().toDF("doc_id", "text")
+          .select($"doc_id", explode(wordShingles(tokens($"text"), 3)).as("shingle"))
+        val query = StreamingOps.decontaminateStream(stream, bench)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+        try {
+          val (b1, b2) = feed.splitAt(feed.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          mem.addData(b2.toSeq); query.processAllAvailable()
+          s.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .groupBy($"doc_id")
+            .agg(countDistinct($"shingle").as("n_hits"))
+            .orderBy($"doc_id")
+        } finally {
+          query.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      },
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+          sh AS (SELECT DISTINCT doc_id, source,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                 FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
+          bench AS (SELECT DISTINCT shingle FROM sh WHERE source IN ('src0', 'src1'))
+          SELECT doc_id, count(*) AS n_hits
+          FROM sh JOIN bench USING (shingle)
+          WHERE source NOT IN ('src0', 'src1')
+          GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- Structured Streaming sessionization, driven to completion -------
     // (MemoryStream-fed incremental run of the q33 semantics; the driver
     // sees the closed sessions as a batch result). Emitted rows = every

@@ -67,6 +67,16 @@ object StreamingOps {
       .select(col("p_user"), col("purchase_id"), col("p_ts"), col("c_ts"))
   }
 
+  /** Stream-static decontamination probe (streaming twin of q104's check):
+    * each arriving doc's shingles probe a STATIC benchmark shingle set.
+    * Stream-static inner joins are stateless — no watermark, no state
+    * store — and with the static side broadcast the probe is map-side, so
+    * the stream never shuffles: exactly how an ingest pipeline screens new
+    * crawl batches against eval suites at 100 TB.
+    */
+  def decontaminateStream(docShingles: DataFrame, benchShingles: DataFrame): DataFrame =
+    docShingles.join(broadcast(benchShingles), Seq("shingle"))
+
   final case class Evt(user_id: Long, ts: Timestamp)
   final case class Session(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
