@@ -25,16 +25,6 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    // Between-query isolation: several queries persist/localCheckpoint
-    // reused subplans and a single long session never frees them (round-4
-    // bench: the LAST query measured 143 s under accumulated block +
-    // GC pressure vs 5.7 s in isolation). Blocking unpersist so storage is
-    // actually free before the next query's cold run starts; sorted name
-    // order so a query's predecessors are the same every round.
-    def dropAllBlocks(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    }
     // local-iteration filter (the driver never sets it): bench only the
     // named queries, e.g. SPARK_GRAFT_BENCH_ONLY=q73_dedup_components
     val only: Option[Set[String]] =
@@ -48,7 +38,9 @@ object Bench {
       System.err.println(s"[bench] start $name @${java.time.Instant.now()}")
       val cold = timeOne(name, fn)
       val warm = timeOne(name, fn)
-      dropAllBlocks()
+      // between-query isolation (see SessionHygiene); sorted name order so
+      // a query's predecessors are the same every round
+      graft.core.SessionHygiene.dropAllBlocks(spark)
       System.err.println(f"[bench] done  $name cold $cold%.2f s warm $warm%.2f s")
       name -> (cold, warm)
     }

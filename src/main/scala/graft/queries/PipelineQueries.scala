@@ -492,20 +492,19 @@ object PipelineQueries extends Registry {
         // are partitioning-invariant; the oracle hash is unchanged)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val query = StreamingOps.tumblingCounts(mem.toDF().toDF("ts", "event_type", "value"))
-          .writeStream.format("memory").queryName(qn)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
         try {
-          val (b1, b2) = evts.splitAt(evts.length / 2)
-          mem.addData(b1.toSeq); query.processAllAvailable()
-          mem.addData(b2.toSeq); query.processAllAvailable()
-          s.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
-            .orderBy($"window_start", $"event_type")
-        } finally {
-          query.stop()
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        }
+          val query = StreamingOps.tumblingCounts(mem.toDF().toDF("ts", "event_type", "value"))
+            .writeStream.format("memory").queryName(qn)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+          try {
+            val (b1, b2) = evts.splitAt(evts.length / 2)
+            mem.addData(b1.toSeq); query.processAllAvailable()
+            mem.addData(b2.toSeq); query.processAllAvailable()
+            s.table(qn)
+              .localCheckpoint(eager = true) // detach from the stopped stream
+              .orderBy($"window_start", $"event_type")
+          } finally query.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       Some("""WITH e AS (SELECT ts, event_type, value FROM events
           ORDER BY ts, event_id LIMIT 2000)
@@ -536,23 +535,22 @@ object PipelineQueries extends Registry {
         // 4 state partitions for the 2000-row feed (see q41's comment)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val query = StreamingOps.dedupStream(
-            mem.toDF().toDF("ts", "user_id", "event_id", "value"), Seq("event_id"))
-          .writeStream.format("memory").queryName(qn)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
         try {
-          val (b1, b2) = evts.splitAt(evts.length / 2)
-          mem.addData(b1.toSeq); query.processAllAvailable()
-          val redelivered = b1.map(e =>
-            (new java.sql.Timestamp(e._1.getTime + 60000L), e._2, e._3, e._4))
-          mem.addData((redelivered ++ b2).toSeq); query.processAllAvailable()
-          s.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
-            .orderBy($"event_id")
-        } finally {
-          query.stop()
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        }
+          val query = StreamingOps.dedupStream(
+              mem.toDF().toDF("ts", "user_id", "event_id", "value"), Seq("event_id"))
+            .writeStream.format("memory").queryName(qn)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+          try {
+            val (b1, b2) = evts.splitAt(evts.length / 2)
+            mem.addData(b1.toSeq); query.processAllAvailable()
+            val redelivered = b1.map(e =>
+              (new java.sql.Timestamp(e._1.getTime + 60000L), e._2, e._3, e._4))
+            mem.addData((redelivered ++ b2).toSeq); query.processAllAvailable()
+            s.table(qn)
+              .localCheckpoint(eager = true) // detach from the stopped stream
+              .orderBy($"event_id")
+          } finally query.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       Some("""WITH e AS (SELECT ts, user_id, event_id, value FROM events
           ORDER BY ts, event_id LIMIT 2000)
@@ -569,45 +567,55 @@ object PipelineQueries extends Registry {
         import s.implicits._
         implicit val sqlCtx = s.sqlContext
         import graft.functions.TextFunctions.{tokens, wordShingles}
-        val benchSrc = Seq("src0", "src1")
-        val d = Tables(s, dir, "documents")
-        val bench = d.filter($"source".isin(benchSrc: _*))
-          .select(explode(wordShingles(tokens($"text"), 3)).as("shingle"))
-          .distinct()
-        val feed = d.filter(!$"source".isin(benchSrc: _*))
-          .select($"doc_id", $"text").orderBy($"doc_id")
+        // static side: the benchmark shingle set, persisted so each
+        // micro-batch probes the cache instead of re-deriving the scan +
+        // distinct per trigger
+        val bench = TextQueries.sourceShingles(s, dir)
+          .filter($"source".isin(TextQueries.benchSources: _*))
+          .select($"shingle").distinct().persist()
+        bench.count()
+        // harness feed capped at a 2000-doc prefix (bounded driver memory,
+        // same rule as the q41/q77 event feeds); production would
+        // readStream the corpus directly
+        val feed = Tables(s, dir, "documents")
+          .filter(!$"source".isin(TextQueries.benchSources: _*))
+          .select($"doc_id", $"text").orderBy($"doc_id").limit(2000)
           .as[(Long, String)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
         val qn = s"graft_decon_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val stream = mem.toDF().toDF("doc_id", "text")
-          .select($"doc_id", explode(wordShingles(tokens($"text"), 3)).as("shingle"))
-        val query = StreamingOps.decontaminateStream(stream, bench)
-          .writeStream.format("memory").queryName(qn)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
         try {
-          val (b1, b2) = feed.splitAt(feed.length / 2)
-          mem.addData(b1.toSeq); query.processAllAvailable()
-          mem.addData(b2.toSeq); query.processAllAvailable()
-          s.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
-            .groupBy($"doc_id")
-            .agg(countDistinct($"shingle").as("n_hits"))
-            .orderBy($"doc_id")
+          val stream = mem.toDF().toDF("doc_id", "text")
+            .select($"doc_id", explode(wordShingles(tokens($"text"), 3)).as("shingle"))
+          val query = StreamingOps.decontaminateStream(stream, bench)
+            .writeStream.format("memory").queryName(qn)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+          try {
+            val (b1, b2) = feed.splitAt(feed.length / 2)
+            mem.addData(b1.toSeq); query.processAllAvailable()
+            mem.addData(b2.toSeq); query.processAllAvailable()
+            s.table(qn)
+              .localCheckpoint(eager = true) // detach from the stopped stream
+              .groupBy($"doc_id")
+              .agg(countDistinct($"shingle").as("n_hits"))
+              .orderBy($"doc_id")
+          } finally query.stop()
         } finally {
-          query.stop()
           s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          bench.unpersist()
         }
       },
-      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-          sh AS (SELECT DISTINCT doc_id, source,
-                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                 FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
-          bench AS (SELECT DISTINCT shingle FROM sh WHERE source IN ('src0', 'src1'))
+      Some(s"""WITH ${TextQueries.benchShingleCte},
+          feed AS (SELECT doc_id, text FROM documents
+                   WHERE source NOT IN ('src0', 'src1')
+                   ORDER BY doc_id LIMIT 2000),
+          fw AS (SELECT doc_id, string_split(text, ' ') AS w FROM feed),
+          fsh AS (SELECT DISTINCT doc_id,
+                         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                  FROM fw, UNNEST(range(1, len(w) - 1)) AS t(i))
           SELECT doc_id, count(*) AS n_hits
-          FROM sh JOIN bench USING (shingle)
-          WHERE source NOT IN ('src0', 'src1')
+          FROM fsh JOIN bench USING (shingle)
           GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- Structured Streaming sessionization, driven to completion -------
@@ -633,20 +641,19 @@ object PipelineQueries extends Registry {
         // 4 state partitions for the 2000-row feed (see q41's comment)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val query = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
-          .writeStream.format("memory").queryName(qn)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
         try {
-          val (b1, b2) = evts.splitAt(evts.length / 2)
-          mem.addData(b1.toSeq); query.processAllAvailable()
-          mem.addData(b2.toSeq); query.processAllAvailable()
-          s.table(qn)
-            .localCheckpoint(eager = true) // detach result from the stopped stream
-            .orderBy($"user_id", $"session_start")
-        } finally {
-          query.stop()
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        }
+          val query = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+            .writeStream.format("memory").queryName(qn)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+          try {
+            val (b1, b2) = evts.splitAt(evts.length / 2)
+            mem.addData(b1.toSeq); query.processAllAvailable()
+            mem.addData(b2.toSeq); query.processAllAvailable()
+            s.table(qn)
+              .localCheckpoint(eager = true) // detach result from the stopped stream
+              .orderBy($"user_id", $"session_start")
+          } finally query.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       // batch twin: gaps-and-islands sessions over the same prefix (µs gap
       // arithmetic), emitted = non-last session per user OR timeout fired

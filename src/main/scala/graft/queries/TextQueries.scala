@@ -47,6 +47,28 @@ object TextQueries extends Registry {
   private val nPerms = 16
   private val nBands = 4
 
+  /** Decontamination building blocks shared by q104 and the q108
+    * streaming probe (PipelineQueries): the held-out benchmark sources,
+    * distinct (doc_id, source, shingle) triples, and the DuckDB CTE twin
+    * ending in the `bench` distinct-shingle set. One definition — the
+    * batch check and its stream twin cannot silently diverge.
+    */
+  private[queries] val benchSources = Seq("src0", "src1")
+
+  private[queries] def sourceShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select($"doc_id", $"source", tokens($"text").as("w"))
+      .select($"doc_id", $"source", explode(wordShingles($"w", 3)).as("shingle"))
+      .distinct()
+  }
+
+  private[queries] val benchShingleCte =
+    """w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE source IN ('src0', 'src1'))""".stripMargin
+
   /** Materialize a reused subplan once (eager persist): a LAZY persist that
     * first gets populated inside a self-join plans pathologically (measured
     * 3-8× slower than computing it twice); forcing it with a count first
@@ -732,17 +754,13 @@ object TextQueries extends Registry {
     Q("q104_decontaminate",
       (s, dir) => {
         import s.implicits._
-        val benchSrc = Seq("src0", "src1")
-        val sh = materialize(
-          docs(s, dir).select($"doc_id", $"source", tokens($"text").as("w"))
-            .select($"doc_id", $"source", explode(wordShingles($"w", 3)).as("shingle"))
-            .distinct())
-        val bench = sh.filter($"source".isin(benchSrc: _*))
+        val sh = materialize(sourceShingles(s, dir))
+        val bench = sh.filter($"source".isin(benchSources: _*))
           .select($"shingle").distinct()
-        val hits = sh.filter(!$"source".isin(benchSrc: _*))
+        val hits = sh.filter(!$"source".isin(benchSources: _*))
           .join(broadcast(bench), Seq("shingle"))
           .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
-        docs(s, dir).filter(!$"source".isin(benchSrc: _*)).select($"doc_id")
+        docs(s, dir).filter(!$"source".isin(benchSources: _*)).select($"doc_id")
           .join(hits, Seq("doc_id"), "left")
           .select($"doc_id",
             coalesce($"n_hits", lit(0L)).cast("long").as("n_hits"),
@@ -750,11 +768,7 @@ object TextQueries extends Registry {
               .as("contaminated"))
           .orderBy($"doc_id")
       },
-      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-          sh AS (SELECT DISTINCT doc_id, source,
-                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                 FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
-          bench AS (SELECT DISTINCT shingle FROM sh WHERE source IN ('src0', 'src1')),
+      Some(s"""WITH $benchShingleCte,
           hits AS (SELECT doc_id, count(*) AS n_hits
                    FROM sh JOIN bench USING (shingle)
                    WHERE source NOT IN ('src0', 'src1') GROUP BY doc_id)

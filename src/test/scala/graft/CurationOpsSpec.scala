@@ -58,7 +58,9 @@ class CurationOpsSpec extends SparkSpec {
     import s.implicits._
     val docs = graft.core.Tables(s, sfDir, "documents")
     val total = docs.select(explode(split(lower($"text"), " ")).as("t")).count()
-    assert(out.forall { case (_, lp, _) => lp >= math.log(1.0 / total) },
+    // 1e-6 slack: the query quantizes each logprob to micro-units
+    // (round-half-away), which can push a value up to 5e-7 below true ln
+    assert(out.forall { case (_, lp, _) => lp >= math.log(1.0 / total) - 1e-6 },
       "mean logprob below the rarest-token floor")
   }
 
