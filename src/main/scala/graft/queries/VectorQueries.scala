@@ -294,6 +294,96 @@ object VectorQueries extends Registry {
             CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
               AS recon_err
           FROM best GROUP BY vec_id ORDER BY vec_id"""
+      }),
+
+    // ---- IVF-PQ asymmetric-distance search: the full 100 TB ANN stack
+    //      assembled from its two halves — IVF (q31) restricts candidates
+    //      to the query's cluster, PQ codes (q98) stand in for the raw
+    //      vectors, and each query precomputes a (subspace × code) distance
+    //      LOOKUP TABLE so scoring a candidate is 4 table probes + adds,
+    //      never a 64-dim dot product. Scale shape: codebook, query set,
+    //      and LUT are all broadcast (queries × 4 × 8 rows); the corpus
+    //      moves through exactly two shuffles (the encode window, the
+    //      per-pair rollup); per-probe distances quantize to 1e-6 longs
+    //      before the sum so ranking is addition-order-exact. --------------
+    Q("q109_ivfpq_search",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
+        val assign = ivfAssign(s, e)
+        val codes = emb(s, dir).filter($"vec_id" < 8)
+          .select($"vec_id".as("code"), $"embedding".as("cv"))
+        val sliceDist = expr(
+          "vec_l2sq(slice(embedding, s * 16 + 1, 16), slice(cv, s * 16 + 1, 16))")
+        val ew = Window.partitionBy($"vec_id", $"s").orderBy($"dist", $"code")
+        val enc = assign.join(broadcast(codes))
+          .select($"vec_id", $"cid", $"code", explode(sequence(lit(0), lit(3))).as("s"),
+            $"embedding", $"cv")
+          .withColumn("dist", sliceDist)
+          .withColumn("rn", row_number().over(ew))
+          .filter($"rn" === 1)
+          .select($"vec_id", $"cid", $"s", $"code")
+        val q = assign.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"cid")
+        val lut = q.join(broadcast(codes))
+          .select($"query_id", $"code", explode(sequence(lit(0), lit(3))).as("s"),
+            $"qv", $"cv")
+          .withColumn("d", expr(
+            "vec_l2sq(slice(qv, s * 16 + 1, 16), slice(cv, s * 16 + 1, 16))"))
+          .select($"query_id", $"s", $"code", $"d")
+        val scored = enc.join(broadcast(q.select($"query_id", $"cid")), Seq("cid"))
+          .filter($"vec_id" =!= $"query_id")
+          .join(broadcast(lut), Seq("query_id", "s", "code"))
+          .groupBy($"query_id", $"vec_id")
+          .agg((sum(round($"d" * 1e6).cast("long")).cast("double") / 1e6).as("approx_l2"))
+        val cut = graft.plans.TopK.perKey(scored, Seq("query_id"),
+          Seq(graft.plans.TopK.Order("approx_l2"), graft.plans.TopK.Order("vec_id")), 3)
+        val rw = Window.partitionBy($"query_id").orderBy($"approx_l2", $"vec_id")
+        cut.withColumn("rank", row_number().over(rw))
+          .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"approx_l2")
+          .orderBy($"query_id", $"rank")
+      },
+      Some {
+        def sliceDistSql(v: String) =
+          "list_reduce(list_transform(range(0, 16), i -> " +
+            s"(CAST($v[t.s * 16 + i + 1] AS DOUBLE) - CAST(c.cv[t.s * 16 + i + 1] AS DOUBLE)) * " +
+            s"(CAST($v[t.s * 16 + i + 1] AS DOUBLE) - CAST(c.cv[t.s * 16 + i + 1] AS DOUBLE))), " +
+            "(acc, x) -> acc + x)"
+        s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings WHERE vec_id < 8),
+          assign AS (SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    ${dotSql("c.cv", "e.embedding")}
+                      / (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                    c.cid) AS arn
+                FROM embeddings e, cents c)
+              WHERE arn = 1),
+          codes AS (SELECT vec_id AS code, embedding AS cv
+              FROM embeddings WHERE vec_id < 8),
+          encd AS (SELECT a.vec_id, a.cid, c.code, t.s, ${sliceDistSql("a.embedding")} AS dist
+                   FROM assign a CROSS JOIN codes c
+                   CROSS JOIN (SELECT unnest(range(0, 4)) AS s) t),
+          enc AS (SELECT vec_id, cid, s, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                  ORDER BY dist, code) AS rn FROM encd)
+              WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qv, cid
+                FROM assign WHERE vec_id % 100 = 0),
+          lutd AS (SELECT q.query_id, c.code, t.s, ${sliceDistSql("q.qv")} AS d
+                   FROM q CROSS JOIN codes c
+                   CROSS JOIN (SELECT unnest(range(0, 4)) AS s) t),
+          scored AS (SELECT q.query_id, e.vec_id,
+                CAST(sum(CAST(round(l.d * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+                  AS approx_l2
+              FROM q JOIN enc e ON e.cid = q.cid AND e.vec_id <> q.query_id
+              JOIN lutd l ON l.query_id = q.query_id AND l.s = e.s AND l.code = e.code
+              GROUP BY q.query_id, e.vec_id)
+          SELECT query_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id, approx_l2
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY approx_l2, vec_id) AS rn FROM scored)
+          WHERE rn <= 3 ORDER BY query_id, rank"""
       })
   )
 }
