@@ -412,6 +412,37 @@ object IngestQueries extends Registry {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders
         WHERE o_orderstatus <> 'F' AND year(o_orderdate) >= 1993
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- semi-structured Variant path (Spark 4): rows serialize to JSON,
+    //      parse_json builds the binary Variant, typed extraction happens
+    //      with variant_get path expressions — the modern schema-on-read
+    //      shape for ragged event payloads (vs a rigid from_json schema).
+    //      All row-local until the final aggregate; the oracle inverts the
+    //      construction (extraction of a field equals the source column),
+    //      so a corrupted encode/decode path diverges the hash. ------------
+    Q("q110_variant_json",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .select(to_json(struct(
+            $"o_orderkey".as("id"),
+            struct($"o_orderstatus".as("status"), $"o_totalprice".as("total"))
+              .as("state"))).as("payload"))
+          .select(parse_json($"payload").as("v"))
+          .select(
+            expr("variant_get(v, '$.state.status', 'string')").as("status"),
+            expr("variant_get(v, '$.id', 'long')").as("id"),
+            expr("variant_get(v, '$.state.total', 'decimal(18,2)')").as("total"))
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n_orders"),
+            max($"id").as("max_id"),
+            sum($"total").cast("double").as("revenue"))
+          .orderBy($"status")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n_orders,
+          max(o_orderkey) AS max_id,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_orderstatus ORDER BY status"""))
   )
 }
