@@ -43,6 +43,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(j.count() == o.count()) // every order has a customer
   }
 
+  test("count-min sketch bounds heavy-hitter estimates; bloom filter has no false negatives") {
+    // the sketch pair a 100 TB pipeline uses when exact key counts don't
+    // fit: CMS over-estimates by at most eps*N (w.h.p.), never under;
+    // bloom membership never misses a present key. Both are mergeable
+    // across partitions (that's why they distribute).
+    val li = graft.core.Tables(spark, sfDir, "lineitem")
+    val eps = 0.01
+    val cms = li.stat.countMinSketch("l_suppkey", eps = eps, confidence = 0.99, seed = 42)
+    val exact = li.groupBy("l_suppkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"CMS under-estimated key $k: $est < $c")
+      assert(est <= c + (eps * n).toLong + 1, s"CMS overshoot on $k: $est vs $c (N=$n)")
+    }
+    val bloom = li.stat.bloomFilter("l_suppkey", expectedNumItems = exact.size.toLong, fpp = 0.01)
+    assert(exact.keys.forall(bloom.mightContain), "bloom filter false negative")
+    val absent = (1L to 2000L).filterNot(exact.contains)
+    val fpRate = absent.count(bloom.mightContain).toDouble / math.max(1, absent.size)
+    assert(fpRate < 0.05, s"bloom false-positive rate $fpRate")
+  }
+
   test("approx_count_distinct lands within 5% of exact at default rsd") {
     val li = graft.core.Tables(spark, sfDir, "lineitem")
     val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
