@@ -66,6 +66,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(fpRate < 0.05, s"bloom false-positive rate $fpRate")
   }
 
+  test("observe() collects audit metrics inline with the action — no second pass") {
+    // at 100 TB an ETL job cannot afford a separate count()/agg() pass just
+    // to audit itself; Observation rides the same job
+    import org.apache.spark.sql.Observation
+    val obs = Observation("audit")
+    val li = graft.core.Tables(spark, sfDir, "lineitem")
+    val written = li.filter(col("l_quantity") > 10)
+      .observe(obs, count(lit(1)).as("rows_out"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty_out"))
+      .groupBy("l_returnflag").count()
+    val grouped = written.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val audit = obs.get
+    assert(audit("rows_out").asInstanceOf[Long] == grouped.values.sum,
+      s"observed ${audit("rows_out")} vs grouped ${grouped.values.sum}")
+    assert(audit("qty_out").asInstanceOf[Double] > 0.0)
+  }
+
   test("approx_count_distinct lands within 5% of exact at default rsd") {
     val li = graft.core.Tables(spark, sfDir, "lineitem")
     val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
