@@ -83,4 +83,28 @@ object Multimodal {
   /** Stub frame sampling: every k-th byte "frame" marker. */
   def frameSampleStub(bytes: Array[Byte], everyK: Int): Seq[Int] =
     bytes.indices.by(math.max(1, everyK)).map(i => bytes(i) & 0xff)
+
+  final case class Frame(
+      id: Long, frame_idx: Int, offset: Long, n_bytes: Long, frame_md5: String)
+
+  /** Frame sampling over opaque binary media: a `frameBytes` slice every
+    * `stride` bytes — the container-agnostic stand-in for video frame
+    * extraction (a real codec would seek keyframes; the slice-iterate-hash
+    * plumbing, schema, and per-frame row fan-out are the real contract).
+    * Row-local flatMap, zero shuffle; fan-out = ⌈bytes/stride⌉ per row.
+    */
+  def sampleFrames(rows: Dataset[MediaRow], frameBytes: Int = 64,
+      stride: Int = 128): Dataset[Frame] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.flatMap { r =>
+      val len = r.content.length
+      Iterator.range(0, len, stride).zipWithIndex.map { case (off, idx) =>
+        val n = math.min(frameBytes, len - off)
+        val slice = java.util.Arrays.copyOfRange(r.content, off, off + n)
+        val md = java.security.MessageDigest.getInstance("MD5").digest(slice)
+        Frame(r.id, idx, off.toLong, n.toLong, md.map("%02x".format(_)).mkString)
+      }
+    }
+  }
 }

@@ -307,6 +307,40 @@ object PipelineQueries extends Registry {
           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
         FROM documents GROUP BY 1 ORDER BY modality""")),
 
+    // ---- frame sampling over the video-modality binary columns: 64-byte
+    //      slices every 128 bytes, hashed per frame — the zero-shuffle
+    //      row-local fan-out a video pipeline runs before per-frame
+    //      inference. The media bytes are UTF-8 text (all-ASCII at every
+    //      SF, asserted by the oracle equality itself), so DuckDB replays
+    //      each byte slice as a substring md5. ----------------------------
+    Q("q111_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .filter($"doc_id" % 3 === 2)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            Multimodal.MediaRow(id, "video", "application/x-video",
+              text.getBytes("UTF-8"))
+          }
+        Multimodal.sampleFrames(media, frameBytes = 64, stride = 128)
+          .toDF()
+          .select($"id".as("doc_id"), $"frame_idx", $"offset".as("byte_off"),
+            $"n_bytes", $"frame_md5")
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      Some("""WITH v AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+              FROM documents WHERE doc_id % 3 = 2),
+          f AS (SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                  CAST(i * 128 AS BIGINT) AS byte_off,
+                  CAST(least(64, len - i * 128) AS BIGINT) AS n_bytes,
+                  md5(substr(text, CAST(i * 128 + 1 AS INT),
+                      CAST(least(64, len - i * 128) AS INT))) AS frame_md5
+                FROM v, UNNEST(range(0, CAST(ceil(len / 128.0) AS BIGINT))) AS t(i))
+          SELECT doc_id, frame_idx, byte_off, n_bytes, frame_md5
+          FROM f ORDER BY doc_id, frame_idx""")),
+
     // ---- C4 avg-logits fusion through the production operator, with
     //      deterministic inputs so the oracle can check the full path ------
     Q("q40_fusion_operator",
