@@ -384,6 +384,37 @@ object VectorQueries extends Registry {
           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY approx_l2, vec_id) AS rn FROM scored)
           WHERE rn <= 3 ORDER BY query_id, rank"""
-      })
+      }),
+
+    // ---- cross-modal metadata join: documents (text metadata) × embeddings
+    //      (vectors) on the shared id — the join every curation decision
+    //      that mixes signals needs (quality × similarity, lang × cluster).
+    //      Co-keyed equi-join (doc_id = vec_id, both sides hash to the same
+    //      exchange; bucket both tables on id at 100 TB and it goes
+    //      shuffle-free), then the q93 quantized-mean pattern per language:
+    //      components quantize to exact longs before the (lang, dim)
+    //      shuffle, so the centroid hash-matches at any parallelism. -------
+    Q("q112_lang_centroids",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables(s, dir, "documents").select($"doc_id", $"lang")
+        emb(s, dir).join(d, $"vec_id" === $"doc_id")
+          .select($"lang", posexplode($"embedding").as(Seq("dim", "v")))
+          .filter($"dim" < 8)
+          .withColumn("q", round($"v".cast("double") * 1000.0).cast("long"))
+          .groupBy($"lang", $"dim")
+          .agg(count(lit(1)).as("n_vecs"), sum($"q").as("sq"))
+          .select($"lang", $"dim", $"n_vecs",
+            ($"sq".cast("double") / 1000.0 / $"n_vecs").as("centroid_q"))
+          .orderBy($"lang", $"dim")
+      },
+      Some("""WITH j AS (SELECT d.lang, e.embedding
+              FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+          x AS (SELECT lang, dim,
+                  CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+                FROM j, UNNEST(range(0, 8)) AS t(dim))
+          SELECT lang, CAST(dim AS INT) AS dim, count(*) AS n_vecs,
+            CAST(sum(q) AS DOUBLE) / 1000.0 / count(*) AS centroid_q
+          FROM x GROUP BY lang, dim ORDER BY lang, dim"""))
   )
 }
