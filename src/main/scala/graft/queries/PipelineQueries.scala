@@ -199,6 +199,60 @@ object PipelineQueries extends Registry {
         SELECT split, lang, count(*) AS n_docs FROM sp
         GROUP BY split, lang ORDER BY split, lang""")),
 
+    // ---- split distribution drift (PSI): is the val split representative
+    //      of train? Per-lang PSI terms with add-one smoothing (a lang
+    //      absent from one split must not produce ln(0)). Everything after
+    //      the q81 split label is two lang-keyed aggregations plus
+    //      broadcast scalar totals; the PSI term rounds at 1e-6 BEFORE any
+    //      cross-row use, so the drift report is partition-invariant. The
+    //      same plan monitors train-vs-serve drift at 100 TB — lang swaps
+    //      for any bucketed feature. ---------------------------------------
+    Q("q114_split_drift",
+      (s, dir) => {
+        import s.implicits._
+        val sp = Sampling.datasetSplit(Tables(s, dir, "documents"), seed = 13,
+            keyCols = Seq("doc_id"), valFrac = 0.05, testFrac = 0.05)
+          .filter($"split".isin("train", "val"))
+        val counts = sp.groupBy($"lang").pivot("split", Seq("train", "val"))
+          .agg(count(lit(1)))
+          .select($"lang",
+            coalesce($"train", lit(0L)).as("n_train"),
+            coalesce($"val", lit(0L)).as("n_val"))
+        val nLangs = counts.agg(count(lit(1)).cast("double").as("k"),
+          sum($"n_train").cast("double").as("tot_train"),
+          sum($"n_val").cast("double").as("tot_val"))
+        counts.join(broadcast(nLangs))
+          .select($"lang", $"n_train", $"n_val",
+            (($"n_train" + 1) / ($"tot_train" + $"k")).as("p_train"),
+            (($"n_val" + 1) / ($"tot_val" + $"k")).as("p_val"))
+          .withColumn("psi_term",
+            round(($"p_train" - $"p_val") * log($"p_train" / $"p_val"), 6))
+          .select($"lang", $"n_train", $"n_val",
+            round($"p_train", 6).as("p_train"), round($"p_val", 6).as("p_val"),
+            $"psi_term")
+          .orderBy($"lang")
+      },
+      Some(s"""WITH sp AS (SELECT lang,
+            CASE WHEN ${Sampling.detRandSql(13, Seq("doc_id"))} < 0.90 THEN 'train'
+                 WHEN ${Sampling.detRandSql(13, Seq("doc_id"))} < 0.95 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents),
+        counts AS (SELECT lang,
+            CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+            CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+          FROM sp WHERE split IN ('train', 'val') GROUP BY lang),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+            CAST(sum(n_train) AS DOUBLE) AS tot_train,
+            CAST(sum(n_val) AS DOUBLE) AS tot_val FROM counts),
+        p AS (SELECT lang, n_train, n_val,
+            (n_train + 1) / (tot_train + k) AS p_train,
+            (n_val + 1) / (tot_val + k) AS p_val
+          FROM counts CROSS JOIN tot)
+        SELECT lang, n_train, n_val,
+          round(p_train, 6) AS p_train, round(p_val, 6) AS p_val,
+          round((p_train - p_val) * ln(p_train / p_val), 6) AS psi_term
+        FROM p ORDER BY lang""")),
+
     // ---- F3 seeded distinct-value sampling (prompt value sampling) -------
     Q("q51_distinct_sample",
       (s, dir) => {

@@ -581,6 +581,48 @@ object RelationalQueries extends Registry {
         SELECT s.hour, t.event_type, COALESCE(c.n, 0) AS n_events
         FROM spine s CROSS JOIN types t
         LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
-        ORDER BY s.hour, t.event_type"""))
+        ORDER BY s.hour, t.event_type""")),
+
+    // ---- column profile: per-column completeness + cardinality in ONE
+    //      scan — the audit that runs before every ingest decision. The
+    //      multi-distinct aggregate plans via Expand (row ×N_cols), a
+    //      deliberate, documented trade: profiling is occasional and one
+    //      expanded shuffle beats N separate scans of a 100 TB table. The
+    //      single result row unpivots row-locally (stack). ----------------
+    Q("q113_column_profile",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val cols = c.schema.fieldNames.toSeq
+        val aggs = cols.flatMap(n => Seq(
+          sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
+          countDistinct(col(n)).as(s"${n}__distinct")))
+        val stackExpr = cols.map(n =>
+          s"'$n', ${n}__nulls, ${n}__distinct").mkString(", ")
+        c.agg(aggs.head, aggs.tail: _*)
+          .select(expr(
+            s"stack(${cols.size}, $stackExpr) AS (col_name, n_null, n_distinct)"))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("n_rows"))))
+          .select($"col_name", $"n_rows", $"n_null", $"n_distinct")
+          .orderBy($"col_name")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n_rows FROM customer)
+        SELECT col_name, n_rows, n_null, n_distinct FROM (
+          SELECT 'c_custkey' AS col_name, n_rows,
+            (SELECT count(*) FROM customer WHERE c_custkey IS NULL) AS n_null,
+            (SELECT count(DISTINCT c_custkey) FROM customer) AS n_distinct FROM n
+          UNION ALL SELECT 'c_name', n_rows,
+            (SELECT count(*) FROM customer WHERE c_name IS NULL),
+            (SELECT count(DISTINCT c_name) FROM customer) FROM n
+          UNION ALL SELECT 'c_nationkey', n_rows,
+            (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+            (SELECT count(DISTINCT c_nationkey) FROM customer) FROM n
+          UNION ALL SELECT 'c_acctbal', n_rows,
+            (SELECT count(*) FROM customer WHERE c_acctbal IS NULL),
+            (SELECT count(DISTINCT c_acctbal) FROM customer) FROM n
+          UNION ALL SELECT 'c_mktsegment', n_rows,
+            (SELECT count(*) FROM customer WHERE c_mktsegment IS NULL),
+            (SELECT count(DISTINCT c_mktsegment) FROM customer) FROM n)
+        ORDER BY col_name"""))
   )
 }
