@@ -706,6 +706,72 @@ object PipelineQueries extends Registry {
           FROM fsh JOIN bench USING (shingle)
           GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Structured Streaming stream-stream interval join, driven to
+    //      completion: purchases and clicks arrive as two MemoryStreams
+    //      (split at the same global (ts, event_id) point so the joint
+    //      watermark advances in lockstep) through
+    //      StreamingOps.intervalJoin — per purchase, the same user's
+    //      clicks in the preceding 30 minutes. MATCHED rows are emitted
+    //      eagerly on arrival and cross-batch state survives (needed
+    //      clicks have c_ts ≥ split−30min; eviction requires
+    //      c_ts < split−40min at the 10-min watermark delay), so the
+    //      matched set is deterministic and equals q94's batch INNER core
+    //      over the same prefix. Outer-null emission timing depends on
+    //      where the final watermark parks — those rows are filtered here
+    //      and stay covered by StreamingSpec; the driver gate pins the
+    //      matched semantics. ----------------------------------------------
+    Q("q119_streaming_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        val pref = Tables(s, dir, "events")
+          .filter($"event_type".isin("purchase", "click"))
+          .select($"ts", $"event_id", $"user_id", $"event_type")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .as[(java.sql.Timestamp, Long, Long, String)].collect()
+        val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
+        val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+        val qn = s"graft_ivj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        // 4 state partitions for the 2000-row feed (see q41's comment)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val query = StreamingOps.intervalJoin(
+              memP.toDF().toDF("p_user", "purchase_id", "p_ts"),
+              memC.toDF().toDF("c_user", "c_ts"))
+            .writeStream.format("memory").queryName(qn)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+          try {
+            val (b1, b2) = pref.splitAt(pref.length / 2)
+            Seq(b1, b2).foreach { b =>
+              memP.addData(b.filter(_._4 == "purchase")
+                .map(e => (e._3, e._2, e._1)).toSeq)
+              memC.addData(b.filter(_._4 == "click")
+                .map(e => (e._3, e._1)).toSeq)
+              query.processAllAvailable()
+            }
+            s.table(qn)
+              .localCheckpoint(eager = true) // detach from the stopped stream
+              .filter($"c_ts".isNotNull)
+              .groupBy($"purchase_id", $"p_ts")
+              .agg(count(lit(1)).as("n_prior_clicks"),
+                max($"c_ts").as("last_click_ts"))
+              .orderBy($"purchase_id")
+          } finally query.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      Some("""WITH e AS (SELECT ts, event_id, user_id, event_type FROM events
+            WHERE event_type IN ('purchase', 'click')
+            ORDER BY ts, event_id LIMIT 2000),
+          p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+                FROM e WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, ts AS c_ts FROM e WHERE event_type = 'click')
+          SELECT purchase_id, p_ts, count(*) AS n_prior_clicks,
+                 max(c_ts) AS last_click_ts
+          FROM p JOIN c ON c.user_id = p.user_id
+            AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts < p.p_ts
+          GROUP BY purchase_id, p_ts ORDER BY purchase_id""")),
+
     // ---- Structured Streaming sessionization, driven to completion -------
     // (MemoryStream-fed incremental run of the q33 semantics; the driver
     // sees the closed sessions as a batch result). Emitted rows = every

@@ -623,6 +623,94 @@ object RelationalQueries extends Registry {
           UNION ALL SELECT 'c_mktsegment', n_rows,
             (SELECT count(*) FROM customer WHERE c_mktsegment IS NULL),
             (SELECT count(DISTINCT c_mktsegment) FROM customer) FROM n)
-        ORDER BY col_name"""))
+        ORDER BY col_name""")),
+
+    // ---- quantile sketch audit: per-group EXACT percentiles (p50/p90/p99
+    //      of extended price) alongside a rank check of the t-digest-style
+    //      `approx_percentile` sketch — the q91 count-min / bloom pattern
+    //      applied to quantiles. The oracle can only replay the exact side
+    //      (DuckDB has no GK sketch), so the approx value itself never
+    //      leaves the plan: the emitted column is the RANK-BOUND verdict
+    //      (fraction of rows ≤ sketch value within p ± 1%, guaranteed by
+    //      accuracy=10000 ⇒ rank error ≤ 0.01%·n plus ties), which the
+    //      oracle asserts as literal 1. Two passes over lineitem — the
+    //      exact+sketch aggregation, then a broadcast probe re-counting
+    //      ranks of the 12 sketch values; both single-shuffle. At 100 TB
+    //      the exact percentile is the luxury (full sort-based aggregation
+    //      buffering per group) and the sketch is the product — mergeable,
+    //      bounded-memory partials; this query is the accuracy monitor one
+    //      runs at small scale to trust the sketch at large. ---------------
+    Q("q117_quantile_audit",
+      (s, dir) => {
+        import s.implicits._
+        val ps = Seq(0.5, 0.9, 0.99)
+        val li = t(s, dir, "lineitem").select($"l_returnflag", $"l_extendedprice")
+        // cumulative counts over DISTINCT prices per group (the window sorts
+        // ~distinct-values rows, not the raw table). The type-7 interpolation
+        // x_lo + (x_hi − x_lo)·frac is written out EXPLICITLY and identically
+        // in the oracle: built-in percentile/quantile_cont pairs differ by an
+        // ulp (observed flipping a price across the cent boundary), while the
+        // same IEEE expression over the same order statistics is bit-exact.
+        val cum = li.groupBy($"l_returnflag", $"l_extendedprice")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum($"cnt").over(Window.partitionBy($"l_returnflag")
+            .orderBy($"l_extendedprice")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("prev", $"cum" - $"cnt")
+        val ranks = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+          .select($"l_returnflag", $"n", explode(typedLit(ps)).as("p"))
+          .withColumn("r", ($"n" - 1).cast("double") * $"p")
+          .withColumn("k_lo", floor($"r"))
+          .withColumn("k_hi", ceil($"r"))
+        val lo = cum.join(broadcast(ranks), Seq("l_returnflag"))
+          .where($"prev" <= $"k_lo" && $"k_lo" < $"cum")
+          .select($"l_returnflag", $"p", $"n", $"r", $"k_hi",
+            $"l_extendedprice".as("x_lo"))
+        val hi = cum.join(broadcast(ranks.select($"l_returnflag", $"p", $"k_hi")),
+            Seq("l_returnflag"))
+          .where($"prev" <= $"k_hi" && $"k_hi" < $"cum")
+          .select($"l_returnflag", $"p", $"l_extendedprice".as("x_hi"))
+        val exact = lo.join(hi, Seq("l_returnflag", "p"))
+          .select($"l_returnflag", $"p", $"n",
+            ($"x_lo" + ($"x_hi" - $"x_lo") * ($"r" - floor($"r"))).as("exact_v"))
+        // sketch audit: re-count the rank of each approx value; accuracy
+        // 10000 bounds rank error at 0.01%·n (+ ties), well inside ±1%
+        val appr = li.groupBy($"l_returnflag")
+          .agg(percentile_approx($"l_extendedprice", typedLit(ps), lit(10000)).as("a"))
+          .select($"l_returnflag", posexplode($"a"))
+          .select($"l_returnflag",
+            element_at(typedLit(ps), $"pos" + 1).as("p"), $"col".as("appr_v"))
+        val audit = li.join(broadcast(appr), Seq("l_returnflag"))
+          .groupBy($"l_returnflag", $"p")
+          .agg(sum(when($"l_extendedprice" <= $"appr_v", 1L).otherwise(0L)).as("rank_le"))
+        exact.join(audit, Seq("l_returnflag", "p"))
+          .select($"l_returnflag", $"p", $"exact_v".as("exact_price"),
+            when(abs($"rank_le".cast("double") / $"n" - $"p") <= 0.01, 1)
+              .otherwise(0).cast("int").as("approx_ok"))
+          .orderBy($"l_returnflag", $"p")
+      },
+      Some("""WITH cum AS (
+            SELECT l_returnflag, l_extendedprice, count(*) AS cnt,
+              sum(count(*)) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+          c2 AS (SELECT *, cum - cnt AS prev FROM cum),
+          ranks AS (SELECT l_returnflag, count(*) AS n, unnest([0.5, 0.9, 0.99]) AS p
+                    FROM lineitem GROUP BY l_returnflag),
+          r2 AS (SELECT l_returnflag, n, p, CAST(n - 1 AS DOUBLE) * p AS r,
+                   floor(CAST(n - 1 AS DOUBLE) * p) AS k_lo,
+                   ceil(CAST(n - 1 AS DOUBLE) * p) AS k_hi
+                 FROM ranks),
+          lo AS (SELECT c2.l_returnflag, p, r, k_hi, l_extendedprice AS x_lo
+                 FROM c2 JOIN r2 ON c2.l_returnflag = r2.l_returnflag
+                  AND prev <= k_lo AND k_lo < cum),
+          hi AS (SELECT c2.l_returnflag, p, l_extendedprice AS x_hi
+                 FROM c2 JOIN r2 ON c2.l_returnflag = r2.l_returnflag
+                  AND prev <= k_hi AND k_hi < cum)
+          SELECT lo.l_returnflag, lo.p,
+                 x_lo + (x_hi - x_lo) * (r - floor(r)) AS exact_price,
+                 1 AS approx_ok
+          FROM lo JOIN hi ON lo.l_returnflag = hi.l_returnflag AND lo.p = hi.p
+          ORDER BY lo.l_returnflag, lo.p"""))
   )
 }

@@ -876,7 +876,134 @@ object TextQueries extends Registry {
           t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
           SELECT l_suppkey, n, round(n / total, 8) AS share
           FROM c CROSS JOIN t
-          ORDER BY n DESC, l_suppkey LIMIT 10"""))
+          ORDER BY n DESC, l_suppkey LIMIT 10""")),
+
+    // ---- RAG chunking: fixed-size token windows (64 tokens, stride 48 ⇒
+    //      16-token overlap) with a content hash per chunk — the retrieval
+    //      prep between curation and embedding. Entirely ROW-LOCAL: the
+    //      token array materializes once per doc, window starts come from
+    //      `sequence`, and each chunk is a `slice` off the same array — no
+    //      shuffle at all until the final presentation sort, so the op
+    //      scales linearly with corpus bytes (the fan-out is ~n_tokens/48
+    //      rows per doc, each a bounded slice, never a cross join). -------
+    Q("q115_rag_chunks",
+      (s, dir) => {
+        import s.implicits._
+        val chunk = 64
+        val stride = 48
+        docs(s, dir)
+          .select($"doc_id", tokens($"text").as("t"))
+          // largest start ≤ n-1 that is a multiple of stride; sequence's
+          // step is pinned (start>stop would otherwise flip it negative)
+          .select($"doc_id", $"t",
+            explode(expr(s"sequence(0L, (size(t) - 1) div $stride * $stride, ${stride}L)"))
+              .as("start"))
+          .select($"doc_id",
+            ($"start" / stride).cast("long").as("chunk_idx"),
+            $"start".cast("long").as("start_tok"),
+            least(size($"t") - $"start", lit(chunk)).cast("long").as("n_chunk_tokens"),
+            md5(array_join(slice($"t", ($"start" + 1).cast("int"), lit(chunk)), " "))
+              .as("chunk_md5"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          st AS (SELECT doc_id, t, i AS start
+                 FROM t, UNNEST(range(0, len(t), 48)) AS r(i))
+          SELECT doc_id,
+                 CAST(start // 48 AS BIGINT) AS chunk_idx,
+                 CAST(start AS BIGINT) AS start_tok,
+                 CAST(least(len(t) - start, 64) AS BIGINT) AS n_chunk_tokens,
+                 md5(array_to_string(t[start + 1:start + 64], ' ')) AS chunk_md5
+          FROM st ORDER BY doc_id, chunk_idx""")),
+
+    // ---- interpolated bigram LM scoring: the step up from q105's unigram
+    //      proxy — P(w2|w1) smoothed with the unigram prior
+    //      (0.75·c12/c1 + 0.25·cu/total), mean log-prob per doc. Bigrams
+    //      are extracted ROW-LOCALLY (transform over the token array — no
+    //      positional self-join), so the only corpus-sized shuffles are the
+    //      two count aggregations and the per-doc mean. The count tables
+    //      are vocab-sized: broadcast here; at 100 TB the bigram table
+    //      outgrows a broadcast and the probe becomes a shuffle join on
+    //      (w1,w2) — zipf-skewed on the head, which AQE skew-split or the
+    //      q46-style salt handles; per-token log-probs are micro-quantized
+    //      before summing so the mean is addition-order-independent. ------
+    Q("q116_bigram_logprob",
+      (s, dir) => {
+        import s.implicits._
+        val bg = docs(s, dir)
+          .select($"doc_id", tokens(lower($"text")).as("t"))
+          .where(size($"t") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(t) - 1), " +
+              "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+            .as("b"))
+          .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        val cbg = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        val cctx = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+        val uni = docs(s, dir)
+          .select(explode(tokens(lower($"text"))).as("w2"))
+          .groupBy($"w2").agg(count(lit(1)).as("cu"))
+        val tot = uni.agg(sum($"cu").cast("double").as("total"))
+        val p = lit(0.75) * ($"c12".cast("double") / $"c1") +
+          lit(0.25) * ($"cu".cast("double") / $"total")
+        val lp = round(log(p) * 1e6).cast("long")
+        bg.join(broadcast(cbg), Seq("w1", "w2"))
+          .join(broadcast(cctx), Seq("w1"))
+          .join(broadcast(uni), Seq("w2"))
+          .join(broadcast(tot))
+          .select($"doc_id", lp.as("lp"))
+          .groupBy($"doc_id")
+          .agg((sum($"lp").cast("double") / 1e6 / count(lit(1))).as("mean_bigram_logprob"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+          bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                 FROM t, UNNEST(range(1, len(t))) AS r(i)),
+          cbg AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+          cctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+          uni AS (SELECT w AS w2, count(*) AS cu FROM
+                    (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+                  GROUP BY w),
+          tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS total FROM uni),
+          lp AS (SELECT doc_id,
+                   CAST(round(ln(0.75 * (CAST(c12 AS DOUBLE) / c1)
+                     + 0.25 * (CAST(cu AS DOUBLE) / total)) * 1000000) AS BIGINT) AS lp
+                 FROM bg JOIN cbg USING (w1, w2) JOIN cctx USING (w1)
+                   JOIN uni USING (w2) CROSS JOIN tot)
+          SELECT doc_id,
+                 CAST(sum(lp) AS DOUBLE) / 1000000 / count(*) AS mean_bigram_logprob,
+                 count(*) AS n_bigrams
+          FROM lp GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- mixture rebalancing: downsample every language to the size of
+    //      the smallest one (uniform target mixture) with a DETERMINISTIC
+    //      per-doc coin — acceptance is a pure function of doc_id, so the
+    //      sample is identical under any partitioning or scale, unlike
+    //      `sampleBy`. One lang-count aggregation (5 rows, broadcast back);
+    //      the corpus pass itself is a map-side filter — this is how
+    //      pretraining mixes rebalance sources at 100 TB without a global
+    //      sort or per-group windows. ---------------------------------------
+    Q("q118_mixture_resample",
+      (s, dir) => {
+        import s.implicits._
+        val c = docs(s, dir).groupBy($"lang").agg(count(lit(1)).as("n"))
+        val m = c.agg(min($"n").cast("double").as("minn"))
+        docs(s, dir)
+          .join(broadcast(c), Seq("lang"))
+          .join(broadcast(m))
+          .where(graft.operators.Sampling.detRand(118L, $"doc_id".cast("string"))
+            < $"minn" / $"n")
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          m AS (SELECT CAST(min(n) AS DOUBLE) AS minn FROM c)
+          SELECT doc_id, lang
+          FROM documents JOIN c USING (lang) CROSS JOIN m
+          WHERE ${graft.operators.Sampling.detRandSql(118L, Seq("CAST(doc_id AS VARCHAR)"))}
+            < minn / n
+          ORDER BY doc_id"""))
   )
 
   /** Shared 60-bit SimHash plan: token-frequency-weighted ±1 vote per bit;

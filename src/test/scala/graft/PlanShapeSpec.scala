@@ -157,4 +157,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Broadcast"), s"codebook not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"codebook join shuffled:\n$p")
   }
+
+  test("q115: chunking is row-local — no shuffle before the presentation sort") {
+    val p = plan("q115_rag_chunks")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunk fan-out must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"chunking must not plan a join:\n$p")
+  }
+
+  test("q116: bigram count tables broadcast; no positional self-join of tokens") {
+    val p = plan("q116_bigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), s"count tables not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token-level shuffle join at bench scale:\n$p")
+  }
+
+  test("q118: mixture resample is a broadcast-probe map-side filter") {
+    val p = plan("q118_mixture_resample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"lang counts not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a 5-row dim:\n$p")
+  }
+
+  test("q117: quantile window runs over distinct-value counts, ranks broadcast back") {
+    val p = plan("q117_quantile_audit")
+    assert(p.contains("Window"), s"expected the cumulative-count window:\n$p")
+    assert(p.contains("Broadcast"), s"rank probes should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"rank probe fell back to cartesian:\n$p")
+  }
 }
