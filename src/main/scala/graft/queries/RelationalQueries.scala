@@ -711,6 +711,30 @@ object RelationalQueries extends Registry {
                  x_lo + (x_hi - x_lo) * (r - floor(r)) AS exact_price,
                  1 AS approx_ok
           FROM lo JOIN hi ON lo.l_returnflag = hi.l_returnflag AND lo.p = hi.p
-          ORDER BY lo.l_returnflag, lo.p"""))
+          ORDER BY lo.l_returnflag, lo.p""")),
+
+    // ---- HyperLogLog distinct audit: exact countDistinct beside the
+    //      `approx_count_distinct` sketch verdict (rsd 2%, 3σ bound ±6%) —
+    //      the q117 pattern applied to cardinality. At 100 TB the exact
+    //      count (an Expand + two-phase distinct aggregation) is the
+    //      occasional calibration pass; the HLL sketch — a fixed few-KB
+    //      mergeable register set per group, map-side combined — is what a
+    //      monitoring pipeline actually runs. The sketch estimate itself
+    //      never leaves the plan (no DuckDB HLL to mirror); the emitted
+    //      column is the bound verdict the oracle asserts as 1. -----------
+    Q("q120_hll_audit",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").groupBy($"l_returnflag")
+          .agg(countDistinct($"l_orderkey").as("exact_distinct"),
+            approx_count_distinct($"l_orderkey", 0.02).as("hll"))
+          .select($"l_returnflag", $"exact_distinct",
+            when(abs($"hll".cast("double") / $"exact_distinct" - 1.0) <= 0.06, 1)
+              .otherwise(0).cast("int").as("hll_ok"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct,
+            1 AS hll_ok
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -1003,7 +1003,95 @@ object TextQueries extends Registry {
           FROM documents JOIN c USING (lang) CROSS JOIN m
           WHERE ${graft.operators.Sampling.detRandSql(118L, Seq("CAST(doc_id AS VARCHAR)"))}
             < minn / n
-          ORDER BY doc_id"""))
+          ORDER BY doc_id""")),
+
+    // ---- shard manifest: the dataset-publishing step — deterministic
+    //      hash shard assignment (8 shards) plus the per-shard manifest a
+    //      consumer validates against: doc count, id range, byte volume,
+    //      and an ORDER-INDEPENDENT content checksum (sum of per-doc
+    //      md5-derived longs mod p — associative, so map-side combine and
+    //      any merge order give the same value; the summands are < 1e9 so
+    //      the running long sum overflows only past ~9e9 docs PER SHARD,
+    //      far beyond a shard's intended size). One shuffle on shard_id;
+    //      at 100 TB this IS the final write layout (shard = output file
+    //      bucket), and the manifest rides the same aggregation. ----------
+    Q("q121_shard_manifest",
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select($"doc_id", $"n_chars",
+            (baseHash($"doc_id".cast("string")) % 8).as("shard_id"),
+            baseHash($"text").as("h"))
+          .groupBy($"shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"),
+            sum($"n_chars").as("sum_chars"),
+            (sum($"h") % graft.functions.TextFunctions.minhashP).as("checksum"))
+          .orderBy($"shard_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, n_chars,
+            ${graft.functions.TextFunctions.baseHashSql("CAST(doc_id AS VARCHAR)")} % 8
+              AS shard_id,
+            ${graft.functions.TextFunctions.baseHashSql("text")} AS h
+          FROM documents)
+          SELECT shard_id, count(*) AS n_docs, min(doc_id) AS min_doc,
+            max(doc_id) AS max_doc, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            CAST(sum(h) % 1000000007 AS BIGINT) AS checksum
+          FROM d GROUP BY shard_id ORDER BY shard_id""")),
+
+    // ---- incremental ingest dedup: the latest crawl batch (top 10% of
+    //      the doc_id range — an ingest-time id watermark) lands against
+    //      the EXISTING corpus, and every new doc that shares ANY 20-token
+    //      chunk hash with the index is dropped (the n-gram-overlap rule
+    //      GPT-3-style pipelines apply between crawl refreshes; exact
+    //      whole-text hashing never fires on near-dups). Per batch doc the
+    //      query emits the shared-chunk count and the keep/drop verdict.
+    //      Chunk hashing is row-local (q99's recipe); the probe is one
+    //      shuffle of each side's distinct chunk hashes. At 100 TB the
+    //      existing-corpus chunk index is a table BUCKETED on the hash, so
+    //      only the (small) incoming batch shuffles, and a runtime bloom
+    //      filter over the batch's hashes sheds index partitions before
+    //      the join. Day-2 shape of q21's one-shot dedup. ------------------
+    Q("q122_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val chunkExpr = expr(
+          """CASE WHEN size(toks) >= 20
+               THEN transform(sequence(1, size(toks) - 19, 10),
+                      i -> md5(array_join(slice(toks, i, 20), ' ')))
+               ELSE array() END""")
+        val all = docs(s, dir)
+          .select($"doc_id", tokens(lower($"text")).as("toks"))
+          .join(broadcast(docs(s, dir).agg((max($"doc_id") * 0.9).as("cut"))))
+        def chunksOf(df: DataFrame): DataFrame =
+          df.select($"doc_id", explode(chunkExpr).as("chunk")).distinct()
+        val existing = chunksOf(all.filter($"doc_id" < $"cut"))
+          .select($"chunk").distinct()
+        val batch = all.filter($"doc_id" >= $"cut")
+        val hits = chunksOf(batch).join(existing, Seq("chunk"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        batch.select($"doc_id").join(hits, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_shared", lit(0L)).as("n_shared_chunks"),
+            when(coalesce($"n_shared", lit(0L)) > 0, "drop").otherwise("keep")
+              .as("verdict"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH m AS (SELECT 0.9 * max(doc_id) AS cut FROM documents),
+          t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+          c AS (SELECT DISTINCT doc_id, unnest(
+              [md5(array_to_string(toks[i:i+19], ' '))
+               for i in range(1, greatest(len(toks) - 19, 0) + 1, 10)]) AS chunk
+            FROM t),
+          existing AS (SELECT DISTINCT chunk FROM c, m WHERE doc_id < cut),
+          batch AS (SELECT doc_id FROM documents, m WHERE doc_id >= cut),
+          hits AS (SELECT c.doc_id, count(*) AS n_shared
+                   FROM c, m WHERE c.doc_id >= m.cut
+                     AND chunk IN (SELECT chunk FROM existing)
+                   GROUP BY c.doc_id)
+          SELECT b.doc_id, CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared_chunks,
+            CASE WHEN COALESCE(n_shared, 0) > 0 THEN 'drop' ELSE 'keep' END AS verdict
+          FROM batch b LEFT JOIN hits USING (doc_id) ORDER BY doc_id"""))
   )
 
   /** Shared 60-bit SimHash plan: token-frequency-weighted ±1 vote per bit;

@@ -178,6 +178,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a 5-row dim:\n$p")
   }
 
+  test("q121: shard manifest is one partial+final aggregation on shard_id") {
+    val p = plan("q121_shard_manifest")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side combine:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("q122: incremental dedup probes via equi-joins, never a product join") {
+    val p = plan("q122_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), s"chunk probe fell back to cartesian:\n$p")
+  }
+
   test("q117: quantile window runs over distinct-value counts, ranks broadcast back") {
     val p = plan("q117_quantile_audit")
     assert(p.contains("Window"), s"expected the cumulative-count window:\n$p")
