@@ -415,6 +415,106 @@ object VectorQueries extends Registry {
                 FROM j, UNNEST(range(0, 8)) AS t(dim))
           SELECT lang, CAST(dim AS INT) AS dim, count(*) AS n_vecs,
             CAST(sum(q) AS DOUBLE) / 1000.0 / count(*) AS centroid_q
-          FROM x GROUP BY lang, dim ORDER BY lang, dim"""))
+          FROM x GROUP BY lang, dim ORDER BY lang, dim""")),
+
+    // ---- int8 scalar quantization audit: per-vector symmetric int8
+    //      encode (scale = max|x|/127, code = clip(floor(x/scale + .5)))
+    //      and the reconstruction MSE — the compression check before
+    //      shipping embeddings at 4× smaller. Entirely ROW-LOCAL
+    //      (higher-order functions over the array column, no shuffle
+    //      before the presentation sort, linear in corpus bytes).
+    //      Rounding is written as floor(x/scale + 0.5) — identical text in
+    //      the oracle — because the two engines' round() half-way rules
+    //      need not agree; the fold order is sequential in both, so every
+    //      double is bit-exact. The 1e-30 floor guards an all-zero vector.
+    Q("q123_int8_quantize",
+      (s, dir) => {
+        import s.implicits._
+        emb(s, dir)
+          .select($"vec_id", $"embedding",
+            (greatest(expr(
+              "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"),
+              lit(1e-30)) / 127).as("scale"))
+          .select($"vec_id", $"scale",
+            (expr(
+              """aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) ->
+                 acc + pow(CAST(x AS DOUBLE)
+                   - least(greatest(floor(CAST(x AS DOUBLE) / scale + 0.5),
+                                    -127.0D), 127.0D) * scale, 2))""")
+              / size($"embedding")).as("mse"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH s AS (SELECT vec_id, embedding,
+            greatest(list_reduce(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE))), (a, b) -> greatest(a, b)),
+              1e-30) / 127 AS scale
+          FROM embeddings)
+          SELECT vec_id, scale,
+            list_reduce(list_transform(embedding, x ->
+                pow(CAST(x AS DOUBLE)
+                  - least(greatest(floor(CAST(x AS DOUBLE) / scale + 0.5),
+                                   -127.0), 127.0) * scale, 2)),
+              (acc, y) -> acc + y) / len(embedding) AS mse
+          FROM s ORDER BY vec_id""")),
+
+    // ---- Matryoshka truncation audit: exact top-5 neighbors computed on
+    //      the 16-dim PREFIX of each embedding vs the full 64-dim top-5,
+    //      recall@5 per query — the measurement that decides how far a
+    //      matryoshka-style prefix index can shrink the first-stage
+    //      search. Same broadcast-the-query-set shape as q30 twice (the
+    //      corpus never shuffles; prefix slicing is row-local), then a
+    //      broadcast-sized join of the two 5-row-per-query rank lists. ----
+    Q("q124_matryoshka_recall",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        def topk(dims: Option[Int]): org.apache.spark.sql.DataFrame = {
+          val v = dims.map(d => slice($"embedding", 1, d)).getOrElse($"embedding")
+          val e = emb(s, dir).select($"vec_id", v.as("v"))
+            .select($"vec_id", $"v", normFast($"v").as("nrm"))
+          val q = e.filter($"vec_id" % 100 === 0)
+            .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+          val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+          e.join(broadcast(q), $"vec_id" =!= $"query_id")
+            .select($"query_id", $"vec_id".as("neighbor_id"),
+              (dotFast($"qv", $"v") / ($"qn" * $"nrm")).as("cosine"))
+            .withColumn("rank", row_number().over(w))
+            .filter($"rank" <= 5)
+            .select($"query_id", $"neighbor_id")
+        }
+        val full = topk(None)
+        val trunc = topk(Some(16)).withColumnRenamed("neighbor_id", "t_neighbor")
+        full.join(trunc,
+            full("query_id") === trunc("query_id") &&
+              $"neighbor_id" === $"t_neighbor", "left")
+          .groupBy(full("query_id").as("query_id"))
+          .agg(count($"t_neighbor").as("n_overlap"))
+          .select($"query_id", $"n_overlap",
+            ($"n_overlap".cast("double") / 5).as("recall_at_5"))
+          .orderBy($"query_id")
+      },
+      Some {
+        def topkCte(name: String, vExpr: String) =
+          s"""${name}_scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+               ${dotSql(s"q.qv", s"$vExpr")}
+                 / (sqrt(${dotSql("q.qv", "q.qv")})
+                    * sqrt(${dotSql(vExpr, vExpr)})) AS cosine
+             FROM ${name}_q q JOIN embeddings e ON e.vec_id <> q.query_id),
+           $name AS (SELECT query_id, neighbor_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rn FROM ${name}_scored)
+             WHERE rn <= 5)"""
+        s"""WITH fullk_q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+           trunck_q AS (SELECT vec_id AS query_id, embedding[1:16] AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+           ${topkCte("fullk", "e.embedding")},
+           ${topkCte("trunck", "e.embedding[1:16]")}
+           SELECT f.query_id, count(t.neighbor_id) AS n_overlap,
+             CAST(count(t.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+           FROM fullk f LEFT JOIN trunck t
+             ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+           GROUP BY f.query_id ORDER BY f.query_id"""
+      })
   )
 }

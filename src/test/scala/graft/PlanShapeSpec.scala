@@ -191,6 +191,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"chunk probe fell back to cartesian:\n$p")
   }
 
+  test("q123: int8 quantization is row-local — no shuffle before the sort") {
+    val p = plan("q123_int8_quantize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantization must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"quantization must not plan a join:\n$p")
+  }
+
+  test("q124: both rank lists broadcast the query set; corpus never shuffles") {
+    val p = plan("q124_matryoshka_recall")
+    assert(p.contains("Broadcast"), s"query set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q117: quantile window runs over distinct-value counts, ranks broadcast back") {
     val p = plan("q117_quantile_audit")
     assert(p.contains("Window"), s"expected the cumulative-count window:\n$p")
