@@ -414,6 +414,35 @@ object IngestQueries extends Registry {
         WHERE o_orderstatus <> 'F' AND year(o_orderdate) >= 1993
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- Hive-partitioned parquet layout: write documents partitioned by
+    //      lang, read back ONE language — the filter becomes a PARTITION
+    //      filter (directory pruning, `PartitionFilters` in the scan; pinned
+    //      by PlanShapeSpec), so the read touches 1/5 of the files before a
+    //      single row deserializes. At 100 TB this is the difference
+    //      between scanning a corpus and listing a directory: partition by
+    //      the columns every consumer filters on (lang / source / split).
+    //      The oracle recomputes from the unpartitioned source — agreement
+    //      proves the layout roundtrip is lossless. The fixture dir is
+    //      SF-keyed so Verify (sf0.01) and Bench (sf0.1) never clobber
+    //      each other's bytes mid-comparison. -------------------------------
+    Q("q125_partitioned_write",
+      (s, dir) => {
+        import s.implicits._
+        val sfKey = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+        val p = s"$fixDir/q125_docs_$sfKey.parquet"
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"source", $"n_chars", $"lang")
+          .write.mode("overwrite").partitionBy("lang").parquet(p)
+        s.read.parquet(p).filter($"lang" === "en")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM documents WHERE lang = 'en'
+          GROUP BY source ORDER BY source""")),
+
     // ---- semi-structured Variant path (Spark 4): rows serialize to JSON,
     //      parse_json builds the binary Variant, typed extraction happens
     //      with variant_get path expressions — the modern schema-on-read

@@ -1091,7 +1091,49 @@ object TextQueries extends Registry {
                    GROUP BY c.doc_id)
           SELECT b.doc_id, CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared_chunks,
             CASE WHEN COALESCE(n_shared, 0) > 0 THEN 'drop' ELSE 'keep' END AS verdict
-          FROM batch b LEFT JOIN hits USING (doc_id) ORDER BY doc_id"""))
+          FROM batch b LEFT JOIN hits USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- Zipf-law corpus audit: least-squares slope of ln(freq) over
+    //      ln(rank) for the top-256 tokens — natural text sits near −1;
+    //      a drifting slope flags boilerplate floods or tokenizer damage.
+    //      One token-count shuffle; the rank window runs over the 256-row
+    //      TakeOrdered result only (bounded, not a global corpus sort).
+    //      Every log is micro-quantized to a LONG before the regression
+    //      sums, so Σx, Σy, Σxy, Σxx are exact integers at any parallelism
+    //      and the final slope/intercept doubles are bit-identical to the
+    //      oracle (the long products stay under 2^63: |x_µ| ≤ 5.6e6,
+    //      |y_µ| ≤ ~2e7, n = 256). ------------------------------------------
+    Q("q126_zipf_audit",
+      (s, dir) => {
+        import s.implicits._
+        val top = docs(s, dir)
+          .select(explode(tokens(lower($"text"))).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"token").limit(256)
+          .withColumn("rank",
+            row_number().over(Window.orderBy($"cnt".desc, $"token")))
+        val q = top.select(
+          round(log($"rank".cast("double")) * 1e6).cast("long").as("xq"),
+          round(log($"cnt".cast("double")) * 1e6).cast("long").as("yq"))
+        q.agg(count(lit(1)).as("n"), sum($"xq").as("sx"), sum($"yq").as("sy"),
+            sum($"xq" * $"yq").as("sxy"), sum($"xq" * $"xq").as("sxx"))
+          .select($"n".as("n_top"),
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+              / ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("zipf_slope"))
+      },
+      Some("""WITH f AS (SELECT token, count(*) AS cnt FROM
+              (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+            GROUP BY token),
+          top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+                  FROM f ORDER BY cnt DESC, token LIMIT 256),
+          q AS (SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS xq,
+                       CAST(round(ln(cnt) * 1000000) AS BIGINT) AS yq FROM top),
+          s AS (SELECT count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+                       sum(xq * yq) AS sxy, sum(xq * xq) AS sxx FROM q)
+          SELECT CAST(n AS BIGINT) AS n_top,
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+          FROM s"""))
   )
 
   /** Shared 60-bit SimHash plan: token-frequency-weighted ±1 vote per bit;

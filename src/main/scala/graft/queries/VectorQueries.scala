@@ -436,11 +436,12 @@ object VectorQueries extends Registry {
               "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"),
               lit(1e-30)) / 127).as("scale"))
           .select($"vec_id", $"scale",
+            // e*e, not pow(e,2): the two engines' pow() disagree by an ulp
             (expr(
-              """aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) ->
-                 acc + pow(CAST(x AS DOUBLE)
+              """aggregate(transform(embedding, x -> CAST(x AS DOUBLE)
                    - least(greatest(floor(CAST(x AS DOUBLE) / scale + 0.5),
-                                    -127.0D), 127.0D) * scale, 2))""")
+                                    -127.0D), 127.0D) * scale),
+                 CAST(0 AS DOUBLE), (acc, e) -> acc + e * e)""")
               / size($"embedding")).as("mse"))
           .orderBy($"vec_id")
       },
@@ -450,11 +451,11 @@ object VectorQueries extends Registry {
               1e-30) / 127 AS scale
           FROM embeddings)
           SELECT vec_id, scale,
-            list_reduce(list_transform(embedding, x ->
-                pow(CAST(x AS DOUBLE)
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(embedding, x -> CAST(x AS DOUBLE)
                   - least(greatest(floor(CAST(x AS DOUBLE) / scale + 0.5),
-                                   -127.0), 127.0) * scale, 2)),
-              (acc, y) -> acc + y) / len(embedding) AS mse
+                                   -127.0), 127.0) * scale)),
+              (acc, e) -> acc + e * e) / len(embedding) AS mse
           FROM s ORDER BY vec_id""")),
 
     // ---- Matryoshka truncation audit: exact top-5 neighbors computed on

@@ -204,6 +204,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q125: lang filter becomes a partition filter on the partitioned layout") {
+    val p = plan("q125_partitioned_write")
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"lang filter did not prune partitions:\n$p")
+  }
+
+  test("q126: zipf rank window runs over the bounded top-256, after TakeOrdered") {
+    val p = plan("q126_zipf_audit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-256 should plan as TakeOrdered, not a global sort:\n$p")
+  }
+
   test("q117: quantile window runs over distinct-value counts, ranks broadcast back") {
     val p = plan("q117_quantile_audit")
     assert(p.contains("Window"), s"expected the cumulative-count window:\n$p")
