@@ -1133,8 +1133,57 @@ object TextQueries extends Registry {
           SELECT CAST(n AS BIGINT) AS n_top,
                  CAST(n * sxy - sx * sy AS DOUBLE)
                    / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
-          FROM s"""))
+          FROM s""")),
+
+    // ---- subword tokenization via RECURSIVE CTE (Spark 4 recursion):
+    //      greedy longest-prefix-match against a fixed merge vocab — the
+    //      actual mechanics of a wordpiece tokenizer, expressed
+    //      DECLARATIVELY so the loop runs distributed (one UNION ALL
+    //      iteration per consumed piece, all words advance in parallel)
+    //      instead of per-row UDF loops. The per-step argmax is a
+    //      correlated MAX subquery Catalyst decorrelates into a join; an
+    //      unmatched character falls back to one <unk> piece via COALESCE.
+    //      State is vocab-sized (DISTINCT words), never corpus-sized;
+    //      depth ≤ longest word; the corpus-sized work is only the final
+    //      broadcast-shaped join of tokens to per-word piece counts. The
+    //      SAME recursive SQL text runs in DuckDB — the oracle executes
+    //      the identical program. -------------------------------------------
+    Q("q127_subword_tokenize",
+      (s, dir) => {
+        docs(s, dir).createOrReplaceTempView("q127_docs")
+        s.sql(subwordSql(
+          "SELECT doc_id, explode(split(lower(text), ' ')) AS token FROM q127_docs"))
+      },
+      Some(subwordSql(
+        "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents")))
   )
+
+  /** Shared recursive-tokenizer SQL (q127): identical text in both engines
+    * except the dialect-specific token-explosion CTE passed in.
+    */
+  private def subwordSql(toksSelect: String): String =
+    s"""WITH RECURSIVE
+       pieces(p, l) AS (SELECT * FROM (VALUES
+         ('tion', 4), ('ing', 3), ('ion', 3), ('ent', 3), ('ter', 3),
+         ('the', 3), ('and', 3), ('er', 2), ('ed', 2), ('in', 2),
+         ('th', 2), ('he', 2), ('re', 2), ('on', 2), ('an', 2),
+         ('at', 2), ('en', 2), ('es', 2), ('or', 2), ('st', 2),
+         ('ar', 2), ('le', 2), ('nd', 2)) AS t(p, l)),
+       toks AS ($toksSelect),
+       words(w) AS (SELECT DISTINCT token FROM toks WHERE length(token) <= 50),
+       step(w, pos, np) AS (
+         SELECT w, 1, 0 FROM words
+         UNION ALL
+         SELECT s.w,
+                s.pos + COALESCE((SELECT MAX(l) FROM pieces p
+                                  WHERE substr(s.w, s.pos, p.l) = p.p), 1),
+                s.np + 1
+         FROM step s WHERE s.pos <= length(s.w)),
+       wc AS (SELECT w, np AS n_pieces FROM step WHERE pos > length(w))
+       SELECT t.doc_id, count(*) AS n_tokens,
+              CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+       FROM toks t JOIN wc ON t.token = wc.w
+       GROUP BY t.doc_id ORDER BY doc_id"""
 
   /** Shared 60-bit SimHash plan: token-frequency-weighted ±1 vote per bit;
     * bit k of a token's hash = bit (k%4) of hex digit (15 - k/4) of

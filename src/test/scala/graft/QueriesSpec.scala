@@ -28,6 +28,9 @@ class QueriesSpec extends SparkSpec {
       case s: Sort => s.global
       case _: Project | _: GlobalLimit | _: LocalLimit | _: SubqueryAlias =>
         endsInSort(p.children.head)
+      // a CTE query (e.g. the q127 recursive tokenizer) analyzes to
+      // WithCTE(defs..., mainPlan) — the sort sits atop the main plan
+      case w: WithCTE => endsInSort(w.plan)
       case _ => false
     }
     val missing = SparkEntry.queries.toSeq.collect {
