@@ -772,6 +772,50 @@ object PipelineQueries extends Registry {
             AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts < p.p_ts
           GROUP BY purchase_id, p_ts ORDER BY purchase_id""")),
 
+    // ---- Structured Streaming UPDATE-mode running counts: per-user event
+    //      totals re-emitted on every trigger that changes them — the
+    //      live-dashboard output mode (Complete re-emits everything,
+    //      Append only finals; Update emits the delta keys). The memory
+    //      sink therefore holds one row PER UPDATE; since a count only
+    //      grows, max(n) per user is the final state and equals the batch
+    //      count of the same prefix. Keyed aggregation state here is
+    //      unbounded by design (150 users); production bounds it with a
+    //      window or state TTL. --------------------------------------------
+    Q("q128_streaming_update_counts",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        val evts = Tables(s, dir, "events")
+          .select($"ts", $"event_id", $"user_id")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .select($"user_id", $"ts")
+          .as[(Long, java.sql.Timestamp)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+        val qn = s"graft_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        // 4 state partitions for the 2000-row feed (see q41's comment)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val query = mem.toDF().toDF("user_id", "ts")
+            .groupBy($"user_id").agg(count(lit(1)).as("n"))
+            .writeStream.format("memory").queryName(qn)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
+          try {
+            val (b1, b2) = evts.splitAt(evts.length / 2)
+            mem.addData(b1.toSeq); query.processAllAvailable()
+            mem.addData(b2.toSeq); query.processAllAvailable()
+            s.table(qn)
+              .localCheckpoint(eager = true) // detach from the stopped stream
+              .groupBy($"user_id").agg(max($"n").as("n_events"))
+              .orderBy($"user_id")
+          } finally query.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      Some("""WITH e AS (SELECT user_id FROM events
+            ORDER BY ts, event_id LIMIT 2000)
+          SELECT user_id, count(*) AS n_events
+          FROM e GROUP BY user_id ORDER BY user_id""")),
+
     // ---- Structured Streaming sessionization, driven to completion -------
     // (MemoryStream-fed incremental run of the q33 semantics; the driver
     // sees the closed sessions as a batch result). Emitted rows = every
