@@ -664,7 +664,7 @@ object RelationalQueries extends Registry {
           .withColumn("k_hi", ceil($"r"))
         val lo = cum.join(broadcast(ranks), Seq("l_returnflag"))
           .where($"prev" <= $"k_lo" && $"k_lo" < $"cum")
-          .select($"l_returnflag", $"p", $"n", $"r", $"k_hi",
+          .select($"l_returnflag", $"p", $"n", $"r",
             $"l_extendedprice".as("x_lo"))
         val hi = cum.join(broadcast(ranks.select($"l_returnflag", $"p", $"k_hi")),
             Seq("l_returnflag"))
@@ -674,7 +674,10 @@ object RelationalQueries extends Registry {
           .select($"l_returnflag", $"p", $"n",
             ($"x_lo" + ($"x_hi" - $"x_lo") * ($"r" - floor($"r"))).as("exact_v"))
         // sketch audit: re-count the rank of each approx value; accuracy
-        // 10000 bounds rank error at 0.01%·n (+ ties), well inside ±1%
+        // 10000 bounds rank error at 0.01%·n, well inside ±1%. The returned
+        // value's true rank is anywhere in (rank_lt, rank_le] when the value
+        // carries tie mass, so the verdict tests the INTERVAL against p —
+        // a value tied across >1% of a group cannot flip the gate.
         val appr = li.groupBy($"l_returnflag")
           .agg(percentile_approx($"l_extendedprice", typedLit(ps), lit(10000)).as("a"))
           .select($"l_returnflag", posexplode($"a"))
@@ -682,10 +685,12 @@ object RelationalQueries extends Registry {
             element_at(typedLit(ps), $"pos" + 1).as("p"), $"col".as("appr_v"))
         val audit = li.join(broadcast(appr), Seq("l_returnflag"))
           .groupBy($"l_returnflag", $"p")
-          .agg(sum(when($"l_extendedprice" <= $"appr_v", 1L).otherwise(0L)).as("rank_le"))
+          .agg(sum(when($"l_extendedprice" <= $"appr_v", 1L).otherwise(0L)).as("rank_le"),
+            sum(when($"l_extendedprice" < $"appr_v", 1L).otherwise(0L)).as("rank_lt"))
         exact.join(audit, Seq("l_returnflag", "p"))
           .select($"l_returnflag", $"p", $"exact_v".as("exact_price"),
-            when(abs($"rank_le".cast("double") / $"n" - $"p") <= 0.01, 1)
+            when($"p" >= $"rank_lt".cast("double") / $"n" - 0.01 &&
+                 $"p" <= $"rank_le".cast("double") / $"n" + 0.01, 1)
               .otherwise(0).cast("int").as("approx_ok"))
           .orderBy($"l_returnflag", $"p")
       },
@@ -701,7 +706,7 @@ object RelationalQueries extends Registry {
                    floor(CAST(n - 1 AS DOUBLE) * p) AS k_lo,
                    ceil(CAST(n - 1 AS DOUBLE) * p) AS k_hi
                  FROM ranks),
-          lo AS (SELECT c2.l_returnflag, p, r, k_hi, l_extendedprice AS x_lo
+          lo AS (SELECT c2.l_returnflag, p, r, l_extendedprice AS x_lo
                  FROM c2 JOIN r2 ON c2.l_returnflag = r2.l_returnflag
                   AND prev <= k_lo AND k_lo < cum),
           hi AS (SELECT c2.l_returnflag, p, l_extendedprice AS x_hi
@@ -714,8 +719,12 @@ object RelationalQueries extends Registry {
           ORDER BY lo.l_returnflag, lo.p""")),
 
     // ---- HyperLogLog distinct audit: exact countDistinct beside the
-    //      `approx_count_distinct` sketch verdict (rsd 2%, 3σ bound ±6%) —
-    //      the q117 pattern applied to cardinality. At 100 TB the exact
+    //      `approx_count_distinct` sketch verdict. rsd 2% is a STANDARD
+    //      DEVIATION, not a hard bound, and HLL++ bias-correction crossover
+    //      cardinalities can exceed 3σ — the verdict uses a ±15% sanity
+    //      margin (catches an off-by-magnitude sketch bug, never flips on
+    //      legitimate estimator variance). The q117 pattern applied to
+    //      cardinality. At 100 TB the exact
     //      count (an Expand + two-phase distinct aggregation) is the
     //      occasional calibration pass; the HLL sketch — a fixed few-KB
     //      mergeable register set per group, map-side combined — is what a
@@ -729,7 +738,7 @@ object RelationalQueries extends Registry {
           .agg(countDistinct($"l_orderkey").as("exact_distinct"),
             approx_count_distinct($"l_orderkey", 0.02).as("hll"))
           .select($"l_returnflag", $"exact_distinct",
-            when(abs($"hll".cast("double") / $"exact_distinct" - 1.0) <= 0.06, 1)
+            when(abs($"hll".cast("double") / $"exact_distinct" - 1.0) <= 0.15, 1)
               .otherwise(0).cast("int").as("hll_ok"))
           .orderBy($"l_returnflag")
       },
