@@ -709,9 +709,12 @@ object TextQueries extends Registry {
     //      doc gets its LSH connected component (own id when unclustered)
     //      and a keep/drop verdict. Survivor = min doc_id in the component,
     //      a choice that costs NO extra shuffle because the component label
-    //      IS the min reachable id. The component table is dup-pair-sized
-    //      (orders of magnitude below the corpus), so the join back is a
-    //      broadcast — the corpus side never shuffles. ----------------------
+    //      IS the min reachable id. The join back is deliberately UN-hinted:
+    //      at web dedup rates (30-50% of docs in some cluster) the component
+    //      table is corpus-scale and a forced broadcast would OOM the
+    //      driver; both sides are keyed by doc id, so the shuffle join is
+    //      already co-partitioned, and AQE still converts it to a broadcast
+    //      at runtime whenever `comp` measures small. ----------------------
     Q("q103_dedup_survivors",
       (s, dir) => {
         import s.implicits._
@@ -721,7 +724,7 @@ object TextQueries extends Registry {
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
         val comp = graft.operators.Components.connectedComponents(edges)
         docs(s, dir).select($"doc_id")
-          .join(broadcast(comp), $"doc_id" === comp("node"), "left")
+          .join(comp, $"doc_id" === comp("node"), "left")
           .select($"doc_id",
             coalesce($"comp", $"doc_id").cast("long").as("component"),
             when($"doc_id" === coalesce($"comp", $"doc_id"), 1L).otherwise(0L)
@@ -787,8 +790,13 @@ object TextQueries extends Registry {
     //      along as a broadcast scalar. Per-token logprob is quantized to
     //      micro-units (round(ln·1e6) → long) BEFORE the cross-row sum, so
     //      the mean is addition-order-independent and bit-identical to the
-    //      oracle at any parallelism. The token join is zipfian-skewed on
-    //      the head words — the vocab side is dimension-sized, broadcast. --
+    //      oracle at any parallelism. The token↔vocab join is UN-hinted: a
+    //      100 TB web corpus has hundreds of millions of vocab entries, so
+    //      a forced broadcast cannot size-gate — AQE broadcasts when freq
+    //      measures small and otherwise runs a shuffle join, where its
+    //      skew-split (or the SkewAgg.saltedJoin fallback, equivalence-
+    //      pinned in ScaleOpsSpec) absorbs the zipf head. The corpus total
+    //      stays a 1-row broadcast scalar. --------------------------------
     Q("q105_unigram_logprob",
       (s, dir) => {
         import s.implicits._
@@ -797,7 +805,7 @@ object TextQueries extends Registry {
         val freq = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
         val total = freq.agg(sum($"cnt").cast("double").as("total"))
         val lp = round(log($"cnt".cast("double") / $"total") * 1e6).cast("long")
-        toks.join(broadcast(freq), Seq("token"))
+        toks.join(freq, Seq("token"))
           .join(broadcast(total))
           .select($"doc_id", lp.as("lp"))
           .groupBy($"doc_id")
@@ -921,11 +929,14 @@ object TextQueries extends Registry {
     //      (0.75·c12/c1 + 0.25·cu/total), mean log-prob per doc. Bigrams
     //      are extracted ROW-LOCALLY (transform over the token array — no
     //      positional self-join), so the only corpus-sized shuffles are the
-    //      two count aggregations and the per-doc mean. The count tables
-    //      are vocab-sized: broadcast here; at 100 TB the bigram table
-    //      outgrows a broadcast and the probe becomes a shuffle join on
-    //      (w1,w2) — zipf-skewed on the head, which AQE skew-split or the
-    //      q46-style salt handles; per-token log-probs are micro-quantized
+    //      two count aggregations and the per-doc mean. The three count
+    //      tables (bigram — strictly larger than vocab — context, unigram)
+    //      are UN-hinted: at 100 TB they outgrow any broadcast, the probes
+    //      run as shuffle joins on (w1,w2)/(w1)/(w2), and AQE skew-split or
+    //      the SkewAgg.saltedJoin fallback (equivalence-pinned in
+    //      ScaleOpsSpec) absorbs the zipf head; at bench scale AQE measures
+    //      them small and broadcasts at runtime anyway. Only the 1-row
+    //      total stays hinted. Per-token log-probs are micro-quantized
     //      before summing so the mean is addition-order-independent. ------
     Q("q116_bigram_logprob",
       (s, dir) => {
@@ -947,9 +958,9 @@ object TextQueries extends Registry {
         val p = lit(0.75) * ($"c12".cast("double") / $"c1") +
           lit(0.25) * ($"cu".cast("double") / $"total")
         val lp = round(log(p) * 1e6).cast("long")
-        bg.join(broadcast(cbg), Seq("w1", "w2"))
-          .join(broadcast(cctx), Seq("w1"))
-          .join(broadcast(uni), Seq("w2"))
+        bg.join(cbg, Seq("w1", "w2"))
+          .join(cctx, Seq("w1"))
+          .join(uni, Seq("w2"))
           .join(broadcast(tot))
           .select($"doc_id", lp.as("lp"))
           .groupBy($"doc_id")

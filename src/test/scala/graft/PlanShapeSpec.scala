@@ -222,4 +222,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Broadcast"), s"rank probes should broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"rank probe fell back to cartesian:\n$p")
   }
+
+  test("q103/q105/q116: unbounded-table joins carry NO broadcast hint — AQE size-gates") {
+    // At 100 TB the component table (web dedup: 30-50% of docs clustered),
+    // the unigram vocab (hundreds of millions of entries) and the bigram
+    // count table (strictly larger than vocab) all outgrow a broadcast. A
+    // hint would force a driver-side build that cannot size-gate; un-hinted,
+    // AQE broadcasts only when the runtime-measured size is small. The only
+    // hint these plans may carry is the 1-row corpus-total scalar.
+    def hints(q: String): Int = {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).size
+    }
+    assert(hints("q103_dedup_survivors") == 0,
+      "q103: the component-table join must be un-hinted")
+    assert(hints("q105_unigram_logprob") == 1,
+      "q105: only the 1-row total may be hinted, not the vocab")
+    assert(hints("q116_bigram_logprob") == 1,
+      "q116: only the 1-row total may be hinted, not the count tables")
+  }
 }

@@ -119,4 +119,23 @@ class ScaleOpsSpec extends SparkSpec {
       .select("r_name").collect().map(_.getString(0)).sorted.toSeq
     assert(w.size == 2, s"golden drift: $w")
   }
+
+  test("q105-shaped zipf token probe: SkewAgg.saltedJoin equals the plain shuffle join") {
+    // The un-hinted vocab probe in q105/q116 runs as a shuffle join at
+    // 100 TB; its zipf head is absorbed by AQE skew-split or, where the
+    // exchange is reused, by this manual salt. Pin that the salted probe
+    // is value-identical to the plain join on the real token distribution.
+    val d = graft.core.Tables(spark, sfDir, "documents")
+    val toks = d.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    def rollup(joined: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      joined.groupBy("doc_id")
+        .agg(sum("cnt").as("s"), count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val plain = rollup(toks.join(freq, Seq("token")))
+    val salted = rollup(SkewAgg.saltedJoin(toks, freq, Seq("token"),
+      xxhash64(col("doc_id")), buckets = 8))
+    assert(salted == plain, "salted vocab probe diverged from the plain join")
+  }
 }
