@@ -63,14 +63,18 @@ object Readers {
 
   /** A1 post-load transforms (ref: `utils/data_builder.py:16-43`): seeded
     * per-example column shuffle for prompt-order robustness, and the
-    * source↔target swap that ALSO swaps every gold pair. Randomness is
-    * keyed on (seed, case id) — deterministic regardless of load order.
+    * source↔target swap that ALSO swaps every gold pair. The permutation is
+    * the md5 order of (seed, case id, side, column name) — deterministic
+    * regardless of load order AND replayable by the DuckDB oracle
+    * (`ORDER BY md5(concat_ws('|', ...))`, q129), which JVM `Random.shuffle`
+    * keyed on hashCode was not.
     */
   def shuffleCase(tc: TestCase, seed: Long): TestCase = {
-    val rnd = new scala.util.Random(seed ^ tc.id.hashCode.toLong)
+    def key(side: String)(c: ColumnMeta): String =
+      Det.md5hex(s"$seed|${tc.id}|$side|${c.name}")
     tc.copy(
-      sourceSchema = rnd.shuffle(tc.sourceSchema),
-      targetSchema = rnd.shuffle(tc.targetSchema))
+      sourceSchema = tc.sourceSchema.sortBy(key("s")),
+      targetSchema = tc.targetSchema.sortBy(key("t")))
   }
 
   def swapCase(tc: TestCase): TestCase =

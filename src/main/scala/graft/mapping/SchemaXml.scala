@@ -76,7 +76,9 @@ object SchemaXml {
 
   /** F11: cluster grouping — drop subsumed mappings (both relation sets
     * contained in another's), seeded shuffle, partition into groups of n
-    * with merged relation sets (ref: MappingLoader.py:66-111).
+    * with merged relation sets (ref: MappingLoader.py:66-111). The shuffle
+    * is the md5 order of (seed, cluster id) — oracle-replayable (q131),
+    * unlike JVM `Random.shuffle`.
     */
   def groupClusters(clusters: Seq[MappingCluster], groupSize: Int, seed: Long): Seq[MappingCluster] = {
     val kept = clusters.filterNot { c =>
@@ -86,8 +88,7 @@ object SchemaXml {
         (o.sourceRelations.size > c.sourceRelations.size ||
           o.targetRelations.size > c.targetRelations.size))
     }
-    val rnd = new scala.util.Random(seed)
-    val shuffled = rnd.shuffle(kept)
+    val shuffled = kept.sortBy(c => graft.core.Det.md5hex(s"$seed|${c.id}"))
     shuffled.grouped(groupSize).zipWithIndex.map { case (g, i) =>
       MappingCluster(
         id = s"group-$i",

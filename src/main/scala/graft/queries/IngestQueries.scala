@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.{EntityReaders, Readers, Tables}
-import graft.mapping.SqlGuard
+import graft.mapping.{SchemaXml, SqlGuard}
 
 /** Ingest readers (SURVEY §2.A2/A5/A6/A8) as driver-gated queries.
   *
@@ -472,6 +472,181 @@ object IngestQueries extends Registry {
       Some("""SELECT o_orderstatus AS status, count(*) AS n_orders,
           max(o_orderkey) AS max_id,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        FROM orders GROUP BY o_orderstatus ORDER BY status"""))
+        FROM orders GROUP BY o_orderstatus ORDER BY status""")),
+
+    // ---- A1: schema-pair dataset JSON scan + seeded shuffle + swap -------
+    //      (ref: utils/data_builder.py:16-43). The JSON fixture derives
+    //      from nation — one case per region, source side in the NESTED
+    //      dialect (is_pk "YES"/"NO", column_description), target side in
+    //      the FLAT dialect (boolean is_pk, no description) — so one gated
+    //      query exercises both accepted shapes. The md5-keyed shuffle
+    //      (Readers.shuffleCase) and the gold-reversing swap are replayed
+    //      by the oracle straight from nation: a drift in dialect parsing,
+    //      shuffle keying or swap semantics diverges the hash. -------------
+    Q("q129_dataset_shuffle_swap",
+      (s, dir) => {
+        import s.implicits._
+        val nats = Tables(s, dir, "nation")
+          .select($"n_nationkey".cast("long"), lower($"n_name").as("nm"),
+            $"n_regionkey".cast("long"))
+          .orderBy($"n_nationkey").collect()
+        val cases = nats.groupBy(_.getLong(2)).toSeq.sortBy(_._1).map { case (rk, rows) =>
+          val sorted = rows.sortBy(_.getLong(0))
+          val k0 = sorted.head.getLong(0)
+          val srcCols = sorted.map { r =>
+            val k = r.getLong(0)
+            s"""{"name": "${r.getString(1)}", "type": "${if (k % 2 == 0) "int" else "text"}", """ +
+              s""""column_description": "d$k", "is_pk": "${if (k == k0) "YES" else "NO"}"}"""
+          }
+          val tgtCols = sorted.map { r =>
+            s"""{"name": "t_${r.getString(1)}", "type": "text", "is_pk": ${r.getLong(0) % 4 == 0}}"""
+          }
+          val gold = sorted.filter(_.getLong(0) % 3 == 0)
+            .map(r => s"""["${r.getString(1)}", "t_${r.getString(1)}"]""")
+          s"""{"id": "case$rk", "gold_mapping": [${gold.mkString(", ")}], """ +
+            s""""source_schema": {"name": "src$rk", "description": "", "columns": [${srcCols.mkString(", ")}]}, """ +
+            s""""target_schema": [${tgtCols.mkString(", ")}]}"""
+        }
+        val path = write("pairs.json", "[" + cases.mkString(",\n") + "]")
+        val tcs = Readers.schemaPairJson(s, path)
+          .map(Readers.shuffleCase(_, seed = 129)).map(Readers.swapCase)
+        val rows = tcs.flatMap { tc =>
+          tc.sourceSchema.zipWithIndex.map { case (c, i) =>
+            (tc.id, "source", i.toLong, c.name, c.dataType, c.description,
+              if (c.isPk) 1L else 0L) } ++
+          tc.targetSchema.zipWithIndex.map { case (c, i) =>
+            (tc.id, "target", i.toLong, c.name, c.dataType, c.description,
+              if (c.isPk) 1L else 0L) } ++
+          tc.goldMapping.zipWithIndex.map { case ((a, b), i) =>
+            (tc.id, "gold", i.toLong, a, b, "", 0L) }
+        }
+        s.createDataset(rows)
+          .toDF("case_id", "part", "pos", "name", "typ", "descr", "is_pk")
+          .orderBy($"case_id", $"part", $"pos")
+      },
+      Some("""WITH n AS (SELECT n_nationkey AS k, lower(n_name) AS nm,
+                     n_regionkey AS rk, 'case' || CAST(n_regionkey AS VARCHAR) AS cid
+              FROM nation),
+          k0 AS (SELECT rk, min(k) AS k0 FROM n GROUP BY rk),
+          -- post-swap 'source' side = original targets, shuffled by the 't' key
+          srows AS (SELECT cid AS case_id, 'source' AS part,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cid
+                   ORDER BY md5(concat_ws('|', '129', cid, 't', 't_' || nm))) - 1
+                   AS BIGINT) AS pos,
+                 't_' || nm AS name, 'text' AS typ, '' AS descr,
+                 CAST(CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_pk
+               FROM n),
+          -- post-swap 'target' side = original sources, shuffled by the 's' key
+          trows AS (SELECT cid AS case_id, 'target' AS part,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cid
+                   ORDER BY md5(concat_ws('|', '129', cid, 's', nm))) - 1
+                   AS BIGINT) AS pos,
+                 nm AS name,
+                 CASE WHEN k % 2 = 0 THEN 'int' ELSE 'text' END AS typ,
+                 'd' || CAST(k AS VARCHAR) AS descr,
+                 CAST(CASE WHEN k = k0 THEN 1 ELSE 0 END AS BIGINT) AS is_pk
+               FROM n JOIN k0 USING (rk)),
+          grows AS (SELECT cid AS case_id, 'gold' AS part,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY k) - 1
+                   AS BIGINT) AS pos,
+                 't_' || nm AS name, nm AS typ, '' AS descr, CAST(0 AS BIGINT) AS is_pk
+               FROM n WHERE k % 3 = 0)
+          SELECT * FROM (SELECT * FROM srows UNION ALL SELECT * FROM trows
+                         UNION ALL SELECT * FROM grows)
+          ORDER BY case_id, part, pos""")),
+
+    // ---- A8: CSV typed by the FIRST data row (int-looking first value →
+    //      BIGINT, anything else stays VARCHAR — including a column whose
+    //      first value is empty but later values are numeric) plus
+    //      all-empty-row dropping (ref: DataLoader.py:89-132). The oracle
+    //      reads the same file all-varchar and applies the casts the first
+    //      row implies. ---------------------------------------------------
+    Q("q130_csv_first_row_types",
+      (s, dir) => {
+        import s.implicits._
+        val sups = Tables(s, dir, "supplier")
+          .select($"s_suppkey".cast("long"), $"s_name")
+          .orderBy($"s_suppkey").limit(10).collect()
+        val firstK = sups.head.getLong(0)
+        val lines = sups.flatMap { r =>
+          val k = r.getLong(0)
+          // mix: first row empty → the column must STAY varchar
+          val mix = if (k == firstK) "" else k.toString
+          val row = s"$k,${r.getString(1)},$mix"
+          // inject an all-empty line after every 4th supplier — must drop
+          if (k % 4 == 0) Seq(row, ",,") else Seq(row)
+        }
+        val path = write("typed.csv", ("k,name,mix" +: lines).mkString("\n"))
+        EntityReaders.csvTypedByFirstRow(s, path).orderBy($"k")
+      },
+      Some(s"""SELECT CAST(k AS BIGINT) AS k, name, mix
+          FROM read_csv('$fixDir/typed.csv', header=true, all_varchar=true)
+          WHERE concat_ws('', COALESCE(k, ''), COALESCE(name, ''),
+            COALESCE(mix, '')) <> ''
+          ORDER BY k""")),
+
+    // ---- F11: multimap cluster builder — subsumption removal (a cluster
+    //      whose source AND target relation sets are contained in a larger
+    //      cluster's is dropped), md5-seeded shuffle, grouping into pairs
+    //      with merged relation lists (ref: MappingLoader.py:66-111). One
+    //      cluster per region plus a deliberately subsumed 'm9' (strict
+    //      subset of m0) that the filter must drop; the oracle rebuilds the
+    //      kept clusters from region and replays the md5 order, so a drift
+    //      in subsumption, shuffle keying, grouping or merge order
+    //      diverges the hash. ---------------------------------------------
+    Q("q131_cluster_grouping",
+      (s, dir) => {
+        import s.implicits._
+        val regs = Tables(s, dir, "region")
+          .select($"r_regionkey".cast("long"), lower($"r_name").as("nm"))
+          .orderBy($"r_regionkey").collect()
+        val nm0 = regs.head.getString(1)
+        val clusters = regs.map { r =>
+          val k = r.getLong(0); val nm = r.getString(1)
+          SchemaXml.MappingCluster(s"m$k",
+            sourceRelations =
+              if (k == 0) Seq(s"s_$nm", "s_extra") else Seq(s"s_$nm"),
+            targetRelations = Seq(s"t_$nm"),
+            goldSql = Seq(s"INSERT $k"),
+            joinOverlapSql = Seq.empty)
+        }.toSeq :+ SchemaXml.MappingCluster("m9",
+          Seq(s"s_$nm0"), Seq(s"t_$nm0"), Seq("INSERT 9"), Seq.empty)
+        val grouped = SchemaXml.groupClusters(clusters, groupSize = 2, seed = 131)
+        val rows = grouped.flatMap { g =>
+          g.sourceRelations.zipWithIndex.map { case (rel, i) =>
+            (g.id, "src", i.toLong, rel) } ++
+          g.targetRelations.zipWithIndex.map { case (rel, i) =>
+            (g.id, "tgt", i.toLong, rel) } ++
+          g.goldSql.zipWithIndex.map { case (q, i) => (g.id, "sql", i.toLong, q) }
+        }
+        s.createDataset(rows).toDF("group_id", "part", "pos", "value")
+          .orderBy($"group_id", $"part", $"pos")
+      },
+      Some("""WITH r AS (SELECT r_regionkey AS k, lower(r_name) AS nm FROM region),
+          -- kept = one cluster per region ('m9' is subsumed by m0: both its
+          -- relation sets are subsets and m0's source set is bigger)
+          ord AS (SELECT k, nm, 'm' || CAST(k AS VARCHAR) AS id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY
+                   md5(concat_ws('|', '131', 'm' || CAST(k AS VARCHAR)))) - 1
+                   AS BIGINT) AS rn
+               FROM r),
+          g AS (SELECT *, 'group-' || CAST(rn // 2 AS VARCHAR) AS group_id FROM ord),
+          srcel AS (SELECT group_id, rn, 0 AS ei, 's_' || nm AS value FROM g
+                    UNION ALL SELECT group_id, rn, 1, 's_extra' FROM g WHERE k = 0),
+          srows AS (SELECT group_id, 'src' AS part,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY rn, ei) - 1
+                   AS BIGINT) AS pos, value
+               FROM srcel),
+          trows AS (SELECT group_id, 'tgt' AS part,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY rn) - 1
+                   AS BIGINT) AS pos, 't_' || nm AS value
+               FROM g),
+          qrows AS (SELECT group_id, 'sql' AS part,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY rn) - 1
+                   AS BIGINT) AS pos, 'INSERT ' || CAST(k AS VARCHAR) AS value
+               FROM g)
+          SELECT * FROM (SELECT * FROM srows UNION ALL SELECT * FROM trows
+                         UNION ALL SELECT * FROM qrows)
+          ORDER BY group_id, part, pos"""))
   )
 }

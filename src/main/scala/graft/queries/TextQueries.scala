@@ -77,6 +77,12 @@ object TextQueries extends Registry {
   private def materialize(df: DataFrame): DataFrame = {
     val p = df.persist()
     p.count()
+    // A13 driver-visible cache assertion: every green q22/q23/q103/q104 run
+    // certifies the experiment cache is actually registered — if persist()
+    // ever degrades to StorageLevel.NONE, the gated query itself fails
+    // instead of silently recomputing the subplan per consumer
+    require(p.storageLevel.useMemory || p.storageLevel.useDisk,
+      "experiment cache inactive: persist() registered no storage level")
     p
   }
 
