@@ -20,10 +20,17 @@ object Bench {
     // floating 20-35 s hiccup that attaches to random queries); "warm" is
     // the steady-state cost that actually scales with data volume. The
     // headline value stays cold for round-over-round continuity.
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a crashing query must not look like a normal bench number: the error
+    // is captured per query and lands in BENCH_FULL.json (rc stays 0 — the
+    // CORRECTNESS gate owns pass/fail; this keeps the regression visible
+    // in the artifact the driver archives)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     // local-iteration filter (the driver never sets it): bench only the
     // named queries, e.g. SPARK_GRAFT_BENCH_ONLY=q73_dedup_components
@@ -36,25 +43,37 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       System.err.println(s"[bench] start $name @${java.time.Instant.now()}")
-      val cold = timeOne(name, fn)
-      val warm = timeOne(name, fn)
+      val (cold, coldErr) = timeOne(name, fn)
+      val (warm, warmErr) = timeOne(name, fn)
       // between-query isolation (see SessionHygiene); sorted name order so
       // a query's predecessors are the same every round
       graft.core.SessionHygiene.dropAllBlocks(spark)
+      val err = coldErr.orElse(warmErr)
+      err.foreach(m => System.err.println(s"[bench] ERROR $name: $m"))
       System.err.println(f"[bench] done  $name cold $cold%.2f s warm $warm%.2f s")
-      name -> (cold, warm)
+      name -> (cold, warm, err)
     }
     // Locale.ROOT: a decimal-comma default locale would print 0,813 inside
     // the JSON and corrupt both the stdout line and BENCH_FULL.json
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def obj(vs: Iterable[(String, Double)]): String =
       vs.map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
-    val qs = obj(results.map { case (k, (c, _)) => k -> c })
-    val qsWarm = obj(results.map { case (k, (_, w)) => k -> w })
+    val qs = obj(results.map { case (k, (c, _, _)) => k -> c })
+    val qsWarm = obj(results.map { case (k, (_, w, _)) => k -> w })
     val total = d3(results.map(_._2._1).sum)
     val totalWarm = d3(results.map(_._2._2).sum)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errs = results.collect { case (k, (_, _, Some(m))) => k -> m }
+    val errsJson = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }
+      .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""total_warm":$totalWarm,"queries_warm":$qsWarm,"sf":"$sfDir"}"""
+      s""""total_warm":$totalWarm,"queries_warm":$qsWarm,""" +
+      s""""errors":$errsJson,"sf":"$sfDir"}"""
     // The harness keeps only the LAST ~2000 chars of output, and 74 queries
     // × cold+warm of full-name timings is ~4 KB — the full line can never
     // survive the tail. So: (a) persist the complete cold+warm JSON to
@@ -65,10 +84,10 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     println(full)
     val top = results.toSeq.sortBy(-_._2._1).take(20)
-      .map { case (k, (c, _)) => k -> c }
+      .map { case (k, (c, _, _)) => k -> c }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(top)},""" +
       s""""total_warm":$totalWarm,"n_queries":${results.size},""" +
-      s""""queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
+      s""""n_errors":${errs.size},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

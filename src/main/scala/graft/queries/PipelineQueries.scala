@@ -718,8 +718,8 @@ object PipelineQueries extends Registry {
     //      matched set is deterministic and equals q94's batch INNER core
     //      over the same prefix. Outer-null emission timing depends on
     //      where the final watermark parks — those rows are filtered here
-    //      and stay covered by StreamingSpec; the driver gate pins the
-    //      matched semantics. ----------------------------------------------
+    //      and gated separately by q132, which parks the watermark
+    //      deterministically with sentinel batches. ------------------------
     Q("q119_streaming_interval_join",
       (s, dir) => {
         import s.implicits._
@@ -876,6 +876,77 @@ object PipelineQueries extends Registry {
         SELECT user_id, session_start, session_end, n_events
         FROM lst, wm
         WHERE sess_idx < max_idx OR epoch_ms(session_end) + 1800000 < w
-        ORDER BY user_id, session_start"""))
+        ORDER BY user_id, session_start""")),
+
+    // ---- q119's OUTER-NULL half, driven to a deterministic emission:
+    //      left-outer interval-join rows (purchases with NO click in the
+    //      preceding 30 min) only emit once the joint watermark passes
+    //      their window, so after the two real batches a pair of far-future
+    //      sentinel rows is fed to EACH stream (the joint watermark is the
+    //      min across streams): sentinel batch 1 advances the watermark
+    //      past all real purchases, sentinel batch 2 triggers the
+    //      micro-batch in which the state store evicts and null-pads them.
+    //      Result = q94's LEFT JOIN twin minus the inner core, exactly the
+    //      anti-join the DuckDB oracle recomputes. --------------------------
+    Q("q132_streaming_outer_nulls",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        val pref = Tables(s, dir, "events")
+          .filter($"event_type".isin("purchase", "click"))
+          .select($"ts", $"event_id", $"user_id", $"event_type")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .as[(java.sql.Timestamp, Long, Long, String)].collect()
+        val maxMs = pref.map(_._1.getTime).max
+        def sentinelTs(days: Int) =
+          new java.sql.Timestamp(maxMs + days * 86400000L)
+        val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
+        val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+        val qn = s"graft_ivjo_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        // 4 state partitions for the 2000-row feed (see q41's comment)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val query = StreamingOps.intervalJoin(
+              memP.toDF().toDF("p_user", "purchase_id", "p_ts"),
+              memC.toDF().toDF("c_user", "c_ts"))
+            .writeStream.format("memory").queryName(qn)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+          try {
+            val (b1, b2) = pref.splitAt(pref.length / 2)
+            Seq(b1, b2).foreach { b =>
+              memP.addData(b.filter(_._4 == "purchase")
+                .map(e => (e._3, e._2, e._1)).toSeq)
+              memC.addData(b.filter(_._4 == "click")
+                .map(e => (e._3, e._1)).toSeq)
+              query.processAllAvailable()
+            }
+            // watermark-advancing sentinels (user -1 matches no real row);
+            // two rounds: advance, then evict-and-emit
+            Seq(2, 4).foreach { d =>
+              memP.addData(Seq((-1L, -1L, sentinelTs(d))))
+              memC.addData(Seq((-1L, sentinelTs(d))))
+              query.processAllAvailable()
+            }
+            s.table(qn)
+              .localCheckpoint(eager = true) // detach from the stopped stream
+              .filter($"c_ts".isNull && $"purchase_id" >= 0)
+              .select($"purchase_id", $"p_ts")
+              .orderBy($"purchase_id")
+          } finally query.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      Some("""WITH e AS (SELECT ts, event_id, user_id, event_type FROM events
+            WHERE event_type IN ('purchase', 'click')
+            ORDER BY ts, event_id LIMIT 2000),
+          p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+                FROM e WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, ts AS c_ts FROM e WHERE event_type = 'click')
+          SELECT purchase_id, p_ts
+          FROM p
+          WHERE NOT EXISTS (SELECT 1 FROM c
+            WHERE c.user_id = p.user_id
+              AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts < p.p_ts)
+          ORDER BY purchase_id"""))
   )
 }
