@@ -28,6 +28,15 @@ object IngestQueries extends Registry {
 
   private val fixDir = "/tmp/graft_fixtures"
 
+  /** Per-JVM token for fixture paths that are WRITTEN as a side effect of
+    * building a DataFrame (q92/q125): two concurrent processes at the SAME
+    * scale factor would otherwise race one mode(overwrite) directory, and
+    * a reader in one could observe the other's half-replaced files. Text
+    * fixtures (q60/q61/…) stay on fixed paths — their bytes are
+    * SF-invariant and single-file writes are atomic enough for re-reads.
+    */
+  private val jvmTok = ProcessHandle.current().pid().toString
+
   private def write(name: String, content: String): String = {
     Files.createDirectories(Paths.get(fixDir))
     val p = Paths.get(fixDir, name)
@@ -390,13 +399,14 @@ object IngestQueries extends Registry {
     //      like parquet). The oracle can't read ORC, so it recomputes the
     //      same aggregate from the parquet source — a lossless roundtrip
     //      is exactly what makes the two agree. The fixture dir is keyed
-    //      by SF so Verify (sf0.01) and Bench (sf0.1) never clobber each
-    //      other's bytes mid-comparison. -----------------------------------
+    //      by SF and by JVM so Verify (sf0.01), Bench (sf0.1) and any
+    //      concurrent same-SF process never clobber each other's bytes
+    //      mid-comparison. -------------------------------------------------
     Q("q92_orc_roundtrip",
       (s, dir) => {
         import s.implicits._
         val sfKey = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-        val orcPath = s"$fixDir/q92_orders_$sfKey.orc"
+        val orcPath = s"$fixDir/q92_orders_${sfKey}_$jvmTok.orc"
         Tables(s, dir, "orders")
           .filter($"o_orderstatus" =!= "F")
           .select($"o_orderkey", $"o_orderpriority", $"o_totalprice", $"o_orderdate")
@@ -423,13 +433,14 @@ object IngestQueries extends Registry {
     //      the columns every consumer filters on (lang / source / split).
     //      The oracle recomputes from the unpartitioned source — agreement
     //      proves the layout roundtrip is lossless. The fixture dir is
-    //      SF-keyed so Verify (sf0.01) and Bench (sf0.1) never clobber
-    //      each other's bytes mid-comparison. -------------------------------
+    //      keyed by SF and by JVM so Verify (sf0.01), Bench (sf0.1) and
+    //      any concurrent same-SF process never clobber each other's
+    //      bytes mid-comparison. --------------------------------------------
     Q("q125_partitioned_write",
       (s, dir) => {
         import s.implicits._
         val sfKey = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-        val p = s"$fixDir/q125_docs_$sfKey.parquet"
+        val p = s"$fixDir/q125_docs_${sfKey}_$jvmTok.parquet"
         Tables(s, dir, "documents")
           .select($"doc_id", $"source", $"n_chars", $"lang")
           .write.mode("overwrite").partitionBy("lang").parquet(p)

@@ -577,7 +577,10 @@ object PipelineQueries extends Registry {
         // the state-partition count is baked in at FIRST query start: 32
         // stateful-store partitions per micro-batch for a 2000-row feed is
         // pure overhead — scope the stream to 4 and restore after (results
-        // are partitioning-invariant; the oracle hash is unchanged)
+        // are partitioning-invariant; the oracle hash is unchanged).
+        // Caveat: this mutates SESSION-global conf — safe while the harness
+        // runs queries sequentially; if it ever parallelizes, move the
+        // streaming queries onto a dedicated spark.newSession() instead
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
         try {

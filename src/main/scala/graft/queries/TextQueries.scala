@@ -1077,9 +1077,14 @@ object TextQueries extends Registry {
                THEN transform(sequence(1, size(toks) - 19, 10),
                       i -> md5(array_join(slice(toks, i, 20), ' ')))
                ELSE array() END""")
+        // integer cut (max - max div 10), NOT 0.9*max: an IEEE-double 0.9
+        // differs from DuckDB's exact DECIMAL 0.9 at integral boundaries,
+        // which would flip the boundary doc between 'existing' and 'batch'
+        // whenever max(doc_id) is a multiple of 10
         val all = docs(s, dir)
           .select($"doc_id", tokens(lower($"text")).as("toks"))
-          .join(broadcast(docs(s, dir).agg((max($"doc_id") * 0.9).as("cut"))))
+          .join(broadcast(docs(s, dir)
+            .agg(expr("max(doc_id) - max(doc_id) div 10").as("cut"))))
         def chunksOf(df: DataFrame): DataFrame =
           df.select($"doc_id", explode(chunkExpr).as("chunk")).distinct()
         val existing = chunksOf(all.filter($"doc_id" < $"cut"))
@@ -1094,7 +1099,7 @@ object TextQueries extends Registry {
               .as("verdict"))
           .orderBy($"doc_id")
       },
-      Some("""WITH m AS (SELECT 0.9 * max(doc_id) AS cut FROM documents),
+      Some("""WITH m AS (SELECT max(doc_id) - max(doc_id) // 10 AS cut FROM documents),
           t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
           c AS (SELECT DISTINCT doc_id, unnest(
               [md5(array_to_string(toks[i:i+19], ' '))

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.core.EntityReaders
 import graft.eval.{Metrics, Report}
@@ -127,6 +128,32 @@ class ReportRangeSpec extends SparkSpec {
     val back = s.read.option("header", true).csv(dir.toString)
       .orderBy("k").collect().map(r => (r.getString(0), r.getString(1)))
     assert(back.toSeq == Seq(("a", "0.5"), ("b", "1.0")))
+  }
+
+  test("xlsx sink writes a valid one-sheet workbook with typed cells") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-xlsx").resolve("report.xlsx")
+    Report.xlsx(Seq(("a & <b>", 0.5, 3L), ("c", 1.0, 4L))
+      .toDF("name", "f1", "n"), path.toString)
+    val zf = new java.util.zip.ZipFile(path.toFile)
+    try {
+      val names = zf.entries().asIterator().asScala.map(_.getName).toSet
+      assert(Set("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+        "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml").subsetOf(names),
+        s"missing xlsx parts: $names")
+      val sheet = scala.xml.XML.load(
+        zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")))
+      val rows = (sheet \ "sheetData" \ "row").map { r =>
+        (r \ "c").map { c =>
+          if ((c \@ "t") == "inlineStr") (c \ "is" \ "t").text else (c \ "v").text
+        }
+      }
+      assert(rows == Seq(
+        Seq("name", "f1", "n"),
+        Seq("a & <b>", "0.5", "3"), // XML-escaped on write, unescaped on read
+        Seq("c", "1.0", "4")))
+    } finally zf.close()
   }
 
   test("row-range window is stable and bounded") {
