@@ -516,6 +516,85 @@ object VectorQueries extends Registry {
            FROM fullk f LEFT JOIN trunck t
              ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
            GROUP BY f.query_id ORDER BY f.query_id"""
-      })
+      }),
+
+    // ---- IVF with TRAINED centroids — the ANN stack you'd actually ship:
+    //      q93's Lloyd step is the trainer (one full-dim iteration from the
+    //      deterministic seeds), the learned means become the coarse
+    //      quantizer, and search is restricted to the query's cluster
+    //      (q31's shape with a learned codebook). Determinism carries
+    //      end-to-end: per-dim means come from micro-quantized exact long
+    //      sums (order-free), the mean arrays assemble in dim order, and
+    //      every dot product is a row-local left-to-right double fold that
+    //      DuckDB's list_reduce replays bit-identically — so a TRAINED
+    //      k-means assignment is still hash-checkable cross-engine. Scale
+    //      shape per iteration: broadcast k centroids, one (cid, dim, long)
+    //      partial-sum shuffle; more iterations repeat the same plan. -------
+    Q("q133_ivf_trained",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
+        val means = ivfAssign(s, e)
+          .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
+          .withColumn("q", round($"v".cast("double") * 1000.0).cast("long"))
+          .groupBy($"cid", $"dim")
+          .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+          .select($"cid", $"dim", ($"sq".cast("double") / 1000.0 / $"n").as("m"))
+        val trained = means.groupBy($"cid")
+          .agg(array_sort(collect_list(struct($"dim", $"m"))).as("sm"))
+          .select($"cid", expr("transform(sm, x -> x.m)").as("cv"))
+          .withColumn("cn", sqrt(dotFast($"cv", $"cv")))
+        val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+        val assign = e.join(broadcast(trained))
+          .select($"vec_id", $"embedding", $"nrm", $"cid",
+            (dotFast($"cv", $"embedding") / ($"cn" * $"nrm")).as("ccos"))
+          .withColumn("arn", row_number().over(aw))
+          .filter($"arn" === 1)
+          .select($"vec_id", $"embedding", $"nrm", $"cid")
+        val q = assign.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qn"), $"cid")
+        val scored = assign.join(broadcast(q), Seq("cid"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            (dotFast($"qv", $"embedding") / ($"qn" * $"nrm")).as("cosine"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings WHERE vec_id < 8),
+          a0 AS (SELECT vec_id, embedding, cid FROM (
+               SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   ${dotSql("c.cv", "e.embedding")}
+                     / (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                   c.cid) AS arn
+               FROM embeddings e, cents c) WHERE arn = 1),
+          comp AS (SELECT cid, dim,
+                 CAST(sum(CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000.0) AS BIGINT)) AS DOUBLE)
+                   / 1000.0 / count(*) AS m
+               FROM a0, UNNEST(range(0, 64)) AS t(dim)
+               GROUP BY cid, dim),
+          tc AS (SELECT cid, list(m ORDER BY dim) AS cv FROM comp GROUP BY cid),
+          a1 AS (SELECT vec_id, embedding, cid FROM (
+               SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   ${dotSql("t.cv", "e.embedding")}
+                     / (sqrt(${dotSql("t.cv", "t.cv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                   t.cid) AS arn
+               FROM embeddings e, tc t) WHERE arn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qv, cid
+                FROM a1 WHERE vec_id % 100 = 0),
+          scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                 ${dotSql("q.qv", "a.embedding")}
+                   / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("a.embedding", "a.embedding")})) AS cosine
+               FROM q JOIN a1 a ON a.cid = q.cid AND a.vec_id <> q.query_id)
+          SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+          WHERE rn <= 3 ORDER BY query_id, rank"""))
   )
 }

@@ -223,6 +223,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"rank probe fell back to cartesian:\n$p")
   }
 
+  test("q133: trained-IVF stack broadcasts only centroids + query set; corpus never cartesians") {
+    val p = plan("q133_ivf_trained")
+    assert(p.contains("Broadcast"), s"centroid/query set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus-side cartesian:\n$p")
+  }
+
   test("q103/q105/q116: unbounded-table joins carry NO broadcast hint — AQE size-gates") {
     // At 100 TB the component table (web dedup: 30-50% of docs clustered),
     // the unigram vocab (hundreds of millions of entries) and the bigram
