@@ -485,6 +485,71 @@ object IngestQueries extends Registry {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders GROUP BY o_orderstatus ORDER BY status""")),
 
+    // ---- schema evolution roundtrip: v1 shards carry (doc_id, source),
+    //      v2 shards add a column — exactly how a 100 TB corpus accretes
+    //      fields over months of ingest. mergeSchema unions the footers at
+    //      read time (old shards surface NULL for the new column; no
+    //      rewrite of petabytes of v1 files), and the aggregate proves the
+    //      merged read is lossless vs recomputing from the source table.
+    //      The cut is integer arithmetic (q122's rule) so both engines
+    //      split identically. Fixture dir keyed by SF and JVM (q92 note). --
+    Q("q134_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val sfKey = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+        val p = s"$fixDir/q134_docs_${sfKey}_$jvmTok.parquet"
+        val d = Tables(s, dir, "documents")
+          .join(broadcast(Tables(s, dir, "documents")
+            .agg(expr("max(doc_id) - max(doc_id) div 2").as("cut"))))
+        d.filter($"doc_id" < $"cut").select($"doc_id", $"source")
+          .write.mode("overwrite").parquet(s"$p/v=1")
+        d.filter($"doc_id" >= $"cut").select($"doc_id", $"source", $"n_chars")
+          .write.mode("overwrite").parquet(s"$p/v=2")
+        s.read.option("mergeSchema", true).parquet(p)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            count($"n_chars").as("n_with_chars"),
+            sum($"n_chars").cast("long").as("sum_chars"))
+          .orderBy($"source")
+      },
+      Some("""WITH m AS (SELECT max(doc_id) - max(doc_id) // 2 AS cut FROM documents)
+          SELECT source, count(*) AS n_docs,
+            count(CASE WHEN doc_id >= cut THEN n_chars END) AS n_with_chars,
+            CAST(sum(CASE WHEN doc_id >= cut THEN n_chars END) AS BIGINT) AS sum_chars
+          FROM documents, m GROUP BY source ORDER BY source""")),
+
+    // ---- dynamic partition pruning: the fact table is laid out
+    //      partitioned by order year; the filter arrives through a DIM
+    //      table (year → parity), so static pruning can't see it. Spark
+    //      plants a dynamicpruning subquery on the fact scan: the dim side
+    //      runs first and only matching year directories are listed — at
+    //      100 TB this is the difference between scanning 7 years and 3,
+    //      decided at runtime. Plan pinned in PlanShapeSpec. Fixture dir
+    //      keyed by SF and JVM (q92 note). --------------------------------
+    Q("q135_dynamic_partition_pruning",
+      (s, dir) => {
+        import s.implicits._
+        val sfKey = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+        val p = s"$fixDir/q135_orders_${sfKey}_$jvmTok.parquet"
+        Tables(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice",
+            year($"o_orderdate").as("o_year"))
+          .write.mode("overwrite").partitionBy("o_year").parquet(p)
+        val dim = Tables(s, dir, "orders")
+          .select(year($"o_orderdate").as("o_year")).distinct()
+          .select($"o_year", ($"o_year" % 2).as("parity"))
+        s.read.parquet(p)
+          .join(dim.filter($"parity" === 0), Seq("o_year"))
+          .groupBy($"o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+          .orderBy($"o_year")
+      },
+      Some("""SELECT year(o_orderdate) AS o_year, count(*) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM orders WHERE year(o_orderdate) % 2 = 0
+          GROUP BY o_year ORDER BY o_year""")),
+
     // ---- A1: schema-pair dataset JSON scan + seeded shuffle + swap -------
     //      (ref: utils/data_builder.py:16-43). The JSON fixture derives
     //      from nation — one case per region, source side in the NESTED

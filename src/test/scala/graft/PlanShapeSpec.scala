@@ -223,6 +223,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"rank probe fell back to cartesian:\n$p")
   }
 
+  test("q135: the dim filter reaches the fact scan as a dynamicpruning partition filter") {
+    val p = plan("q135_dynamic_partition_pruning")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery on the fact scan:\n$p")
+    assert(p.contains("PartitionFilters"), s"fact scan lists all partitions:\n$p")
+  }
+
   test("q133: trained-IVF stack broadcasts only centroids + query set; corpus never cartesians") {
     val p = plan("q133_ivf_trained")
     assert(p.contains("Broadcast"), s"centroid/query set not broadcast:\n$p")
