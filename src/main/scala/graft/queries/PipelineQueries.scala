@@ -199,6 +199,45 @@ object PipelineQueries extends Registry {
         SELECT split, lang, count(*) AS n_docs FROM sp
         GROUP BY split, lang ORDER BY split, lang""")),
 
+    // ---- cross-split leakage audit: near-duplicate texts that straddle
+    //      train/val/test make eval scores lie — the check every split
+    //      pipeline runs after q81's assignment. Fingerprint is md5 of the
+    //      first 8 lowercased tokens (template leakage: docs sharing an
+    //      opening boilerplate; widen to the full text for exact-dup
+    //      leakage); one fingerprint shuffle, leaked = fingerprints
+    //      spanning ≥2 splits. At 100 TB this is the same single-shuffle
+    //      shape as q21 exact dedup; the split label is a row-local hash
+    //      so it adds nothing. ----------------------------------------------
+    Q("q136_split_leakage",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.datasetSplit(Tables(s, dir, "documents"), seed = 13,
+            keyCols = Seq("doc_id"), valFrac = 0.05, testFrac = 0.05)
+          .select($"doc_id", $"split",
+            md5(array_join(slice(split(lower($"text"), " "), 1, 8), " ")).as("fp"))
+          .groupBy($"fp")
+          .agg(countDistinct($"split").cast("long").as("n_splits"),
+            count(lit(1)).as("n_docs"),
+            array_join(array_sort(collect_set($"split")), ",").as("splits"),
+            min($"doc_id").as("min_doc_id"))
+          .filter($"n_splits" >= 2)
+          .orderBy($"fp")
+      },
+      Some(s"""WITH sp AS (SELECT doc_id,
+            md5(array_to_string(string_split(lower(text), ' ')[1:8], ' ')) AS fp,
+            CASE WHEN ${Sampling.detRandSql(13, Seq("doc_id"))} < 0.90 THEN 'train'
+                 WHEN ${Sampling.detRandSql(13, Seq("doc_id"))} < 0.95 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents)
+        SELECT fp, count(DISTINCT split) AS n_splits, count(*) AS n_docs,
+          concat_ws(',',
+            CASE WHEN bool_or(split = 'test') THEN 'test' END,
+            CASE WHEN bool_or(split = 'train') THEN 'train' END,
+            CASE WHEN bool_or(split = 'val') THEN 'val' END) AS splits,
+          min(doc_id) AS min_doc_id
+        FROM sp GROUP BY fp HAVING count(DISTINCT split) >= 2
+        ORDER BY fp""")),
+
     // ---- split distribution drift (PSI): is the val split representative
     //      of train? Per-lang PSI terms with add-one smoothing (a lang
     //      absent from one split must not produce ln(0)). Everything after

@@ -518,6 +518,44 @@ object VectorQueries extends Registry {
            GROUP BY f.query_id ORDER BY f.query_id"""
       }),
 
+    // ---- semantic decontamination: q104's shingle check misses
+    //      paraphrases, so the second screen is embedding similarity —
+    //      every training vector's max cosine against the benchmark set
+    //      (vec_id % 97 == 0 stands in for the eval suite). Same asymmetry
+    //      as q104: eval suites are MBs against corpus TBs, so the bench
+    //      set broadcasts and the corpus side never shuffles; only the
+    //      per-vector max rollup does. max() is order-independent, so the
+    //      double scores are safe to aggregate across partitions. ----------
+    Q("q137_semantic_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
+        val bench = e.filter($"vec_id" % 97 === 0)
+          .select($"vec_id".as("bench_id"), $"embedding".as("bv"), $"nrm".as("bn"))
+        e.filter($"vec_id" % 97 =!= 0)
+          .join(broadcast(bench))
+          .select($"vec_id", (dotFast($"bv", $"embedding") / ($"bn" * $"nrm")).as("cos"))
+          .groupBy($"vec_id")
+          .agg(max($"cos").as("max_benchmark_cosine"))
+          .select($"vec_id", $"max_benchmark_cosine",
+            when($"max_benchmark_cosine" >= 0.5, 1L).otherwise(0L)
+              .as("contaminated"))
+          .orderBy($"vec_id")
+      },
+      Some(s"""WITH bench AS (SELECT vec_id AS bench_id, embedding AS bv
+              FROM embeddings WHERE vec_id % 97 = 0),
+          scored AS (SELECT e.vec_id,
+                 ${dotSql("b.bv", "e.embedding")}
+                   / (sqrt(${dotSql("b.bv", "b.bv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cos
+               FROM embeddings e, bench b WHERE e.vec_id % 97 <> 0),
+          mx AS (SELECT vec_id, max(cos) AS max_benchmark_cosine
+                 FROM scored GROUP BY vec_id)
+          SELECT vec_id, max_benchmark_cosine,
+            CAST(CASE WHEN max_benchmark_cosine >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+              AS contaminated
+          FROM mx ORDER BY vec_id""")),
+
     // ---- IVF with TRAINED centroids — the ANN stack you'd actually ship:
     //      q93's Lloyd step is the trainer (one full-dim iteration from the
     //      deterministic seeds), the learned means become the coarse
