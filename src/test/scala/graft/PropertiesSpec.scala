@@ -83,3 +83,94 @@ object ParserProperties extends Properties("Parsers") {
       else r.forall(v => v >= 0 && v <= 100)
     }
 }
+
+/** md5-keyed metadata shuffle (A1/F11 determinism contract): the permutation
+  * must be a pure function of (seed, identity), multiset-preserving, and
+  * seed-sensitive — the properties the q129/q131 oracles rely on when they
+  * replay the order with `ORDER BY md5(...)`.
+  */
+object DetShuffleProperties extends Properties("DetShuffle") {
+  import graft.core.Model.{ColumnMeta, TestCase}
+  import graft.core.Readers
+
+  private val colName = Gen.choose(1, 30).map(i => s"col_$i")
+  private val caseGen: Gen[TestCase] = for {
+    id <- Gen.choose(0, 1000).map(i => s"case_$i")
+    src <- Gen.nonEmptyListOf(colName).map(_.distinct.map(n => ColumnMeta(n, "text")))
+    tgt <- Gen.nonEmptyListOf(colName).map(_.distinct.map(n => ColumnMeta(n, "int")))
+  } yield TestCase(id, src, tgt, Seq.empty)
+
+  property("shuffle preserves both column multisets") =
+    forAll(caseGen, Gen.choose(0L, 1L << 40)) { (tc, seed) =>
+      val sh = Readers.shuffleCase(tc, seed)
+      sh.sourceSchema.sortBy(_.name) == tc.sourceSchema.sortBy(_.name) &&
+        sh.targetSchema.sortBy(_.name) == tc.targetSchema.sortBy(_.name)
+    }
+
+  property("shuffle is a pure function of (seed, case)") =
+    forAll(caseGen, Gen.choose(0L, 1L << 40)) { (tc, seed) =>
+      Readers.shuffleCase(tc, seed) == Readers.shuffleCase(tc, seed)
+    }
+
+  property("different seeds permute differently (when permutable)") =
+    forAll(caseGen) { tc =>
+      tc.sourceSchema.size < 3 ||
+        (0L to 20L).map(Readers.shuffleCase(tc, _).sourceSchema).distinct.size > 1
+    }
+
+  property("swap is an involution and reverses every gold pair") =
+    forAll(caseGen, Gen.listOf(Gen.zip(colName, colName))) { (tc0, gold) =>
+      val tc = tc0.copy(goldMapping = gold)
+      val sw = Readers.swapCase(tc)
+      Readers.swapCase(sw) == tc &&
+        sw.goldMapping == tc.goldMapping.map(_.swap) &&
+        sw.sourceSchema == tc.targetSchema
+    }
+}
+
+/** F11 grouping invariants on arbitrary cluster sets: every kept cluster's
+  * gold SQL appears exactly once in exactly one group; subsumed clusters
+  * (both relation sets contained in a strictly larger cluster's) never
+  * survive; the md5-seeded grouping is deterministic.
+  */
+object ClusterGroupProperties extends Properties("GroupClusters") {
+  import graft.mapping.SchemaXml
+  import graft.mapping.SchemaXml.MappingCluster
+
+  private val rel = Gen.oneOf("r1", "r2", "r3", "r4", "r5")
+  private val clusterGen: Gen[MappingCluster] = for {
+    id <- Gen.choose(0, 9999).map(i => s"m_$i")
+    src <- Gen.nonEmptyListOf(rel).map(_.distinct)
+    tgt <- Gen.nonEmptyListOf(rel).map(_.distinct)
+  } yield MappingCluster(id, src, tgt, Seq(s"SQL $id"), Seq.empty)
+
+  private val clustersGen =
+    Gen.listOf(clusterGen).map(_.distinctBy(_.id))
+
+  property("grouping partitions the kept clusters' gold SQL") =
+    forAll(clustersGen, Gen.choose(1, 4), Gen.choose(0L, 1L << 40)) { (cs, n, seed) =>
+      val kept = cs.filterNot { c =>
+        cs.exists(o => (o ne c) &&
+          c.sourceRelations.toSet.subsetOf(o.sourceRelations.toSet) &&
+          c.targetRelations.toSet.subsetOf(o.targetRelations.toSet) &&
+          (o.sourceRelations.size > c.sourceRelations.size ||
+            o.targetRelations.size > c.targetRelations.size))
+      }
+      val grouped = SchemaXml.groupClusters(cs, n, seed)
+      grouped.flatMap(_.goldSql).sorted == kept.flatMap(_.goldSql).sorted &&
+        grouped.forall(g => g.goldSql.size <= n)
+    }
+
+  property("grouping is a pure function of (clusters, n, seed)") =
+    forAll(clustersGen, Gen.choose(1, 4), Gen.choose(0L, 1L << 40)) { (cs, n, seed) =>
+      SchemaXml.groupClusters(cs, n, seed) == SchemaXml.groupClusters(cs, n, seed)
+    }
+
+  property("merged relation lists are duplicate-free and cover the group") =
+    forAll(clustersGen, Gen.choose(1, 4), Gen.choose(0L, 1L << 40)) { (cs, n, seed) =>
+      SchemaXml.groupClusters(cs, n, seed).forall { g =>
+        g.sourceRelations.distinct == g.sourceRelations &&
+          g.targetRelations.distinct == g.targetRelations
+      }
+    }
+}
