@@ -368,6 +368,51 @@ object PipelineQueries extends Registry {
       },
       None),
 
+    // ---- REAL multimodal decode, oracle-gated: even docs become
+    //      spec-valid BMP images, odd docs PCM16 WAV audio, with encode
+    //      parameters that are pure functions of table columns — so the
+    //      DuckDB oracle recomputes the expected decode output and the
+    //      container byte sizes from the format math alone. Agreement
+    //      proves decode(encode(params)) == params through real header
+    //      parsing (MediaCodecs, strict size-field validation), not the
+    //      stub: a byte shifted in either codec diverges n_bytes or the
+    //      decoded fields. The stub now covers only compressed formats. ----
+    Q("q138_multimodal_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .map { case (id, nch) =>
+            if (id % 2 == 0) {
+              val w = (4 + id % 32).toInt; val h = (4 + nch % 16).toInt
+              Multimodal.MediaRow(id, "image", "image/bmp",
+                Multimodal.MediaCodecs.encodeBmp(w, h, id))
+            } else {
+              val sr = (8000 + (id % 5) * 8000).toInt
+              val ns = (100 + nch % 100).toInt
+              Multimodal.MediaRow(id, "audio", "audio/wav",
+                Multimodal.MediaCodecs.encodeWavPcm16(sr, ns, id))
+            }
+          }
+        Multimodal.extractFeatures(media).toDF()
+          .select($"id", $"modality", $"n_bytes",
+            $"width", $"height", $"n_frames", $"sample_rate")
+          .orderBy($"id")
+      },
+      Some("""SELECT doc_id AS id,
+            CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+            CAST(CASE WHEN doc_id % 2 = 0
+              THEN 54 + ((4 + doc_id % 32) * 3 + 3) // 4 * 4 * (4 + n_chars % 16)
+              ELSE 44 + 2 * (100 + n_chars % 100) END AS BIGINT) AS n_bytes,
+            CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 32 ELSE 0 END AS INT) AS width,
+            CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + n_chars % 16 ELSE 0 END AS INT) AS height,
+            CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                 ELSE 100 + n_chars % 100 END AS INT) AS n_frames,
+            CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                 ELSE 8000 + (doc_id % 5) * 8000 END AS INT) AS sample_rate
+          FROM documents ORDER BY id""")),
+
     // ---- multimodal byte audit — the ORACLE-CHECKABLE half of the q38
     //      path: the same MediaRow → mapPartitions batch pipeline, but
     //      aggregating features DuckDB can recompute (the binary content is

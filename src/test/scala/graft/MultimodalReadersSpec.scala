@@ -101,6 +101,33 @@ class ReadersSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(2)))
   }
 
+  test("BMP/WAV codecs round-trip; text bytes always fall back to the stub") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaCodecs
+    for ((w, h) <- Seq((1, 1), (5, 3), (64, 64), (33, 7))) {
+      val bmp = MediaCodecs.encodeBmp(w, h, seed = 42)
+      assert(MediaCodecs.decodeBmp(bmp).contains(Multimodal.Decoded(w, h, 1, 0)),
+        s"BMP $w x $h did not round-trip")
+      assert(bmp.length == 54 + (w * 3 + 3) / 4 * 4 * h, "BMP size formula drift")
+      // a truncated file must be rejected (size field no longer matches)
+      assert(MediaCodecs.decodeBmp(bmp.dropRight(1)).isEmpty)
+    }
+    for ((sr, ns) <- Seq((8000, 1), (16000, 777), (44100, 100))) {
+      val wav = MediaCodecs.encodeWavPcm16(sr, ns, seed = 7)
+      assert(MediaCodecs.decodeWav(wav).contains(Multimodal.Decoded(0, 0, ns, sr)),
+        s"WAV $sr/$ns did not round-trip")
+      assert(MediaCodecs.decodeWav(wav.dropRight(2)).isEmpty)
+    }
+    // arbitrary text bytes (even starting with the magic) never parse:
+    // the embedded size fields can't match the byte count by accident
+    for (t <- Seq("plain text", "BM text that starts with the bmp magic",
+        "RIFFxxxxWAVEfmt and then some", "")) {
+      val bytes = t.getBytes("UTF-8")
+      assert(MediaCodecs.decodeBmp(bytes).isEmpty && MediaCodecs.decodeWav(bytes).isEmpty,
+        s"false positive on: $t")
+    }
+  }
+
   test("JSONL ingest normalizes null tokens and dedups") {
     val dir = Files.createTempDirectory("graft-jsonl")
     val f = dir.resolve("t.jsonl")
