@@ -91,6 +91,41 @@ object Multimodal {
       b.array()
     }
 
+    /** Real nearest-neighbor BMP resize: decode pixel rows (bottom-up,
+      * 4-byte padded), sample source pixels at integer-scaled positions,
+      * re-encode with the new dimensions. Pure byte math, no image
+      * library; returns None when the input isn't a valid BMP.
+      */
+    def resizeBmp(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =
+      decodeBmp(bytes).map { d =>
+        val (w, h) = (d.width, d.height)
+        val srcRow = (w * 3 + 3) / 4 * 4
+        val dstRow = (newW * 3 + 3) / 4 * 4
+        val dataSize = dstRow * newH
+        val b = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+          .putInt(0).putInt(54)
+        b.putInt(40).putInt(newW).putInt(newH).putShort(1).putShort(24)
+          .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        val out = b.array()
+        var y = 0
+        while (y < newH) {
+          val sy = (y.toLong * h / newH).toInt
+          var x = 0
+          while (x < newW) {
+            val sx = (x.toLong * w / newW).toInt
+            var c = 0
+            while (c < 3) {
+              out(54 + y * dstRow + x * 3 + c) = bytes(54 + sy * srcRow + sx * 3 + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+
     def decodeWav(bytes: Array[Byte]): Option[Decoded] = {
       def ascii(off: Int, s: String) =
         bytes.length >= off + s.length &&
@@ -160,8 +195,10 @@ object Multimodal {
     }
   }
 
-  /** Stub "resize": real plumbing (binary in, binary out, metadata update),
-    * fake pixels — truncates/pads bytes to the target size deterministic.
+  /** Stub "resize" for NON-parseable formats: real plumbing (binary in,
+    * binary out, metadata update), fake pixels — truncates/pads bytes to
+    * the target size deterministically. BMP inputs get the real
+    * nearest-neighbor resample ([[MediaCodecs.resizeBmp]], gated by q139).
     */
   def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
     java.util.Arrays.copyOf(bytes, targetBytes)

@@ -413,6 +413,53 @@ object PipelineQueries extends Registry {
                  ELSE 8000 + (doc_id % 5) * 8000 END AS INT) AS sample_rate
           FROM documents ORDER BY id""")),
 
+    // ---- REAL image resize, pixel-exact oracle: every even doc's BMP
+    //      (q138's encode) is nearest-neighbor-resampled to 8x8 by
+    //      MediaCodecs.resizeBmp, and because the source pixels are a pure
+    //      function of (id, byte index), the DuckDB oracle recomputes the
+    //      EXACT resampled pixel sum from the sampling arithmetic alone —
+    //      a one-pixel drift in decode, sampling or re-encode diverges the
+    //      hash. Row-local byte math, zero shuffle before the sort. --------
+    Q("q139_multimodal_resize",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 2 === 0)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .map { case (id, nch) =>
+            val w = (4 + id % 32).toInt; val h = (4 + nch % 16).toInt
+            val src = Multimodal.MediaCodecs.encodeBmp(w, h, id)
+            val dst = Multimodal.MediaCodecs.resizeBmp(src, 8, 8).get
+            val d = Multimodal.MediaCodecs.decodeBmp(dst).get
+            val dstRow = (8 * 3 + 3) / 4 * 4
+            var sum = 0L
+            var y = 0
+            while (y < 8) {
+              var i = 0
+              while (i < 24) { sum += dst(54 + y * dstRow + i) & 0xff; i += 1 }
+              y += 1
+            }
+            (id, d.width, d.height, dst.length.toLong, sum)
+          }
+          .toDF("id", "width", "height", "n_bytes", "px_sum")
+          .orderBy($"id")
+      },
+      Some("""WITH img AS (SELECT doc_id AS id, 4 + doc_id % 32 AS w,
+                   4 + n_chars % 16 AS h
+               FROM documents WHERE doc_id % 2 = 0),
+          px AS (SELECT id,
+                 (id + ((y * h // 8) * ((w * 3 + 3) // 4 * 4)
+                        + (x * w // 8) * 3 + c) * 31) % 256 AS v
+               FROM img,
+                 UNNEST(range(0, 8)) AS ty(y),
+                 UNNEST(range(0, 8)) AS tx(x),
+                 UNNEST(range(0, 3)) AS tc(c))
+          SELECT id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+            CAST(54 + 24 * 8 AS BIGINT) AS n_bytes,
+            CAST(sum(v) AS BIGINT) AS px_sum
+          FROM px GROUP BY id ORDER BY id""")),
+
     // ---- multimodal byte audit — the ORACLE-CHECKABLE half of the q38
     //      path: the same MediaRow → mapPartitions batch pipeline, but
     //      aggregating features DuckDB can recompute (the binary content is

@@ -128,6 +128,24 @@ class ReadersSpec extends SparkSpec {
     }
   }
 
+  test("BMP resize: identity preserves pixels; downsample has the right dims and bytes") {
+    import graft.operators.Multimodal.{Decoded, MediaCodecs}
+    val src = MediaCodecs.encodeBmp(10, 6, seed = 99)
+    // identity resize re-encodes the same pixel grid (padding bytes are
+    // zeroed on re-encode; only pixel bytes carry image content)
+    val ident = MediaCodecs.resizeBmp(src, 10, 6).get
+    val row = (10 * 3 + 3) / 4 * 4
+    assert((0 until 6).forall(y => (0 until 30).forall(i =>
+      ident(54 + y * row + i) == src(54 + y * row + i))))
+    val small = MediaCodecs.resizeBmp(src, 4, 3).get
+    assert(MediaCodecs.decodeBmp(small).contains(Decoded(4, 3, 1, 0)))
+    assert(small.length == 54 + (4 * 3 + 3) / 4 * 4 * 3)
+    // nearest-neighbor: target (0,0) samples source (0,0) exactly
+    assert((0 until 3).forall(c => small(54 + c) == src(54 + c)))
+    // non-BMP input refuses rather than corrupting
+    assert(MediaCodecs.resizeBmp("not a bmp".getBytes, 4, 4).isEmpty)
+  }
+
   test("JSONL ingest normalizes null tokens and dedups") {
     val dir = Files.createTempDirectory("graft-jsonl")
     val f = dir.resolve("t.jsonl")
