@@ -86,8 +86,14 @@ object Multimodal {
         .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
         .putShort(2).putShort(16)
       b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      // full signed range so downstream audio features (zero crossings,
+      // mean |amplitude|) see realistic sign changes; the value at index i
+      // is a pure function of (seed, i) that an oracle can recompute
       var i = 0
-      while (i < nSamples) { b.putShort(((seed + i * 131) % 32768).toShort); i += 1 }
+      while (i < nSamples) {
+        b.putShort((((seed + i * 131) % 65536) - 32768).toShort)
+        i += 1
+      }
       b.array()
     }
 
@@ -141,6 +147,15 @@ object Multimodal {
         sampleRate <= 0 || blockAlign <= 0) None
       else Some(Decoded(0, 0, dataSize / blockAlign, sampleRate))
     }
+
+    /** PCM16 sample extraction from a validated WAV (little-endian shorts
+      * after the 44-byte header) — the real decode under audio features.
+      */
+    def pcmSamples(bytes: Array[Byte]): Option[Array[Short]] =
+      decodeWav(bytes).map { d =>
+        val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        Array.tabulate(d.nFrames)(i => b.getShort(44 + 2 * i))
+      }
   }
 
   /** Production decode: real header parsers first, stub fallback for

@@ -460,6 +460,53 @@ object PipelineQueries extends Registry {
             CAST(sum(v) AS BIGINT) AS px_sum
           FROM px GROUP BY id ORDER BY id""")),
 
+    // ---- REAL audio feature extraction: each odd doc's PCM16 WAV (q138's
+    //      encode) is parsed back to its sample array (little-endian
+    //      shorts after the validated 44-byte header) and reduced to the
+    //      standard audio-curation features — mean-|amplitude| inputs,
+    //      peak, zero-crossing count. Samples are a pure function of
+    //      (id, index), so the DuckDB oracle recomputes every feature from
+    //      the generator arithmetic — a byte order or offset bug in the
+    //      PCM parse diverges immediately. Row-local, zero shuffle. --------
+    Q("q141_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 2 === 1)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .map { case (id, nch) =>
+            val sr = (8000 + (id % 5) * 8000).toInt
+            val ns = (100 + nch % 100).toInt
+            val wav = Multimodal.MediaCodecs.encodeWavPcm16(sr, ns, id)
+            val xs = Multimodal.MediaCodecs.pcmSamples(wav).get
+            var sumAbs = 0L; var peak = 0L; var zc = 0L
+            var i = 0
+            while (i < xs.length) {
+              val v = xs(i).toLong
+              sumAbs += math.abs(v)
+              peak = math.max(peak, math.abs(v))
+              if (i > 0 && xs(i - 1).toLong * v < 0) zc += 1
+              i += 1
+            }
+            (id, xs.length.toLong, sumAbs, peak, zc)
+          }
+          .toDF("id", "n_samples", "sum_abs", "peak", "n_zero_cross")
+          .orderBy($"id")
+      },
+      Some("""WITH a AS (SELECT doc_id AS id, 100 + n_chars % 100 AS ns
+               FROM documents WHERE doc_id % 2 = 1),
+          sm AS (SELECT id, i, (id + i * 131) % 65536 - 32768 AS v
+                 FROM a, UNNEST(range(0, ns)) AS t(i)),
+          sm2 AS (SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS pv
+                  FROM sm)
+          SELECT id, count(*) AS n_samples,
+            CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+            CAST(max(abs(v)) AS BIGINT) AS peak,
+            CAST(coalesce(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_zero_cross
+          FROM sm2 GROUP BY id ORDER BY id""")),
+
     // ---- multimodal byte audit — the ORACLE-CHECKABLE half of the q38
     //      path: the same MediaRow → mapPartitions batch pipeline, but
     //      aggregating features DuckDB can recompute (the binary content is

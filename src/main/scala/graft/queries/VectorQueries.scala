@@ -518,6 +518,66 @@ object VectorQueries extends Registry {
            GROUP BY f.query_id ORDER BY f.query_id"""
       }),
 
+    // ---- multi-probe IVF: q31 probes nprobe=1 cluster; the recall lever
+    //      at 100 TB is probing the query's top-NPROBE clusters (corpus
+    //      assignment stays single — only the query fans out, so cost
+    //      scales with nprobe × cluster size, never corpus size). Here
+    //      nprobe=2: each query searches the union of its two nearest
+    //      clusters; a corpus vector lives in exactly one cluster, so the
+    //      union needs no dedup. ---------------------------------------------
+    Q("q140_ivf_multiprobe",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
+        val assign = ivfAssign(s, e)
+        val cents = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cn"))
+        val q2 = e.filter($"vec_id" % 100 === 0)
+          .join(broadcast(cents))
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qn"),
+            $"cid", (dotFast($"cv", $"embedding") / ($"cn" * $"nrm")).as("ccos"))
+          .withColumn("arn", row_number().over(
+            Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cid")))
+          .filter($"arn" <= 2)
+          .select($"query_id", $"qv", $"qn", $"cid")
+        val scored = assign.join(broadcast(q2), Seq("cid"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            (dotFast($"qv", $"embedding") / ($"qn" * $"nrm")).as("cosine"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings WHERE vec_id < 8),
+        assign AS (SELECT vec_id, embedding, cid FROM (
+                     SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         ${dotSql("c.cv", "e.embedding")}
+                           / (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                         c.cid) AS arn
+                     FROM embeddings e, cents c)
+                   WHERE arn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    ${dotSql("c.cv", "e.embedding")}
+                      / (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                    c.cid) AS arn
+                FROM embeddings e, cents c WHERE e.vec_id % 100 = 0)
+              WHERE arn <= 2),
+        scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                     ${dotSql("q.qv", "a.embedding")}
+                       / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("a.embedding", "a.embedding")})) AS cosine
+                   FROM q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= 3 ORDER BY query_id, rank""")),
+
     // ---- semantic decontamination: q104's shingle check misses
     //      paraphrases, so the second screen is embedding similarity —
     //      every training vector's max cosine against the benchmark set
