@@ -1177,7 +1177,104 @@ object TextQueries extends Registry {
           "SELECT doc_id, explode(split(lower(text), ' ')) AS token FROM q127_docs"))
       },
       Some(subwordSql(
-        "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents")))
+        "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents"))),
+
+    // ---- source temperature rebalancing: cap every source at
+    //      floor(sqrt(n)) docs (keep the lowest doc_ids) — the sublinear
+    //      per-domain quota web-curation pipelines apply so one crawl host
+    //      can't dominate the mixture (q118 rebalances BETWEEN fixed
+    //      sources; this caps WITHIN each source by its own size). One
+    //      source-keyed shuffle; both windows share the exchange. A
+    //      dominant source buffers on one task (q26's caveat) — at
+    //      unbounded skew swap the exact rank for q118's deterministic
+    //      md5-coin at rate sqrt(n)/n, which needs no per-source order. ----
+    Q("q145_source_rebalance",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        docs(s, dir).select($"doc_id", $"source")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_source_docs",
+            count(lit(1)).over(Window.partitionBy($"source")))
+          .select($"doc_id", $"source", $"n_source_docs",
+            when($"rn" <= floor(sqrt($"n_source_docs".cast("double"))).cast("long"), 1L)
+              .otherwise(0L).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+            count(*) OVER (PARTITION BY source) AS n
+          FROM documents)
+        SELECT doc_id, source, CAST(n AS BIGINT) AS n_source_docs,
+          CAST(CASE WHEN rn <= CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+               THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM r ORDER BY doc_id""")),
+
+    // ---- linear quality classifier (fastText-style filter): a fixed
+    //      weight vector over row-local text features — length saturation,
+    //      digit ratio, stopword ratio, mean word length — scored as a
+    //      logit with keep = logit > 0. The shape of every
+    //      classifier-based filter (CCNet, FineWeb-Edu): inference is one
+    //      codegen'd map pass, zero shuffle before the presentation sort.
+    //      All weights are exact binary fractions and the feature ratios
+    //      are int/int divisions, so the logit is bit-identical
+    //      cross-engine with a fixed evaluation order. ---------------------
+    Q("q146_quality_classifier",
+      (s, dir) => {
+        import s.implicits._
+        val nTok = size($"w").cast("double")
+        val fLen = least(lit(1.0), nTok / 100.0)
+        val meanWlen = (length($"text").cast("double") - (nTok - lit(1.0))) / nTok
+        val logit = lit(-1.0) + lit(2.5) * fLen - lit(4.0) * docDigitRatio +
+          lit(1.0) * docStopRatio - lit(0.25) * meanWlen
+        docs(s, dir).withColumn("w", tokens($"text"))
+          .withColumn("logit", logit)
+          .select($"doc_id", $"logit",
+            when($"logit" > 0.0, 1L).otherwise(0L).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+            -1.0 + 2.5 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+            - 4.0 * ((CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text))
+            + 1.0 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN (${LangLexicon.sqlWordList}))) AS DOUBLE)
+                     / len(string_split(text, ' ')))
+            - 0.25 * ((CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS logit
+          FROM documents)
+        SELECT doc_id, logit,
+          CAST(CASE WHEN logit > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM f ORDER BY doc_id""")),
+
+    // ---- quality-aware survivor selection: within each fingerprint group
+    //      (q26's normalize+md5 fuzzy key) keep the HIGHEST-quality doc,
+    //      not the lowest id — the "keep best, drop rest" dedup policy a
+    //      curation pipeline actually wants. Quality is q28's row-local
+    //      score (bit-identical cross-engine), so ordering by it is safe;
+    //      one fingerprint shuffle, both windows share it. ------------------
+    Q("q147_quality_survivors",
+      (s, dir) => {
+        import s.implicits._
+        val fp = docs(s, dir).withColumn("w", tokens($"text"))
+          .select($"doc_id", md5(normalize($"text")).as("fingerprint"),
+            docQuality.as("quality"))
+        val w = Window.partitionBy($"fingerprint").orderBy($"quality".desc, $"doc_id")
+        fp.withColumn("rn", row_number().over(w))
+          .withColumn("n_same", count(lit(1)).over(Window.partitionBy($"fingerprint")))
+          .select($"doc_id", $"quality", $"n_same",
+            when($"rn" === 1, 1L).otherwise(0L).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH fp AS (SELECT doc_id,
+            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+            $qualitySqlExpr AS quality
+          FROM documents),
+        r AS (SELECT doc_id, quality,
+            row_number() OVER (PARTITION BY fingerprint ORDER BY quality DESC, doc_id) AS rn,
+            count(*) OVER (PARTITION BY fingerprint) AS n_same
+          FROM fp)
+        SELECT doc_id, quality, CAST(n_same AS BIGINT) AS n_same,
+          CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM r ORDER BY doc_id"""))
   )
 
   /** Shared recursive-tokenizer SQL (q127): identical text in both engines

@@ -693,6 +693,130 @@ object VectorQueries extends Registry {
           SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cosine FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
-          WHERE rn <= 3 ORDER BY query_id, rank"""))
+          WHERE rn <= 3 ORDER BY query_id, rank""")),
+
+    // ---- hard-negative mining (contrastive training): for each query the
+    //      top-3 most-similar vectors with a DIFFERENT label — the
+    //      highest-value negatives for a contrastive/embedding fine-tune
+    //      batch. Same scale shape as q30: the query set broadcasts, the
+    //      corpus never shuffles (the label filter rides the broadcast
+    //      join), and only the per-query rank rollup exchanges data. -------
+    Q("q142_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val e = emb(s, dir)
+          .select($"vec_id", $"embedding", normFast($"embedding").as("nrm"), $"label")
+        val q = e.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+            $"nrm".as("qn"), $"label".as("qlabel"))
+        val scored = e.join(broadcast(q),
+            $"vec_id" =!= $"query_id" && $"label" =!= $"qlabel")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            $"label".as("neighbor_label"),
+            (dotFast($"qv", $"embedding") / ($"qn" * $"nrm")).as("cosine"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"query_id", $"rank", $"neighbor_id", $"neighbor_label", $"cosine")
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+                    FROM embeddings WHERE vec_id % 100 = 0),
+        scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                     e.label AS neighbor_label,
+                     ${dotSql("qv", "e.embedding")}
+                       / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cosine
+                   FROM q JOIN embeddings e
+                     ON e.vec_id <> q.query_id AND e.label <> q.qlabel)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, neighbor_label, cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= 3 ORDER BY query_id, rank""")),
+
+    // ---- kNN label audit (embedding-quality eval): majority label of each
+    //      query's 5 nearest neighbors vs its own label — the standard
+    //      linear-probe-free check that an embedding space separates
+    //      classes. Deterministic vote tie-break (votes desc, label asc).
+    //      Broadcast query set; two bounded shuffles (rank, vote rollup),
+    //      both over query-set-sized data. -------------------------------
+    Q("q143_knn_label_audit",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val e = emb(s, dir)
+          .select($"vec_id", $"embedding", normFast($"embedding").as("nrm"), $"label")
+        val q = e.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+            $"nrm".as("qn"), $"label".as("true_label"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        val knn = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"true_label", $"vec_id".as("neighbor_id"),
+            $"label".as("nl"),
+            (dotFast($"qv", $"embedding") / ($"qn" * $"nrm")).as("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+        val vw = Window.partitionBy($"query_id").orderBy($"votes".desc, $"nl")
+        knn.groupBy($"query_id", $"true_label", $"nl")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(vw))
+          .filter($"vr" === 1)
+          .select($"query_id", $"true_label", $"nl".as("pred_label"), $"votes",
+            when($"nl" === $"true_label", 1L).otherwise(0L).as("correct"))
+          .orderBy($"query_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      label AS true_label
+                    FROM embeddings WHERE vec_id % 100 = 0),
+        scored AS (SELECT query_id, true_label, e.vec_id AS neighbor_id,
+                     e.label AS nl,
+                     ${dotSql("qv", "e.embedding")}
+                       / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cosine
+                   FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        knn AS (SELECT query_id, true_label, nl FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+            WHERE rn <= 5),
+        votes AS (SELECT query_id, true_label, nl, count(*) AS votes
+                  FROM knn GROUP BY query_id, true_label, nl)
+        SELECT query_id, true_label, nl AS pred_label, votes,
+          CAST(CASE WHEN nl = true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY votes DESC, nl) AS vr FROM votes)
+        WHERE vr = 1 ORDER BY query_id""")),
+
+    // ---- embedding-distribution audit: per-dimension mean and variance of
+    //      the whole corpus — the drift/anisotropy check run before trusting
+    //      a cosine index (a dimension whose mean drifts from 0 or whose
+    //      variance collapses flags a degenerate encoder batch). Components
+    //      quantize to exact 1e-3 longs BEFORE the one (dim)-keyed shuffle
+    //      (q93's recipe: long sums are associative-exact at any
+    //      parallelism), and both moments ride the same aggregate. ---------
+    Q("q144_embedding_moments",
+      (s, dir) => {
+        import s.implicits._
+        emb(s, dir)
+          .select(posexplode($"embedding").as(Seq("dim", "v")))
+          .withColumn("q", round($"v".cast("double") * 1000.0).cast("long"))
+          .groupBy($"dim")
+          .agg(count(lit(1)).as("n_vecs"), sum($"q").as("sq"),
+            sum($"q" * $"q").as("sq2"))
+          .select($"dim", $"n_vecs", $"sq2",
+            ($"sq".cast("double") / 1000.0 / $"n_vecs").as("mean_v"))
+          .select($"dim", $"n_vecs", $"mean_v",
+            (($"sq2".cast("double") / 1000000.0) / $"n_vecs"
+              - $"mean_v" * $"mean_v").as("var_v"))
+          .orderBy($"dim")
+      },
+      Some("""WITH x AS (SELECT dim,
+              CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+            FROM embeddings, UNNEST(range(0, 64)) AS t(dim)),
+          a AS (SELECT dim, count(*) AS n_vecs, sum(q) AS sq, sum(q * q) AS sq2
+                FROM x GROUP BY dim),
+          m AS (SELECT dim, n_vecs, sq2,
+                  CAST(sq AS DOUBLE) / 1000.0 / n_vecs AS mean_v FROM a)
+          SELECT CAST(dim AS INT) AS dim, n_vecs, mean_v,
+            (CAST(sq2 AS DOUBLE) / 1000000.0) / n_vecs - mean_v * mean_v AS var_v
+          FROM m ORDER BY dim"""))
   )
 }

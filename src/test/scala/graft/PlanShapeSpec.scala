@@ -236,6 +236,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"corpus-side cartesian:\n$p")
   }
 
+  test("q140/q142/q143: ANN variants broadcast only the query set; corpus never cartesians") {
+    for (q <- Seq("q140_ivf_multiprobe", "q142_hard_negatives", "q143_knn_label_audit")) {
+      val p = plan(q)
+      assert(p.contains("Broadcast"), s"$q: query set not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: corpus-side cartesian:\n$p")
+    }
+  }
+
+  test("q144/q146: moments shuffle exact longs once; classifier is row-local") {
+    val pm = plan("q144_embedding_moments")
+    assert(pm.contains("partial_sum") || pm.contains("partial_count"),
+      s"moments lack map-side combine:\n$pm")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(pm).size
+    assert(hashEx <= 1, s"moments should shuffle once, got $hashEx:\n$pm")
+    val pc = plan("q146_quality_classifier")
+    assert(!pc.contains("Exchange hashpartitioning"),
+      s"classifier inference must not shuffle:\n$pc")
+    assert(!pc.contains("Join"), s"classifier must not plan a join:\n$pc")
+  }
+
+  test("q145/q147: rebalance and survivor windows share one key shuffle") {
+    for ((q, key) <- Seq("q145_source_rebalance" -> "source",
+        "q147_quality_survivors" -> "fingerprint")) {
+      val p = plan(q)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= 1, s"$q: both $key windows should share one exchange, got $hashEx:\n$p")
+    }
+  }
+
   test("q103/q105/q116: unbounded-table joins carry NO broadcast hint — AQE size-gates") {
     // At 100 TB the component table (web dedup: 30-50% of docs clustered),
     // the unigram vocab (hundreds of millions of entries) and the bigram
