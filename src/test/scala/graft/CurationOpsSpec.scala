@@ -87,4 +87,45 @@ class CurationOpsSpec extends SparkSpec {
     val shareSum = out.map(_._2).sum
     assert(shareSum > 0.0 && shareSum <= 1.0 + 1e-9, s"share sum $shareSum")
   }
+
+  test("q145: every source keeps exactly floor(sqrt(n)) docs, the lowest ids") {
+    val rows = q("q145_source_rebalance")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      val n = ds.head._3
+      assert(ds.forall(_._3 == n), s"$src: inconsistent n_source_docs")
+      val kept = ds.filter(_._4 == 1L).map(_._1).sorted
+      assert(kept.length == math.floor(math.sqrt(n.toDouble)).toLong,
+        s"$src: kept ${kept.length} of $n")
+      // kept set is exactly the lowest doc_ids of the source
+      assert(kept.sameElements(ds.map(_._1).sorted.take(kept.length)),
+        s"$src: kept docs are not the lowest ids")
+    }
+  }
+
+  test("q147: one survivor per fingerprint group, and it has the max quality") {
+    // recompute the fingerprint key independently so survivors can be
+    // grouped without trusting the query's own grouping
+    val fp = SparkEntry.queries("q26_fingerprint")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = q("q147_quality_survivors")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(t => fp(t._1)).foreach { case (key, g) =>
+      assert(g.count(_._4 == 1L) == 1, s"group $key: != 1 survivor")
+      assert(g.forall(_._3 == g.length), s"group $key: n_same mismatch")
+      val s = g.find(_._4 == 1L).get
+      // survivor quality is maximal; doc_id breaks exact ties
+      assert(g.forall(o => o._2 < s._2 || (o._2 == s._2 && o._1 >= s._1)),
+        s"group $key: survivor is not the best-quality doc")
+    }
+  }
+
+  test("q144: per-dim variance is non-negative and n_vecs is the corpus size") {
+    val n = graft.core.Tables(spark, sfDir, "embeddings").count()
+    val rows = q("q144_embedding_moments")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.length == 64)
+    assert(rows.forall(_._2 == n))
+    assert(rows.forall(_._3 >= 0.0), "negative variance")
+  }
 }
