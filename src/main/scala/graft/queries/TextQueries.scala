@@ -1274,7 +1274,89 @@ object TextQueries extends Registry {
           FROM fp)
         SELECT doc_id, quality, CAST(n_same AS BIGINT) AS n_same,
           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    // ---- sequence-length bucketed batching: docs sort into power-of-two
+    //      length classes, fixed-size batches form within each class, and
+    //      the audit reports per-batch padding waste (n·max − Σlen) — the
+    //      batch-construction pass that decides real GPU utilization.
+    //      Buckets are integer range compares (no float log2 whose
+    //      boundary could flip cross-engine). Two exchanges: the bucket
+    //      window, then the (bucket, batch) partial+final rollup. ----------
+    Q("q148_length_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val n = size(tokens($"text")).cast("long")
+        val bucket = when(n < 64, 0L).when(n < 128, 1L).when(n < 256, 2L)
+          .when(n < 512, 3L).when(n < 1024, 4L).otherwise(5L)
+        val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+        docs(s, dir)
+          .select($"doc_id", n.as("n_tokens"), bucket.as("bucket"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("batch_id", expr("CAST((rn - 1) div 8 AS BIGINT)"))
+          .groupBy($"bucket", $"batch_id")
+          .agg(count(lit(1)).as("n_docs"), max($"n_tokens").as("max_tokens"),
+            sum($"n_tokens").as("sum_tokens"))
+          .select($"bucket", $"batch_id", $"n_docs", $"max_tokens",
+            ($"n_docs" * $"max_tokens" - $"sum_tokens").as("padding_waste"))
+          .orderBy($"bucket", $"batch_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        b AS (SELECT doc_id, n_tokens,
+            CAST(CASE WHEN n_tokens < 64 THEN 0 WHEN n_tokens < 128 THEN 1
+                 WHEN n_tokens < 256 THEN 2 WHEN n_tokens < 512 THEN 3
+                 WHEN n_tokens < 1024 THEN 4 ELSE 5 END AS BIGINT) AS bucket
+          FROM t),
+        r AS (SELECT bucket, n_tokens,
+            CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8
+              AS BIGINT) AS batch_id
+          FROM b)
+        SELECT bucket, batch_id, count(*) AS n_docs,
+          max(n_tokens) AS max_tokens,
+          CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
+        FROM r GROUP BY bucket, batch_id ORDER BY bucket, batch_id""")),
+
+    // ---- corpus-wide token offsets via the TWO-PHASE distributed prefix
+    //      sum: a naive global cumsum is an unpartitioned window = one task
+    //      holding the corpus. Instead: (1) a deterministic integer range
+    //      split (pid = doc_id·8 div (max+1) — no sampling, so the split is
+    //      reproducible cross-engine), (2) per-range token totals (8 rows),
+    //      (3) an 8-ROW window turns totals into range base offsets,
+    //      (4) base offsets broadcast back and each range cumsums its own
+    //      slice in parallel. Offset algebra: global_cumsum(d) =
+    //      base(pid(d)) + within-range cumsum — exact longs throughout.
+    //      At 1000 executors raise the range count to match; phase (3)
+    //      stays cluster-trivial (one row per range). ----------------------
+    Q("q149_global_token_offsets",
+      (s, dir) => {
+        import s.implicits._
+        val t = docs(s, dir)
+          .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+          .join(broadcast(docs(s, dir).agg(max($"doc_id").as("mx"))))
+          .withColumn("pid", expr("doc_id * 8 div (mx + 1)"))
+        val po = t.groupBy($"pid").agg(sum($"n_tokens").as("pt"))
+          .withColumn("base", coalesce(sum($"pt").over(
+            Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select($"pid", $"base")
+        val w = Window.partitionBy($"pid").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t.join(broadcast(po), Seq("pid"))
+          .withColumn("token_offset",
+            $"base" + coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .select($"doc_id", $"n_tokens", $"token_offset")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT doc_id, n_tokens,
+          CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS token_offset
+        FROM t ORDER BY doc_id"""))
   )
 
   /** Shared recursive-tokenizer SQL (q127): identical text in both engines

@@ -265,6 +265,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q149: global prefix sum never plans an unpartitioned corpus window") {
+    val df = SparkEntry.queries("q149_global_token_offsets")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    // the corpus-side window must be keyed by the range id; the only
+    // unpartitioned window allowed is the 8-row base-offset cumsum
+    assert(p.contains("Broadcast"), s"base offsets not broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val windowSpecs = "Window \\[[^\\]]*\\]".r.findAllIn(
+      df.queryExecution.optimizedPlan.toString()).toList
+    // optimized plan shows two Window nodes; the corpus one partitions by pid
+    assert(windowSpecs.exists(_.contains("pid")),
+      s"corpus cumsum lost its range partitioning:\n$windowSpecs")
+  }
+
+  test("q148: batch rollup keeps map-side combine after the bucket window") {
+    val p = plan("q148_length_buckets")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      p.contains("partial_max"), s"no partial aggregation:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx:\n$p")
+  }
+
   test("q103/q105/q116: unbounded-table joins carry NO broadcast hint — AQE size-gates") {
     // At 100 TB the component table (web dedup: 30-50% of docs clustered),
     // the unigram vocab (hundreds of millions of entries) and the bigram
