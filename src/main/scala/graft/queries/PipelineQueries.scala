@@ -743,37 +743,32 @@ object PipelineQueries extends Registry {
     //      the streaming result EQUALS the batch aggregation of the prefix. -
     Q("q41_streaming_tumbling",
       (s, dir) => {
-        import s.implicits._
-        implicit val sqlCtx = s.sqlContext
-        val evts = Tables(s, dir, "events")
+        // the state-partition count is baked in at FIRST query start: 32
+        // stateful-store partitions per micro-batch for a 2000-row feed is
+        // pure overhead — the stream runs on a DEDICATED child session
+        // scoped to 4 (results are partitioning-invariant; the oracle hash
+        // is unchanged), so the shared session's conf is never touched
+        val ss = StreamingOps.streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val evts = Tables(ss, dir, "events")
           .select($"ts", $"event_type", $"value", $"event_id")
           .orderBy($"ts", $"event_id").limit(2000)
           .select($"ts", $"event_type", $"value")
           .as[(java.sql.Timestamp, String, Double)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
         val qn = s"graft_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        // the state-partition count is baked in at FIRST query start: 32
-        // stateful-store partitions per micro-batch for a 2000-row feed is
-        // pure overhead — scope the stream to 4 and restore after (results
-        // are partitioning-invariant; the oracle hash is unchanged).
-        // Caveat: this mutates SESSION-global conf — safe while the harness
-        // runs queries sequentially; if it ever parallelizes, move the
-        // streaming queries onto a dedicated spark.newSession() instead
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val query = StreamingOps.tumblingCounts(mem.toDF().toDF("ts", "event_type", "value"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
         try {
-          val query = StreamingOps.tumblingCounts(mem.toDF().toDF("ts", "event_type", "value"))
-            .writeStream.format("memory").queryName(qn)
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
-          try {
-            val (b1, b2) = evts.splitAt(evts.length / 2)
-            mem.addData(b1.toSeq); query.processAllAvailable()
-            mem.addData(b2.toSeq); query.processAllAvailable()
-            s.table(qn)
-              .localCheckpoint(eager = true) // detach from the stopped stream
-              .orderBy($"window_start", $"event_type")
-          } finally query.stop()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          val (b1, b2) = evts.splitAt(evts.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          mem.addData(b2.toSeq); query.processAllAvailable()
+          ss.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .orderBy($"window_start", $"event_type")
+        } finally query.stop()
       },
       Some("""WITH e AS (SELECT ts, event_type, value FROM events
           ORDER BY ts, event_id LIMIT 2000)
@@ -793,33 +788,30 @@ object PipelineQueries extends Registry {
     //      original prefix, which IS the DuckDB twin. ----------------------
     Q("q77_streaming_dedup",
       (s, dir) => {
-        import s.implicits._
-        implicit val sqlCtx = s.sqlContext
-        val evts = Tables(s, dir, "events")
+        // dedicated 4-partition child session (see q41's comment)
+        val ss = StreamingOps.streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val evts = Tables(ss, dir, "events")
           .select($"ts", $"user_id", $"event_id", $"value")
           .orderBy($"ts", $"event_id").limit(2000)
           .as[(java.sql.Timestamp, Long, Long, Double)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
         val qn = s"graft_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        // 4 state partitions for the 2000-row feed (see q41's comment)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val query = StreamingOps.dedupStream(
+            mem.toDF().toDF("ts", "user_id", "event_id", "value"), Seq("event_id"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
         try {
-          val query = StreamingOps.dedupStream(
-              mem.toDF().toDF("ts", "user_id", "event_id", "value"), Seq("event_id"))
-            .writeStream.format("memory").queryName(qn)
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
-          try {
-            val (b1, b2) = evts.splitAt(evts.length / 2)
-            mem.addData(b1.toSeq); query.processAllAvailable()
-            val redelivered = b1.map(e =>
-              (new java.sql.Timestamp(e._1.getTime + 60000L), e._2, e._3, e._4))
-            mem.addData((redelivered ++ b2).toSeq); query.processAllAvailable()
-            s.table(qn)
-              .localCheckpoint(eager = true) // detach from the stopped stream
-              .orderBy($"event_id")
-          } finally query.stop()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          val (b1, b2) = evts.splitAt(evts.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          val redelivered = b1.map(e =>
+            (new java.sql.Timestamp(e._1.getTime + 60000L), e._2, e._3, e._4))
+          mem.addData((redelivered ++ b2).toSeq); query.processAllAvailable()
+          ss.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .orderBy($"event_id")
+        } finally query.stop()
       },
       Some("""WITH e AS (SELECT ts, user_id, event_id, value FROM events
           ORDER BY ts, event_id LIMIT 2000)
@@ -833,27 +825,27 @@ object PipelineQueries extends Registry {
     //      at least one shared shingle). ------------------------------------
     Q("q108_streaming_decontaminate",
       (s, dir) => {
-        import s.implicits._
-        implicit val sqlCtx = s.sqlContext
+        // dedicated 4-partition child session (see q41's comment)
+        val ss = StreamingOps.streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
         import graft.functions.TextFunctions.{tokens, wordShingles}
         // static side: the benchmark shingle set, persisted so each
         // micro-batch probes the cache instead of re-deriving the scan +
         // distinct per trigger
-        val bench = TextQueries.sourceShingles(s, dir)
+        val bench = TextQueries.sourceShingles(ss, dir)
           .filter($"source".isin(TextQueries.benchSources: _*))
           .select($"shingle").distinct().persist()
         bench.count()
         // harness feed capped at a 2000-doc prefix (bounded driver memory,
         // same rule as the q41/q77 event feeds); production would
         // readStream the corpus directly
-        val feed = Tables(s, dir, "documents")
+        val feed = Tables(ss, dir, "documents")
           .filter(!$"source".isin(TextQueries.benchSources: _*))
           .select($"doc_id", $"text").orderBy($"doc_id").limit(2000)
           .as[(Long, String)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
         val qn = s"graft_decon_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
           val stream = mem.toDF().toDF("doc_id", "text")
             .select($"doc_id", explode(wordShingles(tokens($"text"), 3)).as("shingle"))
@@ -864,16 +856,13 @@ object PipelineQueries extends Registry {
             val (b1, b2) = feed.splitAt(feed.length / 2)
             mem.addData(b1.toSeq); query.processAllAvailable()
             mem.addData(b2.toSeq); query.processAllAvailable()
-            s.table(qn)
+            ss.table(qn)
               .localCheckpoint(eager = true) // detach from the stopped stream
               .groupBy($"doc_id")
               .agg(countDistinct($"shingle").as("n_hits"))
               .orderBy($"doc_id")
           } finally query.stop()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          bench.unpersist()
-        }
+        } finally bench.unpersist()
       },
       Some(s"""WITH ${TextQueries.benchShingleCte},
           feed AS (SELECT doc_id, text FROM documents
@@ -903,9 +892,11 @@ object PipelineQueries extends Registry {
     //      deterministically with sentinel batches. ------------------------
     Q("q119_streaming_interval_join",
       (s, dir) => {
-        import s.implicits._
-        implicit val sqlCtx = s.sqlContext
-        val pref = Tables(s, dir, "events")
+        // dedicated 4-partition child session (see q41's comment)
+        val ss = StreamingOps.streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val pref = Tables(ss, dir, "events")
           .filter($"event_type".isin("purchase", "click"))
           .select($"ts", $"event_id", $"user_id", $"event_type")
           .orderBy($"ts", $"event_id").limit(2000)
@@ -913,33 +904,28 @@ object PipelineQueries extends Registry {
         val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
         val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
         val qn = s"graft_ivj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        // 4 state partitions for the 2000-row feed (see q41's comment)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val query = StreamingOps.intervalJoin(
+            memP.toDF().toDF("p_user", "purchase_id", "p_ts"),
+            memC.toDF().toDF("c_user", "c_ts"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
         try {
-          val query = StreamingOps.intervalJoin(
-              memP.toDF().toDF("p_user", "purchase_id", "p_ts"),
-              memC.toDF().toDF("c_user", "c_ts"))
-            .writeStream.format("memory").queryName(qn)
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
-          try {
-            val (b1, b2) = pref.splitAt(pref.length / 2)
-            Seq(b1, b2).foreach { b =>
-              memP.addData(b.filter(_._4 == "purchase")
-                .map(e => (e._3, e._2, e._1)).toSeq)
-              memC.addData(b.filter(_._4 == "click")
-                .map(e => (e._3, e._1)).toSeq)
-              query.processAllAvailable()
-            }
-            s.table(qn)
-              .localCheckpoint(eager = true) // detach from the stopped stream
-              .filter($"c_ts".isNotNull)
-              .groupBy($"purchase_id", $"p_ts")
-              .agg(count(lit(1)).as("n_prior_clicks"),
-                max($"c_ts").as("last_click_ts"))
-              .orderBy($"purchase_id")
-          } finally query.stop()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          val (b1, b2) = pref.splitAt(pref.length / 2)
+          Seq(b1, b2).foreach { b =>
+            memP.addData(b.filter(_._4 == "purchase")
+              .map(e => (e._3, e._2, e._1)).toSeq)
+            memC.addData(b.filter(_._4 == "click")
+              .map(e => (e._3, e._1)).toSeq)
+            query.processAllAvailable()
+          }
+          ss.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .filter($"c_ts".isNotNull)
+            .groupBy($"purchase_id", $"p_ts")
+            .agg(count(lit(1)).as("n_prior_clicks"),
+              max($"c_ts").as("last_click_ts"))
+            .orderBy($"purchase_id")
+        } finally query.stop()
       },
       Some("""WITH e AS (SELECT ts, event_id, user_id, event_type FROM events
             WHERE event_type IN ('purchase', 'click')
@@ -964,33 +950,30 @@ object PipelineQueries extends Registry {
     //      window or state TTL. --------------------------------------------
     Q("q128_streaming_update_counts",
       (s, dir) => {
-        import s.implicits._
-        implicit val sqlCtx = s.sqlContext
-        val evts = Tables(s, dir, "events")
+        // dedicated 4-partition child session (see q41's comment)
+        val ss = StreamingOps.streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val evts = Tables(ss, dir, "events")
           .select($"ts", $"event_id", $"user_id")
           .orderBy($"ts", $"event_id").limit(2000)
           .select($"user_id", $"ts")
           .as[(Long, java.sql.Timestamp)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
         val qn = s"graft_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        // 4 state partitions for the 2000-row feed (see q41's comment)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val query = mem.toDF().toDF("user_id", "ts")
+          .groupBy($"user_id").agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
         try {
-          val query = mem.toDF().toDF("user_id", "ts")
-            .groupBy($"user_id").agg(count(lit(1)).as("n"))
-            .writeStream.format("memory").queryName(qn)
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
-          try {
-            val (b1, b2) = evts.splitAt(evts.length / 2)
-            mem.addData(b1.toSeq); query.processAllAvailable()
-            mem.addData(b2.toSeq); query.processAllAvailable()
-            s.table(qn)
-              .localCheckpoint(eager = true) // detach from the stopped stream
-              .groupBy($"user_id").agg(max($"n").as("n_events"))
-              .orderBy($"user_id")
-          } finally query.stop()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          val (b1, b2) = evts.splitAt(evts.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          mem.addData(b2.toSeq); query.processAllAvailable()
+          ss.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .groupBy($"user_id").agg(max($"n").as("n_events"))
+            .orderBy($"user_id")
+        } finally query.stop()
       },
       Some("""WITH e AS (SELECT user_id FROM events
             ORDER BY ts, event_id LIMIT 2000)
@@ -1007,9 +990,11 @@ object PipelineQueries extends Registry {
     // (ts, event_id)-ordered prefix, so the DuckDB twin replays them.
     Q("q39_streaming_sessions",
       (s, dir) => {
-        import s.implicits._
-        implicit val sqlCtx = s.sqlContext
-        val evts = Tables(s, dir, "events")
+        // dedicated 4-partition child session (see q41's comment)
+        val ss = StreamingOps.streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val evts = Tables(ss, dir, "events")
           .select($"user_id", $"ts", $"event_id")
           .orderBy($"ts", $"event_id").limit(2000)
           .select($"user_id", $"ts")
@@ -1017,22 +1002,17 @@ object PipelineQueries extends Registry {
           .collect().map(e => StreamingOps.Evt(e._1, e._2))
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingOps.Evt]
         val qn = s"graft_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        // 4 state partitions for the 2000-row feed (see q41's comment)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val query = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
         try {
-          val query = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
-            .writeStream.format("memory").queryName(qn)
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
-          try {
-            val (b1, b2) = evts.splitAt(evts.length / 2)
-            mem.addData(b1.toSeq); query.processAllAvailable()
-            mem.addData(b2.toSeq); query.processAllAvailable()
-            s.table(qn)
-              .localCheckpoint(eager = true) // detach result from the stopped stream
-              .orderBy($"user_id", $"session_start")
-          } finally query.stop()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          val (b1, b2) = evts.splitAt(evts.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          mem.addData(b2.toSeq); query.processAllAvailable()
+          ss.table(qn)
+            .localCheckpoint(eager = true) // detach result from the stopped stream
+            .orderBy($"user_id", $"session_start")
+        } finally query.stop()
       },
       // batch twin: gaps-and-islands sessions over the same prefix (µs gap
       // arithmetic), emitted = non-last session per user OR timeout fired
@@ -1071,9 +1051,11 @@ object PipelineQueries extends Registry {
     //      anti-join the DuckDB oracle recomputes. --------------------------
     Q("q132_streaming_outer_nulls",
       (s, dir) => {
-        import s.implicits._
-        implicit val sqlCtx = s.sqlContext
-        val pref = Tables(s, dir, "events")
+        // dedicated 4-partition child session (see q41's comment)
+        val ss = StreamingOps.streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val pref = Tables(ss, dir, "events")
           .filter($"event_type".isin("purchase", "click"))
           .select($"ts", $"event_id", $"user_id", $"event_type")
           .orderBy($"ts", $"event_id").limit(2000)
@@ -1084,38 +1066,33 @@ object PipelineQueries extends Registry {
         val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
         val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
         val qn = s"graft_ivjo_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        // 4 state partitions for the 2000-row feed (see q41's comment)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val query = StreamingOps.intervalJoin(
+            memP.toDF().toDF("p_user", "purchase_id", "p_ts"),
+            memC.toDF().toDF("c_user", "c_ts"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
         try {
-          val query = StreamingOps.intervalJoin(
-              memP.toDF().toDF("p_user", "purchase_id", "p_ts"),
-              memC.toDF().toDF("c_user", "c_ts"))
-            .writeStream.format("memory").queryName(qn)
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
-          try {
-            val (b1, b2) = pref.splitAt(pref.length / 2)
-            Seq(b1, b2).foreach { b =>
-              memP.addData(b.filter(_._4 == "purchase")
-                .map(e => (e._3, e._2, e._1)).toSeq)
-              memC.addData(b.filter(_._4 == "click")
-                .map(e => (e._3, e._1)).toSeq)
-              query.processAllAvailable()
-            }
-            // watermark-advancing sentinels (user -1 matches no real row);
-            // two rounds: advance, then evict-and-emit
-            Seq(2, 4).foreach { d =>
-              memP.addData(Seq((-1L, -1L, sentinelTs(d))))
-              memC.addData(Seq((-1L, sentinelTs(d))))
-              query.processAllAvailable()
-            }
-            s.table(qn)
-              .localCheckpoint(eager = true) // detach from the stopped stream
-              .filter($"c_ts".isNull && $"purchase_id" >= 0)
-              .select($"purchase_id", $"p_ts")
-              .orderBy($"purchase_id")
-          } finally query.stop()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          val (b1, b2) = pref.splitAt(pref.length / 2)
+          Seq(b1, b2).foreach { b =>
+            memP.addData(b.filter(_._4 == "purchase")
+              .map(e => (e._3, e._2, e._1)).toSeq)
+            memC.addData(b.filter(_._4 == "click")
+              .map(e => (e._3, e._1)).toSeq)
+            query.processAllAvailable()
+          }
+          // watermark-advancing sentinels (user -1 matches no real row);
+          // two rounds: advance, then evict-and-emit
+          Seq(2, 4).foreach { d =>
+            memP.addData(Seq((-1L, -1L, sentinelTs(d))))
+            memC.addData(Seq((-1L, sentinelTs(d))))
+            query.processAllAvailable()
+          }
+          ss.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .filter($"c_ts".isNull && $"purchase_id" >= 0)
+            .select($"purchase_id", $"p_ts")
+            .orderBy($"purchase_id")
+        } finally query.stop()
       },
       Some("""WITH e AS (SELECT ts, event_id, user_id, event_type FROM events
             WHERE event_type IN ('purchase', 'click')

@@ -16,6 +16,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Dedicated child session for a streaming harness run: the 4-partition
+    * state conf and the memory-sink temp view live HERE, never in the
+    * shared session — a query planned concurrently on the parent would
+    * otherwise silently pick up the reduced partition count (ADVICE r5).
+    * Cached blocks still belong to the shared SparkContext/SharedState, so
+    * SessionHygiene.dropAllBlocks continues to cover them.
+    */
+  def streamSession(s: org.apache.spark.sql.SparkSession,
+      parts: Int = 4): org.apache.spark.sql.SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    ss
+  }
+
   /** Tumbling 1-hour event-time aggregation (streaming twin of q32). */
   def tumblingCounts(events: DataFrame, watermarkDelay: String = "30 minutes"): DataFrame =
     events

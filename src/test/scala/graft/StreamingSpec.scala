@@ -172,4 +172,14 @@ class StreamingSpec extends SparkSpec {
         Session(2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1)))
     } finally q.stop()
   }
+
+  test("streaming queries never leak conf or temp views into the shared session") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val viewsBefore = spark.catalog.listTables().count()
+    SparkEntry.queries("q41_streaming_tumbling")(spark, sfDir).count()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "q41 leaked its 4-partition conf into the shared session")
+    assert(spark.catalog.listTables().count() == viewsBefore,
+      "q41 leaked its memory-sink temp view into the shared session")
+  }
 }
