@@ -391,6 +391,38 @@ object EventQueries extends Registry {
           WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type)
         SELECT prev_type, event_type, n,
           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
-        FROM pairs ORDER BY prev_type, event_type"""))
+        FROM pairs ORDER BY prev_type, event_type""")),
+
+    // ---- SCD2 validity intervals: each purchase's value holds until the
+    //      user's NEXT purchase — the slowly-changing-dimension history
+    //      build (effective_from/effective_to + is_current) every
+    //      warehouse maintains. One user_id shuffle; lead() and the
+    //      current-row flag ride the same sorted window. The open-ended
+    //      current row closes at a fixed far-future sentinel rather than
+    //      NULL so both engines serialize the column identically. ----------
+    Q("q151_scd2_intervals",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        events(s, dir).filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"ts".as("valid_from"), $"value")
+          .withColumn("nxt", lead($"valid_from", 1).over(
+            Window.partitionBy($"user_id").orderBy($"valid_from", $"event_id")))
+          .select($"user_id", $"event_id", $"valid_from",
+            coalesce($"nxt", lit("2200-01-01 00:00:00").cast("timestamp"))
+              .as("valid_to"),
+            when($"nxt".isNull, 1L).otherwise(0L).as("is_current"),
+            $"value")
+          .orderBy($"user_id", $"valid_from", $"event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, ts AS valid_from, value
+            FROM events WHERE event_type = 'purchase'),
+          x AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+                  ORDER BY valid_from, event_id) AS nxt FROM p)
+          SELECT user_id, event_id, valid_from,
+            COALESCE(nxt, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+            CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+            value
+          FROM x ORDER BY user_id, valid_from, event_id"""))
   )
 }

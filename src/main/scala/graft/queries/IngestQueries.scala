@@ -723,6 +723,49 @@ object IngestQueries extends Registry {
                FROM g)
           SELECT * FROM (SELECT * FROM srows UNION ALL SELECT * FROM trows
                          UNION ALL SELECT * FROM qrows)
-          ORDER BY group_id, part, pos"""))
+          ORDER BY group_id, part, pos""")),
+
+    // ---- CDC upsert compaction (MERGE without a table format): base
+    //      snapshot + a change batch (upserts carry a higher version,
+    //      deletes the highest) collapse to latest-state via ONE key
+    //      shuffle — max(struct(version, ...)) is associative, so the
+    //      argmax runs map-side-partial like any aggregate, no window sort
+    //      over the corpus. Deletes survive the argmax and drop in a
+    //      row-local filter. At 100 TB: bucket base and changes by key and
+    //      the compaction becomes shuffle-free; this is the periodic
+    //      rewrite every parquet-lake CDC pipeline runs. The change batch
+    //      is derived from the base table so the oracle recomputes it. -----
+    Q("q150_cdc_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables(s, dir, "documents")
+        val base = d.select($"doc_id", $"source", $"n_chars",
+          lit(0L).as("version"), lit("upsert").as("op"))
+        val ups = d.filter($"doc_id" % 7 === 0)
+          .select($"doc_id", $"source", ($"n_chars" + 1000L).as("n_chars"),
+            lit(1L).as("version"), lit("upsert").as("op"))
+        val dels = d.filter($"doc_id" % 13 === 0)
+          .select($"doc_id", $"source", $"n_chars",
+            lit(2L).as("version"), lit("delete").as("op"))
+        base.unionAll(ups).unionAll(dels)
+          .groupBy($"doc_id")
+          .agg(max(struct($"version", $"op", $"n_chars", $"source")).as("last"))
+          .filter($"last.op" =!= "delete")
+          .select($"doc_id", $"last.source".as("source"),
+            $"last.n_chars".as("n_chars"), $"last.version".as("version"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, source, n_chars,
+              CAST(0 AS BIGINT) AS version, 'upsert' AS op FROM documents),
+          ups AS (SELECT doc_id, source, n_chars + 1000,
+              CAST(1 AS BIGINT), 'upsert' FROM documents WHERE doc_id % 7 = 0),
+          dels AS (SELECT doc_id, source, n_chars,
+              CAST(2 AS BIGINT), 'delete' FROM documents WHERE doc_id % 13 = 0),
+          allr AS (SELECT * FROM base UNION ALL SELECT * FROM ups
+                   UNION ALL SELECT * FROM dels),
+          last AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY version DESC) AS rn FROM allr)
+          SELECT doc_id, source, n_chars, version
+          FROM last WHERE rn = 1 AND op <> 'delete' ORDER BY doc_id"""))
   )
 }

@@ -287,6 +287,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx:\n$p")
   }
 
+  test("q150: CDC compaction is ONE partial+final argmax aggregate, no window sort") {
+    val p = plan("q150_cdc_upsert")
+    assert(p.contains("partial_max"), s"argmax lacks map-side combine:\n$p")
+    assert(!p.contains("Window"), s"compaction must not window-sort the corpus:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"expected one key shuffle, got $hashEx:\n$p")
+  }
+
   test("q103/q105/q116: unbounded-table joins carry NO broadcast hint — AQE size-gates") {
     // At 100 TB the component table (web dedup: 30-50% of docs clustered),
     // the unigram vocab (hundreds of millions of entries) and the bigram
