@@ -1356,7 +1356,71 @@ object TextQueries extends Registry {
           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
             AS token_offset
-        FROM t ORDER BY doc_id"""))
+        FROM t ORDER BY doc_id""")),
+
+    // ---- BPE merge-candidate mining (the TRAINING side of q127's
+    //      tokenizer): count every adjacent character pair inside words
+    //      across the corpus — the statistic each BPE merge round argmaxes
+    //      over. Pair extraction is row-local (a bounded transform over
+    //      each word, no per-character explode-join); one count shuffle
+    //      with map-side combine; the merge decision is a 20-row
+    //      TakeOrdered. At 100 TB each merge round repeats this same plan
+    //      on the re-segmented corpus. --------------------------------------
+    Q("q152_bpe_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = expr(
+          """CASE WHEN length(w) >= 2
+               THEN transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))
+               ELSE array() END""")
+        docs(s, dir)
+          .select(explode(tokens(lower($"text"))).as("w"))
+          .select(explode(pairs).as("pair"))
+          .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"pair").limit(20)
+      },
+      Some("""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents),
+          p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+                FROM w, UNNEST(range(1, length(w))) AS t(i)
+                WHERE length(w) >= 2)
+          SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+          ORDER BY cnt DESC, pair LIMIT 20""")),
+
+    // ---- vocabulary coverage / OOV-rate audit: before committing a
+    //      tokenizer, measure the fraction of corpus tokens its vocab
+    //      covers, per language. Vocab = the corpus's own top-100 tokens
+    //      (deterministic tie-break) — vocab-sized, so the membership
+    //      probe is a broadcast join and the corpus never shuffles for it;
+    //      one (lang) rollup shuffle follows. The 100 TB shape of "will
+    //      this vocab leave Swahili at 40% <unk>". -------------------------
+    Q("q153_vocab_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val toks = docs(s, dir)
+          .select($"lang", explode(tokens(lower($"text"))).as("w"))
+        val vocab = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"w").limit(100)
+          .select($"w", lit(1L).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce($"in_vocab", lit(0L))).as("n_covered"))
+          .select($"lang", $"n_tokens", $"n_covered",
+            (lit(1.0) - $"n_covered".cast("double") / $"n_tokens").as("oov_rate"))
+          .orderBy($"lang")
+      },
+      Some("""WITH toks AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents),
+          vocab AS (SELECT w, CAST(1 AS BIGINT) AS in_vocab FROM (
+                SELECT w, count(*) AS cnt FROM toks GROUP BY w
+                ORDER BY cnt DESC, w LIMIT 100)),
+          j AS (SELECT lang, COALESCE(in_vocab, 0) AS iv
+                FROM toks LEFT JOIN vocab USING (w))
+          SELECT lang, count(*) AS n_tokens,
+            CAST(sum(iv) AS BIGINT) AS n_covered,
+            1.0 - CAST(sum(iv) AS DOUBLE) / count(*) AS oov_rate
+          FROM j GROUP BY lang ORDER BY lang"""))
   )
 
   /** Shared recursive-tokenizer SQL (q127): identical text in both engines

@@ -287,6 +287,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx:\n$p")
   }
 
+  test("q152/q153: pair mining TakeOrders; vocab probe broadcasts, corpus never shuffles for it") {
+    val pb = plan("q152_bpe_pairs")
+    assert(pb.contains("TakeOrderedAndProject"),
+      s"merge argmax should plan as TakeOrdered, not a global sort:\n$pb")
+    val pv = plan("q153_vocab_coverage")
+    assert(pv.contains("BroadcastHashJoin"), s"vocab probe not broadcast:\n$pv")
+    assert(!pv.contains("SortMergeJoin"), s"corpus shuffled for a 100-row vocab:\n$pv")
+  }
+
   test("q150: CDC compaction is ONE partial+final argmax aggregate, no window sort") {
     val p = plan("q150_cdc_upsert")
     assert(p.contains("partial_max"), s"argmax lacks map-side combine:\n$p")
