@@ -38,6 +38,47 @@ object VectorQueries extends Registry {
       .select($"vec_id", $"embedding", $"nrm", $"cid")
   }
 
+  /** Shared IVF-PQ approximate scoring (q109 search / q154 rerank):
+    * IVF restricts candidates to the query's cluster, PQ codes stand in
+    * for raw vectors, each query precomputes a broadcast (subspace × code)
+    * distance LUT, and per-probe distances quantize to 1e-6 longs before
+    * the sum so ranking is addition-order-exact. Returns the scored
+    * (query_id, vec_id, approx_l2) candidates plus the query set.
+    */
+  private def ivfpqApprox(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    graft.expressions.VectorExpressions.register(s)
+    val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
+    val assign = ivfAssign(s, e)
+    val codes = emb(s, dir).filter($"vec_id" < 8)
+      .select($"vec_id".as("code"), $"embedding".as("cv"))
+    val sliceDist = expr(
+      "vec_l2sq(slice(embedding, s * 16 + 1, 16), slice(cv, s * 16 + 1, 16))")
+    val ew = Window.partitionBy($"vec_id", $"s").orderBy($"dist", $"code")
+    val enc = assign.join(broadcast(codes))
+      .select($"vec_id", $"cid", $"code", explode(sequence(lit(0), lit(3))).as("s"),
+        $"embedding", $"cv")
+      .withColumn("dist", sliceDist)
+      .withColumn("rn", row_number().over(ew))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cid", $"s", $"code")
+    val q = assign.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"cid")
+    val lut = q.join(broadcast(codes))
+      .select($"query_id", $"code", explode(sequence(lit(0), lit(3))).as("s"),
+        $"qv", $"cv")
+      .withColumn("d", expr(
+        "vec_l2sq(slice(qv, s * 16 + 1, 16), slice(cv, s * 16 + 1, 16))"))
+      .select($"query_id", $"s", $"code", $"d")
+    val scored = enc.join(broadcast(q.select($"query_id", $"cid")), Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .groupBy($"query_id", $"vec_id")
+      .agg((sum(round($"d" * 1e6).cast("long")).cast("double") / 1e6).as("approx_l2"))
+    (scored, q)
+  }
+
   override def entries: Seq[Q] = Seq(
 
     // ---- brute-force cosine top-k (baseline; exact) ----------------------
@@ -309,34 +350,7 @@ object VectorQueries extends Registry {
     Q("q109_ivfpq_search",
       (s, dir) => {
         import s.implicits._
-        graft.expressions.VectorExpressions.register(s)
-        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
-        val assign = ivfAssign(s, e)
-        val codes = emb(s, dir).filter($"vec_id" < 8)
-          .select($"vec_id".as("code"), $"embedding".as("cv"))
-        val sliceDist = expr(
-          "vec_l2sq(slice(embedding, s * 16 + 1, 16), slice(cv, s * 16 + 1, 16))")
-        val ew = Window.partitionBy($"vec_id", $"s").orderBy($"dist", $"code")
-        val enc = assign.join(broadcast(codes))
-          .select($"vec_id", $"cid", $"code", explode(sequence(lit(0), lit(3))).as("s"),
-            $"embedding", $"cv")
-          .withColumn("dist", sliceDist)
-          .withColumn("rn", row_number().over(ew))
-          .filter($"rn" === 1)
-          .select($"vec_id", $"cid", $"s", $"code")
-        val q = assign.filter($"vec_id" % 100 === 0)
-          .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"cid")
-        val lut = q.join(broadcast(codes))
-          .select($"query_id", $"code", explode(sequence(lit(0), lit(3))).as("s"),
-            $"qv", $"cv")
-          .withColumn("d", expr(
-            "vec_l2sq(slice(qv, s * 16 + 1, 16), slice(cv, s * 16 + 1, 16))"))
-          .select($"query_id", $"s", $"code", $"d")
-        val scored = enc.join(broadcast(q.select($"query_id", $"cid")), Seq("cid"))
-          .filter($"vec_id" =!= $"query_id")
-          .join(broadcast(lut), Seq("query_id", "s", "code"))
-          .groupBy($"query_id", $"vec_id")
-          .agg((sum(round($"d" * 1e6).cast("long")).cast("double") / 1e6).as("approx_l2"))
+        val (scored, _) = ivfpqApprox(s, dir)
         val cut = graft.plans.TopK.perKey(scored, Seq("query_id"),
           Seq(graft.plans.TopK.Order("approx_l2"), graft.plans.TopK.Order("vec_id")), 3)
         val rw = Window.partitionBy($"query_id").orderBy($"approx_l2", $"vec_id")
@@ -817,6 +831,84 @@ object VectorQueries extends Registry {
                   CAST(sq AS DOUBLE) / 1000.0 / n_vecs AS mean_v FROM a)
           SELECT CAST(dim AS INT) AS dim, n_vecs, mean_v,
             (CAST(sq2 AS DOUBLE) / 1000000.0) / n_vecs - mean_v * mean_v AS var_v
-          FROM m ORDER BY dim"""))
+          FROM m ORDER BY dim""")),
+
+    // ---- two-stage retrieval (the production ANN pattern): IVF-PQ
+    //      generates a WIDE candidate set (top-10 by approx distance, the
+    //      cheap 4-probe scoring), then the survivors re-rank by EXACT
+    //      cosine against the raw vectors. At 100 TB the re-rank touches
+    //      only queries × 10 rows — the candidate list broadcasts, the
+    //      raw-vector probe is a broadcast join against the corpus (no
+    //      corpus shuffle), so recall improves at candidate-list cost,
+    //      never corpus cost. This is the dial SCALING.md names: widen
+    //      stage 1 for recall, stage 2 restores exact ordering. ------------
+    Q("q154_ann_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val (scored, q) = ivfpqApprox(s, dir)
+        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
+        val cand = graft.plans.TopK.perKey(scored, Seq("query_id"),
+          Seq(graft.plans.TopK.Order("approx_l2"), graft.plans.TopK.Order("vec_id")), 10)
+        val exact = e.join(broadcast(cand), Seq("vec_id"))
+          .join(broadcast(q.select($"query_id", $"qv")), Seq("query_id"))
+          .select($"query_id", $"vec_id".as("neighbor_id"), $"approx_l2",
+            (dotFast($"qv", $"embedding")
+              / (sqrt(dotFast($"qv", $"qv")) * $"nrm")).as("cosine"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        exact.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"query_id", $"rank", $"neighbor_id", $"cosine", $"approx_l2")
+          .orderBy($"query_id", $"rank")
+      },
+      Some {
+        def sliceDistSql(v: String) =
+          "list_reduce(list_transform(range(0, 16), i -> " +
+            s"(CAST($v[t.s * 16 + i + 1] AS DOUBLE) - CAST(c.cv[t.s * 16 + i + 1] AS DOUBLE)) * " +
+            s"(CAST($v[t.s * 16 + i + 1] AS DOUBLE) - CAST(c.cv[t.s * 16 + i + 1] AS DOUBLE))), " +
+            "(acc, x) -> acc + x)"
+        s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings WHERE vec_id < 8),
+          assign AS (SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    ${dotSql("c.cv", "e.embedding")}
+                      / (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                    c.cid) AS arn
+                FROM embeddings e, cents c)
+              WHERE arn = 1),
+          codes AS (SELECT vec_id AS code, embedding AS cv
+              FROM embeddings WHERE vec_id < 8),
+          encd AS (SELECT a.vec_id, a.cid, c.code, t.s, ${sliceDistSql("a.embedding")} AS dist
+                   FROM assign a CROSS JOIN codes c
+                   CROSS JOIN (SELECT unnest(range(0, 4)) AS s) t),
+          enc AS (SELECT vec_id, cid, s, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                  ORDER BY dist, code) AS rn FROM encd)
+              WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qv, cid
+                FROM assign WHERE vec_id % 100 = 0),
+          lutd AS (SELECT q.query_id, c.code, t.s, ${sliceDistSql("q.qv")} AS d
+                   FROM q CROSS JOIN codes c
+                   CROSS JOIN (SELECT unnest(range(0, 4)) AS s) t),
+          scored AS (SELECT q.query_id, e.vec_id,
+                CAST(sum(CAST(round(l.d * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+                  AS approx_l2
+              FROM q JOIN enc e ON e.cid = q.cid AND e.vec_id <> q.query_id
+              JOIN lutd l ON l.query_id = q.query_id AND l.s = e.s AND l.code = e.code
+              GROUP BY q.query_id, e.vec_id),
+          cand AS (SELECT query_id, vec_id, approx_l2
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY approx_l2, vec_id) AS rn FROM scored)
+              WHERE rn <= 10),
+          rer AS (SELECT c2.query_id, c2.vec_id AS neighbor_id, c2.approx_l2,
+                ${dotSql("q.qv", "e.embedding")}
+                  / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cosine
+              FROM cand c2 JOIN embeddings e ON e.vec_id = c2.vec_id
+              JOIN q ON q.query_id = c2.query_id)
+          SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cosine, approx_l2
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rn FROM rer)
+          WHERE rn <= 3 ORDER BY query_id, rank"""
+      })
   )
 }

@@ -296,6 +296,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pv.contains("SortMergeJoin"), s"corpus shuffled for a 100-row vocab:\n$pv")
   }
 
+  test("q154: rerank broadcasts the candidate list; corpus never shuffles for stage 2") {
+    val p = plan("q154_ann_rerank")
+    assert(p.contains("TopKPerKey"), s"stage-1 cut should run on the heap operator:\n$p")
+    assert(p.contains("Broadcast"), s"candidate list not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"rerank fell back to cartesian:\n$p")
+  }
+
   test("q150: CDC compaction is ONE partial+final argmax aggregate, no window sort") {
     val p = plan("q150_cdc_upsert")
     assert(p.contains("partial_max"), s"argmax lacks map-side combine:\n$p")
