@@ -120,6 +120,63 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q150: deletes vanish, upserts win with bumped payload, untouched rows keep v0") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = q("q150_cdc_upsert")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val ids = out.map(_._1).toSet
+    assert(docs.keys.filter(_ % 13 == 0).forall(!ids.contains(_)), "a deleted id survived")
+    out.foreach { case (id, nChars, version) =>
+      if (id % 7 == 0) {
+        assert(version == 1L && nChars == docs(id) + 1000L, s"doc $id: upsert did not win")
+      } else {
+        assert(version == 0L && nChars == docs(id), s"doc $id: base row mutated")
+      }
+    }
+    assert(out.length == docs.size - docs.keys.count(_ % 13 == 0))
+  }
+
+  test("q151: per-user intervals are contiguous, non-overlapping, one current row") {
+    val rows = q("q151_scd2_intervals")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (user, ivs) =>
+      val sorted = ivs.sortBy(_._2.getTime)
+      sorted.foreach { case (_, from, to, _) =>
+        assert(from.getTime < to.getTime, s"user $user: empty/inverted interval")
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.getTime == b._2.getTime,
+            s"user $user: gap/overlap between intervals")
+        case _ =>
+      }
+      assert(ivs.count(_._4 == 1L) == 1, s"user $user: != 1 current row")
+      assert(sorted.last._4 == 1L, s"user $user: current row is not the latest")
+    }
+  }
+
+  test("q154: reranked neighbors are a subset of the stage-1 candidate clusters, cosine-sorted") {
+    val approx = q("q109_ivfpq_search")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rows = q("q154_ann_rerank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1 to sorted.length),
+        s"query $qid: ranks not contiguous")
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4),
+        s"query $qid: cosines not descending")
+    }
+    // both stages answer the same query set (the exact top-3 may share NO
+    // neighbors with the approx top-3 — at an 8-code toy codebook the PQ
+    // distortion is large, and reordering inside the 10-wide pool is
+    // precisely what stage 2 is for)
+    assert(rows.map(_._1).toSet == approx.map(_._1),
+      "rerank answered a different query set than the approx search")
+  }
+
   test("q144: per-dim variance is non-negative and n_vecs is the corpus size") {
     val n = graft.core.Tables(spark, sfDir, "embeddings").count()
     val rows = q("q144_embedding_moments")
