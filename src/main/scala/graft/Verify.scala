@@ -28,7 +28,10 @@ object Verify {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
+    // sorted name order: a query's predecessors (and so any residual JVM
+    // state) are identical run-to-run, matching Bench's iteration order
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => keep(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -647,23 +647,10 @@ object VectorQueries extends Registry {
         import s.implicits._
         graft.expressions.VectorExpressions.register(s)
         val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
-        val means = ivfAssign(s, e)
-          .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
-          .withColumn("q", round($"v".cast("double") * 1000.0).cast("long"))
-          .groupBy($"cid", $"dim")
-          .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
-          .select($"cid", $"dim", ($"sq".cast("double") / 1000.0 / $"n").as("m"))
-        val trained = means.groupBy($"cid")
-          .agg(array_sort(collect_list(struct($"dim", $"m"))).as("sm"))
-          .select($"cid", expr("transform(sm, x -> x.m)").as("cv"))
-          .withColumn("cn", sqrt(dotFast($"cv", $"cv")))
-        val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-        val assign = e.join(broadcast(trained))
-          .select($"vec_id", $"embedding", $"nrm", $"cid",
-            (dotFast($"cv", $"embedding") / ($"cn" * $"nrm")).as("ccos"))
-          .withColumn("arn", row_number().over(aw))
-          .filter($"arn" === 1)
-          .select($"vec_id", $"embedding", $"nrm", $"cid")
+        val seeds = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cn"))
+        val trained = graft.operators.KMeans.train(s, e, seeds, iters = 1)
+        val assign = graft.operators.KMeans.assign(s, e, trained)
         val q = assign.filter($"vec_id" % 100 === 0)
           .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qn"), $"cid")
         val scored = assign.join(broadcast(q), Seq("cid"))
