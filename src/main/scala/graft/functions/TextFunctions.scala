@@ -50,9 +50,24 @@ object TextFunctions {
 
   /** Affine permutation constants, derived once — shared with the oracle
     * SQL generator so both engines use identical arithmetic.
+    *
+    * The slopes MUST be mutually unstructured: the original family
+    * a_j = c·(j+1) made every h_j(x) = (j+1)·(c·x) + b_j mod p, so the one
+    * shingle minimizing (c·x mod p) won EVERY permutation in every doc
+    * containing it — two docs sharing just that shingle scored 15/16
+    * agreement at exact Jaccard 0.007 (found by `MlCrossCheckSpec`, docs
+    * 156/318 at sf0.001) and were falsely merged by q73's components.
+    * md5-derived constants have no shared algebraic structure across
+    * permutations, restoring the agreement ≈ Jaccard estimate.
     */
-  def permConsts(perm: Int): (Long, Long) =
-    ((2654435761L * (perm + 1)) % minhashP, (40503L * (perm + 7)) % minhashP)
+  def permConsts(perm: Int): (Long, Long) = {
+    def h(tag: String): Long = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-minhash-$tag-$perm".getBytes("UTF-8"))
+      digest.take(7).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    ((h("a") % (minhashP - 1)) + 1, h("b") % minhashP)
+  }
 
   /** Seeded, per-permutation MinHash value over a base-hash column. */
   def minhashAgg(hm: Column, perm: Int): Column = {
