@@ -76,4 +76,28 @@ class MlCrossCheckSpec extends SparkSpec {
         s"engine pair $p estimated >=0.875 but exact J=${exactJaccard.getOrElse(p, 0.0)}")
     }
   }
+
+  test("q144 quantized moments agree with ml.stat.Summarizer within quantization error") {
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.ml.stat.Summarizer
+    val toVec = udf((xs: Seq[Float]) =>
+      Vectors.dense(xs.map(_.toDouble).toArray))
+    val vecs = graft.core.Tables(spark, sfDir, "embeddings")
+      .select(toVec(col("embedding")).as("v"))
+    val row = vecs.select(
+      Summarizer.metrics("mean", "variance").summary(col("v")).as("s"))
+      .select("s.mean", "s.variance").head()
+    val mlMean = row.getAs[org.apache.spark.ml.linalg.Vector](0)
+    val mlVar = row.getAs[org.apache.spark.ml.linalg.Vector](1)
+    val n = graft.core.Tables(spark, sfDir, "embeddings").count().toDouble
+    val ours = SparkEntry.queries("q144_embedding_moments")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
+    ours.foreach { case (dim, mean, varPop) =>
+      assert(math.abs(mean - mlMean(dim)) < 2e-3,
+        s"dim $dim: mean $mean vs Summarizer ${mlMean(dim)}")
+      // Summarizer reports SAMPLE variance; ours is population
+      assert(math.abs(varPop * n / (n - 1) - mlVar(dim)) < 2e-3,
+        s"dim $dim: variance $varPop vs Summarizer ${mlVar(dim)}")
+    }
+  }
 }
