@@ -38,6 +38,17 @@ object VectorQueries extends Registry {
       .select($"vec_id", $"embedding", $"nrm", $"cid")
   }
 
+  /** q49 hyperplane component: md5-derived integer in [0, 1000003) for
+    * (hyperplane j, dim d). Independent across (j, d) — no shared algebraic
+    * structure between hyperplanes (see q49's comment for the Weyl-sequence
+    * flaw this replaced). Mapped to a double identically in both engines.
+    */
+  private[queries] def hpInt(j: Int, d: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-hp-$j-$d".getBytes("UTF-8"))
+    digest.take(7).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) % 1000003L
+  }
+
   /** Shared IVF-PQ approximate scoring (q109 search / q154 rerank):
     * IVF restricts candidates to the query's cluster, PQ codes stand in
     * for raw vectors, each query precomputes a broadcast (subspace × code)
@@ -195,16 +206,18 @@ object VectorQueries extends Registry {
       (s, dir) => {
         import s.implicits._
         graft.expressions.VectorExpressions.register(s)
-        // hp(j,d) = ((j*64+d)*2654435761 % 1000003)/1000003 - 0.5 — computed
-        // here with the same BIGINT/IEEE ops the oracle SQL uses, then baked
-        // in as literal double arrays so each projection is ONE native
-        // codegen'd vec_dot instead of an interpreted 64-step lambda fold
-        // (the fold dominated this query's runtime: 12 folds × corpus rows).
-        // vec_dot widens the float element before multiplying — the exact
-        // CAST(... AS DOUBLE) * hp product and left-to-right accumulation
-        // of the fold, so signatures are bit-identical.
+        // hp components are md5-derived integers mod 1000003 mapped to
+        // [-0.5, 0.5) — NOT the earlier Weyl sequence c·(j·64+d) mod m,
+        // whose consecutive 64-blocks produced hyperplane pairs up to
+        // |cos| = 0.994 (near-parallel planes ⇒ duplicated sign bits ⇒ far
+        // fewer than 12 effective bits; same correlated-constant flaw class
+        // MlCrossCheckSpec caught in the minhash family). Constants bake in
+        // as literal double arrays so each projection is ONE native
+        // codegen'd vec_dot; the oracle receives the SAME integers and
+        // derives each component with identical IEEE ops, so signatures are
+        // bit-identical. Independence is pinned by VecDotSpec.
         def hp(j: Int): Seq[Double] = (0 until 64)
-          .map(d => ((j * 64 + d).toLong * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5)
+          .map(d => hpInt(j, d).toDouble / 1000003.0 - 0.5)
         val sigExpr = (0 until 12)
           .map(j => when(
             call_function("vec_dot", $"embedding", typedLit(hp(j))) >= 0,
@@ -218,9 +231,13 @@ object VectorQueries extends Registry {
         pairs.orderBy($"cosine".desc, $"vec_a", $"vec_b").limit(30)
       },
       Some {
-        def projSql(j: Int, emb: String) =
-          s"list_reduce(list_transform(range(0, 64), d -> CAST($emb[d + 1] AS DOUBLE) * " +
-            s"(CAST(($j * 64 + d) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)), (acc, x) -> acc + x)"
+        def projSql(j: Int, emb: String) = {
+          val consts = (0 until 64)
+            .map(d => s"CAST(${hpInt(j, d)} AS DOUBLE) / 1000003.0 - 0.5")
+            .mkString("[", ", ", "]")
+          s"list_reduce(list_transform(list_zip($emb, $consts), " +
+            "s -> CAST(s[1] AS DOUBLE) * s[2]), (acc, x) -> acc + x)"
+        }
         val sigSql = (0 until 12)
           .map(j => s"(CASE WHEN ${projSql(j, "embedding")} >= 0 THEN ${1 << j} ELSE 0 END)")
           .mkString(" + ")

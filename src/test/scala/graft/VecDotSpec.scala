@@ -76,4 +76,25 @@ class VecDotSpec extends SparkSpec {
       assert(r == 11.0)
     } finally ()
   }
+
+  test("q49's LSH hyperplanes are pairwise near-orthogonal (no correlated-constant family)") {
+    // recompute the md5 derivation independently of VectorQueries — the
+    // ORIGINAL Weyl-sequence family (c·(j·64+d) mod m) had hyperplane
+    // pairs up to |cos| = 0.994, collapsing the 12 sign bits
+    def hpInt(j: Int, d: Int): Long = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-hp-$j-$d".getBytes("UTF-8"))
+      digest.take(7).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) % 1000003L
+    }
+    val hp = (0 until 12).map(j =>
+      (0 until 64).map(d => hpInt(j, d).toDouble / 1000003.0 - 0.5).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (i <- 0 until 12; j <- (i + 1) until 12) {
+      val c = math.abs(cos(hp(i), hp(j)))
+      assert(c < 0.35, s"hyperplanes $i and $j correlated: |cos| = $c")
+    }
+  }
 }
