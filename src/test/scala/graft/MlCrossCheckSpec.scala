@@ -77,6 +77,20 @@ class MlCrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("q22's df-filtered index keeps the high-similarity core with faithful scores") {
+    val hi = exactJaccard.filter(_._2 >= 0.9)
+    val q22 = SparkEntry.queries("q22_ngram_jaccard")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    hi.foreach { case (pair, exact) =>
+      assert(q22.contains(pair),
+        s"df filter dropped high-sim pair $pair (exact J=$exact)")
+      // the df<=100 filter can only shrink the shingle universe; at this
+      // scale nothing crosses the cap, so scores match near-exactly
+      assert(math.abs(q22(pair) - exact) < 0.05,
+        s"pair $pair: q22 J=${q22(pair)} vs exact $exact")
+    }
+  }
+
   test("q144 quantized moments agree with ml.stat.Summarizer within quantization error") {
     import org.apache.spark.ml.linalg.Vectors
     import org.apache.spark.ml.stat.Summarizer
