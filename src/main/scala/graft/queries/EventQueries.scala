@@ -423,6 +423,54 @@ object EventQueries extends Registry {
             COALESCE(nxt, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
             CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
             value
-          FROM x ORDER BY user_id, valid_from, event_id"""))
+          FROM x ORDER BY user_id, valid_from, event_id""")),
+
+    // ---- Z-order layout audit: bit-interleave (user bucket, hour-of-day)
+    //      into a Z-value, cluster rows into Z-buckets, and report each
+    //      bucket's per-dimension min/max spans — the file-skipping
+    //      statistic that justifies multi-dimensional clustering: under
+    //      Z-order BOTH dimensions stay range-bounded per bucket, so a
+    //      predicate on EITHER column prunes most buckets (a single-column
+    //      sort bounds only its own column). Pure integer bit arithmetic
+    //      (shifts/masks — identical cross-engine), one bucket rollup
+    //      shuffle; at 100 TB the bucket becomes the output file and the
+    //      spans become parquet footer min/max stats. ----------------------
+    Q("q155_zorder_layout",
+      (s, dir) => {
+        import s.implicits._
+        val x = ($"user_id" % 64).cast("long")
+        val y = hour($"ts").cast("long")
+        val z = (0 until 6).map(i =>
+          (shiftleft(shiftright($"x", i).bitwiseAND(1), 2 * i) +
+            shiftleft(shiftright($"y", i).bitwiseAND(1), 2 * i + 1)).cast("long"))
+          .reduce(_ + _)
+        events(s, dir)
+          .select($"event_id", x.as("x"), y.as("y"))
+          .withColumn("z", z)
+          .withColumn("zbucket", expr("z div 64"))
+          .groupBy($"zbucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min($"x").as("x_min"), max($"x").as("x_max"),
+            min($"y").as("y_min"), max($"y").as("y_max"))
+          .select($"zbucket", $"n_rows",
+            ($"x_max" - $"x_min").as("x_span"),
+            ($"y_max" - $"y_min").as("y_span"))
+          .orderBy($"zbucket")
+      },
+      Some("""WITH b AS (SELECT event_id,
+            CAST(user_id % 64 AS BIGINT) AS x,
+            CAST(hour(ts) AS BIGINT) AS y
+          FROM events),
+        zv AS (SELECT x, y,
+            (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) +
+            (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) +
+            (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) +
+            (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) +
+            (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) +
+            (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) AS z
+          FROM b)
+        SELECT z // 64 AS zbucket, count(*) AS n_rows,
+          max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+        FROM zv GROUP BY 1 ORDER BY zbucket"""))
   )
 }

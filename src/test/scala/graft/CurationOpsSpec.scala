@@ -177,6 +177,18 @@ class CurationOpsSpec extends SparkSpec {
       "rerank answered a different query set than the approx search")
   }
 
+  test("q155: every Z-bucket is an aligned 8x8 tile — both dimensions stay bounded") {
+    // z div 64 drops the low 6 interleaved bits (3 of x, 3 of y), so each
+    // bucket covers one aligned 8x8 tile of (x, y) — the data-skipping
+    // property a single-column sort cannot give the second dimension
+    val rows = q("q155_zorder_layout")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (zb, xs, ys) =>
+      assert(xs <= 7 && ys <= 7, s"bucket $zb spans x=$xs y=$ys — tile broken")
+    }
+  }
+
   test("q144: per-dim variance is non-negative and n_vecs is the corpus size") {
     val n = graft.core.Tables(spark, sfDir, "embeddings").count()
     val rows = q("q144_embedding_moments")
