@@ -6,13 +6,14 @@ import org.apache.spark.sql.Dataset
   * with typed metadata, processed in batches like an inference operator
   * (mapPartitions — the Scala analogue of `mapInPandas` batch shape).
   *
-  * DECODE is real for the container formats parseable without codec
-  * libraries: BMP images and PCM WAV audio are parsed from their headers
-  * by [[MediaCodecs]] (strictly validated — a false positive on text
-  * bytes is impossible because the embedded size fields must match the
-  * byte count). Compressed formats (JPEG/MP4/...) fall back to the
-  * clearly-marked deterministic [[StubCodec]], since their codecs are not
-  * present in this environment. Everything around decode — schema, batch
+  * DECODE is real for every format whose codec ships with the JDK: BMP
+  * images and PCM WAV audio parse from their headers, and PNG (a
+  * genuinely COMPRESSED format) round-trips through `java.util.zip`
+  * deflate/inflate with per-chunk CRC32 validation — all in
+  * [[MediaCodecs]], strictly validated so a false positive on text bytes
+  * is impossible (size fields, chunk CRCs, and inflated byte counts must
+  * all agree). Only formats with no JDK codec (JPEG/MP4/...) fall back to
+  * the clearly-marked deterministic [[StubCodec]]. Everything around decode — schema, batch
   * iteration, partition-parallel execution, feature math on raw bytes
   * (size, entropy, histogram) — is real and tested; q138 gates the real
   * decode round-trip through the driver's oracle.
@@ -132,6 +133,114 @@ object Multimodal {
         out
       }
 
+    /** REAL PNG encoder (8-bit RGB, non-interlaced, filter 0): spec-valid
+      * chunks with CRC32 and a genuine zlib deflate stream — the JDK ships
+      * zlib, so unlike JPEG/MP4 this compressed format needs no external
+      * codec. The file opens in any image viewer. Pixel byte i (counting
+      * RGB bytes only, filter bytes excluded) is (seed + i·31) & 0xff — a
+      * pure function an oracle recomputes.
+      */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0)
+      val raw = new Array[Byte](height * (1 + width * 3))
+      var p = 0; var i = 0; var y = 0
+      while (y < height) {
+        raw(p) = 0; p += 1 // filter type 0 per scanline
+        var x = 0
+        while (x < width * 3) {
+          raw(p) = ((seed + i * 31) & 0xff).toByte
+          p += 1; i += 1; x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val b = ByteBuffer.allocate(12 + data.length)
+        b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+        b.putInt(crc.getValue.toInt)
+        b.array()
+      }
+      val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .array()
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Full PNG decode: magic + per-chunk CRC32 validation, zlib inflate,
+      * exact scanline-count check, filter-0 strip. Returns (w, h, rgb).
+      * Any corruption — flipped CRC, truncated IDAT, wrong depth — is None.
+      */
+    def pngPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      val magic = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+        0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      if (bytes.length < 8 || !magic.indices.forall(i => bytes(i) == magic(i)))
+        return None
+      var off = 8
+      var w = 0; var h = 0
+      var seenIhdr = false; var seenIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (off + 12 <= bytes.length && !seenIend) {
+        val len = ByteBuffer.wrap(bytes, off, 4).getInt
+        if (len < 0 || off + 12 + len > bytes.length) return None
+        val typ = new String(bytes, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, off + 4, 4 + len)
+        if (crc.getValue.toInt != ByteBuffer.wrap(bytes, off + 8 + len, 4).getInt)
+          return None
+        typ match {
+          case "IHDR" =>
+            if (len != 13) return None
+            val ib = ByteBuffer.wrap(bytes, off + 8, len)
+            w = ib.getInt; h = ib.getInt
+            if (ib.get != 8 || ib.get != 2 || w <= 0 || h <= 0 ||
+              w > 65535 || h > 65535) return None
+            seenIhdr = true
+          case "IDAT" => idat.write(bytes, off + 8, len)
+          case "IEND" => seenIend = true
+          case _ => ()
+        }
+        off += 12 + len
+      }
+      if (!seenIhdr || !seenIend) return None
+      val expect = h * (1 + w * 3)
+      val out = new Array[Byte](expect)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var got = 0
+        while (got < expect && !inf.finished()) {
+          val n = inf.inflate(out, got, expect - got)
+          if (n == 0 && inf.needsInput()) return None
+          got += n
+        }
+        // a longer-than-declared stream is corruption too
+        if (got != expect || (!inf.finished() && inf.inflate(new Array[Byte](1)) != 0))
+          return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        if (out(y * (1 + w * 3)) != 0) return None
+        System.arraycopy(out, y * (1 + w * 3) + 1, rgb, y * w * 3, w * 3)
+        y += 1
+      }
+      Some((w, h, rgb))
+    }
+
+    def decodePng(bytes: Array[Byte]): Option[Decoded] =
+      pngPixels(bytes).map { case (w, h, _) => Decoded(w, h, 1, 0) }
+
     def decodeWav(bytes: Array[Byte]): Option[Decoded] = {
       def ascii(off: Int, s: String) =
         bytes.length >= off + s.length &&
@@ -167,6 +276,7 @@ object Multimodal {
     def decode(modality: String, mime: String, bytes: Array[Byte]): Decoded =
       MediaCodecs.decodeBmp(bytes)
         .orElse(MediaCodecs.decodeWav(bytes))
+        .orElse(MediaCodecs.decodePng(bytes))
         .getOrElse(stub.decode(modality, mime, bytes))
   }
 

@@ -507,6 +507,45 @@ object PipelineQueries extends Registry {
               AS BIGINT) AS n_zero_cross
           FROM sm2 GROUP BY id ORDER BY id""")),
 
+    // ---- REAL compressed-format decode: each even doc's metadata derives
+    //      PNG dimensions + seed; the spec-valid PNG (genuine zlib deflate,
+    //      CRC32-validated chunks — java.util.zip IS the codec, no stub)
+    //      round-trips through inflate back to its RGB bytes. Pixel byte i
+    //      is (seed + i·31) & 0xff, so the DuckDB oracle recomputes the
+    //      dimensions AND the exact pixel sum from the generator
+    //      arithmetic — any CRC, deflate-framing, or scanline-stride bug
+    //      diverges the hash. Row-local, zero shuffle. ---------------------
+    Q("q156_png_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 2 === 0)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .map { case (id, nch) =>
+            val w = (8 + id % 8).toInt
+            val h = (4 + nch % 8).toInt
+            val png = Multimodal.MediaCodecs.encodePng(w, h, id)
+            val (dw, dh, rgb) = Multimodal.MediaCodecs.pngPixels(png).get
+            var sum = 0L
+            var i = 0
+            while (i < rgb.length) { sum += rgb(i) & 0xff; i += 1 }
+            (id, dw, dh, rgb.length.toLong, sum)
+          }
+          .toDF("id", "width", "height", "n_rgb_bytes", "px_sum")
+          .orderBy($"id")
+      },
+      Some("""WITH g AS (SELECT doc_id AS id,
+              CAST(8 + doc_id % 8 AS INT) AS width,
+              CAST(4 + n_chars % 8 AS INT) AS height
+            FROM documents WHERE doc_id % 2 = 0),
+          px AS (SELECT id, width, height, (id + i * 31) & 255 AS v
+                 FROM g, UNNEST(range(0, width * height * 3)) AS t(i))
+          SELECT id, width, height,
+            CAST(count(*) AS BIGINT) AS n_rgb_bytes,
+            CAST(sum(v) AS BIGINT) AS px_sum
+          FROM px GROUP BY id, width, height ORDER BY id""")),
+
     // ---- multimodal byte audit — the ORACLE-CHECKABLE half of the q38
     //      path: the same MediaRow → mapPartitions batch pipeline, but
     //      aggregating features DuckDB can recompute (the binary content is

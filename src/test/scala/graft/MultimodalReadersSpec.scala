@@ -128,6 +128,29 @@ class ReadersSpec extends SparkSpec {
     }
   }
 
+  test("PNG codec: real zlib round-trip; any corruption is rejected") {
+    import graft.operators.Multimodal.MediaCodecs
+    for ((w, h) <- Seq((1, 1), (8, 5), (40, 23))) {
+      val png = MediaCodecs.encodePng(w, h, seed = 11)
+      val Some((dw, dh, rgb)) = MediaCodecs.pngPixels(png)
+      assert(dw == w && dh == h && rgb.length == w * h * 3,
+        s"PNG $w x $h did not round-trip")
+      // pixel byte i is the documented pure function of (seed, i)
+      rgb.zipWithIndex.foreach { case (b, i) =>
+        assert((b & 0xff) == ((11 + i * 31) & 0xff), s"pixel $i drifted")
+      }
+      // flip one IDAT byte: the chunk CRC must catch it
+      val corrupt = png.clone()
+      corrupt(8 + 25 + 10) = (corrupt(8 + 25 + 10) ^ 0x40).toByte
+      assert(MediaCodecs.pngPixels(corrupt).isEmpty, "CRC did not catch corruption")
+      // truncation is rejected
+      assert(MediaCodecs.pngPixels(png.dropRight(3)).isEmpty)
+    }
+    // non-PNG bytes never parse
+    for (t <- Seq("plain text", "PNG pretender", ""))
+      assert(MediaCodecs.pngPixels(t.getBytes("UTF-8")).isEmpty)
+  }
+
   test("BMP resize: identity preserves pixels; downsample has the right dims and bytes") {
     import graft.operators.Multimodal.{Decoded, MediaCodecs}
     val src = MediaCodecs.encodeBmp(10, 6, seed = 99)
