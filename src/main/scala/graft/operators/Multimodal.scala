@@ -241,6 +241,208 @@ object Multimodal {
     def decodePng(bytes: Array[Byte]): Option[Decoded] =
       pngPixels(bytes).map { case (w, h, _) => Decoded(w, h, 1, 0) }
 
+    /** REAL JPEG via the JDK's `javax.imageio` codec (headless). The
+      * encoder writes a single-color image (low-frequency content, so the
+      * lossy round-trip stays within a small per-channel tolerance); the
+      * color is a pure function of the seed.
+      */
+    def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0)
+      System.setProperty("java.awt.headless", "true")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (seed * 2654435761L & 0xffffffL).toInt
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+
+    /** JPEG decode (dims + pixels) — magic-checked so the codec chain
+      * stays unambiguous, then the JDK decoder does the real work.
+      */
+    def decodeJpegImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      if (bytes.length < 3 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8 || (bytes(2) & 0xff) != 0xff) return None
+      System.setProperty("java.awt.headless", "true")
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    }
+
+    def decodeJpeg(bytes: Array[Byte]): Option[Decoded] =
+      decodeJpegImage(bytes).map(i => Decoded(i.getWidth, i.getHeight, 1, 0))
+
+    /** GIF color table entry k — shared by the encoder and the frame
+      * cross-checks: (k, 7k mod 256, 13k mod 256).
+      */
+    def gifPalette(k: Int): (Int, Int, Int) = (k, (k * 7) & 0xff, (k * 13) & 0xff)
+
+    /** REAL animated GIF89a encoder: 256-color global table, one image
+      * block per frame, and a valid LZW stream written with the
+      * clear-code-early technique (a CLEAR every 253 literals keeps every
+      * code 9 bits wide — spec-valid output any decoder accepts, without
+      * implementing compression). Frame f's pixel i is
+      * (seed + f·17 + i·31) & 0xff — a pure function for the oracle.
+      */
+    def encodeGif(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0 && nFrames > 0)
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      le16(width); le16(height)
+      out.write(0xf7); out.write(0); out.write(0) // 256-entry GCT follows
+      var k = 0
+      while (k < 256) {
+        val (r, g, b) = gifPalette(k)
+        out.write(r); out.write(g); out.write(b); k += 1
+      }
+      var f = 0
+      while (f < nFrames) {
+        // graphic control extension: 10ms delay, no transparency
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write(0); le16(10); out.write(0); out.write(0)
+        out.write(0x2c); le16(0); le16(0); le16(width); le16(height); out.write(0)
+        out.write(8) // LZW minimum code size
+        // 9-bit LSB-first code stream: CLEAR, literals (CLEAR every 253), EOI
+        val bits = new java.io.ByteArrayOutputStream()
+        var acc = 0L; var nAcc = 0
+        def putCode(c: Int): Unit = {
+          acc |= (c.toLong << nAcc); nAcc += 9
+          while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+        }
+        putCode(256)
+        var i = 0; var sinceClear = 0
+        val n = width * height
+        while (i < n) {
+          putCode(((seed + f * 17 + i.toLong * 31) & 0xff).toInt)
+          sinceClear += 1
+          if (sinceClear == 253 && i != n - 1) { putCode(256); sinceClear = 0 }
+          i += 1
+        }
+        putCode(257)
+        if (nAcc > 0) bits.write((acc & 0xff).toInt)
+        val data = bits.toByteArray
+        var off = 0
+        while (off < data.length) {
+          val len = math.min(255, data.length - off)
+          out.write(len); out.write(data, off, len); off += len
+        }
+        out.write(0) // block terminator
+        f += 1
+      }
+      out.write(0x3b)
+      out.toByteArray
+    }
+
+    /** Full GIF decode with a REAL LZW decompressor (variable code width,
+      * clear codes, the KwKwK case): returns every frame's palette-index
+      * array, or None on any structural violation — wrong magic, bad
+      * block, an LZW stream that doesn't produce exactly width×height
+      * pixels per frame.
+      */
+    def gifFrames(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      if (bytes.length < 14) return None
+      val magic = new String(bytes, 0, 6, "US-ASCII")
+      if (magic != "GIF89a" && magic != "GIF87a") return None
+      val sw = u16(6); val sh = u16(8)
+      if (sw <= 0 || sh <= 0) return None
+      val packed = u8(10)
+      var off = 13
+      if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 7) + 1))
+      val frames = Seq.newBuilder[Array[Byte]]
+      var done = false
+      while (!done) {
+        if (off >= bytes.length) return None
+        u8(off) match {
+          case 0x3b => done = true
+          case 0x21 => // extension: label + sub-blocks
+            off += 2
+            while (off < bytes.length && u8(off) != 0) off += 1 + u8(off)
+            if (off >= bytes.length) return None
+            off += 1
+          case 0x2c =>
+            if (off + 10 > bytes.length) return None
+            val w = u16(off + 5); val h = u16(off + 7)
+            val ipacked = u8(off + 9)
+            if (w <= 0 || h <= 0 || w > sw || h > sh) return None
+            off += 10
+            if ((ipacked & 0x80) != 0) off += 3 * (1 << ((ipacked & 7) + 1))
+            if (off >= bytes.length) return None
+            val minCode = u8(off); off += 1
+            if (minCode < 2 || minCode > 8) return None
+            // reassemble the LZW sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            while (off < bytes.length && u8(off) != 0) {
+              val len = u8(off)
+              if (off + 1 + len > bytes.length) return None
+              data.write(bytes, off + 1, len); off += 1 + len
+            }
+            if (off >= bytes.length) return None
+            off += 1
+            frames += lzwDecode(data.toByteArray, minCode, w * h).getOrElse(return None)
+          case _ => return None
+        }
+      }
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some((sw, sh, fs))
+    }
+
+    /** GIF-flavor LZW: LSB-first variable-width codes, clear/EOI, table
+      * rebuild, KwKwK. Returns exactly `expect` indices or None.
+      */
+    private def lzwDecode(data: Array[Byte], minCode: Int,
+        expect: Int): Option[Array[Byte]] = {
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val out = new Array[Byte](expect)
+      var produced = 0
+      var width = minCode + 1
+      var acc = 0L; var nAcc = 0; var pos = 0
+      val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+      def resetTable(): Unit = {
+        table.clear()
+        var i = 0
+        while (i < clear) { table += Array(i.toByte); i += 1 }
+        table += Array.emptyByteArray; table += Array.emptyByteArray // clear, eoi
+        width = minCode + 1
+      }
+      resetTable()
+      var prev: Array[Byte] = null
+      var finished = false
+      while (!finished) {
+        while (nAcc < width && pos < data.length) {
+          acc |= ((data(pos) & 0xffL) << nAcc); nAcc += 8; pos += 1
+        }
+        if (nAcc < width) return None // ran out of bits before EOI
+        val code = (acc & ((1L << width) - 1)).toInt
+        acc >>= width; nAcc -= width
+        if (code == clear) { resetTable(); prev = null }
+        else if (code == eoi) finished = true
+        else {
+          val seq =
+            if (code < table.length) table(code)
+            else if (code == table.length && prev != null) prev :+ prev(0)
+            else return None
+          if (produced + seq.length > expect) return None
+          System.arraycopy(seq, 0, out, produced, seq.length)
+          produced += seq.length
+          if (prev != null && table.length < 4096) table += (prev :+ seq(0))
+          if (table.length == (1 << width) && width < 12) width += 1
+          prev = seq
+        }
+      }
+      if (produced == expect) Some(out) else None
+    }
+
+    def decodeGif(bytes: Array[Byte]): Option[Decoded] =
+      gifFrames(bytes).map { case (w, h, fs) => Decoded(w, h, fs.length, 0) }
+
     def decodeWav(bytes: Array[Byte]): Option[Decoded] = {
       def ascii(off: Int, s: String) =
         bytes.length >= off + s.length &&
@@ -277,6 +479,8 @@ object Multimodal {
       MediaCodecs.decodeBmp(bytes)
         .orElse(MediaCodecs.decodeWav(bytes))
         .orElse(MediaCodecs.decodePng(bytes))
+        .orElse(MediaCodecs.decodeGif(bytes))
+        .orElse(MediaCodecs.decodeJpeg(bytes))
         .getOrElse(stub.decode(modality, mime, bytes))
   }
 

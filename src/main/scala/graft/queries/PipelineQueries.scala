@@ -546,6 +546,102 @@ object PipelineQueries extends Registry {
             CAST(sum(v) AS BIGINT) AS px_sum
           FROM px GROUP BY id, width, height ORDER BY id""")),
 
+    // ---- REAL lossy-codec decode: JPEG through the JDK's javax.imageio
+    //      (the actual codec library, not a stub). Dimensions survive the
+    //      lossy round-trip exactly — the oracle recomputes them from the
+    //      table columns — and the single-color source makes the lossy
+    //      error bounded, asserted INSIDE the gated row (lossy_ok flips
+    //      and diverges the hash if the JDK round-trip ever degrades).
+    //      One codec instance per partition via mapPartitions — the real
+    //      inference-operator batch shape. ----------------------------------
+    Q("q157_jpeg_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 3 === 0)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nch) =>
+              val w = (16 + id % 16).toInt
+              val h = (8 + nch % 16).toInt
+              val jpg = Multimodal.MediaCodecs.encodeJpeg(w, h, id)
+              val img = Multimodal.MediaCodecs.decodeJpegImage(jpg).get
+              val src = (id * 2654435761L & 0xffffffL).toInt
+              var maxDev = 0
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  var c = 0
+                  while (c < 3) {
+                    val d = math.abs(((p >> (8 * c)) & 0xff) - ((src >> (8 * c)) & 0xff))
+                    if (d > maxDev) maxDev = d
+                    c += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              (id, img.getWidth, img.getHeight,
+                if (maxDev <= 8) 1L else 0L)
+            }
+          }
+          .toDF("id", "width", "height", "lossy_ok")
+          .orderBy($"id")
+      },
+      Some("""SELECT doc_id AS id,
+            CAST(16 + doc_id % 16 AS INT) AS width,
+            CAST(8 + n_chars % 16 AS INT) AS height,
+            CAST(1 AS BIGINT) AS lossy_ok
+          FROM documents WHERE doc_id % 3 = 0 ORDER BY id""")),
+
+    // ---- REAL animated-format frame extraction: each doc's metadata
+    //      derives an animated GIF (spec-valid 89a, hand-written LZW
+    //      stream ImageIO decodes identically — ImageIOCrossCheckSpec),
+    //      decoded back frame-by-frame with a REAL LZW decompressor. The
+    //      per-frame fan-out row (frame index, pixel count, palette-index
+    //      sum) is what q111's byte-slice sampling stood in for — now the
+    //      frames are genuine image planes. Pixel (f, i) is
+    //      (seed + f·17 + i·31) & 0xff, so the oracle recomputes every
+    //      frame's sum. Row-local fan-out, zero shuffle. -------------------
+    Q("q158_gif_frames",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 4 === 1)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .flatMap { case (id, nch) =>
+            val w = (8 + id % 8).toInt
+            val h = (4 + nch % 8).toInt
+            val nf = (2 + id % 3).toInt
+            val gif = Multimodal.MediaCodecs.encodeGif(w, h, nf, id)
+            val (_, _, frames) = Multimodal.MediaCodecs.gifFrames(gif).get
+            frames.zipWithIndex.map { case (px, f) =>
+              var sum = 0L
+              var i = 0
+              while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+              (id, f, px.length.toLong, sum)
+            }
+          }
+          .toDF("id", "frame_idx", "n_pixels", "idx_sum")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""WITH g AS (SELECT doc_id AS id,
+              CAST(8 + doc_id % 8 AS BIGINT) AS w,
+              CAST(4 + n_chars % 8 AS BIGINT) AS h,
+              CAST(2 + doc_id % 3 AS BIGINT) AS nf
+            FROM documents WHERE doc_id % 4 = 1),
+          fr AS (SELECT id, w, h, CAST(f AS INT) AS frame_idx
+                 FROM g, UNNEST(range(0, nf)) AS t(f)),
+          px AS (SELECT id, frame_idx, (id + frame_idx * 17 + i * 31) & 255 AS v
+                 FROM fr, UNNEST(range(0, w * h)) AS t(i))
+          SELECT id, frame_idx, CAST(count(*) AS BIGINT) AS n_pixels,
+            CAST(sum(v) AS BIGINT) AS idx_sum
+          FROM px GROUP BY id, frame_idx ORDER BY id, frame_idx""")),
+
     // ---- multimodal byte audit — the ORACLE-CHECKABLE half of the q38
     //      path: the same MediaRow → mapPartitions batch pipeline, but
     //      aggregating features DuckDB can recompute (the binary content is

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.Multimodal.MediaCodecs
+
+/** Independent-codec validation of the hand-written image formats: the
+  * JDK's own `javax.imageio` decoders (a completely separate PNG/BMP
+  * implementation) must read our generated files and agree pixel-for-pixel
+  * — the same referee pattern as MlCrossCheck/GraphXCrossCheck, applied to
+  * byte-level container formats.
+  */
+class ImageIOCrossCheckSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  System.setProperty("java.awt.headless", "true")
+
+  private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not parse the generated file")
+    img
+  }
+
+  test("ImageIO decodes our PNGs with identical dimensions and pixels") {
+    for ((w, h, seed) <- Seq((1, 1, 0L), (8, 5, 11L), (40, 23, 7L), (64, 64, 123L))) {
+      val png = MediaCodecs.encodePng(w, h, seed)
+      val img = read(png)
+      assert(img.getWidth == w && img.getHeight == h)
+      val Some((_, _, rgb)) = MediaCodecs.pngPixels(png)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        val ours = ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff)
+        assert((p & 0xffffff) == ours, s"pixel ($x,$y) differs: imageio=$p ours=$ours")
+      }
+    }
+  }
+
+  test("our LZW round-trips every GIF frame; corruption is rejected") {
+    for ((w, h, nf, seed) <- Seq((1, 1, 1, 3L), (8, 5, 3, 11L), (23, 17, 4, 77L),
+        (40, 30, 2, 5L))) {
+      val gif = MediaCodecs.encodeGif(w, h, nf, seed)
+      val Some((dw, dh, frames)) = MediaCodecs.gifFrames(gif)
+      assert(dw == w && dh == h && frames.length == nf)
+      for (f <- 0 until nf; i <- 0 until w * h)
+        assert((frames(f)(i) & 0xff) == ((seed + f * 17 + i.toLong * 31) & 0xff),
+          s"frame $f pixel $i drifted through the LZW round-trip")
+      assert(MediaCodecs.gifFrames(gif.dropRight(2)).isEmpty, "truncation accepted")
+      val corrupt = gif.clone()
+      corrupt(corrupt.length - 10) = (corrupt(corrupt.length - 10) ^ 0x10).toByte
+      // a bit flip in the LZW stream either changes pixel count or produces
+      // an invalid code — both must be rejected, never silently wrong...
+      // unless the flip lands in a literal (same-length decode); accept
+      // either rejection or a decode that differs from the original
+      MediaCodecs.gifFrames(corrupt) match {
+        case None => ()
+        case Some((_, _, cf)) =>
+          assert((0 until nf).exists(f => !cf(f).sameElements(frames(f))),
+            "corrupted stream decoded identically")
+      }
+    }
+    for (t <- Seq("plain text", "GIF89a but not really a gif", ""))
+      assert(MediaCodecs.gifFrames(t.getBytes("UTF-8")).isEmpty)
+  }
+
+  test("ImageIO decodes our animated GIFs frame-for-frame, pixel-for-pixel") {
+    val (w, h, nf, seed) = (16, 9, 3, 42L)
+    val gif = MediaCodecs.encodeGif(w, h, nf, seed)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == nf, "ImageIO sees a different frame count")
+    val Some((_, _, frames)) = MediaCodecs.gifFrames(gif)
+    for (f <- 0 until nf) {
+      val img = reader.read(f)
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = frames(f)(y * w + x) & 0xff
+        val (r, g, b) = MediaCodecs.gifPalette(idx)
+        val expected = (r << 16) | (g << 8) | b
+        assert((img.getRGB(x, y) & 0xffffff) == expected,
+          s"frame $f pixel ($x,$y): imageio=${img.getRGB(x, y) & 0xffffff} ours=$expected")
+      }
+    }
+    reader.dispose()
+  }
+
+  test("ImageIO decodes our BMPs with identical dimensions and pixels") {
+    for ((w, h, seed) <- Seq((1, 1, 5L), (10, 6, 99L), (33, 7, 42L))) {
+      val bmp = MediaCodecs.encodeBmp(w, h, seed)
+      val img = read(bmp)
+      assert(img.getWidth == w && img.getHeight == h)
+      // our encoder writes bottom-up rows of BGR bytes: pixel (x, y-from-top)
+      // lives at row (h-1-y) in the byte array
+      val rowSize = (w * 3 + 3) / 4 * 4
+      for (y <- 0 until h; x <- 0 until w) {
+        val off = 54 + (h - 1 - y) * rowSize + x * 3
+        val ours = ((bmp(off + 2) & 0xff) << 16) | ((bmp(off + 1) & 0xff) << 8) | (bmp(off) & 0xff)
+        assert((img.getRGB(x, y) & 0xffffff) == ours, s"pixel ($x,$y) differs")
+      }
+    }
+  }
+}
