@@ -443,6 +443,67 @@ object Multimodal {
     def decodeGif(bytes: Array[Byte]): Option[Decoded] =
       gifFrames(bytes).map { case (w, h, fs) => Decoded(w, h, fs.length, 0) }
 
+    /** REAL uncompressed video: Y4M (YUV4MPEG2), the raw-frame interchange
+      * container ffmpeg pipelines speak — a plain-text header plus
+      * FRAME-delimited 4:4:4 planes, parseable with no codec at all.
+      * Frame f's plane byte i is (seed + f·23 + i·31) & 0xff.
+      */
+    def encodeY4m(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0 && nFrames > 0)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n".getBytes("US-ASCII"))
+      val frameBytes = width * height * 3
+      var f = 0
+      while (f < nFrames) {
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        var i = 0
+        while (i < frameBytes) {
+          out.write(((seed + f * 23 + i.toLong * 31) & 0xff).toInt)
+          i += 1
+        }
+        f += 1
+      }
+      out.toByteArray
+    }
+
+    /** Y4M decode: parse the parameter header (W/H required, C444 only),
+      * then exact FRAME-marker + plane-size validation. Returns
+      * (w, h, frames of w·h·3 bytes) or None on any structural violation.
+      */
+    def y4mFrames(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+      val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+      if (bytes.length < magic.length ||
+        !magic.indices.forall(i => bytes(i) == magic(i))) return None
+      val nl = bytes.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val params = new String(bytes, 9, nl - 9, "US-ASCII").trim.split(" ")
+      var w = -1; var h = -1; var c = "C420jpeg"
+      params.foreach { p =>
+        if (p.startsWith("W")) w = p.drop(1).toIntOption.getOrElse(-1)
+        else if (p.startsWith("H")) h = p.drop(1).toIntOption.getOrElse(-1)
+        else if (p.startsWith("C")) c = p
+      }
+      if (w <= 0 || h <= 0 || w > 65535 || h > 65535 || c != "C444") return None
+      val frameBytes = w * h * 3
+      val marker = "FRAME".getBytes("US-ASCII")
+      val frames = Seq.newBuilder[Array[Byte]]
+      var off = nl + 1
+      var n = 0
+      while (off < bytes.length) {
+        if (off + marker.length > bytes.length ||
+          !marker.indices.forall(i => bytes(off + i) == marker(i))) return None
+        val fnl = bytes.indexOf('\n'.toByte, off)
+        if (fnl < 0 || fnl + 1 + frameBytes > bytes.length) return None
+        frames += java.util.Arrays.copyOfRange(bytes, fnl + 1, fnl + 1 + frameBytes)
+        off = fnl + 1 + frameBytes
+        n += 1
+      }
+      if (n == 0) None else Some((w, h, frames.result()))
+    }
+
+    def decodeY4m(bytes: Array[Byte]): Option[Decoded] =
+      y4mFrames(bytes).map { case (w, h, fs) => Decoded(w, h, fs.length, 0) }
+
     def decodeWav(bytes: Array[Byte]): Option[Decoded] = {
       def ascii(off: Int, s: String) =
         bytes.length >= off + s.length &&
@@ -480,6 +541,7 @@ object Multimodal {
         .orElse(MediaCodecs.decodeWav(bytes))
         .orElse(MediaCodecs.decodePng(bytes))
         .orElse(MediaCodecs.decodeGif(bytes))
+        .orElse(MediaCodecs.decodeY4m(bytes))
         .orElse(MediaCodecs.decodeJpeg(bytes))
         .getOrElse(stub.decode(modality, mime, bytes))
   }

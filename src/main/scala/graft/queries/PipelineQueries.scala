@@ -642,6 +642,50 @@ object PipelineQueries extends Registry {
             CAST(sum(v) AS BIGINT) AS idx_sum
           FROM px GROUP BY id, frame_idx ORDER BY id, frame_idx""")),
 
+    // ---- REAL raw-video frame extraction: Y4M (YUV4MPEG2 — the container
+    //      ffmpeg pipelines exchange raw frames in) encodes per-doc
+    //      animated 4:4:4 video, decoded back by exact header + FRAME
+    //      marker + plane-size parsing — no codec, the format IS raw
+    //      planes. Per frame: plane byte count and the exact plane sum,
+    //      recomputed by the oracle from (seed + f·23 + i·31) & 0xff.
+    //      Completes the real-decode triad: image (q156/q157), audio
+    //      (q141), video (here). Row-local fan-out, zero shuffle. ----------
+    Q("q159_y4m_frames",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 4 === 3)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .flatMap { case (id, nch) =>
+            val w = (4 + id % 8).toInt
+            val h = (2 + nch % 8).toInt
+            val nf = (2 + id % 4).toInt
+            val y4m = Multimodal.MediaCodecs.encodeY4m(w, h, nf, id)
+            val (_, _, frames) = Multimodal.MediaCodecs.y4mFrames(y4m).get
+            frames.zipWithIndex.map { case (px, f) =>
+              var sum = 0L
+              var i = 0
+              while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+              (id, f, px.length.toLong, sum)
+            }
+          }
+          .toDF("id", "frame_idx", "n_plane_bytes", "plane_sum")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""WITH g AS (SELECT doc_id AS id,
+              CAST(4 + doc_id % 8 AS BIGINT) AS w,
+              CAST(2 + n_chars % 8 AS BIGINT) AS h,
+              CAST(2 + doc_id % 4 AS BIGINT) AS nf
+            FROM documents WHERE doc_id % 4 = 3),
+          fr AS (SELECT id, w, h, CAST(f AS INT) AS frame_idx
+                 FROM g, UNNEST(range(0, nf)) AS t(f)),
+          px AS (SELECT id, frame_idx, (id + frame_idx * 23 + i * 31) & 255 AS v
+                 FROM fr, UNNEST(range(0, w * h * 3)) AS t(i))
+          SELECT id, frame_idx, CAST(count(*) AS BIGINT) AS n_plane_bytes,
+            CAST(sum(v) AS BIGINT) AS plane_sum
+          FROM px GROUP BY id, frame_idx ORDER BY id, frame_idx""")),
+
     // ---- multimodal byte audit — the ORACLE-CHECKABLE half of the q38
     //      path: the same MediaRow → mapPartitions batch pipeline, but
     //      aggregating features DuckDB can recompute (the binary content is

@@ -82,6 +82,24 @@ class ImageIOCrossCheckSpec extends org.scalatest.funsuite.AnyFunSuite {
     reader.dispose()
   }
 
+  test("Y4M raw video round-trips exactly; structural violations rejected") {
+    for ((w, h, nf, seed) <- Seq((1, 1, 1, 0L), (4, 3, 5, 9L), (12, 8, 2, 77L))) {
+      val y4m = MediaCodecs.encodeY4m(w, h, nf, seed)
+      val Some((dw, dh, frames)) = MediaCodecs.y4mFrames(y4m)
+      assert(dw == w && dh == h && frames.length == nf)
+      for (f <- 0 until nf; i <- 0 until w * h * 3)
+        assert((frames(f)(i) & 0xff) == ((seed + f * 23 + i.toLong * 31) & 0xff),
+          s"frame $f byte $i drifted")
+      // truncated plane, chopped FRAME marker, wrong chroma: all rejected
+      assert(MediaCodecs.y4mFrames(y4m.dropRight(1)).isEmpty)
+      assert(MediaCodecs.y4mFrames(
+        new String(y4m.take(40), "ISO-8859-1").replace("C444", "C420")
+          .getBytes("ISO-8859-1") ++ y4m.drop(40)).isEmpty)
+    }
+    for (t <- Seq("plain text", "YUV4MPEG2 W0 H0\n", ""))
+      assert(MediaCodecs.y4mFrames(t.getBytes("UTF-8")).isEmpty)
+  }
+
   test("ImageIO decodes our BMPs with identical dimensions and pixels") {
     for ((w, h, seed) <- Seq((1, 1, 5L), (10, 6, 99L), (33, 7, 42L))) {
       val bmp = MediaCodecs.encodeBmp(w, h, seed)
