@@ -100,6 +100,26 @@ class ImageIOCrossCheckSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(MediaCodecs.y4mFrames(t.getBytes("UTF-8")).isEmpty)
   }
 
+  test("AudioSystem parses our WAVs with identical format and samples") {
+    for ((sr, ns, seed) <- Seq((8000, 1, 1L), (16000, 777, 7L), (44100, 100, 42L))) {
+      val wav = MediaCodecs.encodeWavPcm16(sr, ns, seed)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val fmt = in.getFormat
+      assert(fmt.getSampleRate.toInt == sr && fmt.getChannels == 1 &&
+        fmt.getSampleSizeInBits == 16, s"format drift: $fmt")
+      assert(in.getFrameLength == ns, "frame count differs")
+      val raw = in.readAllBytes()
+      val Some(ours) = MediaCodecs.pcmSamples(wav)
+      assert(raw.length == ns * 2)
+      for (i <- 0 until ns) {
+        val jdk = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+        assert(jdk == ours(i), s"sample $i: jdk=$jdk ours=${ours(i)}")
+      }
+      in.close()
+    }
+  }
+
   test("ImageIO decodes our BMPs with identical dimensions and pixels") {
     for ((w, h, seed) <- Seq((1, 1, 5L), (10, 6, 99L), (33, 7, 42L))) {
       val bmp = MediaCodecs.encodeBmp(w, h, seed)
