@@ -686,6 +686,59 @@ object PipelineQueries extends Registry {
             CAST(sum(v) AS BIGINT) AS plane_sum
           FROM px GROUP BY id, frame_idx ORDER BY id, frame_idx""")),
 
+    // ---- mixed-format media catalog: one corpus carrying FIVE real
+    //      formats (BMP, PCM WAV, PNG, animated GIF, Y4M raw video — every
+    //      codec the engine decodes for real), pushed through the SAME
+    //      mapPartitions batch operator production inference uses
+    //      (Multimodal.extractFeatures → HeaderCodec dispatch). Every
+    //      decoded field (dims, frame count, sample rate) is a pure
+    //      function of table columns, so the oracle recomputes the whole
+    //      catalog — a mis-dispatch (e.g. a PNG parsed by the GIF path or
+    //      falling to the stub) diverges the hash immediately. -------------
+    Q("q160_media_catalog",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .map { case (id, nch) =>
+            val w = (8 + id % 8).toInt
+            val h = (4 + nch % 8).toInt
+            (id % 5) match {
+              case 0 => Multimodal.MediaRow(id, "image", "image/bmp",
+                Multimodal.MediaCodecs.encodeBmp(w, h, id))
+              case 1 => Multimodal.MediaRow(id, "audio", "audio/wav",
+                Multimodal.MediaCodecs.encodeWavPcm16(
+                  (8000 + (id % 4) * 8000).toInt, (50 + nch % 50).toInt, id))
+              case 2 => Multimodal.MediaRow(id, "image", "image/png",
+                Multimodal.MediaCodecs.encodePng(w, h, id))
+              case 3 => Multimodal.MediaRow(id, "image", "image/gif",
+                Multimodal.MediaCodecs.encodeGif(w, h, (2 + id % 3).toInt, id))
+              case _ => Multimodal.MediaRow(id, "video", "video/x-y4m",
+                Multimodal.MediaCodecs.encodeY4m(w, h, (2 + id % 4).toInt, id))
+            }
+          }
+        Multimodal.extractFeatures(media)
+          .toDF()
+          .select($"id", $"modality", $"width", $"height",
+            $"n_frames", $"sample_rate")
+          .orderBy($"id")
+      },
+      Some("""SELECT doc_id AS id,
+          CASE doc_id % 5 WHEN 1 THEN 'audio' WHEN 4 THEN 'video'
+               ELSE 'image' END AS modality,
+          CAST(CASE WHEN doc_id % 5 = 1 THEN 0
+               ELSE 8 + doc_id % 8 END AS INT) AS width,
+          CAST(CASE WHEN doc_id % 5 = 1 THEN 0
+               ELSE 4 + n_chars % 8 END AS INT) AS height,
+          CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 2 THEN 1
+               WHEN 1 THEN 50 + n_chars % 50
+               WHEN 3 THEN 2 + doc_id % 3
+               ELSE 2 + doc_id % 4 END AS INT) AS n_frames,
+          CAST(CASE WHEN doc_id % 5 = 1 THEN 8000 + (doc_id % 4) * 8000
+               ELSE 0 END AS INT) AS sample_rate
+        FROM documents ORDER BY id""")),
+
     // ---- multimodal byte audit — the ORACLE-CHECKABLE half of the q38
     //      path: the same MediaRow → mapPartitions batch pipeline, but
     //      aggregating features DuckDB can recompute (the binary content is

@@ -174,3 +174,67 @@ object ClusterGroupProperties extends Properties("GroupClusters") {
       }
     }
 }
+
+/** Codec fuzzing: the hand-written container formats must round-trip for
+  * ANY parameters, and their decoders must stay total under arbitrary byte
+  * corruption — either reject (None) or produce a structurally valid
+  * result, never crash and never return a wrong-length frame. LZW
+  * decoders are classically crash-prone on adversarial input; this is the
+  * safety net for decoding 100 TB of crawled bytes.
+  */
+object CodecProperties extends Properties("MediaCodecs") {
+  import graft.operators.Multimodal.MediaCodecs
+
+  private val dims = Gen.zip(Gen.choose(1, 48), Gen.choose(1, 48))
+  private val seeds = Gen.choose(Long.MinValue, Long.MaxValue)
+
+  property("PNG round-trips for any dims/seed") =
+    forAll(dims, seeds) { case ((w, h), seed) =>
+      val Some((dw, dh, rgb)) = MediaCodecs.pngPixels(MediaCodecs.encodePng(w, h, seed))
+      dw == w && dh == h && rgb.length == w * h * 3 &&
+        rgb.zipWithIndex.forall { case (b, i) => (b & 0xff) == ((seed + i * 31) & 0xff) }
+    }
+
+  property("GIF LZW round-trips for any dims/frames/seed") =
+    forAll(dims, Gen.choose(1, 5), seeds) { case ((w, h), nf, seed) =>
+      val Some((dw, dh, fs)) = MediaCodecs.gifFrames(MediaCodecs.encodeGif(w, h, nf, seed))
+      dw == w && dh == h && fs.length == nf &&
+        fs.zipWithIndex.forall { case (px, f) =>
+          px.length == w * h && px.zipWithIndex.forall { case (b, i) =>
+            (b & 0xff) == ((seed + f * 17 + i.toLong * 31) & 0xff)
+          }
+        }
+    }
+
+  property("Y4M round-trips for any dims/frames/seed") =
+    forAll(dims, Gen.choose(1, 5), seeds) { case ((w, h), nf, seed) =>
+      val Some((dw, dh, fs)) = MediaCodecs.y4mFrames(MediaCodecs.encodeY4m(w, h, nf, seed))
+      dw == w && dh == h && fs.length == nf && fs.forall(_.length == w * h * 3)
+    }
+
+  property("decoders are total under arbitrary byte corruption") =
+    forAll(dims, seeds, Gen.choose(0, 10000), Gen.choose(0, 255)) {
+      case ((w, h), seed, at, v) =>
+        // corrupt one byte of each container at a pseudo-random position;
+        // decode must terminate with None or a structurally valid result
+        def corrupted(bytes: Array[Byte]): Array[Byte] = {
+          val c = bytes.clone(); c(at % c.length) = v.toByte; c
+        }
+        val gifOk = MediaCodecs.gifFrames(corrupted(
+          MediaCodecs.encodeGif(w, h, 2, seed))) match {
+          case None => true
+          case Some((dw, dh, fs)) => fs.forall(_.length == dw * dh)
+        }
+        val pngOk = MediaCodecs.pngPixels(corrupted(
+          MediaCodecs.encodePng(w, h, seed))) match {
+          case None => true
+          case Some((dw, dh, rgb)) => rgb.length == dw * dh * 3
+        }
+        val y4mOk = MediaCodecs.y4mFrames(corrupted(
+          MediaCodecs.encodeY4m(w, h, 2, seed))) match {
+          case None => true
+          case Some((dw, dh, fs)) => fs.forall(_.length == dw * dh * 3)
+        }
+        gifOk && pngOk && y4mOk
+    }
+}
