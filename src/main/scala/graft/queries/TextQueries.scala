@@ -216,6 +216,92 @@ object TextQueries extends Registry {
         WHERE pred_lang = 'en' AND quality >= 0.4
         ORDER BY q.doc_id""")),
 
+    // ---- curation FUNNEL report: the per-stage survivor counts a data
+    //      team publishes with every corpus release — raw → exact-dedup →
+    //      language gate → quality gate → decontamination → fingerprint
+    //      near-dup survivors. Each stage reuses the proven plan shape of
+    //      its standalone query (q21/q27/q28/q104/q26); the funnel only
+    //      adds per-stage count rollups (1-row aggregates, no new scale
+    //      surface). The drop BETWEEN stages is the signal reviewers read:
+    //      a stage suddenly eating 90% flags a broken gate. ----------------
+    Q("q161_curation_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val s0 = docs(s, dir).select($"doc_id")
+        val s1 = docs(s, dir)
+          .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id")
+        val lex = LangLexicon.entries.toDF("word", "cand_lang")
+        val hits = docs(s, dir)
+          .select($"doc_id", explode(tokens(lower($"text"))).as("word"))
+          .join(broadcast(lex), "word")
+          .groupBy($"doc_id", $"cand_lang").agg(count(lit(1)).as("n_hits"))
+        val lw = Window.partitionBy($"doc_id").orderBy($"n_hits".desc, $"cand_lang")
+        val en = hits.withColumn("rn", row_number().over(lw)).filter($"rn" === 1)
+          .filter($"cand_lang" === "en").select($"doc_id")
+        val s2 = s1.join(en, Seq("doc_id"))
+        val qual = docs(s, dir).withColumn("w", tokens($"text"))
+          .filter(docQuality >= 0.4).select($"doc_id")
+        val s3 = s2.join(qual, Seq("doc_id"))
+        val contaminated = sourceShingles(s, dir)
+          .filter(!$"source".isin(benchSources: _*))
+          .join(broadcast(sourceShingles(s, dir)
+            .filter($"source".isin(benchSources: _*))
+            .select($"shingle").distinct()), Seq("shingle"))
+          .select($"doc_id").distinct()
+        val benchDocs = docs(s, dir)
+          .filter($"source".isin(benchSources: _*)).select($"doc_id")
+        val s4 = s3.join(contaminated.unionAll(benchDocs), Seq("doc_id"), "left_anti")
+        val fp = docs(s, dir)
+          .select($"doc_id", md5(normalize($"text")).as("fingerprint"))
+        val s5 = s4.join(fp, Seq("doc_id"))
+          .groupBy($"fingerprint").agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id")
+        val stages = Seq(
+          0L -> ("raw", s0), 1L -> ("exact_dedup", s1), 2L -> ("lang_en", s2),
+          3L -> ("quality", s3), 4L -> ("decontaminated", s4),
+          5L -> ("neardup_survivors", s5))
+        stages.map { case (i, (nm, df)) =>
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(i).as("stage"), lit(nm).as("stage_name"), $"n_docs")
+        }.reduce(_.unionAll(_)).orderBy($"stage")
+      },
+      Some(s"""WITH s1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          lex(word, cand_lang) AS (VALUES ${LangLexicon.sqlValues}),
+          hits AS (SELECT doc_id, cand_lang, count(*) AS n_hits
+                   FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                         FROM documents) tok
+                   JOIN lex USING (word) GROUP BY doc_id, cand_lang),
+          en AS (SELECT doc_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY n_hits DESC, cand_lang) AS rn FROM hits)
+                 WHERE rn = 1 AND cand_lang = 'en'),
+          s2 AS (SELECT doc_id FROM s1 JOIN en USING (doc_id)),
+          qual AS (SELECT doc_id FROM documents WHERE $qualitySqlExpr >= 0.4),
+          s3 AS (SELECT doc_id FROM s2 JOIN qual USING (doc_id)),
+          $benchShingleCte,
+          contaminated AS (SELECT DISTINCT f.doc_id FROM sh f
+                           JOIN bench USING (shingle)
+                           WHERE f.source NOT IN ('src0', 'src1')),
+          s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN
+                   (SELECT doc_id FROM contaminated
+                    UNION ALL SELECT doc_id FROM documents
+                    WHERE source IN ('src0', 'src1'))),
+          fp AS (SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+            FROM documents),
+          s5 AS (SELECT min(s4.doc_id) AS doc_id FROM s4
+                 JOIN fp ON fp.doc_id = s4.doc_id GROUP BY fingerprint)
+        SELECT * FROM (
+          SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+                 count(*) AS n_docs FROM documents
+          UNION ALL SELECT 1, 'exact_dedup', count(*) FROM s1
+          UNION ALL SELECT 2, 'lang_en', count(*) FROM s2
+          UNION ALL SELECT 3, 'quality', count(*) FROM s3
+          UNION ALL SELECT 4, 'decontaminated', count(*) FROM s4
+          UNION ALL SELECT 5, 'neardup_survivors', count(*) FROM s5)
+        ORDER BY stage""")),
+
     // ---- vocabulary build: corpus-wide token frequency + document
     //      frequency, top-100 — the vocab/stopword-discovery step of a
     //      tokenizer pipeline. One shuffle for the (token) aggregation;
