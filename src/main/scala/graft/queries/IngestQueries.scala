@@ -766,6 +766,42 @@ object IngestQueries extends Registry {
           last AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                      ORDER BY version DESC) AS rn FROM allr)
           SELECT doc_id, source, n_chars, version
-          FROM last WHERE rn = 1 AND op <> 'delete' ORDER BY doc_id"""))
+          FROM last WHERE rn = 1 AND op <> 'delete' ORDER BY doc_id""")),
+
+    // ---- error-tolerant ingest: a crawl feed where every 5th record is
+    //      malformed JSON, read in PERMISSIVE mode with a _corrupt_record
+    //      column — bad rows are QUARANTINED (null fields + raw line
+    //      preserved), good rows flow through, nothing aborts. The row
+    //      verdict rule is derived from table columns, so the oracle
+    //      recomputes the good/corrupt split and the salvaged aggregate
+    //      without parsing anything. At 100 TB this is the difference
+    //      between a nightly ingest that finishes with a quarantine ratio
+    //      and one a single bad shard kills. ------------------------------
+    Q("q162_corrupt_records",
+      (s, dir) => {
+        import s.implicits._
+        val rows = Tables(s, dir, "nation")
+          .select($"n_nationkey".cast("long"), $"n_name")
+          .orderBy($"n_nationkey").collect()
+        val lines = rows.map { r =>
+          val (k, nm) = (r.getLong(0), r.getString(1))
+          if (k % 5 == 2) s"""{"k": $k, "name": UNQUOTED$k"""
+          else s"""{"k": $k, "name": "$nm"}"""
+        }
+        val path = write(s"corrupt_${jvmTok}.jsonl", lines.mkString("\n"))
+        s.read
+          .schema("k LONG, name STRING, _corrupt_record STRING")
+          .json(path)
+          .agg(
+            count(when($"_corrupt_record".isNull, 1)).as("n_good"),
+            count($"_corrupt_record").as("n_corrupt"),
+            sum(when($"_corrupt_record".isNull, $"k")).as("k_sum_good"))
+      },
+      Some("""SELECT
+          CAST(count(CASE WHEN n_nationkey % 5 <> 2 THEN 1 END) AS BIGINT) AS n_good,
+          CAST(count(CASE WHEN n_nationkey % 5 = 2 THEN 1 END) AS BIGINT) AS n_corrupt,
+          CAST(sum(CASE WHEN n_nationkey % 5 <> 2 THEN n_nationkey END) AS BIGINT)
+            AS k_sum_good
+        FROM nation"""))
   )
 }
