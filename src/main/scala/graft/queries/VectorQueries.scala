@@ -837,6 +837,69 @@ object VectorQueries extends Registry {
             (CAST(sq2 AS DOUBLE) / 1000000.0) / n_vecs - mean_v * mean_v AS var_v
           FROM m ORDER BY dim""")),
 
+    // ---- TWO-iteration Lloyd training (q133 runs one): the loop shape
+    //      that actually converges a coarse quantizer, each round the same
+    //      broadcast-centroids + one (cid, dim, long) partial-sum shuffle,
+    //      with `KMeans.train` truncating the tiny centroid lineage per
+    //      round. Still hash-checkable end-to-end: the oracle replays BOTH
+    //      mean recomputations and the final cluster-restricted search. ----
+    Q("q163_ivf_trained2",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
+        val seeds = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cn"))
+        val trained = graft.operators.KMeans.train(s, e, seeds, iters = 2)
+        val assign = graft.operators.KMeans.assign(s, e, trained)
+        val q = assign.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qn"), $"cid")
+        val scored = assign.join(broadcast(q), Seq("cid"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            (dotFast($"qv", $"embedding") / ($"qn" * $"nrm")).as("cosine"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+          .orderBy($"query_id", $"rank")
+      },
+      Some {
+        def assignCte(name: String, centsRel: String, centsCol: String) =
+          s"""$name AS (SELECT vec_id, embedding, cid FROM (
+               SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   ${dotSql(s"t.$centsCol", "e.embedding")}
+                     / (sqrt(${dotSql(s"t.$centsCol", s"t.$centsCol")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                   t.cid) AS arn
+               FROM embeddings e, $centsRel t) WHERE arn = 1)"""
+        def meansCte(name: String, from: String) =
+          s"""${name}_m AS (SELECT cid, dim,
+                 CAST(sum(CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000.0) AS BIGINT)) AS DOUBLE)
+                   / 1000.0 / count(*) AS m
+               FROM $from, UNNEST(range(0, 64)) AS t(dim)
+               GROUP BY cid, dim),
+             $name AS (SELECT cid, list(m ORDER BY dim) AS cv
+                       FROM ${name}_m GROUP BY cid)"""
+        s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings WHERE vec_id < 8),
+          ${assignCte("a0", "cents", "cv")},
+          ${meansCte("tc1", "a0")},
+          ${assignCte("a1", "tc1", "cv")},
+          ${meansCte("tc2", "a1")},
+          ${assignCte("a2", "tc2", "cv")},
+          q AS (SELECT vec_id AS query_id, embedding AS qv, cid
+                FROM a2 WHERE vec_id % 100 = 0),
+          scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                 ${dotSql("q.qv", "a.embedding")}
+                   / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("a.embedding", "a.embedding")})) AS cosine
+               FROM q JOIN a2 a ON a.cid = q.cid AND a.vec_id <> q.query_id)
+          SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+          WHERE rn <= 3 ORDER BY query_id, rank"""
+      }),
+
     // ---- two-stage retrieval (the production ANN pattern): IVF-PQ
     //      generates a WIDE candidate set (top-10 by approx distance, the
     //      cheap 4-probe scoring), then the survivors re-rank by EXACT
