@@ -368,9 +368,14 @@ object Multimodal {
             off += 1
           case 0x2c =>
             if (off + 10 > bytes.length) return None
+            val left = u16(off + 1); val top = u16(off + 3)
             val w = u16(off + 5); val h = u16(off + 7)
             val ipacked = u8(off + 9)
-            if (w <= 0 || h <= 0 || w > sw || h > sh) return None
+            // this decoder does not composite sub-rectangle frames: the
+            // returned frames are (sw × sh) index arrays, so any image
+            // descriptor that is not exactly full-screen-at-origin would
+            // make the result structurally inconsistent — reject it
+            if (left != 0 || top != 0 || w != sw || h != sh) return None
             off += 10
             if ((ipacked & 0x80) != 0) off += 3 * (1 << ((ipacked & 7) + 1))
             if (off >= bytes.length) return None
