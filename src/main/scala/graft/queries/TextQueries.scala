@@ -1506,7 +1506,268 @@ object TextQueries extends Registry {
           SELECT lang, count(*) AS n_tokens,
             CAST(sum(iv) AS BIGINT) AS n_covered,
             1.0 - CAST(sum(iv) AS DOUBLE) / count(*) AS oov_rate
-          FROM j GROUP BY lang ORDER BY lang"""))
+          FROM j GROUP BY lang ORDER BY lang""")),
+
+    // ---- boilerplate-line removal: global line-frequency dedup (the
+    //      RefinedWeb/CCNet pass that strips nav bars, footers, cookie
+    //      banners — lines repeated verbatim across many documents).
+    //      Lines are derived row-locally (8-token non-overlapping windows
+    //      — the synthetic corpus has no newlines); a line whose text
+    //      appears in >= 3 DISTINCT docs is boilerplate, and every
+    //      occurrence of it is dropped. One shuffle keyed on the line text
+    //      builds the document-frequency table; joining it back is
+    //      line-keyed and co-partitioned with the pairs (AQE broadcasts
+    //      the df table only when it is genuinely small — no hint, the
+    //      boilerplate side is corpus-vocabulary-sized at 100 TB). The
+    //      kept content is pinned by an ORDER-INDEPENDENT md5-prefix
+    //      checksum (q121's recipe), so no per-doc ordered string-agg. ----
+    Q("q164_boilerplate_lines",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = docs(s, dir)
+          .select($"doc_id", tokens($"text").as("w"))
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, (size(w) - 1) div 8), i -> array_join(slice(w, i * 8 + 1, 8), ' '))"))
+            .as("line"))
+        val df = pairs.select($"line", $"doc_id").distinct()
+          .groupBy($"line").agg(count(lit(1)).as("n_docs"))
+        val lineCk =
+          expr("cast(conv(substring(md5(line), 1, 12), 16, 10) as bigint) % 1000000007")
+        pairs.join(df, Seq("line"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when($"n_docs" >= 3, 1L).otherwise(0L)).as("n_boiler"),
+            sum(when($"n_docs" < 3, lineCk).otherwise(lit(0L))).as("kept_checksum"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          ln AS (SELECT doc_id, array_to_string(w[i : i + 7], ' ') AS line
+                 FROM w, UNNEST(range(1, len(w) + 1, 8)) AS t(i)),
+          df AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM ln GROUP BY line),
+          j AS (SELECT doc_id, ln.line, n_docs FROM ln JOIN df USING (line))
+          SELECT doc_id, count(*) AS n_lines,
+            CAST(sum(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+            CAST(sum(CASE WHEN n_docs < 3
+                 THEN ${hexPolySql(12, "line")} % 1000000007 ELSE 0 END) AS BIGINT)
+              AS kept_checksum
+          FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- distributed Bloom-filter membership: the incremental-dedup
+    //      probe (q122) rebuilt around the fixed-size structure a 100 TB
+    //      pipeline actually ships between crawl refreshes. The existing
+    //      corpus's 20-token chunk hashes set k=3 bit positions (md5-
+    //      derived — the [[SCALING.md]] hash-family rule) in an m=2^17-bit
+    //      filter stored as 4096 32-bit words built by ONE bit_or shuffle
+    //      whose state is m/32 rows REGARDLESS of corpus size; the batch
+    //      probes it word-keyed (AQE broadcasts the 32 KB filter). The
+    //      exact join runs alongside purely as the audit: n_bloom_hits >=
+    //      n_exact_hits always (no false negatives), and n_false_pos
+    //      measures the m-vs-corpus sizing. At 100 TB only m grows (2^33
+    //      bits = 1 GiB of words — still corpus-independent); 1<<63 is
+    //      avoided by 32-bit words (DuckDB BIGINT << 63 overflows). -------
+    Q("q165_bloom_membership",
+      (s, dir) => {
+        import s.implicits._
+        val m = 131072
+        val chunkExpr = expr(
+          """CASE WHEN size(toks) >= 20
+               THEN transform(sequence(1, size(toks) - 19, 10),
+                      i -> md5(array_join(slice(toks, i, 20), ' ')))
+               ELSE array() END""")
+        val all = docs(s, dir)
+          .select($"doc_id", tokens(lower($"text")).as("toks"))
+          .join(broadcast(docs(s, dir)
+            .agg(expr("max(doc_id) - max(doc_id) div 10").as("cut"))))
+        def chunksOf(df: DataFrame): DataFrame =
+          df.select($"doc_id", explode(chunkExpr).as("chunk")).distinct()
+        val existing = chunksOf(all.filter($"doc_id" < $"cut"))
+          .select($"chunk").distinct()
+        val posCols = (0 until 3).map(j => expr(
+          s"cast(conv(substring(md5(concat('bloom$j:', chunk)), 1, 12), 16, 10) as bigint) % $m"))
+        val filt = existing
+          .select(explode(array(posCols: _*)).as("pos"))
+          .groupBy(expr("pos div 32").as("word"))
+          .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 32 as int)))").as("bits"))
+        val pp = chunksOf(all.filter($"doc_id" >= $"cut"))
+          .select($"doc_id", $"chunk", explode(array(posCols: _*)).as("pos"))
+          .withColumn("word", expr("pos div 32"))
+          .withColumn("mask", expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))"))
+        val member = pp.join(filt, Seq("word"), "left")
+          .withColumn("hit",
+            when(coalesce($"bits", lit(0L)).bitwiseAND($"mask") =!= 0, 1L).otherwise(0L))
+          .groupBy($"doc_id", $"chunk").agg(min($"hit").as("member"))
+        member.join(existing.select($"chunk", lit(1L).as("ex")), Seq("chunk"), "left")
+          .withColumn("exact", coalesce($"ex", lit(0L)))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum($"member").as("n_bloom_hits"),
+            sum($"exact").as("n_exact_hits"),
+            (sum($"member") - sum($"exact")).as("n_false_pos"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val pos = s"(${hexPolySql(12, "'bloom' || j || ':' || chunk")} % 131072)"
+        s"""WITH m AS (SELECT max(doc_id) - max(doc_id) // 10 AS cut FROM documents),
+          t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+          c AS (SELECT DISTINCT doc_id, unnest(
+              [md5(array_to_string(toks[i:i+19], ' '))
+               for i in range(1, greatest(len(toks) - 19, 0) + 1, 10)]) AS chunk
+            FROM t),
+          existing AS (SELECT DISTINCT chunk FROM c, m WHERE doc_id < cut),
+          filt AS (SELECT pos // 32 AS word,
+                     bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+                   FROM (SELECT $pos AS pos
+                         FROM existing, UNNEST(range(0, 3)) AS r(j))
+                   GROUP BY 1),
+          pp AS (SELECT doc_id, chunk, $pos AS pos
+                 FROM (SELECT c.doc_id, chunk FROM c, m WHERE c.doc_id >= m.cut),
+                      UNNEST(range(0, 3)) AS r(j)),
+          ph AS (SELECT doc_id, chunk,
+                   min(CASE WHEN COALESCE(bits, 0)
+                        & (1::BIGINT << CAST(pos % 32 AS INT)) <> 0
+                       THEN 1 ELSE 0 END) AS member
+                 FROM pp LEFT JOIN filt ON pp.pos // 32 = filt.word
+                 GROUP BY doc_id, chunk),
+          pe AS (SELECT doc_id, member,
+                   CASE WHEN ph.chunk IN (SELECT chunk FROM existing)
+                   THEN 1 ELSE 0 END AS exact
+                 FROM ph)
+          SELECT doc_id, count(*) AS n_chunks,
+            CAST(sum(member) AS BIGINT) AS n_bloom_hits,
+            CAST(sum(exact) AS BIGINT) AS n_exact_hits,
+            CAST(sum(member) - sum(exact) AS BIGINT) AS n_false_pos
+          FROM pe GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
+    // ---- count-min-sketch frequency audit: the point-query sketch that
+    //      answers "how often does this token appear" in d·w counters
+    //      independent of corpus size (d=4 rows × w=16 columns here — w
+    //      deliberately narrow so collisions actually occur at test scale;
+    //      at 100 TB w grows to ~2^20 and the sketch is still KBs). Build
+    //      is one (row, col) shuffle whose map-side combine bounds shuffle
+    //      volume at d·w rows per task; estimates are min-over-rows. The
+    //      audit joins the exact counts for the top-20 tokens: the CMS
+    //      guarantee is one-sided — overcount >= 0 ALWAYS (never an
+    //      undercount), and the overcount magnitude measures the w-vs-
+    //      vocabulary sizing. Column positions are md5-derived per row
+    //      ([[derived-constant-hash-families]] — independent rows are what
+    //      make the min tight). ---------------------------------------------
+    Q("q166_cms_frequency",
+      (s, dir) => {
+        import s.implicits._
+        def cmsCol(j: Int) = expr(
+          s"cast(conv(substring(md5(concat('cms$j:', token)), 1, 12), 16, 10) as bigint) % 16")
+        def rcArr = array((0 until 4).map(j =>
+          struct(lit(j.toLong).as("j"), cmsCol(j).as("c"))): _*)
+        val toks = docs(s, dir).select(explode(tokens(lower($"text"))).as("token"))
+        val exact = toks.groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
+        val probes = exact.orderBy($"exact_cnt".desc, $"token").limit(20)
+        val cells = toks.select(explode(rcArr).as("rc"))
+          .select($"rc.j".as("j"), $"rc.c".as("c"))
+          .groupBy($"j", $"c").agg(count(lit(1)).as("cell"))
+        probes.select($"token", $"exact_cnt", explode(rcArr).as("rc"))
+          .select($"token", $"exact_cnt", $"rc.j".as("j"), $"rc.c".as("c"))
+          .join(cells, Seq("j", "c"))
+          .groupBy($"token", $"exact_cnt").agg(min($"cell").as("cms_est"))
+          .select($"token", $"exact_cnt", $"cms_est",
+            ($"cms_est" - $"exact_cnt").as("overcount"))
+          .orderBy($"exact_cnt".desc, $"token")
+      },
+      Some {
+        val c = s"(${hexPolySql(12, "'cms' || j || ':' || token")} % 16)"
+        s"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                FROM documents),
+          exact AS (SELECT token, count(*) AS exact_cnt FROM toks GROUP BY token),
+          probes AS (SELECT token, exact_cnt FROM exact
+                     ORDER BY exact_cnt DESC, token LIMIT 20),
+          cells AS (SELECT j, $c AS c, count(*) AS cell
+                    FROM toks, UNNEST(range(0, 4)) AS r(j) GROUP BY 1, 2),
+          pp AS (SELECT token, exact_cnt, j, $c AS c
+                 FROM probes, UNNEST(range(0, 4)) AS r(j)),
+          est AS (SELECT token, exact_cnt, min(cell) AS cms_est
+                  FROM pp JOIN cells USING (j, c) GROUP BY token, exact_cnt)
+          SELECT token, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+            CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+          FROM est ORDER BY exact_cnt DESC, token"""
+      }),
+
+    // ---- DSIR-style importance resampling (Xie et al., NeurIPS'23 —
+    //      "Data Selection for Language Models via Importance Resampling"):
+    //      hashed-bigram features, per-bucket log-ratio of the TARGET
+    //      domain distribution (lang='en' here) over the RAW corpus
+    //      distribution with add-one smoothing, per-doc importance weight
+    //      = Σ log-ratios (micro-quantized to a LONG so cross-engine sums
+    //      are exact), keep the exact top 20%. The 128-bucket table is a
+    //      tiny join-back; selection avoids both a global sort AND a
+    //      driver-sized top-k: docs land in coarse weight buckets
+    //      ((lw + 2^40) div 2^20 — the offset keeps the dividend positive
+    //      so Spark's truncating div == DuckDB's flooring //), the
+    //      cumulative bucket counts (a window over the BOUNDED bucket
+    //      table only) locate the threshold bucket, and row_number ranks
+    //      only WITHIN buckets — the two-level exact-selection pattern;
+    //      at 100 TB the bucket cumsum would reuse q149's two-phase
+    //      prefix sum. ------------------------------------------------------
+    Q("q167_dsir_resample",
+      (s, dir) => {
+        import s.implicits._
+        val f = docs(s, dir)
+          .select($"doc_id", $"lang", tokens(lower($"text")).as("w"))
+          .select($"doc_id", $"lang", explode(wordShingles($"w", 2)).as("bg"))
+          .select($"doc_id", $"lang",
+            (expr("cast(conv(substring(md5(bg), 1, 12), 16, 10) as bigint)") % 128).as("b"))
+        val raw = f.groupBy($"b").agg(count(lit(1)).as("cr"))
+        val tgt = f.filter($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("ct"))
+        val tot = f.agg(count(lit(1)).cast("double").as("r_tot"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).cast("double").as("t_tot"))
+        val buck = raw.join(tgt, Seq("b"), "left").join(broadcast(tot))
+          .select($"b",
+            round((log((coalesce($"ct", lit(0L)) + lit(1L)).cast("double") / ($"t_tot" + lit(128.0)))
+              - log(($"cr" + lit(1L)).cast("double") / ($"r_tot" + lit(128.0)))) * 1e6)
+              .cast("long").as("lp"))
+        val scored = docs(s, dir).select($"doc_id")
+          .join(f.join(buck, Seq("b")).groupBy($"doc_id").agg(sum($"lp").as("s")),
+            Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"s", lit(0L)).as("lw"))
+        val k = (docs(s, dir).count() + 4) / 5
+        val bkt = scored.withColumn("bk", expr("(lw + 1099511627776) div 1048576"))
+        val bcum = bkt.groupBy($"bk").agg(count(lit(1)).as("cnt"))
+          .withColumn("c_gt", coalesce(sum($"cnt").over(
+            Window.orderBy($"bk".desc).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"bk", $"c_gt")
+        bkt.withColumn("rn", row_number().over(
+            Window.partitionBy($"bk").orderBy($"lw".desc, $"doc_id")))
+          .join(bcum, Seq("bk"))
+          .select($"doc_id", $"lw".as("logw_micro"),
+            when($"c_gt" + $"rn" <= k, 1L).otherwise(0L).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+                FROM documents),
+          bg AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS bg
+                 FROM w, UNNEST(range(1, len(w))) AS t(i)),
+          f AS (SELECT doc_id, lang, ${hexPolySql(12, "bg")} % 128 AS b FROM bg),
+          raw AS (SELECT b, count(*) AS cr FROM f GROUP BY b),
+          tgt AS (SELECT b, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY b),
+          tot AS (SELECT CAST(count(*) AS DOUBLE) AS r_tot,
+                         CAST(count(*) FILTER (lang = 'en') AS DOUBLE) AS t_tot FROM f),
+          buck AS (SELECT raw.b,
+                     CAST(round((ln((COALESCE(ct, 0) + 1) / (t_tot + 128))
+                               - ln((cr + 1) / (r_tot + 128))) * 1000000) AS BIGINT) AS lp
+                   FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+          s1 AS (SELECT doc_id, sum(lp) AS lw FROM f JOIN buck USING (b) GROUP BY doc_id),
+          scored AS (SELECT d.doc_id, CAST(COALESCE(lw, 0) AS BIGINT) AS lw
+                     FROM documents d LEFT JOIN s1 USING (doc_id)),
+          bkt AS (SELECT doc_id, lw, (lw + 1099511627776) // 1048576 AS bk FROM scored),
+          bcum AS (SELECT bk, COALESCE(sum(cnt) OVER (ORDER BY bk DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_gt
+                   FROM (SELECT bk, count(*) AS cnt FROM bkt GROUP BY bk)),
+          rk AS (SELECT doc_id, lw, bk,
+                   row_number() OVER (PARTITION BY bk ORDER BY lw DESC, doc_id) AS rn
+                 FROM bkt)
+          SELECT doc_id, lw AS logw_micro,
+            CAST(CASE WHEN c_gt + rn <= (SELECT (count(*) + 4) // 5 FROM documents)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM rk JOIN bcum USING (bk) ORDER BY doc_id"""))
   )
 
   /** Shared recursive-tokenizer SQL (q127): identical text in both engines
