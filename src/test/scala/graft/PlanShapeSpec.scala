@@ -329,4 +329,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(hints("q116_bigram_logprob") == 1,
       "q116: only the 1-row total may be hinted, not the count tables")
   }
+
+  test("q164: the line-df join is un-hinted (boilerplate table is vocab-sized at 100 TB)") {
+    val df = SparkEntry.queries("q164_boilerplate_lines")(spark, sfDir)
+    assert("ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).isEmpty,
+      "q164: the df-table join must be un-hinted so AQE size-gates it")
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("partial_count"), s"line-df aggregation not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q165: the Bloom build aggregates to fixed-size words with map-side combine") {
+    val df = SparkEntry.queries("q165_bloom_membership")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    // the filter build must partially aggregate bit_or — the shuffle then
+    // carries at most m/32 word rows per task regardless of corpus size
+    assert(p.contains("partial_bit_or"), s"Bloom word build not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the only broadcast hint anywhere is the 1-row doc_id cut scalar
+    val hinted = "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).size
+    assert(hinted == 3, // the 1-row cut, referenced via `all` by existing/probe/exact
+      s"q165: unexpected hint count $hinted — only the 1-row cut may be hinted")
+  }
+
+  test("q166: the CMS cell build is partial+final; probe join never cartesians") {
+    val p = plan("q166_cms_frequency")
+    assert(p.contains("partial_count"), s"cell build not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrdered"), s"probe top-20 should plan as TakeOrdered:\n$p")
+  }
+
+  test("q167: selection ranks within weight buckets — no unpartitioned corpus window") {
+    val df = SparkEntry.queries("q167_dsir_resample")(spark, sfDir)
+    val windowSpecs = "Window \\[[^\\]]*\\]".r.findAllIn(
+      df.queryExecution.optimizedPlan.toString()).toList
+    // the corpus-sized rank partitions by the coarse bucket; the only
+    // unpartitioned window is the cumsum over the bounded bucket table
+    assert(windowSpecs.exists(_.contains("bk")),
+      s"within-bucket rank lost its partitioning:\n$windowSpecs")
+    assert(!df.queryExecution.executedPlan.toString().contains("CartesianProduct"))
+  }
 }
