@@ -149,6 +149,27 @@ object TextQueries extends Registry {
        * (1.0 - 0.5 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN (${LangLexicon.sqlWordList}))) AS DOUBLE)
                        / len(string_split(text, ' '))))"""
 
+  /** q146's fixed-weight classifier logit (requires a `w` token-array
+    * column in scope); shared with the q168 calibration audit. All
+    * weights are exact binary fractions over int/int divisions — the
+    * logit is bit-identical cross-engine with this evaluation order.
+    */
+  private def classifierLogit = {
+    val nTok = size(col("w")).cast("double")
+    val fLen = least(lit(1.0), nTok / 100.0)
+    val meanWlen = (length(col("text")).cast("double") - (nTok - lit(1.0))) / nTok
+    lit(-1.0) + lit(2.5) * fLen - lit(4.0) * docDigitRatio +
+      lit(1.0) * docStopRatio - lit(0.25) * meanWlen
+  }
+
+  private val logitSqlExpr =
+    s"""-1.0 + 2.5 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+       - 4.0 * ((CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text))
+       + 1.0 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN (${LangLexicon.sqlWordList}))) AS DOUBLE)
+                / len(string_split(text, ' ')))
+       - 0.25 * ((CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE))"""
+
   /** DuckDB twin of [[lshScored]] (appended after [[minhashCte]]). */
   private val lshScoredCte = {
     val bandSelects = (0 until nBands).map { b =>
@@ -1308,25 +1329,13 @@ object TextQueries extends Registry {
     Q("q146_quality_classifier",
       (s, dir) => {
         import s.implicits._
-        val nTok = size($"w").cast("double")
-        val fLen = least(lit(1.0), nTok / 100.0)
-        val meanWlen = (length($"text").cast("double") - (nTok - lit(1.0))) / nTok
-        val logit = lit(-1.0) + lit(2.5) * fLen - lit(4.0) * docDigitRatio +
-          lit(1.0) * docStopRatio - lit(0.25) * meanWlen
         docs(s, dir).withColumn("w", tokens($"text"))
-          .withColumn("logit", logit)
+          .withColumn("logit", classifierLogit)
           .select($"doc_id", $"logit",
             when($"logit" > 0.0, 1L).otherwise(0L).as("keep"))
           .orderBy($"doc_id")
       },
-      Some(s"""WITH f AS (SELECT doc_id,
-            -1.0 + 2.5 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
-            - 4.0 * ((CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text))
-            + 1.0 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN (${LangLexicon.sqlWordList}))) AS DOUBLE)
-                     / len(string_split(text, ' ')))
-            - 0.25 * ((CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
-                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS logit
-          FROM documents)
+      Some(s"""WITH f AS (SELECT doc_id, $logitSqlExpr AS logit FROM documents)
         SELECT doc_id, logit,
           CAST(CASE WHEN logit > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM f ORDER BY doc_id""")),
@@ -1767,7 +1776,138 @@ object TextQueries extends Registry {
           SELECT doc_id, lw AS logw_micro,
             CAST(CASE WHEN c_gt + rn <= (SELECT (count(*) + 4) // 5 FROM documents)
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
-          FROM rk JOIN bcum USING (bk) ORDER BY doc_id"""))
+          FROM rk JOIN bcum USING (bk) ORDER BY doc_id""")),
+
+    // ---- classifier calibration audit (ECE bins): before trusting
+    //      q146's quality classifier as a corpus FILTER, check whether
+    //      its probabilities mean what they say — per confidence bin,
+    //      predicted probability vs empirical positive rate (label =
+    //      q28's independent quality heuristic >= 0.4, the q78 curation
+    //      threshold). The sigmoid is micro-quantized to a LONG before
+    //      binning, so bin membership and the mean-p sums are exact
+    //      integers cross-engine (exp's last-ULP divergence is absorbed
+    //      by the rounding, q105's ln recipe). Row-local probability,
+    //      one 10-row groupBy — the plan is corpus-size-independent
+    //      state, unchanged at 100 TB. --------------------------------------
+    Q("q168_calibration_bins",
+      (s, dir) => {
+        import s.implicits._
+        val pMicro = round(lit(1e6) / (lit(1.0) + exp(-classifierLogit))).cast("long")
+        docs(s, dir).withColumn("w", tokens($"text"))
+          .select(pMicro.as("p_micro"),
+            when(docQuality >= 0.4, 1L).otherwise(0L).as("label"))
+          .select(least(expr("p_micro div 100000"), lit(9L)).as("bin"),
+            $"p_micro", $"label")
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n"),
+            (sum($"p_micro").cast("double") / 1e6 / count(lit(1))).as("mean_p"),
+            (sum($"label").cast("double") / count(lit(1))).as("frac_pos"))
+          .withColumn("gap", abs($"mean_p" - $"frac_pos"))
+          .orderBy($"bin")
+      },
+      Some(s"""WITH s AS (SELECT
+              CAST(round(1000000 / (1.0 + exp(-($logitSqlExpr)))) AS BIGINT) AS p_micro,
+              CASE WHEN ($qualitySqlExpr) >= 0.4 THEN 1 ELSE 0 END AS label
+            FROM documents),
+          b AS (SELECT CAST(least(p_micro // 100000, 9) AS BIGINT) AS bin,
+                  p_micro, label FROM s),
+          g AS (SELECT bin, count(*) AS n,
+                  CAST(sum(p_micro) AS DOUBLE) / 1000000 / count(*) AS mean_p,
+                  CAST(sum(label) AS DOUBLE) / count(*) AS frac_pos
+                FROM b GROUP BY bin)
+          SELECT bin, n, mean_p, frac_pos, abs(mean_p - frac_pos) AS gap
+          FROM g ORDER BY bin""")),
+
+    // ---- inter-annotator agreement (Cohen's kappa): when two labelers
+    //      (two LLM seeds, two heuristics, a model vs a human sample)
+    //      disagree, raw accuracy overstates consensus — kappa corrects
+    //      for chance agreement. The two annotators here are noisy
+    //      thresholds over q28's quality score (md5-derived per-doc
+    //      noise, so both engines replay the same raters; the shared
+    //      signal makes kappa genuinely positive rather than hash
+    //      noise). Verdicts are row-local; the 2×2 contingency table is
+    //      ONE partially-aggregated global agg — four longs of state at
+    //      any corpus size. Single-row, order-free. -------------------------
+    Q("q169_annotator_kappa",
+      (s, dir) => {
+        import s.implicits._
+        def noise(tag: String) = expr(
+          s"cast(conv(substring(md5(concat('$tag:', doc_id)), 1, 12), 16, 10) as bigint) % 1000")
+          .cast("double") / 1000.0 * 0.2 - 0.1
+        def ann(tag: String) = when(docQuality + noise(tag) >= 0.35, 1L).otherwise(0L)
+        docs(s, dir).withColumn("w", tokens($"text"))
+          .select(ann("annA").as("ya"), ann("annB").as("yb"))
+          .agg(count(lit(1)).as("n"),
+            sum(when($"ya" === 1 && $"yb" === 1, 1L).otherwise(0L)).as("n11"),
+            sum(when($"ya" === 1 && $"yb" === 0, 1L).otherwise(0L)).as("n10"),
+            sum(when($"ya" === 0 && $"yb" === 1, 1L).otherwise(0L)).as("n01"),
+            sum(when($"ya" === 0 && $"yb" === 0, 1L).otherwise(0L)).as("n00"))
+          .select($"n", $"n11", $"n10", $"n01", $"n00",
+            (($"n11" + $"n00").cast("double") / $"n").as("po"),
+            ((($"n11" + $"n10").cast("double") / $"n") * (($"n11" + $"n01").cast("double") / $"n")
+              + (($"n01" + $"n00").cast("double") / $"n") * (($"n10" + $"n00").cast("double") / $"n")).as("pe"))
+          .withColumn("kappa", ($"po" - $"pe") / (lit(1.0) - $"pe"))
+      },
+      Some {
+        def annSql(tag: String) =
+          s"""CASE WHEN ($qualitySqlExpr)
+                + (CAST(${hexPolySql(12, s"'$tag:' || doc_id")} % 1000 AS DOUBLE)
+                   / 1000 * 0.2 - 0.1) >= 0.35 THEN 1 ELSE 0 END"""
+        s"""WITH a AS (SELECT ${annSql("annA")} AS ya, ${annSql("annB")} AS yb
+              FROM documents),
+          c AS (SELECT count(*) AS n,
+                  sum(CASE WHEN ya = 1 AND yb = 1 THEN 1 ELSE 0 END) AS n11,
+                  sum(CASE WHEN ya = 1 AND yb = 0 THEN 1 ELSE 0 END) AS n10,
+                  sum(CASE WHEN ya = 0 AND yb = 1 THEN 1 ELSE 0 END) AS n01,
+                  sum(CASE WHEN ya = 0 AND yb = 0 THEN 1 ELSE 0 END) AS n00 FROM a),
+          p AS (SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+                  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+                  CAST(n00 AS BIGINT) AS n00,
+                  CAST(n11 + n00 AS DOUBLE) / n AS po,
+                  (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                    + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n) AS pe
+                FROM c)
+          SELECT n, n11, n10, n01, n00, po, pe, (po - pe) / (1.0 - pe) AS kappa
+          FROM p"""
+      }),
+
+    // ---- epoch-weighted mixture schedule: the LLaMA-style data recipe
+    //      where each source is seen a FRACTIONAL number of epochs (wiki
+    //      3.3×, web 0.8×). Per doc the replication count is
+    //      floor(epochs) plus an md5-coin for the fractional epoch —
+    //      deterministic, partition-invariant, and exactly replayed by
+    //      the oracle; per-source sums audit that realized replication
+    //      tracks the recipe. Everything is row-local until the final
+    //      per-source agg; materializing the replicas themselves is a
+    //      row-local explode(sequence(1, emit)) — no shuffle at any
+    //      corpus size. Epochs (×10) are md5-derived per source standing
+    //      in for a recipe table a real pipeline would broadcast. ----------
+    Q("q170_epoch_schedule",
+      (s, dir) => {
+        import s.implicits._
+        val ep = expr("cast(conv(substring(md5(source), 1, 12), 16, 10) as bigint) % 26") + lit(5L)
+        val coin = expr(
+          "cast(conv(substring(md5(concat('epoch:', doc_id)), 1, 12), 16, 10) as bigint) % 10")
+        docs(s, dir).select($"doc_id", $"source")
+          .withColumn("epochs_x10", ep)
+          .withColumn("emit", expr("epochs_x10 div 10") +
+            when(coin < $"epochs_x10" % 10, 1L).otherwise(0L))
+          .groupBy($"source")
+          .agg(max($"epochs_x10").as("epochs_x10"), count(lit(1)).as("n_docs"),
+            sum($"emit").as("n_emitted"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH e AS (SELECT doc_id, source,
+              5 + ${hexPolySql(12, "source")} % 26 AS epochs_x10,
+              ${hexPolySql(12, "'epoch:' || doc_id")} % 10 AS coin
+            FROM documents),
+          d AS (SELECT source, epochs_x10,
+                  epochs_x10 // 10
+                    + CASE WHEN coin < epochs_x10 % 10 THEN 1 ELSE 0 END AS emit
+                FROM e)
+          SELECT source, CAST(max(epochs_x10) AS BIGINT) AS epochs_x10,
+            count(*) AS n_docs, CAST(sum(emit) AS BIGINT) AS n_emitted
+          FROM d GROUP BY source ORDER BY source"""))
   )
 
   /** Shared recursive-tokenizer SQL (q127): identical text in both engines
