@@ -1337,6 +1337,80 @@ object PipelineQueries extends Registry {
           WHERE NOT EXISTS (SELECT 1 FROM c
             WHERE c.user_id = p.user_id
               AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts < p.p_ts)
-          ORDER BY purchase_id"""))
+          ORDER BY purchase_id""")),
+
+    // ---- streaming distribution-drift monitor: q114's PSI computed
+    //      against a LIVE incoming stream. Reference distribution = the
+    //      existing corpus (doc_id < the q122 integer ingest watermark);
+    //      the incoming slice streams through an UPDATE-mode lang count
+    //      (state = one long per lang — bounded by lang cardinality, the
+    //      right 100 TB contract for a monitor); the readout takes the
+    //      final stream counts (max(n) per lang over the update log, the
+    //      q128 recipe), full-joins the static reference so a lang absent
+    //      from either side still contributes, and emits per-lang PSI
+    //      terms rounded at 1e-6 before any cross-row use. The DuckDB
+    //      twin recomputes both distributions from the deterministic
+    //      doc_id split. --------------------------------------------------
+    Q("q171_streaming_drift",
+      (s, dir) => {
+        // dedicated 4-partition child session (see q41's comment)
+        val ss = StreamingOps.streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val docsAll = Tables(ss, dir, "documents")
+        val cut = docsAll.agg(expr("max(doc_id) - max(doc_id) div 10").as("c"))
+          .collect()(0).getLong(0)
+        val incoming = docsAll.filter($"doc_id" >= cut)
+          .select($"doc_id", $"lang").orderBy($"doc_id")
+          .as[(Long, String)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val qn = s"graft_drift_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val query = mem.toDF().toDF("doc_id", "lang")
+          .groupBy($"lang").agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
+        try {
+          val (b1, b2) = incoming.splitAt(incoming.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          mem.addData(b2.toSeq); query.processAllAvailable()
+          val inc = ss.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .groupBy($"lang").agg(max($"n").as("n_inc"))
+          val ref = docsAll.filter($"doc_id" < cut)
+            .groupBy($"lang").agg(count(lit(1)).as("n_ref"))
+          val counts = ref.join(inc, Seq("lang"), "full")
+            .select($"lang", coalesce($"n_ref", lit(0L)).as("n_ref"),
+              coalesce($"n_inc", lit(0L)).as("n_inc"))
+          val tot = counts.agg(count(lit(1)).cast("double").as("k"),
+            sum($"n_ref").cast("double").as("tot_ref"),
+            sum($"n_inc").cast("double").as("tot_inc"))
+          counts.join(broadcast(tot))
+            .select($"lang", $"n_ref", $"n_inc",
+              (($"n_ref" + 1) / ($"tot_ref" + $"k")).as("p_ref"),
+              (($"n_inc" + 1) / ($"tot_inc" + $"k")).as("p_inc"))
+            .withColumn("psi_term",
+              round(($"p_ref" - $"p_inc") * log($"p_ref" / $"p_inc"), 6))
+            .select($"lang", $"n_ref", $"n_inc",
+              round($"p_ref", 6).as("p_ref"), round($"p_inc", 6).as("p_inc"),
+              $"psi_term")
+            .orderBy($"lang")
+        } finally query.stop()
+      },
+      Some("""WITH m AS (SELECT max(doc_id) - max(doc_id) // 10 AS cut FROM documents),
+          counts AS (SELECT lang,
+              CAST(sum(CASE WHEN doc_id < cut THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+              CAST(sum(CASE WHEN doc_id >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_inc
+            FROM documents, m GROUP BY lang),
+          tot AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+              CAST(sum(n_ref) AS DOUBLE) AS tot_ref,
+              CAST(sum(n_inc) AS DOUBLE) AS tot_inc FROM counts),
+          p AS (SELECT lang, n_ref, n_inc,
+              (n_ref + 1) / (tot_ref + k) AS p_ref,
+              (n_inc + 1) / (tot_inc + k) AS p_inc
+            FROM counts CROSS JOIN tot)
+          SELECT lang, n_ref, n_inc,
+            round(p_ref, 6) AS p_ref, round(p_inc, 6) AS p_inc,
+            round((p_ref - p_inc) * ln(p_ref / p_inc), 6) AS psi_term
+          FROM p ORDER BY lang"""))
   )
 }
