@@ -1907,7 +1907,147 @@ object TextQueries extends Registry {
                 FROM e)
           SELECT source, CAST(max(epochs_x10) AS BIGINT) AS epochs_x10,
             count(*) AS n_docs, CAST(sum(emit) AS BIGINT) AS n_emitted
-          FROM d GROUP BY source ORDER BY source"""))
+          FROM d GROUP BY source ORDER BY source""")),
+
+    // ---- exact duplicated-substring spans (Lee et al., "Deduplicating
+    //      Training Data Makes Language Models Better", ACL'22 —
+    //      substring-level dedup at a token threshold): every STRIDE-1
+    //      20-token window is hashed (q99's stride-10 chunks can MISS
+    //      repeats shifted by up to 9 tokens; stride 1 is exact), any
+    //      window whose hash recurs anywhere in the corpus is a
+    //      duplicated substring, and overlapping occurrences merge into
+    //      MAXIMAL per-doc spans (interval union: running-max-of-end
+    //      window → break flags → running-sum group ids) whose token
+    //      mass is exactly what the substring-dedup pass would cut.
+    //      One gram-hash shuffle + one doc-keyed window pair sharing a
+    //      single exchange; gram extraction is row-local. At 100 TB the
+    //      stride-1 gram table is ~tokens×1 rows — the df filter (cnt>1)
+    //      shrinks it to the duplicated tail before the join back, and
+    //      the 100 TB answer to the gram-table size is q165's Bloom
+    //      pre-filter on the hash before the shuffle. ----------------------
+    Q("q172_substring_spans",
+      (s, dir) => {
+        import s.implicits._
+        val L = 20
+        val g = docs(s, dir)
+          .select($"doc_id", tokens(lower($"text")).as("w"))
+          .filter(size($"w") >= L)
+          .select($"doc_id", explode(expr(
+            s"""transform(sequence(1, size(w) - ${L - 1}),
+                i -> struct(i as start, md5(array_join(slice(w, i, $L), ' ')) as h))"""))
+            .as("gh"))
+          .select($"doc_id", $"gh.start".as("start"), $"gh.h".as("h"))
+        val dup = g.groupBy($"h").agg(count(lit(1)).as("cnt"))
+          .filter($"cnt" > 1).select($"h")
+        val wPrev = Window.partitionBy($"doc_id").orderBy($"start")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy($"doc_id").orderBy($"start")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        g.join(dup, Seq("h")).select($"doc_id", $"start")
+          .withColumn("brk",
+            when($"start" > coalesce(max($"start" + L).over(wPrev), lit(-1)), 1L)
+              .otherwise(0L))
+          .withColumn("grp", sum($"brk").over(wRun))
+          .groupBy($"doc_id", $"grp")
+          .agg(min($"start").as("s0"), (max($"start") + L).as("s1"),
+            count(lit(1)).as("n_grams"))
+          .groupBy($"doc_id")
+          .agg(sum($"n_grams").as("n_dup_grams"), count(lit(1)).as("n_spans"),
+            sum($"s1" - $"s0").cast("long").as("dup_token_mass"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+          g AS (SELECT doc_id, i AS start, md5(array_to_string(w[i : i + 19], ' ')) AS h
+                FROM t, UNNEST(range(1, len(w) - 19 + 1)) AS r(i)),
+          dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+          o AS (SELECT doc_id, start FROM g WHERE h IN (SELECT h FROM dup)),
+          m AS (SELECT doc_id, start,
+                  CASE WHEN start > COALESCE(max(start + 20) OVER (
+                         PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS brk
+                FROM o),
+          s AS (SELECT doc_id, start,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM m),
+          sp AS (SELECT doc_id, grp, min(start) AS s0, max(start) + 20 AS s1,
+                   count(*) AS n_grams
+                 FROM s GROUP BY doc_id, grp)
+          SELECT doc_id, CAST(sum(n_grams) AS BIGINT) AS n_dup_grams,
+            count(*) AS n_spans, CAST(sum(s1 - s0) AS BIGINT) AS dup_token_mass
+          FROM sp GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- confident-learning label-noise audit (Northcutt et al., JAIR'21
+    //      — the Cleanlab pruning recipe): labels here are the q28
+    //      heuristic with a deterministic 5% md5-coin FLIP injected, the
+    //      model is q146's sigmoid. Per-class confidence thresholds are
+    //      the mean predicted confidence among docs OBSERVED as that
+    //      class; a doc is confidently assigned to the class whose
+    //      confidence clears its threshold (larger margin wins when both
+    //      do), and off-diagonal confident assignments are the suspected
+    //      label errors. Because the flips are replayable, the audit
+    //      self-validates: every confident suspect at test scale IS a
+    //      flipped doc (perfect precision, partial recall — the CL
+    //      profile). Thresholds are two global means over micro-longs
+    //      (one partial agg + a 1-row broadcast); verdicts are row-local.
+    //      Single-row, order-free. -------------------------------------------
+    Q("q173_label_noise_audit",
+      (s, dir) => {
+        import s.implicits._
+        val pMicro = round(lit(1e6) / (lit(1.0) + exp(-classifierLogit))).cast("long")
+        val flip = expr(
+          "cast(conv(substring(md5(concat('noise:', doc_id)), 1, 12), 16, 10) as bigint) % 20")
+        val s2 = docs(s, dir).withColumn("w", tokens($"text"))
+          .select($"doc_id", pMicro.as("c1"),
+            when(docQuality >= 0.4, 1L).otherwise(0L).as("yt"),
+            when(flip === 0, 1L).otherwise(0L).as("flip"))
+          .select($"doc_id", $"c1", (lit(1000000L) - $"c1").as("c0"),
+            when($"flip" === 1, lit(1L) - $"yt").otherwise($"yt").as("y"), $"flip")
+        val t = s2.agg(
+          avg(when($"y" === 1, $"c1".cast("double"))).as("t1"),
+          avg(when($"y" === 0, $"c0".cast("double"))).as("t0"))
+        s2.join(broadcast(t))
+          .select($"y", $"flip",
+            when($"c1" >= $"t1" && ($"c0" < $"t0" || $"c1" - $"t1" >= $"c0" - $"t0"), 1L)
+              .when($"c0" >= $"t0", 0L).otherwise(-1L).as("yhat"))
+          .agg(count(lit(1)).as("n"),
+            sum(when($"y" === 1 && $"yhat" === 1, 1L).otherwise(0L)).as("c_11"),
+            sum(when($"y" === 1 && $"yhat" === 0, 1L).otherwise(0L)).as("c_10"),
+            sum(when($"y" === 0 && $"yhat" === 1, 1L).otherwise(0L)).as("c_01"),
+            sum(when($"y" === 0 && $"yhat" === 0, 1L).otherwise(0L)).as("c_00"),
+            sum(when($"yhat" === -1, 1L).otherwise(0L)).as("n_unassigned"),
+            sum(when($"yhat" >= 0 && $"yhat" =!= $"y", 1L).otherwise(0L)).as("n_suspects"),
+            sum($"flip").as("n_flipped"),
+            sum(when($"yhat" >= 0 && $"yhat" =!= $"y" && $"flip" === 1, 1L).otherwise(0L))
+              .as("n_suspects_flipped"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id,
+              CAST(round(1000000 / (1.0 + exp(-($logitSqlExpr)))) AS BIGINT) AS c1,
+              CASE WHEN ($qualitySqlExpr) >= 0.4 THEN 1 ELSE 0 END AS yt,
+              CASE WHEN ${hexPolySql(12, "'noise:' || doc_id")} % 20 = 0
+                   THEN 1 ELSE 0 END AS flip
+            FROM documents),
+          s2 AS (SELECT doc_id, c1, 1000000 - c1 AS c0,
+                   CASE WHEN flip = 1 THEN 1 - yt ELSE yt END AS y, flip FROM s),
+          t AS (SELECT avg(CASE WHEN y = 1 THEN CAST(c1 AS DOUBLE) END) AS t1,
+                       avg(CASE WHEN y = 0 THEN CAST(c0 AS DOUBLE) END) AS t0 FROM s2),
+          j AS (SELECT doc_id, y, flip,
+                  CASE WHEN c1 >= t1 AND (c0 < t0 OR c1 - t1 >= c0 - t0) THEN 1
+                       WHEN c0 >= t0 THEN 0
+                       ELSE -1 END AS yhat
+                FROM s2 CROSS JOIN t)
+          SELECT count(*) AS n,
+            CAST(sum(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_11,
+            CAST(sum(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_10,
+            CAST(sum(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_01,
+            CAST(sum(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_00,
+            CAST(sum(CASE WHEN yhat = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unassigned,
+            CAST(sum(CASE WHEN yhat >= 0 AND yhat <> y THEN 1 ELSE 0 END) AS BIGINT) AS n_suspects,
+            CAST(sum(flip) AS BIGINT) AS n_flipped,
+            CAST(sum(CASE WHEN yhat >= 0 AND yhat <> y AND flip = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_suspects_flipped
+          FROM j"""))
   )
 
   /** Shared recursive-tokenizer SQL (q127): identical text in both engines
