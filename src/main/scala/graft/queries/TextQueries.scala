@@ -449,6 +449,60 @@ object TextQueries extends Registry {
           SELECT a AS doc_id, least(a, min(b)) AS component
           FROM reach GROUP BY a ORDER BY doc_id""")),
 
+    // ---- duplication-centrality PageRank: 3 quantized power iterations
+    //      over q73's undirected near-dup pair graph — a VALUE-propagation
+    //      iterative kernel beside q73's label propagation. High rank = a
+    //      document at the hub of a duplication web (boilerplate center),
+    //      the triage-priority signal. GraphX's unnormalized variant
+    //      (r0 = 1, r' = 0.15 + 0.85·Σ r(u)/deg(u)) with every rank a
+    //      MICRO-LONG and every division integer — bit-identical
+    //      cross-engine and under repartitioning; the DuckDB oracle
+    //      unrolls the same three iterations, and GraphXCrossCheckSpec
+    //      referees against graphx.lib.PageRank within quantization
+    //      drift. Per iteration: one edge-keyed join + one dst groupBy;
+    //      at 3 fixed rounds the lineage stays flat (the >O(10)-round
+    //      variant would localCheckpoint per round like Components). ------
+    Q("q174_dup_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val mh = materialize(minhashes(s, dir))
+        val pairs = lshScored(mh).filter(col("agree") >= nPerms / 2)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val und = pairs.union(pairs.select($"b".as("a"), $"a".as("b")))
+        val deg = und.groupBy($"a").agg(count(lit(1)).as("deg"))
+        val undD = und.join(deg, Seq("a"))
+        val nodes = deg.select($"a".as("v"))
+        var r = nodes.select($"v", lit(1000000L).as("r"))
+        for (_ <- 1 to 3) {
+          val inflow = undD.join(r.withColumnRenamed("v", "a"), Seq("a"))
+            .select($"b".as("v"), expr("r div deg").as("c"))
+            .groupBy($"v").agg(sum($"c").as("inflow"))
+          r = nodes.join(inflow, Seq("v"), "left")
+            .select($"v",
+              (lit(150000L) + expr("(85 * coalesce(inflow, 0)) div 100")).as("r"))
+        }
+        r.select($"v".as("doc_id"), $"r".as("rank_micro")).orderBy($"doc_id")
+      },
+      Some(s"""WITH $lshScoredCte,
+          p AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE agree >= ${nPerms / 2}),
+          und AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+          deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+          r0 AS (SELECT a AS v, CAST(1000000 AS BIGINT) AS r FROM deg),
+          i1 AS (SELECT u.b AS v,
+                   150000 + (85 * COALESCE(sum(r0.r // d.deg), 0)) // 100 AS r
+                 FROM und u JOIN deg d ON u.a = d.a JOIN r0 ON r0.v = u.a
+                 GROUP BY u.b),
+          i2 AS (SELECT u.b AS v,
+                   150000 + (85 * COALESCE(sum(i1.r // d.deg), 0)) // 100 AS r
+                 FROM und u JOIN deg d ON u.a = d.a JOIN i1 ON i1.v = u.a
+                 GROUP BY u.b),
+          i3 AS (SELECT u.b AS v,
+                   150000 + (85 * COALESCE(sum(i2.r // d.deg), 0)) // 100 AS r
+                 FROM und u JOIN deg d ON u.a = d.a JOIN i2 ON i2.v = u.a
+                 GROUP BY u.b)
+          SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_micro
+          FROM i3 ORDER BY doc_id""")),
+
     // ---- quality-percentile filter: keep the top 10% of documents by
     //      quality score. The threshold is RANK-based (exact), not an
     //      approximate percentile: n is one count, the cut is a TakeOrdered

@@ -33,4 +33,33 @@ class GraphXCrossCheckSpec extends SparkSpec {
         s"doc $doc: engine component $comp, GraphX ${gx(doc)}")
     }
   }
+
+  test("q174 quantized PageRank tracks graphx.lib.PageRank on the same edges") {
+    // same undirected edge set (both directions fed as directed edges so
+    // GraphX outDegree == undirected degree); staticPageRank runs the
+    // identical unnormalized iteration (r0 = 1, r' = 0.15 + 0.85·inflow)
+    // in doubles — our micro-long floor divisions may lag by at most a
+    // few micro per iteration, so agreement within 1e-3 is the contract
+    val pairs = SparkEntry.queries("q23_minhash_lsh")(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no LSH edges at this scale factor — vacuous test")
+    val und = pairs ++ pairs.map { case (a, b) => (b, a) }
+
+    val ours = SparkEntry.queries("q174_dup_pagerank")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1) / 1e6).toMap
+
+    val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
+      spark.sparkContext.parallelize(und.toSeq), defaultValue = 0)
+    val gx = org.apache.spark.graphx.lib.PageRank.run(g, numIter = 3, resetProb = 0.15)
+      .vertices.collect().map { case (v, pr) => v -> pr }.toMap
+
+    assert(ours.keySet == gx.keySet,
+      s"vertex sets differ: ours-only=${ours.keySet -- gx.keySet} gx-only=${gx.keySet -- ours.keySet}")
+    ours.foreach { case (doc, rank) =>
+      assert(math.abs(rank - gx(doc)) <= 1e-3,
+        s"doc $doc: engine rank $rank, GraphX ${gx(doc)}")
+    }
+  }
 }
