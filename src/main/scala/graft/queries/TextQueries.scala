@@ -503,6 +503,112 @@ object TextQueries extends Registry {
           SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_micro
           FROM i3 ORDER BY doc_id""")),
 
+    // ---- dedup-aware train/val/test split: the split key is the doc's
+    //      near-dup COMPONENT (q73's connected components; singletons key
+    //      by their own doc_id), so a whole duplication cluster always
+    //      lands in one split — the fix for the leakage q136 audits
+    //      (near-identical docs straddling train and test inflate eval).
+    //      Same md5 detRand draw as q81, so the assignment is a pure
+    //      function of the component id: identical at any partitioning
+    //      and replayable by the oracle. Cost over q73 is one left join
+    //      of the corpus against the (much smaller) component table —
+    //      un-hinted, AQE broadcasts it only when it truly fits. ----------
+    Q("q176_dedup_aware_split",
+      (s, dir) => {
+        import s.implicits._
+        val mh = materialize(minhashes(s, dir))
+        val edges = lshScored(mh)
+          .filter(col("agree") >= nPerms / 2)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val comp = graft.operators.Components.connectedComponents(edges)
+          .select(col("node").as("doc_id"), col("comp"))
+        val keyed = docs(s, dir).select($"doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"comp", $"doc_id").as("component"))
+        val r = graft.operators.Sampling.detRand(13L, col("component"))
+        keyed.withColumn("split",
+            when(r < 0.90, "train").when(r < 0.95, "val").otherwise("test"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $lshScoredCte,
+          und AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE agree >= ${nPerms / 2}
+                  UNION
+                  SELECT doc_b, doc_a FROM scored WHERE agree >= ${nPerms / 2}),
+          reach(a, b) AS (SELECT a, b FROM und
+                          UNION
+                          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          comp AS (SELECT a AS doc_id, least(a, min(b)) AS comp
+                   FROM reach GROUP BY a),
+          keyed AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component
+                    FROM documents d LEFT JOIN comp c USING (doc_id))
+          SELECT doc_id, component,
+            CASE WHEN ${graft.operators.Sampling.detRandSql(13L, Seq("component"))} < 0.90 THEN 'train'
+                 WHEN ${graft.operators.Sampling.detRandSql(13L, Seq("component"))} < 0.95 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM keyed ORDER BY doc_id""")),
+
+    // ---- CCNet perplexity buckets (Wenzek et al., LREC 2020): per-LANG
+    //      head/middle/tail tertiles of the q105 unigram-LM score — the
+    //      classic "keep the head, audit the tail" curation signal, with
+    //      per-language cuts so low-resource langs aren't judged on the
+    //      dominant lang's scale. Tertiles are EXACT ranks, but never a
+    //      per-lang global sort (one task per language = the 100 TB
+    //      bottleneck): q167's coarse-bucket trick — per-(lang, bucket)
+    //      counts give every bucket's start rank, the row_number window
+    //      sorts only within small buckets, rank = bucket start + offset.
+    //      Integer rank*3 comparisons, no float cut points. The oracle
+    //      ranks directly with one window — same ranks, different plan. ----
+    Q("q177_perplexity_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val toks = docs(s, dir)
+          .select($"doc_id", $"lang", explode(tokens(lower($"text"))).as("token"))
+        val freq = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+        val total = freq.agg(sum($"cnt").cast("double").as("total"))
+        val lp = round(log($"cnt".cast("double") / $"total") * 1e6).cast("long")
+        val docLp = toks.join(freq, Seq("token"))
+          .join(broadcast(total))
+          .select($"doc_id", $"lang", lp.as("lp"))
+          .groupBy($"doc_id", $"lang")
+          .agg((sum($"lp").cast("double") / 1e6 / count(lit(1))).as("mean_logprob"))
+        val nl = docLp.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+        val bkt = docLp.withColumn("bk", floor($"mean_logprob" * 100).cast("long"))
+        val bcum = bkt.groupBy($"lang", $"bk").agg(count(lit(1)).as("cnt"))
+          .withColumn("c_gt", coalesce(sum($"cnt").over(
+            Window.partitionBy($"lang").orderBy($"bk".desc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"lang", $"bk", $"c_gt")
+        bkt.withColumn("rn", row_number().over(
+            Window.partitionBy($"lang", $"bk").orderBy($"mean_logprob".desc, $"doc_id")))
+          .join(bcum, Seq("lang", "bk"))
+          .join(nl, Seq("lang"))
+          .select($"doc_id", $"lang", $"mean_logprob",
+            when(($"c_gt" + $"rn") * 3 <= $"n_lang", "head")
+              .when(($"c_gt" + $"rn") * 3 <= $"n_lang" * 2, "middle")
+              .otherwise("tail").as("ppl_bucket"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents),
+          freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+          total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+          lp AS (SELECT doc_id, lang,
+                        CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT) AS lp
+                 FROM toks JOIN freq USING (token) CROSS JOIN total),
+          doclp AS (SELECT doc_id, lang,
+                           CAST(sum(lp) AS DOUBLE) / 1000000 / count(*) AS mean_logprob
+                    FROM lp GROUP BY doc_id, lang),
+          ranked AS (SELECT *,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY mean_logprob DESC, doc_id) AS r,
+                       count(*) OVER (PARTITION BY lang) AS nl
+                     FROM doclp)
+          SELECT doc_id, lang, mean_logprob,
+            CASE WHEN r * 3 <= nl THEN 'head'
+                 WHEN r * 3 <= nl * 2 THEN 'middle'
+                 ELSE 'tail' END AS ppl_bucket
+          FROM ranked ORDER BY doc_id""")),
+
     // ---- quality-percentile filter: keep the top 10% of documents by
     //      quality score. The threshold is RANK-based (exact), not an
     //      approximate percentile: n is one count, the cut is a TakeOrdered

@@ -976,6 +976,65 @@ object VectorQueries extends Registry {
           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY cosine DESC, neighbor_id) AS rn FROM rer)
           WHERE rn <= 3 ORDER BY query_id, rank"""
-      })
+      }),
+
+    // ---- SemDeDup (Abbas et al. 2023): semantic dedup by cluster-
+    //      restricted cosine. Within each IVF cluster, vectors whose
+    //      cosine exceeds the threshold form a semantic-duplicate group;
+    //      the paper's keep policy retains the member FARTHEST from the
+    //      cluster centroid (lowest centroid cosine — diversity survives,
+    //      the prototypical redundant copy drops). A vector is dropped iff
+    //      some same-cluster partner above the threshold sits closer to
+    //      the boundary (strictly lower ccos, vec_id tie-break) — a pure
+    //      pairwise rule, no per-group argmin shuffle. Candidates come
+    //      ONLY from shared clusters (q43's bound, never all-pairs); at
+    //      100 TB the cluster count scales with the corpus so per-cluster
+    //      membership stays bounded, and the threshold join is the same
+    //      co-partitioned self-join q43 already runs. --------------------
+    Q("q175_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
+        val cents = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cn"))
+        val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+        val assign = e.join(broadcast(cents))
+          .select($"vec_id", $"embedding", $"nrm", $"cid",
+            (dotFast($"cv", $"embedding") / ($"cn" * $"nrm")).as("ccos"))
+          .withColumn("arn", row_number().over(aw))
+          .filter($"arn" === 1)
+          .select($"vec_id", $"embedding", $"nrm", $"cid", $"ccos")
+        val drops = assign.as("a").join(assign.as("b"),
+            $"a.cid" === $"b.cid" && $"a.vec_id" =!= $"b.vec_id" &&
+            (dotFast($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")) > 0.35 &&
+            ($"b.ccos" < $"a.ccos" ||
+              ($"b.ccos" === $"a.ccos" && $"b.vec_id" < $"a.vec_id")))
+          .select($"a.vec_id".as("vec_id")).distinct()
+        assign.join(drops.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+          .select($"vec_id", $"cid", $"ccos",
+            when($"hit".isNotNull, "drop").otherwise("keep").as("verdict"))
+          .orderBy($"vec_id")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings WHERE vec_id < 8),
+          asg AS (SELECT vec_id, embedding, cid, ccos FROM (
+                    SELECT e.vec_id, e.embedding, c.cid,
+                      ${dotSql("c.cv", "e.embedding")}
+                        / (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS ccos,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        ${dotSql("c.cv", "e.embedding")}
+                          / (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                        c.cid) AS arn
+                    FROM embeddings e, cents c)
+                  WHERE arn = 1),
+          drops AS (SELECT DISTINCT a.vec_id
+                    FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+                      AND ${dotSql("a.embedding", "b.embedding")}
+                        / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) > 0.35
+                      AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
+          SELECT a.vec_id, a.cid, a.ccos,
+            CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict
+          FROM asg a LEFT JOIN drops d USING (vec_id) ORDER BY vec_id"""))
   )
 }

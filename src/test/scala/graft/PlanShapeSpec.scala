@@ -369,4 +369,31 @@ class PlanShapeSpec extends SparkSpec {
       s"within-bucket rank lost its partitioning:\n$windowSpecs")
     assert(!df.queryExecution.executedPlan.toString().contains("CartesianProduct"))
   }
+
+  test("q175: semantic-dup candidates stay cluster-restricted — no cartesian") {
+    val p = plan("q175_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"pairwise threshold join degenerated to all-pairs:\n$p")
+    assert(p.contains("Broadcast"), s"centroid table not broadcast:\n$p")
+  }
+
+  test("q176: the corpus-component join is un-hinted (component table is corpus-scale at web dedup rates)") {
+    val df = SparkEntry.queries("q176_dedup_aware_split")(spark, sfDir)
+    val hints = df.queryExecution.logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h.name
+    }
+    assert(hints.isEmpty, s"unexpected join hints on the split join: $hints")
+    assert(!df.queryExecution.executedPlan.toString().contains("CartesianProduct"))
+  }
+
+  test("q177: tertile ranks partition by (lang, bucket) — no per-lang corpus sort") {
+    val df = SparkEntry.queries("q177_perplexity_buckets")(spark, sfDir)
+    val windowSpecs = "Window \\[[^\\]]*\\]".r.findAllIn(
+      df.queryExecution.optimizedPlan.toString()).toList
+    // the corpus-sized row_number partitions by (lang, bk); the only
+    // lang-partitioned window is the cumsum over the bounded bucket table
+    assert(windowSpecs.exists(w => w.contains("bk") && w.contains("row_number")),
+      s"within-bucket rank lost its bucket partitioning:\n$windowSpecs")
+    assert(!df.queryExecution.executedPlan.toString().contains("CartesianProduct"))
+  }
 }
