@@ -609,6 +609,172 @@ object TextQueries extends Registry {
                  ELSE 'tail' END AS ppl_bucket
           FROM ranked ORDER BY doc_id""")),
 
+    // ---- distributed logistic-regression training: two full-batch
+    //      gradient steps (lr = 1) on a 4-weight quality model — the
+    //      TRAINING side of q146's fixed-weight classifier, the same way
+    //      q152 is the training side of q127. Per step: one broadcast of
+    //      the 1-row weight table, one map-side pass computing per-doc
+    //      residuals, one partial+final aggregate of MICRO-QUANTIZED
+    //      gradient terms — exact LONG sums, so the learned weights are
+    //      bit-identical at any parallelism (KMeans.lloydStep's contract
+    //      applied to a gradient). No driver-side collect: weights flow
+    //      between steps as a 1-row DataFrame. At 100 TB each step is one
+    //      corpus scan + a 5-long reduce; steps scale linearly and the
+    //      model state is O(features). Labels come from the independent
+    //      q28 quality heuristic (distillation, like q146/q168). ----------
+    Q("q178_logreg_train",
+      (s, dir) => {
+        import s.implicits._
+        val feats = materialize(docs(s, dir).withColumn("w", tokens($"text"))
+          .select($"doc_id",
+            least(lit(1.0), size($"w").cast("double") / 100.0).as("f1"),
+            docDigitRatio.as("f2"),
+            docStopRatio.as("f3"),
+            when(docQuality >= 0.4, 1L).otherwise(0L).as("y")))
+        val w0 = Seq((0.0, 0.0, 0.0, 0.0)).toDF("w0", "w1", "w2", "w3")
+        def pMicro = round(lit(1e6) / (lit(1.0) +
+          exp(-($"w0" + $"w1" * $"f1" + $"w2" * $"f2" + $"w3" * $"f3")))).cast("long")
+        def step(wDf: DataFrame): DataFrame =
+          feats.crossJoin(broadcast(wDf))
+            .select((pMicro.cast("double") / 1e6 - $"y".cast("double")).as("r"),
+              $"f1", $"f2", $"f3")
+            .agg(sum(round($"r" * 1e6).cast("long")).as("g0"),
+              sum(round($"r" * $"f1" * 1e6).cast("long")).as("g1"),
+              sum(round($"r" * $"f2" * 1e6).cast("long")).as("g2"),
+              sum(round($"r" * $"f3" * 1e6).cast("long")).as("g3"),
+              count(lit(1)).as("n"))
+            .crossJoin(broadcast(wDf))
+            .select(($"w0" - $"g0".cast("double") / 1e6 / $"n").as("w0"),
+              ($"w1" - $"g1".cast("double") / 1e6 / $"n").as("w1"),
+              ($"w2" - $"g2".cast("double") / 1e6 / $"n").as("w2"),
+              ($"w3" - $"g3".cast("double") / 1e6 / $"n").as("w3"))
+        val w2 = step(step(w0))
+        feats.crossJoin(broadcast(w2))
+          .select($"y", when(pMicro >= 500000L, 1L).otherwise(0L).as("pred"))
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(when($"pred" === $"y", 1L).otherwise(0L)).cast("double")
+              / count(lit(1))).as("train_acc"))
+          .crossJoin(broadcast(w2))
+          .select($"n_docs", $"w0", $"w1", $"w2", $"w3", $"train_acc")
+      },
+      Some {
+        val digitSql =
+          "((CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text))"
+        val stopSql =
+          s"""(CAST(len(list_filter(string_split(text, ' '), x -> x IN (${LangLexicon.sqlWordList}))) AS DOUBLE)
+              / len(string_split(text, ' ')))"""
+        def pmSql(w: String) =
+          s"""CAST(round(1000000 / (1.0 + exp(-($w.w0 + $w.w1 * f1 + $w.w2 * f2 + $w.w3 * f3)))) AS BIGINT)"""
+        def stepSql(prev: String, p: String, g: String, nxt: String) =
+          s"""$p AS (SELECT f.*, ${pmSql("w")} AS pm FROM f CROSS JOIN $prev w),
+            $g AS (SELECT
+                sum(CAST(round((CAST(pm AS DOUBLE) / 1000000 - y) * 1000000) AS BIGINT)) AS g0,
+                sum(CAST(round((CAST(pm AS DOUBLE) / 1000000 - y) * f1 * 1000000) AS BIGINT)) AS g1,
+                sum(CAST(round((CAST(pm AS DOUBLE) / 1000000 - y) * f2 * 1000000) AS BIGINT)) AS g2,
+                sum(CAST(round((CAST(pm AS DOUBLE) / 1000000 - y) * f3 * 1000000) AS BIGINT)) AS g3,
+                count(*) AS n FROM $p),
+            $nxt AS (SELECT w.w0 - CAST(g.g0 AS DOUBLE) / 1000000 / g.n AS w0,
+                            w.w1 - CAST(g.g1 AS DOUBLE) / 1000000 / g.n AS w1,
+                            w.w2 - CAST(g.g2 AS DOUBLE) / 1000000 / g.n AS w2,
+                            w.w3 - CAST(g.g3 AS DOUBLE) / 1000000 / g.n AS w3
+                     FROM $prev w CROSS JOIN $g g)"""
+        s"""WITH f AS (SELECT doc_id,
+                least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS f1,
+                $digitSql AS f2,
+                $stopSql AS f3,
+                CASE WHEN ($qualitySqlExpr) >= 0.4 THEN 1 ELSE 0 END AS y
+              FROM documents),
+            wa AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+            ${stepSql("wa", "p1", "g1", "wb")},
+            ${stepSql("wb", "p2", "g2", "wc")},
+            acc AS (SELECT count(*) AS n_docs,
+                CAST(sum(CASE WHEN (pm >= 500000 AND y = 1) OR (pm < 500000 AND y = 0)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS train_acc
+              FROM (SELECT f.y, ${pmSql("w")} AS pm FROM f CROSS JOIN wc w))
+          SELECT CAST(a.n_docs AS BIGINT) AS n_docs, w.w0, w.w1, w.w2, w.w3, a.train_acc
+          FROM acc a CROSS JOIN wc w"""
+      }),
+
+    // ---- LSH recall audit ("measure, don't guess" for the dedup stack):
+    //      ground truth = exact Jaccard >= 0.5 over q22's df-capped
+    //      inverted index (the indexable space — at 100 TB uncapped exact
+    //      Jaccard does not exist, and hot shingles carry no dedup
+    //      signal); candidates = q23's band-bucket pairs. Reports how many
+    //      true near-dup pairs the banding recovers plus the minhash
+    //      estimator's mean absolute error over the recovered pairs
+    //      (micro-quantized exact sum). This is the dial-tuning audit for
+    //      nPerms/nBands: run it per corpus before committing band
+    //      geometry. Cost: the q22 index + the q23 candidates (both
+    //      already bounded), one broadcast-sized join between them. -------
+    Q("q179_lsh_recall_audit",
+      (s, dir) => {
+        import s.implicits._
+        val postings = materialize(shingleSet(s, dir)
+          .groupBy($"shingle").agg(sort_array(collect_list($"doc_id")).as("ds"))
+          .filter(size($"ds") <= 100))
+        val sizes = postings.select(explode($"ds").as("doc_id"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val truth = postings
+          .select(explode(expr(
+            "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"))
+            .as("p"))
+          .select($"p.doc_a", $"p.doc_b")
+          .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+          .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+          .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+          .select($"doc_a", $"doc_b",
+            ($"common".cast("double") / ($"na" + $"nb" - $"common")).as("jaccard"))
+          .filter($"jaccard" >= 0.5)
+        val mh = materialize(minhashes(s, dir))
+        val cand = lshScored(mh)
+          .select($"doc_a", $"doc_b", ($"agree".cast("double") / nPerms).as("est"))
+        val joined = truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        joined.agg(
+            count(lit(1)).as("n_true"),
+            sum(when($"est".isNotNull, 1L).otherwise(0L)).as("n_hit"),
+            (sum(when($"est".isNotNull,
+                round(abs($"est" - $"jaccard") * 1e6).cast("long")).otherwise(0L))
+              .cast("double") / 1e6
+              / greatest(sum(when($"est".isNotNull, 1L).otherwise(0L)), lit(1L)))
+              .as("mean_abs_err"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .select($"n_true", $"n_cand", $"n_hit",
+            when($"n_true" === 0, 1.0)
+              .otherwise($"n_hit".cast("double") / $"n_true".cast("double")).as("recall"),
+            $"mean_abs_err")
+      },
+      Some(s"""WITH $lshScoredCte,
+          rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+          shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+          sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+          com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+                  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id),
+          truth AS (SELECT doc_a, doc_b,
+                      CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+                    FROM com JOIN sizes sa ON com.doc_a = sa.doc_id
+                             JOIN sizes sb ON com.doc_b = sb.doc_id
+                    WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+          lcand AS (SELECT doc_a, doc_b, CAST(agree AS DOUBLE) / $nPerms AS est
+                    FROM scored),
+          j AS (SELECT t.jaccard, c.est
+                FROM truth t LEFT JOIN lcand c USING (doc_a, doc_b)),
+          a AS (SELECT count(*) AS n_true,
+                  CAST(sum(CASE WHEN est IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                  CAST(sum(CASE WHEN est IS NOT NULL
+                           THEN CAST(round(abs(est - jaccard) * 1000000) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE) / 1000000
+                    / greatest(sum(CASE WHEN est IS NOT NULL THEN 1 ELSE 0 END), 1)
+                    AS mean_abs_err
+                FROM j),
+          cn AS (SELECT count(*) AS n_cand FROM lcand)
+          SELECT CAST(a.n_true AS BIGINT) AS n_true, CAST(cn.n_cand AS BIGINT) AS n_cand,
+            a.n_hit,
+            CASE WHEN a.n_true = 0 THEN 1.0
+                 ELSE CAST(a.n_hit AS DOUBLE) / a.n_true END AS recall,
+            a.mean_abs_err
+          FROM a CROSS JOIN cn""")),
+
     // ---- quality-percentile filter: keep the top 10% of documents by
     //      quality score. The threshold is RANK-based (exact), not an
     //      approximate percentile: n is one count, the cut is a TakeOrdered

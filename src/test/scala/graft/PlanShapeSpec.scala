@@ -396,4 +396,19 @@ class PlanShapeSpec extends SparkSpec {
       s"within-bucket rank lost its bucket partitioning:\n$windowSpecs")
     assert(!df.queryExecution.executedPlan.toString().contains("CartesianProduct"))
   }
+
+  test("q178: gradient sums are partial+final; weights flow as 1-row broadcasts") {
+    val p = plan("q178_logreg_train")
+    assert(p.contains("partial_sum"), s"gradient reduce not map-side combined:\n$p")
+    assert(p.contains("Broadcast"), s"weight row not broadcast:\n$p")
+  }
+
+  test("q179: recall audit joins stay equi-keyed — no cartesian product") {
+    val p = plan("q179_lsh_recall_audit")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected cartesian in the audit joins:\n$p")
+    // the only condition-less joins are the two 1-row aggregate combines
+    val cart = "CartesianProduct".r.findAllIn(p).size
+    assert(cart == 0, s"expected 0 CartesianProduct nodes, got $cart:\n$p")
+  }
 }
