@@ -35,6 +35,15 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("CAST(ts div 1000 AS BIGINT)")))
+    else if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      // generator versions differ: TIMESTAMP(NANOS) (handled above) vs
+      // plain timestamp[us] with no zone, which Spark 4 infers as
+      // TIMESTAMP_NTZ. Every downstream kernel (unix_micros, watermarks,
+      // window()) wants an instant; with the session pinned to UTC the
+      // NTZ→TIMESTAMP cast is value-preserving and matches how the DuckDB
+      // oracle treats the naive column (epoch_us of the same wall clock).
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else df
   }
 }

@@ -191,6 +191,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(args.length == 2, "vec_l2sq takes exactly 2 arguments")
           VecL2Sq(args.head, args(1))
         }))
+    ext.injectFunction(
+      (FunctionIdentifier("nfc_normalize"),
+        new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "nfc_normalize takes exactly 1 argument")
+          NfcNormalize(args.head)
+        }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
   }

@@ -802,6 +802,56 @@ object IngestQueries extends Registry {
           CAST(count(CASE WHEN n_nationkey % 5 = 2 THEN 1 END) AS BIGINT) AS n_corrupt,
           CAST(sum(CASE WHEN n_nationkey % 5 <> 2 THEN n_nationkey END) AS BIGINT)
             AS k_sum_good
-        FROM nation"""))
+        FROM nation""")),
+
+    // ---- bucketed co-located join: the single biggest shuffle eliminator
+    //      for repeated fact-fact joins at 100 TB. Both orders and lineitem
+    //      are written ONCE bucketed (and sort-ordered) by the join key
+    //      into 8 buckets; the subsequent merge join reads bucket i of each
+    //      side on the same task — NO Exchange on either side (pinned by
+    //      PlanShapeSpec: the only shuffle in the plan is the final small
+    //      groupBy). The `merge` hint keeps the demonstration honest at
+    //      test SF where AQE would otherwise broadcast the small side; on a
+    //      real cluster both sides are fact-sized and SMJ is what the
+    //      planner picks anyway. Bucket count is a layout knob (≈ cluster
+    //      cores at production scale); co-bucketing pays for itself after
+    //      the second join against the same key. Table names + paths are
+    //      SF- and JVM-keyed (same concurrency contract as q92/q125). The
+    //      oracle recomputes the join from the raw parquet — bucketing must
+    //      be layout-only, never semantics. ------------------------------
+    Q("q181_bucketed_join",
+      (s, dir) => {
+        import s.implicits._
+        val key = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + jvmTok
+        val (lt, ot) = (s"q181_lineitem_$key", s"q181_orders_$key")
+        Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$fixDir/$lt").saveAsTable(lt)
+        Tables(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$fixDir/$ot").saveAsTable(ot)
+        // exact integer units (cents × discount basis points): a
+        // double→DECIMAL(18,2) cast of the price×(1−disc) product rounds
+        // half-way cases differently across engines; integer arithmetic
+        // is associative AND engine-exact (the repo-wide quantize contract)
+        s.table(lt).hint("merge")
+          .join(s.table(ot), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            (sum(round($"l_extendedprice" * 100).cast("long")
+              * (lit(100L) - round($"l_discount" * 100).cast("long")))
+              .cast("double") / 1e4).as("revenue"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+              / 10000.0 AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -2373,7 +2373,99 @@ object TextQueries extends Registry {
             CAST(sum(flip) AS BIGINT) AS n_flipped,
             CAST(sum(CASE WHEN yhat >= 0 AND yhat <> y AND flip = 1 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_suspects_flipped
-          FROM j"""))
+          FROM j""")),
+
+    // ---- Unicode NFC canonicalization (custom codegen Expression):
+    //      web-scraped corpora mix composed (U+00E9) and decomposed
+    //      (e + U+0301) forms of identical visible text, which silently
+    //      defeats every hash-based dedup upstream. Spark has no built-in
+    //      normalizer, so `nfc_normalize` is a native Catalyst expression
+    //      (expressions/TextExpressions.scala) — row-local, inside
+    //      whole-stage codegen, zero shuffles. The corpus is ASCII, so the
+    //      query first INJECTS decomposed sequences deterministically
+    //      (every 'e'→'e'+COMBINING ACUTE, 'a'→'a'+COMBINING GRAVE) in
+    //      both engines, then both normalize: agreement of per-doc md5 +
+    //      lengths proves the JDK normalizer and DuckDB's nfc_normalize
+    //      compute the same Unicode canonical composition. n_composed
+    //      counts re-composed pairs (code-point length delta). -------------
+    Q("q180_nfc_normalize",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.TextExpressions.register(s)
+        docs(s, dir)
+          .select($"doc_id",
+            regexp_replace(regexp_replace($"text", "e", "é"), "a", "à")
+              .as("dirty"))
+          .select($"doc_id", length($"dirty").as("len_dirty"),
+            call_function("nfc_normalize", $"dirty").as("norm"))
+          .select($"doc_id", $"len_dirty", length($"norm").as("len_norm"),
+            md5($"norm").as("norm_md5"),
+            ($"len_dirty" - length($"norm")).as("n_composed"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, length(dirty) AS len_dirty,
+            length(nfc_normalize(dirty)) AS len_norm,
+            md5(nfc_normalize(dirty)) AS norm_md5,
+            length(dirty) - length(nfc_normalize(dirty)) AS n_composed
+          FROM (SELECT doc_id,
+                  replace(replace(text, 'e', 'e' || chr(769)), 'a', 'a' || chr(768)) AS dirty
+                FROM documents)
+          ORDER BY doc_id""")),
+
+    // ---- PMI collocation mining (phrase/vocab induction signal): top-V
+    //      words by corpus frequency (V=20, deterministic count-then-word
+    //      tie-break), then pointwise mutual information over their
+    //      document-level co-occurrence. The vocab is a broadcast-sized
+    //      constant at ANY corpus size (V is a knob, not a function of
+    //      data), per-doc present-word sets are ≤ V elements, and pair
+    //      expansion happens ROW-LOCALLY on those sorted sets (same
+    //      slice/transform idiom as q179) — never a corpus self-join. Three
+    //      bounded shuffles: vocab count, doc word-sets, pair counts. PMI's
+    //      ln() is micro-quantized (×1e6 round) before the cross-engine
+    //      compare, the repo-wide float contract. ---------------------------
+    Q("q182_pmi_collocations",
+      (s, dir) => {
+        import s.implicits._
+        val tok = docs(s, dir)
+          .select($"doc_id", explode(tokens($"text")).as("w"))
+        val vocab = tok.groupBy($"w").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"w").limit(20)
+        val tv = tok.join(broadcast(vocab.select($"w")), "w")
+        val dw = tv.select($"doc_id", $"w").distinct()
+        val pairs = dw.groupBy($"doc_id").agg(sort_array(collect_set($"w")).as("ws"))
+          .select(explode(expr(
+            "flatten(transform(ws, (x, i) -> transform(slice(ws, i + 2, size(ws)), y -> struct(x AS wa, y AS wb))))"))
+            .as("p"))
+          .select($"p.wa", $"p.wb")
+          .groupBy($"wa", $"wb").agg(count(lit(1)).as("c_ab"))
+        val dfw = dw.groupBy($"w").agg(count(lit(1)).as("dfw"))
+        val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        pairs
+          .join(dfw.select($"w".as("wa"), $"dfw".as("c_a")), "wa")
+          .join(dfw.select($"w".as("wb"), $"dfw".as("c_b")), "wb")
+          .crossJoin(broadcast(n))
+          .select($"wa", $"wb", $"c_ab", $"c_a", $"c_b",
+            (round(log(($"c_ab" * $"n_docs").cast("double") / ($"c_a" * $"c_b")) * 1e6)
+              .cast("long").cast("double") / 1e6).as("pmi"))
+          .orderBy($"pmi".desc, $"wa", $"wb").limit(50)
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+          vocab AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tok
+                                   GROUP BY w ORDER BY cnt DESC, w LIMIT 20)),
+          tv AS (SELECT t.doc_id, t.w FROM tok t JOIN vocab USING (w)),
+          dw AS (SELECT DISTINCT doc_id, w FROM tv),
+          pairs AS (SELECT a.w AS wa, b.w AS wb, count(*) AS c_ab
+                    FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+                    GROUP BY a.w, b.w),
+          dfw AS (SELECT w, count(*) AS dfw FROM dw GROUP BY w),
+          n AS (SELECT count(*) AS n_docs FROM documents)
+          SELECT wa, wb, c_ab, ca.dfw AS c_a, cb.dfw AS c_b,
+            CAST(round(ln(CAST(c_ab * n_docs AS DOUBLE) / (ca.dfw * cb.dfw)) * 1000000) AS BIGINT)
+              / 1000000.0 AS pmi
+          FROM pairs JOIN dfw ca ON pairs.wa = ca.w
+                     JOIN dfw cb ON pairs.wb = cb.w
+                     CROSS JOIN n
+          ORDER BY pmi DESC, wa, wb LIMIT 50"""))
   )
 
   /** Shared recursive-tokenizer SQL (q127): identical text in both engines

@@ -978,6 +978,121 @@ object VectorQueries extends Registry {
           WHERE rn <= 3 ORDER BY query_id, rank"""
       }),
 
+    // ---- nDCG@10 audit of the IVF-PQ stack ("measure, don't guess" for
+    //      ANN ranking QUALITY, complementing q179's recall-of-candidates):
+    //      ground truth = exact-cosine top-10 per query (query-set-only
+    //      broadcast, the q30 scan); graded relevance of a neighbor =
+    //      11 − exact_rank (0 if outside the exact top-10); the approx
+    //      list = q154's IVF-PQ top-10 by asymmetric distance. Each DCG
+    //      term rel/log2(rank+1) micro-quantizes to a 1e-6 long before the
+    //      per-query sum, and IDCG is built from the SAME quantized terms
+    //      over ranks 1..10 — so ndcg is a ratio of two exact integers.
+    //      This is the dial for nprobe / code-book size: rising nDCG
+    //      justifies a bigger LUT, falling recall says raise nprobe.
+    //      Cost: the already-bounded PQ candidates + one query-broadcast
+    //      exact scan — no new shuffle shape at 100 TB. -------------------
+    Q("q183_ann_ndcg",
+      (s, dir) => {
+        import s.implicits._
+        val (scored, q) = ivfpqApprox(s, dir)
+        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
+        val aw = Window.partitionBy($"query_id").orderBy($"approx_l2", $"vec_id")
+        val approx = graft.plans.TopK.perKey(scored, Seq("query_id"),
+          Seq(graft.plans.TopK.Order("approx_l2"), graft.plans.TopK.Order("vec_id")), 10)
+          .withColumn("arank", row_number().over(aw))
+        val exact = e.join(broadcast(q.select($"query_id", $"qv")),
+            $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id",
+            (dotFast($"qv", $"embedding")
+              / (sqrt(dotFast($"qv", $"qv")) * $"nrm")).as("cosine"))
+        val ew = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+        val exact10 = exact.withColumn("erank", row_number().over(ew))
+          .filter($"erank" <= 10)
+          .select($"query_id", $"vec_id", (lit(11) - $"erank").as("rel"))
+        val terms = approx.join(exact10, Seq("query_id", "vec_id"), "left")
+          .select($"query_id",
+            round(coalesce($"rel", lit(0)).cast("double")
+              / log2($"arank" + 1) * 1e6).cast("long").as("t"),
+            when($"rel".isNotNull, 1L).otherwise(0L).as("hit"))
+        val dcg = terms.groupBy($"query_id")
+          .agg(sum($"t").as("dcg_micro"), sum($"hit").as("n_hits"))
+        val idcg = s.range(1, 11)
+          .select(round((lit(11) - $"id").cast("double")
+            / log2($"id" + 1) * 1e6).cast("long").as("it"))
+          .agg(sum($"it").as("idcg_micro"))
+        dcg.crossJoin(broadcast(idcg))
+          .select($"query_id", $"n_hits",
+            ($"dcg_micro".cast("double") / 1e6).as("dcg"),
+            ($"dcg_micro".cast("double") / $"idcg_micro".cast("double")).as("ndcg"))
+          .orderBy($"query_id")
+      },
+      Some {
+        def sliceDistSql(v: String) =
+          "list_reduce(list_transform(range(0, 16), i -> " +
+            s"(CAST($v[t.s * 16 + i + 1] AS DOUBLE) - CAST(c.cv[t.s * 16 + i + 1] AS DOUBLE)) * " +
+            s"(CAST($v[t.s * 16 + i + 1] AS DOUBLE) - CAST(c.cv[t.s * 16 + i + 1] AS DOUBLE))), " +
+            "(acc, x) -> acc + x)"
+        s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings WHERE vec_id < 8),
+          assign AS (SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    ${dotSql("c.cv", "e.embedding")}
+                      / (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                    c.cid) AS arn
+                FROM embeddings e, cents c)
+              WHERE arn = 1),
+          codes AS (SELECT vec_id AS code, embedding AS cv
+              FROM embeddings WHERE vec_id < 8),
+          encd AS (SELECT a.vec_id, a.cid, c.code, t.s, ${sliceDistSql("a.embedding")} AS dist
+                   FROM assign a CROSS JOIN codes c
+                   CROSS JOIN (SELECT unnest(range(0, 4)) AS s) t),
+          enc AS (SELECT vec_id, cid, s, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                  ORDER BY dist, code) AS rn FROM encd)
+              WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qv, cid
+                FROM assign WHERE vec_id % 100 = 0),
+          lutd AS (SELECT q.query_id, c.code, t.s, ${sliceDistSql("q.qv")} AS d
+                   FROM q CROSS JOIN codes c
+                   CROSS JOIN (SELECT unnest(range(0, 4)) AS s) t),
+          scored AS (SELECT q.query_id, e.vec_id,
+                CAST(sum(CAST(round(l.d * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+                  AS approx_l2
+              FROM q JOIN enc e ON e.cid = q.cid AND e.vec_id <> q.query_id
+              JOIN lutd l ON l.query_id = q.query_id AND l.s = e.s AND l.code = e.code
+              GROUP BY q.query_id, e.vec_id),
+          approx AS (SELECT query_id, vec_id, rn AS arank
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY approx_l2, vec_id) AS rn FROM scored)
+              WHERE rn <= 10),
+          ex AS (SELECT q.query_id, e.vec_id,
+                ${dotSql("q.qv", "e.embedding")}
+                  / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cosine
+              FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+          exact10 AS (SELECT query_id, vec_id, 11 - rn AS rel
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id) AS rn FROM ex)
+              WHERE rn <= 10),
+          terms AS (SELECT a.query_id,
+                CAST(round(CAST(COALESCE(x.rel, 0) AS DOUBLE)
+                  / log2(a.arank + 1) * 1000000) AS BIGINT) AS t,
+                CASE WHEN x.rel IS NOT NULL THEN 1 ELSE 0 END AS hit
+              FROM approx a LEFT JOIN exact10 x
+                ON x.query_id = a.query_id AND x.vec_id = a.vec_id),
+          dcg AS (SELECT query_id, sum(t) AS dcg_micro,
+                CAST(sum(hit) AS BIGINT) AS n_hits
+              FROM terms GROUP BY query_id),
+          idcg AS (SELECT sum(CAST(round(CAST(11 - i AS DOUBLE)
+                  / log2(i + 1) * 1000000) AS BIGINT)) AS idcg_micro
+              FROM (SELECT unnest(range(1, 11)) AS i))
+          SELECT query_id, n_hits,
+            CAST(dcg_micro AS DOUBLE) / 1000000.0 AS dcg,
+            CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE) AS ndcg
+          FROM dcg CROSS JOIN idcg
+          ORDER BY query_id"""
+      }),
+
     // ---- SemDeDup (Abbas et al. 2023): semantic dedup by cluster-
     //      restricted cosine. Within each IVF cluster, vectors whose
     //      cosine exceeds the threshold form a semantic-duplicate group;

@@ -411,4 +411,37 @@ class PlanShapeSpec extends SparkSpec {
     val cart = "CartesianProduct".r.findAllIn(p).size
     assert(cart == 0, s"expected 0 CartesianProduct nodes, got $cart:\n$p")
   }
+
+  test("q180: NFC normalization is row-local — no shuffle before the sort") {
+    val p = plan("q180_nfc_normalize")
+    assert(p.contains("nfc_normalize"), s"custom expression absent from plan:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"normalization must not shuffle, got $hashEx:\n$p")
+    // codegen participation is pinned in NfcNormalizeSpec (CodegenMode
+    // explain — the AQE isFinalPlan=false string never shows stage marks)
+  }
+
+  test("q181: co-bucketed merge join has NO exchange on either fact side") {
+    val p = plan("q181_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    // the ONLY hash exchange allowed is the final small groupBy on
+    // o_orderpriority — the join itself reads co-located buckets
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"bucketed join must not shuffle its inputs, got $hashEx:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan did not use bucketing:\n$p")
+  }
+
+  test("q182: PMI pair expansion is row-local on broadcast-restricted word sets") {
+    val p = plan("q182_pmi_collocations")
+    assert(!p.contains("CartesianProduct"), s"PMI must never cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab restriction should broadcast the top-V set:\n$p")
+  }
+
+  test("q183: nDCG audit broadcasts only query-sized sides; corpus never cartesians") {
+    val p = plan("q183_ann_ndcg")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query set should broadcast:\n$p")
+  }
 }
