@@ -1212,6 +1212,52 @@ object PipelineQueries extends Registry {
           SELECT user_id, count(*) AS n_events
           FROM e GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- Spark 4 transformWithState running totals, driven to completion:
+    //      the modern arbitrary-state API (typed ValueState on the RocksDB
+    //      provider — set HERE on the dedicated child session; the default
+    //      HDFS store does not support transformWithState) computing the
+    //      q128 semantics through explicit state instead of a built-in agg.
+    //      Each batch emits a per-key snapshot; the LAST snapshot per user
+    //      (max n, and the matching monotone sum) equals the batch
+    //      count/sum over the same 2000-event prefix — which is exactly
+    //      what the DuckDB twin computes. Values ride as exact 1e-6 longs
+    //      end-to-end (fold order cannot move the result). ----------------
+    Q("q184_tws_running_totals",
+      (s, dir) => {
+        val ss = StreamingOps.streamSession(s)
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val evts = Tables(ss, dir, "events")
+          .select($"ts", $"event_id", $"user_id",
+            round($"value" * 1e6).cast("long").as("vmicro"))
+          .orderBy($"ts", $"event_id").limit(2000)
+          .select($"user_id", $"vmicro")
+          .as[(Long, Long)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+        val qn = s"graft_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val query = StreamingOps.runningTotals(mem.toDS())
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
+        try {
+          val (b1, b2) = evts.splitAt(evts.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          mem.addData(b2.toSeq); query.processAllAvailable()
+          ss.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .groupBy($"user_id")
+            .agg(max($"n_events").as("n_events"),
+              (max($"sum_micro").cast("double") / 1e6).as("value_sum"))
+            .orderBy($"user_id")
+        } finally query.stop()
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(round(value * 1000000) AS BIGINT) AS vmicro
+            FROM events ORDER BY ts, event_id LIMIT 2000)
+          SELECT user_id, count(*) AS n_events,
+            CAST(sum(vmicro) AS DOUBLE) / 1000000.0 AS value_sum
+          FROM e GROUP BY user_id ORDER BY user_id""")),
+
     // ---- Structured Streaming sessionization, driven to completion -------
     // (MemoryStream-fed incremental run of the q33 semantics; the driver
     // sees the closed sessions as a batch result). Emitted rows = every

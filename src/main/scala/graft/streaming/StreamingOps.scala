@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface (SURVEY §2.J — extension; the reference is
   * strictly batch). The batch q32/q33 semantics re-expressed incrementally:
@@ -157,5 +157,49 @@ object StreamingOps {
             closed.result().iterator
           }
       }
+  }
+
+  final case class UserStat(user_id: Long, n_events: Long, sum_micro: Long)
+
+  /** Per-user running totals on the Spark 4 `transformWithState` API — the
+    * modern arbitrary-state surface (typed per-key `ValueState` on the
+    * RocksDB store, optional TTL / timers / composite List-/MapState)
+    * replacing `flatMapGroupsWithState`'s single-blob `GroupState`. Each
+    * batch folds the key's rows into the state and emits one updated
+    * (count, micro-quantized sum) snapshot row — the incremental twin of a
+    * batch groupBy count/sum, with state partitioned by key across
+    * executors exactly like the shuffle it replaces. Values flow as exact
+    * 1e-6 longs so the fold is addition-order-independent (the repo-wide
+    * quantize contract; parallel double accumulation would diverge from
+    * any sequential oracle).
+    *
+    * Requires the RocksDB state-store provider on the session running the
+    * stream (`transformWithState` does not support the default HDFS-backed
+    * store) — see q184's harness.
+    */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Long), UserStat] {
+    @transient private var st: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[UserStat] = {
+      var (n, sm) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { case (_, v) => n += 1; sm += v }
+      st.update((n, sm))
+      Iterator.single(UserStat(key, n, sm))
+    }
+  }
+
+  /** (user_id, value_micro) stream → per-key running-total snapshots. */
+  def runningTotals(rows: Dataset[(Long, Long)]): Dataset[UserStat] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -182,4 +182,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.catalog.listTables().count() == viewsBefore,
       "q41 leaked its memory-sink temp view into the shared session")
   }
+
+  test("transformWithState running totals fold ValueState across batches") {
+    val ss = StreamingOps.streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("tws_totals")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData((1L, 10L), (1L, 20L), (2L, 5L))
+      q.processAllAvailable()
+      val afterB1 = ss.table("tws_totals").as[(Long, Long, Long)].collect().toSet
+      assert(afterB1 == Set((1L, 2L, 30L), (2L, 1L, 5L)),
+        s"batch-1 snapshots wrong: $afterB1")
+      // batch 2: state must carry over (not restart from zero), and keys
+      // absent from the batch must emit nothing new
+      mem.addData((1L, 5L), (3L, 7L))
+      q.processAllAvailable()
+      val all = ss.table("tws_totals").as[(Long, Long, Long)].collect()
+      val b2 = all.diff(afterB1.toSeq)
+      assert(b2.toSet == Set((1L, 3L, 35L), (3L, 1L, 7L)),
+        s"batch-2 snapshots wrong: ${b2.toSet}")
+      assert(all.count(_._1 == 2L) == 1, "key 2 re-emitted without input")
+    } finally q.stop()
+  }
 }
