@@ -2465,7 +2465,55 @@ object TextQueries extends Registry {
           FROM pairs JOIN dfw ca ON pairs.wa = ca.w
                      JOIN dfw cb ON pairs.wb = cb.w
                      CROSS JOIN n
-          ORDER BY pmi DESC, wa, wb LIMIT 50"""))
+          ORDER BY pmi DESC, wa, wb LIMIT 50""")),
+
+    // ---- character-entropy quality filter (Gopher-class signal): low
+    //      Shannon entropy over the char distribution flags repetitive /
+    //      boilerplate / binary-garbage docs that length and stopword
+    //      ratios miss. ENTIRELY ROW-LOCAL: the per-doc histogram is a
+    //      transform over array_distinct (O(distinct·len) per doc, ~30
+    //      distinct chars on text), each −p·ln p term micro-quantizes to a
+    //      1e-6 long INSIDE the row before an integer list-fold, so the
+    //      plan has zero data-path shuffles at any corpus size — the same
+    //      shape as q85's winnowing. top_frac (modal-char share) rides
+    //      along as the cheap degenerate-doc tripwire. ---------------------
+    Q("q185_char_entropy",
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select($"doc_id", split($"text", "").as("cs"), length($"text").as("n_chars"))
+          .select($"doc_id", $"n_chars",
+            expr("size(array_distinct(cs))").as("n_distinct"),
+            (expr("""aggregate(
+                transform(array_distinct(cs), c ->
+                  cast(round((cast(size(filter(cs, x -> x = c)) as double) / n_chars)
+                    * ln(cast(size(filter(cs, x -> x = c)) as double) / n_chars)
+                    * 1000000) as bigint)),
+                cast(0 as bigint), (acc, x) -> acc + x)""")
+              .cast("double") * -1.0 / 1e6).as("entropy"),
+            expr("""cast(array_max(transform(array_distinct(cs), c ->
+                size(filter(cs, x -> x = c)))) as double) / n_chars""").as("top_frac"))
+          .withColumn("keep", when($"entropy" >= 2.87, 1L).otherwise(0L))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, length(text) AS n_chars,
+            CAST(len(list_distinct(string_split(text, ''))) AS INT) AS n_distinct,
+            CAST(-list_sum(list_transform(list_distinct(string_split(text, '')),
+                c -> CAST(round((CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE)
+                       / length(text))
+                     * ln(CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE)
+                       / length(text)) * 1000000) AS BIGINT)))
+              AS DOUBLE) / 1000000.0 AS entropy,
+            CAST(list_max(list_transform(list_distinct(string_split(text, '')),
+                c -> len(list_filter(string_split(text, ''), x -> x = c)))) AS DOUBLE)
+              / length(text) AS top_frac,
+            CASE WHEN CAST(-list_sum(list_transform(list_distinct(string_split(text, '')),
+                c -> CAST(round((CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE)
+                       / length(text))
+                     * ln(CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE)
+                       / length(text)) * 1000000) AS BIGINT)))
+              AS DOUBLE) / 1000000.0 >= 2.87 THEN 1 ELSE 0 END AS keep
+          FROM documents ORDER BY doc_id"""))
   )
 
   /** Shared recursive-tokenizer SQL (q127): identical text in both engines

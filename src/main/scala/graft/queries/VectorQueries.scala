@@ -1093,6 +1093,83 @@ object VectorQueries extends Registry {
           ORDER BY query_id"""
       }),
 
+    // ---- distributed PCA power iteration (embedding whitening / energy
+    //      audit — the training side of q124's matryoshka truncation
+    //      decision): two iterations of v ← Xᵀ(Xv) on the raw
+    //      second-moment operator, starting from the uniform unit-ish
+    //      vector. NO covariance matrix is ever materialized (64² cells ×
+    //      nothing — the two-pass matvec IS the scalable form) and NO
+    //      driver collect: the iterate flows between passes as a 64-row
+    //      broadcast, like q178's weights. Per-row contributions
+    //      x_k·(x·v) micro-quantize to 1e-6 longs; posexplode rows
+    //      collapse to ≤64 per partition via map-side combine, so the
+    //      per-dim shuffle is partition-count-sized, not corpus-sized.
+    //      Norms fold 64 quantized squares — exact integers, no parallel
+    //      double sum anywhere. Output: the normalized second iterate and
+    //      ‖Xᵀ(Xv₁)‖ as the spectral-energy estimate. -------------------
+    Q("q186_pca_power",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val v0 = org.apache.spark.sql.functions.typedLit(Array.fill(64)(0.125))
+        val e = emb(s, dir).select($"vec_id", $"embedding")
+        val x1 = e.select(dotFast($"embedding", v0).as("dot0"),
+            posexplode($"embedding").as(Seq("dim", "x")))
+          .groupBy($"dim")
+          .agg(sum(round($"x".cast("double") * $"dot0" * 1e6).cast("long")).as("v1m"))
+        val n1 = x1.agg(sqrt(sum(round(($"v1m".cast("double") / 1e6)
+            * ($"v1m".cast("double") / 1e6) * 1e6).cast("long")).cast("double") / 1e6)
+          .as("nrm"))
+        val v1 = x1.crossJoin(broadcast(n1))
+          .select($"dim", (($"v1m".cast("double") / 1e6) / $"nrm").as("w"))
+        val d1 = e.select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+          .join(broadcast(v1), "dim")
+          .groupBy($"vec_id")
+          .agg((sum(round($"x".cast("double") * $"w" * 1e6).cast("long"))
+            .cast("double") / 1e6).as("dot1"))
+        val x2 = e.join(d1, "vec_id")
+          .select($"dot1", posexplode($"embedding").as(Seq("dim", "x")))
+          .groupBy($"dim")
+          .agg(sum(round($"x".cast("double") * $"dot1" * 1e6).cast("long")).as("v2m"))
+        val n2 = x2.agg(sqrt(sum(round(($"v2m".cast("double") / 1e6)
+            * ($"v2m".cast("double") / 1e6) * 1e6).cast("long")).cast("double") / 1e6)
+          .as("nrm2"))
+        x2.crossJoin(broadcast(n2))
+          .select($"dim", (($"v2m".cast("double") / 1e6) / $"nrm2").as("component"),
+            $"nrm2".as("spectral_energy"))
+          .orderBy($"dim")
+      },
+      Some {
+        def dot0Sql(e: String) =
+          "list_reduce(list_transform(range(0, 64), i -> " +
+            s"CAST($e[i + 1] AS DOUBLE) * 0.125), (acc, x) -> acc + x)"
+        s"""WITH d0 AS (SELECT vec_id, embedding, ${dot0Sql("embedding")} AS dot0
+              FROM embeddings),
+          x1 AS (SELECT dim,
+                sum(CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * dot0 * 1000000) AS BIGINT)) AS v1m
+              FROM d0, UNNEST(range(0, 64)) AS t(dim) GROUP BY dim),
+          n1 AS (SELECT sqrt(CAST(sum(CAST(round((CAST(v1m AS DOUBLE) / 1000000)
+                * (CAST(v1m AS DOUBLE) / 1000000) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+              AS nrm FROM x1),
+          v1 AS (SELECT dim, (CAST(v1m AS DOUBLE) / 1000000) / nrm AS w
+              FROM x1 CROSS JOIN n1),
+          d1 AS (SELECT e.vec_id,
+                CAST(sum(CAST(round(CAST(e.embedding[v1.dim + 1] AS DOUBLE) * v1.w * 1000000) AS BIGINT)) AS DOUBLE)
+                  / 1000000 AS dot1
+              FROM embeddings e CROSS JOIN v1 GROUP BY e.vec_id),
+          x2 AS (SELECT dim,
+                sum(CAST(round(CAST(e.embedding[dim + 1] AS DOUBLE) * d1.dot1 * 1000000) AS BIGINT)) AS v2m
+              FROM embeddings e JOIN d1 USING (vec_id), UNNEST(range(0, 64)) AS t(dim)
+              GROUP BY dim),
+          n2 AS (SELECT sqrt(CAST(sum(CAST(round((CAST(v2m AS DOUBLE) / 1000000)
+                * (CAST(v2m AS DOUBLE) / 1000000) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+              AS nrm2 FROM x2)
+          SELECT CAST(dim AS INT) AS dim,
+            (CAST(v2m AS DOUBLE) / 1000000) / nrm2 AS component,
+            nrm2 AS spectral_energy
+          FROM x2 CROSS JOIN n2 ORDER BY dim"""
+      }),
+
     // ---- SemDeDup (Abbas et al. 2023): semantic dedup by cluster-
     //      restricted cosine. Within each IVF cluster, vectors whose
     //      cosine exceeds the threshold form a semantic-duplicate group;

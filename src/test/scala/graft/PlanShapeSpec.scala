@@ -444,4 +444,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"query set should broadcast:\n$p")
   }
+
+  test("q185: char entropy is row-local — no shuffle before the presentation sort") {
+    val p = plan("q185_char_entropy")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"entropy must not shuffle, got $hashEx:\n$p")
+  }
+
+  test("q186: PCA iterate flows as broadcasts; per-dim aggs are partial+final") {
+    val p = plan("q186_pca_power")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"per-dim sums must map-side combine:\n$p")
+    // the 64-row iterate and the 1-row norms broadcast back; the only
+    // corpus-keyed shuffles are the dim/vec_id aggregations
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"iterate should broadcast:\n$p")
+  }
 }
