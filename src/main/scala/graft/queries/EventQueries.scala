@@ -471,6 +471,38 @@ object EventQueries extends Registry {
           FROM b)
         SELECT z // 64 AS zbucket, count(*) AS n_rows,
           max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
-        FROM zv GROUP BY 1 ORDER BY zbucket"""))
+        FROM zv GROUP BY 1 ORDER BY zbucket""")),
+
+    // ---- typed Aggregator (custom UDAF surface, SURVEY §2.K): exact
+    //      one-pass per-type moments over `value`, all-integer buffer
+    //      (count, Σm, Σm², min, max over 1e-3-quantized longs) so the
+    //      partial/merge tree is associative-exact — bit-identical at any
+    //      parallelism, which a double-accumulator Welford UDAF is NOT.
+    //      Runs as a single partial+final aggregation (map-side combined)
+    //      like any built-in; the oracle recomputes the same integer
+    //      moments in SQL. ------------------------------------------------
+    Q("q187_moment_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        val mom = org.apache.spark.sql.functions.udaf(graft.functions.MomentAggregator.of)
+        events(s, dir)
+          .select($"event_type", round($"value" * 1000).cast("long").as("m"))
+          .groupBy($"event_type")
+          .agg(mom($"m").as("mo"))
+          .select($"event_type", $"mo.n".as("n_events"), $"mo.mean".as("mean_value"),
+            $"mo.variance".as("var_value"), $"mo.vmin".as("min_value"),
+            $"mo.vmax".as("max_value"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH q AS (SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS m
+            FROM events)
+          SELECT event_type, count(*) AS n_events,
+            CAST(sum(m) AS DOUBLE) / count(*) / 1000.0 AS mean_value,
+            CAST(sum(m * m) AS DOUBLE) / count(*) / 1000000.0
+              - (CAST(sum(m) AS DOUBLE) / count(*) / 1000.0)
+                * (CAST(sum(m) AS DOUBLE) / count(*) / 1000.0) AS var_value,
+            CAST(min(m) AS DOUBLE) / 1000.0 AS min_value,
+            CAST(max(m) AS DOUBLE) / 1000.0 AS max_value
+          FROM q GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -138,4 +138,24 @@ class ScaleOpsSpec extends SparkSpec {
       xxhash64(col("doc_id")), buckets = 8))
     assert(salted == plain, "salted vocab probe diverged from the plain join")
   }
+
+  test("moment Aggregator is bit-identical under any partitioning (integer merge tree)") {
+    val s = spark
+    import s.implicits._
+    val mom = org.apache.spark.sql.functions.udaf(graft.functions.MomentAggregator.of)
+    def run(parts: Int): Array[org.apache.spark.sql.Row] =
+      graft.core.Tables(spark, sfDir, "events")
+        .select(col("event_type"), round(col("value") * 1000).cast("long").as("m"))
+        .repartition(parts)
+        .groupBy("event_type").agg(mom(col("m")).as("mo"))
+        .select(col("event_type"), col("mo.n"), col("mo.mean"),
+          col("mo.variance"), col("mo.vmin"), col("mo.vmax"))
+        .orderBy("event_type").collect()
+    val a = run(1)
+    val b = run(13)
+    assert(a.length == 5)
+    // exact equality including the derived doubles: the integer buffer
+    // guarantees identical finish() inputs regardless of the merge tree
+    assert(a.sameElements(b), s"moments drifted with partitioning:\n${a.mkString("\n")}\nvs\n${b.mkString("\n")}")
+  }
 }
