@@ -1317,6 +1317,64 @@ object PipelineQueries extends Registry {
         WHERE sess_idx < max_idx OR epoch_ms(session_end) + 1800000 < w
         ORDER BY user_id, session_start""")),
 
+    // ---- q39's sessionization re-expressed on transformWithState with
+    //      EVENT-TIME TIMERS (Spark 4 arbitrary-state API, RocksDB
+    //      provider on the child session): in-batch gap closes emit
+    //      directly; the open session registers an event-time timer at
+    //      end+gap, re-registered (delete + register) as events extend it,
+    //      and the timer firing under the advancing watermark closes the
+    //      session — the explicit-timer form of GroupState's single
+    //      implicit timeout. Emission contract is IDENTICAL to q39, so the
+    //      same gaps-and-islands oracle replays it. ------------------------
+    Q("q188_tws_sessions",
+      (s, dir) => {
+        val ss = StreamingOps.streamSession(s)
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val evts = Tables(ss, dir, "events")
+          .select($"user_id", $"ts", $"event_id")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .select($"user_id", $"ts")
+          .as[(Long, java.sql.Timestamp)]
+          .collect().map(e => StreamingOps.Evt(e._1, e._2))
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingOps.Evt]
+        val qn = s"graft_twssess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val query = StreamingOps.sessionizeTws(mem.toDS(), gapMinutes = 30)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+        try {
+          val (b1, b2) = evts.splitAt(evts.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          mem.addData(b2.toSeq); query.processAllAvailable()
+          ss.table(qn)
+            .localCheckpoint(eager = true) // detach result from the stopped stream
+            .orderBy($"user_id", $"session_start")
+        } finally query.stop()
+      },
+      Some("""WITH e AS (SELECT user_id, ts FROM events
+          ORDER BY ts, event_id LIMIT 2000),
+        wm AS (SELECT max(epoch_ms(ts)) - 600000 AS w FROM e),
+        g AS (SELECT user_id, ts,
+            CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+        sess AS (SELECT user_id, ts,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess_idx
+          FROM g),
+        agg AS (SELECT user_id, sess_idx,
+            min(ts) AS session_start, max(ts) AS session_end,
+            count(*) AS n_events
+          FROM sess GROUP BY user_id, sess_idx),
+        lst AS (SELECT *, max(sess_idx) OVER (PARTITION BY user_id) AS max_idx FROM agg)
+        SELECT user_id, session_start, session_end, n_events
+        FROM lst, wm
+        WHERE sess_idx < max_idx OR epoch_ms(session_end) + 1800000 < w
+        ORDER BY user_id, session_start""")),
+
     // ---- q119's OUTER-NULL half, driven to a deterministic emission:
     //      left-outer interval-join rows (purchases with NO click in the
     //      preceding 30 min) only emit once the joint watermark passes

@@ -202,4 +202,82 @@ object StreamingOps {
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Gap sessionization on `transformWithState` with EVENT-TIME TIMERS —
+    * the modern twin of [[sessionize]]'s flatMapGroupsWithState form, and
+    * deliberately the SAME emission contract so q39's oracle logic carries
+    * over: a session closes when a later in-batch event exceeds the gap,
+    * or when the watermark passes end+gap (here: a registered event-time
+    * timer fires, vs GroupState's setTimeoutTimestamp). The open session's
+    * pending timer is re-registered as events extend it (delete-then-
+    * register — GroupState's implicit single timeout made this invisible;
+    * the explicit API is what also enables MULTIPLE timers per key, which
+    * GroupState cannot express). State and timers live on the RocksDB
+    * provider.
+    */
+  final case class SessTimerState(startUs: Long, endUs: Long, n: Long, timerMs: Long)
+
+  class SessionTimerProcessor(gapMinutes: Int)
+      extends StatefulProcessor[Long, Evt, Session] {
+    private val gapUs = gapMinutes * 60 * 1000000L
+    private val gapMs = gapMinutes * 60 * 1000L
+    @transient private var st: ValueState[SessTimerState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessTimerState]("sess",
+        org.apache.spark.sql.Encoders.product[SessTimerState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, evts: Iterator[Evt],
+        timerValues: TimerValues): Iterator[Session] = {
+      val sorted = evts.map(e => toUs(e.ts)).toSeq.sorted
+      val closed = Seq.newBuilder[Session]
+      var cur: Option[SessTimerState] = if (st.exists()) Some(st.get()) else None
+      val oldTimer = cur.map(_.timerMs)
+      for (t <- sorted) {
+        cur match {
+          case Some(s) if t - s.endUs <= gapUs =>
+            cur = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
+          case Some(s) =>
+            closed += Session(uid, fromUs(s.startUs), fromUs(s.endUs), s.n)
+            cur = Some(SessTimerState(t, t, 1, 0L))
+          case None =>
+            cur = Some(SessTimerState(t, t, 1, 0L))
+        }
+      }
+      cur.foreach { s =>
+        val newTimer = s.endUs / 1000 + gapMs
+        if (!oldTimer.contains(newTimer)) {
+          oldTimer.filter(_ > 0).foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(newTimer)
+        }
+        st.update(s.copy(timerMs = newTimer))
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] = {
+      if (st.exists()) {
+        val s = st.get()
+        // only the CURRENT session's timer closes it: a stale timer that
+        // raced the delete-then-register would otherwise clip a live session
+        if (s.timerMs == expiredTimerInfo.getExpiryTimeInMs()) {
+          st.clear()
+          Iterator.single(Session(uid, fromUs(s.startUs), fromUs(s.endUs), s.n))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** Evt stream → closed sessions via event-time-timer transformWithState. */
+  def sessionizeTws(events: Dataset[Evt], gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -183,6 +183,42 @@ class StreamingSpec extends SparkSpec {
       "q41 leaked its memory-sink temp view into the shared session")
   }
 
+  test("timer-based TWS sessionization equals flatMapGroupsWithState on the same feed") {
+    // the two stateful APIs implement ONE emission contract; feed both the
+    // same two batches and compare closed-session sets exactly
+    def run(build: org.apache.spark.sql.Dataset[Evt] => org.apache.spark.sql.Dataset[Session],
+        rocks: Boolean): Set[(Long, Timestamp, Timestamp, Long)] = {
+      val ss = StreamingOps.streamSession(spark)
+      if (rocks) ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import ss.implicits._
+      implicit val sqlCtx = ss.sqlContext
+      val mem = MemoryStream[Evt]
+      val qn = s"sess_eq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = build(mem.toDS())
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(
+          Evt(1, ts("2024-01-01 10:00:00")), Evt(1, ts("2024-01-01 10:10:00")),
+          Evt(2, ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        mem.addData(
+          Evt(1, ts("2024-01-01 12:00:00")), // gap > 30 min: closes session 1
+          Evt(2, ts("2024-01-01 10:05:00")),
+          Evt(3, ts("2024-01-02 09:00:00"))) // advances watermark far past all
+        q.processAllAvailable()
+        ss.table(qn).as[Session].collect()
+          .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+      } finally q.stop()
+    }
+    val viaTimers = run(StreamingOps.sessionizeTws(_, gapMinutes = 30), rocks = true)
+    val viaGroupState = run(StreamingOps.sessionize(_, gapMinutes = 30), rocks = false)
+    assert(viaTimers == viaGroupState,
+      s"APIs diverged:\ntimers: $viaTimers\ngroupState: $viaGroupState")
+    assert(viaTimers.exists(_._1 == 1L), "user 1's closed session missing")
+  }
+
   test("transformWithState running totals fold ValueState across batches") {
     val ss = StreamingOps.streamSession(spark)
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
