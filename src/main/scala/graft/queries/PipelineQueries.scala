@@ -1375,6 +1375,45 @@ object PipelineQueries extends Registry {
         WHERE sess_idx < max_idx OR epoch_ms(session_end) + 1800000 < w
         ORDER BY user_id, session_start""")),
 
+    // ---- transformWithState MAPSTATE (the composite-state surface):
+    //      per-(user, event_type) running counts where each user's state is
+    //      a RocksDB-backed map keyed by type — one cell updates per
+    //      arrival, no whole-blob rewrite. Each batch emits the user's
+    //      full updated snapshot; max-per-(user, type) over the update log
+    //      equals the batch GROUP BY the oracle recomputes. ---------------
+    Q("q189_tws_type_counts",
+      (s, dir) => {
+        val ss = StreamingOps.streamSession(s)
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val evts = Tables(ss, dir, "events")
+          .select($"ts", $"event_id", $"user_id", $"event_type")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .select($"user_id", $"event_type")
+          .as[(Long, String)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val qn = s"graft_twsmap_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val query = StreamingOps.typeCounts(mem.toDS())
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
+        try {
+          val (b1, b2) = evts.splitAt(evts.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          mem.addData(b2.toSeq); query.processAllAvailable()
+          ss.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .groupBy($"user_id", $"event_type")
+            .agg(max($"n").as("n_events"))
+            .orderBy($"user_id", $"event_type")
+        } finally query.stop()
+      },
+      Some("""WITH e AS (SELECT user_id, event_type FROM events
+            ORDER BY ts, event_id LIMIT 2000)
+          SELECT user_id, event_type, count(*) AS n_events
+          FROM e GROUP BY user_id, event_type ORDER BY user_id, event_type""")),
+
     // ---- q119's OUTER-NULL half, driven to a deterministic emission:
     //      left-outer interval-join rows (purchases with NO click in the
     //      preceding 30 min) only emit once the joint watermark passes

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface (SURVEY §2.J — extension; the reference is
   * strictly batch). The batch q32/q33 semantics re-expressed incrementally:
@@ -279,5 +279,45 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .transformWithState(new SessionTimerProcessor(gapMinutes),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-(user, event_type) running counts on `transformWithState`
+    * MAPSTATE — the composite-state surface (ValueState: q184, timers:
+    * q188, MapState: here). The map is keyed by event_type WITHIN the
+    * user's state partition: updating one type touches ONE RocksDB cell,
+    * not a serialized blob of all types — `GroupState` would rewrite the
+    * whole map per batch, which is the practical difference once per-key
+    * state grows past a few entries. Emits the key's full updated
+    * snapshot per batch; counts are exact longs, so batch boundaries and
+    * in-batch order cannot move the final answer.
+    */
+  class TypeCountsProcessor
+      extends StatefulProcessor[Long, (Long, String), TypeCount] {
+    @transient private var st: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      rows.foreach { case (_, tpe) =>
+        val cur = if (st.containsKey(tpe)) st.getValue(tpe) else 0L
+        st.updateValue(tpe, cur + 1L)
+      }
+      st.iterator().map { case (tpe, n) => TypeCount(uid, tpe, n) }
+    }
+  }
+
+  /** (user_id, event_type) stream → per-(user, type) count snapshots. */
+  def typeCounts(rows: Dataset[(Long, String)]): Dataset[TypeCount] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

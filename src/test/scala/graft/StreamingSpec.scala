@@ -219,6 +219,31 @@ class StreamingSpec extends SparkSpec {
     assert(viaTimers.exists(_._1 == 1L), "user 1's closed session missing")
   }
 
+  test("transformWithState MapState keeps per-type cells across batches") {
+    val ss = StreamingOps.streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.typeCounts(mem.toDS())
+      .writeStream.format("memory").queryName("tws_types")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData((1L, "click"), (1L, "view"), (1L, "click"))
+      q.processAllAvailable()
+      val b1 = ss.table("tws_types").as[(Long, String, Long)].collect().toSet
+      assert(b1 == Set((1L, "click", 2L), (1L, "view", 1L)), s"batch-1 wrong: $b1")
+      // batch 2 updates ONE cell; the untouched cell's count must persist
+      mem.addData((1L, "click"))
+      q.processAllAvailable()
+      val all = ss.table("tws_types").as[(Long, String, Long)].collect()
+      assert(all.contains((1L, "click", 3L)), s"click cell not incremented: ${all.toSeq}")
+      assert(all.count { case (_, t, n) => t == "view" && n == 1L } >= 1,
+        "view cell lost across batches")
+    } finally q.stop()
+  }
+
   test("transformWithState running totals fold ValueState across batches") {
     val ss = StreamingOps.streamSession(spark)
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
