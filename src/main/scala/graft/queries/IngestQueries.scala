@@ -834,6 +834,12 @@ object IngestQueries extends Registry {
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .option("path", s"$fixDir/$ot").saveAsTable(ot)
+        // The two tables stay registered for the JVM's lifetime BY DESIGN:
+        // bucketing metadata lives in the catalog entry, and the returned
+        // (lazy) plan resolves through it at execution time — dropping
+        // them here would orphan the bucket info before the driver runs
+        // the query. Names are (sf, pid)-keyed, so residency is bounded at
+        // 2 entries per scale factor per process.
         // exact integer units (cents × discount basis points): a
         // double→DECIMAL(18,2) cast of the price×(1−disc) product rounds
         // half-way cases differently across engines; integer arithmetic

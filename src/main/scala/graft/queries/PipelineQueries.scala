@@ -1246,9 +1246,14 @@ object PipelineQueries extends Registry {
           mem.addData(b2.toSeq); query.processAllAvailable()
           ss.table(qn)
             .localCheckpoint(eager = true) // detach from the stopped stream
+            // LAST snapshot per user = the one with max n (n strictly
+            // increases per emission); taking the struct max keeps the sum
+            // PAIRED with that snapshot — an independent max(sum_micro)
+            // would silently diverge if values ever went negative
             .groupBy($"user_id")
-            .agg(max($"n_events").as("n_events"),
-              (max($"sum_micro").cast("double") / 1e6).as("value_sum"))
+            .agg(max(struct($"n_events", $"sum_micro")).as("m"))
+            .select($"user_id", $"m.n_events".as("n_events"),
+              ($"m.sum_micro".cast("double") / 1e6).as("value_sum"))
             .orderBy($"user_id")
         } finally query.stop()
       },

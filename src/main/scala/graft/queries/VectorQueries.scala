@@ -1000,11 +1000,13 @@ object VectorQueries extends Registry {
         val approx = graft.plans.TopK.perKey(scored, Seq("query_id"),
           Seq(graft.plans.TopK.Order("approx_l2"), graft.plans.TopK.Order("vec_id")), 10)
           .withColumn("arank", row_number().over(aw))
-        val exact = e.join(broadcast(q.select($"query_id", $"qv")),
-            $"vec_id" =!= $"query_id")
+        // query norm computed ONCE per query inside the broadcast set (the
+        // q30 pattern) — not per scanned (row × query) pair
+        val qn = q.select($"query_id", $"qv")
+          .withColumn("qnrm", sqrt(dotFast($"qv", $"qv")))
+        val exact = e.join(broadcast(qn), $"vec_id" =!= $"query_id")
           .select($"query_id", $"vec_id",
-            (dotFast($"qv", $"embedding")
-              / (sqrt(dotFast($"qv", $"qv")) * $"nrm")).as("cosine"))
+            (dotFast($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
         val ew = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
         val exact10 = exact.withColumn("erank", row_number().over(ew))
           .filter($"erank" <= 10)
