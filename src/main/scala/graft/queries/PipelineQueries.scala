@@ -1224,38 +1224,26 @@ object PipelineQueries extends Registry {
     //      end-to-end (fold order cannot move the result). ----------------
     Q("q184_tws_running_totals",
       (s, dir) => {
-        val ss = StreamingOps.streamSession(s)
-        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val ss = StreamingOps.rocksSession(s)
         import ss.implicits._
-        implicit val sqlCtx = ss.sqlContext
         val evts = Tables(ss, dir, "events")
           .select($"ts", $"event_id", $"user_id",
             round($"value" * 1e6).cast("long").as("vmicro"))
           .orderBy($"ts", $"event_id").limit(2000)
           .select($"user_id", $"vmicro")
           .as[(Long, Long)].collect()
-        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
-        val qn = s"graft_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        val query = StreamingOps.runningTotals(mem.toDS())
-          .writeStream.format("memory").queryName(qn)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
-        try {
-          val (b1, b2) = evts.splitAt(evts.length / 2)
-          mem.addData(b1.toSeq); query.processAllAvailable()
-          mem.addData(b2.toSeq); query.processAllAvailable()
-          ss.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
-            // LAST snapshot per user = the one with max n (n strictly
-            // increases per emission); taking the struct max keeps the sum
-            // PAIRED with that snapshot — an independent max(sum_micro)
-            // would silently diverge if values ever went negative
-            .groupBy($"user_id")
-            .agg(max(struct($"n_events", $"sum_micro")).as("m"))
-            .select($"user_id", $"m.n_events".as("n_events"),
-              ($"m.sum_micro".cast("double") / 1e6).as("value_sum"))
-            .orderBy($"user_id")
-        } finally query.stop()
+        StreamingOps.driveTwoBatches(ss, evts.toSeq,
+            org.apache.spark.sql.streaming.OutputMode.Update())(
+            StreamingOps.runningTotals)
+          // LAST snapshot per user = the one with max n (n strictly
+          // increases per emission); taking the struct max keeps the sum
+          // PAIRED with that snapshot — an independent max(sum_micro)
+          // would silently diverge if values ever went negative
+          .groupBy($"user_id")
+          .agg(max(struct($"n_events", $"sum_micro")).as("m"))
+          .select($"user_id", $"m.n_events".as("n_events"),
+            ($"m.sum_micro".cast("double") / 1e6).as("value_sum"))
+          .orderBy($"user_id")
       },
       Some("""WITH e AS (SELECT user_id, CAST(round(value * 1000000) AS BIGINT) AS vmicro
             FROM events ORDER BY ts, event_id LIMIT 2000)
@@ -1333,30 +1321,18 @@ object PipelineQueries extends Registry {
     //      same gaps-and-islands oracle replays it. ------------------------
     Q("q188_tws_sessions",
       (s, dir) => {
-        val ss = StreamingOps.streamSession(s)
-        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val ss = StreamingOps.rocksSession(s)
         import ss.implicits._
-        implicit val sqlCtx = ss.sqlContext
         val evts = Tables(ss, dir, "events")
           .select($"user_id", $"ts", $"event_id")
           .orderBy($"ts", $"event_id").limit(2000)
           .select($"user_id", $"ts")
           .as[(Long, java.sql.Timestamp)]
           .collect().map(e => StreamingOps.Evt(e._1, e._2))
-        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingOps.Evt]
-        val qn = s"graft_twssess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        val query = StreamingOps.sessionizeTws(mem.toDS(), gapMinutes = 30)
-          .writeStream.format("memory").queryName(qn)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
-        try {
-          val (b1, b2) = evts.splitAt(evts.length / 2)
-          mem.addData(b1.toSeq); query.processAllAvailable()
-          mem.addData(b2.toSeq); query.processAllAvailable()
-          ss.table(qn)
-            .localCheckpoint(eager = true) // detach result from the stopped stream
-            .orderBy($"user_id", $"session_start")
-        } finally query.stop()
+        StreamingOps.driveTwoBatches(ss, evts.toSeq,
+            org.apache.spark.sql.streaming.OutputMode.Append())(
+            StreamingOps.sessionizeTws(_, gapMinutes = 30))
+          .orderBy($"user_id", $"session_start")
       },
       Some("""WITH e AS (SELECT user_id, ts FROM events
           ORDER BY ts, event_id LIMIT 2000),
@@ -1388,31 +1364,19 @@ object PipelineQueries extends Registry {
     //      equals the batch GROUP BY the oracle recomputes. ---------------
     Q("q189_tws_type_counts",
       (s, dir) => {
-        val ss = StreamingOps.streamSession(s)
-        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val ss = StreamingOps.rocksSession(s)
         import ss.implicits._
-        implicit val sqlCtx = ss.sqlContext
         val evts = Tables(ss, dir, "events")
           .select($"ts", $"event_id", $"user_id", $"event_type")
           .orderBy($"ts", $"event_id").limit(2000)
           .select($"user_id", $"event_type")
           .as[(Long, String)].collect()
-        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-        val qn = s"graft_twsmap_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        val query = StreamingOps.typeCounts(mem.toDS())
-          .writeStream.format("memory").queryName(qn)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
-        try {
-          val (b1, b2) = evts.splitAt(evts.length / 2)
-          mem.addData(b1.toSeq); query.processAllAvailable()
-          mem.addData(b2.toSeq); query.processAllAvailable()
-          ss.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
-            .groupBy($"user_id", $"event_type")
-            .agg(max($"n").as("n_events"))
-            .orderBy($"user_id", $"event_type")
-        } finally query.stop()
+        StreamingOps.driveTwoBatches(ss, evts.toSeq,
+            org.apache.spark.sql.streaming.OutputMode.Update())(
+            StreamingOps.typeCounts)
+          .groupBy($"user_id", $"event_type")
+          .agg(max($"n").as("n_events"))
+          .orderBy($"user_id", $"event_type")
       },
       Some("""WITH e AS (SELECT user_id, event_type FROM events
             ORDER BY ts, event_id LIMIT 2000)

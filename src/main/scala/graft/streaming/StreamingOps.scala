@@ -320,4 +320,40 @@ object StreamingOps {
       .transformWithState(new TypeCountsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** [[streamSession]] child with the RocksDB state-store provider —
+    * required by every `transformWithState` query/spec; one definition so
+    * the provider class name lives in exactly one place.
+    */
+  def rocksSession(parent: org.apache.spark.sql.SparkSession,
+      parts: Int = 4): org.apache.spark.sql.SparkSession = {
+    val ss = streamSession(parent, parts)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss
+  }
+
+  /** Shared MemoryStream harness: feed `data` as two batches (the repo's
+    * standard driven-to-completion shape), drain each, and return the
+    * memory sink's rows detached from the stopped stream. The child
+    * session (and its conf: 4 state partitions, RocksDB when the caller
+    * built one via [[rocksSession]]) comes from the caller so specs that
+    * need per-batch inspection can keep driving manually — this helper is
+    * the six-line tail every gate query was duplicating.
+    */
+  def driveTwoBatches[I](ss: org.apache.spark.sql.SparkSession, data: Seq[I],
+      mode: OutputMode)(build: Dataset[I] => Dataset[_])(
+      implicit enc: org.apache.spark.sql.Encoder[I]): DataFrame = {
+    implicit val sqlCtx = ss.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[I]
+    val qn = s"graft_drive_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val query = build(mem.toDS())
+      .writeStream.format("memory").queryName(qn).outputMode(mode).start()
+    try {
+      val (b1, b2) = data.splitAt(data.length / 2)
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+      ss.table(qn).localCheckpoint(eager = true) // detach from the stopped stream
+    } finally query.stop()
+  }
 }

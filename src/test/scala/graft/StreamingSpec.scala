@@ -188,9 +188,8 @@ class StreamingSpec extends SparkSpec {
     // same two batches and compare closed-session sets exactly
     def run(build: org.apache.spark.sql.Dataset[Evt] => org.apache.spark.sql.Dataset[Session],
         rocks: Boolean): Set[(Long, Timestamp, Timestamp, Long)] = {
-      val ss = StreamingOps.streamSession(spark)
-      if (rocks) ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val ss = if (rocks) StreamingOps.rocksSession(spark)
+               else StreamingOps.streamSession(spark)
       import ss.implicits._
       implicit val sqlCtx = ss.sqlContext
       val mem = MemoryStream[Evt]
@@ -220,9 +219,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("transformWithState MapState keeps per-type cells across batches") {
-    val ss = StreamingOps.streamSession(spark)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ss = StreamingOps.rocksSession(spark)
     import ss.implicits._
     implicit val sqlCtx = ss.sqlContext
     val mem = MemoryStream[(Long, String)]
@@ -245,9 +242,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("transformWithState running totals fold ValueState across batches") {
-    val ss = StreamingOps.streamSession(spark)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ss = StreamingOps.rocksSession(spark)
     import ss.implicits._
     implicit val sqlCtx = ss.sqlContext
     val mem = MemoryStream[(Long, Long)]
