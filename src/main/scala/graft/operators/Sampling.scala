@@ -78,11 +78,16 @@ object Sampling {
     cut.drop("__u")
   }
 
-  /** Distinct values per column, n each (ref: :459-474 unique variant). */
+  /** Distinct values per column, n each (ref: :459-474 unique variant).
+    * The global cut plans as `orderBy(...).limit(n)` → TakeOrdered (bounded
+    * per-partition heap + driver merge of n rows), NOT a `row_number` window:
+    * an unpartitioned window funnels every distinct value of a corpus-scale
+    * column through one task, while the heap streams each partition in O(n)
+    * memory. Same output — identical ordering key, identical cut.
+    */
   def distinctValues(df: DataFrame, column: String, n: Int, seed: Long): DataFrame = {
     val d = df.select(col(column)).filter(col(column).isNotNull).distinct()
-    val w = Window.orderBy(detRand(seed, col(column)), col(column))
-    d.withColumn("__r", row_number().over(w)).filter(col("__r") <= n).drop("__r")
+    d.orderBy(detRand(seed, col(column)), col(column)).limit(n)
   }
 
   /** Weighted sampling without replacement, n per group —

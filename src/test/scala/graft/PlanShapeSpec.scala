@@ -451,6 +451,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx == 0, s"entropy must not shuffle, got $hashEx:\n$p")
   }
 
+  test("no registered query plans an unpartitioned window over unbounded input") {
+    // The one scale-killer class Catalyst won't warn about at plan time: a
+    // window with no PARTITION BY funnels the whole input through ONE task.
+    // Allowed only when the input is provably bounded — an aggregate
+    // (group-cardinality-sized), a limit, or a literal relation. Streaming
+    // queries are excluded: invoking them runs the micro-batch harness, and
+    // their returned frame is a memory-sink read (shape pinned in
+    // StreamingSpec); every batch query's optimized plan is swept here.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit,
+      LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Window => LWindow}
+    def bounded(p: LogicalPlan): Boolean = p.exists {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+      case _: LocalRelation | _: OneRowRelation => true
+      case _ => false
+    }
+    val streaming = (n: String) => n.contains("streaming") || n.contains("tws") ||
+      Set("q39_streaming_sessions", "q41_streaming_tumbling", "q44_session_window",
+        "q45_sliding_window", "q77_streaming_dedup")(n)
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if !streaming(name)
+      w <- fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      }
+    } yield s"$name: ${w.simpleString(80)}"
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unbounded input:\n${offenders.mkString("\n")}")
+  }
+
   test("q186: PCA iterate flows as broadcasts; per-dim aggs are partial+final") {
     val p = plan("q186_pca_power")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
