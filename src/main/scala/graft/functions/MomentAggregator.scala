@@ -19,7 +19,9 @@ import org.apache.spark.sql.expressions.Aggregator
   * Σm² headroom: |value| ≤ ~10⁶ ⇒ m² ≤ 10¹⁸/10⁶; overflow needs ~10⁷ rows
   * per group at that magnitude — at larger group sizes coarsen the
   * quantum or split the group (salt + re-merge), same playbook as the
-  * q46 salted aggregation.
+  * q46 salted aggregation. Past the headroom the exact ops THROW
+  * (multiplyExact/addExact) instead of wrapping into silently-wrong
+  * moments — the failure mode the exact-integer contract demands.
   */
 object MomentAggregator {
 
@@ -32,11 +34,13 @@ object MomentAggregator {
       override def zero: MomBuf = MomBuf(0L, 0L, 0L, Long.MaxValue, Long.MinValue)
 
       override def reduce(b: MomBuf, m: Long): MomBuf =
-        MomBuf(b.n + 1, b.sum + m, b.sumSq + m * m,
+        MomBuf(b.n + 1, Math.addExact(b.sum, m),
+          Math.addExact(b.sumSq, Math.multiplyExact(m, m)),
           math.min(b.mn, m), math.max(b.mx, m))
 
       override def merge(a: MomBuf, b: MomBuf): MomBuf =
-        MomBuf(a.n + b.n, a.sum + b.sum, a.sumSq + b.sumSq,
+        MomBuf(a.n + b.n, Math.addExact(a.sum, b.sum),
+          Math.addExact(a.sumSq, b.sumSq),
           math.min(a.mn, b.mn), math.max(a.mx, b.mx))
 
       override def finish(b: MomBuf): MomOut = {

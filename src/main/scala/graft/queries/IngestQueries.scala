@@ -35,7 +35,44 @@ object IngestQueries extends Registry {
     * fixtures (q60/q61/…) stay on fixed paths — their bytes are
     * SF-invariant and single-file writes are atomic enough for re-reads.
     */
-  private val jvmTok = ProcessHandle.current().pid().toString
+  private val jvmTok: String = {
+    pruneStaleFixtures()
+    ProcessHandle.current().pid().toString
+  }
+
+  /** Pid-keyed fixture dirs/files (q92/q125/q134/q135/q162/q181) are never
+    * dropped by their OWNING process — the catalog entries must outlive the
+    * lazy plans that resolve through them — so on-disk residency would grow
+    * without bound across processes. Startup therefore sweeps /tmp/
+    * graft_fixtures for entries whose trailing `_<pid>` token no longer maps
+    * to a live process and deletes them; the live-process check makes the
+    * sweep safe under concurrent Verify/Bench runs at any scale factor.
+    */
+  private def pruneStaleFixtures(): Unit = {
+    val dir = Paths.get(fixDir)
+    if (Files.isDirectory(dir)) {
+      val pidPat = ".*_(\\d+)(?:\\.\\w+)?$".r
+      val self = ProcessHandle.current().pid()
+      val it = Files.list(dir).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        p.getFileName.toString match {
+          case pidPat(pid) if pid.toLong != self &&
+              !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+            try deleteRecursively(p) catch { case _: java.io.IOException => () }
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val it = Files.list(p).iterator()
+      while (it.hasNext) deleteRecursively(it.next())
+    }
+    Files.deleteIfExists(p)
+  }
 
   private def write(name: String, content: String): String = {
     Files.createDirectories(Paths.get(fixDir))

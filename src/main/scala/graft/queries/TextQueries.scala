@@ -2481,7 +2481,14 @@ object TextQueries extends Registry {
       (s, dir) => {
         import s.implicits._
         docs(s, dir)
-          .select($"doc_id", split($"text", "").as("cs"), length($"text").as("n_chars"))
+          // code-POINT split: Java's empty-pattern split halves surrogate
+          // pairs (UTF-16 code units) while DuckDB's string_split(text, '')
+          // yields code points — the `(?<=.)` lookbehind advances one code
+          // point per match, so astral chars stay whole in both engines.
+          // array_remove drops the trailing empty piece limit=-1 keeps.
+          .select($"doc_id",
+            array_remove(split($"text", "(?<=.)"), "").as("cs"),
+            length($"text").as("n_chars"))
           .select($"doc_id", $"n_chars",
             expr("size(array_distinct(cs))").as("n_distinct"),
             (expr("""aggregate(

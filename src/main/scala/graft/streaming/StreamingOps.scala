@@ -140,7 +140,11 @@ object StreamingOps {
             for (t <- sorted) {
               cur match {
                 case Some(s) if t - s.endUs <= gapUs =>
-                  cur = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
+                  // fold BOTH bounds: an in-watermark late event can arrive
+                  // in a later batch with t < startUs — batch gaps-and-islands
+                  // would extend the session backwards, so the stream must too
+                  cur = Some(s.copy(startUs = math.min(s.startUs, t),
+                    endUs = math.max(s.endUs, t), n = s.n + 1))
                 case Some(s) =>
                   closed += Session(uid, fromUs(s.startUs), fromUs(s.endUs), s.n)
                   cur = Some(SessState(t, t, 1))
@@ -236,7 +240,10 @@ object StreamingOps {
       for (t <- sorted) {
         cur match {
           case Some(s) if t - s.endUs <= gapUs =>
-            cur = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
+            // fold BOTH bounds (see sessionize): a cross-batch late event
+            // inside the watermark may precede the recorded session start
+            cur = Some(s.copy(startUs = math.min(s.startUs, t),
+              endUs = math.max(s.endUs, t), n = s.n + 1))
           case Some(s) =>
             closed += Session(uid, fromUs(s.startUs), fromUs(s.endUs), s.n)
             cur = Some(SessTimerState(t, t, 1, 0L))

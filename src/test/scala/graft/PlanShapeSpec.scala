@@ -451,6 +451,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx == 0, s"entropy must not shuffle, got $hashEx:\n$p")
   }
 
+  test("q185's char split yields code points — surrogate pairs stay whole") {
+    // DuckDB's string_split(text, '') splits code points; Java's empty-
+    // pattern split halves astral chars into surrogate code units. The
+    // (?<=.) lookbehind form must agree with DuckDB on non-ASCII input.
+    import org.apache.spark.sql.functions.{array_remove, split => ssplit, col, lit}
+    val row = spark.range(1).select(lit("a😀b").as("text"))
+      .select(array_remove(ssplit(col("text"), "(?<=.)"), "").as("cs"))
+      .head()
+    val cs = row.getSeq[String](0)
+    assert(cs == Seq("a", "😀", "b"),
+      s"expected 3 code points, got ${cs.map(c => c.map(_.toInt).mkString("+"))}")
+  }
+
   test("no registered query plans an unpartitioned window over unbounded input") {
     // The one scale-killer class Catalyst won't warn about at plan time: a
     // window with no PARTITION BY funnels the whole input through ONE task.

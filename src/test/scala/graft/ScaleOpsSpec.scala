@@ -158,4 +158,16 @@ class ScaleOpsSpec extends SparkSpec {
     // guarantees identical finish() inputs regardless of the merge tree
     assert(a.sameElements(b), s"moments drifted with partitioning:\n${a.mkString("\n")}\nvs\n${b.mkString("\n")}")
   }
+
+  test("moment Aggregator throws on Long overflow instead of wrapping") {
+    val agg = graft.functions.MomentAggregator.of
+    // m*m overflows: 2^32 squared = 2^64 > Long.MaxValue
+    intercept[ArithmeticException] { agg.reduce(agg.zero, 1L << 32) }
+    // Σm² merge overflow: two near-max buffers
+    val big = graft.functions.MomentAggregator.MomBuf(1L, 0L, Long.MaxValue - 1, 0L, 0L)
+    intercept[ArithmeticException] { agg.merge(big, big) }
+    // inside the documented headroom nothing throws
+    val ok = agg.reduce(agg.zero, 1000000L)
+    assert(agg.merge(ok, ok).sumSq == 2L * 1000000L * 1000000L)
+  }
 }

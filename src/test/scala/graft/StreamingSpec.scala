@@ -218,6 +218,44 @@ class StreamingSpec extends SparkSpec {
     assert(viaTimers.exists(_._1 == 1L), "user 1's closed session missing")
   }
 
+  test("in-watermark late event EXTENDS the session start in both stateful APIs") {
+    // user 2's first event (10:05) arrives in batch 1; batch 2 delivers an
+    // OLDER event (10:01) still above the watermark (batch-1 max 10:10 −
+    // 10 min = 10:00). The merge must fold startUs = min(start, t), matching
+    // what batch gaps-and-islands computes over the union — a max-only fold
+    // would leave session_start at 10:05 with n = 2.
+    def run(build: org.apache.spark.sql.Dataset[Evt] => org.apache.spark.sql.Dataset[Session],
+        rocks: Boolean): Set[(Long, Timestamp, Timestamp, Long)] = {
+      val ss = if (rocks) StreamingOps.rocksSession(spark)
+               else StreamingOps.streamSession(spark)
+      import ss.implicits._
+      implicit val sqlCtx = ss.sqlContext
+      val mem = MemoryStream[Evt]
+      val qn = s"sess_late_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = build(mem.toDS())
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(Evt(2, ts("2024-01-01 10:05:00")), Evt(1, ts("2024-01-01 10:10:00")))
+        q.processAllAvailable()
+        mem.addData(Evt(2, ts("2024-01-01 10:01:00"))) // late but in-watermark
+        q.processAllAvailable()
+        mem.addData(Evt(3, ts("2024-01-02 09:00:00"))) // push watermark far out
+        q.processAllAvailable()
+        mem.addData(Evt(3, ts("2024-01-02 09:01:00"))) // trigger the timeouts
+        q.processAllAvailable()
+        ss.table(qn).as[Session].collect()
+          .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+      } finally q.stop()
+    }
+    for (rocks <- Seq(true, false)) {
+      val out = if (rocks) run(StreamingOps.sessionizeTws(_, gapMinutes = 30), rocks = true)
+                else run(StreamingOps.sessionize(_, gapMinutes = 30), rocks = false)
+      assert(out.contains((2L, ts("2024-01-01 10:01:00"), ts("2024-01-01 10:05:00"), 2L)),
+        s"rocks=$rocks: late event did not extend the session backwards: $out")
+    }
+  }
+
   test("transformWithState MapState keeps per-type cells across batches") {
     val ss = StreamingOps.rocksSession(spark)
     import ss.implicits._
