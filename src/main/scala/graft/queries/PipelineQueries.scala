@@ -1523,6 +1523,131 @@ object PipelineQueries extends Registry {
           SELECT lang, n_ref, n_inc,
             round(p_ref, 6) AS p_ref, round(p_inc, 6) AS p_inc,
             round((p_ref - p_inc) * ln(p_ref / p_inc), 6) AS psi_term
-          FROM p ORDER BY lang"""))
+          FROM p ORDER BY lang""")),
+
+    // ---- F1/E3 stability CERTIFICATE: the matcher itself is iterative
+    //      (no single-query DuckDB equivalent — q35 stays rows-only), but
+    //      its OUTPUT is auditable by one query. q190 writes q35's cleaned
+    //      preference lists and matched pairs to parquet, then BOTH engines
+    //      run the SAME certificate SQL over those files: per round,
+    //      (a) n_blocking — pairs mutually present in the round's working
+    //      lists where both sides STRICTLY prefer each other over their
+    //      round-r partners (None-safe: unmatched = −∞) — must be 0 for a
+    //      weakly-stable round (ref semantics: stable_match.py:133-161);
+    //      (b) n_invalid — matched pairs absent from either working list
+    //      (tier violation: pairs matched in earlier rounds are REMOVED,
+    //      so a re-match or an off-list match lands here); (c) n_multi —
+    //      endpoints matched twice within one round (per-round 1:1).
+    //      Fixture content is SF-invariant (cases derive from the fixed
+    //      star schemas; scores from the deterministic mock), so the fixed
+    //      path follows the q60 idempotent-rewrite contract. ---------------
+    Q("q190_stable_certificate",
+      (s, dir) => {
+        import s.implicits._
+        val tcs = cases(s, dir)
+        val fwdQ = s.createDataset(for {
+          tc <- tcs; t <- tc.targetSchema.map(_.name)
+        } yield Question(tc.id, t, s"fwd|${tc.id}|$t", tc.sourceSchema.map(_.name)))
+        val bwdQ = s.createDataset(for {
+          tc <- tcs; c <- tc.sourceSchema.map(_.name)
+        } yield Question(tc.id, c, s"bwd|${tc.id}|$c", tc.targetSchema.map(_.name)))
+        val fwd = LlmOperator.score(fwdQ, MockLlmClient.Factory())
+          .toDF("case_id", "query_attr", "cand_attr", "score")
+          .withColumn("direction", lit("bwd"))
+        val bwd = LlmOperator.score(bwdQ, MockLlmClient.Factory())
+          .toDF("case_id", "query_attr", "cand_attr", "score")
+          .withColumn("direction", lit("fwd"))
+        val prefs = fwd.unionByName(bwd)
+        val matches = StableMatcher.matchCases(prefs, maxRounds = 2)
+        // mirror the matcher's clean(): lowercase/trim both attrs, drop
+        // sentinel candidates — the certificate must audit the lists the
+        // matcher actually consumed
+        val cleaned = prefs.select($"case_id", $"direction",
+            lower(trim($"query_attr")).as("query_attr"),
+            lower(trim($"cand_attr")).as("cand_attr"), $"score")
+          .filter(!lower(trim($"cand_attr"))
+            .isin(StableMatcher.defaultSentinels.toSeq: _*))
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(certFixDir))
+        cleaned.coalesce(1).write.mode("overwrite").parquet(certPrefsPath)
+        matches.coalesce(1).write.mode("overwrite").parquet(certMatchesPath)
+        s.sql(stableCertSql(
+          s"parquet.`$certPrefsPath`", s"parquet.`$certMatchesPath`"))
+      },
+      Some(stableCertSql(
+        s"read_parquet('$certPrefsPath/*.parquet')",
+        s"read_parquet('$certMatchesPath/*.parquet')")))
   )
+
+  private val certFixDir = "/tmp/graft_fixtures"
+  private val certPrefsPath = s"$certFixDir/q190_prefs.parquet"
+  private val certMatchesPath = s"$certFixDir/q190_matches.parquet"
+
+  /** One certificate text, two engines: `prefsRef`/`matchesRef` are the
+    * dialect-specific table expressions; everything else is shared ANSI.
+    * Working list at round r = full (cleaned) list minus pairs matched in
+    * rounds < r; blocking needs STRICT preference on both sides (the
+    * matcher's strictly-greater acceptance makes ties non-blocking).
+    */
+  private[graft] def stableCertSql(prefsRef: String, matchesRef: String): String =
+    s"""WITH pr AS (SELECT * FROM $prefsRef),
+        mt AS (SELECT * FROM $matchesRef),
+        rounds AS (SELECT 1 AS r UNION ALL SELECT 2),
+        fwd AS (SELECT case_id, query_attr AS s, cand_attr AS t, score
+                FROM pr WHERE direction = 'fwd'),
+        bwd AS (SELECT case_id, query_attr AS t, cand_attr AS s, score
+                FROM pr WHERE direction = 'bwd'),
+        mr AS (SELECT round AS r, case_id, src_attr AS s, tgt_attr AS t FROM mt),
+        first_m AS (SELECT case_id, s, t, min(r) AS first_r
+                    FROM mr GROUP BY case_id, s, t),
+        wf AS (SELECT r.r, f.case_id, f.s, f.t, f.score
+               FROM rounds r CROSS JOIN fwd f
+               LEFT JOIN first_m e ON e.case_id = f.case_id AND e.s = f.s AND e.t = f.t
+               WHERE e.first_r IS NULL OR e.first_r >= r.r),
+        wb AS (SELECT r.r, b.case_id, b.s, b.t, b.score
+               FROM rounds r CROSS JOIN bwd b
+               LEFT JOIN first_m e ON e.case_id = b.case_id AND e.s = b.s AND e.t = b.t
+               WHERE e.first_r IS NULL OR e.first_r >= r.r),
+        scur AS (SELECT m.r, m.case_id, m.s, f.score FROM mr m JOIN fwd f
+                 ON f.case_id = m.case_id AND f.s = m.s AND f.t = m.t),
+        tcur AS (SELECT m.r, m.case_id, m.t, b.score FROM mr m JOIN bwd b
+                 ON b.case_id = m.case_id AND b.t = m.t AND b.s = m.s),
+        cand AS (SELECT f.r, f.case_id, f.s, f.t, f.score AS fs, b.score AS bs
+                 FROM wf f JOIN wb b
+                 ON b.r = f.r AND b.case_id = f.case_id AND b.s = f.s AND b.t = f.t),
+        blk AS (SELECT c.r, count(*) AS n_blocking
+                FROM cand c
+                  LEFT JOIN scur ON scur.r = c.r AND scur.case_id = c.case_id AND scur.s = c.s
+                  LEFT JOIN tcur ON tcur.r = c.r AND tcur.case_id = c.case_id AND tcur.t = c.t
+                  LEFT JOIN mr me ON me.r = c.r AND me.case_id = c.case_id
+                    AND me.s = c.s AND me.t = c.t
+                WHERE me.s IS NULL
+                  AND (scur.score IS NULL OR c.fs > scur.score)
+                  AND (tcur.score IS NULL OR c.bs > tcur.score)
+                GROUP BY c.r),
+        inv AS (SELECT m.r, count(*) AS n_invalid FROM mr m
+                  LEFT JOIN wf ON wf.r = m.r AND wf.case_id = m.case_id
+                    AND wf.s = m.s AND wf.t = m.t
+                  LEFT JOIN wb ON wb.r = m.r AND wb.case_id = m.case_id
+                    AND wb.s = m.s AND wb.t = m.t
+                WHERE wf.s IS NULL OR wb.s IS NULL
+                GROUP BY m.r),
+        ends AS (SELECT r, case_id, s AS a, count(*) AS c
+                 FROM mr GROUP BY r, case_id, s
+                 UNION ALL
+                 SELECT r, case_id, t AS a, count(*) AS c
+                 FROM mr GROUP BY r, case_id, t),
+        mul AS (SELECT r, count(*) AS n_multi FROM ends WHERE c > 1 GROUP BY r),
+        nm AS (SELECT r, count(*) AS n_matches FROM mr GROUP BY r)
+        SELECT CAST(r.r AS BIGINT) AS round,
+          CAST(COALESCE(nm.n_matches, 0) AS BIGINT) AS n_matches,
+          CAST(COALESCE(blk.n_blocking, 0) AS BIGINT) AS n_blocking,
+          CAST(COALESCE(inv.n_invalid, 0) AS BIGINT) AS n_invalid,
+          CAST(COALESCE(mul.n_multi, 0) AS BIGINT) AS n_multi
+        FROM rounds r
+          LEFT JOIN nm ON nm.r = r.r
+          LEFT JOIN blk ON blk.r = r.r
+          LEFT JOIN inv ON inv.r = r.r
+          LEFT JOIN mul ON mul.r = r.r
+        ORDER BY round"""
 }

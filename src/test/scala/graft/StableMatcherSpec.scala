@@ -123,4 +123,31 @@ class StableMatcherSpec extends SparkSpec {
     } yield (sc, t)
     assert(blocking.isEmpty, s"blocking pairs: $blocking")
   }
+
+  test("q190's certificate SQL flags an unstable matching and clears a stable one") {
+    // The certificate must be FALSIFIABLE: run the exact SQL q190 ships on a
+    // hand-built case where a-x and b-y is the unique stable outcome, once
+    // with the stable pairs (all zeros) and once with the crossed pairs
+    // (a-y, b-x) — a and x strictly prefer each other, so n_blocking > 0.
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("c1", "fwd", "a", "x", 0.9), ("c1", "fwd", "a", "y", 0.1),
+      ("c1", "fwd", "b", "x", 0.2), ("c1", "fwd", "b", "y", 0.8),
+      ("c1", "bwd", "x", "a", 0.9), ("c1", "bwd", "x", "b", 0.2),
+      ("c1", "bwd", "y", "a", 0.1), ("c1", "bwd", "y", "b", 0.8))
+      .toDF("case_id", "direction", "query_attr", "cand_attr", "score")
+      .createOrReplaceTempView("cert_pr")
+    def cert(matches: Seq[(String, String, String, Int)]): Map[Long, Long] = {
+      matches.toDF("case_id", "src_attr", "tgt_attr", "round")
+        .createOrReplaceTempView("cert_mt")
+      s.sql(graft.queries.PipelineQueries.stableCertSql("cert_pr", "cert_mt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    val stable = cert(Seq(("c1", "a", "x", 1), ("c1", "b", "y", 1)))
+    assert(stable(1L) == 0L, s"stable matching flagged: $stable")
+    val crossed = cert(Seq(("c1", "a", "y", 1), ("c1", "b", "x", 1)))
+    assert(crossed(1L) > 0L, s"unstable matching not flagged: $crossed")
+    s.catalog.dropTempView("cert_pr"); s.catalog.dropTempView("cert_mt")
+  }
 }
