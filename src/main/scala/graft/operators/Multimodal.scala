@@ -533,6 +533,227 @@ object Multimodal {
         val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
         Array.tabulate(d.nFrames)(i => b.getShort(44 + 2 * i))
       }
+
+    // ------------------------------------------------------------------
+    // ISO-BMFF (MP4) box layer — public spec (ISO/IEC 14496-12). The
+    // CONTAINER parses for real: ftyp brand, mvhd duration/timescale,
+    // per-trak tkhd dimensions, stsd codec fourccs, stsz sample counts,
+    // stss keyframe index. FRAME decode (H.264 et al.) stays a permanent
+    // documented skip — a hand-written entropy decoder is out of scope —
+    // so media catalogs get real duration/track/codec/keyframe metadata
+    // for the dominant video container while pixel decode remains stubbed.
+    // ------------------------------------------------------------------
+
+    /** Parsed MP4 container metadata (no frame decode). */
+    final case class Mp4Meta(durationMs: Long, nTracks: Int,
+        codecs: Seq[String], width: Int, height: Int,
+        nSamples: Long, nKeyframes: Long)
+
+    private def mp4Box(tpe: String, body: Array[Byte]*): Array[Byte] = {
+      val len = 8 + body.map(_.length).sum
+      val bb = ByteBuffer.allocate(len).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(len).put(tpe.getBytes("US-ASCII"))
+      body.foreach(bb.put)
+      bb.array()
+    }
+
+    /** Spec-valid minimal MP4: ftyp + moov(mvhd, trak*) + mdat. Each track
+      * is (codec fourcc, width, height, nSamples, keyEvery) — keyEvery > 0
+      * writes an stss sync-sample box marking every k-th sample (1-based),
+      * keyEvery == 0 omits stss (audio: all samples sync per spec).
+      */
+    def encodeMp4(timescale: Int, duration: Long,
+        tracks: Seq[(String, Int, Int, Int, Int)], seed: Long): Array[Byte] = {
+      require(timescale > 0 && duration >= 0 && tracks.nonEmpty)
+      def beInts(vs: Seq[Int]): Array[Byte] = {
+        val bb = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.BIG_ENDIAN)
+        vs.foreach(bb.putInt); bb.array()
+      }
+      val mvhdBody = {
+        val bb = ByteBuffer.allocate(100).order(ByteOrder.BIG_ENDIAN)
+        bb.putInt(0)                  // version 0 + flags
+          .putInt(0).putInt(0)        // ctime, mtime
+          .putInt(timescale).putInt(duration.toInt)
+          .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+        bb.position(bb.position() + 10)                // reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)                          // unity matrix
+        bb.position(bb.position() + 24)                // pre_defined
+        bb.putInt(tracks.length + 1)                   // next_track_ID
+        bb.array()
+      }
+      val traks = tracks.zipWithIndex.map {
+        case ((fourcc, w, h, nSamples, keyEvery), ti) =>
+          val video = keyEvery > 0
+          val tkhdBody = {
+            val bb = ByteBuffer.allocate(84).order(ByteOrder.BIG_ENDIAN)
+            bb.putInt(7)                // version 0, flags: enabled|in_movie|in_preview
+              .putInt(0).putInt(0)      // ctime, mtime
+              .putInt(ti + 1).putInt(0) // track_ID, reserved
+              .putInt(duration.toInt)
+            bb.position(bb.position() + 16) // reserved, layer, alt_group, volume, reserved
+            Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+              .foreach(bb.putInt)
+            bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed-point dims
+            bb.array()
+          }
+          val hdlrBody = {
+            val name = (if (video) "VideoHandler" else "SoundHandler") + " "
+            val bb = ByteBuffer.allocate(24 + name.length).order(ByteOrder.BIG_ENDIAN)
+            bb.putInt(0).putInt(0)
+              .put((if (video) "vide" else "soun").getBytes("US-ASCII"))
+            bb.position(bb.position() + 12) // reserved
+            bb.put(name.getBytes("US-ASCII"))
+            bb.array()
+          }
+          val sampleEntry = {
+            // video: 78-byte VisualSampleEntry body; audio: 28-byte
+            // AudioSampleEntry body — data_reference_index = 1 in both
+            val body = ByteBuffer.allocate(if (video) 78 else 28)
+              .order(ByteOrder.BIG_ENDIAN)
+            body.position(6)       // reserved
+            body.putShort(1)       // data_reference_index
+            if (video) {
+              body.position(8 + 16)                  // pre_defined/reserved
+              body.putShort(w.toShort).putShort(h.toShort)
+              body.putInt(0x00480000).putInt(0x00480000) // 72 dpi
+              body.position(body.position() + 4)     // reserved
+              body.putShort(1)                       // frame_count
+              body.position(body.position() + 32)    // compressorname
+              body.putShort(24).putShort(-1)         // depth, pre_defined
+            } else {
+              body.position(8 + 8)                   // reserved
+              body.putShort(2).putShort(16)          // channels, samplesize
+              body.position(body.position() + 4)     // pre_defined/reserved
+              body.putInt(44100 << 16)               // samplerate 16.16
+            }
+            mp4Box(fourcc, body.array())
+          }
+          val stsdBody = beInts(Seq(0, 1)) ++ sampleEntry
+          // per-sample sizes (sample_size field 0 → explicit table)
+          val sizes = Array.tabulate(nSamples)(i => 16 + ((seed + i * 7) % 48).toInt)
+          val stszBody = beInts(Seq(0, 0, nSamples) ++ sizes)
+          val stblChildren = Seq(
+            mp4Box("stsd", stsdBody), mp4Box("stsz", stszBody)) ++
+            (if (video) {
+              val keys = (1 to nSamples by keyEvery).toSeq
+              Seq(mp4Box("stss", beInts(Seq(0, keys.length) ++ keys)))
+            } else Nil)
+          val stbl = mp4Box("stbl", stblChildren: _*)
+          val mdhdBody = {
+            val bb = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
+            bb.putInt(0).putInt(0).putInt(0)
+              .putInt(timescale).putInt(duration.toInt)
+              .putShort(0x55c4.toShort).putShort(0) // language 'und'
+            bb.array()
+          }
+          val mdia = mp4Box("mdia", mp4Box("mdhd", mdhdBody),
+            mp4Box("hdlr", hdlrBody), mp4Box("minf", stbl))
+          mp4Box("trak", mp4Box("tkhd", tkhdBody), mdia)
+      }
+      val ftyp = mp4Box("ftyp",
+        "isom".getBytes("US-ASCII"), beInts(Seq(0x200)),
+        "isomiso2mp41".getBytes("US-ASCII"))
+      val moov = mp4Box("moov", mp4Box("mvhd", mvhdBody) +: traks: _*)
+      val mdat = mp4Box("mdat",
+        Array.tabulate(32)(i => ((seed + i * 13) & 0xff).toByte))
+      ftyp ++ moov ++ mdat
+    }
+
+    /** Box walk: children of bytes[from, until) as (type, bodyFrom,
+      * bodyUntil); size==1 reads a 64-bit largesize, size==0 runs to the
+      * end of the enclosing box — both public-spec forms.
+      */
+    private def mp4Children(bytes: Array[Byte], from: Int, until: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      var off = from
+      var ok = true
+      while (ok && off + 8 <= until) {
+        val size32 = bb.getInt(off)
+        val tpe = new String(bytes, off + 4, 4, "US-ASCII")
+        val (bodyFrom, end) =
+          if (size32 == 1 && off + 16 <= until) {
+            val size64 = bb.getLong(off + 8)
+            (off + 16, off + size64)
+          } else if (size32 == 0) (off + 8, until.toLong)
+          else (off + 8, off + size32.toLong)
+        if (end < bodyFrom || end > until) ok = false
+        else { out += ((tpe, bodyFrom, end.toInt)); off = end.toInt }
+      }
+      if (ok) out.result() else Seq.empty
+    }
+
+    /** Real ISO-BMFF container parse (no frame decode): requires a leading
+      * ftyp and a moov with mvhd; walks moov/trak/mdia/minf/stbl for
+      * per-track codec fourccs (stsd), sample counts (stsz/stz2 full-box
+      * layout) and the keyframe index (stss). Absent stss on a video track
+      * means all samples sync (spec default) — counted as such.
+      */
+    def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+      if (bytes.length < 16) return None
+      val top = mp4Children(bytes, 0, bytes.length)
+      if (top.isEmpty || top.head._1 != "ftyp") return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      top.find(_._1 == "moov").flatMap { case (_, mf, mu) =>
+        val moovKids = mp4Children(bytes, mf, mu)
+        moovKids.find(_._1 == "mvhd").map { case (_, bf, _) =>
+          val version = bytes(bf) & 0xff
+          val (timescale, duration) =
+            if (version == 1) (bb.getInt(bf + 20), bb.getLong(bf + 24))
+            else (bb.getInt(bf + 12), bb.getInt(bf + 16).toLong)
+          var nTracks = 0
+          var width = 0
+          var height = 0
+          var nSamples = 0L
+          var nKeyframes = 0L
+          val codecs = Seq.newBuilder[String]
+          for ((t, tf, tu) <- moovKids if t == "trak") {
+            nTracks += 1
+            val trakKids = mp4Children(bytes, tf, tu)
+            trakKids.find(_._1 == "tkhd").foreach { case (_, kf, _) =>
+              val v = bytes(kf) & 0xff
+              val dimOff = kf + (if (v == 1) 96 else 84) - 8 // w/h are the last 8 body bytes
+              val w = bb.getInt(dimOff) >>> 16
+              val h = bb.getInt(dimOff + 4) >>> 16
+              if (w > 0 && h > 0) { width = w; height = h }
+            }
+            val stbl = for {
+              (m, mf2, mu2) <- trakKids if m == "mdia"
+              (i, if2, iu2) <- mp4Children(bytes, mf2, mu2) if i == "minf"
+              (s, sf2, su2) <- mp4Children(bytes, if2, iu2) if s == "stbl"
+            } yield (sf2, su2)
+            var trackSamples = 0L
+            var trackKeys = -1L
+            for ((sf2, su2) <- stbl; (c, cf, cu) <- mp4Children(bytes, sf2, su2)) c match {
+              case "stsd" =>
+                mp4Children(bytes, cf + 8, cu).foreach { case (fourcc, _, _) =>
+                  codecs += fourcc
+                }
+              case "stsz" =>
+                trackSamples += bb.getInt(cf + 8).toLong
+              case "stss" =>
+                trackKeys = math.max(trackKeys, 0L) + bb.getInt(cf + 4).toLong
+              case _ => ()
+            }
+            nSamples += trackSamples
+            // no stss → every sample is a sync sample (spec default)
+            nKeyframes += (if (trackKeys >= 0) trackKeys else trackSamples)
+          }
+          val durationMs =
+            if (timescale > 0) duration * 1000L / timescale else 0L
+          Mp4Meta(durationMs, nTracks, codecs.result(), width, height,
+            nSamples, nKeyframes)
+        }
+      }
+    }
+
+    /** MP4 as a [[Decoded]] for the HeaderCodec dispatch chain: container
+      * metadata only — nFrames from the sample tables, no pixel decode.
+      */
+    def decodeMp4(bytes: Array[Byte]): Option[Decoded] =
+      parseMp4(bytes).map(m =>
+        Decoded(m.width, m.height, m.nSamples.toInt, 0))
   }
 
   /** Production decode: real header parsers first, stub fallback for
@@ -548,6 +769,7 @@ object Multimodal {
         .orElse(MediaCodecs.decodeGif(bytes))
         .orElse(MediaCodecs.decodeY4m(bytes))
         .orElse(MediaCodecs.decodeJpeg(bytes))
+        .orElse(MediaCodecs.decodeMp4(bytes))
         .getOrElse(stub.decode(modality, mime, bytes))
   }
 

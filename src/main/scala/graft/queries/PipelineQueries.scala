@@ -1576,7 +1576,57 @@ object PipelineQueries extends Registry {
       },
       Some(stableCertSql(
         s"read_parquet('$certPrefsPath/*.parquet')",
-        s"read_parquet('$certMatchesPath/*.parquet')")))
+        s"read_parquet('$certMatchesPath/*.parquet')"))),
+
+    // ---- ISO-BMFF (MP4) container catalog, construction-inverse oracle:
+    //      every doc becomes a spec-valid MP4 (ftyp + moov(mvhd, trak*) +
+    //      mdat) whose box parameters are pure functions of table columns;
+    //      the REAL box walker (Multimodal.MediaCodecs.parseMp4) extracts
+    //      duration, track count, codec fourccs, tkhd dimensions, stsz
+    //      sample counts and the stss keyframe index, and the oracle
+    //      recomputes all of them from the format math — a mis-parsed
+    //      offset anywhere in the box tree diverges the hash. Audio tracks
+    //      carry no stss, so their samples count as sync per spec. FRAME
+    //      decode (H.264) is a permanent documented skip; the container
+    //      layer is what a 100 TB media-curation catalog actually scans.
+    //      Row-local encode+parse, zero shuffle before the sort. ----------
+    Q("q191_mp4_boxes",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .map { case (id, nch) =>
+            val video = ("avc1", (160 + (id % 8) * 16).toInt,
+              (120 + (nch % 6) * 16).toInt, (24 + id % 48).toInt, 8)
+            val tracks =
+              if (id % 2 == 1)
+                Seq(video, ("mp4a", 0, 0, (100 + nch % 50).toInt, 0))
+              else Seq(video)
+            val bytes = Multimodal.MediaCodecs.encodeMp4(
+              timescale = 1000, duration = 500 + (nch % 1000) * 10,
+              tracks, seed = id)
+            val m = Multimodal.MediaCodecs.parseMp4(bytes).get
+            (id, m.durationMs, m.nTracks, m.codecs.mkString(","),
+              m.width, m.height, m.nSamples, m.nKeyframes)
+          }
+          .toDF("id", "duration_ms", "n_tracks", "codecs", "width",
+            "height", "n_samples", "n_keyframes")
+          .orderBy($"id")
+      },
+      Some("""SELECT doc_id AS id,
+          CAST(500 + (n_chars % 1000) * 10 AS BIGINT) AS duration_ms,
+          CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+          CASE WHEN doc_id % 2 = 1 THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs,
+          CAST(160 + (doc_id % 8) * 16 AS INT) AS width,
+          CAST(120 + (n_chars % 6) * 16 AS INT) AS height,
+          CAST(24 + doc_id % 48
+            + CASE WHEN doc_id % 2 = 1 THEN 100 + n_chars % 50 ELSE 0 END
+            AS BIGINT) AS n_samples,
+          CAST((24 + doc_id % 48 + 7) // 8
+            + CASE WHEN doc_id % 2 = 1 THEN 100 + n_chars % 50 ELSE 0 END
+            AS BIGINT) AS n_keyframes
+        FROM documents ORDER BY id"""))
   )
 
   private val certFixDir = "/tmp/graft_fixtures"

@@ -169,6 +169,33 @@ class ReadersSpec extends SparkSpec {
     assert(MediaCodecs.resizeBmp("not a bmp".getBytes, 4, 4).isEmpty)
   }
 
+  test("MP4 box layer round-trips and rejects non-BMFF bytes") {
+    import graft.operators.Multimodal.MediaCodecs
+    val bytes = MediaCodecs.encodeMp4(timescale = 1000, duration = 7500,
+      Seq(("avc1", 320, 240, 48, 8), ("mp4a", 0, 0, 120, 0)), seed = 99L)
+    val m = MediaCodecs.parseMp4(bytes).get
+    assert(m.durationMs == 7500 && m.nTracks == 2)
+    assert(m.codecs == Seq("avc1", "mp4a"))
+    assert(m.width == 320 && m.height == 240)
+    assert(m.nSamples == 48 + 120)
+    // video: ceil(48/8) stss entries; audio: no stss → all 120 sync
+    assert(m.nKeyframes == 6 + 120)
+    // a video-only track WITHOUT stss defaults to all-sync (spec)
+    val noStss = MediaCodecs.encodeMp4(1000, 1000,
+      Seq(("avc1", 64, 64, 10, 0)), seed = 1L)
+    assert(MediaCodecs.parseMp4(noStss).get.nKeyframes == 10)
+    // strict validation: text bytes, truncated boxes, missing ftyp
+    assert(MediaCodecs.parseMp4("just some text bytes here".getBytes).isEmpty)
+    assert(MediaCodecs.parseMp4(bytes.take(20)).isEmpty)
+    assert(MediaCodecs.parseMp4(bytes.drop(28)).isEmpty) // moov first, no ftyp
+    // 64-bit largesize form parses: rewrite ftyp as size==1 + largesize
+    val ftypLen = java.nio.ByteBuffer.wrap(bytes).getInt(0)
+    val big = java.nio.ByteBuffer.allocate(bytes.length + 8)
+    big.putInt(1).put(bytes, 4, 4).putLong(ftypLen + 8L)
+      .put(bytes, 8, ftypLen - 8).put(bytes, ftypLen, bytes.length - ftypLen)
+    assert(MediaCodecs.parseMp4(big.array()).get == m)
+  }
+
   test("JSONL ingest normalizes null tokens and dedups") {
     val dir = Files.createTempDirectory("graft-jsonl")
     val f = dir.resolve("t.jsonl")
