@@ -86,25 +86,61 @@ object PromptRenderer {
          |represent the same attribute? Answer yes or no.""".stripMargin,
       Seq("yes", "no"))
 
-  /** Whitespace token count — the budget proxy (the real tokenizer lives
-    * behind the LlmClient boundary; ref counts with a HF tokenizer,
-    * PromptICLTemplate.py:24-25).
+  /** Whitespace token count — the coarse budget proxy; kept as the default
+    * so pinned pipelines don't churn (ref counts with a HF tokenizer,
+    * PromptICLTemplate.py:24-25 — see [[wordpieceCount]] for the faithful
+    * counter).
     */
   def tokenEstimate(s: String): Int = s.split("\\s+").count(_.nonEmpty)
 
+  /** Tokenizer-FAITHFUL counting: greedy longest-prefix wordpiece over a
+    * vocab — the exact mechanics of q127's recursive-CTE tokenizer, here as
+    * the in-JVM counter for [[packIcl]]'s verify-before-accept loop. Per
+    * whitespace word: repeatedly consume the longest vocab piece prefixing
+    * the remainder, or one `<unk>` character when nothing matches. A
+    * vocab-file-driven count diverges from the whitespace estimate exactly
+    * where a real tokenizer does (long words explode into pieces), which is
+    * what the reference's budget check actually guards against.
+    */
+  def wordpieceCount(vocab: Set[String])(text: String): Int = {
+    val maxLen = if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
+    var total = 0
+    for (w <- text.split("\\s+") if w.nonEmpty) {
+      var i = 0
+      while (i < w.length) {
+        var l = math.min(maxLen, w.length - i)
+        while (l > 1 && !vocab.contains(w.substring(i, i + l))) l -= 1
+        i += (if (vocab.contains(w.substring(i, i + l))) l else 1)
+        total += 1
+      }
+    }
+    total
+  }
+
+  /** q127's fixed merge vocab — one definition shared with specs so the
+    * in-JVM counter and the recursive-CTE tokenizer stay in lockstep.
+    */
+  val subwordVocab: Set[String] = Set(
+    "tion", "ing", "ion", "ent", "ter", "the", "and", "er", "ed", "in",
+    "th", "he", "re", "on", "an", "at", "en", "es", "or", "st", "ar",
+    "le", "nd")
+
   /** F9 token-budget packing: accept demos one at a time while the re-rendered
     * prompt stays within budget (ref: PromptICLTemplate.py:195-219 verifies
-    * tokens + max_answer <= max_seq after EACH added example).
+    * tokens + max_answer <= max_seq after EACH added example). `countTokens`
+    * plugs the tokenizer: whitespace proxy by default, or
+    * `wordpieceCount(vocab)` for model-faithful budgets.
     */
   def packIcl(
       render: Seq[(String, String)] => String,
       demos: Seq[(String, String)],
       maxTokens: Int,
-      maxAnswerTokens: Int = 32): Seq[(String, String)] = {
+      maxAnswerTokens: Int = 32,
+      countTokens: String => Int = tokenEstimate): Seq[(String, String)] = {
     var kept = Vector.empty[(String, String)]
     for (d <- demos) {
       val trial = kept :+ d
-      if (tokenEstimate(render(trial)) + maxAnswerTokens <= maxTokens) kept = trial
+      if (countTokens(render(trial)) + maxAnswerTokens <= maxTokens) kept = trial
     }
     kept
   }

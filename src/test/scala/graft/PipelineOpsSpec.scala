@@ -145,6 +145,28 @@ class PromptRendererSpec extends SparkSpec {
     assert(kept == demos.take(4))
   }
 
+  test("packIcl with the wordpiece counter diverges from whitespace and still budgets") {
+    import PromptRenderer.{packIcl, subwordVocab, tokenEstimate, wordpieceCount}
+    val wp = wordpieceCount(subwordVocab) _
+    // 'interesting' = in+ter+es+t+ing = 5 pieces but ONE whitespace token;
+    // the faithful counter must see the explosion the proxy misses
+    assert(wp("interesting") == 5)
+    assert(tokenEstimate("interesting") == 1)
+    // greedy longest-prefix: 'the' (3) beats 'th' (2); unk consumes 1 char
+    assert(wp("the") == 1 && wp("xq") == 2)
+    val demos = (1 to 10).map(i => (s"interesting", s"thing"))
+    def render(ds: Seq[(String, String)]) = ds.map(d => d._1 + " " + d._2).mkString(" ")
+    // per demo: interesting(5) + thing(2: th+ing) = 7 pieces; whitespace sees 2
+    val keptWp = packIcl(render, demos, maxTokens = 25, maxAnswerTokens = 4,
+      countTokens = wp)
+    val keptWs = packIcl(render, demos, maxTokens = 25, maxAnswerTokens = 4)
+    assert(keptWp.size == 3, s"3×7 + 4 = 25 fits, 4×7 + 4 = 32 does not: ${keptWp.size}")
+    assert(keptWs.size == 10, "whitespace proxy accepts everything — the gap under test")
+    // the invariant the reference verifies after EACH accept: final prompt
+    // + answer budget stays within max for the counter that was used
+    assert(wp(render(keptWp)) + 4 <= 25)
+  }
+
   test("nearestDemos ranks by |coverage delta| with id tiebreak") {
     val pool = Seq(("d1", 0.5), ("d2", 0.8), ("d3", 0.45), ("d4", 0.55))
     assert(PromptRenderer.nearestDemos(0.5, pool, 3) == Seq("d1", "d3", "d4"))
