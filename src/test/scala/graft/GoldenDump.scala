@@ -17,7 +17,8 @@ object GoldenDump {
     spark.sparkContext.setLogLevel("ERROR")
     val names = Seq("q34_matching_pipeline", "q35_stable_matching",
       "q38_multimodal_features", "q47_ensemble_pipeline", "q48_icl_pipeline")
-    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"); n <- names) {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1"); n <- names) {
       val df = SparkEntry.queries(n)(spark, sf)
       val body = df.collect()
         .map(_.toSeq.map(String.valueOf).mkString("")).mkString("\n")

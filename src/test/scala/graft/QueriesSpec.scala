@@ -42,12 +42,12 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries whose final operator is not a global sort: $missing")
   }
 
-  test("no-oracle queries match golden content hashes at sf0.001 AND sf0.01") {
+  test("no-oracle queries match golden content hashes at sf0.001, sf0.01 AND sf0.1") {
     // these have no DuckDB oracle (mock LLM / multimodal stub), so pin an
     // md5 over the FULL stringified output — a value-level golden, per
     // VERDICT r2 item 4: a row-count pin would let semantic drift hide
-    // behind a stable cardinality. Pinned at TWO scale factors (VERDICT r5
-    // item 5) so drift can't hide behind the smallest fixture; regenerate
+    // behind a stable cardinality. Pinned at THREE scale factors (VERDICT
+    // r6 item 7) so drift can't hide behind small fixtures; regenerate
     // after an intentional change with `Test/runMain graft.GoldenDump`.
     def contentHash(df: org.apache.spark.sql.DataFrame): String = {
       val body = df.collect()
@@ -65,7 +65,12 @@ class QueriesSpec extends SparkSpec {
       "q35_stable_matching@sf0.01" -> "31e45a5d0d939e0e6084beb4dbca185e",
       "q38_multimodal_features@sf0.01" -> "0a1517bafeda02b9deea87c5d5abfa8f",
       "q47_ensemble_pipeline@sf0.01" -> "75efc563e24a7b96eeb838d02f6d0a1d",
-      "q48_icl_pipeline@sf0.01" -> "1839476fe5445d5f29e4165b4db215b3")
+      "q48_icl_pipeline@sf0.01" -> "1839476fe5445d5f29e4165b4db215b3",
+      "q34_matching_pipeline@sf0.1" -> "02be9e638e155594c23ce99c7376f8c2",
+      "q35_stable_matching@sf0.1" -> "31e45a5d0d939e0e6084beb4dbca185e",
+      "q38_multimodal_features@sf0.1" -> "b192f0d9dd44be716b138e503c0f4897",
+      "q47_ensemble_pipeline@sf0.1" -> "75efc563e24a7b96eeb838d02f6d0a1d",
+      "q48_icl_pipeline@sf0.1" -> "1839476fe5445d5f29e4165b4db215b3")
     val got = golden.keys.toSeq.sorted.map { k =>
       val Array(n, sf) = k.split("@")
       k -> contentHash(SparkEntry.queries(n)(spark, s"/root/testdata/$sf"))
