@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for the sf1 smoke bench (SURVEY scale mandate —
+  * "would this plan survive a 100× scale-up?" — tested empirically one
+  * order of magnitude at a time): replicates the sf0.1 documents corpus
+  * `factor`× with id offsets and a per-replica WORD-LEVEL perturbation.
+  *
+  * The perturbation matters: naive replication makes every replica a
+  * near-duplicate of its source, so LSH/shingle candidate pairs grow
+  * quadratically in the replica count and the "scale test" measures a
+  * pathology the real corpus doesn't have. Suffixing every 3rd word
+  * (phase-shifted per replica) drops cross-replica Jaccard below any
+  * banding threshold — candidate growth stays ~linear, like genuinely new
+  * documents — while keeping in-replica statistics (lengths, zipf shape,
+  * languages, sources) intact.
+  *
+  * Usage: runMain graft.ScaleUp [srcDir] [dstDir] [factor]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    graft.core.Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.core.Tables(spark, src, "documents")
+    val idStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val replicas = (0 until factor).map { r =>
+      if (r == 0)
+        docs.select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+      else
+        docs.select(
+          (col("doc_id") + lit(r * idStride)).as("doc_id"),
+          expr(s"""array_join(transform(split(text, ' '),
+              (w, i) -> CASE WHEN (i + $r) % 3 = 0
+                        THEN concat(w, '$r') ELSE w END), ' ')""").as("text"),
+          col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    replicas.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val n = spark.read.parquet(s"$dst/documents.parquet").count()
+    println(s"[scaleup] wrote $n documents ($factor x $src) to $dst")
+  }
+}
