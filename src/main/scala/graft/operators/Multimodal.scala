@@ -754,6 +754,104 @@ object Multimodal {
     def decodeMp4(bytes: Array[Byte]): Option[Decoded] =
       parseMp4(bytes).map(m =>
         Decoded(m.width, m.height, m.nSamples.toInt, 0))
+
+    // --- MPEG audio (MP3): real frame-header walk + ID3v2 skip ----------
+    // Public-spec (ISO/IEC 11172-3 §2.4.1 header layout; id3.org ID3v2.3
+    // tag structure). Frame decode (huffman/MDCT synthesis) is out of
+    // scope like H.264 — the catalog layer parses what a 100 TB audio
+    // curation scan needs: tag size, frame count, bitrate, sample rate,
+    // duration. Frame length math: floor(144 · bitrate / samplerate) +
+    // padding for MPEG-1 Layer III; 1152 samples per frame.
+    // ------------------------------------------------------------------
+
+    /** Parsed MP3 stream metadata (header walk, no audio decode). */
+    final case class Mp3Meta(id3Bytes: Int, nFrames: Long, bitrateKbps: Int,
+        sampleRate: Int, durationMs: Long)
+
+    /** MPEG-1 Layer III bitrate table (kbps); index 0 = free, 15 = bad. */
+    private val mp3Bitrates =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+    /** MPEG-1 sample-rate table; index 3 reserved. */
+    private val mp3Rates = Array(44100, 48000, 32000)
+
+    /** CBR MPEG-1 Layer III stream with a leading ID3v2.3 tag of
+      * `id3Content` payload bytes (synchsafe size encoding exercised
+      * whenever the payload exceeds 127 bytes). Per-frame padding bit
+      * alternates from the seed so the parser's length math is exercised
+      * on both branches. Frame bodies are sub-0x80 junk — no false sync
+      * words, and the walker advances by computed lengths anyway.
+      */
+    def encodeMp3(bitrateIdx: Int, rateIdx: Int, nFrames: Int,
+        id3Content: Int, seed: Long): Array[Byte] = {
+      require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2)
+      val out = new java.io.ByteArrayOutputStream()
+      // ID3v2.3 header: "ID3", version 3.0, flags 0, 4 synchsafe size bytes
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0)
+      out.write((id3Content >> 21) & 0x7f); out.write((id3Content >> 14) & 0x7f)
+      out.write((id3Content >> 7) & 0x7f); out.write(id3Content & 0x7f)
+      (0 until id3Content).foreach(i => out.write(((seed + i) % 0x70).toInt))
+      val bitrate = mp3Bitrates(bitrateIdx) * 1000
+      val rate = mp3Rates(rateIdx)
+      (0 until nFrames).foreach { f =>
+        val padding = ((seed + f) % 2).toInt
+        val frameLen = 144 * bitrate / rate + padding
+        out.write(0xff)
+        out.write(0xfb)               // MPEG-1 (11), Layer III (01), no CRC
+        out.write((bitrateIdx << 4) | (rateIdx << 2) | (padding << 1))
+        out.write(0x00)               // stereo, no emphasis
+        (4 until frameLen).foreach(i => out.write(((seed + f * 31 + i) % 0x70).toInt))
+      }
+      out.toByteArray
+    }
+
+    /** Real MP3 parse: skip a leading ID3v2 tag (synchsafe size), then
+      * walk MPEG-1 Layer III frame headers — sync check, bitrate/rate
+      * table lookups, per-frame length math — until bytes run out or a
+      * non-frame byte appears. Reported bitrate is the first frame's
+      * (CBR assumption); duration from 1152 samples/frame.
+      */
+    def parseMp3(bytes: Array[Byte]): Option[Mp3Meta] = {
+      if (bytes.length < 4) return None
+      var off = 0
+      var id3 = 0
+      if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3' &&
+          bytes.length >= 10) {
+        val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+          ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+        id3 = 10 + sz
+        off = id3
+      }
+      var nFrames = 0L
+      var bitrateKbps = 0
+      var sampleRate = 0
+      var ok = true
+      while (ok && off + 4 <= bytes.length) {
+        val b1 = bytes(off) & 0xff
+        val b2 = bytes(off + 1) & 0xff
+        val b3 = bytes(off + 2) & 0xff
+        // sync (11 bits) + MPEG-1 (version bits 11) + Layer III (01)
+        if (b1 != 0xff || (b2 & 0xe0) != 0xe0 || ((b2 >> 3) & 3) != 3 ||
+            ((b2 >> 1) & 3) != 1) { ok = false }
+        else {
+          val bi = (b3 >> 4) & 0xf
+          val ri = (b3 >> 2) & 3
+          val padding = (b3 >> 1) & 1
+          if (bi == 0 || bi == 15 || ri == 3) { ok = false }
+          else {
+            val br = mp3Bitrates(bi) * 1000
+            val rate = mp3Rates(ri)
+            if (nFrames == 0L) { bitrateKbps = mp3Bitrates(bi); sampleRate = rate }
+            nFrames += 1
+            off += 144 * br / rate + padding
+          }
+        }
+      }
+      if (nFrames == 0 || sampleRate == 0) None
+      else Some(Mp3Meta(id3, nFrames, bitrateKbps, sampleRate,
+        nFrames * 1152L * 1000L / sampleRate))
+    }
   }
 
   /** Production decode: real header parsers first, stub fallback for

@@ -1626,7 +1626,52 @@ object PipelineQueries extends Registry {
           CAST((24 + doc_id % 48 + 7) // 8
             + CASE WHEN doc_id % 2 = 1 THEN 100 + n_chars % 50 ELSE 0 END
             AS BIGINT) AS n_keyframes
-        FROM documents ORDER BY id"""))
+        FROM documents ORDER BY id""")),
+
+    // ---- MPEG audio (MP3) catalog, construction-inverse oracle: each doc
+    //      becomes a CBR MPEG-1 Layer III stream with an ID3v2.3 tag whose
+    //      parameters are pure functions of table columns; the REAL header
+    //      walker (Multimodal.MediaCodecs.parseMp3) skips the tag via the
+    //      synchsafe size, walks every frame header through the public
+    //      bitrate/sample-rate tables and the 144·br/rate+padding length
+    //      math, and the oracle recomputes tag size, frame count, bitrate,
+    //      rate and 1152-samples-per-frame duration from the same format
+    //      math — a mis-read anywhere desyncs the walk and diverges the
+    //      hash. Frame decode (huffman/MDCT) is out of scope like H.264;
+    //      this is the layer a 100 TB audio-curation scan actually reads.
+    //      Row-local encode+parse, zero shuffle before the sort. ----------
+    Q("q195_mp3_frames",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .map { case (id, nch) =>
+            val bytes = Multimodal.MediaCodecs.encodeMp3(
+              bitrateIdx = 1 + (id % 14).toInt, rateIdx = (id % 3).toInt,
+              nFrames = 20 + (nch % 30).toInt,
+              id3Content = 100 + (id % 200).toInt, seed = id)
+            val m = Multimodal.MediaCodecs.parseMp3(bytes).get
+            (id, m.id3Bytes.toLong, m.nFrames, m.bitrateKbps.toLong,
+              m.sampleRate.toLong, m.durationMs)
+          }
+          .toDF("id", "id3_bytes", "n_frames", "bitrate_kbps",
+            "sample_rate", "duration_ms")
+          .orderBy($"id")
+      },
+      Some("""WITH br(i, kbps) AS (VALUES (1, 32), (2, 40), (3, 48), (4, 56),
+            (5, 64), (6, 80), (7, 96), (8, 112), (9, 128), (10, 160),
+            (11, 192), (12, 224), (13, 256), (14, 320)),
+          m AS (SELECT doc_id AS id,
+              CAST(110 + doc_id % 200 AS BIGINT) AS id3_bytes,
+              CAST(20 + n_chars % 30 AS BIGINT) AS n_frames,
+              CAST(kbps AS BIGINT) AS bitrate_kbps,
+              CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                   ELSE 32000 END AS BIGINT) AS sample_rate
+            FROM documents JOIN br ON br.i = 1 + doc_id % 14)
+          SELECT id, id3_bytes, n_frames, bitrate_kbps, sample_rate,
+            CAST(n_frames * 1152 * 1000 // sample_rate AS BIGINT) AS duration_ms
+          FROM m ORDER BY id"""))
   )
 
   private val certFixDir = "/tmp/graft_fixtures"

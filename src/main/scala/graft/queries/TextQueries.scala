@@ -2520,7 +2520,134 @@ object TextQueries extends Registry {
                      * ln(CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE)
                        / length(text)) * 1000000) AS BIGINT)))
               AS DOUBLE) / 1000000.0 >= 2.87 THEN 1 ELSE 0 END AS keep
-          FROM documents ORDER BY doc_id"""))
+          FROM documents ORDER BY doc_id""")),
+
+    // ---- content-defined chunking (CDC) dedup: gear/Rabin-style chunk
+    //      boundaries from a rolling window hash over token codes, so an
+    //      insertion near the head of a doc shifts only the chunks it
+    //      touches — unlike q99/q122's FIXED-stride chunks, where one
+    //      leading token realigns every window and the whole doc stops
+    //      matching its near-copy. Boundary rule: position i ends a chunk
+    //      when hash(tokens i-3..i) ≡ 0 (mod 16) — expected chunk ~16
+    //      tokens — plus a forced boundary at EOF. Everything up to the
+    //      chunk hash is ROW-LOCAL (token codes, window hashes, boundary
+    //      scan, chunk md5s are array ops inside the row); the only
+    //      data-path shuffles are the chunk-hash groupBy for the
+    //      first-owner index and the co-partitioned join back — exactly
+    //      q122's scale shape, so at 100 TB the chunk index buckets on the
+    //      hash and the per-doc rollup never sees more than its own
+    //      chunks. Token code = md5 60-bit prefix mod p mod 1000003; the
+    //      window hash stays under 2^36, exact in both engines. ------------
+    Q("q192_cdc_chunks",
+      (s, dir) => {
+        import s.implicits._
+        val ch = cdcChunks(s, docs(s, dir))
+        val ex = ch
+          .select($"doc_id", size($"chunks").cast("long").as("n_chunks"),
+            explode($"chunks").as("chunk"))
+          .distinct()
+        val own = ex.groupBy($"chunk").agg(min($"doc_id").as("first_doc"))
+        ex.join(own, Seq("chunk"))
+          .groupBy($"doc_id", $"n_chunks")
+          .agg(count(lit(1)).as("n_distinct"),
+            sum(when($"first_doc" < $"doc_id", 1L).otherwise(0L)).as("n_dup"))
+          .select($"doc_id", $"n_chunks", $"n_distinct", $"n_dup",
+            when($"n_dup" * 2 > $"n_distinct", "drop").otherwise("keep")
+              .as("verdict"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+          cs AS (SELECT doc_id, w,
+              list_transform(w, tk ->
+                (${graft.functions.TextFunctions.hexPolySql(15, "tk")}
+                 % 1000000007) % 1000003) AS c FROM t),
+          bd AS (SELECT doc_id, w, c,
+              CASE WHEN len(c) >= 4 THEN
+                list_filter(range(4, len(c) + 1), i ->
+                  ((c[i-3] * 29791 + c[i-2] * 961 + c[i-1] * 31 + c[i])
+                   % 1000003) % 16 = 0)
+              ELSE [] END AS bnd FROM cs),
+          bs AS (SELECT doc_id, w,
+              CASE WHEN len(bnd) > 0 AND bnd[-1] = len(c) THEN bnd
+                   ELSE list_append(bnd, len(c)) END AS bounds FROM bd),
+          ch AS (SELECT doc_id,
+              list_transform(range(1, len(bounds) + 1), j ->
+                md5(array_to_string(
+                  w[(CASE WHEN j = 1 THEN 0 ELSE bounds[j-1] END) + 1 : bounds[j]],
+                  ' '))) AS chunks FROM bs),
+          ex AS (SELECT DISTINCT doc_id, CAST(len(chunks) AS BIGINT) AS n_chunks,
+                 unnest(chunks) AS chunk FROM ch),
+          own AS (SELECT chunk, min(doc_id) AS first_doc FROM ex GROUP BY chunk),
+          agg AS (SELECT e.doc_id, e.n_chunks,
+                CAST(count(*) AS BIGINT) AS n_distinct,
+                CAST(sum(CASE WHEN o.first_doc < e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+              FROM ex e JOIN own o USING (chunk)
+              GROUP BY e.doc_id, e.n_chunks)
+          SELECT doc_id, n_chunks, n_distinct, n_dup,
+            CASE WHEN n_dup * 2 > n_distinct THEN 'drop' ELSE 'keep' END AS verdict
+          FROM agg ORDER BY doc_id""")),
+
+    // ---- edit-distance-VERIFIED near-dup pairs: SimHash bands generate
+    //      candidates (q25's machinery — bounded by bucket sizes, never
+    //      all-pairs), then each surviving pair is verified with exact
+    //      Levenshtein over the normalized text — the verify stage every
+    //      production near-dup pipeline runs between cheap sketches and a
+    //      delete decision, because hash agreement at Hamming ≤ 20 still
+    //      admits false merges (see the q23 false-merge war story). Cost
+    //      shape at 100 TB: Levenshtein is O(len²) per PAIR, so it must
+    //      only ever run on the banded candidates — the join keeps text
+    //      out of the self-join (ids only) and fetches both texts by
+    //      co-partitioned id joins after the candidate cut. Both engines
+    //      run unit-cost Levenshtein over identically-normalized strings;
+    //      the ratio re-derives as exact-int lev over max length. ----------
+    Q("q193_lev_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val sim = materialize(simhashDF(s, dir))
+        val bandStructs = (0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"shiftright(simhash, ${15 * b}) & 32767").as("bval")))
+        val bands = sim.select($"doc_id",
+            explode(array(bandStructs: _*)).as("bb"))
+          .select($"doc_id", $"bb.band".as("band"), $"bb.bval".as("bval"))
+        val cand = bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
+              $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .distinct()
+        val nt = docs(s, dir).select($"doc_id", normalize($"text").as("nt"))
+        cand
+          .join(nt.select($"doc_id".as("doc_a"), $"nt".as("ta")), Seq("doc_a"))
+          .join(nt.select($"doc_id".as("doc_b"), $"nt".as("tb")), Seq("doc_b"))
+          .select($"doc_a", $"doc_b",
+            levenshtein($"ta", $"tb").cast("long").as("lev"),
+            greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
+          .withColumn("sim",
+            lit(1.0) - $"lev".cast("double") / $"max_len".cast("double"))
+          .withColumn("verdict",
+            when($"sim" >= 0.6, "dup").otherwise("distinct"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""WITH $simhashCte,
+          bands AS (SELECT doc_id, b AS band,
+                 (simhash >> CAST(15 * b AS INT)) & 32767 AS bval
+               FROM sim, UNNEST(range(0, 4)) AS r(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+          nt AS (SELECT doc_id,
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+            FROM documents),
+          sc AS (SELECT doc_a, doc_b,
+              CAST(levenshtein(x.nt, y.nt) AS BIGINT) AS lev,
+              CAST(greatest(length(x.nt), length(y.nt)) AS BIGINT) AS max_len
+            FROM cand JOIN nt x ON x.doc_id = doc_a
+            JOIN nt y ON y.doc_id = doc_b)
+          SELECT doc_a, doc_b, lev, max_len,
+            1.0 - CAST(lev AS DOUBLE) / CAST(max_len AS DOUBLE) AS sim,
+            CASE WHEN 1.0 - CAST(lev AS DOUBLE) / CAST(max_len AS DOUBLE) >= 0.6
+                 THEN 'dup' ELSE 'distinct' END AS verdict
+          FROM sc ORDER BY doc_a, doc_b"""))
   )
 
   /** Shared recursive-tokenizer SQL (q127): identical text in both engines
@@ -2564,6 +2691,45 @@ object TextQueries extends Registry {
     * to inline a non-cheap expression referenced 60×, so md5 runs once per
     * token occurrence, not per bit.
     */
+  /** Content-defined chunk hashes for q192: (doc_id, text) → (doc_id,
+    * chunks), where chunks are md5s of the token spans between
+    * gear-style rolling-hash boundaries (window hash of the last 4 token
+    * codes ≡ 0 mod 16, plus a forced EOF boundary). ROW-LOCAL by
+    * construction. Exposed package-private so the shift-resilience
+    * property (a leading insertion leaves all chunks after the next
+    * boundary untouched) is spec-testable.
+    */
+  private[graft] def cdcChunks(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
+    val M = 1000003L
+    val toks = d
+      .select($"doc_id", tokens(lower($"text")).as("w"))
+      .withColumn("c", transform($"w", t =>
+        (conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+          % minhashP) % M))
+    def wh(i: org.apache.spark.sql.Column) = (
+      element_at($"c", i - 3) * lit(29791L) +
+        element_at($"c", i - 2) * lit(961L) +
+        element_at($"c", i - 1) * lit(31L) +
+        element_at($"c", i)) % lit(M)
+    toks
+      .withColumn("bnd",
+        when(size($"c") >= 4,
+          filter(sequence(lit(4), size($"c")), i => wh(i) % 16 === 0))
+          .otherwise(array().cast("array<int>")))
+      // forced EOF boundary unless the window hash already placed one
+      // there; And short-circuits, so element_at never sees index 0
+      .withColumn("bounds",
+        when(size($"bnd") > 0 &&
+            element_at($"bnd", size($"bnd")) === size($"c"), $"bnd")
+          .otherwise(concat($"bnd", array(size($"c")))))
+      .withColumn("chunks", transform($"bounds", (b, j) => {
+        val prev = when(j === 0, lit(0)).otherwise(element_at($"bounds", j))
+        md5(concat_ws(" ", slice($"w", prev + 1, b - prev)))
+      }))
+      .select($"doc_id", $"chunks")
+  }
+
   private def simhashDF(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = docs(s, dir)

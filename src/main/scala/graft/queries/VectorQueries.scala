@@ -1229,6 +1229,72 @@ object VectorQueries extends Registry {
                       AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
           SELECT a.vec_id, a.cid, a.ccos,
             CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict
-          FROM asg a LEFT JOIN drops d USING (vec_id) ORDER BY vec_id"""))
+          FROM asg a LEFT JOIN drops d USING (vec_id) ORDER BY vec_id""")),
+
+    // ---- PQ codebook TRAINING (q109/q154 consume a codebook; this is
+    //      where one comes from): per-subspace k-means, one Lloyd step —
+    //      split 64 dims into 4×16 subvectors, assign every subvector to
+    //      its nearest (L2) seed centroid, re-estimate each centroid as
+    //      the cluster mean. The four subspace problems are INDEPENDENT —
+    //      they ride one plan: explode sub ∈ 0..3, broadcast the 16 seed
+    //      subvectors, argmin via the same bit-identical l2 fold q109
+    //      encodes with, then per-(sub, cid, dim) means from exact
+    //      quantized-long sums (order-free at any parallelism; q93's
+    //      recipe). Scale shape per iteration: one broadcast of M·k
+    //      subvectors + one (sub, cid, dim)-keyed partial-sum shuffle of
+    //      fixed width M·k·16 — corpus size only affects the map side.
+    //      More Lloyd iterations = the same plan repeated (q163's loop). --
+    Q("q194_pq_train",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val sv = emb(s, dir)
+          .select($"vec_id", explode(sequence(lit(0), lit(3))).as("sub"),
+            $"embedding")
+          .select($"vec_id", $"sub",
+            expr("slice(embedding, sub * 16 + 1, 16)").as("v"))
+        val seeds = sv.filter($"vec_id" < 4)
+          .select($"sub", $"vec_id".cast("int").as("cid"), $"v".as("cv"))
+        val aw = Window.partitionBy($"vec_id", $"sub").orderBy($"d2", $"cid")
+        val assign = sv.join(broadcast(seeds), Seq("sub"))
+          .withColumn("d2", expr("vec_l2sq(v, cv)"))
+          .withColumn("rn", row_number().over(aw))
+          .filter($"rn" === 1)
+          .select($"vec_id", $"sub", $"cid", $"v")
+        assign
+          .select($"sub", $"cid", explode(sequence(lit(0), lit(15))).as("dim"),
+            $"v")
+          .select($"sub", $"cid", $"dim",
+            round(expr("CAST(element_at(v, dim + 1) AS DOUBLE)") * 1000)
+              .cast("long").as("q"))
+          .groupBy($"sub", $"cid", $"dim")
+          .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+          .select($"sub", $"cid", $"dim",
+            ($"sq".cast("double") / 1000.0 / $"n").as("c_new"), $"n")
+          .orderBy($"sub", $"cid", $"dim")
+      },
+      Some {
+        val l2 = "list_reduce(list_transform(list_zip(s.v, c.cv), " +
+          "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * " +
+          "(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), (acc, x) -> acc + x)"
+        s"""WITH sv AS (SELECT vec_id, CAST(t.sub AS INT) AS sub,
+                 embedding[t.sub * 16 + 1 : t.sub * 16 + 16] AS v
+               FROM embeddings, (SELECT unnest(range(0, 4)) AS sub) t),
+          seeds AS (SELECT sub, CAST(vec_id AS INT) AS cid, v AS cv
+               FROM sv WHERE vec_id < 4),
+          d AS (SELECT s.vec_id, s.sub, c.cid, s.v, $l2 AS d2
+               FROM sv s JOIN seeds c ON c.sub = s.sub),
+          a AS (SELECT vec_id, sub, cid, v FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                 ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1),
+          j AS (SELECT sub, cid, CAST(t.dim AS INT) AS dim,
+                 CAST(round(CAST(v[t.dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+               FROM a, (SELECT unnest(range(0, 16)) AS dim) t),
+          g AS (SELECT sub, cid, dim, sum(q) AS sq,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM j GROUP BY sub, cid, dim)
+          SELECT sub, cid, dim, CAST(sq AS DOUBLE) / 1000.0 / n AS c_new, n
+          FROM g ORDER BY sub, cid, dim"""
+      })
   )
 }

@@ -197,4 +197,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.forall(_._2 == n))
     assert(rows.forall(_._3 >= 0.0), "negative variance")
   }
+
+  test("q192: CDC chunks re-synchronize after a leading insertion (the property fixed-stride chunking lacks)") {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 200).map(i => s"tok${i % 37}w${(i * 7) % 23}").mkString(" ")
+    val df = Seq((0L, base), (1L, "inserted " + base)).toDF("doc_id", "text")
+    val ch = graft.queries.TextQueries.cdcChunks(spark, df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val (a, b) = (ch(0L), ch(1L))
+    assert(a.size >= 4, s"degenerate chunking: ${a.size} chunks for 200 tokens")
+    // boundaries are content-defined, so every boundary of the original
+    // past the perturbation reappears shifted by one in the edited doc —
+    // all chunks after the first boundary are IDENTICAL hashes
+    assert(b.takeRight(a.size - 1) == a.tail,
+      "chunk tail did not survive a one-token head insertion")
+    assert(a.head != b.head, "head chunk must absorb the insertion")
+  }
+
+  test("q193: verified pairs are ordered, sim-bounded and verdict-consistent") {
+    val rows = q("q193_lev_neardup").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "pair order broken")
+    assert(rows.forall { r =>
+      val sim = r.getDouble(4)
+      sim <= 1.0 + 1e-9 &&
+        ((sim >= 0.6) == (r.getString(5) == "dup"))
+    }, "sim bound or verdict consistency broken")
+  }
+
+  test("q194: every (subspace, dim) slice partitions the full corpus across its 4 clusters") {
+    val n = graft.core.Tables(spark, sfDir, "embeddings").count()
+    val rows = q("q194_pq_train").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(4)))
+    assert(rows.length == 4 * 4 * 16)
+    rows.groupBy(r => (r._1, r._3)).foreach { case (k, rs) =>
+      assert(rs.map(_._4).sum == n, s"cluster sizes at $k don't sum to corpus")
+    }
+  }
 }

@@ -196,6 +196,31 @@ class ReadersSpec extends SparkSpec {
     assert(MediaCodecs.parseMp4(big.array()).get == m)
   }
 
+  test("MP3 frame walk round-trips and rejects non-MPEG bytes") {
+    import graft.operators.Multimodal.MediaCodecs
+    val bytes = MediaCodecs.encodeMp3(bitrateIdx = 9, rateIdx = 0,
+      nFrames = 40, id3Content = 300, seed = 5L)
+    val m = MediaCodecs.parseMp3(bytes).get
+    assert(m.id3Bytes == 310 && m.nFrames == 40)
+    assert(m.bitrateKbps == 128 && m.sampleRate == 44100)
+    assert(m.durationMs == 40L * 1152 * 1000 / 44100)
+    // synchsafe tag size: 300 spans two 7-bit groups
+    assert((bytes(8) & 0x7f) == (300 >> 7) && (bytes(9) & 0x7f) == (300 & 0x7f))
+    // bare frame stream (tag stripped) parses with id3Bytes == 0
+    val mb = MediaCodecs.parseMp3(bytes.drop(310)).get
+    assert(mb.id3Bytes == 0 && mb.nFrames == 40 && mb.durationMs == m.durationMs)
+    // tag alone (no frames), text bytes, and a too-short buffer all reject
+    assert(MediaCodecs.parseMp3(bytes.take(310)).isEmpty)
+    assert(MediaCodecs.parseMp3("definitely not an mpeg stream".getBytes).isEmpty)
+    assert(MediaCodecs.parseMp3(Array[Byte](0x49, 0x44)).isEmpty)
+    // the padding bit alternates, so both frame-length branches walked:
+    // 144·128000/44100 = 417 — first two frames start 418 and 417 apart
+    // (seed=5 → frame 0 padded, frame 1 not)
+    val f0 = 310
+    assert((bytes(f0) & 0xff) == 0xff && ((bytes(f0 + 2) >> 1) & 1) == 1)
+    assert((bytes(f0 + 418) & 0xff) == 0xff && ((bytes(f0 + 418 + 2) >> 1) & 1) == 0)
+  }
+
   test("JSONL ingest normalizes null tokens and dedups") {
     val dir = Files.createTempDirectory("graft-jsonl")
     val f = dir.resolve("t.jsonl")
