@@ -1671,7 +1671,67 @@ object PipelineQueries extends Registry {
             FROM documents JOIN br ON br.i = 1 + doc_id % 14)
           SELECT id, id3_bytes, n_frames, bitrate_kbps, sample_rate,
             CAST(n_frames * 1152 * 1000 // sample_rate AS BIGINT) AS duration_ms
-          FROM m ORDER BY id"""))
+          FROM m ORDER BY id""")),
+
+    // ---- CHAINED stateful operators in one streaming query: hourly
+    //      counts re-windowed into 6-hour roll-ups — two event-time
+    //      aggregations back-to-back on one watermark (the Spark ≥3.5
+    //      multiple-stateful-operator path; before it, this took two
+    //      queries with an intermediate sink). Append mode: a roll-up
+    //      emits only when the watermark passes its 6-hour end, so after
+    //      the two real batches two far-future sentinel batches advance
+    //      the watermark and flush the state (q132's recipe); sentinel
+    //      windows themselves are filtered by type. The DuckDB twin is
+    //      the same double-windowing as one batch GROUP BY chain over
+    //      the prefix. --------------------------------------------------
+    Q("q196_streaming_chained_aggs",
+      (s, dir) => {
+        // dedicated 4-partition child session (see q41's comment)
+        val ss = StreamingOps.streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val evts = Tables(ss, dir, "events")
+          .select($"ts", $"event_type", $"event_id")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .select($"ts", $"event_type")
+          .as[(java.sql.Timestamp, String)].collect()
+        val maxMs = evts.map(_._1.getTime).max
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+        val qn = s"graft_chain_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val query = StreamingOps.chainedWindowCounts(
+            mem.toDF().toDF("ts", "event_type"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+        try {
+          val (b1, b2) = evts.splitAt(evts.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          mem.addData(b2.toSeq); query.processAllAvailable()
+          // advance the watermark past every real 6-hour window, then
+          // trigger the flushing micro-batch (q132's two-round recipe)
+          Seq(2, 4).foreach { d =>
+            mem.addData(Seq((new java.sql.Timestamp(maxMs + d * 86400000L),
+              "zz_sentinel")))
+            query.processAllAvailable()
+          }
+          ss.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .filter($"event_type" =!= "zz_sentinel")
+            .orderBy($"bucket_start", $"event_type")
+        } finally query.stop()
+      },
+      Some("""WITH e AS (SELECT ts, event_type FROM events
+            ORDER BY ts, event_id LIMIT 2000),
+          h AS (SELECT date_trunc('hour', ts) AS hs, event_type,
+                count(*) AS n_hour FROM e GROUP BY 1, 2),
+          b AS (SELECT make_timestamp((CAST(epoch(hs) AS BIGINT) // 21600) * 21600 * 1000000)
+                  AS bucket_start, event_type,
+                CAST(sum(n_hour) AS BIGINT) AS n_events,
+                count(*) AS n_active_hours,
+                CAST(max(n_hour) AS BIGINT) AS max_hourly
+              FROM h GROUP BY 1, 2)
+          SELECT bucket_start, event_type, n_events, n_active_hours,
+            max_hourly
+          FROM b ORDER BY bucket_start, event_type"""))
   )
 
   private val certFixDir = "/tmp/graft_fixtures"

@@ -41,6 +41,34 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** CHAINED stateful operators in ONE streaming query (the Spark ≥3.5
+    * multiple-stateful-operator path): a tumbling 1-hour event-time count
+    * per type, re-aggregated into 6-hour roll-ups by windowing over
+    * `window_time` of the first aggregate's window (end − 1 µs, so an
+    * hour window lands in the 6-hour bucket containing it — epoch-aligned
+    * in both stages). One watermark drives both states; in append mode a
+    * roll-up row emits only once the watermark passes its 6-hour end,
+    * which the harness forces with far-future sentinel batches. Scale
+    * contract: stage-1 state is (hour × type) counters, stage-2 state is
+    * (6-hour × type) — both bounded by time × cardinality, never by
+    * event volume, and the stage-2 input is stage-1's FINALIZED rows
+    * (cardinality windows-per-day, not events), so the chain costs one
+    * extra bounded shuffle.
+    */
+  def chainedWindowCounts(events: DataFrame,
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_hour"))
+      .groupBy(window(window_time(col("window")), "6 hours"),
+        col("event_type"))
+      .agg(sum(col("n_hour")).as("n_events"),
+        count(lit(1)).as("n_active_hours"),
+        max(col("n_hour")).as("max_hourly"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("n_active_hours"), col("max_hourly"))
+
   /** Streaming exact dedup: watermark-bounded per-KEY dedup — the
     * incremental twin of q21's hash-groupBy dedup. State holds one entry
     * per key within the watermark horizon, and a redelivered duplicate is

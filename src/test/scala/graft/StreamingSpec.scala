@@ -13,6 +13,41 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("chained window aggs: two stateful operators in one query, correct roll-up") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val qn = s"chain_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = StreamingOps.chainedWindowCounts(mem.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 01:05:00"), "click"),   // bucket 00:00, hour 01
+        (ts("2024-01-01 01:40:00"), "click"),
+        (ts("2024-01-01 04:10:00"), "click"),   // bucket 00:00, hour 04
+        (ts("2024-01-01 07:10:00"), "view"))    // bucket 06:00
+      q.processAllAvailable()
+      // flush: sentinel far past every window end + watermark delay
+      mem.addData((ts("2024-01-10 00:00:00"), "zz"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-20 00:00:00"), "zz"))
+      q.processAllAvailable()
+      // the one streaming query genuinely ran TWO stateful operators
+      assert(q.lastProgress.stateOperators.size == 2,
+        s"expected 2 state operators, got ${q.lastProgress.stateOperators.size}")
+      val rows = s.table(qn).filter($"event_type" =!= "zz")
+        .orderBy($"bucket_start", $"event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(rows.toSeq == Seq(
+        ("2024-01-01 00:00:00.0", "click", 3L, 2L, 2L),
+        ("2024-01-01 06:00:00.0", "view", 1L, 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts equal the batch aggregation (complete mode)") {
     val s = spark
     import s.implicits._
