@@ -449,6 +449,36 @@ object TextQueries extends Registry {
           SELECT a AS doc_id, least(a, min(b)) AS component
           FROM reach GROUP BY a ORDER BY doc_id""")),
 
+    // ---- diameter-safe connected components: the large-star/small-star
+    //      contraction (Kiveris et al. 2014) on the SAME near-dup edge set
+    //      as q73. Min-label propagation (q73) costs O(diameter) rounds —
+    //      fine for dup clusters, catastrophic if template drift chains
+    //      docs into a long path; the star algorithm converges in O(log² n)
+    //      rounds on ANY topology. Same oracle as q73 certifies the two
+    //      kernels agree end-to-end on real LSH edges; the path-graph
+    //      divergence (where q73's loop would NOT converge in budget) is
+    //      pinned in GraphXCrossCheckSpec. ------------------------------------
+    Q("q197_cc_star",
+      (s, dir) => {
+        import s.implicits._
+        val mh = materialize(minhashes(s, dir))
+        val edges = lshScored(mh)
+          .filter(col("agree") >= nPerms / 2)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        graft.operators.Components.starComponents(edges)
+          .select(col("node").as("doc_id"), col("comp").as("component"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $lshScoredCte,
+          und AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE agree >= ${nPerms / 2}
+                  UNION
+                  SELECT doc_b, doc_a FROM scored WHERE agree >= ${nPerms / 2}),
+          reach(a, b) AS (SELECT a, b FROM und
+                          UNION
+                          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+          SELECT a AS doc_id, least(a, min(b)) AS component
+          FROM reach GROUP BY a ORDER BY doc_id""")),
+
     // ---- duplication-centrality PageRank: 3 quantized power iterations
     //      over q73's undirected near-dup pair graph — a VALUE-propagation
     //      iterative kernel beside q73's label propagation. High rank = a

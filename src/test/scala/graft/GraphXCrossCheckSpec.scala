@@ -62,4 +62,51 @@ class GraphXCrossCheckSpec extends SparkSpec {
         s"doc $doc: engine rank $rank, GraphX ${gx(doc)}")
     }
   }
+
+  test("q197 star components equal GraphX ConnectedComponents on the same edges") {
+    val edges = SparkEntry.queries("q23_minhash_lsh")(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "no LSH edges at this scale factor — vacuous test")
+
+    val ours = SparkEntry.queries("q197_cc_star")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
+      spark.sparkContext.parallelize(edges.toSeq), defaultValue = 0)
+    val gx = org.apache.spark.graphx.lib.ConnectedComponents.run(g)
+      .vertices.collect().map { case (v, c) => v -> c }.toMap
+
+    assert(ours.keySet == gx.keySet,
+      s"vertex sets differ: ours-only=${ours.keySet -- gx.keySet} gx-only=${gx.keySet -- ours.keySet}")
+    ours.foreach { case (doc, comp) =>
+      assert(gx(doc) == comp,
+        s"doc $doc: engine component $comp, GraphX ${gx(doc)}")
+    }
+  }
+
+  test("star components converge on a 300-node path where min-label propagation cannot") {
+    // the pathological-diameter case the star algorithm exists for: a path
+    // 0-1-2-…-299 has diameter 299, so min-label needs ~299 rounds; the
+    // star contraction must finish inside a 15-round budget (log²(300)≈68
+    // is the worst-case bound; observed is far lower). Min-label at the
+    // SAME budget is asserted NOT converged — pinning that q197 is a
+    // different algorithm, not a relabeled copy of q73's loop.
+    val n = 300
+    val path = spark.createDataFrame(
+      (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))).toDF("a", "b")
+    val star = graft.operators.Components.starComponents(path, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.keySet == (0L until n).toSet)
+    star.foreach { case (node, comp) =>
+      assert(comp == 0L, s"node $node labeled $comp after star contraction")
+    }
+    val minLabel = graft.operators.Components
+      .connectedComponents(path, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minLabel.values.exists(_ != 0L),
+      "min-label propagation converged a 300-diameter path in 15 rounds — " +
+        "the path fixture no longer exercises the diameter pathology")
+  }
 }
