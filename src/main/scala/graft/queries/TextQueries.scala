@@ -479,6 +479,109 @@ object TextQueries extends Registry {
           SELECT a AS doc_id, least(a, min(b)) AS component
           FROM reach GROUP BY a ORDER BY doc_id""")),
 
+    // ---- filter-funnel attribution: the per-rule kill/survivor ledger a
+    //      curation pipeline publishes with every corpus release (C4 /
+    //      Gopher / FineWeb report exactly this table). Six rules applied
+    //      in a FIXED order; rule i's `docs_in` is the survivor count of
+    //      rules 1..i-1, so the numbers are MARGINAL kills (the actionable
+    //      form — a rule's raw kill count double-books docs an earlier rule
+    //      already removed). Every threshold is an INTEGER cross-multiplied
+    //      comparison (5·digits < len, not digits/len < 0.2): exact in both
+    //      engines, no float boundary can flip a doc. Only the top-bigram
+    //      coverage rule needs a shuffle (per-doc bigram mode via
+    //      doc_id-keyed partial agg — map-side combine, never corpus-wide);
+    //      all other rules are row-local. The funnel itself is one
+    //      per-lang aggregate unpivoted with stack(). -----------------------
+    Q("q198_filter_funnel",
+      (s, dir) => {
+        import s.implicits._
+        def grams(n: Int) = expr(
+          s"""CASE WHEN size(w) >= $n
+               THEN transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))
+               ELSE array() END""")
+        val stops = LangLexicon.entries.map(_._1)
+        val base = docs(s, dir)
+          .withColumn("w", tokens($"text"))
+          .withColumn("g2", grams(2)).withColumn("g3", grams(3))
+          .select($"doc_id", $"lang", $"g2",
+            size($"w").as("n"),
+            length($"text").as("len"),
+            (length($"text") - (size($"w") - 1)).as("sumw"),
+            (length($"text") - length(regexp_replace($"text", "[0-9]", ""))).as("digits"),
+            size(filter($"w", x => x.isin(stops: _*))).as("stops"),
+            (size($"g3") - size(array_distinct($"g3"))).as("dup3"),
+            size($"g3").as("ng3"))
+        val top2 = base.select($"doc_id", explode($"g2").as("gm"))
+          .groupBy($"doc_id", $"gm").agg(count(lit(1)).as("cnt"))
+          .groupBy($"doc_id").agg(max($"cnt" * length($"gm")).as("top2chars"))
+        val flags = base.join(top2, Seq("doc_id"), "left")
+          .withColumn("t2", coalesce($"top2chars", lit(0L)))
+          .select($"lang",
+            ($"n" >= 30 && $"n" <= 10000).cast("int").as("p1"),
+            ($"sumw" >= $"n" * 3 && $"sumw" <= $"n" * 10).cast("int").as("p2"),
+            ($"stops" * 50 >= $"n" * 3).cast("int").as("p3"),
+            ($"digits" * 5 < $"len").cast("int").as("p4"),
+            ($"t2" * 5 <= $"len").cast("int").as("p5"),
+            ($"dup3" * 10 <= $"ng3" * 3).cast("int").as("p6"))
+        val pref = flags.select($"lang",
+          $"p1".as("c1"), ($"p1" * $"p2").as("c2"),
+          ($"p1" * $"p2" * $"p3").as("c3"),
+          ($"p1" * $"p2" * $"p3" * $"p4").as("c4"),
+          ($"p1" * $"p2" * $"p3" * $"p4" * $"p5").as("c5"),
+          ($"p1" * $"p2" * $"p3" * $"p4" * $"p5" * $"p6").as("c6"))
+        val agg = pref.groupBy($"lang").agg(
+          count(lit(1)).as("docs"),
+          sum($"c1").as("s1"), sum($"c2").as("s2"), sum($"c3").as("s3"),
+          sum($"c4").as("s4"), sum($"c5").as("s5"), sum($"c6").as("s6"))
+        agg.selectExpr("lang",
+          """stack(6,
+             1L, 'word_count',      docs, s1,
+             2L, 'mean_word_len',   s1,   s2,
+             3L, 'stopword_ratio',  s2,   s3,
+             4L, 'digit_ratio',     s3,   s4,
+             5L, 'top_bigram_frac', s4,   s5,
+             6L, 'dup_trigram_frac',s5,   s6) AS (rule_no, rule, docs_in, survivors)""")
+          .select($"lang", $"rule_no", $"rule",
+            $"docs_in".cast("long").as("docs_in"),
+            ($"docs_in" - $"survivors").cast("long").as("killed"),
+            $"survivors".cast("long").as("survivors"))
+          .orderBy($"lang", $"rule_no")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT doc_id, lang, text, w,
+          [array_to_string(w[i:i+1], ' ') for i in range(1, greatest(len(w) - 1, 0) + 1)] AS g2,
+          [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 0) + 1)] AS g3
+          FROM t),
+        tc AS (SELECT doc_id, max(cnt * length(gm)) AS top2chars FROM (
+                 SELECT doc_id, gm, count(*) AS cnt
+                 FROM (SELECT doc_id, unnest(g2) AS gm FROM g) GROUP BY doc_id, gm)
+               GROUP BY doc_id),
+        f AS (SELECT g.lang,
+          CASE WHEN len(w) BETWEEN 30 AND 10000 THEN 1 ELSE 0 END AS p1,
+          CASE WHEN length(text) - (len(w) - 1) >= len(w) * 3
+                AND length(text) - (len(w) - 1) <= len(w) * 10 THEN 1 ELSE 0 END AS p2,
+          CASE WHEN len(list_filter(w, x -> x IN (${LangLexicon.sqlWordList}))) * 50 >= len(w) * 3 THEN 1 ELSE 0 END AS p3,
+          CASE WHEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 5 < length(text) THEN 1 ELSE 0 END AS p4,
+          CASE WHEN coalesce(top2chars, 0) * 5 <= length(text) THEN 1 ELSE 0 END AS p5,
+          CASE WHEN (len(g3) - len(list_distinct(g3))) * 10 <= len(g3) * 3 THEN 1 ELSE 0 END AS p6
+          FROM g LEFT JOIN tc ON g.doc_id = tc.doc_id),
+        a AS (SELECT lang, count(*) AS docs,
+          sum(p1) AS s1, sum(p1*p2) AS s2, sum(p1*p2*p3) AS s3,
+          sum(p1*p2*p3*p4) AS s4, sum(p1*p2*p3*p4*p5) AS s5,
+          sum(p1*p2*p3*p4*p5*p6) AS s6 FROM f GROUP BY lang)
+        SELECT lang, rule_no, rule,
+          CAST(docs_in AS BIGINT) AS docs_in,
+          CAST(docs_in - survivors AS BIGINT) AS killed,
+          CAST(survivors AS BIGINT) AS survivors
+        FROM (
+          SELECT lang, 1 AS rule_no, 'word_count' AS rule, docs AS docs_in, s1 AS survivors FROM a
+          UNION ALL SELECT lang, 2, 'mean_word_len', s1, s2 FROM a
+          UNION ALL SELECT lang, 3, 'stopword_ratio', s2, s3 FROM a
+          UNION ALL SELECT lang, 4, 'digit_ratio', s3, s4 FROM a
+          UNION ALL SELECT lang, 5, 'top_bigram_frac', s4, s5 FROM a
+          UNION ALL SELECT lang, 6, 'dup_trigram_frac', s5, s6 FROM a)
+        ORDER BY lang, rule_no""")),
+
     // ---- duplication-centrality PageRank: 3 quantized power iterations
     //      over q73's undirected near-dup pair graph — a VALUE-propagation
     //      iterative kernel beside q73's label propagation. High rank = a

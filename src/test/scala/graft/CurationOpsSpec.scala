@@ -235,4 +235,45 @@ class CurationOpsSpec extends SparkSpec {
       assert(rs.map(_._4).sum == n, s"cluster sizes at $k don't sum to corpus")
     }
   }
+
+  test("q198: every funnel rule kills at least one crafted doc, and the funnel chains") {
+    // the sf corpora never trip rules 2/4/5/6 (no digits, low repetition),
+    // so cross-engine agreement alone can't prove those branches — this
+    // fixture has one doc engineered to die at EACH rule plus one survivor
+    // digit-free, pairwise-distinct filler words (digits would trip rule 4;
+    // a repeating cycle would trip rules 5/6)
+    def filler(i: Int): String = "w" * (3 + i % 5) + ('a' + i % 26).toChar
+    val survivor = (Seq.fill(3)("the") ++ (0 until 37).map(filler)).mkString(" ")
+    val shortDoc = "tiny text here now stop"
+    val thinWords = (Seq("a") ++ Seq.fill(39)("b c").flatMap(_.split(" "))).take(40).mkString(" ")
+    val noStops = (0 until 40).map(i => "plain" + ('a' + i % 7).toChar).mkString(" ")
+    val digitHeavy = (Seq.fill(3)("the") ++ Seq.fill(37)("12345")).mkString(" ")
+    val bigramLoop = (Seq.fill(3)("the") ++
+      (0 until 37).map(i => if (i % 2 == 0) "foo" else "bar")).mkString(" ")
+    val block = (Seq("the", "the") ++
+      (0 until 28).map(i => "blk" + ('a' + i).toChar + "w")).mkString(" ")
+    val triDup = block + " " + block
+    val fixture = Seq(
+      (1L, survivor), (2L, shortDoc), (3L, thinWords), (4L, noStops),
+      (5L, digitHeavy), (6L, bigramLoop), (7L, triDup))
+    val dir = java.nio.file.Files.createTempDirectory("q198fix").toString
+    spark.createDataFrame(fixture.map { case (id, t) =>
+      (id, t, "en", "fix", t.length.toLong)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val funnel = SparkEntry.queries("q198_filter_funnel")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(funnel.map(_._1).toSeq == (1L to 6L), s"expected 6 en rules, got $funnel")
+    funnel.foreach { case (rule, docsIn, killed, surv) =>
+      assert(killed >= 1, s"rule $rule killed nothing — its branch is untested")
+      assert(docsIn - killed == surv, s"rule $rule ledger does not balance")
+    }
+    // the funnel chains: rule i+1's input is rule i's survivors; one doc left
+    funnel.sliding(2).foreach { case Array((_, _, _, s), (r2, d2, _, _)) =>
+      assert(s == d2, s"rule $r2 docs_in $d2 != previous survivors $s")
+    }
+    assert(funnel.last._4 == 1L, "exactly the engineered survivor should remain")
+  }
 }
