@@ -2780,7 +2780,53 @@ object TextQueries extends Registry {
             1.0 - CAST(lev AS DOUBLE) / CAST(max_len AS DOUBLE) AS sim,
             CASE WHEN 1.0 - CAST(lev AS DOUBLE) / CAST(max_len AS DOUBLE) >= 0.6
                  THEN 'dup' ELSE 'distinct' END AS verdict
-          FROM sc ORDER BY doc_a, doc_b"""))
+          FROM sc ORDER BY doc_a, doc_b""")),
+
+    // ---- record linkage with the native damerau_levenshtein Expression
+    //      (expressions/TextExpressions.scala): a master catalog is linked
+    //      against a corrupted feed whose names carry one adjacent-char
+    //      transposition (the dominant human typo class) — injected
+    //      deterministically in BOTH engines so the fixture needs no extra
+    //      data. Blocking on p_brand bounds the pair fan-out (the
+    //      record-linkage analogue of LSH banding: ~n²/|blocks| pairs, not
+    //      n²); the verify kernel is row-local inside whole-stage codegen.
+    //      `gain = lev - dl` isolates exactly the transposition-awareness
+    //      the built-in levenshtein lacks (28k of 162k pairs differ at
+    //      sf0.01, so agreement is a real cross-engine proof of the DP,
+    //      not a trivial echo). DuckDB's damerau_levenshtein is the SAME
+    //      unrestricted byte-level variant — integer-exact oracle. ----------
+    Q("q199_dl_linkage",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.TextExpressions.register(s)
+        val p = graft.core.Tables(s, dir, "part")
+          .select($"p_partkey", $"p_brand", $"p_name")
+        val dirty = p.select($"p_partkey".as("key_d"), $"p_brand",
+          concat(substring($"p_name", 1, 1), substring($"p_name", 3, 1),
+            substring($"p_name", 2, 1), substring($"p_name", 4, 100000))
+            .as("dirty"))
+        p.as("m").join(dirty.as("d"), Seq("p_brand"))
+          .select($"p_partkey".as("key_m"), $"key_d",
+            call_function("damerau_levenshtein", $"p_name", $"dirty")
+              .cast("long").as("dl"),
+            levenshtein($"p_name", $"dirty").cast("long").as("lev"))
+          .filter($"dl" <= 2)
+          .select($"key_m", $"key_d", $"dl", $"lev",
+            ($"lev" - $"dl").as("gain"),
+            when($"key_m" === $"key_d", 1L).otherwise(0L).as("is_true"))
+          .orderBy($"key_m", $"key_d")
+      },
+      Some("""WITH d AS (SELECT p_partkey AS key_d, p_brand,
+            substr(p_name, 1, 1) || substr(p_name, 3, 1) || substr(p_name, 2, 1)
+              || substr(p_name, 4) AS dirty
+          FROM part),
+        j AS (SELECT m.p_partkey AS key_m, d.key_d,
+            CAST(damerau_levenshtein(m.p_name, d.dirty) AS BIGINT) AS dl,
+            CAST(levenshtein(m.p_name, d.dirty) AS BIGINT) AS lev
+          FROM part m JOIN d ON m.p_brand = d.p_brand)
+        SELECT key_m, key_d, dl, lev, lev - dl AS gain,
+          CAST(CASE WHEN key_m = key_d THEN 1 ELSE 0 END AS BIGINT) AS is_true
+        FROM j WHERE dl <= 2 ORDER BY key_m, key_d"""))
   )
 
   /** Shared recursive-tokenizer SQL (q127): identical text in both engines
