@@ -166,4 +166,41 @@ object Components {
         .toDF("node", "comp"))
       .groupBy(col("node")).agg(min(col("comp")).as("comp"))
   }
+
+  /** Per-node triangle participation + degree over an undirected edge list
+    * (canonicalized and de-duped internally). Degree-ordered orientation:
+    * every edge points low→high in (degree, id) order, so wedge enumeration
+    * fans out by ORIENTED out-degree — O(√m) bounded on any graph (the
+    * arboricity argument), immune to the hub nodes an id-ordered
+    * enumeration would hot-spot on. Each triangle is found exactly once
+    * (its two lowest-order corners form the wedge), then exploded to its
+    * 3 corners. Returns (node, degree, n_tri); nodes in no triangle get 0.
+    */
+  def triangleCounts(
+      edges: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("v")).unionByName(canon.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val e = canon
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"),
+        when(fwd, col("db")).otherwise(col("da")).as("dst_deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.src") === col("e2.src") &&
+        (col("e1.dst_deg") < col("e2.dst_deg") ||
+          (col("e1.dst_deg") === col("e2.dst_deg") && col("e1.dst") < col("e2.dst"))))
+      .join(e.as("e3"), col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val perNode = tri.select(explode(array(col("u"), col("v"), col("w"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("node"), col("deg").cast("long").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).cast("long").as("n_tri"))
+  }
 }

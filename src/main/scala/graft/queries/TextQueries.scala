@@ -479,6 +479,57 @@ object TextQueries extends Registry {
           SELECT a AS doc_id, least(a, min(b)) AS component
           FROM reach GROUP BY a ORDER BY doc_id""")),
 
+    // ---- triangle counting + local clustering coefficient over the
+    //      near-dup graph (same LSH edges as q73): triangles separate
+    //      TEMPLATE clusters (dense, high clustering — one page copied
+    //      many times, every pair similar) from DRIFT chains (sparse,
+    //      zero triangles — a~b~c where a̸~c), which need different dedup
+    //      treatment (drop-all-but-one vs keep-endpoints). Uses the
+    //      degree-ordered orientation (each edge points low→high in
+    //      (degree, id) order) so every wedge enumeration fans out by a
+    //      node's ORIENTED out-degree — bounded by O(√m) on any graph,
+    //      the standard skew-proof triangle kernel; id-ordered enumeration
+    //      would hot-spot whichever node LSH made a hub. Each triangle is
+    //      materialized exactly once, then exploded to its 3 corners for
+    //      per-node counts. clustering = 2·tri / (deg·(deg−1)) is one
+    //      int/int double division — exact cross-engine. -------------------
+    Q("q200_triangles",
+      (s, dir) => {
+        import s.implicits._
+        val mh = materialize(minhashes(s, dir))
+        val edges = lshScored(mh)
+          .filter(col("agree") >= nPerms / 2)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        graft.operators.Components.triangleCounts(edges)
+          .select($"node".as("doc_id"), $"degree", $"n_tri")
+          .withColumn("clustering",
+            when($"degree" >= 2,
+              lit(2.0) * $"n_tri" / ($"degree" * ($"degree" - 1))).otherwise(lit(0.0)))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $lshScoredCte,
+          ed AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE agree >= ${nPerms / 2}),
+          deg AS (SELECT v, count(*) AS deg FROM (
+                    SELECT a AS v FROM ed UNION ALL SELECT b FROM ed) GROUP BY v),
+          e AS (SELECT
+              CASE WHEN (da.deg, a) < (db.deg, b) THEN a ELSE b END AS src,
+              CASE WHEN (da.deg, a) < (db.deg, b) THEN b ELSE a END AS dst,
+              CASE WHEN (da.deg, a) < (db.deg, b) THEN db.deg ELSE da.deg END AS dst_deg
+            FROM ed JOIN deg da ON ed.a = da.v JOIN deg db ON ed.b = db.v),
+          tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+            FROM e e1 JOIN e e2 ON e1.src = e2.src
+              AND (e1.dst_deg, e1.dst) < (e2.dst_deg, e2.dst)
+            JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+          pn AS (SELECT v, count(*) AS n_tri FROM (
+                   SELECT u AS v FROM tri UNION ALL SELECT v FROM tri
+                   UNION ALL SELECT w FROM tri) GROUP BY v)
+          SELECT deg.v AS doc_id, CAST(deg.deg AS BIGINT) AS degree,
+            CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+            CASE WHEN deg.deg >= 2
+                 THEN 2.0 * coalesce(pn.n_tri, 0) / (deg.deg * (deg.deg - 1))
+                 ELSE 0.0 END AS clustering
+          FROM deg LEFT JOIN pn ON deg.v = pn.v ORDER BY doc_id""")),
+
     // ---- filter-funnel attribution: the per-rule kill/survivor ledger a
     //      curation pipeline publishes with every corpus release (C4 /
     //      Gopher / FineWeb report exactly this table). Six rules applied

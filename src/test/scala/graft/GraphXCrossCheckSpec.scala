@@ -109,4 +109,31 @@ class GraphXCrossCheckSpec extends SparkSpec {
       "min-label propagation converged a 300-diameter path in 15 rounds — " +
         "the path fixture no longer exercises the diameter pathology")
   }
+
+  test("triangleCounts: K4, a disjoint triangle, a chain, and an open star") {
+    // K4 on 0-3 (every node in C(3,2)=3 triangles), triangle 10-11-12,
+    // chain 20-21-22 (a wedge, NO triangle), star 30-{31,32,33} (no
+    // triangle; also the hub shape degree-ordering must not hot-spot on),
+    // plus duplicate and reversed edge entries the canonicalizer must fold
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (21L, 22L),
+      (30L, 31L), (30L, 32L), (30L, 33L),
+      (1L, 0L), (0L, 1L)) // noise: reversed + duplicate
+    val df = spark.createDataFrame(edges).toDF("a", "b")
+    val got = graft.operators.Components.triangleCounts(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0L to 3L).foreach { v =>
+      assert(got(v) == (3L, 3L), s"K4 node $v: ${got(v)}, expected (3,3)")
+    }
+    Seq(10L, 11L, 12L).foreach { v =>
+      assert(got(v) == (2L, 1L), s"triangle node $v: ${got(v)}")
+    }
+    assert(got(21L) == (2L, 0L), "chain center must see the wedge but no triangle")
+    assert(got(20L) == (1L, 0L) && got(22L) == (1L, 0L))
+    assert(got(30L) == (3L, 0L), "star hub has degree 3 and no triangles")
+    Seq(31L, 32L, 33L).foreach(v => assert(got(v) == (1L, 0L)))
+    assert(got.size == 14)
+  }
 }
