@@ -503,6 +503,56 @@ object EventQueries extends Registry {
                 * (CAST(sum(m) AS DOUBLE) / count(*) / 1000.0) AS var_value,
             CAST(min(m) AS DOUBLE) / 1000.0 AS min_value,
             CAST(max(m) AS DOUBLE) / 1000.0 AS max_value
-          FROM q GROUP BY event_type ORDER BY event_type"""))
+          FROM q GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- Misra-Gries heavy-hitter audit (functions/MisraGries.scala):
+    //      bounded-memory top talkers over a bot-amplified event stream.
+    //      The driver corpus is deliberately uniform (no user exceeds any
+    //      N/(k+1) threshold), so the stream is skewed DETERMINISTICALLY
+    //      in both engines first: every event from a user_id divisible by
+    //      37 is replayed 81x (the bot-retry-storm shape heavy-hitter
+    //      sketches exist for). The raw MG summary is arrival-order- and
+    //      partition-dependent — NOT gateable — so the query emits the
+    //      deterministic implications of the mergeable-summaries theorem
+    //      instead: every user with true count > N/(k+1) (exact integer
+    //      cross-multiplied threshold) must be IN the k=16 sketch, with
+    //      true − N/(k+1) ≤ estimate ≤ true. The oracle replays the exact
+    //      counts and emits the verdict columns as literal 1s; any sketch
+    //      bug in reduce/merge flips a 0 into ours and fails the hash.
+    //      The ≤k-entry summary is the only driver-side collect. ----------
+    Q("q201_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val k = 16
+        val stream = events(s, dir)
+          .select($"user_id",
+            (lit(1) + when($"user_id" % 37 === 0, 80).otherwise(0)).as("rep"))
+          .select(explode(array_repeat($"user_id".cast("string"),
+            $"rep".cast("int"))).as("tok"))
+        val mg = stream.as[String]
+          .select(graft.functions.MisraGries.of(k).toColumn)
+          .head().counts
+        val exact = stream.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        val tot = stream.agg(count(lit(1)).as("n"))
+        exact.crossJoin(broadcast(tot))
+          .filter($"cnt" * (k + 1) > $"n")
+          .select($"tok".cast("long").as("user_id"),
+            $"cnt".cast("long").as("exact_cnt"),
+            when(typedlit(mg).getItem($"tok").isNotNull, 1).otherwise(0)
+              .cast("int").as("in_sketch"),
+            when(coalesce(typedlit(mg).getItem($"tok"), lit(0L)) <= $"cnt" &&
+              ($"cnt" - coalesce(typedlit(mg).getItem($"tok"), lit(0L))) * (k + 1) <= $"n",
+              1).otherwise(0).cast("int").as("est_ok"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+            1 + CASE WHEN user_id % 37 = 0 THEN 80 ELSE 0 END AS rep
+          FROM events),
+        st AS (SELECT user_id FROM ev, UNNEST(range(0, rep))),
+        c AS (SELECT user_id, count(*) AS cnt FROM st GROUP BY user_id),
+        n AS (SELECT count(*) AS n FROM st)
+        SELECT user_id, CAST(cnt AS BIGINT) AS exact_cnt,
+          CAST(1 AS INT) AS in_sketch, CAST(1 AS INT) AS est_ok
+        FROM c, n WHERE cnt * 17 > n ORDER BY user_id"""))
   )
 }

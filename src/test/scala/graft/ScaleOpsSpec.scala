@@ -170,4 +170,42 @@ class ScaleOpsSpec extends SparkSpec {
     val ok = agg.reduce(agg.zero, 1000000L)
     assert(agg.merge(ok, ok).sumSq == 2L * 1000000L * 1000000L)
   }
+
+  test("Misra-Gries guarantee holds across partitionings and adversarial orders") {
+    import graft.functions.MisraGries
+    val k = 8
+    val rnd = new scala.util.Random(23)
+    // Zipf-ish stream: item i gets ~N/(i+1)² weight; items 0-1 are true
+    // heavy hitters at k=8, the long tail forces constant decrements
+    val stream = (0 until 60).flatMap { i =>
+      Seq.fill(3000 / ((i + 1) * (i + 1)) + 1)(s"item$i")
+    }
+    val n = stream.size.toLong
+    val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val trueHH = exact.filter { case (_, c) => c * (k + 1) > n }.keySet
+    assert(trueHH.nonEmpty, "fixture has no heavy hitters — vacuous")
+    assert(exact.size > k, "fixture vocabulary fits in the sketch — no pruning")
+
+    val orders = Seq(
+      stream,                                  // bursts first
+      rnd.shuffle(stream),                     // random interleave
+      stream.reverse,                          // tail first (max decrements)
+      stream.sortBy(_.hashCode))               // adversarial clustering
+    for (ord <- orders; parts <- Seq(1, 3, 7)) {
+      val ds = spark.createDataset(ord)(org.apache.spark.sql.Encoders.STRING)
+        .repartition(parts)
+      val mg = ds.select(MisraGries.of(k).toColumn).head().counts
+      assert(mg.size <= k, s"summary exceeded capacity: ${mg.size}")
+      trueHH.foreach { t =>
+        assert(mg.contains(t),
+          s"true heavy hitter $t missing (order ${orders.indexOf(ord)}, $parts parts)")
+      }
+      mg.foreach { case (t, est) =>
+        val tru = exact.getOrElse(t, 0L)
+        assert(est <= tru, s"$t overestimated: $est > $tru")
+        assert((tru - est) * (k + 1) <= n,
+          s"$t underestimated beyond N/(k+1): est=$est true=$tru n=$n")
+      }
+    }
+  }
 }
