@@ -402,6 +402,63 @@ object TextQueries extends Registry {
                  JOIN sizes sb ON com.doc_b = sb.doc_id
         ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""")),
 
+    // ---- EXACT set-similarity join via prefix filtering (the
+    //      PPJoin/AllPairs family): the completeness-guaranteed complement
+    //      to q22's df-capped inverted index and q23's probabilistic LSH —
+    //      both can MISS a pair (q22 when every shared shingle is high-df,
+    //      q23 with banding probability); prefix filtering cannot. Shingles
+    //      get a global rarity order (df asc, shingle asc); a doc's PREFIX
+    //      is its first n DIV 2 + 1 tokens in that order, and any pair with
+    //      Jaccard ≥ 0.5 provably shares a prefix token — so candidate
+    //      generation explodes only prefixes (rare tokens ⇒ short posting
+    //      lists), then size filtering (na ≤ 2nb ∧ nb ≤ 2na) prunes before
+    //      the exact verify. The θ = 0.5 predicate is the integer
+    //      cross-multiplication 3·inter ≥ na+nb — no float boundary. The
+    //      ORACLE runs the UNPRUNED all-shared-token join: cross-engine
+    //      equality is a proof the prefix filter dropped nothing. ----------
+    Q("q202_setsim_join",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingleSet(s, dir)
+        val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        val byDoc = sh.join(df, "shingle")
+          .groupBy($"doc_id")
+          .agg(sort_array(collect_list(struct($"df", $"shingle"))).as("by_df"),
+            sort_array(collect_list($"shingle")).as("set"),
+            count(lit(1)).as("n"))
+        val prefix = byDoc
+          .select($"doc_id", $"n",
+            explode(expr("slice(by_df, 1, CAST(n DIV 2 + 1 AS INT))")).as("t"))
+          .select($"doc_id", $"n", $"t.shingle".as("shingle"))
+        val cand = prefix.as("a").join(prefix.as("b"),
+            $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
+              $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2)
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .distinct()
+        cand
+          .join(byDoc.select($"doc_id".as("doc_a"), $"set".as("sa"), $"n".as("na")), "doc_a")
+          .join(byDoc.select($"doc_id".as("doc_b"), $"set".as("sb"), $"n".as("nb")), "doc_b")
+          .select($"doc_a", $"doc_b",
+            size(array_intersect($"sa", $"sb")).cast("long").as("common"),
+            $"na".cast("long").as("na"), $"nb".cast("long").as("nb"))
+          .filter($"common" * 3 >= $"na" + $"nb")
+          .withColumn("jaccard",
+            $"common".cast("double") / ($"na" + $"nb" - $"common"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""WITH $shingleCte,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, CAST(c AS BIGINT) AS common,
+          CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+          CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        FROM com JOIN sizes sa ON com.doc_a = sa.doc_id
+                 JOIN sizes sb ON com.doc_b = sb.doc_id
+        WHERE 3 * c >= sa.n + sb.n
+        ORDER BY doc_a, doc_b""")),
+
     // ---- MinHash + LSH near-dup: shingle → 16 seeded minhashes → 4 bands
     //      of 4 → bucket-join candidates → estimated Jaccard = fraction of
     //      agreeing minhashes. The scale path: candidates come only from

@@ -276,4 +276,30 @@ class CurationOpsSpec extends SparkSpec {
     }
     assert(funnel.last._4 == 1L, "exactly the engineered survivor should remain")
   }
+
+  test("q202 prefix filtering keeps pairs whose shared shingles are ALL high-df") {
+    // the false-negative mode of a df-capped inverted index (q22 drops
+    // posting lists over 100 docs): near-dup pairs built ENTIRELY from
+    // boilerplate shingles every doc shares. Here all 120 docs carry the
+    // same 30-word boilerplate (every boilerplate shingle has df≥120);
+    // docs 1 and 2 are identical. An index that drops high-df postings
+    // never generates the (1,2) candidate; prefix filtering must.
+    val boiler = (0 until 30).map(i => "boil" + ('a' + i % 26).toChar + i / 26).mkString(" ")
+    val docsFixture = (1L to 120L).map { id =>
+      val tail = if (id <= 2) "" else s" uniq${id}a uniq${id}b uniq${id}c"
+      (id, boiler + tail, "en", "fix", (boiler + tail).length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q202fix").toString
+    spark.createDataFrame(docsFixture)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q202_setsim_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      s"identical boilerplate-only pair (1,2) missing from ${pairs.length} pairs")
+    // every reported pair really is >= 0.5 (the exact verify held)
+    pairs.foreach { case (a, b, j) =>
+      assert(j >= 0.5, s"pair ($a,$b) reported below threshold: $j")
+    }
+  }
 }
