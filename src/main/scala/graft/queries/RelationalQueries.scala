@@ -744,6 +744,114 @@ object RelationalQueries extends Registry {
       },
       Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct,
             1 AS hll_ok
-          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- functional-dependency discovery (data-profiling sweep): for
+    //      each candidate A→B, count LHS groups carrying >1 distinct RHS
+    //      value. This is the column-level evidence a schema-matching
+    //      pipeline feeds on (key discovery, denormalization detection) —
+    //      the distributed analogue of the reference's uniqueness audit
+    //      (project_datasets.py's constraint checks) widened to arbitrary
+    //      determinant sets, incl. a COMPOSITE LHS. One candidate = one
+    //      groupBy shuffle on its own LHS (partial-agg'd countDistinct)
+    //      collapsing to a 1-row summary; candidates then union — at 100 TB
+    //      each runs independently, nothing cross-candidate. The candidate
+    //      LIST is one Scala value driving BOTH engines, so the plans
+    //      can't drift from the oracle. ------------------------------------
+    Q("q203_fd_discovery",
+      (s, dir) => {
+        import s.implicits._
+        fdCandidates.map { case (tab, lhs, rhs) =>
+          t(s, dir, tab)
+            .groupBy(lhs.map(col): _*)
+            .agg(countDistinct(col(rhs)).as("d"))
+            .agg(count(lit(1)).as("n_groups"),
+              sum(when($"d" > 1, 1L).otherwise(0L)).as("viol_groups"),
+              sum($"d" - 1).as("extra_vals"))
+            .select(lit(tab).as("tab"),
+              lit(s"${lhs.mkString(",")} -> $rhs").as("fd"),
+              $"n_groups".cast("long").as("n_groups"),
+              $"viol_groups".cast("long").as("viol_groups"),
+              $"extra_vals".cast("long").as("extra_vals"),
+              when($"viol_groups" === 0, 1).otherwise(0).cast("int").as("holds"))
+        }.reduce(_ unionByName _).orderBy($"tab", $"fd")
+      },
+      Some(fdCandidates.map { case (tab, lhs, rhs) =>
+        s"""SELECT '$tab' AS tab, '${lhs.mkString(",")} -> $rhs' AS fd,
+            CAST(count(*) AS BIGINT) AS n_groups,
+            CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups,
+            CAST(sum(d - 1) AS BIGINT) AS extra_vals,
+            CAST(CASE WHEN sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS INT) AS holds
+          FROM (SELECT ${lhs.mkString(", ")}, count(DISTINCT $rhs) AS d
+                FROM $tab GROUP BY ${lhs.mkString(", ")})"""
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tab, fd"))),
+
+    // ---- inclusion-dependency / foreign-key discovery: distinct-value
+    //      containment child ⊆ parent for every candidate column pair —
+    //      the cross-TABLE half of schema profiling (q203 is the
+    //      cross-COLUMN half); together they recover the join graph a
+    //      mapping pipeline needs when XML/DDL metadata is absent. Each
+    //      candidate: child-side distinct (one shuffle, pre-aggregated
+    //      map-side), left join against the parent's distinct set —
+    //      key-sized tables, broadcastable when the parent is a dimension.
+    //      containment is one int/int double division; is_fk is the exact
+    //      n_contained = n_child integer predicate. orders⊆lineitem fails
+    //      on the driver data (257 orders have no lineitems) so the
+    //      verdict column genuinely discriminates. -------------------------
+    Q("q204_ind_discovery",
+      (s, dir) => {
+        import s.implicits._
+        indCandidates.map { case (ct, cc, pt, pc) =>
+          val cx = t(s, dir, ct).select(col(cc).as("v")).distinct()
+          val px = t(s, dir, pt).select(col(pc).as("v")).distinct()
+          cx.join(px.withColumn("hit", lit(1)), Seq("v"), "left")
+            .agg(count(lit(1)).as("n_child"),
+              sum(coalesce($"hit", lit(0))).as("n_contained"))
+            .select(lit(s"$ct.$cc").as("child_col"),
+              lit(s"$pt.$pc").as("parent_col"),
+              $"n_child".cast("long").as("n_child"),
+              $"n_contained".cast("long").as("n_contained"),
+              ($"n_contained".cast("double") / $"n_child").as("containment"),
+              when($"n_contained" === $"n_child", 1).otherwise(0)
+                .cast("int").as("is_fk"))
+        }.reduce(_ unionByName _).orderBy($"child_col", $"parent_col")
+      },
+      Some(indCandidates.map { case (ct, cc, pt, pc) =>
+        s"""SELECT '$ct.$cc' AS child_col, '$pt.$pc' AS parent_col,
+            CAST(count(*) AS BIGINT) AS n_child,
+            CAST(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+            CAST(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS containment,
+            CAST(CASE WHEN sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) = count(*)
+                 THEN 1 ELSE 0 END AS INT) AS is_fk
+          FROM (SELECT DISTINCT $cc AS v FROM $ct) c
+          LEFT JOIN (SELECT DISTINCT $pc AS v FROM $pt) p USING (v)"""
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY child_col, parent_col")))
   )
+
+  /** q203's candidate set — (table, determinant columns, dependent column).
+    * Mixed by design: keys that hold, non-keys that fail, one composite.
+    */
+  private val fdCandidates: Seq[(String, Seq[String], String)] = Seq(
+    ("nation", Seq("n_nationkey"), "n_name"),
+    ("nation", Seq("n_regionkey"), "n_name"),
+    ("customer", Seq("c_custkey"), "c_name"),
+    ("customer", Seq("c_nationkey"), "c_mktsegment"),
+    ("orders", Seq("o_orderkey"), "o_custkey"),
+    ("orders", Seq("o_custkey"), "o_orderstatus"),
+    ("lineitem", Seq("l_orderkey"), "l_partkey"),
+    ("lineitem", Seq("l_orderkey", "l_linenumber"), "l_partkey"))
+
+  /** q204's candidate set — (child table, child col, parent table, parent
+    * col); the TPC-H FK graph plus a reversed edge that must fail.
+    */
+  private val indCandidates: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+    ("supplier", "s_suppkey", "lineitem", "l_suppkey"))
 }
