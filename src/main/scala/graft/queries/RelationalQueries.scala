@@ -826,8 +826,57 @@ object RelationalQueries extends Registry {
                  THEN 1 ELSE 0 END AS INT) AS is_fk
           FROM (SELECT DISTINCT $cc AS v FROM $ct) c
           LEFT JOIN (SELECT DISTINCT $pc AS v FROM $pt) p USING (v)"""
-      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY child_col, parent_col")))
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY child_col, parent_col"))),
+
+    // ---- Benford first-digit audit over money columns — the
+    //      synthetic-data / fraud / unit-mixing screen: naturally-grown
+    //      multiplicative amounts follow log10(1+1/d); a generator that
+    //      draws uniforms (this driver corpus does) or a feed that
+    //      silently rebases units shows up as a flat digit histogram. The
+    //      audit emits observed share beside the Benford expectation so
+    //      the deviation is the deliverable, not a pass/fail gamble on
+    //      synthetic data. First-digit extraction is INTEGER-exact in both
+    //      engines: cents = round(x·100) as BIGINT → first char of the
+    //      decimal string — never floor(log10) float gymnastics. share is
+    //      one division of identical longs (bit-identical); the Benford
+    //      constant is rounded to 6 dp on both sides (libm log10 is not
+    //      correctly-rounded-portable, q87's rule). One groupBy per
+    //      column over 9 digits — map-side combined, scale-free. ----------
+    Q("q205_benford_audit",
+      (s, dir) => {
+        import s.implicits._
+        benfordCols.map { case (tab, c) =>
+          t(s, dir, tab)
+            .select(substring(expr(s"CAST(round($c * 100) AS BIGINT)").cast("string"), 1, 1)
+              .cast("int").as("digit"))
+            .groupBy($"digit").agg(count(lit(1)).as("observed"))
+            .select(lit(s"$tab.$c").as("col_name"), $"digit",
+              $"observed".cast("long").as("observed"))
+        }.reduce(_ unionByName _)
+          .join(broadcast(
+            benfordCols.map { case (tab, c) =>
+              t(s, dir, tab).agg(count(lit(1)).as("total"))
+                .select(lit(s"$tab.$c").as("col_name"), $"total")
+            }.reduce(_ unionByName _)), Seq("col_name"))
+          .select($"col_name", $"digit", $"observed",
+            ($"observed".cast("double") / $"total").as("share"),
+            round(log10(lit(1.0) + lit(1.0) / $"digit"), 6).as("benford"))
+          .orderBy($"col_name", $"digit")
+      },
+      Some(benfordCols.map { case (tab, c) =>
+        s"""SELECT '$tab.$c' AS col_name, digit,
+            CAST(count(*) AS BIGINT) AS observed,
+            CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM $tab) AS share,
+            round(log10(1.0 + 1.0 / digit), 6) AS benford
+          FROM (SELECT CAST(substr(CAST(CAST(round($c * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+                FROM $tab)
+          GROUP BY digit"""
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name, digit")))
   )
+
+  /** q205's money columns — (table, column). */
+  private val benfordCols: Seq[(String, String)] = Seq(
+    ("lineitem", "l_extendedprice"), ("orders", "o_totalprice"))
 
   /** q203's candidate set — (table, determinant columns, dependent column).
     * Mixed by design: keys that hold, non-keys that fail, one composite.
