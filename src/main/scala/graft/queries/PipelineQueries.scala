@@ -1222,6 +1222,66 @@ object PipelineQueries extends Registry {
     //      count/sum over the same 2000-event prefix — which is exactly
     //      what the DuckDB twin computes. Values ride as exact 1e-6 longs
     //      end-to-end (fold order cannot move the result). ----------------
+    // ---- streaming Misra-Gries heavy hitters on transformWithState:
+    //      q201's sketch run INCREMENTALLY — per hash-bucket ValueState
+    //      cells each holding one ≤k-entry MG map (the SAME
+    //      functions.MisraGries kernel batch uses), snapshots re-emitted
+    //      per batch in Update mode. Buckets partition the token space, so
+    //      the union of final bucket sketches is itself an MG summary
+    //      (per-bucket error ≤ N_b/(k+1) ≤ N/(k+1)) — the shard-parallel
+    //      deployment shape of the sketch. The gate audits the same
+    //      deterministic theorem implications as q201 over the standard
+    //      2000-event ordered prefix, bot-amplified ×81 for user_id ≡ 0
+    //      (mod 37); the ≤4 final snapshots are the only driver-side
+    //      collect beyond the documented harness feed. ---------------------
+    Q("q206_streaming_heavy_hitters",
+      (s, dir) => {
+        val ss = StreamingOps.rocksSession(s)
+        import ss.implicits._
+        val k = 16
+        val toks: Seq[(Int, String)] = Tables(ss, dir, "events")
+          .select($"ts", $"event_id", $"user_id")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .select($"user_id").as[Long].collect().toSeq
+          .flatMap { u =>
+            val rep = if (u % 37 == 0) 81 else 1
+            Seq.fill(rep)(((u % 4).toInt, u.toString))
+          }
+        val snaps = StreamingOps.driveTwoBatches(ss, toks,
+          org.apache.spark.sql.streaming.OutputMode.Update())(
+          ds => StreamingOps.heavyHitters(ds, k))
+        val last = snaps.groupBy($"bucket").agg(max($"n_seen").as("n_seen"))
+          .join(snaps, Seq("bucket", "n_seen"))
+          .select($"counts").as[Map[String, Long]].collect()
+        require(last.map(_.keySet.size).sum == last.flatMap(_.keySet).distinct.size,
+          "bucket sketches overlapped — hash partitioning broke")
+        val mg: Map[String, Long] = last.flatten.toMap
+        val exact = ss.createDataset(toks).toDF("bucket", "tok")
+          .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        val tot = ss.createDataset(toks).toDF("bucket", "tok")
+          .agg(count(lit(1)).as("n"))
+        exact.crossJoin(broadcast(tot))
+          .filter($"cnt" * (k + 1) > $"n")
+          .select($"tok".cast("long").as("user_id"),
+            $"cnt".cast("long").as("exact_cnt"),
+            when(typedlit(mg).getItem($"tok").isNotNull, 1).otherwise(0)
+              .cast("int").as("in_sketch"),
+            when(coalesce(typedlit(mg).getItem($"tok"), lit(0L)) <= $"cnt" &&
+              ($"cnt" - coalesce(typedlit(mg).getItem($"tok"), lit(0L))) * (k + 1) <= $"n",
+              1).otherwise(0).cast("int").as("est_ok"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id FROM events ORDER BY ts, event_id LIMIT 2000),
+        ev AS (SELECT user_id,
+            1 + CASE WHEN user_id % 37 = 0 THEN 80 ELSE 0 END AS rep
+          FROM e),
+        st AS (SELECT user_id FROM ev, UNNEST(range(0, rep))),
+        c AS (SELECT user_id, count(*) AS cnt FROM st GROUP BY user_id),
+        n AS (SELECT count(*) AS n FROM st)
+        SELECT user_id, CAST(cnt AS BIGINT) AS exact_cnt,
+          CAST(1 AS INT) AS in_sketch, CAST(1 AS INT) AS est_ok
+        FROM c, n WHERE cnt * 17 > n ORDER BY user_id""")),
+
     Q("q184_tws_running_totals",
       (s, dir) => {
         val ss = StreamingOps.rocksSession(s)

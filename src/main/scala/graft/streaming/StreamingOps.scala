@@ -226,6 +226,54 @@ object StreamingOps {
     }
   }
 
+  /** Streaming Misra-Gries: one bounded sketch per hash BUCKET (the
+    * transformWithState key), each batch re-emitting the bucket's snapshot.
+    * Buckets PARTITION the token space, so the union of the final bucket
+    * sketches is itself an MG summary: per-bucket error ≤ N_b/(k+1) ≤
+    * N/(k+1), and a global heavy hitter lands in exactly one bucket whose
+    * local threshold it also clears — the mergeable-summaries argument
+    * (same theorem the batch q201 audits), shard-parallel. `reduce` IS
+    * `functions.MisraGries.of(k).reduce` — one kernel, batch and
+    * streaming. State per key: one ≤k-entry map in a ValueState cell +
+    * the bucket's exact arrival count (the snapshot sequence number the
+    * gate uses to pick the LAST emission per bucket).
+    */
+  final case class BucketSketch(bucket: Int, n_seen: Long, counts: Map[String, Long])
+
+  class HeavyHitterProcessor(k: Int)
+      extends StatefulProcessor[Int, (Int, String), BucketSketch] {
+    @transient private var st: ValueState[graft.functions.MisraGries.MGBuf] = _
+    @transient private var nSt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[graft.functions.MisraGries.MGBuf]("mg",
+        org.apache.spark.sql.Encoders.product[graft.functions.MisraGries.MGBuf],
+        TTLConfig.NONE)
+      nSt = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[(Int, String)],
+        timerValues: TimerValues): Iterator[BucketSketch] = {
+      val agg = graft.functions.MisraGries.of(k)
+      var buf = if (st.exists()) st.get() else agg.zero
+      var n = if (nSt.exists()) nSt.get() else 0L
+      rows.foreach { case (_, tok) => buf = agg.reduce(buf, tok); n += 1 }
+      st.update(buf)
+      nSt.update(n)
+      Iterator.single(BucketSketch(key, n, buf.counts))
+    }
+  }
+
+  /** (bucket, token) stream → per-bucket MG sketch snapshots. */
+  def heavyHitters(rows: Dataset[(Int, String)], k: Int): Dataset[BucketSketch] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new HeavyHitterProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** (user_id, value_micro) stream → per-key running-total snapshots. */
   def runningTotals(rows: Dataset[(Long, Long)]): Dataset[UserStat] = {
     val spark = rows.sparkSession
