@@ -1295,6 +1295,76 @@ object VectorQueries extends Registry {
                FROM j GROUP BY sub, cid, dim)
           SELECT sub, cid, dim, CAST(sq AS DOUBLE) / 1000.0 / n AS c_new, n
           FROM g ORDER BY sub, cid, dim"""
-      })
+      }),
+
+    // ---- hybrid retrieval via reciprocal-rank fusion: the production
+    //      answer to "lexical and semantic search disagree" — rank the
+    //      SAME candidate pool independently by embedding cosine and by
+    //      token-set overlap of the paired documents (doc_id = vec_id,
+    //      the q112 cross-modal contract), then fuse with
+    //      RRF(c) = 1/(60+r_sem) + 1/(60+r_lex) (Cormack et al.'s k=60).
+    //      Rank-THEN-fuse is what makes hybrid search score-scale-free:
+    //      cosine ∈ [−1,1] and overlap ∈ ℕ never need calibration because
+    //      only their orderings survive. Both ranks carry total
+    //      tie-breaks, so the fused score is a two-term sum of exact
+    //      rationals — deterministic cross-engine with NO quantization.
+    //      Scale: queries broadcast (vec_id ≡ 0 mod 100 — small by
+    //      construction), each modality scores candidates in one pass,
+    //      per-query windows keep rank state to one query's list. --------
+    Q("q207_rrf_fusion",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val toks = Tables(s, dir, "documents")
+          .select($"doc_id", array_distinct(split($"text", " ")).as("tset"))
+        val e = emb(s, dir).select($"vec_id", $"embedding", normFast($"embedding").as("nrm"))
+        val q = e.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qn"))
+          .join(toks.select($"doc_id".as("query_id"), $"tset".as("qt")), "query_id")
+        val cand = e.join(toks, e("vec_id") === toks("doc_id"))
+          .select($"vec_id", $"embedding", $"nrm", $"tset")
+        val scored = cand.join(broadcast(q), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("cand_id"),
+            (dotFast($"qv", $"embedding") / ($"qn" * $"nrm")).as("cosine"),
+            size(array_intersect($"qt", $"tset")).as("overlap"))
+        val wSem = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")
+        val wLex = Window.partitionBy($"query_id").orderBy($"overlap".desc, $"cand_id")
+        val wFused = Window.partitionBy($"query_id").orderBy($"rrf".desc, $"cand_id")
+        scored
+          .withColumn("sem_rank", row_number().over(wSem))
+          .withColumn("lex_rank", row_number().over(wLex))
+          .withColumn("rrf",
+            lit(1.0) / (lit(60) + $"sem_rank") + lit(1.0) / (lit(60) + $"lex_rank"))
+          .withColumn("rank", row_number().over(wFused))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"rank", $"cand_id",
+            $"sem_rank".cast("int").as("sem_rank"),
+            $"lex_rank".cast("int").as("lex_rank"), $"rrf")
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+                    FROM documents),
+        q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, t.tset AS qt
+              FROM embeddings e JOIN toks t ON e.vec_id = t.doc_id
+              WHERE e.vec_id % 100 = 0),
+        scored AS (SELECT query_id, e.vec_id AS cand_id,
+            ${dotSql("qv", "e.embedding")}
+              / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cosine,
+            len(list_intersect(qt, t.tset)) AS overlap
+          FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+                 JOIN toks t ON e.vec_id = t.doc_id),
+        ranked AS (SELECT query_id, cand_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS sem_rank,
+            row_number() OVER (PARTITION BY query_id ORDER BY overlap DESC, cand_id) AS lex_rank
+          FROM scored),
+        fused AS (SELECT *,
+            CAST(1.0 AS DOUBLE) / (60 + sem_rank)
+              + CAST(1.0 AS DOUBLE) / (60 + lex_rank) AS rrf
+          FROM ranked)
+        SELECT query_id, CAST(rn AS INT) AS rank, cand_id,
+          CAST(sem_rank AS INT) AS sem_rank, CAST(lex_rank AS INT) AS lex_rank, rrf
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf DESC, cand_id) AS rn FROM fused)
+        WHERE rn <= 5 ORDER BY query_id, rank"""))
   )
 }
