@@ -553,6 +553,50 @@ object EventQueries extends Registry {
         n AS (SELECT count(*) AS n FROM st)
         SELECT user_id, CAST(cnt AS BIGINT) AS exact_cnt,
           CAST(1 AS INT) AS in_sketch, CAST(1 AS INT) AS est_ok
-        FROM c, n WHERE cnt * 17 > n ORDER BY user_id"""))
+        FROM c, n WHERE cnt * 17 > n ORDER BY user_id""")),
+
+    // ---- time-decayed engagement scores: recency-weighted per-user value
+    //      with a 1-day half-life — the freshness signal feature stores
+    //      serve (churn models, trending rankers). Exponential decay is
+    //      normally a float exp() (not libm-portable); restricting the
+    //      half-life to whole DAYS makes every weight an exact power of
+    //      two, so each contribution is one integer shift-divide
+    //      (v_micro DIV 2^age_days) and the per-user sum is an exact,
+    //      order-independent long — bit-identical at any parallelism, and
+    //      incrementally maintainable at scale (yesterday's total halves,
+    //      today's arrivals add; no recompute over history). The anchor T
+    //      = max(ts) rides in as a 1-row broadcast, never a driver
+    //      collect. decay_ratio is one division of two exact longs. --------
+    Q("q208_decayed_engagement",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir).select($"user_id", $"ts",
+          round($"value" * 1e6).cast("long").as("vmicro"))
+        val anchor = ev.agg(max(unix_micros($"ts")).as("tmax"))
+        ev.crossJoin(broadcast(anchor))
+          .withColumn("age_days",
+            expr("CAST((tmax - unix_micros(ts)) DIV 86400000000 AS INT)"))
+          .withColumn("w", expr("vmicro DIV shiftleft(CAST(1 AS BIGINT), age_days)"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"vmicro").as("raw_micro"), sum($"w").as("dec_micro"))
+          .select($"user_id", $"n_events".cast("long").as("n_events"),
+            ($"raw_micro".cast("double") / 1e6).as("raw_sum"),
+            ($"dec_micro".cast("double") / 1e6).as("decayed_sum"),
+            ($"dec_micro".cast("double") / $"raw_micro").as("decay_ratio"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+            CAST(round(value * 1000000) AS BIGINT) AS vmicro
+          FROM events),
+        a AS (SELECT max(tus) AS tmax FROM ev),
+        w AS (SELECT user_id, vmicro,
+            vmicro // (CAST(1 AS BIGINT) << CAST((tmax - tus) // 86400000000 AS INT)) AS w
+          FROM ev, a)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(vmicro) AS DOUBLE) / 1000000.0 AS raw_sum,
+          CAST(sum(w) AS DOUBLE) / 1000000.0 AS decayed_sum,
+          CAST(sum(w) AS DOUBLE) / sum(vmicro) AS decay_ratio
+        FROM w GROUP BY user_id ORDER BY user_id"""))
   )
 }
