@@ -871,8 +871,91 @@ object RelationalQueries extends Registry {
           FROM (SELECT CAST(substr(CAST(CAST(round($c * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
                 FROM $tab)
           GROUP BY digit"""
-      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name, digit")))
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name, digit"))),
+
+    // ---- instance-informed SCHEMA MATCHING, the reference's core problem
+    //      (its LLM proposes source→target attribute maps; this is the
+    //      classical signal stack the literature matches against): for
+    //      every customer×supplier column pair, fuse NAME similarity (the
+    //      q199 damerau_levenshtein kernel, transposition-aware) with
+    //      INSTANCE-profile similarity (type class + distinct-ratio
+    //      delta, the q203/q204 statistics), weights in exact binary
+    //      fractions (1/2, 1/4, 1/4 — one fused double, deterministic).
+    //      Each table's profile is ONE scan (a single multi-aggregate row
+    //      unpivoted with stack); the pair matrix is |A|×|B| rows of
+    //      metadata, driver-free and trivially broadcastable. Output =
+    //      the argmax proposal per source column with total tie-breaks —
+    //      on the driver data it recovers the homologous s_* column for
+    //      every c_* except the unmatched c_custkey/c_mktsegment, whose
+    //      best scores stay visibly lower. ---------------------------------
+    Q("q209_schema_match",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.TextExpressions.register(s)
+        def profile(tab: String, cols: Seq[(String, String)]) = {
+          val aggs = cols.flatMap { case (c, _) =>
+            Seq(countDistinct(col(c)).as(s"d_$c"),
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"z_$c"))
+          } :+ count(lit(1)).as("n")
+          t(s, dir, tab).agg(aggs.head, aggs.tail: _*)
+            .selectExpr("n", s"stack(${cols.size}, " +
+              cols.map { case (c, tc) => s"'$c', '$tc', d_$c, z_$c" }.mkString(", ") +
+              ") AS (col, tclass, n_distinct, n_null)")
+        }
+        val pa = profile("customer", custCols)
+          .select($"col".as("a_col"), $"tclass".as("a_t"),
+            ($"n_distinct".cast("double") / $"n").as("a_ratio"))
+        val pb = profile("supplier", suppCols)
+          .select($"col".as("b_col"), $"tclass".as("b_t"),
+            ($"n_distinct".cast("double") / $"n").as("b_ratio"))
+        val scored = pa.crossJoin(pb)
+          .withColumn("name_sim",
+            lit(1.0) - call_function("damerau_levenshtein", $"a_col", $"b_col")
+              .cast("double") / greatest(length($"a_col"), length($"b_col")))
+          .withColumn("type_match", when($"a_t" === $"b_t", 1).otherwise(0))
+          .withColumn("ratio_diff", abs($"a_ratio" - $"b_ratio"))
+          .withColumn("score",
+            lit(0.5) * $"name_sim" + lit(0.25) * $"type_match" +
+              lit(0.25) * (lit(1.0) - $"ratio_diff"))
+        val w = Window.partitionBy($"a_col").orderBy($"score".desc, $"b_col")
+        scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"a_col", $"b_col", $"name_sim",
+            $"type_match".cast("int").as("type_match"), $"score")
+          .orderBy($"a_col")
+      },
+      Some {
+        def profSql(tab: String, cols: Seq[(String, String)]) =
+          cols.map { case (c, tc) =>
+            s"""SELECT '$c' AS col, '$tc' AS tclass,
+                CAST(count(DISTINCT $c) AS DOUBLE) / count(*) AS ratio
+              FROM $tab"""
+          }.mkString(" UNION ALL ")
+        s"""WITH pa AS (${profSql("customer", custCols)}),
+          pb AS (${profSql("supplier", suppCols)}),
+          scored AS (SELECT pa.col AS a_col, pb.col AS b_col,
+              CAST(1.0 AS DOUBLE) - CAST(damerau_levenshtein(pa.col, pb.col) AS DOUBLE)
+                / greatest(length(pa.col), length(pb.col)) AS name_sim,
+              CASE WHEN pa.tclass = pb.tclass THEN 1 ELSE 0 END AS type_match,
+              abs(pa.ratio - pb.ratio) AS ratio_diff
+            FROM pa, pb)
+          SELECT a_col, b_col, name_sim, CAST(type_match AS INT) AS type_match,
+            CAST(0.5 AS DOUBLE) * name_sim + CAST(0.25 AS DOUBLE) * type_match
+              + CAST(0.25 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - ratio_diff) AS score
+          FROM (SELECT *, row_number() OVER (PARTITION BY a_col ORDER BY
+                  CAST(0.5 AS DOUBLE) * name_sim + CAST(0.25 AS DOUBLE) * type_match
+                    + CAST(0.25 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - ratio_diff) DESC, b_col) AS rn
+                FROM scored)
+          WHERE rn = 1 ORDER BY a_col"""
+      })
   )
+
+  /** q209's schema-matching inputs — (column, type class) per table. */
+  private val custCols: Seq[(String, String)] = Seq(
+    ("c_custkey", "num"), ("c_name", "str"), ("c_nationkey", "num"),
+    ("c_acctbal", "num"), ("c_mktsegment", "str"))
+  private val suppCols: Seq[(String, String)] = Seq(
+    ("s_suppkey", "num"), ("s_name", "str"), ("s_nationkey", "num"),
+    ("s_acctbal", "num"))
 
   /** q205's money columns — (table, column). */
   private val benfordCols: Seq[(String, String)] = Seq(
