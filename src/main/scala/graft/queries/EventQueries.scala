@@ -509,9 +509,12 @@ object EventQueries extends Registry {
     //      bounded-memory top talkers over a bot-amplified event stream.
     //      The driver corpus is deliberately uniform (no user exceeds any
     //      N/(k+1) threshold), so the stream is skewed DETERMINISTICALLY
-    //      in both engines first: every event from a user_id divisible by
-    //      37 is replayed 81x (the bot-retry-storm shape heavy-hitter
-    //      sketches exist for). The raw MG summary is arrival-order- and
+    //      in both engines first: every event from a FIXED bot set
+    //      (user_id divisible by 37 AND < 150 — fixed so the bot count
+    //      does NOT scale with the user population and each bot stays
+    //      above N/(k+1) at every sf) is replayed 201x (the
+    //      bot-retry-storm shape heavy-hitter sketches exist for). The
+    //      raw MG summary is arrival-order- and
     //      partition-dependent — NOT gateable — so the query emits the
     //      deterministic implications of the mergeable-summaries theorem
     //      instead: every user with true count > N/(k+1) (exact integer
@@ -526,7 +529,8 @@ object EventQueries extends Registry {
         val k = 16
         val stream = events(s, dir)
           .select($"user_id",
-            (lit(1) + when($"user_id" % 37 === 0, 80).otherwise(0)).as("rep"))
+            (lit(1) + when($"user_id" % 37 === 0 && $"user_id" < 150, 200)
+              .otherwise(0)).as("rep"))
           .select(explode(array_repeat($"user_id".cast("string"),
             $"rep".cast("int"))).as("tok"))
         val mg = stream.as[String]
@@ -546,7 +550,7 @@ object EventQueries extends Registry {
           .orderBy($"user_id")
       },
       Some("""WITH ev AS (SELECT user_id,
-            1 + CASE WHEN user_id % 37 = 0 THEN 80 ELSE 0 END AS rep
+            1 + CASE WHEN user_id % 37 = 0 AND user_id < 150 THEN 200 ELSE 0 END AS rep
           FROM events),
         st AS (SELECT user_id FROM ev, UNNEST(range(0, rep))),
         c AS (SELECT user_id, count(*) AS cnt FROM st GROUP BY user_id),

@@ -1231,8 +1231,11 @@ object PipelineQueries extends Registry {
     //      (per-bucket error ≤ N_b/(k+1) ≤ N/(k+1)) — the shard-parallel
     //      deployment shape of the sketch. The gate audits the same
     //      deterministic theorem implications as q201 over the standard
-    //      2000-event ordered prefix, bot-amplified ×81 for user_id ≡ 0
-    //      (mod 37); the ≤4 final snapshots are the only driver-side
+    //      2000-event ordered prefix, bot-amplified ×201 for the FIXED
+    //      bot set (user_id ≡ 0 mod 37, < 150 — scale-robust: the bot
+    //      count must not grow with the user population or each bot
+    //      dilutes below N/(k+1) at larger sf, q201's rule);
+    //      the ≤4 final snapshots are the only driver-side
     //      collect beyond the documented harness feed. ---------------------
     Q("q206_streaming_heavy_hitters",
       (s, dir) => {
@@ -1244,7 +1247,7 @@ object PipelineQueries extends Registry {
           .orderBy($"ts", $"event_id").limit(2000)
           .select($"user_id").as[Long].collect().toSeq
           .flatMap { u =>
-            val rep = if (u % 37 == 0) 81 else 1
+            val rep = if (u % 37 == 0 && u < 150) 201 else 1
             Seq.fill(rep)(((u % 4).toInt, u.toString))
           }
         val snaps = StreamingOps.driveTwoBatches(ss, toks,
@@ -1273,7 +1276,7 @@ object PipelineQueries extends Registry {
       },
       Some("""WITH e AS (SELECT user_id FROM events ORDER BY ts, event_id LIMIT 2000),
         ev AS (SELECT user_id,
-            1 + CASE WHEN user_id % 37 = 0 THEN 80 ELSE 0 END AS rep
+            1 + CASE WHEN user_id % 37 = 0 AND user_id < 150 THEN 200 ELSE 0 END AS rep
           FROM e),
         st AS (SELECT user_id FROM ev, UNNEST(range(0, rep))),
         c AS (SELECT user_id, count(*) AS cnt FROM st GROUP BY user_id),
