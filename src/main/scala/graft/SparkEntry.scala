@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def registries: Seq[Registry] = Seq(
     RelationalQueries, TextQueries, VectorQueries, EventQueries,
-    PipelineQueries, EvalQueries, IngestQueries)
+    PipelineQueries, EvalQueries, IngestQueries, SketchQueries)
 
   private lazy val all: Seq[Q] = {
     val es = registries.flatMap(_.entries)

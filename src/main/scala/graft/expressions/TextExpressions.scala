@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode NFC normalization as a native Catalyst expression.
@@ -95,7 +95,108 @@ final case class DamerauLevenshtein(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaro-Winkler similarity as a native Catalyst expression — the OTHER
+  * classic record-linkage kernel beside [[DamerauLevenshtein]]: edit
+  * distance prices whole-string surgery, Jaro-Winkler prices shared
+  * characters within a sliding window plus a common-prefix boost, which
+  * is the signal that matters for entity NAMES ("Jonathon Smith" vs
+  * "Jonathan Smith"). Spark has no built-in; per SURVEY §7.3's preference
+  * order this is a scalar Expression (null-safe, inside whole-stage
+  * codegen), not a UDF.
+  *
+  * Float semantics are pinned to DuckDB's `jaro_winkler_similarity` so
+  * the q211 oracle is a bit-exact double replay (reverse-engineered
+  * empirically, 0/305 ULP mismatches over random pairs):
+  *   - matching window `max(|a|,|b|)/2 - 1` (clamped ≥ 0), greedy
+  *     first-unused match;
+  *   - transpositions as the INTEGER `k/2` (k = aligned matched chars
+  *     that differ) — not the half-count float;
+  *   - `jaro = (m/|a| + m/|b| + (m-t)/m) / 3` in exactly that
+  *     association order;
+  *   - Winkler boost `jaro + l·0.1·(1-jaro)` (prefix l ≤ 4) applied only
+  *     when `jaro > 0.7` (the classic boost threshold);
+  *   - either side empty, or zero matches → 0.0 (note: "" vs "" is 0,
+  *     not 1 — DuckDB's convention).
+  * Computed over UTF-8 BYTES like [[DamerauLevenshtein]] (identical to
+  * code points on the ASCII corpus; DuckDB's kernel is byte-level too).
+  * O(|a|·window) time, two small boolean scratch arrays, row-local.
+  *
+  * SQL surface: `jaro_winkler(string, string) -> double`.
+  */
+final case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two string arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.jaroWinkler(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.TextKernels.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextKernels {
+
+  /** Shared by interpreted eval and generated code. See [[JaroWinkler]]
+    * for the exact float-semantics contract this implements.
+    */
+  def jaroWinkler(sa: UTF8String, sb: UTF8String): Double = {
+    val a = sa.getBytes
+    val b = sb.getBytes
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val win = math.max(math.max(la, lb) / 2 - 1, 0)
+    val ma = new Array[Boolean](la)
+    val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + win)
+      var j = math.max(0, i - win)
+      var unmatched = true
+      while (j <= hi && unmatched) {
+        if (!mb(j) && a(i) == b(j)) { ma(i) = true; mb(j) = true; m += 1; unmatched = false }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var k = 0
+    var j2 = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(j2)) j2 += 1
+        if (a(i) != b(j2)) k += 1
+        j2 += 1
+      }
+      i += 1
+    }
+    val t = k / 2
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (m - t).toDouble / m) / 3.0
+    var l = 0
+    val maxp = math.min(4, math.min(la, lb))
+    while (l < maxp && a(l) == b(l)) l += 1
+    if (jaro > 0.7) jaro + l * 0.1 * (1.0 - jaro) else jaro
+  }
 
   /** Shared by interpreted eval and generated code. Byte-level unrestricted
     * Damerau-Levenshtein (see [[DamerauLevenshtein]] for why bytes).
@@ -172,11 +273,21 @@ object TextExpressions {
     DamerauLevenshtein(args(0), args(1))
   }
 
+  private val jwInfo =
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler")
+
+  private def jwBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "jaro_winkler takes exactly 2 arguments")
+    JaroWinkler(args(0), args(1))
+  }
+
   /** Register into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("nfc_normalize"), info, builder(_))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("damerau_levenshtein"), dlInfo, dlBuilder(_))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("jaro_winkler"), jwInfo, jwBuilder(_))
   }
 }

@@ -946,7 +946,62 @@ object RelationalQueries extends Registry {
                     + CAST(0.25 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - ratio_diff) DESC, b_col) AS rn
                 FROM scored)
           WHERE rn = 1 ORDER BY a_col"""
-      })
+      }),
+
+    // ---- per-group OLS trend lines (closed-form simple regression) —
+    //      "is this segment's spend drifting?" as one distributed pass:
+    //      slope/intercept of o_totalprice (cents) over o_orderdate
+    //      (days since 1992-01-01) per order priority. The five sums
+    //      (n, Σx, Σy, Σxy, Σx²) are INTEGER-exact partial+final
+    //      aggregates — x ≤ ~2 500 days and y ≤ 5·10⁷ cents keep Σxy
+    //      under 2⁵³ through sf0.1, so casting each sum to double is
+    //      lossless and the closed form (n·Σxy − Σx·Σy)/(n·Σx² − Σx·Σx)
+    //      evaluates in the SAME IEEE order in both engines — never
+    //      DuckDB's regr_slope (different accumulation order). At larger
+    //      scale the longs would overflow silently: the documented knob
+    //      is decimal(38,0) sums (exact, associative) with the same
+    //      final-division shape. Zero windows, one shuffle over 5 groups
+    //      (map-side combined), the textbook "aggregate then tiny
+    //      driver-free math" pattern. ---------------------------------------
+    Q("q213_ols_trends",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders").select($"o_orderpriority",
+          datediff(to_date($"o_orderdate"), lit("1992-01-01"))
+            .cast("long").as("x"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+        o.groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+          .select($"o_orderpriority", $"n".cast("long").as("n"),
+            (($"n".cast("double") * $"sxy".cast("double")
+              - $"sx".cast("double") * $"sy".cast("double"))
+              / ($"n".cast("double") * $"sxx".cast("double")
+                - $"sx".cast("double") * $"sx".cast("double"))).as("slope"),
+            (($"sy".cast("double")
+              - (($"n".cast("double") * $"sxy".cast("double")
+                - $"sx".cast("double") * $"sy".cast("double"))
+                / ($"n".cast("double") * $"sxx".cast("double")
+                  - $"sx".cast("double") * $"sx".cast("double")))
+                * $"sx".cast("double")) / $"n".cast("double")).as("intercept"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""WITH sums AS (SELECT o_orderpriority,
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+            CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+            CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+            CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx
+          FROM (SELECT o_orderpriority,
+                  CAST(date_diff('day', DATE '1992-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS y
+                FROM orders)
+          GROUP BY 1)
+        SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+          (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+          (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+        FROM sums ORDER BY o_orderpriority"""))
   )
 
   /** q209's schema-matching inputs — (column, type class) per table. */
