@@ -1001,7 +1001,147 @@ object RelationalQueries extends Registry {
         SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
-        FROM sums ORDER BY o_orderpriority"""))
+        FROM sums ORDER BY o_orderpriority""")),
+
+    // ---- deterministic RANGE-PARTITIONER planning + balance audit — the
+    //      operator behind every global sort / range layout at 100 TB.
+    //      Spark's own repartitionByRange draws a reservoir sample whose
+    //      boundaries change run to run; a production layout wants
+    //      REPRODUCIBLE cuts, so the sample here is the detRand hash gate
+    //      (~2% of rows, a pure function of the row key) and the 7
+    //      boundary values are the sample's exact octile order statistics.
+    //      Rank extraction never global-sorts even the sample: values land
+    //      in ~100 coarse buckets (cents >> 10), per-bucket counts give
+    //      each bucket's start rank (window over the TINY aggregate),
+    //      row_number sorts only within buckets (q177's trick). The audit
+    //      then assigns EVERY corpus row to its would-be partition (pid =
+    //      #boundaries ≤ v, computed against the domain-bounded per-value
+    //      histogram, broadcast-joined with the 7-row boundary table) and
+    //      emits per-partition row counts + value ranges + skew vs the
+    //      ideal n/8 — the "is a 2% sample enough?" answer measured, not
+    //      guessed. -------------------------------------------------------
+    Q("q218_range_partition_plan",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+            graft.operators.Sampling.detRand(23L,
+              $"l_orderkey".cast("string"), $"l_linenumber".cast("string")).as("u"))
+        val sample = li.filter($"u" < 0.02).select($"v")
+          .withColumn("bk", expr("v >> 10"))
+        val starts = sample.groupBy($"bk").agg(count(lit(1)).as("cnt"))
+          .withColumn("start", coalesce(sum($"cnt").over(
+            Window.orderBy($"bk").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select($"bk", $"start")
+        val m = sample.agg(count(lit(1)).as("m"))
+        val ranked = sample.withColumn("rn", row_number().over(
+            Window.partitionBy($"bk").orderBy($"v")))
+          .join(broadcast(starts), Seq("bk"))
+          .select($"v", ($"start" + $"rn").as("grank"))
+        val bounds = ranked.crossJoin(broadcast(m))
+          .withColumn("i", explode(array((1 to 7).map(lit): _*)))
+          .filter($"grank" === expr("(i * m) div 8"))
+          .select($"i", $"v".as("bv"))
+        val hist = li.groupBy($"v").agg(count(lit(1)).as("cnt"))
+        val audit = hist.crossJoin(broadcast(bounds))
+          .groupBy($"v", $"cnt")
+          .agg(sum(when($"bv" <= $"v", 1).otherwise(0)).as("pid"))
+          .groupBy($"pid")
+          .agg(sum($"cnt").as("n_rows"), min($"v").as("min_v"), max($"v").as("max_v"))
+        val total = li.agg(count(lit(1)).as("total"))
+        audit.crossJoin(broadcast(total))
+          .select($"pid".cast("int").as("pid"),
+            $"n_rows".cast("long").as("n_rows"),
+            $"min_v", $"max_v",
+            ($"n_rows".cast("double")
+              / ($"total".cast("double") / 8.0)).as("skew"))
+          .orderBy($"pid")
+      },
+      Some(s"""WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+              ${graft.operators.Sampling.detRandSql(23L,
+                Seq("CAST(l_orderkey AS VARCHAR)", "CAST(l_linenumber AS VARCHAR)"))} AS u
+            FROM lineitem),
+          sample AS (SELECT v FROM li WHERE u < 0.02),
+          m AS (SELECT count(*) AS m FROM sample),
+          ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS grank FROM sample),
+          bounds AS (SELECT i, v AS bv FROM ranked, m,
+                       UNNEST(range(1, 8)) AS t(i)
+                     WHERE grank = (i * m) // 8),
+          hist AS (SELECT v, count(*) AS cnt FROM li GROUP BY v),
+          pids AS (SELECT v, cnt,
+                     (SELECT count(*) FROM bounds WHERE bv <= hist.v) AS pid
+                   FROM hist),
+          audit AS (SELECT pid, sum(cnt) AS n_rows, min(v) AS min_v,
+                      max(v) AS max_v FROM pids GROUP BY pid),
+          total AS (SELECT count(*) AS total FROM li)
+          SELECT CAST(pid AS INT) AS pid, CAST(n_rows AS BIGINT) AS n_rows,
+            CAST(min_v AS BIGINT) AS min_v, CAST(max_v AS BIGINT) AS max_v,
+            CAST(n_rows AS DOUBLE) / (CAST(total AS DOUBLE) / 8.0) AS skew
+          FROM audit, total ORDER BY pid""")),
+
+    // ---- pairwise Pearson CORRELATION MATRIX over the numeric lineitem
+    //      measures — the profiling pass that decides which columns are
+    //      redundant (|ρ|→1), which are independent (ρ→0), and which
+    //      deserve a z-order pairing. ONE aggregation computes all 14
+    //      sufficient statistics (4 sums, 4 sums of squares, 6 cross
+    //      products) as INTEGER-exact longs over quantized units chosen
+    //      to keep every Σ under 2⁵³ through sf1 (dollars not cents for
+    //      price, basis points for rates); the 6 output rows are then
+    //      pure arithmetic on the single sums row — casting each exact
+    //      long to double losslessly and evaluating
+    //      (n·Σxy − ΣxΣy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) in the SAME
+    //      IEEE order as the oracle — never the engines' own corr()
+    //      accumulators (different orders, different ulps). One shuffle
+    //      of one row; everything else is map-side. ------------------------
+    Q("q221_corr_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val cols = Seq("qty", "price", "disc", "tax")
+        val base = t(s, dir, "lineitem").select(
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+          expr("CAST(round(l_extendedprice) AS BIGINT)").as("price"),
+          expr("CAST(round(l_discount * 10000) AS BIGINT)").as("disc"),
+          expr("CAST(round(l_tax * 10000) AS BIGINT)").as("tax"))
+        val aggs = Seq(count(lit(1)).as("n")) ++
+          cols.map(c => sum(col(c)).as(s"s_$c")) ++
+          cols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+          cols.combinations(2).map { case Seq(a, b) =>
+            sum(col(a) * col(b)).as(s"sp_${a}_$b")
+          }.toSeq
+        val sums = base.agg(aggs.head, aggs.tail: _*)
+        def d(c: String) = col(c).cast("double")
+        val pairs = cols.combinations(2).map { case Seq(a, b) =>
+          sums.select(lit(a).as("col_x"), lit(b).as("col_y"),
+            $"n".cast("long").as("n"),
+            ((d("n") * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b"))
+              / (sqrt(d("n") * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a"))
+                * sqrt(d("n") * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b"))))
+              .as("corr"))
+        }.toSeq
+        pairs.reduce(_ unionByName _).orderBy($"col_x", $"col_y")
+      },
+      Some {
+        val cols = Seq("qty", "price", "disc", "tax")
+        val sumsSel = (cols.map(c => s"CAST(CAST(sum($c) AS BIGINT) AS DOUBLE) AS s_$c") ++
+          cols.map(c => s"CAST(CAST(sum($c * $c) AS BIGINT) AS DOUBLE) AS ss_$c") ++
+          cols.combinations(2).map { case Seq(a, b) =>
+            s"CAST(CAST(sum($a * $b) AS BIGINT) AS DOUBLE) AS sp_${a}_$b"
+          }).mkString(", ")
+        val rows = cols.combinations(2).map { case Seq(a, b) =>
+          s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n,
+              (CAST(n AS DOUBLE) * sp_${a}_$b - s_$a * s_$b)
+                / (sqrt(CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a)
+                   * sqrt(CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b)) AS corr
+            FROM sums"""
+        }.mkString(" UNION ALL ")
+        s"""WITH base AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+              CAST(round(l_extendedprice) AS BIGINT) AS price,
+              CAST(round(l_discount * 10000) AS BIGINT) AS disc,
+              CAST(round(l_tax * 10000) AS BIGINT) AS tax FROM lineitem),
+          sums AS (SELECT count(*) AS n, $sumsSel FROM base)
+          SELECT * FROM ($rows) ORDER BY col_x, col_y"""
+      })
   )
 
   /** q209's schema-matching inputs — (column, type class) per table. */

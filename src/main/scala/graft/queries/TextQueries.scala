@@ -3107,7 +3107,74 @@ object TextQueries extends Registry {
                       / (CAST(n_both AS DOUBLE) / CAST(n_simhash AS DOUBLE)
                          + CAST(n_both AS DOUBLE) / CAST(n_lsh AS DOUBLE))
                  ELSE 0.0 END AS f1
-          FROM counts"""))
+          FROM counts""")),
+
+    // ---- SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo's merge/
+    //      purge) — the third ER candidate generator beside key blocking
+    //      (q199/q211) and LSH (q23): master + corrupted feed are merged
+    //      into ONE stream, totally ordered by name, and only records
+    //      within a w=3 window of the sort order become candidate pairs —
+    //      O(n·w) candidates regardless of block-key skew, and typos that
+    //      CHANGE the blocking key (where key blocking loses the match
+    //      outright) still land adjacent when the sort key shares the
+    //      prefix. The global rank is never a global sort: 2-char prefix
+    //      buckets (alphabet-bounded) + per-bucket counts give start
+    //      ranks, row_number works inside buckets, and the neighbor join
+    //      is THREE shuffle equi-joins (rank+offset = rank via an offset
+    //      explode — no range join, no cartesian), so boundary-spanning
+    //      pairs cost nothing special. Survivors are verified by the
+    //      bit-exact jaro_winkler kernel; is_true marks the planted
+    //      master↔dirty identity. ----------------------------------------
+    Q("q219_sorted_neighborhood",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.TextExpressions.register(s)
+        val p = graft.core.Tables(s, dir, "part").select($"p_partkey", $"p_name")
+        val recs = p.select($"p_partkey".as("rkey"), lit("m").as("src"),
+            $"p_name".as("name"))
+          .unionByName(p.select($"p_partkey".as("rkey"), lit("d").as("src"),
+            concat(substring($"p_name", 1, 5), substring($"p_name", 7, 100000))
+              .as("name")))
+          .withColumn("bk", substring($"name", 1, 2))
+        val starts = recs.groupBy($"bk").agg(count(lit(1)).as("cnt"))
+          .withColumn("start", coalesce(sum($"cnt").over(
+            Window.orderBy($"bk").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select($"bk", $"start")
+        val ranked = recs.withColumn("rn", row_number().over(
+            Window.partitionBy($"bk").orderBy($"name", $"src", $"rkey")))
+          .join(broadcast(starts), Seq("bk"))
+          .select(($"start" + $"rn").as("grank"), $"rkey", $"src", $"name")
+        val shifted = ranked
+          .withColumn("o", explode(array(lit(1), lit(2), lit(3))))
+          .select(($"grank" + $"o").as("grank"), $"rkey".as("rkey_a"),
+            $"src".as("src_a"), $"name".as("name_a"))
+        shifted.join(ranked.select($"grank", $"rkey".as("rkey_b"),
+            $"src".as("src_b"), $"name".as("name_b")), Seq("grank"))
+          .filter($"src_a" =!= $"src_b")
+          .withColumn("jw", call_function("jaro_winkler", $"name_a", $"name_b"))
+          .filter($"jw" >= 0.92)
+          .select($"rkey_a", $"src_a", $"rkey_b", $"src_b", $"jw",
+            when($"rkey_a" === $"rkey_b", 1L).otherwise(0L).as("is_true"))
+          .orderBy($"rkey_a", $"src_a", $"rkey_b", $"src_b")
+      },
+      Some("""WITH recs AS (SELECT p_partkey AS rkey, 'm' AS src, p_name AS name
+              FROM part
+            UNION ALL
+            SELECT p_partkey, 'd', substr(p_name, 1, 5) || substr(p_name, 7)
+              FROM part),
+          ranked AS (SELECT rkey, src, name,
+              row_number() OVER (ORDER BY name, src, rkey) AS grank FROM recs),
+          pairs AS (SELECT a.rkey AS rkey_a, a.src AS src_a,
+              b.rkey AS rkey_b, b.src AS src_b,
+              jaro_winkler_similarity(a.name, b.name) AS jw
+            FROM ranked a, UNNEST(range(1, 4)) AS t(o)
+            JOIN ranked b ON b.grank = a.grank + o
+            WHERE a.src <> b.src)
+          SELECT rkey_a, src_a, rkey_b, src_b, jw,
+            CAST(CASE WHEN rkey_a = rkey_b THEN 1 ELSE 0 END AS BIGINT) AS is_true
+          FROM pairs WHERE jw >= 0.92
+          ORDER BY rkey_a, src_a, rkey_b, src_b"""))
   )
 
   /** Shared recursive-tokenizer SQL (q127): identical text in both engines
