@@ -1314,6 +1314,46 @@ object PipelineQueries extends Registry {
             CAST(sum(vmicro) AS DOUBLE) / 1000000.0 AS value_sum
           FROM e GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- last-k event replay buffer per user on transformWithState
+    //      LISTSTATE (the composite-state API member q184/q188/q206 don't
+    //      touch): each user's k=3 most-recent events by event time,
+    //      maintained as an order-independent bounded fold (keep the k
+    //      largest (ts, event_id) keys — rows inside a micro-batch have no
+    //      ordering guarantee), snapshot emitted per batch, gate keeps the
+    //      max-n_seen snapshot (q184's paired-struct trick). The oracle
+    //      replays the same contract as a per-user top-3-by-time
+    //      string_agg over the fed prefix. State O(k) per key on RocksDB;
+    //      2000-row MemoryStream feed is the documented harness bound. ----
+    Q("q220_tws_replay_buffer",
+      (s, dir) => {
+        val ss = StreamingOps.rocksSession(s)
+        import ss.implicits._
+        val evts = Tables(ss, dir, "events")
+          .select($"user_id", expr("unix_micros(ts)").as("tsu"), $"event_id")
+          .orderBy($"tsu", $"event_id").limit(2000)
+          .as[(Long, Long, Long)].collect()
+        StreamingOps.driveTwoBatches(ss, evts.toSeq,
+            org.apache.spark.sql.streaming.OutputMode.Update())(
+            StreamingOps.replayBuffer(_, 3))
+          .groupBy($"user_id")
+          .agg(max(struct($"n_seen", $"last_ids")).as("m"))
+          .select($"user_id", $"m.n_seen".cast("long").as("n_seen"),
+            $"m.last_ids".as("last_ids"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id FROM events
+            ORDER BY ts, event_id LIMIT 2000),
+          r AS (SELECT user_id, ts, event_id,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rd,
+              count(*) OVER (PARTITION BY user_id) AS n_seen
+            FROM e)
+          SELECT user_id, CAST(n_seen AS BIGINT) AS n_seen,
+            string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)
+              AS last_ids
+          FROM r WHERE rd <= 3
+          GROUP BY user_id, n_seen ORDER BY user_id""")),
+
     // ---- Structured Streaming sessionization, driven to completion -------
     // (MemoryStream-fed incremental run of the q33 semantics; the driver
     // sees the closed sessions as a batch result). Emitted rows = every

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface (SURVEY §2.J — extension; the reference is
   * strictly batch). The batch q32/q33 semantics re-expressed incrementally:
@@ -263,6 +263,55 @@ object StreamingOps {
       nSt.update(n)
       Iterator.single(BucketSketch(key, n, buf.counts))
     }
+  }
+
+  /** Bounded per-key event REPLAY BUFFER on `ListState` — the composite-
+    * state member of the transformWithState family (q184 ValueState cell,
+    * q206 sketch-in-ValueState, q188 event-time timers): every user keeps
+    * only their k most-recent events BY EVENT TIME, the "recent context"
+    * a serving layer reads without replaying the log. Rows within a
+    * micro-batch reach the processor in no guaranteed order, so the
+    * buffer is an order-INDEPENDENT bounded fold: keep the k largest
+    * (ts_us, event_id) keys — commutative, so the final state is a pure
+    * function of the fed set at any parallelism. State is O(k) per key on
+    * the RocksDB store; each batch emits the key's snapshot sequence-
+    * numbered by the exact arrival count and the gate keeps the last
+    * (q184's max-struct trick).
+    */
+  final case class ReplaySnap(user_id: Long, n_seen: Long, last_ids: String)
+
+  class ReplayBufferProcessor(k: Int)
+      extends StatefulProcessor[Long, (Long, Long, Long), ReplaySnap] {
+    @transient private var buf: ListState[(Long, Long)] = _
+    @transient private var nSt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long)]("buf",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+      nSt = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[ReplaySnap] = {
+      val cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      buf.get().foreach(cur += _)
+      var n = if (nSt.exists()) nSt.get() else 0L
+      rows.foreach { case (_, tsUs, eid) => cur += ((tsUs, eid)); n += 1 }
+      val kept = cur.sorted.takeRight(k)
+      buf.put(kept.toArray)
+      nSt.update(n)
+      Iterator.single(ReplaySnap(key, n, kept.map(_._2).mkString(",")))
+    }
+  }
+
+  /** (user_id, ts_us, event_id) stream → per-key last-k snapshot rows. */
+  def replayBuffer(rows: Dataset[(Long, Long, Long)], k: Int): Dataset[ReplaySnap] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new ReplayBufferProcessor(k),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** (bucket, token) stream → per-bucket MG sketch snapshots. */
