@@ -1141,7 +1141,47 @@ object RelationalQueries extends Registry {
               CAST(round(l_tax * 10000) AS BIGINT) AS tax FROM lineitem),
           sums AS (SELECT count(*) AS n, $sumsSel FROM base)
           SELECT * FROM ($rows) ORDER BY col_x, col_y"""
-      })
+      }),
+
+    // ---- SKYLINE (Pareto frontier) over (price↓, size↑): the parts no
+    //      other part beats on both dimensions — the multi-objective
+    //      shortlist operator (cheapest-for-its-size catalog, best
+    //      quality-per-cost doc selection). 2-D skylines have a linear
+    //      structure the plan exploits instead of the naive all-pairs
+    //      dominance test: group to per-distinct-price max size (domain-
+    //      bounded aggregate, map-side combined), prefix-max over prices
+    //      BELOW each (window over the tiny distinct-price table — the
+    //      q117 precedent, never the corpus), and a point survives iff its
+    //      size tops everything cheaper and equals its price's max. The
+    //      oracle is deliberately the OTHER algorithm — a NOT EXISTS
+    //      dominance anti-join — so the two engines cross-check the
+    //      frontier definition itself, not a shared plan. Integer-exact
+    //      (cents, sizes); ~n²-free on both sides. ------------------------
+    Q("q222_skyline",
+      (s, dir) => {
+        import s.implicits._
+        val pts = t(s, dir, "part")
+          .select(expr("CAST(round(p_retailprice * 100) AS BIGINT)")
+            .as("price_cents"), $"p_size")
+          .distinct()
+        val peq = pts.groupBy($"price_cents").agg(max($"p_size").as("meq"))
+        val withPrev = peq.withColumn("mlt", coalesce(max($"meq").over(
+            Window.orderBy($"price_cents")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(-1)))
+        withPrev.filter($"meq" > $"mlt")
+          .select($"price_cents", $"meq".cast("int").as("p_size"))
+          .orderBy($"price_cents")
+      },
+      Some("""WITH pts AS (SELECT DISTINCT
+              CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+              p_size
+            FROM part)
+          SELECT price_cents, CAST(p_size AS INT) AS p_size
+          FROM pts p
+          WHERE NOT EXISTS (SELECT 1 FROM pts q
+            WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+              AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))
+          ORDER BY price_cents"""))
   )
 
   /** q209's schema-matching inputs — (column, type class) per table. */

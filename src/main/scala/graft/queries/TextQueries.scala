@@ -3174,8 +3174,67 @@ object TextQueries extends Registry {
           SELECT rkey_a, src_a, rkey_b, src_b, jw,
             CAST(CASE WHEN rkey_a = rkey_b THEN 1 ELSE 0 END AS BIGINT) AS is_true
           FROM pairs WHERE jw >= 0.92
-          ORDER BY rkey_a, src_a, rkey_b, src_b"""))
+          ORDER BY rkey_a, src_a, rkey_b, src_b""")),
+
+    // ---- PHRASE SEARCH over a positional inverted index — the search-
+    //      engine primitive the shingle/bigram stack deliberately avoids
+    //      (q116 extracts bigrams row-locally; here adjacency is resolved
+    //      by POSITION JOINS, which is what generalizes to arbitrary-
+    //      length phrases and proximity operators). The index is
+    //      (doc_id, pos, token) via posexplode; each phrase probe FILTERS
+    //      the index to its own words first (the postings slice — at
+    //      100 TB this is the token-sharded read, never the full index)
+    //      and chains word k to the anchor via an equi-join on
+    //      (doc_id, pos + k). Emits per-phrase doc and occurrence counts;
+    //      a zero-hit phrase still yields its row (global agg over an
+    //      empty frame), so coverage is visible. Integer-exact. ------------
+    Q("q224_phrase_search",
+      (s, dir) => {
+        import s.implicits._
+        val idx = docs(s, dir)
+          .select($"doc_id", posexplode(tokens(lower($"text"))))
+          .toDF("doc_id", "pos", "token")
+        phrases.map { words =>
+          val base = idx.filter($"token" === words.head)
+            .select($"doc_id", $"pos")
+          val matched = words.zipWithIndex.drop(1).foldLeft(base) {
+            case (acc, (wd, i)) =>
+              val nxt = idx.filter($"token" === wd)
+                .select($"doc_id".as("d2"), $"pos".as("p2"))
+              acc.as("a").join(nxt,
+                  $"a.doc_id" === $"d2" && $"p2" === $"a.pos" + i)
+                .select($"a.doc_id".as("doc_id"), $"a.pos".as("pos"))
+          }
+          matched.agg(countDistinct($"doc_id").as("n_docs"),
+              count(lit(1)).as("n_occ"))
+            .select(lit(words.mkString(" ")).as("phrase"),
+              $"n_docs".cast("long").as("n_docs"),
+              $"n_occ".cast("long").as("n_occ"))
+        }.reduce(_ unionByName _).orderBy($"phrase")
+      },
+      Some(phrases.map { words =>
+        val k = words.size
+        val conds = words.zipWithIndex
+          .map { case (wd, j) => s"w[i + $j] = '$wd'" }.mkString(" AND ")
+        val bound = if (k == 2) "len(w)" else s"len(w) - ${k - 2}"
+        s"""SELECT '${words.mkString(" ")}' AS phrase,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_occ
+          FROM (SELECT doc_id, i
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                      FROM documents),
+                     UNNEST(range(1, $bound)) AS t(i)
+                WHERE $conds)"""
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY phrase")))
   )
+
+  /** q224's probe phrases — two bigrams and a trigram over the synthetic
+    * vocabulary (hit counts are whatever the corpus yields; a zero-hit
+    * phrase still emits its row, so the gate never goes degenerate).
+    */
+  private val phrases: Seq[Seq[String]] = Seq(
+    Seq("hash", "join"), Seq("table", "scan"), Seq("data", "stream"),
+    Seq("fast", "table", "value"))
 
   /** Shared recursive-tokenizer SQL (q127): identical text in both engines
     * except the dialect-specific token-explosion CTE passed in.
