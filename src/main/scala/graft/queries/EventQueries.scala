@@ -601,6 +601,64 @@ object EventQueries extends Registry {
           CAST(sum(vmicro) AS DOUBLE) / 1000000.0 AS raw_sum,
           CAST(sum(w) AS DOUBLE) / 1000000.0 AS decayed_sum,
           CAST(sum(w) AS DOUBLE) / sum(vmicro) AS decay_ratio
-        FROM w GROUP BY user_id ORDER BY user_id"""))
+        FROM w GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- per-group z-score OUTLIER AUDIT — the monitoring pass that
+    //      flags anomalous event values against their own event-type
+    //      distribution. Two scans, zero windows: scan 1 folds each group
+    //      to integer-exact sufficient statistics (n, Σcents, Σcents² —
+    //      bounded under 2⁵³ far past sf1); scan 2 re-reads the stream
+    //      against the broadcast 5-row stats table and counts |z| > 3.
+    //      mean/std come from the exact longs via one fixed IEEE
+    //      expression (population variance (n·Σv² − (Σv)²)/n², identical
+    //      op order in the oracle), so the 3σ threshold cuts bit-
+    //      identically cross-engine. max_abs_z is an order-independent
+    //      max of identical doubles. At 100 TB the stats table stays
+    //      O(groups) and both scans are embarrassingly parallel — this is
+    //      the shape monitoring jobs should have instead of per-row
+    //      window ranks. -----------------------------------------------------
+    Q("q226_zscore_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir).select($"event_type",
+          round($"value" * 100).cast("long").as("vc"))
+        val stats = ev.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"vc").as("s1"),
+            sum($"vc" * $"vc").as("s2"))
+          .select($"event_type", $"n",
+            ($"s1".cast("double") / $"n".cast("double")).as("mean"),
+            sqrt(($"n".cast("double") * $"s2".cast("double")
+              - $"s1".cast("double") * $"s1".cast("double"))
+              / ($"n".cast("double") * $"n".cast("double"))).as("std"))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .select($"event_type", $"n", $"mean", $"std",
+            abs(($"vc".cast("double") - $"mean") / $"std").as("az"))
+          .groupBy($"event_type")
+          .agg(max($"n").as("n"),
+            sum(when($"az" > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+            max($"az").as("max_abs_z"))
+          .select($"event_type", $"n".cast("long").as("n"),
+            $"n_outliers".cast("long").as("n_outliers"), $"max_abs_z")
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+          stats AS (SELECT event_type, count(*) AS n,
+              CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS mean,
+              sqrt((CAST(count(*) AS DOUBLE)
+                  * CAST(CAST(sum(vc * vc) AS BIGINT) AS DOUBLE)
+                - CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE)
+                  * CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE))
+                / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE))) AS std
+            FROM ev GROUP BY event_type),
+          z AS (SELECT ev.event_type, s.n,
+              abs((CAST(ev.vc AS DOUBLE) - s.mean) / s.std) AS az
+            FROM ev JOIN stats s USING (event_type))
+          SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_outliers,
+            max(az) AS max_abs_z
+          FROM z GROUP BY event_type ORDER BY event_type"""))
   )
 }

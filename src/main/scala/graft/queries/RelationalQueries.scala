@@ -1181,8 +1181,100 @@ object RelationalQueries extends Registry {
           WHERE NOT EXISTS (SELECT 1 FROM pts q
             WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
               AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))
-          ORDER BY price_cents"""))
+          ORDER BY price_cents""")),
+
+    // ---- MUTUAL INFORMATION between categorical column pairs — the
+    //      GRADED dependency measure completing the q203/q204 exact
+    //      FD/IND sweep (an FD either holds or it doesn't; MI says HOW
+    //      MUCH one column tells you about another, which is what ranks
+    //      schema-matching and feature-selection candidates). Per pair:
+    //      one (x,y) cell aggregate + two margin aggregates (all map-side
+    //      combined, cardinality-bounded by the value domains), cell
+    //      log-ratios micro-quantized to longs (q105's rule: the LONG sum
+    //      is addition-order-independent, so the corpus-sized reduction
+    //      is exact and only the final /1e6/N divisions are float — in
+    //      identical IEEE order in the oracle). Margin join-backs are
+    //      un-hinted: domain-bounded, AQE broadcasts when they fit. ---------
+    Q("q225_column_mi",
+      (s, dir) => {
+        import s.implicits._
+        miPairs.map { case (tab, cx, cy) =>
+          val base = t(s, dir, tab)
+            .select(col(cx).cast("string").as("x"), col(cy).cast("string").as("y"))
+          val cells = base.groupBy($"x", $"y").agg(count(lit(1)).as("cnt"))
+          val mx = base.groupBy($"x").agg(count(lit(1)).as("cx"))
+          val my = base.groupBy($"y").agg(count(lit(1)).as("cy"))
+          val n = base.agg(count(lit(1)).as("n"))
+          cells.join(mx, Seq("x")).join(my, Seq("y")).crossJoin(broadcast(n))
+            .select($"cnt", $"n",
+              (round(log(($"cnt".cast("double") * $"n".cast("double"))
+                / ($"cx".cast("double") * $"cy".cast("double"))) * 1e6)
+                .cast("long") * $"cnt").as("mi_term"))
+            .agg(max($"n").as("n"), sum($"mi_term").as("mi_micro"))
+            .select(lit(s"$tab.$cx|$cy").as("col_pair"),
+              $"n".cast("long").as("n"),
+              ($"mi_micro".cast("double") / 1e6 / $"n".cast("double"))
+                .as("mi_nats"))
+        }.reduce(_ unionByName _).orderBy($"col_pair")
+      },
+      Some(miPairs.map { case (tab, cx, cy) =>
+        s"""SELECT '$tab.$cx|$cy' AS col_pair, CAST(n AS BIGINT) AS n,
+            CAST(mi_micro AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mi_nats
+          FROM (SELECT max(n) AS n, sum(mi_term) AS mi_micro FROM (
+            SELECT c.cnt, n.n,
+              CAST(round(ln((CAST(c.cnt AS DOUBLE) * CAST(n.n AS DOUBLE))
+                / (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE))) * 1000000)
+                AS BIGINT) * c.cnt AS mi_term
+            FROM (SELECT CAST($cx AS VARCHAR) AS x, CAST($cy AS VARCHAR) AS y,
+                    count(*) AS cnt FROM $tab GROUP BY 1, 2) c
+            JOIN (SELECT CAST($cx AS VARCHAR) AS x, count(*) AS cx
+                  FROM $tab GROUP BY 1) mx USING (x)
+            JOIN (SELECT CAST($cy AS VARCHAR) AS y, count(*) AS cy
+                  FROM $tab GROUP BY 1) my USING (y)
+            CROSS JOIN (SELECT count(*) AS n FROM $tab) n))"""
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_pair"))),
+
+    // ---- ROLLUP with grouping_id — the OLAP subtotal operator surface
+    //      (detail rows, per-returnflag subtotals, grand total in ONE
+    //      aggregation pass; Spark plans it as a single Expand+Aggregate,
+    //      not three scans). Revenue keeps the repo-wide integer-cent
+    //      quantize contract so every level's sum is exact and
+    //      order-independent. gid is the engine-portable level marker
+    //      (bit per column, 1 = rolled up — probed identical in DuckDB's
+    //      GROUPING()); the ORDER BY leads with it so NULL group keys
+    //      only ever compare within a level, never against values (Spark
+    //      and DuckDB default NULL sort orders differ). ---------------------
+    Q("q227_rollup_revenue",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n_items"),
+            (sum(round($"l_extendedprice" * 100).cast("long")).cast("double")
+              / 100.0).as("revenue"))
+          .select($"l_returnflag", $"l_linestatus",
+            $"gid".cast("long").as("gid"), $"n_items", $"revenue")
+          .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+            count(*) AS n_items,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+              / 100.0 AS revenue
+          FROM lineitem
+          GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          ORDER BY gid, l_returnflag, l_linestatus"""))
   )
+
+  /** q225's column pairs — (table, x, y): a strong dependency
+    * (orderstatus↔priority would be weak; linestatus↔returnflag strong),
+    * a cross-type pair, and two near-independent controls.
+    */
+  private val miPairs: Seq[(String, String, String)] = Seq(
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("part", "p_brand", "p_size"))
 
   /** q209's schema-matching inputs — (column, type class) per table. */
   private val custCols: Seq[(String, String)] = Seq(
