@@ -503,4 +503,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"iterate should broadcast:\n$p")
   }
+
+  test("q210: KMV k-cuts run on TakeOrdered heaps over map-side-combined hashes") {
+    val p = plan("q210_kmv_distinct")
+    // every orderBy(u).limit(k) must be a bounded per-partition heap, not a
+    // global sort; the DISTINCT over hashes must combine map-side
+    assert(p.contains("TakeOrderedAndProject"), s"k-cut lost its heap:\n$p")
+    assert(!p.contains("GlobalSort") && !"Sort \\[u".r.findFirstIn(p).exists(_ => p.contains("Exchange rangepartitioning")),
+      s"sketch cut became a global sort:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"distinct lacks map-side combine:\n$p")
+  }
+
+  test("q218: octile planning never global-sorts; corpus histogram joins broadcast") {
+    val p = plan("q218_range_partition_plan")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // the ONLY range-sort allowed is the 8-row output ORDER BY pid; sample
+    // ranks must come from coarse buckets, never a range sort on v
+    val ranges = "Exchange rangepartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(ranges.forall(_ == "pid"),
+      s"range sort on a non-output column (sample rank went global): $ranges\n$p")
+    assert(p.contains("Broadcast"), s"bounds/totals should broadcast:\n$p")
+  }
+
+  test("q219: neighbor pairing is shuffle equi-joins on rank, never a range join") {
+    val p = plan("q219_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rank-offset join degenerated to a non-equi plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join on grank:\n$p")
+  }
+
+  test("q224: phrase probes are equi joins over filtered postings slices") {
+    val p = plan("q224_phrase_search")
+    assert(!p.contains("CartesianProduct"), s"position join fell to cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join on (doc_id, pos):\n$p")
+  }
+
+  test("q226: outlier audit is two window-free scans with a broadcast stats table") {
+    val p = plan("q226_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"5-row stats table not broadcast:\n$p")
+    assert(!p.contains("Window"), s"unexpected window operator:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"sufficient statistics lack map-side combine:\n$p")
+  }
+
+  test("q227: rollup is ONE Expand + partial/final aggregation pass") {
+    val p = plan("q227_rollup_revenue")
+    assert(p.contains("Expand"), s"rollup should plan a single Expand:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"rollup aggregate lacks map-side combine:\n$p")
+    assert(!p.contains("Union"), s"rollup must not re-scan per level:\n$p")
+  }
 }
