@@ -659,6 +659,71 @@ object EventQueries extends Registry {
             CAST(sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_outliers,
             max(az) AS max_abs_z
-          FROM z GROUP BY event_type ORDER BY event_type"""))
+          FROM z GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- RFM customer segmentation (recency / frequency / monetary
+    //      deciles) — the classic activation/churn cut a growth team runs
+    //      over the event log. One event-scale aggregate folds each user
+    //      to (last-seen, count, exact cents); everything after runs on
+    //      the USER table, which is entity-scale, not event-scale — the
+    //      windows ranking the three metrics sit on an Aggregate child
+    //      (the bounded-window contract; a 10⁹-user deployment would swap
+    //      in q216's bucket-rank trick, same output). Deciles are exact
+    //      integer cuts ((rank−1)·10 div n — no ntile, whose remainder
+    //      rule differs subtly across engines), recency anchors on the
+    //      broadcast max-ts row, and ties break on user_id so ranks are
+    //      total. rfm code = r·100 + f·10 + m. ------------------------------
+    Q("q229_rfm_segments",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir).select($"user_id", unix_micros($"ts").as("tus"),
+          round($"value" * 100).cast("long").as("vc"))
+        val anchor = ev.agg(max($"tus").as("tmax"))
+        val users = ev.groupBy($"user_id")
+          .agg(max($"tus").as("last_us"), count(lit(1)).as("f"),
+            sum($"vc").as("m_cents"))
+          .crossJoin(broadcast(anchor))
+          .select($"user_id",
+            expr("CAST((tmax - last_us) DIV 86400000000 AS BIGINT)").as("r_days"),
+            $"f", $"m_cents")
+        val n = users.agg(count(lit(1)).as("nu"))
+        users
+          .withColumn("rr", row_number().over(
+            Window.orderBy($"r_days", $"user_id")))
+          .withColumn("rf", row_number().over(
+            Window.orderBy($"f".desc, $"user_id")))
+          .withColumn("rm", row_number().over(
+            Window.orderBy($"m_cents".desc, $"user_id")))
+          .crossJoin(broadcast(n))
+          .select($"user_id", $"r_days", $"f".cast("long").as("f"),
+            $"m_cents".cast("long").as("m_cents"),
+            expr("CAST(((rr - 1) * 10) div nu AS INT)").as("r_dec"),
+            expr("CAST(((rf - 1) * 10) div nu AS INT)").as("f_dec"),
+            expr("CAST(((rm - 1) * 10) div nu AS INT)").as("m_dec"))
+          .withColumn("rfm",
+            ($"r_dec" * 100 + $"f_dec" * 10 + $"m_dec").cast("int"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+            CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+          a AS (SELECT max(tus) AS tmax FROM ev),
+          u AS (SELECT user_id, max(tus) AS last_us, count(*) AS f,
+                  CAST(sum(vc) AS BIGINT) AS m_cents FROM ev GROUP BY 1),
+          r AS (SELECT user_id, (tmax - last_us) // 86400000000 AS r_days,
+                  f, m_cents FROM u, a),
+          rk AS (SELECT *,
+              row_number() OVER (ORDER BY r_days, user_id) AS rr,
+              row_number() OVER (ORDER BY f DESC, user_id) AS rf,
+              row_number() OVER (ORDER BY m_cents DESC, user_id) AS rm,
+              count(*) OVER () AS nu
+            FROM r)
+          SELECT user_id, CAST(r_days AS BIGINT) AS r_days,
+            CAST(f AS BIGINT) AS f, m_cents,
+            CAST(((rr - 1) * 10) // nu AS INT) AS r_dec,
+            CAST(((rf - 1) * 10) // nu AS INT) AS f_dec,
+            CAST(((rm - 1) * 10) // nu AS INT) AS m_dec,
+            CAST((((rr - 1) * 10) // nu) * 100 + (((rf - 1) * 10) // nu) * 10
+              + ((rm - 1) * 10) // nu AS INT) AS rfm
+          FROM rk ORDER BY user_id"""))
   )
 }

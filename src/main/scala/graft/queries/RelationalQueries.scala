@@ -1263,7 +1263,137 @@ object RelationalQueries extends Registry {
               / 100.0 AS revenue
           FROM lineitem
           GROUP BY ROLLUP(l_returnflag, l_linestatus)
-          ORDER BY gid, l_returnflag, l_linestatus"""))
+          ORDER BY gid, l_returnflag, l_linestatus""")),
+
+    // ---- chi-square independence test over the q225 column pairs — the
+    //      SIGNIFICANCE companion to MI's effect size (MI says how much
+    //      dependence; χ² + Cramér's V say whether the cell counts could
+    //      be chance at this n). Same bounded aggregates (cells, margins,
+    //      N); each cell's (obs−exp)²/exp term is a deterministic double
+    //      from exact longs, MICRO-QUANTIZED to a long before the
+    //      reduction (a parallel double sum would be addition-order-
+    //      dependent — the q105 rule applies to any float reduction, not
+    //      just logs). dof and Cramér's V come from distinct counts.
+    //      Margin join-backs un-hinted, domain-bounded. ---------------------
+    Q("q228_chi_square",
+      (s, dir) => {
+        import s.implicits._
+        miPairs.map { case (tab, cx, cy) =>
+          val base = t(s, dir, tab)
+            .select(col(cx).cast("string").as("x"), col(cy).cast("string").as("y"))
+          val cells = base.groupBy($"x", $"y").agg(count(lit(1)).as("obs"))
+          val mx = base.groupBy($"x").agg(count(lit(1)).as("cx"))
+          val my = base.groupBy($"y").agg(count(lit(1)).as("cy"))
+          val tot = base.agg(count(lit(1)).as("n"),
+            countDistinct($"x").as("nx"), countDistinct($"y").as("ny"))
+          val exp = ($"cx".cast("double") * $"cy".cast("double")) /
+            $"n".cast("double")
+          cells.join(mx, Seq("x")).join(my, Seq("y")).crossJoin(broadcast(tot))
+            .select($"n", $"nx", $"ny",
+              round(($"obs".cast("double") - exp) * ($"obs".cast("double") - exp)
+                / exp * 1e6).cast("long").as("term_micro"))
+            .agg(max($"n").as("n"), max($"nx").as("nx"), max($"ny").as("ny"),
+              sum($"term_micro").as("chi_micro"))
+            .select(lit(s"$tab.$cx|$cy").as("col_pair"),
+              $"n".cast("long").as("n"),
+              (($"nx" - 1) * ($"ny" - 1)).cast("long").as("dof"),
+              ($"chi_micro".cast("double") / 1e6).as("chi2"),
+              sqrt(($"chi_micro".cast("double") / 1e6)
+                / ($"n".cast("double")
+                  * least($"nx" - 1, $"ny" - 1).cast("double"))).as("cramers_v"))
+        }.reduce(_ unionByName _).orderBy($"col_pair")
+      },
+      Some(miPairs.map { case (tab, cx, cy) =>
+        s"""SELECT '$tab.$cx|$cy' AS col_pair, CAST(n AS BIGINT) AS n,
+            CAST((nx - 1) * (ny - 1) AS BIGINT) AS dof,
+            CAST(chi_micro AS DOUBLE) / 1000000.0 AS chi2,
+            sqrt((CAST(chi_micro AS DOUBLE) / 1000000.0)
+              / (CAST(n AS DOUBLE) * CAST(least(nx - 1, ny - 1) AS DOUBLE)))
+              AS cramers_v
+          FROM (SELECT max(n) AS n, max(nx) AS nx, max(ny) AS ny,
+                  sum(term_micro) AS chi_micro FROM (
+            SELECT tot.n, tot.nx, tot.ny,
+              CAST(round((CAST(c.obs AS DOUBLE)
+                  - (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE))
+                    / CAST(tot.n AS DOUBLE))
+                * (CAST(c.obs AS DOUBLE)
+                  - (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE))
+                    / CAST(tot.n AS DOUBLE))
+                / ((CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE))
+                  / CAST(tot.n AS DOUBLE)) * 1000000) AS BIGINT) AS term_micro
+            FROM (SELECT CAST($cx AS VARCHAR) AS x, CAST($cy AS VARCHAR) AS y,
+                    count(*) AS obs FROM $tab GROUP BY 1, 2) c
+            JOIN (SELECT CAST($cx AS VARCHAR) AS x, count(*) AS cx
+                  FROM $tab GROUP BY 1) mx USING (x)
+            JOIN (SELECT CAST($cy AS VARCHAR) AS y, count(*) AS cy
+                  FROM $tab GROUP BY 1) my USING (y)
+            CROSS JOIN (SELECT count(*) AS n, count(DISTINCT $cx) AS nx,
+                          count(DISTINCT $cy) AS ny FROM $tab) tot))"""
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_pair"))),
+
+    // ---- incremental materialized-view maintenance audit: the lakehouse
+    //      pattern where a daily job folds only the DELTA into yesterday's
+    //      aggregate instead of rescanning history. The view (count +
+    //      exact-cent revenue per priority) is additively mergeable, so
+    //      merge(agg(base), agg(delta)) must equal agg(base ∪ delta) —
+    //      and this query EMITS both sides beside integer match flags, so
+    //      the maintenance identity is the gated deliverable, not an
+    //      assumption. The cutoff is a fixed date literal (both engines),
+    //      the merge is a full-outer join of two 5-row aggregates with
+    //      coalesce-0, and at 100 TB the base aggregate is yesterday's
+    //      stored view — only the delta partition is ever scanned. ----------
+    Q("q231_incremental_view",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders").select($"o_orderpriority",
+          $"o_orderdate",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        def view(d: org.apache.spark.sql.DataFrame, pre: String) =
+          d.groupBy($"o_orderpriority")
+            .agg(count(lit(1)).as(s"${pre}_n"), sum($"cents").as(s"${pre}_c"))
+        val cut = to_date(lit("1998-01-01"))
+        val merged = view(o.filter(to_date($"o_orderdate") < cut), "b")
+          .join(view(o.filter(to_date($"o_orderdate") >= cut), "d"),
+            Seq("o_orderpriority"), "full_outer")
+          .select($"o_orderpriority",
+            (coalesce($"b_n", lit(0L)) + coalesce($"d_n", lit(0L))).as("n_merged"),
+            (coalesce($"b_c", lit(0L)) + coalesce($"d_c", lit(0L))).as("c_merged"))
+        val full = view(o, "f")
+        merged.join(full, Seq("o_orderpriority"))
+          .select($"o_orderpriority",
+            $"n_merged".cast("long").as("n_merged"),
+            $"f_n".cast("long").as("n_full"),
+            ($"c_merged".cast("double") / 100.0).as("rev_merged"),
+            ($"f_c".cast("double") / 100.0).as("rev_full"),
+            when($"n_merged" === $"f_n" && $"c_merged" === $"f_c", 1)
+              .otherwise(0).cast("int").as("view_ok"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority, o_orderdate,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+          b AS (SELECT o_orderpriority, count(*) AS b_n,
+                  CAST(sum(cents) AS BIGINT) AS b_c
+                FROM o WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                GROUP BY 1),
+          d AS (SELECT o_orderpriority, count(*) AS d_n,
+                  CAST(sum(cents) AS BIGINT) AS d_c
+                FROM o WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+                GROUP BY 1),
+          m AS (SELECT o_orderpriority,
+                  COALESCE(b_n, 0) + COALESCE(d_n, 0) AS n_merged,
+                  COALESCE(b_c, 0) + COALESCE(d_c, 0) AS c_merged
+                FROM b FULL OUTER JOIN d USING (o_orderpriority)),
+          f AS (SELECT o_orderpriority, count(*) AS f_n,
+                  CAST(sum(cents) AS BIGINT) AS f_c FROM o GROUP BY 1)
+          SELECT o_orderpriority,
+            CAST(n_merged AS BIGINT) AS n_merged,
+            CAST(f_n AS BIGINT) AS n_full,
+            CAST(c_merged AS DOUBLE) / 100.0 AS rev_merged,
+            CAST(f_c AS DOUBLE) / 100.0 AS rev_full,
+            CAST(CASE WHEN n_merged = f_n AND c_merged = f_c
+                 THEN 1 ELSE 0 END AS INT) AS view_ok
+          FROM m JOIN f USING (o_orderpriority)
+          ORDER BY o_orderpriority"""))
   )
 
   /** q225's column pairs — (table, x, y): a strong dependency

@@ -112,6 +112,81 @@ object SketchQueries extends Registry {
                      WHERE u >= 0.5 ORDER BY u LIMIT $kmvK))
                   ORDER BY u LIMIT $kmvK)),
                (SELECT count(DISTINCT $c) AS exact_distinct FROM $tab)"""
-      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")))
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name"))),
+
+    // ---- KMV set-operation estimates — what a join PLANNER reads before
+    //      committing a 100 TB shuffle: estimated distinct-key overlap of
+    //      orders.o_custkey vs customer.c_custkey from two k=256 sketches
+    //      (the classic Beyer et al. KMV algebra). Both columns hash
+    //      through the SAME detRand kernel, so a shared key has the same
+    //      draw in both sketches; the union sketch is the k smallest of
+    //      the merged min-k sets, Jaccard ≈ |union-min-k present in both
+    //      sketches| / k, and |A∩B| ≈ J·(k−1)/u_k. The exact semi-join
+    //      counts ride along as the test-scale audit (at production scale
+    //      they're the cost being avoided: sketches are KBs shipped from
+    //      two independent profiling passes — no co-shuffle at all).
+    //      Membership probes are broadcast joins of 256-row frames;
+    //      every estimate is arithmetic on bit-identical doubles. ----------
+    Q("q230_kmv_join_estimate",
+      (s, dir) => {
+        import s.implicits._
+        def mink(tab: String, c: String) =
+          t(s, dir, tab).where(col(c).isNotNull)
+            .select(Sampling.detRand(41L, col(c).cast("string")).as("u"))
+            .distinct().orderBy($"u").limit(kmvK)
+        val a = mink("orders", "o_custkey")
+        val b = mink("customer", "c_custkey")
+        val union = a.unionByName(b).distinct().orderBy($"u").limit(kmvK)
+        val stats = union
+          .join(broadcast(a.select($"u", lit(1).as("in_a"))), Seq("u"), "left")
+          .join(broadcast(b.select($"u", lit(1).as("in_b"))), Seq("u"), "left")
+          .agg(count(lit(1)).as("k_got"), max($"u").as("u_k"),
+            sum(when($"in_a" === 1 && $"in_b" === 1, 1L).otherwise(0L))
+              .as("k_both"))
+        val exact = t(s, dir, "orders").select($"o_custkey".as("key")).distinct()
+          .join(t(s, dir, "customer").select($"c_custkey".as("key")).distinct(),
+            Seq("key"))
+          .agg(count(lit(1)).as("exact_inter"))
+        stats.crossJoin(exact)
+          .select($"k_got".cast("long").as("k"),
+            $"k_both".cast("long").as("k_both"),
+            (($"k_got" - 1).cast("double") / $"u_k").as("est_union"),
+            (($"k_both".cast("double") / $"k_got".cast("double"))
+              * (($"k_got" - 1).cast("double") / $"u_k")).as("est_inter"),
+            $"exact_inter".cast("long").as("exact_inter"),
+            round(abs(($"k_both".cast("double") / $"k_got".cast("double"))
+                * (($"k_got" - 1).cast("double") / $"u_k")
+                - $"exact_inter".cast("double"))
+              / $"exact_inter".cast("double"), 6).as("rel_err"))
+      },
+      Some {
+        def minkSql(tab: String, c: String) = {
+          val u = Sampling.detRandSql(41L, Seq(s"CAST($c AS VARCHAR)"))
+          s"""SELECT u FROM (SELECT DISTINCT $u AS u FROM $tab
+              WHERE $c IS NOT NULL) ORDER BY u LIMIT $kmvK"""
+        }
+        s"""WITH a AS (${minkSql("orders", "o_custkey")}),
+          b AS (${minkSql("customer", "c_custkey")}),
+          un AS (SELECT u FROM (SELECT DISTINCT u FROM
+                   (SELECT u FROM a UNION ALL SELECT u FROM b))
+                 ORDER BY u LIMIT $kmvK),
+          stats AS (SELECT count(*) AS k_got, max(un.u) AS u_k,
+              sum(CASE WHEN a.u IS NOT NULL AND b.u IS NOT NULL
+                  THEN 1 ELSE 0 END) AS k_both
+            FROM un LEFT JOIN a ON un.u = a.u LEFT JOIN b ON un.u = b.u),
+          exact AS (SELECT count(*) AS exact_inter FROM
+            (SELECT DISTINCT o_custkey AS key FROM orders) o
+            JOIN (SELECT DISTINCT c_custkey AS key FROM customer) c USING (key))
+          SELECT CAST(k_got AS BIGINT) AS k, CAST(k_both AS BIGINT) AS k_both,
+            CAST(k_got - 1 AS DOUBLE) / u_k AS est_union,
+            (CAST(k_both AS DOUBLE) / CAST(k_got AS DOUBLE))
+              * (CAST(k_got - 1 AS DOUBLE) / u_k) AS est_inter,
+            CAST(exact_inter AS BIGINT) AS exact_inter,
+            round(abs((CAST(k_both AS DOUBLE) / CAST(k_got AS DOUBLE))
+                * (CAST(k_got - 1 AS DOUBLE) / u_k)
+                - CAST(exact_inter AS DOUBLE))
+              / CAST(exact_inter AS DOUBLE), 6) AS rel_err
+          FROM stats, exact"""
+      })
   )
 }
