@@ -1393,7 +1393,148 @@ object RelationalQueries extends Registry {
             CAST(CASE WHEN n_merged = f_n AND c_merged = f_c
                  THEN 1 ELSE 0 END AS INT) AS view_ok
           FROM m JOIN f USING (o_orderpriority)
-          ORDER BY o_orderpriority"""))
+          ORDER BY o_orderpriority""")),
+
+    // ---- market-basket ASSOCIATION RULES (the apriori pair pass):
+    //      frequent part pairs across order baskets with support /
+    //      directional confidence / lift. Pair generation is the SELF-
+    //      JOIN CO-PARTITIONED ON THE BASKET KEY, so fan-out is
+    //      Σ C(|basket|,2) — linear in orders for bounded baskets (TPC-H
+    //      ≤7 items), never |items|². The min-support cut (≥3) is the
+    //      apriori pruning that keeps the rule table domain-sized before
+    //      the item-count join-backs (vocabulary-sized, un-hinted, AQE
+    //      broadcasts when small). lift > 1 separates genuinely
+    //      co-purchased pairs from popularity coincidence; all three
+    //      metrics are single pinned-order divisions of exact longs. ------
+    Q("q232_association_rules",
+      (s, dir) => {
+        import s.implicits._
+        val baskets = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val pairs = baskets.as("a").join(baskets.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
+          .agg(count(lit(1)).as("sup_cnt"))
+          .filter($"sup_cnt" >= 3)
+        val items = baskets.groupBy($"l_partkey").agg(count(lit(1)).as("ni"))
+        val nOrders = baskets.select($"l_orderkey").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        pairs
+          .join(items.select($"l_partkey".as("part_a"), $"ni".as("na")), Seq("part_a"))
+          .join(items.select($"l_partkey".as("part_b"), $"ni".as("nb")), Seq("part_b"))
+          .crossJoin(broadcast(nOrders))
+          .select($"part_a", $"part_b", $"sup_cnt".cast("long").as("sup_cnt"),
+            ($"sup_cnt".cast("double") / $"n_orders".cast("double")).as("support"),
+            ($"sup_cnt".cast("double") / $"na".cast("double")).as("conf_ab"),
+            ($"sup_cnt".cast("double") / $"nb".cast("double")).as("conf_ba"),
+            (($"sup_cnt".cast("double") * $"n_orders".cast("double"))
+              / ($"na".cast("double") * $"nb".cast("double"))).as("lift"))
+          .orderBy($"part_a", $"part_b")
+      },
+      Some("""WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+              count(*) AS sup_cnt
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 3),
+          items AS (SELECT l_partkey, count(*) AS ni FROM baskets GROUP BY 1),
+          n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets)
+          SELECT part_a, part_b, CAST(sup_cnt AS BIGINT) AS sup_cnt,
+            CAST(sup_cnt AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+            CAST(sup_cnt AS DOUBLE) / CAST(ia.ni AS DOUBLE) AS conf_ab,
+            CAST(sup_cnt AS DOUBLE) / CAST(ib.ni AS DOUBLE) AS conf_ba,
+            (CAST(sup_cnt AS DOUBLE) * CAST(n_orders AS DOUBLE))
+              / (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE)) AS lift
+          FROM pairs JOIN items ia ON part_a = ia.l_partkey
+          JOIN items ib ON part_b = ib.l_partkey
+          CROSS JOIN n
+          ORDER BY part_a, part_b""")),
+
+    // ---- right-to-erasure DELETE PROPAGATION audit: tombstoned
+    //      customers (deterministic key gate — stands in for the erasure-
+    //      request table) cascade through the FK graph customer → orders
+    //      → lineitem as ANTI-JOINS, and the query emits per-table
+    //      before/purged/after counts PLUS the post-purge orphan count —
+    //      rows whose parent vanished — which must be 0 for the cascade
+    //      to be complete. The orphan probe re-derives referential
+    //      integrity from the purged frames themselves (left anti against
+    //      the retained parent), so a missed cascade level shows up as a
+    //      nonzero deliverable, not a silent leak. Each level is one
+    //      co-partitioned anti-join; tombstone keys are dimension-sized.
+    //      At 100 TB this is the compliance job shape: no full rewrites,
+    //      deletions flow key-wise down the lineage. -----------------------
+    Q("q233_delete_propagation",
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer").select($"c_custkey")
+        val ords = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val li = t(s, dir, "lineitem").select($"l_orderkey")
+        val tomb = cust.filter($"c_custkey" % 97 === 0)
+        val keepC = cust.join(tomb, Seq("c_custkey"), "left_anti")
+        val keepO = ords.join(tomb.select($"c_custkey".as("o_custkey")),
+          Seq("o_custkey"), "left_anti")
+        val purgedO = ords.join(tomb.select($"c_custkey".as("o_custkey")),
+          Seq("o_custkey"), "left_semi")
+        val keepL = li.join(purgedO.select($"o_orderkey".as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        val orphO = keepO.join(keepC.select($"c_custkey".as("o_custkey")),
+          Seq("o_custkey"), "left_anti")
+        val orphL = keepL.join(keepO.select($"o_orderkey".as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        def row(name: String, before: org.apache.spark.sql.DataFrame,
+            after: org.apache.spark.sql.DataFrame,
+            orph: org.apache.spark.sql.DataFrame) = {
+          val b = before.agg(count(lit(1)).as("n_before"))
+          val a = after.agg(count(lit(1)).as("n_after"))
+          val o = orph.agg(count(lit(1)).as("orphans_after"))
+          b.crossJoin(a).crossJoin(o)
+            .select(lit(name).as("table_name"),
+              $"n_before".cast("long").as("n_before"),
+              ($"n_before" - $"n_after").cast("long").as("n_purged"),
+              $"n_after".cast("long").as("n_after"),
+              $"orphans_after".cast("long").as("orphans_after"))
+        }
+        row("customer", cust, keepC, keepC.limit(0))
+          .unionByName(row("orders", ords, keepO, orphO))
+          .unionByName(row("lineitem", li, keepL, orphL))
+          .orderBy($"table_name")
+      },
+      Some("""WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+          keepc AS (SELECT c_custkey FROM customer
+                    WHERE c_custkey NOT IN (SELECT c_custkey FROM tomb)),
+          keepo AS (SELECT o_orderkey, o_custkey FROM orders
+                    WHERE o_custkey NOT IN (SELECT c_custkey FROM tomb)),
+          purgedo AS (SELECT o_orderkey FROM orders
+                      WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+          keepl AS (SELECT l_orderkey FROM lineitem
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM purgedo)),
+          orpho AS (SELECT count(*) AS n FROM keepo
+                    WHERE o_custkey NOT IN (SELECT c_custkey FROM keepc)),
+          orphl AS (SELECT count(*) AS n FROM keepl
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM keepo))
+          SELECT * FROM (
+            SELECT 'customer' AS table_name,
+              CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_before,
+              CAST((SELECT count(*) FROM customer)
+                - (SELECT count(*) FROM keepc) AS BIGINT) AS n_purged,
+              CAST((SELECT count(*) FROM keepc) AS BIGINT) AS n_after,
+              CAST(0 AS BIGINT) AS orphans_after
+            UNION ALL
+            SELECT 'lineitem',
+              CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+              CAST((SELECT count(*) FROM lineitem)
+                - (SELECT count(*) FROM keepl) AS BIGINT),
+              CAST((SELECT count(*) FROM keepl) AS BIGINT),
+              CAST((SELECT n FROM orphl) AS BIGINT)
+            UNION ALL
+            SELECT 'orders',
+              CAST((SELECT count(*) FROM orders) AS BIGINT),
+              CAST((SELECT count(*) FROM orders)
+                - (SELECT count(*) FROM keepo) AS BIGINT),
+              CAST((SELECT count(*) FROM keepo) AS BIGINT),
+              CAST((SELECT n FROM orpho) AS BIGINT))
+          ORDER BY table_name"""))
   )
 
   /** q225's column pairs — (table, x, y): a strong dependency
