@@ -724,6 +724,59 @@ object EventQueries extends Registry {
             CAST(((rm - 1) * 10) // nu AS INT) AS m_dec,
             CAST((((rr - 1) * 10) // nu) * 100 + (((rf - 1) * 10) // nu) * 10
               + ((rm - 1) * 10) // nu AS INT) AS rfm
-          FROM rk ORDER BY user_id"""))
+          FROM rk ORDER BY user_id""")),
+
+    // ---- retention COHORT triangle: users bucketed by first-seen day,
+    //      then per (cohort, day-offset) distinct-active counts and the
+    //      retention ratio against the cohort's day-0 size. Two event-
+    //      scale shuffles, both on user_id (first-seen aggregate, then the
+    //      join-back — co-partitioned, AQE-local), and the (cohort, offset,
+    //      user) distinct dedups map-side before it moves. Everything
+    //      after lives on the (days × offsets) triangle — bounded by the
+    //      calendar, not the data — so the cohort-size join-back is a
+    //      justified explicit broadcast. Day arithmetic is exact integer
+    //      epoch-day division in BOTH engines (no timezone/date-trunc
+    //      cross-engine hazard). ------------------------------------------
+    Q("q234_retention_cohorts",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+          .select($"user_id",
+            expr("unix_micros(ts) div 86400000000").as("d"))
+        val first = ev.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+        val counts = ev.join(first, "user_id")
+          .select($"cohort_day", ($"d" - $"cohort_day").as("day_offset"),
+            $"user_id")
+          .distinct()
+          .groupBy($"cohort_day", $"day_offset")
+          .agg(count(lit(1)).as("n_active"))
+        val sizes = counts.filter($"day_offset" === 0)
+          .select($"cohort_day", $"n_active".as("cohort_size"))
+        counts.join(broadcast(sizes), Seq("cohort_day"))
+          .select($"cohort_day".cast("long").as("cohort_day"),
+            $"day_offset".cast("long").as("day_offset"),
+            $"n_active".cast("long").as("n_active"),
+            $"cohort_size".cast("long").as("cohort_size"),
+            ($"n_active".cast("double") / $"cohort_size".cast("double"))
+              .as("retention"))
+          .orderBy($"cohort_day", $"day_offset")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
+            FROM events),
+          f AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1),
+          act AS (SELECT DISTINCT f.cohort_day, ev.d - f.cohort_day AS day_offset,
+              ev.user_id
+            FROM ev JOIN f ON ev.user_id = f.user_id),
+          c AS (SELECT cohort_day, day_offset, count(*) AS n_active
+            FROM act GROUP BY 1, 2),
+          sz AS (SELECT cohort_day, n_active AS cohort_size FROM c
+            WHERE day_offset = 0)
+          SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+            CAST(day_offset AS BIGINT) AS day_offset,
+            CAST(n_active AS BIGINT) AS n_active,
+            CAST(cohort_size AS BIGINT) AS cohort_size,
+            CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+          FROM c JOIN sz ON c.cohort_day = sz.cohort_day
+          ORDER BY cohort_day, day_offset"""))
   )
 }
