@@ -557,4 +557,48 @@ class PlanShapeSpec extends SparkSpec {
       s"rollup aggregate lacks map-side combine:\n$p")
     assert(!p.contains("Union"), s"rollup must not re-scan per level:\n$p")
   }
+
+  test("q228: chi-square contingency cells combine map-side, no windows") {
+    val p = plan("q228_chi_square")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"cell counts lack map-side combine:\n$p")
+    assert(!p.contains("Window"), s"unexpected window operator:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q229/q234: behavioral folds shuffle on user_id with hash joins only") {
+    for (q <- Seq("q229_rfm_segments", "q234_retention_cohorts")) {
+      val p = plan(q)
+      // 1-row anchor/total frames cross-join as broadcast nested loops by
+      // design — only a real cartesian over data-scale frames is a defect
+      assert(!p.contains("CartesianProduct"),
+        s"$q: event join degenerated to a cartesian:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_min") ||
+        p.contains("partial_max"),
+        s"$q: event-scale aggregate lacks map-side combine:\n$p")
+    }
+    // the retention triangle's size join-back must broadcast (calendar-
+    // bounded), never shuffle the counts frame a second time
+    assert(plan("q234_retention_cohorts").contains("BroadcastHashJoin"),
+      "q234: cohort-size join-back not broadcast")
+  }
+
+  test("q232: basket pair generation is a key-local equi self-join") {
+    val p = plan("q232_association_rules")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation fell to all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"no equi join on the basket key:\n$p")
+  }
+
+  test("q233: every cascade level is a semi/anti hash join, never a rewrite") {
+    val p = plan("q233_delete_propagation")
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"),
+      s"cascade levels should plan semi/anti joins:\n$p")
+    // the 1-row count frames cross-join as broadcast nested loops by
+    // design; the FK-keyed cascade joins themselves must stay hash joins
+    assert(!p.contains("CartesianProduct"),
+      s"cascade join degenerated to a cartesian:\n$p")
+  }
 }
