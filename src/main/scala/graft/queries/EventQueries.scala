@@ -777,6 +777,153 @@ object EventQueries extends Registry {
             CAST(cohort_size AS BIGINT) AS cohort_size,
             CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
           FROM c JOIN sz ON c.cohort_day = sz.cohort_day
-          ORDER BY cohort_day, day_offset"""))
+          ORDER BY cohort_day, day_offset""")),
+
+    // ---- OHLC downsampling: per (event_type, day) open/high/low/close
+    //      bars — the time-series resample a metrics store runs to turn an
+    //      event firehose into calendar-bounded bars. Open/close are
+    //      min_by/max_by (partial+final aggregates — NEVER a per-(type,day)
+    //      window, which would buffer a whole hot day on one task). The
+    //      ordering key is a FIXED-WIDTH zero-padded "(tus, event_id)"
+    //      string: lexicographic == numeric for non-negative ints, and
+    //      DuckDB's arg_min/arg_max accept VARCHAR keys where they reject
+    //      structs — one encoding, bit-identical ordering in both engines,
+    //      and event_id uniqueness makes the argmin tie-free. ---------------
+    Q("q235_ohlc_bars",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .select($"event_type",
+            expr("unix_micros(ts) div 86400000000").as("d"),
+            format_string("%020d%012d",
+              unix_micros($"ts"), $"event_id").as("ok"),
+            $"value")
+          .groupBy($"event_type", $"d")
+          .agg(count(lit(1)).as("n"),
+            min_by($"value", $"ok").as("open"),
+            max($"value").as("high"),
+            min($"value").as("low"),
+            max_by($"value", $"ok").as("close"))
+          .select($"event_type", $"d".cast("long").as("d"),
+            $"n".cast("long").as("n"), $"open", $"high", $"low", $"close")
+          .orderBy($"event_type", $"d")
+      },
+      Some("""SELECT event_type,
+            CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+            CAST(count(*) AS BIGINT) AS n,
+            arg_min(value, printf('%020d%012d', epoch_us(ts), event_id)) AS open,
+            max(value) AS high, min(value) AS low,
+            arg_max(value, printf('%020d%012d', epoch_us(ts), event_id)) AS close
+          FROM events GROUP BY 1, 2 ORDER BY event_type, d""")),
+
+    // ---- robust MAD outlier audit — the median-based companion to q226's
+    //      moment z-scores (medians shrug off the heavy tail that inflates
+    //      a stdev and hides true outliers). Three embarrassingly parallel
+    //      scans: exact median per type, exact median absolute deviation
+    //      (join back the broadcast O(types) median table), then the
+    //      3-MAD cut against the broadcast (median, mad) table. Exact
+    //      percentile pins the contract (q89's caveat applies: at 100 TB
+    //      the sketch swap-in is approx_percentile, judged against THIS).
+    //      Interpolation is lo+(hi-lo)*frac in both engines — IEEE
+    //      identical — and the deviation/cut expressions are single
+    //      subtract/compare ops on bit-identical doubles. ------------------
+    Q("q236_mad_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir).select($"event_type", $"value")
+        val med = ev.groupBy($"event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("dev", abs($"value" - $"med"))
+        val mad = dev.groupBy($"event_type")
+          .agg(expr("percentile(dev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), first($"med").as("med"),
+            first($"mad").as("mad"),
+            sum(when($"dev" > $"mad" * 3.0, 1L).otherwise(0L))
+              .as("n_outliers"),
+            max($"dev").as("max_dev"))
+          .select($"event_type", $"n".cast("long").as("n"), $"med", $"mad",
+            $"n_outliers".cast("long").as("n_outliers"), $"max_dev")
+          .orderBy($"event_type")
+      },
+      Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1),
+          dev AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+            FROM events e JOIN med m ON e.event_type = m.event_type),
+          mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM dev GROUP BY 1)
+          SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+            any_value(d.med) AS med, any_value(a.mad) AS mad,
+            CAST(sum(CASE WHEN d.dev > a.mad * 3.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outliers,
+            max(d.dev) AS max_dev
+          FROM dev d JOIN mad a ON d.event_type = a.event_type
+          GROUP BY 1 ORDER BY d.event_type""")),
+
+    // ---- seasonal-naive BACKTEST: forecast each type's daily event count
+    //      on the last 7 days from the day-of-week mean of the first 23,
+    //      and grade with MAE + WAPE. The eval-over-time-series shape a
+    //      pipeline uses to qualify a monitoring forecast before trusting
+    //      its alerts. Counts fold calendar-bounded immediately (type ×
+    //      30 days); the zero-fill spine is types × sequence(0,29) —
+    //      generated, not scanned. ERROR SUMS ARE EXACT INTEGERS: the
+    //      dow-mean forecast is the rational S/nd with nd | 12, so
+    //      12·|f−a| = |S·(12 div nd) − 12a| is a long and the per-type
+    //      reduction is order-independent; MAE and WAPE are one final
+    //      double division each. Day/dow arithmetic is epoch-day integer
+    //      math in both engines — no locale/week-start hazard. -------------
+    Q("q237_seasonal_backtest",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+          .select($"event_type", expr("unix_micros(ts) div 86400000000").as("d"))
+        val d0f = ev.agg(min($"d").as("d0"))
+        val counts = ev.groupBy($"event_type", $"d").agg(count(lit(1)).as("cnt"))
+        val spine = counts.select($"event_type").distinct()
+          .crossJoin(broadcast(d0f))
+          .select($"event_type", $"d0",
+            explode(sequence(lit(0), lit(29))).as("off"))
+          .select($"event_type", ($"d0" + $"off").as("d"), $"off")
+        val filled = spine.join(counts, Seq("event_type", "d"), "left")
+          .select($"event_type", $"off", ($"off" % 7).as("dow"),
+            coalesce($"cnt", lit(0L)).as("a"))
+        val train = filled.filter($"off" < 23)
+          .groupBy($"event_type", $"dow")
+          .agg(sum($"a").as("ts_sum"), count(lit(1)).as("nd"))
+        filled.filter($"off" >= 23)
+          .join(broadcast(train), Seq("event_type", "dow"))
+          .withColumn("t12", expr("abs(ts_sum * (12 div nd) - a * 12)"))
+          .groupBy($"event_type")
+          .agg(sum($"a").as("n_test"), sum($"t12").as("e12"))
+          .select($"event_type", $"n_test".cast("long").as("n_test"),
+            ($"e12".cast("double") / (12.0 * 7.0)).as("mae"),
+            ($"e12".cast("double") / (lit(12.0) * $"n_test".cast("double")))
+              .as("wape"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d
+            FROM events),
+          d0 AS (SELECT min(d) AS d0 FROM ev),
+          c AS (SELECT event_type, d, count(*) AS cnt FROM ev GROUP BY 1, 2),
+          spine AS (SELECT t.event_type, d0.d0 + r.range AS d, r.range AS off
+            FROM (SELECT DISTINCT event_type FROM c) t, d0, range(0, 30) r),
+          filled AS (SELECT s.event_type, s.off, s.off % 7 AS dow,
+              COALESCE(c.cnt, 0) AS a
+            FROM spine s LEFT JOIN c
+              ON s.event_type = c.event_type AND s.d = c.d),
+          train AS (SELECT event_type, dow, sum(a) AS ts_sum,
+              count(*) AS nd
+            FROM filled WHERE off < 23 GROUP BY 1, 2)
+          SELECT f.event_type, CAST(sum(f.a) AS BIGINT) AS n_test,
+            CAST(sum(abs(t.ts_sum * (12 // t.nd) - f.a * 12)) AS DOUBLE)
+              / (12.0 * 7.0) AS mae,
+            CAST(sum(abs(t.ts_sum * (12 // t.nd) - f.a * 12)) AS DOUBLE)
+              / (12.0 * CAST(sum(f.a) AS DOUBLE)) AS wape
+          FROM filled f JOIN train t
+            ON f.event_type = t.event_type AND f.dow = t.dow
+          WHERE f.off >= 23
+          GROUP BY 1 ORDER BY f.event_type"""))
   )
 }
