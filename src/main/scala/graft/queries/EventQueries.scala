@@ -924,6 +924,224 @@ object EventQueries extends Registry {
           FROM filled f JOIN train t
             ON f.event_type = t.event_type AND f.dow = t.dow
           WHERE f.off >= 23
-          GROUP BY 1 ORDER BY f.event_type"""))
+          GROUP BY 1 ORDER BY f.event_type""")),
+
+    // ---- KAPLAN-MEIER time-to-conversion (right-censored): T = days from
+    //      a user's first event to their first high-value purchase
+    //      (value > 150); users who never convert are censored at the log
+    //      horizon (their true conversion time is unobserved — dropping
+    //      them would bias survival DOWN, the textbook mistake KM exists
+    //      to fix). The event log folds ONCE to per-user (T, event);
+    //      everything after runs on the ≤30-row time table (calendar-
+    //      bounded): at-risk counts are a reverse cumsum over that bounded
+    //      frame, and the survival curve is an ORDERED LEFT-FOLD product —
+    //      both engines multiply the same factors in the same t order
+    //      (Spark `aggregate` over a sorted prefix slice; DuckDB
+    //      `list_reduce` over the same slice), and each factor is one
+    //      correctly-rounded division of small exact ints, so the curve is
+    //      bit-identical. Never exp(sum(log)) — libm's ln/exp are NOT
+    //      cross-engine reproducible. --------------------------------------
+    Q("q238_kaplan_meier",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+          .select($"user_id", expr("unix_micros(ts) div 86400000000").as("d"),
+            $"event_type", $"value")
+        val horizon = ev.agg(max($"d").as("dmax"))
+        val first = ev.groupBy($"user_id").agg(min($"d").as("f0"))
+        val conv = ev
+          .filter($"event_type" === "purchase" && $"value" > 150.0)
+          .groupBy($"user_id").agg(min($"d").as("cd"))
+        val life = first.join(conv, Seq("user_id"), "left")
+          .crossJoin(broadcast(horizon))
+          .select(
+            coalesce($"cd" - $"f0", $"dmax" - $"f0").as("t"),
+            when($"cd".isNotNull, 1L).otherwise(0L).as("ev"))
+        val byT = life.groupBy($"t")
+          .agg(count(lit(1)).as("leaving"), sum($"ev").as("d_t"))
+        // at-risk n_t = users with lifetime >= t: reverse cumsum over the
+        // bounded (<=30-row) lifetime table
+        val wRev = Window.orderBy($"t".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val km = byT
+          .withColumn("n_t", sum($"leaving").over(wRev))
+          .filter($"d_t" > 0)
+          .select($"t", $"n_t", $"d_t",
+            (($"n_t" - $"d_t").cast("double") / $"n_t".cast("double"))
+              .as("factor"))
+        val arr = km.agg(expr(
+          "transform(array_sort(collect_list(struct(t, factor))), s -> s.factor)")
+          .as("fs"))
+        km.withColumn("rn", row_number().over(Window.orderBy($"t")))
+          .crossJoin(broadcast(arr))
+          .select($"t".cast("long").as("t"), $"n_t".cast("long").as("n_risk"),
+            $"d_t".cast("long").as("n_events"), $"factor",
+            expr("aggregate(slice(fs, 1, rn), CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)")
+              .as("survival"))
+          .orderBy($"t")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+            event_type, value FROM events),
+          h AS (SELECT max(d) AS dmax FROM ev),
+          f AS (SELECT user_id, min(d) AS f0 FROM ev GROUP BY 1),
+          conv AS (SELECT user_id, min(d) AS cd FROM ev
+            WHERE event_type = 'purchase' AND value > 150.0 GROUP BY 1),
+          life AS (SELECT COALESCE(cd - f0, dmax - f0) AS t,
+              CASE WHEN cd IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM f LEFT JOIN conv USING (user_id), h),
+          byt AS (SELECT t, count(*) AS leaving, sum(ev) AS d_t
+            FROM life GROUP BY 1),
+          km AS (SELECT t, n_t, d_t,
+              CAST(n_t - d_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS factor
+            FROM (SELECT t, d_t, sum(leaving) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_t
+                  FROM byt) x
+            WHERE d_t > 0),
+          numbered AS (SELECT t, n_t, d_t, factor,
+              row_number() OVER (ORDER BY t) AS rn FROM km),
+          arr AS (SELECT list(factor ORDER BY t) AS fs FROM km)
+          SELECT CAST(t AS BIGINT) AS t, CAST(n_t AS BIGINT) AS n_risk,
+            CAST(d_t AS BIGINT) AS n_events, factor,
+            list_reduce(fs[1:rn], (acc, x) -> acc * x) AS survival
+          FROM numbered, arr ORDER BY t""")),
+
+    // ---- WELCH two-sample t-test per event type — the A/B experiment
+    //      readout. Arms are the deterministic detRand hash split of
+    //      user_id (partition-invariant, DuckDB-replayable); the metric is
+    //      each user's count of that type's events, zero-filled over the
+    //      users × types spine so silent users count. All sufficient
+    //      statistics (n, Σx, Σx²) are exact longs from ONE partial+final
+    //      aggregate; mean/variance/t/df evaluate in a pinned IEEE
+    //      sequence (+,−,×,÷,sqrt are all correctly rounded, so identical
+    //      operation order ⇒ identical bits — the q221/q226 contract).
+    //      The per-type A/B pivot is conditional aggregation over the
+    //      5×2-row stats table. ---------------------------------------------
+    Q("q239_ab_welch",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir).select($"user_id", $"event_type")
+        val users = ev.select($"user_id").distinct()
+          .withColumn("arm",
+            when(graft.operators.Sampling.detRand(77L, $"user_id") < 0.5,
+              "A").otherwise("B"))
+        val types = ev.select($"event_type").distinct()
+        val counts = ev.groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("x"))
+        val metric = users.crossJoin(broadcast(types))
+          .join(counts, Seq("user_id", "event_type"), "left")
+          .select($"event_type", $"arm", coalesce($"x", lit(0L)).as("x"))
+        val stats = metric.groupBy($"event_type", $"arm")
+          .agg(count(lit(1)).as("n"), sum($"x").as("s"),
+            sum($"x" * $"x").as("q"))
+        stats.groupBy($"event_type")
+          .agg(
+            max(when($"arm" === "A", $"n")).as("na"),
+            max(when($"arm" === "A", $"s")).as("sa"),
+            max(when($"arm" === "A", $"q")).as("qa"),
+            max(when($"arm" === "B", $"n")).as("nb"),
+            max(when($"arm" === "B", $"s")).as("sb"),
+            max(when($"arm" === "B", $"q")).as("qb"))
+          .selectExpr("event_type",
+            "CAST(na AS BIGINT) AS n_a", "CAST(nb AS BIGINT) AS n_b",
+            "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a",
+            "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b",
+            """CAST(na * qa - sa * sa AS DOUBLE)
+               / CAST(na * (na - 1) AS DOUBLE) / CAST(na AS DOUBLE) AS sea""",
+            """CAST(nb * qb - sb * sb AS DOUBLE)
+               / CAST(nb * (nb - 1) AS DOUBLE) / CAST(nb AS DOUBLE) AS seb""")
+          .selectExpr("event_type", "n_a", "n_b", "mean_a", "mean_b",
+            "(mean_a - mean_b) / sqrt(sea + seb) AS t_stat",
+            """((sea + seb) * (sea + seb))
+               / (sea * sea / CAST(n_a - 1 AS DOUBLE)
+                  + seb * seb / CAST(n_b - 1 AS DOUBLE)) AS df""")
+          .selectExpr("event_type", "n_a", "n_b", "mean_a", "mean_b",
+            "t_stat", "df",
+            "CAST(CASE WHEN abs(t_stat) > 1.96 THEN 1 ELSE 0 END AS INT) AS significant")
+          .orderBy($"event_type")
+      },
+      Some(s"""WITH users AS (SELECT DISTINCT user_id FROM events),
+          arms AS (SELECT user_id,
+              CASE WHEN ${graft.operators.Sampling.detRandSql(77L, Seq("user_id"))} < 0.5
+                THEN 'A' ELSE 'B' END AS arm FROM users),
+          types AS (SELECT DISTINCT event_type FROM events),
+          c AS (SELECT user_id, event_type, count(*) AS x FROM events
+            GROUP BY 1, 2),
+          metric AS (SELECT t.event_type, a.arm, COALESCE(c.x, 0) AS x
+            FROM arms a CROSS JOIN types t
+            LEFT JOIN c ON c.user_id = a.user_id
+              AND c.event_type = t.event_type),
+          stats AS (SELECT event_type, arm, count(*) AS n, sum(x) AS s,
+              sum(x * x) AS q
+            FROM metric GROUP BY 1, 2),
+          piv AS (SELECT event_type,
+              max(CASE WHEN arm = 'A' THEN n END) AS na,
+              max(CASE WHEN arm = 'A' THEN s END) AS sa,
+              max(CASE WHEN arm = 'A' THEN q END) AS qa,
+              max(CASE WHEN arm = 'B' THEN n END) AS nb,
+              max(CASE WHEN arm = 'B' THEN s END) AS sb,
+              max(CASE WHEN arm = 'B' THEN q END) AS qb
+            FROM stats GROUP BY 1),
+          se AS (SELECT event_type, na, nb,
+              CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+              CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+              CAST(na * qa - sa * sa AS DOUBLE)
+                / CAST(na * (na - 1) AS DOUBLE) / CAST(na AS DOUBLE) AS sea,
+              CAST(nb * qb - sb * sb AS DOUBLE)
+                / CAST(nb * (nb - 1) AS DOUBLE) / CAST(nb AS DOUBLE) AS seb
+            FROM piv),
+          tt AS (SELECT event_type, na, nb, mean_a, mean_b,
+              (mean_a - mean_b) / sqrt(sea + seb) AS t_stat,
+              ((sea + seb) * (sea + seb))
+                / (sea * sea / CAST(na - 1 AS DOUBLE)
+                   + seb * seb / CAST(nb - 1 AS DOUBLE)) AS df
+            FROM se)
+          SELECT event_type, CAST(na AS BIGINT) AS n_a,
+            CAST(nb AS BIGINT) AS n_b, mean_a, mean_b, t_stat, df,
+            CAST(CASE WHEN abs(t_stat) > 1.96 THEN 1 ELSE 0 END AS INT)
+              AS significant
+          FROM tt ORDER BY event_type""")),
+
+    // ---- clickstream PATH MINING: each user-day's first three event
+    //      types concatenated into a path, top-20 paths by frequency.
+    //      The first-3 cut runs on the heap-based TopKPerKey operator
+    //      (O(3) state per user-day — a hot session streams through, never
+    //      a full per-key sort); path assembly sorts only the ≤3
+    //      survivors. The path table is vocabulary-bounded (≤ |types|³),
+    //      and the final cut is a TakeOrdered global top-20. Ordering key
+    //      is the same padded (tus, event_id) string as q235 — tie-free,
+    //      bit-identical in both engines. ----------------------------------
+    Q("q240_session_paths",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+          .select($"user_id",
+            expr("unix_micros(ts) div 86400000000").as("d"),
+            format_string("%020d%012d",
+              unix_micros($"ts"), $"event_id").as("ok"),
+            $"event_type")
+        val first3 = graft.plans.TopK.perKey(ev, Seq("user_id", "d"),
+          Seq(graft.plans.TopK.Order("ok")), 3)
+        first3.groupBy($"user_id", $"d")
+          .agg(expr(
+            "concat_ws('>', transform(array_sort(collect_list(struct(ok, event_type))), s -> s.event_type))")
+            .as("path"))
+          .groupBy($"path")
+          .agg(count(lit(1)).as("n_sessions"))
+          .select($"path", $"n_sessions".cast("long").as("n_sessions"))
+          .orderBy($"n_sessions".desc, $"path")
+          .limit(20)
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+            printf('%020d%012d', epoch_us(ts), event_id) AS ok, event_type
+            FROM events),
+          r AS (SELECT user_id, d, ok, event_type,
+              row_number() OVER (PARTITION BY user_id, d ORDER BY ok) AS rn
+            FROM ev),
+          paths AS (SELECT user_id, d,
+              string_agg(event_type, '>' ORDER BY ok) AS path
+            FROM r WHERE rn <= 3 GROUP BY 1, 2)
+          SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+          FROM paths GROUP BY 1
+          ORDER BY n_sessions DESC, path LIMIT 20"""))
   )
 }
