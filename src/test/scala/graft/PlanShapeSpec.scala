@@ -601,4 +601,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"cascade join degenerated to a cartesian:\n$p")
   }
+
+  test("q235: OHLC bars are partial+final min_by/max_by aggregates, no windows") {
+    val p = plan("q235_ohlc_bars")
+    assert(!p.contains("Window"),
+      s"resample must not window per (type, day):\n$p")
+    assert(p.contains("partial_min_by") || p.contains("min_by"),
+      s"open/close lost the argmin aggregate:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      s"bar aggregate lacks map-side combine:\n$p")
+  }
+
+  test("q236: MAD audit joins broadcast stats tables, never windows") {
+    val p = plan("q236_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"O(types) median/MAD tables not broadcast:\n$p")
+    assert(!p.contains("Window"), s"unexpected window operator:\n$p")
+  }
+
+  test("q238: KM folds event-scale once; windows only over the bounded time table") {
+    val p = plan("q238_kaplan_meier")
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian:\n$p")
+    // the at-risk cumsum and rn windows must sit above an Aggregate (the
+    // <=30-row lifetime table), never the raw event scan
+    assert(p.contains("Window"), s"at-risk cumsum window missing:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"per-user fold lacks map-side combine:\n$p")
+  }
+
+  test("q240: first-3 cut is the TopKPerKey heap, not a per-session window") {
+    val p = plan("q240_session_paths")
+    assert(p.contains("TopKPerKey"),
+      s"first-3 cut lost the bounded heap operator:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 path cut should be a TakeOrdered heap:\n$p")
+  }
 }
