@@ -1534,7 +1534,178 @@ object RelationalQueries extends Registry {
                 - (SELECT count(*) FROM keepo) AS BIGINT),
               CAST((SELECT count(*) FROM keepo) AS BIGINT),
               CAST((SELECT n FROM orpho) AS BIGINT))
-          ORDER BY table_name"""))
+          ORDER BY table_name""")),
+
+    // ---- GINI revenue-concentration per market segment: the inequality
+    //      audit a marketplace runs over its customer base. Orders fold
+    //      ONCE to customer-level cents (partial+final, exact longs);
+    //      ranking runs over that entity-scale aggregate (the q229
+    //      contract — a 10⁹-customer deployment swaps in q216's
+    //      coarse-bucket ranks, same output). Gini via the rank form
+    //      G = (2·Σi·x − (n+1)·Σx) / (n·Σx): every sum is an exact long
+    //      (rank·cents ≤ 2^53 at any test SF), so G is ONE division of
+    //      exact integers — bit identical. Tie-break on custkey makes
+    //      ranks total. ----------------------------------------------------
+    Q("q241_gini_concentration",
+      (s, dir) => {
+        import s.implicits._
+        val rev = t(s, dir, "orders")
+          .select($"o_custkey",
+            round($"o_totalprice" * 100).cast("long").as("cents"))
+          .groupBy($"o_custkey").agg(sum($"cents").as("rev"))
+        val cust = t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+        val ranked = rev
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .select($"c_mktsegment", $"c_custkey", $"rev")
+          .withColumn("i", row_number().over(
+            Window.partitionBy($"c_mktsegment").orderBy($"rev", $"c_custkey")))
+        ranked.groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum($"rev").as("sx"),
+            sum($"i" * $"rev").as("six"))
+          .select($"c_mktsegment", $"n".cast("long").as("n_customers"),
+            $"sx".cast("long").as("total_cents"),
+            (($"six" * 2 - ($"n" + 1) * $"sx").cast("double")
+              / ($"n" * $"sx").cast("double")).as("gini"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+            FROM orders GROUP BY 1),
+          ranked AS (SELECT c.c_mktsegment, r.rev,
+              row_number() OVER (PARTITION BY c.c_mktsegment
+                ORDER BY r.rev, c.c_custkey) AS i
+            FROM rev r
+            JOIN customer c ON r.o_custkey = c.c_custkey)
+          SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+            CAST(sum(rev) AS BIGINT) AS total_cents,
+            CAST(sum(i * rev) * 2 - (count(*) + 1) * sum(rev) AS DOUBLE)
+              / CAST(count(*) * sum(rev) AS DOUBLE) AS gini
+          FROM ranked GROUP BY 1 ORDER BY c_mktsegment""")),
+
+    // ---- item-item COLLABORATIVE FILTERING neighbors: cosine over basket
+    //      co-occurrence (sim = c_ab / sqrt(c_a·c_b)) with top-5 neighbors
+    //      per item. Pair counts come from the same basket-key-local self-
+    //      join as q232 (fan-out Σ C(|basket|,2), min-support 2); the
+    //      neighbor cut runs on the heap-based TopKPerKey operator — O(5)
+    //      state per item, so a popularity-skewed item streams through
+    //      instead of sorting its whole candidate list on one task. sim is
+    //      one correctly-rounded division (sqrt of an exact long product),
+    //      ties broken on neighbor id. -------------------------------------
+    Q("q242_cf_item_neighbors",
+      (s, dir) => {
+        import s.implicits._
+        val baskets = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val items = baskets.groupBy($"l_partkey").agg(count(lit(1)).as("ni"))
+        val pairs = baskets.as("a").join(baskets.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+          .agg(count(lit(1)).as("c"))
+          .filter($"c" >= 2)
+        val sym = pairs.select($"pa".as("item"), $"pb".as("nbr"), $"c")
+          .unionByName(pairs.select($"pb".as("item"), $"pa".as("nbr"), $"c"))
+        val scored = sym
+          .join(items.select($"l_partkey".as("item"), $"ni".as("na")), Seq("item"))
+          .join(items.select($"l_partkey".as("nbr"), $"ni".as("nb")), Seq("nbr"))
+          .select($"item", $"nbr", $"c",
+            ($"c".cast("double") / sqrt(($"na" * $"nb").cast("double")))
+              .as("sim"))
+        val top = graft.plans.TopK.perKey(scored, Seq("item"),
+          Seq(graft.plans.TopK.Order("sim", ascending = false),
+            graft.plans.TopK.Order("nbr")), 5)
+        top.withColumn("rk", row_number().over(
+            Window.partitionBy($"item").orderBy($"sim".desc, $"nbr")))
+          .select($"item", $"nbr", $"c".cast("long").as("c"), $"sim",
+            $"rk".cast("int").as("rk"))
+          .orderBy($"item", $"rk")
+      },
+      Some("""WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem),
+          items AS (SELECT l_partkey, count(*) AS ni FROM baskets GROUP BY 1),
+          pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+              count(*) AS c
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          sym AS (SELECT pa AS item, pb AS nbr, c FROM pairs
+            UNION ALL SELECT pb, pa, c FROM pairs),
+          scored AS (SELECT s.item, s.nbr, s.c,
+              CAST(s.c AS DOUBLE) / sqrt(CAST(ia.ni * ib.ni AS DOUBLE)) AS sim
+            FROM sym s JOIN items ia ON s.item = ia.l_partkey
+            JOIN items ib ON s.nbr = ib.l_partkey),
+          rk AS (SELECT item, nbr, c, sim,
+              row_number() OVER (PARTITION BY item
+                ORDER BY sim DESC, nbr) AS rk
+            FROM scored)
+          SELECT item, nbr, CAST(c AS BIGINT) AS c, sim, CAST(rk AS INT) AS rk
+          FROM rk WHERE rk <= 5 ORDER BY item, rk""")),
+
+    // ---- LOCAL CLUSTERING COEFFICIENT on the thresholded co-purchase
+    //      graph (edges = co-purchase pairs with support>=2): per node,
+    //      incident triangles / wedges (d·(d−1)/2) — "are my neighbors
+    //      also neighbors" community structure. Triangle enumeration is
+    //      the canonical oriented edge-edge-edge join (a<b<c — each
+    //      triangle found once); fan-out is Σ d(a)² over the THRESHOLDED
+    //      graph, bounded by the support cut the same way q22's stop-
+    //      shingle cap bounds shingle pairs. Per-node counts explode the
+    //      3 corners. lcc is one division of exact longs. ------------------
+    Q("q243_clustering_coefficient",
+      (s, dir) => {
+        import s.implicits._
+        val baskets = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val edges = baskets.as("a").join(baskets.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter($"c" >= 2)
+          .select($"u", $"v")
+        val deg = edges.select($"u".as("node"))
+          .unionByName(edges.select($"v".as("node")))
+          .groupBy($"node").agg(count(lit(1)).as("degree"))
+        val wedges = edges.as("e1").join(edges.as("e2"),
+            $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
+          .select($"e1.u".as("a"), $"e1.v".as("b"), $"e2.v".as("c"))
+        val tris = wedges.join(edges,
+            wedges("b") === edges("u") && wedges("c") === edges("v"))
+          .select($"a", $"b", $"c")
+        val triNodes = tris.select($"a".as("node"))
+          .unionByName(tris.select($"b".as("node")))
+          .unionByName(tris.select($"c".as("node")))
+          .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+        deg.filter($"degree" >= 2)
+          .join(triNodes, Seq("node"), "left")
+          .select($"node", $"degree".cast("long").as("degree"),
+            coalesce($"n_tri", lit(0L)).as("n_tri"),
+            (coalesce($"n_tri", lit(0L)).cast("double") * 2.0
+              / ($"degree" * ($"degree" - 1)).cast("double")).as("lcc"))
+          .orderBy($"node")
+      },
+      Some("""WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem),
+          e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          deg AS (SELECT node, count(*) AS degree FROM (
+              SELECT u AS node FROM e UNION ALL SELECT v FROM e) x
+            GROUP BY 1),
+          w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v),
+          tri AS (SELECT w.a, w.b, w.c FROM w
+            JOIN e ON w.b = e.u AND w.c = e.v),
+          tn AS (SELECT node, count(*) AS n_tri FROM (
+              SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri) x
+            GROUP BY 1)
+          SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+            CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+            CAST(COALESCE(tn.n_tri, 0) AS DOUBLE) * 2.0
+              / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS lcc
+          FROM deg d LEFT JOIN tn ON d.node = tn.node
+          WHERE d.degree >= 2 ORDER BY d.node"""))
   )
 
   /** q225's column pairs — (table, x, y): a strong dependency
