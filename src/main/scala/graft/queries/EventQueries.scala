@@ -1142,6 +1142,67 @@ object EventQueries extends Registry {
             FROM r WHERE rn <= 3 GROUP BY 1, 2)
           SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
           FROM paths GROUP BY 1
-          ORDER BY n_sessions DESC, path LIMIT 20"""))
+          ORDER BY n_sessions DESC, path LIMIT 20""")),
+
+    // ---- trailing-window CONTROL CHART: flag days whose event volume
+    //      deviates more than 3σ from the preceding 7 days — the
+    //      monitoring alarm a pipeline runs on its own ingest rates. The
+    //      corpus folds immediately to the calendar-bounded zero-filled
+    //      (type × 30-day) counts table; the trailing stats are a BOUNDED
+    //      SLIDING frame (ROWS 7 PRECEDING..1 PRECEDING) over that table —
+    //      never the raw events. The 3σ decision is PURE INTEGER: with
+    //      m7 = Σx and q7 = Σx² over the frame, anomaly ⇔
+    //      (7a − m7)² > 9·(7·q7 − m7²) — exact longs, no sqrt, no float
+    //      compare; only the reported mean is a (single) division. ---------
+    Q("q245_volume_control_chart",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+          .select($"event_type", expr("unix_micros(ts) div 86400000000").as("d"))
+        val d0f = ev.agg(min($"d").as("d0"))
+        val counts = ev.groupBy($"event_type", $"d").agg(count(lit(1)).as("cnt"))
+        val spine = counts.select($"event_type").distinct()
+          .crossJoin(broadcast(d0f))
+          .select($"event_type", explode(sequence(lit(0), lit(29))).as("off"),
+            $"d0")
+          .select($"event_type", $"off", ($"d0" + $"off").as("d"))
+        val filled = spine.join(counts, Seq("event_type", "d"), "left")
+          .select($"event_type", $"off", coalesce($"cnt", lit(0L)).as("a"))
+        val w = Window.partitionBy($"event_type").orderBy($"off")
+          .rowsBetween(-7, -1)
+        filled
+          .withColumn("m7", sum($"a").over(w))
+          .withColumn("q7", sum($"a" * $"a").over(w))
+          .filter($"off" >= 7)
+          .select($"event_type", $"off".cast("long").as("day_offset"),
+            $"a".cast("long").as("n_events"),
+            ($"m7".cast("double") / 7.0).as("mean7"),
+            when(($"a" * 7 - $"m7") * ($"a" * 7 - $"m7")
+              > ($"q7" * 7 - $"m7" * $"m7") * 9, 1).otherwise(0)
+              .cast("int").as("anomaly"))
+          .orderBy($"event_type", $"day_offset")
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d
+            FROM events),
+          d0 AS (SELECT min(d) AS d0 FROM ev),
+          c AS (SELECT event_type, d, count(*) AS cnt FROM ev GROUP BY 1, 2),
+          spine AS (SELECT t.event_type, r.range AS off, d0.d0 + r.range AS d
+            FROM (SELECT DISTINCT event_type FROM c) t, d0, range(0, 30) r),
+          filled AS (SELECT s.event_type, s.off, COALESCE(c.cnt, 0) AS a
+            FROM spine s LEFT JOIN c
+              ON s.event_type = c.event_type AND s.d = c.d),
+          roll AS (SELECT event_type, off, a,
+              sum(a) OVER (PARTITION BY event_type ORDER BY off
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS m7,
+              sum(a * a) OVER (PARTITION BY event_type ORDER BY off
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS q7
+            FROM filled)
+          SELECT event_type, CAST(off AS BIGINT) AS day_offset,
+            CAST(a AS BIGINT) AS n_events,
+            CAST(m7 AS DOUBLE) / 7.0 AS mean7,
+            CAST(CASE WHEN (a * 7 - m7) * (a * 7 - m7)
+                 > (q7 * 7 - m7 * m7) * 9 THEN 1 ELSE 0 END AS INT) AS anomaly
+          FROM roll WHERE off >= 7
+          ORDER BY event_type, day_offset"""))
   )
 }

@@ -1834,7 +1834,81 @@ object PipelineQueries extends Registry {
               FROM h GROUP BY 1, 2)
           SELECT bucket_start, event_type, n_events, n_active_hours,
             max_hourly
-          FROM b ORDER BY bucket_start, event_type"""))
+          FROM b ORDER BY bucket_start, event_type""")),
+
+    // ---- watermark DEAD-LETTER audit: how many rows does the watermark
+    //      actually drop, per window? The feed deliberately arrives out of
+    //      order (even-index rows first, odd-index rows second), so batch 2
+    //      carries genuinely late data; the hourly windowed count runs with
+    //      a 48-hour watermark in Update mode, and rows whose window
+    //      closed before batch 2's watermark are silently discarded — the
+    //      audit makes that loss a DELIVERABLE: n_dead = per-window input
+    //      total minus what the stream accepted. The oracle REPLAYS the
+    //      watermark protocol analytically: wm₂ = max(batch-1 ts) − 48 h
+    //      (batch 1 runs against the initial zero watermark), and a batch-2
+    //      row is dropped iff its window_end ≤ wm₂ — the same predicate
+    //      Spark's stateful aggregation applies to late input. Boundary
+    //      note: window ends are hour-aligned while wm₂ carries event-time
+    //      microseconds, so the ≤-vs-< edge cannot fire on this data. ------
+    Q("q244_streaming_dead_letter",
+      (s, dir) => {
+        val ss = StreamingOps.streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val evts = Tables(ss, dir, "events")
+          .select($"ts", $"event_id")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .as[(java.sql.Timestamp, Long)].collect()
+        // deterministic out-of-order feed: evens then odds
+        val (b1, b2) = evts.zipWithIndex.partition(_._2 % 2 == 0)
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+        val qn = s"graft_dl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val query = mem.toDF().toDF("ts", "event_id")
+          .withWatermark("ts", "48 hours")
+          .groupBy(window($"ts", "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
+        try {
+          mem.addData(b1.map(_._1).toSeq); query.processAllAvailable()
+          mem.addData(b2.map(_._1).toSeq); query.processAllAvailable()
+          val accepted = ss.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .groupBy($"window.start".as("window_start"))
+            .agg(max($"n").as("n_accepted"))
+          // per-window input totals from the same 2000-row feed: the
+          // difference IS the dead-letter count the watermark caused
+          val totals = ss.createDataset(evts.toSeq).toDF("ts", "event_id")
+            .groupBy(window($"ts", "1 hour"))
+            .agg(count(lit(1)).as("n_total"))
+            .select($"window.start".as("window_start"), $"n_total")
+          totals.join(accepted, Seq("window_start"), "left")
+            .select($"window_start", $"n_total".cast("long").as("n_total"),
+              coalesce($"n_accepted", lit(0L)).cast("long").as("n_accepted"),
+              ($"n_total" - coalesce($"n_accepted", lit(0L))).cast("long")
+                .as("n_dead"))
+            .orderBy($"window_start")
+        } finally query.stop()
+      },
+      Some("""WITH e AS (SELECT ts, event_id,
+              row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+            FROM (SELECT ts, event_id FROM events
+                  ORDER BY ts, event_id LIMIT 2000)),
+          b1 AS (SELECT * FROM e WHERE rn % 2 = 0),
+          b2 AS (SELECT * FROM e WHERE rn % 2 = 1),
+          wm AS (SELECT max(ts) - INTERVAL 48 HOUR AS w FROM b1),
+          dropped AS (SELECT date_trunc('hour', b2.ts) AS ws
+            FROM b2, wm
+            WHERE date_trunc('hour', b2.ts) + INTERVAL 1 HOUR <= wm.w),
+          tot AS (SELECT date_trunc('hour', ts) AS window_start,
+              count(*) AS n_total FROM e GROUP BY 1),
+          dl AS (SELECT ws AS window_start, count(*) AS n_dead
+            FROM dropped GROUP BY 1)
+          SELECT t.window_start, CAST(t.n_total AS BIGINT) AS n_total,
+            CAST(t.n_total - COALESCE(d.n_dead, 0) AS BIGINT) AS n_accepted,
+            CAST(COALESCE(d.n_dead, 0) AS BIGINT) AS n_dead
+          FROM tot t LEFT JOIN dl d ON t.window_start = d.window_start
+          ORDER BY t.window_start"""))
   )
 
   private val certFixDir = "/tmp/graft_fixtures"

@@ -22,7 +22,8 @@ class QueriesSpec extends SparkSpec {
     val singleRow = Set("q15_uniqueness_audit", "q16_constraint_audit", "q37_overlap_eval",
       "q53_token_stats", "q68_meaningful_overlap", "q126_zipf_audit",
       "q162_corrupt_records", "q169_annotator_kappa", "q173_label_noise_audit",
-      "q178_logreg_train", "q179_lsh_recall_audit")
+      "q178_logreg_train", "q179_lsh_recall_audit",
+      "q217_dedup_signal_agreement", "q230_kmv_join_estimate")
     // the sort must be the TOP-MOST operator modulo order-preserving
     // wrappers — a sort buried under a groupBy would not order the result
     @annotation.tailrec
