@@ -637,4 +637,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 path cut should be a TakeOrdered heap:\n$p")
   }
+
+  test("q242: CF neighbor cut is the TopKPerKey heap over key-local pairs") {
+    val p = plan("q242_cf_item_neighbors")
+    assert(p.contains("TopKPerKey"),
+      s"top-5 neighbor cut lost the bounded heap operator:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation fell to all-pairs:\n$p")
+  }
+
+  test("q243: wedge and closing-edge joins stay equi joins") {
+    val p = plan("q243_clustering_coefficient")
+    assert(!p.contains("CartesianProduct"),
+      s"triangle join degenerated to a cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join in triangle path:\n$p")
+  }
+
+  test("q245: trailing stats window sits on the calendar-bounded counts table") {
+    val p = plan("q245_volume_control_chart")
+    // exactly one aggregation below the window: the (type, day) counts —
+    // the sliding frame must never scan raw events
+    assert(p.contains("Window"), s"trailing frame missing:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"counts fold lacks map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
 }
