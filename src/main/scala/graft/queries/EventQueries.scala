@@ -1203,6 +1203,139 @@ object EventQueries extends Registry {
             CAST(CASE WHEN (a * 7 - m7) * (a * 7 - m7)
                  > (q7 * 7 - m7 * m7) * 9 THEN 1 ELSE 0 END AS INT) AS anomaly
           FROM roll WHERE off >= 7
-          ORDER BY event_type, day_offset"""))
+          ORDER BY event_type, day_offset""")),
+
+    // ---- EWMA smoothing (α = 1/2) of daily volumes — exponential
+    //      smoothing is a SEQUENTIAL recursion (s_t = α·x_t + (1−α)·s_{t−1},
+    //      s_0 = x_0), which engines normally can't reproduce bit-for-bit.
+    //      Here it runs as the q238 ordered-fold pattern: the calendar-
+    //      bounded per-type series collects once, and each day's value is
+    //      a LEFT FOLD over the same sorted prefix (Spark `aggregate` with
+    //      the first element as init; DuckDB `list_reduce`, whose no-init
+    //      form seeds from the first element) — identical operation
+    //      sequence ⇒ identical doubles. Event-scale work is ONE (type,
+    //      day) count; the folds run over ≤30-element arrays. -------------
+    Q("q246_ewma_smoothing",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+          .select($"event_type", expr("unix_micros(ts) div 86400000000").as("d"))
+        val d0f = ev.agg(min($"d").as("d0"))
+        val counts = ev.groupBy($"event_type", $"d").agg(count(lit(1)).as("cnt"))
+        val spine = counts.select($"event_type").distinct()
+          .crossJoin(broadcast(d0f))
+          .select($"event_type", explode(sequence(lit(0), lit(29))).as("off"),
+            $"d0")
+          .select($"event_type", $"off", ($"d0" + $"off").as("d"))
+        val filled = spine.join(counts, Seq("event_type", "d"), "left")
+          .select($"event_type", $"off",
+            coalesce($"cnt", lit(0L)).cast("double").as("a"))
+        val arrs = filled.groupBy($"event_type")
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(off, a))), s -> s.a)")
+            .as("fs"))
+        filled.join(broadcast(arrs), Seq("event_type"))
+          .select($"event_type", $"off".cast("long").as("day_offset"),
+            $"a".cast("long").as("n_events"),
+            expr("""aggregate(slice(fs, 2, off), CAST(element_at(fs, 1) AS DOUBLE),
+                    (acc, x) -> 0.5D * x + 0.5D * acc)""").as("ewma"))
+          .orderBy($"event_type", $"day_offset")
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d
+            FROM events),
+          d0 AS (SELECT min(d) AS d0 FROM ev),
+          c AS (SELECT event_type, d, count(*) AS cnt FROM ev GROUP BY 1, 2),
+          spine AS (SELECT t.event_type, r.range AS off, d0.d0 + r.range AS d
+            FROM (SELECT DISTINCT event_type FROM c) t, d0, range(0, 30) r),
+          filled AS (SELECT s.event_type, s.off,
+              CAST(COALESCE(c.cnt, 0) AS DOUBLE) AS a
+            FROM spine s LEFT JOIN c
+              ON s.event_type = c.event_type AND s.d = c.d),
+          arrs AS (SELECT event_type, list(a ORDER BY off) AS fs
+            FROM filled GROUP BY 1)
+          SELECT f.event_type, CAST(f.off AS BIGINT) AS day_offset,
+            CAST(f.a AS BIGINT) AS n_events,
+            list_reduce(fs[1:f.off + 1], (acc, x) -> 0.5 * x + 0.5 * acc)
+              AS ewma
+          FROM filled f JOIN arrs ar ON f.event_type = ar.event_type
+          ORDER BY f.event_type, day_offset""")),
+
+    // ---- PEAK CONCURRENCY: the max number of simultaneously open user
+    //      sessions per day — the capacity-planning number a serving team
+    //      actually provisions against. Sessions are the 30-min-gap islands
+    //      (q33's rule); each contributes a +1/−1 boundary pair and
+    //      concurrency is the running sum over boundaries ordered by
+    //      (t, delta DESC) (starts before ends at the same instant, so a
+    //      back-to-back handoff counts both). The running sum is the q149
+    //      TWO-PHASE prefix: within-day cumsum partitioned by day + a
+    //      carry from the bounded per-day totals table — NEVER one global
+    //      unpartitioned window over all boundaries. Cross-midnight
+    //      sessions are handled by the carry (their −1 lands the next
+    //      day). --------------------------------------------------------
+    Q("q247_peak_concurrency",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+          .select($"user_id", unix_micros($"ts").as("tus"))
+        val wU = Window.partitionBy($"user_id").orderBy($"tus")
+        val sess = ev
+          .withColumn("gap",
+            when($"tus" - lag($"tus", 1).over(wU) > 1800000000L, 1L)
+              .otherwise(lit(0L)))
+          .withColumn("sid", sum($"gap").over(
+            wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sid")
+          .agg(min($"tus").as("s"), max($"tus").as("e"))
+        val bounds = sess.select(expr("s div 86400000000").as("day"),
+            $"s".as("t"), lit(1L).as("delta"))
+          .unionByName(sess.select(expr("e div 86400000000").as("day"),
+            $"e".as("t"), lit(-1L).as("delta")))
+        val wIn = Window.partitionBy($"day").orderBy($"t", $"delta".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inDay = bounds.withColumn("run", sum($"delta").over(wIn))
+        val perDay = inDay.groupBy($"day")
+          .agg(max($"run").as("max_in_day"), sum($"delta").as("day_total"),
+            sum(when($"delta" === 1L, 1L).otherwise(0L)).as("n_starts"))
+        // carry = running total of prior days' deltas (bounded ≤30 rows)
+        val wDays = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perDay
+          .withColumn("carry", coalesce(sum($"day_total").over(wDays), lit(0L)))
+          .select($"day".cast("long").as("day"),
+            ($"carry" + $"max_in_day").cast("long").as("max_concurrent"),
+            $"n_starts".cast("long").as("n_sessions_started"))
+          .orderBy($"day")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+          g AS (SELECT user_id, tus,
+              CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                ORDER BY tus) > 1800000000 THEN 1 ELSE 0 END AS gap
+            FROM ev),
+          sg AS (SELECT user_id, tus,
+              sum(gap) OVER (PARTITION BY user_id ORDER BY tus
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM g),
+          sess AS (SELECT user_id, sid, min(tus) AS s, max(tus) AS e
+            FROM sg GROUP BY 1, 2),
+          b AS (SELECT s // 86400000000 AS day, s AS t, 1 AS delta FROM sess
+            UNION ALL
+            SELECT e // 86400000000 AS day, e AS t, -1 AS delta FROM sess),
+          run AS (SELECT day, t, delta,
+              sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+            FROM b),
+          perday AS (SELECT day, max(run) AS max_in_day,
+              sum(delta) AS day_total,
+              sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts
+            FROM run GROUP BY 1),
+          carried AS (SELECT day, max_in_day, n_starts,
+              COALESCE(sum(day_total) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS carry
+            FROM perday)
+          SELECT CAST(day AS BIGINT) AS day,
+            CAST(carry + max_in_day AS BIGINT) AS max_concurrent,
+            CAST(n_starts AS BIGINT) AS n_sessions_started
+          FROM carried ORDER BY day"""))
   )
 }
