@@ -3287,33 +3287,41 @@ object TextQueries extends Registry {
     */
   private[graft] def cdcChunks(s: SparkSession, d: DataFrame): DataFrame = {
     import s.implicits._
+    // REWRITTEN round 7 (perf): the original computed everything as nested
+    // higher-order array expressions over materialized array columns;
+    // CollapseProject inlined each intermediate into every use site, and
+    // the resulting expression tree cost ~270 s of Catalyst/codegen work
+    // PER RUN at any scale factor (data-independent — pure planning).
+    // This formulation explodes once and uses lag windows + a prefix count
+    // per doc: tiny expression trees, one (doc_id)-keyed shuffle, and the
+    // heavy per-token md5 runs data-parallel instead of single-task.
+    // Semantics are IDENTICAL: boundary at 1-based position i ≥ 4 where
+    // hash(c[i-3..i]) ≡ 0 (mod 16); a token at position p belongs to chunk
+    // #(boundaries strictly before p); the forced EOF boundary is implicit
+    // (trailing tokens form the last chunk); chunk hash = md5 of the
+    // space-joined token span.
     val M = 1000003L
-    val toks = d
-      .select($"doc_id", tokens(lower($"text")).as("w"))
-      .withColumn("c", transform($"w", t =>
-        (conv(substring(md5(t), 1, 15), 16, 10).cast("long")
-          % minhashP) % M))
-    def wh(i: org.apache.spark.sql.Column) = (
-      element_at($"c", i - 3) * lit(29791L) +
-        element_at($"c", i - 2) * lit(961L) +
-        element_at($"c", i - 1) * lit(31L) +
-        element_at($"c", i)) % lit(M)
-    toks
-      .withColumn("bnd",
-        when(size($"c") >= 4,
-          filter(sequence(lit(4), size($"c")), i => wh(i) % 16 === 0))
-          .otherwise(array().cast("array<int>")))
-      // forced EOF boundary unless the window hash already placed one
-      // there; And short-circuits, so element_at never sees index 0
-      .withColumn("bounds",
-        when(size($"bnd") > 0 &&
-            element_at($"bnd", size($"bnd")) === size($"c"), $"bnd")
-          .otherwise(concat($"bnd", array(size($"c")))))
-      .withColumn("chunks", transform($"bounds", (b, j) => {
-        val prev = when(j === 0, lit(0)).otherwise(element_at($"bounds", j))
-        md5(concat_ws(" ", slice($"w", prev + 1, b - prev)))
-      }))
-      .select($"doc_id", $"chunks")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    d.select($"doc_id", posexplode(tokens(lower($"text"))).as(Seq("pos", "tk")))
+      .withColumn("c",
+        (conv(substring(md5($"tk"), 1, 15), 16, 10).cast("long")
+          % minhashP) % M)
+      // null lags (positions 1-3) null out the hash; a null condition
+      // falls to otherwise(0) — exactly the i >= 4 rule
+      .withColumn("bflag", when(
+        (lag($"c", 3).over(w) * 29791L + lag($"c", 2).over(w) * 961L +
+          lag($"c", 1).over(w) * 31L + $"c") % M % 16 === 0,
+        1L).otherwise(0L))
+      .withColumn("cid", coalesce(sum($"bflag").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy($"doc_id", $"cid")
+      .agg(expr(
+        "md5(concat_ws(' ', transform(array_sort(collect_list(struct(pos, tk))), x -> x.tk)))")
+        .as("chunk"))
+      .groupBy($"doc_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(cid, chunk))), x -> x.chunk)")
+        .as("chunks"))
   }
 
   private def simhashDF(s: SparkSession, dir: String): DataFrame = {
