@@ -1409,8 +1409,13 @@ object RelationalQueries extends Registry {
     Q("q232_association_rules",
       (s, dir) => {
         import s.implicits._
+        // the basket frame feeds FOUR consumers (both self-join sides, the
+        // item counts, the order total) — eager-persist it once (the A13
+        // materialize pattern) instead of re-running the distinct shuffle
+        // per consumer
         val baskets = t(s, dir, "lineitem")
-          .select($"l_orderkey", $"l_partkey").distinct()
+          .select($"l_orderkey", $"l_partkey").distinct().persist()
+        baskets.count()
         val pairs = baskets.as("a").join(baskets.as("b"),
             $"a.l_orderkey" === $"b.l_orderkey" &&
               $"a.l_partkey" < $"b.l_partkey")
