@@ -1336,6 +1336,141 @@ object EventQueries extends Registry {
           SELECT CAST(day AS BIGINT) AS day,
             CAST(carry + max_in_day AS BIGINT) AS max_concurrent,
             CAST(n_starts AS BIGINT) AS n_sessions_started
-          FROM carried ORDER BY day"""))
+          FROM carried ORDER BY day""")),
+
+    // ---- CUPED variance-reduced experiment readout: the q239 A/B frame
+    //      with the pre-period covariate adjustment (Y′ = Y − θ(X − X̄),
+    //      θ = cov(X,Y)/var(X)) that modern experimentation platforms use
+    //      to shrink metric variance without touching the treatment
+    //      effect. X = each user's event count in days 0-14, Y = days
+    //      15-29; arms are the deterministic detRand user split. EVERY
+    //      statistic derives from exact long sufficient statistics in one
+    //      partial+final aggregate — θ is one division of exact longs, the
+    //      adjusted means evaluate in a pinned IEEE sequence, and the
+    //      variance-reduction ratio uses the closed form
+    //      var(Y−θX) = var(Y) − 2θcov + θ²var(X) (the n² denominators
+    //      cancel), so NO per-row float ever enters a sum. ----------------
+    Q("q248_cuped",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+          .select($"user_id", expr("unix_micros(ts) div 86400000000").as("d"))
+        val d0f = ev.agg(min($"d").as("d0"))
+        val xy = ev.crossJoin(broadcast(d0f))
+          .groupBy($"user_id")
+          .agg(sum(when($"d" - $"d0" < 15, 1L).otherwise(0L)).as("x"),
+            sum(when($"d" - $"d0" >= 15, 1L).otherwise(0L)).as("y"))
+          .withColumn("arm",
+            when(graft.operators.Sampling.detRand(78L, $"user_id") < 0.5,
+              "A").otherwise("B"))
+        val pooled = xy.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+          sum($"x" * $"y").as("sxy"), sum($"y" * $"y").as("syy"))
+        xy.groupBy($"arm")
+          .agg(count(lit(1)).as("na"), sum($"x").as("sxa"),
+            sum($"y").as("sya"))
+          .crossJoin(broadcast(pooled))
+          .selectExpr("arm", "CAST(na AS BIGINT) AS n",
+            "CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_x",
+            "CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS mean_y",
+            "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS theta",
+            "CAST(n * syy - sy * sy AS DOUBLE) AS vy",
+            "CAST(n * sxy - sx * sy AS DOUBLE) AS cxy",
+            "CAST(n * sxx - sx * sx AS DOUBLE) AS vx",
+            "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_pool")
+          .selectExpr("arm", "n", "mean_x", "mean_y", "theta",
+            "mean_y - theta * (mean_x - mean_x_pool) AS adj_mean",
+            "(vy - 2 * theta * cxy + theta * theta * vx) / vy AS var_ratio")
+          .orderBy($"arm")
+      },
+      Some(s"""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
+            FROM events),
+          d0 AS (SELECT min(d) AS d0 FROM ev),
+          xy AS (SELECT user_id,
+              sum(CASE WHEN d - d0.d0 < 15 THEN 1 ELSE 0 END) AS x,
+              sum(CASE WHEN d - d0.d0 >= 15 THEN 1 ELSE 0 END) AS y
+            FROM ev, d0 GROUP BY user_id, d0.d0),
+          armed AS (SELECT user_id, x, y,
+              CASE WHEN ${graft.operators.Sampling.detRandSql(78L, Seq("user_id"))} < 0.5
+                THEN 'A' ELSE 'B' END AS arm FROM xy),
+          pooled AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+            FROM armed),
+          pa AS (SELECT arm, count(*) AS na, sum(x) AS sxa, sum(y) AS sya
+            FROM armed GROUP BY 1),
+          m AS (SELECT arm, na,
+              CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_x,
+              CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS mean_y,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+              CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+              CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+              CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_pool
+            FROM pa, pooled)
+          SELECT arm, CAST(na AS BIGINT) AS n, mean_x, mean_y, theta,
+            mean_y - theta * (mean_x - mean_x_pool) AS adj_mean,
+            (vy - 2 * theta * cxy + theta * theta * vx) / vy AS var_ratio
+          FROM m ORDER BY arm""")),
+
+    // ---- three-step WINDOWED funnel: signup → view within 7 days →
+    //      purchase within 7 more days, per user — the product-analytics
+    //      staple that q95's single as-of join doesn't cover (each step's
+    //      window anchors on the PREVIOUS step's completion time, so the
+    //      steps chain). Three event-scale aggregates/joins, ALL keyed on
+    //      user_id — co-partitioned, one logical shuffle key end to end.
+    //      Output is the 3-row funnel with exact counts and one division
+    //      per conversion rate. ---------------------------------------------
+    Q("q249_funnel_steps",
+      (s, dir) => {
+        import s.implicits._
+        val W = 7L * 86400000000L
+        val ev = events(s, dir)
+          .select($"user_id", $"event_type", unix_micros($"ts").as("tus"))
+        val s1 = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"tus").as("t1"))
+        val s2 = ev.filter($"event_type" === "view")
+          .join(s1, Seq("user_id"))
+          .filter($"tus" >= $"t1" && $"tus" < $"t1" + W)
+          .groupBy($"user_id").agg(min($"tus").as("t2"))
+        val s3 = ev.filter($"event_type" === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter($"tus" >= $"t2" && $"tus" < $"t2" + W)
+          .groupBy($"user_id").agg(min($"tus").as("t3"))
+        val counts = s1.agg(count(lit(1)).as("n1"))
+          .crossJoin(s2.agg(count(lit(1)).as("n2")))
+          .crossJoin(s3.agg(count(lit(1)).as("n3")))
+        counts.selectExpr(
+          "stack(3, 1, 'signup', n1, CAST(NULL AS BIGINT)," +
+            " 2, 'view_7d', n2, n1," +
+            " 3, 'purchase_14d', n3, n2) AS (step, stage, n_users, n_prev)")
+          .selectExpr("CAST(step AS INT) AS step", "stage",
+            "CAST(n_users AS BIGINT) AS n_users",
+            "CAST(n_users AS DOUBLE) / CAST(n_prev AS DOUBLE) AS conv_rate")
+          .orderBy($"step")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+            FROM events),
+          s1 AS (SELECT user_id, min(tus) AS t1 FROM ev
+            WHERE event_type = 'signup' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(e.tus) AS t2 FROM ev e
+            JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'view' AND e.tus >= s1.t1
+              AND e.tus < s1.t1 + 604800000000 GROUP BY 1),
+          s3 AS (SELECT e.user_id, min(e.tus) AS t3 FROM ev e
+            JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.tus >= s2.t2
+              AND e.tus < s2.t2 + 604800000000 GROUP BY 1),
+          c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+              (SELECT count(*) FROM s2) AS n2,
+              (SELECT count(*) FROM s3) AS n3)
+          SELECT step, stage, CAST(n_users AS BIGINT) AS n_users,
+            CAST(n_users AS DOUBLE) / CAST(n_prev AS DOUBLE) AS conv_rate
+          FROM (
+            SELECT 1 AS step, 'signup' AS stage, n1 AS n_users,
+              CAST(NULL AS BIGINT) AS n_prev FROM c
+            UNION ALL SELECT 2, 'view_7d', n2, n1 FROM c
+            UNION ALL SELECT 3, 'purchase_14d', n3, n2 FROM c)
+          ORDER BY step"""))
   )
 }
