@@ -663,4 +663,36 @@ class PlanShapeSpec extends SparkSpec {
       s"counts fold lacks map-side combine:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
+
+  test("q246/q248: fold/stat frames broadcast; sufficient stats combine map-side") {
+    for (q <- Seq("q246_ewma_smoothing", "q248_cuped")) {
+      val p = plan(q)
+      assert(p.contains("Broadcast"),
+        s"$q: bounded stats/array frame not broadcast:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum") ||
+        p.contains("partial_min"),
+        s"$q: event-scale aggregate lacks map-side combine:\n$p")
+    }
+  }
+
+  test("q249: funnel steps chain user_id-keyed hash joins, no cartesian on data") {
+    val p = plan("q249_funnel_steps")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"step joins lost their equi form:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"data-scale cartesian in funnel:\n$p")
+  }
+
+  test("q192: CDC chunking explodes once — no nested-HOF expression blowup") {
+    val q = SparkEntry.queries("q192_cdc_chunks")(spark, sfDir)
+    // the round-7 regression fixed: the analyzed tree must stay small
+    // (the original collapsed-HOF form exceeded 100k nodes and cost
+    // ~270 s of planning; the explode+lag form is a few hundred)
+    val nodes = q.queryExecution.analyzed.map(_ => 1).sum
+    assert(nodes < 2000, s"q192 logical plan exploded to $nodes nodes")
+    val p = q.queryExecution.executedPlan.toString()
+    assert(p.contains("Generate") && p.contains("Window"),
+      s"q192 lost the explode+window shape:\n$p")
+  }
 }
