@@ -1471,6 +1471,123 @@ object EventQueries extends Registry {
               CAST(NULL AS BIGINT) AS n_prev FROM c
             UNION ALL SELECT 2, 'view_7d', n2, n1 FROM c
             UNION ALL SELECT 3, 'purchase_14d', n3, n2 FROM c)
-          ORDER BY step"""))
+          ORDER BY step""")),
+
+    // ---- rolling ACTIVE USERS (DAU / trailing-7-day WAU / stickiness):
+    //      the growth dashboard's daily line. Exact rolling DISTINCT
+    //      cannot ride a sliding sum (distinct doesn't decompose), so the
+    //      (user, day) distinct pairs fan out ×7 to every trailing window
+    //      they belong to — a BOUNDED expansion (window length), then one
+    //      distinct count per (window day). Both shuffles key on
+    //      user-day/window-day; nothing is corpus² and the fan-out knob is
+    //      the window length. Early days carry partial (shorter) windows —
+    //      the standard dashboard convention. stickiness = dau/wau in one
+    //      division. -------------------------------------------------------
+    Q("q250_rolling_active_users",
+      (s, dir) => {
+        import s.implicits._
+        val ud = events(s, dir)
+          .select($"user_id", expr("unix_micros(ts) div 86400000000").as("d"))
+          .distinct()
+        val d0f = ud.agg(min($"d").as("d0"), max($"d").as("dmax"))
+        val fan = ud.select($"user_id", $"d",
+            explode(sequence(lit(0), lit(6))).as("k"))
+          .select($"user_id", ($"d" + $"k").as("wd"))
+          .crossJoin(broadcast(d0f))
+          .filter($"wd" <= $"dmax")
+          .select($"user_id", $"wd")
+          .distinct()
+        val wau = fan.groupBy($"wd").agg(count(lit(1)).as("wau"))
+        val dau = ud.groupBy($"d").agg(count(lit(1)).as("dau"))
+        dau.join(wau, $"d" === $"wd")
+          .select($"d".cast("long").as("day"),
+            $"dau".cast("long").as("dau"), $"wau".cast("long").as("wau"),
+            ($"dau".cast("double") / $"wau".cast("double")).as("stickiness"))
+          .orderBy($"day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+              epoch_us(ts) // 86400000000 AS d FROM events),
+          lim AS (SELECT max(d) AS dmax FROM ud),
+          fan AS (SELECT DISTINCT user_id, ud.d + r.range AS wd
+            FROM ud, range(0, 7) r, lim WHERE ud.d + r.range <= lim.dmax),
+          wau AS (SELECT wd, count(*) AS wau FROM fan GROUP BY 1),
+          dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1)
+          SELECT CAST(d AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
+            CAST(wau AS BIGINT) AS wau,
+            CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+          FROM dau JOIN wau ON d = wd ORDER BY day""")),
+
+    // ---- CUSUM changepoint detection on daily volumes — the sequential
+    //      control statistic C_t = max(0, C_{t−1} + (15·x_t − S15))
+    //      (residuals against the 15-day training mean, scaled ×15 so
+    //      everything stays an EXACT LONG — no float ever). The recursion
+    //      runs as the q238/q246 ordered prefix fold; the alarm threshold
+    //      h = 3·max training |residual| is itself an exact long, so the
+    //      entire detector — fold, threshold, alarm — is pure integer
+    //      arithmetic and engine-independent BY CONSTRUCTION, not merely
+    //      by pinned IEEE order. Corpus work: one (type, day) count. ------
+    Q("q251_cusum_changepoint",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+          .select($"event_type", expr("unix_micros(ts) div 86400000000").as("d"))
+        val d0f = ev.agg(min($"d").as("d0"))
+        val counts = ev.groupBy($"event_type", $"d").agg(count(lit(1)).as("cnt"))
+        val spine = counts.select($"event_type").distinct()
+          .crossJoin(broadcast(d0f))
+          .select($"event_type", explode(sequence(lit(0), lit(29))).as("off"),
+            $"d0")
+          .select($"event_type", $"off", ($"d0" + $"off").as("d"))
+        val filled = spine.join(counts, Seq("event_type", "d"), "left")
+          .select($"event_type", $"off", coalesce($"cnt", lit(0L)).as("a"))
+        val withR = filled.join(broadcast(
+            filled.filter($"off" < 15).groupBy($"event_type")
+              .agg(sum($"a").as("s15"))), Seq("event_type"))
+          .select($"event_type", $"off", $"a", ($"a" * 15 - $"s15").as("r"))
+        val h = withR.filter($"off" < 15).groupBy($"event_type")
+          .agg((max(abs($"r")) * 3).as("h"))
+        val arrs = withR.groupBy($"event_type")
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(off, r))), x -> x.r)")
+            .as("rs"))
+        withR.join(broadcast(arrs), Seq("event_type"))
+          .join(broadcast(h), Seq("event_type"))
+          .select($"event_type", $"off".cast("long").as("day_offset"),
+            $"a".cast("long").as("n_events"),
+            expr("aggregate(slice(rs, 1, off + 1), CAST(0 AS BIGINT)," +
+              " (acc, x) -> greatest(acc + x, CAST(0 AS BIGINT)))").as("c_t"),
+            $"h".cast("long").as("h"))
+          .withColumn("alarm",
+            when($"c_t" > $"h", 1).otherwise(0).cast("int"))
+          .orderBy($"event_type", $"day_offset")
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d
+            FROM events),
+          d0 AS (SELECT min(d) AS d0 FROM ev),
+          c AS (SELECT event_type, d, count(*) AS cnt FROM ev GROUP BY 1, 2),
+          spine AS (SELECT t.event_type, r.range AS off, d0.d0 + r.range AS d
+            FROM (SELECT DISTINCT event_type FROM c) t, d0, range(0, 30) r),
+          filled AS (SELECT s.event_type, s.off, COALESCE(c.cnt, 0) AS a
+            FROM spine s LEFT JOIN c
+              ON s.event_type = c.event_type AND s.d = c.d),
+          s15 AS (SELECT event_type, sum(a) AS s15 FROM filled
+            WHERE off < 15 GROUP BY 1),
+          wr AS (SELECT f.event_type, f.off, f.a, f.a * 15 - s.s15 AS r
+            FROM filled f JOIN s15 s ON f.event_type = s.event_type),
+          h AS (SELECT event_type, max(abs(r)) * 3 AS h FROM wr
+            WHERE off < 15 GROUP BY 1),
+          arrs AS (SELECT event_type, list(r ORDER BY off) AS rs
+            FROM wr GROUP BY 1)
+          SELECT w.event_type, CAST(w.off AS BIGINT) AS day_offset,
+            CAST(w.a AS BIGINT) AS n_events,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), rs[1:w.off + 1]),
+              (acc, x) -> greatest(acc + x, 0)) AS BIGINT) AS c_t,
+            CAST(hh.h AS BIGINT) AS h,
+            CAST(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                rs[1:w.off + 1]), (acc, x) -> greatest(acc + x, 0)) > hh.h
+              THEN 1 ELSE 0 END AS INT) AS alarm
+          FROM wr w JOIN arrs ar ON w.event_type = ar.event_type
+          JOIN h hh ON w.event_type = hh.event_type
+          ORDER BY w.event_type, day_offset"""))
   )
 }
