@@ -684,6 +684,19 @@ class PlanShapeSpec extends SparkSpec {
       s"data-scale cartesian in funnel:\n$p")
   }
 
+  test("q250/q251: monitoring queries never cartesian; counts combine map-side") {
+    for (q <- Seq("q250_rolling_active_users", "q251_cusum_changepoint")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: data-scale cartesian:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_min"),
+        s"$q: event fold lacks map-side combine:\n$p")
+    }
+    // the CUSUM fold array and threshold tables are O(types) — broadcast
+    assert(plan("q251_cusum_changepoint").contains("Broadcast"),
+      "q251: bounded stats frames not broadcast")
+  }
+
   test("q192: CDC chunking explodes once — no nested-HOF expression blowup") {
     val q = SparkEntry.queries("q192_cdc_chunks")(spark, sfDir)
     // the round-7 regression fixed: the analyzed tree must stay small
