@@ -785,10 +785,12 @@ object EventQueries extends Registry {
     //      min_by/max_by (partial+final aggregates — NEVER a per-(type,day)
     //      window, which would buffer a whole hot day on one task). The
     //      ordering key is a FIXED-WIDTH zero-padded "(tus, event_id)"
-    //      string: lexicographic == numeric for non-negative ints, and
-    //      DuckDB's arg_min/arg_max accept VARCHAR keys where they reject
-    //      structs — one encoding, bit-identical ordering in both engines,
-    //      and event_id uniqueness makes the argmin tie-free. ---------------
+    //      string: lexicographic == numeric for non-negative ints (widths
+    //      carry tus to y31k and event_id to 10^12 — re-pad before a
+    //      deployment whose ids exceed that), and DuckDB's arg_min/arg_max
+    //      accept VARCHAR keys where they reject structs — one encoding,
+    //      bit-identical ordering in both engines, and event_id uniqueness
+    //      makes the argmin tie-free. ---------------------------------------
     Q("q235_ohlc_bars",
       (s, dir) => {
         import s.implicits._
