@@ -1590,6 +1590,67 @@ object EventQueries extends Registry {
               THEN 1 ELSE 0 END AS INT) AS alarm
           FROM wr w JOIN arrs ar ON w.event_type = ar.event_type
           JOIN h hh ON w.event_type = hh.event_type
-          ORDER BY w.event_type, day_offset"""))
+          ORDER BY w.event_type, day_offset""")),
+
+    // ---- session QUALITY KPIs per day: bounce rate (single-event
+    //      sessions / sessions started) and duration stats — the
+    //      engagement companions to q247's concurrency. Same 30-min-gap
+    //      session derivation (one user_id-keyed shuffle); sessions fold
+    //      to one row each, then a calendar-keyed aggregate. Durations
+    //      are exact microsecond longs; the rate and mean are single
+    //      divisions. A bounce is n_events = 1 (duration 0 by
+    //      construction); sessions key to their START day. ------------------
+    Q("q252_session_quality",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir)
+          .select($"user_id", unix_micros($"ts").as("tus"))
+        val wU = Window.partitionBy($"user_id").orderBy($"tus")
+        val sess = ev
+          .withColumn("gap",
+            when($"tus" - lag($"tus", 1).over(wU) > 1800000000L, 1L)
+              .otherwise(lit(0L)))
+          .withColumn("sid", sum($"gap").over(
+            wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sid")
+          .agg(min($"tus").as("st"), max($"tus").as("en"),
+            count(lit(1)).as("ne"))
+        sess.groupBy(expr("st div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when($"ne" === 1L, 1L).otherwise(0L)).as("n_bounce"),
+            sum($"en" - $"st").as("dur_sum"),
+            max($"en" - $"st").as("dur_max"))
+          .select($"day".cast("long").as("day"),
+            $"n_sessions".cast("long").as("n_sessions"),
+            $"n_bounce".cast("long").as("n_bounce"),
+            ($"n_bounce".cast("double") / $"n_sessions".cast("double"))
+              .as("bounce_rate"),
+            ($"dur_sum".cast("double") / $"n_sessions".cast("double")
+              / 1000000.0).as("mean_dur_s"),
+            ($"dur_max".cast("double") / 1000000.0).as("max_dur_s"))
+          .orderBy($"day")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+          g AS (SELECT user_id, tus,
+              CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                ORDER BY tus) > 1800000000 THEN 1 ELSE 0 END AS gap
+            FROM ev),
+          sg AS (SELECT user_id, tus,
+              sum(gap) OVER (PARTITION BY user_id ORDER BY tus
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM g),
+          sess AS (SELECT user_id, sid, min(tus) AS st, max(tus) AS en,
+              count(*) AS ne
+            FROM sg GROUP BY 1, 2)
+          SELECT CAST(st // 86400000000 AS BIGINT) AS day,
+            CAST(count(*) AS BIGINT) AS n_sessions,
+            CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_bounce,
+            CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS bounce_rate,
+            CAST(sum(en - st) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              / 1000000.0 AS mean_dur_s,
+            CAST(max(en - st) AS DOUBLE) / 1000000.0 AS max_dur_s
+          FROM sess GROUP BY 1 ORDER BY day"""))
   )
 }
