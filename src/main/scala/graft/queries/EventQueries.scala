@@ -18,6 +18,28 @@ object EventQueries extends Registry {
 
   private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
 
+  /** Fixed-width "(tus, event_id)" ordering key used by q235/q240.
+    * Lexicographic == numeric ONLY while both components are
+    * non-negative and event_id < 10^12: format_string WIDENS rather than
+    * truncates on overflow, and a '-' sign sorts before digits — either
+    * would silently reorder open/close picks. The capacity is therefore
+    * ENFORCED, not just documented: an out-of-range row raises instead
+    * of mis-sorting. The oracles mirror the guard with DuckDB error().
+    */
+  private[graft] def orderingKey(ts: org.apache.spark.sql.Column,
+      eventId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(eventId.between(0L, 999999999999L) && unix_micros(ts) >= 0,
+        format_string("%020d%012d", unix_micros(ts), eventId))
+      .otherwise(raise_error(format_string(
+        "ordering-key capacity exceeded: event_id=%s ts_us=%s",
+        eventId, unix_micros(ts))))
+
+  /** The oracle-side mirror of [[orderingKey]] (DuckDB dialect). */
+  private def oracleOrderingKey: String =
+    """CASE WHEN event_id BETWEEN 0 AND 999999999999 AND epoch_us(ts) >= 0
+         THEN printf('%020d%012d', epoch_us(ts), event_id)
+         ELSE error('ordering-key capacity exceeded') END"""
+
   override def entries: Seq[Q] = Seq(
 
     // ---- tumbling event-time window aggregation + JSON prop extraction ----
@@ -630,9 +652,15 @@ object EventQueries extends Registry {
             sqrt(($"n".cast("double") * $"s2".cast("double")
               - $"s1".cast("double") * $"s1".cast("double"))
               / ($"n".cast("double") * $"n".cast("double"))).as("std"))
+        // zero-variance guard: a constant-valued group has std=0, so the
+        // raw z is 0/0 = NaN — and NaN sorts ABOVE any threshold in both
+        // engines, flagging every row. Degenerate groups report az=0
+        // (no outliers) instead; mirrored in the oracle.
         ev.join(broadcast(stats), Seq("event_type"))
           .select($"event_type", $"n", $"mean", $"std",
-            abs(($"vc".cast("double") - $"mean") / $"std").as("az"))
+            when($"std" > 0.0,
+              abs(($"vc".cast("double") - $"mean") / $"std"))
+              .otherwise(lit(0.0)).as("az"))
           .groupBy($"event_type")
           .agg(max($"n").as("n"),
             sum(when($"az" > 3.0, 1L).otherwise(0L)).as("n_outliers"),
@@ -653,7 +681,9 @@ object EventQueries extends Registry {
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE))) AS std
             FROM ev GROUP BY event_type),
           z AS (SELECT ev.event_type, s.n,
-              abs((CAST(ev.vc AS DOUBLE) - s.mean) / s.std) AS az
+              CASE WHEN s.std > 0
+                THEN abs((CAST(ev.vc AS DOUBLE) - s.mean) / s.std)
+                ELSE 0.0 END AS az
             FROM ev JOIN stats s USING (event_type))
           SELECT event_type, CAST(max(n) AS BIGINT) AS n,
             CAST(sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -786,9 +816,11 @@ object EventQueries extends Registry {
     //      window, which would buffer a whole hot day on one task). The
     //      ordering key is a FIXED-WIDTH zero-padded "(tus, event_id)"
     //      string: lexicographic == numeric for non-negative ints (widths
-    //      carry tus to y31k and event_id to 10^12 — re-pad before a
-    //      deployment whose ids exceed that), and DuckDB's arg_min/arg_max
-    //      accept VARCHAR keys where they reject structs — one encoding,
+    //      carry tus to y31k and event_id to 10^12, and orderingKey RAISES
+    //      on out-of-range input rather than silently mis-sorting — re-pad
+    //      before a deployment whose ids exceed the guard), and DuckDB's
+    //      arg_min/arg_max accept VARCHAR keys where they reject structs
+    //      — one encoding,
     //      bit-identical ordering in both engines, and event_id uniqueness
     //      makes the argmin tie-free. ---------------------------------------
     Q("q235_ohlc_bars",
@@ -797,8 +829,7 @@ object EventQueries extends Registry {
         events(s, dir)
           .select($"event_type",
             expr("unix_micros(ts) div 86400000000").as("d"),
-            format_string("%020d%012d",
-              unix_micros($"ts"), $"event_id").as("ok"),
+            orderingKey($"ts", $"event_id").as("ok"),
             $"value")
           .groupBy($"event_type", $"d")
           .agg(count(lit(1)).as("n"),
@@ -810,12 +841,12 @@ object EventQueries extends Registry {
             $"n".cast("long").as("n"), $"open", $"high", $"low", $"close")
           .orderBy($"event_type", $"d")
       },
-      Some("""SELECT event_type,
+      Some(s"""SELECT event_type,
             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
             CAST(count(*) AS BIGINT) AS n,
-            arg_min(value, printf('%020d%012d', epoch_us(ts), event_id)) AS open,
+            arg_min(value, $oracleOrderingKey) AS open,
             max(value) AS high, min(value) AS low,
-            arg_max(value, printf('%020d%012d', epoch_us(ts), event_id)) AS close
+            arg_max(value, $oracleOrderingKey) AS close
           FROM events GROUP BY 1, 2 ORDER BY event_type, d""")),
 
     // ---- robust MAD outlier audit — the median-based companion to q226's
@@ -901,7 +932,11 @@ object EventQueries extends Registry {
           .agg(sum($"a").as("n_test"), sum($"t12").as("e12"))
           .select($"event_type", $"n_test".cast("long").as("n_test"),
             ($"e12".cast("double") / (12.0 * 7.0)).as("mae"),
-            ($"e12".cast("double") / (lit(12.0) * $"n_test".cast("double")))
+            // a type with zero test-window events would make WAPE 0/0 →
+            // Infinity/NaN, which round-trips poorly through JSON/CSV
+            // result channels — emit NULL instead (mirrored in the oracle)
+            when($"n_test" > 0,
+              $"e12".cast("double") / (lit(12.0) * $"n_test".cast("double")))
               .as("wape"))
           .orderBy($"event_type")
       },
@@ -921,8 +956,10 @@ object EventQueries extends Registry {
           SELECT f.event_type, CAST(sum(f.a) AS BIGINT) AS n_test,
             CAST(sum(abs(t.ts_sum * (12 // t.nd) - f.a * 12)) AS DOUBLE)
               / (12.0 * 7.0) AS mae,
-            CAST(sum(abs(t.ts_sum * (12 // t.nd) - f.a * 12)) AS DOUBLE)
-              / (12.0 * CAST(sum(f.a) AS DOUBLE)) AS wape
+            CASE WHEN sum(f.a) > 0
+              THEN CAST(sum(abs(t.ts_sum * (12 // t.nd) - f.a * 12)) AS DOUBLE)
+                / (12.0 * CAST(sum(f.a) AS DOUBLE))
+              ELSE NULL END AS wape
           FROM filled f JOIN train t
             ON f.event_type = t.event_type AND f.dow = t.dow
           WHERE f.off >= 23
@@ -1118,8 +1155,7 @@ object EventQueries extends Registry {
         val ev = events(s, dir)
           .select($"user_id",
             expr("unix_micros(ts) div 86400000000").as("d"),
-            format_string("%020d%012d",
-              unix_micros($"ts"), $"event_id").as("ok"),
+            orderingKey($"ts", $"event_id").as("ok"),
             $"event_type")
         val first3 = graft.plans.TopK.perKey(ev, Seq("user_id", "d"),
           Seq(graft.plans.TopK.Order("ok")), 3)
@@ -1133,8 +1169,8 @@ object EventQueries extends Registry {
           .orderBy($"n_sessions".desc, $"path")
           .limit(20)
       },
-      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
-            printf('%020d%012d', epoch_us(ts), event_id) AS ok, event_type
+      Some(s"""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+            $oracleOrderingKey AS ok, event_type
             FROM events),
           r AS (SELECT user_id, d, ok, event_type,
               row_number() OVER (PARTITION BY user_id, d ORDER BY ok) AS rn

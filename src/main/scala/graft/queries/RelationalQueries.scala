@@ -1399,8 +1399,11 @@ object RelationalQueries extends Registry {
     //      frequent part pairs across order baskets with support /
     //      directional confidence / lift. Pair generation is the SELF-
     //      JOIN CO-PARTITIONED ON THE BASKET KEY, so fan-out is
-    //      Σ C(|basket|,2) — linear in orders for bounded baskets (TPC-H
-    //      ≤7 items), never |items|². The min-support cut (≥3) is the
+    //      Σ C(|basket|,2) — linear in orders for bounded baskets. The
+    //      bound is ENFORCED: MarketBasket.cappedBaskets drops baskets
+    //      above 500 items before pair expansion (a power-law 100k-item
+    //      basket would otherwise emit 5×10⁹ pairs in one task), and the
+    //      oracle mirrors the cap. The min-support cut (≥3) is the
     //      apriori pruning that keeps the rule table domain-sized before
     //      the item-count join-backs (vocabulary-sized, un-hinted, AQE
     //      broadcasts when small). lift > 1 separates genuinely
@@ -1413,15 +1416,11 @@ object RelationalQueries extends Registry {
         // item counts, the order total) — eager-persist it once (the A13
         // materialize pattern) instead of re-running the distinct shuffle
         // per consumer
-        val baskets = t(s, dir, "lineitem")
-          .select($"l_orderkey", $"l_partkey").distinct().persist()
+        val baskets = graft.operators.MarketBasket
+          .cappedBaskets(t(s, dir, "lineitem")).persist()
         baskets.count()
-        val pairs = baskets.as("a").join(baskets.as("b"),
-            $"a.l_orderkey" === $"b.l_orderkey" &&
-              $"a.l_partkey" < $"b.l_partkey")
-          .groupBy($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
-          .agg(count(lit(1)).as("sup_cnt"))
-          .filter($"sup_cnt" >= 3)
+        val pairs = graft.operators.MarketBasket
+          .pairCounts(baskets, "l_orderkey", "l_partkey", 3L)
         val items = baskets.groupBy($"l_partkey").agg(count(lit(1)).as("ni"))
         val nOrders = baskets.select($"l_orderkey").distinct()
           .agg(count(lit(1)).as("n_orders"))
@@ -1437,7 +1436,7 @@ object RelationalQueries extends Registry {
               / ($"na".cast("double") * $"nb".cast("double"))).as("lift"))
           .orderBy($"part_a", $"part_b")
       },
-      Some("""WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      Some(s"""WITH ${graft.operators.MarketBasket.oracleCappedBasketsCte()},
           pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
               count(*) AS sup_cnt
             FROM baskets a JOIN baskets b
@@ -1590,7 +1589,8 @@ object RelationalQueries extends Registry {
     // ---- item-item COLLABORATIVE FILTERING neighbors: cosine over basket
     //      co-occurrence (sim = c_ab / sqrt(c_a·c_b)) with top-5 neighbors
     //      per item. Pair counts come from the same basket-key-local self-
-    //      join as q232 (fan-out Σ C(|basket|,2), min-support 2); the
+    //      join as q232 (fan-out Σ C(|basket|,2), basket-size-capped in
+    //      code via MarketBasket.cappedBaskets, min-support 2); the
     //      neighbor cut runs on the heap-based TopKPerKey operator — O(5)
     //      state per item, so a popularity-skewed item streams through
     //      instead of sorting its whole candidate list on one task. sim is
@@ -1599,15 +1599,13 @@ object RelationalQueries extends Registry {
     Q("q242_cf_item_neighbors",
       (s, dir) => {
         import s.implicits._
-        val baskets = t(s, dir, "lineitem")
-          .select($"l_orderkey", $"l_partkey").distinct()
+        val baskets = graft.operators.MarketBasket
+          .cappedBaskets(t(s, dir, "lineitem"))
         val items = baskets.groupBy($"l_partkey").agg(count(lit(1)).as("ni"))
-        val pairs = baskets.as("a").join(baskets.as("b"),
-            $"a.l_orderkey" === $"b.l_orderkey" &&
-              $"a.l_partkey" < $"b.l_partkey")
-          .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
-          .agg(count(lit(1)).as("c"))
-          .filter($"c" >= 2)
+        val pairs = graft.operators.MarketBasket
+          .pairCounts(baskets, "l_orderkey", "l_partkey", 2L)
+          .select($"part_a".as("pa"), $"part_b".as("pb"),
+            $"sup_cnt".as("c"))
         val sym = pairs.select($"pa".as("item"), $"pb".as("nbr"), $"c")
           .unionByName(pairs.select($"pb".as("item"), $"pa".as("nbr"), $"c"))
         val scored = sym
@@ -1625,8 +1623,7 @@ object RelationalQueries extends Registry {
             $"rk".cast("int").as("rk"))
           .orderBy($"item", $"rk")
       },
-      Some("""WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey
-            FROM lineitem),
+      Some(s"""WITH ${graft.operators.MarketBasket.oracleCappedBasketsCte()},
           items AS (SELECT l_partkey, count(*) AS ni FROM baskets GROUP BY 1),
           pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
               count(*) AS c
@@ -1658,15 +1655,11 @@ object RelationalQueries extends Registry {
     Q("q243_clustering_coefficient",
       (s, dir) => {
         import s.implicits._
-        val baskets = t(s, dir, "lineitem")
-          .select($"l_orderkey", $"l_partkey").distinct()
-        val edges = baskets.as("a").join(baskets.as("b"),
-            $"a.l_orderkey" === $"b.l_orderkey" &&
-              $"a.l_partkey" < $"b.l_partkey")
-          .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-          .agg(count(lit(1)).as("c"))
-          .filter($"c" >= 2)
-          .select($"u", $"v")
+        val baskets = graft.operators.MarketBasket
+          .cappedBaskets(t(s, dir, "lineitem"))
+        val edges = graft.operators.MarketBasket
+          .pairCounts(baskets, "l_orderkey", "l_partkey", 2L)
+          .select($"part_a".as("u"), $"part_b".as("v"))
         val deg = edges.select($"u".as("node"))
           .unionByName(edges.select($"v".as("node")))
           .groupBy($"node").agg(count(lit(1)).as("degree"))
@@ -1688,8 +1681,7 @@ object RelationalQueries extends Registry {
               / ($"degree" * ($"degree" - 1)).cast("double")).as("lcc"))
           .orderBy($"node")
       },
-      Some("""WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey
-            FROM lineitem),
+      Some(s"""WITH ${graft.operators.MarketBasket.oracleCappedBasketsCte()},
           e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
             FROM baskets a JOIN baskets b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

@@ -3317,7 +3317,12 @@ object TextQueries extends Registry {
     // space-joined token span.
     val M = 1000003L
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    d.select($"doc_id", posexplode(tokens(lower($"text"))).as(Seq("pos", "tk")))
+    // NULL text is coalesced to '' so it behaves exactly like an empty
+    // document (no token rows) rather than taking a null-propagation path
+    // of its own — keeps row accounting identical across formulations if
+    // a feed ever carries null text
+    d.select($"doc_id",
+        posexplode(tokens(lower(coalesce($"text", lit(""))))).as(Seq("pos", "tk")))
       .withColumn("c",
         (conv(substring(md5($"tk"), 1, 15), 16, 10).cast("long")
           % minhashP) % M)

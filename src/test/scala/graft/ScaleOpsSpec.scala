@@ -208,4 +208,67 @@ class ScaleOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("market-basket cap: a 10^4-item mega-basket cannot change the pair fan-out") {
+    // the scale hazard VERDICT r7 flagged: pair generation is
+    // Σ C(|basket|,2), so ONE power-law basket of 10^4 items would emit
+    // ~5×10^7 pairs inside a single task. MarketBasket.cappedBaskets must
+    // drop it BEFORE expansion — enforced here by injecting the
+    // mega-basket at sf0.001 and pinning that (a) the capped frame
+    // excludes every synthetic row and (b) the pair table is
+    // row-identical to the uninjected run, i.e. the runtime class of the
+    // downstream job is unchanged by adversarial basket sizes.
+    import org.apache.spark.sql.functions.{col, explode, lit, sequence}
+    import graft.operators.MarketBasket
+    val li = graft.core.Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val mega = spark.range(1)
+      .select(lit(-1L).as("l_orderkey"),
+        explode(sequence(lit(1L), lit(10000L))).as("l_partkey"))
+    val injected = li.unionByName(mega)
+
+    val cappedClean = MarketBasket.cappedBaskets(li)
+    val cappedInjected = MarketBasket.cappedBaskets(injected)
+    assert(cappedInjected.filter(col("l_orderkey") === -1L).count() == 0L,
+      "mega-basket rows survived the cap")
+    assert(cappedInjected.count() == cappedClean.count(),
+      "cap changed the legitimate basket rows")
+
+    val pairsClean = MarketBasket
+      .pairCounts(cappedClean, "l_orderkey", "l_partkey", 2L)
+    val pairsInjected = MarketBasket
+      .pairCounts(cappedInjected, "l_orderkey", "l_partkey", 2L)
+    assert(pairsInjected.exceptAll(pairsClean).isEmpty &&
+      pairsClean.exceptAll(pairsInjected).isEmpty,
+      "pair table changed under mega-basket injection")
+
+    // and a basket AT the cap is kept — the cap is <=, not <
+    val atCap = spark.range(1)
+      .select(lit(-2L).as("l_orderkey"),
+        explode(sequence(lit(1L), lit(MarketBasket.BasketCap.toLong)))
+          .as("l_partkey"))
+    val keptAtCap = MarketBasket.cappedBaskets(li.unionByName(atCap))
+      .filter(col("l_orderkey") === -2L).count()
+    assert(keptAtCap == MarketBasket.BasketCap.toLong,
+      s"basket at the cap boundary was dropped: kept $keptAtCap")
+  }
+
+  test("ordering-key capacity guard raises on out-of-range ids instead of mis-sorting") {
+    // q235/q240's fixed-width '%020d%012d' key is lexicographic==numeric
+    // ONLY for non-negative components with event_id < 10^12 —
+    // format_string widens on overflow and '-' sorts before digits, so an
+    // out-of-range id would silently reorder open/close picks. The guard
+    // must fail loudly instead.
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    def keyed(id: Long) = spark.range(1)
+      .select(to_timestamp(lit("2024-01-01 00:00:00")).as("ts"),
+        lit(id).as("event_id"))
+      .select(graft.queries.EventQueries
+        .orderingKey(col("ts"), col("event_id")).as("ok"))
+    // in-range: 20+12 chars, no exception
+    assert(keyed(999999999999L).head().getString(0).length == 32)
+    // out-of-range (too wide / negative): raises, never returns a key
+    intercept[Exception] { keyed(1000000000000L).head() }
+    intercept[Exception] { keyed(-1L).head() }
+  }
 }
