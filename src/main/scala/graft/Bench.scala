@@ -62,6 +62,15 @@ object Bench {
     val qsWarm = obj(results.map { case (k, (_, w, _)) => k -> w })
     val total = d3(results.map(_._2._1).sum)
     val totalWarm = d3(results.map(_._2._2).sum)
+    // batch vs streaming split: the ~15 streaming-gated queries measure
+    // micro-batch harness setup (bounded MemoryStream feeds), not plan
+    // cost — same-code runs swing seconds. Reporting them separately keeps
+    // that jitter from masking a real regression in the batch total.
+    val (strm, batch) = results.partition(r => SparkEntry.streamingQueries(r._1))
+    val totalColdBatch = d3(batch.map(_._2._1).sum)
+    val totalWarmBatch = d3(batch.map(_._2._2).sum)
+    val totalColdStreaming = d3(strm.map(_._2._1).sum)
+    val totalWarmStreaming = d3(strm.map(_._2._2).sum)
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -73,6 +82,9 @@ object Bench {
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""total_warm":$totalWarm,"queries_warm":$qsWarm,""" +
+      s""""total_batch":$totalColdBatch,"total_warm_batch":$totalWarmBatch,""" +
+      s""""total_streaming":$totalColdStreaming,"total_warm_streaming":$totalWarmStreaming,""" +
+      s""""n_streaming":${strm.size},""" +
       s""""errors":$errsJson,"sf":"$sfDir"}"""
     // The harness keeps only the LAST ~2000 chars of output, and 74 queries
     // × cold+warm of full-name timings is ~4 KB — the full line can never
@@ -86,7 +98,8 @@ object Bench {
     val top = results.toSeq.sortBy(-_._2._1).take(20)
       .map { case (k, (c, _, _)) => k -> c }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(top)},""" +
-      s""""total_warm":$totalWarm,"n_queries":${results.size},""" +
+      s""""total_warm":$totalWarm,"total_warm_batch":$totalWarmBatch,""" +
+      s""""total_warm_streaming":$totalWarmStreaming,"n_queries":${results.size},""" +
       s""""n_errors":${errs.size},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }

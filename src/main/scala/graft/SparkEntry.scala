@@ -33,4 +33,10 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Queries that drive an actual StreamingQuery — Bench reports their
+    * times under a separate total (micro-batch harness setup dominates
+    * their wall-clock; see Q.streaming).
+    */
+  def streamingQueries: Set[String] = all.filter(_.streaming).map(_.name).toSet
 }

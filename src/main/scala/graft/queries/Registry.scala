@@ -10,7 +10,12 @@ import org.apache.spark.sql.types.DecimalType
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    // true for queries that drive an actual StreamingQuery (MemoryStream +
+    // processAllAvailable): their bench time is dominated by micro-batch
+    // harness setup, not plan cost, so Bench reports them in a separate
+    // total where their jitter can't mask a real batch regression
+    streaming: Boolean = false)
 
 trait Registry {
   def entries: Seq[Q]
