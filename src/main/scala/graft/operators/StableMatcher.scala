@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   *   - terminates after `maxRounds` rounds or a round with no new match
   *     (`:215-217`).
   *
-  * Scale: one test case's preference lists are tiny (≤ dozens of attrs);
-  * the distributed form groups by caseId and runs the in-memory matcher
-  * per group (`groupByKey.mapGroups`) — embarrassingly parallel across the
-  * millions of cases a 100 TB corpus would hold, no cross-case state.
+  * Scale: the distributed form groups by caseId and runs the in-memory
+  * matcher per group (`groupByKey.mapGroups`) — embarrassingly parallel
+  * across the millions of cases a 100 TB corpus would hold, no cross-case
+  * state. Within a case the matcher is near-linear in total proposals:
+  * backward scores are hash-indexed at clean() time and each proposer
+  * walks its list with a monotone cursor, so a 1000×1000-attr case (wide
+  * warehouse tables) completes in well under a second
+  * (StableMatcherSpec pins the bound).
   */
 object StableMatcher {
 
@@ -59,10 +63,21 @@ object StableMatcher {
     }
 
     val fwd = clean(forward)
-    val bwd = clean(backward)
+    // The backward side is only ever consulted as a (tgt, src) score
+    // lookup, so it is hash-indexed at clean() time instead of scanned
+    // linearly per proposal — a 1000-column case would otherwise spend
+    // O(|list|) per lookup inside the proposal loop. A duplicate
+    // candidate keeps its best score, exactly what collectFirst over the
+    // (-score, name)-sorted list returned.
+    val bwd = mutable.Map.empty[String, mutable.Map[String, Double]]
+    for ((tgt, lst) <- clean(backward)) {
+      val m = mutable.Map.empty[String, Double]
+      for ((c, s) <- lst) if (!m.contains(c)) m(c) = s
+      bwd(tgt) = m
+    }
     // score of src in tgt's backward list; None-safe: absent = loses
     def tgtScoreOf(tgt: String, src: String): Option[Double] =
-      bwd.get(tgt).flatMap(_.collectFirst { case (c, s) if c == src => s })
+      bwd.get(tgt).flatMap(_.get(src))
 
     val out = mutable.ArrayBuffer.empty[Match]
     var round = 1
@@ -72,17 +87,19 @@ object StableMatcher {
       val engaged = mutable.Map.empty[String, String] // tgt -> src
       val free = mutable.Queue.empty[String]
       free ++= fwd.keys.toSeq.sorted
-      val proposedTo = mutable.Map.empty[String, mutable.Set[String]]
+      // each src proposes down its (static within a round) sorted list and
+      // never re-proposes, so "already tried" is always a prefix — a
+      // monotone per-src index replaces the tried-set + collectFirst scan
+      // (O(1) per proposal instead of O(|list|))
+      val nextIdx = mutable.Map.empty[String, Int]
 
       while (free.nonEmpty) {
         val src = free.dequeue()
-        val tried = proposedTo.getOrElseUpdate(src, mutable.Set.empty)
-        fwd.get(src).flatMap(_.collectFirst {
-          case (t, s) if !tried.contains(t) => (t, s)
-        }) match {
+        val i = nextIdx.getOrElse(src, 0)
+        fwd.get(src).filter(i < _.length).map(_.apply(i)) match {
           case None => // exhausted its list this round
           case Some((tgt, _)) =>
-            tried += tgt
+            nextIdx(src) = i + 1
             engaged.get(tgt) match {
               case None =>
                 // target accepts only if the proposer appears in its list
@@ -109,9 +126,9 @@ object StableMatcher {
         // remove the matched pair from BOTH working preference structures
         fwd(src) = fwd(src).filterNot(_._1 == tgt)
         if (fwd(src).isEmpty) fwd.remove(src)
-        bwd.get(tgt).foreach { l =>
-          bwd(tgt) = l.filterNot(_._1 == src)
-          if (bwd(tgt).isEmpty) bwd.remove(tgt)
+        bwd.get(tgt).foreach { m =>
+          m.remove(src)
+          if (m.isEmpty) bwd.remove(tgt)
         }
       }
       round += 1
