@@ -74,10 +74,20 @@ object IngestQueries extends Registry {
     Files.deleteIfExists(p)
   }
 
+  /** Atomic text-fixture write: content lands in a pid-keyed temp file
+    * first and is renamed over the fixed path in one ATOMIC_MOVE, so a
+    * crashed process can never leave a half-written fixture for a
+    * concurrent reader (the fixed path either holds the previous complete
+    * bytes or the new complete bytes). Stale temp files carry a trailing
+    * `_<pid>` token and are swept by pruneStaleFixtures.
+    */
   private def write(name: String, content: String): String = {
     Files.createDirectories(Paths.get(fixDir))
     val p = Paths.get(fixDir, name)
-    Files.writeString(p, content)
+    val tmp = Paths.get(fixDir, s"$name.tmp_$jvmTok")
+    Files.writeString(tmp, content)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     p.toString
   }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Model._
@@ -1668,41 +1668,27 @@ object PipelineQueries extends Registry {
     //      star schemas; scores from the deterministic mock), so the fixed
     //      path follows the q60 idempotent-rewrite contract. ---------------
     Q("q190_stable_certificate",
-      (s, dir) => {
-        import s.implicits._
-        val tcs = cases(s, dir)
-        val fwdQ = s.createDataset(for {
-          tc <- tcs; t <- tc.targetSchema.map(_.name)
-        } yield Question(tc.id, t, s"fwd|${tc.id}|$t", tc.sourceSchema.map(_.name)))
-        val bwdQ = s.createDataset(for {
-          tc <- tcs; c <- tc.sourceSchema.map(_.name)
-        } yield Question(tc.id, c, s"bwd|${tc.id}|$c", tc.targetSchema.map(_.name)))
-        val fwd = LlmOperator.score(fwdQ, MockLlmClient.Factory())
-          .toDF("case_id", "query_attr", "cand_attr", "score")
-          .withColumn("direction", lit("bwd"))
-        val bwd = LlmOperator.score(bwdQ, MockLlmClient.Factory())
-          .toDF("case_id", "query_attr", "cand_attr", "score")
-          .withColumn("direction", lit("fwd"))
-        val prefs = fwd.unionByName(bwd)
-        val matches = StableMatcher.matchCases(prefs, maxRounds = 2)
-        // mirror the matcher's clean(): lowercase/trim both attrs, drop
-        // sentinel candidates — the certificate must audit the lists the
-        // matcher actually consumed
-        val cleaned = prefs.select($"case_id", $"direction",
-            lower(trim($"query_attr")).as("query_attr"),
-            lower(trim($"cand_attr")).as("cand_attr"), $"score")
-          .filter(!lower(trim($"cand_attr"))
-            .isin(StableMatcher.defaultSentinels.toSeq: _*))
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(certFixDir))
-        cleaned.coalesce(1).write.mode("overwrite").parquet(certPrefsPath)
-        matches.coalesce(1).write.mode("overwrite").parquet(certMatchesPath)
-        s.sql(stableCertSql(
-          s"parquet.`$certPrefsPath`", s"parquet.`$certMatchesPath`"))
-      },
+      (s, dir) => certificateQuery(s, dir, maxRounds = 2,
+        certPrefsPath, certMatchesPath),
       Some(stableCertSql(
         s"read_parquet('$certPrefsPath/*.parquet')",
         s"read_parquet('$certMatchesPath/*.parquet')"))),
+
+    // ---- q190 at maxRounds = 5 (VERDICT r7 item 5): tier removal is
+    //      audited DEEPER than the pipeline's 2-round default — rounds 3-5
+    //      must still show zero blocking pairs, zero tier violations and
+    //      per-round 1:1 endpoints against their progressively shrunken
+    //      working lists, or appear as all-zero rows once the matcher
+    //      naturally runs out of new matches. Own fixture paths so the
+    //      two parameterizations never clobber each other's oracle
+    //      inputs. -----------------------------------------------------------
+    Q("q253_stable_certificate_r5",
+      (s, dir) => certificateQuery(s, dir, maxRounds = 5,
+        certPrefsPath5, certMatchesPath5),
+      Some(stableCertSql(
+        s"read_parquet('$certPrefsPath5/*.parquet')",
+        s"read_parquet('$certMatchesPath5/*.parquet')",
+        maxRounds = 5))),
 
     // ---- ISO-BMFF (MP4) container catalog, construction-inverse oracle:
     //      every doc becomes a spec-valid MP4 (ftyp + moov(mvhd, trak*) +
@@ -1937,17 +1923,97 @@ object PipelineQueries extends Registry {
   private val certFixDir = "/tmp/graft_fixtures"
   private val certPrefsPath = s"$certFixDir/q190_prefs.parquet"
   private val certMatchesPath = s"$certFixDir/q190_matches.parquet"
+  // q253 re-runs the certificate with maxRounds = 5 (deeper tier-removal
+  // audit than the pipeline's default 2); separate fixture paths so the
+  // two parameterizations never clobber each other's oracle inputs
+  private val certPrefsPath5 = s"$certFixDir/q253_prefs.parquet"
+  private val certMatchesPath5 = s"$certFixDir/q253_matches.parquet"
+
+  /** Near-atomic parquet fixture publish: Spark writes the dataframe to a
+    * pid-keyed temp directory, then the fixed path is swapped in with two
+    * renames (old dir aside, temp in). A crash mid-Spark-write leaves the
+    * previous complete fixture untouched at the fixed path; the exposed
+    * window is two rename syscalls, not a whole write job. Stale temp/old
+    * dirs carry a trailing `_<pid>` and are swept by the same
+    * stale-process prune the other parquet fixtures use
+    * (IngestQueries.pruneStaleFixtures).
+    */
+  private def publishParquet(df: DataFrame, path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val pid = ProcessHandle.current().pid()
+    val tmp = s"$path.tmp_$pid"
+    val old = s"$path.old_$pid"
+    def rm(q: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(q, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val it = Files.list(q).iterator()
+        while (it.hasNext) rm(it.next())
+      }
+      Files.deleteIfExists(q)
+    }
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val p = Paths.get(path)
+    if (Files.exists(p)) Files.move(p, Paths.get(old))
+    // fixture content is deterministic and SF-invariant, so if a
+    // concurrent process wins the publish race the path already holds
+    // identical bytes — losing is fine, just drop our temp copy
+    try Files.move(Paths.get(tmp), p)
+    catch { case _: java.nio.file.FileSystemException => rm(Paths.get(tmp)) }
+    rm(Paths.get(old))
+  }
+
+  /** The matcher run + certificate audit behind q190 (maxRounds = 2) and
+    * q253 (maxRounds = 5): scores both directions with the mock client,
+    * runs the distributed matcher, publishes the cleaned preference lists
+    * and matches to the given fixture paths (atomic swap — see
+    * publishParquet), and returns the certificate over them.
+    */
+  private def certificateQuery(s: SparkSession, dir: String, maxRounds: Int,
+      prefsPath: String, matchesPath: String): DataFrame = {
+    import s.implicits._
+    val tcs = cases(s, dir)
+    val fwdQ = s.createDataset(for {
+      tc <- tcs; t <- tc.targetSchema.map(_.name)
+    } yield Question(tc.id, t, s"fwd|${tc.id}|$t", tc.sourceSchema.map(_.name)))
+    val bwdQ = s.createDataset(for {
+      tc <- tcs; c <- tc.sourceSchema.map(_.name)
+    } yield Question(tc.id, c, s"bwd|${tc.id}|$c", tc.targetSchema.map(_.name)))
+    val fwd = LlmOperator.score(fwdQ, MockLlmClient.Factory())
+      .toDF("case_id", "query_attr", "cand_attr", "score")
+      .withColumn("direction", lit("bwd"))
+    val bwd = LlmOperator.score(bwdQ, MockLlmClient.Factory())
+      .toDF("case_id", "query_attr", "cand_attr", "score")
+      .withColumn("direction", lit("fwd"))
+    val prefs = fwd.unionByName(bwd)
+    val matches = StableMatcher.matchCases(prefs, maxRounds = maxRounds)
+    // mirror the matcher's clean(): lowercase/trim both attrs, drop
+    // sentinel candidates — the certificate must audit the lists the
+    // matcher actually consumed
+    val cleaned = prefs.select($"case_id", $"direction",
+        lower(trim($"query_attr")).as("query_attr"),
+        lower(trim($"cand_attr")).as("cand_attr"), $"score")
+      .filter(!lower(trim($"cand_attr"))
+        .isin(StableMatcher.defaultSentinels.toSeq: _*))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(certFixDir))
+    publishParquet(cleaned, prefsPath)
+    publishParquet(matches, matchesPath)
+    s.sql(stableCertSql(
+      s"parquet.`$prefsPath`", s"parquet.`$matchesPath`", maxRounds))
+  }
 
   /** One certificate text, two engines: `prefsRef`/`matchesRef` are the
     * dialect-specific table expressions; everything else is shared ANSI.
     * Working list at round r = full (cleaned) list minus pairs matched in
     * rounds < r; blocking needs STRICT preference on both sides (the
     * matcher's strictly-greater acceptance makes ties non-blocking).
+    * `maxRounds` drives the audited round axis (q190: 2, q253: 5).
     */
-  private[graft] def stableCertSql(prefsRef: String, matchesRef: String): String =
+  private[graft] def stableCertSql(prefsRef: String, matchesRef: String,
+      maxRounds: Int = 2): String =
     s"""WITH pr AS (SELECT * FROM $prefsRef),
         mt AS (SELECT * FROM $matchesRef),
-        rounds AS (SELECT 1 AS r UNION ALL SELECT 2),
+        rounds AS (${(1 to maxRounds)
+          .map(r => s"SELECT $r AS r").mkString(" UNION ALL ")}),
         fwd AS (SELECT case_id, query_attr AS s, cand_attr AS t, score
                 FROM pr WHERE direction = 'fwd'),
         bwd AS (SELECT case_id, query_attr AS t, cand_attr AS s, score
