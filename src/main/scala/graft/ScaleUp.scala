@@ -52,5 +52,35 @@ object ScaleUp {
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
     val n = spark.read.parquet(s"$dst/documents.parquet").count()
     println(s"[scaleup] wrote $n documents ($factor x $src) to $dst")
+
+    // lineitem for the market-basket graph family (q232/q242/q243): each
+    // replica offsets BOTH the basket key and the item key, so the
+    // co-purchase graph at factor F is F disjoint copies of the source
+    // graph — per-pair support distribution invariant, edge/wedge growth
+    // exactly linear, the way a marketplace growing with NEW catalog+orders
+    // scales. Replicating orders over the SAME item universe would instead
+    // multiply every pair's support by F and flood the absolute min-support
+    // cut — the basket analog of the near-dup LSH pathology the document
+    // perturbation exists to avoid.
+    val li = graft.core.Tables(spark, src, "lineitem")
+    val okStride = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    val pkStride = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
+    val liCols = li.columns
+    val liReplicas = (0 until factor).map { r =>
+      if (r == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(r * okStride))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * pkStride))
+        .select(liCols.map(col): _*)
+    }
+    liReplicas.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    val nl = spark.read.parquet(s"$dst/lineitem.parquet").count()
+    println(s"[scaleup] wrote $nl lineitem rows ($factor x $src) to $dst")
+
+    // region passes through unscaled (fixed 5 rows at every SF) — Bench's
+    // session warm-up reads it from the target dir
+    graft.core.Tables(spark, src, "region")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dst/region.parquet")
   }
 }
