@@ -101,6 +101,32 @@ class HttpLlmClientSpec extends AnyFunSuite {
     }
   }
 
+  test("live endpoint round-trip (env-gated: set GRAFT_LLM_ENDPOINT to enable)") {
+    // Integration smoke against a REAL OpenAI-compatible completions
+    // server (e.g. vLLM's /v1/completions). Hermetic CI has no endpoint,
+    // so the test self-cancels unless GRAFT_LLM_ENDPOINT is set; with one
+    // set it proves the adapter speaks the live wire format end-to-end:
+    //   GRAFT_LLM_ENDPOINT=http://host:8000/v1/completions \
+    //   GRAFT_LLM_MODEL=<served-model> [GRAFT_LLM_API_KEY=...] sbt \
+    //   "testOnly graft.HttpLlmClientSpec -- -z live"
+    val ep = sys.env.get("GRAFT_LLM_ENDPOINT")
+    assume(ep.isDefined, "GRAFT_LLM_ENDPOINT not set — live smoke skipped")
+    val model = sys.env.getOrElse("GRAFT_LLM_MODEL", "default")
+    val key = sys.env.get("GRAFT_LLM_API_KEY")
+    val c = new HttpLlmClient(ep.get, model, maxNewTokens = 8,
+      apiKey = key, maxRetries = 1)
+    // batch generate: both prompts answered, order preserved by index
+    val outs = c.generate(Seq("Say OK.", "Say YES."))
+    assert(outs.size == 2, s"expected 2 completions, got $outs")
+    // echo+logprobs scoring (vLLM supports echo; OpenAI's newer APIs do
+    // not — this smoke documents the adapter's server requirement)
+    val scored = c.scoreCandidates("The capital of France is",
+      Seq(" Paris", " Berlin"))
+    assert(scored.size == 2)
+    assert(math.abs(scored.map(_._2).sum - 1.0) < 1e-6,
+      s"scores not normalized: $scored")
+  }
+
   test("MiniJson parses nested structures, escapes, numbers and rejects garbage") {
     val v = parse("""{"a": [1, 2.5, -3e2], "b": {"c": "xA\n"}, "d": null, "e": true}""")
     assert(v.obj("a").arr.map(_.num) == Seq(1.0, 2.5, -300.0))
