@@ -49,6 +49,90 @@ class ReferenceDatasetSpec extends SparkSpec {
     assert(Readers.swapCase(swapped) == tc)
   }
 
+  test("q34-shaped P/R/F1 eval over all 52 real ehr cases, 3 cases pinned") {
+    assume(available(ehr), "reference checkout not present")
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val tcs = Readers.schemaPairJson(spark, ehr)
+    assert(tcs.length == 52)
+    // q34's exact shape: n:1 questions per target attr → mock generate →
+    // parse → schema-validate → set-compare against gold. The reference
+    // lowercases attribute names on entry (stable_match.py:9-34); gold
+    // endpoints in ehr_dataset.json carry source-DDL casing, so both
+    // sides of the comparison are lowercased the same way.
+    val questions = s.createDataset(for {
+      tc <- tcs
+      tgtAttr <- tc.targetSchema.map(_.name)
+    } yield PromptRenderer.n2oneQuestion(tc, tgtAttr, Map.empty))
+    val generations = LlmOperator.generate(questions, MockLlmClient.Factory())
+    val schemaCols = s.createDataset(tcs.flatMap(tc =>
+      tc.sourceSchema.map(c => (tc.id, c.name)))).toDF("sc_case_id", "sc_col")
+    val predictions = generations.flatMap(g =>
+      Parsers.parseMatches(g.response).map(m => (g.caseId, m, g.queryAttr)))
+      .toDF("case_id", "src_attr", "tgt_attr")
+      .join(schemaCols,
+        col("case_id") === col("sc_case_id") &&
+          lower(col("src_attr")) === lower(col("sc_col")), "left_semi")
+      .select($"case_id", lower($"src_attr").as("src_attr"),
+        lower($"tgt_attr").as("tgt_attr"))
+    val gold = s.createDataset(tcs.flatMap(tc => tc.goldMapping.map(gm =>
+      (tc.id, gm._1.toLowerCase, gm._2.toLowerCase))))
+      .toDF("case_id", "src_attr", "tgt_attr")
+    val tp = predictions.intersect(gold).groupBy($"case_id").agg(count(lit(1)).as("tp"))
+    val fp = predictions.except(gold).groupBy($"case_id").agg(count(lit(1)).as("fp"))
+    val fn = gold.except(predictions).groupBy($"case_id").agg(count(lit(1)).as("fn"))
+    val counts = gold.select($"case_id").distinct()
+      .join(tp, Seq("case_id"), "left").join(fp, Seq("case_id"), "left")
+      .join(fn, Seq("case_id"), "left")
+      .select($"case_id",
+        coalesce($"tp", lit(0L)).cast("double").as("tp"),
+        coalesce($"fp", lit(0L)).cast("double").as("fp"),
+        coalesce($"fn", lit(0L)).cast("double").as("fn"),
+        lit(0.0).as("tn"))
+    val metrics = graft.eval.Metrics.withPrfAccuracyEffort(counts)
+      .select($"case_id", $"tp", $"fp", $"fn",
+        $"precision", $"recall", $"f1")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(metrics.size == 52, s"expected 52 per-case rows, got ${metrics.size}")
+
+    // independent cross-check, OUTSIDE the DataFrame metrics path: plain
+    // Scala set algebra over the collected predictions for every case
+    val predSets = predictions.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)).toSet }
+    tcs.foreach { tc =>
+      val g = tc.goldMapping.map { case (a, b) => (a.toLowerCase, b.toLowerCase) }.toSet
+      val p = predSets.getOrElse(tc.id, Set.empty)
+      val (etp, efp, efn) = ((p & g).size, (p -- g).size, (g -- p).size)
+      val (mtp, mfp, mfn, _, _, _) = metrics(tc.id)
+      assert((mtp, mfp, mfn) == (etp.toDouble, efp.toDouble, efn.toDouble),
+        s"${tc.id}: pipeline counts (${(mtp, mfp, mfn)}) != set algebra ${(etp, efp, efn)}")
+    }
+
+    // three cases pinned to hand-computed values (P = tp/(tp+fp),
+    // R = tp/(tp+fn), F1 = 2tp/(2tp+fp+fn) — fractions worked by hand
+    // from the deterministic mock's counts): a drift in the reader, the
+    // prompt renderer, the mock hash, the parser or the validator moves
+    // at least one of these
+    def pin(id: String, tp: Int, fp: Int, fn: Int): Unit = {
+      val (mtp, mfp, mfn, p, r, f1) = metrics(id)
+      assert((mtp, mfp, mfn) == (tp.toDouble, fp.toDouble, fn.toDouble),
+        s"$id counts drifted: got ${(mtp, mfp, mfn)}")
+      assert(math.abs(p - tp.toDouble / (tp + fp)) < 1e-12, s"$id precision")
+      assert(math.abs(r - tp.toDouble / (tp + fn)) < 1e-12, s"$id recall")
+      assert(math.abs(f1 - 2.0 * tp / (2 * tp + fp + fn)) < 1e-12, s"$id f1")
+    }
+    pin("mimic-iii:ADMISSIONS|omop:VISIT_OCCURRENCE", tp = 1, fp = 15, fn = 6)
+    // hand: P = 1/16 = 0.0625, R = 1/7, F1 = 2/23 ≈ 0.086957
+    pin("mimic-iii:NOTEEVENTS|omop:NOTE", tp = 3, fp = 13, fn = 5)
+    // hand: P = 3/16 = 0.1875, R = 3/8 = 0.375, F1 = 6/24 = 0.25
+    pin("mimic-iii:D_ICD_DIAGNOSES|omop:CONCEPT", tp = 2, fp = 5, fn = 1)
+    // hand: P = 2/7, R = 2/3, F1 = 4/10 = 0.4
+  }
+
   test("full mock pipeline runs distributed over the real ehr cases") {
     assume(available(ehr), "reference checkout not present")
     val s = spark
