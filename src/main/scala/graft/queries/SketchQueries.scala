@@ -187,6 +187,78 @@ object SketchQueries extends Registry {
                 - CAST(exact_inter AS DOUBLE))
               / CAST(exact_inter AS DOUBLE), 6) AS rel_err
           FROM stats, exact"""
+      }),
+
+    // ---- HyperLogLog with ORACLE-REPLAYABLE registers — the white-box
+    //      twin of q120's opaque `approx_count_distinct`: registers are
+    //      max-of-rho per (group, bucket) over the shared md5 hash kernel
+    //      (HyperLogLog.scala — groupBy max IS the mergeable-summary
+    //      contract, partial+final, no custom buffer), so DuckDB rebuilds
+    //      the SAME register table from the rows and the gate hash-matches
+    //      the folded summary (empty-bucket count, EXACT scaled harmonic
+    //      denominator Σ2^(54−reg) as a long, register checksums) — not a
+    //      tolerance verdict. The only floats are the final single-
+    //      division estimate and its rel-err, pinned-order identical in
+    //      both engines; the 5σ acceptance flag (σ = 1.04/√m) is computed
+    //      from those identical doubles. At 100 TB the register table is
+    //      O(groups·128) longs shipped from one pass — the profiling
+    //      deliverable exact distinct can't be. ---------------------------
+    Q("q254_hll_registers",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.HyperLogLog
+        val li = t(s, dir, "lineitem").select($"l_returnflag", $"l_orderkey")
+        val regs = HyperLogLog.registers(li, Seq("l_returnflag"),
+          HyperLogLog.hash60("hll", $"l_orderkey"))
+        val summ = HyperLogLog.summarize(regs, Seq("l_returnflag"))
+        val exact = li.groupBy($"l_returnflag")
+          .agg(countDistinct($"l_orderkey").as("exact_distinct"))
+        val sigma5 = lit(5.0) * lit(1.04) / sqrt(lit(HyperLogLog.M.toDouble))
+        summ.join(exact, Seq("l_returnflag"))
+          .select($"l_returnflag", $"v_empty", $"d_scaled", $"reg_sum",
+            $"reg_max", $"hll_estimate",
+            $"exact_distinct".cast("long").as("exact_distinct"),
+            (abs($"hll_estimate" - $"exact_distinct".cast("double"))
+              / $"exact_distinct".cast("double")).as("rel_err"),
+            when(abs($"hll_estimate" - $"exact_distinct".cast("double"))
+              / $"exact_distinct".cast("double") <= sigma5, 1).otherwise(0)
+              .cast("int").as("within_5sigma"))
+          .orderBy($"l_returnflag")
+      },
+      Some {
+        import graft.functions.HyperLogLog.{M, RhoMax, WordBits}
+        val hashSql = graft.functions.TextFunctions.hexPolySql(15,
+          "concat_ws('|', 'hll', l_orderkey)")
+        val estSql = graft.functions.HyperLogLog.estimateSql("d_scaled")
+        val relErrSql =
+          s"abs($estSql - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)"
+        s"""WITH h AS (SELECT l_returnflag, $hashSql AS h FROM lineitem),
+          b AS (SELECT l_returnflag, h >> $WordBits AS bkt,
+              h & ${(1L << WordBits) - 1} AS w FROM h),
+          r AS (SELECT l_returnflag, bkt,
+              max(CASE WHEN w = 0 THEN $RhoMax
+                  ELSE CAST(log2(w & (-w)) AS INT) + 1 END) AS reg
+            FROM b GROUP BY 1, 2),
+          p AS (SELECT l_returnflag, count(*) AS n_buckets,
+              sum(CAST(1 AS BIGINT) << ($RhoMax - reg)) AS d_present,
+              sum(reg) AS reg_sum, max(reg) AS reg_max
+            FROM r GROUP BY 1),
+          e AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct
+            FROM lineitem GROUP BY 1),
+          s AS (SELECT p.l_returnflag,
+              CAST($M - n_buckets AS BIGINT) AS v_empty,
+              CAST(d_present + ($M - n_buckets) * (CAST(1 AS BIGINT) << $RhoMax)
+                AS BIGINT) AS d_scaled,
+              CAST(reg_sum AS BIGINT) AS reg_sum,
+              CAST(reg_max AS INT) AS reg_max,
+              CAST(exact_distinct AS BIGINT) AS exact_distinct
+            FROM p JOIN e USING (l_returnflag))
+          SELECT l_returnflag, v_empty, d_scaled, reg_sum, reg_max,
+            $estSql AS hll_estimate, exact_distinct,
+            $relErrSql AS rel_err,
+            CAST(CASE WHEN $relErrSql <= 5.0 * 1.04 / sqrt($M.0)
+                 THEN 1 ELSE 0 END AS INT) AS within_5sigma
+          FROM s ORDER BY l_returnflag"""
       })
   )
 }

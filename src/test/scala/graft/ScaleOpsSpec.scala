@@ -253,6 +253,41 @@ class ScaleOpsSpec extends SparkSpec {
       s"basket at the cap boundary was dropped: kept $keptAtCap")
   }
 
+  test("HLL registers merge by max and the estimate tracks known cardinalities") {
+    // the two properties that make q254's sketch a 100 TB operator:
+    // (1) MERGEABILITY — registers of a union are the elementwise max of
+    //     the parts' registers (so partial+final aggregation over any
+    //     partitioning yields the identical sketch);
+    // (2) ACCURACY — the raw estimate lands within 5σ (σ = 1.04/√128 ≈
+    //     9.2%) of the true cardinality across two orders of magnitude.
+    import org.apache.spark.sql.functions._
+    import graft.functions.HyperLogLog
+    val s = spark
+    import s.implicits._
+    def regsOf(ids: org.apache.spark.sql.DataFrame) =
+      HyperLogLog.registers(ids.withColumn("g", lit("x")), Seq("g"),
+        HyperLogLog.hash60("hll", col("id")))
+    val a = s.range(0, 4000).toDF("id")
+    val b = s.range(3000, 9000).toDF("id") // overlapping on purpose
+    val manual = regsOf(a).select($"bkt", $"reg".as("ra"))
+      .join(regsOf(b).select($"bkt", $"reg".as("rb")), Seq("bkt"), "full")
+      .select($"bkt", greatest(coalesce($"ra", lit(0)),
+        coalesce($"rb", lit(0))).as("reg"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val direct = regsOf(a.unionByName(b))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(direct == manual, "union registers != elementwise max of parts")
+
+    for (n <- Seq(500L, 5000L, 50000L)) {
+      val est = HyperLogLog.summarize(
+        regsOf(s.range(0, n).toDF("id")), Seq("g"))
+        .select($"hll_estimate").head().getDouble(0)
+      val relErr = math.abs(est - n) / n.toDouble
+      assert(relErr <= 5.0 * 1.04 / math.sqrt(HyperLogLog.M.toDouble),
+        f"n=$n est=$est%.1f rel_err=$relErr%.3f beyond 5 sigma")
+    }
+  }
+
   test("ordering-key capacity guard raises on out-of-range ids instead of mis-sorting") {
     // q235/q240's fixed-width '%020d%012d' key is lexicographic==numeric
     // ONLY for non-negative components with event_id < 10^12 —
