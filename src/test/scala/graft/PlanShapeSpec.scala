@@ -697,6 +697,16 @@ class PlanShapeSpec extends SparkSpec {
       "q251: bounded stats frames not broadcast")
   }
 
+  test("q254: HLL registers are partial+final max aggregates, no window, no cartesian on data") {
+    val p = plan("q254_hll_registers")
+    assert(p.contains("partial_max") || p.contains("partial_count"),
+      s"register construction lacks map-side combine:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in sketch build:\n$p")
+    // summarize + exact-distinct join back on the 3-row group frame is
+    // hash/broadcast; nothing data-scale may cartesian
+    assert(!p.contains("CartesianProduct"), s"data-scale cartesian:\n$p")
+  }
+
   test("q192: CDC chunking explodes once — no nested-HOF expression blowup") {
     val q = SparkEntry.queries("q192_cdc_chunks")(spark, sfDir)
     // the round-7 regression fixed: the analyzed tree must stay small
