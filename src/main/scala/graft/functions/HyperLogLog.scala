@@ -41,19 +41,25 @@ object HyperLogLog {
     conv(substring(md5(concat_ws("|", lit(salt) +: keys: _*)), 1, 15), 16, 10)
       .cast("long")
 
+  /** Top-P hash bits → bucket id (0..m−1). */
+  def bucketOf(hash: Column): Column = shiftright(hash, WordBits)
+
+  /** Trailing-zero rank of the remaining word: 1..53, 54 for word 0. */
+  def rhoOf(hash: Column): Column = {
+    val word = hash.bitwiseAND(lit((1L << WordBits) - 1))
+    when(word === 0L, lit(RhoMax))
+      .otherwise(log2(word.bitwiseAND(-word)).cast("int") + lit(1))
+  }
+
   /** Register table: one row per (groupCols, bkt) with reg = max rho —
     * the whole sketch as a first-class DataFrame (partial+final, one
     * shuffle on (group, bkt)). Absent buckets mean reg = 0.
     */
-  def registers(df: DataFrame, groupCols: Seq[String], hash: Column): DataFrame = {
-    val word = hash.bitwiseAND(lit((1L << WordBits) - 1))
-    val rho = when(word === 0L, lit(RhoMax))
-      .otherwise(log2(word.bitwiseAND(-word)).cast("int") + lit(1))
+  def registers(df: DataFrame, groupCols: Seq[String], hash: Column): DataFrame =
     df.select(groupCols.map(col) :+
-        shiftright(hash, WordBits).as("bkt") :+ rho.as("rho"): _*)
+        bucketOf(hash).as("bkt") :+ rhoOf(hash).as("rho"): _*)
       .groupBy((groupCols :+ "bkt").map(col): _*)
       .agg(max(col("rho")).as("reg"))
-  }
 
   /** Fold a register table to one row per group: empty-bucket count,
     * the EXACT scaled harmonic denominator D = Σ 2^(54−reg) (absent

@@ -90,7 +90,7 @@ object PipelineQueries extends Registry {
     "q184_tws_running_totals", "q188_tws_sessions",
     "q189_tws_type_counts", "q196_streaming_chained_aggs",
     "q206_streaming_heavy_hitters", "q220_tws_replay_buffer",
-    "q244_streaming_dead_letter")
+    "q244_streaming_dead_letter", "q255_streaming_hll")
 
   override def entries: Seq[Q] = {
     val es = rawEntries
@@ -1844,6 +1844,79 @@ object PipelineQueries extends Registry {
           SELECT bucket_start, event_type, n_events, n_active_hours,
             max_hourly
           FROM b ORDER BY bucket_start, event_type""")),
+
+    // ---- STREAMING HLL: per-hour distinct-user ESTIMATE via mergeable
+    //      registers in streaming state (StreamingOps.windowedHllDistinct)
+    //      — the sketch q254 builds in batch, held incrementally: exact
+    //      per-window distinct state is O(users×windows) and unbounded on
+    //      a real stream; register state is O(windows×128) ints and
+    //      watermark-evicted. Two chained event-time aggs on one
+    //      watermark (q196's pattern); the DuckDB twin replays the
+    //      identical integer register math over the same 2000-row feed,
+    //      so the gate hash-matches estimates, not a tolerance. The raw
+    //      estimate is biased low-cardinality (no small-range correction
+    //      by design — ln() isn't cross-engine reproducible); the
+    //      deliverable documents d_scaled so any consumer can apply its
+    //      own correction downstream. -----------------------------------------
+    Q("q255_streaming_hll",
+      (s, dir) => {
+        val ss = StreamingOps.streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val evts = Tables(ss, dir, "events")
+          .select($"ts", $"user_id", $"event_id")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .select($"ts", $"user_id")
+          .as[(java.sql.Timestamp, Long)].collect()
+        val maxMs = evts.map(_._1.getTime).max
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+        val qn = s"graft_shll_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val query = StreamingOps.windowedHllDistinct(
+            mem.toDF().toDF("ts", "user_id"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+        try {
+          val (b1, b2) = evts.splitAt(evts.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          mem.addData(b2.toSeq); query.processAllAvailable()
+          // advance the watermark past every real window, then trigger the
+          // flushing micro-batch (q132/q196's two-round recipe); sentinel
+          // windows are cut by the window_start bound below
+          Seq(2, 4).foreach { d =>
+            mem.addData(Seq((new java.sql.Timestamp(maxMs + d * 86400000L), -1L)))
+            query.processAllAvailable()
+          }
+          ss.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .filter($"window_start" <= new java.sql.Timestamp(maxMs))
+            .orderBy($"window_start")
+        } finally query.stop()
+      },
+      Some {
+        import graft.functions.HyperLogLog.{M, RhoMax, WordBits}
+        val hashSql = graft.functions.TextFunctions.hexPolySql(15,
+          "concat_ws('|', 'hll', user_id)")
+        val estSql = graft.functions.HyperLogLog.estimateSql("d_scaled")
+        s"""WITH e AS (SELECT ts, user_id FROM events
+            ORDER BY ts, event_id LIMIT 2000),
+          h AS (SELECT date_trunc('hour', ts) AS ws, $hashSql AS h FROM e),
+          b AS (SELECT ws, h >> $WordBits AS bkt,
+              h & ${(1L << WordBits) - 1} AS w FROM h),
+          r AS (SELECT ws, bkt,
+              max(CASE WHEN w = 0 THEN $RhoMax
+                  ELSE CAST(log2(w & (-w)) AS INT) + 1 END) AS reg
+            FROM b GROUP BY 1, 2),
+          p AS (SELECT ws, count(*) AS n_buckets,
+              sum(CAST(1 AS BIGINT) << ($RhoMax - reg)) AS d_present
+            FROM r GROUP BY 1),
+          s AS (SELECT ws AS window_start,
+              CAST($M - n_buckets AS BIGINT) AS v_empty,
+              CAST(d_present + ($M - n_buckets) * (CAST(1 AS BIGINT) << $RhoMax)
+                AS BIGINT) AS d_scaled
+            FROM p)
+          SELECT window_start, v_empty, d_scaled, $estSql AS hll_estimate
+          FROM s ORDER BY window_start"""
+      }),
 
     // ---- watermark DEAD-LETTER audit: how many rows does the watermark
     //      actually drop, per window? The feed deliberately arrives out of

@@ -69,6 +69,37 @@ object StreamingOps {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n_events"), col("n_active_hours"), col("max_hourly"))
 
+  /** Streaming HLL: distinct-user estimate per hour window via mergeable
+    * registers held in streaming state — the only affordable form on a
+    * 100 TB stream (exact distinct state is O(users × windows); register
+    * state is O(windows × 128) ints, watermark-evicted). Two chained
+    * event-time aggregations on ONE watermark (the q196 pattern): max-of-
+    * rho per (window, bucket), then the per-window fold to the EXACT
+    * scaled harmonic denominator and the single-division estimate —
+    * byte-identical math to q254's batch kernel, so the DuckDB batch twin
+    * replays the stream's output bit-for-bit.
+    */
+  def windowedHllDistinct(events: DataFrame,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    import graft.functions.HyperLogLog
+    val h = HyperLogLog.hash60("hll", col("user_id"))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), HyperLogLog.bucketOf(h).as("bkt"),
+        HyperLogLog.rhoOf(h).as("rho"))
+      .groupBy(window(col("ts"), "1 hour"), col("bkt"))
+      .agg(max(col("rho")).as("reg"))
+      .groupBy(window(window_time(col("window")), "1 hour"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HyperLogLog.RhoMax} - reg)"))
+          .as("d_present"))
+      .select(col("window.start").as("window_start"),
+        (lit(HyperLogLog.M) - col("n_buckets")).cast("long").as("v_empty"),
+        (col("d_present") + (lit(HyperLogLog.M) - col("n_buckets"))
+          * lit(1L << HyperLogLog.RhoMax)).as("d_scaled"))
+      .withColumn("hll_estimate", HyperLogLog.estimate(col("d_scaled")))
+  }
+
   /** Streaming exact dedup: watermark-bounded per-KEY dedup — the
     * incremental twin of q21's hash-groupBy dedup. State holds one entry
     * per key within the watermark horizon, and a redelivered duplicate is
