@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * [[BasketCap]] before any pair expansion, and every consumer's DuckDB
   * oracle mirrors the same cut so the gate verifies the capped semantics.
   *
-  * The cap is applied with a count window PARTITIONED BY THE BASKET KEY —
-  * one hash shuffle on the same key the pair self-join needs, so the
-  * exchange is reused rather than added (pinned in PlanShapeSpec).
+  * The cap is applied with a count window PARTITIONED BY THE BASKET KEY
+  * (never unpartitioned — PlanShapeSpec's global window sweep rejects
+  * that, and its q232 test pins the basket-key partitioning explicitly):
+  * one hash shuffle on the same key the downstream pair self-join uses,
+  * inside the basket frame that q232 computes once and caches.
   */
 object MarketBasket {
 

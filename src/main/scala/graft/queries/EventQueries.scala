@@ -28,7 +28,10 @@ object EventQueries extends Registry {
     */
   private[graft] def orderingKey(ts: org.apache.spark.sql.Column,
       eventId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(eventId.between(0L, 999999999999L) && unix_micros(ts) >= 0,
+    // a NULL component yields a NULL key (argmin/argmax skip the row —
+    // the pre-guard behavior); only a PRESENT out-of-range value raises
+    when(ts.isNull || eventId.isNull, lit(null).cast("string"))
+      .when(eventId.between(0L, 999999999999L) && unix_micros(ts) >= 0,
         format_string("%020d%012d", unix_micros(ts), eventId))
       .otherwise(raise_error(format_string(
         "ordering-key capacity exceeded: event_id=%s ts_us=%s",
@@ -36,7 +39,8 @@ object EventQueries extends Registry {
 
   /** The oracle-side mirror of [[orderingKey]] (DuckDB dialect). */
   private def oracleOrderingKey: String =
-    """CASE WHEN event_id BETWEEN 0 AND 999999999999 AND epoch_us(ts) >= 0
+    """CASE WHEN ts IS NULL OR event_id IS NULL THEN NULL
+         WHEN event_id BETWEEN 0 AND 999999999999 AND epoch_us(ts) >= 0
          THEN printf('%020d%012d', epoch_us(ts), event_id)
          ELSE error('ordering-key capacity exceeded') END"""
 

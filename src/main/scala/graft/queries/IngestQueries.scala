@@ -66,10 +66,16 @@ object IngestQueries extends Registry {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  /** Shared recursive delete (also used by PipelineQueries.publishParquet);
+    * the directory stream is closed eagerly rather than leaked to GC.
+    */
+  private[queries] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      val it = Files.list(p).iterator()
-      while (it.hasNext) deleteRecursively(it.next())
+      val st = Files.list(p)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) deleteRecursively(it.next())
+      } finally st.close()
     }
     Files.deleteIfExists(p)
   }

@@ -2013,24 +2013,33 @@ object PipelineQueries extends Registry {
     */
   private def publishParquet(df: DataFrame, path: String): Unit = {
     import java.nio.file.{Files, Paths}
+    val rm = IngestQueries.deleteRecursively _
     val pid = ProcessHandle.current().pid()
     val tmp = s"$path.tmp_$pid"
     val old = s"$path.old_$pid"
-    def rm(q: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(q, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        val it = Files.list(q).iterator()
-        while (it.hasNext) rm(it.next())
-      }
-      Files.deleteIfExists(q)
-    }
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val p = Paths.get(path)
-    if (Files.exists(p)) Files.move(p, Paths.get(old))
-    // fixture content is deterministic and SF-invariant, so if a
-    // concurrent process wins the publish race the path already holds
-    // identical bytes — losing is fine, just drop our temp copy
+    // fixture content is deterministic and SF-invariant, so a concurrent
+    // process winning any step of the swap leaves identical bytes at the
+    // fixed path — losing a race is tolerated, but a GENUINE move failure
+    // (permissions, IO error) must restore the previous fixture and
+    // surface the cause instead of deleting both copies silently
+    if (Files.exists(p)) {
+      try Files.move(p, Paths.get(old))
+      catch { case _: java.nio.file.NoSuchFileException => } // raced away
+    }
     try Files.move(Paths.get(tmp), p)
-    catch { case _: java.nio.file.FileSystemException => rm(Paths.get(tmp)) }
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        rm(Paths.get(tmp))
+        if (!Files.exists(p)) {
+          // not a concurrent winner — put the previous fixture back; if
+          // that leaves the path empty too, fail loudly with the cause
+          try Files.move(Paths.get(old), p)
+          catch { case _: java.nio.file.FileSystemException => }
+          if (!Files.exists(p)) throw e
+        }
+    }
     rm(Paths.get(old))
   }
 

@@ -590,6 +590,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"),
       s"no equi join on the basket key:\n$p")
+    // the basket-size cap's count window must partition on the basket key
+    // — an unpartitioned cap window would funnel the corpus through one
+    // task before any pair is generated
+    assert("Window \\[[^\\]]*l_orderkey".r.findFirstIn(p).isDefined ||
+      "windowspecdefinition\\(l_orderkey".r.findFirstIn(p.toLowerCase).isDefined,
+      s"cap window not partitioned by the basket key:\n$p")
   }
 
   test("q233: every cascade level is a semi/anti hash join, never a rewrite") {

@@ -305,5 +305,13 @@ class ScaleOpsSpec extends SparkSpec {
     // out-of-range (too wide / negative): raises, never returns a key
     intercept[Exception] { keyed(1000000000000L).head() }
     intercept[Exception] { keyed(-1L).head() }
+    // NULL component: NULL key (argmin/argmax skip the row), never a raise
+    val nullKey = spark.range(1)
+      .select(to_timestamp(lit("2024-01-01 00:00:00")).as("ts"),
+        lit(null).cast("long").as("event_id"))
+      .select(graft.queries.EventQueries
+        .orderingKey(col("ts"), col("event_id")).as("ok"))
+      .head()
+    assert(nullKey.isNullAt(0), "null event_id must yield a null key")
   }
 }
