@@ -556,6 +556,98 @@ object RelationalQueries extends Registry {
             exact_q, CAST(1 AS INT) AS rank_ok
           FROM x ORDER BY l_returnflag, qk""")),
 
+    // ---- Z-ORDER LAYOUT AUDIT — the multi-dimensional clustering key
+    //      lakehouse formats use for file pruning, measured rather than
+    //      asserted: rows land in 64 buckets under three layouts
+    //      (ship-day-sorted, suppkey-sorted, and the Morton z-order of
+    //      both — each dim first normalized to 8 bits equal-width, then
+    //      bit-interleaved via functions/ZOrder.scala, one flat
+    //      shift/mask/add expression valid verbatim in BOTH engines;
+    //      bucket = top 6 z bits ⇒ an 8×8 grid). The charged metric is
+    //      the single-axis RANGE-SCAN numerator: a day-slice query must
+    //      touch every bucket whose day-span covers it, so expected
+    //      touched ∝ Σ_b dx_b (and Σ_b dy_b for supp-slices);
+    //      `combined = Σdx·ry + Σdy·rx` cross-multiplies the two onto
+    //      one integer scale. A single-dim sort makes one term minimal
+    //      (rx) and the other maximal (64·ry·…); the z-grid pays ~8× on
+    //      each axis — combined ~16·rx·ry vs ~65·rx·ry, the pruning win
+    //      the deliverable shows and the oracle hash-pins. All integer
+    //      (DIV / //); min/max ride in as 1-row broadcasts. At 100 TB
+    //      this is the OPTIMIZE ZORDER BY cost model: ~32 codegen'd
+    //      integer ops per row, bucket boundaries become file
+    //      boundaries. ----------------------------------------------------
+    Q("q257_zorder_layout",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "lineitem")
+          .select(
+            datediff($"l_shipdate".cast("date"),
+              lit("1992-01-01").cast("date")).cast("long").as("x"),
+            ($"l_suppkey" % 65536).cast("long").as("y"))
+        val mm = base.agg(min($"x").as("xmin"), max($"x").as("xmax"),
+          min($"y").as("ymin"), max($"y").as("ymax"))
+        val dims = base.crossJoin(broadcast(mm))
+          .withColumn("x8", expr("((x - xmin) * 256) DIV (xmax - xmin + 1)"))
+          .withColumn("y8", expr("((y - ymin) * 256) DIV (ymax - ymin + 1)"))
+          .withColumn("z16",
+            graft.functions.ZOrder.interleave("x8", "y8", bits = 8).cast("long"))
+        val buckets = dims.select($"x", $"y", $"xmin", $"xmax", $"ymin", $"ymax",
+            expr("((x - xmin) * 64) DIV (xmax - xmin + 1)").as("b_day"),
+            expr("((y - ymin) * 64) DIV (ymax - ymin + 1)").as("b_supp"),
+            expr("z16 DIV 1024").as("b_z"))
+        def charged(name: String, bCol: String) = buckets
+          .groupBy(col(bCol).as("bkt"))
+          .agg((max($"x") - min($"x") + 1L).as("dx"),
+            (max($"y") - min($"y") + 1L).as("dy"),
+            (max($"xmax") - min($"xmin") + 1L).as("rx"),
+            (max($"ymax") - min($"ymin") + 1L).as("ry"))
+          .agg(count(lit(1)).as("n_buckets"), sum($"dx").as("sum_dx"),
+            sum($"dy").as("sum_dy"), max($"rx").as("rx"), max($"ry").as("ry"))
+          .select(lit(name).as("scheme"),
+            $"n_buckets".cast("long").as("n_buckets"),
+            $"sum_dx".cast("long").as("sum_dx"),
+            $"sum_dy".cast("long").as("sum_dy"),
+            ($"sum_dx" * $"ry" + $"sum_dy" * $"rx").cast("long").as("combined"))
+        charged("1_by_day", "b_day")
+          .unionByName(charged("2_by_supp", "b_supp"))
+          .unionByName(charged("3_zorder", "b_z"))
+          .orderBy($"scheme")
+      },
+      Some {
+        val z = graft.functions.ZOrder.interleaveSql("x8", "y8", bits = 8)
+        s"""WITH d AS (SELECT
+              date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS x,
+              l_suppkey % 65536 AS y FROM lineitem),
+          mm AS (SELECT min(x) AS xmin, max(x) AS xmax,
+              min(y) AS ymin, max(y) AS ymax FROM d),
+          n AS (SELECT x, y, xmin, xmax, ymin, ymax,
+              ((x - xmin) * 256) // (xmax - xmin + 1) AS x8,
+              ((y - ymin) * 256) // (ymax - ymin + 1) AS y8
+            FROM d, mm),
+          bk AS (SELECT x, y, xmin, xmax, ymin, ymax,
+              ((x - xmin) * 64) // (xmax - xmin + 1) AS b_day,
+              ((y - ymin) * 64) // (ymax - ymin + 1) AS b_supp,
+              ($z) // 1024 AS b_z
+            FROM n),
+          u AS (
+            SELECT '1_by_day' AS scheme, b_day AS bkt, x, y,
+              xmin, xmax, ymin, ymax FROM bk
+            UNION ALL SELECT '2_by_supp', b_supp, x, y,
+              xmin, xmax, ymin, ymax FROM bk
+            UNION ALL SELECT '3_zorder', b_z, x, y,
+              xmin, xmax, ymin, ymax FROM bk),
+          b AS (SELECT scheme, bkt,
+              max(x) - min(x) + 1 AS dx, max(y) - min(y) + 1 AS dy,
+              max(xmax) - min(xmin) + 1 AS rx,
+              max(ymax) - min(ymin) + 1 AS ry
+            FROM u GROUP BY 1, 2)
+          SELECT scheme, CAST(count(*) AS BIGINT) AS n_buckets,
+            CAST(sum(dx) AS BIGINT) AS sum_dx,
+            CAST(sum(dy) AS BIGINT) AS sum_dy,
+            CAST(sum(dx) * max(ry) + sum(dy) * max(rx) AS BIGINT) AS combined
+          FROM b GROUP BY scheme ORDER BY scheme"""
+      }),
+
     // ---- deterministic stratified sample: fixed-size per-stratum draw
     //      keyed by md5 of the row key — partition-invariant (unlike
     //      rand()-based sampleBy) and reproducible in any engine. The

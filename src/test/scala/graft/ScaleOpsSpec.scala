@@ -288,6 +288,31 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("z-order interleave round-trips and its bucket bits form the quadrant grid") {
+    // the two properties q257's layout audit stands on: the Morton code
+    // is a bijection (deinterleave inverts interleave for every 8-bit
+    // pair), and the top 2k interleaved bits equal the interleave of each
+    // dimension's top k bits — so a bucket cut on high z bits IS a
+    // spatial quadrant grid, which is what bounds per-bucket spans.
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.functions.ZOrder
+    val pairs = spark.range(0, 256L * 256L)
+      .select((col("id") % 256).as("x8"), (col("id") / 256).cast("long").as("y8"))
+      .withColumn("z", ZOrder.interleave("x8", "y8", bits = 8).cast("long"))
+    val bad = pairs
+      .withColumn("xr", ZOrder.deinterleave("z", 0, bits = 8).cast("long"))
+      .withColumn("yr", ZOrder.deinterleave("z", 1, bits = 8).cast("long"))
+      .withColumn("zq", expr("z DIV 1024"))
+      .withColumn("gq", ZOrder.interleave("(x8 DIV 32)", "(y8 DIV 32)", bits = 3)
+        .cast("long"))
+      .filter(col("xr") =!= col("x8") || col("yr") =!= col("y8") ||
+        col("zq") =!= col("gq"))
+      .count()
+    assert(bad == 0L, s"$bad of 65536 (x,y) pairs broke round-trip or grid identity")
+    // bijection ⇒ 65536 distinct z values over the full 16-bit range
+    assert(pairs.select("z").distinct().count() == 65536L)
+  }
+
   test("ordering-key capacity guard raises on out-of-range ids instead of mis-sorting") {
     // q235/q240's fixed-width '%020d%012d' key is lexicographic==numeric
     // ONLY for non-negative components with event_id < 10^12 —
