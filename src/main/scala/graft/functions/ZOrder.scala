@@ -27,8 +27,10 @@ object ZOrder {
     * y at 2i+1. Valid in Spark SQL and DuckDB verbatim.
     */
   def interleaveSql(x: String, y: String, bits: Int = Bits): String =
+    // operands are parenthesized before `>>`: a compound argument like
+    // "x & 3" must not re-associate as "x & (3 >> i)"
     (0 until bits).map { i =>
-      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+      s"(((($x) >> $i) & 1) << ${2 * i}) + (((($y) >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " + ", ")")
 
   def interleave(x: String, y: String, bits: Int = Bits): Column =
@@ -39,7 +41,7 @@ object ZOrder {
     */
   def deinterleaveSql(z: String, dim: Int, bits: Int = Bits): String =
     (0 until bits).map { i =>
-      s"((($z >> ${2 * i + dim}) & 1) << $i)"
+      s"(((($z) >> ${2 * i + dim}) & 1) << $i)"
     }.mkString("(", " + ", ")")
 
   def deinterleave(z: String, dim: Int, bits: Int = Bits): Column =

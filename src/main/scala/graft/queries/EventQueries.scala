@@ -464,15 +464,13 @@ object EventQueries extends Registry {
     Q("q155_zorder_layout",
       (s, dir) => {
         import s.implicits._
-        val x = ($"user_id" % 64).cast("long")
-        val y = hour($"ts").cast("long")
-        val z = (0 until 6).map(i =>
-          (shiftleft(shiftright($"x", i).bitwiseAND(1), 2 * i) +
-            shiftleft(shiftright($"y", i).bitwiseAND(1), 2 * i + 1)).cast("long"))
-          .reduce(_ + _)
         events(s, dir)
-          .select($"event_id", x.as("x"), y.as("y"))
-          .withColumn("z", z)
+          .select($"event_id", ($"user_id" % 64).cast("long").as("x"),
+            hour($"ts").cast("long").as("y"))
+          // shared Morton kernel (functions/ZOrder.scala) — one
+          // interleave definition for q155, q257 and both oracles
+          .withColumn("z",
+            graft.functions.ZOrder.interleave("x", "y", bits = 6).cast("long"))
           .withColumn("zbucket", expr("z div 64"))
           .groupBy($"zbucket")
           .agg(count(lit(1)).as("n_rows"),
@@ -483,17 +481,12 @@ object EventQueries extends Registry {
             ($"y_max" - $"y_min").as("y_span"))
           .orderBy($"zbucket")
       },
-      Some("""WITH b AS (SELECT event_id,
+      Some(s"""WITH b AS (SELECT event_id,
             CAST(user_id % 64 AS BIGINT) AS x,
             CAST(hour(ts) AS BIGINT) AS y
           FROM events),
         zv AS (SELECT x, y,
-            (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) +
-            (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) +
-            (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) +
-            (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) +
-            (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) +
-            (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) AS z
+            ${graft.functions.ZOrder.interleaveSql("x", "y", bits = 6)} AS z
           FROM b)
         SELECT z // 64 AS zbucket, count(*) AS n_rows,
           max(x) - min(x) AS x_span, max(y) - min(y) AS y_span

