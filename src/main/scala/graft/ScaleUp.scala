@@ -78,6 +78,27 @@ object ScaleUp {
     val nl = spark.read.parquet(s"$dst/lineitem.parquet").count()
     println(s"[scaleup] wrote $nl lineitem rows ($factor x $src) to $dst")
 
+    // events for the event-time/monitoring family: replicas offset
+    // user_id and event_id but keep ts — the user population grows
+    // factor× while the calendar stays 30 days, exactly how a real
+    // product grows (and what keeps the calendar-bounded intermediate
+    // tables bounded while per-day volume scales)
+    val ev = graft.core.Tables(spark, src, "events")
+    val uidStride = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val eidStride = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val evCols = ev.columns
+    val evReplicas = (0 until factor).map { r =>
+      if (r == 0) ev
+      else ev.withColumn("user_id", col("user_id") + lit(r * uidStride))
+        .withColumn("event_id", col("event_id") + lit(r * eidStride))
+        .select(evCols.map(col): _*)
+    }
+    evReplicas.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    val ne = spark.read.parquet(s"$dst/events.parquet").count()
+    println(s"[scaleup] wrote $ne event rows ($factor x $src) to $dst")
+
     // region passes through unscaled (fixed 5 rows at every SF) — Bench's
     // session warm-up reads it from the target dir
     graft.core.Tables(spark, src, "region")
