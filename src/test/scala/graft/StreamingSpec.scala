@@ -339,4 +339,55 @@ class StreamingSpec extends SparkSpec {
       assert(all.count(_._1 == 2L) == 1, "key 2 re-emitted without input")
     } finally q.stop()
   }
+
+  test("streaming HLL is batch-split invariant and equals the batch register fold") {
+    // the two facts q255 rests on: (a) for an IN-ORDER feed the windowed
+    // register state folds incrementally to the SAME summary no matter
+    // how the feed is split into micro-batches (max is associative+
+    // commutative; out-of-order feeds are a different contract — the
+    // watermark late-drops stragglers by design, which q244 audits), and
+    // (b) that summary equals the batch HyperLogLog kernel on the same
+    // rows.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows: Seq[(Timestamp, Long)] = (0 until 300).map { i =>
+      (ts(f"2024-01-01 ${i % 3}%02d:${(i * 7) % 60}%02d:00"), (i % 113).toLong)
+    }.sortBy(_._1.getTime)
+    def run(splits: Seq[Seq[(Timestamp, Long)]]): Seq[(String, Long, Long, Double)] = {
+      val mem = MemoryStream[(Timestamp, Long)]
+      val qn = s"shll_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = StreamingOps.windowedHllDistinct(mem.toDF().toDF("ts", "user_id"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append).start()
+      try {
+        splits.foreach { b => mem.addData(b); q.processAllAvailable() }
+        mem.addData(Seq((ts("2024-02-01 00:00:00"), -1L))); q.processAllAvailable()
+        mem.addData(Seq((ts("2024-03-01 00:00:00"), -1L))); q.processAllAvailable()
+        s.table(qn).filter($"window_start" < ts("2024-01-02 00:00:00"))
+          .orderBy($"window_start")
+          .collect()
+          .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(rows))
+    val threeWay = run(Seq(rows.take(50), rows.slice(50, 230), rows.drop(230)))
+    assert(oneShot == threeWay, "summary depends on micro-batch split")
+    assert(oneShot.size == 3, s"expected 3 hour windows, got ${oneShot.size}")
+
+    // batch twin: same rows through the batch register kernel
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val batch = graft.functions.HyperLogLog.summarize(
+        graft.functions.HyperLogLog.registers(
+          rows.toDF("ts", "user_id")
+            .withColumn("w", date_trunc("hour", col("ts"))),
+          Seq("w"), graft.functions.HyperLogLog.hash60("hll", col("user_id"))),
+        Seq("w"))
+      .orderBy(col("w"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getAs[Long]("v_empty"),
+        r.getAs[Long]("d_scaled"), r.getAs[Double]("hll_estimate"))).toSeq
+    assert(oneShot == batch, s"stream fold != batch kernel:\n$oneShot\n$batch")
+  }
 }
