@@ -53,6 +53,30 @@ object ScaleUp {
     val n = spark.read.parquet(s"$dst/documents.parquet").count()
     println(s"[scaleup] wrote $n documents ($factor x $src) to $dst")
 
+    // shared replicate-with-offset-ids helper: each replica shifts the
+    // listed id columns by that column's (max + 1) stride — one combined
+    // agg computes every stride in a single source scan
+    def replicate(table: String, idCols: Seq[String]): Unit = {
+      val df = graft.core.Tables(spark, src, table)
+      val strides = {
+        val row = df.agg(max(col(idCols.head)),
+          idCols.tail.map(c => max(col(c))): _*).head()
+        idCols.indices.map(i => row.getLong(i) + 1)
+      }
+      val cols = df.columns
+      val replicas = (0 until factor).map { r =>
+        if (r == 0) df
+        else idCols.zip(strides).foldLeft(df) { case (d, (c, st)) =>
+          d.withColumn(c, col(c) + lit(r * st))
+        }.select(cols.map(col): _*)
+      }
+      replicas.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      val n = spark.read.parquet(s"$dst/$table.parquet").count()
+      println(s"[scaleup] wrote $n $table rows ($factor x $src) to $dst")
+    }
+
     // lineitem for the market-basket graph family (q232/q242/q243): each
     // replica offsets BOTH the basket key and the item key, so the
     // co-purchase graph at factor F is F disjoint copies of the source
@@ -62,42 +86,14 @@ object ScaleUp {
     // multiply every pair's support by F and flood the absolute min-support
     // cut — the basket analog of the near-dup LSH pathology the document
     // perturbation exists to avoid.
-    val li = graft.core.Tables(spark, src, "lineitem")
-    val okStride = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
-    val pkStride = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
-    val liCols = li.columns
-    val liReplicas = (0 until factor).map { r =>
-      if (r == 0) li
-      else li.withColumn("l_orderkey", col("l_orderkey") + lit(r * okStride))
-        .withColumn("l_partkey", col("l_partkey") + lit(r * pkStride))
-        .select(liCols.map(col): _*)
-    }
-    liReplicas.reduce(_ unionByName _)
-      .repartition(cpus.toInt)
-      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
-    val nl = spark.read.parquet(s"$dst/lineitem.parquet").count()
-    println(s"[scaleup] wrote $nl lineitem rows ($factor x $src) to $dst")
+    replicate("lineitem", Seq("l_orderkey", "l_partkey"))
 
     // events for the event-time/monitoring family: replicas offset
     // user_id and event_id but keep ts — the user population grows
     // factor× while the calendar stays 30 days, exactly how a real
     // product grows (and what keeps the calendar-bounded intermediate
     // tables bounded while per-day volume scales)
-    val ev = graft.core.Tables(spark, src, "events")
-    val uidStride = ev.agg(max(col("user_id"))).head().getLong(0) + 1
-    val eidStride = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    val evCols = ev.columns
-    val evReplicas = (0 until factor).map { r =>
-      if (r == 0) ev
-      else ev.withColumn("user_id", col("user_id") + lit(r * uidStride))
-        .withColumn("event_id", col("event_id") + lit(r * eidStride))
-        .select(evCols.map(col): _*)
-    }
-    evReplicas.reduce(_ unionByName _)
-      .repartition(cpus.toInt)
-      .write.mode("overwrite").parquet(s"$dst/events.parquet")
-    val ne = spark.read.parquet(s"$dst/events.parquet").count()
-    println(s"[scaleup] wrote $ne event rows ($factor x $src) to $dst")
+    replicate("events", Seq("user_id", "event_id"))
 
     // region passes through unscaled (fixed 5 rows at every SF) — Bench's
     // session warm-up reads it from the target dir
