@@ -93,14 +93,17 @@ object Bench {
     // full-log consumer, and (c) end with a tail-sized line that keeps the
     // driver contract (metric/value/unit/queries/sf) but limits the queries
     // dict to the slowest 20 — the ones a plan reviewer actually looks at.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    // a SPARK_GRAFT_BENCH_ONLY subset run must never clobber the canonical
+    // full-suite artifact the docs reference (it has happened twice)
+    val artifact = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), full + "\n")
     println(full)
     val top = results.toSeq.sortBy(-_._2._1).take(20)
       .map { case (k, (c, _, _)) => k -> c }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(top)},""" +
       s""""total_warm":$totalWarm,"total_warm_batch":$totalWarmBatch,""" +
       s""""total_warm_streaming":$totalWarmStreaming,"n_queries":${results.size},""" +
-      s""""n_errors":${errs.size},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
+      s""""n_errors":${errs.size},"queries_full":"$artifact","sf":"$sfDir"}""")
     spark.stop()
   }
 }
