@@ -259,6 +259,101 @@ object SketchQueries extends Registry {
             CAST(CASE WHEN $relErrSql <= 5.0 * 1.04 / sqrt($M.0)
                  THEN 1 ELSE 0 END AS INT) AS within_5sigma
           FROM s ORDER BY l_returnflag"""
+      }),
+
+    // ---- HLL REGISTER MERGE across TABLES — sketch-based join sizing,
+    //      the q230 KMV estimate's union/intersection companion: the
+    //      orders.o_custkey and customer.c_custkey register tables merge
+    //      by ELEMENTWISE MAX (full-outer join on bucket + greatest),
+    //      giving |A∪B| without ever co-shuffling the tables, and
+    //      |A∩B| = Ê_A + Ê_B − Ê_{A∪B} by inclusion-exclusion — the
+    //      cardinality input a join planner needs from two independent
+    //      profiling passes (two KB-scale sketches, no data movement).
+    //      Registers, merged registers and every d_scaled are exact
+    //      longs; the three estimates and the intersection are
+    //      pinned-order float expressions — DuckDB rebuilds all of it
+    //      from the same rows and the gate hash-matches content. The
+    //      exact intersection rides along as the test-scale audit (at
+    //      production scale it IS the semi-join being avoided). ------------
+    Q("q258_hll_union_join_estimate",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.HyperLogLog
+        def regs(tab: String, c: String) =
+          HyperLogLog.registers(
+            t(s, dir, tab).select(col(c).cast("long").as("k")),
+            Seq.empty, HyperLogLog.hash60("hlljoin", $"k"))
+        val ra = regs("orders", "o_custkey")
+        // B side restricted to one market segment so the two keysets
+        // genuinely differ (every customer places an order in this data —
+        // unfiltered sets would be identical and the union degenerate)
+        val rb = HyperLogLog.registers(
+          t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+            .select($"c_custkey".cast("long").as("k")),
+          Seq.empty, HyperLogLog.hash60("hlljoin", $"k"))
+        val merged = ra.select($"bkt", $"reg".as("reg_a"))
+          .join(rb.select($"bkt", $"reg".as("reg_b")), Seq("bkt"), "full")
+          .select($"bkt",
+            greatest(coalesce($"reg_a", lit(0)), coalesce($"reg_b", lit(0)))
+              .as("reg"))
+        def dScaled(r: org.apache.spark.sql.DataFrame) = r
+          .agg(count(lit(1)).as("nb"),
+            sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HyperLogLog.RhoMax} - reg)"))
+              .as("dp"))
+          .select(($"dp" + (lit(HyperLogLog.M) - $"nb")
+            * lit(1L << HyperLogLog.RhoMax)).as("d"))
+        val est = dScaled(ra).select(HyperLogLog.estimate($"d").as("est_a"),
+            $"d".as("d_a"))
+          .crossJoin(dScaled(rb).select(HyperLogLog.estimate($"d").as("est_b"),
+            $"d".as("d_b")))
+          .crossJoin(dScaled(merged).select(
+            HyperLogLog.estimate($"d").as("est_union"), $"d".as("d_union")))
+        val exact = t(s, dir, "orders").select($"o_custkey".as("k")).distinct()
+          .join(t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+            .select($"c_custkey".as("k")).distinct(), Seq("k"), "left_semi")
+          .agg(count(lit(1)).as("exact_inter"))
+        est.crossJoin(broadcast(exact))
+          .select($"d_a".cast("long").as("d_a"), $"d_b".cast("long").as("d_b"),
+            $"d_union".cast("long").as("d_union"),
+            $"est_a", $"est_b", $"est_union",
+            ($"est_a" + $"est_b" - $"est_union").as("est_inter"),
+            $"exact_inter".cast("long").as("exact_inter"))
+      },
+      Some {
+        import graft.functions.HyperLogLog.{M, RhoMax, WordBits}
+        def regsCte(name: String, tab: String, c: String) =
+          s"""${name}_h AS (SELECT ${graft.functions.TextFunctions.hexPolySql(15,
+            s"concat_ws('|', 'hlljoin', CAST($c AS BIGINT))")} AS h FROM $tab),
+          $name AS (SELECT h >> $WordBits AS bkt,
+              max(CASE WHEN h & ${(1L << WordBits) - 1} = 0 THEN $RhoMax
+                  ELSE CAST(log2((h & ${(1L << WordBits) - 1})
+                    & (-(h & ${(1L << WordBits) - 1}))) AS INT) + 1 END) AS reg
+            FROM ${name}_h GROUP BY 1)"""
+        def dCte(name: String, src: String) =
+          s"""$name AS (SELECT sum(CAST(1 AS BIGINT) << ($RhoMax - reg))
+              + ($M - count(*)) * (CAST(1 AS BIGINT) << $RhoMax) AS d
+            FROM $src)"""
+        val estA = graft.functions.HyperLogLog.estimateSql("da.d")
+        val estB = graft.functions.HyperLogLog.estimateSql("db.d")
+        val estU = graft.functions.HyperLogLog.estimateSql("du.d")
+        s"""WITH ${regsCte("ra", "orders", "o_custkey")},
+          ${regsCte("rb",
+            "(SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') cb",
+            "c_custkey")},
+          m AS (SELECT COALESCE(ra.bkt, rb.bkt) AS bkt,
+              greatest(COALESCE(ra.reg, 0), COALESCE(rb.reg, 0)) AS reg
+            FROM ra FULL OUTER JOIN rb ON ra.bkt = rb.bkt),
+          ${dCte("da", "ra")}, ${dCte("db", "rb")}, ${dCte("du", "m")},
+          e AS (SELECT count(*) AS exact_inter FROM
+            (SELECT DISTINCT o_custkey AS k FROM orders) o
+            JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+              WHERE c_mktsegment = 'BUILDING') c USING (k))
+          SELECT CAST(da.d AS BIGINT) AS d_a, CAST(db.d AS BIGINT) AS d_b,
+            CAST(du.d AS BIGINT) AS d_union,
+            $estA AS est_a, $estB AS est_b, $estU AS est_union,
+            $estA + $estB - $estU AS est_inter,
+            CAST(exact_inter AS BIGINT) AS exact_inter
+          FROM da, db, du, e"""
       })
   )
 }
