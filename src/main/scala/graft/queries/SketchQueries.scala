@@ -318,6 +318,7 @@ object SketchQueries extends Registry {
             $"est_a", $"est_b", $"est_union",
             ($"est_a" + $"est_b" - $"est_union").as("est_inter"),
             $"exact_inter".cast("long").as("exact_inter"))
+          .orderBy($"d_a") // single row; the gate requires a total order
       },
       Some {
         import graft.functions.HyperLogLog.{M, RhoMax, WordBits}
@@ -353,7 +354,7 @@ object SketchQueries extends Registry {
             $estA AS est_a, $estB AS est_b, $estU AS est_union,
             $estA + $estB - $estU AS est_inter,
             CAST(exact_inter AS BIGINT) AS exact_inter
-          FROM da, db, du, e"""
+          FROM da, db, du, e ORDER BY d_a"""
       })
   )
 }
