@@ -1,0 +1,61 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Micro-batch progress capture for Bench's streaming steady-state metric.
+  *
+  * Registered via `spark.sql.streaming.streamingQueryListeners` (zero-arg
+  * constructor required) so every session — including the child sessions
+  * the streaming gate queries build via `StreamingOps.streamSession` —
+  * instantiates one and reports into the shared static buffer. A listener
+  * added with `spark.streams.addListener` on the parent would miss child
+  * sessions entirely: each SessionState owns its own
+  * StreamingQueryManager, and progress events are filtered per-session.
+  *
+  * Wall-clock around `processAllAvailable` measures stream start/stop +
+  * harness setup (same-code runs swing 2x); `triggerExecution` per
+  * micro-batch is the engine's own work and is what actually scales with
+  * fed rows — so Bench reports rows / sum(triggerExecution) as the
+  * steady-state throughput for streaming queries.
+  */
+final class BenchListener extends StreamingQueryListener {
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    val trig = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
+    BenchListener.buf.add(BenchListener.Batch(p.runId.toString, p.batchId, p.numInputRows, trig))
+  }
+}
+
+object BenchListener {
+  final case class Batch(runId: String, batchId: Long, inputRows: Long, triggerMs: Long)
+
+  val buf = new ConcurrentLinkedQueue[Batch]()
+
+  /** Drain and return everything captured so far (events arrive async —
+    * callers poll [[quiesce]] first).
+    */
+  def drain(): Seq[Batch] = {
+    val out = Vector.newBuilder[Batch]
+    var b = buf.poll()
+    while (b != null) { out += b; b = buf.poll() }
+    out.result()
+  }
+
+  /** Wait until no new events arrive for `settleMs` (listener delivery is
+    * async relative to `processAllAvailable` returning).
+    */
+  def quiesce(settleMs: Long = 300, maxMs: Long = 3000): Unit = {
+    val deadline = System.nanoTime() + maxMs * 1000000L
+    var last = buf.size()
+    var stableSince = System.nanoTime()
+    while (System.nanoTime() < deadline &&
+        (System.nanoTime() - stableSince) < settleMs * 1000000L) {
+      Thread.sleep(50)
+      val n = buf.size()
+      if (n != last) { last = n; stableSince = System.nanoTime() }
+    }
+  }
+}

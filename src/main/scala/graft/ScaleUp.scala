@@ -59,9 +59,15 @@ object ScaleUp {
     def replicate(table: String, idCols: Seq[String]): Unit = {
       val df = graft.core.Tables(spark, src, table)
       val strides = {
-        val row = df.agg(max(col(idCols.head)),
-          idCols.tail.map(c => max(col(c))): _*).head()
-        idCols.indices.map(i => row.getLong(i) + 1)
+        // cast to long so int32 id columns don't ClassCastException, and
+        // fail with a clear message on an empty source table (max = NULL)
+        val row = df.agg(max(col(idCols.head).cast("long")),
+          idCols.tail.map(c => max(col(c).cast("long"))): _*).head()
+        idCols.indices.map { i =>
+          require(!row.isNullAt(i),
+            s"ScaleUp: source table '$table' is empty (or ${idCols(i)} is all-NULL); cannot derive id stride")
+          row.getLong(i) + 1
+        }
       }
       val cols = df.columns
       val replicas = (0 until factor).map { r =>

@@ -55,9 +55,15 @@ object StableMatcher {
           case (c, s) if !sentinels.contains(c.trim.toLowerCase) =>
             (c.trim.toLowerCase, s)
         }
+        // Dedupe candidates keeping the best-scored entry (first after the
+        // (-score, name) sort). The monotone proposal cursor assumes each
+        // list entry is a DISTINCT target: a duplicated (query, cand) input
+        // row would otherwise let a src re-propose to the same target a
+        // second time within one round — the old tried-set skipped those,
+        // and the backward map already keeps best-score-per-candidate.
         if (kept.nonEmpty)
           m(k.trim.toLowerCase) = mutable.ArrayBuffer(
-            kept.sortBy { case (c, s) => (-s, c) }: _*)
+            kept.sortBy { case (c, s) => (-s, c) }.distinctBy(_._1): _*)
       }
       m
     }

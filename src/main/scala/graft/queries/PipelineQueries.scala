@@ -2025,6 +2025,10 @@ object PipelineQueries extends Registry {
     // (permissions, IO error) must restore the previous fixture and
     // surface the cause instead of deleting both copies silently
     if (Files.exists(p)) {
+      // a stale `old_<pid>` left by a crashed earlier publish whose pid was
+      // since reused would make Files.move throw FileAlreadyExistsException
+      // and fail the publish — clear the aside target first
+      rm(Paths.get(old))
       try Files.move(p, Paths.get(old))
       catch { case _: java.nio.file.NoSuchFileException => } // raced away
     }

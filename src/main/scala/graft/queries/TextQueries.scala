@@ -3318,9 +3318,11 @@ object TextQueries extends Registry {
     val M = 1000003L
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     // NULL text is coalesced to '' so it behaves exactly like an empty
-    // document (no token rows) rather than taking a null-propagation path
-    // of its own — keeps row accounting identical across formulations if
-    // a feed ever carries null text
+    // document rather than taking a null-propagation path of its own.
+    // Note split('', ' ') yields [''] in BOTH Spark and DuckDB, so a
+    // null/empty document contributes ONE empty-string token row (one
+    // single-token chunk) — engine-consistent, and row accounting stays
+    // identical across formulations if a feed ever carries null text
     d.select($"doc_id",
         posexplode(tokens(lower(coalesce($"text", lit(""))))).as(Seq("pos", "tk")))
       .withColumn("c",
