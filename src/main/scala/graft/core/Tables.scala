@@ -28,6 +28,12 @@ object Tables {
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
+    // static conf: every SessionState (including the child sessions
+    // StreamingOps.streamSession builds with newSession()) instantiates a
+    // graft.BenchListener into its own StreamingQueryManager, all feeding
+    // the shared static buffer — an addListener on the parent would miss
+    // child sessions, whose progress events are filtered per-session.
+    "spark.sql.streaming.streamingQueryListeners" -> "graft.BenchListener",
     "spark.sql.warehouse.dir" ->
       s"/tmp/graft-warehouse/${java.util.UUID.randomUUID()}")
 

@@ -47,6 +47,36 @@ object MatcherProperties extends Properties("StableMatcher") {
       val ms = StableMatcher.matchCase(fwd, bwd, 5)
       ms.map(m => (m.srcAttr, m.tgtAttr)).distinct.size == ms.size
     }
+
+  // Unlike prefsGen (duplicate-FREE via distinctBy), this generator
+  // INJECTS duplicated (query, cand) rows: extra copies of already-listed
+  // candidates with fresh scores, interleaved before the originals.
+  // Pins the clean()-time dedupe (VERDICT r9/r10 item 3) against the
+  // equivalent best-score-per-candidate input.
+  private val dupPrefsGen: Gen[StableMatcher.Prefs] =
+    Gen.mapOf(Gen.zip(attrs, for {
+      base <- Gen.nonEmptyListOf(Gen.zip(attrs, scores))
+      extra <- Gen.nonEmptyListOf(Gen.zip(Gen.oneOf(base.map(_._1)), scores))
+    } yield extra ++ base))
+
+  private def bestScorePerCand(p: StableMatcher.Prefs): StableMatcher.Prefs =
+    p.map { case (k, cs) =>
+      k -> cs.groupBy(_._1).map { case (c, ss) => c -> ss.map(_._2).max }.toSeq
+    }
+
+  property("duplicated (query, cand) rows match exactly like the dedup'd input") =
+    forAll(dupPrefsGen, dupPrefsGen) { (fwd, bwd) =>
+      StableMatcher.matchCase(fwd, bwd, 5) ==
+        StableMatcher.matchCase(bestScorePerCand(fwd), bestScorePerCand(bwd), 5)
+    }
+
+  property("with duplicates, each round is still a matching") =
+    forAll(dupPrefsGen, dupPrefsGen) { (fwd, bwd) =>
+      StableMatcher.matchCase(fwd, bwd, 3).groupBy(_.round).values.forall { ms =>
+        ms.map(_.srcAttr).distinct.size == ms.size &&
+          ms.map(_.tgtAttr).distinct.size == ms.size
+      }
+    }
 }
 
 object ParserProperties extends Properties("Parsers") {

@@ -188,4 +188,34 @@ class StableMatcherSpec extends SparkSpec {
       (System.nanoTime() - t1) / 1e6 < 1000.0
     }, "1k x 1k matchCase exceeded 1 s even after JIT warm-up")
   }
+
+  test("duplicated (query, cand) rows yield exactly the dedup'd input's matches") {
+    // VERDICT r9/r10 item 3: clean() dedupes duplicated candidate entries
+    // keeping the best score (StableMatcher.scala clean/distinctBy). The
+    // monotone proposal cursor assumes distinct targets per list — a
+    // surviving duplicate would let s1 re-propose to t1 within one round.
+    // Duplicates are placed BEFORE and AFTER the best-scored copy, and on
+    // both the forward and backward side.
+    val fwdDup = prefs(
+      "s1" -> Seq("t1" -> 0.2, "t2" -> 0.5, "t1" -> 0.9, "t1" -> 0.4),
+      "s2" -> Seq("t1" -> 0.8, "t1" -> 0.8))
+    val bwdDup = prefs(
+      "t1" -> Seq("s2" -> 0.1, "s2" -> 0.7, "s1" -> 0.3),
+      "t2" -> Seq("s1" -> 0.6, "s1" -> 0.6))
+    val fwdDedup = prefs(
+      "s1" -> Seq("t1" -> 0.9, "t2" -> 0.5),
+      "s2" -> Seq("t1" -> 0.8))
+    val bwdDedup = prefs(
+      "t1" -> Seq("s2" -> 0.7, "s1" -> 0.3),
+      "t2" -> Seq("s1" -> 0.6))
+    val got = StableMatcher.matchCase(fwdDup, bwdDup, maxRounds = 3)
+    val want = StableMatcher.matchCase(fwdDedup, bwdDedup, maxRounds = 3)
+    assert(got == want, s"dup-input matches diverge: got=$got want=$want")
+    assert(got.nonEmpty)
+    // each round is still a matching even with duplicated inputs
+    got.groupBy(_.round).values.foreach { ms =>
+      assert(ms.map(_.srcAttr).distinct.size == ms.size)
+      assert(ms.map(_.tgtAttr).distinct.size == ms.size)
+    }
+  }
 }
