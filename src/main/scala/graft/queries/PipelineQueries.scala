@@ -139,7 +139,94 @@ object PipelineQueries extends Registry {
           .drop("tn", "accuracy2")
           .orderBy($"case_id")
       },
-      None),
+      // End-to-end oracle (VERDICT r9/r10 item 2): the full
+      // scan→sample→prompt→mock-LLM→parse→validate→join→metrics pipeline
+      // replayed in DuckDB. Per-column value samples (region/nation only,
+      // mirroring samplesFor's collect_set→truncate(20)→sort→take(3)) are
+      // rebuilt via UNPIVOT(COLUMNS(*)::VARCHAR); the prompt is the same
+      // byte-exact render as q47's but in declared column order (no
+      // shuffle) and with the samples array populated; the mock argmax,
+      // schema validation (the sentinel never joins a schema column),
+      // TP/FP/FN set algebra and the P/R/F1/effort formulas (all-zero⇒1.0)
+      // follow Metrics' float operation structure so doubles match
+      // bit-for-bit.
+      Some(s"""WITH cols AS (
+          SELECT table_name AS t, column_name AS name,
+                 CASE data_type WHEN 'INTEGER' THEN 'int' WHEN 'BIGINT' THEN 'bigint'
+                      WHEN 'VARCHAR' THEN 'string' WHEN 'DOUBLE' THEN 'double'
+                      ELSE 'UNMAPPED:' || data_type END AS typ,
+                 ordinal_position AS pos
+          FROM information_schema.columns
+          WHERE table_name IN ('region','nation','customer','supplier','part')),
+        rv AS (
+          SELECT 'region' AS t, name AS col, value AS v FROM (
+            UNPIVOT (SELECT COLUMNS(*)::VARCHAR FROM region) ON COLUMNS(*) INTO NAME name VALUE value)
+          UNION ALL
+          SELECT 'nation', name, value FROM (
+            UNPIVOT (SELECT COLUMNS(*)::VARCHAR FROM nation) ON COLUMNS(*) INTO NAME name VALUE value)),
+        sampvals AS (
+          SELECT t, col, v, row_number() OVER (PARTITION BY t, col ORDER BY v) AS rn
+          FROM (SELECT DISTINCT t, col,
+                  CASE WHEN length(v) > 20 THEN substr(v, 1, 20) || '...' ELSE v END AS v
+                FROM rv) u),
+        samp AS (
+          SELECT t, col, string_agg('"' || v || '"', ', ' ORDER BY v) AS sjson
+          FROM sampvals WHERE rn <= 3 GROUP BY t, col),
+        srcjson AS (
+          SELECT c.t,
+            '[' || string_agg(
+              '{"name": "' || c.name || '", "type": "' || c.typ || '", "samples": ['
+                || COALESCE(s.sjson, '') || ']}', ', ' ORDER BY c.pos) || ']' AS sj,
+            string_agg('- ' || c.name, chr(10) ORDER BY c.pos) AS optlines
+          FROM cols c LEFT JOIN samp s ON s.t = c.t AND s.col = c.name
+          GROUP BY c.t),
+        q AS (
+          SELECT s.t, 'src:' || s.t || '|tgt:' || s.t AS case_id, 't_' || g.name AS tgt,
+            'Source schema: ' || s.sj || chr(10) ||
+            'Target attribute: "t_' || g.name || '"' || chr(10) ||
+            'Which source column matches the target attribute? Answer as {"matches": [...]}.' || chr(10) ||
+            'Options:' || chr(10) || s.optlines || chr(10) || '- there is no match.' AS prompt
+          FROM srcjson s JOIN cols g ON s.t = g.t),
+        cands AS (
+          SELECT q.t, q.case_id, q.tgt, c.name AS cand, q.prompt FROM q JOIN cols c ON c.t = q.t
+          UNION ALL
+          SELECT t, case_id, tgt, 'there is no match.', prompt FROM q),
+        h AS (SELECT t, case_id, tgt, cand,
+                ${graft.functions.TextFunctions.hexPolySql(12, "prompt || '|' || cand")} AS hv
+              FROM cands),
+        best AS (
+          SELECT t, case_id, tgt, cand,
+            ROW_NUMBER() OVER (PARTITION BY case_id, tgt ORDER BY hv DESC, cand) AS rn
+          FROM h),
+        preds AS (
+          SELECT b.case_id, b.cand AS src_attr, b.tgt AS tgt_attr
+          FROM best b JOIN cols c ON c.t = b.t AND lower(c.name) = lower(b.cand)
+          WHERE b.rn = 1),
+        gold AS (SELECT 'src:' || t || '|tgt:' || t AS case_id, name AS src_attr, 't_' || name AS tgt_attr FROM cols),
+        counts AS (
+          SELECT g.case_id,
+            CAST(COALESCE(tp.n, 0) AS DOUBLE) AS tp,
+            CAST(COALESCE(fp.n, 0) AS DOUBLE) AS fp,
+            CAST(COALESCE(fn.n, 0) AS DOUBLE) AS fn
+          FROM (SELECT DISTINCT case_id FROM gold) g
+          LEFT JOIN (SELECT case_id, count(*) AS n FROM (SELECT * FROM preds INTERSECT SELECT * FROM gold) GROUP BY case_id) tp USING (case_id)
+          LEFT JOIN (SELECT case_id, count(*) AS n FROM (SELECT * FROM preds EXCEPT SELECT * FROM gold) GROUP BY case_id) fp USING (case_id)
+          LEFT JOIN (SELECT case_id, count(*) AS n FROM (SELECT * FROM gold EXCEPT SELECT * FROM preds) GROUP BY case_id) fn USING (case_id))
+        SELECT case_id, tp, fp, fn,
+          CASE WHEN tp = 0 AND fp = 0 AND fn = 0 THEN 1.0
+               WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+          CASE WHEN tp = 0 AND fp = 0 AND fn = 0 THEN 1.0
+               WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+          CASE WHEN tp = 0 AND fp = 0 AND fn = 0 THEN 1.0
+               WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+                  + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END) = 0 THEN 0.0
+               ELSE 2 * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+                      * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)
+                    / ((CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+                     + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)) END AS f1,
+          CASE WHEN tp + fn = 0 THEN 0.0 ELSE (3 * fn + fp) / (tp + fn) END AS effort
+        FROM counts
+        ORDER BY case_id""")),
 
     // ---- §3.2: dual-direction scoring + stable matching ------------------
     Q("q35_stable_matching",
@@ -891,7 +978,63 @@ object PipelineQueries extends Registry {
           .groupBy($"mode").agg(count(lit(1)).as("n_pairs"))
           .orderBy($"mode")
       },
-      None),
+      // End-to-end oracle (VERDICT r9/r10 item 2, upgrading from golden):
+      // every stage is deterministic and DuckDB-replayable — the seeded
+      // shuffle is a sort by md5("$seed|$caseId|s|$name") (Readers
+      // .shuffleCase), the prompt render is pure string assembly over the
+      // table schemas (information_schema supplies names; the type text is
+      // Spark's simpleString, mapped from DuckDB's), and the mock LLM is
+      // argmax of the shared 48-bit md5 polynomial over the prompt's "- "
+      // option lines (source cols + the no-match sentinel). Ensemble modes
+      // are plain distinct/having/window counts. Comparison is
+      // integer-exact (counts only).
+      Some(s"""WITH cols AS (
+          SELECT table_name AS t, column_name AS name,
+                 CASE data_type WHEN 'INTEGER' THEN 'int' WHEN 'BIGINT' THEN 'bigint'
+                      WHEN 'VARCHAR' THEN 'string' WHEN 'DOUBLE' THEN 'double'
+                      ELSE 'UNMAPPED:' || data_type END AS typ
+          FROM information_schema.columns
+          WHERE table_name IN ('region','nation','customer','supplier','part')),
+        seeds AS (SELECT unnest([1,2,3]) AS seed),
+        shuf AS (
+          SELECT seed, t, name, typ,
+                 md5(seed || '|src:' || t || '|tgt:' || t || '|s|' || name) AS skey
+          FROM cols, seeds),
+        srcjson AS (
+          SELECT seed, t,
+            '[' || string_agg('{"name": "' || name || '", "type": "' || typ || '", "samples": []}', ', ' ORDER BY skey) || ']' AS sj,
+            string_agg('- ' || name, chr(10) ORDER BY skey) AS optlines
+          FROM shuf GROUP BY seed, t),
+        q AS (
+          SELECT s.seed, s.t, 'src:' || s.t || '|tgt:' || s.t AS case_id, 't_' || g.name AS tgt,
+            'Source schema: ' || s.sj || chr(10) ||
+            'Target attribute: "t_' || g.name || '"' || chr(10) ||
+            'Which source column matches the target attribute? Answer as {"matches": [...]}.' || chr(10) ||
+            'Options:' || chr(10) || s.optlines || chr(10) || '- there is no match.' AS prompt
+          FROM srcjson s JOIN cols g ON s.t = g.t),
+        cands AS (
+          SELECT q.seed, q.case_id, q.tgt, c.name AS cand, q.prompt FROM q JOIN cols c ON c.t = q.t
+          UNION ALL
+          SELECT seed, case_id, tgt, 'there is no match.', prompt FROM q),
+        h AS (SELECT seed, case_id, tgt, cand,
+                ${graft.functions.TextFunctions.hexPolySql(12, "prompt || '|' || cand")} AS hv
+              FROM cands),
+        best AS (
+          SELECT seed, case_id, tgt, cand,
+            ROW_NUMBER() OVER (PARTITION BY seed, case_id, tgt ORDER BY hv DESC, cand) AS rn
+          FROM h),
+        pairs AS (
+          SELECT case_id, tgt AS query_attr, cand AS src_attr, tgt AS tgt_attr,
+                 count(DISTINCT seed) AS votes
+          FROM best WHERE rn = 1 GROUP BY 1, 2, 3, 4),
+        maj AS (
+          SELECT count(*) AS n FROM (
+            SELECT votes, max(votes) OVER (PARTITION BY case_id, query_attr) AS mx FROM pairs
+          ) WHERE votes = mx)
+        SELECT 'intersection' AS mode, (SELECT count(*) FROM pairs WHERE votes = 3) AS n_pairs
+        UNION ALL SELECT 'majority', (SELECT n FROM maj)
+        UNION ALL SELECT 'union', (SELECT count(*) FROM pairs)
+        ORDER BY mode""")),
 
     // ---- ICL-enabled matching pipeline: leave-one-out demos packed under
     //      a token budget (F9), then the standard generate->parse path -----
@@ -917,7 +1060,90 @@ object PipelineQueries extends Registry {
           .toDF("case_id", "tgt_attr", "src_attr")
           .orderBy($"case_id", $"tgt_attr", $"src_attr")
       },
-      None),
+      // End-to-end oracle (VERDICT r9/r10 item 2): packIcl's greedy
+      // verify-before-accept loop is replayed as a RECURSIVE CTE over the
+      // demo pool in tcs order (region..part literal order, self excluded,
+      // 2 gold pairs per other case), accumulating accepted whitespace
+      // token counts — additivity holds because tokenEstimate splits on
+      // whitespace and every rendered fragment is newline-joined, so
+      // tokens(demos + base) = Σ tokens(demo line) + tokens(base). The
+      // kept demo indices rebuild the exact "Q: …\nA: …\n" prefix, then
+      // the mock argmax runs over the full prompt as in q34/q47. The
+      // sentinel is NOT schema-validated here (no semi-join in the Spark
+      // plan), so "there is no match." rows flow through to the output.
+      Some(s"""WITH RECURSIVE cols AS (
+          SELECT table_name AS t, column_name AS name,
+                 CASE data_type WHEN 'INTEGER' THEN 'int' WHEN 'BIGINT' THEN 'bigint'
+                      WHEN 'VARCHAR' THEN 'string' WHEN 'DOUBLE' THEN 'double'
+                      ELSE 'UNMAPPED:' || data_type END AS typ,
+                 ordinal_position AS pos,
+                 CASE table_name WHEN 'region' THEN 1 WHEN 'nation' THEN 2
+                      WHEN 'customer' THEN 3 WHEN 'supplier' THEN 4 WHEN 'part' THEN 5 END AS tord
+          FROM information_schema.columns
+          WHERE table_name IN ('region','nation','customer','supplier','part')),
+        srcjson AS (
+          SELECT t,
+            '[' || string_agg('{"name": "' || name || '", "type": "' || typ || '", "samples": []}', ', ' ORDER BY pos) || ']' AS sj,
+            string_agg('- ' || name, chr(10) ORDER BY pos) AS optlines
+          FROM cols GROUP BY t),
+        q AS (
+          SELECT s.t, 'src:' || s.t || '|tgt:' || s.t AS case_id, 't_' || g.name AS tgt,
+            'Source schema: ' || s.sj || chr(10) ||
+            'Target attribute: "t_' || g.name || '"' || chr(10) ||
+            'Which source column matches the target attribute? Answer as {"matches": [...]}.' || chr(10) ||
+            'Options:' || chr(10) || s.optlines || chr(10) || '- there is no match.' AS base_prompt
+          FROM srcjson s JOIN cols g ON s.t = g.t),
+        demopool AS (
+          SELECT me.t AS case_t,
+                 ROW_NUMBER() OVER (PARTITION BY me.t ORDER BY o.tord, o.pos) AS idx,
+                 'match t_' || o.name AS dq, o.name AS da
+          FROM (SELECT DISTINCT t FROM cols) me
+          JOIN cols o ON o.t <> me.t AND o.pos <= 2),
+        dtoks AS (
+          SELECT case_t, idx, dq, da,
+            len(list_filter(regexp_split_to_array('Q: ' || dq || chr(10) || 'A: ' || da, '\\s+'), x -> x <> '')) AS dtok
+          FROM demopool),
+        ndemo AS (SELECT case_t, max(idx) AS n FROM dtoks GROUP BY case_t),
+        pack AS (
+          SELECT q.case_id, q.t, q.tgt, 0 AS idx, 0 AS kept_tokens,
+            len(list_filter(regexp_split_to_array(q.base_prompt, '\\s+'), x -> x <> '')) AS base_tokens,
+            CAST([] AS INT[]) AS kept
+          FROM q
+          UNION ALL
+          SELECT p.case_id, p.t, p.tgt, p.idx + 1,
+            CASE WHEN p.base_tokens + p.kept_tokens + d.dtok + 32 <= 120
+                 THEN p.kept_tokens + d.dtok ELSE p.kept_tokens END,
+            p.base_tokens,
+            CASE WHEN p.base_tokens + p.kept_tokens + d.dtok + 32 <= 120
+                 THEN list_append(p.kept, p.idx + 1) ELSE p.kept END
+          FROM pack p
+          JOIN ndemo n ON n.case_t = p.t
+          JOIN dtoks d ON d.case_t = p.t AND d.idx = p.idx + 1
+          WHERE p.idx < n.n),
+        final AS (
+          SELECT p.case_id, p.t, p.tgt, p.kept
+          FROM pack p JOIN ndemo n ON n.case_t = p.t
+          WHERE p.idx = n.n),
+        prompts AS (
+          SELECT f.case_id, f.t, f.tgt,
+            COALESCE((SELECT string_agg('Q: ' || d.dq || chr(10) || 'A: ' || d.da, chr(10) ORDER BY d.idx) || chr(10)
+                      FROM dtoks d WHERE d.case_t = f.t AND list_contains(f.kept, d.idx)), '')
+              || q.base_prompt AS prompt
+          FROM final f JOIN q ON q.case_id = f.case_id AND q.tgt = f.tgt),
+        cands AS (
+          SELECT p.case_id, p.tgt, c.name AS cand, p.prompt FROM prompts p JOIN cols c ON c.t = p.t
+          UNION ALL
+          SELECT case_id, tgt, 'there is no match.', prompt FROM prompts),
+        h AS (SELECT case_id, tgt, cand,
+                ${graft.functions.TextFunctions.hexPolySql(12, "prompt || '|' || cand")} AS hv
+              FROM cands),
+        best AS (
+          SELECT case_id, tgt, cand,
+            ROW_NUMBER() OVER (PARTITION BY case_id, tgt ORDER BY hv DESC, cand) AS rn
+          FROM h)
+        SELECT case_id, tgt AS tgt_attr, cand AS src_attr
+        FROM best WHERE rn = 1
+        ORDER BY case_id, tgt_attr, src_attr""")),
 
     // ---- F5: the LLM inference operator (mapPartitions, batching, retry)
     //      run END-TO-END against the DuckDB-replayable mock: the mock's

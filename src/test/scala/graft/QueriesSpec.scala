@@ -44,7 +44,11 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("no-oracle queries match golden content hashes at sf0.001, sf0.01 AND sf0.1") {
-    // these have no DuckDB oracle (mock LLM / multimodal stub), so pin an
+    // q35/q38 have no DuckDB oracle (the stable-matching proposal loop is
+    // not SQL-expressible — q190/q253 oracle-audit its certificates — and
+    // the multimodal codecs decode binary). q34/q47/q48 gained end-to-end
+    // DuckDB oracles in r11 but keep their pins as belt-and-braces (the
+    // pins cover sf0.001/sf0.1 which the gate never runs). Pin an
     // md5 over the FULL stringified output — a value-level golden, per
     // VERDICT r2 item 4: a row-count pin would let semantic drift hide
     // behind a stable cardinality. Pinned at THREE scale factors (VERDICT
