@@ -724,4 +724,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Generate") && p.contains("Window"),
       s"q192 lost the explode+window shape:\n$p")
   }
+
+  test("q259: both range predicates push into the read-back parquet scan; layout prunes most files") {
+    // the default 100-char metadata cap truncates the 6-entry PushedFilters
+    // list mid-string — widen it so the assertion sees the full list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = try plan("q259_zorder_skipping")
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    // the two-sided window must reach the z-ordered layout's scan as
+    // footer-stats-usable bounds on BOTH dimensions — that pushdown is
+    // what makes the footer walk in the query the real pruning decision
+    for (frag <- Seq("GreaterThanOrEqual(x,", "LessThanOrEqual(x,",
+        "GreaterThanOrEqual(y,", "LessThanOrEqual(y,"))
+      assert(p.contains(frag), s"predicate $frag not pushed:\n$p")
+    assert(p.contains("PushedFilters:"), s"no pushed filters:\n$p")
+    // and the layout must actually prune: central-quarter window on both
+    // dimensions over a z-ordered layout should skip >= half the files
+    val r = SparkEntry.queries("q259_zorder_skipping")(spark, sfDir).head()
+    val (nFiles, pruned) = (r.getAs[Long]("n_files"), r.getAs[Long]("files_pruned"))
+    assert(nFiles >= 16, s"degenerate layout: only $nFiles files")
+    assert(pruned * 2 >= nFiles,
+      s"z-order layout pruned only $pruned of $nFiles files for a central-quarter window")
+  }
 }
