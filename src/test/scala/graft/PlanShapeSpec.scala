@@ -746,4 +746,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(pruned * 2 >= nFiles,
       s"z-order layout pruned only $pruned of $nFiles files for a central-quarter window")
   }
+
+  test("q260: sketch-derived decision executes broadcast under the real threshold, shuffle when forced") {
+    // default threshold (10M keys): the HLL estimate of customer's key
+    // count is far below it at every test sf → broadcast branch
+    val pb = graft.queries.SketchQueries
+      .plannedJoin(spark, sfDir, graft.queries.SketchQueries.BroadcastKeyThreshold)
+      .queryExecution.executedPlan.toString()
+    assert(pb.contains("BroadcastHashJoin"), s"broadcast branch not broadcast:\n$pb")
+    assert(!pb.contains("ShuffledHashJoin"), s"broadcast branch shuffled:\n$pb")
+    // forced threshold 1: estimate exceeds it → SHUFFLE_HASH branch (the
+    // hint outranks Catalyst's size-based auto-broadcast, so the pin
+    // proves the DECISION drove the plan, not the 30 KB table size)
+    val ps = graft.queries.SketchQueries.plannedJoin(spark, sfDir, 1L)
+      .queryExecution.executedPlan.toString()
+    assert(ps.contains("ShuffledHashJoin"), s"shuffle branch not shuffle-hash:\n$ps")
+    val chosen = graft.queries.SketchQueries.plannedJoin(spark, sfDir, 1L)
+      .select("chosen").head().getString(0)
+    assert(chosen == "shuffle")
+  }
 }
