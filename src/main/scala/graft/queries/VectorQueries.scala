@@ -1365,6 +1365,89 @@ object VectorQueries extends Registry {
           CAST(sem_rank AS INT) AS sem_rank, CAST(lex_rank AS INT) AS lex_rank, rrf
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY rrf DESC, cand_id) AS rn FROM fused)
-        WHERE rn <= 5 ORDER BY query_id, rank"""))
+        WHERE rn <= 5 ORDER BY query_id, rank""")),
+
+    // ---- Lloyd CONVERGENCE audit (VERDICT r9/r10 item 7): the spherical
+    //      k-means objective — total (1 − max-cosine) "inertia" — must be
+    //      non-increasing across the two q163 training iterations, and
+    //      the claim is hash-gated, not asserted: the query emits the
+    //      inertia under the seed centroids, after iteration 1 and after
+    //      iteration 2, plus the non-increasing verdict, and the oracle
+    //      REPLAYS both mean recomputations (same integer-quantized
+    //      (cid, dim) partial sums as q133/q163) and all three
+    //      assignments from raw rows. The monotonicity argument: cosine
+    //      is scale-invariant, so the un-normalized micro-quantized mean
+    //      points in (quantization-error-close to) the spherical-k-means
+    //      optimal update direction; assignment then can only improve
+    //      each vector's max cosine. Inertia sums are per-row quantized
+    //      to 1e-9 longs BEFORE the sum so the rollup is
+    //      order-independent (a raw double sum would be
+    //      partitioning-dependent and ungateable). Scale shape: three
+    //      broadcast-centroid passes + the two (cid, dim, long)
+    //      partial-sum shuffles q163 already pays — the audit adds no
+    //      new shuffle class. ---------------------------------------------
+    Q("q261_lloyd_convergence",
+      (s, dir) => {
+        import s.implicits._
+        graft.expressions.VectorExpressions.register(s)
+        val e = emb(s, dir).select($"vec_id", $"embedding",
+          normFast($"embedding").as("nrm"))
+        val seeds = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cn"))
+        val c1 = graft.operators.KMeans.train(s, e, seeds, iters = 1)
+        val c2 = graft.operators.KMeans.train(s, e, c1, iters = 1)
+        def inertia(cents: org.apache.spark.sql.DataFrame, name: String) =
+          e.join(broadcast(cents))
+            .select($"vec_id",
+              (dotFast($"cv", $"embedding") / ($"cn" * $"nrm")).as("ccos"))
+            .groupBy($"vec_id").agg(max($"ccos").as("mc"))
+            .agg(sum(round((lit(1.0) - $"mc") * 1000000000.0).cast("long"))
+              .as(name))
+        inertia(seeds, "inertia0_q")
+          .crossJoin(broadcast(inertia(c1, "inertia1_q")))
+          .crossJoin(broadcast(inertia(c2, "inertia2_q")))
+          .select($"inertia0_q", $"inertia1_q", $"inertia2_q",
+            when($"inertia1_q" <= $"inertia0_q" && $"inertia2_q" <= $"inertia1_q",
+              1L).otherwise(0L).as("non_increasing"))
+      },
+      Some {
+        // same CTE shapes as q163's oracle: assignment by max cosine
+        // (ties on cid) and per-dim means from 1e-3-quantized long sums
+        def assignCte(name: String, centsRel: String, centsCol: String) =
+          s"""$name AS (SELECT vec_id, embedding, cid FROM (
+               SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   ${dotSql(s"t.$centsCol", "e.embedding")}
+                     / (sqrt(${dotSql(s"t.$centsCol", s"t.$centsCol")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                   t.cid) AS arn
+               FROM embeddings e, $centsRel t) WHERE arn = 1)"""
+        def meansCte(name: String, from: String) =
+          s"""${name}_m AS (SELECT cid, dim,
+                 CAST(sum(CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000.0) AS BIGINT)) AS DOUBLE)
+                   / 1000.0 / count(*) AS m
+               FROM $from, UNNEST(range(0, 64)) AS t(dim)
+               GROUP BY cid, dim),
+             $name AS (SELECT cid, list(m ORDER BY dim) AS cv
+                       FROM ${name}_m GROUP BY cid)"""
+        def inertiaCte(name: String, centsRel: String, centsCol: String) =
+          s"""$name AS (SELECT CAST(sum(CAST(round((1.0 - mc) * 1000000000.0) AS BIGINT)) AS BIGINT) AS iq
+               FROM (SELECT e.vec_id, max(
+                   ${dotSql(s"t.$centsCol", "e.embedding")}
+                     / (sqrt(${dotSql(s"t.$centsCol", s"t.$centsCol")}) * sqrt(${dotSql("e.embedding", "e.embedding")}))) AS mc
+                 FROM embeddings e, $centsRel t GROUP BY e.vec_id))"""
+        s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings WHERE vec_id < 8),
+          ${assignCte("a0", "cents", "cv")},
+          ${meansCte("tc1", "a0")},
+          ${assignCte("a1", "tc1", "cv")},
+          ${meansCte("tc2", "a1")},
+          ${inertiaCte("i0", "cents", "cv")},
+          ${inertiaCte("i1", "tc1", "cv")},
+          ${inertiaCte("i2", "tc2", "cv")}
+          SELECT i0.iq AS inertia0_q, i1.iq AS inertia1_q, i2.iq AS inertia2_q,
+            CAST(CASE WHEN i1.iq <= i0.iq AND i2.iq <= i1.iq
+                 THEN 1 ELSE 0 END AS BIGINT) AS non_increasing
+          FROM i0, i1, i2"""
+      })
   )
 }

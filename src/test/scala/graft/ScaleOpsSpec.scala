@@ -339,4 +339,63 @@ class ScaleOpsSpec extends SparkSpec {
       .head()
     assert(nullKey.isNullAt(0), "null event_id must yield a null key")
   }
+
+  test("A2 wide-schema ingest: a 1000-column CSV reconciles/renames/reorders in bounded time") {
+    // VERDICT r9/r10 item 6 — the A2 analog of the matcher's 1000x1000
+    // hardening (ref warehouse exports are this wide: InstanceDataHandler
+    // .py:195-217 reads everything as string then reconciles to the
+    // declared schema). Source header: scrambled order, mixed case, 50
+    // declared columns absent (NULL-filled), 5 arriving under legacy
+    // names (renamed on ingest), 5 undeclared extras (dropped by the
+    // declared projection).
+    val nCols = 1000
+    val nRows = 200
+    val declared = (0 until nCols).map(i => f"c$i%04d")
+    val missing = declared.slice(900, 950).toSet
+    val renames = (0 until 5).map(i => s"legacy_$i" -> declared(i)).toMap
+    val rnd = new scala.util.Random(11L)
+    // source column -> declared column it carries (post-lowercase/rename)
+    val srcToDecl: Seq[(String, String)] =
+      rnd.shuffle(
+        declared.filterNot(missing).map {
+          case d if renames.valuesIterator.contains(d) =>
+            renames.collectFirst { case (l, dd) if dd == d => l }.get -> d
+          case d => d -> d
+        } ++ (0 until 5).map(i => s"extra_$i" -> ""))
+    def mixCase(s: String, i: Int) = if (i % 3 == 0) s.toUpperCase else s
+    val header = srcToDecl.zipWithIndex
+      .map { case ((sc, _), i) => mixCase(sc, i) }.mkString(",")
+    val rows = (0 until nRows).map { r =>
+      srcToDecl.map { case (sc, d) =>
+        if (d.isEmpty) s"$r:$sc" else s"$r:$d" }.mkString(",")
+    }
+    val csv = java.nio.file.Files.createTempDirectory("wide-csv")
+      .resolve("wide.csv")
+    java.nio.file.Files.writeString(csv, (header +: rows).mkString("\n"))
+    val t0 = System.nanoTime()
+    val out = graft.core.Readers.csvAllString(
+      spark, csv.toString, declared, renames)
+    val collected = out.collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    // shape: declared columns exactly, declared ORDER, all rows
+    assert(out.columns.toSeq == declared, "column set/order mismatch")
+    assert(collected.length == nRows)
+    // full-width value audit on one row: every present column carries its
+    // own value, every missing column is NULL, renamed columns carry the
+    // legacy file's data under the declared name
+    val idx = declared.zipWithIndex.toMap
+    val row7 = collected.find(_.getString(idx("c0005")) == "7:c0005").get
+    for (d <- declared)
+      if (missing(d)) assert(row7.isNullAt(idx(d)), s"$d not null-filled")
+      else assert(row7.getString(idx(d)) == s"7:$d", s"$d wrong value: ${row7.getString(idx(d))}")
+    // renamed source: the legacy_0 column landed in c0000 for every row
+    assert(collected.count(r => r.getString(idx("c0000")) != null
+      && r.getString(idx("c0000")).endsWith(":c0000")) == nRows)
+    // missing columns are null for ALL rows, not just the probed one
+    assert(collected.count(_.isNullAt(idx("c0925"))) == nRows)
+    // bounded runtime: the reconcile must stay a FLAT projection — a
+    // per-column plan rewrite would blow analysis up quadratically at
+    // this width (generous 5x headroom over the ~6 s observed)
+    assert(elapsedMs < 30000.0, f"1000-col reconcile took $elapsedMs%.0f ms")
+  }
 }
