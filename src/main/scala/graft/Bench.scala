@@ -104,6 +104,23 @@ object Bench {
         graft.core.SessionHygiene.dropAllBlocks(spark)
         name -> retry
     }.toMap
+    // q127 cost profile (VERDICT r9/r10 item 8): the recursive-CTE
+    // tokenizer's iteration count is max word length + 1 over the DISTINCT
+    // words that enter the loop — the words CTE excludes tokens longer
+    // than 50 chars, so depth is hard-bounded at 51 regardless of corpus
+    // pathology. Record the ACTUAL depth for this corpus next to the
+    // bench number so a cost movement can be attributed to data (deeper
+    // words) vs engine.
+    val q127Iters: Option[Int] =
+      if (results.exists(_._1 == "q127_subword_tokenize"))
+        scala.util.Try {
+          graft.core.Tables(spark, sfDir, "documents")
+            .selectExpr("explode(split(lower(text), ' ')) AS token")
+            .where("length(token) <= 50")
+            .selectExpr("max(length(token)) + 1 AS it")
+            .head().getInt(0)
+        }.toOption
+      else None
     // Locale.ROOT: a decimal-comma default locale would print 0,813 inside
     // the JSON and corrupt both the stdout line and BENCH_FULL.json
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -142,6 +159,7 @@ object Bench {
       s""""total_streaming":$totalColdStreaming,"total_warm_streaming":$totalWarmStreaming,""" +
       s""""n_streaming":${strm.size},""" +
       s""""warm_retry":$warmRetryJson,"streaming_metrics":$strmJson,""" +
+      q127Iters.map(n => s""""q127_cte_iterations":$n,""").getOrElse("") +
       s""""errors":$errsJson,"sf":"$sfDir"}"""
     // The harness keeps only the LAST ~2000 chars of output, and 74 queries
     // × cold+warm of full-name timings is ~4 KB — the full line can never

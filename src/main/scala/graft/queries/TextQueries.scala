@@ -1840,10 +1840,17 @@ object TextQueries extends Registry {
     //      correlated MAX subquery Catalyst decorrelates into a join; an
     //      unmatched character falls back to one <unk> piece via COALESCE.
     //      State is vocab-sized (DISTINCT words), never corpus-sized;
-    //      depth ≤ longest word; the corpus-sized work is only the final
-    //      broadcast-shaped join of tokens to per-word piece counts. The
-    //      SAME recursive SQL text runs in DuckDB — the oracle executes
-    //      the identical program. -------------------------------------------
+    //      the corpus-sized work is only the final broadcast-shaped join
+    //      of tokens to per-word piece counts. COST BOUND (VERDICT r9/r10
+    //      item 8): iteration count = max word length + 1 over the words
+    //      that enter the loop, and the words CTE drops tokens longer
+    //      than 50 chars — so ONE pathological megabyte "word" cannot add
+    //      rounds for the whole corpus; depth is hard-capped at 51 and
+    //      Bench records the actual per-corpus depth as
+    //      q127_cte_iterations in BENCH_FULL.json. The SAME recursive SQL
+    //      text runs in DuckDB — the oracle executes the identical
+    //      program (including the length cap, so both engines drop the
+    //      same pathological tokens). --------------------------------------
     Q("q127_subword_tokenize",
       (s, dir) => {
         docs(s, dir).createOrReplaceTempView("q127_docs")
