@@ -104,22 +104,18 @@ object Bench {
         graft.core.SessionHygiene.dropAllBlocks(spark)
         name -> retry
     }.toMap
-    // q127 cost profile (VERDICT r9/r10 item 8): the recursive-CTE
-    // tokenizer's iteration count is max word length + 1 over the DISTINCT
-    // words that enter the loop — the words CTE excludes tokens longer
-    // than 50 chars, so depth is hard-bounded at 51 regardless of corpus
-    // pathology. Record the ACTUAL depth for this corpus next to the
-    // bench number so a cost movement can be attributed to data (deeper
-    // words) vs engine.
+    // q127 cost profile (VERDICT r9/r10 item 8): the ACTUAL executed
+    // recursion depth for this corpus — max pieces per distinct word + 1
+    // terminating round, replayed through the SAME recursive SQL the gate
+    // query runs (TextQueries.subwordIterations). The hard upper bound is
+    // still max word length + 1 ≤ 51 (each round advances ≥ 1 char; the
+    // words CTE drops tokens > 50 chars), but the greedy longest-match
+    // usually converges in far fewer rounds — recording the real depth
+    // lets a cost movement be attributed to data (deeper words) vs engine.
     val q127Iters: Option[Int] =
       if (results.exists(_._1 == "q127_subword_tokenize"))
-        scala.util.Try {
-          graft.core.Tables(spark, sfDir, "documents")
-            .selectExpr("explode(split(lower(text), ' ')) AS token")
-            .where("length(token) <= 50")
-            .selectExpr("max(length(token)) + 1 AS it")
-            .head().getInt(0)
-        }.toOption
+        scala.util.Try(
+          graft.queries.TextQueries.subwordIterations(spark, sfDir)).toOption
       else None
     // Locale.ROOT: a decimal-comma default locale would print 0,813 inside
     // the JSON and corrupt both the stdout line and BENCH_FULL.json

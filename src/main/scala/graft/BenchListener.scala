@@ -26,11 +26,22 @@ final class BenchListener extends StreamingQueryListener {
     val p = e.progress
     val trig = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
     BenchListener.buf.add(BenchListener.Batch(p.runId.toString, p.batchId, p.numInputRows, trig))
+    // the static-conf registration reaches EVERY graft session — Verify
+    // and test JVMs feed this buffer too but never drain it, so cap it:
+    // evict oldest past MaxBuffered (Bench drains per-query, far below it)
+    while (BenchListener.buf.size > BenchListener.MaxBuffered)
+      BenchListener.buf.poll()
   }
 }
 
 object BenchListener {
   final case class Batch(runId: String, batchId: Long, inputRows: Long, triggerMs: Long)
+
+  /** Upper bound on buffered micro-batch records in JVMs that never
+    * drain (Verify, tests): ~64 B each, so the cap is a few MB worst
+    * case instead of unbounded growth for the life of the process.
+    */
+  val MaxBuffered = 65536
 
   val buf = new ConcurrentLinkedQueue[Batch]()
 

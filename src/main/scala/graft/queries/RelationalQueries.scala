@@ -690,7 +690,11 @@ object RelationalQueries extends Registry {
         // the oracle reproduces the exact bounds
         val (xa, xb) = (xmin + rx * 3 / 8, xmin + rx * 5 / 8 - 1)
         val (ya, yb) = (ymin + ry * 3 / 8, ymin + ry * 5 / 8 - 1)
-        val zdir = "/tmp/graft-zorder-skip/" + graft.core.Det.md5hex(dir).take(12)
+        // per-process path component (same reason as sessionConfs'
+        // warehouse UUID): a concurrent Bench and Verify JVM on the same
+        // sfDir must not overwrite each other's layout mid-footer-walk
+        val zdir = "/tmp/graft-zorder-skip/" +
+          graft.core.Det.md5hex(dir).take(12) + "-" + zorderProcToken
         base
           .withColumn("x8", expr(s"((x - $xmin) * 256) DIV $rx"))
           .withColumn("y8", expr(s"((y - $ymin) * 256) DIV $ry"))
@@ -699,7 +703,15 @@ object RelationalQueries extends Registry {
           .withColumn("zbucket", expr("z16 DIV 1024"))
           .select($"x", $"y", $"zbucket")
           .repartition(col("zbucket"))
-          .write.mode("overwrite").partitionBy("zbucket").parquet(zdir)
+          // layout CONTRACT: one row group per file, so file == row group
+          // == pruning unit and the oracle's n_rowgroups (= bucket count)
+          // is exact by construction, not by accident of small test files.
+          // The 1 GiB block size keeps the contract until a single bucket
+          // file exceeds 1 GiB — enforced loudly below rather than left to
+          // diverge the gate hash silently.
+          .write.mode("overwrite")
+          .option("parquet.block.size", (1L << 30).toString)
+          .partitionBy("zbucket").parquet(zdir)
         // real footer walk — the stats a pruning reader would consult
         import scala.jdk.CollectionConverters._
         val hconf = s.sparkContext.hadoopConfiguration
@@ -727,6 +739,10 @@ object RelationalQueries extends Registry {
                 f: org.apache.parquet.column.statistics.Statistics[_] => Any): Seq[Long] =
               st.map(x => f(x).asInstanceOf[java.lang.Long].longValue)
             val (sx, sy) = (colStats("x"), colStats("y"))
+            require(blocks.size == 1,
+              s"z-order layout contract violated: ${blocks.size} row groups in $p — " +
+                "a bucket file exceeded the 1 GiB block size; shrink buckets " +
+                "(raise the zbucket divisor) so file == row group == pruning unit")
             FileStats(blocks.size, blocks.map(_.getRowCount).sum,
               longs(sx, _.genericGetMin).min, longs(sx, _.genericGetMax).max,
               longs(sy, _.genericGetMin).min, longs(sy, _.genericGetMax).max)
@@ -1998,6 +2014,13 @@ object RelationalQueries extends Registry {
     * (orderstatus↔priority would be weak; linestatus↔returnflag strong),
     * a cross-type pair, and two near-independent controls.
     */
+  /** Stable within one JVM (q259 reuses the written layout across bench
+    * cold/warm runs) but distinct across processes, so concurrent JVMs on
+    * the same sfDir never clobber each other's layout mid-footer-walk.
+    */
+  private lazy val zorderProcToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   private val miPairs: Seq[(String, String, String)] = Seq(
     ("lineitem", "l_returnflag", "l_linestatus"),
     ("customer", "c_mktsegment", "c_nationkey"),

@@ -421,11 +421,15 @@ object TextQueries extends Registry {
         import s.implicits._
         val sh = shingleSet(s, dir)
         val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        val byDoc = sh.join(df, "shingle")
+        // byDoc feeds THREE consumers (the prefix explode and both sides of
+        // the verify join) — without the cache Spark re-runs the shingle
+        // scan + df join + double collect_list aggregate per consumer,
+        // which was the whole warm cost of this query (~3x the kernel)
+        val byDoc = materialize(sh.join(df, "shingle")
           .groupBy($"doc_id")
           .agg(sort_array(collect_list(struct($"df", $"shingle"))).as("by_df"),
             sort_array(collect_list($"shingle")).as("set"),
-            count(lit(1)).as("n"))
+            count(lit(1)).as("n")))
         val prefix = byDoc
           .select($"doc_id", $"n",
             explode(expr("slice(by_df, 1, CAST(n DIV 2 + 1 AS INT))")).as("t"))
@@ -1842,12 +1846,13 @@ object TextQueries extends Registry {
     //      State is vocab-sized (DISTINCT words), never corpus-sized;
     //      the corpus-sized work is only the final broadcast-shaped join
     //      of tokens to per-word piece counts. COST BOUND (VERDICT r9/r10
-    //      item 8): iteration count = max word length + 1 over the words
-    //      that enter the loop, and the words CTE drops tokens longer
+    //      item 8): iteration count ≤ max word length + 1 (each round
+    //      advances ≥ 1 char), and the words CTE drops tokens longer
     //      than 50 chars — so ONE pathological megabyte "word" cannot add
-    //      rounds for the whole corpus; depth is hard-capped at 51 and
-    //      Bench records the actual per-corpus depth as
-    //      q127_cte_iterations in BENCH_FULL.json. The SAME recursive SQL
+    //      rounds for the whole corpus; depth is hard-capped at 51. Bench
+    //      records the ACTUAL executed depth (max pieces per word + 1,
+    //      via subwordIterations — the greedy match usually converges far
+    //      under the cap) as q127_cte_iterations. The SAME recursive SQL
     //      text runs in DuckDB — the oracle executes the identical
     //      program (including the length cap, so both engines drop the
     //      same pathological tokens). --------------------------------------
@@ -3258,10 +3263,12 @@ object TextQueries extends Registry {
     Seq("hash", "join"), Seq("table", "scan"), Seq("data", "stream"),
     Seq("fast", "table", "value"))
 
-  /** Shared recursive-tokenizer SQL (q127): identical text in both engines
-    * except the dialect-specific token-explosion CTE passed in.
+  /** Shared recursive-tokenizer CTE chain (q127): identical text in both
+    * engines except the dialect-specific token-explosion CTE passed in.
+    * Factored so the gate query and the Bench depth profile run the SAME
+    * recursion text and can never diverge.
     */
-  private def subwordSql(toksSelect: String): String =
+  private def subwordCtes(toksSelect: String): String =
     s"""WITH RECURSIVE
        pieces(p, l) AS (SELECT * FROM (VALUES
          ('tion', 4), ('ing', 3), ('ion', 3), ('ent', 3), ('ter', 3),
@@ -3279,11 +3286,32 @@ object TextQueries extends Registry {
                                   WHERE substr(s.w, s.pos, p.l) = p.p), 1),
                 s.np + 1
          FROM step s WHERE s.pos <= length(s.w)),
-       wc AS (SELECT w, np AS n_pieces FROM step WHERE pos > length(w))
+       wc AS (SELECT w, np AS n_pieces FROM step WHERE pos > length(w))"""
+
+  private def subwordSql(toksSelect: String): String =
+    s"""${subwordCtes(toksSelect)}
        SELECT t.doc_id, count(*) AS n_tokens,
               CAST(sum(n_pieces) AS BIGINT) AS n_pieces
        FROM toks t JOIN wc ON t.token = wc.w
        GROUP BY t.doc_id ORDER BY doc_id"""
+
+  /** ACTUAL executed depth of q127's recursive CTE for this corpus: a
+    * word advances by the matched piece length (up to 4) per round, so
+    * the productive rounds are 1..max(n_pieces) and one final empty
+    * round detects the fixpoint — max(n_pieces) + 1 in total. This is
+    * what the engine really ran (the greedy match can cover an 8-char
+    * word in 2 rounds); max word length + 1 is only the hard upper
+    * bound (each round advances ≥ 1 char; the ≤ 50-char word filter
+    * caps it at 51 regardless of corpus pathology). Costs one more run
+    * of the recursion — Bench calls it once, after timing.
+    */
+  private[graft] def subwordIterations(s: SparkSession, dir: String): Int = {
+    docs(s, dir).createOrReplaceTempView("q127_docs")
+    s.sql(s"""${subwordCtes(
+        "SELECT doc_id, explode(split(lower(text), ' ')) AS token FROM q127_docs")}
+       SELECT CAST(max(n_pieces) + 1 AS INT) AS it FROM wc""")
+      .head().getInt(0)
+  }
 
   /** Shared 60-bit SimHash plan: token-frequency-weighted ±1 vote per bit;
     * bit k of a token's hash = bit (k%4) of hex digit (15 - k/4) of

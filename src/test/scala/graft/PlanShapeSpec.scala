@@ -758,11 +758,12 @@ class PlanShapeSpec extends SparkSpec {
     // forced threshold 1: estimate exceeds it → SHUFFLE_HASH branch (the
     // hint outranks Catalyst's size-based auto-broadcast, so the pin
     // proves the DECISION drove the plan, not the 30 KB table size)
-    val ps = graft.queries.SketchQueries.plannedJoin(spark, sfDir, 1L)
-      .queryExecution.executedPlan.toString()
+    // one invocation serves both assertions — each plannedJoin call runs
+    // the HLL register pass and two KMV sketch jobs eagerly, so a second
+    // identical call would double the test's Spark work for nothing
+    val forced = graft.queries.SketchQueries.plannedJoin(spark, sfDir, 1L)
+    val ps = forced.queryExecution.executedPlan.toString()
     assert(ps.contains("ShuffledHashJoin"), s"shuffle branch not shuffle-hash:\n$ps")
-    val chosen = graft.queries.SketchQueries.plannedJoin(spark, sfDir, 1L)
-      .select("chosen").head().getString(0)
-    assert(chosen == "shuffle")
+    assert(forced.select("chosen").head().getString(0) == "shuffle")
   }
 }
