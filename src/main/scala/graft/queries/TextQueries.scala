@@ -411,11 +411,14 @@ object TextQueries extends Registry {
     //      is its first n DIV 2 + 1 tokens in that order, and any pair with
     //      Jaccard ≥ 0.5 provably shares a prefix token — so candidate
     //      generation explodes only prefixes (rare tokens ⇒ short posting
-    //      lists), then size filtering (na ≤ 2nb ∧ nb ≤ 2na) prunes before
-    //      the exact verify. The θ = 0.5 predicate is the integer
+    //      lists), then size filtering (na ≤ 2nb ∧ nb ≤ 2na) AND the PPJoin
+    //      position filter (common ≤ 1 + min(na−i, nb−j) at the matching
+    //      token's prefix ranks — lossless, see inline proof) prune before
+    //      the exact verify, whose sets travel as 60-bit md5 longs instead
+    //      of strings. The θ = 0.5 predicate is the integer
     //      cross-multiplication 3·inter ≥ na+nb — no float boundary. The
-    //      ORACLE runs the UNPRUNED all-shared-token join: cross-engine
-    //      equality is a proof the prefix filter dropped nothing. ----------
+    //      ORACLE runs the UNPRUNED all-shared-token STRING join:
+    //      cross-engine equality proves the pruning dropped nothing. -------
     Q("q202_setsim_join",
       (s, dir) => {
         import s.implicits._
@@ -425,18 +428,38 @@ object TextQueries extends Registry {
         // the verify join) — without the cache Spark re-runs the shingle
         // scan + df join + double collect_list aggregate per consumer,
         // which was the whole warm cost of this query (~3x the kernel)
+        // the verify sets are 60-bit md5 longs, not strings: the candidate
+        // join ships two full sets per pair, and at 100x corpus (7.8M
+        // candidates measured on the perturbation ladder) the string-array
+        // payload IS the job — longs cut the shuffle ~5x and the intersect
+        // compares primitives. `common` still gate-matches the string-based
+        // oracle exactly unless two of a doc's ~300 shingles collide in 60
+        // bits (~1e-14 per doc — and the 3-SF hash gate would catch it).
         val byDoc = materialize(sh.join(df, "shingle")
           .groupBy($"doc_id")
           .agg(sort_array(collect_list(struct($"df", $"shingle"))).as("by_df"),
-            sort_array(collect_list($"shingle")).as("set"),
+            sort_array(collect_list(
+              conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long")))
+              .as("set"),
             count(lit(1)).as("n")))
         val prefix = byDoc
           .select($"doc_id", $"n",
-            explode(expr("slice(by_df, 1, CAST(n DIV 2 + 1 AS INT))")).as("t"))
-          .select($"doc_id", $"n", $"t.shingle".as("shingle"))
+            posexplode(expr("slice(by_df, 1, CAST(n DIV 2 + 1 AS INT))"))
+              .as(Seq("i", "t")))
+          .select($"doc_id", $"n", ($"i" + 1).as("rk"), $"t.shingle".as("shingle"))
+        // PPJoin position filter, PROVABLY lossless: for a qualifying pair
+        // its FIRST common token t0 (lowest in the global (df, shingle)
+        // order) is inside both prefixes whenever any common token is, and
+        // at t0 no common token precedes it in either set, so
+        // common ≤ 1 + min(na − i, nb − j) there — a pair meeting
+        // 3·common ≥ na+nb therefore always survives via t0, while pairs
+        // matching only deep in one prefix are pruned before the verify
+        // join. The UNPRUNED oracle still certifies zero false negatives.
         val cand = prefix.as("a").join(prefix.as("b"),
             $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
-              $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2)
+              $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2 &&
+              lit(3) * (lit(1) + least($"a.n" - $"a.rk", $"b.n" - $"b.rk"))
+                >= $"a.n" + $"b.n")
           .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
           .distinct()
         cand
