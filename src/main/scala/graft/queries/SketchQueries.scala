@@ -189,6 +189,119 @@ object SketchQueries extends Registry {
           FROM stats, exact"""
       }),
 
+    // ---- bottom-k-by-hash SAMPLE-QUANTILE sketch — the quantile member
+    //      of the content-replayable sketch family (q210 distinct, q166
+    //      frequency, q254 HLL): a uniform row sample is the k rows whose
+    //      deterministic md5 draw (keyed by the row's primary key, NOT its
+    //      value) is smallest, so the sample is a pure function of the
+    //      data — mergeable exactly like KMV (min-k of a union = min-k of
+    //      per-part min-ks, replayed here by splitting the hash space at
+    //      1/2 and re-merging, merge_ok pins est equality), and TakeOrdered
+    //      keeps the k-cut a bounded per-partition heap, never a global
+    //      sort. Quantile estimate = order statistic ⌈p·k⌉ of the sample
+    //      (sort_array over k=512 doubles, aggregation not a window). The
+    //      audit is the RANK ERROR — achieved_pct = (#rows ≤ est)/n vs the
+    //      target p — because that is what sampling theory bounds
+    //      (|err| ~ √(p(1−p)/k) ≈ 2.2% at k=512, flagged at 5σ), and a
+    //      rank audit needs no interpolation convention to match across
+    //      engines: every float here is the same division on both sides.
+    //      At 100 TB the sketch is k doubles from one scan; the exact
+    //      second scan exists only as the test-scale audit. ---------------
+    Q("q263_sample_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val k = 512
+        val li = t(s, dir, "lineitem").select(
+          $"l_extendedprice".cast("double").as("v"),
+          Sampling.detRand(263L, $"l_orderkey".cast("string"),
+            $"l_linenumber".cast("string")).as("u"))
+        def kcut(d: org.apache.spark.sql.DataFrame) =
+          d.orderBy($"u", $"v").limit(k)
+        val arr = kcut(li)
+          .agg(sort_array(collect_list($"v")).as("vs"),
+            count(lit(1)).as("k_got"))
+        val arr2 = kcut(
+            kcut(li.where($"u" < 0.5)).unionByName(kcut(li.where($"u" >= 0.5))))
+          .agg(sort_array(collect_list($"v")).as("vs2"))
+        def stat(vs: Column, p: Double) =
+          element_at(vs, ceil(lit(p) * $"k_got").cast("int"))
+        val ests = arr.crossJoin(arr2).select($"k_got",
+          stat($"vs", 0.5).as("e50"), stat($"vs", 0.9).as("e90"),
+          stat($"vs", 0.99).as("e99"),
+          stat($"vs2", 0.5).as("f50"), stat($"vs2", 0.9).as("f90"),
+          stat($"vs2", 0.99).as("f99"))
+        val audit = li.crossJoin(broadcast(ests)).agg(
+          count(lit(1)).as("n"),
+          sum(when($"v" <= $"e50", 1L).otherwise(0L)).as("c50"),
+          sum(when($"v" <= $"e90", 1L).otherwise(0L)).as("c90"),
+          sum(when($"v" <= $"e99", 1L).otherwise(0L)).as("c99"),
+          first($"e50").as("e50"), first($"e90").as("e90"),
+          first($"e99").as("e99"), first($"f50").as("f50"),
+          first($"f90").as("f90"), first($"f99").as("f99"),
+          first($"k_got").as("k_got"))
+        val sigma5 = (p: Column) =>
+          lit(5.0) * sqrt(p * (lit(1.0) - p) / $"k_got".cast("double"))
+        audit.selectExpr("n", "k_got",
+          """stack(3,
+             0.5D,  e50, c50, f50,
+             0.9D,  e90, c90, f90,
+             0.99D, e99, c99, f99) AS (pct, est, cnt, mest)""")
+          .select($"pct", $"est",
+            ($"cnt".cast("double") / $"n".cast("double")).as("achieved_pct"),
+            round(abs($"cnt".cast("double") / $"n".cast("double") - $"pct"), 6)
+              .as("rank_err"),
+            when(abs($"cnt".cast("double") / $"n".cast("double") - $"pct")
+                <= sigma5($"pct"), 1).otherwise(0).cast("int").as("within_5sigma"),
+            when($"est" === $"mest", 1).otherwise(0).cast("int").as("merge_ok"))
+          .orderBy($"pct")
+      },
+      Some {
+        val k = 512
+        val u = Sampling.detRandSql(263L,
+          Seq("CAST(l_orderkey AS VARCHAR)", "CAST(l_linenumber AS VARCHAR)"))
+        s"""WITH li AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v, $u AS u
+              FROM lineitem),
+          arr AS (SELECT list(v ORDER BY v) AS vs, count(*) AS k_got FROM
+            (SELECT v FROM li ORDER BY u, v LIMIT $k)),
+          arr2 AS (SELECT list(v ORDER BY v) AS vs2 FROM
+            (SELECT v FROM (
+               (SELECT v, u FROM li WHERE u < 0.5 ORDER BY u, v LIMIT $k)
+               UNION ALL
+               (SELECT v, u FROM li WHERE u >= 0.5 ORDER BY u, v LIMIT $k))
+             ORDER BY u, v LIMIT $k)),
+          e AS (SELECT k_got,
+              vs[CAST(ceil(0.5 * k_got) AS INT)] AS e50,
+              vs[CAST(ceil(0.9 * k_got) AS INT)] AS e90,
+              vs[CAST(ceil(0.99 * k_got) AS INT)] AS e99,
+              vs2[CAST(ceil(0.5 * k_got) AS INT)] AS f50,
+              vs2[CAST(ceil(0.9 * k_got) AS INT)] AS f90,
+              vs2[CAST(ceil(0.99 * k_got) AS INT)] AS f99
+            FROM arr, arr2),
+          a AS (SELECT count(*) AS n, max(k_got) AS k_got,
+              sum(CASE WHEN v <= e50 THEN 1 ELSE 0 END) AS c50,
+              sum(CASE WHEN v <= e90 THEN 1 ELSE 0 END) AS c90,
+              sum(CASE WHEN v <= e99 THEN 1 ELSE 0 END) AS c99,
+              max(e50) AS e50, max(e90) AS e90, max(e99) AS e99,
+              max(f50) AS f50, max(f90) AS f90, max(f99) AS f99
+            FROM li, e)
+          SELECT pct, est,
+            CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS achieved_pct,
+            round(abs(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) - pct), 6)
+              AS rank_err,
+            CAST(CASE WHEN abs(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) - pct)
+                 <= 5.0 * sqrt(pct * (1.0 - pct) / CAST(k_got AS DOUBLE))
+                 THEN 1 ELSE 0 END AS INT) AS within_5sigma,
+            CAST(CASE WHEN est = mest THEN 1 ELSE 0 END AS INT) AS merge_ok
+          FROM (
+            SELECT CAST(0.5 AS DOUBLE) AS pct, e50 AS est, c50 AS cnt,
+                   f50 AS mest, n, k_got FROM a
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE), e90, c90, f90, n, k_got FROM a
+            UNION ALL
+            SELECT CAST(0.99 AS DOUBLE), e99, c99, f99, n, k_got FROM a)
+          ORDER BY pct"""
+      }),
+
     // ---- HyperLogLog with ORACLE-REPLAYABLE registers — the white-box
     //      twin of q120's opaque `approx_count_distinct`: registers are
     //      max-of-rho per (group, bucket) over the shared md5 hash kernel

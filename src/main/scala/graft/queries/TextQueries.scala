@@ -1723,6 +1723,54 @@ object TextQueries extends Registry {
             < minn / n
           ORDER BY doc_id""")),
 
+    // ---- epoch upsampling (data echo): the other half of mixture
+    //      rebalancing — q118 downsamples the big languages to the
+    //      smallest; this REPEATS the small ones up to the largest, the
+    //      way pretraining mixes run high-quality sources for >1 epoch.
+    //      rate = n_max/n_lang capped at 4.0 (the "max epochs" knob every
+    //      real mix sets — unbounded repetition of a tiny source is a
+    //      memorization hazard, and the cap also bounds the output blow-up
+    //      to ≤4× input). Fractional epochs are per-doc, not per-source:
+    //      every doc gets floor(rate) guaranteed copies plus one more iff
+    //      its deterministic md5 coin lands under frac(rate), so the
+    //      expected per-lang size is exactly min(n_max, 4·n_lang) and the
+    //      realized sample is a pure function of doc_id — identical under
+    //      any partitioning or executor count, unlike rand()-based echo.
+    //      Plan shape: one 5-row lang aggregate broadcast back, then the
+    //      corpus pass is map-side (join-broadcast + row-local explode) —
+    //      zero corpus-keyed shuffles before the gate's ORDER BY, so at
+    //      100 TB this is a single scan that writes the echoed dataset. --
+    Q("q262_epoch_upsample",
+      (s, dir) => {
+        import s.implicits._
+        val c = docs(s, dir).groupBy($"lang").agg(count(lit(1)).as("n"))
+        val m = c.agg(max($"n").cast("double").as("maxn"))
+        val rate = least($"maxn" / $"n".cast("double"), lit(4.0))
+        docs(s, dir)
+          .join(broadcast(c), Seq("lang"))
+          .join(broadcast(m))
+          .withColumn("n_copies",
+            (floor(rate) + when(
+              graft.operators.Sampling.detRand(262L, $"doc_id".cast("string"))
+                < rate - floor(rate), 1L).otherwise(0L)).cast("int"))
+          .select($"doc_id", $"lang",
+            explode(sequence(lit(1), $"n_copies")).as("epoch_copy"))
+          .orderBy($"doc_id", $"epoch_copy")
+      },
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          m AS (SELECT CAST(max(n) AS DOUBLE) AS maxn FROM c),
+          r AS (SELECT doc_id, lang,
+                  least(maxn / CAST(n AS DOUBLE), 4.0) AS rate,
+                  ${graft.operators.Sampling.detRandSql(262L, Seq("CAST(doc_id AS VARCHAR)"))} AS u
+                FROM documents JOIN c USING (lang) CROSS JOIN m),
+          k AS (SELECT doc_id, lang,
+                  CAST(floor(rate) + CASE WHEN u < rate - floor(rate)
+                       THEN 1 ELSE 0 END AS INT) AS n_copies
+                FROM r)
+          SELECT doc_id, lang, CAST(t.ec AS INT) AS epoch_copy
+          FROM k, UNNEST(range(1, n_copies + 1)) AS t(ec)
+          ORDER BY doc_id, epoch_copy""")),
+
     // ---- shard manifest: the dataset-publishing step — deterministic
     //      hash shard assignment (8 shards) plus the per-shard manifest a
     //      consumer validates against: doc count, id range, byte volume,
