@@ -167,6 +167,133 @@ object Components {
       .groupBy(col("node")).agg(min(col("comp")).as("comp"))
   }
 
+  /** k-core PEELING: repeatedly delete nodes of degree < k (recomputing
+    * degrees on the shrinking subgraph) — the density filter of the dedup
+    * graph family. Template farms (one page copied many times) are
+    * near-cliques and survive any small k; drift chains (a~b~c~… where only
+    * adjacent pairs are similar) are trees/paths and the 2-core already
+    * deletes them — so "in the k-core" separates the two near-dup regimes
+    * that q200's triangle counts diagnose, as a SUBGRAPH rather than a
+    * per-node statistic.
+    *
+    * Round budget semantics (what makes the operator oracle-replayable):
+    * the result is DEFINED as `rounds` peel rounds. A converged peel round
+    * is the identity, so the early `break` when an iteration deletes no
+    * edge is output-equivalent to running the full budget — the DuckDB twin
+    * unrolls exactly `rounds` rounds with no convergence test and both
+    * engines compute the same function even on a graph that has NOT
+    * converged in budget. Each round is two shuffles (degree aggregate +
+    * semi-join restriction), both keyed on node id; per-round
+    * `localCheckpoint` cuts the doubling lineage exactly like
+    * [[connectedComponents]], with the same eager block release. Peel depth
+    * in practice: ends of a chain erode by one node per round, so rounds ≈
+    * half the longest chain; near-dup graphs converge in 1-3.
+    *
+    * Returns (node, degree): every node of the surviving subgraph with its
+    * degree IN that subgraph (≥ k at fixpoint, by construction).
+    */
+  def kCore(
+      edges: DataFrame, k: Int, rounds: Int = 8,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    def ckWithIds(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val ck = df.localCheckpoint(true)
+      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("lo").as("v")).unionByName(e.select(col("hi").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    var (cur, prevIds) = ckWithIds(
+      edges.select(least(col(aCol), col(bCol)).as("lo"),
+          greatest(col(aCol), col(bCol)).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct())
+    var edgeCount = cur.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < rounds) {
+      val keep = degrees(cur).filter(col("deg") >= k).select(col("v"))
+      val (next, nextIds) = ckWithIds(cur
+        .join(keep.withColumnRenamed("v", "lo"), Seq("lo"), "left_semi")
+        .join(keep.withColumnRenamed("v", "hi"), Seq("hi"), "left_semi")
+        .select(col("lo"), col("hi")))
+      val nextCount = next.count()
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevIds = nextIds
+      converged = nextCount == edgeCount
+      edgeCount = nextCount
+      cur = next
+      iter += 1
+    }
+    // materialize the result BEFORE releasing the final round's blocks —
+    // localCheckpoint truncates lineage, so blocks must outlive consumers
+    val out = degrees(cur)
+      .select(col("v").as("node"), col("deg").cast("long").as("degree"))
+      .localCheckpoint(true)
+    prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    out
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), made DETERMINISTIC: every node starts labeled with its own id;
+    * each round every node simultaneously adopts the most frequent label
+    * among its NEIGHBORS, ties broken by smallest label. Communities are
+    * finer than connected components (q73/q197 merge everything reachable;
+    * LPA splits a component along sparse cuts) — the distinction a dedup
+    * pipeline needs when one LSH component contains two template families
+    * bridged by a single drifted pair.
+    *
+    * Classic LPA is nondeterministic (random tie-breaks, random visit
+    * order) and synchronous LPA can OSCILLATE on bipartite structures — so
+    * the operator is DEFINED as exactly `rounds` synchronous rounds (no
+    * convergence cut), which makes it a pure function of the edge set that
+    * a SQL twin replays by unrolling the same number of rounds. The
+    * argmax-by-(count, smallest-label) is ONE aggregate, no window: the
+    * composite integer key `cnt·2³² − lbl` is strictly monotone in count
+    * and strictly anti-monotone in label, so `max(struct(key, lbl))` IS the
+    * deterministic mode (requires 0 ≤ label < 2³¹ — node ids here are doc
+    * ids). Per round: one join keyed on node id + one (node, lbl)
+    * map-side-combined count + one node-keyed argmax — all on the same
+    * shuffle key; `localCheckpoint` per round cuts the doubling lineage.
+    *
+    * Returns (node, lbl) for every node incident to an edge.
+    */
+  def labelPropagation(
+      edges: DataFrame, rounds: Int,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    def ckWithIds(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val ck = df.localCheckpoint(true)
+      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).as("lo"), greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    val sym = canon.select(col("lo").as("u"), col("hi").as("v"))
+      .unionByName(canon.select(col("hi").as("u"), col("lo").as("v")))
+      .persist()
+    sym.count()
+    var (labels, prevIds) = ckWithIds(
+      sym.select(col("u").as("node")).distinct().withColumn("lbl", col("node")))
+    var iter = 0
+    while (iter < rounds) {
+      val counts = sym.join(labels, sym("v") === labels("node"))
+        .groupBy(sym("u").as("cu"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val (next, nextIds) = ckWithIds(counts
+        .groupBy(col("cu").as("node"))
+        .agg(max(struct((col("cnt") * lit(1L << 32) - col("lbl")).as("key"),
+          col("lbl").as("lbl"))).as("m"))
+        .select(col("node"), col("m.lbl").as("lbl")))
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevIds = nextIds
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Per-node triangle participation + degree over an undirected edge list
     * (canonicalized and de-duped internally). Degree-ordered orientation:
     * every edge points low→high in (degree, id) order, so wedge enumeration

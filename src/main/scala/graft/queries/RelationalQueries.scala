@@ -465,6 +465,53 @@ object RelationalQueries extends Registry {
           count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- CUBE multi-level aggregation (D-family extension): every subtotal
+    //      combination over (returnflag, linestatus, ship year) — 2³ = 8
+    //      grouping sets — in ONE scan. The scale story is the operator
+    //      choice itself: Spark plans cube as Expand (each row replicated
+    //      once per grouping set, keys nulled per set) feeding a single
+    //      hash aggregate, so the corpus is read once where the naive
+    //      union-of-8-GROUP-BYs reads it 8 times; partial aggregation
+    //      absorbs the ×8 row fan-out map-side because output cardinality
+    //      is Σ per-set key counts (≤ ~300 here — cube dims must be
+    //      LOW-cardinality by design; a high-card dim belongs in GROUP BY,
+    //      not CUBE). grouping_id disambiguates '(ALL)' cells from data
+    //      (dims are non-null in lineitem, so the ALL sentinel is safe);
+    //      both engines put the leftmost cube column in the MSB. Sums are
+    //      exact decimal, cast to long/double only at the edge (q01's
+    //      rule); avg is one division of those exact values. ----------------
+    Q("q266_cube_subtotals",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .withColumn("ship_year", year($"l_shipdate"))
+          .cube($"l_returnflag", $"l_linestatus", $"ship_year")
+          .agg(
+            grouping_id().cast("int").as("gid"),
+            count(lit(1)).as("n_rows"),
+            sum(dec2($"l_quantity")).cast("long").as("sum_qty"),
+            sum(dec2($"l_extendedprice")).cast("double").as("sum_price"),
+            (sum(dec2($"l_extendedprice")).cast("double") / count(lit(1)))
+              .as("avg_price"))
+          .select($"gid",
+            coalesce($"l_returnflag", lit("ALL")).as("ret"),
+            coalesce($"l_linestatus", lit("ALL")).as("status"),
+            coalesce($"ship_year", lit(-1)).as("ship_year"),
+            $"n_rows", $"sum_qty", $"sum_price", $"avg_price")
+          .orderBy($"gid", $"ret", $"status", $"ship_year")
+      },
+      Some("""SELECT CAST(GROUPING_ID(l_returnflag, l_linestatus, ship_year) AS INT) AS gid,
+          coalesce(l_returnflag, 'ALL') AS ret,
+          coalesce(l_linestatus, 'ALL') AS status,
+          CAST(coalesce(ship_year, -1) AS INT) AS ship_year,
+          count(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        FROM (SELECT *, CAST(year(l_shipdate) AS INT) AS ship_year FROM lineitem)
+        GROUP BY CUBE(l_returnflag, l_linestatus, ship_year)
+        ORDER BY gid, ret, status, ship_year""")),
+
     // ---- exact percentiles: linear-interpolated quantiles of the price
     //      distribution per return flag. Spark's `percentile` is the exact
     //      sort-based aggregate (per-group sort, distributes across flags);

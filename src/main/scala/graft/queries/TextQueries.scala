@@ -45,6 +45,14 @@ object TextQueries extends Registry {
       |       FROM w, UNNEST(range(1, len(w) - 1)) AS t(i))""".stripMargin
 
   private val nPerms = 16
+
+  /** q264 fixed peel budget / q265 fixed LPA rounds — part of each
+    * query's DEFINITION (both oracles unroll exactly this many rounds;
+    * see the Components scaladoc for why fixed budgets are what make
+    * iterative graph kernels oracle-replayable).
+    */
+  private val kcoreRounds = 8
+  private val lpaRounds = 4
   private val nBands = 4
 
   /** Decontamination building blocks shared by q104 and the q108
@@ -613,6 +621,114 @@ object TextQueries extends Registry {
                  THEN 2.0 * coalesce(pn.n_tri, 0) / (deg.deg * (deg.deg - 1))
                  ELSE 0.0 END AS clustering
           FROM deg LEFT JOIN pn ON deg.v = pn.v ORDER BY doc_id""")),
+
+    // ---- k-core peeling over the near-dup graph (same LSH edges as
+    //      q73/q197/q200): iteratively delete nodes of degree < k. The
+    //      2-core is exactly the subgraph q200's per-node triangle counts
+    //      hint at — template FARMS (near-cliques) survive, drift CHAINS
+    //      (paths, zero cycles) peel away — delivered as a subgraph a dedup
+    //      policy can act on (aggressive dedup inside cores, conservative
+    //      outside). Defined as a FIXED 8-round peel so the oracle unrolls
+    //      the identical rounds with no convergence test; the engine's
+    //      early exit at fixpoint is output-equivalent because a converged
+    //      round is the identity (Components.kCore doc). Three k values
+    //      stack in one output: k=1 pins the full incident-node set
+    //      (guaranteed non-degenerate at every SF), k=2 kills chains,
+    //      k=3 keeps only dense farm kernels. Per round: one node-keyed
+    //      degree aggregate + one semi-join restriction — same shuffle key
+    //      throughout, rounds ≈ half the longest chain (1-3 here). ----------
+    Q("q264_kcore_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val mh = materialize(minhashes(s, dir))
+        // one materialization of the edge set shared by all three peels
+        // (each kCore call would otherwise re-derive the LSH self-join)
+        val edges = lshScored(mh)
+          .filter(col("agree") >= nPerms / 2)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .localCheckpoint(true)
+        Seq(1, 2, 3).map { k =>
+          graft.operators.Components.kCore(edges, k, rounds = kcoreRounds)
+            .select(lit(k).as("k"), col("node").as("doc_id"), col("degree"))
+        }.reduce(_ unionByName _).orderBy($"k", $"doc_id")
+      },
+      Some {
+        // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and a
+        // peel round references its predecessor 3× — 8 inlined rounds is
+        // 3⁸ re-expansions of the whole minhash pipeline (observed as an
+        // fd-exhaustion error, not just slowness)
+        def peel(k: Int): String = {
+          val init = s"""ek${k}r0 AS MATERIALIZED (SELECT doc_a AS lo, doc_b AS hi
+              FROM scored WHERE agree >= ${nPerms / 2})"""
+          val steps = (1 to kcoreRounds).map { r =>
+            s"""dk${k}r$r AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+                  SELECT lo AS v FROM ek${k}r${r - 1}
+                  UNION ALL SELECT hi FROM ek${k}r${r - 1}) GROUP BY v),
+              kk${k}r$r AS MATERIALIZED (SELECT v FROM dk${k}r$r WHERE deg >= $k),
+              ek${k}r$r AS MATERIALIZED (SELECT lo, hi FROM ek${k}r${r - 1}
+                JOIN kk${k}r$r ka ON lo = ka.v
+                JOIN kk${k}r$r kb ON hi = kb.v)"""
+          }
+          val fin = s"""fk$k AS (SELECT v, count(*) AS deg FROM (
+              SELECT lo AS v FROM ek${k}r$kcoreRounds
+              UNION ALL SELECT hi FROM ek${k}r$kcoreRounds) GROUP BY v)"""
+          (Seq(init) ++ steps :+ fin).mkString(",\n")
+        }
+        s"""WITH $lshScoredCte,
+          ${Seq(1, 2, 3).map(peel).mkString(",\n")}
+          SELECT CAST(k AS INT) AS k, v AS doc_id, CAST(deg AS BIGINT) AS degree
+          FROM (SELECT 1 AS k, v, deg FROM fk1
+                UNION ALL SELECT 2, v, deg FROM fk2
+                UNION ALL SELECT 3, v, deg FROM fk3)
+          ORDER BY k, doc_id"""
+      }),
+
+    // ---- label-propagation communities over the near-dup graph: the
+    //      sparse-cut refinement of q73's connected components — one LSH
+    //      component holding two template families bridged by a single
+    //      drifted pair is ONE component but TWO communities, and dedup
+    //      survivor selection wants the finer unit. Deterministic
+    //      synchronous LPA (Components.labelPropagation): every node
+    //      adopts its neighbors' most frequent label, ties to the smallest
+    //      label, for EXACTLY 4 rounds — fixed-round definition because
+    //      synchronous LPA can oscillate, so both engines run the same
+    //      pure function of the edge set (oracle unrolls 4 rounds; the
+    //      deterministic mode is arg_max over the composite integer key
+    //      cnt·2³² − lbl, one aggregate, no window). community_size rides
+    //      along so the output ranks farm mass directly. --------------------
+    Q("q265_label_communities",
+      (s, dir) => {
+        import s.implicits._
+        val mh = materialize(minhashes(s, dir))
+        val edges = lshScored(mh)
+          .filter(col("agree") >= nPerms / 2)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val lbls = graft.operators.Components.labelPropagation(edges, rounds = lpaRounds)
+        val sized = lbls.groupBy($"lbl").agg(count(lit(1)).as("community_size"))
+        lbls.join(sized, Seq("lbl"))
+          .select($"node".as("doc_id"), $"lbl".as("community"),
+            $"community_size".cast("long").as("community_size"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val rounds = (1 to lpaRounds).map { r =>
+          s"""lc$r AS (SELECT e.u AS u, l.lbl AS lbl, count(*) AS cnt
+                FROM und e JOIN ll${r - 1} l ON e.v = l.node GROUP BY 1, 2),
+            ll$r AS (SELECT u AS node, arg_max(lbl, cnt * 4294967296 - lbl) AS lbl
+                FROM lc$r GROUP BY 1)"""
+        }.mkString(",\n")
+        s"""WITH $lshScoredCte,
+          und AS (SELECT doc_a AS u, doc_b AS v FROM scored WHERE agree >= ${nPerms / 2}
+                  UNION
+                  SELECT doc_b, doc_a FROM scored WHERE agree >= ${nPerms / 2}),
+          ll0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+          $rounds,
+          sz AS (SELECT lbl, count(*) AS community_size FROM ll$lpaRounds GROUP BY 1)
+          SELECT node AS doc_id, f.lbl AS community,
+            CAST(community_size AS BIGINT) AS community_size
+          FROM ll$lpaRounds f JOIN sz ON f.lbl = sz.lbl
+          ORDER BY doc_id"""
+      }),
 
     // ---- filter-funnel attribution: the per-rule kill/survivor ledger a
     //      curation pipeline publishes with every corpus release (C4 /

@@ -136,4 +136,124 @@ class GraphXCrossCheckSpec extends SparkSpec {
     Seq(31L, 32L, 33L).foreach(v => assert(got(v) == (1L, 0L)))
     assert(got.size == 14)
   }
+
+  // ---- independent in-memory referees for the round-budgeted graph
+  //      kernels (q264 k-core, q265 LPA). The brute force implements the
+  //      same FIXED-ROUND definition the DuckDB oracles unroll, so these
+  //      also pin that the engine's early-exit-at-fixpoint (kCore) is
+  //      output-equivalent to running the full budget. --------------------
+
+  /** Exactly `rounds` synchronous peel rounds, straight from the paper. */
+  private def bruteKCore(edges: Set[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] = {
+    var es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2)
+    for (_ <- 1 to rounds) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      es = es.filter(e => keep(e._1) && keep(e._2))
+    }
+    es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  /** Exactly `rounds` synchronous LPA rounds, neighbor mode with
+    * (count desc, label asc) tie-break.
+    */
+  private def bruteLpa(edges: Set[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2)
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = nbrs.keySet.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lbl = nbrs.map { case (u, ns) =>
+        val counts = ns.toSeq.map(lbl).groupBy(identity)
+          .view.mapValues(_.size).toSeq
+        u -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  /** Deterministic LCG edge generator — seeded, no Random state leakage. */
+  private def lcgGraph(seed: Long, n: Int, m: Int): Set[(Long, Long)] = {
+    var x = seed
+    def next(bound: Int): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(x >>> 33, bound).toLong
+    }
+    (1 to m).map(_ => (next(n), next(n))).filter(e => e._1 != e._2).toSet
+  }
+
+  test("kCore equals an in-memory fixed-round peel (random, path, clique)") {
+    val graphs: Seq[(String, Set[(Long, Long)])] = Seq(
+      "sparse" -> lcgGraph(1L, 30, 25),
+      "medium" -> lcgGraph(2L, 30, 60),
+      "dense" -> lcgGraph(3L, 20, 80),
+      // 30-node path: k=2 peels one node per END per round, so an 8-round
+      // budget STOPS before the (empty) fixpoint — both sides must agree
+      // on the partial peel, which is what makes the oracle contract safe
+      "path" -> (0L until 29L).map(i => (i, i + 1)).toSet,
+      "clique+tail" -> ((for (i <- 0L to 4L; j <- i + 1 to 5L) yield (i, j)).toSet
+        ++ Set((5L, 100L), (100L, 101L), (101L, 102L))))
+    for ((name, es) <- graphs; k <- Seq(2, 3); rounds <- Seq(3, 8)) {
+      val df = spark.createDataFrame(es.toSeq).toDF("a", "b")
+      val got = graft.operators.Components.kCore(df, k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = bruteKCore(es, k, rounds)
+      assert(got == want, s"$name k=$k rounds=$rounds: got $got want $want")
+    }
+  }
+
+  test("kCore core nesting: (k+1)-core nodes are a subset of the k-core's") {
+    val es = lcgGraph(7L, 40, 120)
+    val df = spark.createDataFrame(es.toSeq).toDF("a", "b")
+    val cores = (1 to 4).map(k =>
+      k -> graft.operators.Components.kCore(df, k, rounds = 40)
+        .collect().map(_.getLong(0)).toSet).toMap
+    for (k <- 1 to 3)
+      assert(cores(k + 1).subsetOf(cores(k)),
+        s"${k + 1}-core ⊄ $k-core: ${cores(k + 1) -- cores(k)}")
+    // at a fixpoint-sized budget every surviving degree is >= k
+    val deg3 = graft.operators.Components.kCore(df, 3, rounds = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    deg3.foreach { case (v, d) => assert(d >= 3, s"node $v degree $d < 3") }
+  }
+
+  test("labelPropagation equals an in-memory synchronous LPA") {
+    val graphs: Seq[(String, Set[(Long, Long)])] = Seq(
+      "sparse" -> lcgGraph(11L, 30, 25),
+      "medium" -> lcgGraph(12L, 30, 60),
+      // two 4-cliques bridged by one edge: LPA must keep them as two
+      // communities where connected components would merge them
+      "bridged-cliques" -> ((for (i <- 0L to 2L; j <- i + 1 to 3L) yield (i, j)).toSet
+        ++ (for (i <- 10L to 12L; j <- i + 1 to 13L) yield (i, j)).toSet
+        + ((3L, 10L))),
+      // even cycle: the bipartite shape where synchronous LPA oscillates —
+      // the fixed-round definition must still be reproducible
+      "cycle" -> ((0L until 10L).map(i => (i, (i + 1) % 10)).toSet))
+    for ((name, es) <- graphs; rounds <- Seq(2, 4)) {
+      val df = spark.createDataFrame(es.toSeq).toDF("a", "b")
+      val got = graft.operators.Components.labelPropagation(df, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = bruteLpa(es, rounds)
+      assert(got == want, s"$name rounds=$rounds: got $got want $want")
+    }
+  }
+
+  test("q265 communities refine q73 components on the gated edge set") {
+    val comp = SparkEntry.queries("q73_dedup_components")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpa = SparkEntry.queries("q265_label_communities")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa.keySet == comp.keySet,
+      "LPA and CC must label the same incident-node set")
+    // a community never spans two components (refinement direction)
+    lpa.groupBy(_._2).values.foreach { members =>
+      val comps = members.keySet.map(comp)
+      assert(comps.size == 1,
+        s"community ${members.values.head} spans components $comps")
+    }
+  }
 }

@@ -766,4 +766,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(ps.contains("ShuffledHashJoin"), s"shuffle branch not shuffle-hash:\n$ps")
     assert(forced.select("chosen").head().getString(0) == "shuffle")
   }
+
+  test("q266: cube is ONE scan through Expand with map-side partial aggregation") {
+    val df = SparkEntry.queries("q266_cube_subtotals")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    // the operator-choice claim: all 8 grouping sets from a single Expand
+    // over a single lineitem scan — not a union of 8 re-scans
+    assert(p.contains("Expand"), s"cube lost its Expand shape:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"cube re-scans the fact table:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"cube aggregate lacks map-side combine:\n$p")
+    assert(!p.contains("Union"), s"cube planned as a union of group-bys:\n$p")
+  }
 }
