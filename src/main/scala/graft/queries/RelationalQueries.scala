@@ -512,6 +512,54 @@ object RelationalQueries extends Registry {
         GROUP BY CUBE(l_returnflag, l_linestatus, ship_year)
         ORDER BY gid, ret, status, ship_year""")),
 
+    // ---- distribution-rank window trio (E-family completion): ntile /
+    //      percent_rank / cume_dist — the last standard ranking functions
+    //      the registry didn't exercise — partitioned by return flag
+    //      (NEVER unpartitioned: the per-flag window distributes), ordered
+    //      by (price, orderkey, linenumber) so the order is TOTAL — ntile
+    //      splits ties by row order, so a non-unique ORDER BY would make
+    //      bucket membership engine-dependent; with the unique key both
+    //      engines place every row identically and the integer bucket
+    //      boundary rule (first n%b buckets take one extra row) matches.
+    //      Row-scale window output folds immediately to one row per
+    //      (flag, decile): counts, the exact percent_rank/cume_dist edges
+    //      ((rank−1)/(n−1) and rows≤cur/n — divisions of identical longs),
+    //      and exact decimal sums. ------------------------------------------
+    Q("q267_rank_deciles",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        t(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_extendedprice", $"l_quantity",
+            ntile(10).over(w).as("decile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .groupBy($"l_returnflag", $"decile")
+          .agg(count(lit(1)).as("n_rows"),
+            min($"pr").as("pr_lo"), max($"pr").as("pr_hi"),
+            min($"cd").as("cd_lo"), max($"cd").as("cd_hi"),
+            sum(dec2($"l_quantity")).cast("long").as("sum_qty"),
+            max(dec2($"l_extendedprice")).cast("double").as("max_price"))
+          .orderBy($"l_returnflag", $"decile")
+      },
+      Some("""SELECT l_returnflag, CAST(decile AS INT) AS decile,
+          count(*) AS n_rows,
+          min(pr) AS pr_lo, max(pr) AS pr_hi,
+          min(cd) AS cd_lo, max(cd) AS cd_hi,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty,
+          CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        FROM (SELECT l_returnflag, l_extendedprice, l_quantity,
+            ntile(10) OVER w AS decile,
+            percent_rank() OVER w AS pr,
+            cume_dist() OVER w AS cd
+          FROM lineitem
+          WINDOW w AS (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber))
+        GROUP BY l_returnflag, decile
+        ORDER BY l_returnflag, decile""")),
+
     // ---- exact percentiles: linear-interpolated quantiles of the price
     //      distribution per return flag. Spark's `percentile` is the exact
     //      sort-based aggregate (per-group sort, distributes across flags);

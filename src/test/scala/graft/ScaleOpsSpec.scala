@@ -398,4 +398,50 @@ class ScaleOpsSpec extends SparkSpec {
     // this width (generous 5x headroom over the ~6 s observed)
     assert(elapsedMs < 30000.0, f"1000-col reconcile took $elapsedMs%.0f ms")
   }
+
+  /** Total shuffle WRITE bytes across all stages of `run` — measured via a
+    * stage-completion listener, settled by polling (listener delivery is
+    * async; three consecutive stable reads ≈ the bus has drained).
+    */
+  private def shuffleBytes(run: => Unit): Long = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val l = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    graft.core.SessionHygiene.dropAllBlocks(spark) // no cross-run cache credit
+    spark.sparkContext.addSparkListener(l)
+    try run finally {
+      var last = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val v = acc.get
+        if (v == last) stable += 1 else { stable = 0; last = v }
+      }
+      spark.sparkContext.removeSparkListener(l)
+    }
+    acc.get
+  }
+
+  test("shuffle-bytes ladder: dedup candidate generation shuffles O(corpus), not O(pairs)") {
+    // The wall-time ladders (BENCH_SF_LADDER.json) bound TIME; this pins
+    // the underlying cause in the unit that can't be timing noise: bytes
+    // actually shuffled. documents grows ~9x from sf0.001 to sf0.1 (65 KB
+    // -> 580 KB parquet, 500 -> 5000 docs); a quadratic pair-materializing
+    // plan would shuffle ~81x more. Both the df-capped inverted index
+    // (q22) and banded LSH (q23) must stay within a LINEAR envelope —
+    // 30x covers 9x growth plus per-run jitter with margin, and fails at
+    // anything close to quadratic.
+    def measure(sf: String, q: String): Long =
+      shuffleBytes(SparkEntry.queries(q)(spark, s"/root/testdata/$sf").collect())
+    for (q <- Seq("q22_ngram_jaccard", "q23_minhash_lsh")) {
+      val lo = measure("sf0.001", q)
+      val hi = measure("sf0.1", q)
+      assert(lo > 0, s"$q shuffled nothing at sf0.001 — measurement broken")
+      assert(hi < 30L * lo,
+        s"$q shuffle bytes grew ${hi.toDouble / lo}x for ~9x corpus (lo=$lo hi=$hi)")
+    }
+  }
 }
