@@ -730,6 +730,50 @@ object TextQueries extends Registry {
           ORDER BY doc_id"""
       }),
 
+    // ---- PARETO FRONTIER (skyline) of the curation tradeoff: the set of
+    //      (length, quality) points no document strictly beats on both
+    //      axes — maximize stopword quality (stops·10⁴ div n_tokens, an
+    //      exact integer like every q198 threshold) while MINIMIZING the
+    //      token budget a doc costs. Computed over DISTINCT (x, y) points
+    //      (equal points never dominate each other, so doc multiplicity
+    //      rides along as n_docs). The scalable kernel is q149's TWO-PHASE
+    //      prefix pattern with max instead of sum — the pattern works for
+    //      ANY associative op: deterministic integer range split on x,
+    //      per-range max-y totals, an 8-ROW window turns those into range
+    //      base maxima, and each range scans its own slice in parallel
+    //      under (x asc, y desc) order. A point is on the frontier iff its
+    //      y strictly exceeds the running max of everything ordered before
+    //      it — exactly the NOT-EXISTS dominance the oracle replays
+    //      (quadratic in DuckDB, linear-after-sort here; never an
+    //      unpartitioned window). Frontier x values are unique by
+    //      construction, so ORDER BY x is total. ---------------------------
+    Q("q268_pareto_frontier",
+      (s, dir) => {
+        import s.implicits._
+        val stops = LangLexicon.entries.map(_._1)
+        val pts = docs(s, dir)
+          .select(tokens($"text").as("w"))
+          .select(size($"w").cast("long").as("x"),
+            size(filter($"w", t => t.isin(stops: _*))).cast("long").as("st"))
+          .select($"x", expr("st * 10000 div x").as("y"))
+          .groupBy($"x", $"y").agg(count(lit(1)).as("n_docs"))
+        graft.operators.Pareto.frontier(pts, "x", "y")
+          .select($"x".as("n_tokens"), $"y".as("quality_permyriad"), $"n_docs")
+          .orderBy($"n_tokens")
+      },
+      Some(s"""WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+              CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN (${LangLexicon.sqlWordList}))) AS BIGINT) AS st
+            FROM documents),
+          pts AS (SELECT x, st * 10000 // x AS y, count(*) AS n_docs
+                  FROM d GROUP BY 1, 2),
+          fr AS (SELECT * FROM pts a WHERE NOT EXISTS (
+                   SELECT 1 FROM pts b
+                   WHERE b.x <= a.x AND b.y >= a.y
+                     AND (b.x < a.x OR b.y > a.y)))
+          SELECT x AS n_tokens, y AS quality_permyriad, n_docs
+          FROM fr ORDER BY n_tokens""")),
+
     // ---- filter-funnel attribution: the per-rule kill/survivor ledger a
     //      curation pipeline publishes with every corpus release (C4 /
     //      Gopher / FineWeb report exactly this table). Six rules applied

@@ -425,6 +425,37 @@ class ScaleOpsSpec extends SparkSpec {
     acc.get
   }
 
+  test("Pareto.frontier equals brute-force dominance on random point sets") {
+    // q268's corpus frontier is tiny (structured data); this referees the
+    // two-phase prefix-max kernel where skylines are rich — seeded LCG
+    // point clouds plus the adversarial shapes: an anti-chain (everything
+    // on the frontier), a dominated chain, duplicate-x columns, and a
+    // range-split-boundary cluster (all x in one pid)
+    def lcgPts(seed: Long, n: Int, bound: Int): Set[(Long, Long)] = {
+      var s = seed
+      def next(): Long = {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        math.floorMod(s >>> 33, bound).toLong
+      }
+      (1 to n).map(_ => (next(), next())).toSet
+    }
+    val shapes: Seq[(String, Set[(Long, Long)])] = Seq(
+      "cloud-small" -> lcgPts(5L, 60, 40),
+      "cloud-large" -> lcgPts(6L, 300, 1000),
+      "anti-chain" -> (0L to 20L).map(i => (i, 20L - i)).toSet, // all survive
+      "chain" -> (0L to 20L).map(i => (i, i)).toSet, // every point survives: larger y always costs larger x
+      "dup-x" -> Set((5L, 1L), (5L, 7L), (5L, 3L), (9L, 7L), (9L, 9L)),
+      "one-pid" -> lcgPts(8L, 50, 3)) // x ∈ {0,1,2}: the 8-way split leaves ranges empty
+    for ((name, ps) <- shapes) {
+      val df = spark.createDataFrame(ps.toSeq).toDF("x", "y")
+      val got = graft.operators.Pareto.frontier(df, "x", "y")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = ps.filter(a => !ps.exists(b =>
+        b._1 <= a._1 && b._2 >= a._2 && (b._1 < a._1 || b._2 > a._2)))
+      assert(got == want, s"$name: got $got want $want")
+    }
+  }
+
   test("shuffle-bytes ladder: dedup candidate generation shuffles O(corpus), not O(pairs)") {
     // The wall-time ladders (BENCH_SF_LADDER.json) bound TIME; this pins
     // the underlying cause in the unit that can't be timing noise: bytes
