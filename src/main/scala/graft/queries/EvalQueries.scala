@@ -20,7 +20,109 @@ import graft.ops.{Ensemble, PromptRenderer}
   */
 object EvalQueries extends Registry {
 
+  /** Cumulative Poisson(1) CDF thresholds for q269's deterministic draw:
+    * k = #{thresholds below u}. One source of truth for BOTH engines —
+    * the Spark CASE and the oracle CASE are generated from this Seq, so a
+    * literal can never drift between them. Truncation at k=8 (mass 1.1e-6)
+    * biases a replicate weight once per ~900k draws — irrelevant to a CI
+    * and identical on both sides by construction.
+    */
+  private val poissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  /** q269 bootstrap replicate count. ⌈0.025·64⌉ = 2 and ⌈0.975·64⌉ = 63,
+    * so both CI edges are interior order statistics, not the sample min/max.
+    */
+  private val nBoot = 64
+
   override def entries: Seq[Q] = Seq(
+
+    // ---- POISSONIZED BOOTSTRAP CI (r11): the distributed bootstrap — true
+    //      resample-with-replacement needs the global row count per draw,
+    //      but Poisson(1) per (row, replica) weights approximate the
+    //      multinomial independently per row, which is the ONLY reason a
+    //      bootstrap distributes (each row computes its 64 replicate
+    //      weights from its own key — one pass, map-side combine to
+    //      (lang, replica) sufficient statistics, never a re-shuffle per
+    //      replica). Weights are the deterministic inverse-CDF walk over
+    //      the shared md5 uniform (thresholds from [[poissonCdf]], single
+    //      source for both engines), so DuckDB rebuilds every replicate
+    //      mean bit-for-bit: mean_b = Σk·x / Σk with exact long sums and
+    //      ONE division. CI = interior order statistics of the 64 sorted
+    //      replicate means (sort_array aggregation, no window); the
+    //      normal-approx CI from exact sufficient statistics rides along
+    //      so the deliverable shows what the bootstrap buys (asymmetry)
+    //      next to what it costs (64× weight algebra, not 64× scans). ------
+    Q("q269_bootstrap_ci",
+      (s, dir) => {
+        import s.implicits._
+        val reps = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars".cast("long").as("x"))
+          .select($"doc_id", $"lang", $"x",
+            explode(sequence(lit(0), lit(nBoot - 1))).as("b"))
+          .withColumn("u", Sampling.detRand(269L,
+            $"doc_id".cast("string"), $"b".cast("string")))
+          .withColumn("k", poissonCdf.foldLeft(lit(0L)) {
+            (acc, c) => acc + when($"u" >= c, 1L).otherwise(0L) })
+        val boot = reps.groupBy($"lang", $"b")
+          .agg((sum($"k" * $"x").cast("double") / sum($"k").cast("double"))
+            .as("mean_b"))
+          .groupBy($"lang")
+          .agg(sort_array(collect_list($"mean_b")).as("ms"))
+          .select($"lang",
+            element_at($"ms", math.ceil(0.025 * nBoot).toInt).as("boot_lo"),
+            element_at($"ms", math.ceil(0.975 * nBoot).toInt).as("boot_hi"))
+        val stats = Tables(s, dir, "documents")
+          .select($"lang", $"n_chars".cast("long").as("x"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+            sum($"x" * $"x").as("sxx"))
+          .select($"lang", $"n",
+            ($"sx".cast("double") / $"n".cast("double")).as("mean_chars"),
+            sqrt(($"sxx".cast("double")
+                - $"sx".cast("double") * $"sx".cast("double") / $"n".cast("double"))
+              / ($"n".cast("double") - lit(1.0))).as("sd"))
+        stats.join(boot, Seq("lang"))
+          .select($"lang", $"n", $"mean_chars",
+            $"boot_lo", $"boot_hi",
+            ($"mean_chars" - lit(1.96) * $"sd" / sqrt($"n".cast("double")))
+              .as("norm_lo"),
+            ($"mean_chars" + lit(1.96) * $"sd" / sqrt($"n".cast("double")))
+              .as("norm_hi"))
+          .orderBy($"lang")
+      },
+      Some {
+        val u = Sampling.detRandSql(269L,
+          Seq("CAST(doc_id AS VARCHAR)", "CAST(b AS VARCHAR)"))
+        val kExpr = poissonCdf
+          .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH reps AS (SELECT lang, b, CAST(n_chars AS BIGINT) AS x, $u AS u
+              FROM documents, UNNEST(range(0, $nBoot)) AS r(b)),
+          kk AS (SELECT lang, b, x, CAST($kExpr AS BIGINT) AS k FROM reps),
+          bm AS (SELECT lang, b, CAST(sum(k * x) AS DOUBLE)
+                   / CAST(sum(k) AS DOUBLE) AS mean_b
+                 FROM kk GROUP BY lang, b),
+          boot AS (SELECT lang, ms[${math.ceil(0.025 * nBoot).toInt}] AS boot_lo,
+                     ms[${math.ceil(0.975 * nBoot).toInt}] AS boot_hi
+                   FROM (SELECT lang, list(mean_b ORDER BY mean_b) AS ms
+                         FROM bm GROUP BY lang)),
+          st AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+                 FROM (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents)
+                 GROUP BY lang),
+          sv AS (SELECT lang, n,
+                   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_chars,
+                   sqrt((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0)) AS sd
+                 FROM st)
+          SELECT sv.lang, CAST(n AS BIGINT) AS n, mean_chars, boot_lo, boot_hi,
+            mean_chars - 1.96 * sd / sqrt(CAST(n AS DOUBLE)) AS norm_lo,
+            mean_chars + 1.96 * sd / sqrt(CAST(n AS DOUBLE)) AS norm_hi
+          FROM sv JOIN boot ON sv.lang = boot.lang
+          ORDER BY sv.lang"""
+      }),
 
     // ---- D5: cross-seed 95% CI over per-seed aggregates ------------------
     //      pseudo-seeds synthesized as o_orderkey % 5; metric = per-seed
