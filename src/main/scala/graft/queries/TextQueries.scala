@@ -736,17 +736,19 @@ object TextQueries extends Registry {
     //      exact integer like every q198 threshold) while MINIMIZING the
     //      token budget a doc costs. Computed over DISTINCT (x, y) points
     //      (equal points never dominate each other, so doc multiplicity
-    //      rides along as n_docs). The scalable kernel is q149's TWO-PHASE
-    //      prefix pattern with max instead of sum — the pattern works for
-    //      ANY associative op: deterministic integer range split on x,
-    //      per-range max-y totals, an 8-ROW window turns those into range
-    //      base maxima, and each range scans its own slice in parallel
-    //      under (x asc, y desc) order. A point is on the frontier iff its
-    //      y strictly exceeds the running max of everything ordered before
-    //      it — exactly the NOT-EXISTS dominance the oracle replays
-    //      (quadratic in DuckDB, linear-after-sort here; never an
-    //      unpartitioned window). Frontier x values are unique by
-    //      construction, so ORDER BY x is total. ---------------------------
+    //      rides along as n_docs). q222 is the sibling skyline whose plan
+    //      leans on a SMALL distinct-x domain (one window over the
+    //      distinct-price table); this one drops that assumption — the
+    //      kernel is q149's TWO-PHASE prefix pattern with max instead of
+    //      sum (operators/Pareto.scala), correct for ANY x cardinality:
+    //      deterministic integer range split on x, per-range max-y totals,
+    //      an 8-ROW base window, and each range scans its own slice in
+    //      parallel under (x asc, y desc) order. A point is on the
+    //      frontier iff its y strictly exceeds the running max of
+    //      everything ordered before it — exactly the NOT-EXISTS dominance
+    //      the oracle replays (quadratic in DuckDB, linear-after-sort
+    //      here; never an unpartitioned window). Frontier x values are
+    //      unique by construction, so ORDER BY x is total. ------------------
     Q("q268_pareto_frontier",
       (s, dir) => {
         import s.implicits._

@@ -242,6 +242,19 @@ class GraphXCrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("q264 cross-query invariant: triangle participants live in the 2-core") {
+    // a triangle is a cycle, and no peel round can delete a cycle node
+    // while the cycle is intact — so q200's n_tri > 0 nodes must all
+    // survive q264's k=2 peel (the converse is false: a square is in the
+    // 2-core with zero triangles)
+    val inTri = SparkEntry.queries("q200_triangles")(spark, sfDir)
+      .filter(col("n_tri") > 0).collect().map(_.getLong(0)).toSet
+    val core2 = SparkEntry.queries("q264_kcore_dedup")(spark, sfDir)
+      .filter(col("k") === 2).collect().map(_.getLong(1)).toSet
+    assert(inTri.subsetOf(core2),
+      s"triangle nodes outside the 2-core: ${inTri -- core2}")
+  }
+
   test("q265 communities refine q73 components on the gated edge set") {
     val comp = SparkEntry.queries("q73_dedup_components")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
