@@ -598,6 +598,44 @@ object RelationalQueries extends Registry {
         GROUP BY l_returnflag, decile
         ORDER BY l_returnflag, decile""")),
 
+    // ---- EXACT distributed median by two-phase SELECTION (the q89
+    //      counterpoint): Spark's exact `percentile` buffers and sorts
+    //      each group's values on one reducer — the same low-cardinality
+    //      concentration q267's naive window hit. The selection kernel
+    //      (operators/Selection.scala) needs TWO scans and no sort of any
+    //      kind: a (group, bucket) histogram locates each group's k-th
+    //      bucket, a second scan counts exact values inside only the
+    //      target buckets, and the driver walks aggregate tables whose
+    //      size is the `buckets` knob (4096), never rows. Integer-exact
+    //      on price cents; k = (n+1) div 2 (lower median — an order
+    //      statistic, so no interpolation convention can diverge). The
+    //      oracle computes the same k-th with a rank window — single-node
+    //      DuckDB's luxury, not the engine's. ------------------------------
+    Q("q270_exact_median",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select($"l_returnflag",
+            ($"l_extendedprice" * 100).cast("long").as("cents"))
+        graft.operators.Selection
+          .exactKth(li, "l_returnflag", "cents", n => (n + 1) / 2)
+          .select($"g".as("l_returnflag"), $"n", $"k",
+            $"kth".as("median_cents"),
+            ($"kth".cast("double") / 100.0).as("median_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH v AS (SELECT l_returnflag,
+              CAST(l_extendedprice * 100 AS BIGINT) AS cents FROM lineitem),
+          r AS (SELECT l_returnflag, cents,
+                  row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM v)
+          SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+            CAST((n + 1) // 2 AS BIGINT) AS k,
+            cents AS median_cents,
+            CAST(cents AS DOUBLE) / 100.0 AS median_price
+          FROM r WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""")),
+
     // ---- exact percentiles: linear-interpolated quantiles of the price
     //      distribution per return flag. Spark's `percentile` is the exact
     //      sort-based aggregate (per-group sort, distributes across flags);

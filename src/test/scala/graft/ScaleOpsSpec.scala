@@ -456,6 +456,37 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("Selection.exactKth equals sorted selection on random multisets") {
+    // duplicates on purpose (order statistics over a MULTISET), tiny
+    // bucket counts to force real two-phase paths (buckets=1 degrades to
+    // "all in one bucket" and must still be exact), and k at the edges
+    def lcgVals(seed: Long, n: Int, bound: Int): Seq[(String, Long)] = {
+      var s = seed
+      (1 to n).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val g = "g" + math.floorMod(s >>> 33, 3)
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (g, math.floorMod(s >>> 33, bound).toLong)
+      }
+    }
+    val data = lcgVals(31L, 400, 50) // heavy duplication: 50 distinct values
+    val df = spark.createDataFrame(data).toDF("g", "v")
+    val kOfs: Seq[(String, Long => Long)] = Seq(
+      ("median", n => (n + 1) / 2), ("min", _ => 1L), ("max", n => n),
+      ("p90", n => math.max(1L, (n * 9) / 10)))
+    for ((name, kOf) <- kOfs; buckets <- Seq(1, 7, 4096)) {
+      val got = graft.operators.Selection.exactKth(df, "g", "v", kOf, buckets)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val want = data.groupBy(_._1).map { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        val k = kOf(sorted.size.toLong)
+        g -> (sorted.size.toLong, k, sorted((k - 1).toInt))
+      }
+      assert(got == want, s"$name buckets=$buckets: got $got want $want")
+    }
+  }
+
   test("shuffle-bytes ladder: dedup candidate generation shuffles O(corpus), not O(pairs)") {
     // The wall-time ladders (BENCH_SF_LADDER.json) bound TIME; this pins
     // the underlying cause in the unit that can't be timing noise: bytes
