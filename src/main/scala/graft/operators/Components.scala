@@ -34,6 +34,28 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Components {
 
+  /** localCheckpoint(eager) + the ids of the blocks it registered, so
+    * iterative kernels can release the PREVIOUS round's blocks the moment
+    * the next round has materialized (waiting for the ContextCleaner lets
+    * O(rounds × |state|) copies pile up in executor storage). Shared by
+    * every round-loop kernel in this object.
+    */
+  private def ckWithIds(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val ck = df.localCheckpoint(true)
+    (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  /** Undirected canonical form: (lo, hi) with lo < hi, distinct, self-loops
+    * dropped — the input contract of the `*Canonical` kernel entry points.
+    */
+  def canonicalize(edges: DataFrame, aCol: String = "a",
+      bCol: String = "b"): DataFrame = edges
+    .select(least(col(aCol), col(bCol)).as("lo"),
+      greatest(col(aCol), col(bCol)).as("hi"))
+    .filter(col("lo") =!= col("hi")).distinct()
+
   /** (node, component) for every node incident to an edge; component = the
     * minimum node id reachable from the node (deterministic survivor key).
     */
@@ -45,11 +67,6 @@ object Components {
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
     und.count()
-    def ckWithIds(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val ck = df.localCheckpoint(true) // materializes AND truncates lineage
-      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
     var (labels, prevIds) = ckWithIds(
       und.select(col("src").as("node")).distinct().withColumn("comp", col("node")))
     var iter = 0
@@ -194,20 +211,19 @@ object Components {
     */
   def kCore(
       edges: DataFrame, k: Int, rounds: Int = 8,
-      aCol: String = "a", bCol: String = "b"): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    def ckWithIds(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val ck = df.localCheckpoint(true)
-      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
+      aCol: String = "a", bCol: String = "b"): DataFrame =
+    kCoreCanonical(canonicalize(edges, aCol, bCol), k, rounds)
+
+  /** [[kCore]] body for input ALREADY in canonical (lo, hi) form — callers
+    * that re-peel one materialized edge set (q264 runs three k values)
+    * skip re-canonicalizing (a distinct shuffle) per call.
+    */
+  def kCoreCanonical(canon: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    val sc = canon.sparkSession.sparkContext
     def degrees(e: DataFrame): DataFrame =
       e.select(col("lo").as("v")).unionByName(e.select(col("hi").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    var (cur, prevIds) = ckWithIds(
-      edges.select(least(col(aCol), col(bCol)).as("lo"),
-          greatest(col(aCol), col(bCol)).as("hi"))
-        .filter(col("lo") =!= col("hi")).distinct())
+    var (cur, prevIds) = ckWithIds(canon)
     var edgeCount = cur.count()
     var iter = 0
     var converged = false
@@ -260,16 +276,14 @@ object Components {
     */
   def labelPropagation(
       edges: DataFrame, rounds: Int,
-      aCol: String = "a", bCol: String = "b"): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    def ckWithIds(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val ck = df.localCheckpoint(true)
-      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    val canon = edges
-      .select(least(col(aCol), col(bCol)).as("lo"), greatest(col(aCol), col(bCol)).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct()
+      aCol: String = "a", bCol: String = "b"): DataFrame =
+    labelPropagationCanonical(canonicalize(edges, aCol, bCol), rounds)
+
+  /** [[labelPropagation]] body for input already in canonical (lo, hi)
+    * form (same contract as [[kCoreCanonical]]).
+    */
+  def labelPropagationCanonical(canon: DataFrame, rounds: Int): DataFrame = {
+    val sc = canon.sparkSession.sparkContext
     val sym = canon.select(col("lo").as("u"), col("hi").as("v"))
       .unionByName(canon.select(col("hi").as("u"), col("lo").as("v")))
       .persist()

@@ -10,31 +10,29 @@ import org.apache.spark.sql.functions._
   * points (equal points never dominate each other; fold multiplicity into
   * a payload column first).
   *
-  * Kernel: the q149 TWO-PHASE prefix pattern with max as the associative
-  * op — a point is on the frontier iff its y strictly exceeds the running
-  * max of every point ordered before it under (x asc, y desc). Phase 1
-  * splits on a deterministic integer range of x (monotone ⇒ the split
-  * respects the global order), phase 2 reduces each range to one max,
-  * phase 3 turns the `ranges` totals into base maxima with a
-  * ranges-row window, phase 4 broadcasts bases back and each range scans
-  * its slice in parallel — never an unpartitioned window, O(n log n)
-  * after the shuffle vs the oracle's quadratic NOT EXISTS.
+  * Kernel: [[PrefixOps]] with max as the associative op — a point is on
+  * the frontier iff its y strictly exceeds the running max of every point
+  * ordered before it under (x asc, y desc). Never an unpartitioned
+  * window, O(n log n) after the shuffle vs the oracle's quadratic
+  * NOT EXISTS.
   *
-  * Requires x ≥ 0 (integer range split) and y ≥ 0 (−1 is the identity
-  * element used for the empty prefix).
+  * Preconditions are ENFORCED, not assumed: x is validated by
+  * [[PrefixOps.rangeSplit]] (non-negative, overflow headroom) and y ≥ 0
+  * here — −1 is the empty-prefix identity, so a negative frontier y would
+  * otherwise be dropped silently.
   */
 object Pareto {
 
   def frontier(pts: DataFrame, xCol: String, yCol: String,
       ranges: Int = 8): DataFrame = {
-    val withPid = pts
-      .join(broadcast(pts.agg(max(col(xCol)).as("__mx"))))
-      .withColumn("__pid", expr(s"$xCol * $ranges div (__mx + 1)"))
-    val bases = withPid.groupBy(col("__pid")).agg(max(col(yCol)).as("__pm"))
-      .withColumn("__base", coalesce(max(col("__pm")).over(
-        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(-1L)))
-      .select(col("__pid"), col("__base"))
+    val ymin = pts.agg(min(col(yCol))).head()
+    if (!ymin.isNullAt(0))
+      require(ymin.getLong(0) >= 0, s"Pareto.frontier: negative $yCol " +
+        s"(${ymin.getLong(0)}) — −1 is the empty-prefix identity, a " +
+        "negative frontier y would be dropped silently")
+    val withPid = PrefixOps.rangeSplit(pts, xCol, ranges)
+    val bases = PrefixOps.bases(withPid, Seq.empty,
+      max(col(yCol)), max, lit(-1L))
     val w = Window.partitionBy(col("__pid"))
       .orderBy(col(xCol).asc, col(yCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -42,6 +40,6 @@ object Pareto {
       .withColumn("__prev", greatest(col("__base"),
         coalesce(max(col(yCol)).over(w), lit(-1L))))
       .filter(col(yCol) > col("__prev"))
-      .drop("__pid", "__mx", "__base", "__prev")
+      .drop("__pid", "__base", "__prev")
   }
 }

@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   *            ≤ groups·(domain/buckets) distinct-value counts to the
   *            answer.
   *
-  * Two scans total, and the driver only ever touches aggregate tables
-  * whose size is set by the `buckets` knob — never rows. Requires a
-  * non-negative integral value column (cents-style fixed-point is the
-  * intended use). k is 1-based per group; rows with NULL value are
-  * excluded (they have no rank).
+  * Two DATA scans plus a max() sizing pass for the bucket width (skip it
+  * by passing `maxValue` when the domain is known — e.g. from table
+  * statistics or a fixed-point encoding's range); the driver only ever
+  * touches aggregate tables whose size is set by the `buckets` knob —
+  * never rows. Requires a non-negative integral value column
+  * (cents-style fixed-point is the intended use). k is 1-based per
+  * group; rows with NULL value are excluded (they have no rank); an
+  * empty input yields an empty result.
   *
   * Returns one row per group: (group, n, k, kth) — deterministic, a pure
   * function of the multiset, so a SQL twin replays it with a rank window.
@@ -32,13 +35,19 @@ object Selection {
     * lower median.
     */
   def exactKth(df: DataFrame, groupCol: String, valueCol: String,
-      kOf: Long => Long, buckets: Int = 4096): DataFrame = {
+      kOf: Long => Long, buckets: Int = 4096,
+      maxValue: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"))
       .where(col("v").isNotNull)
-    val maxV = vals.agg(max($"v")).head().getLong(0)
+    val maxRow = maxValue.map(org.apache.spark.sql.Row(_))
+      .getOrElse(vals.agg(max($"v")).head())
+    if (maxRow.isNullAt(0)) // empty input / all-NULL values: nothing ranks
+      return spark.createDataFrame(Seq.empty[(String, Long, Long, Long)])
+        .toDF("g", "n", "k", "kth")
+    val maxV = maxRow.getLong(0)
     val w = maxV / buckets + 1
     // phase 1: (group, bucket) histogram — one scan, map-side combined
     val hist = vals.groupBy($"g", ($"v" / w).cast("long").as("b"))

@@ -66,9 +66,16 @@ object EvalQueries extends Registry {
             $"doc_id".cast("string"), $"b".cast("string")))
           .withColumn("k", poissonCdf.foldLeft(lit(0L)) {
             (acc, c) => acc + when($"u" >= c, 1L).otherwise(0L) })
+        // greatest(Σk, 1): a zero-weight replicate (all docs draw k=0,
+        // probability e^-n per replicate — unreachable at benchmark group
+        // sizes, reachable if the driver ever regenerates a tiny lang)
+        // must NOT diverge between engines: Spark's 0-divisor yields NULL
+        // which collect_list silently DROPS (shifting the order-statistic
+        // indices) while DuckDB's list() keeps it. With the guard both
+        // engines produce an exact 0.0 for that replicate.
         val boot = reps.groupBy($"lang", $"b")
-          .agg((sum($"k" * $"x").cast("double") / sum($"k").cast("double"))
-            .as("mean_b"))
+          .agg((sum($"k" * $"x").cast("double")
+            / greatest(sum($"k"), lit(1L)).cast("double")).as("mean_b"))
           .groupBy($"lang")
           .agg(sort_array(collect_list($"mean_b")).as("ms"))
           .select($"lang",
@@ -81,9 +88,10 @@ object EvalQueries extends Registry {
             sum($"x" * $"x").as("sxx"))
           .select($"lang", $"n",
             ($"sx".cast("double") / $"n".cast("double")).as("mean_chars"),
+            // greatest(n-1, 1): same cross-engine guard for a 1-doc group
             sqrt(($"sxx".cast("double")
                 - $"sx".cast("double") * $"sx".cast("double") / $"n".cast("double"))
-              / ($"n".cast("double") - lit(1.0))).as("sd"))
+              / greatest($"n" - 1, lit(1L)).cast("double")).as("sd"))
         stats.join(boot, Seq("lang"))
           .select($"lang", $"n", $"mean_chars",
             $"boot_lo", $"boot_hi",
@@ -102,7 +110,7 @@ object EvalQueries extends Registry {
               FROM documents, UNNEST(range(0, $nBoot)) AS r(b)),
           kk AS (SELECT lang, b, x, CAST($kExpr AS BIGINT) AS k FROM reps),
           bm AS (SELECT lang, b, CAST(sum(k * x) AS DOUBLE)
-                   / CAST(sum(k) AS DOUBLE) AS mean_b
+                   / CAST(greatest(sum(k), 1) AS DOUBLE) AS mean_b
                  FROM kk GROUP BY lang, b),
           boot AS (SELECT lang, ms[${math.ceil(0.025 * nBoot).toInt}] AS boot_lo,
                      ms[${math.ceil(0.975 * nBoot).toInt}] AS boot_hi
@@ -115,7 +123,7 @@ object EvalQueries extends Registry {
                    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_chars,
                    sqrt((CAST(sxx AS DOUBLE)
                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                     / (CAST(n AS DOUBLE) - 1.0)) AS sd
+                     / CAST(greatest(n - 1, 1) AS DOUBLE)) AS sd
                  FROM st)
           SELECT sv.lang, CAST(n AS BIGINT) AS n, mean_chars, boot_lo, boot_hi,
             mean_chars - 1.96 * sd / sqrt(CAST(n AS DOUBLE)) AS norm_lo,

@@ -537,28 +537,23 @@ object RelationalQueries extends Registry {
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        val ranges = 32
+        // the shared two-phase prefix kernel (operators/PrefixOps — the
+        // same range-split/base algebra as q268's frontier, with sum as
+        // the associative op); bases are per (flag, range): <= R rows per
+        // flag, the window is partitioned AND tiny
         val base = t(s, dir, "lineitem")
           .select($"l_returnflag", $"l_extendedprice", $"l_quantity",
             $"l_orderkey", $"l_linenumber",
             ($"l_extendedprice" * 100).cast("long").as("cents"))
-        val withPid = base
-          .join(broadcast(base.agg(max($"cents").as("mxc"))))
-          .withColumn("pid", expr(s"cents * $ranges div (mxc + 1)"))
-        // per-(flag, range) counts -> per-flag base offsets (<= R rows per
-        // flag; the window is partitioned AND tiny)
-        val bases = withPid.groupBy($"l_returnflag", $"pid")
-          .agg(count(lit(1)).as("ct"))
-          .withColumn("base", coalesce(sum($"ct").over(
-            Window.partitionBy($"l_returnflag").orderBy($"pid")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select($"l_returnflag", $"pid", $"base")
+        val withPid = graft.operators.PrefixOps.rangeSplit(base, "cents", 32)
+        val bases = graft.operators.PrefixOps.bases(withPid,
+          Seq("l_returnflag"), count(lit(1)), sum, lit(0L))
         val counts = base.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
-        val wIn = Window.partitionBy($"l_returnflag", $"pid")
+        val wIn = Window.partitionBy($"l_returnflag", $"__pid")
           .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
         val ranked = withPid
-          .join(broadcast(bases), Seq("l_returnflag", "pid"))
-          .withColumn("r", $"base" + row_number().over(wIn))
+          .join(broadcast(bases), Seq("l_returnflag", "__pid"))
+          .withColumn("r", $"__base" + row_number().over(wIn))
           .join(broadcast(counts), Seq("l_returnflag"))
         // standard ntile: sz = n div B, rem = n mod B; first rem buckets
         // take sz+1 rows (lazy branches keep the sz=0 division unreached)

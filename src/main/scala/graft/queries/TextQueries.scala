@@ -641,14 +641,17 @@ object TextQueries extends Registry {
       (s, dir) => {
         import s.implicits._
         val mh = materialize(minhashes(s, dir))
-        // one materialization of the edge set shared by all three peels
-        // (each kCore call would otherwise re-derive the LSH self-join)
-        val edges = lshScored(mh)
+        // ONE materialization of the edge set shared by all three peels —
+        // lshScored's candidate pairs are already distinct with
+        // doc_a < doc_b (the canonical (lo, hi) contract), so the
+        // canonical kernel entry skips re-deriving the LSH self-join AND
+        // the per-call canonicalize shuffle
+        val canon = lshScored(mh)
           .filter(col("agree") >= nPerms / 2)
-          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .select(col("doc_a").as("lo"), col("doc_b").as("hi"))
           .localCheckpoint(true)
         Seq(1, 2, 3).map { k =>
-          graft.operators.Components.kCore(edges, k, rounds = kcoreRounds)
+          graft.operators.Components.kCoreCanonical(canon, k, rounds = kcoreRounds)
             .select(lit(k).as("k"), col("node").as("doc_id"), col("degree"))
         }.reduce(_ unionByName _).orderBy($"k", $"doc_id")
       },
@@ -700,10 +703,11 @@ object TextQueries extends Registry {
       (s, dir) => {
         import s.implicits._
         val mh = materialize(minhashes(s, dir))
-        val edges = lshScored(mh)
+        // same canonical-contract shortcut as q264 (distinct, doc_a < doc_b)
+        val canon = lshScored(mh)
           .filter(col("agree") >= nPerms / 2)
-          .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        val lbls = graft.operators.Components.labelPropagation(edges, rounds = lpaRounds)
+          .select(col("doc_a").as("lo"), col("doc_b").as("hi"))
+        val lbls = graft.operators.Components.labelPropagationCanonical(canon, rounds = lpaRounds)
         val sized = lbls.groupBy($"lbl").agg(count(lit(1)).as("community_size"))
         lbls.join(sized, Seq("lbl"))
           .select($"node".as("doc_id"), $"lbl".as("community"),
