@@ -32,16 +32,33 @@ import org.apache.spark.sql.functions._
 object Selection {
 
   /** k chosen per group from its count, e.g. `n => (n + 1) / 2` for the
-    * lower median.
+    * lower median. The weight ≡ 1 case of [[exactKthWeighted]].
     */
   def exactKth(df: DataFrame, groupCol: String, valueCol: String,
       kOf: Long => Long, buckets: Int = 4096,
+      maxValue: Option[Long] = None): DataFrame =
+    exactKthWeighted(df.withColumn("__one", lit(1L)), groupCol, valueCol,
+      "__one", kOf, buckets, maxValue)
+
+  /** WEIGHTED order statistic: the smallest value whose cumulative weight
+    * reaches k, with k chosen per group from the group's TOTAL weight
+    * (e.g. `W => (W + 1) / 2` = the weighted lower median — for
+    * token-weighted document stats, "the length at which half the
+    * corpus's token mass sits"). Same two-phase selection as the
+    * unweighted form with weight sums in place of counts; `n` in the
+    * output is the total weight. Weights must be positive longs; rows
+    * with NULL or non-positive weight are excluded (they carry no rank
+    * mass).
+    */
+  def exactKthWeighted(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, kOf: Long => Long, buckets: Int = 4096,
       maxValue: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("long").as("v"))
-      .where(col("v").isNotNull)
+        col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("wt"))
+      .where(col("v").isNotNull && col("wt").isNotNull && col("wt") > 0)
     val maxRow = maxValue.map(org.apache.spark.sql.Row(_))
       .getOrElse(vals.agg(max($"v")).head())
     if (maxRow.isNullAt(0)) // empty input / all-NULL values: nothing ranks
@@ -49,9 +66,9 @@ object Selection {
         .toDF("g", "n", "k", "kth")
     val maxV = maxRow.getLong(0)
     val w = maxV / buckets + 1
-    // phase 1: (group, bucket) histogram — one scan, map-side combined
+    // phase 1: (group, bucket) weight histogram — one scan, map-side combined
     val hist = vals.groupBy($"g", ($"v" / w).cast("long").as("b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum($"wt").as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val byGroup = hist.groupBy(_._1)
     // driver fold: target bucket + residual rank per group
@@ -67,12 +84,12 @@ object Selection {
         }
         g -> (n, k, hit._1, hit._2)
     }
-    // phase 2: exact value counts inside only the target buckets
+    // phase 2: exact per-value weights inside only the target buckets
     val tgt = targets.toSeq.map { case (g, (_, _, b, _)) => (g, b) }
       .toDF("g", "b")
     val inBucket = vals.join(broadcast(tgt),
         vals("g") === tgt("g") && ($"v" / w).cast("long") === tgt("b"))
-      .groupBy(vals("g").as("gg"), $"v").agg(count(lit(1)).as("c"))
+      .groupBy(vals("g").as("gg"), $"v").agg(sum($"wt").as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
     val answers = targets.map { case (g, (n, k, _, r0)) =>

@@ -631,6 +631,41 @@ object RelationalQueries extends Registry {
             CAST(cents AS DOUBLE) / 100.0 AS median_price
           FROM r WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""")),
 
+    // ---- WEIGHTED median by the same selection kernel: the document
+    //      length at which half the corpus's TOKEN MASS sits, per lang —
+    //      the statistic a token-budget planner needs (the unweighted
+    //      median length over-counts short docs; packing cost is weighted
+    //      by tokens). Weighted lower median = smallest v whose cumulative
+    //      weight reaches (W+1) div 2 — Selection.exactKthWeighted swaps
+    //      weight sums for counts in both phases, still two data scans
+    //      and knob-bounded driver tables. The oracle replays it with a
+    //      cumulative-weight window (DuckDB's single-node luxury). ----------
+    Q("q271_token_mass_median",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select($"lang",
+          $"n_chars".cast("long").as("v"),
+          size(split($"text", " ")).cast("long").as("w"))
+        graft.operators.Selection
+          .exactKthWeighted(d, "lang", "v", "w", W => (W + 1) / 2)
+          .select($"g".as("lang"), $"n".as("total_tokens"), $"k",
+            $"kth".as("token_mass_median_chars"))
+          .orderBy($"lang")
+      },
+      Some("""WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+            FROM documents),
+          c AS (SELECT lang, v, sum(w) AS wv FROM d GROUP BY 1, 2),
+          r AS (SELECT lang, v,
+                  sum(wv) OVER (PARTITION BY lang ORDER BY v) AS cw,
+                  sum(wv) OVER (PARTITION BY lang) AS tw
+                FROM c)
+          SELECT lang, CAST(tw AS BIGINT) AS total_tokens,
+            CAST((tw + 1) // 2 AS BIGINT) AS k,
+            CAST(min(v) AS BIGINT) AS token_mass_median_chars
+          FROM r WHERE cw >= (tw + 1) // 2
+          GROUP BY lang, tw ORDER BY lang""")),
+
     // ---- exact percentiles: linear-interpolated quantiles of the price
     //      distribution per return flag. Spark's `percentile` is the exact
     //      sort-based aggregate (per-group sort, distributes across flags);

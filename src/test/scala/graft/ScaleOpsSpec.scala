@@ -487,6 +487,44 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("Selection.exactKthWeighted equals cumulative-weight selection") {
+    // weighted lower median/percentiles: brute force walks values
+    // ascending accumulating weights — the same definition the q271
+    // oracle's cumulative window replays. Weights up to 9 force real
+    // mass skew; buckets=3 forces multi-bucket residual walks.
+    def lcg(seed: Long, n: Int): Seq[(String, Long, Long)] = {
+      var s = seed
+      def next(b: Int): Long = {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        math.floorMod(s >>> 33, b).toLong
+      }
+      (1 to n).map(_ => ("g" + next(3), next(40), next(9) + 1))
+    }
+    val data = lcg(47L, 300)
+    val df = spark.createDataFrame(data).toDF("g", "v", "w")
+    for ((name, kOf) <- Seq[(String, Long => Long)](
+        ("wmedian", wTot => (wTot + 1) / 2),
+        ("wp90", wTot => math.max(1L, (wTot * 9) / 10)));
+        buckets <- Seq(3, 4096)) {
+      val got = graft.operators.Selection
+        .exactKthWeighted(df, "g", "v", "w", kOf, buckets)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val want = data.groupBy(_._1).map { case (g, rows) =>
+        val byV = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)
+        val wTot = byV.map(_._2).sum
+        val k = kOf(wTot)
+        var cum = 0L
+        val kth = byV.collectFirst {
+          case (v, wv) if { cum += wv; cum >= k } => v
+        }.get
+        g -> (wTot, k, kth)
+      }
+      assert(got == want, s"$name buckets=$buckets: got $got want $want")
+    }
+  }
+
   test("shuffle-bytes ladder: dedup candidate generation shuffles O(corpus), not O(pairs)") {
     // The wall-time ladders (BENCH_SF_LADDER.json) bound TIME; this pins
     // the underlying cause in the unit that can't be timing noise: bytes
