@@ -288,6 +288,16 @@ object Components {
       .unionByName(canon.select(col("hi").as("u"), col("lo").as("v")))
       .persist()
     sym.count()
+    // The composite argmax key cnt·2³² − lbl is only injective while
+    // 0 ≤ lbl < 2³¹; enforce it (one cheap agg on the cached edges)
+    // rather than silently corrupting the tie-break past that domain.
+    val idRow = sym.agg(max(col("u").cast("long")),
+      min(col("u").cast("long"))).head()
+    if (!idRow.isNullAt(0)) {
+      val (maxId, minId) = (idRow.getLong(0), idRow.getLong(1))
+      require(minId >= 0 && maxId < (1L << 31),
+        s"labelPropagation needs node ids in [0, 2^31); got [$minId, $maxId]")
+    }
     var (labels, prevIds) = ckWithIds(
       sym.select(col("u").as("node")).distinct().withColumn("lbl", col("node")))
     var iter = 0

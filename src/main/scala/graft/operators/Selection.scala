@@ -14,17 +14,30 @@ import org.apache.spark.sql.functions._
   *            rank and finds the bucket holding each group's k-th;
   *   phase 2: one scan counts exact values inside only the target buckets
   *            (pushdown-friendly semi-filter); the driver walks the
-  *            ≤ groups·(domain/buckets) distinct-value counts to the
+  *            ≤ groups·(distinct values per target bucket) counts to the
   *            answer.
   *
-  * Two DATA scans plus a max() sizing pass for the bucket width (skip it
-  * by passing `maxValue` when the domain is known — e.g. from table
-  * statistics or a fixed-point encoding's range); the driver only ever
-  * touches aggregate tables whose size is set by the `buckets` knob —
-  * never rows. Requires a non-negative integral value column
-  * (cents-style fixed-point is the intended use). k is 1-based per
-  * group; rows with NULL value are excluded (they have no rank); an
-  * empty input yields an empty result.
+  * Two DATA scans plus a max() sizing pass for the bucket width. Skip the
+  * sizing pass by passing `maxValue` when the domain is known — e.g. from
+  * parquet footer statistics ([[graft.core.FooterStats.longMax]]) or a
+  * fixed-point encoding's range. `maxValue` is a granularity hint, not a
+  * correctness input: any non-negative value yields the exact answer
+  * (values above it simply land in buckets past the knob — the histogram
+  * groups by the actual bucket id), so an approximate footer bound is
+  * safe.
+  *
+  * Driver-table contract — ENFORCED, not assumed: both phases collect
+  * aggregate tables only, and both collects are hard-bounded by
+  * `limit(maxGroups·buckets + 1)` before they reach the driver; a caller
+  * grouping by a high-cardinality key (doc_id) gets a `require` failure
+  * naming the ceiling, never an OOM. Phase 1's per-bucket `min(v)` also
+  * enforces the non-negative value contract (truncating division would
+  * silently fold (−w, 0) into bucket 0 otherwise), and the sizing pass
+  * additionally rejects negative domains up front when it runs.
+  *
+  * Requires a non-negative integral value column (cents-style fixed-point
+  * is the intended use). k is 1-based per group; rows with NULL value are
+  * excluded (they have no rank); an empty input yields an empty result.
   *
   * Returns one row per group: (group, n, k, kth) — deterministic, a pure
   * function of the multiset, so a SQL twin replays it with a rank window.
@@ -36,9 +49,9 @@ object Selection {
     */
   def exactKth(df: DataFrame, groupCol: String, valueCol: String,
       kOf: Long => Long, buckets: Int = 4096,
-      maxValue: Option[Long] = None): DataFrame =
+      maxValue: Option[Long] = None, maxGroups: Int = 64): DataFrame =
     exactKthWeighted(df.withColumn("__one", lit(1L)), groupCol, valueCol,
-      "__one", kOf, buckets, maxValue)
+      "__one", kOf, buckets, maxValue, maxGroups)
 
   /** WEIGHTED order statistic: the smallest value whose cumulative weight
     * reaches k, with k chosen per group from the group's TOTAL weight
@@ -52,25 +65,54 @@ object Selection {
     */
   def exactKthWeighted(df: DataFrame, groupCol: String, valueCol: String,
       weightCol: String, kOf: Long => Long, buckets: Int = 4096,
-      maxValue: Option[Long] = None): DataFrame = {
+      maxValue: Option[Long] = None, maxGroups: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(buckets > 0 && maxGroups > 0,
+      s"buckets=$buckets and maxGroups=$maxGroups must be positive")
+    val driverCap = maxGroups.toLong * buckets
+    require(driverCap <= 8L * 1024 * 1024,
+      s"maxGroups·buckets = $driverCap exceeds the 8M driver-row ceiling; " +
+        "shrink one knob")
     val vals = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"),
         col(weightCol).cast("long").as("wt"))
       .where(col("v").isNotNull && col("wt").isNotNull && col("wt") > 0)
-    val maxRow = maxValue.map(org.apache.spark.sql.Row(_))
-      .getOrElse(vals.agg(max($"v")).head())
-    if (maxRow.isNullAt(0)) // empty input / all-NULL values: nothing ranks
-      return spark.createDataFrame(Seq.empty[(String, Long, Long, Long)])
-        .toDF("g", "n", "k", "kth")
-    val maxV = maxRow.getLong(0)
+    val maxV = maxValue match {
+      case Some(m) =>
+        require(m >= 0, s"maxValue=$m must be non-negative")
+        m
+      case None =>
+        val row = vals.agg(max($"v"), min($"v")).head()
+        if (row.isNullAt(0)) // empty input / all-NULL values: nothing ranks
+          return spark.createDataFrame(Seq.empty[(String, Long, Long, Long)])
+            .toDF("g", "n", "k", "kth")
+        require(row.getLong(1) >= 0,
+          s"value column $valueCol has negative values (min=${row.getLong(1)}); " +
+            "the kernel requires a non-negative integral domain")
+        row.getLong(0)
+    }
     val w = maxV / buckets + 1
-    // phase 1: (group, bucket) weight histogram — one scan, map-side combined
+    // phase 1: (group, bucket) weight histogram — one scan, map-side
+    // combined; limit() hard-bounds the driver BEFORE collect fires
     val hist = vals.groupBy($"g", ($"v" / w).cast("long").as("b"))
-      .agg(sum($"wt").as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .agg(sum($"wt").as("c"), min($"v").as("mv"))
+      .limit((driverCap + 1).toInt)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    require(hist.length <= driverCap,
+      s"histogram exceeds maxGroups($maxGroups)·buckets($buckets) = " +
+        s"$driverCap rows — the group key is too high-cardinality for the " +
+        "driver fold; raise maxGroups or use a rank-window query instead")
+    hist.find(_._4 < 0).foreach { case (g, _, _, mv) =>
+      throw new IllegalArgumentException(
+        s"value column $valueCol has negative values (group $g min=$mv); " +
+          "the kernel requires a non-negative integral domain")
+    }
     val byGroup = hist.groupBy(_._1)
+    require(byGroup.size <= maxGroups,
+      s"${byGroup.size} groups exceed maxGroups=$maxGroups — use a " +
+        "rank-window query for high-cardinality group keys")
     // driver fold: target bucket + residual rank per group
     val targets: Map[String, (Long, Long, Long, Long)] = byGroup.map {
       case (g, rows) =>
@@ -79,18 +121,29 @@ object Selection {
         require(k >= 1 && k <= n, s"k=$k outside [1, $n] for group $g")
         var cum = 0L
         var hit = (-1L, -1L)
-        for ((_, b, c) <- rows.sortBy(_._2) if hit._1 < 0) {
+        for ((_, b, c, _) <- rows.sortBy(_._2) if hit._1 < 0) {
           if (cum + c >= k) hit = (b, k - cum) else cum += c
         }
         g -> (n, k, hit._1, hit._2)
     }
-    // phase 2: exact per-value weights inside only the target buckets
+    // phase 2: exact per-value weights inside only the target buckets.
+    // Its natural size is groups × (distinct values per target bucket) —
+    // independent of the buckets knob — so it gets its own absolute
+    // ceiling: a pathological value concentration inside one bucket
+    // fails loudly (raise `buckets` so each bucket narrows further)
+    val phase2Cap = 4L * 1024 * 1024
     val tgt = targets.toSeq.map { case (g, (_, _, b, _)) => (g, b) }
       .toDF("g", "b")
-    val inBucket = vals.join(broadcast(tgt),
+    val inBucketRows = vals.join(broadcast(tgt),
         vals("g") === tgt("g") && ($"v" / w).cast("long") === tgt("b"))
       .groupBy(vals("g").as("gg"), $"v").agg(sum($"wt").as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .limit((phase2Cap + 1).toInt)
+      .collect()
+    require(inBucketRows.length <= phase2Cap,
+      s"target buckets hold more than $phase2Cap distinct values — " +
+        "raise `buckets` so each bucket narrows further")
+    val inBucket = inBucketRows
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
     val answers = targets.map { case (g, (n, k, _, r0)) =>
       var rem = r0

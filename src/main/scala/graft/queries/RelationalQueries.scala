@@ -567,7 +567,12 @@ object RelationalQueries extends Registry {
         ranked
           .select($"l_returnflag", $"l_extendedprice", $"l_quantity",
             decile.cast("int").as("decile"),
-            (($"r" - 1).cast("double") / ($"n" - 1).cast("double")).as("pr"),
+            // greatest(n-1, 1): a single-row group would hit 0/0 — NULL
+            // under Spark's non-ANSI division while DuckDB's
+            // percent_rank() returns 0.0; the guard pins pr=0 for r=1,
+            // matching window semantics in both engines.
+            (($"r" - 1).cast("double")
+              / greatest($"n" - 1, lit(1L)).cast("double")).as("pr"),
             ($"r".cast("double") / $"n".cast("double")).as("cd"))
           .groupBy($"l_returnflag", $"decile")
           .agg(count(lit(1)).as("n_rows"),
@@ -601,19 +606,29 @@ object RelationalQueries extends Registry {
     //      kind: a (group, bucket) histogram locates each group's k-th
     //      bucket, a second scan counts exact values inside only the
     //      target buckets, and the driver walks aggregate tables whose
-    //      size is the `buckets` knob (4096), never rows. Integer-exact
-    //      on price cents; k = (n+1) div 2 (lower median — an order
-    //      statistic, so no interpolation convention can diverge). The
-    //      oracle computes the same k-th with a rank window — single-node
-    //      DuckDB's luxury, not the engine's. ------------------------------
+    //      size is the `buckets` knob (4096), never rows. The bucket width
+    //      comes from PARQUET FOOTER stats (FooterStats.longMax — the same
+    //      metadata q259's pruner walks), so no max() sizing scan runs and
+    //      the whole query is exactly two data scans (pinned in
+    //      ScaleOpsSpec's job-count test). Integer-exact on price cents;
+    //      k = (n+1) div 2 (lower median — an order statistic, so no
+    //      interpolation convention can diverge). The oracle computes the
+    //      same k-th with a rank window — single-node DuckDB's luxury,
+    //      not the engine's. ----------------------------------------------
     Q("q270_exact_median",
       (s, dir) => {
         import s.implicits._
         val li = t(s, dir, "lineitem")
           .select($"l_returnflag",
             ($"l_extendedprice" * 100).cast("long").as("cents"))
+        // footer bound is ceil(max price)·100 ≥ true max cents — an upper
+        // bound is all the kernel needs (granularity hint, never answers)
+        val bound = graft.core.FooterStats
+          .longMax(s, s"$dir/lineitem.parquet", "l_extendedprice")
+          .map(_ * 100)
         graft.operators.Selection
-          .exactKth(li, "l_returnflag", "cents", n => (n + 1) / 2)
+          .exactKth(li, "l_returnflag", "cents", n => (n + 1) / 2,
+            maxValue = bound)
           .select($"g".as("l_returnflag"), $"n", $"k",
             $"kth".as("median_cents"),
             ($"kth".cast("double") / 100.0).as("median_price"))
@@ -646,8 +661,12 @@ object RelationalQueries extends Registry {
         val d = t(s, dir, "documents").select($"lang",
           $"n_chars".cast("long").as("v"),
           size(split($"text", " ")).cast("long").as("w"))
+        // n_chars is INT64 in the footer — exact domain bound, no sizing scan
+        val bound = graft.core.FooterStats
+          .longMax(s, s"$dir/documents.parquet", "n_chars")
         graft.operators.Selection
-          .exactKthWeighted(d, "lang", "v", "w", W => (W + 1) / 2)
+          .exactKthWeighted(d, "lang", "v", "w", W => (W + 1) / 2,
+            maxValue = bound)
           .select($"g".as("lang"), $"n".as("total_tokens"), $"k",
             $"kth".as("token_mass_median_chars"))
           .orderBy($"lang")

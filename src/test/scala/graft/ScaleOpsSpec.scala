@@ -525,6 +525,106 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("Selection guards: group-cardinality ceiling and negative domains fail loudly") {
+    // the driver fold's contract is ENFORCED (VERDICT r11 item 2): a
+    // high-cardinality group key must be rejected before collect() can
+    // OOM the driver, and negative values must be rejected on BOTH the
+    // sizing path and the maxValue-supplied path (where the sizing scan
+    // that used to see min(v) never runs)
+    val hiCard = spark.createDataFrame(
+      (1 to 500).map(i => ("g" + i, i.toLong))).toDF("g", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Selection.exactKth(
+        hiCard, "g", "v", n => (n + 1) / 2, buckets = 16, maxGroups = 8)
+    }
+    assert(e1.getMessage.contains("maxGroups") || e1.getMessage.contains("histogram"))
+    val neg = spark.createDataFrame(
+      Seq(("a", 5L), ("a", -3L), ("b", 7L))).toDF("g", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Selection.exactKth(neg, "g", "v", n => (n + 1) / 2)
+    }
+    assert(e2.getMessage.contains("negative"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.Selection.exactKth(neg, "g", "v", n => (n + 1) / 2,
+        maxValue = Some(10L))
+    }
+    assert(e3.getMessage.contains("negative"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Selection.exactKth(neg, "g", "v", n => (n + 1) / 2,
+        maxValue = Some(-1L))
+    }
+  }
+
+  test("FooterStats bounds match data; footer-sized Selection skips the sizing job") {
+    import org.apache.spark.sql.functions._
+    // INT64 column: footer max is exact
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val trueMax = docs.agg(max(col("n_chars").cast("long"))).head().getLong(0)
+    assert(graft.core.FooterStats.longMax(
+      spark, s"$sfDir/documents.parquet", "n_chars").contains(trueMax))
+    // DOUBLE column: footer max rounded UP (upper bound, never under)
+    val li = graft.core.Tables(spark, sfDir, "lineitem")
+    val priceMax = li.agg(max(col("l_extendedprice"))).head().getDouble(0)
+    val footer = graft.core.FooterStats.longMax(
+      spark, s"$sfDir/lineitem.parquet", "l_extendedprice").get
+    assert(footer >= priceMax && footer <= math.ceil(priceMax).toLong)
+    // missing column / missing path -> None (callers fall back to sizing)
+    assert(graft.core.FooterStats.longMax(
+      spark, s"$sfDir/documents.parquet", "no_such_col").isEmpty)
+    assert(graft.core.FooterStats.longMax(
+      spark, s"$sfDir/nope.parquet", "x").isEmpty)
+    // the two-scan claim, measured: supplying maxValue must run strictly
+    // fewer jobs (the sizing head() is its own job) with identical output
+    val cents = li.select(col("l_returnflag").as("g"),
+      (col("l_extendedprice") * 100).cast("long").as("v"))
+    def jobsOf(run: => Unit): Long = {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd}
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val l = new SparkListener {
+        override def onJobEnd(j: SparkListenerJobEnd): Unit = n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try run finally {
+        var last = -1L; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val v = n.get
+          if (v == last) stable += 1 else { stable = 0; last = v }
+        }
+        spark.sparkContext.removeSparkListener(l)
+      }
+      n.get
+    }
+    val kOf: Long => Long = n => (n + 1) / 2
+    var withSizing: Array[org.apache.spark.sql.Row] = null
+    var withFooter: Array[org.apache.spark.sql.Row] = null
+    val jSizing = jobsOf { withSizing =
+      graft.operators.Selection.exactKth(cents, "g", "v", kOf).collect() }
+    val jFooter = jobsOf { withFooter =
+      graft.operators.Selection.exactKth(cents, "g", "v", kOf,
+        maxValue = Some(footer * 100)).collect() }
+    assert(withSizing.map(_.toSeq).toSet == withFooter.map(_.toSeq).toSet,
+      "footer-sized kernel diverged from sizing-scan kernel")
+    assert(jFooter < jSizing,
+      s"footer-sized path ran $jFooter jobs vs $jSizing with sizing — no scan saved")
+  }
+
+  test("labelPropagation rejects node ids outside [0, 2^31)") {
+    // the composite argmax key cnt*2^32 - lbl is only injective below
+    // 2^31; the guard must fire rather than silently corrupt tie-breaks
+    val bad = spark.createDataFrame(
+      Seq((1L, (1L << 31) + 5L), (2L, 3L))).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Components.labelPropagation(bad, rounds = 1)
+    }
+    assert(e.getMessage.contains("2^31"))
+    val ok = spark.createDataFrame(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L))).toDF("a", "b")
+    val labels = graft.operators.Components.labelPropagation(ok, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == Set(1L, 2L, 3L, 10L, 11L))
+  }
+
   test("shuffle-bytes ladder: dedup candidate generation shuffles O(corpus), not O(pairs)") {
     // The wall-time ladders (BENCH_SF_LADDER.json) bound TIME; this pins
     // the underlying cause in the unit that can't be timing noise: bytes
