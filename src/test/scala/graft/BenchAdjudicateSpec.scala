@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's self-adjudication pieces, refereed on synthetic
+  * artifacts — including the demonstrated streaming slowdown VERDICT r11
+  * item 6 asked for (a prior artifact with 10× the throughput must flag).
+  */
+class BenchAdjudicateSpec extends AnyFunSuite {
+
+  private val priorArtifact =
+    """{"metric":"total","value":100.0,"unit":"sec",
+      |"queries_warm":{"q01_agg":0.512,"q02_filter":1.25,"q74_stream":2.0},
+      |"canary_best_sec":0.420,
+      |"streaming_metrics":{
+      |  "q74_stream":{"input_rows":2000,"trigger_ms":100,"rows_per_trigger_sec":20000.0},
+      |  "q75_stream":{"input_rows":2000,"trigger_ms":400,"rows_per_trigger_sec":5000.0},
+      |  "q76_stream":{"input_rows":0,"trigger_ms":0,"rows_per_trigger_sec":0.000}},
+      |"sf":"/root/testdata/sf0.1"}""".stripMargin
+
+  test("parses prior warm timings, streaming rates, and canary") {
+    val warm = BenchAdjudicate.parseQueriesWarm(priorArtifact)
+    assert(warm == Map("q01_agg" -> 0.512, "q02_filter" -> 1.25, "q74_stream" -> 2.0))
+    val rates = BenchAdjudicate.parseStreamingRates(priorArtifact)
+    assert(rates == Map("q74_stream" -> 20000.0, "q75_stream" -> 5000.0,
+      "q76_stream" -> 0.0))
+    assert(BenchAdjudicate.parsePriorCanary(priorArtifact).contains(0.420))
+    assert(BenchAdjudicate.parseQueriesWarm("") == Map.empty[String, Double])
+    assert(BenchAdjudicate.parseStreamingRates("{}") == Map.empty[String, Double])
+    assert(BenchAdjudicate.parsePriorCanary("{}").isEmpty)
+  }
+
+  test("adjudicated total takes min(warm, warm_retry) per query") {
+    val warm = Seq("a" -> 5.0, "b" -> 1.0, "c" -> 2.0)
+    val retry = Map("a" -> 0.8, "c" -> 3.0) // c's retry was SLOWER: keep 2.0
+    assert(math.abs(BenchAdjudicate.adjudicatedTotal(warm, retry) - 3.8) < 1e-9)
+    assert(BenchAdjudicate.adjudicatedTotal(warm, Map.empty) == 8.0)
+  }
+
+  test("streaming gate flags a synthetic 10x throughput drop, not jitter") {
+    val prior = BenchAdjudicate.parseStreamingRates(priorArtifact)
+    // q74 collapsed 10x (flag), q75 wobbled 1.5x (no flag — inside 2x),
+    // q76 was and is rate 0 (skip: correctness problem, not throughput),
+    // q77 is new this round (no prior — nothing to compare)
+    val current = Map("q74_stream" -> 2000.0, "q75_stream" -> 3400.0,
+      "q76_stream" -> 0.0, "q77_stream" -> 9000.0)
+    val drops = BenchAdjudicate.streamingDrops(prior, current)
+    assert(drops == Map("q74_stream" -> (20000.0, 2000.0)))
+    // exactly-2x sits on the boundary and must NOT flag (strict past-2x)
+    assert(BenchAdjudicate.streamingDrops(
+      Map("q" -> 10.0), Map("q" -> 5.0)).isEmpty)
+    assert(BenchAdjudicate.streamingDrops(
+      Map("q" -> 10.0), Map("q" -> 4.999)).nonEmpty)
+  }
+
+  test("canary pressure: within-run drift and vs-prior both detected") {
+    // quiet box: flat canary, matches prior
+    assert(BenchAdjudicate.pressure(0.42, 0.43, Some(0.42)) < 1.1)
+    // load arrived mid-suite: end drifted 2x over start
+    assert(BenchAdjudicate.pressure(0.42, 0.84, Some(0.42)) >= 2.0)
+    // uniformly loaded suite (the r11 failure mode): start == end but both
+    // 1.8x the prior round's quiet reading — only the prior comparison
+    // can catch this, and it must
+    assert(BenchAdjudicate.pressure(0.76, 0.76, Some(0.42)) > 1.7)
+    // first round with a canary: no prior, drift only
+    assert(BenchAdjudicate.pressure(0.42, 0.44, None) < 1.1)
+    // start slower than end is JVM tier-up, NOT pressure (one-sided drift)
+    assert(BenchAdjudicate.pressure(0.60, 0.42, Some(0.42)) == 1.0)
+    // quieter than the prior round floors at 1.0, never below
+    assert(BenchAdjudicate.pressure(0.30, 0.31, Some(0.42)) >= 1.0)
+  }
+}
