@@ -580,11 +580,67 @@ object PipelineQueries extends Registry {
           }
         Multimodal.extractFeatures(media)
           .toDF()
-          .select($"id", $"modality", $"n_bytes", $"byte_entropy",
+          // 6-dp rounding on BOTH sides: the entropy sum's log() calls hit
+          // libm ULP differences between the JVM and DuckDB — everything
+          // else in the row is integer-exact
+          .select($"id", $"modality", $"n_bytes",
+            round($"byte_entropy", 6).as("byte_entropy"),
             $"width", $"height", $"n_frames", $"sample_rate")
           .orderBy($"id")
       },
-      None),
+      // Construction-inverse oracle (VERDICT r11 item 4 — the last
+      // no_oracle row): the "opaque" payload is the document's UTF-8
+      // bytes, and the StubCodec's fake decode is a pure function of
+      // java.util.Arrays.hashCode(bytes) — a 31-ary polynomial fold mod
+      // 2^32 over SIGNED bytes that SQL replays with a recursive
+      // powers-of-31 table: h = 31^n + Σ signed(b_i)·31^(n-i) (mod 2^32,
+      // then reinterpreted as int32). Byte histogram → entropy and
+      // octet_length → n_bytes come from the same hex-expanded blob. The
+      // one unreplayed corner is h = Int.MinValue (Java abs() returns it
+      // negative; the CASE mirrors that too, probability 2^-32/doc).
+      Some("""WITH RECURSIVE
+        pw(k, v) AS (
+          SELECT 0, CAST(1 AS BIGINT)
+          UNION ALL
+          SELECT k+1, (v * 31) % 4294967296 FROM pw WHERE k < 4096),
+        d AS MATERIALIZED (
+          SELECT doc_id AS id, upper(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        b AS MATERIALIZED (
+          SELECT d.id, d.n, i.i AS pos,
+            (strpos('0123456789ABCDEF', substr(d.hx, 2*i.i - 1, 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF', substr(d.hx, 2*i.i, 1)) - 1) AS byte
+          FROM d, LATERAL (SELECT unnest(range(1, d.n + 1)) AS i) i),
+        hs AS MATERIALIZED (
+          SELECT b.id, b.n,
+            sum((CASE WHEN byte < 128 THEN byte ELSE byte - 256 END) * pwi.v) AS s
+          FROM b JOIN pw pwi ON pwi.k = b.n - b.pos
+          GROUP BY b.id, b.n),
+        hash AS MATERIALIZED (
+          SELECT hs.id, hs.s + pn.v AS raw FROM hs JOIN pw pn ON pn.k = hs.n),
+        hsigned AS (
+          SELECT id, CASE WHEN m >= 2147483648 THEN m - 4294967296 ELSE m END AS h
+          FROM (SELECT id, ((raw % 4294967296) + 4294967296) % 4294967296 AS m
+                FROM hash)),
+        a AS (SELECT id, CASE WHEN h = -2147483648
+                THEN CAST(-2147483648 AS BIGINT) ELSE abs(h) END AS a
+              FROM hsigned),
+        ent AS (
+          SELECT id, round(-sum(p * ln(p) / ln(2)), 6) AS byte_entropy
+          FROM (SELECT b.id, CAST(count(*) AS DOUBLE) / any_value(b.n) AS p
+                FROM b GROUP BY b.id, b.byte)
+          GROUP BY id)
+        SELECT d.id,
+          CASE d.id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+          CAST(d.n AS BIGINT) AS n_bytes,
+          ent.byte_entropy,
+          CAST(CASE d.id % 3 WHEN 0 THEN 64 + a.a % 1024 WHEN 1 THEN 0 ELSE 320 END AS INT) AS width,
+          CAST(CASE d.id % 3 WHEN 0 THEN 64 + (a.a // 7) % 1024 WHEN 1 THEN 0 ELSE 240 END AS INT) AS height,
+          CAST(CASE d.id % 3 WHEN 0 THEN 1 WHEN 1 THEN 1 + a.a % 1000 ELSE 1 + a.a % 600 END AS INT) AS n_frames,
+          CAST(CASE d.id % 3 WHEN 1 THEN 8000 + (a.a % 5) * 8000 ELSE 0 END AS INT) AS sample_rate
+        FROM d JOIN a ON a.id = d.id JOIN ent ON ent.id = d.id
+        ORDER BY d.id""")),
 
     // ---- REAL multimodal decode, oracle-gated: even docs become
     //      spec-valid BMP images, odd docs PCM16 WAV audio, with encode

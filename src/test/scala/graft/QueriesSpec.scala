@@ -45,11 +45,11 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("no-oracle queries match golden content hashes at sf0.001, sf0.01 AND sf0.1") {
-    // q35/q38 have no DuckDB oracle (the stable-matching proposal loop is
-    // not SQL-expressible — q190/q253 oracle-audit its certificates — and
-    // the multimodal codecs decode binary). q34/q47/q48 gained end-to-end
-    // DuckDB oracles in r11 but keep their pins as belt-and-braces (the
-    // pins cover sf0.001/sf0.1 which the gate never runs). Pin an
+    // Every query here is oracle-gated since r12 (q35 via the recursive
+    // deferred-acceptance replay, q38 via the Arrays.hashCode/entropy
+    // construction-inverse; q34/q47/q48 since r11), but the pins stay as
+    // belt-and-braces: they cover sf0.001/sf0.1 which the gate never
+    // runs. Pin an
     // md5 over the FULL stringified output — a value-level golden, per
     // VERDICT r2 item 4: a row-count pin would let semantic drift hide
     // behind a stable cardinality. Pinned at THREE scale factors (VERDICT
@@ -64,17 +64,17 @@ class QueriesSpec extends SparkSpec {
     val golden = Map(
       "q34_matching_pipeline@sf0.001" -> "02be9e638e155594c23ce99c7376f8c2",
       "q35_stable_matching@sf0.001" -> "31e45a5d0d939e0e6084beb4dbca185e",
-      "q38_multimodal_features@sf0.001" -> "c09644deb4664a894de499f37fbaa648",
+      "q38_multimodal_features@sf0.001" -> "80f8f277fd88903e2da94460ee7a884e",
       "q47_ensemble_pipeline@sf0.001" -> "75efc563e24a7b96eeb838d02f6d0a1d",
       "q48_icl_pipeline@sf0.001" -> "1839476fe5445d5f29e4165b4db215b3",
       "q34_matching_pipeline@sf0.01" -> "02be9e638e155594c23ce99c7376f8c2",
       "q35_stable_matching@sf0.01" -> "31e45a5d0d939e0e6084beb4dbca185e",
-      "q38_multimodal_features@sf0.01" -> "0a1517bafeda02b9deea87c5d5abfa8f",
+      "q38_multimodal_features@sf0.01" -> "a0cae5c29136f24cda36375a86d224f0",
       "q47_ensemble_pipeline@sf0.01" -> "75efc563e24a7b96eeb838d02f6d0a1d",
       "q48_icl_pipeline@sf0.01" -> "1839476fe5445d5f29e4165b4db215b3",
       "q34_matching_pipeline@sf0.1" -> "02be9e638e155594c23ce99c7376f8c2",
       "q35_stable_matching@sf0.1" -> "31e45a5d0d939e0e6084beb4dbca185e",
-      "q38_multimodal_features@sf0.1" -> "b192f0d9dd44be716b138e503c0f4897",
+      "q38_multimodal_features@sf0.1" -> "7836bbc5510e7cb1edf67ebfa2d3514e",
       "q47_ensemble_pipeline@sf0.1" -> "75efc563e24a7b96eeb838d02f6d0a1d",
       "q48_icl_pipeline@sf0.1" -> "1839476fe5445d5f29e4165b4db215b3")
     val got = golden.keys.toSeq.sorted.map { k =>
