@@ -852,6 +852,125 @@ object Multimodal {
       else Some(Mp3Meta(id3, nFrames, bitrateKbps, sampleRate,
         nFrames * 1152L * 1000L / sampleRate))
     }
+
+    final case class AviMeta(width: Int, height: Int, nFrames: Int)
+
+    /** REAL compressed video: Motion-JPEG in an AVI (RIFF) container —
+      * every frame is a genuine lossy JPEG (the JDK codec), the container
+      * is spec-valid RIFF: LIST hdrl (avih main header + strl with a
+      * 'vids'/'MJPG' strh and a BITMAPINFOHEADER strf) followed by LIST
+      * movi holding one word-aligned '00dc' chunk per frame. Frame f's
+      * source color is the same pure function of (seed + f) the JPEG
+      * encoder uses, so an oracle can bound the lossy round-trip
+      * per frame (q157's pattern, per frame of a video).
+      */
+    def encodeAviMjpeg(width: Int, height: Int, nFrames: Int,
+        seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0 && nFrames > 0)
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      val frames = (0 until nFrames).map(f => encodeJpeg(width, height, seed + f))
+      def padded(n: Int): Int = n + (n & 1)
+      // sizes, inside-out: strl = strh(8+56) + strf(8+40); hdrl = avih(8+56)
+      // + LIST strl(12+strlSz); movi = 'movi' + Σ (8 + paddedFrame)
+      val strlSz = 4 + (8 + 56) + (8 + 40)
+      val hdrlSz = 4 + (8 + 56) + (8 + strlSz)
+      val moviSz = 4 + frames.map(f => 8 + padded(f.length)).sum
+      val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+      fourcc("RIFF"); le32(riffSz); fourcc("AVI ")
+      fourcc("LIST"); le32(hdrlSz); fourcc("hdrl")
+      fourcc("avih"); le32(56)
+      le32(33333)                      // microseconds per frame (~30 fps)
+      le32(0); le32(0); le32(0)        // max bytes/sec, padding, flags
+      le32(nFrames); le32(0); le32(1)  // total frames, initial frames, streams
+      le32(frames.map(_.length).max)   // suggested buffer size
+      le32(width); le32(height)
+      le32(0); le32(0); le32(0); le32(0) // reserved
+      fourcc("LIST"); le32(strlSz); fourcc("strl")
+      fourcc("strh"); le32(56)
+      fourcc("vids"); fourcc("MJPG")
+      le32(0); le32(0); le32(0)        // flags, prio+lang, initial frames
+      le32(1); le32(30)                // scale, rate -> 30 fps
+      le32(0); le32(nFrames)           // start, length (in frames)
+      le32(frames.map(_.length).max); le32(-1); le32(0) // sugbuf, quality, samplesize
+      le32(0); le32(0)                 // rcFrame (left/top, right/bottom)
+      fourcc("strf"); le32(40)
+      le32(40); le32(width); le32(height) // BITMAPINFOHEADER
+      out.write(1); out.write(0); out.write(24); out.write(0) // planes=1, bpp=24
+      fourcc("MJPG")                   // biCompression
+      le32(width * height * 3)         // biSizeImage
+      le32(0); le32(0); le32(0); le32(0) // ppm x/y, clrUsed, clrImportant
+      fourcc("LIST"); le32(moviSz); fourcc("movi")
+      frames.foreach { f =>
+        fourcc("00dc"); le32(f.length); out.write(f)
+        if ((f.length & 1) == 1) out.write(0) // RIFF chunks are word-aligned
+      }
+      out.toByteArray
+    }
+
+    /** Strict RIFF/AVI walk: magic + size-field validation, avih header
+      * fields, then every '00dc' movi chunk decoded with the REAL JDK
+      * JPEG codec. Returns None (falls through the codec chain) unless
+      * the container parses end-to-end, every frame decodes, and the
+      * frame count matches the avih header.
+      */
+    def aviMjpegFrames(bytes: Array[Byte]): Option[(AviMeta, Seq[java.awt.image.BufferedImage])] = {
+      def le32(off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+          ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+      def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      if (bytes.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
+      if (8 + le32(4) > bytes.length) return None
+      var off = 12
+      var meta: Option[AviMeta] = None
+      val frames = Seq.newBuilder[java.awt.image.BufferedImage]
+      var nChunks = 0
+      val end = 8 + le32(4)
+      while (off + 8 <= end) {
+        val id = cc(off)
+        val sz = le32(off + 4)
+        if (sz < 0 || off + 8 + sz > end) return None
+        if (id == "LIST") {
+          val listType = cc(off + 8)
+          if (listType == "hdrl") {
+            // avih is the first child of hdrl per spec
+            if (cc(off + 12) != "avih" || le32(off + 16) < 56) return None
+            val a = off + 20
+            meta = Some(AviMeta(le32(a + 32), le32(a + 36), le32(a + 16)))
+            off += 8 + sz + (sz & 1)
+          } else if (listType == "movi") {
+            var c = off + 12
+            val lend = off + 8 + sz
+            while (c + 8 <= lend) {
+              val cid = cc(c)
+              val csz = le32(c + 4)
+              if (csz < 0 || c + 8 + csz > lend) return None
+              if (cid == "00dc") {
+                nChunks += 1
+                val jb = java.util.Arrays.copyOfRange(bytes, c + 8, c + 8 + csz)
+                decodeJpegImage(jb) match {
+                  case Some(img) => frames += img
+                  case None => return None
+                }
+              }
+              c += 8 + csz + (csz & 1)
+            }
+            off += 8 + sz + (sz & 1)
+          } else off += 8 + sz + (sz & 1)
+        } else off += 8 + sz + (sz & 1)
+      }
+      meta.filter(m => m.nFrames == nChunks && nChunks > 0)
+        .map(m => (m, frames.result()))
+    }
+
+    def decodeAvi(bytes: Array[Byte]): Option[Decoded] =
+      aviMjpegFrames(bytes).map { case (m, _) =>
+        Decoded(m.width, m.height, m.nFrames, 0)
+      }
   }
 
   /** Production decode: real header parsers first, stub fallback for
@@ -867,12 +986,18 @@ object Multimodal {
         .orElse(MediaCodecs.decodeGif(bytes))
         .orElse(MediaCodecs.decodeY4m(bytes))
         .orElse(MediaCodecs.decodeJpeg(bytes))
+        .orElse(MediaCodecs.decodeAvi(bytes))
         .orElse(MediaCodecs.decodeMp4(bytes))
         .getOrElse(stub.decode(modality, mime, bytes))
   }
 
   /** STUB decoder — deterministic fake standing in for the codec library
-    * on formats [[MediaCodecs]] can't parse (compressed containers).
+    * on the formats [[MediaCodecs]] can't parse. Since r12 that is only
+    * entropy-coded video elementary streams (H.264/H.265 — a hand-written
+    * entropy decoder stays a documented permanent skip): compressed video
+    * FRAMES decode for real via MJPEG-in-AVI ([[MediaCodecs.aviMjpegFrames]],
+    * gated by q272), compressed images via JPEG/PNG/GIF, audio via
+    * WAV/MP3, and the MP4 container parses box-level metadata.
     */
   final class StubCodec {
     def decode(modality: String, mime: String, bytes: Array[Byte]): Decoded = {

@@ -871,6 +871,66 @@ object PipelineQueries extends Registry {
             CAST(1 AS BIGINT) AS lossy_ok
           FROM documents WHERE doc_id % 3 = 0 ORDER BY id""")),
 
+    // ---- REAL compressed-VIDEO frame decode (closes the r11 "compressed
+    //      video" gap without an H.264 entropy decoder): each doc derives
+    //      a Motion-JPEG AVI — spec-valid RIFF container, every frame a
+    //      genuine lossy JPEG — then walks the container back (strict
+    //      size-field validation) and decodes every '00dc' frame with the
+    //      REAL JDK codec. Dimensions + frame count survive exactly (the
+    //      oracle recomputes them from table columns); each frame's lossy
+    //      error is bounded INSIDE the gated row (q157's pattern, per
+    //      frame: lossy_ok flips and diverges the hash if the round-trip
+    //      degrades). One codec session per partition; row-local fan-out,
+    //      zero shuffle before the sort. StubCodec now covers only
+    //      entropy-coded elementary streams (H.264/H.265). ------------------
+    Q("q272_avi_mjpeg_frames",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 4 === 2)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, nch) =>
+              val w = (16 + id % 16).toInt
+              val h = (8 + nch % 16).toInt
+              val nf = (2 + id % 3).toInt
+              val avi = Multimodal.MediaCodecs.encodeAviMjpeg(w, h, nf, id * 1000)
+              val (meta, frames) = Multimodal.MediaCodecs.aviMjpegFrames(avi).get
+              frames.zipWithIndex.map { case (img, f) =>
+                val src = ((id * 1000 + f) * 2654435761L & 0xffffffL).toInt
+                var maxDev = 0
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val p = img.getRGB(x, y)
+                    var c = 0
+                    while (c < 3) {
+                      val d = math.abs(((p >> (8 * c)) & 0xff) - ((src >> (8 * c)) & 0xff))
+                      if (d > maxDev) maxDev = d
+                      c += 1
+                    }
+                    x += 1
+                  }
+                  y += 1
+                }
+                (id, f, meta.width, meta.height, meta.nFrames,
+                  if (maxDev <= 8) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "width", "height", "n_frames", "lossy_ok")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""SELECT doc_id AS id, CAST(t.f AS INT) AS frame_idx,
+            CAST(16 + doc_id % 16 AS INT) AS width,
+            CAST(8 + n_chars % 16 AS INT) AS height,
+            CAST(2 + doc_id % 3 AS INT) AS n_frames,
+            CAST(1 AS BIGINT) AS lossy_ok
+          FROM documents, UNNEST(range(0, 2 + doc_id % 3)) AS t(f)
+          WHERE doc_id % 4 = 2 ORDER BY id, frame_idx""")),
+
     // ---- REAL animated-format frame extraction: each doc's metadata
     //      derives an animated GIF (spec-valid 89a, hand-written LZW
     //      stream ImageIO decodes identically — ImageIOCrossCheckSpec),

@@ -221,6 +221,44 @@ class ReadersSpec extends SparkSpec {
     assert((bytes(f0 + 418) & 0xff) == 0xff && ((bytes(f0 + 418 + 2) >> 1) & 1) == 0)
   }
 
+  test("AVI/MJPEG: real per-frame JPEG decode; container corruption rejects") {
+    import graft.operators.Multimodal.MediaCodecs
+    val bytes = MediaCodecs.encodeAviMjpeg(width = 20, height = 12,
+      nFrames = 3, seed = 7L)
+    val (meta, frames) = MediaCodecs.aviMjpegFrames(bytes).get
+    assert(meta == MediaCodecs.AviMeta(20, 12, 3) && frames.length == 3)
+    // every frame is a REAL lossy JPEG of a single seed-derived color:
+    // dims exact, per-channel deviation bounded
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.getWidth == 20 && img.getHeight == 12)
+      val src = ((7L + f) * 2654435761L & 0xffffffL).toInt
+      val p = img.getRGB(3, 3)
+      (0 until 3).foreach { c =>
+        assert(math.abs(((p >> (8 * c)) & 0xff) - ((src >> (8 * c)) & 0xff)) <= 8)
+      }
+    }
+    // the codec chain picks it up as video (not the stub's 320x240)
+    val d = new graft.operators.Multimodal.HeaderCodec()
+      .decode("video", "video/x-msvideo", bytes)
+    assert(d.width == 20 && d.height == 12 && d.nFrames == 3)
+    // strict validation: wrong magic, truncation, an oversized chunk
+    // size field, and a corrupted frame byte all reject (fall through)
+    assert(MediaCodecs.aviMjpegFrames("RIFFnotavi".getBytes).isEmpty)
+    assert(MediaCodecs.aviMjpegFrames(bytes.take(bytes.length / 2)).isEmpty)
+    val overs = bytes.clone()
+    overs(4) = (overs(4) ^ 0x40).toByte // RIFF size no longer matches
+    assert(MediaCodecs.aviMjpegFrames(overs).isEmpty)
+    val corrupt = bytes.clone()
+    // flip a byte inside the first JPEG's SOI marker (after movi header)
+    val moviAt = {
+      var i = 12
+      while (new String(corrupt, i + 8, 4, "US-ASCII") != "movi") i += 1
+      i
+    }
+    corrupt(moviAt + 20) = 0x00 // clobber the frame's JPEG magic
+    assert(MediaCodecs.aviMjpegFrames(corrupt).isEmpty)
+  }
+
   test("JSONL ingest normalizes null tokens and dedups") {
     val dir = Files.createTempDirectory("graft-jsonl")
     val f = dir.resolve("t.jsonl")
