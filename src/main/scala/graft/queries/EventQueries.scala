@@ -44,6 +44,63 @@ object EventQueries extends Registry {
          THEN printf('%020d%012d', epoch_us(ts), event_id)
          ELSE error('ordering-key capacity exceeded') END"""
 
+  /** q273's stated planning rule: SALT the fact side iff the sampled-count
+    * estimate of its hottest join key exceeds this many rows — one reducer
+    * absorbing more than ~10M rows of a single key is the straggler the
+    * 16-way salt exists to split. (Same shape as q260's 10M-key broadcast
+    * ceiling: honest at 100 TB, which means the PLAIN branch is what the
+    * benchmark data actually chooses; PlanShapeSpec forces the threshold
+    * down to pin the salted branch too.)
+    */
+  val SaltRowThreshold: Long = 10000000L
+
+  /** q273 body with the threshold exposed so PlanShapeSpec can force EACH
+    * branch. The skew estimate is a DETERMINISTIC sketch — a 1/16
+    * hash-Bernoulli row sample (detRand of event_id) counted per key and
+    * scaled back — so unlike a Misra–Gries summary (whose contents are
+    * arrival-order- and partition-dependent, see q201) the estimate, and
+    * therefore the DECISION, is a pure function of the data that the
+    * DuckDB oracle replays bit-for-bit. The join then executes under the
+    * decision: q76's salt kernel (explode the dim over 16 salt buckets,
+    * join on key+salt) or the plain key join. Both plans produce
+    * identical rows — the gate hash checks the algebra, the plan pin
+    * checks the physical choice.
+    */
+  def skewPlannedJoin(s: SparkSession, dir: String,
+      threshold: Long): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val dim = Seq(("click", "1.50"), ("view", "0.50"), ("purchase", "10.00"),
+        ("signup", "5.00"), ("error", "0.00")).toDF("event_type", "wt")
+      .select($"event_type", $"wt".cast("decimal(6,2)").as("wt"))
+    // deterministic sampled-count skew sketch: KB-scale aggregate, one
+    // 1-row driver read (the decision), same contract as q260's sketches
+    val top = ev
+      .filter(graft.operators.Sampling.detRand(73L,
+        $"event_id".cast("string")) < 1.0 / 16)
+      .groupBy($"event_type").agg((count(lit(1)) * 16).as("est_rows"))
+      .orderBy($"est_rows".desc, $"event_type").limit(1)
+      .head()
+    val (topKey, topRows) = (top.getString(0), top.getLong(1))
+    val salted = topRows > threshold
+    val joined =
+      if (salted)
+        graft.functions.SkewAgg.saltedJoin(ev, dim, Seq("event_type"),
+          saltSource = xxhash64($"event_id"), buckets = 16)
+      else ev.join(dim, Seq("event_type"))
+    joined
+      .groupBy($"event_type", $"wt")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,6)")).as("sval"))
+      .select(lit(topKey).as("est_top_key"),
+        lit(topRows).as("est_top_rows"),
+        lit(threshold).as("threshold"),
+        lit(if (salted) "salted" else "plain").as("chosen"),
+        $"event_type", $"wt".cast("double").as("weight"),
+        $"n_events", ($"sval" * $"wt").cast("double").as("weighted_value"))
+      .orderBy($"event_type")
+  }
+
   override def entries: Seq[Q] = Seq(
 
     // ---- tumbling event-time window aggregation + JSON prop extraction ----
@@ -208,6 +265,37 @@ object EventQueries extends Registry {
         SELECT event_type, CAST(wt AS DOUBLE) AS weight, count(*) AS n_events,
           CAST(SUM(CAST(value AS DECIMAL(18,6))) * wt AS DOUBLE) AS weighted_value
         FROM j GROUP BY event_type, wt ORDER BY event_type""")),
+
+    // ---- SECOND sketch-driven plan decision (q260's pattern, skew axis):
+    //      a deterministic sampled-count sketch estimates the fact side's
+    //      hottest join key, the stated SaltRowThreshold turns that into
+    //      plain-vs-salted, and the join EXECUTES the choice (q76's salt
+    //      kernel when hot). The estimate is a pure function of the data
+    //      (hash-Bernoulli sample — not Misra–Gries, whose summary is
+    //      partition-dependent), so the oracle replays estimate, decision
+    //      AND join result; PlanShapeSpec pins both physical branches. ----
+    Q("q273_skew_planned_join",
+      (s, dir) => skewPlannedJoin(s, dir, SaltRowThreshold),
+      Some {
+        val u = graft.operators.Sampling.detRandSql(73L,
+          Seq("CAST(event_id AS VARCHAR)"))
+        s"""WITH est AS (SELECT event_type, count(*) * 16 AS est_rows
+              FROM events WHERE $u < 0.0625 GROUP BY event_type),
+          top AS (SELECT event_type AS tk, est_rows FROM est
+                  ORDER BY est_rows DESC, event_type LIMIT 1),
+          dim(event_type, wt) AS (VALUES
+            ('click', CAST('1.50' AS DECIMAL(6,2))), ('view', CAST('0.50' AS DECIMAL(6,2))),
+            ('purchase', CAST('10.00' AS DECIMAL(6,2))), ('signup', CAST('5.00' AS DECIMAL(6,2))),
+            ('error', CAST('0.00' AS DECIMAL(6,2)))),
+          j AS (SELECT e.event_type, wt, value FROM events e JOIN dim USING (event_type))
+          SELECT top.tk AS est_top_key, CAST(top.est_rows AS BIGINT) AS est_top_rows,
+            CAST($SaltRowThreshold AS BIGINT) AS threshold,
+            CASE WHEN top.est_rows > $SaltRowThreshold THEN 'salted' ELSE 'plain' END AS chosen,
+            event_type, CAST(wt AS DOUBLE) AS weight, count(*) AS n_events,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) * wt AS DOUBLE) AS weighted_value
+          FROM j, top GROUP BY top.tk, top.est_rows, event_type, wt
+          ORDER BY event_type"""
+      }),
 
     // ---- running totals: per-user cumulative purchase value + purchase
     //      index — both window functions share ONE (user_id) shuffle; the

@@ -767,6 +767,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(forced.select("chosen").head().getString(0) == "shuffle")
   }
 
+  test("q273: skew decision executes plain join under the real threshold, salted when forced") {
+    // default threshold (10M rows on the hottest key): the sampled-count
+    // estimate is ~2k at test sf → plain branch, no salt column anywhere
+    val plain = graft.queries.EventQueries
+      .skewPlannedJoin(spark, sfDir, graft.queries.EventQueries.SaltRowThreshold)
+    val pp = plain.queryExecution.executedPlan.toString()
+    assert(!pp.contains("__salt"), s"plain branch carries salt plumbing:\n$pp")
+    assert(plain.select("chosen").head().getString(0) == "plain")
+    // forced threshold 0: estimate exceeds it → the q76 salt kernel (dim
+    // exploded over 16 buckets, join keyed on event_type+__salt) — the
+    // pin proves the DECISION drove the plan, not table sizes
+    val forced = graft.queries.EventQueries.skewPlannedJoin(spark, sfDir, 0L)
+    val pf = forced.queryExecution.executedPlan.toString()
+    assert(pf.contains("__salt"), s"salted branch lost its salt keys:\n$pf")
+    assert(pf.contains("Expand") || pf.contains("explode"),
+      s"salted branch lost the dim explode:\n$pf")
+    assert(forced.select("chosen").head().getString(0) == "salted")
+    // salt never affects the algebra: identical join rows from both
+    // branches (drop the 4 decision columns — threshold/chosen differ)
+    assert(plain.collect().toSeq.map(_.toSeq.drop(4)) ==
+      forced.collect().toSeq.map(_.toSeq.drop(4)))
+  }
+
   test("q266: cube is ONE scan through Expand with map-side partial aggregation") {
     val df = SparkEntry.queries("q266_cube_subtotals")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString()
