@@ -609,6 +609,46 @@ class ScaleOpsSpec extends SparkSpec {
       s"footer-sized path ran $jFooter jobs vs $jSizing with sizing — no scan saved")
   }
 
+  test("iterative graph kernels shuffle LINEARLY in rounds (lineage truncated)") {
+    // The contract behind q264/q265's per-round localCheckpoint: every
+    // round costs one join + one agg on the SAME key, so total shuffle
+    // bytes grow at most linearly with the round budget. A broken
+    // truncation re-derives the doubling lineage each round — shuffle
+    // bytes explode geometrically (2^rounds), not linearly — so the pin
+    // is tight at "3x rounds => well under 5x bytes" yet immune to
+    // jitter. Seeded LCG graph, big enough that bytes are signal.
+    def lcgEdges(seed: Long, n: Int, nodes: Int): Seq[(Long, Long)] = {
+      var s = seed
+      def next(): Long = {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        math.floorMod(s >>> 33, nodes).toLong
+      }
+      (1 to n).map(_ => (next(), next()))
+    }
+    val edges = spark.createDataFrame(lcgEdges(91L, 4000, 1200)).toDF("a", "b")
+    // NOT checkpointed: shuffleBytes drops all blocks before each run, so
+    // the canonicalize shuffle re-runs inside every measurement — a
+    // constant addend on both sides of each ratio
+    val canon = graft.operators.Components.canonicalize(edges, "a", "b")
+    def measure(run: => Unit): Long = shuffleBytes(run)
+    // label propagation: label table is the full node set every round
+    val lpa2 = measure(
+      graft.operators.Components.labelPropagationCanonical(canon, 2).count())
+    val lpa6 = measure(
+      graft.operators.Components.labelPropagationCanonical(canon, 6).count())
+    assert(lpa2 > 0, "LPA shuffled nothing — measurement broken")
+    assert(lpa6 < 5L * lpa2,
+      s"LPA shuffle grew ${lpa6.toDouble / lpa2}x for 3x rounds (lineage leak?)")
+    // k-core peel: the survivor set only shrinks, so the same bound holds
+    val kc2 = measure(
+      graft.operators.Components.kCoreCanonical(canon, 2, rounds = 2).count())
+    val kc6 = measure(
+      graft.operators.Components.kCoreCanonical(canon, 2, rounds = 6).count())
+    assert(kc2 > 0, "k-core shuffled nothing — measurement broken")
+    assert(kc6 < 5L * kc2,
+      s"k-core shuffle grew ${kc6.toDouble / kc2}x for 3x rounds (lineage leak?)")
+  }
+
   test("labelPropagation rejects node ids outside [0, 2^31)") {
     // the composite argmax key cnt*2^32 - lbl is only injective below
     // 2^31; the guard must fire rather than silently corrupt tie-breaks
