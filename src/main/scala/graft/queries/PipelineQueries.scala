@@ -169,7 +169,8 @@ object PipelineQueries extends Registry {
     "q184_tws_running_totals", "q188_tws_sessions",
     "q189_tws_type_counts", "q196_streaming_chained_aggs",
     "q206_streaming_heavy_hitters", "q220_tws_replay_buffer",
-    "q244_streaming_dead_letter", "q255_streaming_hll")
+    "q244_streaming_dead_letter", "q255_streaming_hll",
+    "q274_streaming_cms")
 
   override def entries: Seq[Q] = {
     val es = rawEntries
@@ -2367,6 +2368,95 @@ object PipelineQueries extends Registry {
             FROM p)
           SELECT window_start, v_empty, d_scaled, $estSql AS hll_estimate
           FROM s ORDER BY window_start"""
+      }),
+
+    // ---- STREAMING COUNT-MIN: the sketch-family completion — HLL has
+    //      batch q254 / stream q255, Misra–Gries has q201/q206; CMS had
+    //      only batch q166. Per-hour d×w frequency cells held in
+    //      watermark-evicted streaming state (exact per-key counts are
+    //      O(keys×windows) and unbounded); the cells are SUMS — order-free
+    //      and mergeable — so the micro-batch build lands on exactly the
+    //      batch counters and the DuckDB twin replays the stream's output
+    //      hash-exact, point estimates included (min over the d probe
+    //      cells, one-sided overcount ≥ 0 by construction). Same md5
+    //      column family as q166 (`cms<j>:<key>`). --------------------------
+    Q("q274_streaming_cms",
+      (s, dir) => {
+        val ss = StreamingOps.streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val evts = Tables(ss, dir, "events")
+          .select($"ts", $"event_type", $"event_id")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .select($"ts", $"event_type")
+          .as[(java.sql.Timestamp, String)].collect()
+        val maxMs = evts.map(_._1.getTime).max
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+        val qn = s"graft_scms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val query = StreamingOps.windowedCmsCells(
+            mem.toDF().toDF("ts", "event_type"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+        try {
+          val (b1, b2) = evts.splitAt(evts.length / 2)
+          mem.addData(b1.toSeq); query.processAllAvailable()
+          mem.addData(b2.toSeq); query.processAllAvailable()
+          // advance the watermark past every real window, then trigger the
+          // flushing micro-batch (q132/q196's two-round recipe)
+          Seq(2, 4).foreach { d =>
+            mem.addData(Seq((new java.sql.Timestamp(maxMs + d * 86400000L),
+              "zz_sentinel")))
+            query.processAllAvailable()
+          }
+          val cells = ss.table(qn)
+            .localCheckpoint(eager = true) // detach from the stopped stream
+            .filter($"window_start" <= new java.sql.Timestamp(maxMs))
+          // point-estimate audit over the same feed: per (window, key)
+          // exact counts probe their d cells, estimate = min — the same
+          // rows both engines see, so overcount is gateable, not bounded
+          def cmsCol(j: Int) = expr(
+            s"cast(conv(substring(md5(concat('cms$j:', event_type)), 1, 12), 16, 10) as bigint) % 16")
+          val rc = array((0 until 4).map(j =>
+            struct(lit(j.toLong).as("j"), cmsCol(j).as("c"))): _*)
+          val exact = ss.createDataset(evts.toSeq).toDF("ts", "event_type")
+            .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+            .agg(count(lit(1)).as("exact_cnt"))
+          exact
+            .select($"window_start", $"event_type", $"exact_cnt",
+              explode(rc).as("rc"))
+            .select($"window_start", $"event_type", $"exact_cnt",
+              $"rc.j".as("j"), $"rc.c".as("c"))
+            .join(cells, Seq("window_start", "j", "c"))
+            .groupBy($"window_start", $"event_type", $"exact_cnt")
+            .agg(min($"cell").as("cms_est"))
+            .select($"window_start", $"event_type", $"exact_cnt",
+              $"cms_est", ($"cms_est" - $"exact_cnt").as("overcount"))
+            .orderBy($"window_start", $"event_type")
+        } finally query.stop()
+      },
+      Some {
+        val c = graft.functions.TextFunctions.hexPolySql(12,
+          "'cms' || j || ':' || event_type")
+        s"""WITH e AS (SELECT ts, event_type FROM events
+              ORDER BY ts, event_id LIMIT 2000),
+          cells AS (SELECT date_trunc('hour', ts) AS window_start, j,
+                ($c % 16) AS cc, count(*) AS cell
+              FROM e, UNNEST(range(0, 4)) AS r(j) GROUP BY 1, 2, 3),
+          ex AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+                count(*) AS exact_cnt
+              FROM e GROUP BY 1, 2),
+          pp AS (SELECT window_start, event_type, exact_cnt, j,
+                ($c % 16) AS cc
+              FROM ex, UNNEST(range(0, 4)) AS r(j)),
+          est AS (SELECT pp.window_start, event_type, exact_cnt,
+                min(cell) AS cms_est
+              FROM pp JOIN cells ON cells.window_start = pp.window_start
+                AND cells.j = pp.j AND cells.cc = pp.cc
+              GROUP BY 1, 2, 3)
+          SELECT window_start, event_type, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+            CAST(cms_est AS BIGINT) AS cms_est,
+            CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+          FROM est ORDER BY window_start, event_type"""
       }),
 
     // ---- watermark DEAD-LETTER audit: how many rows does the watermark

@@ -197,6 +197,47 @@ object TextQueries extends Registry {
        |                     JOIN mh mb ON doc_b = mb.doc_id)""".stripMargin
   }
 
+  /** q275's stated sizing rule: one shuffle partition per 64 MB of
+    * estimated input — the SCALING.md q267 lesson ("partition COUNT must
+    * scale with data") operationalized as the third sketch→plan decision
+    * (q260 broadcast, q273 salt, q275 parallelism). At bench scale the
+    * estimate is KBs → 1 partition; at 100 TB the same rule yields ~1.6M.
+    * PlanShapeSpec forces the target down to pin a many-partition plan.
+    */
+  val TargetPartitionBytes: Long = 64L << 20
+
+  /** q275 body with the target exposed so PlanShapeSpec can force the
+    * multi-partition branch. Corpus bytes are estimated from a
+    * DETERMINISTIC 1/16 hash-Bernoulli sample (q273's sketch pattern —
+    * order- and partition-free, so the oracle replays estimate, derived
+    * partition count AND the aggregate), then the plan EXECUTES
+    * `repartition(n, doc_id)` with the derived n — an explicit
+    * numPartitions AQE must respect, asserted from the executed plan's
+    * ShuffleExchange in the spec. Integer ceiling ((b + t - 1) div t),
+    * clamped to [1, 4096] (the single-box ceiling; a cluster raises it).
+    */
+  def adaptivePartitioning(s: SparkSession, dir: String,
+      targetBytes: Long): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val estBytes = d
+      .filter(graft.operators.Sampling.detRand(97L,
+        $"doc_id".cast("string")) < 1.0 / 16)
+      .agg((coalesce(sum(octet_length($"text")), lit(0L)) * 16).as("b"))
+      .head().getLong(0)
+    val nParts = math.min(4096L,
+      math.max(1L, (estBytes + targetBytes - 1) / targetBytes)).toInt
+    d.repartition(nParts, $"doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length($"text")).as("n_bytes"))
+      .select(lit(estBytes).as("est_bytes"),
+        lit(targetBytes).as("target_bytes"),
+        lit(nParts).as("n_partitions"),
+        $"lang", $"n_docs", $"n_bytes")
+      .orderBy($"lang")
+  }
+
   override def entries: Seq[Q] = Seq(
 
     // ---- corpus curation: the end-to-end filter chain a training-data
@@ -1741,6 +1782,32 @@ object TextQueries extends Registry {
     //      the diagnostic that decides salting/broadcast strategy before a
     //      big join. One key shuffle for counts, TakeOrdered top-10, the
     //      scalar total broadcast back; nothing corpus-sized moves twice. --
+    // ---- THIRD sketch-driven plan decision — PARALLELISM (q260
+    //      broadcast, q273 salt): shuffle-partition count derived from a
+    //      deterministic sampled-size estimate under the stated
+    //      64 MB/partition rule, then EXECUTED as repartition(n, doc_id)
+    //      with explicit numPartitions (AQE respects it; the spec reads n
+    //      back out of the executed ShuffleExchange). This is SCALING.md's
+    //      q267 lesson — partition count must scale with data — as an
+    //      operator rather than advice. The oracle replays the sample
+    //      sum, the integer-ceiling division and the clamp. ----------------
+    Q("q275_adaptive_partitioning",
+      (s, dir) => adaptivePartitioning(s, dir, TargetPartitionBytes),
+      Some {
+        val u = graft.operators.Sampling.detRandSql(97L,
+          Seq("CAST(doc_id AS VARCHAR)"))
+        val t = TargetPartitionBytes
+        s"""WITH est AS (SELECT COALESCE(sum(octet_length(encode(text))), 0) * 16 AS b
+              FROM documents WHERE $u < 0.0625),
+          np AS (SELECT b, least(4096, greatest(1, (b + $t - 1) // $t)) AS n FROM est)
+          SELECT CAST(np.b AS BIGINT) AS est_bytes,
+            CAST($t AS BIGINT) AS target_bytes,
+            CAST(np.n AS INT) AS n_partitions,
+            lang, count(*) AS n_docs,
+            CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+          FROM documents, np GROUP BY np.b, np.n, lang ORDER BY lang"""
+      }),
+
     Q("q107_skew_audit",
       (s, dir) => {
         import s.implicits._

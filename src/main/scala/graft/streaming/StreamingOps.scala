@@ -100,6 +100,34 @@ object StreamingOps {
       .withColumn("hll_estimate", HyperLogLog.estimate(col("d_scaled")))
   }
 
+  /** Streaming COUNT-MIN sketch: per-hour key-frequency cells held in
+    * streaming state — q166's d×w counter build run incrementally. Exact
+    * per-key counts are O(keys × windows) state and unbounded on a real
+    * stream; CMS state is O(windows × d × w) longs, watermark-evicted.
+    * The cells are SUMS — order-free and mergeable — so micro-batch
+    * increments land on exactly the batch build's counters: same md5
+    * column family (`cms<j>:<key>`), same totals, hence the same DuckDB
+    * replay as the batch sketch. Emits the sketch itself, one row per
+    * (window, j, c) non-empty cell (q254's registers pattern: the sketch
+    * is the deliverable; point estimates are a downstream min-join).
+    */
+  def windowedCmsCells(events: DataFrame, keyCol: String = "event_type",
+      depth: Int = 4, width: Int = 16,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val rc = array((0 until depth).map(j =>
+      struct(lit(j.toLong).as("j"), expr(
+        s"cast(conv(substring(md5(concat('cms$j:', $keyCol)), 1, 12), 16, 10) as bigint) % $width"
+      ).as("c"))): _*)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), explode(rc).as("rc"))
+      .groupBy(window(col("ts"), "1 hour"),
+        col("rc.j").as("j"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cell"))
+      .select(col("window.start").as("window_start"),
+        col("j"), col("c"), col("cell"))
+  }
+
   /** Streaming exact dedup: watermark-bounded per-KEY dedup — the
     * incremental twin of q21's hash-groupBy dedup. State holds one entry
     * per key within the watermark horizon, and a redelivered duplicate is

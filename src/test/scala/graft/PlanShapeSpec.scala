@@ -790,6 +790,28 @@ class PlanShapeSpec extends SparkSpec {
       forced.collect().toSeq.map(_.toSeq.drop(4)))
   }
 
+  test("q275: sampled-size estimate drives the executed exchange's partition count") {
+    // real 64 MB/partition target: the sampled estimate is KBs at test
+    // scale → exactly 1 partition, and the decision column says so
+    val real = graft.queries.TextQueries.adaptivePartitioning(
+      spark, sfDir, graft.queries.TextQueries.TargetPartitionBytes)
+    assert(real.select("n_partitions").head().getInt(0) == 1)
+    // forced 4 KB target: estimate >> target → a many-partition plan; the
+    // derived n must appear verbatim in the executed ShuffleExchange
+    // (explicit repartition numPartitions — AQE respects it)
+    val forced = graft.queries.TextQueries.adaptivePartitioning(spark, sfDir, 4096L)
+    val n = forced.select("n_partitions").head().getInt(0)
+    assert(n > 1, s"forced target still derived n=$n")
+    forced.collect()
+    val plan = forced.queryExecution.executedPlan.toString()
+    assert(("hashpartitioning\\(doc_id#\\d+L?, " + n + "\\)").r
+      .findFirstIn(plan).isDefined,
+      s"derived n=$n not in the executed exchange:\n$plan")
+    // the decision never changes the aggregate (drop the 3 decision cols)
+    assert(real.collect().toSeq.map(_.toSeq.drop(3)) ==
+      forced.collect().toSeq.map(_.toSeq.drop(3)))
+  }
+
   test("q266: cube is ONE scan through Expand with map-side partial aggregation") {
     val df = SparkEntry.queries("q266_cube_subtotals")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString()
