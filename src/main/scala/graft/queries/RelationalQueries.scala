@@ -1021,6 +1021,94 @@ object RelationalQueries extends Registry {
             WHERE x BETWEEN w.xa AND w.xb AND y BETWEEN w.ya AND w.yb) AS rows_selected
         FROM w""")),
 
+    // ---- SMALL-FILE COMPACTION planner + executor (q259's storage layer,
+    //      maintenance axis): the operational 100 TB lake problem — ingest
+    //      leaves thousands of KB-scale files; readers pay a footer+open
+    //      per file. The query (a) writes documents as a deliberately
+    //      fragmented one-file-per-(doc_id%24) layout, (b) walks the REAL
+    //      parquet footers for per-fragment row counts (the FooterStats
+    //      metadata layer — no data scan), (c) plans bins by streaming
+    //      concat in fragment order: bin = cumulative-rows-before div
+    //      4096 (fragments are atomic, the same prefix-sum-div-capacity
+    //      kernel as sequence packing; at 100 TB the prefix runs through
+    //      PrefixOps, here the 24-row inventory folds on the driver —
+    //      metadata-bounded like q259), (d) EXECUTES the compaction —
+    //      one file per bin via hash-repartition + partitionBy — and
+    //      (e) walks the COMPACTED footers back: actual_rows and
+    //      files_written are read from the new files, so a row lost or
+    //      duplicated by the rewrite diverges the gate. Oracle replays
+    //      the fragment counts, the prefix-sum bin assignment, and the
+    //      planned==actual identity. -----------------------------------------
+    Q("q276_compaction_planner",
+      (s, dir) => {
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val targetRows = 4096L
+        val base = s"/tmp/graft-compact/" +
+          graft.core.Det.md5hex(dir).take(12) + "-" + zorderProcToken
+        val fragDir = s"$base/frags"
+        val binDir = s"$base/bins"
+        t(s, dir, "documents")
+          .withColumn("frag", ($"doc_id" % 24).cast("int"))
+          .repartition($"frag")
+          .write.mode("overwrite").partitionBy("frag").parquet(fragDir)
+        val hconf = s.sparkContext.hadoopConfiguration
+        def footerRows(root: String, key: String): Seq[(Int, Long)] = {
+          val rp = new org.apache.hadoop.fs.Path(root)
+          val fs = rp.getFileSystem(hconf)
+          val it = fs.listFiles(rp, true)
+          val b = Seq.newBuilder[(Int, Long)]
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (f.getName.endsWith(".parquet")) {
+              val k = f.getParent.getName.stripPrefix(s"$key=").toInt
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+              try b += ((k, r.getFooter.getBlocks.asScala.map(_.getRowCount).sum))
+              finally r.close()
+            }
+          }
+          b.result()
+        }
+        // inventory: per-fragment rows summed across its files (≤24 rows)
+        val inv = footerRows(fragDir, "frag").groupBy(_._1)
+          .map { case (k, fs) => k -> fs.map(_._2).sum }.toSeq.sortBy(_._1)
+        // streaming-concat plan: cumulative rows BEFORE each fragment
+        val plan = inv.scanLeft((0, 0L, 0L)) { case ((_, cum, _), (frag, n)) =>
+          (frag, cum + n, cum / targetRows)
+        }.drop(1).map { case (frag, cumAfter, bin) => (frag, bin.toInt) }
+        val binOf = plan.toMap
+        val binCol = (0 until 24).foldLeft(lit(-1)) { (acc, f) =>
+          when($"frag" === f, lit(binOf.getOrElse(f, -1))).otherwise(acc)
+        }
+        val nBins = plan.map(_._2).distinct.size
+        s.read.parquet(fragDir)
+          .withColumn("bin", binCol)
+          .repartition(nBins, $"bin")
+          .write.mode("overwrite").partitionBy("bin").parquet(binDir)
+        val actual = footerRows(binDir, "bin").groupBy(_._1)
+          .map { case (b, fs) => b -> (fs.map(_._2).sum, fs.size) }
+        val rows = plan.groupBy(_._2).toSeq.map { case (bin, frags) =>
+          val planned = frags.map(f => inv.find(_._1 == f._1).get._2).sum
+          val (act, nf) = actual(bin)
+          (bin, frags.size.toLong, planned, act, nf.toLong)
+        }
+        s.createDataFrame(rows.sortBy(_._1))
+          .toDF("bin", "n_frags", "planned_rows", "actual_rows", "files_written")
+          .orderBy($"bin")
+      },
+      Some("""WITH f AS (SELECT CAST(doc_id % 24 AS INT) AS frag, count(*) AS n
+              FROM documents GROUP BY 1),
+          c AS (SELECT frag, n,
+                sum(n) OVER (ORDER BY frag ROWS UNBOUNDED PRECEDING) - n AS cum_before
+              FROM f),
+          p AS (SELECT frag, n, CAST(cum_before // 4096 AS INT) AS bin FROM c)
+          SELECT bin, count(*) AS n_frags,
+            CAST(sum(n) AS BIGINT) AS planned_rows,
+            CAST(sum(n) AS BIGINT) AS actual_rows,
+            CAST(1 AS BIGINT) AS files_written
+          FROM p GROUP BY bin ORDER BY bin""")),
+
     // ---- deterministic stratified sample: fixed-size per-stratum draw
     //      keyed by md5 of the row key — partition-invariant (unlike
     //      rand()-based sampleBy) and reproducible in any engine. The
