@@ -249,6 +249,11 @@ object Multimodal {
     def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
       require(width > 0 && height > 0)
       System.setProperty("java.awt.headless", "true")
+      // ImageIO defaults to a FILE-backed stream cache: one temp file
+      // created+deleted per encode/decode. At q272's 100x rung that's
+      // ~750k /tmp churns and measured warm>cold inversions; the in-memory
+      // cache removes the filesystem from a pure byte[]<->byte[] path.
+      javax.imageio.ImageIO.setUseCache(false)
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val rgb = (seed * 2654435761L & 0xffffffL).toInt
@@ -270,6 +275,8 @@ object Multimodal {
       if (bytes.length < 3 || (bytes(0) & 0xff) != 0xff ||
         (bytes(1) & 0xff) != 0xd8 || (bytes(2) & 0xff) != 0xff) return None
       System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false) // see encodeJpeg
+
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     }
 
