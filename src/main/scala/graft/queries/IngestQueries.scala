@@ -778,6 +778,70 @@ object IngestQueries extends Registry {
                          UNION ALL SELECT * FROM qrows)
           ORDER BY group_id, part, pos""")),
 
+    // ---- INCREMENTAL AGGREGATE MAINTENANCE (q150's sibling on the
+    //      aggregate layer): the nightly pattern every 100 TB metric
+    //      pipeline runs — a stored per-key aggregate snapshot absorbs a
+    //      new batch via MERGE of partial aggregates (full-outer join +
+    //      coalesced adds) instead of recomputing history. Sums and
+    //      counts are associative, so state ⊕ batch-partials ≡ full
+    //      recompute — and the gate PROVES it: the emitted n_after /
+    //      sum_after come from the incremental merge while the oracle
+    //      recomputes them from all rows; any merge bug (dropped key,
+    //      double count, null-eaten add) diverges the hash. Decimal-exact
+    //      until the final double cast. Batch cost is O(delta) + a
+    //      state-sized join — never O(history). ----------------------------
+    Q("q277_incremental_agg",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_shipdate",
+            $"l_quantity".cast("decimal(18,2)").as("qty"))
+        val cutoff = "1995-01-01"
+        val batchEnd = "1995-07-01"
+        // the stored snapshot: per-key aggregate as of the cutoff
+        val state = li.filter($"l_shipdate" < lit(cutoff))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_b"), sum($"qty").as("s_b"))
+        // the new batch, folded to partial aggregates map-side
+        val delta = li
+          .filter($"l_shipdate" >= lit(cutoff) && $"l_shipdate" < lit(batchEnd))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_d"), sum($"qty").as("s_d"))
+        state.join(delta, Seq("l_returnflag"), "full_outer")
+          .select($"l_returnflag",
+            coalesce($"n_b", lit(0L)).as("n_before"),
+            coalesce($"n_d", lit(0L)).as("n_delta"),
+            (coalesce($"n_b", lit(0L)) + coalesce($"n_d", lit(0L))).as("n_after"),
+            (coalesce($"s_b", lit(0).cast("decimal(18,2)"))
+              + coalesce($"s_d", lit(0).cast("decimal(18,2)")))
+              .cast("double").as("sum_qty_after"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH st AS (SELECT l_returnflag, count(*) AS n_b,
+              sum(CAST(l_quantity AS DECIMAL(18,2))) AS s_b
+            FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+            GROUP BY 1),
+          d AS (SELECT l_returnflag, count(*) AS n_d,
+              sum(CAST(l_quantity AS DECIMAL(18,2))) AS s_d
+            FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1995-07-01'
+            GROUP BY 1),
+          -- the ORACLE takes the other road: one recompute over all rows
+          -- up to the batch end — merge ≡ recompute is the gated claim
+          full_r AS (SELECT l_returnflag, count(*) AS n_full,
+              sum(CAST(l_quantity AS DECIMAL(18,2))) AS s_full
+            FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1995-07-01'
+            GROUP BY 1)
+          SELECT f.l_returnflag,
+            CAST(COALESCE(st.n_b, 0) AS BIGINT) AS n_before,
+            CAST(COALESCE(d.n_d, 0) AS BIGINT) AS n_delta,
+            CAST(f.n_full AS BIGINT) AS n_after,
+            CAST(f.s_full AS DOUBLE) AS sum_qty_after
+          FROM full_r f
+          LEFT JOIN st ON st.l_returnflag = f.l_returnflag
+          LEFT JOIN d ON d.l_returnflag = f.l_returnflag
+          ORDER BY f.l_returnflag""")),
+
     // ---- CDC upsert compaction (MERGE without a table format): base
     //      snapshot + a change batch (upserts carry a higher version,
     //      deletes the highest) collapse to latest-state via ONE key

@@ -1109,6 +1109,121 @@ object RelationalQueries extends Registry {
             CAST(1 AS BIGINT) AS files_written
           FROM p GROUP BY bin ORDER BY bin""")),
 
+    // ---- BUCKET-PRUNED point lookup (the read-side payoff of the
+    //      bucketed layout ScaleOpsSpec proves shuffle-free joins on):
+    //      orders written bucketBy(16, o_custkey); an equality probe on
+    //      the bucket column scans ONE bucket's files — the executed scan
+    //      advertises "SelectedBucketsCount: 1 out of 16" (pinned in
+    //      PlanShapeSpec). At 100 TB this is the difference between a
+    //      full-table scan and 1/16th of one for every keyed lookup,
+    //      with zero index structures — the layout IS the index. Probe
+    //      key = min(o_custkey) (deterministic, reaches the plan as a
+    //      literal so bucket pruning can fire). The keyed aggregate rides
+    //      the SAME layout shuffle-free (the scan's hash distribution
+    //      already satisfies the agg — no Exchange in the pinned plan);
+    //      a bare filter-project would let the planner fall back to a
+    //      non-bucketed scan and silently lose the pruning. -----------------
+    Q("q278_bucket_pruned_lookup",
+      (s, dir) => {
+        import s.implicits._
+        s.sql("CREATE DATABASE IF NOT EXISTS graftbuckets")
+        val tbl = "graftbuckets.orders_bkt_" + graft.core.Det.md5hex(dir).take(8)
+        Tables(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .write.mode("overwrite")
+          .bucketBy(16, "o_custkey").sortBy("o_custkey").saveAsTable(tbl)
+        val probe = Tables(s, dir, "orders")
+          .agg(min($"o_custkey")).head().getLong(0)
+        s.table(tbl).filter($"o_custkey" === probe)
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            min($"o_orderkey").as("first_order"),
+            max($"o_orderkey").as("last_order"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("sum_total"))
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+            min(o_orderkey) AS first_order, max(o_orderkey) AS last_order,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+          FROM orders
+          WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+          GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // ---- PARQUET BLOOM-FILTER consistency audit (q259's footer layer,
+    //      bloom axis): documents written one-file-per-(doc_id%8) with
+    //      parquet.bloom.filter.enabled#doc_id, then every row group's
+    //      REAL bloom filter (parquet-hadoop BloomFilterReader, split-
+    //      block xxhash64 bits) is probed for a fixed key. Bloom bits are
+    //      an OR of value hashes — insertion-order-free, so the filter is
+    //      a pure function of each fragment's doc_id SET — but the bits
+    //      aren't SQL-expressible, so the gate emits the filter's
+    //      deterministic IMPLICATION (q201's theorem pattern): maybe=0
+    //      must imply the key is truly absent (no false negatives,
+    //      checked per fragment against the data), while the skip COUNT
+    //      stays a diagnostic. A reader honoring these blooms would open
+    //      only maybe=1 files for this probe. ------------------------------
+    Q("q279_bloom_rowgroup_audit",
+      (s, dir) => {
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val probe = 42L
+        val base = s"/tmp/graft-bloom/" +
+          graft.core.Det.md5hex(dir).take(12) + "-" + zorderProcToken
+        t(s, dir, "documents").select($"doc_id",
+            ($"doc_id" % 8).cast("int").as("frag"))
+          .repartition($"frag")
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#doc_id", "true")
+          .partitionBy("frag").parquet(base)
+        val hconf = s.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(base)
+        val fs = root.getFileSystem(hconf)
+        val files = {
+          val it = fs.listFiles(root, true)
+          val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+          while (it.hasNext) { val f = it.next().getPath
+            if (f.getName.endsWith(".parquet")) b += f }
+          b.result()
+        }
+        val maybeByFrag: Map[Int, Boolean] = files.map { p =>
+          val frag = p.getParent.getName.stripPrefix("frag=").toInt
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+          try {
+            val maybe = r.getFooter.getBlocks.asScala.exists { blk =>
+              val cc = blk.getColumns.asScala
+                .find(_.getPath.toDotString == "doc_id")
+                .getOrElse(sys.error(s"doc_id missing in footer of $p"))
+              val bf = r.getBloomFilterDataReader(blk).readBloomFilter(cc)
+              require(bf != null, s"bloom filter missing for doc_id in $p")
+              bf.findHash(bf.hash(probe))
+            }
+            frag -> maybe
+          } finally r.close()
+        }.groupBy(_._1).map { case (f, vs) => f -> vs.exists(_._2) }
+        val maybeCol = (0 until 8).foldLeft(lit(false)) { (acc, f) =>
+          when($"frag" === f, lit(maybeByFrag.getOrElse(f, false))).otherwise(acc)
+        }
+        s.read.parquet(base)
+          .groupBy($"frag")
+          .agg(sum(when($"doc_id" === probe, 1L).otherwise(0L)).as("key_rows"))
+          .withColumn("bloom_maybe01", maybeCol.cast("int"))
+          .select($"frag".cast("int").as("frag"), $"key_rows",
+            // the filter contract: maybe=0 ⇒ key absent — ALWAYS 1; a
+            // bloom that loses its key flips this and diverges the hash
+            when($"bloom_maybe01" === 0 && $"key_rows" > 0, 0)
+              .otherwise(1).cast("int").as("no_false_negative"),
+            // home fragment must read maybe=1 (its set contains the key)
+            when($"frag" === (probe % 8).toInt,
+              $"bloom_maybe01").otherwise(lit(1)).cast("int").as("home_hit"))
+          .orderBy($"frag")
+      },
+      Some("""SELECT CAST(doc_id % 8 AS INT) AS frag,
+            CAST(sum(CASE WHEN doc_id = 42 THEN 1 ELSE 0 END) AS BIGINT) AS key_rows,
+            CAST(1 AS INT) AS no_false_negative,
+            CAST(1 AS INT) AS home_hit
+          FROM documents GROUP BY 1 ORDER BY frag""")),
+
     // ---- deterministic stratified sample: fixed-size per-stratum draw
     //      keyed by md5 of the row key — partition-invariant (unlike
     //      rand()-based sampleBy) and reproducible in any engine. The

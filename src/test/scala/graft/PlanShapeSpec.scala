@@ -790,6 +790,18 @@ class PlanShapeSpec extends SparkSpec {
       forced.collect().toSeq.map(_.toSeq.drop(4)))
   }
 
+  test("q278: equality probe on the bucket column scans ONE of 16 buckets, agg shuffle-free") {
+    val df = SparkEntry.queries("q278_bucket_pruned_lookup")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("SelectedBucketsCount: 1 out of 16"),
+      s"bucket pruning did not fire:\n$plan")
+    // the keyed aggregate must ride the bucket layout: the only Exchange
+    // allowed is the final presentation sort's range partitioning
+    val aggPart = plan.split("rangepartitioning").last
+    assert(!aggPart.contains("Exchange hashpartitioning"),
+      s"bucketed aggregate still shuffled:\n$plan")
+  }
+
   test("q275: sampled-size estimate drives the executed exchange's partition count") {
     // real 64 MB/partition target: the sampled estimate is KBs at test
     // scale → exactly 1 partition, and the decision column says so
