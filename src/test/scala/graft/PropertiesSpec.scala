@@ -77,6 +77,88 @@ object MatcherProperties extends Properties("StableMatcher") {
           ms.map(_.tgtAttr).distinct.size == ms.size
       }
     }
+
+  // ---- the q35 ORACLE's construction, refereed: the DuckDB replay runs
+  // PREFIX-POOL batch deferred acceptance (each src offers to its first p
+  // list entries, each tgt holds the best-scored offer, unmatched srcs
+  // extend p to a fixed point) instead of the matcher's sequential
+  // free-queue. McVitie–Wilson says they coincide whenever preferences
+  // are STRICT — exactly the q35 data regime (distinct 48-bit hashes).
+  // This property checks the theorem's claim on random strict instances,
+  // including partial backward lists (None-safe rejections), for both
+  // the single round and the two-round pair-removal protocol — so the
+  // oracle's soundness argument rests on more than the five gate cases.
+
+  /** Scala twin of the oracle SQL's gsRound/matchOf CTEs. */
+  private def batchRound(fwdLists: Map[String, Vector[String]],
+      bwd: Map[String, Map[String, Double]]): Set[(String, String)] = {
+    if (fwdLists.isEmpty) return Set.empty
+    val len = fwdLists.map { case (s, l) => s -> l.length }
+    def offers(p: Map[String, Int]) = for {
+      (s, pf) <- p.toSeq
+      t <- fwdLists(s).take(pf)
+      sc <- bwd.get(t).flatMap(_.get(s))
+    } yield (t, s, sc)
+    var p = fwdLists.keys.map(_ -> 1).toMap
+    var stable = false
+    while (!stable) {
+      val matched = offers(p).groupBy(_._1)
+        .map { case (_, os) => os.maxBy(_._3)._2 }.toSet
+      val next = p.map { case (s, pf) =>
+        s -> (if (matched(s) || pf >= len(s)) pf else pf + 1)
+      }
+      if (next == p) stable = true else p = next
+    }
+    offers(p).groupBy(_._1)
+      .map { case (t, os) => (os.maxBy(_._3)._2, t) }.toSet
+  }
+
+  /** Two rounds with the matcher's pair-removal protocol, batch form. */
+  private def batchTwoRounds(fwd: StableMatcher.Prefs,
+      bwd: StableMatcher.Prefs): Map[Int, Set[(String, String)]] = {
+    def fwdLists(p: StableMatcher.Prefs): Map[String, Vector[String]] =
+      p.collect { case (k, cs) if cs.nonEmpty =>
+        k -> cs.sortBy { case (c, s) => (-s, c) }.map(_._1).toVector
+      }
+    def bwdMap(p: StableMatcher.Prefs): Map[String, Map[String, Double]] =
+      p.collect { case (k, cs) if cs.nonEmpty => k -> cs.toMap }
+    val m1 = batchRound(fwdLists(fwd), bwdMap(bwd))
+    if (m1.isEmpty) return Map(1 -> m1)
+    val fwd2 = fwd.map { case (s, cs) =>
+      s -> cs.filterNot { case (t, _) => m1.contains((s, t)) } }
+    val bwd2 = bwd.map { case (t, cs) =>
+      t -> cs.filterNot { case (srcA, _) => m1.contains((srcA, t)) } }
+    Map(1 -> m1, 2 -> batchRound(fwdLists(fwd2), bwdMap(bwd2)))
+  }
+
+  // strict instances: per-list DISTINCT scores (drawn without replacement
+  // from a shared grid), partial lists in both directions
+  private val srcNames = Vector("s1", "s2", "s3", "s4", "s5", "s6")
+  private val tgtNames = Vector("t1", "t2", "t3", "t4", "t5", "t6")
+  private def strictSide(queries: Vector[String],
+      cands: Vector[String]): Gen[StableMatcher.Prefs] =
+    queries.foldLeft(Gen.const(Map.empty[String, Seq[(String, Double)]])) {
+      (acc, q) =>
+        for {
+          m <- acc
+          n <- Gen.choose(0, cands.length)
+          cs <- Gen.pick(n, cands)
+          ss <- Gen.pick(n, 1 to 1000)
+        } yield if (n == 0) m
+        else m + (q -> cs.toSeq.zip(ss.toSeq.map(_ / 1000.0)))
+    }
+
+  property("ORACLE construction: batch prefix-pool DA == sequential GS (strict prefs, 2 rounds)") =
+    forAll(strictSide(srcNames, tgtNames), strictSide(tgtNames, srcNames)) {
+      (fwd, bwd) =>
+        val seq = StableMatcher.matchCase(fwd, bwd, maxRounds = 2)
+          .groupBy(_.round).view
+          .mapValues(_.map(m => (m.srcAttr, m.tgtAttr)).toSet).toMap
+        val batch = batchTwoRounds(fwd, bwd).filter(_._2.nonEmpty)
+        seq == batch.filter(_._2.nonEmpty) || {
+          println(s"fwd=$fwd\nbwd=$bwd\nseq=$seq\nbatch=$batch"); false
+        }
+    }
 }
 
 object ParserProperties extends Properties("Parsers") {
