@@ -609,6 +609,66 @@ class ScaleOpsSpec extends SparkSpec {
       s"footer-sized path ran $jFooter jobs vs $jSizing with sizing — no scan saved")
   }
 
+  test("q267's rank rewrite stays under a window spill threshold the naive form blows") {
+    // The r11 lesson made measurable in a unit test: Spark's WindowExec
+    // buffers each window partition in memory and spills past
+    // spark.sql.windowExec.buffer.spill.threshold (in ROWS). The naive
+    // per-flag window buffers one flag's ~20k rows (sf0.01) per
+    // partition; q267's two-phase rewrite windows only inside
+    // (flag, range-split pid) slices of ~600 rows. A 4096-row threshold
+    // sits between the two, so under it the naive form MUST spill and
+    // the rewrite MUST NOT — the memory-bound claim, not a wall-clock
+    // proxy.
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.01"
+    val key = "spark.sql.windowExec.buffer.spill.threshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "4096")
+    def spillBytes(run: => Unit): Long = {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new SparkListener {
+        override def onStageCompleted(st: SparkListenerStageCompleted): Unit =
+          acc.addAndGet(st.stageInfo.taskMetrics.memoryBytesSpilled +
+            st.stageInfo.taskMetrics.diskBytesSpilled)
+      }
+      graft.core.SessionHygiene.dropAllBlocks(spark)
+      spark.sparkContext.addSparkListener(l)
+      try run finally {
+        var last = -1L; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(150)
+          val v = acc.get
+          if (v == last) stable += 1 else { stable = 0; last = v }
+        }
+        spark.sparkContext.removeSparkListener(l)
+      }
+      acc.get
+    }
+    try {
+      val naiveSpill = spillBytes {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        graft.core.Tables(spark, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy(col("l_returnflag"), col("decile")).count()
+          .collect()
+      }
+      val rewriteSpill = spillBytes {
+        SparkEntry.queries("q267_rank_deciles")(spark, dir).collect()
+      }
+      assert(naiveSpill > 0,
+        s"naive per-flag window did not spill under a 4096-row threshold ($naiveSpill)")
+      assert(rewriteSpill == 0,
+        s"two-phase rewrite spilled $rewriteSpill bytes — pid windows too coarse?")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("iterative graph kernels shuffle LINEARLY in rounds (lineage truncated)") {
     // The contract behind q264/q265's per-round localCheckpoint: every
     // round costs one join + one agg on the SAME key, so total shuffle
