@@ -115,10 +115,22 @@ object TextQueries extends Registry {
     * q23 similarity estimates and q73 component edges): band the signature,
     * self-join on (band, band key), count agreeing permutations.
     */
-  private def lshScored(mh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bandStructs = (0 until nBands).map { b =>
+  private def lshScored(mh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lshScoredWith(mh, nBands)
+
+  /** [[lshScored]] with the band count as a parameter (q280's decision
+    * executes this with a sketch-chosen value; everything else uses the
+    * pipeline default `nBands`). Bands are contiguous runs of
+    * nPerms/bands signature slots, so coarser bandings nest inside finer
+    * ones: candidates(b=2) ⊆ candidates(b=4) ⊆ candidates(b=8) — the
+    * cross-branch invariant PlanShapeSpec checks.
+    */
+  private[queries] def lshScoredWith(mh: org.apache.spark.sql.DataFrame,
+      nb: Int): org.apache.spark.sql.DataFrame = {
+    require(nPerms % nb == 0, s"bands=$nb must divide nPerms=$nPerms")
+    val bandStructs = (0 until nb).map { b =>
       struct(lit(b).as("band"),
-        bandKey((0 until nPerms / nBands).map(j => col(s"h${nPerms / nBands * b + j}"))).as("bkey"))
+        bandKey((0 until nPerms / nb).map(j => col(s"h${nPerms / nb * b + j}"))).as("bkey"))
     }
     val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
@@ -195,6 +207,62 @@ object TextQueries extends Registry {
        |scored AS (SELECT doc_a, doc_b, $agree AS agree
        |           FROM cand JOIN mh ma ON doc_a = ma.doc_id
        |                     JOIN mh mb ON doc_b = mb.doc_id)""".stripMargin
+  }
+
+  /** [[lshScoredCte]] with the band count as a parameter and
+    * `_<bands>`-suffixed CTE names, so q280's oracle can hold all three
+    * precision variants in one query (appended after [[minhashCte]]).
+    */
+  private def lshScoredCteWith(nb: Int): String = {
+    val bandSelects = (0 until nb).map { b =>
+      val hs = (0 until nPerms / nb)
+        .map(j => s"CAST(h${nPerms / nb * b + j} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $hs AS bkey FROM mh"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until nPerms)
+      .map(j => s"(CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""bands_$nb AS ($bandSelects),
+       |cand_$nb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands_$nb a JOIN bands_$nb b
+       |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |scored_$nb AS (SELECT doc_a, doc_b, $agree AS agree
+       |           FROM cand_$nb JOIN mh ma ON doc_a = ma.doc_id
+       |                     JOIN mh mb ON doc_b = mb.doc_id)""".stripMargin
+  }
+
+  /** q280's stated precision ladder: small corpora maximize RECALL (8
+    * bands of 2 rows — collisions are cheap when n is small), large ones
+    * buy PRECISION with longer band keys (candidate volume ~ n²·P[band
+    * collision] — the knob that keeps the candidate join linear as n
+    * grows). Thresholds compare the HLL corpus estimate.
+    */
+  val LshBandT8: Double = 2000.0
+  val LshBandT4: Double = 200000.0
+
+  /** q280 body with both thresholds exposed so PlanShapeSpec can force
+    * every branch. The corpus-size estimate is the q254 HLL register
+    * kernel (order-free, oracle-replayable); the chosen band count then
+    * EXECUTES through [[lshScoredWith]]. Contiguous-run banding nests, so
+    * candidates(2) ⊆ candidates(4) ⊆ candidates(8) — the spec's
+    * cross-branch invariant.
+    */
+  def lshPlannedBands(s: SparkSession, dir: String,
+      t8: Double, t4: Double): DataFrame = {
+    import s.implicits._
+    import graft.functions.HyperLogLog
+    val est = HyperLogLog.summarize(
+        HyperLogLog.registers(docs(s, dir).select($"doc_id"), Seq.empty,
+          HyperLogLog.hash60("lshsz", $"doc_id")), Seq.empty)
+      .head().getAs[Double]("hll_estimate")
+    val bands = if (est <= t8) 8 else if (est <= t4) 4 else 2
+    val mh = materialize(minhashes(s, dir))
+    lshScoredWith(mh, bands)
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("agree") >= nPerms / 2, 1L).otherwise(0L)).as("n_survivors"))
+      .select(lit(est).as("est_docs"), lit(bands).as("bands"),
+        lit(t8).as("t8"), lit(t4).as("t4"),
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+        coalesce($"n_survivors", lit(0L)).as("n_survivors"))
   }
 
   /** q275's stated sizing rule: one shuffle partition per 64 MB of
@@ -1806,6 +1874,57 @@ object TextQueries extends Registry {
             lang, count(*) AS n_docs,
             CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
           FROM documents, np GROUP BY np.b, np.n, lang ORDER BY lang"""
+      }),
+
+    // ---- FOURTH sketch-driven plan decision — dedup INDEX PRECISION
+    //      (q260 broadcast, q273 salt, q275 parallelism): the LSH band
+    //      count chosen from the HLL corpus-size estimate under the
+    //      stated recall/precision ladder, then EXECUTED through the
+    //      parametrized banding kernel. Candidate volume scales with
+    //      n²·P[band collision]; longer band keys (fewer bands) are what
+    //      keep the candidate join linear as the corpus grows — this is
+    //      the dedup pipeline tuning itself from its own sketches. The
+    //      oracle replays the HLL estimate, the CASE ladder, and all
+    //      three banding variants, selecting the chosen one's counts. ------
+    Q("q280_lsh_band_decision",
+      (s, dir) => lshPlannedBands(s, dir, LshBandT8, LshBandT4),
+      Some {
+        import graft.functions.HyperLogLog.{M, RhoMax, WordBits}
+        val mask = (1L << WordBits) - 1
+        val hll = graft.functions.TextFunctions.hexPolySql(15,
+          "concat_ws('|', 'lshsz', doc_id)")
+        val est = graft.functions.HyperLogLog.estimateSql("dd.d")
+        s"""WITH $minhashCte,
+          ${lshScoredCteWith(8)},
+          ${lshScoredCteWith(4)},
+          ${lshScoredCteWith(2)},
+          dh AS (SELECT $hll AS h FROM documents),
+          regs AS (SELECT h >> $WordBits AS bkt,
+              max(CASE WHEN h & $mask = 0 THEN $RhoMax
+                  ELSE CAST(log2((h & $mask) & (-(h & $mask))) AS INT) + 1 END) AS reg
+            FROM dh GROUP BY 1),
+          dd AS (SELECT sum(CAST(1 AS BIGINT) << ($RhoMax - reg))
+              + ($M - count(*)) * (CAST(1 AS BIGINT) << $RhoMax) AS d
+            FROM regs),
+          es AS (SELECT $est AS est FROM dd),
+          pick AS (SELECT est,
+              CASE WHEN est <= $LshBandT8 THEN 8
+                   WHEN est <= $LshBandT4 THEN 4 ELSE 2 END AS b
+            FROM es),
+          a8 AS (SELECT count(*) AS nc,
+              COALESCE(sum(CASE WHEN agree >= ${nPerms / 2} THEN 1 ELSE 0 END), 0) AS ns
+            FROM scored_8),
+          a4 AS (SELECT count(*) AS nc,
+              COALESCE(sum(CASE WHEN agree >= ${nPerms / 2} THEN 1 ELSE 0 END), 0) AS ns
+            FROM scored_4),
+          a2 AS (SELECT count(*) AS nc,
+              COALESCE(sum(CASE WHEN agree >= ${nPerms / 2} THEN 1 ELSE 0 END), 0) AS ns
+            FROM scored_2)
+          SELECT p.est AS est_docs, CAST(p.b AS INT) AS bands,
+            CAST($LshBandT8 AS DOUBLE) AS t8, CAST($LshBandT4 AS DOUBLE) AS t4,
+            CAST(CASE p.b WHEN 8 THEN a8.nc WHEN 4 THEN a4.nc ELSE a2.nc END AS BIGINT) AS n_candidates,
+            CAST(CASE p.b WHEN 8 THEN a8.ns WHEN 4 THEN a4.ns ELSE a2.ns END AS BIGINT) AS n_survivors
+          FROM pick p, a8, a4, a2"""
       }),
 
     Q("q107_skew_audit",

@@ -802,6 +802,27 @@ class PlanShapeSpec extends SparkSpec {
       s"bucketed aggregate still shuffled:\n$plan")
   }
 
+  test("q280: HLL estimate picks the band count; coarser bandings nest inside finer") {
+    import graft.queries.TextQueries
+    // real ladder: ~550 docs at test sf → recall mode (8 bands of 2)
+    val r8 = TextQueries.lshPlannedBands(spark, sfDir,
+      TextQueries.LshBandT8, TextQueries.LshBandT4).head()
+    assert(r8.getInt(1) == 8, s"default ladder picked ${r8.getInt(1)} bands")
+    // forced thresholds pin the other two branches through the SAME body
+    val r4 = TextQueries.lshPlannedBands(spark, sfDir, 0.0, 200000.0).head()
+    assert(r4.getInt(1) == 4)
+    val r2 = TextQueries.lshPlannedBands(spark, sfDir, 0.0, 0.0).head()
+    assert(r2.getInt(1) == 2)
+    // contiguous-run banding nests: every coarse-band collision implies
+    // all its fine sub-bands collide, so candidates (and the agree>=8
+    // survivors among them) can only GROW with the band count
+    val (c2, c4, c8) = (r2.getLong(4), r4.getLong(4), r8.getLong(4))
+    val (s2, s4, s8) = (r2.getLong(5), r4.getLong(5), r8.getLong(5))
+    assert(c2 <= c4 && c4 <= c8, s"candidate nesting broken: $c2, $c4, $c8")
+    assert(s2 <= s4 && s4 <= s8, s"survivor nesting broken: $s2, $s4, $s8")
+    assert(c8 > 0 && s8 > 0, "recall mode found nothing — banding broken")
+  }
+
   test("q275: sampled-size estimate drives the executed exchange's partition count") {
     // real 64 MB/partition target: the sampled estimate is KBs at test
     // scale → exactly 1 partition, and the decision column says so
