@@ -33,11 +33,17 @@ object BenchAdjudicate {
   }
 
   /** Per-query `rows_per_trigger_sec` out of a prior artifact's
-    * `"streaming_metrics":{"name":{...,"rows_per_trigger_sec":N},...}`.
+    * `"streaming_metrics":{"name":{...,"rows_per_trigger_sec":N,...},...}`.
+    * The value is NOT anchored to a closing brace: entries written since
+    * r12 carry `prior_rows_per_trigger_sec`/`prior_ratio` AFTER the rate
+    * (a brace-anchored pattern would silently stop parsing exactly one
+    * round after the gate first records priors — self-disabling). The
+    * LEADING quote keeps `"rows_per_trigger_sec"` from matching inside
+    * the `prior_`-prefixed key.
     */
   def parseStreamingRates(txt: String): Map[String, Double] = {
     val m = java.util.regex.Pattern.compile(
-      "\"([^\"]+)\":\\{[^{}]*\"rows_per_trigger_sec\":([0-9.eE+-]+)\\}")
+      "\"([^\"]+)\":\\{[^{}]*?\"rows_per_trigger_sec\":([0-9.eE+-]+)")
       .matcher(txt)
     val b = Map.newBuilder[String, Double]
     while (m.find()) m.group(2).toDoubleOption.foreach(v => b += m.group(1) -> v)

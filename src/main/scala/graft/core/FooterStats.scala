@@ -24,6 +24,25 @@ import scala.jdk.CollectionConverters._
   */
 object FooterStats {
 
+  /** Every `*.parquet` file under `root`, recursively. The single listing
+    * used by every footer consumer (here, q276's compaction inventory,
+    * q279's bloom walk) so listing quirks — marker files, empty dirs,
+    * object-store behaviors — get fixed in one place.
+    */
+  def listParquetFiles(spark: SparkSession, root: String): Seq[Path] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(hconf)
+    if (!fs.exists(rp)) return Seq.empty
+    val it = fs.listFiles(rp, true)
+    val b = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) b += f
+    }
+    b.result()
+  }
+
   /** Max of an INT64 or DOUBLE column across every row group under
     * `path` (a parquet file or a directory of them), rounded UP to a
     * long for doubles. None when the path has no parquet files, the
@@ -32,18 +51,7 @@ object FooterStats {
     */
   def longMax(spark: SparkSession, path: String, column: String): Option[Long] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(path)
-    val fs = root.getFileSystem(hconf)
-    if (!fs.exists(root)) return None
-    val files = {
-      val it = fs.listFiles(root, true)
-      val b = Seq.newBuilder[Path]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath
-      }
-      b.result()
-    }
+    val files = listParquetFiles(spark, path)
     if (files.isEmpty) return None
     val perFile = files.map { p =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, hconf))

@@ -942,8 +942,15 @@ object Multimodal {
         val sz = le32(off + 4)
         if (sz < 0 || off + 8 + sz > end) return None
         if (id == "LIST") {
+          // the declared size must hold every read below: 4 bytes of list
+          // type always; hdrl additionally 'avih' + size (8) + the 56-byte
+          // main header — reading past a lying size field must fall
+          // through, not throw (one crafted blob would otherwise kill the
+          // task instead of reaching the stub codec)
+          if (sz < 4) return None
           val listType = cc(off + 8)
           if (listType == "hdrl") {
+            if (sz < 4 + 8 + 56) return None
             // avih is the first child of hdrl per spec
             if (cc(off + 12) != "avih" || le32(off + 16) < 56) return None
             val a = off + 20

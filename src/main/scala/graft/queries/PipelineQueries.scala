@@ -600,14 +600,18 @@ object PipelineQueries extends Registry {
       // one unreplayed corner is h = Int.MinValue (Java abs() returns it
       // negative; the CASE mirrors that too, probability 2^-32/doc).
       Some("""WITH RECURSIVE
-        pw(k, v) AS (
-          SELECT 0, CAST(1 AS BIGINT)
-          UNION ALL
-          SELECT k+1, (v * 31) % 4294967296 FROM pw WHERE k < 4096),
         d AS MATERIALIZED (
           SELECT doc_id AS id, upper(hex(encode(text))) AS hx,
                  octet_length(encode(text)) AS n
           FROM documents),
+        -- powers table sized FROM THE DATA (max document byte length):
+        -- a fixed cap would silently drop any longer document from the
+        -- hash join below and misreport the divergence as an engine bug
+        pw(k, v) AS (
+          SELECT 0, CAST(1 AS BIGINT)
+          UNION ALL
+          SELECT k+1, (v * 31) % 4294967296 FROM pw
+          WHERE k < (SELECT COALESCE(max(n), 0) FROM d)),
         b AS MATERIALIZED (
           SELECT d.id, d.n, i.i AS pos,
             (strpos('0123456789ABCDEF', substr(d.hx, 2*i.i - 1, 1)) - 1) * 16

@@ -1053,23 +1053,14 @@ object RelationalQueries extends Registry {
           .repartition($"frag")
           .write.mode("overwrite").partitionBy("frag").parquet(fragDir)
         val hconf = s.sparkContext.hadoopConfiguration
-        def footerRows(root: String, key: String): Seq[(Int, Long)] = {
-          val rp = new org.apache.hadoop.fs.Path(root)
-          val fs = rp.getFileSystem(hconf)
-          val it = fs.listFiles(rp, true)
-          val b = Seq.newBuilder[(Int, Long)]
-          while (it.hasNext) {
-            val f = it.next().getPath
-            if (f.getName.endsWith(".parquet")) {
-              val k = f.getParent.getName.stripPrefix(s"$key=").toInt
-              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
-              try b += ((k, r.getFooter.getBlocks.asScala.map(_.getRowCount).sum))
-              finally r.close()
-            }
+        def footerRows(root: String, key: String): Seq[(Int, Long)] =
+          graft.core.FooterStats.listParquetFiles(s, root).map { f =>
+            val k = f.getParent.getName.stripPrefix(s"$key=").toInt
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+            try (k, r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+            finally r.close()
           }
-          b.result()
-        }
         // inventory: per-fragment rows summed across its files (≤24 rows)
         val inv = footerRows(fragDir, "frag").groupBy(_._1)
           .map { case (k, fs) => k -> fs.map(_._2).sum }.toSeq.sortBy(_._1)
@@ -1176,15 +1167,7 @@ object RelationalQueries extends Registry {
           .option("parquet.bloom.filter.enabled#doc_id", "true")
           .partitionBy("frag").parquet(base)
         val hconf = s.sparkContext.hadoopConfiguration
-        val root = new org.apache.hadoop.fs.Path(base)
-        val fs = root.getFileSystem(hconf)
-        val files = {
-          val it = fs.listFiles(root, true)
-          val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
-          while (it.hasNext) { val f = it.next().getPath
-            if (f.getName.endsWith(".parquet")) b += f }
-          b.result()
-        }
+        val files = graft.core.FooterStats.listParquetFiles(s, base)
         val maybeByFrag: Map[Int, Boolean] = files.map { p =>
           val frag = p.getParent.getName.stripPrefix("frag=").toInt
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(

@@ -13,14 +13,19 @@ class BenchAdjudicateSpec extends AnyFunSuite {
       |"queries_warm":{"q01_agg":0.512,"q02_filter":1.25,"q74_stream":2.0},
       |"canary_best_sec":0.420,
       |"streaming_metrics":{
-      |  "q74_stream":{"input_rows":2000,"trigger_ms":100,"rows_per_trigger_sec":20000.0},
+      |  "q74_stream":{"input_rows":2000,"trigger_ms":100,"rows_per_trigger_sec":20000.0,"prior_rows_per_trigger_sec":19000.0,"prior_ratio":0.950},
       |  "q75_stream":{"input_rows":2000,"trigger_ms":400,"rows_per_trigger_sec":5000.0},
-      |  "q76_stream":{"input_rows":0,"trigger_ms":0,"rows_per_trigger_sec":0.000}},
+      |  "q76_stream":{"input_rows":0,"trigger_ms":0,"rows_per_trigger_sec":0.000,"prior_rows_per_trigger_sec":12.0}},
       |"sf":"/root/testdata/sf0.1"}""".stripMargin
 
   test("parses prior warm timings, streaming rates, and canary") {
     val warm = BenchAdjudicate.parseQueriesWarm(priorArtifact)
     assert(warm == Map("q01_agg" -> 0.512, "q02_filter" -> 1.25, "q74_stream" -> 2.0))
+    // q74/q76 carry the r12+ prior_* fields AFTER the rate — the parser
+    // must read the rate (not the prior, despite the shared suffix) and
+    // must not require a closing brace right after the number; a regex
+    // anchored on '}' would self-disable the gate one round after priors
+    // first appear in the artifact
     val rates = BenchAdjudicate.parseStreamingRates(priorArtifact)
     assert(rates == Map("q74_stream" -> 20000.0, "q75_stream" -> 5000.0,
       "q76_stream" -> 0.0))

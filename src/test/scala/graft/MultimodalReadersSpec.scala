@@ -248,6 +248,15 @@ class ReadersSpec extends SparkSpec {
     val overs = bytes.clone()
     overs(4) = (overs(4) ^ 0x40).toByte // RIFF size no longer matches
     assert(MediaCodecs.aviMjpegFrames(overs).isEmpty)
+    // lying size fields must fall through, never throw: a LIST whose
+    // declared size (0) cannot hold its own list type...
+    val lyingList = "RIFF".getBytes ++ Array[Byte](12, 0, 0, 0) ++
+      "AVI LIST".getBytes ++ Array[Byte](0, 0, 0, 0)
+    assert(MediaCodecs.aviMjpegFrames(lyingList).isEmpty)
+    // ...and an hdrl too small for avih's 56-byte header
+    val tinyHdrl = "RIFF".getBytes ++ Array[Byte](20, 0, 0, 0) ++
+      "AVI LIST".getBytes ++ Array[Byte](8, 0, 0, 0) ++ "hdrlavih".getBytes
+    assert(MediaCodecs.aviMjpegFrames(tinyHdrl).isEmpty)
     val corrupt = bytes.clone()
     // flip a byte inside the first JPEG's SOI marker (after movi header)
     val moviAt = {
