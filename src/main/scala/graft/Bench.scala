@@ -49,7 +49,22 @@ object Bench {
     } catch { case _: Throwable => "" }
     val priorWarm = BenchAdjudicate.parseQueriesWarm(priorTxt)
     val priorStrmRates = BenchAdjudicate.parseStreamingRates(priorTxt)
-    val priorCanary = BenchAdjudicate.parsePriorCanary(priorTxt)
+    // parse-count sanity (ADVICE r12): a format drift degrades the regex
+    // parsers to empty maps and silently disables the warm/streaming
+    // gates — name it loudly and record it in the artifact instead
+    val parseWarnings = BenchAdjudicate.parseSanity(priorTxt, priorWarm, priorStrmRates)
+    parseWarnings.foreach(k => System.err.println(
+      s"[bench] PRIOR-ARTIFACT PARSE FAILURE: $k present but parsed empty - " +
+        "warm/streaming adjudication gates are running blind this round"))
+    val hostFp = BenchAdjudicate.hostFingerprint()
+    // canary-vs-prior assumes same hardware: a committed artifact from a
+    // different box must not read as pressure (or quiet) here
+    val priorHostFp = BenchAdjudicate.parseHostFingerprint(priorTxt)
+    val sameHost = priorHostFp.forall(_ == hostFp)
+    if (!sameHost) System.err.println(
+      s"[bench] host fingerprint changed (${priorHostFp.getOrElse("?")} -> $hostFp) - canary prior comparison disabled")
+    val priorCanary =
+      if (sameHost) BenchAdjudicate.parsePriorCanary(priorTxt) else None
     // fixed load canary: a data-independent synthetic job (CPU-bound range
     // generation + one small shuffle) whose cost moves only with box
     // pressure. min of two runs at suite start and again at suite end
@@ -121,8 +136,12 @@ object Bench {
     val canaryBest = math.min(canaryStart, canaryEnd)
     val ambientPressure =
       BenchAdjudicate.pressure(canaryStart, canaryEnd, priorCanary)
+    // secondary signal: peak canary vs prior best — catches load that
+    // cleared mid-run, which the one-sided drift + min() primary misses
+    val ambientPeak =
+      BenchAdjudicate.pressurePeak(canaryStart, canaryEnd, priorCanary)
     val ambientLoaded = ambientPressure > 1.3
-    System.err.println(f"[bench] canary end $canaryEnd%.3f s pressure $ambientPressure%.2fx" +
+    System.err.println(f"[bench] canary end $canaryEnd%.3f s pressure $ambientPressure%.2fx peak $ambientPeak%.2fx" +
       (if (ambientLoaded) " - AMBIENT LOAD DETECTED" else ""))
     // the REVIEW number: every query at min(warm, warm_retry) — a faster
     // retry proves the first warm carried transient pressure
@@ -199,7 +218,12 @@ object Bench {
       s""""canary_start_sec":${d3(canaryStart)},"canary_end_sec":${d3(canaryEnd)},""" +
       s""""canary_best_sec":${d3(canaryBest)},""" +
       priorCanary.map(p => s""""canary_prior_best_sec":${d3(p)},""").getOrElse("") +
-      s""""ambient_pressure":${d3(ambientPressure)},"ambient_load_detected":$ambientLoaded,""" +
+      s""""ambient_pressure":${d3(ambientPressure)},"ambient_pressure_peak":${d3(ambientPeak)},""" +
+      s""""ambient_load_detected":$ambientLoaded,""" +
+      s""""host_fingerprint":${jstr(hostFp)},""" +
+      (if (parseWarnings.nonEmpty)
+        s""""prior_parse_failures":${parseWarnings.map(jstr).mkString("[", ",", "]")},"""
+      else "") +
       note +
       s""""total_batch":$totalColdBatch,"total_warm_batch":$totalWarmBatch,""" +
       s""""total_streaming":$totalColdStreaming,"total_warm_streaming":$totalWarmStreaming,""" +

@@ -57,6 +57,43 @@ object BenchAdjudicate {
     if (m.find()) m.group(1).toDoubleOption else None
   }
 
+  /** `"host_fingerprint":"..."` from a prior artifact (absent before r13).
+    * Canary-vs-prior comparisons assume same hardware; a differing
+    * fingerprint disables them rather than reporting phantom pressure
+    * (or phantom quiet) after a box change.
+    */
+  def parseHostFingerprint(txt: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"host_fingerprint\":\"([^\"]*)\"").matcher(txt)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  /** This host's canary-comparison key: hostname + core count — enough to
+    * catch the committed-artifact-from-other-hardware case without
+    * recording anything machine-identifying beyond what `hostname` says.
+    */
+  def hostFingerprint(): String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Throwable => "unknown" }
+    s"$host/${Runtime.getRuntime.availableProcessors()}cpu"
+  }
+
+  /** Parse-count sanity (ADVICE r12): the regex parsers degrade to empty
+    * maps on a format drift, which silently disables the warm/streaming
+    * gates. Returns the artifact keys whose marker is present in a
+    * non-empty prior artifact but whose parser yielded nothing — callers
+    * log these loudly and record them in the new artifact.
+    */
+  def parseSanity(txt: String, warm: Map[String, Double],
+      strm: Map[String, Double]): Seq[String] = {
+    if (txt.isEmpty) Seq.empty
+    else Seq(
+      Option.when(txt.contains("\"queries_warm\":{\"") && warm.isEmpty)(
+        "queries_warm"),
+      Option.when(txt.contains("\"rows_per_trigger_sec\":") && strm.isEmpty)(
+        "streaming_metrics")).flatten
+  }
+
   /** The review total: every query at min(warm, warm_retry) — a retry that
     * came in faster proves the first warm carried transient pressure.
     */
@@ -92,4 +129,17 @@ object BenchAdjudicate {
       math.min(canaryStart, canaryEnd) / math.max(1e-9, p))
     math.max(1.0, math.max(drift, vsPrior))
   }
+
+  /** Secondary pressure signal (ADVICE r12): [[pressure]] is blind to
+    * load that CLEARS mid-run — start slow + end quiet gives drift < 1
+    * and min(start, end) ≈ prior, reporting 1.0 although the suite's
+    * first half ran loaded. The PEAK canary vs the prior round's best
+    * names that case: > 1.3 with pressure() quiet means transient load
+    * early in the run — per-query warm_retry already mitigates it, this
+    * makes it visible in the artifact.
+    */
+  def pressurePeak(canaryStart: Double, canaryEnd: Double,
+      priorBest: Option[Double]): Double =
+    priorBest.fold(1.0)(p =>
+      math.max(1.0, math.max(canaryStart, canaryEnd) / math.max(1e-9, p)))
 }

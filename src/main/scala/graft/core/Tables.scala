@@ -23,9 +23,44 @@ object Tables {
 
   /** Confs every graft session needs (Verify, Bench, tests). The warehouse
     * gets a fresh per-process dir so managed-table locations never collide
-    * with leftovers of an earlier JVM.
+    * with leftovers of an earlier JVM; the pid key lets the NEXT process
+    * sweep dirs whose owner died (ADVICE r12 — bucketed-table warehouses
+    * used to accumulate under /tmp with no cleanup).
     */
-  val sessionConfs: Map[String, String] = Map(
+  lazy val sessionConfs: Map[String, String] = {
+    val root = java.nio.file.Paths.get("/tmp/graft-warehouse")
+    if (java.nio.file.Files.isDirectory(root)) {
+      val pidPat = "^(\\d+)-.*$".r
+      val self = ProcessHandle.current().pid()
+      val st = java.nio.file.Files.list(root)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          p.getFileName.toString match {
+            case pidPat(pid) if pid.toLong != self &&
+                !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+              try deleteRecursively(p) catch { case _: java.io.IOException => () }
+            case _ => ()
+          }
+        }
+      } finally st.close()
+    }
+    baseConfs
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val st = java.nio.file.Files.list(p)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) deleteRecursively(it.next())
+      } finally st.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  private val baseConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     // static conf: every SessionState (including the child sessions
@@ -35,7 +70,7 @@ object Tables {
     // child sessions, whose progress events are filtered per-session.
     "spark.sql.streaming.streamingQueryListeners" -> "graft.BenchListener",
     "spark.sql.warehouse.dir" ->
-      s"/tmp/graft-warehouse/${java.util.UUID.randomUUID()}")
+      s"/tmp/graft-warehouse/${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

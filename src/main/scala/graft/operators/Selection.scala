@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact distributed ORDER STATISTIC without a global sort — the
@@ -24,13 +24,23 @@ import org.apache.spark.sql.functions._
   * correctness input: any non-negative value yields the exact answer
   * (values above it simply land in buckets past the knob — the histogram
   * groups by the actual bucket id), so an approximate footer bound is
-  * safe.
+  * safe. Bucket ids are CLAMPED to an overflow bucket (`id = buckets`),
+  * so an underestimated maxValue can widen one bucket but can never
+  * inflate the histogram past maxGroups·(buckets+1) rows — cap overflow
+  * therefore always means group cardinality, never a bad size hint.
   *
-  * Driver-table contract — ENFORCED, not assumed: both phases collect
-  * aggregate tables only, and both collects are hard-bounded by
-  * `limit(maxGroups·buckets + 1)` before they reach the driver; a caller
-  * grouping by a high-cardinality key (doc_id) gets a `require` failure
-  * naming the ceiling, never an OOM. Phase 1's per-bucket `min(v)` also
+  * Driver-table contract — ENFORCED, degrading instead of dying: both
+  * phases collect aggregate tables only, and both collects are
+  * hard-bounded by `limit(...)` before they reach the driver. A caller
+  * grouping by a high-cardinality key (doc_id) overflows the histogram
+  * ceiling and the kernel FALLS BACK to the distributed rank path —
+  * per-group sorted fold over the (group, value) weight table, executor-
+  * side, exact, never a driver collect. That regime has many SMALL
+  * groups, which is exactly when per-group buffering is cheap; the
+  * two-phase histogram exists for the opposite regime (few groups,
+  * corpus-sized value multisets). Pass `strict = true` to get the old
+  * `require` failure instead (for pipelines where a group-cardinality
+  * drift must abort, not degrade). Phase 1's per-bucket `min(v)` also
   * enforces the non-negative value contract (truncating division would
   * silently fold (−w, 0) into bucket 0 otherwise), and the sizing pass
   * additionally rejects negative domains up front when it runs.
@@ -49,9 +59,10 @@ object Selection {
     */
   def exactKth(df: DataFrame, groupCol: String, valueCol: String,
       kOf: Long => Long, buckets: Int = 4096,
-      maxValue: Option[Long] = None, maxGroups: Int = 64): DataFrame =
+      maxValue: Option[Long] = None, maxGroups: Int = 64,
+      strict: Boolean = false): DataFrame =
     exactKthWeighted(df.withColumn("__one", lit(1L)), groupCol, valueCol,
-      "__one", kOf, buckets, maxValue, maxGroups)
+      "__one", kOf, buckets, maxValue, maxGroups, strict)
 
   /** WEIGHTED order statistic: the smallest value whose cumulative weight
     * reaches k, with k chosen per group from the group's TOTAL weight
@@ -65,14 +76,16 @@ object Selection {
     */
   def exactKthWeighted(df: DataFrame, groupCol: String, valueCol: String,
       weightCol: String, kOf: Long => Long, buckets: Int = 4096,
-      maxValue: Option[Long] = None, maxGroups: Int = 64): DataFrame = {
+      maxValue: Option[Long] = None, maxGroups: Int = 64,
+      strict: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(buckets > 0 && maxGroups > 0,
       s"buckets=$buckets and maxGroups=$maxGroups must be positive")
-    val driverCap = maxGroups.toLong * buckets
+    // +1: the overflow bucket (values past an underestimated maxValue)
+    val driverCap = maxGroups.toLong * (buckets + 1)
     require(driverCap <= 8L * 1024 * 1024,
-      s"maxGroups·buckets = $driverCap exceeds the 8M driver-row ceiling; " +
+      s"maxGroups·(buckets+1) = $driverCap exceeds the 8M driver-row ceiling; " +
         "shrink one knob")
     val vals = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"),
@@ -93,26 +106,34 @@ object Selection {
         row.getLong(0)
     }
     val w = maxV / buckets + 1
+    // bucket id, clamped into [0, buckets]: values past an underestimated
+    // maxValue all land in the single overflow bucket `buckets` (they are
+    // by construction the largest values, so the fold order stays right),
+    // instead of fanning out into unbounded ids that could blow the
+    // driver cap and misread as group cardinality
+    def bucketOf(v: Column): Column = least((v / w).cast("long"), lit(buckets.toLong))
     // phase 1: (group, bucket) weight histogram — one scan, map-side
     // combined; limit() hard-bounds the driver BEFORE collect fires
-    val hist = vals.groupBy($"g", ($"v" / w).cast("long").as("b"))
+    val hist = vals.groupBy($"g", bucketOf($"v").as("b"))
       .agg(sum($"wt").as("c"), min($"v").as("mv"))
       .limit((driverCap + 1).toInt)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    require(hist.length <= driverCap,
-      s"histogram exceeds maxGroups($maxGroups)·buckets($buckets) = " +
-        s"$driverCap rows — the group key is too high-cardinality for the " +
-        "driver fold; raise maxGroups or use a rank-window query instead")
     hist.find(_._4 < 0).foreach { case (g, _, _, mv) =>
       throw new IllegalArgumentException(
         s"value column $valueCol has negative values (group $g min=$mv); " +
           "the kernel requires a non-negative integral domain")
     }
     val byGroup = hist.groupBy(_._1)
-    require(byGroup.size <= maxGroups,
-      s"${byGroup.size} groups exceed maxGroups=$maxGroups — use a " +
-        "rank-window query for high-cardinality group keys")
+    // with clamped bucket ids each group owns ≤ buckets+1 histogram rows,
+    // so either overflow condition can only mean too many GROUPS
+    if (hist.length > driverCap || byGroup.size > maxGroups) {
+      require(!strict,
+        s"${byGroup.size}${if (hist.length > driverCap) "+" else ""} groups " +
+          s"exceed maxGroups=$maxGroups (strict mode) — raise maxGroups, or " +
+          "drop strict to degrade to the distributed rank fallback")
+      return rankFallback(vals, kOf)
+    }
     // driver fold: target bucket + residual rank per group
     val targets: Map[String, (Long, Long, Long, Long)] = byGroup.map {
       case (g, rows) =>
@@ -135,7 +156,7 @@ object Selection {
     val tgt = targets.toSeq.map { case (g, (_, _, b, _)) => (g, b) }
       .toDF("g", "b")
     val inBucketRows = vals.join(broadcast(tgt),
-        vals("g") === tgt("g") && ($"v" / w).cast("long") === tgt("b"))
+        vals("g") === tgt("g") && bucketOf($"v") === tgt("b"))
       .groupBy(vals("g").as("gg"), $"v").agg(sum($"wt").as("c"))
       .limit((phase2Cap + 1).toInt)
       .collect()
@@ -154,5 +175,40 @@ object Selection {
       (g, n, k, ans)
     }.toSeq
     spark.createDataFrame(answers).toDF("g", "n", "k", "kth")
+  }
+
+  /** Distributed rank fallback for the many-small-groups regime: the
+    * (group, value) weight table shuffles once on the group key and each
+    * group's ≤ |distinct values| entries fold inside its own task —
+    * executor-side buffering bounded by the largest single group, no
+    * driver collect at any cardinality. Same output contract and the same
+    * k ∈ [1, n] enforcement as the histogram path (a bad kOf fails the
+    * task, not silently).
+    */
+  private def rankFallback(vals: DataFrame, kOf: Long => Long): DataFrame = {
+    val spark = vals.sparkSession
+    import spark.implicits._
+    vals.groupBy($"g", $"v").agg(sum($"wt").as("c"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        require(arr.head._1 >= 0,
+          s"value column has negative values (group $g min=${arr.head._1}); " +
+            "the kernel requires a non-negative integral domain")
+        val n = arr.iterator.map(_._2).sum
+        val k = kOf(n)
+        require(k >= 1 && k <= n, s"k=$k outside [1, $n] for group $g")
+        var cum = 0L
+        var ans = arr.last._1
+        var i = 0
+        while (i < arr.length && cum < k) {
+          cum += arr(i)._2
+          if (cum >= k) ans = arr(i)._1
+          i += 1
+        }
+        (g, n, k, ans)
+      }
+      .toDF("g", "n", "k", "kth")
   }
 }

@@ -2423,9 +2423,37 @@ object RelationalQueries extends Registry {
   /** Stable within one JVM (q259 reuses the written layout across bench
     * cold/warm runs) but distinct across processes, so concurrent JVMs on
     * the same sfDir never clobber each other's layout mid-footer-walk.
+    * The pid prefix makes leftovers attributable: first access sweeps
+    * sibling layouts whose owning process is DEAD (ADVICE r12 — repeated
+    * runs used to accumulate /tmp state with no cleanup), exactly the
+    * pruneStaleFixtures pattern. Live processes' layouts are never
+    * touched, and this JVM's own layouts stay reusable across cold/warm.
     */
-  private lazy val zorderProcToken: String =
-    java.util.UUID.randomUUID().toString.take(8)
+  private lazy val zorderProcToken: String = {
+    for (root <- Seq("/tmp/graft-zorder-skip", "/tmp/graft-compact", "/tmp/graft-bloom")) {
+      val d = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.isDirectory(d)) {
+        val pidPat = ".*-(\\d+)-\\w+$".r
+        val self = ProcessHandle.current().pid()
+        val st = java.nio.file.Files.list(d)
+        try {
+          val it = st.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            p.getFileName.toString match {
+              case pidPat(pid) if pid.toLong != self &&
+                  !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+                try IngestQueries.deleteRecursively(p)
+                catch { case _: java.io.IOException => () }
+              case _ => ()
+            }
+          }
+        } finally st.close()
+      }
+    }
+    ProcessHandle.current().pid() + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+  }
 
   private val miPairs: Seq[(String, String, String)] = Seq(
     ("lineitem", "l_returnflag", "l_linestatus"),

@@ -74,4 +74,40 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     // quieter than the prior round floors at 1.0, never below
     assert(BenchAdjudicate.pressure(0.30, 0.31, Some(0.42)) >= 1.0)
   }
+
+  test("pressure peak names load that cleared mid-run (ADVICE r12)") {
+    // start slow + end quiet: the primary metric reads 1.0 (one-sided
+    // drift, min vs prior) — the PEAK signal must still name the loaded
+    // first half
+    assert(BenchAdjudicate.pressure(0.84, 0.42, Some(0.42)) == 1.0)
+    assert(BenchAdjudicate.pressurePeak(0.84, 0.42, Some(0.42)) >= 2.0)
+    // quiet box: peak stays at 1.0 (floored)
+    assert(BenchAdjudicate.pressurePeak(0.42, 0.43, Some(0.43)) < 1.1)
+    // no prior artifact: no peak comparison
+    assert(BenchAdjudicate.pressurePeak(0.84, 0.42, None) == 1.0)
+  }
+
+  test("host fingerprint round-trips through the artifact; parse sanity flags empty parses") {
+    val fp = BenchAdjudicate.hostFingerprint()
+    assert(fp.contains("/") && fp.endsWith("cpu"))
+    val txt = s"""{"canary_best_sec":0.42,"host_fingerprint":"$fp"}"""
+    assert(BenchAdjudicate.parseHostFingerprint(txt).contains(fp))
+    assert(BenchAdjudicate.parseHostFingerprint("{}").isEmpty)
+    // parse sanity (ADVICE r12): markers present + empty parse = the
+    // format drifted and the gates would silently run blind
+    // a writer change to units-in-strings: marker present, zero entries parse
+    val drifted = """{"queries_warm":{"q01":"1.234s"},""" +
+      """"streaming_metrics":{"q41":{"rows_per_trigger_sec":5.0}}}"""
+    val warm = BenchAdjudicate.parseQueriesWarm(drifted)
+    val strm = BenchAdjudicate.parseStreamingRates(drifted)
+    val warnings = BenchAdjudicate.parseSanity(drifted, warm, strm)
+    assert(warnings.contains("queries_warm"), s"warm drift not flagged: $warnings")
+    // healthy artifact: no warnings; empty prior: no warnings
+    val healthy = """{"queries_warm":{"q01":1.0},""" +
+      """"streaming_metrics":{"q41":{"rows_per_trigger_sec":5.0}}}"""
+    assert(BenchAdjudicate.parseSanity(healthy,
+      BenchAdjudicate.parseQueriesWarm(healthy),
+      BenchAdjudicate.parseStreamingRates(healthy)).isEmpty)
+    assert(BenchAdjudicate.parseSanity("", Map.empty, Map.empty).isEmpty)
+  }
 }

@@ -526,18 +526,42 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("Selection guards: group-cardinality ceiling and negative domains fail loudly") {
-    // the driver fold's contract is ENFORCED (VERDICT r11 item 2): a
-    // high-cardinality group key must be rejected before collect() can
-    // OOM the driver, and negative values must be rejected on BOTH the
-    // sizing path and the maxValue-supplied path (where the sizing scan
-    // that used to see min(v) never runs)
-    val hiCard = spark.createDataFrame(
-      (1 to 500).map(i => ("g" + i, i.toLong))).toDF("g", "v")
+    // the driver fold's contract is ENFORCED (VERDICT r11 item 2) but
+    // degrades instead of dying (VERDICT r12 item 7): a high-cardinality
+    // group key overflows the histogram ceiling (the limit() still bounds
+    // the driver) and the kernel takes the distributed rank fallback —
+    // which must match brute force exactly; strict = true restores the
+    // abort-on-drift contract
+    val hiCardRows = (1 to 500).flatMap(i =>
+      Seq(("g" + i, i.toLong), ("g" + i, (i * 3 % 97).toLong)))
+    val hiCard = spark.createDataFrame(hiCardRows).toDF("g", "v")
     val e1 = intercept[IllegalArgumentException] {
       graft.operators.Selection.exactKth(
-        hiCard, "g", "v", n => (n + 1) / 2, buckets = 16, maxGroups = 8)
+        hiCard, "g", "v", n => (n + 1) / 2, buckets = 16, maxGroups = 8,
+        strict = true)
     }
-    assert(e1.getMessage.contains("maxGroups") || e1.getMessage.contains("histogram"))
+    assert(e1.getMessage.contains("maxGroups"))
+    val fb = graft.operators.Selection.exactKth(
+        hiCard, "g", "v", n => (n + 1) / 2, buckets = 16, maxGroups = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val fbWant = hiCardRows.groupBy(_._1).map { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val k = (sorted.size + 1) / 2
+      g -> (sorted.size.toLong, k.toLong, sorted(k - 1))
+    }
+    assert(fb == fbWant, "rank fallback diverged from brute-force selection")
+    // an UNDERESTIMATED maxValue (ADVICE r12): over-range values clamp
+    // into the overflow bucket — the answer stays exact and the cap can
+    // no longer misread a bad size hint as group cardinality
+    val wide = spark.createDataFrame(
+      (1 to 200).map(i => ("g" + (i % 3), (i * 7L) % 1000))).toDF("g", "v")
+    val under = graft.operators.Selection.exactKth(
+        wide, "g", "v", n => n, buckets = 4, maxValue = Some(10L))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val underWant = (1 to 200).map(i => ("g" + (i % 3), (i * 7L) % 1000))
+      .groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).max }
+    assert(under == underWant, "clamped overflow bucket lost exactness")
     val neg = spark.createDataFrame(
       Seq(("a", 5L), ("a", -3L), ("b", 7L))).toDF("g", "v")
     val e2 = intercept[IllegalArgumentException] {
