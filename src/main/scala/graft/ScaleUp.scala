@@ -55,8 +55,12 @@ object ScaleUp {
 
     // shared replicate-with-offset-ids helper: each replica shifts the
     // listed id columns by that column's (max + 1) stride — one combined
-    // agg computes every stride in a single source scan
-    def replicate(table: String, idCols: Seq[String]): Unit = {
+    // agg computes every stride in a single source scan. A FOREIGN-KEY
+    // column that joins another replicated table must shift by the SAME
+    // stride on both sides or the replica joins silently empty —
+    // `sharedStrides` carries those cross-table strides in.
+    def replicate(table: String, idCols: Seq[String],
+        sharedStrides: Map[String, Long] = Map.empty): Unit = {
       val df = graft.core.Tables(spark, src, table)
       val strides = {
         // cast to long so int32 id columns don't ClassCastException, and
@@ -64,9 +68,11 @@ object ScaleUp {
         val row = df.agg(max(col(idCols.head).cast("long")),
           idCols.tail.map(c => max(col(c).cast("long"))): _*).head()
         idCols.indices.map { i =>
-          require(!row.isNullAt(i),
-            s"ScaleUp: source table '$table' is empty (or ${idCols(i)} is all-NULL); cannot derive id stride")
-          row.getLong(i) + 1
+          sharedStrides.getOrElse(idCols(i), {
+            require(!row.isNullAt(i),
+              s"ScaleUp: source table '$table' is empty (or ${idCols(i)} is all-NULL); cannot derive id stride")
+            row.getLong(i) + 1
+          })
         }
       }
       val cols = df.columns
@@ -92,7 +98,26 @@ object ScaleUp {
     // multiply every pair's support by F and flood the absolute min-support
     // cut — the basket analog of the near-dup LSH pathology the document
     // perturbation exists to avoid.
-    replicate("lineitem", Seq("l_orderkey", "l_partkey"))
+    // cross-table FK strides: l_orderkey↔o_orderkey and o_custkey↔c_custkey
+    // must shift identically per replica, so the scaled join graph is F
+    // disjoint copies of the source join graph (q181 bucketed join, q278
+    // bucket-pruned lookup, q277 incremental agg — the keyed-fact rungs
+    // VERDICT r12 item 3 asked for)
+    def maxOf(table: String, c: String): Long = {
+      val row = graft.core.Tables(spark, src, table)
+        .agg(max(col(c).cast("long"))).head()
+      require(!row.isNullAt(0), s"ScaleUp: $table.$c is empty/all-NULL")
+      row.getLong(0)
+    }
+    val orderStride =
+      math.max(maxOf("lineitem", "l_orderkey"), maxOf("orders", "o_orderkey")) + 1
+    val custStride =
+      math.max(maxOf("orders", "o_custkey"), maxOf("customer", "c_custkey")) + 1
+    replicate("lineitem", Seq("l_orderkey", "l_partkey"),
+      Map("l_orderkey" -> orderStride))
+    replicate("orders", Seq("o_orderkey", "o_custkey"),
+      Map("o_orderkey" -> orderStride, "o_custkey" -> custStride))
+    replicate("customer", Seq("c_custkey"), Map("c_custkey" -> custStride))
 
     // events for the event-time/monitoring family: replicas offset
     // user_id and event_id but keep ts — the user population grows

@@ -1038,7 +1038,11 @@ object RelationalQueries extends Registry {
     //      files_written are read from the new files, so a row lost or
     //      duplicated by the rewrite diverges the gate. Oracle replays
     //      the fragment counts, the prefix-sum bin assignment, and the
-    //      planned==actual identity. -----------------------------------------
+    //      planned==actual identity. Capacity here is a ROW count — the
+    //      exactly-SQL-replayable proxy; production compactors target a
+    //      byte size, which q281 adds with footer-byte bins and
+    //      invariant-flag gating (rows aren't a safe proxy when document
+    //      lengths skew — ADVICE r12). ----------------------------------------
     Q("q276_compaction_planner",
       (s, dir) => {
         import s.implicits._
@@ -1099,6 +1103,117 @@ object RelationalQueries extends Registry {
             CAST(sum(n) AS BIGINT) AS actual_rows,
             CAST(1 AS BIGINT) AS files_written
           FROM p GROUP BY bin ORDER BY bin""")),
+
+    // ---- BYTE-binned compaction (q276's production knob — VERDICT r12
+    //      item 6 / ADVICE): bins are planned by CUMULATIVE FOOTER BYTES
+    //      (each block's total_byte_size from the real fragment footers,
+    //      prefix-sum ÷ a byte target, fragments atomic) — the unit a
+    //      128 MB-class lake compactor actually plans in, because
+    //      row-uniform bins stay byte-skewed when document lengths skew.
+    //      Byte sizes are encoding facts, NOT SQL-replayable — so the gate
+    //      takes the q279 theorem shape: per-fragment rows (exactly
+    //      replayable) ride next to engine-verified INVARIANT flags that
+    //      any planner/executor bug flips to 0 and diverges the hash:
+    //      bins contiguous in fragment order; every multi-fragment bin
+    //      fits the byte target (a lone oversized fragment is allowed —
+    //      it can't be split without breaking fragment atomicity); the
+    //      EXECUTED rewrite lands one file per bin; that file's footer
+    //      returns exactly the planned rows; and its total_byte_size is
+    //      within 3x of the planned bytes (same rows, same writer — the
+    //      slack only absorbs encoding drift, a dropped or doubled
+    //      fragment is far outside it). ----------------------------------------
+    Q("q281_compaction_bytes",
+      (s, dir) => {
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        // 32 KiB: small enough that the 24-fragment test corpora plan
+        // MULTI-fragment bins at sf0.001/sf0.01 (capacity invariant
+        // active) while sf0.1's ~70 KiB fragments exercise the oversized-
+        // single-fragment atomicity case — both planner branches gated.
+        // Production would pass 128 MiB; the kernel is unit-blind.
+        val targetBytes = 32L * 1024
+        val base = s"/tmp/graft-compact/" +
+          graft.core.Det.md5hex(dir).take(12) + "-" + zorderProcToken + "-by"
+        val fragDir = s"$base/frags"
+        val binDir = s"$base/bins"
+        t(s, dir, "documents")
+          .withColumn("frag", ($"doc_id" % 24).cast("int"))
+          .repartition($"frag")
+          .write.mode("overwrite").partitionBy("frag").parquet(fragDir)
+        val hconf = s.sparkContext.hadoopConfiguration
+        // footer walk: per-fragment (rows, total_byte_size) — metadata only
+        def footerStats(root: String, key: String): Seq[(Int, Long, Long)] =
+          graft.core.FooterStats.listParquetFiles(s, root).map { f =>
+            val k = f.getParent.getName.stripPrefix(s"$key=").toInt
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+            try {
+              val blocks = r.getFooter.getBlocks.asScala
+              (k, blocks.map(_.getRowCount).sum, blocks.map(_.getTotalByteSize).sum)
+            } finally r.close()
+          }
+        val inv = footerStats(fragDir, "frag").groupBy(_._1)
+          .map { case (k, fs) => (k, fs.map(_._2).sum, fs.map(_._3).sum) }
+          .toSeq.sortBy(_._1)
+        // NEXT-FIT packing over BYTES in fragment order: close the bin
+        // when the next fragment would overflow the target (q276's
+        // prefix-sum-÷-capacity lets the boundary fragment overflow — fine
+        // for a row proxy, wrong for a byte budget). One driver pass over
+        // the ≤24-row metadata inventory; at 100 TB the same fold runs
+        // over a footer inventory that is still only one row per fragment.
+        val plan = {
+          var bin = 0; var cur = 0L
+          inv.map { case (frag, _, b) =>
+            if (cur > 0 && cur + b > targetBytes) { bin += 1; cur = 0L }
+            cur += b
+            (frag, bin)
+          }
+        }
+        val binOf = plan.toMap
+        val binCol = (0 until 24).foldLeft(lit(-1)) { (acc, f) =>
+          when($"frag" === f, lit(binOf.getOrElse(f, -1))).otherwise(acc)
+        }
+        val nBins = plan.map(_._2).distinct.size
+        s.read.parquet(fragDir)
+          .withColumn("bin", binCol)
+          .repartition(nBins, $"bin")
+          .write.mode("overwrite").partitionBy("bin").parquet(binDir)
+        val actual = footerStats(binDir, "bin").groupBy(_._1)
+          .map { case (b, fs) =>
+            b -> (fs.map(_._2).sum, fs.map(_._3).sum, fs.size) }
+        val planned = plan.groupBy(_._2).map { case (bin, frags) =>
+          bin -> (frags.map(f => inv.find(_._1 == f._1).get._2).sum,
+            frags.map(f => inv.find(_._1 == f._1).get._3).sum, frags.size)
+        }
+        val rows = inv.map { case (frag, nRows, _) =>
+          val bin = binOf(frag)
+          val (pRows, pBytes, pFrags) = planned(bin)
+          val (aRows, aBytes, aFiles) = actual(bin)
+          (frag, nRows,
+            // contiguity: fragment order survives into bin order
+            if (frag == 0 || binOf(frag - 1) <= bin) 1 else 0,
+            // capacity: multi-fragment bins fit the byte target
+            if (pFrags == 1 || pBytes <= targetBytes) 1 else 0,
+            // executed rewrite: one file per bin, planned rows exactly
+            if (aFiles == 1 && aRows == pRows) 1 else 0,
+            // compacted footer bytes within encoding-drift slack of plan
+            if (aBytes * 3 >= pBytes && aBytes <= pBytes * 3) 1 else 0)
+        }
+        s.createDataFrame(rows).toDF("frag", "n_rows", "bin_contiguous",
+            "fits_or_single", "rows_roundtrip", "bytes_roundtrip")
+          .select($"frag", $"n_rows", $"bin_contiguous".cast("int").as("bin_contiguous"),
+            $"fits_or_single".cast("int").as("fits_or_single"),
+            $"rows_roundtrip".cast("int").as("rows_roundtrip"),
+            $"bytes_roundtrip".cast("int").as("bytes_roundtrip"))
+          .orderBy($"frag")
+      },
+      Some("""SELECT CAST(doc_id % 24 AS INT) AS frag,
+            count(*) AS n_rows,
+            CAST(1 AS INT) AS bin_contiguous,
+            CAST(1 AS INT) AS fits_or_single,
+            CAST(1 AS INT) AS rows_roundtrip,
+            CAST(1 AS INT) AS bytes_roundtrip
+          FROM documents GROUP BY 1 ORDER BY frag""")),
 
     // ---- BUCKET-PRUNED point lookup (the read-side payoff of the
     //      bucketed layout ScaleOpsSpec proves shuffle-free joins on):
@@ -2433,20 +2548,23 @@ object RelationalQueries extends Registry {
     for (root <- Seq("/tmp/graft-zorder-skip", "/tmp/graft-compact", "/tmp/graft-bloom")) {
       val d = java.nio.file.Paths.get(root)
       if (java.nio.file.Files.isDirectory(d)) {
-        val pidPat = ".*-(\\d+)-\\w+$".r
+        // <md5 12>-<pid>-<uuid8>[-suffix]; anything else is a legacy
+        // (pre-pid) layout from an older binary — its JVM is gone, sweep it
+        val pidPat = "^[0-9a-f]{12}-(\\d+)-\\w+(?:-\\w+)?$".r
         val self = ProcessHandle.current().pid()
         val st = java.nio.file.Files.list(d)
         try {
           val it = st.iterator()
           while (it.hasNext) {
             val p = it.next()
-            p.getFileName.toString match {
-              case pidPat(pid) if pid.toLong != self &&
-                  !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
-                try IngestQueries.deleteRecursively(p)
-                catch { case _: java.io.IOException => () }
-              case _ => ()
+            val dead = p.getFileName.toString match {
+              case pidPat(pid) => pid.toLong != self &&
+                !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+              case _ => true
             }
+            if (dead)
+              try IngestQueries.deleteRecursively(p)
+              catch { case _: java.io.IOException => () }
           }
         } finally st.close()
       }
