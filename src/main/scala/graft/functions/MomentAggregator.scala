@@ -54,4 +54,34 @@ object MomentAggregator {
       override def bufferEncoder: Encoder[MomBuf] = Encoders.product[MomBuf]
       override def outputEncoder: Encoder[MomOut] = Encoders.product[MomOut]
     }
+
+  /** [[of]] with the RAW buffer as the output — the stored-state form for
+    * incremental maintenance (q282): a snapshot persists (n, Σm, Σm²,
+    * min, max) per key, which [[merger]] later absorbs. finish is the
+    * identity, everything else is the same exact-integer fold.
+    */
+  val raw: Aggregator[Long, MomBuf, MomBuf] =
+    new Aggregator[Long, MomBuf, MomBuf] {
+      override def zero: MomBuf = of.zero
+      override def reduce(b: MomBuf, m: Long): MomBuf = of.reduce(b, m)
+      override def merge(a: MomBuf, b: MomBuf): MomBuf = of.merge(a, b)
+      override def finish(b: MomBuf): MomBuf = b
+      override def bufferEncoder: Encoder[MomBuf] = Encoders.product[MomBuf]
+      override def outputEncoder: Encoder[MomBuf] = Encoders.product[MomBuf]
+    }
+
+  /** State-merging form: input rows ARE buffers (a stored snapshot plus
+    * fresh batch partials) and reduce IS [[of]]'s merge — so the
+    * incremental path exercises exactly the merge the one-shot aggregate
+    * uses, and merge ≡ recompute becomes a gateable claim (q282).
+    */
+  val merger: Aggregator[MomBuf, MomBuf, MomOut] =
+    new Aggregator[MomBuf, MomBuf, MomOut] {
+      override def zero: MomBuf = of.zero
+      override def reduce(b: MomBuf, st: MomBuf): MomBuf = of.merge(b, st)
+      override def merge(a: MomBuf, b: MomBuf): MomBuf = of.merge(a, b)
+      override def finish(b: MomBuf): MomOut = of.finish(b)
+      override def bufferEncoder: Encoder[MomBuf] = Encoders.product[MomBuf]
+      override def outputEncoder: Encoder[MomOut] = Encoders.product[MomOut]
+    }
 }

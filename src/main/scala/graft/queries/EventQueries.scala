@@ -612,6 +612,89 @@ object EventQueries extends Registry {
             CAST(max(m) AS DOUBLE) / 1000.0 AS max_value
           FROM q GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- INCREMENTAL MAINTENANCE of a NON-trivially-mergeable state
+    //      (VERDICT r12 item 5a — q277 merges count/sum, the easy
+    //      algebra): the stored snapshot here is q187's typed-Aggregator
+    //      BUFFER (n, Σm, Σm², min, max as exact 1e-3-quantized longs)
+    //      per event_type as of a cutoff; the new batch folds to the same
+    //      buffer shape map-side; and the absorb step runs the
+    //      AGGREGATOR'S OWN merge (MomentAggregator.merger's reduce IS
+    //      of.merge) over the unioned state rows — not a hand-rolled SQL
+    //      add, so the gate exercises the exact partial/merge tree a
+    //      one-shot aggregation uses. The ORACLE takes the other road:
+    //      one recompute over ALL rows up to the batch end — variance
+    //      from merged Σm/Σm² ≡ variance recomputed from scratch is the
+    //      gated claim, and that only holds because the buffer is exact
+    //      integers (a Welford-double state would drift with merge
+    //      order). Batch cost: O(delta) + a state-sized merge. ------------
+    Q("q282_incremental_moments",
+      (s, dir) => {
+        import s.implicits._
+        val cutoff = "2024-01-16"
+        val batchEnd = "2024-01-24"
+        val raw = org.apache.spark.sql.functions.udaf(
+          graft.functions.MomentAggregator.raw)
+        val mergeBufs = org.apache.spark.sql.functions.udaf(
+          graft.functions.MomentAggregator.merger,
+          org.apache.spark.sql.Encoders.product[
+            graft.functions.MomentAggregator.MomBuf])
+        val quant = events(s, dir)
+          .select($"event_type", $"ts",
+            round($"value" * 1000).cast("long").as("m"))
+        // the stored snapshot: per-key aggregator BUFFER as of the cutoff
+        val state = quant.filter($"ts" < lit(cutoff).cast("timestamp"))
+          .groupBy($"event_type").agg(raw($"m").as("st"))
+        // the new batch, folded to the same buffer shape map-side
+        val delta = quant
+          .filter($"ts" >= lit(cutoff).cast("timestamp") &&
+            $"ts" < lit(batchEnd).cast("timestamp"))
+          .groupBy($"event_type").agg(raw($"m").as("st"))
+        // udaf flattens a case-class input into positional args — feed
+        // the buffer's five fields; they re-assemble into MomBuf before
+        // of.merge runs
+        val merged = state.unionByName(delta)
+          .groupBy($"event_type")
+          .agg(mergeBufs($"st.n", $"st.sum", $"st.sumSq", $"st.mn", $"st.mx")
+            .as("mo"))
+        merged
+          .join(state.select($"event_type", $"st.n".as("n_b")),
+            Seq("event_type"), "left")
+          .join(delta.select($"event_type", $"st.n".as("n_d")),
+            Seq("event_type"), "left")
+          .select($"event_type",
+            coalesce($"n_b", lit(0L)).as("n_before"),
+            coalesce($"n_d", lit(0L)).as("n_delta"),
+            $"mo.n".as("n_after"), $"mo.mean".as("mean_after"),
+            $"mo.variance".as("var_after"), $"mo.vmin".as("min_after"),
+            $"mo.vmax".as("max_after"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH q AS (SELECT event_type, ts,
+              CAST(round(value * 1000) AS BIGINT) AS m FROM events),
+          st AS (SELECT event_type, count(*) AS n_b FROM q
+            WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+          d AS (SELECT event_type, count(*) AS n_d FROM q
+            WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+              AND ts < TIMESTAMP '2024-01-24 00:00:00' GROUP BY 1),
+          -- the ORACLE recomputes every moment from scratch over all rows
+          -- up to the batch end: merge ≡ recompute is the gated claim
+          f AS (SELECT event_type, count(*) AS n, sum(m) AS sm,
+              sum(m * m) AS sm2, min(m) AS mn, max(m) AS mx
+            FROM q WHERE ts < TIMESTAMP '2024-01-24 00:00:00' GROUP BY 1)
+          SELECT f.event_type,
+            CAST(COALESCE(st.n_b, 0) AS BIGINT) AS n_before,
+            CAST(COALESCE(d.n_d, 0) AS BIGINT) AS n_delta,
+            CAST(f.n AS BIGINT) AS n_after,
+            CAST(f.sm AS DOUBLE) / f.n / 1000.0 AS mean_after,
+            CAST(f.sm2 AS DOUBLE) / f.n / 1000000.0
+              - (CAST(f.sm AS DOUBLE) / f.n / 1000.0)
+                * (CAST(f.sm AS DOUBLE) / f.n / 1000.0) AS var_after,
+            CAST(f.mn AS DOUBLE) / 1000.0 AS min_after,
+            CAST(f.mx AS DOUBLE) / 1000.0 AS max_after
+          FROM f LEFT JOIN st ON st.event_type = f.event_type
+          LEFT JOIN d ON d.event_type = f.event_type
+          ORDER BY f.event_type""")),
+
     // ---- Misra-Gries heavy-hitter audit (functions/MisraGries.scala):
     //      bounded-memory top talkers over a bot-amplified event stream.
     //      The driver corpus is deliberately uniform (no user exceeds any

@@ -374,6 +374,82 @@ object SketchQueries extends Registry {
           FROM s ORDER BY l_returnflag"""
       }),
 
+    // ---- INCREMENTAL MAINTENANCE of HLL REGISTERS (VERDICT r12 item 5b —
+    //      q282's sibling on sketch state): a stored per-(flag, bucket)
+    //      register snapshot as of a ship-date cutoff absorbs a new
+    //      batch's register partials via groupBy-MAX over the unioned
+    //      register rows — max IS the HLL merge (the mergeable-summaries
+    //      contract: registers are a pure function of the key SET, so
+    //      merge order, batch boundaries and partitioning all vanish).
+    //      The ORACLE rebuilds the register table from ALL rows up to the
+    //      batch end in one pass: register-merge ≡ register-recompute is
+    //      the gated claim, hash-exact on the register summary (v_empty,
+    //      exact scaled harmonic denominator, checksums) with the
+    //      estimate as the single pinned float step. At 100 TB the state
+    //      is O(groups·m) longs and each nightly batch costs O(delta) +
+    //      a KB-scale merge — the profiling pipeline q254 feeds, made
+    //      restartable. -----------------------------------------------------
+    Q("q283_incremental_hll",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.HyperLogLog
+        val cutoff = "1995-01-01"
+        val batchEnd = "1995-07-01"
+        val li = t(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_shipdate", $"l_orderkey")
+        def regsOf(df: org.apache.spark.sql.DataFrame) =
+          HyperLogLog.registers(df, Seq("l_returnflag"),
+            HyperLogLog.hash60("hll", $"l_orderkey"))
+        // stored snapshot + fresh batch partials, same register shape
+        val state = regsOf(li.filter($"l_shipdate" < lit(cutoff)))
+        val delta = regsOf(li.filter(
+          $"l_shipdate" >= lit(cutoff) && $"l_shipdate" < lit(batchEnd)))
+        // the merge: elementwise max over unioned register rows
+        val merged = state.unionByName(delta)
+          .groupBy($"l_returnflag", $"bkt").agg(max($"reg").as("reg"))
+        val summ = HyperLogLog.summarize(merged, Seq("l_returnflag"))
+        val exact = li.filter($"l_shipdate" < lit(batchEnd))
+          .groupBy($"l_returnflag")
+          .agg(countDistinct($"l_orderkey").as("exact_after"))
+        summ.join(exact, Seq("l_returnflag"))
+          .select($"l_returnflag", $"v_empty", $"d_scaled", $"reg_sum",
+            $"reg_max", $"hll_estimate",
+            $"exact_after".cast("long").as("exact_after"))
+          .orderBy($"l_returnflag")
+      },
+      Some {
+        import graft.functions.HyperLogLog.{M, RhoMax, WordBits}
+        val hashSql = graft.functions.TextFunctions.hexPolySql(15,
+          "concat_ws('|', 'hll', l_orderkey)")
+        val estSql = graft.functions.HyperLogLog.estimateSql("d_scaled")
+        s"""WITH h AS (SELECT l_returnflag, $hashSql AS h FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) < DATE '1995-07-01'),
+          b AS (SELECT l_returnflag, h >> $WordBits AS bkt,
+              h & ${(1L << WordBits) - 1} AS w FROM h),
+          r AS (SELECT l_returnflag, bkt,
+              max(CASE WHEN w = 0 THEN $RhoMax
+                  ELSE CAST(log2(w & (-w)) AS INT) + 1 END) AS reg
+            FROM b GROUP BY 1, 2),
+          p AS (SELECT l_returnflag, count(*) AS n_buckets,
+              sum(CAST(1 AS BIGINT) << ($RhoMax - reg)) AS d_present,
+              sum(reg) AS reg_sum, max(reg) AS reg_max
+            FROM r GROUP BY 1),
+          e AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_after
+            FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1995-07-01'
+            GROUP BY 1),
+          s AS (SELECT p.l_returnflag,
+              CAST($M - n_buckets AS BIGINT) AS v_empty,
+              CAST(d_present + ($M - n_buckets) * (CAST(1 AS BIGINT) << $RhoMax)
+                AS BIGINT) AS d_scaled,
+              CAST(reg_sum AS BIGINT) AS reg_sum,
+              CAST(reg_max AS INT) AS reg_max,
+              CAST(exact_after AS BIGINT) AS exact_after
+            FROM p JOIN e USING (l_returnflag))
+          SELECT l_returnflag, v_empty, d_scaled, reg_sum, reg_max,
+            $estSql AS hll_estimate, exact_after
+          FROM s ORDER BY l_returnflag"""
+      }),
+
     // ---- HLL REGISTER MERGE across TABLES — sketch-based join sizing,
     //      the q230 KMV estimate's union/intersection companion: the
     //      orders.o_custkey and customer.c_custkey register tables merge
