@@ -88,7 +88,7 @@ object EventQueries extends Registry {
         graft.functions.SkewAgg.saltedJoin(ev, dim, Seq("event_type"),
           saltSource = xxhash64($"event_id"), buckets = 16)
       else ev.join(dim, Seq("event_type"))
-    joined
+    val result = joined
       .groupBy($"event_type", $"wt")
       .agg(count(lit(1)).as("n_events"),
         sum($"value".cast("decimal(18,6)")).as("sval"))
@@ -99,6 +99,16 @@ object EventQueries extends Registry {
         $"event_type", $"wt".cast("double").as("weight"),
         $"n_events", ($"sval" * $"wt").cast("double").as("weighted_value"))
       .orderBy($"event_type")
+    // ledger (q284): evidence = the join keys the built plan actually
+    // carries — a salted decision that lost its salt column reads back
+    // as the plain keyset and diverges the ledger gate
+    val planStr = result.queryExecution.executedPlan.toString()
+    val keys =
+      if (planStr.contains("__salt")) "join-keys=event_type,__salt"
+      else "join-keys=event_type"
+    graft.ops.DecisionLog.record("skew_salt", topRows.toDouble,
+      threshold.toDouble, if (salted) "salted" else "plain", keys)
+    result
   }
 
   override def entries: Seq[Q] = Seq(

@@ -546,6 +546,110 @@ object SketchQueries extends Registry {
           FROM da, db, du, e ORDER BY d_a"""
       }),
 
+    // ---- DECISION LEDGER (VERDICT r12 item 8): the quartet of
+    //      sketch→plan decisions — broadcast-vs-shuffle (q260), skew
+    //      salting (q273), partition count (q275), LSH band precision
+    //      (q280) — routed through ONE auditable ledger
+    //      (ops/DecisionLog): each operator appends (estimate, threshold,
+    //      branch, executed-plan evidence) at the moment it decides,
+    //      without changing its own gate. This query runs all four under
+    //      a capture scope and emits the run's ledger; since every
+    //      estimate is a deterministic sketch (HLL registers,
+    //      hash-Bernoulli samples), the ORACLE replays estimate,
+    //      threshold comparison, chosen branch AND the expected plan
+    //      evidence from the raw rows — a decision whose executed plan
+    //      drifts from its choice (lost salt column, wrong join node,
+    //      ignored partition count) flips the evidence string and fails
+    //      the hash. At 100 TB this is the one table an operator reads
+    //      to audit what the self-tuning pipeline decided and why. --------
+    Q("q284_decision_ledger",
+      (s, dir) => {
+        import s.implicits._
+        val (_, ledger) = graft.ops.DecisionLog.withCapture {
+          plannedJoin(s, dir, BroadcastKeyThreshold)
+          graft.queries.EventQueries.skewPlannedJoin(s, dir,
+            graft.queries.EventQueries.SaltRowThreshold)
+          graft.queries.TextQueries.adaptivePartitioning(s, dir,
+            graft.queries.TextQueries.TargetPartitionBytes)
+          graft.queries.TextQueries.lshPlannedBands(s, dir,
+            graft.queries.TextQueries.LshBandT8,
+            graft.queries.TextQueries.LshBandT4)
+        }
+        s.createDataFrame(ledger.map(d =>
+            (d.op, d.estimate, d.threshold, d.branch, d.evidence)))
+          .toDF("op", "estimate", "threshold", "branch", "evidence")
+          .orderBy($"op")
+      },
+      Some {
+        import graft.functions.HyperLogLog.{M, RhoMax, WordBits}
+        val mask = (1L << WordBits) - 1
+        def hllCtes(pfx: String, hashExpr: String, src: String) =
+          s"""${pfx}_h AS (SELECT $hashExpr AS h FROM $src),
+            ${pfx}_r AS (SELECT h >> $WordBits AS bkt,
+                max(CASE WHEN h & $mask = 0 THEN $RhoMax
+                    ELSE CAST(log2((h & $mask) & (-(h & $mask))) AS INT) + 1 END) AS reg
+              FROM ${pfx}_h GROUP BY 1),
+            ${pfx}_d AS (SELECT sum(CAST(1 AS BIGINT) << ($RhoMax - reg))
+                + ($M - count(*)) * (CAST(1 AS BIGINT) << $RhoMax) AS d
+              FROM ${pfx}_r)"""
+        val custHash = graft.functions.TextFunctions.hexPolySql(15,
+          "concat_ws('|', 'hlljoin', CAST(c_custkey AS BIGINT))")
+        val docHash = graft.functions.TextFunctions.hexPolySql(15,
+          "concat_ws('|', 'lshsz', doc_id)")
+        val estBj = graft.functions.HyperLogLog.estimateSql("bjd.d")
+        val estLb = graft.functions.HyperLogLog.estimateSql("lbd.d")
+        val uEvt = graft.operators.Sampling.detRandSql(73L,
+          Seq("CAST(event_id AS VARCHAR)"))
+        val uDoc = graft.operators.Sampling.detRandSql(97L,
+          Seq("CAST(doc_id AS VARCHAR)"))
+        val bKT = BroadcastKeyThreshold
+        val sRT = graft.queries.EventQueries.SaltRowThreshold
+        val tPB = graft.queries.TextQueries.TargetPartitionBytes
+        val (t8, t4) = (graft.queries.TextQueries.LshBandT8,
+          graft.queries.TextQueries.LshBandT4)
+        s"""WITH ${hllCtes("bj", custHash, "customer")},
+          ${hllCtes("lb", docHash, "documents")},
+          bj AS (SELECT 'broadcast_join' AS op, $estBj AS estimate,
+              CAST($bKT AS DOUBLE) AS threshold,
+              CASE WHEN $estBj <= $bKT THEN 'broadcast' ELSE 'shuffle' END AS branch,
+              CASE WHEN $estBj <= $bKT THEN 'BroadcastHashJoin'
+                   ELSE 'ShuffledHashJoin' END AS evidence
+            FROM bj_d bjd),
+          lbp AS (SELECT $estLb AS est,
+              CASE WHEN $estLb <= $t8 THEN 8
+                   WHEN $estLb <= $t4 THEN 4 ELSE 2 END AS b
+            FROM lb_d lbd),
+          lb AS (SELECT 'lsh_bands' AS op, est AS estimate,
+              CASE WHEN b = 8 THEN CAST($t8 AS DOUBLE)
+                   ELSE CAST($t4 AS DOUBLE) END AS threshold,
+              'bands-' || CAST(b AS VARCHAR) AS branch,
+              'band-rows=' || CAST(16 // b AS VARCHAR) AS evidence
+            FROM lbp),
+          pce AS (SELECT COALESCE(sum(octet_length(encode(text))), 0) * 16 AS b
+            FROM documents WHERE $uDoc < 0.0625),
+          pcn AS (SELECT b, least(4096, greatest(1, (b + $tPB - 1) // $tPB)) AS n
+            FROM pce),
+          pc AS (SELECT 'partition_count' AS op, CAST(b AS DOUBLE) AS estimate,
+              CAST($tPB AS DOUBLE) AS threshold,
+              'repartition-' || CAST(n AS VARCHAR) AS branch,
+              'hashpartitioning=' || CAST(n AS VARCHAR) AS evidence
+            FROM pcn),
+          sse AS (SELECT event_type, count(*) * 16 AS est_rows
+            FROM events WHERE $uEvt < 0.0625 GROUP BY event_type),
+          sst AS (SELECT est_rows FROM sse
+            ORDER BY est_rows DESC, event_type LIMIT 1),
+          ss AS (SELECT 'skew_salt' AS op, CAST(est_rows AS DOUBLE) AS estimate,
+              CAST($sRT AS DOUBLE) AS threshold,
+              CASE WHEN est_rows > $sRT THEN 'salted' ELSE 'plain' END AS branch,
+              CASE WHEN est_rows > $sRT THEN 'join-keys=event_type,__salt'
+                   ELSE 'join-keys=event_type' END AS evidence
+            FROM sst)
+          SELECT op, estimate, threshold, branch, evidence FROM
+            (SELECT * FROM bj UNION ALL SELECT * FROM lb
+             UNION ALL SELECT * FROM pc UNION ALL SELECT * FROM ss)
+          ORDER BY op"""
+      }),
+
     // ---- the sketches USED for a planning decision (VERDICT r9/r10
     //      item 5): q258's HLL registers size the dimension build side,
     //      q230's KMV min-k algebra predicts the matched-key overlap,
@@ -666,7 +770,7 @@ object SketchQueries extends Registry {
         t(s, dir, "orders").join(broadcast(dim), $"o_custkey" === $"c_custkey")
       else
         t(s, dir, "orders").join(dim.hint("shuffle_hash"), $"o_custkey" === $"c_custkey")
-    joined.groupBy($"c_mktsegment")
+    val result = joined.groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
         countDistinct($"o_custkey").as("n_custs"))
       .select(
@@ -675,5 +779,15 @@ object SketchQueries extends Registry {
         lit(if (broadcastChosen) "broadcast" else "shuffle").as("chosen"),
         $"c_mktsegment", $"n_orders", $"n_custs")
       .orderBy($"c_mktsegment")
+    // ledger (q284): evidence read back from the PLAN the decision built —
+    // the physical join node, not the hint we asked for
+    val planStr = result.queryExecution.executedPlan.toString()
+    val joinNode =
+      if (planStr.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+      else if (planStr.contains("ShuffledHashJoin")) "ShuffledHashJoin"
+      else "missing-join-node"
+    graft.ops.DecisionLog.record("broadcast_join", estDim, threshold.toDouble,
+      if (broadcastChosen) "broadcast" else "shuffle", joinNode)
+    result
   }
 }

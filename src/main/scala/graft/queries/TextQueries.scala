@@ -255,6 +255,12 @@ object TextQueries extends Registry {
           HyperLogLog.hash60("lshsz", $"doc_id")), Seq.empty)
       .head().getAs[Double]("hll_estimate")
     val bands = if (est <= t8) 8 else if (est <= t4) 4 else 2
+    // ledger (q284): the deciding boundary is t8 below it, t4 everywhere
+    // above (the 4-vs-2 split AND the exceeded ceiling); evidence = the
+    // band-key width the parametrized kernel executes with
+    graft.ops.DecisionLog.record("lsh_bands", est,
+      if (est <= t8) t8 else t4, s"bands-$bands",
+      s"band-rows=${nPerms / bands}")
     val mh = materialize(minhashes(s, dir))
     lshScoredWith(mh, bands)
       .agg(count(lit(1)).as("n_candidates"),
@@ -295,7 +301,7 @@ object TextQueries extends Registry {
       .head().getLong(0)
     val nParts = math.min(4096L,
       math.max(1L, (estBytes + targetBytes - 1) / targetBytes)).toInt
-    d.repartition(nParts, $"doc_id")
+    val result = d.repartition(nParts, $"doc_id")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(octet_length($"text")).as("n_bytes"))
@@ -304,6 +310,21 @@ object TextQueries extends Registry {
         lit(nParts).as("n_partitions"),
         $"lang", $"n_docs", $"n_bytes")
       .orderBy($"lang")
+    // ledger (q284): evidence = the partition count read back from the
+    // built plan's repartition exchange, not the number we asked for
+    val planStr = result.queryExecution.executedPlan.toString()
+    val m = java.util.regex.Pattern
+      .compile("hashpartitioning\\(doc_id[^,)]*, (\\d+)\\)").matcher(planStr)
+    // n = 1 short-circuits to a SinglePartition exchange (no hash keys in
+    // the plan text) — still the requested one-partition layout
+    val planParts =
+      if (m.find()) m.group(1)
+      else if (nParts == 1 && planStr.contains("SinglePartition")) "1"
+      else "missing"
+    graft.ops.DecisionLog.record("partition_count", estBytes.toDouble,
+      targetBytes.toDouble, s"repartition-$nParts",
+      s"hashpartitioning=$planParts")
+    result
   }
 
   override def entries: Seq[Q] = Seq(

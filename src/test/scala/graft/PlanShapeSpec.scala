@@ -845,6 +845,32 @@ class PlanShapeSpec extends SparkSpec {
       forced.collect().toSeq.map(_.toSeq.drop(3)))
   }
 
+  test("q284: decision ledger captures the quartet with plan-derived evidence, scope-isolated") {
+    import graft.ops.DecisionLog
+    // capture scope: exactly the decisions made inside it, none leak out
+    DecisionLog.drain()
+    val (_, ds) = DecisionLog.withCapture {
+      graft.queries.SketchQueries.plannedJoin(spark, sfDir,
+        graft.queries.SketchQueries.BroadcastKeyThreshold)
+      graft.queries.TextQueries.adaptivePartitioning(spark, sfDir, 4096L)
+    }
+    assert(ds.map(_.op) == Seq("broadcast_join", "partition_count"))
+    val bj = ds.head
+    assert(bj.branch == "broadcast" && bj.evidence == "BroadcastHashJoin",
+      s"evidence not read from the built plan: $bj")
+    // the evidence is the EXECUTED exchange's count, not the request
+    val pc = ds(1)
+    assert(pc.branch.startsWith("repartition-") &&
+      pc.evidence == "hashpartitioning=" + pc.branch.stripPrefix("repartition-"),
+      s"partition evidence diverged from branch: $pc")
+    assert(DecisionLog.drain().isEmpty, "capture scope leaked into global ledger")
+    // outside a scope, decisions land in the global operational ledger
+    graft.queries.EventQueries.skewPlannedJoin(spark, sfDir, 0L)
+    val g = DecisionLog.drain()
+    assert(g.map(_.op) == Seq("skew_salt") && g.head.branch == "salted" &&
+      g.head.evidence == "join-keys=event_type,__salt", s"global ledger: $g")
+  }
+
   test("q266: cube is ONE scan through Expand with map-side partial aggregation") {
     val df = SparkEntry.queries("q266_cube_subtotals")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString()
