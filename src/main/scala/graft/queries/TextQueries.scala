@@ -1259,6 +1259,113 @@ object TextQueries extends Registry {
           FROM acc a CROSS JOIN wc w"""
       }),
 
+    // ---- LOSS CURVE of the q178 training loop (VERDICT r12 item 9's
+    //      pin): the same two exact-quantized gradient steps, with the
+    //      per-step LOG-LOSS emitted and the non-increase gated — the
+    //      q261-Lloyd-convergence claim applied to gradient descent.
+    //      Loss is Σ round(−10⁶·ln p_y) over micro-quantized probabilities
+    //      (exact long sums, so the curve is bit-identical at any
+    //      parallelism); p_micro never hits 0/10⁶ because |z| ≤ Σ|wᵢ|
+    //      stays small under mean-gradient lr=1 from w=0. noninc flags
+    //      are COMPUTED comparisons (not literal 1s): the oracle replays
+    //      both steps and both losses from raw rows, so a step that
+    //      raised the loss flips the flag in BOTH engines only if the
+    //      algebra says so — a Spark-side gradient bug diverges the
+    //      sums first. One corpus scan per step/loss pass; model state
+    //      flows as 1-row broadcasts, never a collect. --------------------
+    Q("q285_logreg_loss_curve",
+      (s, dir) => {
+        import s.implicits._
+        val feats = materialize(docs(s, dir).withColumn("w", tokens($"text"))
+          .select($"doc_id",
+            least(lit(1.0), size($"w").cast("double") / 100.0).as("f1"),
+            docDigitRatio.as("f2"),
+            docStopRatio.as("f3"),
+            when(docQuality >= 0.4, 1L).otherwise(0L).as("y")))
+        def pMicro = round(lit(1e6) / (lit(1.0) +
+          exp(-($"w0" + $"w1" * $"f1" + $"w2" * $"f2" + $"w3" * $"f3")))).cast("long")
+        def step(wDf: DataFrame): DataFrame =
+          feats.crossJoin(broadcast(wDf))
+            .select((pMicro.cast("double") / 1e6 - $"y".cast("double")).as("r"),
+              $"f1", $"f2", $"f3")
+            .agg(sum(round($"r" * 1e6).cast("long")).as("g0"),
+              sum(round($"r" * $"f1" * 1e6).cast("long")).as("g1"),
+              sum(round($"r" * $"f2" * 1e6).cast("long")).as("g2"),
+              sum(round($"r" * $"f3" * 1e6).cast("long")).as("g3"),
+              count(lit(1)).as("n"))
+            .crossJoin(broadcast(wDf))
+            .select(($"w0" - $"g0".cast("double") / 1e6 / $"n").as("w0"),
+              ($"w1" - $"g1".cast("double") / 1e6 / $"n").as("w1"),
+              ($"w2" - $"g2".cast("double") / 1e6 / $"n").as("w2"),
+              ($"w3" - $"g3".cast("double") / 1e6 / $"n").as("w3"))
+        val w0 = Seq((0.0, 0.0, 0.0, 0.0)).toDF("w0", "w1", "w2", "w3")
+        val w1 = step(w0)
+        val w2 = step(w1)
+        def lossOf(wDf: DataFrame, tag: String): DataFrame =
+          feats.crossJoin(broadcast(wDf))
+            .select($"y", (pMicro.cast("double") / 1e6).as("pd"))
+            .select(round(lit(-1e6) *
+              log(when($"y" === 1L, $"pd").otherwise(lit(1.0) - $"pd")))
+              .cast("long").as("lm"))
+            .agg(sum($"lm").as(s"loss$tag"), count(lit(1)).as(s"n$tag"))
+        lossOf(w0, "0").crossJoin(lossOf(w1, "1")).crossJoin(lossOf(w2, "2"))
+          .select($"n0".as("n_docs"),
+            $"loss0".as("loss0_micro"), $"loss1".as("loss1_micro"),
+            $"loss2".as("loss2_micro"),
+            ($"loss0".cast("double") / 1e6 / $"n0").as("mean_loss0"),
+            ($"loss2".cast("double") / 1e6 / $"n2").as("mean_loss2"),
+            when($"loss1" <= $"loss0", 1).otherwise(0).cast("int").as("noninc_01"),
+            when($"loss2" <= $"loss1", 1).otherwise(0).cast("int").as("noninc_12"))
+      },
+      Some {
+        val digitSql =
+          "((CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text))"
+        val stopSql =
+          s"""(CAST(len(list_filter(string_split(text, ' '), x -> x IN (${LangLexicon.sqlWordList}))) AS DOUBLE)
+              / len(string_split(text, ' ')))"""
+        def pmSql(w: String) =
+          s"""CAST(round(1000000 / (1.0 + exp(-($w.w0 + $w.w1 * f1 + $w.w2 * f2 + $w.w3 * f3)))) AS BIGINT)"""
+        def stepSql(prev: String, p: String, g: String, nxt: String) =
+          s"""$p AS (SELECT f.*, ${pmSql("w")} AS pm FROM f CROSS JOIN $prev w),
+            $g AS (SELECT
+                sum(CAST(round((CAST(pm AS DOUBLE) / 1000000 - y) * 1000000) AS BIGINT)) AS g0,
+                sum(CAST(round((CAST(pm AS DOUBLE) / 1000000 - y) * f1 * 1000000) AS BIGINT)) AS g1,
+                sum(CAST(round((CAST(pm AS DOUBLE) / 1000000 - y) * f2 * 1000000) AS BIGINT)) AS g2,
+                sum(CAST(round((CAST(pm AS DOUBLE) / 1000000 - y) * f3 * 1000000) AS BIGINT)) AS g3,
+                count(*) AS n FROM $p),
+            $nxt AS (SELECT w.w0 - CAST(g.g0 AS DOUBLE) / 1000000 / g.n AS w0,
+                            w.w1 - CAST(g.g1 AS DOUBLE) / 1000000 / g.n AS w1,
+                            w.w2 - CAST(g.g2 AS DOUBLE) / 1000000 / g.n AS w2,
+                            w.w3 - CAST(g.g3 AS DOUBLE) / 1000000 / g.n AS w3
+                     FROM $prev w CROSS JOIN $g g)"""
+        def lossSql(w: String, tag: String) =
+          s"""l$tag AS (SELECT
+              sum(CAST(round(-1000000.0 * ln(CASE WHEN y = 1
+                  THEN CAST(pm AS DOUBLE) / 1000000.0
+                  ELSE 1.0 - CAST(pm AS DOUBLE) / 1000000.0 END)) AS BIGINT)) AS loss$tag,
+              count(*) AS n$tag
+            FROM (SELECT f.y, ${pmSql("w")} AS pm FROM f CROSS JOIN $w w))"""
+        s"""WITH f AS (SELECT doc_id,
+                least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS f1,
+                $digitSql AS f2,
+                $stopSql AS f3,
+                CASE WHEN ($qualitySqlExpr) >= 0.4 THEN 1 ELSE 0 END AS y
+              FROM documents),
+            wa AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+            ${stepSql("wa", "p1", "g1", "wb")},
+            ${stepSql("wb", "p2", "g2", "wc")},
+            ${lossSql("wa", "0")}, ${lossSql("wb", "1")}, ${lossSql("wc", "2")}
+          SELECT CAST(n0 AS BIGINT) AS n_docs,
+            CAST(loss0 AS BIGINT) AS loss0_micro,
+            CAST(loss1 AS BIGINT) AS loss1_micro,
+            CAST(loss2 AS BIGINT) AS loss2_micro,
+            CAST(loss0 AS DOUBLE) / 1000000.0 / n0 AS mean_loss0,
+            CAST(loss2 AS DOUBLE) / 1000000.0 / n2 AS mean_loss2,
+            CAST(CASE WHEN loss1 <= loss0 THEN 1 ELSE 0 END AS INT) AS noninc_01,
+            CAST(CASE WHEN loss2 <= loss1 THEN 1 ELSE 0 END AS INT) AS noninc_12
+          FROM l0, l1, l2"""
+      }),
+
     // ---- LSH recall audit ("measure, don't guess" for the dedup stack):
     //      ground truth = exact Jaccard >= 0.5 over q22's df-capped
     //      inverted index (the indexable space — at 100 TB uncapped exact
