@@ -1527,6 +1527,69 @@ object PipelineQueries extends Registry {
           ORDER BY ts, event_id LIMIT 2000)
         SELECT ts, user_id, event_id, value FROM e ORDER BY event_id""")),
 
+    // ---- CHECKPOINT-RECOVERY gate (VERDICT r12 item 4): q77's dedup
+    //      semantics run across a STOP + RESTART. Batch 1 feeds half the
+    //      (ts, event_id)-ordered prefix into a PARQUET sink (the
+    //      production exactly-once sink — its _spark_metadata commit log
+    //      is what makes restart atomic; a memory sink forgets its rows
+    //      on restart); the query is STOPPED; a NEW query instance starts
+    //      from the same checkpoint and receives batch 2 = every batch-1
+    //      row REDELIVERED re-stamped +60 s plus the second half. Every
+    //      redelivered copy must vanish — which only happens if the
+    //      restarted query RESTORED the dedup state and watermark from
+    //      the checkpoint (fresh state would pass all re-stamped copies
+    //      through, doubling the rows and diverging the hash). Final
+    //      output = whatever the sink's commit log exposes = the original
+    //      prefix, the exact batch twin. This is the 100 TB story's real
+    //      streaming risk — a pipeline that only works in single-lifetime
+    //      runs isn't restartable — made a gated query. --------------------
+    Q("q286_streaming_restart",
+      (s, dir) => {
+        // dedicated 4-partition child session (see q41's comment)
+        val ss = StreamingOps.streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx = ss.sqlContext
+        val rm = IngestQueries.deleteRecursively _
+        val base = java.nio.file.Paths.get(
+          s"/tmp/graft-restart/${graft.core.Det.md5hex(dir).take(12)}-" +
+            ProcessHandle.current().pid())
+        // a leftover checkpoint would make the "first" start a resume —
+        // every run must exercise a genuine cold start + one restart
+        rm(base)
+        val ckpt = s"$base/ckpt"
+        val out = s"$base/out"
+        val evts = Tables(ss, dir, "events")
+          .select($"ts", $"user_id", $"event_id", $"value")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .as[(java.sql.Timestamp, Long, Long, Double)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+        def start() = StreamingOps.dedupStream(
+            mem.toDF().toDF("ts", "user_id", "event_id", "value"), Seq("event_id"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+        val (b1, b2) = evts.splitAt(evts.length / 2)
+        val q1 = start()
+        try { mem.addData(b1.toSeq); q1.processAllAvailable() }
+        finally q1.stop()
+        // restart: NEW StreamingQuery, same checkpoint + sink — state,
+        // watermark and committed offsets all come back from disk
+        val redelivered = b1.map(e =>
+          (new java.sql.Timestamp(e._1.getTime + 60000L), e._2, e._3, e._4))
+        val q2 = start()
+        try { mem.addData((redelivered ++ b2).toSeq); q2.processAllAvailable() }
+        finally q2.stop()
+        val result = ss.read.parquet(out)
+          .orderBy($"event_id")
+          .localCheckpoint(eager = true) // detach before the dir is swept
+        rm(base)
+        result
+      },
+      Some("""WITH e AS (SELECT ts, user_id, event_id, value FROM events
+          ORDER BY ts, event_id LIMIT 2000)
+        SELECT ts, user_id, event_id, value FROM e ORDER BY event_id"""),
+      streaming = true),
+
     // ---- stream-static decontamination: incoming docs (two micro-batches)
     //      shingle row-locally and probe the STATIC benchmark shingle set
     //      via a broadcast inner join — stateless, no watermark, stream

@@ -340,6 +340,81 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed aggregation state survives a checkpoint restart (complete mode)") {
+    // q286 gates the dedup state type; this covers the window-agg store:
+    // batch 1 → STOP → new query from the same checkpoint → batch 2. The
+    // final Complete-mode table must aggregate BOTH batches — a restart
+    // that lost the state store would count only batch 2.
+    val ss = StreamingOps.streamSession(spark)
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-agg")
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def start(qn: String) = StreamingOps.tumblingCounts(
+        mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Complete).start()
+    val q1 = start("restart_agg_a")
+    try {
+      mem.addData((ts("2024-01-01 10:05:00"), "click", 1.5),
+        (ts("2024-01-01 10:40:00"), "click", 2.5))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start("restart_agg_b")
+    try {
+      mem.addData((ts("2024-01-01 10:55:00"), "click", 3.0),
+        (ts("2024-01-01 11:10:00"), "view", 1.0))
+      q2.processAllAvailable()
+      val out = ss.table("restart_agg_b")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(out == Set(
+        (ts("2024-01-01 10:00:00"), "click", 3L, 7.0),
+        (ts("2024-01-01 11:00:00"), "view", 1L, 1.0)),
+        s"restarted window agg lost pre-restart state: $out")
+    } finally q2.stop()
+  }
+
+  test("transformWithState ValueState survives a checkpoint restart (RocksDB)") {
+    // the third state type (q286 dedup, above window agg): running totals
+    // fold (n, sum) in RocksDB ValueState; the post-restart emission for
+    // key 1 must continue from the restored (2, 30), not restart at zero
+    val ss = StreamingOps.rocksSession(spark)
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-tws")
+    val mem = MemoryStream[(Long, Long)]
+    // the memory sink refuses recovery outside Complete mode; foreachBatch
+    // is the recovery-capable Update-mode sink (it rides the same commit
+    // log a production idempotent writer would)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+    def start() = StreamingOps.runningTotals(mem.toDS())
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.UserStat], _: Long) =>
+        df.collect().foreach(s => emitted.add((s.user_id, s.n_events, s.sum_micro)))
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Update).start()
+    val q1 = start()
+    try {
+      mem.addData((1L, 10L), (1L, 20L), (2L, 5L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(emitted.toArray.toSet == Set((1L, 2L, 30L), (2L, 1L, 5L)),
+      s"pre-restart snapshots wrong: ${emitted.toArray.toSet}")
+    emitted.clear()
+    val q2 = start()
+    try {
+      mem.addData((1L, 5L))
+      q2.processAllAvailable()
+      // post-restart emission must CONTINUE from the restored (2, 30)
+      // state, not restart at zero
+      val out = emitted.toArray(Array.empty[(Long, Long, Long)]).toSet
+      assert(out == Set((1L, 3L, 35L)),
+        s"restarted TWS did not resume from restored state: $out")
+    } finally q2.stop()
+  }
+
   test("streaming HLL is batch-split invariant and equals the batch register fold") {
     // the two facts q255 rests on: (a) for an IN-ORDER feed the windowed
     // register state folds incrementally to the SAME summary no matter
