@@ -985,6 +985,16 @@ object Multimodal {
       aviMjpegFrames(bytes).map { case (m, _) =>
         Decoded(m.width, m.height, m.nFrames, 0)
       }
+
+    /** MPEG-1 video elementary stream (I-pictures): full entropy decode —
+      * VLC tables, dequant, IDCT — via [[graft.operators.Mpeg1]] (gated by
+      * q287). A crafted/truncated stream must fall through to the stub,
+      * not kill the task (same contract as every parser above).
+      */
+    def decodeMpeg1(bytes: Array[Byte]): Option[Decoded] =
+      try Mpeg1.decodeIFrames(bytes).map { case (m, _) =>
+        Decoded(m.width, m.height, m.nPictures, 0)
+      } catch { case _: Exception => None }
   }
 
   /** Production decode: real header parsers first, stub fallback for
@@ -1001,17 +1011,19 @@ object Multimodal {
         .orElse(MediaCodecs.decodeY4m(bytes))
         .orElse(MediaCodecs.decodeJpeg(bytes))
         .orElse(MediaCodecs.decodeAvi(bytes))
+        .orElse(MediaCodecs.decodeMpeg1(bytes))
         .orElse(MediaCodecs.decodeMp4(bytes))
         .getOrElse(stub.decode(modality, mime, bytes))
   }
 
   /** STUB decoder — deterministic fake standing in for the codec library
-    * on the formats [[MediaCodecs]] can't parse. Since r12 that is only
-    * entropy-coded video elementary streams (H.264/H.265 — a hand-written
-    * entropy decoder stays a documented permanent skip): compressed video
-    * FRAMES decode for real via MJPEG-in-AVI ([[MediaCodecs.aviMjpegFrames]],
-    * gated by q272), compressed images via JPEG/PNG/GIF, audio via
-    * WAV/MP3, and the MP4 container parses box-level metadata.
+    * on the formats [[MediaCodecs]] can't parse. Since r13 that is only
+    * MOTION-COMPENSATED codecs (P/B inter-frames, H.264/H.265 — a
+    * hand-written motion-comp pipeline stays a documented permanent
+    * skip): entropy-coded video now decodes for real via MPEG-1 I-frame
+    * streams ([[Mpeg1.decodeIFrames]] — VLC + dequant + IDCT, gated by
+    * q287) and MJPEG-in-AVI (q272), compressed images via JPEG/PNG/GIF,
+    * audio via WAV/MP3, and the MP4 container parses box-level metadata.
     */
   final class StubCodec {
     def decode(modality: String, mime: String, bytes: Array[Byte]): Decoded = {
