@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class LadderAdjudicateSpec extends AnyFunSuite {
+
+  test("parses nested 1x/100x blocks from the legacy hand-curated artifact") {
+    val legacy = """{
+      "rungs": {
+        "1x_sf0.1": {"q174_dup_pagerank": 2.151, "q197_cc_star": 1.555},
+        "100x_sf10": {"q174_dup_pagerank": 4.153, "q197_cc_star": 4.369}
+      },
+      "r11_graph_cube_rungs": {
+        "protocol": "solo runs",
+        "1x_sf0.1": {"q174_dup_pagerank": 2.695, "q266_cube_subtotals": 0.588},
+        "100x_sf10": {"q174_dup_pagerank": 5.203, "q266_cube_subtotals": 3.347}
+      }
+    }"""
+    val p = LadderAdjudicate.parsePrior(legacy)
+    // later section wins for the re-measured rung
+    assert(p("q174_dup_pagerank") == (Some(2.695), Some(5.203)))
+    assert(p("q197_cc_star") == (Some(1.555), Some(4.369)))
+    assert(p("q266_cube_subtotals") == (Some(0.588), Some(3.347)))
+    // protocol strings and non-query keys never parse as rungs
+    assert(p.keySet.forall(_.startsWith("q")))
+  }
+
+  test("parses its own regular artifact format as the preferred prior") {
+    val regular = """{"metric":"sf_ladder_adjudicated",
+      "1x_sf0.1":{"q281_compaction_bytes":1.100},
+      "100x_sf10":{"q281_compaction_bytes":2.970},
+      "rungs":{"q281_compaction_bytes":{"x1":1.100,"x100":2.970,"ratio":2.700}}}"""
+    assert(LadderAdjudicate.parsePrior(regular)("q281_compaction_bytes") ==
+      (Some(1.1), Some(2.97)))
+  }
+
+  test("flags a synthetic rung slowdown past 2x the prior ratio, not jitter") {
+    val prior = Map("q22" -> 13.7, "q281" -> 2.7, "q287" -> 3.0, "q266" -> 5.7)
+    val cur = Map(
+      "q22" -> (40.0, 41.0),   // ratio 13.7 -> 41: a real super-linear break
+      "q281" -> (5.1, 5.1),    // 2.7 -> 5.1: < 2x growth, not flagged
+      "q287" -> (0.9, 9.0),    // ratio exploded but 100x cost is sub-second —
+                               // jitter floor exempts it
+      "q266" -> (9.0, 6.2))    // faster than prior: never flagged
+    val flagged = LadderAdjudicate.rungRegressions(prior, cur)
+    assert(flagged == Map("q22" -> (13.7, 41.0)), s"got $flagged")
+    // boundary: exactly 2x does NOT flag (strictly past, like streamingDrops)
+    assert(LadderAdjudicate.rungRegressions(
+      Map("q" -> 2.0), Map("q" -> (5.0, 4.0))).isEmpty)
+    assert(LadderAdjudicate.rungRegressions(
+      Map("q" -> 2.0), Map("q" -> (5.0, 4.001))).nonEmpty)
+    // a rung with no prior is new, not regressed
+    assert(LadderAdjudicate.rungRegressions(
+      Map.empty, Map("qnew" -> (50.0, 10.0))).isEmpty)
+  }
+
+  test("the real legacy artifact yields a non-trivial rung set") {
+    val p = java.nio.file.Paths.get("BENCH_SF_LADDER.json")
+    assume(java.nio.file.Files.exists(p))
+    val prior = LadderAdjudicate.parsePrior(java.nio.file.Files.readString(p))
+    // the r8-r12 sections hold at least the graph + event + decision rungs
+    assert(prior.size >= 20, s"only ${prior.size} rungs parsed: ${prior.keySet}")
+    assert(prior.contains("q174_dup_pagerank") &&
+      prior.contains("q276_compaction_planner"))
+    // every parsed rung with both ends yields a usable ratio
+    val ratios = prior.collect { case (q, (Some(a), Some(b))) if a > 0 => q -> b / a }
+    assert(ratios.nonEmpty && ratios.values.forall(r => r > 0 && r < 1000))
+  }
+}
