@@ -54,16 +54,22 @@ object LadderAdjudicate {
   }
 
   /** Rungs whose current 100×/1× ratio exceeds `factor` × the prior ratio
-    * → (prior_ratio, current_ratio). Sub-second 100× rungs are exempt —
-    * at that absolute cost a ratio is all jitter (same spirit as
-    * warm_retry's 0.5 s floor).
+    * AND whose absolute 100× cost grew → (prior_ratio, current_ratio).
+    * Both conditions matter: a 1× denominator that got FASTER doubles the
+    * ratio with the 100× behavior unchanged or better (the first real
+    * ladder run flagged exactly that on q268 — x100 2.19→2.00 s,
+    * ratio 1.6→3.2 from a 1.41→0.62 s 1× improvement), and that is a
+    * speedup, not a scale break. Sub-second 100× rungs are exempt — at
+    * that absolute cost a ratio is all jitter (warm_retry's floor).
     */
-  def rungRegressions(prior: Map[String, Double], cur: Map[String, (Double, Double)],
-      factor: Double = 2.0, floorSec: Double = 1.0): Map[String, (Double, Double)] =
+  def rungRegressions(prior: Map[String, (Option[Double], Option[Double])],
+      cur: Map[String, (Double, Double)], factor: Double = 2.0,
+      floorSec: Double = 1.0): Map[String, (Double, Double)] =
     cur.flatMap { case (q, (x100, ratio)) =>
       prior.get(q) match {
-        case Some(p) if p > 0 && ratio > p * factor && x100 >= floorSec =>
-          Some(q -> (p, ratio))
+        case Some((Some(p1), Some(p100))) if p1 > 0 && x100 >= floorSec &&
+            ratio > (p100 / p1) * factor && x100 > p100 =>
+          Some(q -> (p100 / p1, ratio))
         case _ => None
       }
     }
@@ -156,7 +162,7 @@ object LadderAdjudicate {
     val cur: Map[String, (Double, Double)] = results.collect {
       case (q, Right((a, b))) => q -> (b, b / math.max(1e-9, a))
     }.toMap
-    val regressions = rungRegressions(priorRatio, cur)
+    val regressions = rungRegressions(prior, cur)
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jstr(s: String): String =

@@ -34,21 +34,27 @@ class LadderAdjudicateSpec extends AnyFunSuite {
       (Some(1.1), Some(2.97)))
   }
 
-  test("flags a synthetic rung slowdown past 2x the prior ratio, not jitter") {
-    val prior = Map("q22" -> 13.7, "q281" -> 2.7, "q287" -> 3.0, "q266" -> 5.7)
+  test("flags a synthetic rung slowdown past 2x the prior ratio, not jitter or speedups") {
+    def p(x1: Double, x100: Double) = (Some(x1), Some(x100))
+    val prior = Map("q22" -> p(1.0, 13.7), "q281" -> p(1.0, 2.7),
+      "q287" -> p(1.0, 3.0), "q266" -> p(1.0, 5.7), "q268" -> p(1.41, 2.19))
     val cur = Map(
-      "q22" -> (40.0, 41.0),   // ratio 13.7 -> 41: a real super-linear break
-      "q281" -> (5.1, 5.1),    // 2.7 -> 5.1: < 2x growth, not flagged
+      "q22" -> (41.0, 41.0),   // ratio 13.7 -> 41 AND x100 grew: a real break
+      "q281" -> (5.1, 5.1),    // 2.7 -> 5.1: < 2x ratio growth, not flagged
       "q287" -> (0.9, 9.0),    // ratio exploded but 100x cost is sub-second —
                                // jitter floor exempts it
-      "q266" -> (9.0, 6.2))    // faster than prior: never flagged
+      "q266" -> (4.0, 6.2),    // x100 faster than prior: never flagged
+      // the r13 first-run false positive: 1x improved 1.41->0.62 so the
+      // ratio doubled, but x100 IMPROVED 2.19->2.00 — a speedup, not a break
+      "q268" -> (2.00, 3.21))
     val flagged = LadderAdjudicate.rungRegressions(prior, cur)
-    assert(flagged == Map("q22" -> (13.7, 41.0)), s"got $flagged")
+    assert(flagged.keySet == Set("q22"), s"got $flagged")
+    assert(math.abs(flagged("q22")._1 - 13.7) < 1e-9 && flagged("q22")._2 == 41.0)
     // boundary: exactly 2x does NOT flag (strictly past, like streamingDrops)
     assert(LadderAdjudicate.rungRegressions(
-      Map("q" -> 2.0), Map("q" -> (5.0, 4.0))).isEmpty)
+      Map("q" -> p(1.0, 2.0)), Map("q" -> (5.0, 4.0))).isEmpty)
     assert(LadderAdjudicate.rungRegressions(
-      Map("q" -> 2.0), Map("q" -> (5.0, 4.001))).nonEmpty)
+      Map("q" -> p(1.0, 2.0)), Map("q" -> (5.0, 4.001))).nonEmpty)
     // a rung with no prior is new, not regressed
     assert(LadderAdjudicate.rungRegressions(
       Map.empty, Map("qnew" -> (50.0, 10.0))).isEmpty)
