@@ -1663,10 +1663,11 @@ object PipelineQueries extends Registry {
         try { mem.addData((redelivered ++ b2).toSeq); q2.processAllAvailable() }
         finally q2.stop()
         val result = ss.read.parquet(out)
-          .orderBy($"event_id")
           .localCheckpoint(eager = true) // detach before the dir is swept
         rm(base)
-        result
+        // sort on the detached frame so the global ORDER BY is the plan's
+        // final operator (the driver-gate contract QueriesSpec sweeps)
+        result.orderBy($"event_id")
       },
       Some("""WITH e AS (SELECT ts, user_id, event_id, value FROM events
           ORDER BY ts, event_id LIMIT 2000)
