@@ -13,9 +13,15 @@ package graft.operators
   * the construction-inverse for the q287 gate (known macroblocks in,
   * bounded per-pixel error out) exactly like q157/q272's JPEG path.
   *
-  * Scope: I-pictures with 4:2:0 chroma, one or more slices, consecutive
-  * macroblocks (the only legal form in I-pictures — skipped macroblocks
-  * are a P/B construct). Motion-compensated pictures (P/B) and the
+  * Scope: I- and P-pictures with 4:2:0 chroma. P-pictures decode the
+  * full forward-prediction machinery — the P macroblock-type alphabet
+  * (MC±coded, intra refresh, quant variants), differential motion
+  * vectors (Table B.4 subset + per-spec predictor resets at slice
+  * start / after intra / after skipped), FULL- and HALF-pel luma +
+  * chroma prediction, skipped-macroblock copy via address increments,
+  * coded-block-pattern dispatch, and NON-intra dequantization
+  * ((2L + sign)·q·16/16 with oddification) with the dct_coeff_first
+  * alphabet for a coded block's first coefficient. B-pictures and the
   * H.264/H.265 successors remain StubCodec's documented fallback.
   */
 object Mpeg1 {
@@ -94,6 +100,39 @@ object Mpeg1 {
 
   private val AcByRunLevel: Map[(Int, Int), (Int, Int)] =
     AcCodes.map(e => (e._1, e._2) -> (e._3, e._4)).toMap
+
+  /** macroblock_address_increment VLC (Table B.1), increments 1..8 — the
+    * range our encoder's skip runs use; stuffing and the +33 escape are
+    * handled in the reader. (code, bits) indexed by increment-1.
+    */
+  private val MbaCodes: Array[(Int, Int)] = Array(
+    (0x1, 1), (0x3, 3), (0x2, 3), (0x3, 4), (0x2, 4), (0x3, 5), (0x2, 5),
+    (0x7, 7))
+
+  /** motion_code VLC (Table B.4) as (prefix, bits) for |code| 1..7; a sign
+    * bit follows (1 = negative). |code| 0 is the lone '1'.
+    */
+  private val MotionPrefix: Array[(Int, Int)] = Array(
+    (0x1, 2), (0x1, 3), (0x1, 4), (0x3, 6), (0x5, 7), (0x4, 7), (0x3, 7))
+
+  /** coded_block_pattern VLC (Table B.3 subset): the single-plane patterns
+    * our encoder can emit (all-luma and each lone block). (cbp, code, bits).
+    */
+  private val CbpCodes: Array[(Int, Int, Int)] = Array(
+    (60, 0x7, 3), (4, 0xd, 4), (8, 0xc, 4), (16, 0xb, 4), (32, 0xa, 4))
+
+  /** P-picture macroblock_type VLC (Table B.2b):
+    * (code, bits, quant, motionForward, pattern, intra).
+    */
+  private val PMbTypes: Array[(Int, Int, Boolean, Boolean, Boolean, Boolean)] =
+    Array(
+      (0x1, 1, false, true, true, false),   // pred-mc, coded
+      (0x1, 2, false, false, true, false),  // pred (MV 0), coded
+      (0x1, 3, false, true, false, false),  // pred-mc, not coded
+      (0x3, 5, false, false, false, true),  // intra
+      (0x2, 5, true, false, true, false),   // quant + coded
+      (0x3, 6, true, true, true, false),    // quant + mc + coded
+      (0x1, 6, true, false, false, true))   // quant + intra
 
   // ------------------------------------------------------------- bit I/O
 
@@ -191,8 +230,10 @@ object Mpeg1 {
     out
   }
 
-  /** Inverse 8×8 DCT (double), clamped to [0, 255]. */
-  def idct(coef: Array[Int]): Array[Int] = {
+  /** Inverse 8×8 DCT (double), rounded but UNclamped — residual blocks
+    * are signed and clamp only after adding to the prediction.
+    */
+  def idctRaw(coef: Array[Int]): Array[Int] = {
     val out = new Array[Int](64)
     var y = 0
     while (y < 8) {
@@ -209,13 +250,17 @@ object Mpeg1 {
           }
           v += 1
         }
-        out(y * 8 + x) = math.max(0, math.min(255, math.round(s).toInt))
+        out(y * 8 + x) = math.round(s).toInt
         x += 1
       }
       y += 1
     }
     out
   }
+
+  /** [[idctRaw]] clamped to [0, 255] — the intra-block form. */
+  def idct(coef: Array[Int]): Array[Int] =
+    idctRaw(coef).map(v => math.max(0, math.min(255, v)))
 
   // -------------------------------------------------------------- encoder
 
@@ -243,9 +288,15 @@ object Mpeg1 {
     }
   }
 
-  private def putAc(w: BitWriter, run: Int, level: Int): Unit = {
+  private def putAc(w: BitWriter, run: Int, level: Int,
+      first: Boolean = false): Unit = {
     val a = math.abs(level)
     require(a >= 1 && a <= 255 && run >= 0 && run <= 63, s"bad AC ($run, $level)")
+    if (first && run == 0 && a == 1) {
+      // dct_coeff_first: (0, ±1) is '1 s'
+      w.put(0x1L, 1); w.put(if (level < 0) 1L else 0L, 1)
+      return
+    }
     AcByRunLevel.get((run, a)) match {
       case Some((code, bits)) =>
         w.put(code.toLong, bits); w.put(if (level < 0) 1L else 0L, 1)
@@ -283,19 +334,95 @@ object Mpeg1 {
     dcQ
   }
 
-  /** Encode an I-only elementary stream. `lumaOf(pic, mbRow, mbCol)` gives
-    * each macroblock's (base, amp): Y(x, y) = base + amp·cos((2x+1)π/16)
-    * tiled per 8×8 block; chroma is constant (cbv, crv) per picture.
-    * Dimensions must be multiples of 16.
+  /** Per-macroblock plan for a P-picture (encoder input). */
+  sealed trait MbPlan
+  /** Skipped macroblock: zero-vector copy of the co-located reference
+    * block (illegal at a slice's first/last position — enforced).
     */
-  def encodeIFrames(width: Int, height: Int, nPictures: Int, qscale: Int,
-      lumaOf: (Int, Int, Int) => (Int, Int),
-      chromaOf: Int => (Int, Int)): Array[Byte] = {
+  case object SkipMb extends MbPlan
+  /** Intra refresh inside a P-picture: the I pattern (base, amp). */
+  final case class IntraMb(base: Int, amp: Int) extends MbPlan
+  /** Forward-predicted macroblock: motion vector in HALF-pel units; when
+    * `deltaLuma` ≠ 0 the four luma blocks carry a DC-only residual of
+    * approximately that pixel value (cbp = 60, non-intra quantization) —
+    * 0 means pred-without-coefficients.
+    */
+  final case class PredMb(dxHalf: Int, dyHalf: Int, deltaLuma: Int) extends MbPlan
+
+  /** One picture of an elementary stream: I with the standard test
+    * pattern, or P described per macroblock.
+    */
+  sealed trait FramePlan
+  final case class IFrame(lumaOf: (Int, Int) => (Int, Int),
+      chroma: (Int, Int)) extends FramePlan
+  final case class PFrame(planOf: (Int, Int) => MbPlan) extends FramePlan
+
+  private def putMba(w: BitWriter, inc: Int): Unit = {
+    require(inc >= 1 && inc <= MbaCodes.length, s"address increment $inc unsupported")
+    val (c, b) = MbaCodes(inc - 1)
+    w.put(c.toLong, b)
+  }
+
+  private def putMotion(w: BitWriter, code: Int): Unit = {
+    require(math.abs(code) <= 4, s"motion_code $code outside encoder range")
+    if (code == 0) w.put(0x1L, 1)
+    else {
+      val (c, b) = MotionPrefix(math.abs(code) - 1)
+      w.put(c.toLong, b)
+      w.put(if (code < 0) 1L else 0L, 1)
+    }
+  }
+
+  /** The intra-macroblock test pattern: per-8×8-block base + one
+    * horizontal AC basis, clamped.
+    */
+  private def intraLumaBlock(base: Int, amp: Int): Array[Int] =
+    Array.tabulate(64) { i =>
+      val x = i % 8
+      math.max(0, math.min(255, base + math.round(amp * CosT(x)(1)).toInt))
+    }
+
+  /** Emit the 6 blocks of an intra macroblock; returns updated DC
+    * predictors (chained across consecutive intra macroblocks).
+    */
+  private def putIntraBlocks(w: BitWriter, qscale: Int, base: Int, amp: Int,
+      cbv: Int, crv: Int, dc: (Int, Int, Int)): (Int, Int, Int) = {
+    val lumaCoef = fdct(intraLumaBlock(base, amp))
+    var dcY = dc._1
+    var b = 0
+    while (b < 4) { dcY = putBlock(w, lumaCoef, qscale, dcY, luma = true); b += 1 }
+    val dcCb = putBlock(w, fdct(Array.fill(64)(cbv)), qscale, dc._2, luma = false)
+    val dcCr = putBlock(w, fdct(Array.fill(64)(crv)), qscale, dc._3, luma = false)
+    (dcY, dcCb, dcCr)
+  }
+
+  /** Non-intra level whose reconstruction is nearest 8·delta (the DC-only
+    * residual); recon(L) = oddified((2L + sign L)·q·16/16).
+    */
+  def residualLevel(delta: Int, qscale: Int): Int =
+    if (delta > 0) math.max(1, math.round((8.0 * delta / qscale - 1) / 2).toInt)
+    else math.min(-1, math.round((8.0 * delta / qscale + 1) / 2).toInt)
+
+  /** The pixel value that level reconstructs to, for gate expectations. */
+  def residualPixel(level: Int, qscale: Int): Int = {
+    var recon = (2 * level + Integer.signum(level)) * qscale
+    if ((recon & 1) == 0) recon -= Integer.signum(recon)
+    math.round(recon / 8.0).toInt
+  }
+
+  /** Encode a mixed I/P elementary stream — the construction-inverse for
+    * q287/q288 and Mpeg1Spec. One slice per macroblock row; qscale fixed;
+    * full_pel_forward_vector = 0 (vectors in half-pel units),
+    * forward_f_code = 1. P chroma is predicted only (no chroma residual).
+    */
+  def encodeStream(width: Int, height: Int, qscale: Int,
+      frames: Seq[FramePlan]): Array[Byte] = {
     require(width % 16 == 0 && height % 16 == 0 && width > 0 && height > 0,
       s"dimensions must be positive multiples of 16: ${width}x$height")
     require(qscale >= 1 && qscale <= 31, s"qscale $qscale outside [1,31]")
+    require(frames.nonEmpty && frames.head.isInstanceOf[IFrame],
+      "stream must open with an I-picture")
     val w = new BitWriter
-    // sequence header
     w.startCode(0xb3)
     w.put(width.toLong, 12); w.put(height.toLong, 12)
     w.put(1L, 4) // pel_aspect_ratio: square
@@ -306,38 +433,91 @@ object Mpeg1 {
     w.put(0L, 1) // constrained_parameters_flag
     w.put(0L, 1); w.put(0L, 1) // default intra + non-intra matrices
     val (mbw, mbh) = (width / 16, height / 16)
-    for (p <- 0 until nPictures) {
+    for ((frame, p) <- frames.zipWithIndex) {
       w.startCode(0x00)
       w.put(p.toLong, 10) // temporal_reference
-      w.put(1L, 3) // picture_coding_type: I
-      w.put(0xffffL, 16) // vbv_delay
-      w.put(0L, 1) // extra_bit_picture
-      val (cbv, crv) = chromaOf(p)
-      for (row <- 0 until mbh) {
-        w.startCode(0x01 + row) // slice, vertical position row+1
-        w.put(qscale.toLong, 5)
-        w.put(0L, 1) // extra_bit_slice
-        var (dcY, dcCb, dcCr) = (128, 128, 128) // predictors reset per slice
-        for (col <- 0 until mbw) {
-          w.put(0x1L, 1) // macroblock_address_increment: 1
-          w.put(0x1L, 1) // macroblock_type: intra
-          val (base, amp) = lumaOf(p, row, col)
-          val lumaBlock = Array.tabulate(64) { i =>
-            val x = i % 8
-            math.max(0, math.min(255,
-              base + math.round(amp * CosT(x)(1)).toInt))
+      frame match {
+        case IFrame(lumaOf, (cbv, crv)) =>
+          w.put(1L, 3) // picture_coding_type: I
+          w.put(0xffffL, 16) // vbv_delay
+          w.put(0L, 1) // extra_bit_picture
+          for (row <- 0 until mbh) {
+            w.startCode(0x01 + row)
+            w.put(qscale.toLong, 5)
+            w.put(0L, 1) // extra_bit_slice
+            var dc = (128, 128, 128)
+            for (col <- 0 until mbw) {
+              putMba(w, 1)
+              w.put(0x1L, 1) // macroblock_type: intra
+              val (base, amp) = lumaOf(row, col)
+              dc = putIntraBlocks(w, qscale, base, amp, cbv, crv, dc)
+            }
           }
-          val lumaCoef = fdct(lumaBlock)
-          var b = 0
-          while (b < 4) { dcY = putBlock(w, lumaCoef, qscale, dcY, luma = true); b += 1 }
-          dcCb = putBlock(w, fdct(Array.fill(64)(cbv)), qscale, dcCb, luma = false)
-          dcCr = putBlock(w, fdct(Array.fill(64)(crv)), qscale, dcCr, luma = false)
-        }
+        case PFrame(planOf) =>
+          w.put(2L, 3) // picture_coding_type: P
+          w.put(0xffffL, 16) // vbv_delay
+          w.put(0L, 1) // full_pel_forward_vector: half-pel units
+          w.put(1L, 3) // forward_f_code = 1
+          w.put(0L, 1) // extra_bit_picture
+          for (row <- 0 until mbh) {
+            w.startCode(0x01 + row)
+            w.put(qscale.toLong, 5)
+            w.put(0L, 1)
+            var dc = (128, 128, 128)
+            var (pmx, pmy) = (0, 0) // MV predictors, reset per slice
+            var pendingSkip = 0
+            for (col <- 0 until mbw) {
+              val plan = planOf(row, col)
+              plan match {
+                case SkipMb =>
+                  require(col != 0 && col != mbw - 1,
+                    "a slice's first/last macroblock cannot be skipped")
+                  pendingSkip += 1
+                  pmx = 0; pmy = 0 // skipped MBs reset the MV predictor
+                  dc = (128, 128, 128)
+                case IntraMb(base, amp) =>
+                  putMba(w, 1 + pendingSkip); pendingSkip = 0
+                  w.put(0x3L, 5) // P macroblock_type: intra '00011'
+                  dc = putIntraBlocks(w, qscale, base, amp, 128, 128, dc)
+                  pmx = 0; pmy = 0 // intra resets the MV predictor
+                case PredMb(dx, dy, delta) =>
+                  putMba(w, 1 + pendingSkip); pendingSkip = 0
+                  if (delta == 0) w.put(0x1L, 3) // pred-mc not coded '001'
+                  else w.put(0x1L, 1) // pred-mc coded '1'
+                  putMotion(w, dx - pmx)
+                  putMotion(w, dy - pmy)
+                  pmx = dx; pmy = dy
+                  if (delta != 0) {
+                    w.put(0x7L, 3) // cbp = 60: all four luma blocks coded
+                    val lvl = residualLevel(delta, qscale)
+                    var b = 0
+                    while (b < 4) {
+                      putAc(w, 0, lvl, first = true)
+                      w.put(0x2L, 2) // EOB
+                      b += 1
+                    }
+                  }
+                  dc = (128, 128, 128) // non-intra MB resets DC predictors
+              }
+            }
+            require(pendingSkip == 0, "slice ended in skipped macroblocks")
+          }
       }
     }
-    w.startCode(0xb7) // sequence_end_code
+    w.startCode(0xb7)
     w.bytes()
   }
+
+  /** Encode an I-only elementary stream (q287's form). `lumaOf(pic,
+    * mbRow, mbCol)` gives each macroblock's (base, amp); chroma is
+    * constant per picture.
+    */
+  def encodeIFrames(width: Int, height: Int, nPictures: Int, qscale: Int,
+      lumaOf: (Int, Int, Int) => (Int, Int),
+      chromaOf: Int => (Int, Int)): Array[Byte] =
+    encodeStream(width, height, qscale,
+      (0 until nPictures).map(p =>
+        IFrame((row, col) => lumaOf(p, row, col), chromaOf(p))))
 
   // -------------------------------------------------------------- decoder
 
@@ -365,10 +545,17 @@ object Mpeg1 {
       if (v < (1 << (size - 1))) v - (1 << size) + 1 else v
     }
 
-  /** One AC run/level (sign applied) in the dct_coeff_next alphabet, or
-    * None on EOB.
+  /** One run/level (sign applied), or None on EOB. `first = true` selects
+    * the dct_coeff_FIRST alphabet used for a NON-intra block's first
+    * coefficient: '1s' means (0, ±1) and EOB cannot occur (a coded block
+    * has at least one coefficient); everywhere else '10' is EOB and
+    * (0, ±1) is '11s'.
     */
-  private def readAc(r: BitReader): Option[(Int, Int)] = {
+  private def readAc(r: BitReader, first: Boolean = false): Option[(Int, Int)] = {
+    if (first && r.peek(1) == 0x1) {
+      r.read(1)
+      return Some((0, if (r.read(1) == 1) -1 else 1))
+    }
     if (r.peek(2) == 0x2) { r.read(2); return None } // EOB '10'
     var code = 0
     var bits = 0
@@ -428,7 +615,201 @@ object Mpeg1 {
     (idct(coef), dcQ)
   }
 
-  /** Walk a full I-only elementary stream. Returns None when the bytes are
+  /** Non-intra residual block → raster-order RESIDUAL pixels (signed, no
+    * clamp — they add onto the prediction). Normative non-intra dequant:
+    * ((2L + sign L)·q·matrix)/16 with the all-16 default matrix,
+    * oddification and coefficient clamp; the first coefficient uses the
+    * dct_coeff_first alphabet.
+    */
+  private def readNonIntraBlock(r: BitReader, qscale: Int): Array[Int] = {
+    val coef = new Array[Int](64)
+    var i = -1
+    var first = true
+    var done = false
+    while (!done) {
+      readAc(r, first) match {
+        case None => done = true
+        case Some((run, level)) =>
+          i += run + 1
+          require(i < 64, s"AC run past block end (pos $i)")
+          val raster = RasterOf(i)
+          var recon = (2 * level + Integer.signum(level)) * qscale * 16 / 16
+          if ((recon & 1) == 0) recon -= Integer.signum(recon)
+          coef(raster) = math.max(-2048, math.min(2047, recon))
+          first = false
+      }
+    }
+    require(!first, "coded non-intra block with zero coefficients")
+    idctRaw(coef)
+  }
+
+  /** macroblock_address_increment with stuffing discarded and the +33
+    * escape folded in.
+    */
+  private def readMba(r: BitReader): Int = {
+    var inc = 0
+    while (true) {
+      var code = 0
+      var bits = 0
+      while (bits < 11) {
+        code = (code << 1) | r.read(1)
+        bits += 1
+        var i = 0
+        while (i < MbaCodes.length) {
+          val (c, b) = MbaCodes(i)
+          if (b == bits && c == code) return inc + i + 1
+          i += 1
+        }
+        if (bits == 11) {
+          if (code == 0xf) { code = 0; bits = 0 } // stuffing: discard
+          else if (code == 0x8) { inc += 33; code = 0; bits = 0 } // escape
+          else sys.error(s"invalid macroblock_address_increment 0x${code.toHexString}")
+        }
+      }
+    }
+    inc
+  }
+
+  /** One motion_code (Table B.4 subset |code| ≤ 7, sign applied). */
+  private def readMotion(r: BitReader): Int = {
+    if (r.peek(1) == 1) { r.read(1); return 0 }
+    var code = 0
+    var bits = 0
+    while (bits < 7) {
+      code = (code << 1) | r.read(1)
+      bits += 1
+      var i = 0
+      while (i < MotionPrefix.length) {
+        val (c, b) = MotionPrefix(i)
+        if (b == bits && c == code) {
+          val mag = i + 1
+          return if (r.read(1) == 1) -mag else mag
+        }
+        i += 1
+      }
+    }
+    sys.error(s"motion_code 0x${code.toHexString} outside the implemented table")
+  }
+
+  private def readCbp(r: BitReader): Int = {
+    var code = 0
+    var bits = 0
+    while (bits < 9) {
+      code = (code << 1) | r.read(1)
+      bits += 1
+      var i = 0
+      while (i < CbpCodes.length) {
+        val (cbp, c, b) = CbpCodes(i)
+        if (b == bits && c == code) return cbp
+        i += 1
+      }
+    }
+    sys.error(s"coded_block_pattern 0x${code.toHexString} outside the implemented table")
+  }
+
+  /** P-picture macroblock_type → (quant, motionForward, pattern, intra). */
+  private def readPMbType(r: BitReader): (Boolean, Boolean, Boolean, Boolean) = {
+    var code = 0
+    var bits = 0
+    while (bits < 6) {
+      code = (code << 1) | r.read(1)
+      bits += 1
+      var i = 0
+      while (i < PMbTypes.length) {
+        val (c, b, q, mf, pat, intra) = PMbTypes(i)
+        if (b == bits && c == code) return (q, mf, pat, intra)
+        i += 1
+      }
+    }
+    sys.error(s"invalid P macroblock_type 0x${code.toHexString}")
+  }
+
+  /** Forward motion-compensated copy of one size×size block with
+    * half-pel interpolation (right/down averages round half away from
+    * zero: (a+b+1)>>1, four-point (Σ+2)>>2). Coordinates must stay
+    * inside the reference plane — enforced, a conformant stream never
+    * points outside.
+    */
+  private def mcCopy(ref: Array[Int], stride: Int, planeH: Int,
+      dst: Array[Int], x0: Int, y0: Int, size: Int,
+      mvxHalf: Int, mvyHalf: Int): Unit = {
+    val fx = mvxHalf >> 1
+    val fy = mvyHalf >> 1
+    val hx = mvxHalf & 1
+    val hy = mvyHalf & 1
+    require(x0 + fx >= 0 && y0 + fy >= 0 &&
+      x0 + fx + size - 1 + hx < stride && y0 + fy + size - 1 + hy < planeH,
+      s"motion vector ($mvxHalf, $mvyHalf) points outside the reference")
+    var yy = 0
+    while (yy < size) {
+      var xx = 0
+      while (xx < size) {
+        val sx = x0 + xx + fx
+        val sy = y0 + yy + fy
+        val p = ref(sy * stride + sx)
+        val v =
+          if (hx == 0 && hy == 0) p
+          else if (hy == 0) (p + ref(sy * stride + sx + 1) + 1) >> 1
+          else if (hx == 0) (p + ref((sy + 1) * stride + sx) + 1) >> 1
+          else (p + ref(sy * stride + sx + 1) + ref((sy + 1) * stride + sx) +
+            ref((sy + 1) * stride + sx + 1) + 2) >> 2
+        dst(((y0 + yy) * stride) + x0 + xx) = v
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  private def placeBlock(plane: Array[Int], stride: Int, bx: Int, by: Int,
+      pix: Array[Int]): Unit = {
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        plane((by + yy) * stride + bx + xx) = pix(yy * 8 + xx)
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  private def addResidual(plane: Array[Int], stride: Int, bx: Int, by: Int,
+      res: Array[Int]): Unit = {
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        val i = (by + yy) * stride + bx + xx
+        plane(i) = math.max(0, math.min(255, plane(i) + res(yy * 8 + xx)))
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** Decode the 6 blocks of an intra macroblock into the planes; returns
+    * the updated DC predictors.
+    */
+  private def decodeIntraMb(r: BitReader, q: Int, row: Int, col: Int,
+      width: Int, y: Array[Int], cb: Array[Int], cr: Array[Int],
+      dc: (Int, Int, Int)): (Int, Int, Int) = {
+    var (dcY, dcCb, dcCr) = dc
+    var b = 0
+    while (b < 6) {
+      val luma = b < 4
+      val pred = if (luma) dcY else if (b == 4) dcCb else dcCr
+      val (pix, dcQ) = readBlock(r, q, pred, luma)
+      if (luma) dcY = dcQ else if (b == 4) dcCb = dcQ else dcCr = dcQ
+      if (luma)
+        placeBlock(y, width, col * 16 + (b % 2) * 8, row * 16 + (b / 2) * 8, pix)
+      else
+        placeBlock(if (b == 4) cb else cr, width / 2, col * 8, row * 8, pix)
+      b += 1
+    }
+    (dcY, dcCb, dcCr)
+  }
+
+  /** Walk a full I/P elementary stream. Returns None when the bytes are
     * not an MPEG-1 video sequence (no 0x1B3 sequence header first).
     */
   def decodeIFrames(bytes: Array[Byte]): Option[(SeqMeta, Seq[Picture])] = {
@@ -445,12 +826,23 @@ object Mpeg1 {
     if (r.read(1) == 1) (0 until 64).foreach(_ => r.read(8))
     val (mbw, mbh) = (width / 16, height / 16)
     val pics = Seq.newBuilder[Picture]
+    var ref: Picture = null // forward-prediction reference (last I or P)
     var code = r.nextStartCode()
     while (code == 0x00) {
       r.read(10) // temporal_reference
       val ptype = r.read(3)
-      require(ptype == 1, s"picture_coding_type $ptype: only I supported")
+      require(ptype == 1 || ptype == 2,
+        s"picture_coding_type $ptype: only I and P supported")
+      val isP = ptype == 2
+      require(!isP || ref != null, "P-picture with no reference frame")
       r.read(16) // vbv_delay
+      var fullPel = false
+      if (isP) {
+        fullPel = r.read(1) == 1
+        val fCode = r.read(3)
+        require(fCode == 1,
+          s"forward_f_code $fCode: only 1 (no residual bits) supported")
+      }
       require(r.read(1) == 0, "extra_bit_picture set: extension data unsupported")
       val y = new Array[Int](width * height)
       val cb = new Array[Int]((width / 2) * (height / 2))
@@ -458,77 +850,88 @@ object Mpeg1 {
       code = r.nextStartCode()
       while (code >= 0x01 && code <= 0xaf) { // slices
         val row0 = code - 1
-        val qscale = r.read(5)
-        require(qscale >= 1, "quantizer_scale 0 is forbidden")
+        var q = r.read(5)
+        require(q >= 1, "quantizer_scale 0 is forbidden")
         while (r.read(1) == 1) r.read(8) // extra_information_slice
-        var (dcY, dcCb, dcCr) = (128, 128, 128)
+        var dc = (128, 128, 128)
+        var (pmx, pmy) = (0, 0)
         var mbAddr = row0 * mbw - 1
         var sliceDone = false
         while (!sliceDone) {
-          // macroblock_address_increment: stuffing ('0000 0001 111')
-          // skipped; escape (+33, '0000 0001 000') folded in; in an
-          // I-picture every real increment is 1
-          var inc = 0
-          var incDone = false
-          while (!incDone) {
-            if (r.peek(1) == 1) { r.read(1); inc += 1; incDone = true }
-            else {
-              val v = r.read(11)
-              if (v == 0xf) () // stuffing: discard
-              else if (v == 0x8) inc += 33
-              else sys.error(s"unsupported macroblock_address_increment code 0x${v.toHexString}")
-            }
+          val inc = readMba(r)
+          require(isP || inc == 1,
+            s"skipped macroblocks (increment $inc) are illegal in I-pictures")
+          // skipped P macroblocks: zero-vector co-located copy; MV and DC
+          // predictors reset (§2.4.4.4)
+          var s = 1
+          while (s < inc) {
+            mbAddr += 1
+            val (srow, scol) = (mbAddr / mbw, mbAddr % mbw)
+            require(srow < mbh, s"skipped macroblock $mbAddr outside picture")
+            mcCopy(ref.y, width, height, y, scol * 16, srow * 16, 16, 0, 0)
+            mcCopy(ref.cb, width / 2, height / 2, cb, scol * 8, srow * 8, 8, 0, 0)
+            mcCopy(ref.cr, width / 2, height / 2, cr, scol * 8, srow * 8, 8, 0, 0)
+            pmx = 0; pmy = 0
+            dc = (128, 128, 128)
+            s += 1
           }
-          require(inc == 1, s"skipped macroblocks (increment $inc) are illegal in I-pictures")
-          mbAddr += inc
+          mbAddr += 1
           val (row, col) = (mbAddr / mbw, mbAddr % mbw)
           require(row < mbh && col < mbw, s"macroblock $mbAddr outside ${mbw}x$mbh")
-          // macroblock_type for I: '1' intra, '01' intra+quant
-          val q2 =
-            if (r.read(1) == 1) qscale
-            else {
+          if (!isP) {
+            // macroblock_type for I: '1' intra, '01' intra+quant
+            if (r.read(1) != 1) {
               require(r.read(1) == 1, "invalid I-picture macroblock_type")
-              r.read(5)
+              q = r.read(5)
             }
-          var b = 0
-          while (b < 6) {
-            val luma = b < 4
-            val pred = if (luma) dcY else if (b == 4) dcCb else dcCr
-            val (pix, dcQ) = readBlock(r, q2, pred, luma)
-            if (luma) dcY = dcQ else if (b == 4) dcCb = dcQ else dcCr = dcQ
-            // place the block
-            if (luma) {
-              val bx = col * 16 + (b % 2) * 8
-              val by = row * 16 + (b / 2) * 8
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  y((by + yy) * width + bx + xx) = pix(yy * 8 + xx)
-                  xx += 1
-                }
-                yy += 1
-              }
+            dc = decodeIntraMb(r, q, row, col, width, y, cb, cr, dc)
+          } else {
+            val (quant, mf, pattern, intra) = readPMbType(r)
+            if (quant) q = r.read(5)
+            if (intra) {
+              dc = decodeIntraMb(r, q, row, col, width, y, cb, cr, dc)
+              pmx = 0; pmy = 0
             } else {
-              val plane = if (b == 4) cb else cr
-              val (bx, by) = (col * 8, row * 8)
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  plane((by + yy) * (width / 2) + bx + xx) = pix(yy * 8 + xx)
-                  xx += 1
+              var (mvx, mvy) = (0, 0)
+              if (mf) {
+                mvx = pmx + readMotion(r)
+                mvy = pmy + readMotion(r)
+                require(mvx >= -16 && mvx <= 15 && mvy >= -16 && mvy <= 15,
+                  s"reconstructed vector ($mvx, $mvy) outside the f_code=1 range")
+                pmx = mvx; pmy = mvy
+              } else { pmx = 0; pmy = 0 }
+              val (lx, ly) = if (fullPel) (mvx * 2, mvy * 2) else (mvx, mvy)
+              // chroma vectors: half the luma vector, truncated toward zero
+              val (cx, cy) = (lx / 2, ly / 2)
+              mcCopy(ref.y, width, height, y, col * 16, row * 16, 16, lx, ly)
+              mcCopy(ref.cb, width / 2, height / 2, cb, col * 8, row * 8, 8, cx, cy)
+              mcCopy(ref.cr, width / 2, height / 2, cr, col * 8, row * 8, 8, cx, cy)
+              if (pattern) {
+                val cbp = readCbp(r)
+                var b = 0
+                while (b < 6) {
+                  if ((cbp & (1 << (5 - b))) != 0) {
+                    val res = readNonIntraBlock(r, q)
+                    if (b < 4)
+                      addResidual(y, width,
+                        col * 16 + (b % 2) * 8, row * 16 + (b / 2) * 8, res)
+                    else
+                      addResidual(if (b == 4) cb else cr, width / 2,
+                        col * 8, row * 8, res)
+                  }
+                  b += 1
                 }
-                yy += 1
               }
+              dc = (128, 128, 128) // non-intra macroblock resets DC prediction
             }
-            b += 1
           }
           if (r.atSliceEnd) sliceDone = true
         }
         code = r.nextStartCode()
       }
-      pics += Picture(width, height, y, cb, cr)
+      val pic = Picture(width, height, y, cb, cr)
+      ref = pic
+      pics += pic
     }
     val ps = pics.result()
     if (code != 0xb7 || ps.isEmpty) None

@@ -1018,12 +1018,14 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake standing in for the codec library
     * on the formats [[MediaCodecs]] can't parse. Since r13 that is only
-    * MOTION-COMPENSATED codecs (P/B inter-frames, H.264/H.265 — a
-    * hand-written motion-comp pipeline stays a documented permanent
-    * skip): entropy-coded video now decodes for real via MPEG-1 I-frame
-    * streams ([[Mpeg1.decodeIFrames]] — VLC + dequant + IDCT, gated by
-    * q287) and MJPEG-in-AVI (q272), compressed images via JPEG/PNG/GIF,
-    * audio via WAV/MP3, and the MP4 container parses box-level metadata.
+    * BIDIRECTIONALLY-predicted codecs (MPEG B-pictures) and the
+    * H.264/H.265 successors — a documented permanent skip: entropy-coded
+    * video decodes for real via MPEG-1 I-frame streams (q287) and
+    * MOTION-COMPENSATED video via MPEG-1 P-pictures — full/half-pel
+    * forward prediction, differential vectors, skipped macroblocks,
+    * non-intra residuals ([[Mpeg1.decodeIFrames]], gated by q288) — plus
+    * MJPEG-in-AVI (q272); compressed images via JPEG/PNG/GIF, audio via
+    * WAV/MP3, and the MP4 container parses box-level metadata.
     */
   final class StubCodec {
     def decode(modality: String, mime: String, bytes: Array[Byte]): Decoded = {

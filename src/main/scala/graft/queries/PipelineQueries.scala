@@ -1019,6 +1019,121 @@ object PipelineQueries extends Registry {
           FROM documents, UNNEST(range(0, 1 + doc_id % 3)) AS t(f)
           WHERE doc_id % 5 = 1 ORDER BY id, frame_idx""")),
 
+    // ---- MOTION-COMPENSATED video decode (q287's successor — the
+    //      "motion-compensated" half of the old stub claim made real):
+    //      each doc derives an MPEG-1 stream of one I-picture plus P-
+    //      pictures whose macroblocks exercise the full forward-
+    //      prediction alphabet — skipped-MB co-located copy, intra
+    //      refresh (with AC + escape levels), full- AND half-pel motion
+    //      with differential vectors and per-spec predictor resets, and
+    //      cbp=60 non-intra DC residuals through the dct_coeff_first
+    //      alphabet and non-intra dequant. The in-row check replays the
+    //      whole prediction chain with an INDEPENDENT reference simulator
+    //      (shift / average / residualPixel / copy over the expected
+    //      planes) — per-pixel error bounded across every frame, so a
+    //      wrong vector, a stale reference frame, an unreset predictor or
+    //      a bad residual all flip lossy_ok. StubCodec's remaining claim
+    //      is B-pictures + H.264/H.265 only. -----------------------------------
+    Q("q288_mpeg1_pframes",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Mpeg1
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 7 === 3)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, nch) =>
+              val w = (16 * (3 + id % 2)).toInt // 48 or 64
+              val h = 48
+              val nP = (1 + nch % 2).toInt      // 1 or 2 P-pictures
+              val q = 2
+              val (mbw, mbh) = (w / 16, h / 16)
+              def base0(row: Int, col: Int): Int =
+                (40 + math.floorMod(id + row * 37L + col * 11L, 176)).toInt
+              def planOf(p: Int)(row: Int, col: Int): Mpeg1.MbPlan = {
+                val interior = row > 0 && row < mbh - 1 && col > 0 && col < mbw - 1
+                if (!interior) Mpeg1.PredMb(0, 0, 0)
+                else math.floorMod(id + p + row + col, 4) match {
+                  case 0 => Mpeg1.IntraMb(
+                    (40 + math.floorMod(id + p * 31L + row * 7L + col * 13L, 176)).toInt,
+                    (4 + math.floorMod(id + p, 15L)).toInt)
+                  case 1 => Mpeg1.PredMb(
+                    (math.floorMod(id + p + col, 5L) - 2).toInt,
+                    (math.floorMod(id + p + row, 5L) - 2).toInt, 0)
+                  case 2 => Mpeg1.PredMb(
+                    (math.floorMod(id + col, 5L) - 2).toInt,
+                    (math.floorMod(id + row, 5L) - 2).toInt,
+                    (3 + id % 4).toInt)
+                  case _ => Mpeg1.SkipMb
+                }
+              }
+              val frames = Mpeg1.IFrame((r, c) => (base0(r, c), 0), (128, 128)) +:
+                (0 until nP).map(p => Mpeg1.PFrame(planOf(p)))
+              val es = Mpeg1.encodeStream(w, h, q, frames)
+              val (meta, pics) = Mpeg1.decodeIFrames(es).get
+              // independent reference simulation of the prediction chain
+              var exp = Array.tabulate(h, w)((y, x) => base0(y / 16, x / 16))
+              val expByFrame = Array.fill[Array[Array[Int]]](nP + 1)(null)
+              expByFrame(0) = exp
+              for (p <- 0 until nP) {
+                val prev = exp
+                def mc(y: Int, x: Int, dyH: Int, dxH: Int): Int = {
+                  val (fy, fx) = (dyH >> 1, dxH >> 1)
+                  val (hy, hx) = (dyH & 1, dxH & 1)
+                  val p00 = prev(y + fy)(x + fx)
+                  if (hy == 0 && hx == 0) p00
+                  else if (hy == 0) (p00 + prev(y + fy)(x + fx + 1) + 1) >> 1
+                  else if (hx == 0) (p00 + prev(y + fy + 1)(x + fx) + 1) >> 1
+                  else (p00 + prev(y + fy)(x + fx + 1) + prev(y + fy + 1)(x + fx) +
+                    prev(y + fy + 1)(x + fx + 1) + 2) >> 2
+                }
+                exp = Array.tabulate(h, w) { (y, x) =>
+                  planOf(p)(y / 16, x / 16) match {
+                    case Mpeg1.SkipMb => prev(y)(x)
+                    case Mpeg1.IntraMb(b, a) =>
+                      math.max(0, math.min(255, b + math.round(
+                        a * math.cos((2 * (x % 8) + 1) * math.Pi / 16.0)).toInt))
+                    case Mpeg1.PredMb(dx, dy, d) =>
+                      val delta = if (d == 0) 0
+                        else Mpeg1.residualPixel(Mpeg1.residualLevel(d, q), q)
+                      math.max(0, math.min(255, mc(y, x, dy, dx) + delta))
+                  }
+                }
+                expByFrame(p + 1) = exp
+              }
+              pics.zipWithIndex.map { case (pic, f) =>
+                val want = expByFrame(f)
+                var maxDev = 0
+                var yy = 0
+                while (yy < h) {
+                  var xx = 0
+                  while (xx < w) {
+                    val d = math.abs(pic.y(yy * w + xx) - want(yy)(xx))
+                    if (d > maxDev) maxDev = d
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                val devC = math.max(
+                  pic.cb.map(v => math.abs(v - 128)).max,
+                  pic.cr.map(v => math.abs(v - 128)).max)
+                (id, f, meta.width, meta.height, meta.nPictures,
+                  if (maxDev <= 8 && devC <= 4) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "width", "height", "n_frames", "lossy_ok")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""SELECT doc_id AS id, CAST(t.f AS INT) AS frame_idx,
+            CAST(16 * (3 + doc_id % 2) AS INT) AS width,
+            CAST(48 AS INT) AS height,
+            CAST(2 + n_chars % 2 AS INT) AS n_frames,
+            CAST(1 AS BIGINT) AS lossy_ok
+          FROM documents, UNNEST(range(0, 2 + n_chars % 2)) AS t(f)
+          WHERE doc_id % 7 = 3 ORDER BY id, frame_idx""")),
+
     // ---- REAL animated-format frame extraction: each doc's metadata
     //      derives an animated GIF (spec-valid 89a, hand-written LZW
     //      stream ImageIO decodes identically — ImageIOCrossCheckSpec),

@@ -103,6 +103,89 @@ class Mpeg1Spec extends AnyFunSuite {
     }
   }
 
+  test("P-picture: full/half-pel MC, residual, intra refresh, skip — all within bounds") {
+    import Mpeg1._
+    // frame 0: flat macroblocks (amp 0) → DC-exact decode, so frame 1's
+    // expectation is computable by an INDEPENDENT reference MC inline here
+    val w = 48; val h = 48; val q = 2
+    def base0(row: Int, col: Int) = 60 + row * 40 + col * 13
+    val plan1: (Int, Int) => MbPlan = {
+      case (0, 0) => PredMb(0, 0, 0)
+      case (0, 1) => SkipMb
+      case (0, 2) => PredMb(0, 0, 0)
+      case (1, 0) => PredMb(2, 0, 0)   // full-pel right by 1
+      case (1, 1) => PredMb(1, 0, 0)   // HALF-pel right
+      case (1, 2) => PredMb(0, 0, 5)   // zero-MV + luma residual +5
+      case (2, 0) => IntraMb(77, 0)    // intra refresh inside P
+      case (2, 1) => PredMb(0, -2, 0)  // full-pel up by 1
+      case (2, 2) => PredMb(0, 0, -7)  // negative residual
+      case _      => PredMb(0, 0, 0)
+    }
+    val bytes = encodeStream(w, h, q, Seq(
+      IFrame((r, c) => (base0(r, c), 0), (128, 128)), PFrame(plan1)))
+    val (meta, pics) = decodeIFrames(bytes).get
+    assert(meta == SeqMeta(w, h, 2) && pics.size == 2)
+    // reference frame 0 (exact for flat blocks)
+    val f0 = Array.tabulate(h, w)((y, x) => base0(y / 16, x / 16))
+    // independent reference prediction for frame 1
+    def mc(y: Int, x: Int, dyH: Int, dxH: Int): Int = {
+      val (fy, fx) = (dyH >> 1, dxH >> 1)
+      val (hy, hx) = (dyH & 1, dxH & 1)
+      val p00 = f0(y + fy)(x + fx)
+      if (hy == 0 && hx == 0) p00
+      else if (hy == 0) (p00 + f0(y + fy)(x + fx + 1) + 1) >> 1
+      else if (hx == 0) (p00 + f0(y + fy + 1)(x + fx) + 1) >> 1
+      else (p00 + f0(y + fy)(x + fx + 1) + f0(y + fy + 1)(x + fx) +
+        f0(y + fy + 1)(x + fx + 1) + 2) >> 2
+    }
+    val want = Array.tabulate(h, w) { (y, x) =>
+      plan1(y / 16, x / 16) match {
+        case SkipMb => f0(y)(x)
+        case IntraMb(b, _) => b
+        case PredMb(dx, dy, d) =>
+          val delta = if (d == 0) 0 else residualPixel(residualLevel(d, q), q)
+          math.max(0, math.min(255, mc(y, x, dy, dx) + delta))
+      }
+    }
+    var maxDev = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDev = math.max(maxDev, math.abs(pics(1).y(y * w + x) - want(y)(x)))
+    assert(maxDev <= 2, s"P reconstruction deviates by $maxDev")
+    // chroma: constant 128 everywhere (copied, skipped or intra-refreshed)
+    assert(pics(1).cb.forall(v => math.abs(v - 128) <= 2) &&
+      pics(1).cr.forall(v => math.abs(v - 128) <= 2), "chroma drifted")
+  }
+
+  test("P-chain: the reference frame advances (frame 2 predicts from frame 1)") {
+    import Mpeg1._
+    val w = 32; val h = 32; val q = 2
+    def base0(row: Int, col: Int) = 50 + row * 60 + col * 25
+    // every frame shifts content right by one full pel via MV (+2, 0) on
+    // column 1 and keeps column 0 — after TWO P frames, the column-1 block
+    // has sampled through frame 1, not frame 0 (distinguishable because
+    // frame 1's (1,1) block already mixes in a residual)
+    val plan: (Int, Int) => MbPlan = {
+      case (r, 0) => PredMb(0, 0, 0)
+      case (1, 1) => PredMb(-2, 0, 10)
+      case _      => PredMb(-2, 0, 0)
+    }
+    val bytes = encodeStream(w, h, q, Seq(
+      IFrame((r, c) => (base0(r, c), 0), (128, 128)), PFrame(plan), PFrame(plan)))
+    val (_, pics) = decodeIFrames(bytes).get
+    assert(pics.size == 3)
+    val delta = residualPixel(residualLevel(10, q), q)
+    // pixel (y=24, x=24): frame1 = f0(24, 23) + delta; frame2 samples
+    // frame1 at x=23 (same block, residual applied again)
+    val f0v = base0(1, 23 / 16) // x=23 → column block 1
+    val want1 = math.min(255, f0v + delta)
+    val got1 = pics(1).y(24 * w + 24)
+    assert(math.abs(got1 - want1) <= 2, s"frame1: $got1 vs $want1")
+    val want2 = math.min(255, want1 + delta) // frame2 = frame1 shifted + delta again
+    val got2 = pics(2).y(24 * w + 24)
+    assert(math.abs(got2 - want2) <= 2,
+      s"frame2 did not predict from frame1: $got2 vs $want2")
+  }
+
   test("malformed streams are rejected, not misdecoded") {
     // not MPEG at all
     assert(Mpeg1.decodeIFrames("plainly not a video".getBytes).isEmpty)
