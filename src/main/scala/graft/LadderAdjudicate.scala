@@ -199,11 +199,15 @@ object LadderAdjudicate {
         results.collect { case (q, Right((_, b))) => jstr(q) + ":" + d3(b) }
           .mkString("{", ",", "}")},""" +
       s""""rungs":$rungJson,"rung_regressions":$regJson}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LADDER.json"), out + "\n")
+    // an ONLY-restricted run must never clobber the canonical full-rung
+    // artifact (the same rule Bench applies to BENCH_SUBSET.json)
+    val artifact = if (sys.env.contains("SPARK_GRAFT_LADDER_ONLY"))
+      "BENCH_LADDER_SUBSET.json" else "BENCH_LADDER.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), out + "\n")
     println(s"""{"metric":"sf_ladder_adjudicated","n_rungs":${results.size},""" +
       s""""n_errors":$nErr,"n_rung_regressions":${regressions.size},""" +
       s""""canary_start_sec":${d3(canaryStart)},"canary_end_sec":${d3(canaryEnd)},""" +
-      s""""artifact":"BENCH_LADDER.json"}""")
+      s""""artifact":"$artifact"}""")
     spark.stop()
   }
 }
