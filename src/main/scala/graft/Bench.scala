@@ -47,22 +47,26 @@ object Bench {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p) else ""
     } catch { case _: Throwable => "" }
-    val priorWarm = BenchAdjudicate.parseQueriesWarm(priorTxt)
-    val priorStrmRates = BenchAdjudicate.parseStreamingRates(priorTxt)
+    val priorWarmRaw = BenchAdjudicate.parseQueriesWarm(priorTxt)
+    val priorStrmRaw = BenchAdjudicate.parseStreamingRates(priorTxt)
     // parse-count sanity (ADVICE r12): a format drift degrades the regex
     // parsers to empty maps and silently disables the warm/streaming
     // gates — name it loudly and record it in the artifact instead
-    val parseWarnings = BenchAdjudicate.parseSanity(priorTxt, priorWarm, priorStrmRates)
+    val parseWarnings = BenchAdjudicate.parseSanity(priorTxt, priorWarmRaw, priorStrmRaw)
     parseWarnings.foreach(k => System.err.println(
       s"[bench] PRIOR-ARTIFACT PARSE FAILURE: $k present but parsed empty - " +
         "warm/streaming adjudication gates are running blind this round"))
     val hostFp = BenchAdjudicate.hostFingerprint()
-    // canary-vs-prior assumes same hardware: a committed artifact from a
-    // different box must not read as pressure (or quiet) here
+    // EVERY prior comparison assumes same hardware: a committed artifact
+    // from another box must not read as pressure here, fire phantom
+    // warm_retries, or flag every streaming query as a throughput drop
+    // (warm_retry's own cold-vs-warm trigger keeps working regardless)
     val priorHostFp = BenchAdjudicate.parseHostFingerprint(priorTxt)
     val sameHost = priorHostFp.forall(_ == hostFp)
     if (!sameHost) System.err.println(
-      s"[bench] host fingerprint changed (${priorHostFp.getOrElse("?")} -> $hostFp) - canary prior comparison disabled")
+      s"[bench] host fingerprint changed (${priorHostFp.getOrElse("?")} -> $hostFp) - all prior-artifact comparisons disabled")
+    val priorWarm = if (sameHost) priorWarmRaw else Map.empty[String, Double]
+    val priorStrmRates = if (sameHost) priorStrmRaw else Map.empty[String, Double]
     val priorCanary =
       if (sameHost) BenchAdjudicate.parsePriorCanary(priorTxt) else None
     // fixed load canary: a data-independent synthetic job (CPU-bound range

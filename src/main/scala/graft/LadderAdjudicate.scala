@@ -53,6 +53,20 @@ object LadderAdjudicate {
     (x1.keySet ++ x100.keySet).map(q => q -> (x1.get(q), x100.get(q))).toMap
   }
 
+  /** Every rung ATTEMPTED by a prior run — including errored rungs, which
+    * have no timing entries. Without this a rung that errors once would
+    * silently drop out of all future runs (its timings vanish from the
+    * overwritten artifact), recreating exactly the rot this tool exists
+    * to prevent.
+    */
+  def parseRungNames(txt: String): Set[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"rung_names\"\\s*:\\s*\\[([^\\]]*)\\]").matcher(txt)
+    if (!m.find()) Set.empty
+    else m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.startsWith("q")).toSet
+  }
+
   /** Rungs whose current 100×/1× ratio exceeds `factor` × the prior ratio
     * AND whose absolute 100× cost grew → (prior_ratio, current_ratio).
     * Both conditions matter: a 1× denominator that got FASTER doubles the
@@ -96,9 +110,12 @@ object LadderAdjudicate {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val known = SparkEntry.queries.keySet -- SparkEntry.streamingQueries
     // ONLY restricts to the named rungs; ADD enrolls new kernels on top
-    // of every recorded rung (how a new query enters the ladder)
+    // of every recorded rung (how a new query enters the ladder); rung
+    // NAMES from the prior regular artifact keep once-errored rungs
+    // enrolled even though they have no prior timings
     val rungSet = envSet("SPARK_GRAFT_LADDER_ONLY").getOrElse(
-      prior.keySet ++ envSet("SPARK_GRAFT_LADDER_ADD").getOrElse(Set.empty))
+      prior.keySet ++ parseRungNames(regularTxt) ++
+        envSet("SPARK_GRAFT_LADDER_ADD").getOrElse(Set.empty))
     val queries = rungSet.filter { q =>
       val ok = known.contains(q)
       if (!ok) System.err.println(s"[ladder] skip $q (unknown or streaming-gated)")
@@ -192,6 +209,7 @@ object LadderAdjudicate {
       s""""host_fingerprint":${jstr(BenchAdjudicate.hostFingerprint())},""" +
       s""""canary_start_sec":${d3(canaryStart)},"canary_end_sec":${d3(canaryEnd)},""" +
       s""""n_rungs":${results.size},"n_errors":$nErr,""" +
+      s""""rung_names":${results.map(r => jstr(r._1)).mkString("[", ",", "]")},""" +
       s""""1x_sf0.1":${
         results.collect { case (q, Right((a, _))) => jstr(q) + ":" + d3(a) }
           .mkString("{", ",", "}")},""" +

@@ -103,16 +103,21 @@ object ScaleUp {
     // disjoint copies of the source join graph (q181 bucketed join, q278
     // bucket-pruned lookup, q277 incremental agg — the keyed-fact rungs
     // VERDICT r12 item 3 asked for)
-    def maxOf(table: String, c: String): Long = {
+    // one aggregate scan per table for ALL its cross-table maxes
+    def maxOf(table: String, cols: String*): Seq[Long] = {
       val row = graft.core.Tables(spark, src, table)
-        .agg(max(col(c).cast("long"))).head()
-      require(!row.isNullAt(0), s"ScaleUp: $table.$c is empty/all-NULL")
-      row.getLong(0)
+        .agg(max(col(cols.head).cast("long")),
+          cols.tail.map(c => max(col(c).cast("long"))): _*).head()
+      cols.indices.map { i =>
+        require(!row.isNullAt(i), s"ScaleUp: $table.${cols(i)} is empty/all-NULL")
+        row.getLong(i)
+      }
     }
-    val orderStride =
-      math.max(maxOf("lineitem", "l_orderkey"), maxOf("orders", "o_orderkey")) + 1
-    val custStride =
-      math.max(maxOf("orders", "o_custkey"), maxOf("customer", "c_custkey")) + 1
+    val Seq(lOrderMax) = maxOf("lineitem", "l_orderkey")
+    val Seq(oOrderMax, oCustMax) = maxOf("orders", "o_orderkey", "o_custkey")
+    val Seq(cCustMax) = maxOf("customer", "c_custkey")
+    val orderStride = math.max(lOrderMax, oOrderMax) + 1
+    val custStride = math.max(oCustMax, cCustMax) + 1
     replicate("lineitem", Seq("l_orderkey", "l_partkey"),
       Map("l_orderkey" -> orderStride))
     replicate("orders", Seq("o_orderkey", "o_custkey"),

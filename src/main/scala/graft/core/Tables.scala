@@ -28,36 +28,11 @@ object Tables {
     * used to accumulate under /tmp with no cleanup).
     */
   lazy val sessionConfs: Map[String, String] = {
-    val root = java.nio.file.Paths.get("/tmp/graft-warehouse")
-    if (java.nio.file.Files.isDirectory(root)) {
-      val pidPat = "^(\\d+)-.*$".r
-      val self = ProcessHandle.current().pid()
-      val st = java.nio.file.Files.list(root)
-      try {
-        val it = st.iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          p.getFileName.toString match {
-            case pidPat(pid) if pid.toLong != self &&
-                !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
-              try deleteRecursively(p) catch { case _: java.io.IOException => () }
-            case _ => ()
-          }
-        }
-      } finally st.close()
-    }
+    // legacy pre-pid warehouse dirs (bare UUID names) are swept too —
+    // their writers ran an older binary and are gone
+    Fs.sweepDeadPidDirs("/tmp/graft-warehouse", "^(\\d+)-.*$".r,
+      sweepLegacy = true)
     baseConfs
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      val st = java.nio.file.Files.list(p)
-      try {
-        val it = st.iterator()
-        while (it.hasNext) deleteRecursively(it.next())
-      } finally st.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
   }
 
   private val baseConfs: Map[String, String] = Map(

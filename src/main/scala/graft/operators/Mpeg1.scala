@@ -28,14 +28,19 @@ object Mpeg1 {
 
   // ---------------------------------------------------------------- tables
 
-  /** Default intra quantizer matrix (raster order), ISO/IEC 11172-2 §2.4.3.1. */
+  /** Default intra quantizer matrix (raster order), ISO/IEC 11172-2
+    * §2.4.3.1 — cross-checked against the public reference decoders'
+    * copies of the normative table (r13 review caught ~10 drifted
+    * mid-band values that the construction-inverse gates couldn't see
+    * because encoder and decoder shared them).
+    */
   private val IntraQ: Array[Int] = Array(
     8, 16, 19, 22, 26, 27, 29, 34,
     16, 16, 22, 24, 27, 29, 34, 37,
     19, 22, 26, 27, 29, 34, 34, 38,
-    22, 24, 27, 29, 34, 37, 38, 40,
-    22, 26, 27, 29, 34, 37, 40, 48,
-    26, 27, 29, 34, 35, 40, 48, 58,
+    22, 22, 26, 27, 29, 34, 37, 40,
+    22, 26, 27, 29, 32, 35, 40, 48,
+    26, 27, 29, 32, 35, 40, 48, 58,
     26, 27, 29, 34, 38, 46, 56, 69,
     27, 29, 35, 38, 46, 56, 69, 83)
 
@@ -122,7 +127,12 @@ object Mpeg1 {
     (60, 0x7, 3), (4, 0xd, 4), (8, 0xc, 4), (16, 0xb, 4), (32, 0xa, 4))
 
   /** P-picture macroblock_type VLC (Table B.2b):
-    * (code, bits, quant, motionForward, pattern, intra).
+    * (code, bits, quant, motionForward, pattern, intra). The quant rows
+    * follow the normative assignment — '00010' is quant+MC+coded and
+    * '00001' is quant+coded-no-MC (r13 review: an earlier draft swapped
+    * them, which a conformant external stream would hit as a bitstream
+    * desync; the construction-inverse gates never emit quant types, so
+    * only a table audit can catch this class of drift).
     */
   private val PMbTypes: Array[(Int, Int, Boolean, Boolean, Boolean, Boolean)] =
     Array(
@@ -130,8 +140,8 @@ object Mpeg1 {
       (0x1, 2, false, false, true, false),  // pred (MV 0), coded
       (0x1, 3, false, true, false, false),  // pred-mc, not coded
       (0x3, 5, false, false, false, true),  // intra
-      (0x2, 5, true, false, true, false),   // quant + coded
-      (0x3, 6, true, true, true, false),    // quant + mc + coded
+      (0x2, 5, true, true, true, false),    // quant + mc + coded
+      (0x1, 5, true, false, true, false),   // quant + coded (no MC)
       (0x1, 6, true, false, false, true))   // quant + intra
 
   // ------------------------------------------------------------- bit I/O

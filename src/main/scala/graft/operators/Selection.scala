@@ -160,9 +160,20 @@ object Selection {
       .groupBy(vals("g").as("gg"), $"v").agg(sum($"wt").as("c"))
       .limit((phase2Cap + 1).toInt)
       .collect()
-    require(inBucketRows.length <= phase2Cap,
-      s"target buckets hold more than $phase2Cap distinct values — " +
-        "raise `buckets` so each bucket narrows further")
+    // raising `buckets` narrows ordinary buckets but can never subdivide
+    // the OVERFLOW bucket — if the kth landed there, the actionable fix
+    // is the size hint, and the error must say so (ADVICE-class follow-up
+    // to the r13 clamp)
+    require(inBucketRows.length <= phase2Cap, {
+      val overflowHit = targets.values.exists(_._3 == buckets.toLong)
+      if (overflowHit)
+        s"target buckets hold more than $phase2Cap distinct values and the " +
+          s"kth statistic falls in the overflow bucket — the supplied " +
+          s"maxValue ($maxV) underestimates the value domain; raise maxValue"
+      else
+        s"target buckets hold more than $phase2Cap distinct values — " +
+          "raise `buckets` so each bucket narrows further"
+    })
     val inBucket = inBucketRows
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)

@@ -38,11 +38,16 @@ object DecisionLog {
 
   /** Run `f` with a fresh thread-local sink; return its result plus
     * exactly the decisions `f`'s call tree recorded on this thread.
+    * Reentrant: a nested capture restores the OUTER sink on exit, so the
+    * outer scope keeps receiving its later decisions (a plain remove()
+    * would silently divert them to the global ledger).
     */
   def withCapture[T](f: => T): (T, Seq[Decision]) = {
+    val outer = local.get()
     val buf = scala.collection.mutable.Buffer.empty[Decision]
     local.set(buf)
-    try { val r = f; (r, buf.toSeq) } finally local.remove()
+    try { val r = f; (r, buf.toSeq) }
+    finally { if (outer != null) local.set(outer) else local.remove() }
   }
 
   /** Drain the process-wide ledger (operational surface; the gate path

@@ -66,19 +66,11 @@ object IngestQueries extends Registry {
     }
   }
 
-  /** Shared recursive delete (also used by PipelineQueries.publishParquet);
-    * the directory stream is closed eagerly rather than leaked to GC.
+  /** Shared recursive delete (also used by PipelineQueries.publishParquet)
+    * — one definition, in [[graft.core.Fs]].
     */
-  private[queries] def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      val st = Files.list(p)
-      try {
-        val it = st.iterator()
-        while (it.hasNext) deleteRecursively(it.next())
-      } finally st.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  private[queries] def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.core.Fs.deleteRecursively(p)
 
   /** Atomic text-fixture write: content lands in a pid-keyed temp file
     * first and is renamed over the fixed path in one ATOMIC_MOVE, so a

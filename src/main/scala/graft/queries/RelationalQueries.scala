@@ -2545,30 +2545,11 @@ object RelationalQueries extends Registry {
     * touched, and this JVM's own layouts stay reusable across cold/warm.
     */
   private lazy val zorderProcToken: String = {
-    for (root <- Seq("/tmp/graft-zorder-skip", "/tmp/graft-compact", "/tmp/graft-bloom")) {
-      val d = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.isDirectory(d)) {
-        // <md5 12>-<pid>-<uuid8>[-suffix]; anything else is a legacy
-        // (pre-pid) layout from an older binary — its JVM is gone, sweep it
-        val pidPat = "^[0-9a-f]{12}-(\\d+)-\\w+(?:-\\w+)?$".r
-        val self = ProcessHandle.current().pid()
-        val st = java.nio.file.Files.list(d)
-        try {
-          val it = st.iterator()
-          while (it.hasNext) {
-            val p = it.next()
-            val dead = p.getFileName.toString match {
-              case pidPat(pid) => pid.toLong != self &&
-                !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
-              case _ => true
-            }
-            if (dead)
-              try IngestQueries.deleteRecursively(p)
-              catch { case _: java.io.IOException => () }
-          }
-        } finally st.close()
-      }
-    }
+    // <md5 12>-<pid>-<uuid8>[-suffix]; anything else is a legacy
+    // (pre-pid) layout from an older binary — its JVM is gone, sweep it
+    for (root <- Seq("/tmp/graft-zorder-skip", "/tmp/graft-compact", "/tmp/graft-bloom"))
+      graft.core.Fs.sweepDeadPidDirs(root,
+        "^[0-9a-f]{12}-(\\d+)-\\w+(?:-\\w+)?$".r, sweepLegacy = true)
     ProcessHandle.current().pid() + "-" +
       java.util.UUID.randomUUID().toString.take(8)
   }

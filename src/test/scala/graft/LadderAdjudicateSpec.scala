@@ -60,6 +60,23 @@ class LadderAdjudicateSpec extends AnyFunSuite {
       Map.empty, Map("qnew" -> (50.0, 10.0))).isEmpty)
   }
 
+  test("errored rungs stay enrolled via rung_names (no silent rot)") {
+    // a rung that errors has no timing entries in the overwritten
+    // artifact — its NAME must still round-trip so the next run
+    // re-measures it instead of dropping it forever
+    val artifact = """{"metric":"sf_ladder_adjudicated",
+      "rung_names":["q281_compaction_bytes","q999_flaky_rung"],
+      "1x_sf0.1":{"q281_compaction_bytes":1.1},
+      "100x_sf10":{"q281_compaction_bytes":2.9},
+      "rungs":{"q281_compaction_bytes":{"x1":1.1,"x100":2.9,"ratio":2.6},
+               "q999_flaky_rung":{"error":"OOM"}}}"""
+    assert(LadderAdjudicate.parseRungNames(artifact) ==
+      Set("q281_compaction_bytes", "q999_flaky_rung"))
+    assert(LadderAdjudicate.parseRungNames("{}").isEmpty)
+    // the errored rung has no prior timings — parsePrior ignores it
+    assert(!LadderAdjudicate.parsePrior(artifact).contains("q999_flaky_rung"))
+  }
+
   test("the real legacy artifact yields a non-trivial rung set") {
     val p = java.nio.file.Paths.get("BENCH_SF_LADDER.json")
     assume(java.nio.file.Files.exists(p))

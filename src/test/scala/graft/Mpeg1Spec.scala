@@ -101,6 +101,54 @@ class Mpeg1Spec extends AnyFunSuite {
       for (a <- codes; b <- codes if a != b)
         assert(!b.startsWith(a), s"$name: '$a' prefixes '$b'")
     }
+    // P-side alphabets (the r13 review found drift exactly here — the
+    // construction-inverse gates can't see a shared-table error):
+    // MBA codes + stuffing + escape; motion prefixes + the lone '1';
+    // CBP subset; P macroblock types — each prefix-free AND the P-type
+    // table carrying the normative quant-row semantics
+    def codesOf(name: String): Seq[String] = {
+      val f = classOf[Mpeg1.type].getDeclaredField(name)
+      f.setAccessible(true)
+      f.get(Mpeg1) match {
+        case a: Array[(Int, Int) @unchecked] =>
+          a.toSeq.map { case (c, b) => bitstring(c, b) }
+        case _ => Seq.empty
+      }
+    }
+    def assertPrefixFree(name: String, codes: Seq[String]): Unit = {
+      assert(codes.distinct.size == codes.size, s"$name: duplicate codes")
+      for (a <- codes; b <- codes if a != b)
+        assert(!b.startsWith(a), s"$name: '$a' prefixes '$b'")
+    }
+    assertPrefixFree("MbaCodes+escape+stuffing",
+      codesOf("MbaCodes") :+ "00000001111" :+ "00000001000")
+    assertPrefixFree("MotionPrefix+zero", codesOf("MotionPrefix") :+ "1")
+    val cbpF = classOf[Mpeg1.type].getDeclaredField("CbpCodes")
+    cbpF.setAccessible(true)
+    assertPrefixFree("CbpCodes", cbpF.get(Mpeg1)
+      .asInstanceOf[Array[(Int, Int, Int)]].toSeq
+      .map { case (_, c, b) => bitstring(c, b) })
+    val pF = classOf[Mpeg1.type].getDeclaredField("PMbTypes")
+    pF.setAccessible(true)
+    val ptypes = pF.get(Mpeg1)
+      .asInstanceOf[Array[(Int, Int, Boolean, Boolean, Boolean, Boolean)]]
+    assertPrefixFree("PMbTypes",
+      ptypes.toSeq.map { case (c, b, _, _, _, _) => bitstring(c, b) })
+    // normative quant-row semantics (ISO 11172-2 Table B.2b): '00010' is
+    // quant + MC + coded, '00001' is quant + coded without MC
+    val byCode = ptypes.map { case (c, b, q, mf, pat, in) =>
+      bitstring(c, b) -> (q, mf, pat, in) }.toMap
+    assert(byCode("00010") == (true, true, true, false),
+      "'00010' must be quant+MC+coded")
+    assert(byCode("00001") == (true, false, true, false),
+      "'00001' must be quant+coded without MC")
+    // normative intra-matrix anchor values (mid-band rows the r13 review
+    // found drifted): raster [3][1]=22, [4][4]=32, [5][3]=32
+    val qF = classOf[Mpeg1.type].getDeclaredField("IntraQ")
+    qF.setAccessible(true)
+    val iq = qF.get(Mpeg1).asInstanceOf[Array[Int]]
+    assert(iq(3 * 8 + 1) == 22 && iq(4 * 8 + 4) == 32 && iq(5 * 8 + 3) == 32,
+      "default intra quantizer matrix drifted from the normative table")
   }
 
   test("P-picture: full/half-pel MC, residual, intra refresh, skip — all within bounds") {

@@ -864,6 +864,19 @@ class PlanShapeSpec extends SparkSpec {
       pc.evidence == "hashpartitioning=" + pc.branch.stripPrefix("repartition-"),
       s"partition evidence diverged from branch: $pc")
     assert(DecisionLog.drain().isEmpty, "capture scope leaked into global ledger")
+    // reentrancy: a nested capture must restore the OUTER sink — later
+    // outer-scope decisions may not leak to the global ledger
+    val (_, outer) = DecisionLog.withCapture {
+      DecisionLog.record("a", 1, 1, "x", "e")
+      val (_, inner) = DecisionLog.withCapture {
+        DecisionLog.record("b", 2, 2, "y", "e")
+      }
+      assert(inner.map(_.op) == Seq("b"))
+      DecisionLog.record("c", 3, 3, "z", "e")
+    }
+    assert(outer.map(_.op) == Seq("a", "c"),
+      s"nested capture broke the outer sink: ${outer.map(_.op)}")
+    assert(DecisionLog.drain().isEmpty, "reentrant capture leaked globally")
     // outside a scope, decisions land in the global operational ledger
     graft.queries.EventQueries.skewPlannedJoin(spark, sfDir, 0L)
     val g = DecisionLog.drain()
