@@ -13,7 +13,7 @@ package graft.operators
   * the construction-inverse for the q287 gate (known macroblocks in,
   * bounded per-pixel error out) exactly like q157/q272's JPEG path.
   *
-  * Scope: I- and P-pictures with 4:2:0 chroma. P-pictures decode the
+  * Scope: I-, P- AND B-pictures with 4:2:0 chroma. P-pictures decode the
   * full forward-prediction machinery — the P macroblock-type alphabet
   * (MC±coded, intra refresh, quant variants), differential motion
   * vectors (Table B.4 subset + per-spec predictor resets at slice
@@ -21,7 +21,18 @@ package graft.operators
   * chroma prediction, skipped-macroblock copy via address increments,
   * coded-block-pattern dispatch, and NON-intra dequantization
   * ((2L + sign)·q·16/16 with oddification) with the dct_coeff_first
-  * alphabet for a coded block's first coefficient. B-pictures and the
+  * alphabet for a coded block's first coefficient. B-pictures add the
+  * Table B.2c macroblock-type alphabet (forward / backward /
+  * interpolated, ± coded, quant variants and intra), a SECOND
+  * backward-vector pipeline predicting from the FUTURE anchor with its
+  * own differential predictors, rounded two-direction interpolation
+  * ((fwd + bwd + 1) >> 1 after per-direction half-pel), B-skip
+  * semantics (a skipped B macroblock repeats the PREVIOUS macroblock's
+  * prediction direction and vectors and leaves the vector predictors
+  * untouched — the opposite of P's reset-to-zero), and the
+  * transmission-vs-display reorder: anchors are transmitted BEFORE the
+  * B-pictures that precede them in display order, and the decoder
+  * restores display order from temporal_reference. Only the
   * H.264/H.265 successors remain StubCodec's documented fallback.
   */
 object Mpeg1 {
@@ -143,6 +154,27 @@ object Mpeg1 {
       (0x2, 5, true, true, true, false),    // quant + mc + coded
       (0x1, 5, true, false, true, false),   // quant + coded (no MC)
       (0x1, 6, true, false, false, true))   // quant + intra
+
+  /** B-picture macroblock_type VLC (Table B.2c):
+    * (code, bits, quant, motionForward, motionBackward, pattern, intra).
+    * '10'/'11' are the interpolated (both-direction) rows, '01x' backward,
+    * '001x' forward, '00011' intra; the quant rows mirror the P table's
+    * normative layout (interp, then forward, then backward, then intra at
+    * six bits).
+    */
+  private val BMbTypes: Array[(Int, Int, Boolean, Boolean, Boolean, Boolean, Boolean)] =
+    Array(
+      (0x2, 2, false, true, true, false, false),   // interp, not coded
+      (0x3, 2, false, true, true, true, false),    // interp, coded
+      (0x2, 3, false, false, true, false, false),  // backward, not coded
+      (0x3, 3, false, false, true, true, false),   // backward, coded
+      (0x2, 4, false, true, false, false, false),  // forward, not coded
+      (0x3, 4, false, true, false, true, false),   // forward, coded
+      (0x3, 5, false, false, false, false, true),  // intra
+      (0x2, 5, true, true, true, true, false),     // quant + interp + coded
+      (0x3, 6, true, true, false, true, false),    // quant + forward + coded
+      (0x2, 6, true, false, true, true, false),    // quant + backward + coded
+      (0x1, 6, true, false, false, false, true))   // quant + intra
 
   // ------------------------------------------------------------- bit I/O
 
@@ -358,14 +390,28 @@ object Mpeg1 {
     * 0 means pred-without-coefficients.
     */
   final case class PredMb(dxHalf: Int, dyHalf: Int, deltaLuma: Int) extends MbPlan
+  /** B-picture predicted macroblock: forward (from the PAST anchor) and/or
+    * backward (from the FUTURE anchor) motion vectors in HALF-pel units —
+    * both present means interpolated prediction. `deltaLuma` as in
+    * [[PredMb]]. In a B-picture, [[SkipMb]] repeats the PREVIOUS
+    * macroblock's direction and vectors (so the previous plan must be a
+    * BPredMb — enforced), and [[IntraMb]] is the refresh path.
+    */
+  final case class BPredMb(fwd: Option[(Int, Int)], bwd: Option[(Int, Int)],
+      deltaLuma: Int) extends MbPlan {
+    require(fwd.nonEmpty || bwd.nonEmpty, "a B macroblock needs a direction")
+  }
 
-  /** One picture of an elementary stream: I with the standard test
-    * pattern, or P described per macroblock.
+  /** One picture of an elementary stream in DISPLAY order: I with the
+    * standard test pattern, P or B described per macroblock. The encoder
+    * performs the normative reorder (each anchor is transmitted before
+    * the B-pictures that precede it in display order).
     */
   sealed trait FramePlan
   final case class IFrame(lumaOf: (Int, Int) => (Int, Int),
       chroma: (Int, Int)) extends FramePlan
   final case class PFrame(planOf: (Int, Int) => MbPlan) extends FramePlan
+  final case class BFrame(planOf: (Int, Int) => MbPlan) extends FramePlan
 
   private def putMba(w: BitWriter, inc: Int): Unit = {
     require(inc >= 1 && inc <= MbaCodes.length, s"address increment $inc unsupported")
@@ -443,9 +489,24 @@ object Mpeg1 {
     w.put(0L, 1) // constrained_parameters_flag
     w.put(0L, 1); w.put(0L, 1) // default intra + non-intra matrices
     val (mbw, mbh) = (width / 16, height / 16)
-    for ((frame, p) <- frames.zipWithIndex) {
+    // normative transmission reorder: each anchor (I/P) is sent BEFORE the
+    // run of B-pictures that precedes it in display order; the display
+    // index rides along as temporal_reference so the decoder can restore
+    // display order
+    val tx = {
+      val out = Seq.newBuilder[(FramePlan, Int)]
+      var pendingB = List.empty[(FramePlan, Int)]
+      for ((f, i) <- frames.zipWithIndex) f match {
+        case _: BFrame => pendingB = (f, i) :: pendingB
+        case _ => out += ((f, i)); pendingB.reverse.foreach(out += _); pendingB = Nil
+      }
+      require(pendingB.isEmpty,
+        "stream cannot end with a B-picture (it would have no future anchor)")
+      out.result()
+    }
+    for ((frame, p) <- tx) {
       w.startCode(0x00)
-      w.put(p.toLong, 10) // temporal_reference
+      w.put(p.toLong, 10) // temporal_reference = display index
       frame match {
         case IFrame(lumaOf, (cbv, crv)) =>
           w.put(1L, 3) // picture_coding_type: I
@@ -508,6 +569,77 @@ object Mpeg1 {
                     }
                   }
                   dc = (128, 128, 128) // non-intra MB resets DC predictors
+                case b: BPredMb =>
+                  sys.error(s"B-picture plan $b inside a P-picture")
+              }
+            }
+            require(pendingSkip == 0, "slice ended in skipped macroblocks")
+          }
+        case BFrame(planOf) =>
+          w.put(3L, 3) // picture_coding_type: B
+          w.put(0xffffL, 16) // vbv_delay
+          w.put(0L, 1) // full_pel_forward_vector: half-pel units
+          w.put(1L, 3) // forward_f_code = 1
+          w.put(0L, 1) // full_pel_backward_vector: half-pel units
+          w.put(1L, 3) // backward_f_code = 1
+          w.put(0L, 1) // extra_bit_picture
+          for (row <- 0 until mbh) {
+            w.startCode(0x01 + row)
+            w.put(qscale.toLong, 5)
+            w.put(0L, 1)
+            var dc = (128, 128, 128)
+            // independent forward and backward differential predictors
+            var (pfx, pfy, pbx, pby) = (0, 0, 0, 0)
+            var pendingSkip = 0
+            var lastWasBPred = false
+            for (col <- 0 until mbw) {
+              planOf(row, col) match {
+                case SkipMb =>
+                  require(col != 0 && col != mbw - 1,
+                    "a slice's first/last macroblock cannot be skipped")
+                  require(lastWasBPred,
+                    "a skipped B macroblock must follow a predicted one " +
+                      "(its direction and vectors are repeated from it)")
+                  pendingSkip += 1
+                  dc = (128, 128, 128)
+                // B-skip leaves the vector predictors UNTOUCHED (§2.4.4.4)
+                case IntraMb(base, amp) =>
+                  putMba(w, 1 + pendingSkip); pendingSkip = 0
+                  w.put(0x3L, 5) // B macroblock_type: intra '00011'
+                  dc = putIntraBlocks(w, qscale, base, amp, 128, 128, dc)
+                  pfx = 0; pfy = 0; pbx = 0; pby = 0 // intra resets both
+                  lastWasBPred = false
+                case BPredMb(fwd, bwd, delta) =>
+                  putMba(w, 1 + pendingSkip); pendingSkip = 0
+                  val coded = delta != 0
+                  (fwd.isDefined, bwd.isDefined) match {
+                    case (true, true) => w.put(if (coded) 0x3L else 0x2L, 2)
+                    case (false, true) => w.put(if (coded) 0x3L else 0x2L, 3)
+                    case (true, false) => w.put(if (coded) 0x3L else 0x2L, 4)
+                    case _ => sys.error("unreachable: BPredMb requires a direction")
+                  }
+                  fwd.foreach { case (dx, dy) =>
+                    putMotion(w, dx - pfx); putMotion(w, dy - pfy)
+                    pfx = dx; pfy = dy
+                  }
+                  bwd.foreach { case (dx, dy) =>
+                    putMotion(w, dx - pbx); putMotion(w, dy - pby)
+                    pbx = dx; pby = dy
+                  }
+                  if (coded) {
+                    w.put(0x7L, 3) // cbp = 60: all four luma blocks coded
+                    val lvl = residualLevel(delta, qscale)
+                    var b = 0
+                    while (b < 4) {
+                      putAc(w, 0, lvl, first = true)
+                      w.put(0x2L, 2) // EOB
+                      b += 1
+                    }
+                  }
+                  dc = (128, 128, 128)
+                  lastWasBPred = true
+                case p: PredMb =>
+                  sys.error(s"P-picture plan $p inside a B-picture")
               }
             }
             require(pendingSkip == 0, "slice ended in skipped macroblocks")
@@ -734,6 +866,25 @@ object Mpeg1 {
     sys.error(s"invalid P macroblock_type 0x${code.toHexString}")
   }
 
+  /** B-picture macroblock_type →
+    * (quant, motionForward, motionBackward, pattern, intra).
+    */
+  private def readBMbType(r: BitReader): (Boolean, Boolean, Boolean, Boolean, Boolean) = {
+    var code = 0
+    var bits = 0
+    while (bits < 7) {
+      code = (code << 1) | r.read(1)
+      bits += 1
+      var i = 0
+      while (i < BMbTypes.length) {
+        val (c, b, q, mf, mb, pat, intra) = BMbTypes(i)
+        if (b == bits && c == code) return (q, mf, mb, pat, intra)
+        i += 1
+      }
+    }
+    sys.error(s"invalid B macroblock_type 0x${code.toHexString}")
+  }
+
   /** Forward motion-compensated copy of one size×size block with
     * half-pel interpolation (right/down averages round half away from
     * zero: (a+b+1)>>1, four-point (Σ+2)>>2). Coordinates must stay
@@ -754,16 +905,63 @@ object Mpeg1 {
     while (yy < size) {
       var xx = 0
       while (xx < size) {
-        val sx = x0 + xx + fx
-        val sy = y0 + yy + fy
-        val p = ref(sy * stride + sx)
-        val v =
-          if (hx == 0 && hy == 0) p
-          else if (hy == 0) (p + ref(sy * stride + sx + 1) + 1) >> 1
-          else if (hx == 0) (p + ref((sy + 1) * stride + sx) + 1) >> 1
-          else (p + ref(sy * stride + sx + 1) + ref((sy + 1) * stride + sx) +
-            ref((sy + 1) * stride + sx + 1) + 2) >> 2
-        dst(((y0 + yy) * stride) + x0 + xx) = v
+        dst(((y0 + yy) * stride) + x0 + xx) =
+          mcPel(ref, stride, x0 + xx + fx, y0 + yy + fy, hx, hy)
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** One motion-compensated pel with half-pel rounding (§2.4.4.2):
+    * right/down averages round half away from zero ((a+b+1)>>1),
+    * four-point (Σ+2)>>2.
+    */
+  private def mcPel(ref: Array[Int], stride: Int, sx: Int, sy: Int,
+      hx: Int, hy: Int): Int = {
+    val p = ref(sy * stride + sx)
+    if (hx == 0 && hy == 0) p
+    else if (hy == 0) (p + ref(sy * stride + sx + 1) + 1) >> 1
+    else if (hx == 0) (p + ref((sy + 1) * stride + sx) + 1) >> 1
+    else (p + ref(sy * stride + sx + 1) + ref((sy + 1) * stride + sx) +
+      ref((sy + 1) * stride + sx + 1) + 2) >> 2
+  }
+
+  /** B-picture motion compensation of one size×size block: forward-only,
+    * backward-only, or INTERPOLATED — per-direction half-pel prediction
+    * first, then the rounded two-direction average (fwd + bwd + 1) >> 1
+    * (§2.4.4.3's half-rounded-away-from-zero integer division).
+    */
+  private def mcCopyB(refF: Array[Int], fwd: Option[(Int, Int)],
+      refB: Array[Int], bwd: Option[(Int, Int)], stride: Int, planeH: Int,
+      dst: Array[Int], x0: Int, y0: Int, size: Int): Unit = {
+    def check(mv: (Int, Int)): (Int, Int, Int, Int) = {
+      val (mvxHalf, mvyHalf) = mv
+      val fx = mvxHalf >> 1
+      val fy = mvyHalf >> 1
+      val hx = mvxHalf & 1
+      val hy = mvyHalf & 1
+      require(x0 + fx >= 0 && y0 + fy >= 0 &&
+        x0 + fx + size - 1 + hx < stride && y0 + fy + size - 1 + hy < planeH,
+        s"motion vector ($mvxHalf, $mvyHalf) points outside the reference")
+      (fx, fy, hx, hy)
+    }
+    val f = fwd.map(check)
+    val b = bwd.map(check)
+    var yy = 0
+    while (yy < size) {
+      var xx = 0
+      while (xx < size) {
+        val pf = f.map { case (fx, fy, hx, hy) =>
+          mcPel(refF, stride, x0 + xx + fx, y0 + yy + fy, hx, hy) }
+        val pb = b.map { case (fx, fy, hx, hy) =>
+          mcPel(refB, stride, x0 + xx + fx, y0 + yy + fy, hx, hy) }
+        dst(((y0 + yy) * stride) + x0 + xx) = (pf, pb) match {
+          case (Some(a), Some(c)) => (a + c + 1) >> 1
+          case (Some(a), None) => a
+          case (None, Some(c)) => c
+          case _ => sys.error("unreachable: a B block needs a direction")
+        }
         xx += 1
       }
       yy += 1
@@ -835,23 +1033,37 @@ object Mpeg1 {
     if (r.read(1) == 1) (0 until 64).foreach(_ => r.read(8)) // custom intra matrix: skip (encoder never emits one)
     if (r.read(1) == 1) (0 until 64).foreach(_ => r.read(8))
     val (mbw, mbh) = (width / 16, height / 16)
-    val pics = Seq.newBuilder[Picture]
-    var ref: Picture = null // forward-prediction reference (last I or P)
+    // pictures arrive in TRANSMISSION order (anchors before the B-pictures
+    // that precede them in display order); collect with temporal_reference
+    // and restore display order at the end
+    val pics = Seq.newBuilder[(Int, Picture)]
+    var lastAnchor: Picture = null // most recent decoded I or P (B's FUTURE ref)
+    var prevAnchor: Picture = null // the anchor before it (B's PAST ref)
     var code = r.nextStartCode()
     while (code == 0x00) {
-      r.read(10) // temporal_reference
+      val tref = r.read(10) // temporal_reference = display index
       val ptype = r.read(3)
-      require(ptype == 1 || ptype == 2,
-        s"picture_coding_type $ptype: only I and P supported")
+      require(ptype >= 1 && ptype <= 3,
+        s"picture_coding_type $ptype: only I, P and B supported")
       val isP = ptype == 2
-      require(!isP || ref != null, "P-picture with no reference frame")
+      val isB = ptype == 3
+      require(!isP || lastAnchor != null, "P-picture with no reference frame")
+      require(!isB || (lastAnchor != null && prevAnchor != null),
+        "B-picture without two decoded anchors")
       r.read(16) // vbv_delay
-      var fullPel = false
-      if (isP) {
-        fullPel = r.read(1) == 1
+      var fullPelF = false
+      var fullPelB = false
+      if (isP || isB) {
+        fullPelF = r.read(1) == 1
         val fCode = r.read(3)
         require(fCode == 1,
           s"forward_f_code $fCode: only 1 (no residual bits) supported")
+      }
+      if (isB) {
+        fullPelB = r.read(1) == 1
+        val bCode = r.read(3)
+        require(bCode == 1,
+          s"backward_f_code $bCode: only 1 (no residual bits) supported")
       }
       require(r.read(1) == 0, "extra_bit_picture set: extension data unsupported")
       val y = new Array[Int](width * height)
@@ -864,75 +1076,139 @@ object Mpeg1 {
         require(q >= 1, "quantizer_scale 0 is forbidden")
         while (r.read(1) == 1) r.read(8) // extra_information_slice
         var dc = (128, 128, 128)
-        var (pmx, pmy) = (0, 0)
+        // differential motion predictors: forward (P and B) + backward (B)
+        var (pfx, pfy) = (0, 0)
+        var (pbx, pby) = (0, 0)
+        // B-skip repeat state: the previous macroblock's direction and its
+        // FINAL (pel-domain) vectors — a skipped B macroblock repeats them
+        var lastF = false
+        var lastB = false
+        var (lvfx, lvfy, lvbx, lvby) = (0, 0, 0, 0)
+        var lastPredValid = false
+        def halfV(v: (Int, Int)): (Int, Int) = (v._1 / 2, v._2 / 2)
+        def mcB(fwd: Option[(Int, Int)], bwd: Option[(Int, Int)],
+            mrow: Int, mcol: Int): Unit = {
+          mcCopyB(prevAnchor.y, fwd, lastAnchor.y, bwd, width, height,
+            y, mcol * 16, mrow * 16, 16)
+          // chroma vectors: half the luma vector, truncated toward zero
+          mcCopyB(prevAnchor.cb, fwd.map(halfV), lastAnchor.cb, bwd.map(halfV),
+            width / 2, height / 2, cb, mcol * 8, mrow * 8, 8)
+          mcCopyB(prevAnchor.cr, fwd.map(halfV), lastAnchor.cr, bwd.map(halfV),
+            width / 2, height / 2, cr, mcol * 8, mrow * 8, 8)
+        }
         var mbAddr = row0 * mbw - 1
         var sliceDone = false
         while (!sliceDone) {
           val inc = readMba(r)
-          require(isP || inc == 1,
+          require(isP || isB || inc == 1,
             s"skipped macroblocks (increment $inc) are illegal in I-pictures")
-          // skipped P macroblocks: zero-vector co-located copy; MV and DC
-          // predictors reset (§2.4.4.4)
+          // skipped macroblocks — P: zero-vector co-located copy, MV and DC
+          // predictors reset; B: repeat the previous macroblock's direction
+          // and vectors, predictors UNTOUCHED (§2.4.4.4)
           var s = 1
           while (s < inc) {
             mbAddr += 1
             val (srow, scol) = (mbAddr / mbw, mbAddr % mbw)
             require(srow < mbh, s"skipped macroblock $mbAddr outside picture")
-            mcCopy(ref.y, width, height, y, scol * 16, srow * 16, 16, 0, 0)
-            mcCopy(ref.cb, width / 2, height / 2, cb, scol * 8, srow * 8, 8, 0, 0)
-            mcCopy(ref.cr, width / 2, height / 2, cr, scol * 8, srow * 8, 8, 0, 0)
-            pmx = 0; pmy = 0
+            if (isB) {
+              require(lastPredValid,
+                "skipped B macroblock with no preceding predicted macroblock")
+              mcB(if (lastF) Some((lvfx, lvfy)) else None,
+                if (lastB) Some((lvbx, lvby)) else None, srow, scol)
+            } else {
+              mcCopy(lastAnchor.y, width, height, y, scol * 16, srow * 16, 16, 0, 0)
+              mcCopy(lastAnchor.cb, width / 2, height / 2, cb, scol * 8, srow * 8, 8, 0, 0)
+              mcCopy(lastAnchor.cr, width / 2, height / 2, cr, scol * 8, srow * 8, 8, 0, 0)
+              pfx = 0; pfy = 0
+            }
             dc = (128, 128, 128)
             s += 1
           }
           mbAddr += 1
           val (row, col) = (mbAddr / mbw, mbAddr % mbw)
           require(row < mbh && col < mbw, s"macroblock $mbAddr outside ${mbw}x$mbh")
-          if (!isP) {
+          def readPattern(row: Int, col: Int): Unit = {
+            val cbp = readCbp(r)
+            var b = 0
+            while (b < 6) {
+              if ((cbp & (1 << (5 - b))) != 0) {
+                val res = readNonIntraBlock(r, q)
+                if (b < 4)
+                  addResidual(y, width,
+                    col * 16 + (b % 2) * 8, row * 16 + (b / 2) * 8, res)
+                else
+                  addResidual(if (b == 4) cb else cr, width / 2,
+                    col * 8, row * 8, res)
+              }
+              b += 1
+            }
+          }
+          if (!isP && !isB) {
             // macroblock_type for I: '1' intra, '01' intra+quant
             if (r.read(1) != 1) {
               require(r.read(1) == 1, "invalid I-picture macroblock_type")
               q = r.read(5)
             }
             dc = decodeIntraMb(r, q, row, col, width, y, cb, cr, dc)
-          } else {
+          } else if (isP) {
             val (quant, mf, pattern, intra) = readPMbType(r)
             if (quant) q = r.read(5)
             if (intra) {
               dc = decodeIntraMb(r, q, row, col, width, y, cb, cr, dc)
-              pmx = 0; pmy = 0
+              pfx = 0; pfy = 0
             } else {
               var (mvx, mvy) = (0, 0)
               if (mf) {
-                mvx = pmx + readMotion(r)
-                mvy = pmy + readMotion(r)
+                mvx = pfx + readMotion(r)
+                mvy = pfy + readMotion(r)
                 require(mvx >= -16 && mvx <= 15 && mvy >= -16 && mvy <= 15,
                   s"reconstructed vector ($mvx, $mvy) outside the f_code=1 range")
-                pmx = mvx; pmy = mvy
-              } else { pmx = 0; pmy = 0 }
-              val (lx, ly) = if (fullPel) (mvx * 2, mvy * 2) else (mvx, mvy)
+                pfx = mvx; pfy = mvy
+              } else { pfx = 0; pfy = 0 }
+              val (lx, ly) = if (fullPelF) (mvx * 2, mvy * 2) else (mvx, mvy)
               // chroma vectors: half the luma vector, truncated toward zero
               val (cx, cy) = (lx / 2, ly / 2)
-              mcCopy(ref.y, width, height, y, col * 16, row * 16, 16, lx, ly)
-              mcCopy(ref.cb, width / 2, height / 2, cb, col * 8, row * 8, 8, cx, cy)
-              mcCopy(ref.cr, width / 2, height / 2, cr, col * 8, row * 8, 8, cx, cy)
-              if (pattern) {
-                val cbp = readCbp(r)
-                var b = 0
-                while (b < 6) {
-                  if ((cbp & (1 << (5 - b))) != 0) {
-                    val res = readNonIntraBlock(r, q)
-                    if (b < 4)
-                      addResidual(y, width,
-                        col * 16 + (b % 2) * 8, row * 16 + (b / 2) * 8, res)
-                    else
-                      addResidual(if (b == 4) cb else cr, width / 2,
-                        col * 8, row * 8, res)
-                  }
-                  b += 1
-                }
-              }
+              mcCopy(lastAnchor.y, width, height, y, col * 16, row * 16, 16, lx, ly)
+              mcCopy(lastAnchor.cb, width / 2, height / 2, cb, col * 8, row * 8, 8, cx, cy)
+              mcCopy(lastAnchor.cr, width / 2, height / 2, cr, col * 8, row * 8, 8, cx, cy)
+              if (pattern) readPattern(row, col)
               dc = (128, 128, 128) // non-intra macroblock resets DC prediction
+            }
+          } else { // B-picture
+            val (quant, mf, mb, pattern, intra) = readBMbType(r)
+            if (quant) q = r.read(5)
+            if (intra) {
+              dc = decodeIntraMb(r, q, row, col, width, y, cb, cr, dc)
+              pfx = 0; pfy = 0; pbx = 0; pby = 0 // intra resets BOTH pipelines
+              lastPredValid = false
+            } else {
+              // absent directions leave their predictors UNCHANGED — the
+              // B-picture contract differs from P's reset-to-zero
+              var fwd: Option[(Int, Int)] = None
+              var bwd: Option[(Int, Int)] = None
+              if (mf) {
+                val mvx = pfx + readMotion(r)
+                val mvy = pfy + readMotion(r)
+                require(mvx >= -16 && mvx <= 15 && mvy >= -16 && mvy <= 15,
+                  s"reconstructed forward vector ($mvx, $mvy) outside the f_code=1 range")
+                pfx = mvx; pfy = mvy
+                fwd = Some(if (fullPelF) (mvx * 2, mvy * 2) else (mvx, mvy))
+              }
+              if (mb) {
+                val mvx = pbx + readMotion(r)
+                val mvy = pby + readMotion(r)
+                require(mvx >= -16 && mvx <= 15 && mvy >= -16 && mvy <= 15,
+                  s"reconstructed backward vector ($mvx, $mvy) outside the f_code=1 range")
+                pbx = mvx; pby = mvy
+                bwd = Some(if (fullPelB) (mvx * 2, mvy * 2) else (mvx, mvy))
+              }
+              mcB(fwd, bwd, row, col)
+              if (pattern) readPattern(row, col)
+              dc = (128, 128, 128)
+              lastF = fwd.nonEmpty; lastB = bwd.nonEmpty
+              lvfx = fwd.map(_._1).getOrElse(0); lvfy = fwd.map(_._2).getOrElse(0)
+              lvbx = bwd.map(_._1).getOrElse(0); lvby = bwd.map(_._2).getOrElse(0)
+              lastPredValid = true
             }
           }
           if (r.atSliceEnd) sliceDone = true
@@ -940,10 +1216,10 @@ object Mpeg1 {
         code = r.nextStartCode()
       }
       val pic = Picture(width, height, y, cb, cr)
-      ref = pic
-      pics += pic
+      if (!isB) { prevAnchor = lastAnchor; lastAnchor = pic } // anchors advance
+      pics += ((tref, pic))
     }
-    val ps = pics.result()
+    val ps = pics.result().sortBy(_._1).map(_._2) // restore display order
     if (code != 0xb7 || ps.isEmpty) None
     else Some((SeqMeta(width, height, ps.size), ps))
   }

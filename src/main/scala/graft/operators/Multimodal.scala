@@ -986,10 +986,12 @@ object Multimodal {
         Decoded(m.width, m.height, m.nFrames, 0)
       }
 
-    /** MPEG-1 video elementary stream (I-pictures): full entropy decode —
-      * VLC tables, dequant, IDCT — via [[graft.operators.Mpeg1]] (gated by
-      * q287). A crafted/truncated stream must fall through to the stub,
-      * not kill the task (same contract as every parser above).
+    /** MPEG-1 video elementary stream (I-, P- and B-pictures): full
+      * entropy decode — VLC tables, dequant, IDCT, forward/backward/
+      * interpolated motion compensation, display-order restore — via
+      * [[graft.operators.Mpeg1]] (gated by q287/q288/q289). A crafted/
+      * truncated stream must fall through to the stub, not kill the task
+      * (same contract as every parser above).
       */
     def decodeMpeg1(bytes: Array[Byte]): Option[Decoded] =
       try Mpeg1.decodeIFrames(bytes).map { case (m, _) =>
@@ -1017,15 +1019,16 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake standing in for the codec library
-    * on the formats [[MediaCodecs]] can't parse. Since r13 that is only
-    * BIDIRECTIONALLY-predicted codecs (MPEG B-pictures) and the
-    * H.264/H.265 successors — a documented permanent skip: entropy-coded
-    * video decodes for real via MPEG-1 I-frame streams (q287) and
-    * MOTION-COMPENSATED video via MPEG-1 P-pictures — full/half-pel
-    * forward prediction, differential vectors, skipped macroblocks,
-    * non-intra residuals ([[Mpeg1.decodeIFrames]], gated by q288) — plus
-    * MJPEG-in-AVI (q272); compressed images via JPEG/PNG/GIF, audio via
-    * WAV/MP3, and the MP4 container parses box-level metadata.
+    * on the formats [[MediaCodecs]] can't parse. Since r13 that is ONLY
+    * the H.264/H.265 successors — a documented permanent skip (their
+    * CABAC/CAVLC + intra-prediction stacks are beyond clean-room scope):
+    * MPEG-1 video now decodes for real across the WHOLE picture-type
+    * alphabet — entropy-coded I-frames (q287), forward motion-compensated
+    * P-pictures (q288) and bidirectionally-predicted B-pictures with the
+    * normative transmission-order reorder (q289), all via
+    * [[Mpeg1.decodeIFrames]] — plus MJPEG-in-AVI (q272); compressed
+    * images via JPEG/PNG/GIF, audio via WAV/MP3, and the MP4 container
+    * parses box-level metadata.
     */
   final class StubCodec {
     def decode(modality: String, mime: String, bytes: Array[Byte]): Decoded = {

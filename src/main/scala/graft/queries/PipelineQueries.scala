@@ -1098,6 +1098,8 @@ object PipelineQueries extends Registry {
                       val delta = if (d == 0) 0
                         else Mpeg1.residualPixel(Mpeg1.residualLevel(d, q), q)
                       math.max(0, math.min(255, mc(y, x, dy, dx) + delta))
+                    case b: Mpeg1.BPredMb =>
+                      sys.error(s"B plan $b in a P-picture construction")
                   }
                 }
                 expByFrame(p + 1) = exp
@@ -1133,6 +1135,163 @@ object PipelineQueries extends Registry {
             CAST(1 AS BIGINT) AS lossy_ok
           FROM documents, UNNEST(range(0, 2 + n_chars % 2)) AS t(f)
           WHERE doc_id % 7 = 3 ORDER BY id, frame_idx""")),
+
+    // ---- BIDIRECTIONALLY-PREDICTED video decode (q288's successor — the
+    //      last MPEG-1 picture type, closing the StubCodec narrowing at
+    //      H.264/H.265 only): each doc derives a display-order
+    //      I [B P]+ GOP whose B macroblocks exercise the full Table B.2c
+    //      alphabet — forward-only, backward-only (from the FUTURE
+    //      anchor), interpolated ((fwd+bwd+1)>>1 after per-direction
+    //      half-pel), coded residuals through cbp=60, intra refresh, and
+    //      the B-skip rule (repeat the previous macroblock's direction
+    //      and vectors, predictors untouched). The stream is transmitted
+    //      in the normative reorder (anchors before the Bs that precede
+    //      them in display order) and the decoder restores display order
+    //      from temporal_reference — so a broken reorder, a swapped
+    //      anchor, a P-style zero-vector skip or an unrounded interp all
+    //      flip lossy_ok. The in-row check replays the whole two-anchor
+    //      prediction chain with an independent simulator over the
+    //      expected planes (q288's pattern extended to two references).
+    //      One codec pass per row, zero shuffle before the sort. ------------
+    Q("q289_mpeg1_bframes",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Mpeg1
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 8 === 5)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, nch) =>
+              val w = 64; val h = 64
+              val nGroups = (1 + nch % 2).toInt // anchors after I: 1 or 2
+              val q = 2
+              val (mbw, mbh) = (w / 16, h / 16)
+              def base0(row: Int, col: Int): Int =
+                (40 + math.floorMod(id + row * 37L + col * 11L, 176)).toInt
+              def interior(row: Int, col: Int): Boolean =
+                row > 0 && row < mbh - 1 && col > 0 && col < mbw - 1
+              def planP(k: Int)(row: Int, col: Int): Mpeg1.MbPlan =
+                if (!interior(row, col)) Mpeg1.PredMb(0, 0, 0)
+                else math.floorMod(id + k * 5L + row + col, 3) match {
+                  case 0 => Mpeg1.IntraMb(
+                    (40 + math.floorMod(id + k * 31L + row * 7L + col * 13L, 176)).toInt,
+                    (4 + math.floorMod(id + k, 15L)).toInt)
+                  case 1 => Mpeg1.PredMb(
+                    (math.floorMod(id + k + col, 5L) - 2).toInt,
+                    (math.floorMod(id + k + row, 5L) - 2).toInt, 0)
+                  case _ => Mpeg1.PredMb(0, 0, (3 + id % 4).toInt)
+                }
+              def planB(k: Int)(row: Int, col: Int): Mpeg1.MbPlan =
+                if (!interior(row, col)) Mpeg1.BPredMb(Some((0, 0)), None, 0)
+                else math.floorMod(id + k + row + 2L * col, 6) match {
+                  case 0 => Mpeg1.BPredMb(Some((
+                    (math.floorMod(id + k + col, 5L) - 2).toInt,
+                    (math.floorMod(id + k + row, 5L) - 2).toInt)), None, 0)
+                  case 1 => Mpeg1.BPredMb(None, Some((
+                    (math.floorMod(id + row, 5L) - 2).toInt,
+                    (math.floorMod(id + col, 5L) - 2).toInt)), 0)
+                  case 2 => Mpeg1.BPredMb(Some((0, 0)), Some((0, 0)), 0)
+                  case 3 => Mpeg1.BPredMb(Some((0, 0)), None, (3 + id % 4).toInt)
+                  case 4 => Mpeg1.IntraMb(
+                    (40 + math.floorMod(id + k * 17L + row * 7L + col * 13L, 176)).toInt,
+                    (4 + math.floorMod(id + k + 1, 15L)).toInt)
+                  // variant 5's left neighbour is variant 3 (coded BPred) or
+                  // the border fwd-copy — both predicted, so B-skip is legal
+                  case _ => Mpeg1.SkipMb
+                }
+              // display order: I, then (B, P) per group
+              val frames = Mpeg1.IFrame((r, c) => (base0(r, c), 0), (128, 128)) +:
+                (1 to nGroups).flatMap(k =>
+                  Seq(Mpeg1.BFrame(planB(k)), Mpeg1.PFrame(planP(k))))
+              val es = Mpeg1.encodeStream(w, h, q, frames)
+              val (meta, pics) = Mpeg1.decodeIFrames(es).get
+              // independent two-reference simulation of the display chain
+              def mcOf(ref: Array[Array[Int]])(y: Int, x: Int,
+                  dyH: Int, dxH: Int): Int = {
+                val (fy, fx) = (dyH >> 1, dxH >> 1)
+                val (hy, hx) = (dyH & 1, dxH & 1)
+                val p00 = ref(y + fy)(x + fx)
+                if (hy == 0 && hx == 0) p00
+                else if (hy == 0) (p00 + ref(y + fy)(x + fx + 1) + 1) >> 1
+                else if (hx == 0) (p00 + ref(y + fy + 1)(x + fx) + 1) >> 1
+                else (p00 + ref(y + fy)(x + fx + 1) + ref(y + fy + 1)(x + fx) +
+                  ref(y + fy + 1)(x + fx + 1) + 2) >> 2
+              }
+              def intraPix(b: Int, a: Int, x: Int): Int =
+                math.max(0, math.min(255, b + math.round(
+                  a * math.cos((2 * (x % 8) + 1) * math.Pi / 16.0)).toInt))
+              def residual(d: Int): Int =
+                if (d == 0) 0 else Mpeg1.residualPixel(Mpeg1.residualLevel(d, q), q)
+              val exp = new Array[Array[Array[Int]]](2 * nGroups + 1)
+              exp(0) = Array.tabulate(h, w)((y, x) => base0(y / 16, x / 16))
+              for (k <- 1 to nGroups) {
+                val prevA = exp(2 * (k - 1))
+                exp(2 * k) = Array.tabulate(h, w) { (y, x) =>
+                  planP(k)(y / 16, x / 16) match {
+                    case Mpeg1.IntraMb(b, a) => intraPix(b, a, x)
+                    case Mpeg1.PredMb(dx, dy, d) =>
+                      math.max(0, math.min(255,
+                        mcOf(prevA)(y, x, dy, dx) + residual(d)))
+                    case other => sys.error(s"unexpected P plan $other")
+                  }
+                }
+                val nextA = exp(2 * k)
+                exp(2 * k - 1) = Array.tabulate(h, w) { (y, x) =>
+                  val plan = planB(k)(y / 16, x / 16) match {
+                    case Mpeg1.SkipMb => planB(k)(y / 16, x / 16 - 1) match {
+                      case Mpeg1.BPredMb(f, bw, _) => Mpeg1.BPredMb(f, bw, 0)
+                      case other => sys.error(s"B-skip after $other")
+                    }
+                    case p => p
+                  }
+                  plan match {
+                    case Mpeg1.IntraMb(b, a) => intraPix(b, a, x)
+                    case Mpeg1.BPredMb(f, bw, d) =>
+                      val pf = f.map { case (dx, dy) => mcOf(prevA)(y, x, dy, dx) }
+                      val pb = bw.map { case (dx, dy) => mcOf(nextA)(y, x, dy, dx) }
+                      val pred = (pf, pb) match {
+                        case (Some(a), Some(c)) => (a + c + 1) >> 1
+                        case (Some(a), None) => a
+                        case (None, Some(c)) => c
+                        case _ => sys.error("directionless B plan")
+                      }
+                      math.max(0, math.min(255, pred + residual(d)))
+                    case other => sys.error(s"unexpected B plan $other")
+                  }
+                }
+              }
+              pics.zipWithIndex.map { case (pic, f) =>
+                val want = exp(f)
+                var maxDev = 0
+                var yy = 0
+                while (yy < h) {
+                  var xx = 0
+                  while (xx < w) {
+                    val d = math.abs(pic.y(yy * w + xx) - want(yy)(xx))
+                    if (d > maxDev) maxDev = d
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                val devC = math.max(
+                  pic.cb.map(v => math.abs(v - 128)).max,
+                  pic.cr.map(v => math.abs(v - 128)).max)
+                (id, f, meta.width, meta.height, meta.nPictures,
+                  if (maxDev <= 8 && devC <= 4) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "width", "height", "n_frames", "lossy_ok")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""SELECT doc_id AS id, CAST(t.f AS INT) AS frame_idx,
+            CAST(64 AS INT) AS width,
+            CAST(64 AS INT) AS height,
+            CAST(3 + 2 * (n_chars % 2) AS INT) AS n_frames,
+            CAST(1 AS BIGINT) AS lossy_ok
+          FROM documents, UNNEST(range(0, 3 + 2 * (n_chars % 2))) AS t(f)
+          WHERE doc_id % 8 = 5 ORDER BY id, frame_idx""")),
 
     // ---- REAL animated-format frame extraction: each doc's metadata
     //      derives an animated GIF (spec-valid 89a, hand-written LZW

@@ -149,6 +149,28 @@ class Mpeg1Spec extends AnyFunSuite {
     val iq = qF.get(Mpeg1).asInstanceOf[Array[Int]]
     assert(iq(3 * 8 + 1) == 22 && iq(4 * 8 + 4) == 32 && iq(5 * 8 + 3) == 32,
       "default intra quantizer matrix drifted from the normative table")
+    // B macroblock types (Table B.2c): prefix-free and carrying the
+    // normative direction semantics — '10'/'11' interpolated, '01x'
+    // backward, '001x' forward, '00011' intra
+    val bF = classOf[Mpeg1.type].getDeclaredField("BMbTypes")
+    bF.setAccessible(true)
+    val btypes = bF.get(Mpeg1)
+      .asInstanceOf[Array[(Int, Int, Boolean, Boolean, Boolean, Boolean, Boolean)]]
+    assertPrefixFree("BMbTypes",
+      btypes.toSeq.map { case (c, b, _, _, _, _, _) => bitstring(c, b) })
+    val bByCode = btypes.map { case (c, b, q, mf, mb, pat, in) =>
+      bitstring(c, b) -> (q, mf, mb, pat, in) }.toMap
+    assert(bByCode("10") == (false, true, true, false, false) &&
+      bByCode("11") == (false, true, true, true, false),
+      "'1x' must be the interpolated (fwd+bwd) rows")
+    assert(bByCode("010") == (false, false, true, false, false) &&
+      bByCode("011") == (false, false, true, true, false),
+      "'01x' must be the backward rows")
+    assert(bByCode("0010") == (false, true, false, false, false) &&
+      bByCode("0011") == (false, true, false, true, false),
+      "'001x' must be the forward rows")
+    assert(bByCode("00011") == (false, false, false, false, true),
+      "'00011' must be B intra")
   }
 
   test("P-picture: full/half-pel MC, residual, intra refresh, skip — all within bounds") {
@@ -193,6 +215,7 @@ class Mpeg1Spec extends AnyFunSuite {
         case PredMb(dx, dy, d) =>
           val delta = if (d == 0) 0 else residualPixel(residualLevel(d, q), q)
           math.max(0, math.min(255, mc(y, x, dy, dx) + delta))
+        case other => fail(s"unexpected plan $other in a P-picture test")
       }
     }
     var maxDev = 0
@@ -232,6 +255,114 @@ class Mpeg1Spec extends AnyFunSuite {
     val got2 = pics(2).y(24 * w + 24)
     assert(math.abs(got2 - want2) <= 2,
       s"frame2 did not predict from frame1: $got2 vs $want2")
+  }
+
+  test("B-picture: fwd/bwd/interpolated MC, B-skip vector repeat, intra, reorder") {
+    import Mpeg1._
+    // display order I0 B1 P2; anchors flat (DC-exact), so every B path is
+    // computable EXACTLY by an independent simulator: forward from I0,
+    // backward from P2, interpolated (a+b+1)>>1, residuals, intra refresh,
+    // and the B-skip rule (repeat the PREVIOUS macroblock's direction and
+    // vectors — at (1,2) that is (1,1)'s fwd (+2,0), which differs from a
+    // zero-vector copy by the inter-block boundary shift)
+    val w = 64; val h = 48; val q = 2
+    def base0(row: Int, col: Int) = 40 + row * 30 + col * 17
+    val planP: (Int, Int) => MbPlan = {
+      case (1, 1) => IntraMb(200, 0)
+      case (1, 2) => PredMb(2, 0, 5)
+      case _      => PredMb(0, 0, 0)
+    }
+    val planB: (Int, Int) => MbPlan = {
+      case (0, 0) => BPredMb(Some((0, 0)), None, 0)
+      case (0, 1) => BPredMb(None, Some((0, 0)), 0)
+      case (0, 2) => BPredMb(Some((0, 0)), Some((0, 0)), 0)
+      case (0, 3) => BPredMb(Some((0, 0)), None, 7)
+      case (1, 0) => IntraMb(100, 0)
+      case (1, 1) => BPredMb(Some((2, 0)), None, 0)
+      case (1, 2) => SkipMb
+      case (1, 3) => BPredMb(None, Some((0, 0)), -4)
+      case (2, 1) => BPredMb(Some((-1, -1)), Some((-1, 0)), 0)
+      case (2, 2) => BPredMb(Some((0, 0)), Some((0, 0)), 6)
+      case _      => BPredMb(Some((0, 0)), None, 0)
+    }
+    val bytes = encodeStream(w, h, q, Seq(
+      IFrame((r, c) => (base0(r, c), 0), (128, 128)),
+      BFrame(planB), PFrame(planP)))
+    val (meta, pics) = decodeIFrames(bytes).get
+    assert(meta == SeqMeta(w, h, 3) && pics.size == 3)
+    val expI = Array.tabulate(h, w)((y, x) => base0(y / 16, x / 16))
+    def mcOf(ref: Array[Array[Int]])(y: Int, x: Int, dyH: Int, dxH: Int): Int = {
+      val (fy, fx) = (dyH >> 1, dxH >> 1)
+      val (hy, hx) = (dyH & 1, dxH & 1)
+      val p00 = ref(y + fy)(x + fx)
+      if (hy == 0 && hx == 0) p00
+      else if (hy == 0) (p00 + ref(y + fy)(x + fx + 1) + 1) >> 1
+      else if (hx == 0) (p00 + ref(y + fy + 1)(x + fx) + 1) >> 1
+      else (p00 + ref(y + fy)(x + fx + 1) + ref(y + fy + 1)(x + fx) +
+        ref(y + fy + 1)(x + fx + 1) + 2) >> 2
+    }
+    def residual(d: Int): Int =
+      if (d == 0) 0 else residualPixel(residualLevel(d, q), q)
+    val expP = Array.tabulate(h, w) { (y, x) =>
+      planP(y / 16, x / 16) match {
+        case IntraMb(b, _) => b
+        case PredMb(dx, dy, d) =>
+          math.max(0, math.min(255, mcOf(expI)(y, x, dy, dx) + residual(d)))
+        case other => fail(s"unexpected P plan $other")
+      }
+    }
+    val expB = Array.tabulate(h, w) { (y, x) =>
+      val plan = planB(y / 16, x / 16) match {
+        case SkipMb => // repeat previous macroblock's direction + vectors
+          planB(y / 16, x / 16 - 1) match {
+            case BPredMb(f, b, _) => BPredMb(f, b, 0)
+            case other => fail(s"B-skip after non-predicted $other")
+          }
+        case p => p
+      }
+      plan match {
+        case IntraMb(b, _) => b
+        case BPredMb(f, b, d) =>
+          val pf = f.map { case (dx, dy) => mcOf(expI)(y, x, dy, dx) }
+          val pb = b.map { case (dx, dy) => mcOf(expP)(y, x, dy, dx) }
+          val pred = (pf, pb) match {
+            case (Some(a), Some(c)) => (a + c + 1) >> 1
+            case (Some(a), None) => a
+            case (None, Some(c)) => c
+            case _ => fail("directionless B plan")
+          }
+          math.max(0, math.min(255, pred + residual(d)))
+        case other => fail(s"unexpected B plan $other")
+      }
+    }
+    for ((exp, idx) <- Seq(expI, expB, expP).zipWithIndex) {
+      var maxDev = 0
+      for (y <- 0 until h; x <- 0 until w)
+        maxDev = math.max(maxDev, math.abs(pics(idx).y(y * w + x) - exp(y)(x)))
+      assert(maxDev == 0, s"display frame $idx deviates by $maxDev")
+    }
+    assert(pics(1).cb.forall(_ == 128) && pics(1).cr.forall(_ == 128),
+      "B chroma drifted")
+  }
+
+  test("multi-B run decodes through the transmission reorder in display order") {
+    import Mpeg1._
+    // display I0 B1 B2 P3 → transmission I0 P3 B1 B2; each picture gets a
+    // distinct residual so a mis-ordered or mis-referenced decode is visible
+    val w = 32; val h = 32; val q = 2
+    def base0(row: Int, col: Int) = 60 + row * 50 + col * 20
+    val bytes = encodeStream(w, h, q, Seq(
+      IFrame((r, c) => (base0(r, c), 0), (128, 128)),
+      BFrame((_, _) => BPredMb(Some((0, 0)), None, 3)),  // fwd: from I0
+      BFrame((_, _) => BPredMb(None, Some((0, 0)), 6)),  // bwd: from P3
+      PFrame((_, _) => PredMb(0, 0, 10))))
+    val (meta, pics) = decodeIFrames(bytes).get
+    assert(meta == SeqMeta(w, h, 4) && pics.size == 4)
+    def r(d: Int) = residualPixel(residualLevel(d, q), q)
+    val i0 = base0(0, 0)
+    val want = Seq(i0, i0 + r(3), i0 + r(10) + r(6), i0 + r(10))
+    val got = pics.map(_.y(5 * w + 5))
+    assert(got == want, s"display-order pixel chain $got != $want")
   }
 
   test("malformed streams are rejected, not misdecoded") {
