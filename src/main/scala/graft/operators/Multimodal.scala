@@ -542,6 +542,184 @@ object Multimodal {
       }
 
     // ------------------------------------------------------------------
+    // IMA/DVI ADPCM (WAV format tag 0x11) — COMPRESSED audio decoded for
+    // real (public IMA algorithm: the 89-entry step table, 3-bit
+    // successive-approximation quantizer, ±8 index adaptation). Encoder
+    // and decoder share the reconstruction state, so the decoded
+    // sequence is a PURE FUNCTION of the source samples — q290's DuckDB
+    // oracle replays the whole quantize→reconstruct chain per sample in
+    // a recursive CTE and hash-matches checksums, not just a verdict.
+    // ------------------------------------------------------------------
+
+    /** IMA ADPCM step-size table (89 entries). */
+    private val AdpcmStep: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+    /** Index adaptation per 3-bit magnitude (sign bit excluded). */
+    private val AdpcmIndexAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** SQL fragment of the step table as a DuckDB list literal — exported
+      * so q290's oracle replays the exact same table.
+      */
+    def adpcmStepSql: String = AdpcmStep.mkString("[", ", ", "]")
+
+    /** Normative reconstruction from one nibble: (newPredictor, newIndex).
+      * diffq = step/8 + bit2·step + bit1·step/2 + bit0·step/4 (truncating
+      * shifts), predictor clamped to int16, index clamped to [0, 88].
+      */
+    def adpcmDecodeStep(nibble: Int, pred: Int, index: Int): (Int, Int) = {
+      val step = AdpcmStep(index)
+      val delta = nibble & 7
+      var diffq = step >> 3
+      if ((delta & 4) != 0) diffq += step
+      if ((delta & 2) != 0) diffq += step >> 1
+      if ((delta & 1) != 0) diffq += step >> 2
+      val p0 = if ((nibble & 8) != 0) pred - diffq else pred + diffq
+      (math.max(-32768, math.min(32767, p0)),
+        math.max(0, math.min(88, index + AdpcmIndexAdj(delta))))
+    }
+
+    /** One successive-approximation quantize step:
+      * (nibble, newPredictor, newIndex) — the decoder-state update IS
+      * [[adpcmDecodeStep]], keeping encoder and decoder in lockstep.
+      */
+    def adpcmEncodeStep(sample: Int, pred: Int, index: Int): (Int, Int, Int) = {
+      val step = AdpcmStep(index)
+      val diff = sample - pred
+      val sign = if (diff < 0) 8 else 0
+      var ad = if (diff < 0) -diff else diff
+      var delta = 0
+      if (ad >= step) { delta = 4; ad -= step }
+      if (ad >= (step >> 1)) { delta |= 2; ad -= step >> 1 }
+      if (ad >= (step >> 2)) delta |= 1
+      val (p, ix) = adpcmDecodeStep(sign | delta, pred, index)
+      (sign | delta, p, ix)
+    }
+
+    /** Mono IMA-ADPCM WAV: 20-byte 0x11 fmt chunk (cbSize=2 +
+      * samplesPerBlock), the fact chunk compressed formats require, and
+      * whole `blockAlign`-byte blocks — a 4-byte header per block (sample
+      * 0 stored EXACT as int16 + the carried step index) then two samples
+      * per byte, LOW nibble first. The step index carries across blocks;
+      * the predictor restarts exact at each block header (the seek-reset
+      * contract that makes blocks independently decodable given the
+      * header). Samples are the same deterministic (seed, i) generator as
+      * [[encodeWavPcm16]] so an oracle can recompute the source.
+      */
+    def encodeWavImaAdpcm(sampleRate: Int, nSamples: Int, seed: Long,
+        blockAlign: Int = 64): Array[Byte] = {
+      require(sampleRate > 0 && nSamples > 0 && blockAlign > 4)
+      val spb = (blockAlign - 4) * 2 + 1
+      require(nSamples % spb == 0,
+        s"nSamples $nSamples must fill whole $spb-sample blocks")
+      val nBlocks = nSamples / spb
+      val dataSize = nBlocks * blockAlign
+      val riffSize = 4 + 28 + 12 + 8 + dataSize
+      val b = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(20)
+        .putShort(0x11).putShort(1).putInt(sampleRate)
+        .putInt(sampleRate * blockAlign / spb) // nominal byte rate
+        .putShort(blockAlign.toShort).putShort(4)
+        .putShort(2).putShort(spb.toShort)
+      b.put("fact".getBytes("US-ASCII")).putInt(4).putInt(nSamples)
+      b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      def sample(i: Int): Int = (((seed + i * 131L) % 65536L) - 32768L).toInt
+      var idx = 0
+      var t = 0
+      var blk = 0
+      while (blk < nBlocks) {
+        val s0 = sample(t); t += 1
+        b.putShort(s0.toShort).put(idx.toByte).put(0.toByte)
+        var pred = s0
+        var k = 0
+        while (k < blockAlign - 4) {
+          val (n0, p0, i0) = adpcmEncodeStep(sample(t), pred, idx)
+          t += 1; pred = p0; idx = i0
+          val (n1, p1, i1) = adpcmEncodeStep(sample(t), pred, idx)
+          t += 1; pred = p1; idx = i1
+          b.put((n0 | (n1 << 4)).toByte)
+          k += 1
+        }
+        blk += 1
+      }
+      b.array()
+    }
+
+    /** Parse + fully decode a mono IMA-ADPCM WAV:
+      * (sampleRate, nBlocks, PCM16 samples). Generic chunk walk (fmt /
+      * fact / data in any order, odd sizes padded per RIFF); None when the
+      * bytes aren't this container shape — a PCM WAV (tag 1) falls
+      * through to [[decodeWav]] and vice versa.
+      */
+    def adpcmSamples(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      def ascii(off: Int, s: String) =
+        bytes.length >= off + s.length &&
+          s.getBytes("US-ASCII").zipWithIndex.forall { case (c, i) => bytes(off + i) == c }
+      if (bytes.length < 12 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      if (b.getInt(4) != bytes.length - 8) return None
+      var off = 12
+      var fmtOff = -1
+      var dataOff = -1
+      var dataLen = 0
+      var factSamples = -1
+      while (off + 8 <= bytes.length) {
+        val size = b.getInt(off + 4)
+        if (size < 0 || off + 8 + size > bytes.length) return None
+        if (ascii(off, "fmt ") && size >= 20) fmtOff = off + 8
+        else if (ascii(off, "fact") && size >= 4) factSamples = b.getInt(off + 8)
+        else if (ascii(off, "data")) { dataOff = off + 8; dataLen = size }
+        off += 8 + size + (size & 1)
+      }
+      if (fmtOff < 0 || dataOff < 0) return None
+      val tag = b.getShort(fmtOff) & 0xffff
+      val channels = b.getShort(fmtOff + 2).toInt
+      val rate = b.getInt(fmtOff + 4)
+      val blockAlign = b.getShort(fmtOff + 12).toInt
+      val bits = b.getShort(fmtOff + 14).toInt
+      val spb = b.getShort(fmtOff + 18).toInt
+      if (tag != 0x11 || channels != 1 || bits != 4 || rate <= 0 ||
+        blockAlign <= 4 || dataLen % blockAlign != 0 ||
+        spb != (blockAlign - 4) * 2 + 1) return None
+      val nBlocks = dataLen / blockAlign
+      val out = new Array[Short](nBlocks * spb)
+      var t = 0
+      var blk = 0
+      while (blk < nBlocks) {
+        val base = dataOff + blk * blockAlign
+        var pred = b.getShort(base).toInt
+        var idx = bytes(base + 2) & 0xff
+        if (idx > 88 || bytes(base + 3) != 0) return None
+        out(t) = pred.toShort; t += 1
+        var k = 0
+        while (k < blockAlign - 4) {
+          val byte = bytes(base + 4 + k) & 0xff
+          val (p0, i0) = adpcmDecodeStep(byte & 0xf, pred, idx)
+          pred = p0; idx = i0; out(t) = p0.toShort; t += 1
+          val (p1, i1) = adpcmDecodeStep(byte >> 4, pred, idx)
+          pred = p1; idx = i1; out(t) = p1.toShort; t += 1
+          k += 1
+        }
+        blk += 1
+      }
+      val total =
+        if (factSamples > 0 && factSamples <= out.length) factSamples
+        else out.length
+      Some((rate, nBlocks, java.util.Arrays.copyOf(out, total)))
+    }
+
+    def decodeWavImaAdpcm(bytes: Array[Byte]): Option[Decoded] =
+      adpcmSamples(bytes).map { case (rate, _, s) => Decoded(0, 0, s.length, rate) }
+
+    // ------------------------------------------------------------------
     // ISO-BMFF (MP4) box layer — public spec (ISO/IEC 14496-12). The
     // CONTAINER parses for real: ftyp brand, mvhd duration/timescale,
     // per-trak tkhd dimensions, stsd codec fourccs, stsz sample counts,
@@ -1008,6 +1186,7 @@ object Multimodal {
     def decode(modality: String, mime: String, bytes: Array[Byte]): Decoded =
       MediaCodecs.decodeBmp(bytes)
         .orElse(MediaCodecs.decodeWav(bytes))
+        .orElse(MediaCodecs.decodeWavImaAdpcm(bytes))
         .orElse(MediaCodecs.decodePng(bytes))
         .orElse(MediaCodecs.decodeGif(bytes))
         .orElse(MediaCodecs.decodeY4m(bytes))

@@ -1293,6 +1293,117 @@ object PipelineQueries extends Registry {
           FROM documents, UNNEST(range(0, 3 + 2 * (n_chars % 2))) AS t(f)
           WHERE doc_id % 8 = 5 ORDER BY id, frame_idx""")),
 
+    // ---- REAL COMPRESSED-AUDIO decode: IMA/DVI ADPCM in a WAV container
+    //      (format tag 0x11 — the public 89-step successive-approximation
+    //      codec). Each doc derives a deterministic PCM16 signal (the
+    //      q141 generator), 4-bit-compresses it into spec-shaped blocks
+    //      (exact int16 header sample + carried step index per block, two
+    //      samples per byte low-nibble-first, fact chunk), then decodes it
+    //      back with the normative reconstruction. Because encoder and
+    //      decoder share the quantizer state, the DECODED sequence is a
+    //      pure function of the source — so the ORACLE replays the entire
+    //      quantize→reconstruct state machine per sample in a recursive
+    //      CTE (step table, 3-bit successive approximation, ±diffq,
+    //      int16 clamp, index adaptation, per-block predictor restart)
+    //      and hash-matches the running checksum and max reconstruction
+    //      error — a FULL replay of the codec, not an error-bound
+    //      verdict. Upgrades audio from "PCM16 parses" (q141) to
+    //      "compressed audio decodes"; MP3 remains header-walk-only.
+    //      One codec pass per row, zero shuffle before the sort. ------------
+    Q("q290_adpcm_audio",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 9 === 4)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nch) =>
+              val spb = 121 // blockAlign 64 → (64-4)*2+1 samples per block
+              val nBlocks = (1 + id % 3).toInt
+              val n = nBlocks * spb
+              val seed = id * 7919L + nch
+              val wav = Multimodal.MediaCodecs.encodeWavImaAdpcm(8000, n, seed)
+              val (rate, gotBlocks, dec) =
+                Multimodal.MediaCodecs.adpcmSamples(wav).get
+              def sample(i: Int): Int =
+                (((seed + i * 131L) % 65536L) - 32768L).toInt
+              var checksum = 0L
+              var maxErr = 0L
+              var i = 0
+              while (i < dec.length) {
+                checksum = (checksum + (dec(i).toLong + 32768L) * (i + 1)) %
+                  1000000007L
+                val e = math.abs(dec(i).toLong - sample(i))
+                if (e > maxErr) maxErr = e
+                i += 1
+              }
+              (id, gotBlocks.toLong, dec.length.toLong, rate.toLong,
+                checksum, maxErr)
+            }
+          }
+          .toDF("id", "n_blocks", "n_samples", "sample_rate", "checksum",
+            "max_abs_err")
+          .orderBy($"id")
+      },
+      Some {
+        val steps = graft.operators.Multimodal.MediaCodecs.adpcmStepSql
+        s"""WITH RECURSIVE docs AS (
+            SELECT doc_id AS id, 1 + doc_id % 3 AS nb,
+              (1 + doc_id % 3) * 121 AS n,
+              doc_id * 7919 + n_chars AS seed
+            FROM documents WHERE doc_id % 9 = 4),
+          st AS (
+            SELECT id, n, seed, 0 AS t, 0 AS pred, 0 AS idx,
+              CAST(0 AS BIGINT) AS checksum, CAST(0 AS BIGINT) AS maxerr
+            FROM docs
+            UNION ALL
+            SELECT id, n, seed, t + 1,
+              CASE WHEN hdr THEN s ELSE newpred END,
+              CASE WHEN hdr THEN idx ELSE newidx END,
+              (checksum + ((CASE WHEN hdr THEN s ELSE newpred END) + 32768)
+                * (t + 1)) % 1000000007,
+              greatest(maxerr,
+                abs((CASE WHEN hdr THEN s ELSE newpred END) - s))
+            FROM (
+              SELECT *,
+                greatest(-32768, least(32767,
+                  pred + CASE WHEN sgn THEN -diffq ELSE diffq END)) AS newpred,
+                greatest(0, least(88, idx + list_extract(
+                  [-1, -1, -1, -1, 2, 4, 6, 8], delta + 1))) AS newidx
+              FROM (
+                SELECT *, d4 + d2 +
+                    (CASE WHEN ad2 >= step >> 2 THEN 1 ELSE 0 END) AS delta,
+                  (step >> 3)
+                    + CASE WHEN d4 = 4 THEN step ELSE 0 END
+                    + CASE WHEN d2 = 2 THEN step >> 1 ELSE 0 END
+                    + CASE WHEN ad2 >= step >> 2 THEN step >> 2 ELSE 0 END
+                    AS diffq
+                FROM (
+                  SELECT *,
+                    ad1 - CASE WHEN ad1 >= step >> 1 THEN step >> 1 ELSE 0 END
+                      AS ad2,
+                    CASE WHEN ad1 >= step >> 1 THEN 2 ELSE 0 END AS d2
+                  FROM (
+                    SELECT *,
+                      ad0 - CASE WHEN ad0 >= step THEN step ELSE 0 END AS ad1,
+                      CASE WHEN ad0 >= step THEN 4 ELSE 0 END AS d4
+                    FROM (
+                      SELECT *, abs(s - pred) AS ad0, s < pred AS sgn,
+                        list_extract($steps, idx + 1) AS step
+                      FROM (
+                        SELECT *,
+                          CAST(((seed + t * 131) % 65536) - 32768 AS INT) AS s,
+                          t % 121 = 0 AS hdr
+                        FROM st WHERE t < n)))))))
+          SELECT d.id, CAST(d.nb AS BIGINT) AS n_blocks,
+            CAST(d.n AS BIGINT) AS n_samples,
+            CAST(8000 AS BIGINT) AS sample_rate,
+            f.checksum AS checksum, CAST(f.maxerr AS BIGINT) AS max_abs_err
+          FROM docs d JOIN st f ON f.id = d.id AND f.t = d.n
+          ORDER BY d.id"""
+      }),
+
     // ---- REAL animated-format frame extraction: each doc's metadata
     //      derives an animated GIF (spec-valid 89a, hand-written LZW
     //      stream ImageIO decodes identically — ImageIOCrossCheckSpec),

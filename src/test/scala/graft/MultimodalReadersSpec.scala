@@ -282,4 +282,56 @@ class ReadersSpec extends SparkSpec {
     assert(rows(0).isNullAt(0) && rows(0).getString(1) == "y")
     assert(rows(1).getString(0) == "x" && rows(1).isNullAt(1))
   }
+
+  test("IMA ADPCM: container round-trip, state-machine lockstep, routing") {
+    import graft.operators.Multimodal.MediaCodecs._
+    // container + count round-trip across 1..3 blocks
+    for (nb <- 1 to 3) {
+      val n = nb * 121
+      val wav = encodeWavImaAdpcm(8000, n, seed = 41L * nb)
+      val (rate, blocks, dec) = adpcmSamples(wav).get
+      assert((rate, blocks, dec.length) == (8000, nb, n))
+      // block headers store sample 0 of each block EXACTLY
+      for (b <- 0 until nb)
+        assert(dec(b * 121) ==
+          (((41L * nb + (b * 121) * 131L) % 65536L) - 32768L).toInt)
+    }
+    // encoder and decoder share the reconstruction: decoding the packed
+    // nibbles reproduces the encoder's own predictor chain exactly
+    var (pred, idx) = (100, 0)
+    var (dpred, didx) = (100, 0)
+    for (s <- Seq(120, 150, 90, -30, -32768, 32767, 0, 5)) {
+      val (nib, p, i) = adpcmEncodeStep(s, pred, idx)
+      val (dp, di) = adpcmDecodeStep(nib, dpred, didx)
+      assert((dp, di) == (p, i), s"decoder diverged at sample $s")
+      pred = p; idx = i; dpred = dp; didx = di
+    }
+    // a smooth signal (slope ≤ first step size) reconstructs tightly:
+    // quantizer granularity is step/8 = 0 at step 7, so error ≤ a few LSB
+    var (p2, i2) = (0, 0)
+    var maxErr = 0
+    for (t <- 1 to 500) {
+      val s = (t % 14) - 7 // |Δ| ≤ 7 = AdpcmStep(0)
+      val (_, p, i) = adpcmEncodeStep(s, p2, i2)
+      p2 = p; i2 = i
+      maxErr = math.max(maxErr, math.abs(p - s))
+    }
+    assert(maxErr <= 10, s"smooth-signal reconstruction error $maxErr")
+    // routing: ADPCM WAV must NOT parse as PCM16 WAV and vice versa, and
+    // HeaderCodec reports the REAL decoded sample count, not the stub's
+    val adpcm = encodeWavImaAdpcm(16000, 121, seed = 7L)
+    assert(decodeWav(adpcm).isEmpty, "tag-0x11 WAV misparsed as PCM")
+    val pcm = encodeWavPcm16(8000, 100, seed = 7L)
+    assert(decodeWavImaAdpcm(pcm).isEmpty, "PCM WAV misparsed as ADPCM")
+    val d = new graft.operators.Multimodal.HeaderCodec()
+      .decode("audio", "audio/wav", adpcm)
+    assert((d.nFrames, d.sampleRate) == (121, 16000), s"stub routed: $d")
+    // corruption: bad riff size, truncation, reserved byte, index > 88
+    assert(decodeWavImaAdpcm(adpcm.dropRight(3)).isEmpty)
+    val badIdx = adpcm.clone()
+    // 12 RIFF/WAVE + 28 fmt + 12 fact + 8 data header = 60; the block
+    // header's step-index byte sits at +2
+    badIdx(62) = 120.toByte
+    assert(decodeWavImaAdpcm(badIdx).isEmpty, "index > 88 accepted")
+  }
 }
