@@ -873,6 +873,121 @@ object RelationalQueries extends Registry {
           FROM b, rg GROUP BY scheme ORDER BY scheme"""
       }),
 
+    // ---- HILBERT-CURVE LAYOUT AUDIT (q257's upgrade; ZOrder's sibling
+    //      with provably better locality): the same 64-bucket charged-
+    //      cost experiment run under FOUR layouts — the two single-axis
+    //      sorts, the Morton z-order and the HILBERT index
+    //      (functions/Hilbert.scala: the public iterative xy→d walk —
+    //      per-level Gray-code quadrant digit + reflect/swap rotation —
+    //      folded as simultaneous withColumns stages inside whole-stage
+    //      codegen; HilbertSpec pins bijectivity, the Manhattan-1
+    //      continuity Z lacks, and SQL-chain ≡ Scala-twin on the full
+    //      grid). The DuckDB oracle replays the SAME per-level update
+    //      texts as nested subquery stages, so bucket assignment,
+    //      bounding boxes and charged costs are all hash-gated. The
+    //      bucket count is 48 — deliberately NOT a power of two: under a
+    //      dyadic cut (q257's 64 = top-6-bits) every curve-prefix bucket
+    //      is the SAME 8×8 grid cell for both curves and the comparison
+    //      degenerates to equality (measured before this query landed);
+    //      non-dyadic buckets cross quadrant boundaries, where Morton's
+    //      long jumps inflate the box and Hilbert's Manhattan-1
+    //      continuity keeps it tight (~10% lower combined cost on the
+    //      full grid). vs_zorder = sign(combined − combined_z) rides
+    //      in-row — the number a table-layout OPTIMIZE decision reads.
+    //      Same scale shape as q257: ~10 integer CASEs per level per
+    //      row, min/max as 1-row broadcasts, the 48-row bucket frame
+    //      aggregated before any join. --------------------------------------
+    Q("q291_hilbert_layout",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "lineitem")
+          .select(
+            datediff($"l_shipdate".cast("date"),
+              lit("1992-01-01").cast("date")).cast("long").as("x"),
+            ($"l_suppkey" % 65536).cast("long").as("y"))
+        val mm = base.agg(min($"x").as("xmin"), max($"x").as("xmax"),
+          min($"y").as("ymin"), max($"y").as("ymax"))
+        val dims0 = base.crossJoin(broadcast(mm))
+          .withColumn("x8", expr("((x - xmin) * 256) DIV (xmax - xmin + 1)"))
+          .withColumn("y8", expr("((y - ymin) * 256) DIV (ymax - ymin + 1)"))
+          .withColumn("z16",
+            graft.functions.ZOrder.interleave("x8", "y8", bits = 8).cast("long"))
+        val dims = graft.functions.Hilbert.withIndex(dims0, "x8", "y8", "h16")
+        val buckets = dims.select($"x", $"y",
+            expr("((x - xmin) * 48) DIV (xmax - xmin + 1)").as("b_day"),
+            expr("((y - ymin) * 48) DIV (ymax - ymin + 1)").as("b_supp"),
+            expr("(z16 * 48) DIV 65536").as("b_z"),
+            expr("(h16 * 48) DIV 65536").as("b_h"))
+        val ranges = mm.select(($"xmax" - $"xmin" + 1L).as("rx"),
+          ($"ymax" - $"ymin" + 1L).as("ry"))
+        def charged(name: String, bCol: String) = buckets
+          .groupBy(col(bCol).as("bkt"))
+          .agg((max($"x") - min($"x") + 1L).as("dx"),
+            (max($"y") - min($"y") + 1L).as("dy"))
+          .agg(count(lit(1)).as("n_buckets"), sum($"dx").as("sum_dx"),
+            sum($"dy").as("sum_dy"))
+          .crossJoin(broadcast(ranges))
+          .select(lit(name).as("scheme"),
+            $"n_buckets".cast("long").as("n_buckets"),
+            $"sum_dx".cast("long").as("sum_dx"),
+            $"sum_dy".cast("long").as("sum_dy"),
+            ($"sum_dx" * $"ry" + $"sum_dy" * $"rx").cast("long").as("combined"))
+        val all = charged("1_by_day", "b_day")
+          .unionByName(charged("2_by_supp", "b_supp"))
+          .unionByName(charged("3_zorder", "b_z"))
+          .unionByName(charged("4_hilbert", "b_h"))
+        // the decision-relevant delta: Hilbert's charged cost relative to
+        // Z on identical data, as a sign every row carries
+        val zCost = all.filter($"scheme" === "3_zorder")
+          .select($"combined".as("z_combined"))
+        all.crossJoin(broadcast(zCost))
+          .select($"scheme", $"n_buckets", $"sum_dx", $"sum_dy", $"combined",
+            signum($"combined" - $"z_combined").cast("int").as("vs_zorder"))
+          .orderBy($"scheme")
+      },
+      Some {
+        val z = graft.functions.ZOrder.interleaveSql("x8", "y8", bits = 8)
+        // x8/y8 (and x/y) ride THROUGH the hilbert stage chain — no join
+        // back, so duplicate (x, y) rows can't fan out
+        val h = graft.functions.Hilbert.indexSql(
+          "SELECT x, y, x8, y8, x8 AS hx, y8 AS hy FROM n",
+          Seq("x", "y", "x8", "y8"))
+        s"""WITH d AS (SELECT
+              date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS x,
+              l_suppkey % 65536 AS y FROM lineitem),
+          mm AS (SELECT min(x) AS xmin, max(x) AS xmax,
+              min(y) AS ymin, max(y) AS ymax FROM d),
+          n AS (SELECT x, y,
+              ((x - xmin) * 256) // (xmax - xmin + 1) AS x8,
+              ((y - ymin) * 256) // (ymax - ymin + 1) AS y8
+            FROM d, mm),
+          hz AS ($h),
+          bk AS (SELECT x, y,
+              ((x - xmin) * 48) // (xmax - xmin + 1) AS b_day,
+              ((y - ymin) * 48) // (ymax - ymin + 1) AS b_supp,
+              (($z) * 48) // 65536 AS b_z,
+              (hd * 48) // 65536 AS b_h
+            FROM hz, mm),
+          rg AS (SELECT xmax - xmin + 1 AS rx, ymax - ymin + 1 AS ry FROM mm),
+          u AS (
+            SELECT '1_by_day' AS scheme, b_day AS bkt, x, y FROM bk
+            UNION ALL SELECT '2_by_supp', b_supp, x, y FROM bk
+            UNION ALL SELECT '3_zorder', b_z, x, y FROM bk
+            UNION ALL SELECT '4_hilbert', b_h, x, y FROM bk),
+          b AS (SELECT scheme, bkt,
+              max(x) - min(x) + 1 AS dx, max(y) - min(y) + 1 AS dy
+            FROM u GROUP BY 1, 2),
+          c AS (SELECT scheme, CAST(count(*) AS BIGINT) AS n_buckets,
+              CAST(sum(dx) AS BIGINT) AS sum_dx,
+              CAST(sum(dy) AS BIGINT) AS sum_dy,
+              CAST(sum(dx) * max(ry) + sum(dy) * max(rx) AS BIGINT) AS combined
+            FROM b, rg GROUP BY scheme),
+          zc AS (SELECT combined AS z_combined FROM c WHERE scheme = '3_zorder')
+          SELECT scheme, n_buckets, sum_dx, sum_dy, combined,
+            CAST(sign(combined - z_combined) AS INT) AS vs_zorder
+          FROM c, zc ORDER BY scheme"""
+      }),
+
     // ---- z-order file skipping END-TO-END (VERDICT r9/r10 item 4,
     //      closing q155/q257's layout-statistics loop to REAL pruning):
     //      lineitem is physically WRITTEN as parquet laid out by the
