@@ -834,6 +834,65 @@ object IngestQueries extends Registry {
           LEFT JOIN d ON d.l_returnflag = f.l_returnflag
           ORDER BY f.l_returnflag""")),
 
+    // ---- INCREMENTAL JOIN-VIEW maintenance (q277/q282/q283's sibling on
+    //      a JOIN, the classic delta rule): the materialized view
+    //      V = Σ(orders ⋈ customer) per (segment, order month) absorbs an
+    //      appended orders batch ΔO AND an appended customer batch ΔC as
+    //      V ⊕ Σ(ΔO⋈C_old) ⊕ Σ(O_old⋈ΔC) ⊕ Σ(ΔO⋈ΔC) — the old×old join
+    //      NEVER re-runs, which at 100 TB is the entire point: the two
+    //      big sides meet only through their deltas (ΔC is broadcast; a
+    //      production run would also semi-join-restrict O_old to ΔC's
+    //      keys before the shuffle). Counts and decimal revenue merge by
+    //      SUM (associative, exact); the ORACLE takes the other road —
+    //      one full recompute of the join over everything visible at the
+    //      batch end — so merge ≡ recompute is the gated claim on a
+    //      binary operator, not just a group-by. Batches are derived
+    //      from the benchmark tables (orders by date window, "new"
+    //      customers by key residue), so both engines see identical
+    //      splits. ----------------------------------------------------------
+    Q("q293_incremental_join",
+      (s, dir) => {
+        import s.implicits._
+        val cutoff = "1996-01-01"
+        val batchEnd = "1996-07-01"
+        val o = Tables(s, dir, "orders").select($"o_custkey",
+          $"o_orderdate", $"o_totalprice".cast("decimal(18,2)").as("price"),
+          (year($"o_orderdate") * 100 + month($"o_orderdate")).as("mon"))
+        val c = Tables(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment")
+        val oldO = o.filter($"o_orderdate" < lit(cutoff))
+        val dO = o.filter(
+          $"o_orderdate" >= lit(cutoff) && $"o_orderdate" < lit(batchEnd))
+        val oldC = c.filter($"c_custkey" % 10 =!= 3)
+        val dC = c.filter($"c_custkey" % 10 === 3) // the "new customers" batch
+        def agg(orders: org.apache.spark.sql.DataFrame,
+            cust: org.apache.spark.sql.DataFrame, bcastCust: Boolean) = {
+          val dim = if (bcastCust) broadcast(cust) else cust
+          orders.join(dim, $"o_custkey" === $"c_custkey")
+            .groupBy($"c_mktsegment", $"mon")
+            .agg(count(lit(1)).as("n"), sum($"price").as("rev"))
+        }
+        val vOld = agg(oldO, oldC, bcastCust = false) // the stored view
+        val deltas = agg(dO, oldC, bcastCust = false)
+          .unionByName(agg(oldO, dC, bcastCust = true))
+          .unionByName(agg(dO, dC, bcastCust = true))
+        vOld.unionByName(deltas)
+          .groupBy($"c_mktsegment", $"mon")
+          .agg(sum($"n").as("n"), sum($"rev").as("rev"))
+          .select($"c_mktsegment", $"mon".cast("long").as("mon"),
+            $"n".cast("long").as("n_orders"),
+            $"rev".cast("double").as("revenue"))
+          .orderBy($"c_mktsegment", $"mon")
+      },
+      Some("""SELECT c_mktsegment,
+            CAST(year(CAST(o_orderdate AS DATE)) * 100
+              + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+            CAST(count(*) AS BIGINT) AS n_orders,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+          GROUP BY 1, 2 ORDER BY c_mktsegment, mon""")),
+
     // ---- CDC upsert compaction (MERGE without a table format): base
     //      snapshot + a change batch (upserts carry a higher version,
     //      deletes the highest) collapse to latest-state via ONE key

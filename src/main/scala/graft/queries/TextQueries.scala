@@ -3803,7 +3803,94 @@ object TextQueries extends Registry {
                       FROM documents),
                      UNNEST(range(1, $bound)) AS t(i)
                 WHERE $conds)"""
-      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY phrase")))
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY phrase"))),
+
+    // ---- SEQUENCE PACKING for training batches — the step between
+    //      curation (q78) and the trainer: pack documents into fixed
+    //      token-capacity sequences so padding (wasted FLOPs) is the
+    //      measured deliverable. Shard-parallel next-fit-decreasing:
+    //      docs shard deterministically (doc_id % 16 here; a production
+    //      run hashes), each shard packs INDEPENDENTLY in one streaming
+    //      pass — repartition(shard) + sortWithinPartitions(shard,
+    //      tok DESC, id) + mapPartitions with per-shard state reset, so
+    //      no global window, no per-group buffering, and the emitted
+    //      frame is one row per shard. Capacity-clipped token counts
+    //      (least(tok, C)) keep oversized docs well-defined (truncate =
+    //      one full sequence). The ORACLE replays every shard's greedy
+    //      fold exactly: rank per shard by (tok DESC, id), then a
+    //      recursive CTE threads (fill, bins) through the ranked docs —
+    //      bin count, total fill, waste and the ⌈Σtok/C⌉ lower bound all
+    //      hash-gated. At 100 TB shards = O(parallelism) and the pack is
+    //      embarrassingly parallel; next-fit's bins ≤ 2·OPT bound holds
+    //      per shard and waste/lower_bound quantifies the real gap. --------
+    Q("q292_sequence_packing",
+      (s, dir) => {
+        import s.implicits._
+        val cap = 128L
+        val nShards = 16
+        docs(s, dir)
+          .select($"doc_id",
+            ($"doc_id" % nShards).cast("long").as("shard"),
+            least(size(tokens($"text")).cast("long"), lit(cap)).as("tok"))
+          .repartition(col("shard"))
+          .sortWithinPartitions($"shard", $"tok".desc, $"doc_id")
+          .select($"shard", $"tok", $"doc_id")
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            // next-fit fold, state reset at shard boundaries — the
+            // partition holds whole shards in (tok desc, id) order
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Long, Long)]
+            var shard = -1L
+            var fill = 0L
+            var bins = 0L
+            var nDocs = 0L
+            var sumTok = 0L
+            def flush(): Unit = if (shard >= 0)
+              out += ((shard, nDocs, bins, sumTok, bins * cap - sumTok))
+            it.foreach { case (sh, tok, _) =>
+              if (sh != shard) {
+                flush(); shard = sh; fill = 0; bins = 0; nDocs = 0; sumTok = 0
+              }
+              if (bins == 0 || fill + tok > cap) { bins += 1; fill = 0 }
+              fill += tok; nDocs += 1; sumTok += tok
+            }
+            flush()
+            out.iterator
+          }
+          .toDF("shard", "n_docs", "n_bins", "sum_tokens", "waste")
+          .withColumn("lower_bound",
+            ceil($"sum_tokens".cast("double") / cap).cast("long"))
+          .select($"shard", $"n_docs", $"n_bins", $"lower_bound",
+            $"sum_tokens", $"waste")
+          .orderBy($"shard")
+      },
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, doc_id % 16 AS shard,
+              least(len(string_split(text, ' ')), 128) AS tok FROM documents),
+          r AS (SELECT shard, tok, doc_id,
+              row_number() OVER (PARTITION BY shard
+                ORDER BY tok DESC, doc_id) AS rn
+            FROM d),
+          m AS (SELECT shard, count(*) AS n_docs, sum(tok) AS sum_tok
+            FROM r GROUP BY shard),
+          st AS (
+            SELECT shard, 0 AS rn, CAST(0 AS BIGINT) AS fill,
+              CAST(0 AS BIGINT) AS bins FROM m
+            UNION ALL
+            SELECT st.shard, st.rn + 1,
+              CASE WHEN st.bins = 0 OR st.fill + r.tok > 128
+                   THEN r.tok ELSE st.fill + r.tok END,
+              CASE WHEN st.bins = 0 OR st.fill + r.tok > 128
+                   THEN st.bins + 1 ELSE st.bins END
+            FROM st JOIN r ON r.shard = st.shard AND r.rn = st.rn + 1),
+          f AS (SELECT st.shard, st.bins FROM st
+            JOIN m ON m.shard = st.shard AND st.rn = m.n_docs)
+          SELECT m.shard, CAST(m.n_docs AS BIGINT) AS n_docs,
+            CAST(f.bins AS BIGINT) AS n_bins,
+            CAST(ceil(CAST(m.sum_tok AS DOUBLE) / 128) AS BIGINT) AS lower_bound,
+            CAST(m.sum_tok AS BIGINT) AS sum_tokens,
+            CAST(f.bins * 128 - m.sum_tok AS BIGINT) AS waste
+          FROM m JOIN f ON f.shard = m.shard ORDER BY m.shard"""))
   )
 
   /** q224's probe phrases — two bigrams and a trigram over the synthetic

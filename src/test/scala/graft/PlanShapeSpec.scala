@@ -464,6 +464,23 @@ class PlanShapeSpec extends SparkSpec {
       s"expected 3 code points, got ${cs.map(c => c.map(_.toInt).mkString("+"))}")
   }
 
+  test("q292: packing is one shard exchange, then a streaming partition fold") {
+    val p = plan("q292_sequence_packing")
+    // exactly one hash exchange (the repartition on shard); the next-fit
+    // fold itself is mapPartitions — no window, no second shuffle before
+    // the 16-row result sort
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shard exchange, got $exchanges:\n$p")
+    assert(!p.contains("Window"), s"packing planned a window:\n$p")
+  }
+
+  test("q293: both delta-customer joins broadcast the batch side") {
+    val p = plan("q293_incremental_join")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"expected the two ΔC joins to broadcast, got $bhj:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+  }
+
   test("no registered query plans an unpartitioned window over unbounded input") {
     // The one scale-killer class Catalyst won't warn about at plan time: a
     // window with no PARTITION BY funnels the whole input through ONE task.
