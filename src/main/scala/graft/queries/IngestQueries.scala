@@ -893,6 +893,58 @@ object IngestQueries extends Registry {
           WHERE CAST(o_orderdate AS DATE) < DATE '1996-07-01'
           GROUP BY 1, 2 ORDER BY c_mktsegment, mon""")),
 
+    // ---- AVRO object-container ingest WITH schema evolution (r13 — a
+    //      new real source format; spark-avro isn't on this classpath,
+    //      so the container layer runs the public core Avro API
+    //      directly: magic, schema+codec metadata, deflate blocks, sync
+    //      markers — sources/AvroBytes). Files are built per group from
+    //      the benchmark rows (generation-inverse) under TWO writer
+    //      generations — even file-groups lack the `tier` field, odd
+    //      ones carry it — and ALL decode under today's reader schema
+    //      via normative READER-SCHEMA RESOLUTION (missing field fills
+    //      from the default), which is the property a 100 TB lake
+    //      actually needs from Avro. The gate: per-file record counts,
+    //      exact double score sums (quarter-steps — order-independent),
+    //      the codec name read back from container metadata, and
+    //      tier_len_sum, which distinguishes resolved defaults ('std')
+    //      from real V2 values row-by-row — a broken resolution or codec
+    //      flips it. A row-order roundtrip require rides inside the
+    //      group. flatMapGroups keeps every container executor-local. ------
+    Q("q294_avro_ingest",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sources.AvroBytes
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"source")
+          .as[(Long, String)]
+          .groupByKey { case (id, _) => id % 8 }
+          .flatMapGroups { (fileId: Long, it: Iterator[(Long, String)]) =>
+            val rows = it.toSeq.sortBy(_._1)
+            val v2 = fileId % 2 == 1
+            val schema = if (v2) AvroBytes.WriterV2 else AvroBytes.WriterV1
+            val recs = rows.map { case (id, src) =>
+              (id, src, (id % 1000).toDouble / 4.0,
+                if (v2) Some(src) else None)
+            }
+            val bytes = AvroBytes.encode(schema, recs)
+            val (codec, decoded) = AvroBytes.decode(bytes)
+            require(decoded.map(d => (d._1, d._2)) == rows,
+              s"avro roundtrip drifted for file-group $fileId")
+            Iterator.single((fileId, rows.size.toLong,
+              decoded.map(_._3).sum,
+              decoded.map(_._4.length.toLong).sum, codec))
+          }
+          .toDF("file_id", "n_records", "sum_score", "tier_len_sum", "codec")
+          .orderBy($"file_id")
+      },
+      Some("""SELECT doc_id % 8 AS file_id,
+            CAST(count(*) AS BIGINT) AS n_records,
+            sum(CAST(doc_id % 1000 AS DOUBLE) / 4.0) AS sum_score,
+            CAST(sum(length(CASE WHEN (doc_id % 8) % 2 = 1
+                 THEN source ELSE 'std' END)) AS BIGINT) AS tier_len_sum,
+            'deflate' AS codec
+          FROM documents GROUP BY 1 ORDER BY file_id""")),
+
     // ---- CDC upsert compaction (MERGE without a table format): base
     //      snapshot + a change batch (upserts carry a higher version,
     //      deletes the highest) collapse to latest-state via ONE key

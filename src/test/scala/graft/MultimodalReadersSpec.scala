@@ -283,6 +283,29 @@ class ReadersSpec extends SparkSpec {
     assert(rows(1).getString(0) == "x" && rows(1).isNullAt(1))
   }
 
+  test("Avro container: roundtrip, reader-schema resolution, codec metadata") {
+    import graft.sources.AvroBytes
+    // V2 writer: tier survives verbatim
+    val v2rows = Seq((1L, "web", 0.25, Some("gold")), (2L, "wiki", 7.5, Some("std")))
+    val (codec2, dec2) = AvroBytes.decode(AvroBytes.encode(AvroBytes.WriterV2, v2rows))
+    assert(codec2 == "deflate")
+    assert(dec2 == Seq((1L, "web", 0.25, "gold"), (2L, "wiki", 7.5, "std")))
+    // V1 writer: tier resolves from the reader-schema default
+    val v1rows = Seq((3L, "cc", 1.75, None))
+    val (_, dec1) = AvroBytes.decode(AvroBytes.encode(AvroBytes.WriterV1, v1rows))
+    assert(dec1 == Seq((3L, "cc", 1.75, "std")), s"default not resolved: $dec1")
+    // multi-block containers (sync interval 256) still decode completely
+    val many = (0L until 2000L).map(i => (i, "s" + (i % 7), (i % 9) / 4.0,
+      None: Option[String]))
+    val bytes = AvroBytes.encode(AvroBytes.WriterV1, many)
+    val (_, decM) = AvroBytes.decode(bytes)
+    assert(decM.size == 2000 && decM.map(_._1) == many.map(_._1))
+    // container magic protects against misparse
+    intercept[Exception] {
+      AvroBytes.decode("not an avro container at all".getBytes)
+    }
+  }
+
   test("IMA ADPCM: container round-trip, state-machine lockstep, routing") {
     import graft.operators.Multimodal.MediaCodecs._
     // container + count round-trip across 1..3 blocks
