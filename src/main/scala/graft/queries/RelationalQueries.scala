@@ -988,6 +988,81 @@ object RelationalQueries extends Registry {
           FROM c, zc ORDER BY scheme"""
       }),
 
+    // ---- COMPRESSION-CODEC audit (the storage family's codec knob,
+    //      q276/q279/q281's sibling): the same projection is physically
+    //      WRITTEN under snappy, zstd and gzip, then audited from the
+    //      parquet FOOTERS — every column chunk must carry the requested
+    //      codec (a silently-ignored write option is exactly the bug
+    //      class this catches), the per-codec compressed byte total must
+    //      undercut the uncompressed total, and the footer row count must
+    //      equal the distributed read-back count (writer-correctness
+    //      theorem, q279's gate shape: byte sizes aren't SQL facts, so
+    //      the oracle pins the INVARIANT FLAGS plus the replayable row
+    //      counts, and any footer/codec/roundtrip divergence flips a
+    //      flag). At 100 TB this is the nightly job that validates a
+    //      codec migration before pointing readers at it. /tmp layouts
+    //      are pid-keyed and dead-process-swept like q259's. ----------------
+    Q("q295_codec_audit",
+      (s, dir) => {
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val codecs = Seq("gzip", "snappy", "zstd")
+        val base = t(s, dir, "documents")
+          .select($"doc_id", $"text", $"source")
+        val root = "/tmp/graft-codec/" +
+          graft.core.Det.md5hex(dir).take(12) + "-" + zorderProcToken
+        val hconf = s.sparkContext.hadoopConfiguration
+        codecs.map { c =>
+          val path = s"$root/$c"
+          base.coalesce(2).write.mode("overwrite")
+            .option("compression", c).parquet(path)
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(hconf)
+          val files = {
+            val it = fs.listFiles(p, false)
+            val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.getPath.getName.endsWith(".parquet")) b += f.getPath
+            }
+            b.result()
+          }
+          var chunks = 0L
+          var okChunks = 0L
+          var compBytes = 0L
+          var rawBytes = 0L
+          var rows = 0L
+          files.foreach { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+            try r.getFooter.getBlocks.asScala.foreach { b =>
+              rows += b.getRowCount
+              b.getColumns.asScala.foreach { cc =>
+                chunks += 1
+                if (cc.getCodec.toString.toLowerCase == c) okChunks += 1
+                compBytes += cc.getTotalSize
+                rawBytes += cc.getTotalUncompressedSize
+              }
+            } finally r.close()
+          }
+          val back = s.read.parquet(path).count()
+          (c, rows, back,
+            if (chunks > 0 && okChunks == chunks) 1L else 0L,
+            if (compBytes < rawBytes) 1L else 0L,
+            if (back == rows) 1L else 0L)
+        }.toDF("codec", "n_rows", "rows_read", "codec_ok", "shrinks",
+          "roundtrip_ok")
+          .orderBy($"codec")
+      },
+      Some("""SELECT codec,
+            CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
+            CAST((SELECT count(*) FROM documents) AS BIGINT) AS rows_read,
+            CAST(1 AS BIGINT) AS codec_ok,
+            CAST(1 AS BIGINT) AS shrinks,
+            CAST(1 AS BIGINT) AS roundtrip_ok
+          FROM (VALUES ('gzip'), ('snappy'), ('zstd')) AS t(codec)
+          ORDER BY codec""")),
+
     // ---- z-order file skipping END-TO-END (VERDICT r9/r10 item 4,
     //      closing q155/q257's layout-statistics loop to REAL pruning):
     //      lineitem is physically WRITTEN as parquet laid out by the
@@ -2662,7 +2737,8 @@ object RelationalQueries extends Registry {
   private lazy val zorderProcToken: String = {
     // <md5 12>-<pid>-<uuid8>[-suffix]; anything else is a legacy
     // (pre-pid) layout from an older binary — its JVM is gone, sweep it
-    for (root <- Seq("/tmp/graft-zorder-skip", "/tmp/graft-compact", "/tmp/graft-bloom"))
+    for (root <- Seq("/tmp/graft-zorder-skip", "/tmp/graft-compact",
+        "/tmp/graft-bloom", "/tmp/graft-codec"))
       graft.core.Fs.sweepDeadPidDirs(root,
         "^[0-9a-f]{12}-(\\d+)-\\w+(?:-\\w+)?$".r, sweepLegacy = true)
     ProcessHandle.current().pid() + "-" +
