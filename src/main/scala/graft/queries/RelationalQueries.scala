@@ -988,6 +988,140 @@ object RelationalQueries extends Registry {
           FROM c, zc ORDER BY scheme"""
       }),
 
+    // ---- HILBERT file skipping END-TO-END (q259's machinery on the
+    //      q291 layout — closes the Hilbert story the way q259 closed
+    //      z-order's): lineitem physically WRITTEN as parquet laid out
+    //      by the Hilbert key under a NON-dyadic 48-bucket cut (the
+    //      realistic case — equal-size file cuts never align to dyadic
+    //      boundaries, and q291 showed the dyadic cut erases the curve
+    //      difference), read back with the same central-quarter
+    //      two-sided window, pruning statistics from the ACTUAL parquet
+    //      footers (one row group per file, loudly enforced). The oracle
+    //      replays bucket assignment through the SAME per-level Hilbert
+    //      stage texts, so per-file footer min/max/count must equal
+    //      per-bucket group aggregates — writer, stats or layout bugs
+    //      diverge the hash. At 100 TB files_pruned/n_files is the
+    //      fraction of the table never opened under the curve the
+    //      OPTIMIZE decision (q291's vs_zorder sign) selects. ---------------
+    Q("q296_hilbert_skipping",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "lineitem").select(
+          datediff($"l_shipdate".cast("date"),
+            lit("1992-01-01").cast("date")).cast("long").as("x"),
+          $"l_suppkey".cast("long").as("y"))
+        val mmRow = base.agg(min($"x"), max($"x"), min($"y"), max($"y")).head()
+        val (xmin, xmax) = (mmRow.getLong(0), mmRow.getLong(1))
+        val (ymin, ymax) = (mmRow.getLong(2), mmRow.getLong(3))
+        val (rx, ry) = (xmax - xmin + 1L, ymax - ymin + 1L)
+        val (xa, xb) = (xmin + rx * 3 / 8, xmin + rx * 5 / 8 - 1)
+        val (ya, yb) = (ymin + ry * 3 / 8, ymin + ry * 5 / 8 - 1)
+        val hdir = "/tmp/graft-hilbert-skip/" +
+          graft.core.Det.md5hex(dir).take(12) + "-" + zorderProcToken
+        graft.functions.Hilbert.withIndex(
+            base
+              .withColumn("x8", expr(s"((x - $xmin) * 256) DIV $rx"))
+              .withColumn("y8", expr(s"((y - $ymin) * 256) DIV $ry")),
+            "x8", "y8", "h16")
+          .withColumn("hbucket", expr("(h16 * 48) DIV 65536"))
+          .select($"x", $"y", $"hbucket")
+          .repartition(col("hbucket"))
+          .write.mode("overwrite")
+          .option("parquet.block.size", (1L << 30).toString)
+          .partitionBy("hbucket").parquet(hdir)
+        import scala.jdk.CollectionConverters._
+        val hconf = s.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(hdir)
+        val fs = root.getFileSystem(hconf)
+        val files = {
+          val it = fs.listFiles(root, true)
+          val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) b += f.getPath
+          }
+          b.result()
+        }
+        final case class FileStats(rowGroups: Int, rows: Long,
+            fxMin: Long, fxMax: Long, fyMin: Long, fyMax: Long)
+        val stats = files.map { p =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+          try {
+            val blocks = r.getFooter.getBlocks.asScala.toSeq
+            def colStats(name: String): Seq[org.apache.parquet.column.statistics.Statistics[_]] =
+              blocks.map(_.getColumns.asScala
+                .find(_.getPath.toDotString == name)
+                .getOrElse(sys.error(s"column $name missing in footer of $p"))
+                .getStatistics)
+            def longs(st: Seq[org.apache.parquet.column.statistics.Statistics[_]],
+                f: org.apache.parquet.column.statistics.Statistics[_] => Any): Seq[Long] =
+              st.map(x => f(x).asInstanceOf[java.lang.Long].longValue)
+            val (sx, sy) = (colStats("x"), colStats("y"))
+            require(blocks.size == 1,
+              s"hilbert layout contract violated: ${blocks.size} row groups in $p — " +
+                "a bucket file exceeded the 1 GiB block size; raise the bucket count " +
+                "so file == row group == pruning unit")
+            FileStats(blocks.size, blocks.map(_.getRowCount).sum,
+              longs(sx, _.genericGetMin).min, longs(sx, _.genericGetMax).max,
+              longs(sy, _.genericGetMin).min, longs(sy, _.genericGetMax).max)
+          } finally r.close()
+        }
+        val read = stats.filter(f =>
+          f.fxMin <= xb && f.fxMax >= xa && f.fyMin <= yb && f.fyMax >= ya)
+        s.read.parquet(hdir)
+          .filter($"x" >= xa && $"x" <= xb && $"y" >= ya && $"y" <= yb)
+          .agg(count(lit(1)).as("rows_selected"))
+          .select(
+            lit(xa).as("xa"), lit(xb).as("xb"), lit(ya).as("ya"), lit(yb).as("yb"),
+            lit(stats.size.toLong).as("n_files"),
+            lit(stats.map(_.rowGroups.toLong).sum).as("n_rowgroups"),
+            lit(read.size.toLong).as("files_read"),
+            lit((stats.size - read.size).toLong).as("files_pruned"),
+            lit(read.map(_.rows).sum).as("rows_scanned"),
+            $"rows_selected")
+      },
+      Some {
+        val h = graft.functions.Hilbert.indexSql(
+          "SELECT x, y, x8 AS hx, y8 AS hy FROM n", Seq("x", "y"))
+        s"""WITH d AS (SELECT
+              date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS x,
+              CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
+          mm AS (SELECT min(x) AS xmin, max(x) AS xmax,
+              min(y) AS ymin, max(y) AS ymax FROM d),
+          n AS (SELECT x, y,
+              ((x - xmin) * 256) // (xmax - xmin + 1) AS x8,
+              ((y - ymin) * 256) // (ymax - ymin + 1) AS y8
+            FROM d, mm),
+          hz AS ($h),
+          hb AS (SELECT x, y, (hd * 48) // 65536 AS hbucket FROM hz),
+          st AS (SELECT hbucket, min(x) AS fxmin, max(x) AS fxmax,
+              min(y) AS fymin, max(y) AS fymax, count(*) AS nrows
+            FROM hb GROUP BY hbucket),
+          w AS (SELECT
+              xmin + (xmax - xmin + 1) * 3 // 8 AS xa,
+              xmin + (xmax - xmin + 1) * 5 // 8 - 1 AS xb,
+              ymin + (ymax - ymin + 1) * 3 // 8 AS ya,
+              ymin + (ymax - ymin + 1) * 5 // 8 - 1 AS yb
+            FROM mm)
+          SELECT w.xa, w.xb, w.ya, w.yb,
+            (SELECT count(*) FROM st) AS n_files,
+            (SELECT count(*) FROM st) AS n_rowgroups,
+            (SELECT count(*) FROM st
+              WHERE fxmin <= w.xb AND fxmax >= w.xa
+                AND fymin <= w.yb AND fymax >= w.ya) AS files_read,
+            (SELECT count(*) FROM st) - (SELECT count(*) FROM st
+              WHERE fxmin <= w.xb AND fxmax >= w.xa
+                AND fymin <= w.yb AND fymax >= w.ya) AS files_pruned,
+            (SELECT CAST(COALESCE(sum(nrows), 0) AS BIGINT) FROM st
+              WHERE fxmin <= w.xb AND fxmax >= w.xa
+                AND fymin <= w.yb AND fymax >= w.ya) AS rows_scanned,
+            (SELECT count(*) FROM hb
+              WHERE x BETWEEN w.xa AND w.xb AND y BETWEEN w.ya AND w.yb)
+              AS rows_selected
+          FROM w"""
+      }),
+
     // ---- COMPRESSION-CODEC audit (the storage family's codec knob,
     //      q276/q279/q281's sibling): the same projection is physically
     //      WRITTEN under snappy, zstd and gzip, then audited from the
@@ -2738,7 +2872,7 @@ object RelationalQueries extends Registry {
     // <md5 12>-<pid>-<uuid8>[-suffix]; anything else is a legacy
     // (pre-pid) layout from an older binary — its JVM is gone, sweep it
     for (root <- Seq("/tmp/graft-zorder-skip", "/tmp/graft-compact",
-        "/tmp/graft-bloom", "/tmp/graft-codec"))
+        "/tmp/graft-bloom", "/tmp/graft-codec", "/tmp/graft-hilbert-skip"))
       graft.core.Fs.sweepDeadPidDirs(root,
         "^[0-9a-f]{12}-(\\d+)-\\w+(?:-\\w+)?$".r, sweepLegacy = true)
     ProcessHandle.current().pid() + "-" +
