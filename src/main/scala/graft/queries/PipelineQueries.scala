@@ -170,7 +170,7 @@ object PipelineQueries extends Registry {
     "q189_tws_type_counts", "q196_streaming_chained_aggs",
     "q206_streaming_heavy_hitters", "q220_tws_replay_buffer",
     "q244_streaming_dead_letter", "q255_streaming_hll",
-    "q274_streaming_cms")
+    "q274_streaming_cms", "q297_streaming_kmv")
 
   override def entries: Seq[Q] = {
     val es = rawEntries
@@ -2993,6 +2993,68 @@ object PipelineQueries extends Registry {
             CAST(cms_est AS BIGINT) AS cms_est,
             CAST(cms_est - exact_cnt AS BIGINT) AS overcount
           FROM est ORDER BY window_start, event_type"""
+      }),
+
+    // ---- STREAMING KMV: the quantile/distinct sample family's stream
+    //      twin, completing the batch/stream sketch symmetry — HLL has
+    //      q254/q255, Misra–Gries q201/q206, CMS q166/q274; KMV (q210/
+    //      q230/q263 in batch) gets its streaming member here. Per-hour
+    //      bottom-64 DISTINCT deterministic hash draws held in RocksDB
+    //      ListState via transformWithState: min-k of a union is min-k of
+    //      per-batch min-ks, so batch boundaries and in-batch order
+    //      vanish from the final state (the mergeable-summaries
+    //      contract). Snapshots are sequence-numbered by exact arrival
+    //      count and the gate keeps the LAST per window (u_k is not
+    //      monotone while the set fills, so min/max over the update log
+    //      can't stand in — q220's trick). The DuckDB twin replays the
+    //      min-k per window from the same 2000-row feed over the shared
+    //      detRand kernel; estimate = exact k below the fill line,
+    //      (k−1)/u_k above it — identical float ops both sides. ------------
+    Q("q297_streaming_kmv",
+      (s, dir) => {
+        val ss = StreamingOps.rocksSession(s)
+        import ss.implicits._
+        val evts = Tables(ss, dir, "events")
+          .select($"ts", $"user_id", $"event_id")
+          .orderBy($"ts", $"event_id").limit(2000)
+          .select(
+            date_trunc("hour", $"ts").cast("long").as("window_s"),
+            graft.operators.Sampling.detRand(297L,
+              $"user_id".cast("string")).as("u"))
+          .as[(Long, Double)].collect()
+        StreamingOps.driveTwoBatches(ss, evts.toSeq,
+            org.apache.spark.sql.streaming.OutputMode.Update())(
+            d => StreamingOps.kmvDistinct(d, 64))
+          .groupBy($"window_s")
+          .agg(max($"n_seen").as("n_seen"),
+            max_by($"k_got", $"n_seen").as("k_got"),
+            max_by($"u_k", $"n_seen").as("u_k"))
+          .select($"window_s", $"n_seen",
+            $"k_got".cast("int").as("k_got"), $"u_k",
+            when($"k_got" < 64, $"k_got".cast("double"))
+              .otherwise(($"k_got" - 1).cast("double") / $"u_k")
+              .as("est_distinct"))
+          .orderBy($"window_s")
+      },
+      Some {
+        val u = graft.operators.Sampling.detRandSql(297L,
+          Seq("CAST(user_id AS VARCHAR)"))
+        s"""WITH e AS (SELECT ts, user_id FROM events
+              ORDER BY ts, event_id LIMIT 2000),
+          h AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                AS window_s, $u AS u FROM e),
+          n AS (SELECT window_s, count(*) AS n_seen FROM h GROUP BY 1),
+          d AS (SELECT DISTINCT window_s, u FROM h),
+          r AS (SELECT window_s, u, row_number() OVER (PARTITION BY window_s
+                ORDER BY u) AS rn FROM d),
+          k AS (SELECT window_s, count(*) AS k_got, max(u) AS u_k
+            FROM r WHERE rn <= 64 GROUP BY 1)
+          SELECT k.window_s, CAST(n.n_seen AS BIGINT) AS n_seen,
+            CAST(k.k_got AS INT) AS k_got, k.u_k,
+            CASE WHEN k.k_got < 64 THEN CAST(k.k_got AS DOUBLE)
+                 ELSE CAST(k.k_got - 1 AS DOUBLE) / k.u_k END AS est_distinct
+          FROM k JOIN n ON n.window_s = k.window_s
+          ORDER BY k.window_s"""
       }),
 
     // ---- watermark DEAD-LETTER audit: how many rows does the watermark

@@ -373,6 +373,54 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Per-window KMV (bottom-k-by-hash distinct) snapshot, sequence-
+    * numbered by the exact arrival count so the gate keeps the last
+    * ([[ReplaySnap]]'s trick — u_k is NOT monotone while the set is
+    * filling, so a min/max over the update log can't reconstruct the
+    * final state; the arrival counter can).
+    */
+  final case class KmvSnap(window_s: Long, n_seen: Long, k_got: Int, u_k: Double)
+
+  /** Streaming KMV: ≤ k smallest DISTINCT deterministic hash draws per
+    * window in a RocksDB list — min-k of a union IS min-k of per-batch
+    * min-ks (q210's mergeable-summary contract), so batch boundaries and
+    * in-batch order vanish from the final state. State is O(windows·k)
+    * doubles where exact distinct is O(users·windows) and unbounded.
+    */
+  class KmvProcessor(k: Int)
+      extends StatefulProcessor[Long, (Long, Double), KmvSnap] {
+    @transient private var mins: ListState[Double] = _
+    @transient private var nSt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      mins = getHandle.getListState[Double]("mins",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+      nSt = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[KmvSnap] = {
+      val cur = scala.collection.mutable.SortedSet.empty[Double]
+      mins.get().foreach(cur += _)
+      var n = if (nSt.exists()) nSt.get() else 0L
+      rows.foreach { case (_, u) => n += 1; cur += u } // set semantics dedup
+      val kept = cur.take(k).toArray // the KMV merge: min-k of the union
+      mins.put(kept)
+      nSt.update(n)
+      Iterator.single(KmvSnap(key, n, kept.length, kept.last))
+    }
+  }
+
+  /** (window_s, hash-draw) stream → per-window bottom-k snapshots. */
+  def kmvDistinct(rows: Dataset[(Long, Double)], k: Int): Dataset[KmvSnap] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new KmvProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** (bucket, token) stream → per-bucket MG sketch snapshots. */
   def heavyHitters(rows: Dataset[(Int, String)], k: Int): Dataset[BucketSketch] = {
     val spark = rows.sparkSession

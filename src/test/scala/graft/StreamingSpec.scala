@@ -415,6 +415,52 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming KMV final state is batch-split and in-batch-order invariant") {
+    // q297's contract: min-k of a union is min-k of per-batch min-ks, so
+    // neither the micro-batch split nor in-batch order can move the final
+    // (k_got, u_k); the sequence-numbered snapshot selection recovers it.
+    val s = spark
+    import s.implicits._
+    val rows: Seq[(Long, Double)] = (0 until 500).map { i =>
+      ((i % 3).toLong,
+        (java.lang.Long.parseLong(graft.core.Det.md5hex(s"kmv$i").take(12), 16)
+          % 1000000L).toDouble / 1000000d)
+    }
+    def finalState(splits: Seq[Seq[(Long, Double)]]): Seq[(Long, Long, Int, Double)] = {
+      val ss = StreamingOps.rocksSession(s)
+      import ss.implicits._
+      implicit val sqlCtx = ss.sqlContext
+      val mem = MemoryStream[(Long, Double)]
+      val qn = s"skmv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = StreamingOps.kmvDistinct(mem.toDS(), 64)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Update).start()
+      try {
+        splits.foreach { b => mem.addData(b); q.processAllAvailable() }
+        import org.apache.spark.sql.functions.{max, max_by, col}
+        ss.table(qn).groupBy(col("window_s"))
+          .agg(max(col("n_seen")).as("n"),
+            max_by(col("k_got"), col("n_seen")).as("k"),
+            max_by(col("u_k"), col("n_seen")).as("u"))
+          .orderBy(col("window_s"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+          .toSeq
+      } finally q.stop()
+    }
+    val oneShot = finalState(Seq(rows))
+    val shuffled = finalState(Seq(
+      rows.drop(200).reverse, rows.take(200).sortBy(_._2)))
+    assert(oneShot == shuffled, s"KMV state moved with the feed order:\n" +
+      s"$oneShot\n$shuffled")
+    // and it equals the plain batch min-k on the same rows
+    val batch = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (w, rs) =>
+      val ks = rs.map(_._2).distinct.sorted.take(64)
+      (w, rs.size.toLong, ks.size, ks.last)
+    }
+    assert(oneShot == batch, s"stream fold != batch min-k:\n$oneShot\n$batch")
+  }
+
   test("streaming HLL is batch-split invariant and equals the batch register fold") {
     // the two facts q255 rests on: (a) for an IN-ORDER feed the windowed
     // register state folds incrementally to the SAME summary no matter
