@@ -1122,6 +1122,126 @@ object RelationalQueries extends Registry {
           FROM w"""
       }),
 
+    // ---- LAYOUT-CURVE DECISION (the sketch→plan QUINTET's fifth member,
+    //      q260/q273/q275/q280's sibling, routed through the same
+    //      DecisionLog): which clustering curve should OPTIMIZE rewrite
+    //      this table with? A hash-Bernoulli 1/16 row sample estimates
+    //      the 48-bucket charged cost of BOTH curves (q291's metric on
+    //      the sample, normalized against full-table min/max so the
+    //      sample sees the real grid), the cheaper curve wins, and the
+    //      decision is EXECUTED — the table is physically rewritten
+    //      partitioned by the chosen curve's bucket and the gated row
+    //      carries the file count read back from the FILESYSTEM plus the
+    //      row roundtrip. The oracle replays sample, both costs, the
+    //      comparison, the chosen branch AND the expected file count
+    //      (distinct buckets of the chosen curve over the full data) —
+    //      an executed layout that drifts from the decision diverges the
+    //      hash. At 100 TB this is the nightly OPTIMIZE planner: a KB
+    //      sample decides a corpus-wide rewrite. ---------------------------
+    Q("q298_layout_decision",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "lineitem").select(
+          datediff($"l_shipdate".cast("date"),
+            lit("1992-01-01").cast("date")).cast("long").as("x"),
+          ($"l_suppkey" % 65536).cast("long").as("y"),
+          graft.operators.Sampling.detRand(298L, $"l_orderkey".cast("string"),
+            $"l_linenumber".cast("string")).as("u"))
+        val mmRow = base.agg(min($"x"), max($"x"), min($"y"), max($"y")).head()
+        val (xmin, xmax) = (mmRow.getLong(0), mmRow.getLong(1))
+        val (ymin, ymax) = (mmRow.getLong(2), mmRow.getLong(3))
+        val (rx, ry) = (xmax - xmin + 1L, ymax - ymin + 1L)
+        def withKeys(df: org.apache.spark.sql.DataFrame) =
+          graft.functions.Hilbert.withIndex(
+            df.withColumn("x8", expr(s"((x - $xmin) * 256) DIV $rx"))
+              .withColumn("y8", expr(s"((y - $ymin) * 256) DIV $ry"))
+              .withColumn("z16", graft.functions.ZOrder
+                .interleave("x8", "y8", bits = 8).cast("long")),
+            "x8", "y8", "h16")
+          .withColumn("b_z", expr("(z16 * 48) DIV 65536"))
+          .withColumn("b_h", expr("(h16 * 48) DIV 65536"))
+        // 1. the ESTIMATE: both charged costs on the 1/16 sample
+        def cost(df: org.apache.spark.sql.DataFrame, bCol: String): Long = df
+          .groupBy(col(bCol))
+          .agg((max($"x") - min($"x") + 1L).as("dx"),
+            (max($"y") - min($"y") + 1L).as("dy"))
+          .agg((sum($"dx") * ry + sum($"dy") * rx).as("c"))
+          .head().getLong(0)
+        val sample = withKeys(base.filter($"u" < 0.0625))
+          .localCheckpoint() // both costs read it; don't re-scan the table
+        val costZ = cost(sample, "b_z")
+        val costH = cost(sample, "b_h")
+        val chooseH = costH <= costZ
+        val bucket = if (chooseH) "b_h" else "b_z"
+        // 2. EXECUTE: rewrite the table partitioned by the chosen bucket
+        val ldir = "/tmp/graft-hilbert-skip/" +
+          graft.core.Det.md5hex(dir).take(12) + "-" + zorderProcToken + "-dec"
+        withKeys(base).select($"x", $"y", col(bucket).as("bucket"))
+          .repartition($"bucket")
+          .write.mode("overwrite").partitionBy("bucket").parquet(ldir)
+        val fs = new org.apache.hadoop.fs.Path(ldir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val nFiles = {
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(ldir), true)
+          var n = 0L
+          while (it.hasNext) {
+            if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+          }
+          n
+        }
+        val nRows = s.read.parquet(ldir).count()
+        graft.ops.DecisionLog.record("layout_curve",
+          costH.toDouble / costZ.toDouble, 1.0,
+          if (chooseH) "hilbert" else "zorder",
+          s"partitionBy=$bucket,files=$nFiles")
+        s.range(1).select(
+          lit(costZ).as("cost_z"), lit(costH).as("cost_h"),
+          lit(if (chooseH) "hilbert" else "zorder").as("chosen"),
+          lit(nFiles).as("n_files"), lit(nRows).as("n_rows"))
+          .orderBy($"chosen") // single row; the gate requires a total order
+      },
+      Some {
+        val u = graft.operators.Sampling.detRandSql(298L,
+          Seq("CAST(l_orderkey AS VARCHAR)", "CAST(l_linenumber AS VARCHAR)"))
+        val z = graft.functions.ZOrder.interleaveSql("x8", "y8", bits = 8)
+        val h = graft.functions.Hilbert.indexSql(
+          "SELECT x, y, u, x8, y8, x8 AS hx, y8 AS hy FROM n",
+          Seq("x", "y", "u", "x8", "y8"))
+        s"""WITH d AS (SELECT
+              date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS x,
+              l_suppkey % 65536 AS y, $u AS u FROM lineitem),
+          mm AS (SELECT min(x) AS xmin, max(x) AS xmax,
+              min(y) AS ymin, max(y) AS ymax FROM d),
+          rg AS (SELECT xmax - xmin + 1 AS rx, ymax - ymin + 1 AS ry FROM mm),
+          n AS (SELECT x, y, u,
+              ((x - xmin) * 256) // (xmax - xmin + 1) AS x8,
+              ((y - ymin) * 256) // (ymax - ymin + 1) AS y8
+            FROM d, mm),
+          hz AS ($h),
+          k AS (SELECT x, y, u, (($z) * 48) // 65536 AS b_z,
+              (hd * 48) // 65536 AS b_h
+            FROM hz),
+          sz AS (SELECT b_z, max(x) - min(x) + 1 AS dx,
+              max(y) - min(y) + 1 AS dy FROM k WHERE u < 0.0625 GROUP BY b_z),
+          sh AS (SELECT b_h, max(x) - min(x) + 1 AS dx,
+              max(y) - min(y) + 1 AS dy FROM k WHERE u < 0.0625 GROUP BY b_h),
+          cz AS (SELECT sum(dx) * max(ry) + sum(dy) * max(rx) AS c FROM sz, rg),
+          ch AS (SELECT sum(dx) * max(ry) + sum(dy) * max(rx) AS c FROM sh, rg),
+          pick AS (SELECT cz.c AS cost_z, ch.c AS cost_h,
+              CASE WHEN ch.c <= cz.c THEN 'hilbert' ELSE 'zorder' END AS chosen
+            FROM cz, ch),
+          nf AS (SELECT
+              (SELECT count(DISTINCT b_h) FROM k) AS files_h,
+              (SELECT count(DISTINCT b_z) FROM k) AS files_z,
+              (SELECT count(*) FROM k) AS n_rows)
+          SELECT CAST(cost_z AS BIGINT) AS cost_z,
+            CAST(cost_h AS BIGINT) AS cost_h, chosen,
+            CAST(CASE WHEN chosen = 'hilbert' THEN files_h ELSE files_z END
+              AS BIGINT) AS n_files,
+            CAST(n_rows AS BIGINT) AS n_rows
+          FROM pick, nf ORDER BY chosen"""
+      }),
+
     // ---- COMPRESSION-CODEC audit (the storage family's codec knob,
     //      q276/q279/q281's sibling): the same projection is physically
     //      WRITTEN under snappy, zstd and gzip, then audited from the

@@ -481,6 +481,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"product join:\n$p")
   }
 
+  test("q298: the layout decision lands in the ledger with executed evidence") {
+    // the quintet contract: the decision operator records (estimate,
+    // threshold, branch, evidence-from-the-executed-layout) at the moment
+    // it decides, and the gated row agrees with the record
+    val (rows, ledger) = graft.ops.DecisionLog.withCapture {
+      SparkEntry.queries("q298_layout_decision")(spark, sfDir).collect()
+    }
+    assert(rows.length == 1)
+    val r = rows.head
+    val ds = ledger.filter(_.op == "layout_curve")
+    assert(ds.size == 1, s"expected one layout decision, got $ledger")
+    val d = ds.head
+    assert(d.branch == r.getAs[String]("chosen"))
+    assert(d.evidence ==
+      s"partitionBy=b_${d.branch.head},files=${r.getAs[Long]("n_files")}",
+      s"evidence '${d.evidence}' disagrees with the gated row")
+    assert(d.estimate ==
+      r.getAs[Long]("cost_h").toDouble / r.getAs[Long]("cost_z").toDouble)
+    assert((d.estimate <= d.threshold) == (d.branch == "hilbert"))
+  }
+
   test("no registered query plans an unpartitioned window over unbounded input") {
     // The one scale-killer class Catalyst won't warn about at plan time: a
     // window with no PARTITION BY funnels the whole input through ONE task.
