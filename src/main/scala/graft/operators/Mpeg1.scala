@@ -872,7 +872,7 @@ object Mpeg1 {
   private def readBMbType(r: BitReader): (Boolean, Boolean, Boolean, Boolean, Boolean) = {
     var code = 0
     var bits = 0
-    while (bits < 7) {
+    while (bits < 6) { // longest Table B.2c code is 6 bits
       code = (code << 1) | r.read(1)
       bits += 1
       var i = 0

@@ -614,7 +614,10 @@ object Multimodal {
       */
     def encodeWavImaAdpcm(sampleRate: Int, nSamples: Int, seed: Long,
         blockAlign: Int = 64): Array[Byte] = {
-      require(sampleRate > 0 && nSamples > 0 && blockAlign > 4)
+      // seed must be non-negative: the generator's % would otherwise land
+      // below int16 range and the header's .toShort wrap would silently
+      // diverge encoder, decoder and the q290 oracle
+      require(sampleRate > 0 && nSamples > 0 && blockAlign > 4 && seed >= 0)
       val spb = (blockAlign - 4) * 2 + 1
       require(nSamples % spb == 0,
         s"nSamples $nSamples must fill whole $spb-sample blocks")

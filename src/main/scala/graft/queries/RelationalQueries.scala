@@ -874,8 +874,8 @@ object RelationalQueries extends Registry {
       }),
 
     // ---- HILBERT-CURVE LAYOUT AUDIT (q257's upgrade; ZOrder's sibling
-    //      with provably better locality): the same 64-bucket charged-
-    //      cost experiment run under FOUR layouts — the two single-axis
+    //      with provably better locality): the 48-bucket charged-cost
+    //      experiment run under FOUR layouts — the two single-axis
     //      sorts, the Morton z-order and the HILBERT index
     //      (functions/Hilbert.scala: the public iterative xy→d walk —
     //      per-level Gray-code quadrant digit + reflect/swap rotation —
