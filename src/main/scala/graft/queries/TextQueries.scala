@@ -327,6 +327,113 @@ object TextQueries extends Registry {
     result
   }
 
+  /** q292's shard-parallel next-fit fold over a (shard, tok, doc_id)
+    * frame — one exchange, one sorted streaming pass with per-shard state
+    * reset; shared with q300's manifest. Returns one row per shard:
+    * (shard, n_docs, n_bins, sum_tokens, waste).
+    */
+  private def packShards(s: SparkSession, sized: DataFrame,
+      cap: Long): DataFrame = {
+    import s.implicits._
+    sized
+      .repartition(col("shard"))
+      .sortWithinPartitions($"shard", $"tok".desc, $"doc_id")
+      .select($"shard", $"tok", $"doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var shard = -1L
+        var fill = 0L
+        var bins = 0L
+        var nDocs = 0L
+        var sumTok = 0L
+        def flush(): Unit = if (shard >= 0)
+          out += ((shard, nDocs, bins, sumTok, bins * cap - sumTok))
+        it.foreach { case (sh, tok, _) =>
+          if (sh != shard) {
+            flush(); shard = sh; fill = 0; bins = 0; nDocs = 0; sumTok = 0
+          }
+          if (bins == 0 || fill + tok > cap) { bins += 1; fill = 0 }
+          fill += tok; nDocs += 1; sumTok += tok
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("shard", "n_docs", "n_bins", "sum_tokens", "waste")
+  }
+
+  /** q161's funnel stages as DuckDB CTEs (s1..s5), shared with q300. */
+  private def funnelCtes: String = s"""s1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          lex(word, cand_lang) AS (VALUES ${LangLexicon.sqlValues}),
+          hits AS (SELECT doc_id, cand_lang, count(*) AS n_hits
+                   FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                         FROM documents) tok
+                   JOIN lex USING (word) GROUP BY doc_id, cand_lang),
+          en AS (SELECT doc_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY n_hits DESC, cand_lang) AS rn FROM hits)
+                 WHERE rn = 1 AND cand_lang = 'en'),
+          s2 AS (SELECT doc_id FROM s1 JOIN en USING (doc_id)),
+          qual AS (SELECT doc_id FROM documents WHERE $qualitySqlExpr >= 0.4),
+          s3 AS (SELECT doc_id FROM s2 JOIN qual USING (doc_id)),
+          $benchShingleCte,
+          contaminated AS (SELECT DISTINCT f.doc_id FROM sh f
+                           JOIN bench USING (shingle)
+                           WHERE f.source NOT IN ('src0', 'src1')),
+          s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN
+                   (SELECT doc_id FROM contaminated
+                    UNION ALL SELECT doc_id FROM documents
+                    WHERE source IN ('src0', 'src1'))),
+          fp AS (SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+            FROM documents),
+          s5 AS (SELECT min(s4.doc_id) AS doc_id FROM s4
+                 JOIN fp ON fp.doc_id = s4.doc_id GROUP BY fingerprint)"""
+
+  /** q161's six funnel stages (raw → exact dedup → lang → quality →
+    * decontaminated → near-dup survivors), shared with q300's manifest —
+    * each stage keeps its standalone query's plan shape.
+    */
+  private def funnelStages(s: SparkSession, dir: String)
+      : Seq[(Long, String, DataFrame)] = {
+    import s.implicits._
+    val s0 = docs(s, dir).select($"doc_id")
+        val s1 = docs(s, dir)
+          .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id")
+        val lex = LangLexicon.entries.toDF("word", "cand_lang")
+        val hits = docs(s, dir)
+          .select($"doc_id", explode(tokens(lower($"text"))).as("word"))
+          .join(broadcast(lex), "word")
+          .groupBy($"doc_id", $"cand_lang").agg(count(lit(1)).as("n_hits"))
+        val lw = Window.partitionBy($"doc_id").orderBy($"n_hits".desc, $"cand_lang")
+        val en = hits.withColumn("rn", row_number().over(lw)).filter($"rn" === 1)
+          .filter($"cand_lang" === "en").select($"doc_id")
+        val s2 = s1.join(en, Seq("doc_id"))
+        val qual = docs(s, dir).withColumn("w", tokens($"text"))
+          .filter(docQuality >= 0.4).select($"doc_id")
+        val s3 = s2.join(qual, Seq("doc_id"))
+        val contaminated = sourceShingles(s, dir)
+          .filter(!$"source".isin(benchSources: _*))
+          .join(broadcast(sourceShingles(s, dir)
+            .filter($"source".isin(benchSources: _*))
+            .select($"shingle").distinct()), Seq("shingle"))
+          .select($"doc_id").distinct()
+        val benchDocs = docs(s, dir)
+          .filter($"source".isin(benchSources: _*)).select($"doc_id")
+        val s4 = s3.join(contaminated.unionAll(benchDocs), Seq("doc_id"), "left_anti")
+        val fp = docs(s, dir)
+          .select($"doc_id", md5(normalize($"text")).as("fingerprint"))
+        val s5 = s4.join(fp, Seq("doc_id"))
+          .groupBy($"fingerprint").agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id")
+    Seq(
+      (0L, "raw", s0), (1L, "exact_dedup", s1), (2L, "lang_en", s2),
+      (3L, "quality", s3), (4L, "decontaminated", s4),
+      (5L, "neardup_survivors", s5))
+  }
+
   override def entries: Seq[Q] = Seq(
 
     // ---- corpus curation: the end-to-end filter chain a training-data
@@ -386,71 +493,12 @@ object TextQueries extends Registry {
     Q("q161_curation_funnel",
       (s, dir) => {
         import s.implicits._
-        val s0 = docs(s, dir).select($"doc_id")
-        val s1 = docs(s, dir)
-          .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
-          .select($"doc_id")
-        val lex = LangLexicon.entries.toDF("word", "cand_lang")
-        val hits = docs(s, dir)
-          .select($"doc_id", explode(tokens(lower($"text"))).as("word"))
-          .join(broadcast(lex), "word")
-          .groupBy($"doc_id", $"cand_lang").agg(count(lit(1)).as("n_hits"))
-        val lw = Window.partitionBy($"doc_id").orderBy($"n_hits".desc, $"cand_lang")
-        val en = hits.withColumn("rn", row_number().over(lw)).filter($"rn" === 1)
-          .filter($"cand_lang" === "en").select($"doc_id")
-        val s2 = s1.join(en, Seq("doc_id"))
-        val qual = docs(s, dir).withColumn("w", tokens($"text"))
-          .filter(docQuality >= 0.4).select($"doc_id")
-        val s3 = s2.join(qual, Seq("doc_id"))
-        val contaminated = sourceShingles(s, dir)
-          .filter(!$"source".isin(benchSources: _*))
-          .join(broadcast(sourceShingles(s, dir)
-            .filter($"source".isin(benchSources: _*))
-            .select($"shingle").distinct()), Seq("shingle"))
-          .select($"doc_id").distinct()
-        val benchDocs = docs(s, dir)
-          .filter($"source".isin(benchSources: _*)).select($"doc_id")
-        val s4 = s3.join(contaminated.unionAll(benchDocs), Seq("doc_id"), "left_anti")
-        val fp = docs(s, dir)
-          .select($"doc_id", md5(normalize($"text")).as("fingerprint"))
-        val s5 = s4.join(fp, Seq("doc_id"))
-          .groupBy($"fingerprint").agg(min($"doc_id").as("doc_id"))
-          .select($"doc_id")
-        val stages = Seq(
-          0L -> ("raw", s0), 1L -> ("exact_dedup", s1), 2L -> ("lang_en", s2),
-          3L -> ("quality", s3), 4L -> ("decontaminated", s4),
-          5L -> ("neardup_survivors", s5))
-        stages.map { case (i, (nm, df)) =>
+        funnelStages(s, dir).map { case (i, nm, df) =>
           df.agg(count(lit(1)).as("n_docs"))
             .select(lit(i).as("stage"), lit(nm).as("stage_name"), $"n_docs")
         }.reduce(_.unionAll(_)).orderBy($"stage")
       },
-      Some(s"""WITH s1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-          lex(word, cand_lang) AS (VALUES ${LangLexicon.sqlValues}),
-          hits AS (SELECT doc_id, cand_lang, count(*) AS n_hits
-                   FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
-                         FROM documents) tok
-                   JOIN lex USING (word) GROUP BY doc_id, cand_lang),
-          en AS (SELECT doc_id FROM (
-                   SELECT *, row_number() OVER (PARTITION BY doc_id
-                     ORDER BY n_hits DESC, cand_lang) AS rn FROM hits)
-                 WHERE rn = 1 AND cand_lang = 'en'),
-          s2 AS (SELECT doc_id FROM s1 JOIN en USING (doc_id)),
-          qual AS (SELECT doc_id FROM documents WHERE $qualitySqlExpr >= 0.4),
-          s3 AS (SELECT doc_id FROM s2 JOIN qual USING (doc_id)),
-          $benchShingleCte,
-          contaminated AS (SELECT DISTINCT f.doc_id FROM sh f
-                           JOIN bench USING (shingle)
-                           WHERE f.source NOT IN ('src0', 'src1')),
-          s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN
-                   (SELECT doc_id FROM contaminated
-                    UNION ALL SELECT doc_id FROM documents
-                    WHERE source IN ('src0', 'src1'))),
-          fp AS (SELECT doc_id,
-              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
-            FROM documents),
-          s5 AS (SELECT min(s4.doc_id) AS doc_id FROM s4
-                 JOIN fp ON fp.doc_id = s4.doc_id GROUP BY fingerprint)
+      Some(s"""WITH $funnelCtes
         SELECT * FROM (
           SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
                  count(*) AS n_docs FROM documents
@@ -3828,37 +3876,11 @@ object TextQueries extends Registry {
         import s.implicits._
         val cap = 128L
         val nShards = 16
-        docs(s, dir)
-          .select($"doc_id",
-            ($"doc_id" % nShards).cast("long").as("shard"),
-            least(size(tokens($"text")).cast("long"), lit(cap)).as("tok"))
-          .repartition(col("shard"))
-          .sortWithinPartitions($"shard", $"tok".desc, $"doc_id")
-          .select($"shard", $"tok", $"doc_id")
-          .as[(Long, Long, Long)]
-          .mapPartitions { it =>
-            // next-fit fold, state reset at shard boundaries — the
-            // partition holds whole shards in (tok desc, id) order
-            val out = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, Long, Long, Long, Long)]
-            var shard = -1L
-            var fill = 0L
-            var bins = 0L
-            var nDocs = 0L
-            var sumTok = 0L
-            def flush(): Unit = if (shard >= 0)
-              out += ((shard, nDocs, bins, sumTok, bins * cap - sumTok))
-            it.foreach { case (sh, tok, _) =>
-              if (sh != shard) {
-                flush(); shard = sh; fill = 0; bins = 0; nDocs = 0; sumTok = 0
-              }
-              if (bins == 0 || fill + tok > cap) { bins += 1; fill = 0 }
-              fill += tok; nDocs += 1; sumTok += tok
-            }
-            flush()
-            out.iterator
-          }
-          .toDF("shard", "n_docs", "n_bins", "sum_tokens", "waste")
+        packShards(s, docs(s, dir)
+            .select($"doc_id",
+              ($"doc_id" % nShards).cast("long").as("shard"),
+              least(size(tokens($"text")).cast("long"), lit(cap)).as("tok")),
+            cap)
           .withColumn("lower_bound",
             ceil($"sum_tokens".cast("double") / cap).cast("long"))
           .select($"shard", $"n_docs", $"n_bins", $"lower_bound",
@@ -3890,7 +3912,112 @@ object TextQueries extends Registry {
             CAST(ceil(CAST(m.sum_tok AS DOUBLE) / 128) AS BIGINT) AS lower_bound,
             CAST(m.sum_tok AS BIGINT) AS sum_tokens,
             CAST(f.bins * 128 - m.sum_tok AS BIGINT) AS waste
-          FROM m JOIN f ON f.shard = m.shard ORDER BY m.shard"""))
+          FROM m JOIN f ON f.shard = m.shard ORDER BY m.shard""")),
+
+    // ---- THE TRAINING MANIFEST (q300 — the capstone composition): the
+    //      full curation funnel's SURVIVORS (q161's six stages — exact
+    //      dedup, language gate, quality gate, decontamination, near-dup
+    //      collapse, each keeping its standalone plan shape) flow into
+    //      q292's shard-parallel next-fit packing, and the output is the
+    //      artifact a trainer actually consumes: one row per shard with
+    //      document count, sequence count, exact token fill, padding
+    //      waste AND an md5 over the ordered surviving doc-id list — the
+    //      manifest pin that makes a training run reproducible ("which
+    //      exact documents, in which shards, packed how tightly"). The
+    //      ORACLE replays the ENTIRE pipeline — all five funnel stages,
+    //      the per-shard rank, the greedy fold as a recursive CTE and
+    //      the id-list digest — so any drift anywhere in the chain moves
+    //      the hash. Plan shape: the funnel's joins/windows are the
+    //      proven q161 subplans; packing adds ONE exchange; the id
+    //      digest is a per-shard aggregation, never a global sort. ---------
+    Q("q300_training_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val cap = 128L
+        // stages 1-3 are q161's; the manifest's decontamination uses
+        // 5-GRAM shingles (the funnel's 3-grams are right for its
+        // drop-rate AUDIT, but on this vocabulary they contaminate ~100%
+        // of docs — measured — while 5-grams mark ~1%, the realistic
+        // n-gram-overlap regime), then the near-dup collapse
+        val s3 = funnelStages(s, dir)(3)._3
+        def shingles5 = docs(s, dir)
+          .select($"doc_id", $"source",
+            explode(graft.functions.TextFunctions.wordShingles(
+              tokens($"text"), 5)).as("shingle"))
+          .distinct()
+        val contaminated5 = shingles5
+          .filter(!$"source".isin(benchSources: _*))
+          .join(broadcast(shingles5.filter($"source".isin(benchSources: _*))
+            .select($"shingle").distinct()), Seq("shingle"))
+          .select($"doc_id").distinct()
+        val benchDocs = docs(s, dir)
+          .filter($"source".isin(benchSources: _*)).select($"doc_id")
+        val s4 = s3.join(contaminated5.unionAll(benchDocs),
+          Seq("doc_id"), "left_anti")
+        val fp = docs(s, dir)
+          .select($"doc_id", md5(normalize($"text")).as("fingerprint"))
+        val surv = s4.join(fp, Seq("doc_id"))
+          .groupBy($"fingerprint").agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id")
+        val sized = docs(s, dir).join(surv, Seq("doc_id"))
+          .select($"doc_id",
+            ($"doc_id" % 16).cast("long").as("shard"),
+            least(size(tokens($"text")).cast("long"), lit(cap)).as("tok"))
+        val ids = sized.groupBy($"shard")
+          .agg(sort_array(collect_list($"doc_id")).as("ids"))
+          .select($"shard", md5(concat_ws(",",
+            expr("transform(ids, x -> CAST(x AS STRING))"))).as("ids_md5"))
+        packShards(s, sized, cap)
+          .join(ids, Seq("shard"))
+          .select($"shard", $"n_docs", $"n_bins", $"sum_tokens", $"waste",
+            $"ids_md5")
+          .orderBy($"shard")
+      },
+      Some(s"""WITH RECURSIVE $funnelCtes,
+          w5 AS (SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents),
+          sh5 AS (SELECT DISTINCT doc_id, source,
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                || ' ' || w[i+4] AS shingle
+            FROM w5, UNNEST(range(1, len(w) - 3)) AS t(i)),
+          bench5 AS (SELECT DISTINCT shingle FROM sh5
+            WHERE source IN ('src0', 'src1')),
+          cont5 AS (SELECT DISTINCT doc_id FROM sh5 JOIN bench5 USING (shingle)
+            WHERE source NOT IN ('src0', 'src1')),
+          s4m AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN
+            (SELECT doc_id FROM cont5
+             UNION ALL SELECT doc_id FROM documents
+             WHERE source IN ('src0', 'src1'))),
+          s5m AS (SELECT min(s4m.doc_id) AS doc_id FROM s4m
+            JOIN fp ON fp.doc_id = s4m.doc_id GROUP BY fingerprint),
+          tk AS (SELECT d.doc_id, d.doc_id % 16 AS shard,
+              least(len(string_split(d.text, ' ')), 128) AS tok
+            FROM documents d JOIN s5m USING (doc_id)),
+          r2 AS (SELECT shard, tok, doc_id, row_number() OVER
+                (PARTITION BY shard ORDER BY tok DESC, doc_id) AS rn
+            FROM tk),
+          m2 AS (SELECT shard, count(*) AS n_docs, sum(tok) AS sum_tok,
+              md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                ORDER BY doc_id)) AS ids_md5
+            FROM r2 GROUP BY shard),
+          st2 AS (
+            SELECT shard, 0 AS rn, CAST(0 AS BIGINT) AS fill,
+              CAST(0 AS BIGINT) AS bins FROM m2
+            UNION ALL
+            SELECT st2.shard, st2.rn + 1,
+              CASE WHEN st2.bins = 0 OR st2.fill + r2.tok > 128
+                   THEN r2.tok ELSE st2.fill + r2.tok END,
+              CASE WHEN st2.bins = 0 OR st2.fill + r2.tok > 128
+                   THEN st2.bins + 1 ELSE st2.bins END
+            FROM st2 JOIN r2 ON r2.shard = st2.shard AND r2.rn = st2.rn + 1),
+          f2 AS (SELECT st2.shard, st2.bins FROM st2
+            JOIN m2 ON m2.shard = st2.shard AND st2.rn = m2.n_docs)
+          SELECT m2.shard, CAST(m2.n_docs AS BIGINT) AS n_docs,
+            CAST(f2.bins AS BIGINT) AS n_bins,
+            CAST(m2.sum_tok AS BIGINT) AS sum_tokens,
+            CAST(f2.bins * 128 - m2.sum_tok AS BIGINT) AS waste,
+            m2.ids_md5 AS ids_md5
+          FROM m2 JOIN f2 ON f2.shard = m2.shard ORDER BY m2.shard"""))
   )
 
   /** q224's probe phrases — two bigrams and a trigram over the synthetic
