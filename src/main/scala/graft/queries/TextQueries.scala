@@ -3940,11 +3940,15 @@ object TextQueries extends Registry {
         // of docs — measured — while 5-grams mark ~1%, the realistic
         // n-gram-overlap regime), then the near-dup collapse
         val s3 = funnelStages(s, dir)(3)._3
-        def shingles5 = docs(s, dir)
+        // persisted: both the contaminated-doc side and the benchmark side
+        // read this table (sourceShingles' lazy-persist pattern — without
+        // it Spark re-derives the corpus-sized shingle set per branch)
+        val shingles5 = docs(s, dir)
           .select($"doc_id", $"source",
             explode(graft.functions.TextFunctions.wordShingles(
               tokens($"text"), 5)).as("shingle"))
           .distinct()
+          .persist()
         val contaminated5 = shingles5
           .filter(!$"source".isin(benchSources: _*))
           .join(broadcast(shingles5.filter($"source".isin(benchSources: _*))
