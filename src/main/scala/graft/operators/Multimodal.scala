@@ -367,6 +367,150 @@ object Multimodal {
     def decodePng(bytes: Array[Byte]): Option[Decoded] =
       pngPixels(bytes).map { case (w, h, _) => Decoded(w, h, 1, 0) }
 
+    // ------------------------------------------------------------------
+    // TIFF (baseline, public TIFF 6.0 spec): the remaining major still-
+    // image CONTAINER next to BMP/PNG/GIF/JPEG — header magic in BOTH
+    // byte orders (II little-endian / MM big-endian), IFD entry walk,
+    // strip-based uncompressed RGB. The JDK ships a TIFF ImageIO plugin
+    // since Java 9, so the cross-check referee exists.
+    // ------------------------------------------------------------------
+
+    /** Baseline RGB TIFF: 8-byte header (II/MM + 42 + IFD offset), one
+      * IFD with the baseline-required tags, pixels in `rowsPerStrip`-row
+      * uncompressed strips. Pixel byte i (row-major RGB) is
+      * (seed + i·31) & 0xff — the shared generator an oracle recomputes.
+      */
+    def encodeTiff(width: Int, height: Int, seed: Long,
+        littleEndian: Boolean, rowsPerStrip: Int = 4): Array[Byte] = {
+      require(width > 0 && height > 0 && rowsPerStrip > 0 && seed >= 0)
+      val order = if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+      val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+      val rowBytes = width * 3
+      // layout: header(8) | BitsPerSample array(6) | StripOffsets(4*n) |
+      // StripByteCounts(4*n) | strips | IFD
+      val bpsOff = 8
+      val soOff = bpsOff + 6
+      val sbcOff = soOff + 4 * nStrips
+      val stripsOff = sbcOff + 4 * nStrips
+      val stripLens = (0 until nStrips).map(k =>
+        (math.min(rowsPerStrip, height - k * rowsPerStrip)) * rowBytes)
+      val ifdOff = stripsOff + stripLens.sum
+      val nTags = 9
+      val b = ByteBuffer.allocate(ifdOff + 2 + nTags * 12 + 4).order(order)
+      b.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+      b.putShort(42).putInt(ifdOff)
+      (0 until 3).foreach(_ => b.putShort(8)) // BitsPerSample values
+      val stripOffs = stripLens.scanLeft(stripsOff)(_ + _).init
+      stripOffs.foreach(b.putInt)
+      stripLens.foreach(len => b.putInt(len))
+      var i = 0
+      while (i < height * rowBytes) {
+        b.put(((seed + i * 31) & 0xff).toByte)
+        i += 1
+      }
+      // IFD: count, then 12-byte entries sorted by tag, then next-IFD = 0
+      b.putShort(nTags.toShort)
+      def tagShort(tag: Int, v: Int): Unit = {
+        b.putShort(tag.toShort).putShort(3).putInt(1)
+        b.putShort(v.toShort)
+        b.putShort(0) // value field padding
+      }
+      // a LONG array that fits the 4-byte value field (count 1) must be
+      // stored INLINE per spec §2 "Value/Offset" — only larger arrays
+      // point at the out-of-line block
+      def tagLongs(tag: Int, vals: Seq[Int], off: Int): Unit = {
+        b.putShort(tag.toShort).putShort(4).putInt(vals.length)
+        b.putInt(if (vals.length == 1) vals.head else off)
+      }
+      tagShort(256, width) // ImageWidth
+      tagShort(257, height) // ImageLength
+      b.putShort(258).putShort(3).putInt(3).putInt(bpsOff) // BitsPerSample
+      tagShort(259, 1) // Compression: none
+      tagShort(262, 2) // Photometric: RGB
+      tagLongs(273, stripOffs, soOff) // StripOffsets
+      tagShort(277, 3) // SamplesPerPixel
+      tagShort(278, rowsPerStrip) // RowsPerStrip
+      tagLongs(279, stripLens, sbcOff) // StripByteCounts
+      b.putInt(0) // no next IFD
+      b.array()
+    }
+
+    /** Baseline TIFF decode: endianness from the magic, 42 check, IFD
+      * walk (SHORT and LONG tag types, inline values when they fit the
+      * 4-byte field per spec), strip reassembly. Returns (w, h, rgb);
+      * None for anything that isn't an uncompressed 8-bit RGB baseline
+      * TIFF — wrong magic, compression, photometric, bits, truncation.
+      */
+    def tiffPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (bytes.length < 8) return None
+      val le = bytes(0) == 'I' && bytes(1) == 'I'
+      val be = bytes(0) == 'M' && bytes(1) == 'M'
+      if (!le && !be) return None
+      val b = ByteBuffer.wrap(bytes).order(
+        if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      if (b.getShort(2) != 42) return None
+      val ifdOff = b.getInt(4)
+      if (ifdOff < 8 || ifdOff + 2 > bytes.length) return None
+      val n = b.getShort(ifdOff) & 0xffff
+      if (ifdOff + 2 + n * 12 + 4 > bytes.length) return None
+      var w = 0; var h = 0; var rowsPerStrip = 0
+      var compression = -1; var photometric = -1; var spp = 0
+      var bitsOk = false
+      var stripOffsets: Array[Int] = null
+      var stripCounts: Array[Int] = null
+      for (k <- 0 until n) {
+        val e = ifdOff + 2 + k * 12
+        val tag = b.getShort(e) & 0xffff
+        val typ = b.getShort(e + 2) & 0xffff
+        val cnt = b.getInt(e + 4)
+        // scalar value: SHORT(3) or LONG(4), inline when it fits
+        def scalar: Int =
+          if (typ == 3) b.getShort(e + 8) & 0xffff
+          else b.getInt(e + 8)
+        def longs: Option[Array[Int]] = {
+          if (cnt == 1) return Some(Array(scalar))
+          val width = if (typ == 3) 2 else 4
+          val off = b.getInt(e + 8)
+          if (off < 0 || off + cnt * width > bytes.length) return None
+          Some(Array.tabulate(cnt)(j =>
+            if (typ == 3) b.getShort(off + 2 * j) & 0xffff
+            else b.getInt(off + 4 * j)))
+        }
+        tag match {
+          case 256 => w = scalar
+          case 257 => h = scalar
+          case 258 => bitsOk = longs.exists(a => a.length == 3 && a.forall(_ == 8))
+          case 259 => compression = scalar
+          case 262 => photometric = scalar
+          case 273 => stripOffsets = longs.orNull
+          case 277 => spp = scalar
+          case 278 => rowsPerStrip = scalar
+          case 279 => stripCounts = longs.orNull
+          case _ => ()
+        }
+      }
+      if (w <= 0 || h <= 0 || w > 65535 || h > 65535 || compression != 1 ||
+        photometric != 2 || spp != 3 || !bitsOk || rowsPerStrip <= 0 ||
+        stripOffsets == null || stripCounts == null ||
+        stripOffsets.length != stripCounts.length ||
+        stripOffsets.length != (h + rowsPerStrip - 1) / rowsPerStrip)
+        return None
+      val rgb = new Array[Byte](w * h * 3)
+      var pos = 0
+      for (k <- stripOffsets.indices) {
+        val rows = math.min(rowsPerStrip, h - k * rowsPerStrip)
+        if (stripCounts(k) != rows * w * 3) return None
+        val off = stripOffsets(k)
+        if (off < 0 || off + stripCounts(k) > bytes.length) return None
+        System.arraycopy(bytes, off, rgb, pos, stripCounts(k))
+        pos += stripCounts(k)
+      }
+      Some((w, h, rgb))
+    }
+
+    def decodeTiff(bytes: Array[Byte]): Option[Decoded] =
+      tiffPixels(bytes).map { case (w, h, _) => Decoded(w, h, 1, 0) }
+
     /** REAL JPEG via the JDK's `javax.imageio` codec (headless). The
       * encoder writes a single-color image (low-frequency content, so the
       * lossy round-trip stays within a small per-channel tolerance); the
@@ -1318,6 +1462,7 @@ object Multimodal {
         .orElse(MediaCodecs.decodeWavImaAdpcm(bytes))
         .orElse(MediaCodecs.decodePng(bytes))
         .orElse(MediaCodecs.decodeGif(bytes))
+        .orElse(MediaCodecs.decodeTiff(bytes))
         .orElse(MediaCodecs.decodeY4m(bytes))
         .orElse(MediaCodecs.decodeJpeg(bytes))
         .orElse(MediaCodecs.decodeAvi(bytes))

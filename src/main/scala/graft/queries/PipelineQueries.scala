@@ -1293,6 +1293,62 @@ object PipelineQueries extends Registry {
           FROM documents, UNNEST(range(0, 3 + 2 * (n_chars % 2))) AS t(f)
           WHERE doc_id % 8 = 5 ORDER BY id, frame_idx""")),
 
+    // ---- BASELINE TIFF ingest in BOTH byte orders — the remaining major
+    //      still-image CONTAINER next to BMP/PNG/GIF/JPEG (public TIFF
+    //      6.0): header magic II (little-endian) and MM (big-endian)
+    //      exercised per doc parity, IFD entry walk with SHORT/LONG tag
+    //      types and spec-left-justified inline values, multi-strip
+    //      uncompressed RGB reassembly with a ragged final strip.
+    //      Lossless container, so the gate is EXACT: weighted pixel
+    //      checksum + lossless flag replayed byte-for-byte by the oracle
+    //      (which needs neither the endianness nor the strip structure —
+    //      the content contract survives the container, which IS the
+    //      claim). ImageIOCrossCheckSpec referees both byte orders
+    //      against the JDK's TIFF plugin. Row-local, zero shuffle. ----------
+    Q("q301_tiff_ingest",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 7 === 2)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nch) =>
+              val w = (4 + id % 13).toInt
+              val h = (3 + nch % 11).toInt // ragged final strip vs rps=4
+              val seed = id * 17L + 3
+              val tiff = Multimodal.MediaCodecs.encodeTiff(
+                w, h, seed, littleEndian = id % 2 == 0)
+              val (gw, gh, rgb) = Multimodal.MediaCodecs.tiffPixels(tiff).get
+              var sum = 0L
+              var exact = 1L
+              var i = 0
+              while (i < rgb.length) {
+                val v = rgb(i) & 0xff
+                sum += v.toLong * (i + 1)
+                if (v != ((seed + i * 31) & 0xff)) exact = 0L
+                i += 1
+              }
+              (id, gw, gh, rgb.length.toLong, sum, exact)
+            }
+          }
+          .toDF("id", "width", "height", "n_bytes", "pix_sum", "lossless")
+          .orderBy($"id")
+      },
+      Some("""WITH g AS (SELECT doc_id AS id,
+              CAST(4 + doc_id % 13 AS INT) AS width,
+              CAST(3 + n_chars % 11 AS INT) AS height,
+              doc_id * 17 + 3 AS seed
+            FROM documents WHERE doc_id % 7 = 2),
+          px AS (SELECT id, width, height,
+              ((seed + i * 31) % 256) * (i + 1) AS wv
+            FROM g, UNNEST(range(0, width * height * 3)) AS t(i))
+          SELECT id, width, height,
+            CAST(width * height * 3 AS BIGINT) AS n_bytes,
+            CAST(sum(wv) AS BIGINT) AS pix_sum,
+            CAST(1 AS BIGINT) AS lossless
+          FROM px GROUP BY id, width, height ORDER BY id""")),
+
     // ---- ADAM7-INTERLACED PNG decode with the FULL filter alphabet —
     //      upgrades the PNG claim from "filter-0 non-interlaced" (q156's
     //      scope) to what real encoders emit: Sub/Up/Average/Paeth

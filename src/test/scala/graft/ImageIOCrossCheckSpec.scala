@@ -63,6 +63,29 @@ class ImageIOCrossCheckSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(MediaCodecs.pngPixels(cut).isEmpty, "truncated PNG accepted")
   }
 
+  test("JDK TIFF plugin agrees with our baseline decode in both byte orders") {
+    for ((w, h, seed, le) <- Seq((1, 1, 5L, true), (4, 3, 9L, false),
+        (13, 7, 21L, true), (16, 9, 33L, false), (31, 22, 77L, true))) {
+      val tiff = MediaCodecs.encodeTiff(w, h, seed, littleEndian = le)
+      val img = read(tiff)
+      assert(img.getWidth == w && img.getHeight == h, s"${w}x$h le=$le dims")
+      val Some((gw, gh, rgb)) = MediaCodecs.tiffPixels(tiff)
+      assert((gw, gh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        val ours = ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff)
+        assert((p & 0xffffff) == ours,
+          s"${w}x$h le=$le pixel ($x,$y): imageio=$p ours=$ours")
+      }
+    }
+    // structural rejection: wrong magic, truncation, compressed claim
+    assert(MediaCodecs.tiffPixels("no tiff here".getBytes).isEmpty)
+    val ok = MediaCodecs.encodeTiff(8, 8, 1L, littleEndian = true)
+    assert(MediaCodecs.tiffPixels(java.util.Arrays.copyOf(ok, ok.length - 9)).isEmpty,
+      "truncated TIFF accepted")
+  }
+
   test("our LZW round-trips every GIF frame; corruption is rejected") {
     for ((w, h, nf, seed) <- Seq((1, 1, 1, 3L), (8, 5, 3, 11L), (23, 17, 4, 77L),
         (40, 30, 2, 5L))) {
