@@ -3943,16 +3943,21 @@ object TextQueries extends Registry {
         // persisted: both the contaminated-doc side and the benchmark side
         // read this table (sourceShingles' lazy-persist pattern — without
         // it Spark re-derives the corpus-sized shingle set per branch)
+        // shingles shuffle as the shared md5 HASH, not 5-word strings —
+        // the 100x rung's shuffle-byte knob (a collision is deterministic
+        // and the oracle replays the same hash, so the gate is unmoved)
         val shingles5 = docs(s, dir)
           .select($"doc_id", $"source",
             explode(graft.functions.TextFunctions.wordShingles(
               tokens($"text"), 5)).as("shingle"))
+          .select($"doc_id", $"source",
+            graft.functions.TextFunctions.baseHash($"shingle").as("sh"))
           .distinct()
           .persist()
         val contaminated5 = shingles5
           .filter(!$"source".isin(benchSources: _*))
           .join(broadcast(shingles5.filter($"source".isin(benchSources: _*))
-            .select($"shingle").distinct()), Seq("shingle"))
+            .select($"sh").distinct()), Seq("sh"))
           .select($"doc_id").distinct()
         val benchDocs = docs(s, dir)
           .filter($"source".isin(benchSources: _*)).select($"doc_id")
@@ -3981,12 +3986,12 @@ object TextQueries extends Registry {
           w5 AS (SELECT doc_id, source, string_split(text, ' ') AS w
             FROM documents),
           sh5 AS (SELECT DISTINCT doc_id, source,
-              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-                || ' ' || w[i+4] AS shingle
+              ${graft.functions.TextFunctions.baseHashSql(
+                "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]")} AS sh
             FROM w5, UNNEST(range(1, len(w) - 3)) AS t(i)),
-          bench5 AS (SELECT DISTINCT shingle FROM sh5
+          bench5 AS (SELECT DISTINCT sh FROM sh5
             WHERE source IN ('src0', 'src1')),
-          cont5 AS (SELECT DISTINCT doc_id FROM sh5 JOIN bench5 USING (shingle)
+          cont5 AS (SELECT DISTINCT doc_id FROM sh5 JOIN bench5 USING (sh)
             WHERE source NOT IN ('src0', 'src1')),
           s4m AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN
             (SELECT doc_id FROM cont5
