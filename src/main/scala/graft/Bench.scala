@@ -152,10 +152,34 @@ object Bench {
     val totalWarmAdjudicated = BenchAdjudicate.adjudicatedTotal(
       results.map { case (k, (_, w, _)) => k -> w }, warmRetry)
     // streaming throughput gate: engine-side rows_per_trigger_sec vs the
-    // prior artifact, flagged past 2x the way warm_retry flags wall-clock
+    // prior artifact, flagged past 2x the way warm_retry flags wall-clock.
+    // strm_retry (r13): TWS throughput on this box swings ±1.7x between
+    // byte-identical runs (measured: q184 2288 vs 1379 rows/trigger-sec
+    // back to back), so one noisy sample against a lucky prior can cross
+    // the 2x line with nothing wrong. Mirror warm_retry: re-measure each
+    // flagged query once after the suite and adjudicate against the
+    // BETTER sample; the retry rate is recorded beside the original so
+    // reviewers see both, while the recorded rate (next round's prior)
+    // stays the unbiased first sample.
+    val strmRetry: Map[String, Double] = BenchAdjudicate.streamingDrops(
+        priorStrmRates,
+        strmStats.map { case (k, s) => k -> s.rowsPerTriggerSec }.toMap)
+      .map { case (name, (p, c)) =>
+        System.err.println(
+          f"[bench] strm_retry $name ($c%.0f vs prior $p%.0f rows/trigger-sec)")
+        BenchListener.quiesce(); BenchListener.drain()
+        timeOne(name, SparkEntry.queries(name))
+        BenchListener.quiesce()
+        val bs = BenchListener.drain()
+        graft.core.SessionHygiene.dropAllBlocks(spark)
+        name -> StrmStats(bs.map(_.inputRows).sum,
+          bs.map(_.triggerMs).sum).rowsPerTriggerSec
+      }
     val strmDrops = BenchAdjudicate.streamingDrops(
       priorStrmRates,
-      strmStats.map { case (k, s) => k -> s.rowsPerTriggerSec }.toMap)
+      strmStats.map { case (k, s) =>
+        k -> math.max(s.rowsPerTriggerSec, strmRetry.getOrElse(k, 0.0))
+      }.toMap)
     strmDrops.foreach { case (k, (p, c)) =>
       System.err.println(f"[bench] STREAMING THROUGHPUT DROP $k: $p%.0f -> $c%.0f rows/trigger-sec")
     }
@@ -206,8 +230,10 @@ object Bench {
           (if (s.rowsPerTriggerSec > 0)
             s""","prior_ratio":${d3(p / s.rowsPerTriggerSec)}""" else ""))
         .getOrElse("")
+      val retry = strmRetry.get(k)
+        .map(r => s""","retry_rows_per_trigger_sec":${d3(r)}""").getOrElse("")
       jstr(k) + s""":{"input_rows":${s.inputRows},"trigger_ms":${s.triggerMs},""" +
-        s""""rows_per_trigger_sec":${d3(s.rowsPerTriggerSec)}$prior}"""
+        s""""rows_per_trigger_sec":${d3(s.rowsPerTriggerSec)}$prior$retry}"""
     }.mkString("{", ",", "}")
     val strmDropsJson = strmDrops.toSeq.sortBy(_._1).map { case (k, (p, c)) =>
       jstr(k) + s""":{"prior":${d3(p)},"current":${d3(c)}}"""
