@@ -394,7 +394,10 @@ object Multimodal {
       val stripsOff = sbcOff + 4 * nStrips
       val stripLens = (0 until nStrips).map(k =>
         (math.min(rowsPerStrip, height - k * rowsPerStrip)) * rowBytes)
-      val ifdOff = stripsOff + stripLens.sum
+      // TIFF 6.0 requires IFDs (and out-of-line values) to begin on a
+      // word boundary; odd total strip bytes (e.g. 13x7 RGB) would land
+      // the IFD at an odd offset, so pad one byte up to even.
+      val ifdOff = (stripsOff + stripLens.sum + 1) & ~1
       val nTags = 9
       val b = ByteBuffer.allocate(ifdOff + 2 + nTags * 12 + 4).order(order)
       b.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
@@ -409,6 +412,8 @@ object Multimodal {
         i += 1
       }
       // IFD: count, then 12-byte entries sorted by tag, then next-IFD = 0
+      // (skip the alignment pad byte, if any, left as zero by allocate)
+      b.position(ifdOff)
       b.putShort(nTags.toShort)
       def tagShort(tag: Int, v: Int): Unit = {
         b.putShort(tag.toShort).putShort(3).putInt(1)
@@ -469,9 +474,15 @@ object Multimodal {
           else b.getInt(e + 8)
         def longs: Option[Array[Int]] = {
           if (cnt == 1) return Some(Array(scalar))
+          // cnt comes straight off the wire: reject non-positive or
+          // absurd counts BEFORE the bounds arithmetic, and do that
+          // arithmetic in Long so cnt*width can't overflow Int and slip
+          // past the length check (a crafted IFD would otherwise reach
+          // Array.tabulate with a negative/huge size and kill the task).
+          if (cnt <= 0 || cnt > (1 << 20)) return None
           val width = if (typ == 3) 2 else 4
           val off = b.getInt(e + 8)
-          if (off < 0 || off + cnt * width > bytes.length) return None
+          if (off < 0 || off.toLong + cnt.toLong * width > bytes.length) return None
           Some(Array.tabulate(cnt)(j =>
             if (typ == 3) b.getShort(off + 2 * j) & 0xffff
             else b.getInt(off + 4 * j)))
@@ -493,7 +504,8 @@ object Multimodal {
         photometric != 2 || spp != 3 || !bitsOk || rowsPerStrip <= 0 ||
         stripOffsets == null || stripCounts == null ||
         stripOffsets.length != stripCounts.length ||
-        stripOffsets.length != (h + rowsPerStrip - 1) / rowsPerStrip)
+        stripOffsets.length != (h + rowsPerStrip - 1) / rowsPerStrip ||
+        w.toLong * h * 3 > Int.MaxValue) // allocation must fit an Int array
         return None
       val rgb = new Array[Byte](w * h * 3)
       var pos = 0
@@ -501,7 +513,7 @@ object Multimodal {
         val rows = math.min(rowsPerStrip, h - k * rowsPerStrip)
         if (stripCounts(k) != rows * w * 3) return None
         val off = stripOffsets(k)
-        if (off < 0 || off + stripCounts(k) > bytes.length) return None
+        if (off < 0 || off.toLong + stripCounts(k) > bytes.length) return None
         System.arraycopy(bytes, off, rgb, pos, stripCounts(k))
         pos += stripCounts(k)
       }
@@ -509,7 +521,11 @@ object Multimodal {
     }
 
     def decodeTiff(bytes: Array[Byte]): Option[Decoded] =
-      tiffPixels(bytes).map { case (w, h, _) => Decoded(w, h, 1, 0) }
+      // same fall-through contract as decodeMpeg1: a corrupt container
+      // returns None (so the decode chain can try the next codec) rather
+      // than killing the task on an unanticipated parse exception.
+      try tiffPixels(bytes).map { case (w, h, _) => Decoded(w, h, 1, 0) }
+      catch { case _: Exception => None }
 
     /** REAL JPEG via the JDK's `javax.imageio` codec (headless). The
       * encoder writes a single-color image (low-frequency content, so the

@@ -84,6 +84,39 @@ class ImageIOCrossCheckSpec extends org.scalatest.funsuite.AnyFunSuite {
     val ok = MediaCodecs.encodeTiff(8, 8, 1L, littleEndian = true)
     assert(MediaCodecs.tiffPixels(java.util.Arrays.copyOf(ok, ok.length - 9)).isEmpty,
       "truncated TIFF accepted")
+    // crafted IFD counts: a negative count, and a huge count whose
+    // cnt*width overflows Int past the bounds check, must both return
+    // None — not throw NegativeArraySizeException / OOM in the task
+    def withStripOffsetsCount(cnt: Int): Array[Byte] = {
+      val b = ok.clone()
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifd = buf.getInt(4)
+      val n = buf.getShort(ifd) & 0xffff
+      val e = (0 until n).map(k => ifd + 2 + k * 12)
+        .find(e => (buf.getShort(e) & 0xffff) == 273).get
+      buf.putInt(e + 4, cnt) // StripOffsets count field
+      b
+    }
+    assert(MediaCodecs.tiffPixels(withStripOffsetsCount(-1)).isEmpty,
+      "negative IFD count accepted")
+    assert(MediaCodecs.tiffPixels(withStripOffsetsCount(0x40000000)).isEmpty,
+      "overflowing IFD count accepted")
+  }
+
+  test("TIFF IFD lands on a word boundary even for odd strip totals") {
+    // 13x7 RGB, rowsPerStrip=7 → one strip of 273 bytes (odd); per TIFF
+    // 6.0 the IFD must still begin at an even offset
+    for (le <- Seq(true, false)) {
+      val t = MediaCodecs.encodeTiff(13, 7, 21L, littleEndian = le, rowsPerStrip = 7)
+      val buf = java.nio.ByteBuffer.wrap(t).order(
+        if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+      val ifd = buf.getInt(4)
+      assert(ifd % 2 == 0, s"IFD offset $ifd is odd (le=$le)")
+      // and both decoders still agree after the pad byte
+      val img = read(t)
+      assert(img.getWidth == 13 && img.getHeight == 7)
+      assert(MediaCodecs.tiffPixels(t).exists { case (w, h, _) => w == 13 && h == 7 })
+    }
   }
 
   test("our LZW round-trips every GIF frame; corruption is rejected") {
