@@ -11,6 +11,13 @@ object Bench {
     graft.core.Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // /tmp hygiene (VERDICT r13 item 8): age-bounded sweep of the
+    // random-suffix fixture/stream dirs older runs left behind (they
+    // carry no owner token, so the dead-pid sweeps can't claim them).
+    // The regenerable-but-expensive scale corpora (graft_sf*) are kept.
+    val swept = graft.core.Fs.cleanupStale()
+    if (swept > 0)
+      System.err.println(s"[bench] cleanupStale removed $swept stale /tmp entries")
     // warm the session (scheduler, parquet reader, codegen paths) so the
     // first measured query doesn't absorb one-time startup cost
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -42,11 +49,18 @@ object Bench {
     }
     // prior round's artifact, read BEFORE this run overwrites it — the
     // warm_retry pass, the streaming-throughput gate, and the canary all
-    // adjudicate against it
-    val priorTxt: String = try {
-      val p = java.nio.file.Paths.get("BENCH_FULL.json")
-      if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p) else ""
+    // adjudicate against it. A prior stamped `provisional` (it ran on a
+    // loud box, pressure > 1.25) would hand this round an inflated noise
+    // floor, so prior selection falls back to the last QUIET artifact
+    // (BENCH_QUIET.json, refreshed by every non-provisional full run).
+    def readIf(p: String): String = try {
+      val path = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(path)) java.nio.file.Files.readString(path) else ""
     } catch { case _: Throwable => "" }
+    val (priorTxt, priorSrc) =
+      BenchAdjudicate.selectPrior(readIf("BENCH_FULL.json"), readIf("BENCH_QUIET.json"))
+    if (priorSrc != "BENCH_FULL.json")
+      System.err.println(s"[bench] prior artifact is provisional (loud box) - adjudicating against $priorSrc")
     val priorWarmRaw = BenchAdjudicate.parseQueriesWarm(priorTxt)
     val priorStrmRaw = BenchAdjudicate.parseStreamingRates(priorTxt)
     // parse-count sanity (ADVICE r12): a format drift degrades the regex
@@ -121,16 +135,18 @@ object Bench {
       System.err.println(f"[bench] done  $name cold $cold%.2f s warm $warm%.2f s")
       name -> (cold, warm, err)
     }
-    // warm_retry: a warm that exceeds 2.5x the prior round's warm OR its
+    // warm_retry: a warm that exceeds 2.0x the prior round's warm OR its
     // own cold is this box's documented stall artifact, not a plan
     // regression (r9: q127 warm 7.37 > cold 4.14; r10: q202 warm 5.03 >
     // cold 3.88 on a byte-identical binary). Re-measure once after the
     // suite so reviewers adjudicate against the retry, not the outlier.
     // The 0.5 s floor keeps sub-second jitter ties from doubling the run.
+    // Threshold 2.5→2.0 (VERDICT r13 item 4): q164's 2.2x stall draw
+    // slipped the gap between this trigger and the warm>1.1x-cold one.
     val warmRetry: Map[String, Double] = results.collect {
       case (name, (cold, warm, None))
           if warm > 0.5 &&
-            (warm > cold * 1.1 || priorWarm.get(name).exists(p => warm > 2.5 * p)) =>
+            (warm > cold * 1.1 || priorWarm.get(name).exists(p => warm > 2.0 * p)) =>
         System.err.println(f"[bench] warm_retry $name (cold $cold%.2f warm $warm%.2f prior ${priorWarm.getOrElse(name, -1.0)}%.2f)")
         val (retry, _) = timeOne(name, SparkEntry.queries(name))
         graft.core.SessionHygiene.dropAllBlocks(spark)
@@ -145,8 +161,13 @@ object Bench {
     val ambientPeak =
       BenchAdjudicate.pressurePeak(canaryStart, canaryEnd, priorCanary)
     val ambientLoaded = ambientPressure > 1.3
+    // provisional stamp (VERDICT r13 item 4): a run at pressure > 1.25 is
+    // a usable record but a bad PRIOR — next round's selectPrior skips it
+    // for the last quiet artifact instead of inheriting the noise floor
+    val provisional = ambientPressure > 1.25
     System.err.println(f"[bench] canary end $canaryEnd%.3f s pressure $ambientPressure%.2fx peak $ambientPeak%.2fx" +
-      (if (ambientLoaded) " - AMBIENT LOAD DETECTED" else ""))
+      (if (ambientLoaded) " - AMBIENT LOAD DETECTED" else "") +
+      (if (provisional) " - ARTIFACT STAMPED PROVISIONAL" else ""))
     // the REVIEW number: every query at min(warm, warm_retry) — a faster
     // retry proves the first warm carried transient pressure
     val totalWarmAdjudicated = BenchAdjudicate.adjudicatedTotal(
@@ -249,7 +270,8 @@ object Bench {
       s""""canary_best_sec":${d3(canaryBest)},""" +
       priorCanary.map(p => s""""canary_prior_best_sec":${d3(p)},""").getOrElse("") +
       s""""ambient_pressure":${d3(ambientPressure)},"ambient_pressure_peak":${d3(ambientPeak)},""" +
-      s""""ambient_load_detected":$ambientLoaded,""" +
+      s""""ambient_load_detected":$ambientLoaded,"provisional":$provisional,""" +
+      s""""prior_artifact":${jstr(priorSrc)},""" +
       s""""host_fingerprint":${jstr(hostFp)},""" +
       (if (parseWarnings.nonEmpty)
         s""""prior_parse_failures":${parseWarnings.map(jstr).mkString("[", ",", "]")},"""
@@ -273,6 +295,11 @@ object Bench {
     // full-suite artifact the docs reference (it has happened twice)
     val artifact = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), full + "\n")
+    // refresh the quiet-prior fallback: only full-suite runs on a quiet
+    // box qualify (a subset run has too few queries to serve as a prior)
+    if (only.isEmpty && !provisional)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_QUIET.json"), full + "\n")
     println(full)
     val top = results.toSeq.sortBy(-_._2._1).take(20)
       .map { case (k, (c, _, _)) => k -> c }

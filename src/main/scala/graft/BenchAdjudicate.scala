@@ -78,6 +78,23 @@ object BenchAdjudicate {
     s"$host/${Runtime.getRuntime.availableProcessors()}cpu"
   }
 
+  /** `"provisional":true` from a prior artifact (absent before r14): the
+    * run happened on a loud box (pressure > 1.25), so its warm timings,
+    * streaming rates and canary carry the noise floor.
+    */
+  def parseProvisional(txt: String): Boolean =
+    txt.contains("\"provisional\":true")
+
+  /** Prior-artifact selection (VERDICT r13 item 4): a provisional prior
+    * hands this round inflated warm/streaming/canary baselines, so fall
+    * back to the last quiet artifact when one exists. Returns
+    * (text, source-name); the source lands in the new artifact so a
+    * reviewer can see which prior adjudicated this run.
+    */
+  def selectPrior(fullTxt: String, quietTxt: String): (String, String) =
+    if (parseProvisional(fullTxt) && quietTxt.nonEmpty) (quietTxt, "BENCH_QUIET.json")
+    else (fullTxt, "BENCH_FULL.json")
+
   /** Parse-count sanity (ADVICE r12): the regex parsers degrade to empty
     * maps on a format drift, which silently disables the warm/streaming
     * gates. Returns the artifact keys whose marker is present in a

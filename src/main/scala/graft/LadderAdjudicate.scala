@@ -88,6 +88,26 @@ object LadderAdjudicate {
       }
     }
 
+  /** ONLY-mode merge (VERDICT r13 item 2): an ONLY-restricted run used to
+    * write just BENCH_LADDER_SUBSET.json, and successive subset runs
+    * overwrote each other — q288's rung survived only in a commit
+    * message. The canonical artifact must instead absorb subset
+    * measurements: rungs NOT re-measured this run are carried forward
+    * from the prior canonical artifact verbatim (marked `carried`), so
+    * BENCH_LADDER.json is always the union of every rung ever measured.
+    * Returns (combined results sorted by name, carried-rung names).
+    */
+  def mergeCarried(prior: Map[String, (Option[Double], Option[Double])],
+      measured: Seq[(String, Either[String, (Double, Double)])])
+    : (Seq[(String, Either[String, (Double, Double)])], Set[String]) = {
+    val measuredKeys = measured.map(_._1).toSet
+    val carried = prior.collect {
+      case (q, (Some(a), Some(b))) if !measuredKeys.contains(q) =>
+        q -> (Right((a, b)): Either[String, (Double, Double)])
+    }.toSeq
+    ((measured ++ carried).sortBy(_._1), carried.map(_._1).toSet)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir1 = sys.env.getOrElse("SPARK_GRAFT_LADDER_DIR1", "/root/testdata/sf0.1")
     val dir100 = sys.env.getOrElse("SPARK_GRAFT_LADDER_DIR100", "/tmp/graft_sf10")
@@ -176,6 +196,8 @@ object LadderAdjudicate {
       q -> r
     }
     val canaryEnd = math.min(canarySec(), canarySec())
+    // regressions adjudicate only what was MEASURED this run — a carried
+    // rung's ratio equals its prior by construction
     val cur: Map[String, (Double, Double)] = results.collect {
       case (q, Right((a, b))) => q -> (b, b / math.max(1e-9, a))
     }.toMap
@@ -189,43 +211,65 @@ object LadderAdjudicate {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val rungJson = results.map {
-      case (q, Right((a, b))) =>
-        val ratio = b / math.max(1e-9, a)
-        val pr = priorRatio.get(q).map(p =>
-          s""","prior_ratio":${d3(p)},"ratio_vs_prior":${d3(ratio / math.max(1e-9, p))}""")
-          .getOrElse("")
-        val p1 = prior.get(q).flatMap(_._1).map(v => s""","prior_x1":${d3(v)}""").getOrElse("")
-        val p100 = prior.get(q).flatMap(_._2).map(v => s""","prior_x100":${d3(v)}""").getOrElse("")
-        jstr(q) + s""":{"x1":${d3(a)},"x100":${d3(b)},"ratio":${d3(ratio)}$p1$p100$pr}"""
-      case (q, Left(e)) => jstr(q) + s""":{"error":${jstr(e)}}"""
-    }.mkString("{", ",", "}")
-    val regJson = regressions.toSeq.sortBy(_._1).map { case (q, (p, c)) =>
-      jstr(q) + s""":{"prior_ratio":${d3(p)},"ratio":${d3(c)}}"""
-    }.mkString("{", ",", "}")
-    val nErr = results.count(_._2.isLeft)
-    val out = s"""{"metric":"sf_ladder_adjudicated","unit":"sec_warm_adjudicated",""" +
-      s""""protocol":"graft.LadderAdjudicate: cold+warm(+retry past 1.1x cold) per rung at 1x ($dir1) and 100x ($dir100); value = adjudicated warm; prior = BENCH_LADDER.json else legacy BENCH_SF_LADDER.json nested blocks",""" +
-      s""""host_fingerprint":${jstr(BenchAdjudicate.hostFingerprint())},""" +
+    def emit(rs: Seq[(String, Either[String, (Double, Double)])],
+        carriedKeys: Set[String], extraNames: Set[String] = Set.empty): String = {
+      // extraNames: once-errored prior rungs have a name but no timings;
+      // they must stay enrolled in rung_names (the anti-rot contract)
+      val allNames = (rs.map(_._1) ++ extraNames).distinct.sorted
+      val rungJson = rs.map {
+        case (q, Right((a, b))) =>
+          val ratio = b / math.max(1e-9, a)
+          val carriedTag = if (carriedKeys(q)) ""","carried":true""" else ""
+          val pr = priorRatio.get(q).filterNot(_ => carriedKeys(q)).map(p =>
+            s""","prior_ratio":${d3(p)},"ratio_vs_prior":${d3(ratio / math.max(1e-9, p))}""")
+            .getOrElse("")
+          val p1 = prior.get(q).flatMap(_._1).filterNot(_ => carriedKeys(q))
+            .map(v => s""","prior_x1":${d3(v)}""").getOrElse("")
+          val p100 = prior.get(q).flatMap(_._2).filterNot(_ => carriedKeys(q))
+            .map(v => s""","prior_x100":${d3(v)}""").getOrElse("")
+          jstr(q) + s""":{"x1":${d3(a)},"x100":${d3(b)},"ratio":${d3(ratio)}$p1$p100$pr$carriedTag}"""
+        case (q, Left(e)) => jstr(q) + s""":{"error":${jstr(e)}}"""
+      }.mkString("{", ",", "}")
+      val regJson = regressions.toSeq.sortBy(_._1).map { case (q, (p, c)) =>
+        jstr(q) + s""":{"prior_ratio":${d3(p)},"ratio":${d3(c)}}"""
+      }.mkString("{", ",", "}")
+      val nErr = rs.count(_._2.isLeft)
+      s"""{"metric":"sf_ladder_adjudicated","unit":"sec_warm_adjudicated",""" +
+        s""""protocol":"graft.LadderAdjudicate: cold+warm(+retry past 1.1x cold) per rung at 1x ($dir1) and 100x ($dir100); value = adjudicated warm; prior = BENCH_LADDER.json else legacy BENCH_SF_LADDER.json nested blocks; rungs not re-measured by an ONLY run are carried forward (carried:true)",""" +
+        s""""host_fingerprint":${jstr(BenchAdjudicate.hostFingerprint())},""" +
+        s""""canary_start_sec":${d3(canaryStart)},"canary_end_sec":${d3(canaryEnd)},""" +
+        s""""n_rungs":${rs.size},"n_errors":$nErr,""" +
+        s""""n_measured":${rs.count(r => !carriedKeys(r._1))},""" +
+        s""""rung_names":${allNames.map(jstr).mkString("[", ",", "]")},""" +
+        s""""1x_sf0.1":${
+          rs.collect { case (q, Right((a, _))) => jstr(q) + ":" + d3(a) }
+            .mkString("{", ",", "}")},""" +
+        s""""100x_sf10":${
+          rs.collect { case (q, Right((_, b))) => jstr(q) + ":" + d3(b) }
+            .mkString("{", ",", "}")},""" +
+        s""""rungs":$rungJson,"rung_regressions":$regJson}"""
+    }
+    // an ONLY-restricted run keeps its raw measurements as a run log in
+    // BENCH_LADDER_SUBSET.json AND merges them into the canonical
+    // artifact with every other recorded rung carried forward — subset
+    // runs no longer lose rungs by overwriting each other (r13 item 2)
+    val onlyMode = sys.env.contains("SPARK_GRAFT_LADDER_ONLY")
+    val (allResults, carriedKeys) =
+      if (onlyMode) mergeCarried(parsePrior(regularTxt), results)
+      else (results.sortBy(_._1), Set.empty[String])
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LADDER.json"),
+      emit(allResults, carriedKeys,
+        if (onlyMode) parseRungNames(regularTxt) else Set.empty) + "\n")
+    if (onlyMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LADDER_SUBSET.json"),
+        emit(results, Set.empty) + "\n")
+    println(s"""{"metric":"sf_ladder_adjudicated","n_rungs":${allResults.size},""" +
+      s""""n_measured":${results.size},""" +
+      s""""n_errors":${results.count(_._2.isLeft)},"n_rung_regressions":${regressions.size},""" +
       s""""canary_start_sec":${d3(canaryStart)},"canary_end_sec":${d3(canaryEnd)},""" +
-      s""""n_rungs":${results.size},"n_errors":$nErr,""" +
-      s""""rung_names":${results.map(r => jstr(r._1)).mkString("[", ",", "]")},""" +
-      s""""1x_sf0.1":${
-        results.collect { case (q, Right((a, _))) => jstr(q) + ":" + d3(a) }
-          .mkString("{", ",", "}")},""" +
-      s""""100x_sf10":${
-        results.collect { case (q, Right((_, b))) => jstr(q) + ":" + d3(b) }
-          .mkString("{", ",", "}")},""" +
-      s""""rungs":$rungJson,"rung_regressions":$regJson}"""
-    // an ONLY-restricted run must never clobber the canonical full-rung
-    // artifact (the same rule Bench applies to BENCH_SUBSET.json)
-    val artifact = if (sys.env.contains("SPARK_GRAFT_LADDER_ONLY"))
-      "BENCH_LADDER_SUBSET.json" else "BENCH_LADDER.json"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), out + "\n")
-    println(s"""{"metric":"sf_ladder_adjudicated","n_rungs":${results.size},""" +
-      s""""n_errors":$nErr,"n_rung_regressions":${regressions.size},""" +
-      s""""canary_start_sec":${d3(canaryStart)},"canary_end_sec":${d3(canaryEnd)},""" +
-      s""""artifact":"$artifact"}""")
+      s""""artifact":"BENCH_LADDER.json"}""")
     spark.stop()
   }
 }

@@ -15,11 +15,49 @@ object SparkEntry {
     RelationalQueries, TextQueries, VectorQueries, EventQueries,
     PipelineQueries, EvalQueries, IngestQueries, SketchQueries)
 
+  /** Gate-strength classes (VERDICT r13 item 5), kept in ONE table so the
+    * classification can't drift per-file. Default (absent here) is
+    * [[GateClass.IndependentOracle]]: the DuckDB oracle re-derives the
+    * result from raw parquet with independently written SQL.
+    *
+    * ConstructionInverse = the query's media fixture is built by this
+    * repo's own encoder and the green row certifies decode∘encode = id
+    * (most also carry an external referee — ImageIO/AudioSystem cross-
+    * check specs — and per-row error bounds inside the gated output).
+    *
+    * SharedSqlText = both engines execute the same SQL text (engine-
+    * execution parity). Each such gate carries an independent invariant
+    * outside the gate: q127's recursive-CTE output is re-derived row-for-
+    * row over the full sf0.001 corpus by `PromptRenderer.wordpieceCount`
+    * (a separate Scala greedy longest-prefix implementation) in
+    * QueriesSpec. Note q300 is NOT here: its packing is a Spark-side
+    * Scala fold vs a DuckDB recursive CTE — two independent programs.
+    */
+  val gateClasses: Map[String, String] = {
+    val ci = Seq(
+      "q138_multimodal_decode", "q139_multimodal_resize",
+      "q141_audio_features", "q156_png_roundtrip", "q157_jpeg_decode",
+      "q158_gif_frames", "q159_y4m_frames", "q160_media_catalog",
+      "q272_avi_mjpeg_frames", "q287_mpeg1_iframes", "q288_mpeg1_pframes",
+      "q289_mpeg1_bframes", "q290_adpcm_audio", "q294_avro_ingest",
+      "q299_png_adam7", "q301_tiff_ingest")
+      .map(_ -> GateClass.ConstructionInverse)
+    val st = Seq("q127_subword_tokenize")
+      .map(_ -> GateClass.SharedSqlText)
+    (ci ++ st).toMap
+  }
+
   private lazy val all: Seq[Q] = {
     val es = registries.flatMap(_.entries)
+      .map(q => gateClasses.get(q.name).fold(q)(g => q.copy(gate = g)))
     require(es.map(_.name).distinct.size == es.size, "duplicate query names")
+    val unknown = gateClasses.keySet -- es.map(_.name).toSet
+    require(unknown.isEmpty, s"gateClasses names unknown queries: $unknown")
     es
   }
+
+  /** name → gate class for every registered query (see [[gateClasses]]). */
+  def allGateClasses: Map[String, String] = all.map(q => q.name -> q.gate).toMap
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -20,6 +20,47 @@ object Fs {
     java.nio.file.Files.deleteIfExists(p)
   }
 
+  /** Age-bounded stale sweep (VERDICT r13 item 8): the pid-keyed roots
+    * already self-sweep via [[sweepDeadPidDirs]], but the random-suffix
+    * fixture/stream dirs (`graft-csv<rand>`, `graft_stream<rand>`,
+    * `graft-restart-agg<rand>`, ...) carry no owner token and accumulate
+    * across rounds. Deletes DIRECTORIES under `root` whose name starts
+    * with a `prefixes` entry, is not excluded by `keep`, and whose
+    * last-modified time is older than `maxAgeMillis` — age is the
+    * concurrency guard (any live run's dirs are hours fresher than the
+    * bound). Regular files (e.g. the driver's own /tmp notes) are never
+    * touched. Returns the number of entries removed.
+    */
+  def cleanupStale(root: String = "/tmp",
+      prefixes: Seq[String] = Seq("graft-", "graft_"),
+      keep: String => Boolean = _.startsWith("graft_sf"),
+      maxAgeMillis: Long = 6L * 3600 * 1000): Int = {
+    val d = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(d)) return 0
+    val cutoff = System.currentTimeMillis() - maxAgeMillis
+    var removed = 0
+    val st = java.nio.file.Files.list(d)
+    try {
+      val it = st.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        val eligible = prefixes.exists(name.startsWith) && !keep(name) &&
+          java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)
+        if (eligible) {
+          val stale = try
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: java.io.IOException => false }
+          if (stale) {
+            try { deleteRecursively(p); removed += 1 }
+            catch { case _: java.io.IOException => () }
+          }
+        }
+      }
+    } finally st.close()
+    removed
+  }
+
   /** Sweep `root`'s children owned by DEAD processes: names whose
     * `pidPattern` group 1 is a dead pid and — when `sweepLegacy` — names
     * not matching the pattern at all (pre-pid formats; the JVMs that

@@ -15,7 +15,27 @@ final case class Q(
     // processAllAvailable): their bench time is dominated by micro-batch
     // harness setup, not plan cost, so Bench reports them in a separate
     // total where their jitter can't mask a real batch regression
-    streaming: Boolean = false)
+    streaming: Boolean = false,
+    // gate-strength class (VERDICT r13 item 5) — what the green
+    // CORRECTNESS row actually certifies:
+    //  - GateClass.IndependentOracle (default): DuckDB RE-DERIVES the
+    //    result from the raw parquet with independently written SQL;
+    //  - GateClass.ConstructionInverse: the fixture was built by this
+    //    repo's own encoder and the gate certifies decode ∘ encode = id
+    //    (+ in-row error bounds / an external referee where one exists);
+    //  - GateClass.SharedSqlText: both engines execute the SAME SQL text
+    //    (engine-execution parity, e.g. a recursive CTE too intricate to
+    //    re-derive) — the weakest class; each such gate must carry an
+    //    independent invariant elsewhere (named in IMPLEMENTED.md).
+    gate: String = GateClass.IndependentOracle)
+
+object GateClass {
+  val IndependentOracle = "independent-oracle"
+  val ConstructionInverse = "construction-inverse"
+  val SharedSqlText = "shared-sql-text"
+  val all: Set[String] =
+    Set(IndependentOracle, ConstructionInverse, SharedSqlText)
+}
 
 trait Registry {
   def entries: Seq[Q]

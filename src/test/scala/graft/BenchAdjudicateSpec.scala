@@ -110,4 +110,48 @@ class BenchAdjudicateSpec extends AnyFunSuite {
       BenchAdjudicate.parseStreamingRates(healthy)).isEmpty)
     assert(BenchAdjudicate.parseSanity("", Map.empty, Map.empty).isEmpty)
   }
+
+  test("provisional prior falls back to the last quiet artifact (r13 item 4)") {
+    val loud = """{"ambient_pressure":1.44,"provisional":true,"queries_warm":{"q01":2.0}}"""
+    val quiet = """{"ambient_pressure":1.02,"provisional":false,"queries_warm":{"q01":1.0}}"""
+    assert(BenchAdjudicate.parseProvisional(loud))
+    assert(!BenchAdjudicate.parseProvisional(quiet))
+    // pre-r14 artifacts have no stamp: treated as quiet (no fallback)
+    assert(!BenchAdjudicate.parseProvisional("""{"ambient_pressure":1.44}"""))
+    assert(BenchAdjudicate.selectPrior(loud, quiet) == (quiet, "BENCH_QUIET.json"))
+    assert(BenchAdjudicate.selectPrior(quiet, loud) == (quiet, "BENCH_FULL.json"))
+    // provisional prior but no quiet fallback yet: use what exists
+    assert(BenchAdjudicate.selectPrior(loud, "") == (loud, "BENCH_FULL.json"))
+    assert(BenchAdjudicate.selectPrior("", "") == ("", "BENCH_FULL.json"))
+  }
+
+  test("Fs.cleanupStale sweeps only old graft dirs, keeps fresh + scale corpora") {
+    val root = java.nio.file.Files.createTempDirectory("cleanup-spec").toString
+    def mk(name: String, old: Boolean): java.nio.file.Path = {
+      val p = java.nio.file.Paths.get(root, name)
+      java.nio.file.Files.createDirectories(p)
+      if (old) java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 48L * 3600 * 1000))
+      p
+    }
+    val oldFixture = mk("graft-csv12345", old = true)
+    val oldStream = mk("graft_stream999", old = true)
+    val fresh = mk("graft-jsonl777", old = false)      // newest run's dir
+    val corpus = mk("graft_sf10", old = true)          // keep: scale corpus
+    val other = mk("unrelated-dir", old = true)        // not ours
+    // an old FILE with the prefix is never touched (only directories)
+    val f = java.nio.file.Paths.get(root, "graft_note.md")
+    java.nio.file.Files.writeString(f, "x")
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    val removed = graft.core.Fs.cleanupStale(root = root)
+    assert(removed == 2, s"removed $removed")
+    assert(!java.nio.file.Files.exists(oldFixture) &&
+      !java.nio.file.Files.exists(oldStream))
+    assert(java.nio.file.Files.exists(fresh) && java.nio.file.Files.exists(corpus) &&
+      java.nio.file.Files.exists(other) && java.nio.file.Files.exists(f))
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }

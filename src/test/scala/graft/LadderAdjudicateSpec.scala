@@ -77,6 +77,30 @@ class LadderAdjudicateSpec extends AnyFunSuite {
     assert(!LadderAdjudicate.parsePrior(artifact).contains("q999_flaky_rung"))
   }
 
+  test("ONLY-mode merge carries forward unmeasured rungs, overrides measured ones") {
+    val prior = Map(
+      "q100_old" -> (Some(1.0), Some(3.0)),
+      "q200_remeasured" -> (Some(2.0), Some(5.0)),
+      "q300_half" -> (Some(1.5), None: Option[Double])) // incomplete: not carryable
+    val measured: Seq[(String, Either[String, (Double, Double)])] = Seq(
+      "q200_remeasured" -> Right((1.8, 4.2)),
+      "q400_new" -> Right((0.5, 1.1)),
+      "q500_err" -> Left("OOM"))
+    val (all, carried) = LadderAdjudicate.mergeCarried(prior, measured)
+    assert(carried == Set("q100_old"))
+    val m = all.toMap
+    // carried rung keeps its prior timings verbatim
+    assert(m("q100_old") == Right((1.0, 3.0)))
+    // re-measured rung takes the NEW numbers, not the prior's
+    assert(m("q200_remeasured") == Right((1.8, 4.2)))
+    // new and errored measurements pass through; the half-recorded prior
+    // rung can't be carried (no 100x) and is absent
+    assert(m("q400_new") == Right((0.5, 1.1)) && m("q500_err") == Left("OOM"))
+    assert(!m.contains("q300_half"))
+    // output is name-sorted for stable artifacts
+    assert(all.map(_._1) == all.map(_._1).sorted)
+  }
+
   test("the real legacy artifact yields a non-trivial rung set") {
     val p = java.nio.file.Paths.get("BENCH_SF_LADDER.json")
     assume(java.nio.file.Files.exists(p))
