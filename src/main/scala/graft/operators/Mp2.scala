@@ -41,15 +41,18 @@ package graft.operators
   *    absolute PCM sample values are window-dependent and are NOT gated.
   *
   * Only the single operating point the construction emits is accepted
-  * (32 kHz, 80 kbit/s, mono, no CRC → Table B.2a, sblimit 27, 360-byte
-  * frames with zero padding); anything else returns None so the decode
-  * chain falls through (HeaderCodec contract).
+  * (48 kHz, 192 kbit/s, mono, no CRC → Table B.2a per the normative
+  * table-selection rule [fs = 48 kHz and per-channel rate ≥ 56 kbit/s],
+  * sblimit 27, exact 576-byte frames with zero padding); anything else
+  * returns None so the decode chain falls through (HeaderCodec contract).
   */
 object Mp2 {
 
-  val SampleRate = 32000
-  val BitrateKbps = 80
-  val FrameBytes = 360 // 144 * 80000 / 32000, exact — no padding bit games
+  val SampleRate = 48000
+  val BitrateKbps = 192
+  val FrameBytes = 576 // 144 * 192000 / 48000, exact — no padding bit games
+  val BitrateIndex = 10 // Layer II: [free,32,48,56,64,80,96,112,128,160,192,...]
+  val FsCode = 1 // '00'=44.1k, '01'=48k, '10'=32k
   val Sblimit = 27
   val SamplesPerFrame = 1152 // 36 subband samples × 32 subbands
 
@@ -151,7 +154,38 @@ object Mp2 {
   final case class FrameSpec(allocIdx: Array[Int], sfIdx: Array[Int],
       scfsi: Array[Int], u: (Int, Int) => Double)
 
-  /** Encode `specs` as a contiguous Layer II stream (one 360-byte frame
+  /** The deterministic construction shared by the q302 gate, its DuckDB
+    * oracle (which re-derives these formulas in SQL) and Mp2Spec. Index
+    * bounds keep the worst-case frame at ~3460 bits < the 4608-bit
+    * budget while still exercising EVERY quantization class: subband 0
+    * cycles its full 16-entry row (up to the 16-bit class, ≤48 bits per
+    * granule), subband 3 cycles through the grouped-9 class, the rest
+    * stay in the cheap classes (0..3 / 0..2 indices). Scale factors stay
+    * in 0..40, scfsi cycles all four patterns, and u ∈ [-0.891, 0.891]
+    * never clips a quantizer. Frame 0's values are constant in t (feeds
+    * the exact period-32 synthesis invariant); later frames vary per
+    * sample.
+    */
+  object Construct {
+    def allocIdx(id: Long, frame: Int, sb: Int): Int =
+      if (sb == 0) ((id + frame) % 16).toInt
+      else if (sb == 3) ((id + frame * 5) % 6).toInt
+      else if (sb < 23) ((id + sb * 3 + frame) % 4).toInt
+      else ((id + sb * 3 + frame) % 3).toInt
+    def sfIdx(id: Long, sb: Int): Int = ((id * 5 + sb * 7) % 41).toInt
+    def scfsi(id: Long, sb: Int): Int = ((id + sb) % 4).toInt
+    def u(id: Long, frame: Int, sb: Int, t: Int): Double = {
+      val tt = if (frame == 0) 0 else t
+      (((id * 31 + frame * 17 + sb * 13 + tt * 7) % 181) - 90).toDouble / 101.0
+    }
+    def frameSpec(id: Long, frame: Int): FrameSpec = FrameSpec(
+      Array.tabulate(Sblimit)(allocIdx(id, frame, _)),
+      Array.tabulate(Sblimit)(sfIdx(id, _)),
+      Array.tabulate(Sblimit)(scfsi(id, _)),
+      (sb, t) => u(id, frame, sb, t))
+  }
+
+  /** Encode `specs` as a contiguous Layer II stream (one 576-byte frame
     * each) at the fixed operating point.
     */
   def encode(specs: Seq[FrameSpec]): Array[Byte] = {
@@ -160,8 +194,8 @@ object Mp2 {
       val w = new BitWriter(FrameBytes)
       // header: FFF | ID=1 | layer '10' | protection 1 (no CRC)
       w.put(0xfff, 12); w.put(1, 1); w.put(2, 2); w.put(1, 1)
-      // bitrate 80k = index 5 | fs 32k = '10' | padding 0 | private 0
-      w.put(5, 4); w.put(2, 2); w.put(0, 1); w.put(0, 1)
+      // bitrate 192k = index 10 | fs 48k = '01' | padding 0 | private 0
+      w.put(BitrateIndex, 4); w.put(FsCode, 2); w.put(0, 1); w.put(0, 1)
       // mode single_channel '11' | mode_ext | copyright | original | emph
       w.put(3, 2); w.put(0, 2); w.put(0, 1); w.put(1, 1); w.put(0, 2)
       // bit allocation
@@ -251,8 +285,8 @@ object Mp2 {
         if (r.get(1) != 1) return None // ID: MPEG-1
         if (r.get(2) != 2) return None // layer II
         if (r.get(1) != 1) return None // no CRC
-        if (r.get(4) != 5) return None // 80 kbit/s
-        if (r.get(2) != 2) return None // 32 kHz
+        if (r.get(4) != BitrateIndex) return None // 192 kbit/s
+        if (r.get(2) != FsCode) return None // 48 kHz
         r.get(2) // padding + private
         if (r.get(2) != 3) return None // single channel
         r.get(6) // mode_ext, copyright, original, emphasis

@@ -1464,6 +1464,15 @@ object Multimodal {
       try Mpeg1.decodeIFrames(bytes).map { case (m, _) =>
         Decoded(m.width, m.height, m.nPictures, 0)
       } catch { case _: Exception => None }
+
+    /** MPEG-1 Audio Layer II: full bit-level decode — Table-B.2a
+      * allocation, scfsi, scale factors, grouped/ungrouped requant,
+      * polyphase synthesis — via [[graft.operators.Mp2]] (gated by
+      * q302). nFrames reports decoded PCM frames of 1152 samples.
+      */
+    def decodeMp2(bytes: Array[Byte]): Option[Decoded] =
+      Mp2.decode(bytes).map(st =>
+        Decoded(0, 0, st.frames.size, st.sampleRate))
   }
 
   /** Production decode: real header parsers first, stub fallback for
@@ -1483,6 +1492,7 @@ object Multimodal {
         .orElse(MediaCodecs.decodeJpeg(bytes))
         .orElse(MediaCodecs.decodeAvi(bytes))
         .orElse(MediaCodecs.decodeMpeg1(bytes))
+        .orElse(MediaCodecs.decodeMp2(bytes))
         .orElse(MediaCodecs.decodeMp4(bytes))
         .getOrElse(stub.decode(modality, mime, bytes))
   }
@@ -1496,8 +1506,13 @@ object Multimodal {
     * P-pictures (q288) and bidirectionally-predicted B-pictures with the
     * normative transmission-order reorder (q289), all via
     * [[Mpeg1.decodeIFrames]] — plus MJPEG-in-AVI (q272); compressed
-    * images via JPEG/PNG/GIF, audio via WAV/MP3, and the MP4 container
-    * parses box-level metadata.
+    * images via JPEG/PNG/GIF. The AUDIO surface is empty since r14:
+    * PCM/IMA-ADPCM WAV decode to samples (q290), and entropy-coded
+    * MPEG-1 Layer II decodes for real through bit allocation, scale
+    * factors, requantization and polyphase synthesis ([[graft.operators.Mp2]],
+    * q302); MP3 (Layer III) parses frame headers (q195) and falls
+    * through here only for its Huffman-coded payload, as H.264/H.265 do
+    * for video. The MP4 container parses box-level metadata.
     */
   final class StubCodec {
     def decode(modality: String, mime: String, bytes: Array[Byte]): Decoded = {
