@@ -135,5 +135,17 @@ object ScaleUp {
     // session warm-up reads it from the target dir
     graft.core.Tables(spark, src, "region")
       .coalesce(1).write.mode("overwrite").parquet(s"$dst/region.parquet")
+
+    // the reference-core pipeline's scale axis (VERDICT r13 item 6): the
+    // schema-matching cases replicate by CASE COUNT, not fact rows —
+    // copy the dimension schemas q34/q35's cases() reads and write the
+    // manifest that multiplies the case set with deterministic id strides
+    for (t <- Seq("nation", "supplier", "part"))
+      graft.core.Tables(spark, src, t)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dst/match_cases.json"),
+      s"""{"factor":$factor}""" + "\n")
+    println(s"[scaleup] wrote match_cases.json factor=$factor")
   }
 }
