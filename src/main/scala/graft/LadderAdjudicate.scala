@@ -257,10 +257,15 @@ object LadderAdjudicate {
     val (allResults, carriedKeys) =
       if (onlyMode) mergeCarried(parsePrior(regularTxt), results)
       else (results.sortBy(_._1), Set.empty[String])
+    // the streaming_ladder block (written by graft.StreamingLadder into
+    // this same artifact) must survive a batch-rung rewrite — carry it
+    val merged = emit(allResults, carriedKeys,
+      if (onlyMode) parseRungNames(regularTxt) else Set.empty)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LADDER.json"),
-      emit(allResults, carriedKeys,
-        if (onlyMode) parseRungNames(regularTxt) else Set.empty) + "\n")
+      StreamingLadder.extractObject(regularTxt, "streaming_ladder")
+        .map(b => StreamingLadder.withBlock(merged, "streaming_ladder", b))
+        .getOrElse(merged + "\n"))
     if (onlyMode)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LADDER_SUBSET.json"),

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** STREAMING scale ladder (VERDICT r13 item 3): `rows_per_trigger_sec`
+  * was only ever measured at the fixed 2000-row bench feed on sf0.1 —
+  * blind to the real streaming scale risk, STATE growth (watermark maps,
+  * RocksDB ValueState/ListState, interval-join buffers). One command —
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.StreamingLadder"
+  *
+  * — re-measures EVERY streaming-gated query twice: the base rung (the
+  * standing 2000-row feed from sf0.1) and a scaled rung (a 10× feed of
+  * 20 000 rows drawn from the 100× ScaleUp corpus, so the keyed state
+  * sees the 100× user/key space, not just more rows per key). The gated
+  * quantity is the per-row throughput ratio base/scaled: a query whose
+  * state work is linear holds ratio ≈ 1; super-linear state (e.g. a
+  * per-batch full-state scan) collapses the scaled rate and the ratio
+  * balloons. Results land in a `streaming_ladder` block MERGED into
+  * BENCH_LADDER.json (same artifact the batch rungs live in; the batch
+  * writer carries the block forward), with the same prior-ratio +
+  * regression + retry protocol the batch ladder and the bench's
+  * strm_retry use. A standalone run log goes to
+  * BENCH_STREAMING_LADDER.json.
+  */
+object StreamingLadder {
+
+  /** Raw `"key":{...}` object (balanced braces) out of an artifact. */
+  def extractObject(txt: String, key: String): Option[String] = {
+    val k = "\"" + key + "\":"
+    val i = txt.indexOf(k)
+    if (i < 0) return None
+    val start = txt.indexOf('{', i + k.length)
+    if (start < 0) return None
+    var depth = 0
+    var j = start
+    while (j < txt.length) {
+      txt.charAt(j) match {
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return Some(txt.substring(start, j + 1))
+        case _ => ()
+      }
+      j += 1
+    }
+    None
+  }
+
+  /** Replace-or-append a `"key":{...}` block at the artifact's top level
+    * (before the final `}`). Idempotent: an existing block for `key` is
+    * removed first.
+    */
+  def withBlock(txt: String, key: String, objJson: String): String = {
+    val stripped = extractObject(txt, key) match {
+      case Some(old) =>
+        val full = "\"" + key + "\":" + old
+        val i = txt.indexOf(full)
+        val before = txt.substring(0, i)
+        val after = txt.substring(i + full.length)
+        // drop one adjacent comma (leading if present, else trailing)
+        if (before.endsWith(",")) before.dropRight(1) + after
+        else if (after.startsWith(",")) before + after.drop(1)
+        else before + after
+      case None => txt
+    }
+    val end = stripped.lastIndexOf('}')
+    require(end >= 0, "not a JSON object artifact")
+    val head = stripped.substring(0, end).stripTrailing()
+    val sep = if (head.endsWith("{")) "" else ","
+    head + sep + "\"" + key + "\":" + objJson + "}\n"
+  }
+
+  /** (rate_base, rate_scaled) per query from a prior streaming_ladder
+    * block (absent → empty).
+    */
+  def parsePrior(txt: String): Map[String, (Double, Double)] = {
+    extractObject(txt, "streaming_ladder").map { block =>
+      val m = java.util.regex.Pattern.compile(
+        "\"(q[^\"]+)\":\\{\"rate_base\":([0-9.eE+-]+),\"rate_scaled\":([0-9.eE+-]+)")
+        .matcher(block)
+      val b = Map.newBuilder[String, (Double, Double)]
+      while (m.find())
+        for (rb <- m.group(2).toDoubleOption; rs <- m.group(3).toDoubleOption)
+          b += m.group(1) -> (rb, rs)
+      b.result()
+    }.getOrElse(Map.empty)
+  }
+
+  /** Queries whose per-row slowdown ratio (base/scaled) grew past
+    * `factor` × the prior ratio AND whose scaled rate actually fell —
+    * the same two-condition rule as the batch ladder's rungRegressions
+    * (a base rate that IMPROVED doubles the ratio with the scaled
+    * behavior unchanged; that is a speedup, not a state break).
+    */
+  def regressions(prior: Map[String, (Double, Double)],
+      cur: Map[String, (Double, Double)], factor: Double = 2.0)
+    : Map[String, (Double, Double)] =
+    cur.flatMap { case (q, (rb, rs)) =>
+      prior.get(q) match {
+        case Some((pb, ps)) if pb > 0 && ps > 0 && rb > 0 && rs > 0 &&
+            (rb / rs) > (pb / ps) * factor && rs < ps =>
+          Some(q -> (pb / ps, rb / rs))
+        case _ => None
+      }
+    }
+
+  def main(args: Array[String]): Unit = {
+    val dir1 = sys.env.getOrElse("SPARK_GRAFT_LADDER_DIR1", "/root/testdata/sf0.1")
+    val dir100 = sys.env.getOrElse("SPARK_GRAFT_LADDER_DIR100", "/tmp/graft_sf10")
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir100)),
+      s"100x corpus missing at $dir100 — generate it first: " +
+        "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf10 100")
+    val scaledFeed = sys.env.get("SPARK_GRAFT_LADDER_FEED").map(_.toInt)
+      .getOrElse(20000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    graft.core.Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val artifactPath = java.nio.file.Paths.get("BENCH_LADDER.json")
+    val priorTxt =
+      if (java.nio.file.Files.exists(artifactPath))
+        java.nio.file.Files.readString(artifactPath) else "{}"
+    val prior = parsePrior(priorTxt)
+
+    val queries = SparkEntry.streamingQueries.toSeq.sorted
+    def measure(name: String, dir: String, feed: Option[Int]): Double = {
+      graft.streaming.StreamingOps.feedLimitOverride = feed
+      try {
+        BenchListener.quiesce(); BenchListener.drain()
+        SparkEntry.queries(name)(spark, dir).count()
+        BenchListener.quiesce()
+        val bs = BenchListener.drain()
+        graft.core.SessionHygiene.dropAllBlocks(spark)
+        val rows = bs.map(_.inputRows).sum
+        val ms = bs.map(_.triggerMs).sum
+        if (ms <= 0) 0.0 else rows * 1000.0 / ms
+      } finally graft.streaming.StreamingOps.feedLimitOverride = None
+    }
+    val results: Seq[(String, (Double, Double))] = queries.map { q =>
+      System.err.println(s"[strm-ladder] $q base feed")
+      val rb = measure(q, dir1, None)
+      System.err.println(f"[strm-ladder] $q base $rb%.0f rows/trigger-sec; scaled feed $scaledFeed")
+      var rs = measure(q, dir100, Some(scaledFeed))
+      // retry protocol (bench strm_retry's rule): same-code TWS rates
+      // swing ±1.7×; re-measure once before calling a 2× prior-ratio
+      // breach a regression, keep the better sample
+      val priorRatio = prior.get(q).collect { case (pb, ps) if ps > 0 => pb / ps }
+      if (rs > 0 && priorRatio.exists(p => rb / rs > 2.0 * p)) {
+        System.err.println(f"[strm-ladder] $q retry (ratio ${rb / rs}%.2f vs prior ${priorRatio.get}%.2f)")
+        rs = math.max(rs, measure(q, dir100, Some(scaledFeed)))
+      }
+      System.err.println(f"[strm-ladder] $q scaled $rs%.0f rows/trigger-sec ratio ${if (rs > 0) rb / rs else -1.0}%.2f")
+      q -> (rb, rs)
+    }
+    val cur = results.toMap
+    val regs = regressions(prior, cur)
+    def d1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val block = results.map { case (q, (rb, rs)) =>
+      val ratio = if (rs > 0) rb / rs else -1.0
+      val pr = prior.get(q).collect { case (pb, ps) if ps > 0 =>
+        s""","prior_ratio":${d3(pb / ps)}""" +
+          (if (ratio > 0) s""","ratio_vs_prior":${d3(ratio / (pb / ps))}""" else "")
+      }.getOrElse("")
+      s""""$q":{"rate_base":${d1(rb)},"rate_scaled":${d1(rs)},"ratio":${d3(ratio)}$pr}"""
+    }.mkString(
+      s"""{"protocol":"graft.StreamingLadder: rows/sum(triggerExecution) at the 2000-row sf0.1 feed (base) vs a $scaledFeed-row feed from $dir100 (scaled, 100x key space); ratio=base/scaled; retry past 2x prior ratio","feed_scaled":$scaledFeed,"rungs":{""",
+      ",",
+      "}," + s""""regressions":${
+        regs.toSeq.sortBy(_._1).map { case (q, (p, c)) =>
+          s""""$q":{"prior_ratio":${d3(p)},"ratio":${d3(c)}}"""
+        }.mkString("{", ",", "}")
+      }}""")
+    // merge into the canonical ladder artifact + standalone run log
+    java.nio.file.Files.writeString(artifactPath,
+      withBlock(priorTxt, "streaming_ladder", block))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_STREAMING_LADDER.json"),
+      s"""{"metric":"streaming_ladder","streaming_ladder":$block}""" + "\n")
+    println(s"""{"metric":"streaming_ladder","n_queries":${results.size},""" +
+      s""""n_regressions":${regs.size},"feed_scaled":$scaledFeed,""" +
+      s""""artifact":"BENCH_LADDER.json"}""")
+    spark.stop()
+  }
+}

@@ -2201,7 +2201,7 @@ object PipelineQueries extends Registry {
         implicit val sqlCtx = ss.sqlContext
         val evts = Tables(ss, dir, "events")
           .select($"ts", $"event_type", $"value", $"event_id")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .select($"ts", $"event_type", $"value")
           .as[(java.sql.Timestamp, String, Double)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
@@ -2242,7 +2242,7 @@ object PipelineQueries extends Registry {
         implicit val sqlCtx = ss.sqlContext
         val evts = Tables(ss, dir, "events")
           .select($"ts", $"user_id", $"event_id", $"value")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .as[(java.sql.Timestamp, Long, Long, Double)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
         val qn = s"graft_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -2298,7 +2298,7 @@ object PipelineQueries extends Registry {
         val out = s"$base/out"
         val evts = Tables(ss, dir, "events")
           .select($"ts", $"user_id", $"event_id", $"value")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .as[(java.sql.Timestamp, Long, Long, Double)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
         def start() = StreamingOps.dedupStream(
@@ -2354,7 +2354,7 @@ object PipelineQueries extends Registry {
         // readStream the corpus directly
         val feed = Tables(ss, dir, "documents")
           .filter(!$"source".isin(TextQueries.benchSources: _*))
-          .select($"doc_id", $"text").orderBy($"doc_id").limit(2000)
+          .select($"doc_id", $"text").orderBy($"doc_id").limit(StreamingOps.feedLimit)
           .as[(Long, String)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
         val qn = s"graft_decon_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -2411,7 +2411,7 @@ object PipelineQueries extends Registry {
         val pref = Tables(ss, dir, "events")
           .filter($"event_type".isin("purchase", "click"))
           .select($"ts", $"event_id", $"user_id", $"event_type")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .as[(java.sql.Timestamp, Long, Long, String)].collect()
         val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
         val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
@@ -2468,7 +2468,7 @@ object PipelineQueries extends Registry {
         implicit val sqlCtx = ss.sqlContext
         val evts = Tables(ss, dir, "events")
           .select($"ts", $"event_id", $"user_id")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .select($"user_id", $"ts")
           .as[(Long, java.sql.Timestamp)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
@@ -2524,7 +2524,7 @@ object PipelineQueries extends Registry {
         val k = 16
         val toks: Seq[(Int, String)] = Tables(ss, dir, "events")
           .select($"ts", $"event_id", $"user_id")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .select($"user_id").as[Long].collect().toSeq
           .flatMap { u =>
             val rep = if (u % 37 == 0 && u < 150) 201 else 1
@@ -2572,7 +2572,7 @@ object PipelineQueries extends Registry {
         val evts = Tables(ss, dir, "events")
           .select($"ts", $"event_id", $"user_id",
             round($"value" * 1e6).cast("long").as("vmicro"))
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .select($"user_id", $"vmicro")
           .as[(Long, Long)].collect()
         StreamingOps.driveTwoBatches(ss, evts.toSeq,
@@ -2610,7 +2610,7 @@ object PipelineQueries extends Registry {
         import ss.implicits._
         val evts = Tables(ss, dir, "events")
           .select($"user_id", expr("unix_micros(ts)").as("tsu"), $"event_id")
-          .orderBy($"tsu", $"event_id").limit(2000)
+          .orderBy($"tsu", $"event_id").limit(StreamingOps.feedLimit)
           .as[(Long, Long, Long)].collect()
         StreamingOps.driveTwoBatches(ss, evts.toSeq,
             org.apache.spark.sql.streaming.OutputMode.Update())(
@@ -2650,7 +2650,7 @@ object PipelineQueries extends Registry {
         implicit val sqlCtx = ss.sqlContext
         val evts = Tables(ss, dir, "events")
           .select($"user_id", $"ts", $"event_id")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .select($"user_id", $"ts")
           .as[(Long, java.sql.Timestamp)]
           .collect().map(e => StreamingOps.Evt(e._1, e._2))
@@ -2708,7 +2708,7 @@ object PipelineQueries extends Registry {
         import ss.implicits._
         val evts = Tables(ss, dir, "events")
           .select($"user_id", $"ts", $"event_id")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .select($"user_id", $"ts")
           .as[(Long, java.sql.Timestamp)]
           .collect().map(e => StreamingOps.Evt(e._1, e._2))
@@ -2751,7 +2751,7 @@ object PipelineQueries extends Registry {
         import ss.implicits._
         val evts = Tables(ss, dir, "events")
           .select($"ts", $"event_id", $"user_id", $"event_type")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .select($"user_id", $"event_type")
           .as[(Long, String)].collect()
         StreamingOps.driveTwoBatches(ss, evts.toSeq,
@@ -2785,7 +2785,7 @@ object PipelineQueries extends Registry {
         val pref = Tables(ss, dir, "events")
           .filter($"event_type".isin("purchase", "click"))
           .select($"ts", $"event_id", $"user_id", $"event_type")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .as[(java.sql.Timestamp, Long, Long, String)].collect()
         val maxMs = pref.map(_._1.getTime).max
         def sentinelTs(days: Int) =
@@ -3062,7 +3062,7 @@ object PipelineQueries extends Registry {
         implicit val sqlCtx = ss.sqlContext
         val evts = Tables(ss, dir, "events")
           .select($"ts", $"event_type", $"event_id")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .select($"ts", $"event_type")
           .as[(java.sql.Timestamp, String)].collect()
         val maxMs = evts.map(_._1.getTime).max
@@ -3123,7 +3123,7 @@ object PipelineQueries extends Registry {
         implicit val sqlCtx = ss.sqlContext
         val evts = Tables(ss, dir, "events")
           .select($"ts", $"user_id", $"event_id")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .select($"ts", $"user_id")
           .as[(java.sql.Timestamp, Long)].collect()
         val maxMs = evts.map(_._1.getTime).max
@@ -3193,7 +3193,7 @@ object PipelineQueries extends Registry {
         implicit val sqlCtx = ss.sqlContext
         val evts = Tables(ss, dir, "events")
           .select($"ts", $"event_type", $"event_id")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .select($"ts", $"event_type")
           .as[(java.sql.Timestamp, String)].collect()
         val maxMs = evts.map(_._1.getTime).max
@@ -3286,7 +3286,7 @@ object PipelineQueries extends Registry {
         import ss.implicits._
         val evts = Tables(ss, dir, "events")
           .select($"ts", $"user_id", $"event_id")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .select(
             date_trunc("hour", $"ts").cast("long").as("window_s"),
             graft.operators.Sampling.detRand(297L,
@@ -3348,7 +3348,7 @@ object PipelineQueries extends Registry {
         implicit val sqlCtx = ss.sqlContext
         val evts = Tables(ss, dir, "events")
           .select($"ts", $"event_id")
-          .orderBy($"ts", $"event_id").limit(2000)
+          .orderBy($"ts", $"event_id").limit(StreamingOps.feedLimit)
           .as[(java.sql.Timestamp, Long)].collect()
         // deterministic out-of-order feed: evens then odds
         val (b1, b2) = evts.zipWithIndex.partition(_._2 % 2 == 0)

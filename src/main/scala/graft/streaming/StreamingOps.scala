@@ -16,6 +16,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
   */
 object StreamingOps {
 
+  /** Bounded-feed size for the streaming gate queries (VERDICT r13
+    * item 3). The gate/bench feed is the fixed default; StreamingLadder
+    * raises it (with the scaled corpus as the source) to measure whether
+    * per-query throughput survives a feed and key-space scale-up — the
+    * state-growth risk watermark maps / RocksDB state / interval-join
+    * buffers carry at 100 TB. A knob instead of an env var because the
+    * ladder flips it per-measurement inside one JVM; queries read it at
+    * plan-build time only.
+    */
+  @volatile var feedLimitOverride: Option[Int] = None
+  def feedLimit: Int = feedLimitOverride.getOrElse(2000)
+
   /** Dedicated child session for a streaming harness run: the 4-partition
     * state conf and the memory-sink temp view live HERE, never in the
     * shared session — a query planned concurrently on the parent would

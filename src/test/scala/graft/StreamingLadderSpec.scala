@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingLadderSpec extends AnyFunSuite {
+
+  private val artifact = """{"metric":"sf_ladder_adjudicated","n_rungs":2,
+    "rungs":{"q22":{"x1":1.0,"x100":2.0,"ratio":2.0}},
+    "streaming_ladder":{"protocol":"p","feed_scaled":20000,
+      "rungs":{"q41_streaming_tumbling":{"rate_base":3300.0,"rate_scaled":2900.0,"ratio":1.138},
+               "q132_streaming_outer_nulls":{"rate_base":325.0,"rate_scaled":120.0,"ratio":2.708}},
+      "regressions":{}},
+    "rung_regressions":{}}"""
+
+  test("extractObject pulls a balanced nested block; withBlock replaces idempotently") {
+    val block = StreamingLadder.extractObject(artifact, "streaming_ladder")
+    assert(block.exists(b => b.startsWith("{") && b.endsWith("}") &&
+      b.contains("q41_streaming_tumbling") && b.contains("regressions")))
+    assert(StreamingLadder.extractObject(artifact, "absent_key").isEmpty)
+    // replace: the new block wins, the old one is gone, JSON stays valid
+    val replaced = StreamingLadder.withBlock(artifact, "streaming_ladder",
+      """{"rungs":{},"regressions":{}}""")
+    assert(!replaced.contains("q41_streaming_tumbling"))
+    assert(StreamingLadder.extractObject(replaced, "streaming_ladder")
+      .contains("""{"rungs":{},"regressions":{}}"""))
+    // append: adding to an artifact without the block keeps other keys
+    val bare = """{"a":1,"rungs":{"q22":{"x1":1.0}}}"""
+    val appended = StreamingLadder.withBlock(bare, "streaming_ladder", """{"x":{}}""")
+    assert(appended.contains(""""a":1""") && appended.contains(""""q22""""))
+    assert(StreamingLadder.extractObject(appended, "streaming_ladder")
+      .contains("""{"x":{}}"""))
+  }
+
+  test("parsePrior reads (rate_base, rate_scaled) per query") {
+    val p = StreamingLadder.parsePrior(artifact)
+    assert(p("q41_streaming_tumbling") == (3300.0, 2900.0))
+    assert(p("q132_streaming_outer_nulls") == (325.0, 120.0))
+    assert(StreamingLadder.parsePrior("{}").isEmpty)
+  }
+
+  test("regressions: flags a real per-row collapse, not base-side speedups or jitter") {
+    val prior = Map("qa" -> (1000.0, 800.0), "qb" -> (1000.0, 800.0),
+      "qc" -> (1000.0, 800.0))
+    val cur = Map(
+      // scaled rate collapsed 800→200 with base flat: ratio 1.25→5 > 2×: flag
+      "qa" -> (1000.0, 200.0),
+      // base got 3× FASTER, scaled unchanged: ratio tripled but the scaled
+      // rate did not fall — a speedup, never flagged
+      "qb" -> (3000.0, 800.0),
+      // mild drift inside 2×: not flagged
+      "qc" -> (1000.0, 500.0))
+    val r = StreamingLadder.regressions(prior, cur)
+    assert(r.keySet == Set("qa"), s"got $r")
+    assert(math.abs(r("qa")._1 - 1.25) < 1e-9 && math.abs(r("qa")._2 - 5.0) < 1e-9)
+    // no prior / zero rates: never flagged
+    assert(StreamingLadder.regressions(Map.empty, cur).isEmpty)
+    assert(StreamingLadder.regressions(
+      Map("qa" -> (0.0, 0.0)), Map("qa" -> (1.0, 0.0))).isEmpty)
+  }
+
+  test("LadderAdjudicate-style rewrite carries the streaming block through withBlock") {
+    // simulate: batch writer produces fresh text, then re-attaches the
+    // block extracted from the previous artifact
+    val fresh = """{"metric":"sf_ladder_adjudicated","rungs":{"q22":{"x1":1.1}}}"""
+    val carried = StreamingLadder.extractObject(artifact, "streaming_ladder")
+      .map(b => StreamingLadder.withBlock(fresh, "streaming_ladder", b)).get
+    assert(carried.contains("q41_streaming_tumbling") &&
+      carried.contains(""""q22":{"x1":1.1}"""))
+  }
+
+  test("streaming feed knob: default 2000, override wins and restores") {
+    import graft.streaming.StreamingOps
+    assert(StreamingOps.feedLimit == 2000)
+    StreamingOps.feedLimitOverride = Some(20000)
+    try assert(StreamingOps.feedLimit == 20000)
+    finally StreamingOps.feedLimitOverride = None
+    assert(StreamingOps.feedLimit == 2000)
+  }
+}
