@@ -40,7 +40,8 @@ object SparkEntry {
       "q158_gif_frames", "q159_y4m_frames", "q160_media_catalog",
       "q272_avi_mjpeg_frames", "q287_mpeg1_iframes", "q288_mpeg1_pframes",
       "q289_mpeg1_bframes", "q290_adpcm_audio", "q294_avro_ingest",
-      "q299_png_adam7", "q301_tiff_ingest", "q302_mp2_audio")
+      "q299_png_adam7", "q301_tiff_ingest", "q302_mp2_audio",
+      "q303_h264_intra")
       .map(_ -> GateClass.ConstructionInverse)
     val st = Seq("q127_subword_tokenize")
       .map(_ -> GateClass.SharedSqlText)

@@ -1,0 +1,934 @@
+package graft.operators
+
+/** H.264/AVC baseline-profile INTRA decode (ITU-T H.264 / ISO/IEC
+  * 14496-10) — hand-written clean-room encoder/decoder pair for I-slices
+  * (VERDICT r13 item 7, the stretch rung after full MPEG-1 I/P/B):
+  * NAL/RBSP handling with emulation-prevention bytes, Exp-Golomb, SPS/
+  * PPS/IDR-slice-header parse, I_16x16 macroblock layer, CAVLC residual
+  * decode (coeff_token, trailing-one signs, adaptive-suffix level codes,
+  * total_zeros, run_before), normative dequant (LevelScale V-matrix,
+  * §8.5), the 4×4 inverse integer core transform, the 4×4 luma-DC
+  * inverse Hadamard and 2×2 chroma-DC transform, and all four 16×16
+  * luma + four chroma intra prediction modes (V/H/DC/Plane, §8.3.3-4).
+  *
+  * Clean-room provenance and documented SCOPE BOUNDS:
+  *
+  *  - The decode coverage is the I_16x16 path ONLY: mb_type 1..24
+  *    (prediction mode, CBP luma ∈ {0,15} and CBP chroma ∈ {0,1,2} all
+  *    carried inside mb_type per §7.4.5 — so Table 9-4's me(v) CBP
+  *    mapping for I_4x4 is not needed and not transcribed). I_4x4
+  *    prediction (9 modes) and I_PCM are the next rung; anything else
+  *    returns None (fall-through, HeaderCodec contract).
+  *  - The construction bounds TotalCoeff ≤ 3 per residual block, so
+  *    coeff_token stays in the two low-nC contexts (0 ≤ nC < 2 and
+  *    2 ≤ nC < 4) plus the chroma-DC table, and total_zeros needs only
+  *    its first three rows. Those tables are transcribed from Table 9-5/
+  *    9-7/9-9(a)/9-10 below; the 4 ≤ nC < 8 context, the nC ≥ 8 FLC and
+  *    total_zeros rows 4-15 are deliberately NOT transcribed from
+  *    memory (the silent-drift class the r13 video review caught in the
+  *    quantizer matrices) — H264Spec pins every transcribed table
+  *    prefix-free and cross-checks the canonically-cited codewords.
+  *  - QP stays ≤ 29 so QPc = QP (Table 8-15's nonlinear tail is never
+  *    entered); deblocking is legally disabled per-slice
+  *    (disable_deblocking_filter_idc = 1), so reconstruction is exact.
+  *  - The dequant LevelScale matrix and all transforms are the
+  *    normative algorithms; the ENCODER chooses quantized levels
+  *    directly in the transform domain (no forward-quantizer MF table
+  *    needed — quantization is an encoder freedom, only dequant is
+  *    normative), reconstructs exactly as the decoder will, and the
+  *    gate is therefore BIT-EXACT equality, stronger than q287's
+  *    error-bound form.
+  */
+object H264 {
+
+  // -------------------------------------------------------------------
+  // RBSP bit I/O + Exp-Golomb
+  // -------------------------------------------------------------------
+  final class BitWriter {
+    private val bytes = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def put(v: Int, n: Int): this.type = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) { bytes.write(cur); cur = 0; nbits = 0 }
+        i -= 1
+      }
+      this
+    }
+    def ue(v: Int): Unit = {
+      require(v >= 0)
+      val cn = v + 1
+      val len = 32 - java.lang.Integer.numberOfLeadingZeros(cn)
+      put(0, len - 1); put(cn, len)
+    }
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** rbsp_trailing_bits: stop bit + pad to byte. */
+    def rbspTrailing(): Unit = { put(1, 1); if (nbits != 0) put(0, 8 - nbits) }
+    def result(): Array[Byte] = { require(nbits == 0, "unterminated RBSP"); bytes.toByteArray }
+  }
+
+  final class BitReader(bytes: Array[Byte]) {
+    private var pos = 0
+    def bitPos: Int = pos
+    def remaining: Int = bytes.length * 8 - pos
+    def get(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (pos >= bytes.length * 8) throw new IllegalStateException("RBSP overrun")
+        v = (v << 1) | ((bytes(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (get(1) == 0) {
+        zeros += 1
+        if (zeros > 31) throw new IllegalStateException("bad Exp-Golomb")
+      }
+      (1 << zeros) - 1 + (if (zeros == 0) 0 else get(zeros))
+    }
+    def se(): Int = {
+      val cn = ue()
+      if (cn % 2 == 1) (cn + 1) / 2 else -(cn / 2)
+    }
+  }
+
+  /** RBSP → EBSP: insert emulation_prevention_three_byte before any
+    * 00 00 0x (x ≤ 3) run (§7.4.1.1).
+    */
+  def emulationPrevent(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var zeros = 0
+    rbsp.foreach { b =>
+      if (zeros == 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  /** EBSP → RBSP: strip emulation-prevention bytes. */
+  def emulationStrip(ebsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var zeros = 0
+    var i = 0
+    while (i < ebsp.length) {
+      val b = ebsp(i) & 0xff
+      if (zeros == 2 && b == 3 && i + 1 < ebsp.length && (ebsp(i + 1) & 0xff) <= 3)
+        zeros = 0 // skip the emulation byte
+      else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------------------
+  // CAVLC tables (transcribed — see the scope note above; H264Spec pins
+  // prefix-freeness and the canonical sample codewords)
+  // -------------------------------------------------------------------
+
+  /** coeff_token, 0 ≤ nC < 2 (Table 9-5 first column):
+    * code(trailingOnes)(totalCoeff) as a bit string.
+    */
+  val CoeffTokenNc0: Map[(Int, Int), String] = Map(
+    (0, 0) -> "1",
+    (0, 1) -> "000101", (1, 1) -> "01",
+    (0, 2) -> "00000111", (1, 2) -> "000100", (2, 2) -> "001",
+    (0, 3) -> "000000111", (1, 3) -> "00000110", (2, 3) -> "0000101", (3, 3) -> "00011")
+
+  /** coeff_token, 2 ≤ nC < 4 (Table 9-5 second column), TotalCoeff ≤ 3. */
+  val CoeffTokenNc2: Map[(Int, Int), String] = Map(
+    (0, 0) -> "11",
+    (0, 1) -> "001011", (1, 1) -> "10",
+    (0, 2) -> "000111", (1, 2) -> "00111", (2, 2) -> "011",
+    (0, 3) -> "0000111", (1, 3) -> "001010", (2, 3) -> "001001", (3, 3) -> "0101")
+
+  /** coeff_token, chroma DC (nC = -1, Table 9-5 last column), ≤ 4 coeffs. */
+  val CoeffTokenChromaDc: Map[(Int, Int), String] = Map(
+    (0, 0) -> "01",
+    (0, 1) -> "000111", (1, 1) -> "1",
+    (0, 2) -> "000100", (1, 2) -> "000110", (2, 2) -> "001",
+    (0, 3) -> "000011", (1, 3) -> "0000011", (2, 3) -> "0000010", (3, 3) -> "000101")
+
+  /** total_zeros for 4x4 blocks, rows TotalCoeff = 1..3 (Table 9-7). */
+  val TotalZeros4x4: Map[Int, IndexedSeq[String]] = Map(
+    1 -> IndexedSeq("1", "011", "010", "0011", "0010", "00011", "00010",
+      "000011", "000010", "0000011", "0000010", "00000011", "00000010",
+      "000000011", "000000010", "000000001"),
+    2 -> IndexedSeq("111", "110", "101", "100", "011", "0101", "0100",
+      "0011", "0010", "00011", "00010", "000011", "000010", "000001",
+      "000000"),
+    3 -> IndexedSeq("0101", "111", "110", "101", "0100", "0011", "100",
+      "011", "0010", "00011", "00010", "000001", "00001", "000000"))
+
+  /** total_zeros for chroma DC 2x2 blocks (Table 9-9(a)). */
+  val TotalZerosChromaDc: Map[Int, IndexedSeq[String]] = Map(
+    1 -> IndexedSeq("1", "01", "001", "000"),
+    2 -> IndexedSeq("1", "01", "00"),
+    3 -> IndexedSeq("1", "0"))
+
+  /** run_before (Table 9-10): rows by min(zerosLeft, 7). Row 7 covers
+    * runs 0..6 as 3-bit FLC (111..001) then 0001, 00001, ... for 7+.
+    */
+  val RunBefore: Map[Int, IndexedSeq[String]] = Map(
+    1 -> IndexedSeq("1", "0"),
+    2 -> IndexedSeq("1", "01", "00"),
+    3 -> IndexedSeq("11", "10", "01", "00"),
+    4 -> IndexedSeq("11", "10", "01", "001", "000"),
+    5 -> IndexedSeq("11", "10", "011", "010", "001", "000"),
+    6 -> IndexedSeq("11", "000", "001", "011", "010", "101", "100"),
+    7 -> IndexedSeq("111", "110", "101", "100", "011", "010", "001",
+      "0001", "00001", "000001", "0000001", "00000001", "000000001",
+      "0000000001", "00000000001"))
+
+  private def invert(m: Map[(Int, Int), String]): Map[String, (Int, Int)] =
+    m.map(_.swap)
+
+  private val coeffTokenDecNc0 = invert(CoeffTokenNc0)
+  private val coeffTokenDecNc2 = invert(CoeffTokenNc2)
+  private val coeffTokenDecCdc = invert(CoeffTokenChromaDc)
+
+  // -------------------------------------------------------------------
+  // CAVLC residual block encode/decode
+  // -------------------------------------------------------------------
+
+  /** One residual block in SCAN order (length 16 DC / 15 AC / 4 chroma
+    * DC), TotalCoeff ≤ 3 (≤ the table bound).
+    */
+  def writeResidual(w: BitWriter, coeffs: Array[Int], nC: Int): Unit = {
+    val nz = coeffs.zipWithIndex.filter(_._1 != 0)
+    val totalCoeff = nz.length
+    require(totalCoeff <= 3 || (nC == -1 && totalCoeff <= 4),
+      s"construction bound exceeded: $totalCoeff coeffs")
+    // trailing ones: consecutive |1|s at the high-frequency end, max 3
+    var t1 = 0
+    while (t1 < math.min(3, totalCoeff) &&
+      math.abs(nz(totalCoeff - 1 - t1)._1) == 1) t1 += 1
+    val tokTab =
+      if (nC == -1) CoeffTokenChromaDc
+      else if (nC < 2) CoeffTokenNc0
+      else CoeffTokenNc2
+    val bits = tokTab.getOrElse((t1, totalCoeff),
+      throw new IllegalArgumentException(s"no coeff_token for ($t1, $totalCoeff) nC=$nC"))
+    bits.foreach(c => w.put(c - '0', 1))
+    if (totalCoeff == 0) return
+    // trailing-one signs, high-frequency first
+    for (k <- 0 until t1) w.put(if (nz(totalCoeff - 1 - k)._1 < 0) 1 else 0, 1)
+    // remaining levels, high-frequency first (§9.2.2.1 inverse)
+    var suffixLength = if (totalCoeff > 10 && t1 < 3) 1 else 0
+    for (k <- t1 until totalCoeff) {
+      val level = nz(totalCoeff - 1 - k)._1
+      var levelCode = if (level > 0) 2 * level - 2 else -2 * level - 1
+      if (k == t1 && t1 < 3) levelCode -= 2
+      if (suffixLength == 0) {
+        if (levelCode < 14) w.put(0, levelCode).put(1, 1)
+        else if (levelCode < 30) { w.put(0, 14).put(1, 1); w.put(levelCode - 14, 4) }
+        else { w.put(0, 15).put(1, 1); w.put(levelCode - 30, 12) }
+      } else {
+        if (levelCode < (15 << suffixLength)) {
+          w.put(0, levelCode >> suffixLength).put(1, 1)
+          w.put(levelCode & ((1 << suffixLength) - 1), suffixLength)
+        } else {
+          w.put(0, 15).put(1, 1)
+          w.put(levelCode - (15 << suffixLength), 12)
+        }
+      }
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(level) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+    }
+    val maxCoeffs = coeffs.length
+    if (totalCoeff < maxCoeffs) {
+      val totalZeros = nz.last._2 + 1 - totalCoeff
+      val tzTab = if (nC == -1) TotalZerosChromaDc else TotalZeros4x4
+      val row = tzTab.getOrElse(totalCoeff,
+        throw new IllegalArgumentException(s"no total_zeros row for TC=$totalCoeff"))
+      row(totalZeros).foreach(c => w.put(c - '0', 1))
+      // run_before per coefficient, high-frequency first, last one implied
+      var zerosLeft = totalZeros
+      for (k <- 0 until totalCoeff - 1; if zerosLeft > 0) {
+        val idxHi = nz(totalCoeff - 1 - k)._2
+        val idxLo = nz(totalCoeff - 2 - k)._2
+        val run = idxHi - idxLo - 1
+        val rrow = RunBefore(math.min(zerosLeft, 7))
+        rrow(run).foreach(c => w.put(c - '0', 1))
+        zerosLeft -= run
+      }
+    }
+  }
+
+  private def readVlc(r: BitReader, dec: Map[String, (Int, Int)]): (Int, Int) = {
+    val sb = new StringBuilder
+    while (sb.length <= 16) {
+      sb.append(('0' + r.get(1)).toChar)
+      dec.get(sb.toString) match {
+        case Some(v) => return v
+        case None => ()
+      }
+    }
+    throw new IllegalStateException(s"bad coeff_token prefix ${sb.toString}")
+  }
+
+  private def readRow(r: BitReader, row: IndexedSeq[String]): Int = {
+    val sb = new StringBuilder
+    while (sb.length <= 16) {
+      sb.append(('0' + r.get(1)).toChar)
+      val i = row.indexOf(sb.toString)
+      if (i >= 0) return i
+    }
+    throw new IllegalStateException(s"bad VLC prefix ${sb.toString}")
+  }
+
+  /** Decode one residual block into SCAN order; returns (coeffs,
+    * totalCoeff). Mirrors §9.2 exactly (within the transcribed-table
+    * bound).
+    */
+  def readResidual(r: BitReader, maxCoeffs: Int, nC: Int): (Array[Int], Int) = {
+    val dec =
+      if (nC == -1) coeffTokenDecCdc
+      else if (nC < 2) coeffTokenDecNc0
+      else if (nC < 4) coeffTokenDecNc2
+      else throw new IllegalStateException(s"nC=$nC outside the transcribed contexts")
+    val (t1, totalCoeff) = readVlc(r, dec)
+    val coeffs = new Array[Int](maxCoeffs)
+    if (totalCoeff == 0) return (coeffs, 0)
+    val levels = new Array[Int](totalCoeff) // high-frequency first
+    for (k <- 0 until t1) levels(k) = if (r.get(1) == 1) -1 else 1
+    var suffixLength = if (totalCoeff > 10 && t1 < 3) 1 else 0
+    for (k <- t1 until totalCoeff) {
+      var prefix = 0
+      while (r.get(1) == 0) {
+        prefix += 1
+        if (prefix > 32) throw new IllegalStateException("bad level_prefix")
+      }
+      val suffixSize =
+        if (prefix == 14 && suffixLength == 0) 4
+        else if (prefix >= 15) prefix - 3
+        else suffixLength
+      var levelCode = (math.min(15, prefix) << suffixLength) +
+        (if (suffixSize > 0) r.get(suffixSize) else 0)
+      if (prefix >= 15 && suffixLength == 0) levelCode += 15
+      if (prefix >= 16) levelCode += (1 << (prefix - 3)) - 4096
+      if (k == t1 && t1 < 3) levelCode += 2
+      levels(k) = if (levelCode % 2 == 0) (levelCode + 2) >> 1
+        else -((levelCode + 1) >> 1)
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(levels(k)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+    }
+    var totalZeros = 0
+    if (totalCoeff < maxCoeffs) {
+      val tzTab = if (nC == -1) TotalZerosChromaDc else TotalZeros4x4
+      totalZeros = readRow(r, tzTab(totalCoeff))
+    }
+    // place coefficients: highest-frequency first at position
+    // (totalCoeff - 1 + totalZeros), then run_before gaps downwards
+    var zerosLeft = totalZeros
+    var pos = totalCoeff - 1 + totalZeros
+    for (k <- 0 until totalCoeff) {
+      coeffs(pos) = levels(k)
+      if (k < totalCoeff - 1) {
+        val run = if (zerosLeft == 0) 0
+          else readRow(r, RunBefore(math.min(zerosLeft, 7)))
+        zerosLeft -= run
+        pos -= run + 1
+      }
+    }
+    (coeffs, totalCoeff)
+  }
+
+  // -------------------------------------------------------------------
+  // transforms + dequant (§8.5)
+  // -------------------------------------------------------------------
+
+  /** LevelScale V matrix rows by qp % 6 (§8.5.9): (both-even, both-odd,
+    * mixed) position classes.
+    */
+  val VMatrix: Array[Array[Int]] = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+
+  def levelScale(qpMod6: Int, i: Int, j: Int): Int = {
+    val cls = if (i % 2 == 0 && j % 2 == 0) 0 else if (i % 2 == 1 && j % 2 == 1) 1 else 2
+    VMatrix(qpMod6)(cls)
+  }
+
+  /** Zigzag scan order for 4x4 (§8.5.6): scan index → (row, col). */
+  val Zigzag4x4: Array[(Int, Int)] = Array(
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3))
+
+  /** 4x4 AC/LUMA residual: scan-order levels → spatial residual, via
+    * dequant (§8.5.12.1) + inverse core transform (§8.5.12.2).
+    * `dcOverride`: for Intra16x16, coefficient 0 is replaced by the
+    * already-transformed+scaled DC value and the block's scan levels
+    * hold only AC (15 entries shifted by one scan position).
+    */
+  def inverse4x4(levels: Array[Int], qp: Int, acOnly: Boolean,
+      dcOverride: Int): Array[Int] = {
+    val d = Array.ofDim[Int](4, 4)
+    val shift = qp / 6
+    val base = if (acOnly) 1 else 0
+    for (s <- base until 16) {
+      val lv = levels(s - base)
+      if (lv != 0) {
+        val (i, j) = Zigzag4x4(s)
+        d(i)(j) = (lv * levelScale(qp % 6, i, j)) << shift
+      }
+    }
+    if (acOnly) d(0)(0) = dcOverride
+    // horizontal then vertical butterflies (§8.5.12.2), (x + 32) >> 6
+    val e = Array.ofDim[Int](4, 4)
+    for (i <- 0 until 4) {
+      val p0 = d(i)(0) + d(i)(2)
+      val p1 = d(i)(0) - d(i)(2)
+      val p2 = (d(i)(1) >> 1) - d(i)(3)
+      val p3 = d(i)(1) + (d(i)(3) >> 1)
+      e(i)(0) = p0 + p3; e(i)(1) = p1 + p2; e(i)(2) = p1 - p2; e(i)(3) = p0 - p3
+    }
+    val out = new Array[Int](16)
+    for (j <- 0 until 4) {
+      val p0 = e(0)(j) + e(2)(j)
+      val p1 = e(0)(j) - e(2)(j)
+      val p2 = (e(1)(j) >> 1) - e(3)(j)
+      val p3 = e(1)(j) + (e(3)(j) >> 1)
+      out(0 * 4 + j) = (p0 + p3 + 32) >> 6
+      out(1 * 4 + j) = (p1 + p2 + 32) >> 6
+      out(2 * 4 + j) = (p1 - p2 + 32) >> 6
+      out(3 * 4 + j) = (p0 - p3 + 32) >> 6
+    }
+    out
+  }
+
+  /** Intra16x16 luma DC: scan-order 16 levels → 4x4 of scaled DC values
+    * (inverse Hadamard + §8.5.10 scaling; qp < 36 branch is all this
+    * construction uses but both are implemented).
+    */
+  def lumaDc(levels: Array[Int], qp: Int): Array[Array[Int]] = {
+    val c = Array.ofDim[Int](4, 4)
+    for (s <- 0 until 16) {
+      val (i, j) = Zigzag4x4(s)
+      c(i)(j) = levels(s)
+    }
+    val f = hadamard4(c)
+    val a = levelScale(qp % 6, 0, 0)
+    val out = Array.ofDim[Int](4, 4)
+    for (i <- 0 until 4; j <- 0 until 4)
+      out(i)(j) =
+        if (qp >= 36) (f(i)(j) * a) << (qp / 6 - 6)
+        else (f(i)(j) * a + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+    out
+  }
+
+  private def hadamard4(c: Array[Array[Int]]): Array[Array[Int]] = {
+    val e = Array.ofDim[Int](4, 4)
+    for (i <- 0 until 4) {
+      val p0 = c(i)(0) + c(i)(2); val p1 = c(i)(0) - c(i)(2)
+      val p2 = c(i)(1) - c(i)(3); val p3 = c(i)(1) + c(i)(3)
+      e(i)(0) = p0 + p3; e(i)(1) = p1 + p2; e(i)(2) = p1 - p2; e(i)(3) = p0 - p3
+    }
+    val f = Array.ofDim[Int](4, 4)
+    for (j <- 0 until 4) {
+      val p0 = e(0)(j) + e(2)(j); val p1 = e(0)(j) - e(2)(j)
+      val p2 = e(1)(j) - e(3)(j); val p3 = e(1)(j) + e(3)(j)
+      f(0)(j) = p0 + p3; f(1)(j) = p1 + p2; f(2)(j) = p1 - p2; f(3)(j) = p0 - p3
+    }
+    f
+  }
+
+  /** Chroma DC 2x2: raster levels (c00,c01,c10,c11) → scaled DCs
+    * (§8.5.11; QPc = qp because the construction keeps qp ≤ 29).
+    */
+  def chromaDc(levels: Array[Int], qp: Int): Array[Int] = {
+    val f0 = levels(0) + levels(1) + levels(2) + levels(3)
+    val f1 = levels(0) - levels(1) + levels(2) - levels(3)
+    val f2 = levels(0) + levels(1) - levels(2) - levels(3)
+    val f3 = levels(0) - levels(1) - levels(2) + levels(3)
+    val a = levelScale(qp % 6, 0, 0)
+    Array(f0, f1, f2, f3).map(f => ((f * a) << (qp / 6)) >> 5)
+  }
+
+  def clip(v: Int): Int = math.max(0, math.min(255, v))
+
+  /** luma4x4BlkIdx → (x4, y4) within the MB (§6.4.3: 2x2 sub-blocks in
+    * 2x2 raster of 8x8 quadrants).
+    */
+  def blkPos(i: Int): (Int, Int) =
+    (2 * ((i / 4) % 2) + (i % 2), 2 * (i / 8) + ((i / 2) % 2))
+
+  // -------------------------------------------------------------------
+  // deterministic construction (shared by the q303 gate, its oracle —
+  // which re-derives these formulas in SQL — and H264Spec)
+  // -------------------------------------------------------------------
+  object ConstructH {
+    def qp(id: Long): Int = 20 + (id % 8).toInt // ≤ 29 keeps QPc = QP
+    def dims(id: Long, nch: Long): (Int, Int) =
+      ((1 + id % 3).toInt, (1 + nch % 2).toInt) // MBs
+    def nFrames(id: Long): Int = (1 + id % 2).toInt
+    def cbpLuma15(id: Long, mb: Int): Boolean = (id + mb) % 3 != 2
+    def cbpChroma(id: Long, mb: Int): Int = ((id + 2 + mb) % 3).toInt
+
+    /** Intra16x16PredMode, availability-aware (0=V top, 1=H left, 2=DC,
+      * 3=Plane both).
+      */
+    def predMode(id: Long, mb: Int, mbX: Int, mbY: Int): Int = {
+      val allowed =
+        if (mbX > 0 && mbY > 0) Seq(0, 1, 2, 3)
+        else if (mbY > 0) Seq(0, 2)
+        else if (mbX > 0) Seq(1, 2)
+        else Seq(2)
+      allowed(((id + mb) % allowed.size).toInt)
+    }
+
+    /** intra_chroma_pred_mode (0=DC, 1=H left, 2=V top, 3=Plane both). */
+    def chromaMode(id: Long, mb: Int, mbX: Int, mbY: Int): Int = {
+      val allowed =
+        if (mbX > 0 && mbY > 0) Seq(0, 1, 2, 3)
+        else if (mbY > 0) Seq(0, 2)
+        else if (mbX > 0) Seq(0, 1)
+        else Seq(0)
+      allowed(((id + 2 * mb) % allowed.size).toInt)
+    }
+
+    /** Block tags for the level formulas and the gate checksum: DC=0,
+      * luma AC blk i → 1+i, chroma DC comp c → 17+c, chroma AC comp c
+      * blk b → 19 + 4c + b.
+      */
+    def blockLevels(id: Long, frame: Int, mb: Int, tag: Int,
+        nCoeffs: Int): Array[Int] = {
+      val chromaAc = tag >= 19
+      val n = (((id + frame + mb + tag) % (if (chromaAc) 3 else 4))).toInt
+      val out = new Array[Int](nCoeffs)
+      if (n == 0) return out
+      val step = if (nCoeffs == 4) 1 else 1 + ((id + tag) % 4).toInt
+      val maxBase = nCoeffs - 1 - (n - 1) * step
+      val base =
+        if (nCoeffs == 4) ((id + tag + mb) % 2).toInt
+        else ((id + mb + tag) % (maxBase + 1)).toInt
+      var k = 0
+      while (k < n) {
+        val mag = 1 + ((id + mb + tag * 2 + k + frame) % 3).toInt
+        val sgn = if ((id + mb + tag + k) % 2 == 0) 1 else -1
+        out(base + k * step) = mag * sgn
+        k += 1
+      }
+      out
+    }
+  }
+
+  /** Everything the q303 gate reads back per frame. */
+  final case class H264Frame(
+      y: Array[Int], cb: Array[Int], cr: Array[Int],
+      levelChecksum: Long, modeSum: Long, chromaModeSum: Long)
+
+  final case class H264Stream(widthMb: Int, heightMb: Int, qp: Int,
+      frames: Vector[H264Frame])
+
+  /** One MB's parsed/constructed data. */
+  private final case class MbData(pm: Int, cm: Int, cbpL15: Boolean,
+      cbpC: Int, dc: Array[Int], ac: Array[Array[Int]],
+      cdc: Array[Array[Int]], cac: Array[Array[Array[Int]]])
+
+  // -------------------------------------------------------------------
+  // prediction (§8.3.3 / §8.3.4)
+  // -------------------------------------------------------------------
+
+  private def predict16(pm: Int, y: Array[Int], w: Int, mbX: Int,
+      mbY: Int): Array[Int] = {
+    val x0 = mbX * 16; val y0 = mbY * 16
+    def top(x: Int) = y((y0 - 1) * w + x0 + x)
+    def left(yy: Int) = y((y0 + yy) * w + x0 - 1)
+    val out = new Array[Int](256)
+    pm match {
+      case 0 => // Vertical
+        for (yy <- 0 until 16; xx <- 0 until 16) out(yy * 16 + xx) = top(xx)
+      case 1 => // Horizontal
+        for (yy <- 0 until 16; xx <- 0 until 16) out(yy * 16 + xx) = left(yy)
+      case 2 => // DC, availability-aware
+        val hasTop = mbY > 0; val hasLeft = mbX > 0
+        val dc =
+          if (hasTop && hasLeft)
+            ((0 until 16).map(top).sum + (0 until 16).map(left).sum + 16) >> 5
+          else if (hasTop) ((0 until 16).map(top).sum + 8) >> 4
+          else if (hasLeft) ((0 until 16).map(left).sum + 8) >> 4
+          else 128
+        java.util.Arrays.fill(out, dc)
+      case 3 => // Plane (requires top, left and top-left)
+        def p(xx: Int, yy: Int): Int =
+          if (yy == -1 && xx == -1) y((y0 - 1) * w + x0 - 1)
+          else if (yy == -1) top(xx) else left(yy)
+        val hSum = (0 until 8).map(x => (x + 1) * (p(8 + x, -1) - p(6 - x, -1))).sum
+        val vSum = (0 until 8).map(yy => (yy + 1) * (p(-1, 8 + yy) - p(-1, 6 - yy))).sum
+        val a = 16 * (p(-1, 15) + p(15, -1))
+        val b = (5 * hSum + 32) >> 6
+        val c = (5 * vSum + 32) >> 6
+        for (yy <- 0 until 16; xx <- 0 until 16)
+          out(yy * 16 + xx) = clip((a + b * (xx - 7) + c * (yy - 7) + 16) >> 5)
+    }
+    out
+  }
+
+  private def predictChroma(cm: Int, p: Array[Int], w: Int, mbX: Int,
+      mbY: Int): Array[Int] = {
+    val x0 = mbX * 8; val y0 = mbY * 8
+    def top(x: Int) = p((y0 - 1) * w + x0 + x)
+    def left(yy: Int) = p((y0 + yy) * w + x0 - 1)
+    val hasTop = mbY > 0; val hasLeft = mbX > 0
+    val out = new Array[Int](64)
+    cm match {
+      case 0 => // DC with the per-4x4-quadrant rules of §8.3.4.1
+        for (qy <- 0 until 2; qx <- 0 until 2) {
+          val ts = (0 until 4).map(x => if (hasTop) top(qx * 4 + x) else 0).sum
+          val ls = (0 until 4).map(yy => if (hasLeft) left(qy * 4 + yy) else 0).sum
+          val dc = (qx, qy) match {
+            case (1, 0) => // prefer top
+              if (hasTop) (ts + 2) >> 2 else if (hasLeft) (ls + 2) >> 2 else 128
+            case (0, 1) => // prefer left
+              if (hasLeft) (ls + 2) >> 2 else if (hasTop) (ts + 2) >> 2 else 128
+            case _ => // (0,0) and (1,1): combine
+              if (hasTop && hasLeft) (ts + ls + 4) >> 3
+              else if (hasTop) (ts + 2) >> 2
+              else if (hasLeft) (ls + 2) >> 2
+              else 128
+          }
+          for (yy <- 0 until 4; xx <- 0 until 4)
+            out((qy * 4 + yy) * 8 + qx * 4 + xx) = dc
+        }
+      case 1 => // Horizontal
+        for (yy <- 0 until 8; xx <- 0 until 8) out(yy * 8 + xx) = left(yy)
+      case 2 => // Vertical
+        for (yy <- 0 until 8; xx <- 0 until 8) out(yy * 8 + xx) = top(xx)
+      case 3 => // Plane
+        def pp(xx: Int, yy: Int): Int =
+          if (yy == -1 && xx == -1) p((y0 - 1) * w + x0 - 1)
+          else if (yy == -1) top(xx) else left(yy)
+        val hSum = (0 until 4).map(x => (x + 1) * (pp(4 + x, -1) - pp(2 - x, -1))).sum
+        val vSum = (0 until 4).map(yy => (yy + 1) * (pp(-1, 4 + yy) - pp(-1, 2 - yy))).sum
+        val a = 16 * (pp(-1, 7) + pp(7, -1))
+        val b = (17 * hSum + 16) >> 5
+        val c = (17 * vSum + 16) >> 5
+        for (yy <- 0 until 8; xx <- 0 until 8)
+          out(yy * 8 + xx) = clip((a + b * (xx - 3) + c * (yy - 3) + 16) >> 5)
+    }
+    out
+  }
+
+  /** Shared encoder/decoder MB reconstruction: prediction + dequant +
+    * inverse transforms into the frame planes. Bit-exact on both sides
+    * by construction.
+    */
+  private def reconstructMb(mb: MbData, qp: Int, mbX: Int, mbY: Int,
+      y: Array[Int], cb: Array[Int], cr: Array[Int], wMb: Int): Unit = {
+    val wPix = wMb * 16; val wC = wMb * 8
+    val pred = predict16(mb.pm, y, wPix, mbX, mbY)
+    val dcScaled = lumaDc(mb.dc, qp)
+    val zero15 = new Array[Int](15)
+    for (blk <- 0 until 16) {
+      val (x4, y4) = blkPos(blk)
+      val res = inverse4x4(if (mb.cbpL15) mb.ac(blk) else zero15, qp,
+        acOnly = true, dcOverride = dcScaled(y4)(x4))
+      for (r <- 0 until 4; c <- 0 until 4) {
+        val px = mbX * 16 + x4 * 4 + c
+        val py = mbY * 16 + y4 * 4 + r
+        y(py * wPix + px) =
+          clip(pred((y4 * 4 + r) * 16 + x4 * 4 + c) + res(r * 4 + c))
+      }
+    }
+    for (comp <- 0 until 2) {
+      val plane = if (comp == 0) cb else cr
+      val predC = predictChroma(mb.cm, plane, wC, mbX, mbY)
+      val dcs =
+        if (mb.cbpC == 0) Array(0, 0, 0, 0)
+        else chromaDc(mb.cdc(comp), qp)
+      for (blk <- 0 until 4) {
+        val bx = blk % 2; val by = blk / 2
+        val res = inverse4x4(
+          if (mb.cbpC == 2) mb.cac(comp)(blk) else zero15, qp,
+          acOnly = true, dcOverride = dcs(by * 2 + bx))
+        for (r <- 0 until 4; c <- 0 until 4) {
+          val px = mbX * 8 + bx * 4 + c
+          val py = mbY * 8 + by * 4 + r
+          plane(py * wC + px) =
+            clip(predC((by * 4 + r) * 8 + bx * 4 + c) + res(r * 4 + c))
+        }
+      }
+    }
+  }
+
+  private def nCOf(tc: Array[Array[Int]], gx: Int, gy: Int): Int = {
+    val hasA = gx > 0; val hasB = gy > 0
+    if (hasA && hasB) (tc(gy)(gx - 1) + tc(gy - 1)(gx) + 1) >> 1
+    else if (hasA) tc(gy)(gx - 1)
+    else if (hasB) tc(gy - 1)(gx)
+    else 0
+  }
+
+  // -------------------------------------------------------------------
+  // stream encode / decode
+  // -------------------------------------------------------------------
+
+  private def nal(typ: Int, rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0, 0, 0, 1))
+    out.write(0x60 | typ) // nal_ref_idc = 3
+    out.write(emulationPrevent(rbsp))
+    out.toByteArray
+  }
+
+  private def spsRbsp(wMb: Int, hMb: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.put(66, 8) // profile_idc: baseline
+    w.put(0, 8) // constraint flags + reserved
+    w.put(10, 8) // level_idc
+    w.ue(0) // sps_id
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(2) // pic_order_cnt_type (no POC syntax)
+    w.ue(1) // max_num_ref_frames
+    w.put(0, 1) // gaps_in_frame_num
+    w.ue(wMb - 1); w.ue(hMb - 1)
+    w.put(1, 1) // frame_mbs_only
+    w.put(0, 1) // direct_8x8_inference
+    w.put(0, 1) // frame_cropping
+    w.put(0, 1) // vui
+    w.rbspTrailing()
+    w.result()
+  }
+
+  private def ppsRbsp(): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0); w.ue(0) // pps_id, sps_id
+    w.put(0, 1) // CAVLC
+    w.put(0, 1) // bottom_field_pic_order
+    w.ue(0) // one slice group
+    w.ue(0); w.ue(0) // num_ref_idx defaults
+    w.put(0, 1); w.put(0, 2) // weighted pred/bipred
+    w.se(0); w.se(0) // pic_init_qp/qs - 26
+    w.se(0) // chroma_qp_index_offset
+    w.put(1, 1) // deblocking_filter_control_present
+    w.put(0, 1) // constrained_intra_pred
+    w.put(0, 1) // redundant_pic_cnt_present
+    w.rbspTrailing()
+    w.result()
+  }
+
+  /** Encode one stream; returns (bytes, per-frame reconstructions +
+    * gate sums) — the decoder must reproduce every value bit-exactly.
+    */
+  def encode(id: Long, wMb: Int, hMb: Int, nFrames: Int,
+      qp: Int): (Array[Byte], Vector[H264Frame]) = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(nal(7, spsRbsp(wMb, hMb)))
+    out.write(nal(8, ppsRbsp()))
+    val frames = Vector.newBuilder[H264Frame]
+    for (f <- 0 until nFrames) {
+      val w = new BitWriter
+      w.ue(0) // first_mb_in_slice
+      w.ue(7) // slice_type: I (all slices in pic)
+      w.ue(0) // pps_id
+      w.put(0, 4) // frame_num (log2_max_frame_num = 4)
+      w.ue(f % 2) // idr_pic_id
+      w.put(0, 1); w.put(0, 1) // no_output_of_prior_pics, long_term_ref
+      w.se(qp - 26) // slice_qp_delta
+      w.ue(1) // disable_deblocking_filter_idc = 1 (no loop filter)
+      val y = new Array[Int](wMb * 16 * hMb * 16)
+      val cb = new Array[Int](wMb * 8 * hMb * 8)
+      val cr = new Array[Int](wMb * 8 * hMb * 8)
+      val tcY = Array.ofDim[Int](hMb * 4, wMb * 4)
+      val tcC = Array(Array.ofDim[Int](hMb * 2, wMb * 2),
+        Array.ofDim[Int](hMb * 2, wMb * 2))
+      var checksum = 0L; var modeSum = 0L; var cModeSum = 0L
+      for (mbIdx <- 0 until wMb * hMb) {
+        val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+        val pm = ConstructH.predMode(id, mbIdx, mbX, mbY)
+        val cm = ConstructH.chromaMode(id, mbIdx, mbX, mbY)
+        val cbpL = ConstructH.cbpLuma15(id, mbIdx)
+        val cbpC = ConstructH.cbpChroma(id, mbIdx)
+        modeSum += pm; cModeSum += cm
+        val dc = ConstructH.blockLevels(id, f, mbIdx, 0, 16)
+        val ac = Array.tabulate(16)(b =>
+          if (cbpL) ConstructH.blockLevels(id, f, mbIdx, 1 + b, 15)
+          else new Array[Int](15))
+        val cdc = Array.tabulate(2)(c =>
+          if (cbpC > 0) ConstructH.blockLevels(id, f, mbIdx, 17 + c, 4)
+          else new Array[Int](4))
+        val cac = Array.tabulate(2, 4)((c, b) =>
+          if (cbpC == 2) ConstructH.blockLevels(id, f, mbIdx, 19 + 4 * c + b, 15)
+          else new Array[Int](15))
+        def sumBlock(tag: Int, levels: Array[Int]): Unit = {
+          var s = 0
+          while (s < levels.length) {
+            if (levels(s) != 0)
+              checksum += levels(s).toLong * (mbIdx * 131 + tag * 17 + s + 1)
+            s += 1
+          }
+        }
+        sumBlock(0, dc)
+        if (cbpL) (0 until 16).foreach(b => sumBlock(1 + b, ac(b)))
+        if (cbpC > 0) (0 until 2).foreach(c => sumBlock(17 + c, cdc(c)))
+        if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4)
+          sumBlock(19 + 4 * c + b, cac(c)(b))
+        // mb_type: 1 + pm + 4·cbpC + 12·(cbp luma 15)
+        w.ue(1 + pm + 4 * cbpC + (if (cbpL) 12 else 0))
+        w.ue(cm) // intra_chroma_pred_mode
+        w.se(0) // mb_qp_delta
+        // residual order (§7.4.5.3.3): luma DC, luma AC ×16, chroma DC
+        // Cb+Cr, chroma AC Cb ×4 then Cr ×4
+        writeResidual(w, dc, nCOf(tcY, mbX * 4, mbY * 4))
+        if (cbpL) for (b <- 0 until 16) {
+          val (x4, y4) = blkPos(b)
+          writeResidual(w, ac(b), nCOf(tcY, mbX * 4 + x4, mbY * 4 + y4))
+          tcY(mbY * 4 + y4)(mbX * 4 + x4) = ac(b).count(_ != 0)
+        }
+        if (cbpC > 0) for (c <- 0 until 2) writeResidual(w, cdc(c), -1)
+        if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+          writeResidual(w, cac(c)(b),
+            nCOf(tcC(c), mbX * 2 + b % 2, mbY * 2 + b / 2))
+          tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = cac(c)(b).count(_ != 0)
+        }
+        reconstructMb(MbData(pm, cm, cbpL, cbpC, dc, ac, cdc, cac),
+          qp, mbX, mbY, y, cb, cr, wMb)
+      }
+      w.rbspTrailing()
+      out.write(nal(5, w.result()))
+      frames += H264Frame(y, cb, cr, checksum, modeSum, cModeSum)
+    }
+    (out.toByteArray, frames.result())
+  }
+
+  /** Decode a stream this construction emits; None for anything else
+    * (wrong profile/entropy mode/slice type, unknown mb_type class,
+    * out-of-bound CAVLC context — the fall-through contract).
+    */
+  def decode(bytes: Array[Byte]): Option[H264Stream] = {
+    try {
+      // split on 3- or 4-byte start codes
+      val nals = Vector.newBuilder[(Int, Array[Byte])]
+      var i = 0
+      var start = -1
+      var typ = -1
+      while (i + 2 < bytes.length) {
+        if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
+          if (start >= 0) {
+            val end = if (i > 0 && bytes(i - 1) == 0) i - 1 else i
+            nals += ((typ, emulationStrip(
+              java.util.Arrays.copyOfRange(bytes, start, end))))
+          }
+          typ = bytes(i + 3) & 0x1f
+          start = i + 4
+          i += 4
+        } else i += 1
+      }
+      if (start >= 0 && start <= bytes.length)
+        nals += ((typ, emulationStrip(
+          java.util.Arrays.copyOfRange(bytes, start, bytes.length))))
+      val all = nals.result()
+      if (all.isEmpty) return None
+      var wMb = -1; var hMb = -1
+      var sawPps = false
+      var qp = -1
+      val frames = Vector.newBuilder[H264Frame]
+      all.foreach {
+        case (7, rbsp) =>
+          val r = new BitReader(rbsp)
+          if (r.get(8) != 66) return None // baseline only
+          r.get(16) // constraints + level
+          if (r.ue() != 0) return None // sps_id
+          if (r.ue() != 0) return None // log2_max_frame_num_minus4
+          if (r.ue() != 2) return None // pic_order_cnt_type
+          r.ue() // max_num_ref_frames
+          r.get(1)
+          wMb = r.ue() + 1; hMb = r.ue() + 1
+          if (r.get(1) != 1) return None // frame_mbs_only
+          r.get(1); r.get(1); r.get(1)
+        case (8, rbsp) =>
+          val r = new BitReader(rbsp)
+          if (r.ue() != 0 || r.ue() != 0) return None
+          if (r.get(1) != 0) return None // CAVLC only
+          r.get(1); r.ue(); r.ue(); r.ue(); r.get(1); r.get(2)
+          r.se(); r.se(); r.se()
+          if (r.get(1) != 1) return None // deblocking control present
+          r.get(1); r.get(1)
+          sawPps = true
+        case (5, rbsp) =>
+          if (wMb < 0 || !sawPps) return None
+          val r = new BitReader(rbsp)
+          if (r.ue() != 0) return None // first_mb_in_slice
+          if (r.ue() != 7) return None // I slice
+          if (r.ue() != 0) return None // pps_id
+          r.get(4) // frame_num
+          r.ue() // idr_pic_id
+          r.get(1); r.get(1) // dec_ref_pic_marking
+          qp = 26 + r.se()
+          if (qp > 29) return None // construction bound (QPc = QP)
+          if (r.ue() != 1) return None // deblocking must be disabled
+          val y = new Array[Int](wMb * 16 * hMb * 16)
+          val cb = new Array[Int](wMb * 8 * hMb * 8)
+          val cr = new Array[Int](wMb * 8 * hMb * 8)
+          val tcY = Array.ofDim[Int](hMb * 4, wMb * 4)
+          val tcC = Array(Array.ofDim[Int](hMb * 2, wMb * 2),
+            Array.ofDim[Int](hMb * 2, wMb * 2))
+          var checksum = 0L; var modeSum = 0L; var cModeSum = 0L
+          for (mbIdx <- 0 until wMb * hMb) {
+            val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+            val mbType = r.ue()
+            if (mbType < 1 || mbType > 24) return None // I_16x16 only
+            val pm = (mbType - 1) % 4
+            val cbpC = ((mbType - 1) / 4) % 3
+            val cbpL = (mbType - 1) >= 12
+            val cm = r.ue()
+            if (cm > 3) return None
+            if (r.se() != 0) return None // mb_qp_delta (construction)
+            modeSum += pm; cModeSum += cm
+            val (dc, _) = readResidual(r, 16, nCOf(tcY, mbX * 4, mbY * 4))
+            val ac = Array.fill(16)(new Array[Int](15))
+            if (cbpL) for (b <- 0 until 16) {
+              val (x4, y4) = blkPos(b)
+              val (cf, tc) = readResidual(r, 15,
+                nCOf(tcY, mbX * 4 + x4, mbY * 4 + y4))
+              ac(b) = cf
+              tcY(mbY * 4 + y4)(mbX * 4 + x4) = tc
+            }
+            val cdc = Array.fill(2)(new Array[Int](4))
+            if (cbpC > 0) for (c <- 0 until 2)
+              cdc(c) = readResidual(r, 4, -1)._1
+            val cac = Array.fill(2, 4)(new Array[Int](15))
+            if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+              val (cf, tc) = readResidual(r, 15,
+                nCOf(tcC(c), mbX * 2 + b % 2, mbY * 2 + b / 2))
+              cac(c)(b) = cf
+              tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = tc
+            }
+            def sumBlock(tag: Int, levels: Array[Int]): Unit = {
+              var s = 0
+              while (s < levels.length) {
+                if (levels(s) != 0)
+                  checksum += levels(s).toLong * (mbIdx * 131 + tag * 17 + s + 1)
+                s += 1
+              }
+            }
+            sumBlock(0, dc)
+            if (cbpL) (0 until 16).foreach(b => sumBlock(1 + b, ac(b)))
+            if (cbpC > 0) (0 until 2).foreach(c => sumBlock(17 + c, cdc(c)))
+            if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4)
+              sumBlock(19 + 4 * c + b, cac(c)(b))
+            reconstructMb(MbData(pm, cm, cbpL, cbpC, dc, ac, cdc, cac),
+              qp, mbX, mbY, y, cb, cr, wMb)
+          }
+          frames += H264Frame(y, cb, cr, checksum, modeSum, cModeSum)
+        case _ => return None
+      }
+      val fs = frames.result()
+      if (wMb < 0 || fs.isEmpty) None
+      else Some(H264Stream(wMb, hMb, qp, fs))
+    } catch { case _: Exception => None }
+  }
+}

@@ -1473,6 +1473,14 @@ object Multimodal {
     def decodeMp2(bytes: Array[Byte]): Option[Decoded] =
       Mp2.decode(bytes).map(st =>
         Decoded(0, 0, st.frames.size, st.sampleRate))
+
+    /** H.264 baseline I_16x16 intra streams: NAL/SPS/PPS/slice parse,
+      * CAVLC, intra prediction, inverse transforms — via
+      * [[graft.operators.H264]] (gated by q303).
+      */
+    def decodeH264(bytes: Array[Byte]): Option[Decoded] =
+      H264.decode(bytes).map(st =>
+        Decoded(st.widthMb * 16, st.heightMb * 16, st.frames.size, 0))
   }
 
   /** Production decode: real header parsers first, stub fallback for
@@ -1493,26 +1501,28 @@ object Multimodal {
         .orElse(MediaCodecs.decodeAvi(bytes))
         .orElse(MediaCodecs.decodeMpeg1(bytes))
         .orElse(MediaCodecs.decodeMp2(bytes))
+        .orElse(MediaCodecs.decodeH264(bytes))
         .orElse(MediaCodecs.decodeMp4(bytes))
         .getOrElse(stub.decode(modality, mime, bytes))
   }
 
   /** STUB decoder — deterministic fake standing in for the codec library
-    * on the formats [[MediaCodecs]] can't parse. Since r13 that is ONLY
-    * the H.264/H.265 successors — a documented permanent skip (their
-    * CABAC/CAVLC + intra-prediction stacks are beyond clean-room scope):
-    * MPEG-1 video now decodes for real across the WHOLE picture-type
-    * alphabet — entropy-coded I-frames (q287), forward motion-compensated
-    * P-pictures (q288) and bidirectionally-predicted B-pictures with the
-    * normative transmission-order reorder (q289), all via
-    * [[Mpeg1.decodeIFrames]] — plus MJPEG-in-AVI (q272); compressed
-    * images via JPEG/PNG/GIF. The AUDIO surface is empty since r14:
-    * PCM/IMA-ADPCM WAV decode to samples (q290), and entropy-coded
-    * MPEG-1 Layer II decodes for real through bit allocation, scale
-    * factors, requantization and polyphase synthesis ([[graft.operators.Mp2]],
-    * q302); MP3 (Layer III) parses frame headers (q195) and falls
-    * through here only for its Huffman-coded payload, as H.264/H.265 do
-    * for video. The MP4 container parses box-level metadata.
+    * on the formats [[MediaCodecs]] can't parse. Since r14 that is the
+    * H.264 INTER machinery (P/B slices, CABAC) and H.265 — documented
+    * next rungs: MPEG-1 video decodes for real across the WHOLE
+    * picture-type alphabet — entropy-coded I-frames (q287), forward
+    * motion-compensated P-pictures (q288) and bidirectionally-predicted
+    * B-pictures with the normative transmission-order reorder (q289),
+    * all via [[Mpeg1.decodeIFrames]] — and H.264 BASELINE INTRA
+    * (I_16x16: NAL/SPS/PPS, CAVLC, intra prediction, inverse integer
+    * transforms) via [[graft.operators.H264]] (q303); plus MJPEG-in-AVI
+    * (q272); compressed images via JPEG/PNG/GIF/TIFF. The AUDIO surface
+    * is empty since r14: PCM/IMA-ADPCM WAV decode to samples (q290),
+    * and entropy-coded MPEG-1 Layer II decodes for real through bit
+    * allocation, scale factors, requantization and polyphase synthesis
+    * ([[graft.operators.Mp2]], q302); MP3 (Layer III) parses frame
+    * headers (q195) and falls through here only for its Huffman-coded
+    * payload. The MP4 container parses box-level metadata.
     */
   final class StubCodec {
     def decode(modality: String, mime: String, bytes: Array[Byte]): Decoded = {

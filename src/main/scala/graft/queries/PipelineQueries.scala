@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Model._
 import graft.llm.{LlmOperator, MockLlmClient}
-import graft.operators.{Mp2, Multimodal, Sampling, StableMatcher}
+import graft.operators.{H264, Mp2, Multimodal, Sampling, StableMatcher}
 import graft.ops.{Parsers, PromptRenderer}
 import graft.streaming.StreamingOps
 
@@ -1672,6 +1672,139 @@ object PipelineQueries extends Registry {
             CAST(1 AS BIGINT) AS requant_ok,
             CAST(1 AS BIGINT) AS synth_ok
           FROM fr LEFT JOIN agg a ON a.id = fr.id AND a.frame_idx = fr.frame_idx
+          ORDER BY fr.id, fr.frame_idx""")),
+
+    // ---- H.264/AVC BASELINE INTRA decode (VERDICT r13 item 7, the
+    //      stretch rung after full MPEG-1 I/P/B): hand-written I_16x16
+    //      path per ITU-T H.264 in operators/H264.scala — NAL/RBSP with
+    //      emulation-prevention bytes, Exp-Golomb, SPS/PPS/IDR-slice
+    //      headers, the I_16x16 macroblock layer (prediction mode + CBP
+    //      carried in mb_type), CAVLC residuals (coeff_token, T1 signs,
+    //      adaptive-suffix levels, total_zeros, run_before, nC neighbor
+    //      contexts maintained across macroblocks), normative dequant
+    //      (LevelScale V-matrix), 4x4 inverse integer transform, 4x4
+    //      luma-DC Hadamard, 2x2 chroma DC, and all four 16x16 luma +
+    //      four chroma prediction modes with availability rules. The
+    //      ENCODER chooses quantized levels directly in the transform
+    //      domain (quantization is an encoder freedom; only dequant is
+    //      normative) and reconstructs exactly as the decoder must, so
+    //      recon_exact gates BIT-EXACT plane equality — no error bound.
+    //      level_checksum crosses the whole CAVLC chain against the
+    //      oracle's independent SQL re-derivation of the level
+    //      construction; mode sums pin the availability-aware prediction
+    //      choices. Scope bounds (documented in H264.scala): I_16x16
+    //      only, TotalCoeff ≤ 3 per block keeps coeff_token inside the
+    //      two transcribed low-nC contexts; I_4x4/CABAC/inter are the
+    //      next rung. Row-local fan-out, zero shuffle. --------------------
+    Q("q303_h264_intra",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 13 === 5)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, nch) =>
+              val (wMb, hMb) = H264.ConstructH.dims(id, nch)
+              val nf = H264.ConstructH.nFrames(id)
+              val qp = H264.ConstructH.qp(id)
+              val (bytes, expect) = H264.encode(id, wMb, hMb, nf, qp)
+              val st = H264.decode(bytes).get
+              st.frames.zip(expect).zipWithIndex.map { case ((got, exp), f) =>
+                val exact = got.y.sameElements(exp.y) &&
+                  got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr)
+                (id, f.toLong, (wMb * 16).toLong, (hMb * 16).toLong,
+                  (wMb * hMb).toLong, qp.toLong, got.modeSum,
+                  got.chromaModeSum, got.levelChecksum,
+                  if (exact) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "width", "height", "n_mbs", "qp",
+            "mode_sum", "chroma_mode_sum", "level_checksum", "recon_exact")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""WITH d AS (
+            SELECT doc_id AS id, n_chars,
+              CAST(1 + doc_id % 3 AS BIGINT) AS wmb,
+              CAST(1 + n_chars % 2 AS BIGINT) AS hmb,
+              CAST(20 + doc_id % 8 AS BIGINT) AS qp
+            FROM documents WHERE doc_id % 13 = 5),
+          fr AS (
+            SELECT id, wmb, hmb, qp, CAST(t.f AS BIGINT) AS frame_idx
+            FROM d, UNNEST(range(0, 1 + id % 2)) AS t(f)),
+          mb AS (
+            SELECT fr.*, CAST(m.m AS BIGINT) AS mb,
+              CAST(m.m % wmb AS BIGINT) AS mbx,
+              CAST(m.m // wmb AS BIGINT) AS mby,
+              (id + m.m) % 3 != 2 AS cbpl,
+              CAST((id + 2 + m.m) % 3 AS BIGINT) AS cbpc
+            FROM fr, UNNEST(range(0, wmb * hmb)) AS m(m)),
+          modes AS (
+            SELECT id, frame_idx, mb,
+              CASE
+                WHEN mbx > 0 AND mby > 0 THEN
+                  list_extract([0, 1, 2, 3], CAST((id + mb) % 4 AS INT) + 1)
+                WHEN mby > 0 THEN
+                  list_extract([0, 2], CAST((id + mb) % 2 AS INT) + 1)
+                WHEN mbx > 0 THEN
+                  list_extract([1, 2], CAST((id + mb) % 2 AS INT) + 1)
+                ELSE 2 END AS pm,
+              CASE
+                WHEN mbx > 0 AND mby > 0 THEN
+                  list_extract([0, 1, 2, 3], CAST((id + 2 * mb) % 4 AS INT) + 1)
+                WHEN mby > 0 THEN
+                  list_extract([0, 2], CAST((id + 2 * mb) % 2 AS INT) + 1)
+                WHEN mbx > 0 THEN
+                  list_extract([0, 1], CAST((id + 2 * mb) % 2 AS INT) + 1)
+                ELSE 0 END AS cm
+            FROM mb),
+          tags AS (
+            SELECT mb.*, CAST(tg.tag AS BIGINT) AS tag,
+              CASE WHEN tg.tag = 0 THEN 16
+                   WHEN tg.tag BETWEEN 17 AND 18 THEN 4
+                   ELSE 15 END AS ncoeffs
+            FROM mb, UNNEST(range(0, 27)) AS tg(tag)
+            WHERE tg.tag = 0
+               OR (tg.tag BETWEEN 1 AND 16 AND cbpl)
+               OR (tg.tag BETWEEN 17 AND 18 AND cbpc > 0)
+               OR (tg.tag BETWEEN 19 AND 26 AND cbpc = 2)),
+          lev AS (
+            SELECT t.*, CAST(kk.k AS BIGINT) AS k,
+              CASE WHEN ncoeffs = 4 THEN 1
+                   ELSE 1 + CAST((id + tag) % 4 AS BIGINT) END AS step,
+              CAST((id + frame_idx + mb + tag) %
+                (CASE WHEN tag >= 19 THEN 3 ELSE 4 END) AS BIGINT) AS n
+            FROM tags t, UNNEST(range(0, 3)) AS kk(k)
+            WHERE kk.k < (id + frame_idx + mb + tag) %
+              (CASE WHEN tag >= 19 THEN 3 ELSE 4 END)),
+          contrib AS (
+            SELECT id, frame_idx,
+              (1 + (id + mb + tag * 2 + k + frame_idx) % 3) *
+              (CASE WHEN (id + mb + tag + k) % 2 = 0 THEN 1 ELSE -1 END) *
+              (mb * 131 + tag * 17 +
+                (CASE WHEN ncoeffs = 4 THEN (id + tag + mb) % 2
+                 ELSE (id + mb + tag) % (ncoeffs - (n - 1) * step) END)
+                + k * step + 1) AS c
+            FROM lev),
+          sums AS (
+            SELECT id, frame_idx, CAST(sum(c) AS BIGINT) AS level_checksum
+            FROM contrib GROUP BY id, frame_idx),
+          msums AS (
+            SELECT id, frame_idx, CAST(sum(pm) AS BIGINT) AS mode_sum,
+              CAST(sum(cm) AS BIGINT) AS chroma_mode_sum
+            FROM modes GROUP BY id, frame_idx)
+          SELECT fr.id, fr.frame_idx,
+            CAST(fr.wmb * 16 AS BIGINT) AS width,
+            CAST(fr.hmb * 16 AS BIGINT) AS height,
+            CAST(fr.wmb * fr.hmb AS BIGINT) AS n_mbs,
+            fr.qp AS qp,
+            m.mode_sum, m.chroma_mode_sum,
+            coalesce(s.level_checksum, 0) AS level_checksum,
+            CAST(1 AS BIGINT) AS recon_exact
+          FROM fr
+          JOIN msums m ON m.id = fr.id AND m.frame_idx = fr.frame_idx
+          LEFT JOIN sums s ON s.id = fr.id AND s.frame_idx = fr.frame_idx
           ORDER BY fr.id, fr.frame_idx""")),
 
     // ---- REAL animated-format frame extraction: each doc's metadata
