@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
@@ -1865,6 +1865,125 @@ object EventQueries extends Registry {
             CAST(sum(en - st) AS DOUBLE) / CAST(count(*) AS DOUBLE)
               / 1000000.0 AS mean_dur_s,
             CAST(max(en - st) AS DOUBLE) / 1000000.0 AS max_dur_s
-          FROM sess GROUP BY 1 ORDER BY day"""))
+          FROM sess GROUP BY 1 ORDER BY day""")),
+
+    // ---- BRADLEY–TERRY rating aggregation (r14 — the preference-data
+    //      operator an RLHF/eval pipeline runs over pairwise model
+    //      comparisons): events derive deterministic (model_i vs
+    //      model_j, winner) comparisons; ratings come from 5 rounds of
+    //      the classic MM update p_i ← w_i / Σ_j n_ij/(p_i+p_j),
+    //      normalized per round. SCALE SHAPE: the corpus is touched
+    //      exactly twice (wins, directed pair counts — both vocab-sized
+    //      ≤ 8 and ≤ 56 rows after one shuffle each); every MM round
+    //      runs on those tiny frames via broadcast joins, the q93/q285
+    //      "driver-bounded rounds, executor-sized state" pattern.
+    //      DETERMINISM: the q285 recipe — every cross-row sum is over
+    //      values pre-rounded to an exact integer grid (1e9) and summed
+    //      as BIGINT, so partial-aggregation order can't move a bit;
+    //      the per-round normalization divides two exact BIGINTs. The
+    //      oracle replays all 5 unrolled rounds in SQL. --------------------
+    Q("q304_bradley_terry",
+      (s, dir) => {
+        import s.implicits._
+        val cmp = events(s, dir).select(
+          ($"user_id" % 8).as("i"),
+          expr("(user_id % 8 + 1 + (user_id div 8) % 7) % 8").as("j"),
+          when(($"event_id" + ($"user_id" % 8) * 3 +
+            expr("(user_id % 8 + 1 + (user_id div 8) % 7) % 8")) % 5 < 3, 0L)
+            .otherwise(1L).as("winslot"))
+        // ONE distributed pass folds the corpus to (winner-slot, i, j)
+        // counts; everything after is METADATA-SIZED by construction —
+        // 8 models, ≤ 56 directed pairs, independent of corpus scale —
+        // so the 5 MM rounds run driver-side in exact Long arithmetic
+        // (the footer-walk/knob-bounded-fold class of collect, not a
+        // data collect; a DataFrame-step formulation was measured at
+        // 12-147 s of pure plan/action overhead for the same 8 rows).
+        val agg = cmp.groupBy($"i", $"j", $"winslot")
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val wins = new Array[Long](8)
+        val nDir = Array.ofDim[Long](8, 8) // directed match counts
+        agg.foreach { case (i, j, slot, n) =>
+          wins((if (slot == 0L) i else j).toInt) += n
+          nDir(i.toInt)(j.toInt) += n
+          nDir(j.toInt)(i.toInt) += n
+        }
+        var p = Array.fill(8)(0.125)
+        var pq = new Array[Long](8)
+        for (_ <- 0 until 5) {
+          val praw = Array.tabulate(8) { i =>
+            var denom = 0L // exact: per-pair terms on the 1e9 grid
+            var j = 0
+            while (j < 8) {
+              if (nDir(i)(j) > 0)
+                denom += math.round(1e9 * nDir(i)(j) / (p(i) + p(j)))
+              j += 1
+            }
+            if (denom > 0) wins(i).toDouble * 1e9 / denom.toDouble * 1e9
+            else 0.0
+          }
+          pq = praw.map(math.round)
+          val sTot = pq.sum
+          p = pq.map(_.toDouble / sTot.toDouble)
+        }
+        val ranks = (0 until 8).sortBy(m => (-pq(m), m))
+          .zipWithIndex.map { case (m, r) => m -> (r + 1).toLong }.toMap
+        s.createDataset((0 until 8).map { m =>
+          (m.toLong, wins(m), nDir(m).sum, pq(m), p(m), ranks(m))
+        }).toDF("model", "wins", "n_matches", "rating_e9", "rating", "rank")
+          .orderBy($"model")
+      },
+      Some {
+        def stepSql(prev: String, t: String, q: String, nxt: String) =
+          s"""$t AS (SELECT pd.i AS model,
+                sum(CAST(round(1000000000.0 * pd.n / (pi.p + pj.p)) AS BIGINT)) AS denom
+              FROM pd JOIN $prev pi ON pi.model = pd.i
+                      JOIN $prev pj ON pj.model = pd.j
+              GROUP BY pd.i),
+            $q AS (SELECT w.model, w.wins,
+                CASE WHEN coalesce(t.denom, 0) > 0 THEN
+                  CAST(round(CAST(w.wins AS DOUBLE) * 1000000000.0
+                    / CAST(t.denom AS DOUBLE) * 1000000000.0) AS BIGINT)
+                ELSE 0 END AS pq
+              FROM wins w LEFT JOIN $t t USING (model)),
+            $nxt AS (SELECT model,
+                CAST(pq AS DOUBLE) /
+                  CAST((SELECT sum(pq) FROM $q) AS DOUBLE) AS p
+              FROM $q)"""
+        s"""WITH cmp AS (
+            SELECT user_id % 8 AS i,
+              (user_id % 8 + 1 + (user_id // 8) % 7) % 8 AS j,
+              CASE WHEN (event_id + (user_id % 8) * 3 +
+                (user_id % 8 + 1 + (user_id // 8) % 7) % 8) % 5 < 3
+                THEN 0 ELSE 1 END AS winslot
+            FROM events),
+          models AS (SELECT CAST(m.m AS BIGINT) AS model
+            FROM UNNEST(range(0, 8)) AS m(m)),
+          wins AS (SELECT m.model, CAST(coalesce(w.w, 0) AS BIGINT) AS wins
+            FROM models m LEFT JOIN (
+              SELECT CASE WHEN winslot = 0 THEN i ELSE j END AS model,
+                count(*) AS w
+              FROM cmp GROUP BY 1) w USING (model)),
+          pd AS (SELECT i, j, count(*) AS n FROM (
+              SELECT i, j FROM cmp UNION ALL SELECT j AS i, i AS j FROM cmp)
+            GROUP BY i, j),
+          r0 AS (SELECT model, 0.125 AS p FROM models),
+          ${stepSql("r0", "t1", "q1", "r1")},
+          ${stepSql("r1", "t2", "q2", "r2")},
+          ${stepSql("r2", "t3", "q3", "r3")},
+          ${stepSql("r3", "t4", "q4", "r4")},
+          ${stepSql("r4", "t5", "q5", "r5")},
+          nm AS (SELECT i AS model, sum(n) AS n_matches FROM pd GROUP BY i)
+          SELECT w.model, w.wins,
+            CAST(coalesce(nm.n_matches, 0) AS BIGINT) AS n_matches,
+            q5.pq AS rating_e9, r5.p AS rating,
+            CAST(row_number() OVER (ORDER BY q5.pq DESC, w.model) AS BIGINT)
+              AS rank
+          FROM wins w
+          LEFT JOIN nm USING (model)
+          JOIN q5 USING (model)
+          JOIN r5 USING (model)
+          ORDER BY w.model"""
+      })
   )
 }

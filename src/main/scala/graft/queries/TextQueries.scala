@@ -4026,7 +4026,201 @@ object TextQueries extends Registry {
             CAST(m2.sum_tok AS BIGINT) AS sum_tokens,
             CAST(f2.bins * 128 - m2.sum_tok AS BIGINT) AS waste,
             m2.ids_md5 AS ids_md5
-          FROM m2 JOIN f2 ON f2.shard = m2.shard ORDER BY m2.shard"""))
+          FROM m2 JOIN f2 ON f2.shard = m2.shard ORDER BY m2.shard""")),
+
+    // ---- BPE MERGE TRAINING (r14 — the tokenizer-TRAINING half of the
+    //      q127/q152 tokenizer family: q152 counts pairs once, q127
+    //      APPLIES a fixed vocab; this LEARNS the merge table). Classic
+    //      BPE: word-frequency table → per-round argmax adjacent symbol
+    //      pair → merge, 6 rounds. SCALE SHAPE: the corpus is folded to
+    //      the word-frequency VOCAB once; every round is a vocab-sized
+    //      pair count + a broadcast of the single winning pair — the
+    //      round count is the driver-bounded knob (q93/q261's Lloyd
+    //      pattern), never corpus passes. Each round's vocab is
+    //      materialized: the merge step reads the previous round twice
+    //      (pairs + rewrite), so a lazy chain would double subplans per
+    //      round (the q192/q304 plan-explosion class). MERGE REWRITE
+    //      correctness: symbols are stored as ' s0_ s1_ ... ' — every
+    //      symbol ends in '_' (words are filtered to [a-z0-9]{2,12}, so
+    //      '_' cannot occur in content) and the string is space-padded;
+    //      the target ' L R' (leading space, full symbols) can match
+    //      ONLY at symbol boundaries, and left-to-right non-overlapping
+    //      replace() — identical semantics in Spark and DuckDB — is
+    //      exactly BPE's greedy merge order ('a a a a' → 'aa aa', one
+    //      scan). Ties break (count DESC, left, right) — deterministic.
+    //      The oracle replays all 6 unrolled rounds. ----------------------
+    Q("q305_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        // Spark's split('', -1 limit) keeps a trailing empty element that
+        // DuckDB's string_split drops — the filter removes it so both
+        // engines see the same initial symbol sequence
+        // vocab-sized state on a handful of partitions: the per-round
+        // jobs are latency-bound (12+ tiny stages), so 32-way shuffles
+        // of a few-MB vocab only add scheduling overhead
+        val wf = materialize(docs(s, dir)
+          .select(explode(split(lower($"text"), " ")).as("word"))
+          .filter($"word".rlike("^[a-z0-9]{2,12}$"))
+          .groupBy($"word").agg(count(lit(1)).as("freq"))
+          .withColumn("sym", expr(
+            "' ' || concat_ws(' ', transform(filter(split(word, ''), " +
+              "c -> c != ''), c -> c || '_')) || ' '"))
+          .coalesce(4))
+        def pairCounts(v: DataFrame): DataFrame = v
+          .select($"freq", split(trim($"sym"), " ").as("arr"))
+          .filter(size($"arr") >= 2) // a fully-merged word has no pairs
+          .select($"freq", $"arr", posexplode(expr("sequence(0, size(arr) - 2)")))
+          .select($"freq", expr("arr[col]").as("l"), expr("arr[col + 1]").as("r"))
+          .groupBy($"l", $"r").agg(sum($"freq").as("c"))
+        def round6(v0: DataFrame): Seq[(Int, DataFrame, DataFrame)] = {
+          var v = v0
+          (1 to 6).map { k =>
+            // best is read twice (rewrite + output row): checkpoint the
+            // 1-row frame so the vocab-wide pair count runs once
+            val best = pairCounts(v).orderBy($"c".desc, $"l", $"r")
+              .limit(1).localCheckpoint(true)
+            // localCheckpoint, NOT persist: each round's sym is a
+            // replace() over the previous round's, so a persist-only
+            // chain keeps the full nested lineage in the logical plan
+            // and Catalyst/codegen time doubles per round (measured:
+            // merge6 20 s, final count 49 s — the q192 post-mortem
+            // class; SCALING.md's iterative-kernel rule). Checkpointing
+            // truncates the plan to a leaf per round.
+            val merged = v.crossJoin(broadcast(best))
+              .select($"word", $"freq", expr(
+                "replace(sym, ' ' || l || ' ' || r, ' ' || substr(l, 1, length(l) - 1) || r)")
+                .as("sym"))
+              .localCheckpoint(true)
+            v = merged
+            (k, best, merged)
+          }
+        }
+        val rounds = round6(wf)
+        rounds.map { case (k, best, merged) =>
+          val tok = merged.select(
+            sum($"freq" * size(split(trim($"sym"), " "))).as("corpus_tokens_after"))
+          best.crossJoin(broadcast(tok))
+            .select(lit(k.toLong).as("round"), $"l".as("left"),
+              $"r".as("right"), $"c".as("pair_count"),
+              $"corpus_tokens_after")
+        }.reduce(_ unionAll _).orderBy($"round")
+      },
+      Some {
+        def roundSql(k: Int, prev: String) =
+          s"""p$k AS (SELECT l, r, sum(freq) AS c FROM (
+                SELECT freq, arr[i] AS l, arr[i + 1] AS r FROM (
+                  SELECT freq, string_split(trim(sym), ' ') AS arr FROM $prev),
+                UNNEST(range(1, len(arr))) AS t(i))
+              GROUP BY l, r),
+            b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+            v$k AS (SELECT word, freq,
+                replace(sym, ' ' || b.l || ' ' || b.r,
+                  ' ' || substr(b.l, 1, length(b.l) - 1) || b.r) AS sym
+              FROM $prev, b$k b),
+            tk$k AS (SELECT sum(freq * len(string_split(trim(sym), ' '))) AS t
+              FROM v$k)"""
+        s"""WITH wf AS (
+            SELECT word, count(*) AS freq,
+              ' ' || array_to_string(list_transform(string_split(word, ''),
+                c -> c || '_'), ' ') || ' ' AS sym
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents)
+            WHERE regexp_matches(word, '^[a-z0-9]{2,12}$$')
+            GROUP BY word),
+          ${roundSql(1, "wf")},
+          ${roundSql(2, "v1")},
+          ${roundSql(3, "v2")},
+          ${roundSql(4, "v3")},
+          ${roundSql(5, "v4")},
+          ${roundSql(6, "v5")}
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS round, b1.l AS left, b1.r AS right,
+              CAST(b1.c AS BIGINT) AS pair_count,
+              CAST(tk1.t AS BIGINT) AS corpus_tokens_after FROM b1, tk1
+            UNION ALL SELECT 2, b2.l, b2.r, CAST(b2.c AS BIGINT),
+              CAST(tk2.t AS BIGINT) FROM b2, tk2
+            UNION ALL SELECT 3, b3.l, b3.r, CAST(b3.c AS BIGINT),
+              CAST(tk3.t AS BIGINT) FROM b3, tk3
+            UNION ALL SELECT 4, b4.l, b4.r, CAST(b4.c AS BIGINT),
+              CAST(tk4.t AS BIGINT) FROM b4, tk4
+            UNION ALL SELECT 5, b5.l, b5.r, CAST(b5.c AS BIGINT),
+              CAST(tk5.t AS BIGINT) FROM b5, tk5
+            UNION ALL SELECT 6, b6.l, b6.r, CAST(b6.c AS BIGINT),
+              CAST(tk6.t AS BIGINT) FROM b6, tk6)
+          ORDER BY round"""
+      }),
+
+    // ---- GROUP-RELATIVE ADVANTAGE normalization (r14 — the GRPO-style
+    //      reward shaping step between reward scoring and the trainer:
+    //      within each prompt group, advantage = (r - mean)/std; here
+    //      the groups are sources and the reward is the shared quality
+    //      score). DETERMINISM: rewards quantize to the 1e6 grid per
+    //      row, group moments come from exact BIGINT sums (Σq, Σq² —
+    //      the q282-moments shape), and ranking uses the INTEGER reward
+    //      (advantage is monotone in it within a group), so no float
+    //      order-dependence anywhere. One source-keyed shuffle; the
+    //      windows share it. Emits the top-2/bottom-2 advantage rows
+    //      per group — the contrastive batch a preference trainer
+    //      consumes — with the group moments in-row. --------------------
+    Q("q306_grpo_advantage",
+      (s, dir) => {
+        import s.implicits._
+        val scored = docs(s, dir).withColumn("w", tokens($"text"))
+          .select($"source", $"doc_id",
+            round(docQuality * 1e6).cast("long").as("qq"))
+        val stats = scored.groupBy($"source").agg(
+          count(lit(1)).as("n"), sum($"qq").as("sq"),
+          sum($"qq" * $"qq").as("sqq"))
+        val wRank = Window.partitionBy($"source")
+          .orderBy($"qq".desc, $"doc_id")
+        scored.join(stats, Seq("source"))
+          .withColumn("mean", $"sq".cast("double") / $"n".cast("double"))
+          .withColumn("variance",
+            $"sqq".cast("double") / $"n".cast("double") - $"mean" * $"mean")
+          .withColumn("std", sqrt(greatest($"variance", lit(0.0))))
+          .withColumn("adv_e6",
+            when($"std" > 0,
+              round(($"qq".cast("double") - $"mean") / $"std" * 1e6))
+              .otherwise(lit(0.0)).cast("long"))
+          .withColumn("rk", row_number().over(wRank).cast("long"))
+          .filter($"rk" <= 2 || $"rk" >= $"n" - 1)
+          .select($"source", $"doc_id", $"qq".as("reward_e6"), $"adv_e6",
+            $"rk".as("rank_in_group"), $"n".as("group_n"),
+            round($"mean").cast("long").as("mean_e6"),
+            round($"std").cast("long").as("std_e6"),
+            when($"rk" <= 2, "top").otherwise("bottom").as("side"))
+          .orderBy($"source", $"rank_in_group")
+      },
+      Some(s"""WITH scored AS (
+            SELECT source, doc_id,
+              CAST(round(($qualitySqlExpr) * 1000000) AS BIGINT) AS qq
+            FROM documents),
+          stats AS (
+            SELECT source, count(*) AS n, sum(qq) AS sq,
+              sum(qq * qq) AS sqq
+            FROM scored GROUP BY source),
+          j AS (
+            SELECT s.source, s.doc_id, s.qq, t.n,
+              CAST(t.sq AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean,
+              sqrt(greatest(
+                CAST(t.sqq AS DOUBLE) / CAST(t.n AS DOUBLE)
+                  - (CAST(t.sq AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * (CAST(t.sq AS DOUBLE) / CAST(t.n AS DOUBLE)),
+                0.0)) AS std,
+              row_number() OVER (PARTITION BY s.source
+                ORDER BY s.qq DESC, s.doc_id) AS rk
+            FROM scored s JOIN stats t USING (source))
+          SELECT source, doc_id, qq AS reward_e6,
+            CAST(CASE WHEN std > 0
+              THEN round((CAST(qq AS DOUBLE) - mean) / std * 1000000)
+              ELSE 0.0 END AS BIGINT) AS adv_e6,
+            CAST(rk AS BIGINT) AS rank_in_group,
+            CAST(n AS BIGINT) AS group_n,
+            CAST(round(mean) AS BIGINT) AS mean_e6,
+            CAST(round(std) AS BIGINT) AS std_e6,
+            CASE WHEN rk <= 2 THEN 'top' ELSE 'bottom' END AS side
+          FROM j WHERE rk <= 2 OR rk >= n - 1
+          ORDER BY source, rank_in_group"""))
   )
 
   /** q224's probe phrases — two bigrams and a trigram over the synthetic
