@@ -499,6 +499,20 @@ object H264 {
       allowed(((id + 2 * mb) % allowed.size).toInt)
     }
 
+    /** q307's mixed-slice knobs: every other MB is I_4x4 (exercising
+      * the non-I4x4-neighbor → inferred-DC rule at every boundary); its
+      * CBP cycles the transcribed me(v) subset; per-block modes pick
+      * from the availability-allowed set.
+      */
+    def isI4(id: Long, mb: Int): Boolean = (id + mb) % 2 == 0
+    def cbpI4(id: Long, mb: Int): Int =
+      CbpIntraSubset(((id + mb) % 4).toInt)
+    def i4Mode(id: Long, mb: Int, blk: Int, hasLeft: Boolean,
+        hasTop: Boolean): Int = {
+      val allowed = i4Allowed(hasLeft, hasTop)
+      allowed(((id + mb + blk) % allowed.size).toInt)
+    }
+
     /** Block tags for the level formulas and the gate checksum: DC=0,
       * luma AC blk i → 1+i, chroma DC comp c → 17+c, chroma AC comp c
       * blk b → 19 + 4c + b.
@@ -525,17 +539,130 @@ object H264 {
     }
   }
 
+  /** (x4, y4) → luma4x4BlkIdx (inverse of [[blkPos]]). */
+  def blkIdxOf(x4: Int, y4: Int): Int =
+    4 * ((y4 / 2) * 2 + (x4 / 2)) + (y4 % 2) * 2 + (x4 % 2)
+
+  // -------------------------------------------------------------------
+  // I_4x4 path (q307 — §8.3.1): per-block intra prediction with the
+  // nine 4x4 modes, predicted-mode coding, and the CBP subset the
+  // construction emits (me(v) codeNums 0..3 → CBP 47/31/15/0 — the
+  // canonically-cited head of Table 9-4; the full 48-entry table is
+  // deliberately NOT transcribed from memory, same policy as the
+  // coeff_token contexts).
+  // -------------------------------------------------------------------
+
+  /** me(v) codeNum ↔ coded_block_pattern for Intra_4x4 — the transcribed
+    * SUBSET (decoder rejects other codeNums; encoder only emits these).
+    */
+  val CbpIntraSubset: IndexedSeq[Int] = IndexedSeq(47, 31, 15, 0)
+
+  /** Intra4x4 mode availability → allowed mode list (§8.3.1.2: DC always;
+    * V/DDL/VL need top — DDL/VL's p[x>3,-1] substitutes p[3,-1] when the
+    * top-right is unavailable, so top suffices; H/HU need left;
+    * DDR/VR/HD need left+top+top-left, which coincide here).
+    */
+  def i4Allowed(hasLeft: Boolean, hasTop: Boolean): Seq[Int] =
+    if (hasLeft && hasTop) 0 to 8
+    else if (hasTop) Seq(0, 2, 3, 7)
+    else if (hasLeft) Seq(1, 2, 8)
+    else Seq(2)
+
+  /** Decode-order availability of the top-right 4 pixels for blk
+    * (x4, y4): above-MB row for y4 = 0 (above-right MB for x4 = 3),
+    * else an earlier block of this MB (§8.3.1.2's neighbor rules —
+    * famously false for blkIdx 3/7/11/13/15).
+    */
+  def topRightAvail(mbX: Int, mbY: Int, x4: Int, y4: Int, wMb: Int): Boolean =
+    if (y4 == 0) mbY > 0 && (x4 < 3 || mbX < wMb - 1)
+    else if (x4 == 3) false
+    else blkIdxOf(x4 + 1, y4 - 1) < blkIdxOf(x4, y4)
+
+  /** One 4x4 intra prediction (§8.3.1.2.1-9). `t` = p[0..7, -1] (with
+    * the top-right substitution already applied), `l` = p[-1, 0..3],
+    * `tl` = p[-1, -1]; availability must match the chosen mode.
+    */
+  def predict4(mode: Int, t: Array[Int], l: Array[Int], tl: Int,
+      hasLeft: Boolean, hasTop: Boolean): Array[Int] = {
+    val out = new Array[Int](16)
+    def set(x: Int, y: Int, v: Int): Unit = out(y * 4 + x) = v
+    mode match {
+      case 0 => for (y <- 0 until 4; x <- 0 until 4) set(x, y, t(x))
+      case 1 => for (y <- 0 until 4; x <- 0 until 4) set(x, y, l(y))
+      case 2 =>
+        val dc =
+          if (hasLeft && hasTop) (t.take(4).sum + l.sum + 4) >> 3
+          else if (hasTop) (t.take(4).sum + 2) >> 2
+          else if (hasLeft) (l.sum + 2) >> 2
+          else 128
+        java.util.Arrays.fill(out, dc)
+      case 3 => // diagonal down-left
+        for (y <- 0 until 4; x <- 0 until 4)
+          set(x, y,
+            if (x == 3 && y == 3) (t(6) + 3 * t(7) + 2) >> 2
+            else (t(x + y) + 2 * t(x + y + 1) + t(x + y + 2) + 2) >> 2)
+      case 4 => // diagonal down-right (index -1 = p[-1,-1])
+        for (y <- 0 until 4; x <- 0 until 4)
+          set(x, y,
+            if (x > y) (tAt(t, tl, x - y - 2) + 2 * tAt(t, tl, x - y - 1) + t(x - y) + 2) >> 2
+            else if (x < y) (lAt(l, tl, y - x - 2) + 2 * lAt(l, tl, y - x - 1) + l(y - x) + 2) >> 2
+            else (t(0) + 2 * tl + l(0) + 2) >> 2)
+      case 5 => // vertical right
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val z = 2 * x - y
+          set(x, y,
+            if (z >= 0 && z % 2 == 0) (tAt(t, tl, x - (y >> 1) - 1) + t(x - (y >> 1)) + 1) >> 1
+            else if (z >= 0) (tAt(t, tl, x - (y >> 1) - 2) + 2 * tAt(t, tl, x - (y >> 1) - 1) + t(x - (y >> 1)) + 2) >> 2
+            else if (z == -1) (l(0) + 2 * tl + t(0) + 2) >> 2
+            else (l(y - 1) + 2 * l(y - 2) + lAt(l, tl, y - 3) + 2) >> 2)
+        }
+      case 6 => // horizontal down
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val z = 2 * y - x
+          set(x, y,
+            if (z >= 0 && z % 2 == 0) (lAt(l, tl, y - (x >> 1) - 1) + l(y - (x >> 1)) + 1) >> 1
+            else if (z >= 0) (lAt(l, tl, y - (x >> 1) - 2) + 2 * lAt(l, tl, y - (x >> 1) - 1) + l(y - (x >> 1)) + 2) >> 2
+            else if (z == -1) (l(0) + 2 * tl + t(0) + 2) >> 2
+            else (t(x - 1) + 2 * t(x - 2) + tAt(t, tl, x - 3) + 2) >> 2)
+        }
+      case 7 => // vertical left
+        for (y <- 0 until 4; x <- 0 until 4)
+          set(x, y,
+            if (y % 2 == 0) (t(x + (y >> 1)) + t(x + (y >> 1) + 1) + 1) >> 1
+            else (t(x + (y >> 1)) + 2 * t(x + (y >> 1) + 1) + t(x + (y >> 1) + 2) + 2) >> 2)
+      case 8 => // horizontal up
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val z = x + 2 * y
+          set(x, y,
+            if (z < 5 && z % 2 == 0) (l(y + (x >> 1)) + l(y + (x >> 1) + 1) + 1) >> 1
+            else if (z < 5) (l(y + (x >> 1)) + 2 * l(y + (x >> 1) + 1) + l(y + (x >> 1) + 2) + 2) >> 2
+            else if (z == 5) (l(2) + 3 * l(3) + 2) >> 2
+            else l(3))
+        }
+    }
+    out
+  }
+  // index -1 on the top row means p[-1,-1]; on the left column likewise
+  private def tAt(t: Array[Int], tl: Int, i: Int): Int = if (i < 0) tl else t(i)
+  private def lAt(l: Array[Int], tl: Int, i: Int): Int = if (i < 0) tl else l(i)
+
   /** Everything the q303 gate reads back per frame. */
   final case class H264Frame(
       y: Array[Int], cb: Array[Int], cr: Array[Int],
-      levelChecksum: Long, modeSum: Long, chromaModeSum: Long)
+      levelChecksum: Long, modeSum: Long, chromaModeSum: Long,
+      i4ModeSum: Long = 0L, nI4Mbs: Long = 0L)
 
   final case class H264Stream(widthMb: Int, heightMb: Int, qp: Int,
       frames: Vector[H264Frame])
 
-  /** One MB's parsed/constructed data. */
-  private final case class MbData(pm: Int, cm: Int, cbpL15: Boolean,
-      cbpC: Int, dc: Array[Int], ac: Array[Array[Int]],
+  /** One MB's parsed/constructed data. For I_4x4 MBs `ac` holds 16
+    * FULL 16-coefficient blocks (DC included, `dc` unused) and
+    * `i4Modes` the per-block prediction modes; for I_16x16 `ac` holds
+    * 15-coefficient AC blocks with the separate `dc` block.
+    */
+  private final case class MbData(isI4: Boolean, pm: Int,
+      i4Modes: Array[Int], cm: Int, cbpL: Boolean, cbpC: Int,
+      dc: Array[Int], ac: Array[Array[Int]],
       cdc: Array[Array[Int]], cac: Array[Array[Array[Int]]])
 
   // -------------------------------------------------------------------
@@ -629,18 +756,44 @@ object H264 {
   private def reconstructMb(mb: MbData, qp: Int, mbX: Int, mbY: Int,
       y: Array[Int], cb: Array[Int], cr: Array[Int], wMb: Int): Unit = {
     val wPix = wMb * 16; val wC = wMb * 8
-    val pred = predict16(mb.pm, y, wPix, mbX, mbY)
-    val dcScaled = lumaDc(mb.dc, qp)
     val zero15 = new Array[Int](15)
-    for (blk <- 0 until 16) {
-      val (x4, y4) = blkPos(blk)
-      val res = inverse4x4(if (mb.cbpL15) mb.ac(blk) else zero15, qp,
-        acOnly = true, dcOverride = dcScaled(y4)(x4))
-      for (r <- 0 until 4; c <- 0 until 4) {
-        val px = mbX * 16 + x4 * 4 + c
-        val py = mbY * 16 + y4 * 4 + r
-        y(py * wPix + px) =
-          clip(pred((y4 * 4 + r) * 16 + x4 * 4 + c) + res(r * 4 + c))
+    if (mb.isI4) {
+      // block-by-block in blkIdx order: each prediction reads the
+      // RECONSTRUCTED neighbors, including earlier blocks of this MB
+      val zero16 = new Array[Int](16)
+      for (blk <- 0 until 16) {
+        val (x4, y4) = blkPos(blk)
+        val px0 = mbX * 16 + x4 * 4; val py0 = mbY * 16 + y4 * 4
+        val hasLeft = px0 > 0; val hasTop = py0 > 0
+        val t = new Array[Int](8)
+        if (hasTop) {
+          for (i <- 0 until 4) t(i) = y((py0 - 1) * wPix + px0 + i)
+          val trA = topRightAvail(mbX, mbY, x4, y4, wMb)
+          for (i <- 0 until 4)
+            t(4 + i) = if (trA) y((py0 - 1) * wPix + px0 + 4 + i) else t(3)
+        }
+        val l = new Array[Int](4)
+        if (hasLeft) for (i <- 0 until 4) l(i) = y((py0 + i) * wPix + px0 - 1)
+        val tl = if (hasLeft && hasTop) y((py0 - 1) * wPix + px0 - 1) else 0
+        val pred = predict4(mb.i4Modes(blk), t, l, tl, hasLeft, hasTop)
+        val res = inverse4x4(if (mb.cbpL) mb.ac(blk) else zero16, qp,
+          acOnly = false, dcOverride = 0)
+        for (r <- 0 until 4; c <- 0 until 4)
+          y((py0 + r) * wPix + px0 + c) = clip(pred(r * 4 + c) + res(r * 4 + c))
+      }
+    } else {
+      val pred = predict16(mb.pm, y, wPix, mbX, mbY)
+      val dcScaled = lumaDc(mb.dc, qp)
+      for (blk <- 0 until 16) {
+        val (x4, y4) = blkPos(blk)
+        val res = inverse4x4(if (mb.cbpL) mb.ac(blk) else zero15, qp,
+          acOnly = true, dcOverride = dcScaled(y4)(x4))
+        for (r <- 0 until 4; c <- 0 until 4) {
+          val px = mbX * 16 + x4 * 4 + c
+          val py = mbY * 16 + y4 * 4 + r
+          y(py * wPix + px) =
+            clip(pred((y4 * 4 + r) * 16 + x4 * 4 + c) + res(r * 4 + c))
+        }
       }
     }
     for (comp <- 0 until 2) {
@@ -723,8 +876,8 @@ object H264 {
   /** Encode one stream; returns (bytes, per-frame reconstructions +
     * gate sums) — the decoder must reproduce every value bit-exactly.
     */
-  def encode(id: Long, wMb: Int, hMb: Int, nFrames: Int,
-      qp: Int): (Array[Byte], Vector[H264Frame]) = {
+  def encode(id: Long, wMb: Int, hMb: Int, nFrames: Int, qp: Int,
+      mixed: Boolean = false): (Array[Byte], Vector[H264Frame]) = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(nal(7, spsRbsp(wMb, hMb)))
     out.write(nal(8, ppsRbsp()))
@@ -745,24 +898,16 @@ object H264 {
       val tcY = Array.ofDim[Int](hMb * 4, wMb * 4)
       val tcC = Array(Array.ofDim[Int](hMb * 2, wMb * 2),
         Array.ofDim[Int](hMb * 2, wMb * 2))
+      // per-4x4 Intra4x4PredMode store for predicted-mode coding; 2
+      // ("inferred DC") for non-I_4x4 MBs per §8.3.1.1
+      val modeStore = Array.fill(hMb * 4, wMb * 4)(2)
       var checksum = 0L; var modeSum = 0L; var cModeSum = 0L
+      var i4ModeSum = 0L; var nI4 = 0L
       for (mbIdx <- 0 until wMb * hMb) {
         val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
-        val pm = ConstructH.predMode(id, mbIdx, mbX, mbY)
+        val isI4 = mixed && ConstructH.isI4(id, mbIdx)
         val cm = ConstructH.chromaMode(id, mbIdx, mbX, mbY)
-        val cbpL = ConstructH.cbpLuma15(id, mbIdx)
-        val cbpC = ConstructH.cbpChroma(id, mbIdx)
-        modeSum += pm; cModeSum += cm
-        val dc = ConstructH.blockLevels(id, f, mbIdx, 0, 16)
-        val ac = Array.tabulate(16)(b =>
-          if (cbpL) ConstructH.blockLevels(id, f, mbIdx, 1 + b, 15)
-          else new Array[Int](15))
-        val cdc = Array.tabulate(2)(c =>
-          if (cbpC > 0) ConstructH.blockLevels(id, f, mbIdx, 17 + c, 4)
-          else new Array[Int](4))
-        val cac = Array.tabulate(2, 4)((c, b) =>
-          if (cbpC == 2) ConstructH.blockLevels(id, f, mbIdx, 19 + 4 * c + b, 15)
-          else new Array[Int](15))
+        cModeSum += cm
         def sumBlock(tag: Int, levels: Array[Int]): Unit = {
           var s = 0
           while (s < levels.length) {
@@ -771,35 +916,106 @@ object H264 {
             s += 1
           }
         }
-        sumBlock(0, dc)
-        if (cbpL) (0 until 16).foreach(b => sumBlock(1 + b, ac(b)))
-        if (cbpC > 0) (0 until 2).foreach(c => sumBlock(17 + c, cdc(c)))
-        if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4)
-          sumBlock(19 + 4 * c + b, cac(c)(b))
-        // mb_type: 1 + pm + 4·cbpC + 12·(cbp luma 15)
-        w.ue(1 + pm + 4 * cbpC + (if (cbpL) 12 else 0))
-        w.ue(cm) // intra_chroma_pred_mode
-        w.se(0) // mb_qp_delta
-        // residual order (§7.4.5.3.3): luma DC, luma AC ×16, chroma DC
-        // Cb+Cr, chroma AC Cb ×4 then Cr ×4
-        writeResidual(w, dc, nCOf(tcY, mbX * 4, mbY * 4))
-        if (cbpL) for (b <- 0 until 16) {
-          val (x4, y4) = blkPos(b)
-          writeResidual(w, ac(b), nCOf(tcY, mbX * 4 + x4, mbY * 4 + y4))
-          tcY(mbY * 4 + y4)(mbX * 4 + x4) = ac(b).count(_ != 0)
+        if (isI4) {
+          nI4 += 1
+          val cbp = ConstructH.cbpI4(id, mbIdx)
+          val cbpL = (cbp & 15) != 0
+          val cbpC = cbp >> 4
+          val i4Modes = Array.tabulate(16) { b =>
+            val (x4, y4) = blkPos(b)
+            val m = ConstructH.i4Mode(id, mbIdx, b,
+              hasLeft = mbX * 4 + x4 > 0, hasTop = mbY * 4 + y4 > 0)
+            i4ModeSum += m
+            m
+          }
+          val ac = Array.tabulate(16)(b =>
+            if (cbpL) ConstructH.blockLevels(id, f, mbIdx, 1 + b, 16)
+            else new Array[Int](16))
+          val cdc = Array.tabulate(2)(c =>
+            if (cbpC > 0) ConstructH.blockLevels(id, f, mbIdx, 17 + c, 4)
+            else new Array[Int](4))
+          val cac = Array.tabulate(2, 4)((c, b) =>
+            if (cbpC == 2) ConstructH.blockLevels(id, f, mbIdx, 19 + 4 * c + b, 15)
+            else new Array[Int](15))
+          if (cbpL) (0 until 16).foreach(b => sumBlock(1 + b, ac(b)))
+          if (cbpC > 0) (0 until 2).foreach(c => sumBlock(17 + c, cdc(c)))
+          if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4)
+            sumBlock(19 + 4 * c + b, cac(c)(b))
+          w.ue(0) // mb_type: I_NxN
+          // per-block predicted-mode coding (§8.3.1.1)
+          for (b <- 0 until 16) {
+            val (x4, y4) = blkPos(b)
+            val gx = mbX * 4 + x4; val gy = mbY * 4 + y4
+            val mA = if (gx > 0) modeStore(gy)(gx - 1) else -1
+            val mB = if (gy > 0) modeStore(gy - 1)(gx) else -1
+            val predM = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+            val m = i4Modes(b)
+            if (m == predM) w.put(1, 1)
+            else { w.put(0, 1); w.put(if (m < predM) m else m - 1, 3) }
+            modeStore(gy)(gx) = m
+          }
+          w.ue(cm)
+          w.ue(CbpIntraSubset.indexOf(cbp)) // me(v): the transcribed subset
+          if (cbp != 0) w.se(0) // mb_qp_delta only when coded
+          if (cbpL) for (b <- 0 until 16) {
+            val (x4, y4) = blkPos(b)
+            writeResidual(w, ac(b), nCOf(tcY, mbX * 4 + x4, mbY * 4 + y4))
+            tcY(mbY * 4 + y4)(mbX * 4 + x4) = ac(b).count(_ != 0)
+          }
+          if (cbpC > 0) for (c <- 0 until 2) writeResidual(w, cdc(c), -1)
+          if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+            writeResidual(w, cac(c)(b),
+              nCOf(tcC(c), mbX * 2 + b % 2, mbY * 2 + b / 2))
+            tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = cac(c)(b).count(_ != 0)
+          }
+          reconstructMb(MbData(isI4 = true, 0, i4Modes, cm, cbpL, cbpC,
+            new Array[Int](16), ac, cdc, cac), qp, mbX, mbY, y, cb, cr, wMb)
+        } else {
+          val pm = ConstructH.predMode(id, mbIdx, mbX, mbY)
+          val cbpL = ConstructH.cbpLuma15(id, mbIdx)
+          val cbpC = ConstructH.cbpChroma(id, mbIdx)
+          modeSum += pm
+          val dc = ConstructH.blockLevels(id, f, mbIdx, 0, 16)
+          val ac = Array.tabulate(16)(b =>
+            if (cbpL) ConstructH.blockLevels(id, f, mbIdx, 1 + b, 15)
+            else new Array[Int](15))
+          val cdc = Array.tabulate(2)(c =>
+            if (cbpC > 0) ConstructH.blockLevels(id, f, mbIdx, 17 + c, 4)
+            else new Array[Int](4))
+          val cac = Array.tabulate(2, 4)((c, b) =>
+            if (cbpC == 2) ConstructH.blockLevels(id, f, mbIdx, 19 + 4 * c + b, 15)
+            else new Array[Int](15))
+          sumBlock(0, dc)
+          if (cbpL) (0 until 16).foreach(b => sumBlock(1 + b, ac(b)))
+          if (cbpC > 0) (0 until 2).foreach(c => sumBlock(17 + c, cdc(c)))
+          if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4)
+            sumBlock(19 + 4 * c + b, cac(c)(b))
+          // mb_type: 1 + pm + 4·cbpC + 12·(cbp luma 15)
+          w.ue(1 + pm + 4 * cbpC + (if (cbpL) 12 else 0))
+          w.ue(cm) // intra_chroma_pred_mode
+          w.se(0) // mb_qp_delta
+          // residual order (§7.4.5.3.3): luma DC, luma AC ×16, chroma DC
+          // Cb+Cr, chroma AC Cb ×4 then Cr ×4
+          writeResidual(w, dc, nCOf(tcY, mbX * 4, mbY * 4))
+          if (cbpL) for (b <- 0 until 16) {
+            val (x4, y4) = blkPos(b)
+            writeResidual(w, ac(b), nCOf(tcY, mbX * 4 + x4, mbY * 4 + y4))
+            tcY(mbY * 4 + y4)(mbX * 4 + x4) = ac(b).count(_ != 0)
+          }
+          if (cbpC > 0) for (c <- 0 until 2) writeResidual(w, cdc(c), -1)
+          if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+            writeResidual(w, cac(c)(b),
+              nCOf(tcC(c), mbX * 2 + b % 2, mbY * 2 + b / 2))
+            tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = cac(c)(b).count(_ != 0)
+          }
+          reconstructMb(MbData(isI4 = false, pm, Array.empty, cm, cbpL,
+            cbpC, dc, ac, cdc, cac), qp, mbX, mbY, y, cb, cr, wMb)
         }
-        if (cbpC > 0) for (c <- 0 until 2) writeResidual(w, cdc(c), -1)
-        if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
-          writeResidual(w, cac(c)(b),
-            nCOf(tcC(c), mbX * 2 + b % 2, mbY * 2 + b / 2))
-          tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = cac(c)(b).count(_ != 0)
-        }
-        reconstructMb(MbData(pm, cm, cbpL, cbpC, dc, ac, cdc, cac),
-          qp, mbX, mbY, y, cb, cr, wMb)
       }
       w.rbspTrailing()
       out.write(nal(5, w.result()))
-      frames += H264Frame(y, cb, cr, checksum, modeSum, cModeSum)
+      frames += H264Frame(y, cb, cr, checksum, modeSum, cModeSum,
+        i4ModeSum, nI4)
     }
     (out.toByteArray, frames.result())
   }
@@ -876,37 +1092,13 @@ object H264 {
           val tcY = Array.ofDim[Int](hMb * 4, wMb * 4)
           val tcC = Array(Array.ofDim[Int](hMb * 2, wMb * 2),
             Array.ofDim[Int](hMb * 2, wMb * 2))
+          val modeStore = Array.fill(hMb * 4, wMb * 4)(2)
           var checksum = 0L; var modeSum = 0L; var cModeSum = 0L
+          var i4ModeSum = 0L; var nI4 = 0L
           for (mbIdx <- 0 until wMb * hMb) {
             val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
             val mbType = r.ue()
-            if (mbType < 1 || mbType > 24) return None // I_16x16 only
-            val pm = (mbType - 1) % 4
-            val cbpC = ((mbType - 1) / 4) % 3
-            val cbpL = (mbType - 1) >= 12
-            val cm = r.ue()
-            if (cm > 3) return None
-            if (r.se() != 0) return None // mb_qp_delta (construction)
-            modeSum += pm; cModeSum += cm
-            val (dc, _) = readResidual(r, 16, nCOf(tcY, mbX * 4, mbY * 4))
-            val ac = Array.fill(16)(new Array[Int](15))
-            if (cbpL) for (b <- 0 until 16) {
-              val (x4, y4) = blkPos(b)
-              val (cf, tc) = readResidual(r, 15,
-                nCOf(tcY, mbX * 4 + x4, mbY * 4 + y4))
-              ac(b) = cf
-              tcY(mbY * 4 + y4)(mbX * 4 + x4) = tc
-            }
-            val cdc = Array.fill(2)(new Array[Int](4))
-            if (cbpC > 0) for (c <- 0 until 2)
-              cdc(c) = readResidual(r, 4, -1)._1
-            val cac = Array.fill(2, 4)(new Array[Int](15))
-            if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
-              val (cf, tc) = readResidual(r, 15,
-                nCOf(tcC(c), mbX * 2 + b % 2, mbY * 2 + b / 2))
-              cac(c)(b) = cf
-              tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = tc
-            }
+            if (mbType > 24) return None // I_NxN + I_16x16 only
             def sumBlock(tag: Int, levels: Array[Int]): Unit = {
               var s = 0
               while (s < levels.length) {
@@ -915,15 +1107,99 @@ object H264 {
                 s += 1
               }
             }
-            sumBlock(0, dc)
-            if (cbpL) (0 until 16).foreach(b => sumBlock(1 + b, ac(b)))
-            if (cbpC > 0) (0 until 2).foreach(c => sumBlock(17 + c, cdc(c)))
-            if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4)
-              sumBlock(19 + 4 * c + b, cac(c)(b))
-            reconstructMb(MbData(pm, cm, cbpL, cbpC, dc, ac, cdc, cac),
-              qp, mbX, mbY, y, cb, cr, wMb)
+            if (mbType == 0) { // I_4x4
+              nI4 += 1
+              val i4Modes = new Array[Int](16)
+              for (b <- 0 until 16) {
+                val (x4, y4) = blkPos(b)
+                val gx = mbX * 4 + x4; val gy = mbY * 4 + y4
+                val mA = if (gx > 0) modeStore(gy)(gx - 1) else -1
+                val mB = if (gy > 0) modeStore(gy - 1)(gx) else -1
+                val predM = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+                val m =
+                  if (r.get(1) == 1) predM
+                  else {
+                    val rem = r.get(3)
+                    if (rem < predM) rem else rem + 1
+                  }
+                if (m > 8) return None
+                i4Modes(b) = m
+                i4ModeSum += m
+                modeStore(gy)(gx) = m
+              }
+              val cm = r.ue()
+              if (cm > 3) return None
+              cModeSum += cm
+              val cbpCode = r.ue()
+              if (cbpCode >= CbpIntraSubset.length)
+                return None // outside the transcribed Table 9-4 subset
+              val cbp = CbpIntraSubset(cbpCode)
+              val cbpL = (cbp & 15) != 0
+              val cbpC = cbp >> 4
+              if (cbp != 0 && r.se() != 0) return None // mb_qp_delta
+              val ac = Array.fill(16)(new Array[Int](16))
+              if (cbpL) for (b <- 0 until 16) {
+                val (x4, y4) = blkPos(b)
+                val (cf, tc) = readResidual(r, 16,
+                  nCOf(tcY, mbX * 4 + x4, mbY * 4 + y4))
+                ac(b) = cf
+                tcY(mbY * 4 + y4)(mbX * 4 + x4) = tc
+              }
+              val cdc = Array.fill(2)(new Array[Int](4))
+              if (cbpC > 0) for (c <- 0 until 2)
+                cdc(c) = readResidual(r, 4, -1)._1
+              val cac = Array.fill(2, 4)(new Array[Int](15))
+              if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+                val (cf, tc) = readResidual(r, 15,
+                  nCOf(tcC(c), mbX * 2 + b % 2, mbY * 2 + b / 2))
+                cac(c)(b) = cf
+                tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = tc
+              }
+              if (cbpL) (0 until 16).foreach(b => sumBlock(1 + b, ac(b)))
+              if (cbpC > 0) (0 until 2).foreach(c => sumBlock(17 + c, cdc(c)))
+              if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4)
+                sumBlock(19 + 4 * c + b, cac(c)(b))
+              reconstructMb(MbData(isI4 = true, 0, i4Modes, cm, cbpL,
+                cbpC, new Array[Int](16), ac, cdc, cac),
+                qp, mbX, mbY, y, cb, cr, wMb)
+            } else {
+              val pm = (mbType - 1) % 4
+              val cbpC = ((mbType - 1) / 4) % 3
+              val cbpL = (mbType - 1) >= 12
+              val cm = r.ue()
+              if (cm > 3) return None
+              if (r.se() != 0) return None // mb_qp_delta (construction)
+              modeSum += pm; cModeSum += cm
+              val (dc, _) = readResidual(r, 16, nCOf(tcY, mbX * 4, mbY * 4))
+              val ac = Array.fill(16)(new Array[Int](15))
+              if (cbpL) for (b <- 0 until 16) {
+                val (x4, y4) = blkPos(b)
+                val (cf, tc) = readResidual(r, 15,
+                  nCOf(tcY, mbX * 4 + x4, mbY * 4 + y4))
+                ac(b) = cf
+                tcY(mbY * 4 + y4)(mbX * 4 + x4) = tc
+              }
+              val cdc = Array.fill(2)(new Array[Int](4))
+              if (cbpC > 0) for (c <- 0 until 2)
+                cdc(c) = readResidual(r, 4, -1)._1
+              val cac = Array.fill(2, 4)(new Array[Int](15))
+              if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+                val (cf, tc) = readResidual(r, 15,
+                  nCOf(tcC(c), mbX * 2 + b % 2, mbY * 2 + b / 2))
+                cac(c)(b) = cf
+                tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = tc
+              }
+              sumBlock(0, dc)
+              if (cbpL) (0 until 16).foreach(b => sumBlock(1 + b, ac(b)))
+              if (cbpC > 0) (0 until 2).foreach(c => sumBlock(17 + c, cdc(c)))
+              if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4)
+                sumBlock(19 + 4 * c + b, cac(c)(b))
+              reconstructMb(MbData(isI4 = false, pm, Array.empty, cm,
+                cbpL, cbpC, dc, ac, cdc, cac), qp, mbX, mbY, y, cb, cr, wMb)
+            }
           }
-          frames += H264Frame(y, cb, cr, checksum, modeSum, cModeSum)
+          frames += H264Frame(y, cb, cr, checksum, modeSum, cModeSum,
+            i4ModeSum, nI4)
         case _ => return None
       }
       val fs = frames.result()

@@ -1514,8 +1514,9 @@ object Multimodal {
     * motion-compensated P-pictures (q288) and bidirectionally-predicted
     * B-pictures with the normative transmission-order reorder (q289),
     * all via [[Mpeg1.decodeIFrames]] — and H.264 BASELINE INTRA
-    * (I_16x16: NAL/SPS/PPS, CAVLC, intra prediction, inverse integer
-    * transforms) via [[graft.operators.H264]] (q303); plus MJPEG-in-AVI
+    * (I_16x16 AND I_4x4: NAL/SPS/PPS, CAVLC, all thirteen intra
+    * prediction modes, inverse integer transforms) via
+    * [[graft.operators.H264]] (q303/q307); plus MJPEG-in-AVI
     * (q272); compressed images via JPEG/PNG/GIF/TIFF. The AUDIO surface
     * is empty since r14: PCM/IMA-ADPCM WAV decode to samples (q290),
     * and entropy-coded MPEG-1 Layer II decodes for real through bit

@@ -1807,6 +1807,167 @@ object PipelineQueries extends Registry {
           LEFT JOIN sums s ON s.id = fr.id AND s.frame_idx = fr.frame_idx
           ORDER BY fr.id, fr.frame_idx""")),
 
+    // ---- H.264 I_4x4 INTRA (q303's named next rung, made real the same
+    //      round): mixed slices alternate I_4x4 and I_16x16 macroblocks,
+    //      exercising per-block predicted-mode coding (§8.3.1.1 —
+    //      prev_intra4x4_pred_mode_flag / rem, with non-I_4x4 neighbors
+    //      inferring DC and min(modeA, modeB) prediction across MB
+    //      boundaries), ALL NINE 4x4 prediction modes (§8.3.1.2 incl.
+    //      the diagonal/VR/HD/VL/HU formulas, p[-1,-1] corner reads and
+    //      the top-right substitution with its decode-order availability
+    //      rules — blkIdx 3/7/11/13/15 famously unavailable), the
+    //      coded_block_pattern me(v) SUBSET the construction emits
+    //      (codeNums 0-3 → CBP 47/31/15/0; the full Table 9-4 is
+    //      deliberately untranscribed — documented policy), per-block
+    //      full-16-coefficient CAVLC, and block-sequential reconstruction
+    //      where each prediction reads RECONSTRUCTED earlier blocks of
+    //      the same MB. Gate: bit-exact planes + CAVLC checksum + both
+    //      mode sums re-derived by the oracle. Row-local, zero shuffle. --
+    Q("q307_h264_i4x4",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 17 === 7)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, nch) =>
+              val (wMb, hMb) = H264.ConstructH.dims(id, nch)
+              val nf = H264.ConstructH.nFrames(id)
+              val qp = H264.ConstructH.qp(id)
+              val (bytes, expect) = H264.encode(id, wMb, hMb, nf, qp,
+                mixed = true)
+              val st = H264.decode(bytes).get
+              st.frames.zip(expect).zipWithIndex.map { case ((got, exp), f) =>
+                val exact = got.y.sameElements(exp.y) &&
+                  got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr)
+                (id, f.toLong, (wMb * 16).toLong, (hMb * 16).toLong,
+                  (wMb * hMb).toLong, got.nI4Mbs, qp.toLong,
+                  got.modeSum, got.i4ModeSum, got.chromaModeSum,
+                  got.levelChecksum, if (exact) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "width", "height", "n_mbs", "n_i4_mbs",
+            "qp", "mode_sum", "i4_mode_sum", "chroma_mode_sum",
+            "level_checksum", "recon_exact")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""WITH d AS (
+            SELECT doc_id AS id, n_chars,
+              CAST(1 + doc_id % 3 AS BIGINT) AS wmb,
+              CAST(1 + n_chars % 2 AS BIGINT) AS hmb,
+              CAST(20 + doc_id % 8 AS BIGINT) AS qp
+            FROM documents WHERE doc_id % 17 = 7),
+          fr AS (
+            SELECT id, wmb, hmb, qp, CAST(t.f AS BIGINT) AS frame_idx
+            FROM d, UNNEST(range(0, 1 + id % 2)) AS t(f)),
+          mb AS (
+            SELECT fr.*, CAST(m.m AS BIGINT) AS mb,
+              CAST(m.m % wmb AS BIGINT) AS mbx,
+              CAST(m.m // wmb AS BIGINT) AS mby,
+              (id + m.m) % 2 = 0 AS isi4,
+              -- I_16x16 CBP formulas (non-I4 MBs)
+              (id + m.m) % 3 != 2 AS cbpl16,
+              CAST((id + 2 + m.m) % 3 AS BIGINT) AS cbpc16,
+              -- I_4x4 CBP from the me(v) subset [47, 31, 15, 0]
+              (id + m.m) % 4 != 3 AS cbpl4,
+              CAST(CASE (id + m.m) % 4 WHEN 0 THEN 2 WHEN 1 THEN 1
+                   ELSE 0 END AS BIGINT) AS cbpc4
+            FROM fr, UNNEST(range(0, wmb * hmb)) AS m(m)),
+          modes16 AS (
+            SELECT id, frame_idx, sum(CASE
+                WHEN mbx > 0 AND mby > 0 THEN
+                  list_extract([0, 1, 2, 3], CAST((id + mb) % 4 AS INT) + 1)
+                WHEN mby > 0 THEN
+                  list_extract([0, 2], CAST((id + mb) % 2 AS INT) + 1)
+                WHEN mbx > 0 THEN
+                  list_extract([1, 2], CAST((id + mb) % 2 AS INT) + 1)
+                ELSE 2 END) AS mode_sum
+            FROM mb WHERE NOT isi4 GROUP BY id, frame_idx),
+          cmodes AS (
+            SELECT id, frame_idx, sum(CASE
+                WHEN mbx > 0 AND mby > 0 THEN
+                  list_extract([0, 1, 2, 3], CAST((id + 2 * mb) % 4 AS INT) + 1)
+                WHEN mby > 0 THEN
+                  list_extract([0, 2], CAST((id + 2 * mb) % 2 AS INT) + 1)
+                WHEN mbx > 0 THEN
+                  list_extract([0, 1], CAST((id + 2 * mb) % 2 AS INT) + 1)
+                ELSE 0 END) AS chroma_mode_sum
+            FROM mb GROUP BY id, frame_idx),
+          i4m AS (
+            SELECT id, frame_idx, sum(CASE
+                WHEN gx > 0 AND gy > 0 THEN (id + mb + blk) % 9
+                WHEN gy > 0 THEN
+                  list_extract([0, 2, 3, 7], CAST((id + mb + blk) % 4 AS INT) + 1)
+                WHEN gx > 0 THEN
+                  list_extract([1, 2, 8], CAST((id + mb + blk) % 3 AS INT) + 1)
+                ELSE 2 END) AS i4_mode_sum
+            FROM (
+              SELECT mb.*, CAST(bk.blk AS BIGINT) AS blk,
+                mbx * 4 + 2 * ((bk.blk // 4) % 2) + bk.blk % 2 AS gx,
+                mby * 4 + 2 * (bk.blk // 8) + (bk.blk // 2) % 2 AS gy
+              FROM mb, UNNEST(range(0, 16)) AS bk(blk)
+              WHERE isi4)
+            GROUP BY id, frame_idx),
+          tags AS (
+            SELECT mb.*, CAST(tg.tag AS BIGINT) AS tag,
+              CASE WHEN tg.tag = 0 THEN 16
+                   WHEN tg.tag BETWEEN 1 AND 16 THEN
+                     CASE WHEN isi4 THEN 16 ELSE 15 END
+                   WHEN tg.tag BETWEEN 17 AND 18 THEN 4
+                   ELSE 15 END AS ncoeffs
+            FROM mb, UNNEST(range(0, 27)) AS tg(tag)
+            WHERE (tg.tag = 0 AND NOT isi4)
+               OR (tg.tag BETWEEN 1 AND 16 AND
+                   ((isi4 AND cbpl4) OR (NOT isi4 AND cbpl16)))
+               OR (tg.tag BETWEEN 17 AND 18 AND
+                   ((isi4 AND cbpc4 > 0) OR (NOT isi4 AND cbpc16 > 0)))
+               OR (tg.tag BETWEEN 19 AND 26 AND
+                   ((isi4 AND cbpc4 = 2) OR (NOT isi4 AND cbpc16 = 2)))),
+          lev AS (
+            SELECT t.*, CAST(kk.k AS BIGINT) AS k,
+              CASE WHEN ncoeffs = 4 THEN 1
+                   ELSE 1 + CAST((id + tag) % 4 AS BIGINT) END AS step,
+              CAST((id + frame_idx + mb + tag) %
+                (CASE WHEN tag >= 19 THEN 3 ELSE 4 END) AS BIGINT) AS n
+            FROM tags t, UNNEST(range(0, 3)) AS kk(k)
+            WHERE kk.k < (id + frame_idx + mb + tag) %
+              (CASE WHEN tag >= 19 THEN 3 ELSE 4 END)),
+          contrib AS (
+            SELECT id, frame_idx,
+              (1 + (id + mb + tag * 2 + k + frame_idx) % 3) *
+              (CASE WHEN (id + mb + tag + k) % 2 = 0 THEN 1 ELSE -1 END) *
+              (mb * 131 + tag * 17 +
+                (CASE WHEN ncoeffs = 4 THEN (id + tag + mb) % 2
+                 ELSE (id + mb + tag) % (ncoeffs - (n - 1) * step) END)
+                + k * step + 1) AS c
+            FROM lev),
+          sums AS (
+            SELECT id, frame_idx, CAST(sum(c) AS BIGINT) AS level_checksum
+            FROM contrib GROUP BY id, frame_idx),
+          ni4 AS (
+            SELECT id, frame_idx, count(*) AS n_i4
+            FROM mb WHERE isi4 GROUP BY id, frame_idx)
+          SELECT fr.id, fr.frame_idx,
+            CAST(fr.wmb * 16 AS BIGINT) AS width,
+            CAST(fr.hmb * 16 AS BIGINT) AS height,
+            CAST(fr.wmb * fr.hmb AS BIGINT) AS n_mbs,
+            CAST(coalesce(n4.n_i4, 0) AS BIGINT) AS n_i4_mbs,
+            fr.qp AS qp,
+            CAST(coalesce(m16.mode_sum, 0) AS BIGINT) AS mode_sum,
+            CAST(coalesce(i4.i4_mode_sum, 0) AS BIGINT) AS i4_mode_sum,
+            CAST(cm.chroma_mode_sum AS BIGINT) AS chroma_mode_sum,
+            coalesce(s.level_checksum, 0) AS level_checksum,
+            CAST(1 AS BIGINT) AS recon_exact
+          FROM fr
+          LEFT JOIN modes16 m16 ON m16.id = fr.id AND m16.frame_idx = fr.frame_idx
+          LEFT JOIN i4m i4 ON i4.id = fr.id AND i4.frame_idx = fr.frame_idx
+          LEFT JOIN ni4 n4 ON n4.id = fr.id AND n4.frame_idx = fr.frame_idx
+          JOIN cmodes cm ON cm.id = fr.id AND cm.frame_idx = fr.frame_idx
+          LEFT JOIN sums s ON s.id = fr.id AND s.frame_idx = fr.frame_idx
+          ORDER BY fr.id, fr.frame_idx""")),
+
     // ---- REAL animated-format frame extraction: each doc's metadata
     //      derives an animated GIF (spec-valid 89a, hand-written LZW
     //      stream ImageIO decodes identically — ImageIOCrossCheckSpec),

@@ -139,6 +139,68 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("I_4x4 mixed slices: encode -> decode BIT-EXACT; mode machinery exercised") {
+    for (id <- Seq(2L, 6L, 11L, 24L, 39L)) {
+      val (wMb, hMb) = H264.ConstructH.dims(id, id * 3 + 1)
+      val nf = H264.ConstructH.nFrames(id)
+      val qp = H264.ConstructH.qp(id)
+      val (bytes, expect) = H264.encode(id, wMb, hMb, nf, qp, mixed = true)
+      val st = H264.decode(bytes).getOrElse(fail(s"id=$id: decode None"))
+      assert(st.frames.size == nf)
+      st.frames.zip(expect).zipWithIndex.foreach { case ((got, exp), f) =>
+        assert(got.y.toSeq == exp.y.toSeq, s"id=$id f=$f luma differs")
+        assert(got.cb.toSeq == exp.cb.toSeq && got.cr.toSeq == exp.cr.toSeq)
+        assert(got.levelChecksum == exp.levelChecksum)
+        assert(got.i4ModeSum == exp.i4ModeSum && got.nI4Mbs == exp.nI4Mbs)
+        // mixed means BOTH MB classes appear whenever there are >= 2 MBs
+        if (wMb * hMb >= 2) assert(got.nI4Mbs > 0 && got.nI4Mbs < wMb * hMb)
+      }
+    }
+    // across the id sweep, every 4x4 prediction mode 0..8 is exercised
+    val modes = (for {
+      id <- 0L until 24L; mb <- 0 until 6; blk <- 0 until 16
+    } yield H264.ConstructH.i4Mode(id, mb, blk, hasLeft = true, hasTop = true)).toSet
+    assert(modes == (0 to 8).toSet, s"modes hit: $modes")
+  }
+
+  test("I_4x4 neighbor rules: top-right availability and mode prediction") {
+    // the canonical unavailable set inside an MB: blkIdx 3, 7, 11, 13, 15
+    val unavailInner = (0 until 16).filterNot { b =>
+      val (x4, y4) = H264.blkPos(b)
+      H264.topRightAvail(mbX = 1, mbY = 1, x4, y4, wMb = 4)
+    }
+    assert(unavailInner == Seq(3, 7, 11, 13, 15), s"got $unavailInner")
+    // blk (3,0) depends on the above-RIGHT MB: last MB column → unavailable
+    assert(!H264.topRightAvail(mbX = 3, mbY = 1, x4 = 3, y4 = 0, wMb = 4))
+    assert(H264.topRightAvail(mbX = 2, mbY = 1, x4 = 3, y4 = 0, wMb = 4))
+    // top MB row: nothing above
+    assert(!H264.topRightAvail(mbX = 1, mbY = 0, x4 = 1, y4 = 0, wMb = 4))
+    // blkIdx <-> position round-trips
+    (0 until 16).foreach { b =>
+      val (x, y) = H264.blkPos(b)
+      assert(H264.blkIdxOf(x, y) == b)
+    }
+    // allowed-mode sets by availability
+    assert(H264.i4Allowed(hasLeft = true, hasTop = true) == (0 to 8))
+    assert(H264.i4Allowed(hasLeft = false, hasTop = true) == Seq(0, 2, 3, 7))
+    assert(H264.i4Allowed(hasLeft = true, hasTop = false) == Seq(1, 2, 8))
+    assert(H264.i4Allowed(hasLeft = false, hasTop = false) == Seq(2))
+  }
+
+  test("I_4x4 prediction formulas: DC fallbacks and flat-neighbor identity") {
+    // flat neighbors: every mode must predict the flat value
+    val t = Array.fill(8)(100); val l = Array.fill(4)(100)
+    for (m <- 0 to 8) {
+      val p = H264.predict4(m, t, l, 100, hasLeft = true, hasTop = true)
+      assert(p.forall(_ == 100), s"mode $m not flat: ${p.toSeq}")
+    }
+    // DC availability fallbacks
+    assert(H264.predict4(2, t, l, 0, hasLeft = false, hasTop = false)
+      .forall(_ == 128))
+    assert(H264.predict4(2, Array.fill(8)(60), l, 0, hasLeft = false,
+      hasTop = true).forall(_ == 60))
+  }
+
   test("rejection: truncation, corruption, non-baseline, CABAC, qp bound") {
     val (ok, _) = H264.encode(7L, 2, 1, 1, 22)
     assert(H264.decode(ok).isDefined)
