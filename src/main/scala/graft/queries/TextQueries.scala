@@ -363,6 +363,93 @@ object TextQueries extends Registry {
       .toDF("shard", "n_docs", "n_bins", "sum_tokens", "waste")
   }
 
+  // ---- q305/q308 shared BPE machinery ---------------------------------
+
+  /** Word-frequency vocab with the '_'-terminated space-delimited symbol
+    * encoding (see q305's registration comment for why this encoding
+    * makes replace() exactly BPE's greedy merge). Spark's split('') keeps
+    * a trailing empty element DuckDB's string_split drops — filtered so
+    * both engines see the same initial sequence. Vocab-sized on a
+    * handful of partitions (the per-round jobs are latency-bound).
+    */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    materialize(docs(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]{2,12}$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("sym", expr(
+        "' ' || concat_ws(' ', transform(filter(split(word, ''), " +
+          "c -> c != ''), c -> c || '_')) || ' '"))
+      .coalesce(4))
+
+  private def bpePairCounts(v: DataFrame): DataFrame = v
+    .select(col("freq"), split(trim(col("sym")), " ").as("arr"))
+    .filter(size(col("arr")) >= 2) // a fully-merged word has no pairs
+    .select(col("freq"), col("arr"),
+      posexplode(expr("sequence(0, size(arr) - 2)")))
+    .select(col("freq"), expr("arr[col]").as("l"), expr("arr[col + 1]").as("r"))
+    .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("c"))
+
+  /** Six learned merge rounds: (round, winning pair frame, merged vocab).
+    * Each round ends in localCheckpoint, NOT persist: each round's sym
+    * is a replace() over the previous round's, so a persist-only chain
+    * keeps the full nested lineage in the logical plan and Catalyst/
+    * codegen time doubles per round (measured: 20 s at round 6 — the
+    * q192 post-mortem class; SCALING.md's iterative-kernel rule).
+    */
+  private def bpeRounds(s: SparkSession,
+      v0: DataFrame): Seq[(Int, DataFrame, DataFrame)] = {
+    var v = v0
+    (1 to 6).map { k =>
+      // best is read twice (rewrite + output row): checkpoint the 1-row
+      // frame so the vocab-wide pair count runs once
+      val best = bpePairCounts(v)
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).localCheckpoint(true)
+      val merged = v.crossJoin(broadcast(best))
+        .select(col("word"), col("freq"), expr(
+          "replace(sym, ' ' || l || ' ' || r, ' ' || substr(l, 1, length(l) - 1) || r)")
+          .as("sym"))
+        .localCheckpoint(true)
+      v = merged
+      (k, best, merged)
+    }
+  }
+
+  /** The DuckDB twin of [[bpeVocab]] + [[bpeRounds]]: wf and the six
+    * unrolled rounds (p/b/v/tk CTEs per round), shared by the q305 and
+    * q308 oracles.
+    */
+  private val bpeCtes: String = {
+    def roundSql(k: Int, prev: String) =
+      s"""p$k AS (SELECT l, r, sum(freq) AS c FROM (
+            SELECT freq, arr[i] AS l, arr[i + 1] AS r FROM (
+              SELECT freq, string_split(trim(sym), ' ') AS arr FROM $prev),
+            UNNEST(range(1, len(arr))) AS t(i))
+          GROUP BY l, r),
+        b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+        v$k AS (SELECT word, freq,
+            replace(sym, ' ' || b.l || ' ' || b.r,
+              ' ' || substr(b.l, 1, length(b.l) - 1) || b.r) AS sym
+          FROM $prev, b$k b),
+        tk$k AS (SELECT sum(freq * len(string_split(trim(sym), ' '))) AS t
+          FROM v$k)"""
+    s"""wf AS (
+        SELECT word, count(*) AS freq,
+          ' ' || array_to_string(list_transform(string_split(word, ''),
+            c -> c || '_'), ' ') || ' ' AS sym
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+        WHERE regexp_matches(word, '^[a-z0-9]{2,12}$$')
+        GROUP BY word),
+      ${roundSql(1, "wf")},
+      ${roundSql(2, "v1")},
+      ${roundSql(3, "v2")},
+      ${roundSql(4, "v3")},
+      ${roundSql(5, "v4")},
+      ${roundSql(6, "v5")}"""
+  }
+
   /** q161's funnel stages as DuckDB CTEs (s1..s5), shared with q300. */
   private def funnelCtes: String = s"""s1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
           lex(word, cand_lang) AS (VALUES ${LangLexicon.sqlValues}),
@@ -4052,50 +4139,7 @@ object TextQueries extends Registry {
     Q("q305_bpe_train",
       (s, dir) => {
         import s.implicits._
-        // Spark's split('', -1 limit) keeps a trailing empty element that
-        // DuckDB's string_split drops — the filter removes it so both
-        // engines see the same initial symbol sequence
-        // vocab-sized state on a handful of partitions: the per-round
-        // jobs are latency-bound (12+ tiny stages), so 32-way shuffles
-        // of a few-MB vocab only add scheduling overhead
-        val wf = materialize(docs(s, dir)
-          .select(explode(split(lower($"text"), " ")).as("word"))
-          .filter($"word".rlike("^[a-z0-9]{2,12}$"))
-          .groupBy($"word").agg(count(lit(1)).as("freq"))
-          .withColumn("sym", expr(
-            "' ' || concat_ws(' ', transform(filter(split(word, ''), " +
-              "c -> c != ''), c -> c || '_')) || ' '"))
-          .coalesce(4))
-        def pairCounts(v: DataFrame): DataFrame = v
-          .select($"freq", split(trim($"sym"), " ").as("arr"))
-          .filter(size($"arr") >= 2) // a fully-merged word has no pairs
-          .select($"freq", $"arr", posexplode(expr("sequence(0, size(arr) - 2)")))
-          .select($"freq", expr("arr[col]").as("l"), expr("arr[col + 1]").as("r"))
-          .groupBy($"l", $"r").agg(sum($"freq").as("c"))
-        def round6(v0: DataFrame): Seq[(Int, DataFrame, DataFrame)] = {
-          var v = v0
-          (1 to 6).map { k =>
-            // best is read twice (rewrite + output row): checkpoint the
-            // 1-row frame so the vocab-wide pair count runs once
-            val best = pairCounts(v).orderBy($"c".desc, $"l", $"r")
-              .limit(1).localCheckpoint(true)
-            // localCheckpoint, NOT persist: each round's sym is a
-            // replace() over the previous round's, so a persist-only
-            // chain keeps the full nested lineage in the logical plan
-            // and Catalyst/codegen time doubles per round (measured:
-            // merge6 20 s, final count 49 s — the q192 post-mortem
-            // class; SCALING.md's iterative-kernel rule). Checkpointing
-            // truncates the plan to a leaf per round.
-            val merged = v.crossJoin(broadcast(best))
-              .select($"word", $"freq", expr(
-                "replace(sym, ' ' || l || ' ' || r, ' ' || substr(l, 1, length(l) - 1) || r)")
-                .as("sym"))
-              .localCheckpoint(true)
-            v = merged
-            (k, best, merged)
-          }
-        }
-        val rounds = round6(wf)
+        val rounds = bpeRounds(s, bpeVocab(s, dir))
         rounds.map { case (k, best, merged) =>
           val tok = merged.select(
             sum($"freq" * size(split(trim($"sym"), " "))).as("corpus_tokens_after"))
@@ -4106,33 +4150,7 @@ object TextQueries extends Registry {
         }.reduce(_ unionAll _).orderBy($"round")
       },
       Some {
-        def roundSql(k: Int, prev: String) =
-          s"""p$k AS (SELECT l, r, sum(freq) AS c FROM (
-                SELECT freq, arr[i] AS l, arr[i + 1] AS r FROM (
-                  SELECT freq, string_split(trim(sym), ' ') AS arr FROM $prev),
-                UNNEST(range(1, len(arr))) AS t(i))
-              GROUP BY l, r),
-            b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
-            v$k AS (SELECT word, freq,
-                replace(sym, ' ' || b.l || ' ' || b.r,
-                  ' ' || substr(b.l, 1, length(b.l) - 1) || b.r) AS sym
-              FROM $prev, b$k b),
-            tk$k AS (SELECT sum(freq * len(string_split(trim(sym), ' '))) AS t
-              FROM v$k)"""
-        s"""WITH wf AS (
-            SELECT word, count(*) AS freq,
-              ' ' || array_to_string(list_transform(string_split(word, ''),
-                c -> c || '_'), ' ') || ' ' AS sym
-            FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
-                  FROM documents)
-            WHERE regexp_matches(word, '^[a-z0-9]{2,12}$$')
-            GROUP BY word),
-          ${roundSql(1, "wf")},
-          ${roundSql(2, "v1")},
-          ${roundSql(3, "v2")},
-          ${roundSql(4, "v3")},
-          ${roundSql(5, "v4")},
-          ${roundSql(6, "v5")}
+        s"""WITH $bpeCtes
           SELECT * FROM (
             SELECT CAST(1 AS BIGINT) AS round, b1.l AS left, b1.r AS right,
               CAST(b1.c AS BIGINT) AS pair_count,
@@ -4149,6 +4167,50 @@ object TextQueries extends Registry {
               CAST(tk6.t AS BIGINT) FROM b6, tk6)
           ORDER BY round"""
       }),
+
+    // ---- BPE APPLICATION of the LEARNED merges (r14 — closes q305's
+    //      learn→apply loop the way a real tokenizer pipeline runs:
+    //      train the merge table on the corpus, then tokenize the SAME
+    //      corpus with it). The per-word piece count comes straight from
+    //      the round-6 vocab (the merges are already applied there — no
+    //      per-document re-merging), so application is ONE corpus-sized
+    //      explode joined to the vocab-sized piece map: AQE broadcasts
+    //      the small side; per-doc BPE token counts, character counts
+    //      and the merge savings are exact integers. Docs whose words
+    //      all fail the [a-z0-9]{2,12} filter drop from both engines
+    //      identically (inner join). ------------------------------------
+    Q("q308_bpe_apply",
+      (s, dir) => {
+        import s.implicits._
+        val v6 = bpeRounds(s, bpeVocab(s, dir)).last._3
+        val pieceMap = v6.select($"word",
+          size(split(trim($"sym"), " ")).cast("long").as("np"),
+          length($"word").cast("long").as("nc"))
+        docs(s, dir)
+          .select($"doc_id", explode(split(lower($"text"), " ")).as("word"))
+          .filter($"word".rlike("^[a-z0-9]{2,12}$"))
+          .join(pieceMap, Seq("word"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_words"), sum($"nc").as("n_chars"),
+            sum($"np").as("bpe_tokens"),
+            (sum($"nc") - sum($"np")).as("tokens_saved"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $bpeCtes,
+          tok AS (SELECT doc_id, word FROM (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+            WHERE regexp_matches(word, '^[a-z0-9]{2,12}$$')),
+          nm AS (SELECT word,
+              CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS np,
+              CAST(length(word) AS BIGINT) AS nc
+            FROM v6)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(nc) AS BIGINT) AS n_chars,
+            CAST(sum(np) AS BIGINT) AS bpe_tokens,
+            CAST(sum(nc) - sum(np) AS BIGINT) AS tokens_saved
+          FROM tok JOIN nm USING (word)
+          GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- GROUP-RELATIVE ADVANTAGE normalization (r14 — the GRPO-style
     //      reward shaping step between reward scoring and the trainer:
