@@ -130,9 +130,8 @@ object StreamingLadder {
     val prior = parsePrior(priorTxt)
 
     val queries = SparkEntry.streamingQueries.toSeq.sorted
-    def measure(name: String, dir: String, feed: Option[Int]): Double = {
-      graft.streaming.StreamingOps.feedLimitOverride = feed
-      try {
+    def measure(name: String, dir: String, feed: Option[Int]): Double =
+      graft.streaming.StreamingOps.withFeedLimit(feed) {
         BenchListener.quiesce(); BenchListener.drain()
         SparkEntry.queries(name)(spark, dir).count()
         BenchListener.quiesce()
@@ -141,8 +140,7 @@ object StreamingLadder {
         val rows = bs.map(_.inputRows).sum
         val ms = bs.map(_.triggerMs).sum
         if (ms <= 0) 0.0 else rows * 1000.0 / ms
-      } finally graft.streaming.StreamingOps.feedLimitOverride = None
-    }
+      }
     val results: Seq[(String, (Double, Double))] = queries.map { q =>
       System.err.println(s"[strm-ladder] $q base feed")
       val rb = measure(q, dir1, None)

@@ -48,8 +48,7 @@ object Fs {
         val eligible = prefixes.exists(name.startsWith) && !keep(name) &&
           java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)
         if (eligible) {
-          val stale = try
-            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+          val stale = try newestMtime(p) < cutoff
           catch { case _: java.io.IOException => false }
           if (stale) {
             try { deleteRecursively(p); removed += 1 }
@@ -59,6 +58,29 @@ object Fs {
       }
     } finally st.close()
     removed
+  }
+
+  /** Newest last-modified time across `p` and its DESCENDANTS (full walk;
+    * these dirs are small). A directory's own mtime only updates when a
+    * direct child is created/deleted, so a live run >6h old whose writes
+    * land in nested subdirs (e.g. a stream dir's out/ checkpoint) would
+    * look stale from the root mtime alone (ADVICE r14) — recency anywhere
+    * inside counts.
+    */
+  private def newestMtime(p: java.nio.file.Path): Long = {
+    var newest = java.nio.file.Files.getLastModifiedTime(p).toMillis
+    if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val st = java.nio.file.Files.list(p)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val m = try newestMtime(it.next())
+          catch { case _: java.io.IOException => 0L }
+          if (m > newest) newest = m
+        }
+      } finally st.close()
+    }
+    newest
   }
 
   /** Sweep `root`'s children owned by DEAD processes: names whose

@@ -837,7 +837,7 @@ object H264 {
     out.toByteArray
   }
 
-  private def spsRbsp(wMb: Int, hMb: Int): Array[Byte] = {
+  private def spsRbsp(wMb: Int, hMb: Int, maxRef: Int = 1): Array[Byte] = {
     val w = new BitWriter
     w.put(66, 8) // profile_idc: baseline
     w.put(0, 8) // constraint flags + reserved
@@ -845,7 +845,7 @@ object H264 {
     w.ue(0) // sps_id
     w.ue(0) // log2_max_frame_num_minus4
     w.ue(2) // pic_order_cnt_type (no POC syntax)
-    w.ue(1) // max_num_ref_frames
+    w.ue(maxRef) // max_num_ref_frames
     w.put(0, 1) // gaps_in_frame_num
     w.ue(wMb - 1); w.ue(hMb - 1)
     w.put(1, 1) // frame_mbs_only

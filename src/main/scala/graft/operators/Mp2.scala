@@ -258,12 +258,20 @@ object Mp2 {
   // decode
   // -------------------------------------------------------------------
 
+  /** One decoded frame. NOTE on `pcm` (travels with the data — ADVICE
+    * r14): it is synthesized through the COMPUTED stand-in window, not
+    * Table 3-B.3, so the values are NOT bit/value-compatible with a
+    * conforming MP2 decoder and must never feed a gated/exported column
+    * as "real decoded audio" — only window-independent invariants
+    * (periodicity, linearity, the analysis∘synthesis PR bound) are
+    * gateable. All other fields are bit-exact normative decode output.
+    */
   final case class Mp2Frame(
       allocNlevels: Array[Int], // 0 = silent, per subband
       sfIdx: Array[Array[Int]], // [sb][part 0..2], -1 when silent
       codes: Array[Array[Int]], // [sb][t 0..35], -1 when silent
       subband: Array[Array[Double]], // requant·sf, 0.0 when silent
-      pcm: Array[Double]) // 1152 synthesized samples
+      pcm: Array[Double]) // 1152 samples via the stand-in window — see above
 
   final case class Mp2Stream(sampleRate: Int, bitrateKbps: Int,
       frames: Vector[Mp2Frame])
@@ -287,7 +295,10 @@ object Mp2 {
         if (r.get(1) != 1) return None // no CRC
         if (r.get(4) != BitrateIndex) return None // 192 kbit/s
         if (r.get(2) != FsCode) return None // 48 kHz
-        r.get(2) // padding + private
+        // padding_bit must be 0: the fixed 576-byte stride assumes it
+        // (a conforming padded stream would mis-frame — ADVICE r14)
+        if (r.get(1) != 0) return None
+        r.get(1) // private
         if (r.get(2) != 3) return None // single channel
         r.get(6) // mode_ext, copyright, original, emphasis
         val nlev = new Array[Int](Sblimit)

@@ -25,8 +25,16 @@ object StreamingOps {
     * ladder flips it per-measurement inside one JVM; queries read it at
     * plan-build time only.
     */
-  @volatile var feedLimitOverride: Option[Int] = None
-  def feedLimit: Int = feedLimitOverride.getOrElse(2000)
+  private val feedLimitVar = new scala.util.DynamicVariable[Option[Int]](None)
+  def feedLimit: Int = feedLimitVar.value.getOrElse(2000)
+
+  /** Run `body` with the feed limit overridden ON THIS THREAD only
+    * (DynamicVariable, not a process-global var — ADVICE r14: a query
+    * planned concurrently in the same JVM must not inherit a ladder
+    * measurement's scaled feed size).
+    */
+  def withFeedLimit[T](limit: Option[Int])(body: => T): T =
+    feedLimitVar.withValue(limit)(body)
 
   /** Dedicated child session for a streaming harness run: the 4-partition
     * state conf and the memory-sink temp view live HERE, never in the

@@ -133,8 +133,20 @@ class QueriesSpec extends SparkSpec {
       s"q47 golden drift: $q47")
   }
 
+  test("test-count pin: exactly one dynamic gate test per registered query " +
+      "(the suite total is a FUNCTION of the registry, never a quoted number)") {
+    // VERDICT r14 item 7: claimed absolute tallies drift (687 vs 666).
+    // The invariant that matters is structural: every query in the
+    // registry gets its run/determinism test below, no more, no fewer.
+    val dynamic = testNames.count(_.endsWith(DynamicTestSuffix))
+    assert(dynamic == SparkEntry.queries.size,
+      s"$dynamic dynamic tests for ${SparkEntry.queries.size} registered queries")
+  }
+
+  private val DynamicTestSuffix = " runs, is non-degenerate and deterministic"
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-    test(s"$name runs, is non-degenerate and deterministic") {
+    test(s"$name$DynamicTestSuffix") {
       val df1 = fn(spark, sfDir)
       assert(df1.columns.nonEmpty, "no columns")
       assert(df1.columns.forall(c => c == c.toLowerCase), s"non-lowercase column in ${df1.columns.mkString(",")}")

@@ -68,12 +68,25 @@ class StreamingLadderSpec extends AnyFunSuite {
       carried.contains(""""q22":{"x1":1.1}"""))
   }
 
-  test("streaming feed knob: default 2000, override wins and restores") {
+  test("streaming feed knob: default 2000, override is scoped to the thread") {
     import graft.streaming.StreamingOps
     assert(StreamingOps.feedLimit == 2000)
-    StreamingOps.feedLimitOverride = Some(20000)
-    try assert(StreamingOps.feedLimit == 20000)
-    finally StreamingOps.feedLimitOverride = None
+    // the ADVICE r14 footgun: a PRE-EXISTING thread (a concurrent query's
+    // planner) must not see a ladder measurement's override. Threads
+    // created inside the scope DO inherit (DynamicVariable is an
+    // InheritableThreadLocal) — that is wanted, planning helpers spawned
+    // by the measured query keep the value.
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      pool.submit(new Runnable { def run(): Unit = () }).get() // pre-create
+      StreamingOps.withFeedLimit(Some(20000)) {
+        assert(StreamingOps.feedLimit == 20000)
+        val other = pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = StreamingOps.feedLimit
+        }).get()
+        assert(other == 2000)
+      }
+    } finally pool.shutdown()
     assert(StreamingOps.feedLimit == 2000)
   }
 }
