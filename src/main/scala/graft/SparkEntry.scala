@@ -41,7 +41,8 @@ object SparkEntry {
       "q272_avi_mjpeg_frames", "q287_mpeg1_iframes", "q288_mpeg1_pframes",
       "q289_mpeg1_bframes", "q290_adpcm_audio", "q294_avro_ingest",
       "q299_png_adam7", "q301_tiff_ingest", "q302_mp2_audio",
-      "q303_h264_intra", "q307_h264_i4x4")
+      "q303_h264_intra", "q307_h264_i4x4", "q309_h264_pframes",
+      "q310_mp2_stereo")
       .map(_ -> GateClass.ConstructionInverse)
     val st = Seq("q127_subword_tokenize")
       .map(_ -> GateClass.SharedSqlText)

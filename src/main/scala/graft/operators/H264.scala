@@ -646,11 +646,15 @@ object H264 {
   private def tAt(t: Array[Int], tl: Int, i: Int): Int = if (i < 0) tl else t(i)
   private def lAt(l: Array[Int], tl: Int, i: Int): Int = if (i < 0) tl else l(i)
 
-  /** Everything the q303 gate reads back per frame. */
+  /** Everything the q303/q307/q309 gates read back per frame. The
+    * trailing P-frame fields stay at their defaults for I frames.
+    */
   final case class H264Frame(
       y: Array[Int], cb: Array[Int], cr: Array[Int],
       levelChecksum: Long, modeSum: Long, chromaModeSum: Long,
-      i4ModeSum: Long = 0L, nI4Mbs: Long = 0L)
+      i4ModeSum: Long = 0L, nI4Mbs: Long = 0L,
+      mvdChecksum: Long = 0L, refSum: Long = 0L, nSkip: Long = 0L,
+      typeSum: Long = 0L)
 
   final case class H264Stream(widthMb: Int, heightMb: Int, qp: Int,
       frames: Vector[H264Frame])
@@ -883,6 +887,19 @@ object H264 {
     out.write(nal(8, ppsRbsp()))
     val frames = Vector.newBuilder[H264Frame]
     for (f <- 0 until nFrames) {
+      val (rbsp, fr) = encodeISlice(id, f, wMb, hMb, qp, mixed)
+      out.write(nal(5, rbsp))
+      frames += fr
+    }
+    (out.toByteArray, frames.result())
+  }
+
+  /** One IDR I-slice: (slice RBSP, expected reconstruction + gate sums).
+    * Shared by [[encode]] (all-I streams, q303/q307) and [[encodeInter]]
+    * (frame 0 of the IDR+P streams, q309).
+    */
+  private def encodeISlice(id: Long, f: Int, wMb: Int, hMb: Int, qp: Int,
+      mixed: Boolean): (Array[Byte], H264Frame) = {
       val w = new BitWriter
       w.ue(0) // first_mb_in_slice
       w.ue(7) // slice_type: I (all slices in pic)
@@ -1013,11 +1030,8 @@ object H264 {
         }
       }
       w.rbspTrailing()
-      out.write(nal(5, w.result()))
-      frames += H264Frame(y, cb, cr, checksum, modeSum, cModeSum,
-        i4ModeSum, nI4)
-    }
-    (out.toByteArray, frames.result())
+      (w.result(), H264Frame(y, cb, cr, checksum, modeSum, cModeSum,
+        i4ModeSum, nI4))
   }
 
   /** Decode a stream this construction emits; None for anything else
@@ -1051,6 +1065,9 @@ object H264 {
       var wMb = -1; var hMb = -1
       var sawPps = false
       var qp = -1
+      var maxRef = 1
+      // decoded-picture buffer, most recent first (sliding window)
+      var dpb: List[(Array[Int], Array[Int], Array[Int])] = Nil
       val frames = Vector.newBuilder[H264Frame]
       all.foreach {
         case (7, rbsp) =>
@@ -1060,7 +1077,7 @@ object H264 {
           if (r.ue() != 0) return None // sps_id
           if (r.ue() != 0) return None // log2_max_frame_num_minus4
           if (r.ue() != 2) return None // pic_order_cnt_type
-          r.ue() // max_num_ref_frames
+          maxRef = math.max(1, r.ue()) // max_num_ref_frames
           r.get(1)
           wMb = r.ue() + 1; hMb = r.ue() + 1
           if (r.get(1) != 1) return None // frame_mbs_only
@@ -1200,11 +1217,568 @@ object H264 {
           }
           frames += H264Frame(y, cb, cr, checksum, modeSum, cModeSum,
             i4ModeSum, nI4)
+          dpb = List((y, cb, cr)) // IDR resets the reference buffer
+        case (1, rbsp) =>
+          // non-IDR P slice (q309). Syntax accepted: slice_type 5,
+          // mb_skip_run + mb_type 0-3 (P_L0_16x16/16x8/8x16/P_8x8 with
+          // P_L0_8x8 subs), the transcribed inter-CBP subset; anything
+          // else falls through (None).
+          if (wMb < 0 || !sawPps || dpb.isEmpty) return None
+          val r = new BitReader(rbsp)
+          if (r.ue() != 0) return None // first_mb_in_slice
+          if (r.ue() != 5) return None // P slice (all slices in pic)
+          if (r.ue() != 0) return None // pps_id
+          r.get(4) // frame_num
+          val nRefs =
+            if (r.get(1) == 1) { // num_ref_idx override
+              if (r.ue() != 1) return None
+              2
+            } else 1
+          if (nRefs > dpb.size) return None
+          if (r.get(1) != 0) return None // no ref list modification
+          if (r.get(1) != 0) return None // sliding-window marking
+          qp = 26 + r.se()
+          if (qp > 29) return None
+          if (r.ue() != 1) return None // deblocking must be disabled
+          val refs = dpb.take(2).toIndexedSeq
+          val y = new Array[Int](wMb * 16 * hMb * 16)
+          val cb = new Array[Int](wMb * 8 * hMb * 8)
+          val cr = new Array[Int](wMb * 8 * hMb * 8)
+          val grid = new MotionGrid(wMb * 4, hMb * 4)
+          val tcY = Array.ofDim[Int](hMb * 4, wMb * 4)
+          val tcC = Array(Array.ofDim[Int](hMb * 2, wMb * 2),
+            Array.ofDim[Int](hMb * 2, wMb * 2))
+          var checksum = 0L; var mvdSum = 0L; var refSum = 0L
+          var nSkip = 0L; var typeSum = 0L
+          def sumBlock(mbIdx: Int, tag: Int, levels: Array[Int]): Unit = {
+            var s = 0
+            while (s < levels.length) {
+              if (levels(s) != 0)
+                checksum += levels(s).toLong * (mbIdx * 131 + tag * 17 + s + 1)
+              s += 1
+            }
+          }
+          def decodeSkip(mbIdx: Int): Unit = {
+            val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+            val (mx, my) = skipMv(grid, mbX * 4, mbY * 4)
+            grid.fill(mbX * 4, mbY * 4, 4, 4, mx, my, 0)
+            nSkip += 1
+            reconstructInterMb(skipMb.copy(mv = Array((mx, my))), qp, mbX,
+              mbY, refs, y, cb, cr, wMb, hMb)
+          }
+          val total = wMb * hMb
+          var mbIdx = 0
+          while (mbIdx < total) {
+            val skipRun = r.ue()
+            if (mbIdx + skipRun > total) return None
+            var k = 0
+            while (k < skipRun) { decodeSkip(mbIdx); mbIdx += 1; k += 1 }
+            if (mbIdx < total) {
+              val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+              val gx0 = mbX * 4; val gy0 = mbY * 4
+              val pt = r.ue()
+              if (pt > 3) return None // no P_8x8ref0 / intra-in-P
+              typeSum += (pt + 1L) * (mbIdx + 1)
+              val np = nPartsOf(pt)
+              if (pt == 3) {
+                var p = 0
+                while (p < np) {
+                  if (r.ue() != 0) return None // P_L0_8x8 subs only
+                  p += 1
+                }
+              }
+              val refIdxArr = new Array[Int](np)
+              if (nRefs == 2) for (p <- 0 until np) {
+                refIdxArr(p) = 1 - r.get(1) // te(v), range 1
+                refSum += refIdxArr(p).toLong * (mbIdx + 1)
+              }
+              val mvds = Array.tabulate(np) { p =>
+                val mx = r.se(); val my = r.se()
+                mvdSum += (mbIdx * 64L + p * 8 + 1) * mx +
+                  (mbIdx * 64L + p * 8 + 3) * my
+                (mx, my)
+              }
+              val mvs = new Array[(Int, Int)](np)
+              for (p <- 0 until np) {
+                val (cx, cy, cw, ch) = partRect(pt, p)
+                val (mpx, mpy) = mvPred(grid, gx0 + cx, gy0 + cy, cw,
+                  refIdxArr(p), partKindOf(pt, p))
+                mvs(p) = (mpx + mvds(p)._1, mpy + mvds(p)._2)
+                grid.fill(gx0 + cx, gy0 + cy, cw, ch, mvs(p)._1,
+                  mvs(p)._2, refIdxArr(p))
+              }
+              val cbpCode = r.ue()
+              if (cbpCode >= CbpInterSubset.length)
+                return None // outside the transcribed Table 9-4 subset
+              val cbp = CbpInterSubset(cbpCode)
+              val cbpL = cbp & 15; val cbpC = cbp >> 4
+              if (cbp != 0 && r.se() != 0) return None // mb_qp_delta
+              val ac = Array.fill(16)(new Array[Int](16))
+              for (b <- 0 until 16 if (cbpL >> (b / 4) & 1) != 0) {
+                val (x4, y4) = blkPos(b)
+                val (cf, tc) = readResidual(r, 16,
+                  nCOf(tcY, mbX * 4 + x4, mbY * 4 + y4))
+                ac(b) = cf
+                tcY(mbY * 4 + y4)(mbX * 4 + x4) = tc
+                sumBlock(mbIdx, 1 + b, cf)
+              }
+              val cdc = Array.fill(2)(new Array[Int](4))
+              if (cbpC > 0) for (c <- 0 until 2) {
+                cdc(c) = readResidual(r, 4, -1)._1
+                sumBlock(mbIdx, 17 + c, cdc(c))
+              }
+              val cac = Array.fill(2, 4)(new Array[Int](15))
+              if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+                val (cf, tc) = readResidual(r, 15,
+                  nCOf(tcC(c), mbX * 2 + b % 2, mbY * 2 + b / 2))
+                cac(c)(b) = cf
+                tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = tc
+                sumBlock(mbIdx, 19 + 4 * c + b, cf)
+              }
+              reconstructInterMb(InterMb(pt, refIdxArr, mvs, cbpL, cbpC,
+                ac, cdc, cac), qp, mbX, mbY, refs, y, cb, cr, wMb, hMb)
+              mbIdx += 1
+            }
+          }
+          frames += H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L,
+            mvdSum, refSum, nSkip, typeSum)
+          dpb = ((y, cb, cr) :: dpb).take(math.max(maxRef, 1))
         case _ => return None
       }
       val fs = frames.result()
       if (wMb < 0 || fs.isEmpty) None
       else Some(H264Stream(wMb, hMb, qp, fs))
     } catch { case _: Exception => None }
+  }
+
+  // -------------------------------------------------------------------
+  // P-slice INTER path (q309 — VERDICT r14 item 1): P_Skip + mb_skip_run,
+  // P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 / P_8x8 (sub_mb_type
+  // P_L0_8x8), up to two reference frames with te(v)-coded ref_idx and
+  // sliding-window marking, median MV prediction with the 16x8/8x16
+  // directional rules (§8.4.1.3), quarter-pel luma interpolation (6-tap
+  // half-pel + bilinear quarter-pel, §8.4.2.2.1), eighth-pel bilinear
+  // chroma (§8.4.2.2.2), and inter residual decode on q303's CAVLC/
+  // dequant/transform machinery (16-coefficient luma 4x4 blocks gated by
+  // the CBP's 8x8 bits — no luma DC split outside Intra_16x16).
+  // -------------------------------------------------------------------
+
+  /** me(v) codeNum → coded_block_pattern for Inter prediction modes —
+    * the transcribed HEAD of Table 9-4's inter column (codeNums 0-7;
+    * same policy as [[CbpIntraSubset]]: the full 48-entry column is
+    * deliberately not transcribed from memory). Decoder rejects other
+    * codeNums (fall-through contract).
+    */
+  val CbpInterSubset: IndexedSeq[Int] = IndexedSeq(0, 16, 1, 2, 4, 8, 32, 3)
+
+  /** Per-4x4-cell motion state of the picture being (de)coded. `ref`
+    * -2 = not yet decoded, -1 = intra (none in this construction's P
+    * slices, kept for the availability contract), ≥0 = inter refIdx.
+    */
+  final class MotionGrid(val w4: Int, val h4: Int) {
+    val mvx: Array[Array[Int]] = Array.ofDim[Int](h4, w4)
+    val mvy: Array[Array[Int]] = Array.ofDim[Int](h4, w4)
+    val ref: Array[Array[Int]] = Array.fill(h4, w4)(-2)
+    def decoded(gx: Int, gy: Int): Boolean =
+      gx >= 0 && gy >= 0 && gx < w4 && gy < h4 && ref(gy)(gx) != -2
+    def fill(gx0: Int, gy0: Int, pw4: Int, ph4: Int, mx: Int, my: Int,
+        r: Int): Unit = {
+      var gy = gy0
+      while (gy < gy0 + ph4) {
+        var gx = gx0
+        while (gx < gx0 + pw4) {
+          mvx(gy)(gx) = mx; mvy(gy)(gx) = my; ref(gy)(gx) = r
+          gx += 1
+        }
+        gy += 1
+      }
+    }
+  }
+
+  /** Which partition of which shape is being predicted — selects the
+    * §8.4.1.3 directional special cases.
+    */
+  object PartKind {
+    val Full = 0; val Top16x8 = 1; val Bottom16x8 = 2
+    val Left8x16 = 3; val Right8x16 = 4
+  }
+
+  private final case class Nb(avail: Boolean, mx: Int, my: Int, ref: Int)
+
+  /** Luma MV prediction (§8.4.1.3 / §8.4.1.3.1): neighbors A (left),
+    * B (top), C (top-right of the partition, D top-left substituted
+    * when C is unavailable in decode order); unavailable → mv 0, refIdx
+    * −1. Order of rules: 16x8/8x16 directional shortcut, the A-only
+    * fallback when no top neighbor exists at all, the single-matching-
+    * refIdx shortcut, componentwise median. Quarter-pel units.
+    */
+  def mvPred(g: MotionGrid, gx0: Int, gy0: Int, pw4: Int, refIdx: Int,
+      kind: Int): (Int, Int) = {
+    def at(gx: Int, gy: Int): Nb =
+      if (g.decoded(gx, gy)) Nb(avail = true, g.mvx(gy)(gx), g.mvy(gy)(gx), g.ref(gy)(gx))
+      else Nb(avail = false, 0, 0, -1)
+    val a = at(gx0 - 1, gy0)
+    val b = at(gx0, gy0 - 1)
+    val c0 = at(gx0 + pw4, gy0 - 1)
+    val d = at(gx0 - 1, gy0 - 1)
+    val c = if (c0.avail) c0 else d
+    kind match {
+      case PartKind.Top16x8 if b.ref == refIdx => return (b.mx, b.my)
+      case PartKind.Bottom16x8 if a.ref == refIdx => return (a.mx, a.my)
+      case PartKind.Left8x16 if a.ref == refIdx => return (a.mx, a.my)
+      case PartKind.Right8x16 if c.ref == refIdx => return (c.mx, c.my)
+      case _ => ()
+    }
+    if (!b.avail && !c0.avail && !d.avail && a.avail) return (a.mx, a.my)
+    val matches = Seq(a, b, c).filter(_.ref == refIdx)
+    if (matches.size == 1) (matches.head.mx, matches.head.my)
+    else {
+      def med(x: Int, y: Int, z: Int): Int =
+        math.max(math.min(x, y), math.min(math.max(x, y), z))
+      (med(a.mx, b.mx, c.mx), med(a.my, b.my, c.my))
+    }
+  }
+
+  /** P_Skip motion (§8.4.1.1): refIdx 0; zero MV when either MB
+    * neighbor is missing or either is a zero-motion ref-0 inter MB,
+    * else the 16x16 median predictor.
+    */
+  def skipMv(g: MotionGrid, gx0: Int, gy0: Int): (Int, Int) = {
+    val aAvail = g.decoded(gx0 - 1, gy0)
+    val bAvail = g.decoded(gx0, gy0 - 1)
+    def zeroRef0(gx: Int, gy: Int): Boolean =
+      g.ref(gy)(gx) == 0 && g.mvx(gy)(gx) == 0 && g.mvy(gy)(gx) == 0
+    if (!aAvail || !bAvail || zeroRef0(gx0 - 1, gy0) || zeroRef0(gx0, gy0 - 1))
+      (0, 0)
+    else mvPred(g, gx0, gy0, 4, 0, PartKind.Full)
+  }
+
+  /** One luma sample at quarter-pel position (§8.4.2.2.1): 6-tap
+    * (1,−5,20,20,−5,1) half-pel filter (b/h/m/s), the doubly-filtered
+    * center j from UNROUNDED intermediates, bilinear quarter-pel
+    * averaging per Table 8-12; the reference is extended by edge
+    * clamping. (xI, yI) is the full-pel anchor, (xF, yF) ∈ [0,4).
+    */
+  def lumaSample(ref: Array[Int], w: Int, h: Int, xI: Int, yI: Int,
+      xF: Int, yF: Int): Int = {
+    def fp(x: Int, y: Int): Int =
+      ref(math.max(0, math.min(h - 1, y)) * w + math.max(0, math.min(w - 1, x)))
+    if (xF == 0 && yF == 0) return fp(xI, yI)
+    def f6(a: Int, b: Int, c: Int, d: Int, e: Int, f: Int): Int =
+      a - 5 * b + 20 * c + 20 * d - 5 * e + f
+    def bRaw(x: Int, y: Int): Int =
+      f6(fp(x - 2, y), fp(x - 1, y), fp(x, y), fp(x + 1, y), fp(x + 2, y), fp(x + 3, y))
+    def hRaw(x: Int, y: Int): Int =
+      f6(fp(x, y - 2), fp(x, y - 1), fp(x, y), fp(x, y + 1), fp(x, y + 2), fp(x, y + 3))
+    def half(raw: Int): Int = clip((raw + 16) >> 5)
+    lazy val b = half(bRaw(xI, yI))
+    lazy val hh = half(hRaw(xI, yI))
+    lazy val m = half(hRaw(xI + 1, yI))
+    lazy val s = half(bRaw(xI, yI + 1))
+    lazy val j = clip((f6(bRaw(xI, yI - 2), bRaw(xI, yI - 1), bRaw(xI, yI),
+      bRaw(xI, yI + 1), bRaw(xI, yI + 2), bRaw(xI, yI + 3)) + 512) >> 10)
+    def avg(p: Int, q: Int): Int = (p + q + 1) >> 1
+    (xF, yF) match {
+      case (1, 0) => avg(fp(xI, yI), b) // a
+      case (2, 0) => b
+      case (3, 0) => avg(b, fp(xI + 1, yI)) // c
+      case (0, 1) => avg(fp(xI, yI), hh) // d
+      case (1, 1) => avg(b, hh) // e
+      case (2, 1) => avg(b, j) // f
+      case (3, 1) => avg(b, m) // g
+      case (0, 2) => hh
+      case (1, 2) => avg(hh, j) // i
+      case (2, 2) => j
+      case (3, 2) => avg(j, m) // k
+      case (0, 3) => avg(fp(xI, yI + 1), hh) // n
+      case (1, 3) => avg(hh, s) // p
+      case (2, 3) => avg(j, s) // q
+      case _ => avg(m, s) // r (3,3)
+    }
+  }
+
+  /** One chroma sample at eighth-pel position (§8.4.2.2.2, bilinear),
+    * edge-clamped.
+    */
+  def chromaSample(ref: Array[Int], w: Int, h: Int, xI: Int, yI: Int,
+      xF: Int, yF: Int): Int = {
+    def fp(x: Int, y: Int): Int =
+      ref(math.max(0, math.min(h - 1, y)) * w + math.max(0, math.min(w - 1, x)))
+    ((8 - xF) * (8 - yF) * fp(xI, yI) + xF * (8 - yF) * fp(xI + 1, yI) +
+      (8 - xF) * yF * fp(xI, yI + 1) + xF * yF * fp(xI + 1, yI + 1) + 32) >> 6
+  }
+
+  /** Motion-compensate one luma partition (full planes, width w). MV in
+    * quarter-pel units; fractional phase constant over the partition.
+    */
+  def mcLuma(ref: Array[Int], out: Array[Int], w: Int, h: Int,
+      px0: Int, py0: Int, pw: Int, ph: Int, mx: Int, my: Int): Unit = {
+    val xF = mx & 3; val yF = my & 3
+    var dy = 0
+    while (dy < ph) {
+      var dx = 0
+      while (dx < pw) {
+        out((py0 + dy) * w + px0 + dx) =
+          lumaSample(ref, w, h, px0 + dx + (mx >> 2), py0 + dy + (my >> 2), xF, yF)
+        dx += 1
+      }
+      dy += 1
+    }
+  }
+
+  /** Chroma partition MC: the luma MV re-interpreted at eighth-pel
+    * chroma resolution (§8.4.1.4, 4:2:0 frame coding: mvC = mvL).
+    */
+  def mcChroma(ref: Array[Int], out: Array[Int], w: Int, h: Int,
+      px0: Int, py0: Int, pw: Int, ph: Int, mx: Int, my: Int): Unit = {
+    val xF = mx & 7; val yF = my & 7
+    var dy = 0
+    while (dy < ph) {
+      var dx = 0
+      while (dx < pw) {
+        out((py0 + dy) * w + px0 + dx) =
+          chromaSample(ref, w, h, px0 + dx + (mx >> 3), py0 + dy + (my >> 3), xF, yF)
+        dx += 1
+      }
+      dy += 1
+    }
+  }
+
+  /** One inter MB: ptype 0=P_L0_16x16 1=16x8 2=8x16 3=P_8x8 (all subs
+    * P_L0_8x8); per-partition refIdx + FINAL mv; residual per CBP.
+    */
+  private final case class InterMb(ptype: Int, refIdx: Array[Int],
+      mv: Array[(Int, Int)], cbpL: Int, cbpC: Int,
+      ac: Array[Array[Int]], cdc: Array[Array[Int]],
+      cac: Array[Array[Array[Int]]])
+
+  private def nPartsOf(ptype: Int): Int =
+    ptype match { case 0 => 1; case 3 => 4; case _ => 2 }
+
+  /** Partition rect in 4x4-cell units relative to the MB. */
+  private def partRect(ptype: Int, part: Int): (Int, Int, Int, Int) =
+    ptype match {
+      case 0 => (0, 0, 4, 4)
+      case 1 => (0, part * 2, 4, 2) // 16x8
+      case 2 => (part * 2, 0, 2, 4) // 8x16
+      case _ => ((part % 2) * 2, (part / 2) * 2, 2, 2) // 8x8
+    }
+
+  private def partKindOf(ptype: Int, part: Int): Int = ptype match {
+    case 1 => if (part == 0) PartKind.Top16x8 else PartKind.Bottom16x8
+    case 2 => if (part == 0) PartKind.Left8x16 else PartKind.Right8x16
+    case _ => PartKind.Full
+  }
+
+  private val skipMb = InterMb(0, Array(0), Array((0, 0)), 0, 0,
+    Array.empty, Array.empty, Array.empty)
+
+  /** Shared encoder/decoder inter-MB reconstruction: per-partition MC
+    * from the selected reference, then CBP-gated residual add. Bit-exact
+    * on both sides by construction.
+    */
+  private def reconstructInterMb(mb: InterMb, qp: Int, mbX: Int, mbY: Int,
+      refs: IndexedSeq[(Array[Int], Array[Int], Array[Int])],
+      y: Array[Int], cb: Array[Int], cr: Array[Int], wMb: Int,
+      hMb: Int): Unit = {
+    val wPix = wMb * 16; val hPix = hMb * 16
+    val wC = wMb * 8; val hC = hMb * 8
+    for (part <- 0 until nPartsOf(mb.ptype)) {
+      val (cx, cy, cw, ch) = partRect(mb.ptype, part)
+      val (refY, refCb, refCr) = refs(mb.refIdx(part))
+      val (mx, my) = mb.mv(part)
+      mcLuma(refY, y, wPix, hPix, mbX * 16 + cx * 4, mbY * 16 + cy * 4,
+        cw * 4, ch * 4, mx, my)
+      mcChroma(refCb, cb, wC, hC, mbX * 8 + cx * 2, mbY * 8 + cy * 2,
+        cw * 2, ch * 2, mx, my)
+      mcChroma(refCr, cr, wC, hC, mbX * 8 + cx * 2, mbY * 8 + cy * 2,
+        cw * 2, ch * 2, mx, my)
+    }
+    if (mb.cbpL != 0) for (blk <- 0 until 16) {
+      if ((mb.cbpL >> (blk / 4) & 1) != 0) {
+        val (x4, y4) = blkPos(blk)
+        val res = inverse4x4(mb.ac(blk), qp, acOnly = false, dcOverride = 0)
+        for (r <- 0 until 4; c <- 0 until 4) {
+          val px = mbX * 16 + x4 * 4 + c; val py = mbY * 16 + y4 * 4 + r
+          y(py * wPix + px) = clip(y(py * wPix + px) + res(r * 4 + c))
+        }
+      }
+    }
+    if (mb.cbpC > 0) {
+      val zero15 = new Array[Int](15)
+      for (comp <- 0 until 2) {
+        val plane = if (comp == 0) cb else cr
+        val dcs = chromaDc(mb.cdc(comp), qp)
+        for (blk <- 0 until 4) {
+          val bx = blk % 2; val by = blk / 2
+          val res = inverse4x4(
+            if (mb.cbpC == 2) mb.cac(comp)(blk) else zero15, qp,
+            acOnly = true, dcOverride = dcs(by * 2 + bx))
+          for (r <- 0 until 4; c <- 0 until 4) {
+            val px = mbX * 8 + bx * 4 + c; val py = mbY * 8 + by * 4 + r
+            plane(py * wC + px) = clip(plane(py * wC + px) + res(r * 4 + c))
+          }
+        }
+      }
+    }
+  }
+
+  /** q309's deterministic P-frame construction (shared by the gate, its
+    * DuckDB oracle — which re-derives the mvd/cbp/level formulas in SQL
+    * — and H264Spec). The ENCODER picks the transmitted mvd directly
+    * (an encoder freedom) so the oracle can re-derive the coded syntax
+    * without replaying median prediction; the final MVs are mvp + mvd on
+    * both sides and the reconstruction gate is bit-exact. |mvd| ≤ 8
+    * quarter-pels exercises every fractional phase; boundary clamping
+    * covers MVs that point outside the picture at edge MBs.
+    */
+  object ConstructP {
+    def nFrames(id: Long): Int = (3 + id % 2).toInt // 1 IDR + 2-3 P
+    def isSkip(id: Long, f: Int, mb: Int): Boolean = (id + f + mb) % 5 == 1
+    def ptype(id: Long, f: Int, mb: Int): Int = ((id + 2L * f + mb) % 4).toInt
+    def refIdx(id: Long, mb: Int, part: Int, nRefs: Int): Int =
+      ((id + mb + part) % nRefs).toInt
+    def mvdX(id: Long, f: Int, mb: Int, part: Int): Int =
+      (((id + 3L * f + 5L * mb + 7L * part) % 17) - 8).toInt
+    def mvdY(id: Long, f: Int, mb: Int, part: Int): Int =
+      (((3L * id + f + 2L * mb + 5L * part) % 17) - 8).toInt
+    def cbpIdx(id: Long, f: Int, mb: Int): Int = ((id + f + mb) % 8).toInt
+  }
+
+  /** Encode an IDR + P-frame stream (q309): SPS with two reference
+    * frames, the q303 I_16x16 construction as frame 0, then P slices.
+    * Returns (bytes, per-frame expected reconstructions + gate sums) —
+    * the decoder must reproduce every plane bit-exactly.
+    */
+  def encodeInter(id: Long, wMb: Int, hMb: Int, nFrames: Int,
+      qp: Int): (Array[Byte], Vector[H264Frame]) = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(nal(7, spsRbsp(wMb, hMb, maxRef = 2)))
+    out.write(nal(8, ppsRbsp()))
+    val frames = Vector.newBuilder[H264Frame]
+    val (rbsp0, fr0) = encodeISlice(id, 0, wMb, hMb, qp, mixed = false)
+    out.write(nal(5, rbsp0))
+    frames += fr0
+    var dpb: List[(Array[Int], Array[Int], Array[Int])] =
+      List((fr0.y, fr0.cb, fr0.cr))
+    for (f <- 1 until nFrames) {
+      val (rbsp, fr) = encodePSlice(id, f, wMb, hMb, qp, dpb.toIndexedSeq)
+      out.write(nal(1, rbsp))
+      frames += fr
+      dpb = ((fr.y, fr.cb, fr.cr) :: dpb).take(2)
+    }
+    (out.toByteArray, frames.result())
+  }
+
+  private def encodePSlice(id: Long, f: Int, wMb: Int, hMb: Int, qp: Int,
+      refs: IndexedSeq[(Array[Int], Array[Int], Array[Int])]): (Array[Byte], H264Frame) = {
+    val nRefs = math.min(refs.size, 2)
+    val w = new BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(5) // slice_type: P (all slices in pic)
+    w.ue(0) // pps_id
+    w.put(f % 16, 4) // frame_num
+    // PPS default is one active ref; override to two once the DPB has two
+    if (nRefs == 2) { w.put(1, 1); w.ue(1) } else w.put(0, 1)
+    w.put(0, 1) // ref_pic_list_modification_flag_l0
+    w.put(0, 1) // adaptive_ref_pic_marking_mode_flag (sliding window)
+    w.se(qp - 26) // slice_qp_delta
+    w.ue(1) // disable_deblocking_filter_idc
+    val y = new Array[Int](wMb * 16 * hMb * 16)
+    val cb = new Array[Int](wMb * 8 * hMb * 8)
+    val cr = new Array[Int](wMb * 8 * hMb * 8)
+    val grid = new MotionGrid(wMb * 4, hMb * 4)
+    val tcY = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val tcC = Array(Array.ofDim[Int](hMb * 2, wMb * 2),
+      Array.ofDim[Int](hMb * 2, wMb * 2))
+    var checksum = 0L; var mvdSum = 0L; var refSum = 0L
+    var nSkip = 0L; var typeSum = 0L
+    var skipRun = 0
+    def sumBlock(mbIdx: Int, tag: Int, levels: Array[Int]): Unit = {
+      var s = 0
+      while (s < levels.length) {
+        if (levels(s) != 0)
+          checksum += levels(s).toLong * (mbIdx * 131 + tag * 17 + s + 1)
+        s += 1
+      }
+    }
+    for (mbIdx <- 0 until wMb * hMb) {
+      val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+      val gx0 = mbX * 4; val gy0 = mbY * 4
+      if (ConstructP.isSkip(id, f, mbIdx)) {
+        nSkip += 1
+        skipRun += 1
+        val (mx, my) = skipMv(grid, gx0, gy0)
+        grid.fill(gx0, gy0, 4, 4, mx, my, 0)
+        reconstructInterMb(skipMb.copy(mv = Array((mx, my))), qp, mbX, mbY,
+          refs, y, cb, cr, wMb, hMb)
+      } else {
+        w.ue(skipRun); skipRun = 0
+        val pt = ConstructP.ptype(id, f, mbIdx)
+        typeSum += (pt + 1L) * (mbIdx + 1)
+        w.ue(pt) // mb_type
+        val np = nPartsOf(pt)
+        if (pt == 3) for (_ <- 0 until np) w.ue(0) // sub_mb_type P_L0_8x8
+        val refIdxArr = Array.tabulate(np)(p =>
+          ConstructP.refIdx(id, mbIdx, p, nRefs))
+        if (nRefs == 2) for (p <- 0 until np) {
+          w.put(1 - refIdxArr(p), 1) // te(v) with range 1: flipped bit
+          refSum += refIdxArr(p).toLong * (mbIdx + 1)
+        }
+        val mvds = Array.tabulate(np)(p =>
+          (ConstructP.mvdX(id, f, mbIdx, p), ConstructP.mvdY(id, f, mbIdx, p)))
+        for (p <- 0 until np) {
+          w.se(mvds(p)._1); w.se(mvds(p)._2)
+          mvdSum += (mbIdx * 64L + p * 8 + 1) * mvds(p)._1 +
+            (mbIdx * 64L + p * 8 + 3) * mvds(p)._2
+        }
+        val mvs = new Array[(Int, Int)](np)
+        for (p <- 0 until np) {
+          val (cx, cy, cw, ch) = partRect(pt, p)
+          val (mpx, mpy) = mvPred(grid, gx0 + cx, gy0 + cy, cw,
+            refIdxArr(p), partKindOf(pt, p))
+          mvs(p) = (mpx + mvds(p)._1, mpy + mvds(p)._2)
+          grid.fill(gx0 + cx, gy0 + cy, cw, ch, mvs(p)._1, mvs(p)._2,
+            refIdxArr(p))
+        }
+        val cbpCode = ConstructP.cbpIdx(id, f, mbIdx)
+        val cbp = CbpInterSubset(cbpCode)
+        w.ue(cbpCode) // me(v) via the transcribed subset (head: idx = codeNum)
+        val cbpL = cbp & 15; val cbpC = cbp >> 4
+        if (cbp != 0) w.se(0) // mb_qp_delta
+        val ac = Array.tabulate(16)(b =>
+          if ((cbpL >> (b / 4) & 1) != 0)
+            ConstructH.blockLevels(id, f, mbIdx, 1 + b, 16)
+          else new Array[Int](16))
+        val cdc = Array.tabulate(2)(c =>
+          if (cbpC > 0) ConstructH.blockLevels(id, f, mbIdx, 17 + c, 4)
+          else new Array[Int](4))
+        val cac = Array.tabulate(2, 4)((c, b) =>
+          if (cbpC == 2) ConstructH.blockLevels(id, f, mbIdx, 19 + 4 * c + b, 15)
+          else new Array[Int](15))
+        for (b <- 0 until 16 if (cbpL >> (b / 4) & 1) != 0) {
+          sumBlock(mbIdx, 1 + b, ac(b))
+          val (x4, y4) = blkPos(b)
+          writeResidual(w, ac(b), nCOf(tcY, mbX * 4 + x4, mbY * 4 + y4))
+          tcY(mbY * 4 + y4)(mbX * 4 + x4) = ac(b).count(_ != 0)
+        }
+        if (cbpC > 0) for (c <- 0 until 2) {
+          sumBlock(mbIdx, 17 + c, cdc(c))
+          writeResidual(w, cdc(c), -1)
+        }
+        if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+          sumBlock(mbIdx, 19 + 4 * c + b, cac(c)(b))
+          writeResidual(w, cac(c)(b),
+            nCOf(tcC(c), mbX * 2 + b % 2, mbY * 2 + b / 2))
+          tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = cac(c)(b).count(_ != 0)
+        }
+        reconstructInterMb(InterMb(pt, refIdxArr, mvs, cbpL, cbpC, ac,
+          cdc, cac), qp, mbX, mbY, refs, y, cb, cr, wMb, hMb)
+      }
+    }
+    if (skipRun > 0) w.ue(skipRun) // trailing skips
+    w.rbspTrailing()
+    (w.result(), H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L,
+      mvdSum, refSum, nSkip, typeSum))
   }
 }

@@ -1507,23 +1507,26 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake standing in for the codec library
-    * on the formats [[MediaCodecs]] can't parse. Since r14 that is the
-    * H.264 INTER machinery (P/B slices, CABAC) and H.265 — documented
-    * next rungs: MPEG-1 video decodes for real across the WHOLE
-    * picture-type alphabet — entropy-coded I-frames (q287), forward
-    * motion-compensated P-pictures (q288) and bidirectionally-predicted
+    * on the formats [[MediaCodecs]] can't parse. Since r15 that is the
+    * H.264 B-slice/CABAC machinery and H.265 — documented next rungs:
+    * MPEG-1 video decodes for real across the WHOLE picture-type
+    * alphabet — entropy-coded I-frames (q287), forward motion-
+    * compensated P-pictures (q288) and bidirectionally-predicted
     * B-pictures with the normative transmission-order reorder (q289),
-    * all via [[Mpeg1.decodeIFrames]] — and H.264 BASELINE INTRA
-    * (I_16x16 AND I_4x4: NAL/SPS/PPS, CAVLC, all thirteen intra
-    * prediction modes, inverse integer transforms) via
-    * [[graft.operators.H264]] (q303/q307); plus MJPEG-in-AVI
-    * (q272); compressed images via JPEG/PNG/GIF/TIFF. The AUDIO surface
-    * is empty since r14: PCM/IMA-ADPCM WAV decode to samples (q290),
-    * and entropy-coded MPEG-1 Layer II decodes for real through bit
-    * allocation, scale factors, requantization and polyphase synthesis
-    * ([[graft.operators.Mp2]], q302); MP3 (Layer III) parses frame
-    * headers (q195) and falls through here only for its Huffman-coded
-    * payload. The MP4 container parses box-level metadata.
+    * all via [[Mpeg1.decodeIFrames]] — and H.264 BASELINE for real
+    * through INTRA (I_16x16 AND I_4x4: NAL/SPS/PPS, CAVLC, all thirteen
+    * intra prediction modes, inverse integer transforms — q303/q307)
+    * AND INTER P-slices (P_Skip/16x16/16x8/8x16/8x8, median MV
+    * prediction, quarter-pel 6-tap luma + eighth-pel chroma MC,
+    * two-frame DPB — q309) via [[graft.operators.H264]]; plus
+    * MJPEG-in-AVI (q272); compressed images via JPEG/PNG/GIF/TIFF. The
+    * AUDIO surface is empty since r14: PCM/IMA-ADPCM WAV decode to
+    * samples (q290), and entropy-coded MPEG-1 Layer II decodes for real
+    * through bit allocation, scale factors, requantization and
+    * polyphase synthesis ([[graft.operators.Mp2]], q302); MP3
+    * (Layer III) parses frame headers (q195) and falls through here
+    * only for its Huffman-coded payload. The MP4 container parses
+    * box-level metadata.
     */
   final class StubCodec {
     def decode(modality: String, mime: String, bytes: Array[Byte]): Decoded = {

@@ -1572,7 +1572,8 @@ object PipelineQueries extends Registry {
               val bytes = Mp2.encode(
                 (0 until nf).map(f => Mp2.Construct.frameSpec(id, f)))
               val st = Mp2.decode(bytes).get
-              st.frames.zipWithIndex.map { case (fr, fi) =>
+              st.frames.zipWithIndex.map { case (chFrames, fi) =>
+                val fr = chFrames.head // mono operating point
                 var nAlloc = 0L
                 var nlevSum = 0L
                 var sfSum = 0L
@@ -1967,6 +1968,293 @@ object PipelineQueries extends Registry {
           JOIN cmodes cm ON cm.id = fr.id AND cm.frame_idx = fr.frame_idx
           LEFT JOIN sums s ON s.id = fr.id AND s.frame_idx = fr.frame_idx
           ORDER BY fr.id, fr.frame_idx""")),
+
+    // ---- H.264 P-slice INTER decode (VERDICT r14 item 1 — the last
+    //      StubCodec video claim a real corpus hits constantly): IDR
+    //      I_16x16 frame 0 (the q303 construction) followed by P slices
+    //      exercising the full CAVLC inter MB syntax — mb_skip_run +
+    //      P_Skip (§8.4.1.1's zero-MV conditions), P_L0_16x16 /
+    //      P_L0_L0_16x8 / P_L0_L0_8x16 / P_8x8 with P_L0_8x8 subs,
+    //      te(v)-coded ref_idx over a two-frame sliding-window DPB,
+    //      median MV prediction with the 16x8/8x16 directional rules
+    //      (§8.4.1.3), quarter-pel luma interpolation (6-tap half-pel +
+    //      bilinear quarter-pel, §8.4.2.2.1, edge-clamped), eighth-pel
+    //      bilinear chroma, the transcribed HEAD of Table 9-4's inter
+    //      CBP column (codeNums 0-7), and inter residuals on q303's
+    //      CAVLC/dequant/transform machinery (16-coefficient luma 4x4
+    //      blocks gated by the CBP's 8x8 bits). The ENCODER picks the
+    //      transmitted mvd directly (an encoder freedom) so the oracle
+    //      re-derives the coded syntax — skip pattern, mb types, mvd and
+    //      level checksums, ref_idx sums — independently in SQL, while
+    //      recon_exact gates BIT-EXACT plane equality of the full
+    //      MC+residual chain and idr_ok the reference frame. H264Spec
+    //      adds the independent interpolation replay and MV-prediction
+    //      hand cases. Row-local fan-out, zero shuffle. -------------------
+    Q("q309_h264_pframes",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 19 === 9)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, nch) =>
+              val (wMb, hMb) = H264.ConstructH.dims(id, nch)
+              val nf = H264.ConstructP.nFrames(id)
+              val qp = H264.ConstructH.qp(id)
+              val (bytes, expect) = H264.encodeInter(id, wMb, hMb, nf, qp)
+              val st = H264.decode(bytes).get
+              val idrOk = st.frames.head.y.sameElements(expect.head.y) &&
+                st.frames.head.cb.sameElements(expect.head.cb) &&
+                st.frames.head.cr.sameElements(expect.head.cr)
+              st.frames.zip(expect).zipWithIndex.drop(1).map {
+                case ((got, exp), f) =>
+                  val exact = got.y.sameElements(exp.y) &&
+                    got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr)
+                  (id, f.toLong, (wMb * 16).toLong, (hMb * 16).toLong,
+                    (wMb * hMb).toLong, qp.toLong, got.nSkip, got.typeSum,
+                    got.refSum, got.mvdChecksum, got.levelChecksum,
+                    if (exact) 1L else 0L, if (idrOk) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "width", "height", "n_mbs", "qp",
+            "n_skip", "type_sum", "ref_sum", "mvd_checksum",
+            "level_checksum", "recon_exact", "idr_ok")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""WITH d AS (
+            SELECT doc_id AS id, n_chars,
+              CAST(1 + doc_id % 3 AS BIGINT) AS wmb,
+              CAST(1 + n_chars % 2 AS BIGINT) AS hmb,
+              CAST(20 + doc_id % 8 AS BIGINT) AS qp
+            FROM documents WHERE doc_id % 19 = 9),
+          fr AS (
+            SELECT id, wmb, hmb, qp, CAST(t.f AS BIGINT) AS frame_idx
+            FROM d, UNNEST(range(1, 3 + id % 2)) AS t(f)),
+          mb AS (
+            SELECT fr.*, CAST(m.m AS BIGINT) AS mb,
+              (id + frame_idx + m.m) % 5 = 1 AS skip,
+              CAST((id + 2 * frame_idx + m.m) % 4 AS BIGINT) AS pt,
+              CASE WHEN frame_idx >= 2 THEN 2 ELSE 1 END AS nrefs,
+              CAST((id + frame_idx + m.m) % 8 AS INT) AS cbpidx
+            FROM fr, UNNEST(range(0, wmb * hmb)) AS m(m)),
+          coded AS (
+            SELECT *,
+              list_extract([0, 16, 1, 2, 4, 8, 32, 3], cbpidx + 1) AS cbp,
+              CASE pt WHEN 0 THEN 1 WHEN 3 THEN 4 ELSE 2 END AS np
+            FROM mb WHERE NOT skip),
+          parts AS (
+            SELECT coded.*, CAST(pp.p AS BIGINT) AS part,
+              CAST(((id + 3 * frame_idx + 5 * mb + 7 * pp.p) % 17) - 8
+                AS BIGINT) AS mvdx,
+              CAST(((3 * id + frame_idx + 2 * mb + 5 * pp.p) % 17) - 8
+                AS BIGINT) AS mvdy,
+              CASE WHEN nrefs = 2 THEN (id + mb + pp.p) % 2 ELSE 0 END AS ref
+            FROM coded, UNNEST(range(0, np)) AS pp(p)),
+          psums AS (
+            SELECT id, frame_idx,
+              CAST(sum((mb * 64 + part * 8 + 1) * mvdx +
+                       (mb * 64 + part * 8 + 3) * mvdy) AS BIGINT) AS mvd_checksum,
+              CAST(sum(ref * (mb + 1)) AS BIGINT) AS ref_sum
+            FROM parts GROUP BY id, frame_idx),
+          msums AS (
+            SELECT id, frame_idx,
+              CAST(sum((pt + 1) * (mb + 1)) AS BIGINT) AS type_sum
+            FROM coded GROUP BY id, frame_idx),
+          ssums AS (
+            SELECT id, frame_idx,
+              CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT) AS n_skip
+            FROM mb GROUP BY id, frame_idx),
+          tags AS (
+            SELECT coded.*, CAST(tg.tag AS BIGINT) AS tag,
+              CASE WHEN tg.tag BETWEEN 1 AND 16 THEN 16
+                   WHEN tg.tag BETWEEN 17 AND 18 THEN 4
+                   ELSE 15 END AS ncoeffs
+            FROM coded, UNNEST(range(1, 27)) AS tg(tag)
+            WHERE (tg.tag BETWEEN 1 AND 16 AND
+                   ((cbp % 16) >> CAST((tg.tag - 1) // 4 AS INT)) & 1 = 1)
+               OR (tg.tag BETWEEN 17 AND 18 AND cbp // 16 > 0)
+               OR (tg.tag BETWEEN 19 AND 26 AND cbp // 16 = 2)),
+          lev AS (
+            SELECT t.*, CAST(kk.k AS BIGINT) AS k,
+              CASE WHEN ncoeffs = 4 THEN 1
+                   ELSE 1 + CAST((id + tag) % 4 AS BIGINT) END AS step,
+              CAST((id + frame_idx + mb + tag) %
+                (CASE WHEN tag >= 19 THEN 3 ELSE 4 END) AS BIGINT) AS n
+            FROM tags t, UNNEST(range(0, 3)) AS kk(k)
+            WHERE kk.k < (id + frame_idx + mb + tag) %
+              (CASE WHEN tag >= 19 THEN 3 ELSE 4 END)),
+          contrib AS (
+            SELECT id, frame_idx,
+              (1 + (id + mb + tag * 2 + k + frame_idx) % 3) *
+              (CASE WHEN (id + mb + tag + k) % 2 = 0 THEN 1 ELSE -1 END) *
+              (mb * 131 + tag * 17 +
+                (CASE WHEN ncoeffs = 4 THEN (id + tag + mb) % 2
+                 ELSE (id + mb + tag) % (ncoeffs - (n - 1) * step) END)
+                + k * step + 1) AS c
+            FROM lev),
+          lsums AS (
+            SELECT id, frame_idx, CAST(sum(c) AS BIGINT) AS level_checksum
+            FROM contrib GROUP BY id, frame_idx)
+          SELECT fr.id, fr.frame_idx,
+            CAST(fr.wmb * 16 AS BIGINT) AS width,
+            CAST(fr.hmb * 16 AS BIGINT) AS height,
+            CAST(fr.wmb * fr.hmb AS BIGINT) AS n_mbs,
+            fr.qp AS qp,
+            coalesce(ss.n_skip, 0) AS n_skip,
+            coalesce(m.type_sum, 0) AS type_sum,
+            coalesce(p.ref_sum, 0) AS ref_sum,
+            coalesce(p.mvd_checksum, 0) AS mvd_checksum,
+            coalesce(l.level_checksum, 0) AS level_checksum,
+            CAST(1 AS BIGINT) AS recon_exact,
+            CAST(1 AS BIGINT) AS idr_ok
+          FROM fr
+          LEFT JOIN ssums ss ON ss.id = fr.id AND ss.frame_idx = fr.frame_idx
+          LEFT JOIN msums m ON m.id = fr.id AND m.frame_idx = fr.frame_idx
+          LEFT JOIN psums p ON p.id = fr.id AND p.frame_idx = fr.frame_idx
+          LEFT JOIN lsums l ON l.id = fr.id AND l.frame_idx = fr.frame_idx
+          ORDER BY fr.id, fr.frame_idx""")),
+
+    // ---- MP2 STEREO + Table-B.2b operating point + the PERFECT-
+    //      RECONSTRUCTION gate (VERDICT r14 item 3): q302's sibling at
+    //      32 kHz / 192 kbit/s / STEREO — Table B.2b's sblimit 30, the
+    //      §2.4.1.6 subband-major/channel-minor bit layout, per-channel
+    //      scfsi/scale-factor/sample paths with the two channels
+    //      allocating DIFFERENT subbands (ConstructS keys by 2·id+ch),
+    //      and per-channel polyphase synthesis state. code_checksum
+    //      gates the full bit chain per channel against the oracle's
+    //      independent SQL replay of allocate→quantize→pack; requant_ok
+    //      bounds decoded subbands in-row. pr_ok closes r14's open
+    //      deviation: the construction-inverse ANALYSIS filterbank run
+    //      against the (r15-corrected π/64) synthesis must reconstruct
+    //      a deterministic per-id probe to within Mp2.PrBound of a
+    //      delayed identity — the analysis∘synthesis bound that makes
+    //      the computed window's PCM path gateable end-to-end.
+    //      Row-local fan-out, zero shuffle. ------------------------------
+    Q("q310_mp2_stereo",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 23 === 11)
+          .select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            it.flatMap { id =>
+              val nf = (2 + id % 2).toInt
+              val specs = (0 until nf).map(f =>
+                IndexedSeq(Mp2.ConstructS.frameSpec(id * 2, f),
+                  Mp2.ConstructS.frameSpec(id * 2 + 1, f)))
+              val bytes = Mp2.encodeFrames(Mp2.OpStereo32, specs)
+              val st = Mp2.decode(bytes).get
+              // analysis∘synthesis PR probe, once per id
+              val probe = Array.tabulate(2048) { t =>
+                math.sin(2 * math.Pi * t * (1 + id % 5) / 256.0) +
+                  0.3 * math.sin(2 * math.Pi * t * (3 + id % 11) / 37.0)
+              }
+              val prOk = Mp2.prError(probe) < Mp2.PrBound
+              for {
+                (chFrames, fi) <- st.frames.zipWithIndex
+                (fr, ch) <- chFrames.zipWithIndex
+              } yield {
+                val id2 = id * 2 + ch
+                var nAlloc = 0L
+                var nlevSum = 0L
+                var sfSum = 0L
+                var checksum = 0L
+                var requantOk = 1L
+                var sb = 0
+                while (sb < Mp2.OpStereo32.sblimit) {
+                  val nlev = fr.allocNlevels(sb)
+                  if (nlev != 0) {
+                    nAlloc += 1
+                    nlevSum += nlev
+                    sfSum += fr.sfIdx(sb)(0)
+                    if (!fr.sfIdx(sb).forall(_ == fr.sfIdx(sb)(0)))
+                      requantOk = 0
+                    val q = Mp2.quantClass(nlev)
+                    val sf = Mp2.scaleFactor(Mp2.ConstructS.sfIdx(id2, sb))
+                    val bound = Mp2.quantBound(q) * sf * (1 + 1e-9) + 1e-12
+                    var t = 0
+                    while (t < 36) {
+                      checksum += fr.codes(sb)(t).toLong * (sb * 36 + t + 1)
+                      if (math.abs(fr.subband(sb)(t) -
+                          Mp2.ConstructS.u(id2, fi, sb, t) * sf) > bound)
+                        requantOk = 0
+                      t += 1
+                    }
+                  } else if (fr.subband(sb).exists(_ != 0.0)) requantOk = 0
+                  sb += 1
+                }
+                (id, fi.toLong, ch.toLong, st.sampleRate.toLong,
+                  st.channels.toLong, nAlloc, nlevSum, sfSum, checksum,
+                  requantOk, if (prOk) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "ch", "sample_rate", "channels",
+            "n_alloc", "nlevels_sum", "sf_sum", "code_checksum",
+            "requant_ok", "pr_ok")
+          .orderBy($"id", $"frame_idx", $"ch")
+      },
+      Some("""WITH fr AS (
+            SELECT doc_id AS id, CAST(t.f AS BIGINT) AS frame_idx,
+              CAST(c.c AS BIGINT) AS ch,
+              doc_id * 2 + c.c AS id2
+            FROM documents,
+              UNNEST(range(0, 2 + doc_id % 2)) AS t(f),
+              UNNEST(range(0, 2)) AS c(c)
+            WHERE doc_id % 23 = 11),
+          cell AS (
+            SELECT id, frame_idx, ch, id2, sb.sb AS sb, tt.t AS t,
+              CASE
+                WHEN (id2 + frame_idx + sb.sb) % 2 = 1 THEN 0
+                WHEN sb.sb = 0 THEN list_extract([0,3,7,15],
+                  CAST(1 + (id2 + frame_idx) % 3 AS INT) + 1)
+                WHEN sb.sb = 3 THEN list_extract([0,3,5,7,9,15],
+                  CAST(1 + (id2 + frame_idx * 5) % 5 AS INT) + 1)
+                WHEN sb.sb < 3 THEN list_extract([0,3,7,15],
+                  CAST(1 + (id2 + sb.sb * 3 + frame_idx) % 3 AS INT) + 1)
+                WHEN sb.sb < 23 THEN list_extract([0,3,5,7],
+                  CAST(1 + (id2 + sb.sb * 3 + frame_idx) % 3 AS INT) + 1)
+                ELSE list_extract([0,3,5],
+                  CAST(1 + (id2 + sb.sb * 3 + frame_idx) % 2 AS INT) + 1)
+              END AS nlev,
+              (id2 * 7 + sb.sb * 5) % 63 AS sfi,
+              ((id2 * 29 + frame_idx * 13 + sb.sb * 11 + tt.t * 3) % 167
+                - 83) / 97.0 AS u
+            FROM fr, UNNEST(range(0, 30)) AS sb(sb),
+              UNNEST(range(0, 36)) AS tt(t)),
+          qc AS (
+            SELECT *, CAST(ceil(log2(nlev + 1)) AS INT) AS nb
+            FROM cell WHERE nlev > 0),
+          code AS (
+            SELECT id, frame_idx, ch, sb, t, sfi, nlev,
+              LEAST(CAST(nlev - 1 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+                CAST(round((u / (pow(2, nb) / nlev)
+                  - (CASE WHEN nlev IN (3, 5, 9) THEN 0.5
+                     ELSE pow(2.0, 1 - nb) END) + 1) * pow(2, nb - 1))
+                  AS BIGINT))) AS c
+            FROM qc),
+          agg AS (
+            SELECT id, frame_idx, ch,
+              CAST(count(*) / 36 AS BIGINT) AS n_alloc,
+              CAST(sum(nlev) / 36 AS BIGINT) AS nlevels_sum,
+              CAST(sum(sfi) / 36 AS BIGINT) AS sf_sum,
+              CAST(sum(c * (sb * 36 + t + 1)) AS BIGINT) AS code_checksum
+            FROM code GROUP BY id, frame_idx, ch)
+          SELECT fr.id, fr.frame_idx, fr.ch,
+            CAST(32000 AS BIGINT) AS sample_rate,
+            CAST(2 AS BIGINT) AS channels,
+            coalesce(a.n_alloc, 0) AS n_alloc,
+            coalesce(a.nlevels_sum, 0) AS nlevels_sum,
+            coalesce(a.sf_sum, 0) AS sf_sum,
+            coalesce(a.code_checksum, 0) AS code_checksum,
+            CAST(1 AS BIGINT) AS requant_ok,
+            CAST(1 AS BIGINT) AS pr_ok
+          FROM fr LEFT JOIN agg a
+            ON a.id = fr.id AND a.frame_idx = fr.frame_idx AND a.ch = fr.ch
+          ORDER BY fr.id, fr.frame_idx, fr.ch""")),
 
     // ---- REAL animated-format frame extraction: each doc's metadata
     //      derives an animated GIF (spec-valid 89a, hand-written LZW

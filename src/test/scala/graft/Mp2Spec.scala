@@ -80,7 +80,7 @@ class Mp2Spec extends AnyFunSuite {
       val st = Mp2.decode(bytes).getOrElse(fail("decode returned None"))
       assert(st.sampleRate == 48000 && st.bitrateKbps == 192 &&
         st.frames.size == 3)
-      st.frames.zipWithIndex.foreach { case (f, fi) =>
+      st.frames.map(_.head).zipWithIndex.foreach { case (f, fi) =>
         // allocation round-trips exactly
         (0 until Mp2.Sblimit).foreach { sb =>
           val (row, _) = Mp2.allocRow(sb)
@@ -115,7 +115,7 @@ class Mp2Spec extends AnyFunSuite {
   test("synthesis: constant subband input reaches an EXACT period-32 steady state") {
     val id = 7L
     val st = Mp2.decode(Mp2.encode(Seq(mkSpec(0, id)))).get
-    val pcm = st.frames(0).pcm
+    val pcm = st.frames(0)(0).pcm
     // the 1024-sample V FIFO fills after 16 identical granule-steps; from
     // sample 512 on, every 32-sample block is bit-identical (same doubles
     // through the same op order) — a wrong FIFO shift, re-index or window
@@ -130,8 +130,8 @@ class Mp2Spec extends AnyFunSuite {
     // the steady region (up to float rounding)
     val base = mkSpec(0, 9L)
     val quiet = base.copy(sfIdx = base.sfIdx.map(i => math.min(62, i + 6)))
-    val loudPcm = Mp2.decode(Mp2.encode(Seq(base))).get.frames(0).pcm
-    val quietPcm = Mp2.decode(Mp2.encode(Seq(quiet))).get.frames(0).pcm
+    val loudPcm = Mp2.decode(Mp2.encode(Seq(base))).get.frames(0)(0).pcm
+    val quietPcm = Mp2.decode(Mp2.encode(Seq(quiet))).get.frames(0)(0).pcm
     (640 until 1152).foreach { t =>
       assert(math.abs(loudPcm(t) - 4.0 * quietPcm(t)) <=
         1e-9 * (1.0 + math.abs(loudPcm(t))), s"t=$t")
@@ -145,7 +145,7 @@ class Mp2Spec extends AnyFunSuite {
     val f0 = mkSpec(0, 3L)
     val f1 = mkSpec(0, 21L)
     val st = Mp2.decode(Mp2.encode(Seq(f0, f1))).get
-    val pcm1 = st.frames(1).pcm
+    val pcm1 = st.frames(1)(0).pcm
     val headPeriodic = (0 until 480).forall(t => pcm1(t) == pcm1(t + 32))
     assert(!headPeriodic, "frame 1 head already periodic — FIFO was reset")
     // and the tail of frame 1 IS periodic again (steady on f1's content)
@@ -179,5 +179,131 @@ class Mp2Spec extends AnyFunSuite {
     val tails = Mp2.Window.take(64).map(math.abs).sum +
       Mp2.Window.takeRight(64).map(math.abs).sum
     assert(center > 10 * tails)
+    // power complementarity across the band edge (the pseudo-QMF design
+    // objective): A²(ω) + A²(π/32−ω) flat to well under 1%
+    val h = Mp2.Window.map(_ / 32.0)
+    def amp(w: Double): Double =
+      (0 until 512).map(i => h(i) * math.cos(w * (i - 255.5))).sum
+    val edge = math.Pi / 32
+    val f = (0 to 32).map { m =>
+      val w = edge * m / 32
+      math.pow(amp(w), 2) + math.pow(amp(edge - w), 2)
+    }
+    assert(f.max / f.min - 1 < 0.01, s"power ripple ${f.max / f.min - 1}")
+  }
+
+  // ------------------------------------------------------------------
+  // r15: perfect-reconstruction gate + stereo/B.2b operating point
+  // ------------------------------------------------------------------
+
+  test("PR: analysis-synthesis chain delay is 481 and band-center tones " +
+      "reconstruct to a few permille") {
+    assert(Mp2.prDelay == 481, s"delay ${Mp2.prDelay}") // the known
+    // filterbank delay of the 512-tap pair — derived, then pinned
+    assert(Mp2.prGain > 0.2 && Mp2.prGain < 0.3, s"gain ${Mp2.prGain}")
+    for (k <- Seq(0, 3, 9, 21)) {
+      val w = (2 * k + 1) * math.Pi / 64
+      val tone = Array.tabulate(4096)(t => math.sin(w * t))
+      // prError includes the onset transient (the abrupt tone start is
+      // broadband); the steady region is several times cleaner
+      assert(Mp2.prError(tone) < 0.015, s"band $k center tone")
+      val out = Mp2.analysisSynthesis(tone)
+      var steady = 0.0
+      for (t <- 2000 until 4096)
+        steady = math.max(steady,
+          math.abs(out(t) / Mp2.prGain - tone(t - Mp2.prDelay)))
+      assert(steady < 0.005, s"band $k center steady err $steady")
+    }
+  }
+
+  test("PR: arbitrary probes reconstruct within PrBound (the q310 gate " +
+      "bound); quarter-band phase ripple is the documented worst case") {
+    val rng = new scala.util.Random(3)
+    val probes = Seq(
+      Array.tabulate(4096)(t => math.sin(2 * math.Pi * t / 300.0)),
+      Array.tabulate(4096)(t => rng.nextDouble() * 2 - 1),
+      Array.tabulate(4096)(t => if (t % 64 < 32) 1.0 else -1.0),
+      Array.tabulate(4096)(t => math.sin(2 * math.Pi * t * t / 90000.0)),
+      // worst measured class: quarter-band tones
+      Array.tabulate(4096)(t => math.sin(0.5 * math.Pi / 64 * t)),
+      Array.tabulate(4096)(t => math.sin(2.5 * math.Pi / 64 * t)))
+    probes.zipWithIndex.foreach { case (p, i) =>
+      val e = Mp2.prError(p)
+      assert(e < Mp2.PrBound, s"probe $i err $e >= ${Mp2.PrBound}")
+    }
+    // linearity of the whole chain
+    val p = probes.head
+    val scaled = Mp2.analysisSynthesis(p.map(_ * 2.5))
+    val base = Mp2.analysisSynthesis(p)
+    (0 until p.length).foreach { t =>
+      assert(math.abs(scaled(t) - 2.5 * base(t)) < 1e-9 * (1 + math.abs(scaled(t))))
+    }
+  }
+
+  test("stereo/B.2b: encode -> decode round-trips both channels; the " +
+      "channels allocate different subbands; sblimit 30") {
+    for (id <- Seq(0L, 5L, 11L, 28L)) {
+      val nf = (2 + id % 2).toInt
+      val specs = (0 until nf).map(f =>
+        IndexedSeq(Mp2.ConstructS.frameSpec(id * 2, f),
+          Mp2.ConstructS.frameSpec(id * 2 + 1, f)))
+      val bytes = Mp2.encodeFrames(Mp2.OpStereo32, specs)
+      assert(bytes.length == nf * Mp2.OpStereo32.frameBytes)
+      val st = Mp2.decode(bytes).getOrElse(fail(s"id=$id stereo decode None"))
+      assert(st.sampleRate == 32000 && st.channels == 2 &&
+        st.frames.size == nf)
+      for (fi <- 0 until nf; ch <- 0 until 2) {
+        val fr = st.frames(fi)(ch)
+        val id2 = id * 2 + ch
+        assert(fr.allocNlevels.length == 30)
+        (0 until 30).foreach { sb =>
+          val (row, _) = Mp2.allocRow(sb)
+          assert(fr.allocNlevels(sb) == row(Mp2.ConstructS.allocIdx(id2, fi, sb)),
+            s"id=$id f=$fi ch=$ch sb=$sb")
+          if (fr.allocNlevels(sb) != 0) {
+            val expSf = Mp2.ConstructS.sfIdx(id2, sb)
+            assert(fr.sfIdx(sb).forall(_ == expSf))
+            val q = Mp2.quantClass(fr.allocNlevels(sb))
+            val sf = Mp2.scaleFactor(expSf)
+            val bound = Mp2.quantBound(q) * sf * (1 + 1e-9) + 1e-12
+            (0 until 36).foreach { t =>
+              assert(math.abs(fr.subband(sb)(t) -
+                Mp2.ConstructS.u(id2, fi, sb, t) * sf) <= bound)
+            }
+          }
+        }
+        // per-channel synthesis produced sound
+        assert(fr.pcm.length == 1152 && fr.pcm.exists(v => math.abs(v) > 1e-9))
+      }
+      // the two channels genuinely diverge (different parity -> different
+      // silent subbands)
+      val a0 = st.frames(0)(0).allocNlevels.toSeq
+      val a1 = st.frames(0)(1).allocNlevels.toSeq
+      assert(a0 != a1, "stereo channels allocated identically")
+      assert(a0.zip(a1).forall { case (x, y) => x == 0 || y == 0 },
+        "parity construction should alternate silent subbands")
+    }
+  }
+
+  test("B.2b band structure: nbal-2 band extends through subband 29") {
+    (23 until 30).foreach { sb =>
+      val (row, nbal) = Mp2.allocRow(sb)
+      assert(nbal == 2 && row.toSeq == Seq(0, 3, 5, 65535))
+    }
+    // stereo frame byte count is the exact 144*bitrate/fs with no padding
+    assert(Mp2.OpStereo32.frameBytes == 144 * 192000 / 32000)
+  }
+
+  test("stereo rejection: mono-op header fields with stereo payload (and " +
+      "vice versa) fall through") {
+    val mono = Mp2.encode(Seq(mkSpec(0, 5L)))
+    // flip the mono header's mode bits to stereo '00': not an accepted
+    // operating point at 48 kHz -> None
+    val b = mono.clone(); b(3) = (b(3) & 0x3f).toByte
+    assert(Mp2.decode(b).isEmpty)
+    // a stereo stream truncated mid-frame
+    val st = Mp2.encodeFrames(Mp2.OpStereo32,
+      Seq(IndexedSeq(Mp2.ConstructS.frameSpec(0, 0), Mp2.ConstructS.frameSpec(1, 0))))
+    assert(Mp2.decode(st.take(st.length - 7)).isEmpty)
   }
 }
