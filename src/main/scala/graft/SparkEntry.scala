@@ -42,7 +42,7 @@ object SparkEntry {
       "q289_mpeg1_bframes", "q290_adpcm_audio", "q294_avro_ingest",
       "q299_png_adam7", "q301_tiff_ingest", "q302_mp2_audio",
       "q303_h264_intra", "q307_h264_i4x4", "q309_h264_pframes",
-      "q310_mp2_stereo")
+      "q310_mp2_stereo", "q311_mp3_layer3")
       .map(_ -> GateClass.ConstructionInverse)
     val st = Seq("q127_subword_tokenize")
       .map(_ -> GateClass.SharedSqlText)

@@ -1474,6 +1474,16 @@ object Multimodal {
       Mp2.decode(bytes).map(st =>
         Decoded(0, 0, st.frames.size, st.sampleRate))
 
+    /** MPEG-1 Audio Layer III: full Huffman-payload decode — side info,
+      * scale factors with scfsi sharing, big_values/count1 Huffman,
+      * requantization, alias reduction, IMDCT, polyphase — via
+      * [[graft.operators.Mp3]] (gated by q311; in-scope operating point
+      * only, other streams fall through per Mp3's scope bounds).
+      */
+    def decodeMp3Payload(bytes: Array[Byte]): Option[Decoded] =
+      Mp3.decode(bytes).map(st =>
+        Decoded(0, 0, st.frames.size, st.sampleRate))
+
     /** H.264 baseline I_16x16 intra streams: NAL/SPS/PPS/slice parse,
       * CAVLC, intra prediction, inverse transforms — via
       * [[graft.operators.H264]] (gated by q303).
@@ -1501,6 +1511,7 @@ object Multimodal {
         .orElse(MediaCodecs.decodeAvi(bytes))
         .orElse(MediaCodecs.decodeMpeg1(bytes))
         .orElse(MediaCodecs.decodeMp2(bytes))
+        .orElse(MediaCodecs.decodeMp3Payload(bytes))
         .orElse(MediaCodecs.decodeH264(bytes))
         .orElse(MediaCodecs.decodeMp4(bytes))
         .getOrElse(stub.decode(modality, mime, bytes))
@@ -1523,10 +1534,14 @@ object Multimodal {
     * AUDIO surface is empty since r14: PCM/IMA-ADPCM WAV decode to
     * samples (q290), and entropy-coded MPEG-1 Layer II decodes for real
     * through bit allocation, scale factors, requantization and
-    * polyphase synthesis ([[graft.operators.Mp2]], q302); MP3
-    * (Layer III) parses frame headers (q195) and falls through here
-    * only for its Huffman-coded payload. The MP4 container parses
-    * box-level metadata.
+    * polyphase synthesis ([[graft.operators.Mp2]], q302); and MP3
+    * (Layer III) decodes its HUFFMAN PAYLOAD for real since r15 — side
+    * info, scfsi-shared scale factors, big_values/count1 Huffman,
+    * requantization, alias reduction, IMDCT, polyphase
+    * ([[graft.operators.Mp3]], q311) — falling through only for
+    * operating points/block types outside Mp3's documented scope
+    * (bit reservoir, short blocks, the untranscribed Huffman tables).
+    * The MP4 container parses box-level metadata.
     */
   final class StubCodec {
     def decode(modality: String, mime: String, bytes: Array[Byte]): Decoded = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Model._
 import graft.llm.{LlmOperator, MockLlmClient}
-import graft.operators.{H264, Mp2, Multimodal, Sampling, StableMatcher}
+import graft.operators.{H264, Mp2, Mp3, Multimodal, Sampling, StableMatcher}
 import graft.ops.{Parsers, PromptRenderer}
 import graft.streaming.StreamingOps
 
@@ -2255,6 +2255,185 @@ object PipelineQueries extends Registry {
           FROM fr LEFT JOIN agg a
             ON a.id = fr.id AND a.frame_idx = fr.frame_idx AND a.ch = fr.ch
           ORDER BY fr.id, fr.frame_idx, fr.ch""")),
+
+    // ---- MP3 (Layer III) HUFFMAN PAYLOAD decode (VERDICT r14 item 2 —
+    //      q195 stops at frame headers; this empties StubCodec's MP3
+    //      fall-through for the in-scope operating point): side-info
+    //      parse (part2_3_length, big_values, global_gain,
+    //      scalefac_compress, table_select, region counts), scale
+    //      factors with scfsi GRANULE SHARING, big_values Huffman via
+    //      transcribed Table 1 + count1 via the 4-bit-complement FLC
+    //      table B with per-value sign bits, EXACT part2_3_length
+    //      consumption, closed-form requantization (global_gain /
+    //      scalefac_scale / |is|^(4/3)), alias-reduction butterflies
+    //      (derived cs/ca from the eight c_i constants), the 36-point
+    //      IMDCT hybrid filterbank with cross-granule overlap-add and
+    //      frequency inversion, feeding Mp2's (r15-corrected) polyphase
+    //      synthesis. The oracle re-derives the WHOLE coded chain in
+    //      SQL: side-info fields, the bit-accounted part2_3_length
+    //      (scale-factor bits per scfsi + Huffman code/sign bits), the
+    //      effective scale-factor sum, and a per-line spectral-value
+    //      checksum the decoder must reproduce bit-exactly. Scope
+    //      bounds documented in Mp3.scala (long blocks, lines < 24 =
+    //      sf bands 0-5, no bit reservoir). Row-local, zero shuffle. ----
+    Q("q311_mp3_layer3",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 29 === 13)
+          .select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            it.flatMap { id =>
+              val bytes = Mp3.encode(id)
+              val st = Mp3.decode(bytes).get
+              for {
+                (grans, fi) <- st.frames.zipWithIndex
+                (g, gr) <- grans.zipWithIndex
+              } yield {
+                var requantOk = 1L
+                val mult = if (g.scalefacScale == 0) 0.5 else 1.0
+                for (i <- 0 until Mp3.MaxLine) {
+                  val isv = Mp3.ConstructM.isVal(id, fi, gr, i)
+                  if (g.is(i) != isv) requantOk = 0
+                  val expected =
+                    if (isv == 0) 0.0
+                    else math.signum(isv.toDouble) *
+                      math.pow(math.abs(isv.toDouble), 4.0 / 3.0) *
+                      math.pow(2.0, (g.globalGain - 210) / 4.0 -
+                        mult * g.scalefacs(i / 4))
+                  if (math.abs(g.xr(i) - expected) >
+                    1e-12 * (1 + math.abs(expected))) requantOk = 0
+                }
+                val pcmOk = g.pcm.length == 576 &&
+                  g.pcm.forall(v => !v.isNaN && !v.isInfinite)
+                (id, fi.toLong, gr.toLong, st.sampleRate.toLong,
+                  g.part23.toLong, g.bigValues.toLong,
+                  g.globalGain.toLong, g.scalefacCompress.toLong,
+                  g.scalefacScale.toLong, g.scalefacs.map(_.toLong).sum,
+                  g.is.zipWithIndex.map { case (v, i) =>
+                    v.toLong * (i + 1)
+                  }.sum,
+                  requantOk, if (pcmOk) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "gr", "sample_rate", "part23_len",
+            "big_values", "global_gain", "sf_compress", "sf_scale",
+            "scalefac_sum", "code_checksum", "requant_ok", "pcm_finite")
+          .orderBy($"id", $"frame_idx", $"gr")
+      },
+      Some("""WITH g AS (
+            SELECT doc_id AS id, CAST(t.f AS BIGINT) AS frame_idx,
+              CAST(gg.g AS BIGINT) AS gr
+            FROM documents,
+              UNNEST(range(0, 2)) AS t(f), UNNEST(range(0, 2)) AS gg(g)
+            WHERE doc_id % 29 = 13),
+          base AS (
+            SELECT *,
+              160 + (id + frame_idx * 7 + gr * 3) % 40 AS global_gain,
+              (id + frame_idx + 3 * gr) % 16 AS sfc,
+              (id + gr) % 2 AS sf_scale,
+              (id + frame_idx + gr) % 13 AS bv
+            FROM g),
+          b2 AS (
+            SELECT *,
+              (id + frame_idx + 2 * gr) % ((24 - 2 * bv) // 4 + 1) AS n1,
+              list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+                CAST(sfc AS INT) + 1) AS s1,
+              list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+                CAST(sfc AS INT) + 1) AS s2
+            FROM base),
+          -- scale-factor bits: granule 0 sends all 21 bands; granule 1
+          -- only the scfsi groups whose bit is 0 (groups: 6/5 bands of
+          -- slen1, then 5/5 of slen2)
+          sfb AS (
+            SELECT b2.*,
+              CASE WHEN gr = 0 THEN 11 * s1 + 10 * s2
+              ELSE
+                (CASE WHEN (id + frame_idx + 0) % 2 = 0 THEN 6 * s1 ELSE 0 END) +
+                (CASE WHEN (id + frame_idx + 1) % 2 = 0 THEN 5 * s1 ELSE 0 END) +
+                (CASE WHEN (id + frame_idx + 2) % 2 = 0 THEN 5 * s2 ELSE 0 END) +
+                (CASE WHEN (id + frame_idx + 3) % 2 = 0 THEN 5 * s2 ELSE 0 END)
+              END AS sf_bits
+            FROM b2),
+          lines AS (
+            SELECT sfb.*, CAST(l.l AS BIGINT) AS line,
+              CASE WHEN l.l < 2 * bv + 4 * n1
+                THEN (id + frame_idx + 3 * gr + l.l) % 3 - 1
+                ELSE 0 END AS isv
+            FROM sfb, UNNEST(range(0, 24)) AS l(l)),
+          -- Huffman bits: per big_values pair, table-1 code length
+          -- (1/3/2/3 for (0,0)/(0,1)/(1,0)/(1,1)) + one sign bit per
+          -- nonzero; count1: 4-bit FLC + signs
+          pairbits AS (
+            SELECT id, frame_idx, gr,
+              sum(CASE
+                WHEN ax = 0 AND ay = 0 THEN 1
+                WHEN ax = 0 THEN 3 + 1
+                WHEN ay = 0 THEN 2 + 1
+                ELSE 3 + 2 END) AS big_bits
+            FROM (
+              SELECT sfb.id, sfb.frame_idx, sfb.gr,
+                abs((sfb.id + sfb.frame_idx + 3 * sfb.gr + 2 * p.p) % 3 - 1) AS ax,
+                abs((sfb.id + sfb.frame_idx + 3 * sfb.gr + 2 * p.p + 1) % 3 - 1) AS ay
+              FROM sfb, UNNEST(range(0, bv)) AS p(p))
+            GROUP BY id, frame_idx, gr),
+          c1bits AS (
+            SELECT id, frame_idx, gr,
+              CAST(4 * max(n1) AS BIGINT) +
+              sum(CASE WHEN line >= 2 * bv AND isv != 0 THEN 1 ELSE 0 END)
+                AS c1_bits
+            FROM lines GROUP BY id, frame_idx, gr),
+          sums AS (
+            SELECT id, frame_idx, gr,
+              CAST(sum(isv * (line + 1)) AS BIGINT) AS code_checksum
+            FROM lines GROUP BY id, frame_idx, gr),
+          -- effective scale factors with scfsi SHARING: granule 1's
+          -- shared groups copy granule 0's transmitted values — which
+          -- use granule 0's slen widths (sfc differs per granule)
+          sfsum AS (
+            SELECT id, frame_idx, gr,
+              CAST(sum(CASE WHEN slen_u > 0
+                THEN (id + 2 * b) % CAST(pow(2, slen_u) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS scalefac_sum
+            FROM (
+              SELECT b2.id, b2.frame_idx, b2.gr, bb.b,
+                CASE WHEN bb.b < 11
+                  THEN list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+                    CAST((b2.id + b2.frame_idx + 3 * ug.u) % 16 AS INT) + 1)
+                  ELSE list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+                    CAST((b2.id + b2.frame_idx + 3 * ug.u) % 16 AS INT) + 1)
+                END AS slen_u
+              FROM b2, UNNEST(range(0, 21)) AS bb(b),
+                LATERAL (SELECT CASE WHEN b2.gr = 1 AND
+                    (b2.id + b2.frame_idx +
+                     CASE WHEN bb.b < 6 THEN 0 WHEN bb.b < 11 THEN 1
+                          WHEN bb.b < 16 THEN 2 ELSE 3 END) % 2 = 1
+                  THEN 0 ELSE b2.gr END AS u) AS ug(u))
+            GROUP BY id, frame_idx, gr)
+          SELECT s.id, s.frame_idx, s.gr,
+            CAST(48000 AS BIGINT) AS sample_rate,
+            CAST(s.sf_bits + coalesce(p.big_bits, 0) + c.c1_bits
+              AS BIGINT) AS part23_len,
+            CAST(s.bv AS BIGINT) AS big_values,
+            CAST(s.global_gain AS BIGINT) AS global_gain,
+            CAST(s.sfc AS BIGINT) AS sf_compress,
+            CAST(s.sf_scale AS BIGINT) AS sf_scale,
+            sf.scalefac_sum,
+            cs.code_checksum,
+            CAST(1 AS BIGINT) AS requant_ok,
+            CAST(1 AS BIGINT) AS pcm_finite
+          FROM sfb s
+          LEFT JOIN pairbits p
+            ON p.id = s.id AND p.frame_idx = s.frame_idx AND p.gr = s.gr
+          JOIN c1bits c
+            ON c.id = s.id AND c.frame_idx = s.frame_idx AND c.gr = s.gr
+          JOIN sums cs
+            ON cs.id = s.id AND cs.frame_idx = s.frame_idx AND cs.gr = s.gr
+          JOIN sfsum sf
+            ON sf.id = s.id AND sf.frame_idx = s.frame_idx AND sf.gr = s.gr
+          ORDER BY s.id, s.frame_idx, s.gr""")),
 
     // ---- REAL animated-format frame extraction: each doc's metadata
     //      derives an animated GIF (spec-valid 89a, hand-written LZW

@@ -27,7 +27,7 @@ class QueriesSpec extends SparkSpec {
       Set("q127_subword_tokenize"))
     // every construction-inverse gate is a media/container codec query
     val ci = gc.filter(_._2 == graft.queries.GateClass.ConstructionInverse).keySet
-    assert(ci.size == 21 && ci.forall(SparkEntry.oracleSql.contains))
+    assert(ci.size == 22 && ci.forall(SparkEntry.oracleSql.contains))
   }
 
   test("q127 shared-SQL gate: independent in-JVM greedy tokenizer re-derives " +
