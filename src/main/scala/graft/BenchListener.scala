@@ -25,7 +25,17 @@ final class BenchListener extends StreamingQueryListener {
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
     val trig = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
-    BenchListener.buf.add(BenchListener.Batch(p.runId.toString, p.batchId, p.numInputRows, trig))
+    // state-store footprint across this batch's stateful operators — the
+    // quantity the streaming ladder gates at scaled feeds (r14 item 4:
+    // state must grow with KEYS, not rows, for keyed-state queries)
+    var stRows = 0L
+    var stBytes = 0L
+    p.stateOperators.foreach { so =>
+      stRows += so.numRowsTotal
+      stBytes += so.memoryUsedBytes
+    }
+    BenchListener.buf.add(BenchListener.Batch(p.runId.toString, p.batchId,
+      p.numInputRows, trig, stRows, stBytes))
     // the static-conf registration reaches EVERY graft session — Verify
     // and test JVMs feed this buffer too but never drain it, so cap it:
     // evict oldest past MaxBuffered (Bench drains per-query, far below it)
@@ -35,7 +45,8 @@ final class BenchListener extends StreamingQueryListener {
 }
 
 object BenchListener {
-  final case class Batch(runId: String, batchId: Long, inputRows: Long, triggerMs: Long)
+  final case class Batch(runId: String, batchId: Long, inputRows: Long,
+      triggerMs: Long, stateRows: Long = 0L, stateBytes: Long = 0L)
 
   /** Upper bound on buffered micro-batch records in JVMs that never
     * drain (Verify, tests): ~64 B each, so the cap is a few MB worst

@@ -26,12 +26,11 @@ object SparkEntry {
     * check specs — and per-row error bounds inside the gated output).
     *
     * SharedSqlText = both engines execute the same SQL text (engine-
-    * execution parity). Each such gate carries an independent invariant
-    * outside the gate: q127's recursive-CTE output is re-derived row-for-
-    * row over the full sf0.001 corpus by `PromptRenderer.wordpieceCount`
-    * (a separate Scala greedy longest-prefix implementation) in
-    * QueriesSpec. Note q300 is NOT here: its packing is a Spark-side
-    * Scala fold vs a DuckDB recursive CTE — two independent programs.
+    * execution parity). EMPTY since r15 (q127's oracle was rewritten as
+    * an independent DuckDB program; its in-JVM greedy re-derivation in
+    * QueriesSpec stays as a third implementation). Note q300 was never
+    * here: its packing is a Spark-side Scala fold vs a DuckDB recursive
+    * CTE — two independent programs.
     */
   val gateClasses: Map[String, String] = {
     val ci = Seq(
@@ -42,10 +41,13 @@ object SparkEntry {
       "q289_mpeg1_bframes", "q290_adpcm_audio", "q294_avro_ingest",
       "q299_png_adam7", "q301_tiff_ingest", "q302_mp2_audio",
       "q303_h264_intra", "q307_h264_i4x4", "q309_h264_pframes",
-      "q310_mp2_stereo", "q311_mp3_layer3")
+      "q310_mp2_stereo", "q311_mp3_layer3", "q312_h264_cavlc_full")
       .map(_ -> GateClass.ConstructionInverse)
-    val st = Seq("q127_subword_tokenize")
-      .map(_ -> GateClass.SharedSqlText)
+    // the shared-sql-text class is EMPTY since r15: q127's oracle is now
+    // an independently-formulated DuckDB program (set-wise longest-prefix
+    // steps + a join-walk recursion vs Spark's correlated-MAX recursive
+    // CTE); the mechanism stays for honest labeling of any future gate
+    val st = Seq.empty[String].map(_ -> GateClass.SharedSqlText)
     (ci ++ st).toMap
   }
 

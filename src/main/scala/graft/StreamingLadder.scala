@@ -105,6 +105,32 @@ object StreamingLadder {
       }
     }
 
+  /** Streaming queries whose state legitimately buffers ROWS inside the
+    * watermark (join buffers / an explicit replay buffer) — exempt from
+    * the keys-not-rows state gate, recorded for the report. Everything
+    * else keeps keyed state (windows, sessions, dedup keys, TWS
+    * counters, sketches) whose row count must NOT track the feed size.
+    */
+  val RowBufferingQueries: Set[String] = Set(
+    "q119_streaming_interval_join", "q132_streaming_outer_nulls",
+    "q220_tws_replay_buffer")
+
+  /** Keyed-state queries whose state rows grew more than `factor`× when
+    * the feed grew 10× over the SAME key space (r14 item 4: state must
+    * grow with keys, not rows). A small floor ignores empty/near-empty
+    * state.
+    */
+  def stateRegressions(rows10x: Map[String, Long], rows100x: Map[String, Long],
+      factor: Double = 8.0, floor: Long = 64): Map[String, (Long, Long)] =
+    rows100x.flatMap { case (q, r100) =>
+      rows10x.get(q) match {
+        case Some(r10) if !RowBufferingQueries.contains(q) &&
+            r100 > factor * math.max(r10, floor) =>
+          Some(q -> (r10, r100))
+        case _ => None
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val dir1 = sys.env.getOrElse("SPARK_GRAFT_LADDER_DIR1", "/root/testdata/sf0.1")
     val dir100 = sys.env.getOrElse("SPARK_GRAFT_LADDER_DIR100", "/tmp/graft_sf10")
@@ -113,6 +139,8 @@ object StreamingLadder {
         "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf10 100")
     val scaledFeed = sys.env.get("SPARK_GRAFT_LADDER_FEED").map(_.toInt)
       .getOrElse(20000)
+    val feed100 = sys.env.get("SPARK_GRAFT_LADDER_FEED100").map(_.toInt)
+      .getOrElse(200000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -130,7 +158,8 @@ object StreamingLadder {
     val prior = parsePrior(priorTxt)
 
     val queries = SparkEntry.streamingQueries.toSeq.sorted
-    def measure(name: String, dir: String, feed: Option[Int]): Double =
+    final case class Rung(rate: Double, stateRows: Long, stateBytes: Long)
+    def measure(name: String, dir: String, feed: Option[Int]): Rung =
       graft.streaming.StreamingOps.withFeedLimit(feed) {
         BenchListener.quiesce(); BenchListener.drain()
         SparkEntry.queries(name)(spark, dir).count()
@@ -139,43 +168,79 @@ object StreamingLadder {
         graft.core.SessionHygiene.dropAllBlocks(spark)
         val rows = bs.map(_.inputRows).sum
         val ms = bs.map(_.triggerMs).sum
-        if (ms <= 0) 0.0 else rows * 1000.0 / ms
+        Rung(if (ms <= 0) 0.0 else rows * 1000.0 / ms,
+          if (bs.isEmpty) 0L else bs.map(_.stateRows).max,
+          if (bs.isEmpty) 0L else bs.map(_.stateBytes).max)
       }
-    val results: Seq[(String, (Double, Double))] = queries.map { q =>
+    val results: Seq[(String, (Rung, Rung, Rung))] = queries.map { q =>
       System.err.println(s"[strm-ladder] $q base feed")
       val rb = measure(q, dir1, None)
-      System.err.println(f"[strm-ladder] $q base $rb%.0f rows/trigger-sec; scaled feed $scaledFeed")
+      System.err.println(f"[strm-ladder] $q base ${rb.rate}%.0f rows/trigger-sec; scaled feed $scaledFeed")
       var rs = measure(q, dir100, Some(scaledFeed))
       // retry protocol (bench strm_retry's rule): same-code TWS rates
       // swing ±1.7×; re-measure once before calling a 2× prior-ratio
       // breach a regression, keep the better sample
       val priorRatio = prior.get(q).collect { case (pb, ps) if ps > 0 => pb / ps }
-      if (rs > 0 && priorRatio.exists(p => rb / rs > 2.0 * p)) {
-        System.err.println(f"[strm-ladder] $q retry (ratio ${rb / rs}%.2f vs prior ${priorRatio.get}%.2f)")
-        rs = math.max(rs, measure(q, dir100, Some(scaledFeed)))
+      if (rs.rate > 0 && priorRatio.exists(p => rb.rate / rs.rate > 2.0 * p)) {
+        System.err.println(f"[strm-ladder] $q retry (ratio ${rb.rate / rs.rate}%.2f vs prior ${priorRatio.get}%.2f)")
+        val again = measure(q, dir100, Some(scaledFeed))
+        if (again.rate > rs.rate) rs = again
       }
-      System.err.println(f"[strm-ladder] $q scaled $rs%.0f rows/trigger-sec ratio ${if (rs > 0) rb / rs else -1.0}%.2f")
-      q -> (rb, rs)
+      // the 100x feed (r14 item 4): same key space, 10x the scaled rows —
+      // keyed state must NOT grow with it, and per-row cost must not blow up
+      System.err.println(s"[strm-ladder] $q 100x feed $feed100")
+      var r100 = measure(q, dir100, Some(feed100))
+      if (r100.rate > 0 && rs.rate / r100.rate > 3.0) {
+        System.err.println(f"[strm-ladder] $q 100x retry (rate fell ${rs.rate / r100.rate}%.2f x)")
+        val again = measure(q, dir100, Some(feed100))
+        if (again.rate > r100.rate) r100 = again
+      }
+      System.err.println(f"[strm-ladder] $q scaled ${rs.rate}%.0f 100x ${r100.rate}%.0f state ${rs.stateRows}->${r100.stateRows}")
+      q -> ((rb, rs, r100))
     }
-    val cur = results.toMap
+    val cur = results.map { case (q, (rb, rs, _)) => q -> (rb.rate, rs.rate) }.toMap
     val regs = regressions(prior, cur)
+    val stateRegs = stateRegressions(
+      results.map { case (q, (_, rs, _)) => q -> rs.stateRows }.toMap,
+      results.map { case (q, (_, _, r100)) => q -> r100.stateRows }.toMap)
+    // per-row throughput at 10x-more rows: sub-linear trigger time means
+    // the rate should hold within jitter; flag a >3x collapse (after the
+    // retry above)
+    val rateRegs100 = results.collect {
+      case (q, (_, rs, r100)) if r100.rate > 0 && rs.rate / r100.rate > 3.0 =>
+        q -> (rs.rate, r100.rate)
+    }
     def d1(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val block = results.map { case (q, (rb, rs)) =>
-      val ratio = if (rs > 0) rb / rs else -1.0
+    val block = results.map { case (q, (rb, rs, r100)) =>
+      val ratio = if (rs.rate > 0) rb.rate / rs.rate else -1.0
       val pr = prior.get(q).collect { case (pb, ps) if ps > 0 =>
         s""","prior_ratio":${d3(pb / ps)}""" +
           (if (ratio > 0) s""","ratio_vs_prior":${d3(ratio / (pb / ps))}""" else "")
       }.getOrElse("")
-      s""""$q":{"rate_base":${d1(rb)},"rate_scaled":${d1(rs)},"ratio":${d3(ratio)}$pr}"""
+      val stateRatio =
+        if (rs.stateRows > 0) r100.stateRows.toDouble / rs.stateRows else -1.0
+      s""""$q":{"rate_base":${d1(rb.rate)},"rate_scaled":${d1(rs.rate)},"ratio":${d3(ratio)}$pr,""" +
+        s""""rate_100x":${d1(r100.rate)},"state_rows_10x":${rs.stateRows},""" +
+        s""""state_rows_100x":${r100.stateRows},"state_bytes_10x":${rs.stateBytes},""" +
+        s""""state_bytes_100x":${r100.stateBytes},"state_ratio":${d3(stateRatio)},""" +
+        s""""row_buffering":${RowBufferingQueries.contains(q)}}"""
     }.mkString(
-      s"""{"protocol":"graft.StreamingLadder: rows/sum(triggerExecution) at the 2000-row sf0.1 feed (base) vs a $scaledFeed-row feed from $dir100 (scaled, 100x key space); ratio=base/scaled; retry past 2x prior ratio","feed_scaled":$scaledFeed,"rungs":{""",
+      s"""{"protocol":"graft.StreamingLadder: rows/sum(triggerExecution) at the 2000-row sf0.1 feed (base) vs $scaledFeed-row and $feed100-row feeds from $dir100 (100x key space); ratio=base/scaled; retry past 2x prior ratio (scaled) / 3x rate fall (100x); state gate: keyed-state rows at the 100x feed must stay within 8x of the 10x feed (row-buffering joins/replay exempt, labeled)","feed_scaled":$scaledFeed,"feed_100x":$feed100,"rungs":{""",
       ",",
       "}," + s""""regressions":${
         regs.toSeq.sortBy(_._1).map { case (q, (p, c)) =>
           s""""$q":{"prior_ratio":${d3(p)},"ratio":${d3(c)}}"""
+        }.mkString("{", ",", "}")
+      },"state_regressions":${
+        stateRegs.toSeq.sortBy(_._1).map { case (q, (a, b)) =>
+          s""""$q":{"state_rows_10x":$a,"state_rows_100x":$b}"""
+        }.mkString("{", ",", "}")
+      },"rate_regressions_100x":${
+        rateRegs100.toSeq.sortBy(_._1).map { case (q, (a, b)) =>
+          s""""$q":{"rate_scaled":${d1(a)},"rate_100x":${d1(b)}}"""
         }.mkString("{", ",", "}")
       }}""")
     // merge into the canonical ladder artifact + standalone run log
@@ -185,7 +250,9 @@ object StreamingLadder {
       java.nio.file.Paths.get("BENCH_STREAMING_LADDER.json"),
       s"""{"metric":"streaming_ladder","streaming_ladder":$block}""" + "\n")
     println(s"""{"metric":"streaming_ladder","n_queries":${results.size},""" +
-      s""""n_regressions":${regs.size},"feed_scaled":$scaledFeed,""" +
+      s""""n_regressions":${regs.size},"n_state_regressions":${stateRegs.size},""" +
+      s""""n_rate_regressions_100x":${rateRegs100.size},""" +
+      s""""feed_scaled":$scaledFeed,"feed_100x":$feed100,""" +
       s""""artifact":"BENCH_LADDER.json"}""")
     spark.stop()
   }

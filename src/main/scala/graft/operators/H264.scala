@@ -65,6 +65,8 @@ object H264 {
       put(0, len - 1); put(cn, len)
     }
     def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** pcm_alignment_zero_bit run (I_PCM, §7.3.5). */
+    def alignByte(): Unit = if (nbits != 0) put(0, 8 - nbits)
     /** rbsp_trailing_bits: stop bit + pad to byte. */
     def rbspTrailing(): Unit = { put(1, 1); if (nbits != 0) put(0, 8 - nbits) }
     def result(): Array[Byte] = { require(nbits == 0, "unterminated RBSP"); bytes.toByteArray }
@@ -74,6 +76,10 @@ object H264 {
     private var pos = 0
     def bitPos: Int = pos
     def remaining: Int = bytes.length * 8 - pos
+    /** Consume pcm_alignment_zero_bits; they MUST be zero. */
+    def alignByte(): Unit =
+      if (pos % 8 != 0 && get(8 - pos % 8) != 0)
+        throw new IllegalStateException("nonzero pcm alignment bits")
     def get(n: Int): Int = {
       var v = 0
       var i = 0
@@ -159,7 +165,36 @@ object H264 {
     (0, 2) -> "000100", (1, 2) -> "000110", (2, 2) -> "001",
     (0, 3) -> "000011", (1, 3) -> "0000011", (2, 3) -> "0000010", (3, 3) -> "000101")
 
-  /** total_zeros for 4x4 blocks, rows TotalCoeff = 1..3 (Table 9-7). */
+  /** coeff_token, 4 ≤ nC < 8 (Table 9-5 third column), TotalCoeff ≤ 3 —
+    * the r15 widening (VERDICT r14 item 6). The construction guarantees
+    * any block decoded in this context has TC ≤ 3 (blocks with more
+    * coefficients only ever sit in the DERIVED nC ≥ 8 FLC context, see
+    * [[coeffTokenFlc]]); rows beyond TC 3 stay untranscribed, same
+    * policy as the other columns.
+    */
+  val CoeffTokenNc4: Map[(Int, Int), String] = Map(
+    (0, 0) -> "1111",
+    (0, 1) -> "001111", (1, 1) -> "1110",
+    (0, 2) -> "001011", (1, 2) -> "01111", (2, 2) -> "1101",
+    (0, 3) -> "001000", (1, 3) -> "01100", (2, 3) -> "01110", (3, 3) -> "1100")
+
+  /** coeff_token for nC ≥ 8 — a DERIVED closed form, not a table: 6-bit
+    * FLC with code = ((TotalCoeff−1) << 2) | TrailingOnes, and
+    * TotalCoeff = 0 coded as 000011 (no clash: T1 ≤ TC makes (1, 3)
+    * unused). Covers every TC 0..16.
+    */
+  def coeffTokenFlc(t1: Int, totalCoeff: Int): Int =
+    if (totalCoeff == 0) 3 else ((totalCoeff - 1) << 2) | t1
+
+  def coeffTokenFlcDecode(code: Int): (Int, Int) =
+    if (code == 3) (0, 0) else (code & 3, (code >> 2) + 1)
+
+  /** total_zeros for 4x4 blocks, rows TotalCoeff = 1..7 (Table 9-7;
+    * rows 4-7 added r15 — each transcription is pinned prefix-free AND
+    * Kraft-complete in H264Spec, which catches most recall slips; rows
+    * 8-15 stay untranscribed: the construction's only TC > 7 blocks are
+    * full 16-coefficient ones, where total_zeros is not coded at all).
+    */
   val TotalZeros4x4: Map[Int, IndexedSeq[String]] = Map(
     1 -> IndexedSeq("1", "011", "010", "0011", "0010", "00011", "00010",
       "000011", "000010", "0000011", "0000010", "00000011", "00000010",
@@ -168,7 +203,15 @@ object H264 {
       "0011", "0010", "00011", "00010", "000011", "000010", "000001",
       "000000"),
     3 -> IndexedSeq("0101", "111", "110", "101", "0100", "0011", "100",
-      "011", "0010", "00011", "00010", "000001", "00001", "000000"))
+      "011", "0010", "00011", "00010", "000001", "00001", "000000"),
+    4 -> IndexedSeq("00011", "111", "0101", "0100", "110", "101", "100",
+      "0011", "011", "0010", "00010", "00001", "00000"),
+    5 -> IndexedSeq("0101", "0100", "0011", "111", "110", "101", "100",
+      "011", "0010", "00001", "0001", "00000"),
+    6 -> IndexedSeq("000001", "00001", "111", "110", "101", "100", "011",
+      "010", "0001", "001", "000000"),
+    7 -> IndexedSeq("000001", "00001", "101", "100", "011", "11", "010",
+      "0001", "001", "000000"))
 
   /** total_zeros for chroma DC 2x2 blocks (Table 9-9(a)). */
   val TotalZerosChromaDc: Map[Int, IndexedSeq[String]] = Map(
@@ -195,6 +238,7 @@ object H264 {
 
   private val coeffTokenDecNc0 = invert(CoeffTokenNc0)
   private val coeffTokenDecNc2 = invert(CoeffTokenNc2)
+  private val coeffTokenDecNc4 = invert(CoeffTokenNc4)
   private val coeffTokenDecCdc = invert(CoeffTokenChromaDc)
 
   // -------------------------------------------------------------------
@@ -202,24 +246,32 @@ object H264 {
   // -------------------------------------------------------------------
 
   /** One residual block in SCAN order (length 16 DC / 15 AC / 4 chroma
-    * DC), TotalCoeff ≤ 3 (≤ the table bound).
+    * DC). Transcription bounds: TotalCoeff ≤ 3 in the three table
+    * contexts (≤ 4 chroma DC); the derived nC ≥ 8 FLC context accepts
+    * any TotalCoeff, but total_zeros rows above 7 are untranscribed so
+    * TC ∈ 8..15 additionally requires totalZeros = 0 — the r15
+    * construction only emits TC ∈ {4..7, 16} there.
     */
   def writeResidual(w: BitWriter, coeffs: Array[Int], nC: Int): Unit = {
     val nz = coeffs.zipWithIndex.filter(_._1 != 0)
     val totalCoeff = nz.length
-    require(totalCoeff <= 3 || (nC == -1 && totalCoeff <= 4),
-      s"construction bound exceeded: $totalCoeff coeffs")
+    require(totalCoeff <= 3 || (nC == -1 && totalCoeff <= 4) || nC >= 8,
+      s"construction bound exceeded: $totalCoeff coeffs in nC=$nC")
     // trailing ones: consecutive |1|s at the high-frequency end, max 3
     var t1 = 0
     while (t1 < math.min(3, totalCoeff) &&
       math.abs(nz(totalCoeff - 1 - t1)._1) == 1) t1 += 1
-    val tokTab =
-      if (nC == -1) CoeffTokenChromaDc
-      else if (nC < 2) CoeffTokenNc0
-      else CoeffTokenNc2
-    val bits = tokTab.getOrElse((t1, totalCoeff),
-      throw new IllegalArgumentException(s"no coeff_token for ($t1, $totalCoeff) nC=$nC"))
-    bits.foreach(c => w.put(c - '0', 1))
+    if (nC >= 8) w.put(coeffTokenFlc(t1, totalCoeff), 6)
+    else {
+      val tokTab =
+        if (nC == -1) CoeffTokenChromaDc
+        else if (nC < 2) CoeffTokenNc0
+        else if (nC < 4) CoeffTokenNc2
+        else CoeffTokenNc4
+      val bits = tokTab.getOrElse((t1, totalCoeff),
+        throw new IllegalArgumentException(s"no coeff_token for ($t1, $totalCoeff) nC=$nC"))
+      bits.foreach(c => w.put(c - '0', 1))
+    }
     if (totalCoeff == 0) return
     // trailing-one signs, high-frequency first
     for (k <- 0 until t1) w.put(if (nz(totalCoeff - 1 - k)._1 < 0) 1 else 0, 1)
@@ -293,12 +345,14 @@ object H264 {
     * bound).
     */
   def readResidual(r: BitReader, maxCoeffs: Int, nC: Int): (Array[Int], Int) = {
-    val dec =
-      if (nC == -1) coeffTokenDecCdc
-      else if (nC < 2) coeffTokenDecNc0
-      else if (nC < 4) coeffTokenDecNc2
-      else throw new IllegalStateException(s"nC=$nC outside the transcribed contexts")
-    val (t1, totalCoeff) = readVlc(r, dec)
+    val (t1, totalCoeff) =
+      if (nC >= 8) coeffTokenFlcDecode(r.get(6)) // derived FLC context
+      else readVlc(r,
+        if (nC == -1) coeffTokenDecCdc
+        else if (nC < 2) coeffTokenDecNc0
+        else if (nC < 4) coeffTokenDecNc2
+        else coeffTokenDecNc4)
+    if (totalCoeff > maxCoeffs) throw new IllegalStateException("TC > block size")
     val coeffs = new Array[Int](maxCoeffs)
     if (totalCoeff == 0) return (coeffs, 0)
     val levels = new Array[Int](totalCoeff) // high-frequency first
@@ -513,6 +567,39 @@ object H264 {
       allowed(((id + mb + blk) % allowed.size).toInt)
     }
 
+    /** q312's widened-slice knobs (r15 — VERDICT r14 item 6): I_PCM raw
+      * samples, and DENSE block levels (TC ∈ {4..7, 16}) that only ever
+      * sit in the DERIVED nC ≥ 8 FLC context — their left neighbor is
+      * always an I_PCM macroblock (all of whose blocks count
+      * TotalCoeff 16), so nC = (16 + t + 1) >> 1 ≥ 8 for any top
+      * neighbor t. TC 4..7 blocks carry total_zeros from the newly
+      * transcribed rows 4-7 (tz sweeps the full 0..16−TC range); TC 16
+      * blocks have no total_zeros field at all (the reason TC 8..15 —
+      * whose rows stay untranscribed — is never emitted). Magnitudes up
+      * to 19 push the adaptive level-suffix machinery through its
+      * escalation states.
+      */
+    def isPcmMb(id: Long, mbX: Int, mbY: Int): Boolean =
+      mbX == 0 && (id + mbY) % 2 == 0
+    def pcmSample(id: Long, mb: Int, plane: Int, i: Int): Int =
+      ((id * 31 + mb * 17 + plane * 103 + i * 7) % 256).toInt
+    def denseTc(id: Long, mb: Int, b: Int): Int =
+      if ((id + mb + b) % 5 == 0) 16 else 4 + ((id + mb + b) % 4).toInt
+    def denseLevels(id: Long, mb: Int, b: Int): Array[Int] = {
+      val tc = denseTc(id, mb, b)
+      val out = new Array[Int](16)
+      val tz = if (tc == 16) 0 else ((id + 3L * b + mb) % (16 - tc + 1)).toInt
+      var k = 0
+      while (k < tc) {
+        val pos = if (k < tc - 1) k else tc - 1 + tz
+        val mag = 1 + ((id + mb + b * 7 + k * 5) % 19).toInt
+        val sgn = if ((id + k + b) % 2 == 0) 1 else -1
+        out(pos) = mag * sgn
+        k += 1
+      }
+      out
+    }
+
     /** Block tags for the level formulas and the gate checksum: DC=0,
       * luma AC blk i → 1+i, chroma DC comp c → 17+c, chroma AC comp c
       * blk b → 19 + 4c + b.
@@ -654,7 +741,7 @@ object H264 {
       levelChecksum: Long, modeSum: Long, chromaModeSum: Long,
       i4ModeSum: Long = 0L, nI4Mbs: Long = 0L,
       mvdChecksum: Long = 0L, refSum: Long = 0L, nSkip: Long = 0L,
-      typeSum: Long = 0L)
+      typeSum: Long = 0L, nPcm: Long = 0L, pcmChecksum: Long = 0L)
 
   final case class H264Stream(widthMb: Int, heightMb: Int, qp: Int,
       frames: Vector[H264Frame])
@@ -881,13 +968,13 @@ object H264 {
     * gate sums) — the decoder must reproduce every value bit-exactly.
     */
   def encode(id: Long, wMb: Int, hMb: Int, nFrames: Int, qp: Int,
-      mixed: Boolean = false): (Array[Byte], Vector[H264Frame]) = {
+      mixed: Boolean = false, pcmMode: Boolean = false): (Array[Byte], Vector[H264Frame]) = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(nal(7, spsRbsp(wMb, hMb)))
     out.write(nal(8, ppsRbsp()))
     val frames = Vector.newBuilder[H264Frame]
     for (f <- 0 until nFrames) {
-      val (rbsp, fr) = encodeISlice(id, f, wMb, hMb, qp, mixed)
+      val (rbsp, fr) = encodeISlice(id, f, wMb, hMb, qp, mixed, pcmMode)
       out.write(nal(5, rbsp))
       frames += fr
     }
@@ -899,7 +986,7 @@ object H264 {
     * (frame 0 of the IDR+P streams, q309).
     */
   private def encodeISlice(id: Long, f: Int, wMb: Int, hMb: Int, qp: Int,
-      mixed: Boolean): (Array[Byte], H264Frame) = {
+      mixed: Boolean, pcmMode: Boolean = false): (Array[Byte], H264Frame) = {
       val w = new BitWriter
       w.ue(0) // first_mb_in_slice
       w.ue(7) // slice_type: I (all slices in pic)
@@ -920,11 +1007,13 @@ object H264 {
       val modeStore = Array.fill(hMb * 4, wMb * 4)(2)
       var checksum = 0L; var modeSum = 0L; var cModeSum = 0L
       var i4ModeSum = 0L; var nI4 = 0L
+      var nPcm = 0L; var pcmSum = 0L
       for (mbIdx <- 0 until wMb * hMb) {
         val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
-        val isI4 = mixed && ConstructH.isI4(id, mbIdx)
-        val cm = ConstructH.chromaMode(id, mbIdx, mbX, mbY)
-        cModeSum += cm
+        val isPcm = pcmMode && ConstructH.isPcmMb(id, mbX, mbY)
+        val isI4 =
+          if (pcmMode) !isPcm && mbX > 0
+          else mixed && ConstructH.isI4(id, mbIdx)
         def sumBlock(tag: Int, levels: Array[Int]): Unit = {
           var s = 0
           while (s < levels.length) {
@@ -933,9 +1022,41 @@ object H264 {
             s += 1
           }
         }
+        if (isPcm) {
+          // I_PCM (§7.3.5/§7.4.5): mb_type 25, byte alignment, raw
+          // samples; every block's TotalCoeff counts as 16 for the
+          // neighbors' CAVLC contexts — the nC ≥ 8 bootstrap.
+          nPcm += 1
+          w.ue(25)
+          w.alignByte()
+          val wPix = wMb * 16; val wC = wMb * 8
+          for (i <- 0 until 256) {
+            val v = ConstructH.pcmSample(id, mbIdx, 0, i)
+            w.put(v, 8)
+            pcmSum += v.toLong * (mbIdx * 389 + i + 1)
+            y((mbY * 16 + i / 16) * wPix + mbX * 16 + i % 16) = v
+          }
+          for (c <- 0 until 2; i <- 0 until 64) {
+            val v = ConstructH.pcmSample(id, mbIdx, 1 + c, i)
+            w.put(v, 8)
+            pcmSum += v.toLong * (mbIdx * 389 + 256 + c * 64 + i + 1)
+            (if (c == 0) cb else cr)((mbY * 8 + i / 8) * wC + mbX * 8 + i % 8) = v
+          }
+          for (x4 <- 0 until 4; y4 <- 0 until 4)
+            tcY(mbY * 4 + y4)(mbX * 4 + x4) = 16
+          for (c <- 0 until 2; x2 <- 0 until 2; y2 <- 0 until 2)
+            tcC(c)(mbY * 2 + y2)(mbX * 2 + x2) = 16
+        } else {
+        val cm = ConstructH.chromaMode(id, mbIdx, mbX, mbY)
+        cModeSum += cm
         if (isI4) {
           nI4 += 1
-          val cbp = ConstructH.cbpI4(id, mbIdx)
+          // dense MBs (right of an I_PCM MB) force a full-luma CBP so
+          // the nC >= 8 / mid-nC chain is actually fed
+          val leftPcm = pcmMode && mbX == 1 && (id + mbY) % 2 == 0
+          val cbp =
+            if (leftPcm) CbpIntraSubset(((id + mbIdx) % 2).toInt) // 47/31
+            else ConstructH.cbpI4(id, mbIdx)
           val cbpL = (cbp & 15) != 0
           val cbpC = cbp >> 4
           val i4Modes = Array.tabulate(16) { b =>
@@ -945,9 +1066,13 @@ object H264 {
             i4ModeSum += m
             m
           }
-          val ac = Array.tabulate(16)(b =>
-            if (cbpL) ConstructH.blockLevels(id, f, mbIdx, 1 + b, 16)
-            else new Array[Int](16))
+          val ac = Array.tabulate(16) { b =>
+            val (x4b, _) = blkPos(b)
+            if (leftPcm && x4b == 0 && cbpL)
+              ConstructH.denseLevels(id, mbIdx, b)
+            else if (cbpL) ConstructH.blockLevels(id, f, mbIdx, 1 + b, 16)
+            else new Array[Int](16)
+          }
           val cdc = Array.tabulate(2)(c =>
             if (cbpC > 0) ConstructH.blockLevels(id, f, mbIdx, 17 + c, 4)
             else new Array[Int](4))
@@ -1028,10 +1153,11 @@ object H264 {
           reconstructMb(MbData(isI4 = false, pm, Array.empty, cm, cbpL,
             cbpC, dc, ac, cdc, cac), qp, mbX, mbY, y, cb, cr, wMb)
         }
+        }
       }
       w.rbspTrailing()
       (w.result(), H264Frame(y, cb, cr, checksum, modeSum, cModeSum,
-        i4ModeSum, nI4))
+        i4ModeSum, nI4, nPcm = nPcm, pcmChecksum = pcmSum))
   }
 
   /** Decode a stream this construction emits; None for anything else
@@ -1112,10 +1238,11 @@ object H264 {
           val modeStore = Array.fill(hMb * 4, wMb * 4)(2)
           var checksum = 0L; var modeSum = 0L; var cModeSum = 0L
           var i4ModeSum = 0L; var nI4 = 0L
+          var nPcm = 0L; var pcmSum = 0L
           for (mbIdx <- 0 until wMb * hMb) {
             val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
             val mbType = r.ue()
-            if (mbType > 24) return None // I_NxN + I_16x16 only
+            if (mbType > 25) return None // I_NxN/I_16x16/I_PCM only
             def sumBlock(tag: Int, levels: Array[Int]): Unit = {
               var s = 0
               while (s < levels.length) {
@@ -1124,7 +1251,34 @@ object H264 {
                 s += 1
               }
             }
-            if (mbType == 0) { // I_4x4
+            if (mbType == 25) { // I_PCM: aligned raw samples
+              nPcm += 1
+              r.alignByte()
+              val wPix = wMb * 16; val wC = wMb * 8
+              var i = 0
+              while (i < 256) {
+                val v = r.get(8)
+                pcmSum += v.toLong * (mbIdx * 389 + i + 1)
+                y((mbY * 16 + i / 16) * wPix + mbX * 16 + i % 16) = v
+                i += 1
+              }
+              var c = 0
+              while (c < 2) {
+                i = 0
+                while (i < 64) {
+                  val v = r.get(8)
+                  pcmSum += v.toLong * (mbIdx * 389 + 256 + c * 64 + i + 1)
+                  (if (c == 0) cb else cr)((mbY * 8 + i / 8) * wC + mbX * 8 + i % 8) = v
+                  i += 1
+                }
+                c += 1
+              }
+              // neighbors' CAVLC contexts see TotalCoeff 16 everywhere
+              for (x4 <- 0 until 4; y4 <- 0 until 4)
+                tcY(mbY * 4 + y4)(mbX * 4 + x4) = 16
+              for (cc <- 0 until 2; x2 <- 0 until 2; y2 <- 0 until 2)
+                tcC(cc)(mbY * 2 + y2)(mbX * 2 + x2) = 16
+            } else if (mbType == 0) { // I_4x4
               nI4 += 1
               val i4Modes = new Array[Int](16)
               for (b <- 0 until 16) {
@@ -1216,7 +1370,7 @@ object H264 {
             }
           }
           frames += H264Frame(y, cb, cr, checksum, modeSum, cModeSum,
-            i4ModeSum, nI4)
+            i4ModeSum, nI4, nPcm = nPcm, pcmChecksum = pcmSum)
           dpb = List((y, cb, cr)) // IDR resets the reference buffer
         case (1, rbsp) =>
           // non-IDR P slice (q309). Syntax accepted: slice_type 5,

@@ -2116,6 +2116,216 @@ object PipelineQueries extends Registry {
           LEFT JOIN lsums l ON l.id = fr.id AND l.frame_idx = fr.frame_idx
           ORDER BY fr.id, fr.frame_idx""")),
 
+    // ---- H.264 CAVLC WIDENING + I_PCM (VERDICT r14 item 6): q307's
+    //      coverage pushed past the construction's convenience. I_PCM
+    //      macroblocks (mb_type 25: byte-aligned raw sample read, QP-
+    //      free, every block counting TotalCoeff 16 in the neighbors'
+    //      CAVLC contexts) BOOTSTRAP the high-nC chain: blocks right of
+    //      an I_PCM MB decode in the DERIVED nC ≥ 8 six-bit FLC
+    //      coeff_token context (a closed form, not a table) and carry
+    //      TC ∈ {4..7, 16} — TC 4-7 exercises the newly transcribed
+    //      total_zeros rows 4-7 (tz sweeps 0..16−TC; Kraft-complete
+    //      pins in H264Spec) and magnitudes to 19 drive the adaptive
+    //      level-suffix escalation; TC 16 blocks have no total_zeros
+    //      at all (why untranscribed rows 8-15 are never needed). Their
+    //      own neighbors then land in the newly transcribed 4 ≤ nC < 8
+    //      coeff_token column (TC ≤ 3 subset). Gate: bit-exact planes,
+    //      the PCM sample checksum and the level checksum (incl. the
+    //      dense-block construction) re-derived independently in SQL.
+    //      Row-local fan-out, zero shuffle. ------------------------------
+    Q("q312_h264_cavlc_full",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 31 === 17)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, nch) =>
+              val wMb = (2 + id % 2).toInt
+              val hMb = (1 + nch % 2).toInt
+              val nf = (1 + id % 2).toInt
+              val qp = H264.ConstructH.qp(id)
+              val (bytes, expect) = H264.encode(id, wMb, hMb, nf, qp,
+                mixed = true, pcmMode = true)
+              val st = H264.decode(bytes).get
+              st.frames.zip(expect).zipWithIndex.map { case ((got, exp), f) =>
+                val exact = got.y.sameElements(exp.y) &&
+                  got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr)
+                (id, f.toLong, (wMb * 16).toLong, (hMb * 16).toLong,
+                  (wMb * hMb).toLong, got.nPcm, got.nI4Mbs, qp.toLong,
+                  got.modeSum, got.i4ModeSum, got.chromaModeSum,
+                  got.pcmChecksum, got.levelChecksum,
+                  if (exact) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "width", "height", "n_mbs", "n_pcm",
+            "n_i4", "qp", "mode_sum", "i4_mode_sum", "chroma_mode_sum",
+            "pcm_checksum", "level_checksum", "recon_exact")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""WITH d AS (
+            SELECT doc_id AS id, n_chars,
+              CAST(2 + doc_id % 2 AS BIGINT) AS wmb,
+              CAST(1 + n_chars % 2 AS BIGINT) AS hmb,
+              CAST(20 + doc_id % 8 AS BIGINT) AS qp
+            FROM documents WHERE doc_id % 31 = 17),
+          fr AS (
+            SELECT id, wmb, hmb, qp, CAST(t.f AS BIGINT) AS frame_idx
+            FROM d, UNNEST(range(0, 1 + id % 2)) AS t(f)),
+          mb AS (
+            SELECT fr.*, CAST(m.m AS BIGINT) AS mb,
+              CAST(m.m % wmb AS BIGINT) AS mbx,
+              CAST(m.m // wmb AS BIGINT) AS mby
+            FROM fr, UNNEST(range(0, wmb * hmb)) AS m(m)),
+          cls AS (
+            SELECT mb.*,
+              mbx = 0 AND (id + mby) % 2 = 0 AS ispcm,
+              mbx = 0 AND (id + mby) % 2 = 1 AS isi16,
+              mbx > 0 AS isi4,
+              mbx = 1 AND (id + mby) % 2 = 0 AS leftpcm
+            FROM mb),
+          -- I_PCM raw-sample checksum (luma plane 0 + chroma planes 1/2)
+          pcmsum AS (
+            SELECT id, frame_idx, CAST(sum(v * w) AS BIGINT) AS pcm_checksum
+            FROM (
+              SELECT id, frame_idx,
+                (id * 31 + mb * 17 + i.i * 7) % 256 AS v,
+                mb * 389 + i.i + 1 AS w
+              FROM cls, UNNEST(range(0, 256)) AS i(i) WHERE ispcm
+              UNION ALL
+              SELECT id, frame_idx,
+                (id * 31 + mb * 17 + (1 + c.c) * 103 + i.i * 7) % 256 AS v,
+                mb * 389 + 256 + c.c * 64 + i.i + 1 AS w
+              FROM cls, UNNEST(range(0, 2)) AS c(c),
+                UNNEST(range(0, 64)) AS i(i) WHERE ispcm)
+            GROUP BY id, frame_idx),
+          -- I_16x16 prediction modes: only at mbx=0 odd rows (mby >= 1)
+          m16 AS (
+            SELECT id, frame_idx, CAST(coalesce(sum(
+              list_extract([0, 2], CAST((id + mb) % 2 AS INT) + 1)), 0)
+              AS BIGINT) AS mode_sum
+            FROM cls WHERE isi16 GROUP BY id, frame_idx),
+          cmode AS (
+            SELECT id, frame_idx, CAST(sum(CASE
+                WHEN mbx > 0 AND mby > 0 THEN
+                  list_extract([0, 1, 2, 3], CAST((id + 2 * mb) % 4 AS INT) + 1)
+                WHEN mby > 0 THEN
+                  list_extract([0, 2], CAST((id + 2 * mb) % 2 AS INT) + 1)
+                WHEN mbx > 0 THEN
+                  list_extract([0, 1], CAST((id + 2 * mb) % 2 AS INT) + 1)
+                ELSE 0 END) AS BIGINT) AS chroma_mode_sum
+            FROM cls WHERE NOT ispcm GROUP BY id, frame_idx),
+          i4m AS (
+            SELECT id, frame_idx, CAST(sum(CASE
+                WHEN gx > 0 AND gy > 0 THEN (id + mb + blk) % 9
+                WHEN gy > 0 THEN
+                  list_extract([0, 2, 3, 7], CAST((id + mb + blk) % 4 AS INT) + 1)
+                WHEN gx > 0 THEN
+                  list_extract([1, 2, 8], CAST((id + mb + blk) % 3 AS INT) + 1)
+                ELSE 2 END) AS BIGINT) AS i4_mode_sum
+            FROM (
+              SELECT cls.*, CAST(bk.blk AS BIGINT) AS blk,
+                mbx * 4 + 2 * ((bk.blk // 4) % 2) + bk.blk % 2 AS gx,
+                mby * 4 + 2 * (bk.blk // 8) + (bk.blk // 2) % 2 AS gy
+              FROM cls, UNNEST(range(0, 16)) AS bk(blk)
+              WHERE isi4)
+            GROUP BY id, frame_idx),
+          -- CBP per MB class
+          cbp AS (
+            SELECT cls.*,
+              CASE
+                WHEN isi16 THEN (id + mb) % 3 != 2
+                WHEN leftpcm THEN TRUE
+                ELSE (id + mb) % 4 != 3 END AS cbpl,
+              CAST(CASE
+                WHEN isi16 THEN (id + 2 + mb) % 3
+                WHEN leftpcm THEN (CASE (id + mb) % 2 WHEN 0 THEN 2 ELSE 1 END)
+                ELSE (CASE (id + mb) % 4 WHEN 0 THEN 2 WHEN 1 THEN 1
+                      ELSE 0 END) END AS BIGINT) AS cbpc
+            FROM cls WHERE NOT ispcm),
+          -- standard blockLevels contributions (I_16x16 DC/AC + chroma
+          -- everywhere + I_4x4 non-dense luma)
+          tags AS (
+            SELECT cbp.*, CAST(tg.tag AS BIGINT) AS tag,
+              CASE WHEN tg.tag = 0 THEN 16
+                   WHEN tg.tag BETWEEN 1 AND 16 THEN
+                     CASE WHEN isi4 THEN 16 ELSE 15 END
+                   WHEN tg.tag BETWEEN 17 AND 18 THEN 4
+                   ELSE 15 END AS ncoeffs
+            FROM cbp, UNNEST(range(0, 27)) AS tg(tag)
+            WHERE (tg.tag = 0 AND isi16)
+               OR (tg.tag BETWEEN 1 AND 16 AND cbpl AND NOT (
+                     -- dense blocks replace blockLevels at x4=0 of
+                     -- leftpcm MBs: blkIdx 0/2/8/10
+                     leftpcm AND (tg.tag - 1) IN (0, 2, 8, 10)))
+               OR (tg.tag BETWEEN 17 AND 18 AND cbpc > 0)
+               OR (tg.tag BETWEEN 19 AND 26 AND cbpc = 2)),
+          lev AS (
+            SELECT t.*, CAST(kk.k AS BIGINT) AS k,
+              CASE WHEN ncoeffs = 4 THEN 1
+                   ELSE 1 + CAST((id + tag) % 4 AS BIGINT) END AS step,
+              CAST((id + frame_idx + mb + tag) %
+                (CASE WHEN tag >= 19 THEN 3 ELSE 4 END) AS BIGINT) AS n
+            FROM tags t, UNNEST(range(0, 3)) AS kk(k)
+            WHERE kk.k < (id + frame_idx + mb + tag) %
+              (CASE WHEN tag >= 19 THEN 3 ELSE 4 END)),
+          contrib AS (
+            SELECT id, frame_idx,
+              (1 + (id + mb + tag * 2 + k + frame_idx) % 3) *
+              (CASE WHEN (id + mb + tag + k) % 2 = 0 THEN 1 ELSE -1 END) *
+              (mb * 131 + tag * 17 +
+                (CASE WHEN ncoeffs = 4 THEN (id + tag + mb) % 2
+                 ELSE (id + mb + tag) % (ncoeffs - (n - 1) * step) END)
+                + k * step + 1) AS c
+            FROM lev),
+          -- dense-block contributions (the nC >= 8 FLC blocks)
+          dense AS (
+            SELECT cbp.id, cbp.frame_idx, CAST(bb.b AS BIGINT) AS b,
+              cbp.mb,
+              CASE WHEN (cbp.id + cbp.mb + bb.b) % 5 = 0 THEN 16
+                   ELSE 4 + (cbp.id + cbp.mb + bb.b) % 4 END AS tc
+            FROM cbp, UNNEST([0, 2, 8, 10]) AS bb(b)
+            WHERE leftpcm AND cbpl),
+          densec AS (
+            SELECT id, frame_idx,
+              (1 + (id + mb + b * 7 + kk.k * 5) % 19) *
+              (CASE WHEN (id + kk.k + b) % 2 = 0 THEN 1 ELSE -1 END) *
+              (mb * 131 + (1 + b) * 17 +
+                (CASE WHEN kk.k < tc - 1 THEN kk.k
+                 ELSE tc - 1 + (CASE WHEN tc = 16 THEN 0
+                   ELSE (id + 3 * b + mb) % (16 - tc + 1) END) END) + 1) AS c
+            FROM dense, UNNEST(range(0, tc)) AS kk(k)),
+          lsums AS (
+            SELECT id, frame_idx, CAST(sum(c) AS BIGINT) AS level_checksum
+            FROM (SELECT * FROM contrib UNION ALL SELECT * FROM densec)
+            GROUP BY id, frame_idx),
+          counts AS (
+            SELECT id, frame_idx,
+              CAST(sum(CASE WHEN ispcm THEN 1 ELSE 0 END) AS BIGINT) AS n_pcm,
+              CAST(sum(CASE WHEN isi4 THEN 1 ELSE 0 END) AS BIGINT) AS n_i4
+            FROM cls GROUP BY id, frame_idx)
+          SELECT fr.id, fr.frame_idx,
+            CAST(fr.wmb * 16 AS BIGINT) AS width,
+            CAST(fr.hmb * 16 AS BIGINT) AS height,
+            CAST(fr.wmb * fr.hmb AS BIGINT) AS n_mbs,
+            ct.n_pcm, ct.n_i4, fr.qp AS qp,
+            coalesce(m16.mode_sum, 0) AS mode_sum,
+            coalesce(i4.i4_mode_sum, 0) AS i4_mode_sum,
+            coalesce(cm.chroma_mode_sum, 0) AS chroma_mode_sum,
+            coalesce(p.pcm_checksum, 0) AS pcm_checksum,
+            coalesce(l.level_checksum, 0) AS level_checksum,
+            CAST(1 AS BIGINT) AS recon_exact
+          FROM fr
+          JOIN counts ct ON ct.id = fr.id AND ct.frame_idx = fr.frame_idx
+          LEFT JOIN m16 ON m16.id = fr.id AND m16.frame_idx = fr.frame_idx
+          LEFT JOIN i4m i4 ON i4.id = fr.id AND i4.frame_idx = fr.frame_idx
+          LEFT JOIN cmode cm ON cm.id = fr.id AND cm.frame_idx = fr.frame_idx
+          LEFT JOIN pcmsum p ON p.id = fr.id AND p.frame_idx = fr.frame_idx
+          LEFT JOIN lsums l ON l.id = fr.id AND l.frame_idx = fr.frame_idx
+          ORDER BY fr.id, fr.frame_idx""")),
+
     // ---- MP2 STEREO + Table-B.2b operating point + the PERFECT-
     //      RECONSTRUCTION gate (VERDICT r14 item 3): q302's sibling at
     //      32 kHz / 192 kbit/s / STEREO — Table B.2b's sblimit 30, the

@@ -2548,8 +2548,16 @@ object TextQueries extends Registry {
         s.sql(subwordSql(
           "SELECT doc_id, explode(split(lower(text), ' ')) AS token FROM q127_docs"))
       },
-      Some(subwordSql(
-        "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents"))),
+      // INDEPENDENT DuckDB formulation (VERDICT r14 item 5 — this was
+      // the one shared-sql-text gate): the longest-prefix match is
+      // computed SET-WISE per (word, position) with CASE/IN lists built
+      // from the vocab by piece length, and the recursion merely walks
+      // precomputed step sizes via a join — vs Spark's recursive CTE
+      // whose per-step argmax is a correlated MAX subquery over a
+      // pieces table. Two different programs; only the vocab (the
+      // tokenizer's DATA) is shared. The in-JVM greedy re-derivation in
+      // QueriesSpec stays as the third implementation.
+      Some(subwordOracleSql)),
 
     // ---- source temperature rebalancing: cap every source at
     //      floor(sqrt(n)) docs (keep the lowest doc_ids) — the sublinear
@@ -4324,6 +4332,43 @@ object TextQueries extends Registry {
               CAST(sum(n_pieces) AS BIGINT) AS n_pieces
        FROM toks t JOIN wc ON t.token = wc.w
        GROUP BY t.doc_id ORDER BY doc_id"""
+
+  /** q127's DuckDB oracle — a SEPARATE program from the Spark-side
+    * recursive CTE (see the q127 registration comment). The IN lists
+    * are generated from [[graft.ops.PromptRenderer.subwordVocab]] so
+    * the tokenizer's data stays single-sourced while the matching
+    * logic is independently expressed.
+    */
+  private def subwordOracleSql: String = {
+    val vocab = graft.ops.PromptRenderer.subwordVocab
+    def inList(len: Int): String =
+      vocab.filter(_.length == len).toSeq.sorted.map("'" + _ + "'").mkString(", ")
+    val maxLen = vocab.map(_.length).max
+    // one CASE branch per piece length, longest first = greedy
+    val branches = (maxLen to 2 by -1).filter(l => vocab.exists(_.length == l))
+      .map(l => s"WHEN substr(w, CAST(p.p AS INT), $l) IN (${inList(l)}) THEN $l")
+      .mkString("\n             ")
+    s"""WITH RECURSIVE toks AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+         FROM documents),
+       words AS (SELECT DISTINCT token AS w FROM toks WHERE length(token) <= 50),
+       spos AS (
+         SELECT w, CAST(p.p AS INT) AS pos,
+           CASE $branches
+             ELSE 1 END AS step
+         FROM words, UNNEST(range(1, length(w) + 1)) AS p(p)),
+       walk(w, pos, np) AS (
+         SELECT w, 1, 0 FROM words
+         UNION ALL
+         SELECT c.w, c.pos + s.step, c.np + 1
+         FROM walk c JOIN spos s ON s.w = c.w AND s.pos = c.pos
+         WHERE c.pos <= length(c.w)),
+       wc AS (SELECT w, np AS n_pieces FROM walk WHERE pos > length(w))
+       SELECT t.doc_id, count(*) AS n_tokens,
+              CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+       FROM toks t JOIN wc ON t.token = wc.w
+       GROUP BY t.doc_id ORDER BY doc_id"""
+  }
 
   /** ACTUAL executed depth of q127's recursive CTE for this corpus: a
     * word advances by the matched piece length (up to 4) per round, so

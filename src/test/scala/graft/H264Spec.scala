@@ -225,6 +225,101 @@ class H264Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // r15 CAVLC widening (q312): 4<=nC<8 context, derived nC>=8 FLC,
+  // total_zeros rows 4-7, full-16 blocks, I_PCM
+  // ------------------------------------------------------------------
+
+  test("widened tables: Nc4 prefix-free; total_zeros rows 4-7 prefix-free " +
+      "AND Kraft-complete; FLC coeff_token is a derived bijection") {
+    assertPrefixFree(H264.CoeffTokenNc4.values, "coeff_token 4<=nC<8")
+    for (tc <- 4 to 7) {
+      val row = H264.TotalZeros4x4(tc)
+      assert(row.size == 16 - tc + 1, s"row $tc arity")
+      assertPrefixFree(row, s"total_zeros TC=$tc")
+      // completeness: a full prefix code sums 2^-len to exactly 1 —
+      // catches most transcription slips structurally
+      assert(row.map(c => math.pow(2.0, -c.length)).sum == 1.0, s"row $tc Kraft")
+    }
+    // FLC: every legal (t1 <= min(3, tc)) pair has a distinct 6-bit code
+    val codes = for (tc <- 0 to 16; t1 <- 0 to math.min(3, tc)
+                     if !(tc == 0 && t1 > 0))
+      yield H264.coeffTokenFlc(t1, tc)
+    assert(codes.distinct.size == codes.size)
+    assert(codes.forall(c => c >= 0 && c < 64))
+    codes.zip(for (tc <- 0 to 16; t1 <- 0 to math.min(3, tc)
+                   if !(tc == 0 && t1 > 0)) yield (t1, tc)).foreach {
+      case (c, (t1, tc)) =>
+        assert(H264.coeffTokenFlcDecode(c) == (t1, tc), s"FLC roundtrip ($t1,$tc)")
+    }
+  }
+
+  test("CAVLC round-trips in the widened contexts: TC up to 16, large " +
+      "levels through suffix escalation, total_zeros rows 4-7") {
+    val rng = new scala.util.Random(17)
+    for (trial <- 0 until 3000) {
+      val nC = Seq(4, 5, 6, 7, 8, 12, 16)(trial % 7)
+      val tc =
+        if (nC >= 8) Seq(0, 4, 5, 6, 7, 16)(trial % 6)
+        else rng.nextInt(4) // table context subset: TC <= 3
+      val coeffs = new Array[Int](16)
+      if (tc == 16) {
+        for (i <- 0 until 16)
+          coeffs(i) = (rng.nextInt(25) + 1) * (if (rng.nextBoolean()) 1 else -1)
+      } else if (tc > 0) {
+        val tz = rng.nextInt(16 - tc + 1)
+        // contiguous low positions + one displaced top coefficient:
+        // exercises the transcribed total_zeros rows and run_before
+        for (k <- 0 until tc - 1)
+          coeffs(k) = (rng.nextInt(19) + 1) * (if (rng.nextBoolean()) 1 else -1)
+        coeffs(tc - 1 + tz) = (rng.nextInt(19) + 1) * (if (rng.nextBoolean()) 1 else -1)
+      }
+      val w = new H264.BitWriter
+      H264.writeResidual(w, coeffs, nC)
+      w.rbspTrailing()
+      val r = new H264.BitReader(w.result())
+      val (got, gotTc) = H264.readResidual(r, 16, nC)
+      assert(gotTc == tc && got.sameElements(coeffs),
+        s"trial $trial nC=$nC tc=$tc: ${coeffs.toSeq} -> ${got.toSeq}")
+    }
+  }
+
+  test("I_PCM + dense slices (q312): encode -> decode BIT-EXACT; the " +
+      "construction hits every new context class") {
+    var sawPcm = false; var sawTc16 = false; var sawTc47 = false
+    var sawMidNc = false
+    for (id <- 0L until 16L) {
+      val wMb = (2 + id % 2).toInt; val hMb = (1 + id % 2).toInt
+      val qp = H264.ConstructH.qp(id)
+      val (bytes, expect) = H264.encode(id, wMb, hMb, 1, qp,
+        mixed = true, pcmMode = true)
+      val st = H264.decode(bytes).getOrElse(fail(s"id=$id decode None"))
+      st.frames.zip(expect).foreach { case (got, exp) =>
+        assert(got.y.sameElements(exp.y), s"id=$id luma drift")
+        assert(got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr))
+        assert(got.levelChecksum == exp.levelChecksum, s"id=$id levels")
+        assert(got.nPcm == exp.nPcm && got.pcmChecksum == exp.pcmChecksum)
+        assert(got.i4ModeSum == exp.i4ModeSum && got.nI4Mbs == exp.nI4Mbs)
+        sawPcm ||= got.nPcm > 0
+      }
+      for (mbY <- 0 until hMb if (id + mbY) % 2 == 0; b <- Seq(0, 2, 8, 10)) {
+        val mbIdx = mbY * wMb + 1
+        val tc = H264.ConstructH.denseTc(id, mbIdx, b)
+        if (tc == 16) sawTc16 = true
+        if (tc >= 4 && tc <= 7) sawTc47 = true
+      }
+      // mid-nC arises when a block's neighbors are dense TC 4..7
+      sawMidNc ||= (0 until hMb).exists(mbY => (id + mbY) % 2 == 0)
+    }
+    assert(sawPcm && sawTc16 && sawTc47 && sawMidNc)
+  }
+
+  test("I_PCM rejection: nonzero alignment bits fail the decode") {
+    val (ok, _) = H264.encode(2L, 2, 2, 1, 24, mixed = true, pcmMode = true)
+    assert(H264.decode(ok).isDefined)
+    assert(H264.decode(ok.take(ok.length / 2)).isEmpty)
+  }
+
+  // ------------------------------------------------------------------
   // P-slice INTER path (q309)
   // ------------------------------------------------------------------
 

@@ -20,14 +20,13 @@ class QueriesSpec extends SparkSpec {
     val gc = SparkEntry.allGateClasses
     assert(gc.keySet == SparkEntry.queries.keySet)
     assert(gc.values.toSet.subsetOf(graft.queries.GateClass.all))
-    // the weakest class stays enumerable and small: only the recursive
-    // subword tokenizer runs the same SQL text in both engines (and it
-    // carries the in-JVM re-derivation test below)
-    assert(gc.filter(_._2 == graft.queries.GateClass.SharedSqlText).keySet ==
-      Set("q127_subword_tokenize"))
+    // the weakest class is EMPTY since r15: q127's oracle is now an
+    // independently-formulated DuckDB program (and keeps the in-JVM
+    // re-derivation test below as a third implementation)
+    assert(gc.filter(_._2 == graft.queries.GateClass.SharedSqlText).isEmpty)
     // every construction-inverse gate is a media/container codec query
     val ci = gc.filter(_._2 == graft.queries.GateClass.ConstructionInverse).keySet
-    assert(ci.size == 22 && ci.forall(SparkEntry.oracleSql.contains))
+    assert(ci.size == 23 && ci.forall(SparkEntry.oracleSql.contains))
   }
 
   test("q127 shared-SQL gate: independent in-JVM greedy tokenizer re-derives " +

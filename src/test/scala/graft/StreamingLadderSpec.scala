@@ -68,6 +68,22 @@ class StreamingLadderSpec extends AnyFunSuite {
       carried.contains(""""q22":{"x1":1.1}"""))
   }
 
+  test("state gate: keyed-state growth past 8x flags; row-buffering " +
+      "queries and small-floor states are exempt") {
+    val r10 = Map("q41_streaming_tumbling" -> 100L, "q77_streaming_dedup" -> 2000L,
+      "q119_streaming_interval_join" -> 1000L, "q255_streaming_hll" -> 10L)
+    val r100 = Map(
+      "q41_streaming_tumbling" -> 300L, // 3x: fine
+      "q77_streaming_dedup" -> 40000L, // 20x: keyed state tracking rows -> flag
+      "q119_streaming_interval_join" -> 10000L, // 10x but row-buffering: exempt
+      "q255_streaming_hll" -> 400L) // 40x but under the 64-row floor*8: exempt
+    val regs = StreamingLadder.stateRegressions(r10, r100)
+    assert(regs.keySet == Set("q77_streaming_dedup"), s"got $regs")
+    assert(regs("q77_streaming_dedup") == (2000L, 40000L))
+    // row-buffering set only names registered streaming queries
+    assert(StreamingLadder.RowBufferingQueries.subsetOf(SparkEntry.streamingQueries))
+  }
+
   test("streaming feed knob: default 2000, override is scoped to the thread") {
     import graft.streaming.StreamingOps
     assert(StreamingOps.feedLimit == 2000)
