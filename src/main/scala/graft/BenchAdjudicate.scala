@@ -114,6 +114,14 @@ object BenchAdjudicate {
   /** The review total: every query at min(warm, warm_retry) — a retry that
     * came in faster proves the first warm carried transient pressure.
     */
+  /** Deterministic assignment of queries to concurrent-bench pools
+    * (VERDICT r14 item 8): sorted names round-robin over `nPools`, so
+    * every query lands in exactly one pool, pool sizes differ by at
+    * most one, and the assignment is stable round over round.
+    */
+  def poolAssignment(names: Seq[String], nPools: Int): Map[String, Int] =
+    names.sorted.zipWithIndex.map { case (n, i) => n -> i % nPools }.toMap
+
   def adjudicatedTotal(warm: Seq[(String, Double)],
       retry: Map[String, Double]): Double =
     warm.map { case (k, w) => math.min(w, retry.getOrElse(k, w)) }.sum

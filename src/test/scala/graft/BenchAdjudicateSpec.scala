@@ -125,6 +125,17 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(BenchAdjudicate.selectPrior("", "") == ("", "BENCH_FULL.json"))
   }
 
+  test("concurrent pool assignment: deterministic, complete, balanced") {
+    val names = (1 to 23).map(i => f"q$i%03d_x")
+    val a = BenchAdjudicate.poolAssignment(names, 4)
+    assert(a.keySet == names.toSet)
+    assert(a.values.forall(p => p >= 0 && p < 4))
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: $sizes")
+    // stable across calls and input order
+    assert(BenchAdjudicate.poolAssignment(names.reverse, 4) == a)
+  }
+
   test("Fs.cleanupStale sweeps only old graft dirs, keeps fresh + scale corpora") {
     val root = java.nio.file.Files.createTempDirectory("cleanup-spec").toString
     def mk(name: String, old: Boolean): java.nio.file.Path = {
