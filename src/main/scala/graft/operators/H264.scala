@@ -741,7 +741,8 @@ object H264 {
       levelChecksum: Long, modeSum: Long, chromaModeSum: Long,
       i4ModeSum: Long = 0L, nI4Mbs: Long = 0L,
       mvdChecksum: Long = 0L, refSum: Long = 0L, nSkip: Long = 0L,
-      typeSum: Long = 0L, nPcm: Long = 0L, pcmChecksum: Long = 0L)
+      typeSum: Long = 0L, nPcm: Long = 0L, pcmChecksum: Long = 0L,
+      poc: Long = -1L)
 
   final case class H264Stream(widthMb: Int, heightMb: Int, qp: Int,
       frames: Vector[H264Frame])
@@ -920,22 +921,24 @@ object H264 {
   // stream encode / decode
   // -------------------------------------------------------------------
 
-  private def nal(typ: Int, rbsp: Array[Byte]): Array[Byte] = {
+  private def nal(typ: Int, rbsp: Array[Byte], refIdc: Int = 3): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte](0, 0, 0, 1))
-    out.write(0x60 | typ) // nal_ref_idc = 3
+    out.write((refIdc << 5) | typ)
     out.write(emulationPrevent(rbsp))
     out.toByteArray
   }
 
-  private def spsRbsp(wMb: Int, hMb: Int, maxRef: Int = 1): Array[Byte] = {
+  private def spsRbsp(wMb: Int, hMb: Int, maxRef: Int = 1,
+      pocType: Int = 2): Array[Byte] = {
     val w = new BitWriter
     w.put(66, 8) // profile_idc: baseline
     w.put(0, 8) // constraint flags + reserved
     w.put(10, 8) // level_idc
     w.ue(0) // sps_id
     w.ue(0) // log2_max_frame_num_minus4
-    w.ue(2) // pic_order_cnt_type (no POC syntax)
+    w.ue(pocType) // pic_order_cnt_type
+    if (pocType == 0) w.ue(4) // log2_max_pic_order_cnt_lsb_minus4 -> 8 bits
     w.ue(maxRef) // max_num_ref_frames
     w.put(0, 1) // gaps_in_frame_num
     w.ue(wMb - 1); w.ue(hMb - 1)
@@ -986,13 +989,15 @@ object H264 {
     * (frame 0 of the IDR+P streams, q309).
     */
   private def encodeISlice(id: Long, f: Int, wMb: Int, hMb: Int, qp: Int,
-      mixed: Boolean, pcmMode: Boolean = false): (Array[Byte], H264Frame) = {
+      mixed: Boolean, pcmMode: Boolean = false,
+      pocLsb: Option[Int] = None): (Array[Byte], H264Frame) = {
       val w = new BitWriter
       w.ue(0) // first_mb_in_slice
       w.ue(7) // slice_type: I (all slices in pic)
       w.ue(0) // pps_id
       w.put(0, 4) // frame_num (log2_max_frame_num = 4)
       w.ue(f % 2) // idr_pic_id
+      pocLsb.foreach(v => w.put(v, 8)) // pic_order_cnt_lsb (POC type 0)
       w.put(0, 1); w.put(0, 1) // no_output_of_prior_pics, long_term_ref
       w.se(qp - 26) // slice_qp_delta
       w.ue(1) // disable_deblocking_filter_idc = 1 (no loop filter)
@@ -1166,25 +1171,27 @@ object H264 {
     */
   def decode(bytes: Array[Byte]): Option[H264Stream] = {
     try {
-      // split on 3- or 4-byte start codes
-      val nals = Vector.newBuilder[(Int, Array[Byte])]
+      // split on 3- or 4-byte start codes; keep (type, nal_ref_idc)
+      val nals = Vector.newBuilder[(Int, Int, Array[Byte])]
       var i = 0
       var start = -1
       var typ = -1
+      var refIdc = 0
       while (i + 2 < bytes.length) {
         if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
           if (start >= 0) {
             val end = if (i > 0 && bytes(i - 1) == 0) i - 1 else i
-            nals += ((typ, emulationStrip(
+            nals += ((typ, refIdc, emulationStrip(
               java.util.Arrays.copyOfRange(bytes, start, end))))
           }
           typ = bytes(i + 3) & 0x1f
+          refIdc = (bytes(i + 3) >> 5) & 3
           start = i + 4
           i += 4
         } else i += 1
       }
       if (start >= 0 && start <= bytes.length)
-        nals += ((typ, emulationStrip(
+        nals += ((typ, refIdc, emulationStrip(
           java.util.Arrays.copyOfRange(bytes, start, bytes.length))))
       val all = nals.result()
       if (all.isEmpty) return None
@@ -1192,23 +1199,29 @@ object H264 {
       var sawPps = false
       var qp = -1
       var maxRef = 1
-      // decoded-picture buffer, most recent first (sliding window)
-      var dpb: List[(Array[Int], Array[Int], Array[Int])] = Nil
+      var pocType = 2
+      var lastPoc = -1
+      // decoded-picture buffer, most recent first (sliding window),
+      // with each entry's POC (used only by B-slice list derivation)
+      var dpb: List[(Int, (Array[Int], Array[Int], Array[Int]))] = Nil
       val frames = Vector.newBuilder[H264Frame]
       all.foreach {
-        case (7, rbsp) =>
+        case (7, _, rbsp) =>
           val r = new BitReader(rbsp)
           if (r.get(8) != 66) return None // baseline only
           r.get(16) // constraints + level
           if (r.ue() != 0) return None // sps_id
           if (r.ue() != 0) return None // log2_max_frame_num_minus4
-          if (r.ue() != 2) return None // pic_order_cnt_type
+          pocType = r.ue() // pic_order_cnt_type
+          if (pocType == 0) {
+            if (r.ue() != 4) return None // log2_max_pic_order_cnt_lsb: 8 bits
+          } else if (pocType != 2) return None
           maxRef = math.max(1, r.ue()) // max_num_ref_frames
           r.get(1)
           wMb = r.ue() + 1; hMb = r.ue() + 1
           if (r.get(1) != 1) return None // frame_mbs_only
           r.get(1); r.get(1); r.get(1)
-        case (8, rbsp) =>
+        case (8, _, rbsp) =>
           val r = new BitReader(rbsp)
           if (r.ue() != 0 || r.ue() != 0) return None
           if (r.get(1) != 0) return None // CAVLC only
@@ -1217,7 +1230,7 @@ object H264 {
           if (r.get(1) != 1) return None // deblocking control present
           r.get(1); r.get(1)
           sawPps = true
-        case (5, rbsp) =>
+        case (5, _, rbsp) =>
           if (wMb < 0 || !sawPps) return None
           val r = new BitReader(rbsp)
           if (r.ue() != 0) return None // first_mb_in_slice
@@ -1225,6 +1238,7 @@ object H264 {
           if (r.ue() != 0) return None // pps_id
           r.get(4) // frame_num
           r.ue() // idr_pic_id
+          lastPoc = if (pocType == 0) r.get(8) else -1
           r.get(1); r.get(1) // dec_ref_pic_marking
           qp = 26 + r.se()
           if (qp > 29) return None // construction bound (QPc = QP)
@@ -1370,19 +1384,23 @@ object H264 {
             }
           }
           frames += H264Frame(y, cb, cr, checksum, modeSum, cModeSum,
-            i4ModeSum, nI4, nPcm = nPcm, pcmChecksum = pcmSum)
-          dpb = List((y, cb, cr)) // IDR resets the reference buffer
-        case (1, rbsp) =>
-          // non-IDR P slice (q309). Syntax accepted: slice_type 5,
-          // mb_skip_run + mb_type 0-3 (P_L0_16x16/16x8/8x16/P_8x8 with
-          // P_L0_8x8 subs), the transcribed inter-CBP subset; anything
-          // else falls through (None).
+            i4ModeSum, nI4, nPcm = nPcm, pcmChecksum = pcmSum,
+            poc = lastPoc)
+          dpb = List((lastPoc, (y, cb, cr))) // IDR resets the DPB
+        case (1, refIdc, rbsp) =>
+          // non-IDR slice: P (q309, slice_type 5) or B (q313, slice_type
+          // 6). Anything else falls through (None).
           if (wMb < 0 || !sawPps || dpb.isEmpty) return None
           val r = new BitReader(rbsp)
           if (r.ue() != 0) return None // first_mb_in_slice
-          if (r.ue() != 5) return None // P slice (all slices in pic)
+          val sliceType = r.ue()
+          if (sliceType != 5 && sliceType != 6) return None
           if (r.ue() != 0) return None // pps_id
           r.get(4) // frame_num
+          lastPoc = if (pocType == 0) r.get(8) else -1
+          if (sliceType == 6) {
+            decodeBSlice(r, refIdc, lastPoc, wMb, hMb, dpb, frames)
+          } else {
           val nRefs =
             if (r.get(1) == 1) { // num_ref_idx override
               if (r.ue() != 1) return None
@@ -1390,11 +1408,11 @@ object H264 {
             } else 1
           if (nRefs > dpb.size) return None
           if (r.get(1) != 0) return None // no ref list modification
-          if (r.get(1) != 0) return None // sliding-window marking
+          if (refIdc != 0 && r.get(1) != 0) return None // sliding window
           qp = 26 + r.se()
           if (qp > 29) return None
           if (r.ue() != 1) return None // deblocking must be disabled
-          val refs = dpb.take(2).toIndexedSeq
+          val refs = dpb.take(2).map(_._2).toIndexedSeq
           val y = new Array[Int](wMb * 16 * hMb * 16)
           val cb = new Array[Int](wMb * 8 * hMb * 8)
           val cr = new Array[Int](wMb * 8 * hMb * 8)
@@ -1495,8 +1513,9 @@ object H264 {
             }
           }
           frames += H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L,
-            mvdSum, refSum, nSkip, typeSum)
-          dpb = ((y, cb, cr) :: dpb).take(math.max(maxRef, 1))
+            mvdSum, refSum, nSkip, typeSum, poc = lastPoc)
+          dpb = ((lastPoc, (y, cb, cr)) :: dpb).take(math.max(maxRef, 1))
+          }
         case _ => return None
       }
       val fs = frames.result()
@@ -1748,33 +1767,7 @@ object H264 {
       mcChroma(refCr, cr, wC, hC, mbX * 8 + cx * 2, mbY * 8 + cy * 2,
         cw * 2, ch * 2, mx, my)
     }
-    if (mb.cbpL != 0) for (blk <- 0 until 16) {
-      if ((mb.cbpL >> (blk / 4) & 1) != 0) {
-        val (x4, y4) = blkPos(blk)
-        val res = inverse4x4(mb.ac(blk), qp, acOnly = false, dcOverride = 0)
-        for (r <- 0 until 4; c <- 0 until 4) {
-          val px = mbX * 16 + x4 * 4 + c; val py = mbY * 16 + y4 * 4 + r
-          y(py * wPix + px) = clip(y(py * wPix + px) + res(r * 4 + c))
-        }
-      }
-    }
-    if (mb.cbpC > 0) {
-      val zero15 = new Array[Int](15)
-      for (comp <- 0 until 2) {
-        val plane = if (comp == 0) cb else cr
-        val dcs = chromaDc(mb.cdc(comp), qp)
-        for (blk <- 0 until 4) {
-          val bx = blk % 2; val by = blk / 2
-          val res = inverse4x4(
-            if (mb.cbpC == 2) mb.cac(comp)(blk) else zero15, qp,
-            acOnly = true, dcOverride = dcs(by * 2 + bx))
-          for (r <- 0 until 4; c <- 0 until 4) {
-            val px = mbX * 8 + bx * 4 + c; val py = mbY * 8 + by * 4 + r
-            plane(py * wC + px) = clip(plane(py * wC + px) + res(r * 4 + c))
-          }
-        }
-      }
-    }
+    addInterResidual(mb, qp, mbX, mbY, y, cb, cr, wMb)
   }
 
   /** q309's deterministic P-frame construction (shared by the gate, its
@@ -1825,13 +1818,15 @@ object H264 {
   }
 
   private def encodePSlice(id: Long, f: Int, wMb: Int, hMb: Int, qp: Int,
-      refs: IndexedSeq[(Array[Int], Array[Int], Array[Int])]): (Array[Byte], H264Frame) = {
+      refs: IndexedSeq[(Array[Int], Array[Int], Array[Int])],
+      pocLsb: Option[Int] = None): (Array[Byte], H264Frame) = {
     val nRefs = math.min(refs.size, 2)
     val w = new BitWriter
     w.ue(0) // first_mb_in_slice
     w.ue(5) // slice_type: P (all slices in pic)
     w.ue(0) // pps_id
     w.put(f % 16, 4) // frame_num
+    pocLsb.foreach(v => w.put(v, 8)) // pic_order_cnt_lsb (POC type 0)
     // PPS default is one active ref; override to two once the DPB has two
     if (nRefs == 2) { w.put(1, 1); w.ue(1) } else w.put(0, 1)
     w.put(0, 1) // ref_pic_list_modification_flag_l0
@@ -1934,5 +1929,342 @@ object H264 {
     w.rbspTrailing()
     (w.result(), H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L,
       mvdSum, refSum, nSkip, typeSum))
+  }
+
+  // -------------------------------------------------------------------
+  // B-slice path (q313 — the r14 "What's missing" successor to q309):
+  // BIDIRECTIONALLY-predicted pictures with POC-type-0 output ordering.
+  // Scope bounds (documented, fall-through on everything else):
+  // non-reference B pictures (nal_ref_idc 0, never enter the DPB),
+  // 16x16 partitions only — mb_type 1 B_L0_16x16 / 2 B_L1_16x16 /
+  // 3 B_Bi_16x16 from Table 7-14's transcribed head — one active
+  // reference per list (L0 = nearest past by POC, L1 = nearest future;
+  // no ref_idx syntax), default biprediction (the sample-wise
+  // (L0 + L1 + 1) >> 1 average of §8.4.2.3 — weighted pred off in the
+  // PPS), per-list median MV prediction on per-list motion grids, and
+  // the q309 residual machinery. B_Direct/B_Skip (the direct-mode
+  // derivation) and CABAC stay unimplemented: mb_skip_run must be 0
+  // and mb_type 0 is rejected.
+  // -------------------------------------------------------------------
+
+  object ConstructB {
+    /** Decode-order plan: I(poc 0), P(poc 6), B(poc 2), B(poc 4). */
+    val Pocs: Vector[Int] = Vector(0, 6, 2, 4)
+    def btype(id: Long, f: Int, mb: Int): Int = (1 + (id + f + mb) % 3).toInt
+    def mvdX(id: Long, f: Int, mb: Int, list: Int): Int =
+      (((id + 3L * f + 5L * mb + 11L * list) % 17) - 8).toInt
+    def mvdY(id: Long, f: Int, mb: Int, list: Int): Int =
+      (((3L * id + f + 2L * mb + 7L * list) % 17) - 8).toInt
+    def cbpIdx(id: Long, f: Int, mb: Int): Int = ((id + f + mb) % 8).toInt
+  }
+
+  /** Encode an I + P + 2-B stream in DECODE order (display order by
+    * POC: I, B, B, P). Returns (bytes, frames in decode order).
+    */
+  def encodeBi(id: Long, wMb: Int, hMb: Int,
+      qp: Int): (Array[Byte], Vector[H264Frame]) = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(nal(7, spsRbsp(wMb, hMb, maxRef = 2, pocType = 0)))
+    out.write(nal(8, ppsRbsp()))
+    val frames = Vector.newBuilder[H264Frame]
+    val (rbsp0, fr0) = encodeISlice(id, 0, wMb, hMb, qp, mixed = false,
+      pocLsb = Some(ConstructB.Pocs(0)))
+    out.write(nal(5, rbsp0))
+    frames += fr0
+    val ref0 = (fr0.y, fr0.cb, fr0.cr)
+    val (rbspP, frP) = encodePSlice(id, 1, wMb, hMb, qp,
+      IndexedSeq(ref0), pocLsb = Some(ConstructB.Pocs(1)))
+    out.write(nal(1, rbspP))
+    frames += frP
+    val refP = (frP.y, frP.cb, frP.cr)
+    for (f <- 2 until 4) {
+      val (rbspB, frB) = encodeBSlice(id, f, wMb, hMb, qp,
+        l0 = ref0, l1 = refP, pocLsb = ConstructB.Pocs(f))
+      out.write(nal(1, rbspB, refIdc = 0)) // non-reference picture
+      frames += frB
+    }
+    (out.toByteArray, frames.result())
+  }
+
+  private def encodeBSlice(id: Long, f: Int, wMb: Int, hMb: Int, qp: Int,
+      l0: (Array[Int], Array[Int], Array[Int]),
+      l1: (Array[Int], Array[Int], Array[Int]),
+      pocLsb: Int): (Array[Byte], H264Frame) = {
+    val w = new BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(6) // slice_type: B (all slices in pic)
+    w.ue(0) // pps_id
+    w.put(f % 16, 4) // frame_num
+    w.put(pocLsb, 8) // pic_order_cnt_lsb
+    w.put(1, 1) // direct_spatial_mv_pred_flag (unused: no direct MBs)
+    w.put(0, 1) // num_ref_idx override: one active ref per list
+    w.put(0, 1); w.put(0, 1) // ref_pic_list_modification l0, l1
+    // non-reference picture: NO dec_ref_pic_marking
+    w.se(qp - 26)
+    w.ue(1) // disable_deblocking_filter_idc
+    val y = new Array[Int](wMb * 16 * hMb * 16)
+    val cb = new Array[Int](wMb * 8 * hMb * 8)
+    val cr = new Array[Int](wMb * 8 * hMb * 8)
+    val gridL0 = new MotionGrid(wMb * 4, hMb * 4)
+    val gridL1 = new MotionGrid(wMb * 4, hMb * 4)
+    val tcY = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val tcC = Array(Array.ofDim[Int](hMb * 2, wMb * 2),
+      Array.ofDim[Int](hMb * 2, wMb * 2))
+    var checksum = 0L; var mvdSum = 0L; var typeSum = 0L
+    def sumBlock(mbIdx: Int, tag: Int, levels: Array[Int]): Unit = {
+      var s = 0
+      while (s < levels.length) {
+        if (levels(s) != 0)
+          checksum += levels(s).toLong * (mbIdx * 131 + tag * 17 + s + 1)
+        s += 1
+      }
+    }
+    for (mbIdx <- 0 until wMb * hMb) {
+      val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+      val gx0 = mbX * 4; val gy0 = mbY * 4
+      w.ue(0) // mb_skip_run: no B_Skip in scope
+      val bt = ConstructB.btype(id, f, mbIdx) // 1 L0 / 2 L1 / 3 Bi
+      typeSum += bt.toLong * (mbIdx + 1)
+      w.ue(bt)
+      val useL0 = bt == 1 || bt == 3
+      val useL1 = bt == 2 || bt == 3
+      // mb_pred: ref_idx absent (1 active per list); mvd l0 then l1
+      var mvL0 = (0, 0); var mvL1 = (0, 0)
+      if (useL0) {
+        val (dx, dy) = (ConstructB.mvdX(id, f, mbIdx, 0),
+          ConstructB.mvdY(id, f, mbIdx, 0))
+        w.se(dx); w.se(dy)
+        mvdSum += (mbIdx * 64L + 1) * dx + (mbIdx * 64L + 3) * dy
+        val (px, py) = mvPred(gridL0, gx0, gy0, 4, 0, PartKind.Full)
+        mvL0 = (px + dx, py + dy)
+      }
+      if (useL1) {
+        val (dx, dy) = (ConstructB.mvdX(id, f, mbIdx, 1),
+          ConstructB.mvdY(id, f, mbIdx, 1))
+        w.se(dx); w.se(dy)
+        mvdSum += (mbIdx * 64L + 17) * dx + (mbIdx * 64L + 19) * dy
+        val (px, py) = mvPred(gridL1, gx0, gy0, 4, 0, PartKind.Full)
+        mvL1 = (px + dx, py + dy)
+      }
+      gridL0.fill(gx0, gy0, 4, 4, mvL0._1, mvL0._2, if (useL0) 0 else -1)
+      gridL1.fill(gx0, gy0, 4, 4, mvL1._1, mvL1._2, if (useL1) 0 else -1)
+      val cbpCode = ConstructB.cbpIdx(id, f, mbIdx)
+      val cbp = CbpInterSubset(cbpCode)
+      w.ue(cbpCode)
+      val cbpL = cbp & 15; val cbpC = cbp >> 4
+      if (cbp != 0) w.se(0) // mb_qp_delta
+      val ac = Array.tabulate(16)(b =>
+        if ((cbpL >> (b / 4) & 1) != 0)
+          ConstructH.blockLevels(id, f, mbIdx, 1 + b, 16)
+        else new Array[Int](16))
+      val cdc = Array.tabulate(2)(c =>
+        if (cbpC > 0) ConstructH.blockLevels(id, f, mbIdx, 17 + c, 4)
+        else new Array[Int](4))
+      val cac = Array.tabulate(2, 4)((c, b) =>
+        if (cbpC == 2) ConstructH.blockLevels(id, f, mbIdx, 19 + 4 * c + b, 15)
+        else new Array[Int](15))
+      for (b <- 0 until 16 if (cbpL >> (b / 4) & 1) != 0) {
+        sumBlock(mbIdx, 1 + b, ac(b))
+        val (x4, y4) = blkPos(b)
+        writeResidual(w, ac(b), nCOf(tcY, mbX * 4 + x4, mbY * 4 + y4))
+        tcY(mbY * 4 + y4)(mbX * 4 + x4) = ac(b).count(_ != 0)
+      }
+      if (cbpC > 0) for (c <- 0 until 2) {
+        sumBlock(mbIdx, 17 + c, cdc(c))
+        writeResidual(w, cdc(c), -1)
+      }
+      if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+        sumBlock(mbIdx, 19 + 4 * c + b, cac(c)(b))
+        writeResidual(w, cac(c)(b),
+          nCOf(tcC(c), mbX * 2 + b % 2, mbY * 2 + b / 2))
+        tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = cac(c)(b).count(_ != 0)
+      }
+      reconstructBMb(useL0, useL1, mvL0, mvL1, l0, l1,
+        InterMb(0, Array(0), Array((0, 0)), cbpL, cbpC, ac, cdc, cac),
+        qp, mbX, mbY, y, cb, cr, wMb, hMb)
+    }
+    w.rbspTrailing()
+    (w.result(), H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L,
+      mvdSum, 0L, 0L, typeSum))
+  }
+
+  /** Decode one B slice (called from [[decode]]'s NAL-1 dispatch with
+    * the reader positioned after pic_order_cnt_lsb). Errors throw —
+    * decode's try/catch turns them into the None fall-through. The
+    * decoded frame is appended but never enters the DPB (non-reference).
+    */
+  private def decodeBSlice(r: BitReader, refIdc: Int, poc: Int,
+      wMb: Int, hMb: Int,
+      dpb: List[(Int, (Array[Int], Array[Int], Array[Int]))],
+      frames: scala.collection.mutable.Builder[H264Frame, Vector[H264Frame]]): Unit = {
+    def bad(msg: String): Nothing = throw new IllegalStateException(msg)
+    if (poc < 0) bad("B slice requires POC type 0")
+    if (refIdc != 0) bad("only non-reference B pictures in scope")
+    r.get(1) // direct_spatial_mv_pred_flag (no direct MBs in scope)
+    if (r.get(1) != 0) bad("num_ref_idx override out of scope") // 1 per list
+    if (r.get(1) != 0 || r.get(1) != 0) bad("ref list modification")
+    // non-reference: no dec_ref_pic_marking
+    val qp = 26 + r.se()
+    if (qp > 29) bad("qp bound")
+    if (r.ue() != 1) bad("deblocking must be disabled")
+    // list derivation by POC: L0 = nearest past, L1 = nearest future
+    val past = dpb.filter(_._1 < poc).sortBy(-_._1)
+    val future = dpb.filter(_._1 > poc).sortBy(_._1)
+    if (past.isEmpty || future.isEmpty) bad("B needs refs on both sides")
+    val l0 = past.head._2
+    val l1 = future.head._2
+    val y = new Array[Int](wMb * 16 * hMb * 16)
+    val cb = new Array[Int](wMb * 8 * hMb * 8)
+    val cr = new Array[Int](wMb * 8 * hMb * 8)
+    val gridL0 = new MotionGrid(wMb * 4, hMb * 4)
+    val gridL1 = new MotionGrid(wMb * 4, hMb * 4)
+    val tcY = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val tcC = Array(Array.ofDim[Int](hMb * 2, wMb * 2),
+      Array.ofDim[Int](hMb * 2, wMb * 2))
+    var checksum = 0L; var mvdSum = 0L; var typeSum = 0L
+    def sumBlock(mbIdx: Int, tag: Int, levels: Array[Int]): Unit = {
+      var s = 0
+      while (s < levels.length) {
+        if (levels(s) != 0)
+          checksum += levels(s).toLong * (mbIdx * 131 + tag * 17 + s + 1)
+        s += 1
+      }
+    }
+    for (mbIdx <- 0 until wMb * hMb) {
+      val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+      val gx0 = mbX * 4; val gy0 = mbY * 4
+      if (r.ue() != 0) bad("B_Skip/direct out of scope") // mb_skip_run
+      val bt = r.ue()
+      if (bt < 1 || bt > 3) bad("B mb_type out of scope") // no direct/partitions
+      typeSum += bt.toLong * (mbIdx + 1)
+      val useL0 = bt == 1 || bt == 3
+      val useL1 = bt == 2 || bt == 3
+      var mvL0 = (0, 0); var mvL1 = (0, 0)
+      if (useL0) {
+        val dx = r.se(); val dy = r.se()
+        mvdSum += (mbIdx * 64L + 1) * dx + (mbIdx * 64L + 3) * dy
+        val (px, py) = mvPred(gridL0, gx0, gy0, 4, 0, PartKind.Full)
+        mvL0 = (px + dx, py + dy)
+      }
+      if (useL1) {
+        val dx = r.se(); val dy = r.se()
+        mvdSum += (mbIdx * 64L + 17) * dx + (mbIdx * 64L + 19) * dy
+        val (px, py) = mvPred(gridL1, gx0, gy0, 4, 0, PartKind.Full)
+        mvL1 = (px + dx, py + dy)
+      }
+      gridL0.fill(gx0, gy0, 4, 4, mvL0._1, mvL0._2, if (useL0) 0 else -1)
+      gridL1.fill(gx0, gy0, 4, 4, mvL1._1, mvL1._2, if (useL1) 0 else -1)
+      val cbpCode = r.ue()
+      if (cbpCode >= CbpInterSubset.length) bad("CBP outside subset")
+      val cbp = CbpInterSubset(cbpCode)
+      val cbpL = cbp & 15; val cbpC = cbp >> 4
+      if (cbp != 0 && r.se() != 0) bad("mb_qp_delta")
+      val ac = Array.fill(16)(new Array[Int](16))
+      for (b <- 0 until 16 if (cbpL >> (b / 4) & 1) != 0) {
+        val (x4, y4) = blkPos(b)
+        val (cf, tc) = readResidual(r, 16,
+          nCOf(tcY, mbX * 4 + x4, mbY * 4 + y4))
+        ac(b) = cf
+        tcY(mbY * 4 + y4)(mbX * 4 + x4) = tc
+        sumBlock(mbIdx, 1 + b, cf)
+      }
+      val cdc = Array.fill(2)(new Array[Int](4))
+      if (cbpC > 0) for (c <- 0 until 2) {
+        cdc(c) = readResidual(r, 4, -1)._1
+        sumBlock(mbIdx, 17 + c, cdc(c))
+      }
+      val cac = Array.fill(2, 4)(new Array[Int](15))
+      if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+        val (cf, tc) = readResidual(r, 15,
+          nCOf(tcC(c), mbX * 2 + b % 2, mbY * 2 + b / 2))
+        cac(c)(b) = cf
+        tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = tc
+        sumBlock(mbIdx, 19 + 4 * c + b, cf)
+      }
+      reconstructBMb(useL0, useL1, mvL0, mvL1, l0, l1,
+        InterMb(0, Array(0), Array((0, 0)), cbpL, cbpC, ac, cdc, cac),
+        qp, mbX, mbY, y, cb, cr, wMb, hMb)
+    }
+    frames += H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L,
+      mvdSum, 0L, 0L, typeSum, poc = poc)
+  }
+
+  /** B-MB reconstruction: MC each used list over the whole 16x16, the
+    * default bipredictive sample average when both, then the shared
+    * CBP-gated residual add (§8.4.2.3 / q309's residual machinery).
+    */
+  private def reconstructBMb(useL0: Boolean, useL1: Boolean,
+      mvL0: (Int, Int), mvL1: (Int, Int),
+      l0: (Array[Int], Array[Int], Array[Int]),
+      l1: (Array[Int], Array[Int], Array[Int]),
+      residual: InterMb, qp: Int, mbX: Int, mbY: Int,
+      y: Array[Int], cb: Array[Int], cr: Array[Int], wMb: Int,
+      hMb: Int): Unit = {
+    val wPix = wMb * 16; val hPix = hMb * 16
+    val wC = wMb * 8; val hC = hMb * 8
+    def mcInto(ref: (Array[Int], Array[Int], Array[Int]), mv: (Int, Int),
+        ty: Array[Int], tcb: Array[Int], tcr: Array[Int]): Unit = {
+      mcLuma(ref._1, ty, wPix, hPix, mbX * 16, mbY * 16, 16, 16, mv._1, mv._2)
+      mcChroma(ref._2, tcb, wC, hC, mbX * 8, mbY * 8, 8, 8, mv._1, mv._2)
+      mcChroma(ref._3, tcr, wC, hC, mbX * 8, mbY * 8, 8, 8, mv._1, mv._2)
+    }
+    if (useL0 && useL1) {
+      val ay = new Array[Int](wPix * hPix); val acb = new Array[Int](wC * hC)
+      val acr = new Array[Int](wC * hC)
+      val by = new Array[Int](wPix * hPix); val bcb = new Array[Int](wC * hC)
+      val bcr = new Array[Int](wC * hC)
+      mcInto(l0, mvL0, ay, acb, acr)
+      mcInto(l1, mvL1, by, bcb, bcr)
+      for (r <- 0 until 16; c <- 0 until 16) {
+        val p = (mbY * 16 + r) * wPix + mbX * 16 + c
+        y(p) = (ay(p) + by(p) + 1) >> 1
+      }
+      for (r <- 0 until 8; c <- 0 until 8) {
+        val p = (mbY * 8 + r) * wC + mbX * 8 + c
+        cb(p) = (acb(p) + bcb(p) + 1) >> 1
+        cr(p) = (acr(p) + bcr(p) + 1) >> 1
+      }
+    } else if (useL0) mcInto(l0, mvL0, y, cb, cr)
+    else mcInto(l1, mvL1, y, cb, cr)
+    // residual add via the shared inter machinery (prediction is already
+    // in the planes; reconstructInterMb's MC step is skipped by passing
+    // a zero-partition stand-in — reuse just the residual half)
+    addInterResidual(residual, qp, mbX, mbY, y, cb, cr, wMb)
+  }
+
+  /** The residual half of [[reconstructInterMb]], shared with the B
+    * path (which does its own bipredictive MC first).
+    */
+  private def addInterResidual(mb: InterMb, qp: Int, mbX: Int, mbY: Int,
+      y: Array[Int], cb: Array[Int], cr: Array[Int], wMb: Int): Unit = {
+    val wPix = wMb * 16
+    val wC = wMb * 8
+    if (mb.cbpL != 0) for (blk <- 0 until 16) {
+      if ((mb.cbpL >> (blk / 4) & 1) != 0) {
+        val (x4, y4) = blkPos(blk)
+        val res = inverse4x4(mb.ac(blk), qp, acOnly = false, dcOverride = 0)
+        for (r <- 0 until 4; c <- 0 until 4) {
+          val px = mbX * 16 + x4 * 4 + c; val py = mbY * 16 + y4 * 4 + r
+          y(py * wPix + px) = clip(y(py * wPix + px) + res(r * 4 + c))
+        }
+      }
+    }
+    if (mb.cbpC > 0) {
+      val zero15 = new Array[Int](15)
+      for (comp <- 0 until 2) {
+        val plane = if (comp == 0) cb else cr
+        val dcs = chromaDc(mb.cdc(comp), qp)
+        for (blk <- 0 until 4) {
+          val bx = blk % 2; val by = blk / 2
+          val res = inverse4x4(
+            if (mb.cbpC == 2) mb.cac(comp)(blk) else zero15, qp,
+            acOnly = true, dcOverride = dcs(by * 2 + bx))
+          for (r <- 0 until 4; c <- 0 until 4) {
+            val px = mbX * 8 + bx * 4 + c; val py = mbY * 8 + by * 4 + r
+            plane(py * wC + px) = clip(plane(py * wC + px) + res(r * 4 + c))
+          }
+        }
+      }
+    }
   }
 }

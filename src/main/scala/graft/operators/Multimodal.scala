@@ -1519,7 +1519,7 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake standing in for the codec library
     * on the formats [[MediaCodecs]] can't parse. Since r15 that is the
-    * H.264 B-slice/CABAC machinery and H.265 — documented next rungs:
+    * H.264 direct-mode/CABAC machinery and H.265 — documented next rungs:
     * MPEG-1 video decodes for real across the WHOLE picture-type
     * alphabet — entropy-coded I-frames (q287), forward motion-
     * compensated P-pictures (q288) and bidirectionally-predicted
@@ -1529,7 +1529,10 @@ object Multimodal {
     * intra prediction modes, inverse integer transforms — q303/q307)
     * AND INTER P-slices (P_Skip/16x16/16x8/8x16/8x8, median MV
     * prediction, quarter-pel 6-tap luma + eighth-pel chroma MC,
-    * two-frame DPB — q309) via [[graft.operators.H264]]; plus
+    * two-frame DPB — q309), I_PCM + the widened CAVLC contexts (q312)
+    * AND B-slices (POC-type-0 reordering, two reference lists,
+    * bipredictive averaging — q313; B_Direct/B_Skip stay out) via
+    * [[graft.operators.H264]]; plus
     * MJPEG-in-AVI (q272); compressed images via JPEG/PNG/GIF/TIFF. The
     * AUDIO surface is empty since r14: PCM/IMA-ADPCM WAV decode to
     * samples (q290), and entropy-coded MPEG-1 Layer II decodes for real

@@ -2326,6 +2326,136 @@ object PipelineQueries extends Registry {
           LEFT JOIN lsums l ON l.id = fr.id AND l.frame_idx = fr.frame_idx
           ORDER BY fr.id, fr.frame_idx""")),
 
+    // ---- H.264 B-SLICE decode (the r14 "What's missing" successor to
+    //      q309's P path): BIDIRECTIONALLY-predicted pictures with REAL
+    //      output reordering — POC type 0 (pic_order_cnt_lsb in every
+    //      slice header), transmission order I,P,B,B vs display order
+    //      I,B,B,P, non-reference B pictures (nal_ref_idc 0, never
+    //      entering the DPB), per-POC reference-list derivation (L0 =
+    //      nearest past, L1 = nearest future), Table 7-14's transcribed
+    //      head (mb_type 1 B_L0_16x16 / 2 B_L1_16x16 / 3 B_Bi_16x16),
+    //      per-list median MV prediction on per-list motion grids, and
+    //      the DEFAULT bipredictive sample average (L0+L1+1)>>1 of
+    //      §8.4.2.3 on top of q309's quarter-pel MC and residual
+    //      machinery. B_Direct/B_Skip (direct-mode derivation) and
+    //      CABAC stay documented fall-throughs. The oracle re-derives
+    //      the B-frame syntax (type/mvd/level checksums, POC plan) in
+    //      SQL; recon_exact gates BIT-EXACT planes for all four frames
+    //      (the I/P bit layers are independently SQL-gated by q303/
+    //      q309). Row-local fan-out, zero shuffle. ----------------------
+    Q("q313_h264_bframes",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 37 === 19)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, nch) =>
+              val (wMb, hMb) = H264.ConstructH.dims(id, nch)
+              val qp = H264.ConstructH.qp(id)
+              val (bytes, expect) = H264.encodeBi(id, wMb, hMb, qp)
+              val st = H264.decode(bytes).get
+              st.frames.zip(expect).zipWithIndex.map { case ((got, exp), f) =>
+                val exact = got.y.sameElements(exp.y) &&
+                  got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr)
+                val isB = f >= 2
+                (id, f.toLong, got.poc, got.poc / 2,
+                  (wMb * 16).toLong, (hMb * 16).toLong,
+                  (wMb * hMb).toLong, qp.toLong,
+                  if (isB) got.typeSum else 0L,
+                  if (isB) got.mvdChecksum else 0L,
+                  if (isB) got.levelChecksum else 0L,
+                  if (exact) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "poc", "display_idx", "width",
+            "height", "n_mbs", "qp", "b_type_sum", "b_mvd_checksum",
+            "b_level_checksum", "recon_exact")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""WITH d AS (
+            SELECT doc_id AS id, n_chars,
+              CAST(1 + doc_id % 3 AS BIGINT) AS wmb,
+              CAST(1 + n_chars % 2 AS BIGINT) AS hmb,
+              CAST(20 + doc_id % 8 AS BIGINT) AS qp
+            FROM documents WHERE doc_id % 37 = 19),
+          fr AS (
+            SELECT id, wmb, hmb, qp, CAST(t.f AS BIGINT) AS frame_idx,
+              list_extract([0, 6, 2, 4], CAST(t.f AS INT) + 1) AS poc
+            FROM d, UNNEST(range(0, 4)) AS t(f)),
+          bmb AS (
+            SELECT fr.*, CAST(m.m AS BIGINT) AS mb,
+              1 + (id + frame_idx + m.m) % 3 AS bt,
+              CAST((id + frame_idx + m.m) % 8 AS INT) AS cbpidx
+            FROM fr, UNNEST(range(0, wmb * hmb)) AS m(m)
+            WHERE frame_idx >= 2),
+          bsums AS (
+            SELECT id, frame_idx,
+              CAST(sum(bt * (mb + 1)) AS BIGINT) AS b_type_sum,
+              CAST(sum(
+                (CASE WHEN bt IN (1, 3) THEN
+                  (mb * 64 + 1) * (((id + 3 * frame_idx + 5 * mb) % 17) - 8) +
+                  (mb * 64 + 3) * (((3 * id + frame_idx + 2 * mb) % 17) - 8)
+                 ELSE 0 END) +
+                (CASE WHEN bt IN (2, 3) THEN
+                  (mb * 64 + 17) * (((id + 3 * frame_idx + 5 * mb + 11) % 17) - 8) +
+                  (mb * 64 + 19) * (((3 * id + frame_idx + 2 * mb + 7) % 17) - 8)
+                 ELSE 0 END)) AS BIGINT) AS b_mvd_checksum
+            FROM bmb GROUP BY id, frame_idx),
+          tags AS (
+            SELECT bmb.*,
+              list_extract([0, 16, 1, 2, 4, 8, 32, 3], cbpidx + 1) AS cbp,
+              CAST(tg.tag AS BIGINT) AS tag,
+              CASE WHEN tg.tag BETWEEN 1 AND 16 THEN 16
+                   WHEN tg.tag BETWEEN 17 AND 18 THEN 4
+                   ELSE 15 END AS ncoeffs
+            FROM bmb, UNNEST(range(1, 27)) AS tg(tag)
+            WHERE (tg.tag BETWEEN 1 AND 16 AND
+                   ((list_extract([0, 16, 1, 2, 4, 8, 32, 3], cbpidx + 1) % 16)
+                     >> CAST((tg.tag - 1) // 4 AS INT)) & 1 = 1)
+               OR (tg.tag BETWEEN 17 AND 18 AND
+                   list_extract([0, 16, 1, 2, 4, 8, 32, 3], cbpidx + 1) // 16 > 0)
+               OR (tg.tag BETWEEN 19 AND 26 AND
+                   list_extract([0, 16, 1, 2, 4, 8, 32, 3], cbpidx + 1) // 16 = 2)),
+          lev AS (
+            SELECT t.*, CAST(kk.k AS BIGINT) AS k,
+              CASE WHEN ncoeffs = 4 THEN 1
+                   ELSE 1 + CAST((id + tag) % 4 AS BIGINT) END AS step,
+              CAST((id + frame_idx + mb + tag) %
+                (CASE WHEN tag >= 19 THEN 3 ELSE 4 END) AS BIGINT) AS n
+            FROM tags t, UNNEST(range(0, 3)) AS kk(k)
+            WHERE kk.k < (id + frame_idx + mb + tag) %
+              (CASE WHEN tag >= 19 THEN 3 ELSE 4 END)),
+          contrib AS (
+            SELECT id, frame_idx,
+              (1 + (id + mb + tag * 2 + k + frame_idx) % 3) *
+              (CASE WHEN (id + mb + tag + k) % 2 = 0 THEN 1 ELSE -1 END) *
+              (mb * 131 + tag * 17 +
+                (CASE WHEN ncoeffs = 4 THEN (id + tag + mb) % 2
+                 ELSE (id + mb + tag) % (ncoeffs - (n - 1) * step) END)
+                + k * step + 1) AS c
+            FROM lev),
+          lsums AS (
+            SELECT id, frame_idx, CAST(sum(c) AS BIGINT) AS b_level_checksum
+            FROM contrib GROUP BY id, frame_idx)
+          SELECT fr.id, fr.frame_idx,
+            CAST(fr.poc AS BIGINT) AS poc,
+            CAST(fr.poc // 2 AS BIGINT) AS display_idx,
+            CAST(fr.wmb * 16 AS BIGINT) AS width,
+            CAST(fr.hmb * 16 AS BIGINT) AS height,
+            CAST(fr.wmb * fr.hmb AS BIGINT) AS n_mbs,
+            fr.qp AS qp,
+            coalesce(b.b_type_sum, 0) AS b_type_sum,
+            coalesce(b.b_mvd_checksum, 0) AS b_mvd_checksum,
+            coalesce(l.b_level_checksum, 0) AS b_level_checksum,
+            CAST(1 AS BIGINT) AS recon_exact
+          FROM fr
+          LEFT JOIN bsums b ON b.id = fr.id AND b.frame_idx = fr.frame_idx
+          LEFT JOIN lsums l ON l.id = fr.id AND l.frame_idx = fr.frame_idx
+          ORDER BY fr.id, fr.frame_idx""")),
+
     // ---- MP2 STEREO + Table-B.2b operating point + the PERFECT-
     //      RECONSTRUCTION gate (VERDICT r14 item 3): q302's sibling at
     //      32 kHz / 192 kbit/s / STEREO — Table B.2b's sblimit 30, the

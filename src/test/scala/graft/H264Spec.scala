@@ -498,6 +498,54 @@ class H264Spec extends AnyFunSuite {
     assert(sawRef1, "second reference never used")
   }
 
+  // ------------------------------------------------------------------
+  // B-slice path (q313)
+  // ------------------------------------------------------------------
+
+  test("I+P+B streams: encode -> decode BIT-EXACT; POC ordering, both " +
+      "lists, biprediction all exercised") {
+    var sawL0 = false; var sawL1 = false; var sawBi = false
+    for (id <- 0L until 16L) {
+      val wMb = (1 + id % 3).toInt; val hMb = (1 + (id / 3) % 2).toInt
+      val qp = H264.ConstructH.qp(id)
+      val (bytes, expect) = H264.encodeBi(id, wMb, hMb, qp)
+      val st = H264.decode(bytes).getOrElse(fail(s"id=$id decode None"))
+      assert(st.frames.size == 4)
+      // decode order I P B B; POCs 0 6 2 4 (display: I B B P)
+      assert(st.frames.map(_.poc) == Vector(0L, 6L, 2L, 4L), s"id=$id pocs")
+      st.frames.zip(expect).zipWithIndex.foreach { case ((got, exp), f) =>
+        assert(got.y.sameElements(exp.y), s"id=$id f=$f luma drift")
+        assert(got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr),
+          s"id=$id f=$f chroma drift")
+        assert(got.levelChecksum == exp.levelChecksum)
+        assert(got.mvdChecksum == exp.mvdChecksum, s"id=$id f=$f mvd")
+        assert(got.typeSum == exp.typeSum)
+      }
+      for (f <- 2 until 4; mb <- 0 until wMb * hMb)
+        H264.ConstructB.btype(id, f, mb) match {
+          case 1 => sawL0 = true
+          case 2 => sawL1 = true
+          case 3 => sawBi = true
+        }
+    }
+    assert(sawL0 && sawL1 && sawBi, "construction missed a B type")
+  }
+
+  test("B rejection: truncation and B-without-future-ref fall through") {
+    val (ok, _) = H264.encodeBi(3L, 2, 2, 24)
+    assert(H264.decode(ok).isDefined)
+    assert(H264.decode(ok.take(ok.length - 3)).isEmpty)
+    // strip the P NAL (second type-1 NAL... simplest: cut after the IDR
+    // then append only the B NALs -> B has no future ref -> None. Find
+    // type-1 NAL starts:
+    val starts = (0 until ok.length - 4).filter(i =>
+      ok(i) == 0 && ok(i + 1) == 0 && ok(i + 2) == 1 &&
+        (ok(i + 3) & 0x1f) == 1)
+    assert(starts.size == 3) // P + 2 B
+    val noP = ok.take(starts(0)) ++ ok.drop(starts(1)) // drop the P NAL
+    assert(H264.decode(noP).isEmpty, "B without a future reference accepted")
+  }
+
   test("P-stream rejection: truncation, unknown sub_mb_type, CBP outside " +
       "the transcribed subset") {
     val (ok, _) = H264.encodeInter(5L, 2, 2, 3, 24)
