@@ -220,6 +220,12 @@ object Bench {
     // round-over-round record; the canary brackets the pass so ambient
     // pressure is named exactly like the sequential run's. Errors are
     // recorded per query (rc stays 0 — correctness is the gate's job).
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val runConcurrent = only.isEmpty &&
       sys.env.get("SPARK_GRAFT_BENCH_CONCURRENT").forall(_ != "0")
     val concurrentJson: String = if (!runConcurrent) "" else {
@@ -276,7 +282,7 @@ object Bench {
         s""""canary_before_sec":${d3c(cStart)},"canary_after_sec":${d3c(cEnd)},""" +
         s""""slowest":${slow.map { case (k, v) => "\"" + k + "\":" + d3c(v) }.mkString("{", ",", "}")},""" +
         s""""errors":${cErrs.asScala.toSeq.sortBy(_._1).map { case (k, m) =>
-          "\"" + k + "\":\"" + m.replace("\"", "'") + "\"" }.mkString("{", ",", "}")}},"""
+          jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")}},"""
     }
 
     // q127 cost profile (VERDICT r9/r10 item 8): the ACTUAL executed
@@ -310,12 +316,6 @@ object Bench {
     val totalWarmBatch = d3(batch.map(_._2._2).sum)
     val totalColdStreaming = d3(strm.map(_._2._1).sum)
     val totalWarmStreaming = d3(strm.map(_._2._2).sum)
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val errs = results.collect { case (k, (_, _, Some(m))) => k -> m }
     val errsJson = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")

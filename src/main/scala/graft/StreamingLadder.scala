@@ -223,9 +223,15 @@ object StreamingLadder {
     // key density did (see StateKeys)
     val stateAdjudicated: Map[String, (Long, Long)] = stateRegsRaw.flatMap {
       case (q, (r10, r100)) => StateKeys.get(q).map { keys =>
+        // the SAME feed protocol the streaming queries use: Tables'
+        // converted ts (nanos->micros when the corpus stores Long
+        // nanos), not the raw parquet column — a raw-ts ORDER BY could
+        // pick different boundary rows (r15 review)
+        graft.core.Tables(spark, dir100, "events")
+          .createOrReplaceTempView("ladder_adj_events")
         val distinct = spark.sql(
           s"""SELECT COUNT(DISTINCT struct($keys)) FROM (
-                SELECT * FROM parquet.`$dir100/events.parquet`
+                SELECT * FROM ladder_adj_events
                 ORDER BY ts, event_id LIMIT $feed100)""").head().getLong(0)
         System.err.println(s"[strm-ladder] $q state flag adjudication: " +
           s"state_rows $r100 vs distinct keys $distinct")

@@ -759,6 +759,25 @@ object Mp2 {
         acc / N
       }
     }
+    // cutoff search on the CHEAP objective: flatness of the base
+    // prototype's amplitude sum P(ω) + P(π/32−ω) — identical to the
+    // sqrt design's power complementarity (H = √P), so the expensive
+    // sqrtDesign runs exactly once, at the winner (r15 review: the
+    // per-candidate sqrtDesign scan cost seconds of class-load time)
+    def devAmp(pr: Array[Double]): Double = {
+      val pg = amp(pr, 0.0)
+      val edge = math.Pi / 32.0
+      var lo0 = Double.MaxValue; var hi0 = -Double.MaxValue
+      var m = 0
+      while (m <= 32) {
+        val w = edge * m / 32.0
+        val f = (amp(pr, w) + amp(pr, edge - w)) / pg
+        if (f < lo0) lo0 = f
+        if (f > hi0) hi0 = f
+        m += 1
+      }
+      hi0 / lo0 - 1.0
+    }
     var lo = 0.7 * math.Pi / 64.0
     var hi = 1.3 * math.Pi / 64.0
     var bestW = lo
@@ -770,7 +789,7 @@ object Mp2 {
       var s = 0
       while (s <= 12) {
         val wc = lo + (hi - lo) * s / 12.0
-        val d = dev(sqrtDesign(wc))
+        val d = devAmp(proto(wc))
         if (d < bestDev) { bestDev = d; bestW = wc }
         s += 1
       }
