@@ -742,7 +742,10 @@ object H264 {
       i4ModeSum: Long = 0L, nI4Mbs: Long = 0L,
       mvdChecksum: Long = 0L, refSum: Long = 0L, nSkip: Long = 0L,
       typeSum: Long = 0L, nPcm: Long = 0L, pcmChecksum: Long = 0L,
-      poc: Long = -1L)
+      poc: Long = -1L, nDirect: Long = 0L)
+
+  /** (Y, Cb, Cr) planes of one reference picture. */
+  type Planes = (Array[Int], Array[Int], Array[Int])
 
   final case class H264Stream(widthMb: Int, heightMb: Int, qp: Int,
       frames: Vector[H264Frame])
@@ -1203,7 +1206,9 @@ object H264 {
       var lastPoc = -1
       // decoded-picture buffer, most recent first (sliding window),
       // with each entry's POC (used only by B-slice list derivation)
-      var dpb: List[(Int, (Array[Int], Array[Int], Array[Int]))] = Nil
+      // and its 4x4 motion field (None = intra everywhere; used only
+      // by the spatial-direct colZeroFlag test)
+      var dpb: List[(Int, Planes, Option[MotionGrid])] = Nil
       val frames = Vector.newBuilder[H264Frame]
       all.foreach {
         case (7, _, rbsp) =>
@@ -1386,7 +1391,7 @@ object H264 {
           frames += H264Frame(y, cb, cr, checksum, modeSum, cModeSum,
             i4ModeSum, nI4, nPcm = nPcm, pcmChecksum = pcmSum,
             poc = lastPoc)
-          dpb = List((lastPoc, (y, cb, cr))) // IDR resets the DPB
+          dpb = List((lastPoc, (y, cb, cr), None)) // IDR resets the DPB
         case (1, refIdc, rbsp) =>
           // non-IDR slice: P (q309, slice_type 5) or B (q313, slice_type
           // 6). Anything else falls through (None).
@@ -1514,7 +1519,8 @@ object H264 {
           }
           frames += H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L,
             mvdSum, refSum, nSkip, typeSum, poc = lastPoc)
-          dpb = ((lastPoc, (y, cb, cr)) :: dpb).take(math.max(maxRef, 1))
+          dpb = ((lastPoc, (y, cb, cr), Some(grid)) :: dpb)
+            .take(math.max(maxRef, 1))
           }
         case _ => return None
       }
@@ -1809,7 +1815,7 @@ object H264 {
     var dpb: List[(Array[Int], Array[Int], Array[Int])] =
       List((fr0.y, fr0.cb, fr0.cr))
     for (f <- 1 until nFrames) {
-      val (rbsp, fr) = encodePSlice(id, f, wMb, hMb, qp, dpb.toIndexedSeq)
+      val (rbsp, fr, _) = encodePSlice(id, f, wMb, hMb, qp, dpb.toIndexedSeq)
       out.write(nal(1, rbsp))
       frames += fr
       dpb = ((fr.y, fr.cb, fr.cr) :: dpb).take(2)
@@ -1819,7 +1825,7 @@ object H264 {
 
   private def encodePSlice(id: Long, f: Int, wMb: Int, hMb: Int, qp: Int,
       refs: IndexedSeq[(Array[Int], Array[Int], Array[Int])],
-      pocLsb: Option[Int] = None): (Array[Byte], H264Frame) = {
+      pocLsb: Option[Int] = None): (Array[Byte], H264Frame, MotionGrid) = {
     val nRefs = math.min(refs.size, 2)
     val w = new BitWriter
     w.ue(0) // first_mb_in_slice
@@ -1928,7 +1934,7 @@ object H264 {
     if (skipRun > 0) w.ue(skipRun) // trailing skips
     w.rbspTrailing()
     (w.result(), H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L,
-      mvdSum, refSum, nSkip, typeSum))
+      mvdSum, refSum, nSkip, typeSum), grid)
   }
 
   // -------------------------------------------------------------------
@@ -1942,20 +1948,169 @@ object H264 {
   // no ref_idx syntax), default biprediction (the sample-wise
   // (L0 + L1 + 1) >> 1 average of §8.4.2.3 — weighted pred off in the
   // PPS), per-list median MV prediction on per-list motion grids, and
-  // the q309 residual machinery. B_Direct/B_Skip (the direct-mode
-  // derivation) and CABAC stay unimplemented: mb_skip_run must be 0
-  // and mb_type 0 is rejected.
+  // the q309 residual machinery. Since r16 (VERDICT r15 item 4) the
+  // direct-mode alphabet is in: B_Skip via mb_skip_run and
+  // B_Direct_16x16 (mb_type 0) with SPATIAL direct MV derivation
+  // (§8.4.1.2.2: MinPositive refs, median MVP, directZeroPrediction,
+  // per-4x4 colZeroFlag against the co-located L1[0] motion field —
+  // direct_8x8_inference_flag is 0 in this SPS so the test is per
+  // 4x4 cell). Temporal direct (direct_spatial_mv_pred_flag 0) and
+  // CABAC stay documented fall-throughs.
   // -------------------------------------------------------------------
 
   object ConstructB {
     /** Decode-order plan: I(poc 0), P(poc 6), B(poc 2), B(poc 4). */
     val Pocs: Vector[Int] = Vector(0, 6, 2, 4)
+    /** MB class: 2 → B_Skip (mb_skip_run), 4 → B_Direct_16x16 with a
+      * coded residual, anything else an explicit L0/L1/Bi 16x16 type
+      * (r16 — VERDICT r15 item 4; %7 interleaves skip runs with coded
+      * MBs so runs of length ≥ 2 occur across MB rows).
+      */
+    def mbClass(id: Long, f: Int, mb: Int): Int = ((id + f + mb) % 7).toInt
+    def isSkipB(id: Long, f: Int, mb: Int): Boolean = mbClass(id, f, mb) == 2
+    def isDirectB(id: Long, f: Int, mb: Int): Boolean = mbClass(id, f, mb) == 4
     def btype(id: Long, f: Int, mb: Int): Int = (1 + (id + f + mb) % 3).toInt
     def mvdX(id: Long, f: Int, mb: Int, list: Int): Int =
       (((id + 3L * f + 5L * mb + 11L * list) % 17) - 8).toInt
     def mvdY(id: Long, f: Int, mb: Int, list: Int): Int =
       (((3L * id + f + 2L * mb + 7L * list) % 17) - 8).toInt
     def cbpIdx(id: Long, f: Int, mb: Int): Int = ((id + f + mb) % 8).toInt
+  }
+
+  /** Spatial-direct motion of one 16x16 MB (§8.4.1.2.2), scoped to one
+    * active reference per list. `use0`/`use1` are predFlagL0/L1; `mv0`/
+    * `mv1` hold the per-4x4-cell MVs (raster cy·4+cx — motion varies
+    * within the MB because colZeroFlag is evaluated per cell when
+    * direct_8x8_inference_flag is 0, as this construction's SPS sets).
+    */
+  final case class DirectMotion(use0: Boolean, use1: Boolean,
+      mv0: Array[(Int, Int)], mv1: Array[(Int, Int)])
+
+  /** Derive spatial-direct motion (§8.4.1.2.2): per-list reference =
+    * MinPositive over the A/B/C neighbors (C with the D top-left
+    * substitution, exactly the [[mvPred]] neighbor set); per-list
+    * 16x16 median MVP via §8.4.1.3; directZeroPredictionFlag (both
+    * lists empty → bipredict with zero MVs and refIdx 0); per-4x4
+    * colZeroFlag against the co-located motion field of RefPicList1[0]
+    * (refIdxCol 0 and |mvCol| ≤ 1 quarter-pel in both components →
+    * that cell's MV zeroes for any list whose refIdx is 0). `colGrid`
+    * None means the co-located picture is intra everywhere (our IDR
+    * frames) → colZeroFlag 0.
+    */
+  def directMotion(gridL0: MotionGrid, gridL1: MotionGrid, gx0: Int,
+      gy0: Int, colGrid: Option[MotionGrid]): DirectMotion = {
+    def minPositiveRef(g: MotionGrid): Int = {
+      def at(gx: Int, gy: Int): Int =
+        if (g.decoded(gx, gy)) g.ref(gy)(gx) else -1
+      val c =
+        if (g.decoded(gx0 + 4, gy0 - 1)) at(gx0 + 4, gy0 - 1)
+        else at(gx0 - 1, gy0 - 1)
+      val rs = Seq(at(gx0 - 1, gy0), at(gx0, gy0 - 1), c).filter(_ >= 0)
+      if (rs.isEmpty) -1 else rs.min
+    }
+    val r0 = minPositiveRef(gridL0)
+    val r1 = minPositiveRef(gridL1)
+    val zeroPred = r0 < 0 && r1 < 0 // directZeroPredictionFlag
+    val use0 = zeroPred || r0 >= 0
+    val use1 = zeroPred || r1 >= 0
+    val mvp0 =
+      if (!zeroPred && r0 >= 0) mvPred(gridL0, gx0, gy0, 4, r0, PartKind.Full)
+      else (0, 0)
+    val mvp1 =
+      if (!zeroPred && r1 >= 0) mvPred(gridL1, gx0, gy0, 4, r1, PartKind.Full)
+      else (0, 0)
+    val mv0 = new Array[(Int, Int)](16)
+    val mv1 = new Array[(Int, Int)](16)
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val colZero = colGrid.exists { cg =>
+        cg.ref(gy0 + cy)(gx0 + cx) == 0 &&
+          math.abs(cg.mvx(gy0 + cy)(gx0 + cx)) <= 1 &&
+          math.abs(cg.mvy(gy0 + cy)(gx0 + cx)) <= 1
+      }
+      mv0(cy * 4 + cx) =
+        if (zeroPred || (r0 == 0 && colZero)) (0, 0) else mvp0
+      mv1(cy * 4 + cx) =
+        if (zeroPred || (r1 == 0 && colZero)) (0, 0) else mvp1
+    }
+    DirectMotion(use0, use1, mv0, mv1)
+  }
+
+  /** Record a direct MB's per-cell motion in the per-list grids (the
+    * derived motion participates in later neighbors' MV prediction).
+    */
+  private def fillDirect(gridL0: MotionGrid, gridL1: MotionGrid,
+      dm: DirectMotion, gx0: Int, gy0: Int): Unit =
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val (m0x, m0y) = dm.mv0(cy * 4 + cx)
+      val (m1x, m1y) = dm.mv1(cy * 4 + cx)
+      gridL0.fill(gx0 + cx, gy0 + cy, 1, 1, m0x, m0y, if (dm.use0) 0 else -1)
+      gridL1.fill(gx0 + cx, gy0 + cy, 1, 1, m1x, m1y, if (dm.use1) 0 else -1)
+    }
+
+  /** Reconstruct one B_Direct_16x16 / B_Skip MB: per-4x4-cell MC (the
+    * cell MVs differ where colZeroFlag fires) with the default
+    * bipredictive average when both lists are used, then the shared
+    * CBP-gated residual add (zero residual for B_Skip).
+    */
+  private def reconstructDirectMb(dm: DirectMotion, l0: Planes,
+      l1: Planes, residual: InterMb, qp: Int, mbX: Int, mbY: Int,
+      y: Array[Int], cb: Array[Int], cr: Array[Int], wMb: Int,
+      hMb: Int): Unit = {
+    val wPix = wMb * 16; val hPix = hMb * 16
+    val wC = wMb * 8; val hC = hMb * 8
+    def lumaCell(ref: Array[Int], mv: (Int, Int), px0: Int,
+        py0: Int): Array[Int] = {
+      val out = new Array[Int](16)
+      val xF = mv._1 & 3; val yF = mv._2 & 3
+      for (r <- 0 until 4; c <- 0 until 4)
+        out(r * 4 + c) = lumaSample(ref, wPix, hPix,
+          px0 + c + (mv._1 >> 2), py0 + r + (mv._2 >> 2), xF, yF)
+      out
+    }
+    def chromaCell(ref: Array[Int], mv: (Int, Int), px0: Int,
+        py0: Int): Array[Int] = {
+      val out = new Array[Int](4)
+      val xF = mv._1 & 7; val yF = mv._2 & 7
+      for (r <- 0 until 2; c <- 0 until 2)
+        out(r * 2 + c) = chromaSample(ref, wC, hC,
+          px0 + c + (mv._1 >> 3), py0 + r + (mv._2 >> 3), xF, yF)
+      out
+    }
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val cell = cy * 4 + cx
+      val px0 = mbX * 16 + cx * 4; val py0 = mbY * 16 + cy * 4
+      val cpx0 = mbX * 8 + cx * 2; val cpy0 = mbY * 8 + cy * 2
+      if (dm.use0 && dm.use1) {
+        val ay = lumaCell(l0._1, dm.mv0(cell), px0, py0)
+        val by = lumaCell(l1._1, dm.mv1(cell), px0, py0)
+        for (r <- 0 until 4; c <- 0 until 4)
+          y((py0 + r) * wPix + px0 + c) =
+            (ay(r * 4 + c) + by(r * 4 + c) + 1) >> 1
+        val acb = chromaCell(l0._2, dm.mv0(cell), cpx0, cpy0)
+        val bcb = chromaCell(l1._2, dm.mv1(cell), cpx0, cpy0)
+        val acr = chromaCell(l0._3, dm.mv0(cell), cpx0, cpy0)
+        val bcr = chromaCell(l1._3, dm.mv1(cell), cpx0, cpy0)
+        for (r <- 0 until 2; c <- 0 until 2) {
+          cb((cpy0 + r) * wC + cpx0 + c) =
+            (acb(r * 2 + c) + bcb(r * 2 + c) + 1) >> 1
+          cr((cpy0 + r) * wC + cpx0 + c) =
+            (acr(r * 2 + c) + bcr(r * 2 + c) + 1) >> 1
+        }
+      } else {
+        val (ref, mv) =
+          if (dm.use0) (l0, dm.mv0(cell)) else (l1, dm.mv1(cell))
+        val py = lumaCell(ref._1, mv, px0, py0)
+        for (r <- 0 until 4; c <- 0 until 4)
+          y((py0 + r) * wPix + px0 + c) = py(r * 4 + c)
+        val pcb = chromaCell(ref._2, mv, cpx0, cpy0)
+        val pcr = chromaCell(ref._3, mv, cpx0, cpy0)
+        for (r <- 0 until 2; c <- 0 until 2) {
+          cb((cpy0 + r) * wC + cpx0 + c) = pcb(r * 2 + c)
+          cr((cpy0 + r) * wC + cpx0 + c) = pcr(r * 2 + c)
+        }
+      }
+    }
+    addInterResidual(residual, qp, mbX, mbY, y, cb, cr, wMb)
   }
 
   /** Encode an I + P + 2-B stream in DECODE order (display order by
@@ -1972,14 +2127,16 @@ object H264 {
     out.write(nal(5, rbsp0))
     frames += fr0
     val ref0 = (fr0.y, fr0.cb, fr0.cr)
-    val (rbspP, frP) = encodePSlice(id, 1, wMb, hMb, qp,
+    val (rbspP, frP, gridP) = encodePSlice(id, 1, wMb, hMb, qp,
       IndexedSeq(ref0), pocLsb = Some(ConstructB.Pocs(1)))
     out.write(nal(1, rbspP))
     frames += frP
     val refP = (frP.y, frP.cb, frP.cr)
     for (f <- 2 until 4) {
+      // co-located picture for spatial direct = RefPicList1[0] = the P
       val (rbspB, frB) = encodeBSlice(id, f, wMb, hMb, qp,
-        l0 = ref0, l1 = refP, pocLsb = ConstructB.Pocs(f))
+        l0 = ref0, l1 = refP, colGrid = Some(gridP),
+        pocLsb = ConstructB.Pocs(f))
       out.write(nal(1, rbspB, refIdc = 0)) // non-reference picture
       frames += frB
     }
@@ -1987,8 +2144,7 @@ object H264 {
   }
 
   private def encodeBSlice(id: Long, f: Int, wMb: Int, hMb: Int, qp: Int,
-      l0: (Array[Int], Array[Int], Array[Int]),
-      l1: (Array[Int], Array[Int], Array[Int]),
+      l0: Planes, l1: Planes, colGrid: Option[MotionGrid],
       pocLsb: Int): (Array[Byte], H264Frame) = {
     val w = new BitWriter
     w.ue(0) // first_mb_in_slice
@@ -1996,7 +2152,7 @@ object H264 {
     w.ue(0) // pps_id
     w.put(f % 16, 4) // frame_num
     w.put(pocLsb, 8) // pic_order_cnt_lsb
-    w.put(1, 1) // direct_spatial_mv_pred_flag (unused: no direct MBs)
+    w.put(1, 1) // direct_spatial_mv_pred_flag (spatial direct, §8.4.1.2.2)
     w.put(0, 1) // num_ref_idx override: one active ref per list
     w.put(0, 1); w.put(0, 1) // ref_pic_list_modification l0, l1
     // non-reference picture: NO dec_ref_pic_marking
@@ -2011,6 +2167,8 @@ object H264 {
     val tcC = Array(Array.ofDim[Int](hMb * 2, wMb * 2),
       Array.ofDim[Int](hMb * 2, wMb * 2))
     var checksum = 0L; var mvdSum = 0L; var typeSum = 0L
+    var nSkip = 0L; var nDirect = 0L
+    var skipRun = 0
     def sumBlock(mbIdx: Int, tag: Int, levels: Array[Int]): Unit = {
       var s = 0
       while (s < levels.length) {
@@ -2019,50 +2177,10 @@ object H264 {
         s += 1
       }
     }
-    for (mbIdx <- 0 until wMb * hMb) {
-      val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
-      val gx0 = mbX * 4; val gy0 = mbY * 4
-      w.ue(0) // mb_skip_run: no B_Skip in scope
-      val bt = ConstructB.btype(id, f, mbIdx) // 1 L0 / 2 L1 / 3 Bi
-      typeSum += bt.toLong * (mbIdx + 1)
-      w.ue(bt)
-      val useL0 = bt == 1 || bt == 3
-      val useL1 = bt == 2 || bt == 3
-      // mb_pred: ref_idx absent (1 active per list); mvd l0 then l1
-      var mvL0 = (0, 0); var mvL1 = (0, 0)
-      if (useL0) {
-        val (dx, dy) = (ConstructB.mvdX(id, f, mbIdx, 0),
-          ConstructB.mvdY(id, f, mbIdx, 0))
-        w.se(dx); w.se(dy)
-        mvdSum += (mbIdx * 64L + 1) * dx + (mbIdx * 64L + 3) * dy
-        val (px, py) = mvPred(gridL0, gx0, gy0, 4, 0, PartKind.Full)
-        mvL0 = (px + dx, py + dy)
-      }
-      if (useL1) {
-        val (dx, dy) = (ConstructB.mvdX(id, f, mbIdx, 1),
-          ConstructB.mvdY(id, f, mbIdx, 1))
-        w.se(dx); w.se(dy)
-        mvdSum += (mbIdx * 64L + 17) * dx + (mbIdx * 64L + 19) * dy
-        val (px, py) = mvPred(gridL1, gx0, gy0, 4, 0, PartKind.Full)
-        mvL1 = (px + dx, py + dy)
-      }
-      gridL0.fill(gx0, gy0, 4, 4, mvL0._1, mvL0._2, if (useL0) 0 else -1)
-      gridL1.fill(gx0, gy0, 4, 4, mvL1._1, mvL1._2, if (useL1) 0 else -1)
-      val cbpCode = ConstructB.cbpIdx(id, f, mbIdx)
-      val cbp = CbpInterSubset(cbpCode)
-      w.ue(cbpCode)
-      val cbpL = cbp & 15; val cbpC = cbp >> 4
-      if (cbp != 0) w.se(0) // mb_qp_delta
-      val ac = Array.tabulate(16)(b =>
-        if ((cbpL >> (b / 4) & 1) != 0)
-          ConstructH.blockLevels(id, f, mbIdx, 1 + b, 16)
-        else new Array[Int](16))
-      val cdc = Array.tabulate(2)(c =>
-        if (cbpC > 0) ConstructH.blockLevels(id, f, mbIdx, 17 + c, 4)
-        else new Array[Int](4))
-      val cac = Array.tabulate(2, 4)((c, b) =>
-        if (cbpC == 2) ConstructH.blockLevels(id, f, mbIdx, 19 + 4 * c + b, 15)
-        else new Array[Int](15))
+    // residual write shared by the direct and explicit paths
+    def writeResiduals(mbIdx: Int, mbX: Int, mbY: Int, cbpL: Int,
+        cbpC: Int, ac: Array[Array[Int]], cdc: Array[Array[Int]],
+        cac: Array[Array[Array[Int]]]): Unit = {
       for (b <- 0 until 16 if (cbpL >> (b / 4) & 1) != 0) {
         sumBlock(mbIdx, 1 + b, ac(b))
         val (x4, y4) = blkPos(b)
@@ -2079,13 +2197,95 @@ object H264 {
           nCOf(tcC(c), mbX * 2 + b % 2, mbY * 2 + b / 2))
         tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = cac(c)(b).count(_ != 0)
       }
-      reconstructBMb(useL0, useL1, mvL0, mvL1, l0, l1,
-        InterMb(0, Array(0), Array((0, 0)), cbpL, cbpC, ac, cdc, cac),
-        qp, mbX, mbY, y, cb, cr, wMb, hMb)
     }
+    def constructLevels(mbIdx: Int, cbpL: Int, cbpC: Int) = {
+      val ac = Array.tabulate(16)(b =>
+        if ((cbpL >> (b / 4) & 1) != 0)
+          ConstructH.blockLevels(id, f, mbIdx, 1 + b, 16)
+        else new Array[Int](16))
+      val cdc = Array.tabulate(2)(c =>
+        if (cbpC > 0) ConstructH.blockLevels(id, f, mbIdx, 17 + c, 4)
+        else new Array[Int](4))
+      val cac = Array.tabulate(2, 4)((c, b) =>
+        if (cbpC == 2) ConstructH.blockLevels(id, f, mbIdx, 19 + 4 * c + b, 15)
+        else new Array[Int](15))
+      (ac, cdc, cac)
+    }
+    val emptyResidual = InterMb(0, Array(0), Array((0, 0)), 0, 0,
+      Array.fill(16)(new Array[Int](16)), Array.fill(2)(new Array[Int](4)),
+      Array.fill(2, 4)(new Array[Int](15)))
+    for (mbIdx <- 0 until wMb * hMb) {
+      val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+      val gx0 = mbX * 4; val gy0 = mbY * 4
+      if (ConstructB.isSkipB(id, f, mbIdx)) {
+        // B_Skip (§7.3.4 mb_skip_run): spatial-direct motion, no residual
+        nSkip += 1
+        skipRun += 1
+        val dm = directMotion(gridL0, gridL1, gx0, gy0, colGrid)
+        fillDirect(gridL0, gridL1, dm, gx0, gy0)
+        reconstructDirectMb(dm, l0, l1, emptyResidual, qp, mbX, mbY,
+          y, cb, cr, wMb, hMb)
+      } else {
+        w.ue(skipRun); skipRun = 0
+        if (ConstructB.isDirectB(id, f, mbIdx)) {
+          // B_Direct_16x16 (mb_type 0): no mvd/ref syntax; CBP + residual
+          nDirect += 1
+          w.ue(0)
+          val dm = directMotion(gridL0, gridL1, gx0, gy0, colGrid)
+          fillDirect(gridL0, gridL1, dm, gx0, gy0)
+          val cbpCode = ConstructB.cbpIdx(id, f, mbIdx)
+          val cbp = CbpInterSubset(cbpCode)
+          w.ue(cbpCode)
+          val cbpL = cbp & 15; val cbpC = cbp >> 4
+          if (cbp != 0) w.se(0) // mb_qp_delta
+          val (ac, cdc, cac) = constructLevels(mbIdx, cbpL, cbpC)
+          writeResiduals(mbIdx, mbX, mbY, cbpL, cbpC, ac, cdc, cac)
+          reconstructDirectMb(dm, l0, l1,
+            InterMb(0, Array(0), Array((0, 0)), cbpL, cbpC, ac, cdc, cac),
+            qp, mbX, mbY, y, cb, cr, wMb, hMb)
+        } else {
+          val bt = ConstructB.btype(id, f, mbIdx) // 1 L0 / 2 L1 / 3 Bi
+          typeSum += bt.toLong * (mbIdx + 1)
+          w.ue(bt)
+          val useL0 = bt == 1 || bt == 3
+          val useL1 = bt == 2 || bt == 3
+          // mb_pred: ref_idx absent (1 active per list); mvd l0 then l1
+          var mvL0 = (0, 0); var mvL1 = (0, 0)
+          if (useL0) {
+            val (dx, dy) = (ConstructB.mvdX(id, f, mbIdx, 0),
+              ConstructB.mvdY(id, f, mbIdx, 0))
+            w.se(dx); w.se(dy)
+            mvdSum += (mbIdx * 64L + 1) * dx + (mbIdx * 64L + 3) * dy
+            val (px, py) = mvPred(gridL0, gx0, gy0, 4, 0, PartKind.Full)
+            mvL0 = (px + dx, py + dy)
+          }
+          if (useL1) {
+            val (dx, dy) = (ConstructB.mvdX(id, f, mbIdx, 1),
+              ConstructB.mvdY(id, f, mbIdx, 1))
+            w.se(dx); w.se(dy)
+            mvdSum += (mbIdx * 64L + 17) * dx + (mbIdx * 64L + 19) * dy
+            val (px, py) = mvPred(gridL1, gx0, gy0, 4, 0, PartKind.Full)
+            mvL1 = (px + dx, py + dy)
+          }
+          gridL0.fill(gx0, gy0, 4, 4, mvL0._1, mvL0._2, if (useL0) 0 else -1)
+          gridL1.fill(gx0, gy0, 4, 4, mvL1._1, mvL1._2, if (useL1) 0 else -1)
+          val cbpCode = ConstructB.cbpIdx(id, f, mbIdx)
+          val cbp = CbpInterSubset(cbpCode)
+          w.ue(cbpCode)
+          val cbpL = cbp & 15; val cbpC = cbp >> 4
+          if (cbp != 0) w.se(0) // mb_qp_delta
+          val (ac, cdc, cac) = constructLevels(mbIdx, cbpL, cbpC)
+          writeResiduals(mbIdx, mbX, mbY, cbpL, cbpC, ac, cdc, cac)
+          reconstructBMb(useL0, useL1, mvL0, mvL1, l0, l1,
+            InterMb(0, Array(0), Array((0, 0)), cbpL, cbpC, ac, cdc, cac),
+            qp, mbX, mbY, y, cb, cr, wMb, hMb)
+        }
+      }
+    }
+    if (skipRun > 0) w.ue(skipRun) // trailing skips
     w.rbspTrailing()
     (w.result(), H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L,
-      mvdSum, 0L, 0L, typeSum))
+      mvdSum, 0L, nSkip, typeSum, nDirect = nDirect))
   }
 
   /** Decode one B slice (called from [[decode]]'s NAL-1 dispatch with
@@ -2095,12 +2295,12 @@ object H264 {
     */
   private def decodeBSlice(r: BitReader, refIdc: Int, poc: Int,
       wMb: Int, hMb: Int,
-      dpb: List[(Int, (Array[Int], Array[Int], Array[Int]))],
+      dpb: List[(Int, Planes, Option[MotionGrid])],
       frames: scala.collection.mutable.Builder[H264Frame, Vector[H264Frame]]): Unit = {
     def bad(msg: String): Nothing = throw new IllegalStateException(msg)
     if (poc < 0) bad("B slice requires POC type 0")
     if (refIdc != 0) bad("only non-reference B pictures in scope")
-    r.get(1) // direct_spatial_mv_pred_flag (no direct MBs in scope)
+    if (r.get(1) != 1) bad("temporal direct out of scope") // spatial only
     if (r.get(1) != 0) bad("num_ref_idx override out of scope") // 1 per list
     if (r.get(1) != 0 || r.get(1) != 0) bad("ref list modification")
     // non-reference: no dec_ref_pic_marking
@@ -2113,6 +2313,7 @@ object H264 {
     if (past.isEmpty || future.isEmpty) bad("B needs refs on both sides")
     val l0 = past.head._2
     val l1 = future.head._2
+    val colGrid = future.head._3 // co-located picture = RefPicList1[0]
     val y = new Array[Int](wMb * 16 * hMb * 16)
     val cb = new Array[Int](wMb * 8 * hMb * 8)
     val cr = new Array[Int](wMb * 8 * hMb * 8)
@@ -2130,35 +2331,10 @@ object H264 {
         s += 1
       }
     }
-    for (mbIdx <- 0 until wMb * hMb) {
-      val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
-      val gx0 = mbX * 4; val gy0 = mbY * 4
-      if (r.ue() != 0) bad("B_Skip/direct out of scope") // mb_skip_run
-      val bt = r.ue()
-      if (bt < 1 || bt > 3) bad("B mb_type out of scope") // no direct/partitions
-      typeSum += bt.toLong * (mbIdx + 1)
-      val useL0 = bt == 1 || bt == 3
-      val useL1 = bt == 2 || bt == 3
-      var mvL0 = (0, 0); var mvL1 = (0, 0)
-      if (useL0) {
-        val dx = r.se(); val dy = r.se()
-        mvdSum += (mbIdx * 64L + 1) * dx + (mbIdx * 64L + 3) * dy
-        val (px, py) = mvPred(gridL0, gx0, gy0, 4, 0, PartKind.Full)
-        mvL0 = (px + dx, py + dy)
-      }
-      if (useL1) {
-        val dx = r.se(); val dy = r.se()
-        mvdSum += (mbIdx * 64L + 17) * dx + (mbIdx * 64L + 19) * dy
-        val (px, py) = mvPred(gridL1, gx0, gy0, 4, 0, PartKind.Full)
-        mvL1 = (px + dx, py + dy)
-      }
-      gridL0.fill(gx0, gy0, 4, 4, mvL0._1, mvL0._2, if (useL0) 0 else -1)
-      gridL1.fill(gx0, gy0, 4, 4, mvL1._1, mvL1._2, if (useL1) 0 else -1)
-      val cbpCode = r.ue()
-      if (cbpCode >= CbpInterSubset.length) bad("CBP outside subset")
-      val cbp = CbpInterSubset(cbpCode)
-      val cbpL = cbp & 15; val cbpC = cbp >> 4
-      if (cbp != 0 && r.se() != 0) bad("mb_qp_delta")
+    var nSkip = 0L; var nDirect = 0L
+    // residual read shared by the direct and explicit paths
+    def readResiduals(mbIdx: Int, mbX: Int, mbY: Int, cbpL: Int,
+        cbpC: Int): (Array[Array[Int]], Array[Array[Int]], Array[Array[Array[Int]]]) = {
       val ac = Array.fill(16)(new Array[Int](16))
       for (b <- 0 until 16 if (cbpL >> (b / 4) & 1) != 0) {
         val (x4, y4) = blkPos(b)
@@ -2181,12 +2357,79 @@ object H264 {
         tcC(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = tc
         sumBlock(mbIdx, 19 + 4 * c + b, cf)
       }
-      reconstructBMb(useL0, useL1, mvL0, mvL1, l0, l1,
-        InterMb(0, Array(0), Array((0, 0)), cbpL, cbpC, ac, cdc, cac),
-        qp, mbX, mbY, y, cb, cr, wMb, hMb)
+      (ac, cdc, cac)
+    }
+    val emptyResidual = InterMb(0, Array(0), Array((0, 0)), 0, 0,
+      Array.fill(16)(new Array[Int](16)), Array.fill(2)(new Array[Int](4)),
+      Array.fill(2, 4)(new Array[Int](15)))
+    def decodeSkipB(mbIdx: Int): Unit = {
+      val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+      val dm = directMotion(gridL0, gridL1, mbX * 4, mbY * 4, colGrid)
+      fillDirect(gridL0, gridL1, dm, mbX * 4, mbY * 4)
+      nSkip += 1
+      reconstructDirectMb(dm, l0, l1, emptyResidual, qp, mbX, mbY,
+        y, cb, cr, wMb, hMb)
+    }
+    val total = wMb * hMb
+    var mbIdx = 0
+    while (mbIdx < total) {
+      val skipRun = r.ue() // mb_skip_run: B_Skip = spatial direct, no residual
+      if (mbIdx + skipRun > total) bad("skip run overruns picture")
+      var k = 0
+      while (k < skipRun) { decodeSkipB(mbIdx); mbIdx += 1; k += 1 }
+      if (mbIdx < total) {
+        val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+        val gx0 = mbX * 4; val gy0 = mbY * 4
+        val bt = r.ue()
+        if (bt > 3) bad("B mb_type out of scope") // 16x16 classes + direct
+        if (bt == 0) {
+          // B_Direct_16x16: derived motion, then CBP-gated residual
+          nDirect += 1
+          val dm = directMotion(gridL0, gridL1, gx0, gy0, colGrid)
+          fillDirect(gridL0, gridL1, dm, gx0, gy0)
+          val cbpCode = r.ue()
+          if (cbpCode >= CbpInterSubset.length) bad("CBP outside subset")
+          val cbp = CbpInterSubset(cbpCode)
+          val cbpL = cbp & 15; val cbpC = cbp >> 4
+          if (cbp != 0 && r.se() != 0) bad("mb_qp_delta")
+          val (ac, cdc, cac) = readResiduals(mbIdx, mbX, mbY, cbpL, cbpC)
+          reconstructDirectMb(dm, l0, l1,
+            InterMb(0, Array(0), Array((0, 0)), cbpL, cbpC, ac, cdc, cac),
+            qp, mbX, mbY, y, cb, cr, wMb, hMb)
+        } else {
+          typeSum += bt.toLong * (mbIdx + 1)
+          val useL0 = bt == 1 || bt == 3
+          val useL1 = bt == 2 || bt == 3
+          var mvL0 = (0, 0); var mvL1 = (0, 0)
+          if (useL0) {
+            val dx = r.se(); val dy = r.se()
+            mvdSum += (mbIdx * 64L + 1) * dx + (mbIdx * 64L + 3) * dy
+            val (px, py) = mvPred(gridL0, gx0, gy0, 4, 0, PartKind.Full)
+            mvL0 = (px + dx, py + dy)
+          }
+          if (useL1) {
+            val dx = r.se(); val dy = r.se()
+            mvdSum += (mbIdx * 64L + 17) * dx + (mbIdx * 64L + 19) * dy
+            val (px, py) = mvPred(gridL1, gx0, gy0, 4, 0, PartKind.Full)
+            mvL1 = (px + dx, py + dy)
+          }
+          gridL0.fill(gx0, gy0, 4, 4, mvL0._1, mvL0._2, if (useL0) 0 else -1)
+          gridL1.fill(gx0, gy0, 4, 4, mvL1._1, mvL1._2, if (useL1) 0 else -1)
+          val cbpCode = r.ue()
+          if (cbpCode >= CbpInterSubset.length) bad("CBP outside subset")
+          val cbp = CbpInterSubset(cbpCode)
+          val cbpL = cbp & 15; val cbpC = cbp >> 4
+          if (cbp != 0 && r.se() != 0) bad("mb_qp_delta")
+          val (ac, cdc, cac) = readResiduals(mbIdx, mbX, mbY, cbpL, cbpC)
+          reconstructBMb(useL0, useL1, mvL0, mvL1, l0, l1,
+            InterMb(0, Array(0), Array((0, 0)), cbpL, cbpC, ac, cdc, cac),
+            qp, mbX, mbY, y, cb, cr, wMb, hMb)
+        }
+        mbIdx += 1
+      }
     }
     frames += H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L,
-      mvdSum, 0L, 0L, typeSum, poc = poc)
+      mvdSum, 0L, nSkip, typeSum, poc = poc, nDirect = nDirect)
   }
 
   /** B-MB reconstruction: MC each used list over the whole 16x16, the

@@ -2337,12 +2337,17 @@ object PipelineQueries extends Registry {
     //      per-list median MV prediction on per-list motion grids, and
     //      the DEFAULT bipredictive sample average (L0+L1+1)>>1 of
     //      §8.4.2.3 on top of q309's quarter-pel MC and residual
-    //      machinery. B_Direct/B_Skip (direct-mode derivation) and
-    //      CABAC stay documented fall-throughs. The oracle re-derives
-    //      the B-frame syntax (type/mvd/level checksums, POC plan) in
-    //      SQL; recon_exact gates BIT-EXACT planes for all four frames
-    //      (the I/P bit layers are independently SQL-gated by q303/
-    //      q309). Row-local fan-out, zero shuffle. ----------------------
+    //      machinery. Since r16 the fixture also straddles B_Skip
+    //      (mb_skip_run) and B_Direct_16x16 with SPATIAL direct MV
+    //      derivation (§8.4.1.2.2: MinPositive refs, median MVP,
+    //      directZeroPrediction, per-4x4 colZeroFlag against the
+    //      co-located P-frame motion field). Temporal direct and CABAC
+    //      stay documented fall-throughs. The oracle re-derives the
+    //      B-frame syntax (type/mvd/level checksums, skip/direct
+    //      counts, POC plan) in SQL; recon_exact gates BIT-EXACT
+    //      planes for all four frames (the I/P bit layers are
+    //      independently SQL-gated by q303/q309). Row-local fan-out,
+    //      zero shuffle. ----------------------------------------------
     Q("q313_h264_bframes",
       (s, dir) => {
         import s.implicits._
@@ -2366,13 +2371,15 @@ object PipelineQueries extends Registry {
                   if (isB) got.typeSum else 0L,
                   if (isB) got.mvdChecksum else 0L,
                   if (isB) got.levelChecksum else 0L,
+                  if (isB) got.nSkip else 0L,
+                  if (isB) got.nDirect else 0L,
                   if (exact) 1L else 0L)
               }
             }
           }
           .toDF("id", "frame_idx", "poc", "display_idx", "width",
             "height", "n_mbs", "qp", "b_type_sum", "b_mvd_checksum",
-            "b_level_checksum", "recon_exact")
+            "b_level_checksum", "n_b_skip", "n_direct", "recon_exact")
           .orderBy($"id", $"frame_idx")
       },
       Some("""WITH d AS (
@@ -2386,15 +2393,24 @@ object PipelineQueries extends Registry {
               list_extract([0, 6, 2, 4], CAST(t.f AS INT) + 1) AS poc
             FROM d, UNNEST(range(0, 4)) AS t(f)),
           bmb AS (
+            -- MB classes (r16): cls 2 -> B_Skip (no syntax, no levels),
+            -- cls 4 -> B_Direct_16x16 (CBP + levels, no mvd), else the
+            -- explicit bt 1/2/3 16x16 types
             SELECT fr.*, CAST(m.m AS BIGINT) AS mb,
+              (id + frame_idx + m.m) % 7 AS cls,
               1 + (id + frame_idx + m.m) % 3 AS bt,
               CAST((id + frame_idx + m.m) % 8 AS INT) AS cbpidx
             FROM fr, UNNEST(range(0, wmb * hmb)) AS m(m)
             WHERE frame_idx >= 2),
           bsums AS (
             SELECT id, frame_idx,
-              CAST(sum(bt * (mb + 1)) AS BIGINT) AS b_type_sum,
-              CAST(sum(
+              CAST(sum(CASE WHEN cls IN (2, 4) THEN 0
+                ELSE bt * (mb + 1) END) AS BIGINT) AS b_type_sum,
+              CAST(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b_skip,
+              CAST(sum(CASE WHEN cls = 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_direct,
+              CAST(sum(CASE WHEN cls IN (2, 4) THEN 0 ELSE
                 (CASE WHEN bt IN (1, 3) THEN
                   (mb * 64 + 1) * (((id + 3 * frame_idx + 5 * mb) % 17) - 8) +
                   (mb * 64 + 3) * (((3 * id + frame_idx + 2 * mb) % 17) - 8)
@@ -2402,7 +2418,7 @@ object PipelineQueries extends Registry {
                 (CASE WHEN bt IN (2, 3) THEN
                   (mb * 64 + 17) * (((id + 3 * frame_idx + 5 * mb + 11) % 17) - 8) +
                   (mb * 64 + 19) * (((3 * id + frame_idx + 2 * mb + 7) % 17) - 8)
-                 ELSE 0 END)) AS BIGINT) AS b_mvd_checksum
+                 ELSE 0 END) END) AS BIGINT) AS b_mvd_checksum
             FROM bmb GROUP BY id, frame_idx),
           tags AS (
             SELECT bmb.*,
@@ -2412,13 +2428,14 @@ object PipelineQueries extends Registry {
                    WHEN tg.tag BETWEEN 17 AND 18 THEN 4
                    ELSE 15 END AS ncoeffs
             FROM bmb, UNNEST(range(1, 27)) AS tg(tag)
-            WHERE (tg.tag BETWEEN 1 AND 16 AND
+            WHERE bmb.cls != 2 -- B_Skip MBs carry no residual
+              AND ((tg.tag BETWEEN 1 AND 16 AND
                    ((list_extract([0, 16, 1, 2, 4, 8, 32, 3], cbpidx + 1) % 16)
                      >> CAST((tg.tag - 1) // 4 AS INT)) & 1 = 1)
                OR (tg.tag BETWEEN 17 AND 18 AND
                    list_extract([0, 16, 1, 2, 4, 8, 32, 3], cbpidx + 1) // 16 > 0)
                OR (tg.tag BETWEEN 19 AND 26 AND
-                   list_extract([0, 16, 1, 2, 4, 8, 32, 3], cbpidx + 1) // 16 = 2)),
+                   list_extract([0, 16, 1, 2, 4, 8, 32, 3], cbpidx + 1) // 16 = 2))),
           lev AS (
             SELECT t.*, CAST(kk.k AS BIGINT) AS k,
               CASE WHEN ncoeffs = 4 THEN 1
@@ -2450,6 +2467,8 @@ object PipelineQueries extends Registry {
             coalesce(b.b_type_sum, 0) AS b_type_sum,
             coalesce(b.b_mvd_checksum, 0) AS b_mvd_checksum,
             coalesce(l.b_level_checksum, 0) AS b_level_checksum,
+            coalesce(b.n_b_skip, 0) AS n_b_skip,
+            coalesce(b.n_direct, 0) AS n_direct,
             CAST(1 AS BIGINT) AS recon_exact
           FROM fr
           LEFT JOIN bsums b ON b.id = fr.id AND b.frame_idx = fr.frame_idx

@@ -502,9 +502,39 @@ class H264Spec extends AnyFunSuite {
   // B-slice path (q313)
   // ------------------------------------------------------------------
 
+  test("spatial direct (§8.4.1.2.2): zero-prediction at the slice " +
+      "start, A-only refs, per-cell colZeroFlag zeroing") {
+    val g0 = new H264.MotionGrid(8, 8)
+    val g1 = new H264.MotionGrid(8, 8)
+    // no neighbors at all -> directZeroPredictionFlag: bipred, zero MVs
+    val dm0 = H264.directMotion(g0, g1, 0, 0, None)
+    assert(dm0.use0 && dm0.use1)
+    assert(dm0.mv0.forall(_ == ((0, 0))) && dm0.mv1.forall(_ == ((0, 0))))
+    // left neighbor inter in L0 only -> L0 used (A-only MVP), L1 unused
+    g0.fill(3, 0, 1, 4, 8, 4, 0)
+    val dmA = H264.directMotion(g0, g1, 4, 0, None)
+    assert(dmA.use0 && !dmA.use1)
+    assert(dmA.mv0.forall(_ == ((8, 4))))
+    // colZeroFlag: a colocated cell with refIdx 0 and |mv| <= 1 zeroes
+    // exactly that cell; large colocated motion leaves the MVP in place
+    val col = new H264.MotionGrid(8, 8)
+    col.fill(0, 0, 8, 8, 40, 0, 0) // large motion everywhere...
+    col.fill(4, 0, 1, 1, 1, -1, 0) // ...except the MB's cell (0,0)
+    val dmC = H264.directMotion(g0, g1, 4, 0, Some(col))
+    assert(dmC.mv0(0) == ((0, 0)), "colZero cell must zero")
+    assert(dmC.mv0(1) == ((8, 4)), "non-colZero cells keep the MVP")
+    // |mv| <= 1 is quarter-pel and componentwise: (2, 0) is NOT colZero
+    col.fill(4, 0, 1, 1, 2, 0, 0)
+    assert(H264.directMotion(g0, g1, 4, 0, Some(col)).mv0(0) == ((8, 4)))
+    // nonzero colocated refIdx is NOT colZero even with zero motion
+    col.fill(4, 0, 1, 1, 0, 0, 1)
+    assert(H264.directMotion(g0, g1, 4, 0, Some(col)).mv0(0) == ((8, 4)))
+  }
+
   test("I+P+B streams: encode -> decode BIT-EXACT; POC ordering, both " +
       "lists, biprediction all exercised") {
     var sawL0 = false; var sawL1 = false; var sawBi = false
+    var sawSkipB = false; var sawDirect = false
     for (id <- 0L until 16L) {
       val wMb = (1 + id % 3).toInt; val hMb = (1 + (id / 3) % 2).toInt
       val qp = H264.ConstructH.qp(id)
@@ -520,15 +550,22 @@ class H264Spec extends AnyFunSuite {
         assert(got.levelChecksum == exp.levelChecksum)
         assert(got.mvdChecksum == exp.mvdChecksum, s"id=$id f=$f mvd")
         assert(got.typeSum == exp.typeSum)
+        assert(got.nSkip == exp.nSkip, s"id=$id f=$f nSkip")
+        assert(got.nDirect == exp.nDirect, s"id=$id f=$f nDirect")
       }
-      for (f <- 2 until 4; mb <- 0 until wMb * hMb)
-        H264.ConstructB.btype(id, f, mb) match {
+      for (f <- 2 until 4; mb <- 0 until wMb * hMb) {
+        if (H264.ConstructB.isSkipB(id, f, mb)) sawSkipB = true
+        else if (H264.ConstructB.isDirectB(id, f, mb)) sawDirect = true
+        else H264.ConstructB.btype(id, f, mb) match {
           case 1 => sawL0 = true
           case 2 => sawL1 = true
           case 3 => sawBi = true
         }
+      }
     }
     assert(sawL0 && sawL1 && sawBi, "construction missed a B type")
+    assert(sawSkipB, "construction never emitted B_Skip")
+    assert(sawDirect, "construction never emitted B_Direct_16x16")
   }
 
   test("B rejection: truncation and B-without-future-ref fall through") {
