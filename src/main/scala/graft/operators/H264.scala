@@ -67,6 +67,9 @@ object H264 {
     def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
     /** pcm_alignment_zero_bit run (I_PCM, §7.3.5). */
     def alignByte(): Unit = if (nbits != 0) put(0, 8 - nbits)
+    /** cabac_alignment_one_bit run (§7.3.4, entropy_coding_mode 1). */
+    def alignByteOnes(): Unit =
+      if (nbits != 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
     /** rbsp_trailing_bits: stop bit + pad to byte. */
     def rbspTrailing(): Unit = { put(1, 1); if (nbits != 0) put(0, 8 - nbits) }
     def result(): Array[Byte] = { require(nbits == 0, "unterminated RBSP"); bytes.toByteArray }
@@ -742,7 +745,8 @@ object H264 {
       i4ModeSum: Long = 0L, nI4Mbs: Long = 0L,
       mvdChecksum: Long = 0L, refSum: Long = 0L, nSkip: Long = 0L,
       typeSum: Long = 0L, nPcm: Long = 0L, pcmChecksum: Long = 0L,
-      poc: Long = -1L, nDirect: Long = 0L)
+      poc: Long = -1L, nDirect: Long = 0L,
+      cbpSum: Long = 0L, binChecksum: Long = 0L)
 
   /** (Y, Cb, Cr) planes of one reference picture. */
   type Planes = (Array[Int], Array[Int], Array[Int])
@@ -755,7 +759,7 @@ object H264 {
     * `i4Modes` the per-block prediction modes; for I_16x16 `ac` holds
     * 15-coefficient AC blocks with the separate `dc` block.
     */
-  private final case class MbData(isI4: Boolean, pm: Int,
+  private[operators] final case class MbData(isI4: Boolean, pm: Int,
       i4Modes: Array[Int], cm: Int, cbpL: Boolean, cbpC: Int,
       dc: Array[Int], ac: Array[Array[Int]],
       cdc: Array[Array[Int]], cac: Array[Array[Array[Int]]])
@@ -848,8 +852,9 @@ object H264 {
     * inverse transforms into the frame planes. Bit-exact on both sides
     * by construction.
     */
-  private def reconstructMb(mb: MbData, qp: Int, mbX: Int, mbY: Int,
-      y: Array[Int], cb: Array[Int], cr: Array[Int], wMb: Int): Unit = {
+  private[operators] def reconstructMb(mb: MbData, qp: Int, mbX: Int,
+      mbY: Int, y: Array[Int], cb: Array[Int], cr: Array[Int],
+      wMb: Int): Unit = {
     val wPix = wMb * 16; val wC = wMb * 8
     val zero15 = new Array[Int](15)
     if (mb.isI4) {

@@ -1518,8 +1518,9 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake standing in for the codec library
-    * on the formats [[MediaCodecs]] can't parse. Since r15 that is the
-    * H.264 direct-mode/CABAC machinery and H.265 — documented next rungs:
+    * on the formats [[MediaCodecs]] can't parse. Since r16 that is
+    * H.264 CABAC-INTER (P/B slices under entropy_coding_mode 1,
+    * including temporal direct) and H.265 — documented next rungs:
     * MPEG-1 video decodes for real across the WHOLE picture-type
     * alphabet — entropy-coded I-frames (q287), forward motion-
     * compensated P-pictures (q288) and bidirectionally-predicted
@@ -1531,8 +1532,10 @@ object Multimodal {
     * prediction, quarter-pel 6-tap luma + eighth-pel chroma MC,
     * two-frame DPB — q309), I_PCM + the widened CAVLC contexts (q312)
     * AND B-slices (POC-type-0 reordering, two reference lists,
-    * bipredictive averaging — q313; B_Direct/B_Skip stay out) via
-    * [[graft.operators.H264]]; plus
+    * bipredictive averaging, B_Skip/B_Direct spatial direct — q313)
+    * via [[graft.operators.H264]], with CABAC intra slices (the §9.3
+    * arithmetic engine + full residual chain, uniform-init stand-in
+    * contexts — q314) via [[graft.operators.H264Cabac]]; plus
     * MJPEG-in-AVI (q272); compressed images via JPEG/PNG/GIF/TIFF. The
     * AUDIO surface is empty since r14: PCM/IMA-ADPCM WAV decode to
     * samples (q290), and entropy-coded MPEG-1 Layer II decodes for real

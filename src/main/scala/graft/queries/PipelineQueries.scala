@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Model._
 import graft.llm.{LlmOperator, MockLlmClient}
-import graft.operators.{H264, Mp2, Mp3, Multimodal, Sampling, StableMatcher}
+import graft.operators.{H264, H264Cabac, Mp2, Mp3, Multimodal, Sampling, StableMatcher}
 import graft.ops.{Parsers, PromptRenderer}
 import graft.streaming.StreamingOps
 
@@ -2472,6 +2472,205 @@ object PipelineQueries extends Registry {
             CAST(1 AS BIGINT) AS recon_exact
           FROM fr
           LEFT JOIN bsums b ON b.id = fr.id AND b.frame_idx = fr.frame_idx
+          LEFT JOIN lsums l ON l.id = fr.id AND l.frame_idx = fr.frame_idx
+          ORDER BY fr.id, fr.frame_idx""")),
+
+    // ---- H.264 CABAC INTRA decode (VERDICT r15 item 1, q314): the
+    //      §9.3 binary arithmetic engine (rangeTabLPS subdivision,
+    //      64-state FSM, renorm/bypass/terminate/flush), cabac_
+    //      alignment_one_bit, I-slice mb_type / intra-mode / CBP /
+    //      mb_qp_delta binarizations with neighbor context increments,
+    //      and the full residual chain (coded_block_flag, significance
+    //      + last maps, UEG0 coeff_abs_level_minus1 with bypass signs)
+    //      under entropy_coding_mode_flag = 1, reusing q303/q307's
+    //      prediction + transform machinery unchanged. Context INIT is
+    //      the documented uniform stand-in (H264Cabac scope note);
+    //      I_NxN CBP sweeps all 48 values (bin-coded, no me(v) bound);
+    //      the I_16x16 DC blocks carry wide levels that escape into
+    //      the EG0 bypass suffix. The oracle re-derives mode sums, the
+    //      CBP sweep, the mb_type BIN-STRING checksum and the level
+    //      checksum in SQL; recon_exact gates BIT-EXACT planes.
+    //      Row-local fan-out, zero shuffle. ------------------------------
+    Q("q314_h264_cabac_intra",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 41 === 23)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, nch) =>
+              val wMb = (2 + id % 2).toInt
+              val hMb = (1 + nch % 2).toInt
+              val nf = (1 + id % 2).toInt
+              val qp = H264.ConstructH.qp(id)
+              val (bytes, expect) = H264Cabac.encode(id, wMb, hMb, nf, qp)
+              val st = H264Cabac.decode(bytes).get
+              st.frames.zip(expect).zipWithIndex.map { case ((got, exp), f) =>
+                val exact = got.y.sameElements(exp.y) &&
+                  got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr)
+                (id, f.toLong, (wMb * 16).toLong, (hMb * 16).toLong,
+                  (wMb * hMb).toLong, got.nI4Mbs, qp.toLong,
+                  got.modeSum, got.i4ModeSum, got.chromaModeSum,
+                  got.cbpSum, got.binChecksum, got.levelChecksum,
+                  if (exact) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "width", "height", "n_mbs", "n_i4",
+            "qp", "mode_sum", "i4_mode_sum", "chroma_mode_sum",
+            "cbp_sum", "bin_checksum", "level_checksum", "recon_exact")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""WITH d AS (
+            SELECT doc_id AS id, n_chars,
+              CAST(2 + doc_id % 2 AS BIGINT) AS wmb,
+              CAST(1 + n_chars % 2 AS BIGINT) AS hmb,
+              CAST(20 + doc_id % 8 AS BIGINT) AS qp
+            FROM documents WHERE doc_id % 41 = 23),
+          fr AS (
+            SELECT id, wmb, hmb, qp, CAST(t.f AS BIGINT) AS frame_idx
+            FROM d, UNNEST(range(0, 1 + id % 2)) AS t(f)),
+          mb AS (
+            SELECT fr.*, CAST(m.m AS BIGINT) AS mb,
+              CAST(m.m % wmb AS BIGINT) AS mbx,
+              CAST(m.m // wmb AS BIGINT) AS mby
+            FROM fr, UNNEST(range(0, wmb * hmb)) AS m(m)),
+          cls AS (
+            SELECT mb.*, (id + mb) % 2 = 0 AS isi4,
+              CASE WHEN (id + mb) % 2 = 0
+                THEN (id + 29 * mb) // 2 % 48 ELSE 0 END AS cbp4
+            FROM mb),
+          -- I_16x16 prediction mode, availability-aware (q303 rule)
+          pm16 AS (
+            SELECT cls.*, CASE
+                WHEN mbx > 0 AND mby > 0 THEN
+                  list_extract([0, 1, 2, 3], CAST((id + mb) % 4 AS INT) + 1)
+                WHEN mby > 0 THEN
+                  list_extract([0, 2], CAST((id + mb) % 2 AS INT) + 1)
+                WHEN mbx > 0 THEN
+                  list_extract([1, 2], CAST((id + mb) % 2 AS INT) + 1)
+                ELSE 2 END AS pm,
+              (id + mb) % 3 != 2 AS cbpl15,
+              (id + 2 + mb) % 3 AS cbpc16
+            FROM cls WHERE NOT isi4),
+          m16 AS (
+            SELECT id, frame_idx,
+              CAST(sum(pm) AS BIGINT) AS mode_sum,
+              -- mb_type bin-string checksum: 1-bins weighted mb*8+j+1
+              -- (j: 0 prefix, 2 cbpL, 3 chroma>0, 4 chroma=2,
+              --  5 pm>>1, 6 pm&1; terminate bin j=1 is always 0)
+              CAST(sum((mb * 8 + 1) +
+                CASE WHEN cbpl15 THEN mb * 8 + 3 ELSE 0 END +
+                CASE WHEN cbpc16 > 0 THEN mb * 8 + 4 ELSE 0 END +
+                CASE WHEN cbpc16 = 2 THEN mb * 8 + 5 ELSE 0 END +
+                CASE WHEN pm // 2 = 1 THEN mb * 8 + 6 ELSE 0 END +
+                CASE WHEN pm % 2 = 1 THEN mb * 8 + 7 ELSE 0 END)
+                AS BIGINT) AS bin_checksum
+            FROM pm16 GROUP BY id, frame_idx),
+          cbps AS (
+            SELECT id, frame_idx,
+              CAST(sum(CASE WHEN isi4 THEN cbp4 * (mb + 1) ELSE 0 END)
+                AS BIGINT) AS cbp_sum,
+              CAST(sum(CASE WHEN isi4 THEN 1 ELSE 0 END) AS BIGINT) AS n_i4
+            FROM cls GROUP BY id, frame_idx),
+          cmode AS (
+            SELECT id, frame_idx, CAST(sum(CASE
+                WHEN mbx > 0 AND mby > 0 THEN
+                  list_extract([0, 1, 2, 3], CAST((id + 2 * mb) % 4 AS INT) + 1)
+                WHEN mby > 0 THEN
+                  list_extract([0, 2], CAST((id + 2 * mb) % 2 AS INT) + 1)
+                WHEN mbx > 0 THEN
+                  list_extract([0, 1], CAST((id + 2 * mb) % 2 AS INT) + 1)
+                ELSE 0 END) AS BIGINT) AS chroma_mode_sum
+            FROM cls GROUP BY id, frame_idx),
+          i4m AS (
+            SELECT id, frame_idx, CAST(sum(CASE
+                WHEN gx > 0 AND gy > 0 THEN (id + mb + blk) % 9
+                WHEN gy > 0 THEN
+                  list_extract([0, 2, 3, 7], CAST((id + mb + blk) % 4 AS INT) + 1)
+                WHEN gx > 0 THEN
+                  list_extract([1, 2, 8], CAST((id + mb + blk) % 3 AS INT) + 1)
+                ELSE 2 END) AS BIGINT) AS i4_mode_sum
+            FROM (
+              SELECT cls.*, CAST(bk.blk AS BIGINT) AS blk,
+                mbx * 4 + 2 * ((bk.blk // 4) % 2) + bk.blk % 2 AS gx,
+                mby * 4 + 2 * (bk.blk // 8) + (bk.blk // 2) % 2 AS gy
+              FROM cls, UNNEST(range(0, 16)) AS bk(blk)
+              WHERE isi4)
+            GROUP BY id, frame_idx),
+          -- standard blockLevels contributions: I_16x16 AC + chroma,
+          -- I_NxN luma gated per 8x8 CBP bit
+          tags AS (
+            SELECT c.*, CAST(tg.tag AS BIGINT) AS tag,
+              CASE WHEN tg.tag BETWEEN 1 AND 16 THEN
+                     CASE WHEN c.isi4 THEN 16 ELSE 15 END
+                   WHEN tg.tag BETWEEN 17 AND 18 THEN 4
+                   ELSE 15 END AS ncoeffs
+            FROM (SELECT cls.*,
+                    CASE WHEN isi4 THEN cbp4 % 16
+                      WHEN (id + mb) % 3 != 2 THEN 15 ELSE 0 END AS cbpl,
+                    CASE WHEN isi4 THEN cbp4 // 16
+                      ELSE (id + 2 + mb) % 3 END AS cbpc
+                  FROM cls) c,
+              UNNEST(range(1, 27)) AS tg(tag)
+            WHERE (tg.tag BETWEEN 1 AND 16 AND
+                     (c.cbpl >> CAST((tg.tag - 1) // 4 AS INT)) & 1 = 1)
+               OR (tg.tag BETWEEN 17 AND 18 AND c.cbpc > 0)
+               OR (tg.tag BETWEEN 19 AND 26 AND c.cbpc = 2)),
+          lev AS (
+            SELECT t.*, CAST(kk.k AS BIGINT) AS k,
+              CASE WHEN ncoeffs = 4 THEN 1
+                   ELSE 1 + CAST((id + tag) % 4 AS BIGINT) END AS step,
+              CAST((id + frame_idx + mb + tag) %
+                (CASE WHEN tag >= 19 THEN 3 ELSE 4 END) AS BIGINT) AS n
+            FROM tags t, UNNEST(range(0, 3)) AS kk(k)
+            WHERE kk.k < (id + frame_idx + mb + tag) %
+              (CASE WHEN tag >= 19 THEN 3 ELSE 4 END)),
+          contrib AS (
+            SELECT id, frame_idx,
+              (1 + (id + mb + tag * 2 + k + frame_idx) % 3) *
+              (CASE WHEN (id + mb + tag + k) % 2 = 0 THEN 1 ELSE -1 END) *
+              (mb * 131 + tag * 17 +
+                (CASE WHEN ncoeffs = 4 THEN (id + tag + mb) % 2
+                 ELSE (id + mb + tag) % (ncoeffs - (n - 1) * step) END)
+                + k * step + 1) AS c
+            FROM lev),
+          -- WIDE I_16x16 DC contributions (tag 0, magnitudes 1..25)
+          widedc AS (
+            SELECT p.id, p.frame_idx, p.mb, CAST(kk.k AS BIGINT) AS k,
+              1 + CAST(p.id % 4 AS BIGINT) AS step,
+              CAST((p.id + p.frame_idx + p.mb) % 4 AS BIGINT) AS n
+            FROM pm16 p, UNNEST(range(0, 3)) AS kk(k)
+            WHERE kk.k < (p.id + p.frame_idx + p.mb) % 4),
+          widec AS (
+            SELECT id, frame_idx,
+              (1 + (id + mb + 3 * k + frame_idx) % 25) *
+              (CASE WHEN (id + mb + k) % 2 = 0 THEN 1 ELSE -1 END) *
+              (mb * 131 +
+                ((id + mb) % (16 - (n - 1) * step)) + k * step + 1) AS c
+            FROM widedc),
+          lsums AS (
+            SELECT id, frame_idx, CAST(sum(c) AS BIGINT) AS level_checksum
+            FROM (SELECT * FROM contrib UNION ALL SELECT * FROM widec)
+            GROUP BY id, frame_idx)
+          SELECT fr.id, fr.frame_idx,
+            CAST(fr.wmb * 16 AS BIGINT) AS width,
+            CAST(fr.hmb * 16 AS BIGINT) AS height,
+            CAST(fr.wmb * fr.hmb AS BIGINT) AS n_mbs,
+            cb.n_i4, fr.qp AS qp,
+            coalesce(m16.mode_sum, 0) AS mode_sum,
+            coalesce(i4.i4_mode_sum, 0) AS i4_mode_sum,
+            coalesce(cm.chroma_mode_sum, 0) AS chroma_mode_sum,
+            cb.cbp_sum,
+            coalesce(m16.bin_checksum, 0) AS bin_checksum,
+            coalesce(l.level_checksum, 0) AS level_checksum,
+            CAST(1 AS BIGINT) AS recon_exact
+          FROM fr
+          JOIN cbps cb ON cb.id = fr.id AND cb.frame_idx = fr.frame_idx
+          LEFT JOIN m16 ON m16.id = fr.id AND m16.frame_idx = fr.frame_idx
+          LEFT JOIN i4m i4 ON i4.id = fr.id AND i4.frame_idx = fr.frame_idx
+          LEFT JOIN cmode cm ON cm.id = fr.id AND cm.frame_idx = fr.frame_idx
           LEFT JOIN lsums l ON l.id = fr.id AND l.frame_idx = fr.frame_idx
           ORDER BY fr.id, fr.frame_idx""")),
 
