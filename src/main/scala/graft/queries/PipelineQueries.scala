@@ -2831,9 +2831,19 @@ object PipelineQueries extends Registry {
     //      SQL: side-info fields, the bit-accounted part2_3_length
     //      (scale-factor bits per scfsi + Huffman code/sign bits), the
     //      effective scale-factor sum, and a per-line spectral-value
-    //      checksum the decoder must reproduce bit-exactly. Scope
-    //      bounds documented in Mp3.scala (long blocks, lines < 24 =
-    //      sf bands 0-5, no bit reservoir). Row-local, zero shuffle. ----
+    //      checksum the decoder must reproduce bit-exactly. Since r16
+    //      (VERDICT r15 items 2+3) the fixture straddles the BIT
+    //      RESERVOIR (main_data_begin back-pointers into earlier
+    //      frames' slot bytes, re-derived as a closed form in SQL) and
+    //      SHORT BLOCKS (block_type 2: 12-band×3-window scale factors,
+    //      subblock_gain requant, spectral reorder, 12-point×3 IMDCT),
+    //      and pr_ok VALUE-gates the hybrid filterbank: the
+    //      construction-inverse MDCT analysis composed with the
+    //      decoder's own synthesis must be the delayed identity within
+    //      Mp3.PrBound on BOTH window families (alias round-trip
+    //      included on the long chain). Scope bounds documented in
+    //      Mp3.scala (lines < 24, Table-1 big_values, no transition
+    //      windows). Row-local, zero shuffle. ---------------------------
     Q("q311_mp3_layer3",
       (s, dir) => {
         import s.implicits._
@@ -2845,54 +2855,73 @@ object PipelineQueries extends Registry {
             it.flatMap { id =>
               val bytes = Mp3.encode(id)
               val st = Mp3.decode(bytes).get
+              // hybrid-filterbank perfect-reconstruction gate (r16):
+              // analysis∘synthesis ≤ PrBound on both window families
+              val (prL, prS) = Mp3.prError(id)
+              val prOk = if (prL <= Mp3.PrBound && prS <= Mp3.PrBound) 1L else 0L
               for {
                 (grans, fi) <- st.frames.zipWithIndex
                 (g, gr) <- grans.zipWithIndex
               } yield {
                 var requantOk = 1L
                 val mult = if (g.scalefacScale == 0) 0.5 else 1.0
+                val short = g.blockType == 2
                 for (i <- 0 until Mp3.MaxLine) {
                   val isv = Mp3.ConstructM.isVal(id, fi, gr, i)
                   if (g.is(i) != isv) requantOk = 0
+                  val gain =
+                    if (short) {
+                      val b = i / 12; val w = (i % 12) / 4
+                      (g.globalGain - 210) / 4.0 - 2.0 * g.sbg(w) -
+                        mult * g.scalefacs(b * 3 + w)
+                    } else (g.globalGain - 210) / 4.0 -
+                      mult * g.scalefacs(i / 4)
                   val expected =
                     if (isv == 0) 0.0
                     else math.signum(isv.toDouble) *
                       math.pow(math.abs(isv.toDouble), 4.0 / 3.0) *
-                      math.pow(2.0, (g.globalGain - 210) / 4.0 -
-                        mult * g.scalefacs(i / 4))
+                      math.pow(2.0, gain)
                   if (math.abs(g.xr(i) - expected) >
                     1e-12 * (1 + math.abs(expected))) requantOk = 0
                 }
                 val pcmOk = g.pcm.length == 576 &&
                   g.pcm.forall(v => !v.isNaN && !v.isInfinite)
                 (id, fi.toLong, gr.toLong, st.sampleRate.toLong,
+                  g.blockType.toLong, g.mainDataBegin.toLong,
                   g.part23.toLong, g.bigValues.toLong,
                   g.globalGain.toLong, g.scalefacCompress.toLong,
-                  g.scalefacScale.toLong, g.scalefacs.map(_.toLong).sum,
+                  g.scalefacScale.toLong, g.sbg.map(_.toLong).sum,
+                  g.scalefacs.map(_.toLong).sum,
                   g.is.zipWithIndex.map { case (v, i) =>
                     v.toLong * (i + 1)
                   }.sum,
-                  requantOk, if (pcmOk) 1L else 0L)
+                  requantOk, if (pcmOk) 1L else 0L, prOk)
               }
             }
           }
-          .toDF("id", "frame_idx", "gr", "sample_rate", "part23_len",
-            "big_values", "global_gain", "sf_compress", "sf_scale",
-            "scalefac_sum", "code_checksum", "requant_ok", "pcm_finite")
+          .toDF("id", "frame_idx", "gr", "sample_rate", "block_type",
+            "main_data_begin", "part23_len", "big_values", "global_gain",
+            "sf_compress", "sf_scale", "sbg_sum", "scalefac_sum",
+            "code_checksum", "requant_ok", "pcm_finite", "pr_ok")
           .orderBy($"id", $"frame_idx", $"gr")
       },
       Some("""WITH g AS (
             SELECT doc_id AS id, CAST(t.f AS BIGINT) AS frame_idx,
               CAST(gg.g AS BIGINT) AS gr
             FROM documents,
-              UNNEST(range(0, 2)) AS t(f), UNNEST(range(0, 2)) AS gg(g)
+              UNNEST(range(0, 3)) AS t(f), UNNEST(range(0, 2)) AS gg(g)
             WHERE doc_id % 29 = 13),
           base AS (
             SELECT *,
               160 + (id + frame_idx * 7 + gr * 3) % 40 AS global_gain,
               (id + frame_idx + 3 * gr) % 16 AS sfc,
               (id + gr) % 2 AS sf_scale,
-              (id + frame_idx + gr) % 13 AS bv
+              (id + frame_idx + gr) % 13 AS bv,
+              (id + 2 * frame_idx + gr) % 3 = 0 AS is_short,
+              -- a frame has a short granule iff (id+2f)%3 != 1
+              (id + 2 * frame_idx) % 3 != 1 AS has_short,
+              CASE WHEN frame_idx = 0 THEN 0
+                ELSE (id * 13 + 7 * frame_idx) % 56 END AS mdb
             FROM g),
           b2 AS (
             SELECT *,
@@ -2902,12 +2931,14 @@ object PipelineQueries extends Registry {
               list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
                 CAST(sfc AS INT) + 1) AS s2
             FROM base),
-          -- scale-factor bits: granule 0 sends all 21 bands; granule 1
-          -- only the scfsi groups whose bit is 0 (groups: 6/5 bands of
-          -- slen1, then 5/5 of slen2)
+          -- scale-factor bits: short granules send 12 bands x 3 windows;
+          -- long granule 0 (or granule 1 in a short-containing frame,
+          -- where scfsi is forced 0) sends all 21 bands; long granule 1
+          -- in a long-only frame sends only the scfsi-0 groups
           sfb AS (
             SELECT b2.*,
-              CASE WHEN gr = 0 THEN 11 * s1 + 10 * s2
+              CASE WHEN is_short THEN 18 * s1 + 18 * s2
+              WHEN gr = 0 OR has_short THEN 11 * s1 + 10 * s2
               ELSE
                 (CASE WHEN (id + frame_idx + 0) % 2 = 0 THEN 6 * s1 ELSE 0 END) +
                 (CASE WHEN (id + frame_idx + 1) % 2 = 0 THEN 5 * s1 ELSE 0 END) +
@@ -2947,10 +2978,24 @@ object PipelineQueries extends Registry {
             SELECT id, frame_idx, gr,
               CAST(sum(isv * (line + 1)) AS BIGINT) AS code_checksum
             FROM lines GROUP BY id, frame_idx, gr),
-          -- effective scale factors with scfsi SHARING: granule 1's
+          -- SHORT scale factors: 12 bands x 3 windows, own values
+          sfshort AS (
+            SELECT id, frame_idx, gr,
+              CAST(sum(CASE WHEN slen > 0
+                THEN (id + 2 * b + 3 * w) % CAST(pow(2, slen) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS scalefac_sum
+            FROM (
+              SELECT b2.id, b2.frame_idx, b2.gr, bb2.b, ww2.w,
+                CASE WHEN bb2.b < 6 THEN b2.s1 ELSE b2.s2 END AS slen
+              FROM b2, UNNEST(range(0, 12)) AS bb2(b),
+                UNNEST(range(0, 3)) AS ww2(w)
+              WHERE b2.is_short)
+            GROUP BY id, frame_idx, gr),
+          -- LONG effective scale factors with scfsi SHARING: granule 1's
           -- shared groups copy granule 0's transmitted values — which
-          -- use granule 0's slen widths (sfc differs per granule)
-          sfsum AS (
+          -- use granule 0's slen widths (sfc differs per granule);
+          -- sharing is disabled in short-containing frames
+          sflong AS (
             SELECT id, frame_idx, gr,
               CAST(sum(CASE WHEN slen_u > 0
                 THEN (id + 2 * b) % CAST(pow(2, slen_u) AS BIGINT)
@@ -2964,24 +3009,34 @@ object PipelineQueries extends Registry {
                     CAST((b2.id + b2.frame_idx + 3 * ug.u) % 16 AS INT) + 1)
                 END AS slen_u
               FROM b2, UNNEST(range(0, 21)) AS bb(b),
-                LATERAL (SELECT CASE WHEN b2.gr = 1 AND
+                LATERAL (SELECT CASE WHEN b2.gr = 1 AND NOT b2.has_short AND
                     (b2.id + b2.frame_idx +
                      CASE WHEN bb.b < 6 THEN 0 WHEN bb.b < 11 THEN 1
                           WHEN bb.b < 16 THEN 2 ELSE 3 END) % 2 = 1
-                  THEN 0 ELSE b2.gr END AS u) AS ug(u))
+                  THEN 0 ELSE b2.gr END AS u) AS ug(u)
+              WHERE NOT b2.is_short)
             GROUP BY id, frame_idx, gr)
           SELECT s.id, s.frame_idx, s.gr,
             CAST(48000 AS BIGINT) AS sample_rate,
+            CAST(CASE WHEN s.is_short THEN 2 ELSE 0 END AS BIGINT)
+              AS block_type,
+            CAST(s.mdb AS BIGINT) AS main_data_begin,
             CAST(s.sf_bits + coalesce(p.big_bits, 0) + c.c1_bits
               AS BIGINT) AS part23_len,
             CAST(s.bv AS BIGINT) AS big_values,
             CAST(s.global_gain AS BIGINT) AS global_gain,
             CAST(s.sfc AS BIGINT) AS sf_compress,
             CAST(s.sf_scale AS BIGINT) AS sf_scale,
-            sf.scalefac_sum,
+            CAST(CASE WHEN s.is_short THEN
+                (s.id + s.frame_idx + s.gr) % 8 +
+                (s.id + s.frame_idx + s.gr + 1) % 8 +
+                (s.id + s.frame_idx + s.gr + 2) % 8
+              ELSE 0 END AS BIGINT) AS sbg_sum,
+            coalesce(ss.scalefac_sum, sl.scalefac_sum) AS scalefac_sum,
             cs.code_checksum,
             CAST(1 AS BIGINT) AS requant_ok,
-            CAST(1 AS BIGINT) AS pcm_finite
+            CAST(1 AS BIGINT) AS pcm_finite,
+            CAST(1 AS BIGINT) AS pr_ok
           FROM sfb s
           LEFT JOIN pairbits p
             ON p.id = s.id AND p.frame_idx = s.frame_idx AND p.gr = s.gr
@@ -2989,8 +3044,10 @@ object PipelineQueries extends Registry {
             ON c.id = s.id AND c.frame_idx = s.frame_idx AND c.gr = s.gr
           JOIN sums cs
             ON cs.id = s.id AND cs.frame_idx = s.frame_idx AND cs.gr = s.gr
-          JOIN sfsum sf
-            ON sf.id = s.id AND sf.frame_idx = s.frame_idx AND sf.gr = s.gr
+          LEFT JOIN sfshort ss
+            ON ss.id = s.id AND ss.frame_idx = s.frame_idx AND ss.gr = s.gr
+          LEFT JOIN sflong sl
+            ON sl.id = s.id AND sl.frame_idx = s.frame_idx AND sl.gr = s.gr
           ORDER BY s.id, s.frame_idx, s.gr""")),
 
     // ---- REAL animated-format frame extraction: each doc's metadata
