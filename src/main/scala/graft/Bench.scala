@@ -63,10 +63,25 @@ object Bench {
       val path = java.nio.file.Paths.get(p)
       if (java.nio.file.Files.exists(path)) java.nio.file.Files.readString(path) else ""
     } catch { case _: Throwable => "" }
+    // alternate-artifact mode (r16 — VERDICT r15 item 7): a full-suite
+    // pass at another scale factor writes its own artifact (e.g.
+    // BENCH_SF1_FULL.json), adjudicates against ITS OWN prior (falling
+    // back to the legacy 15-rung BENCH_SF1.json the first time), never
+    // refreshes the sf0.1 quiet-prior, and carries a vs_sf01 block
+    // comparing every query's adjudicated warm against the sf0.1 run.
+    val artifactEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_ARTIFACT", "BENCH_FULL.json")
+    val altArtifact = artifactEnv != "BENCH_FULL.json"
     val (priorTxt, priorSrc) =
-      BenchAdjudicate.selectPrior(readIf("BENCH_FULL.json"), readIf("BENCH_QUIET.json"))
-    if (priorSrc != "BENCH_FULL.json")
+      if (altArtifact) {
+        val own = readIf(artifactEnv)
+        if (own.nonEmpty) (own, artifactEnv)
+        else (readIf("BENCH_SF1.json"), "BENCH_SF1.json")
+      } else
+        BenchAdjudicate.selectPrior(readIf("BENCH_FULL.json"), readIf("BENCH_QUIET.json"))
+    if (!altArtifact && priorSrc != "BENCH_FULL.json")
       System.err.println(s"[bench] prior artifact is provisional (loud box) - adjudicating against $priorSrc")
+    if (altArtifact)
+      System.err.println(s"[bench] alternate artifact $artifactEnv - prior is $priorSrc")
     val priorWarmRaw = BenchAdjudicate.parseQueriesWarm(priorTxt)
     val priorStrmRaw = BenchAdjudicate.parseStreamingRates(priorTxt)
     // parse-count sanity (ADVICE r12): a format drift degrades the regex
@@ -202,11 +217,10 @@ object Bench {
         name -> StrmStats(bs.map(_.inputRows).sum,
           bs.map(_.triggerMs).sum).rowsPerTriggerSec
       }
-    val strmDrops = BenchAdjudicate.streamingDrops(
-      priorStrmRates,
-      strmStats.map { case (k, s) =>
-        k -> math.max(s.rowsPerTriggerSec, strmRetry.getOrElse(k, 0.0))
-      }.toMap)
+    val seqStrmRates: Map[String, Double] = strmStats.map { case (k, s) =>
+      k -> math.max(s.rowsPerTriggerSec, strmRetry.getOrElse(k, 0.0))
+    }.toMap
+    val strmDrops = BenchAdjudicate.streamingDrops(priorStrmRates, seqStrmRates)
     strmDrops.foreach { case (k, (p, c)) =>
       System.err.println(f"[bench] STREAMING THROUGHPUT DROP $k: $p%.0f -> $c%.0f rows/trigger-sec")
     }
@@ -257,8 +271,39 @@ object Bench {
           poolSec(p) = (System.nanoTime() - t0) / 1e9
         }, s"bench-pool-$p")
       }
+      // Mixed batch+streaming contention (r16 — VERDICT r15 item 6): a
+      // fifth pool drives three streaming queries — one per state-store
+      // family — SEQUENTIALLY while the batch pools churn, so the
+      // BenchListener attribution stays single-stream (batch jobs emit
+      // no streaming progress events). SessionHygiene is NOT run inside
+      // the loop: dropping all blocks would evict concurrent batch
+      // queries' cached data mid-flight.
+      val strmPicks = BenchAdjudicate.ConcurrentStreamingPicks
+        .filter(SparkEntry.queries.contains)
+      val strmConc = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+      val strmOverlap = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+      val strmThread = new Thread(() => {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "benchStrm")
+        strmPicks.foreach { name =>
+          try {
+            BenchListener.quiesce(); BenchListener.drain()
+            SparkEntry.queries(name)(spark, sfDir).count()
+            BenchListener.quiesce()
+            val bs = BenchListener.drain()
+            val rows = bs.map(_.inputRows).sum
+            val ms = bs.map(_.triggerMs).sum
+            strmConc.put(name, if (ms <= 0) 0.0 else rows * 1000.0 / ms)
+            strmOverlap.put(name, threads.exists(_.isAlive))
+          } catch {
+            case e: Throwable => cErrs.put(name,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+          }
+        }
+      }, "bench-pool-strm")
       threads.foreach(_.start())
+      strmThread.start()
       threads.foreach(_.join())
+      strmThread.join()
       val wall = (System.nanoTime() - t0) / 1e9
       val cEnd = math.min(canarySec(), canarySec())
       graft.core.SessionHygiene.dropAllBlocks(spark)
@@ -274,6 +319,22 @@ object Bench {
       System.err.println(f"[bench] concurrent wall $wall%.1f s (sum $sumSec%.1f s, sequential warm $seqBatchWarm%.1f s), canary end $cEnd%.3f s")
       def d3c(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      // contention adjudication: picks' rows/trigger-sec vs the SAME
+      // run's sequential rates, flagged past the pools+1 bound
+      val contentionRates = strmConc.asScala.toMap
+      val contention = BenchAdjudicate.contentionDrops(
+        seqStrmRates.view.filterKeys(strmPicks.contains).toMap,
+        contentionRates, factor = nPools + 1.0)
+      contention.foreach { case (k, (p, c)) =>
+        System.err.println(f"[bench] CONCURRENT STREAMING DROP $k: $p%.0f -> $c%.0f rows/trigger-sec")
+      }
+      val strmBlock = strmPicks.map { name =>
+        val seq = seqStrmRates.getOrElse(name, 0.0)
+        val conc = contentionRates.getOrElse(name, 0.0)
+        s""""$name":{"rate_concurrent":${d3c(conc)},"rate_sequential":${d3c(seq)},""" +
+          s""""ratio":${d3c(if (seq > 0) conc / seq else -1.0)},""" +
+          s""""overlapped_batch_pools":${strmOverlap.getOrDefault(name, false)}}"""
+      }.mkString("{", ",", "}")
       s""""concurrent":{"n_pools":$nPools,"n_queries":${names.size},""" +
         s""""wall_sec":${d3c(wall)},"sum_sec":${d3c(sumSec)},""" +
         s""""sequential_warm_batch_sec":${d3c(seqBatchWarm)},""" +
@@ -281,6 +342,10 @@ object Bench {
         s""""pool_wall_sec":[${poolSec.map(d3c).mkString(",")}],""" +
         s""""canary_before_sec":${d3c(cStart)},"canary_after_sec":${d3c(cEnd)},""" +
         s""""slowest":${slow.map { case (k, v) => "\"" + k + "\":" + d3c(v) }.mkString("{", ",", "}")},""" +
+        s""""streaming":{"queries":$strmBlock,"drops":${
+          contention.toSeq.sortBy(_._1).map { case (k, (p, c)) =>
+            s""""$k":{"rate_sequential":${d3c(p)},"rate_concurrent":${d3c(c)}}"""
+          }.mkString("{", ",", "}")}},""" +
         s""""errors":${cErrs.asScala.toSeq.sortBy(_._1).map { case (k, m) =>
           jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")}},"""
     }
@@ -359,6 +424,29 @@ object Bench {
       s""""streaming_regressions":$strmDropsJson,""" +
       concurrentJson +
       q127Iters.map(n => s""""q127_cte_iterations":$n,""").getOrElse("") +
+      (if (!altArtifact) "" else {
+        // scale-ratio audit vs the canonical sf0.1 run: adjudicated warm
+        // here over adjudicated-warm there. Data is 10x, so linear cost
+        // is ratio 10; flag past 12 (linear + 20% margin) among queries
+        // whose sf1 warm is above a 1 s constant-cost floor. Streaming
+        // rungs are excluded (harness-dominated wall-clock).
+        val sf01 = BenchAdjudicate.parseQueriesWarm(readIf("BENCH_FULL.json"))
+        val ratios = results.collect {
+          case (k, (_, w, None))
+              if !SparkEntry.streamingQueries(k) && sf01.get(k).exists(_ > 0.0) =>
+            val adj = math.min(w, warmRetry.getOrElse(k, w))
+            (k, adj, adj / sf01(k))
+        }
+        val superlin = ratios.filter { case (_, adj, r) => adj > 1.0 && r > 12.0 }
+        val worst = ratios.sortBy(-_._3).take(10)
+        s""""vs_sf01":{"n_compared":${ratios.size},""" +
+          s""""n_superlinear":${superlin.size},""" +
+          s""""superlinear":${superlin.sortBy(_._1).map { case (k, adj, r) =>
+            jstr(k) + s""":{"warm_adjudicated":${d3(adj)},"ratio":${d3(r)}}"""
+          }.mkString("{", ",", "}")},""" +
+          s""""worst_ratios":${worst.map { case (k, _, r) =>
+            jstr(k) + ":" + d3(r) }.mkString("{", ",", "}")}},"""
+      }) +
       s""""errors":$errsJson,"sf":"$sfDir"}"""
     // The harness keeps only the LAST ~2000 chars of output, and 74 queries
     // × cold+warm of full-name timings is ~4 KB — the full line can never
@@ -369,11 +457,12 @@ object Bench {
     // dict to the slowest 20 — the ones a plan reviewer actually looks at.
     // a SPARK_GRAFT_BENCH_ONLY subset run must never clobber the canonical
     // full-suite artifact the docs reference (it has happened twice)
-    val artifact = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"
+    val artifact = if (only.isDefined) "BENCH_SUBSET.json" else artifactEnv
     java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), full + "\n")
     // refresh the quiet-prior fallback: only full-suite runs on a quiet
-    // box qualify (a subset run has too few queries to serve as a prior)
-    if (only.isEmpty && !provisional)
+    // box qualify (a subset run has too few queries to serve as a prior,
+    // and an alternate-scale run must never become the sf0.1 prior)
+    if (only.isEmpty && !provisional && !altArtifact)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_QUIET.json"), full + "\n")
     println(full)

@@ -131,6 +131,29 @@ object BenchAdjudicate {
     * drained) are skipped — absence is a correctness problem, not a
     * throughput regression.
     */
+  /** Streaming queries driven in the mixed concurrent pass (r16 —
+    * VERDICT r15 item 6): one per state-store family — a watermarked
+    * window aggregation (HDFS state store), a stateless stream-static
+    * broadcast join, and a transformWithState counter on RocksDB. They
+    * run SEQUENTIALLY inside one extra pool while the four batch pools
+    * churn, so [[graft.BenchListener]]'s single-stream attribution
+    * still holds (batch jobs emit no streaming progress events).
+    */
+  val ConcurrentStreamingPicks: Seq[String] = Seq(
+    "q41_streaming_tumbling", "q108_streaming_decontaminate",
+    "q184_tws_running_totals")
+
+  /** Contention adjudication for the mixed pass: a pick whose
+    * under-contention rows/trigger-sec fell more than `factor`× below
+    * the SAME run's sequential rate. The default bound is pools+1:
+    * FAIR sharing across n busy pools stretches trigger durations by
+    * at most ≈ the pool count, plus harness margin.
+    */
+  def contentionDrops(sequential: Map[String, Double],
+      concurrent: Map[String, Double],
+      factor: Double = 5.0): Map[String, (Double, Double)] =
+    streamingDrops(sequential, concurrent, factor)
+
   def streamingDrops(prior: Map[String, Double], cur: Map[String, Double],
       factor: Double = 2.0): Map[String, (Double, Double)] =
     cur.flatMap { case (k, c) =>

@@ -53,6 +53,39 @@ object ScaleUp {
     val n = spark.read.parquet(s"$dst/documents.parquet").count()
     println(s"[scaleup] wrote $n documents ($factor x $src) to $dst")
 
+    // embeddings for the vector/ANN family (full-suite sf1 bench —
+    // VERDICT r15 item 7): vec_id shifts by the DOCUMENTS stride (q137/
+    // q142/q154 join vec_id = doc_id, so both sides must offset
+    // identically per replica), and each replica's vectors get a
+    // deterministic per-element perturbation of ~0.8x the vector's RMS
+    // element magnitude. The scale matters for the same reason as the
+    // documents word suffix: unperturbed (or mildly perturbed) replicas
+    // sit at cosine ≈ 1 to their source, so near-dup/decontamination
+    // queries see candidate pairs quadratic in the replica count and
+    // top-k rankings degenerate into F-way ties. At 0.8 RMS the expected
+    // cross-replica cosine is ≈ 1/sqrt(1+0.64) ≈ 0.78 — below every
+    // banding/near-dup threshold in the suite — while norms, label
+    // balance, and cluster shape stay source-like. sin(hash(...)) keeps
+    // it reproducible with no RNG state.
+    val embSrc = graft.core.Tables(spark, src, "embeddings")
+    val embReplicas = (0 until factor).map { r =>
+      if (r == 0) embSrc.select(col("vec_id"), col("embedding"), col("label"))
+      else embSrc.select(
+        (col("vec_id") + lit(r * idStride)).as("vec_id"),
+        expr(
+          s"""transform(embedding, (x, i) -> float(double(x) +
+             |  0.8d * sqrt(aggregate(embedding, 0.0d,
+             |    (a, y) -> a + double(y) * double(y)) / size(embedding))
+             |  * sin(double(hash(vec_id, i, $r)))))""".stripMargin)
+          .as("embedding"),
+        col("label"))
+    }
+    embReplicas.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    val nEmb = spark.read.parquet(s"$dst/embeddings.parquet").count()
+    println(s"[scaleup] wrote $nEmb embeddings ($factor x $src) to $dst")
+
     // shared replicate-with-offset-ids helper: each replica shifts the
     // listed id columns by that column's (max + 1) stride — one combined
     // agg computes every stride in a single source scan. A FOREIGN-KEY

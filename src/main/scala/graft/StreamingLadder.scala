@@ -110,10 +110,81 @@ object StreamingLadder {
     * the keys-not-rows state gate, recorded for the report. Everything
     * else keeps keyed state (windows, sessions, dedup keys, TWS
     * counters, sketches) whose row count must NOT track the feed size.
+    * Since r16 (VERDICT r15 item 5) the exemption is no longer
+    * unmonitored: each of these carries its own DERIVED bound — the
+    * expected buffer size computed from the feed itself
+    * ([[expectedBufferRows]]) — and [[bufferRegressions]] flags any
+    * rung whose observed state rows exceed 2× that expectation.
     */
   val RowBufferingQueries: Set[String] = Set(
     "q119_streaming_interval_join", "q132_streaming_outer_nulls",
     "q220_tws_replay_buffer")
+
+  /** Expected state rows for each row-buffering query, DERIVED from the
+    * feed prefix (not from the observed run):
+    *
+    *  - q119/q132 (the interval joins, 30-minute lookback, 10-minute
+    *    watermark delay, driven in two half-feed batches): batch 1 ends
+    *    with the whole first half buffered (the pre-batch watermark is
+    *    the epoch, so nothing is evictable), and batch 2 ends with the
+    *    rows the batch-1 watermark W1 = maxTs(first half) − 10 min
+    *    cannot evict — purchases with ts ≥ W1 (a future click may still
+    *    precede them) and clicks with ts ≥ W1 − 30 min (still inside
+    *    some future purchase's lookback). Expected = max of the two
+    *    batch-end totals.
+    *  - q220 (TWS replay buffer, last-3 ids per user): two state
+    *    variables per key (the seen-counter ValueState and the
+    *    ListState row) → expected = 2 × distinct users in the prefix.
+    *
+    * The 2× gate headroom absorbs ms-vs-µs watermark rounding and
+    * progress-reporting timing; a real leak (no eviction at all) shows
+    * up as ≈ feed-size state, several × past these bounds.
+    */
+  def expectedBufferRows(spark: SparkSession, dir: String,
+      feedRows: Int): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables(spark, dir, "events")
+    // the interval joins' exact feed protocol (purchase/click prefix)
+    val pc = ev.filter(col("event_type").isin("purchase", "click"))
+      .select(expr("unix_micros(ts)").as("tsu"), col("event_id"),
+        col("event_type"))
+      .orderBy("tsu", "event_id").limit(feedRows)
+      .collect()
+    val n = pc.length
+    val ivj =
+      if (n == 0) 0L
+      else {
+        val half = pc.take(n / 2)
+        val w1 = half.map(_.getLong(0)).max - 10L * 60 * 1000000
+        val pLate = pc.count(r =>
+          r.getString(2) == "purchase" && r.getLong(0) >= w1)
+        val cLate = pc.count(r =>
+          r.getString(2) == "click" && r.getLong(0) >= w1 - 30L * 60 * 1000000)
+        math.max(n / 2, pLate + cLate).toLong
+      }
+    // q220's feed protocol: the unfiltered (ts, event_id) prefix
+    val users = ev.select(col("ts"), col("event_id"), col("user_id"))
+      .orderBy("ts", "event_id").limit(feedRows)
+      .select(countDistinct(col("user_id")))
+      .head().getLong(0)
+    Map(
+      "q119_streaming_interval_join" -> ivj,
+      "q132_streaming_outer_nulls" -> ivj,
+      "q220_tws_replay_buffer" -> 2 * users)
+  }
+
+  /** Row-buffering rungs whose observed state rows exceed `factor` × the
+    * feed-derived expectation (VERDICT r15 item 5's gate).
+    */
+  def bufferRegressions(expected: Map[String, Long],
+      actual: Map[String, Long], factor: Double = 2.0)
+    : Map[String, (Long, Long)] =
+    actual.flatMap { case (q, a) =>
+      expected.get(q) match {
+        case Some(e) if e > 0 && a > factor * e => Some(q -> (e, a))
+        case _ => None
+      }
+    }
 
   /** Keyed-state queries whose state rows grew more than `factor`× when
     * the feed grew 10× over the SAME key space (r14 item 4: state must
@@ -214,6 +285,16 @@ object StreamingLadder {
     }
     val cur = results.map { case (q, (rb, rs, _)) => q -> (rb.rate, rs.rate) }.toMap
     val regs = regressions(prior, cur)
+    // feed-derived row-buffering bounds (r16 — VERDICT r15 item 5)
+    val expScaled = expectedBufferRows(spark, dir100, scaledFeed)
+    val exp100 = expectedBufferRows(spark, dir100, feed100)
+    val bufRegs = bufferRegressions(exp100,
+      results.collect { case (q, (_, _, r100))
+        if RowBufferingQueries.contains(q) => q -> r100.stateRows }.toMap) ++
+      bufferRegressions(expScaled,
+        results.collect { case (q, (_, rs, _))
+          if RowBufferingQueries.contains(q) => q -> rs.stateRows }.toMap)
+        .map { case (q, v) => s"$q@10x" -> v }
     val stateRegsRaw = stateRegressions(
       results.map { case (q, (_, rs, _)) => q -> rs.stateRows }.toMap,
       results.map { case (q, (_, _, r100)) => q -> r100.stateRows }.toMap)
@@ -260,13 +341,19 @@ object StreamingLadder {
       }.getOrElse("")
       val stateRatio =
         if (rs.stateRows > 0) r100.stateRows.toDouble / rs.stateRows else -1.0
+      val expFields =
+        if (RowBufferingQueries.contains(q))
+          s""""state_expected_rows_10x":${expScaled.getOrElse(q, -1L)},""" +
+            s""""state_expected_rows_100x":${exp100.getOrElse(q, -1L)},"""
+        else ""
       s""""$q":{"rate_base":${d1(rb.rate)},"rate_scaled":${d1(rs.rate)},"ratio":${d3(ratio)}$pr,""" +
         s""""rate_100x":${d1(r100.rate)},"state_rows_10x":${rs.stateRows},""" +
         s""""state_rows_100x":${r100.stateRows},"state_bytes_10x":${rs.stateBytes},""" +
         s""""state_bytes_100x":${r100.stateBytes},"state_ratio":${d3(stateRatio)},""" +
+        expFields +
         s""""row_buffering":${RowBufferingQueries.contains(q)}}"""
     }.mkString(
-      s"""{"protocol":"graft.StreamingLadder: rows/sum(triggerExecution) at the 2000-row sf0.1 feed (base) vs $scaledFeed-row and $feed100-row feeds from $dir100 (100x key space); ratio=base/scaled; retry past 2x prior ratio (scaled) / 3x rate fall (100x); state gate: keyed-state rows at the 100x feed must stay within 8x of the 10x feed (row-buffering joins/replay exempt, labeled); a ratio flag is exonerated when state rows EQUAL the distinct-key count over the same feed (state_adjudicated)","feed_scaled":$scaledFeed,"feed_100x":$feed100,"rungs":{""",
+      s"""{"protocol":"graft.StreamingLadder: rows/sum(triggerExecution) at the 2000-row sf0.1 feed (base) vs $scaledFeed-row and $feed100-row feeds from $dir100 (100x key space); ratio=base/scaled; retry past 2x prior ratio (scaled) / 3x rate fall (100x); state gate: keyed-state rows at the 100x feed must stay within 8x of the 10x feed; row-buffering joins/replay are exempt from THAT gate but carry their own feed-derived bound (state_expected_rows_*: watermark-horizon rows for the interval joins, 2 state rows per key for the replay buffer) gated at 2x expected (buffer_regressions); a ratio flag is exonerated when state rows EQUAL the distinct-key count over the same feed (state_adjudicated)","feed_scaled":$scaledFeed,"feed_100x":$feed100,"rungs":{""",
       ",",
       "}," + s""""regressions":${
         regs.toSeq.sortBy(_._1).map { case (q, (p, c)) =>
@@ -284,6 +371,10 @@ object StreamingLadder {
         rateRegs100.toSeq.sortBy(_._1).map { case (q, (a, b)) =>
           s""""$q":{"rate_scaled":${d1(a)},"rate_100x":${d1(b)}}"""
         }.mkString("{", ",", "}")
+      },"buffer_regressions":${
+        bufRegs.toSeq.sortBy(_._1).map { case (q, (e, a)) =>
+          s""""$q":{"state_expected_rows":$e,"state_rows":$a}"""
+        }.mkString("{", ",", "}")
       }}""")
     // merge into the canonical ladder artifact + standalone run log
     java.nio.file.Files.writeString(artifactPath,
@@ -294,6 +385,7 @@ object StreamingLadder {
     println(s"""{"metric":"streaming_ladder","n_queries":${results.size},""" +
       s""""n_regressions":${regs.size},"n_state_regressions":${stateRegs.size},""" +
       s""""n_state_adjudicated":${stateAdjudicated.size},""" +
+      s""""n_buffer_regressions":${bufRegs.size},""" +
       s""""n_rate_regressions_100x":${rateRegs100.size},""" +
       s""""feed_scaled":$scaledFeed,"feed_100x":$feed100,""" +
       s""""artifact":"BENCH_LADDER.json"}""")

@@ -142,15 +142,20 @@ object H264Cabac {
   /** One adaptive context: 64-state probability index + MPS value.
     * Uniform init (pState 0, MPS 0) — see the scope note above.
     */
-  private def freshContexts(): (Array[Int], Array[Int]) =
-    (new Array[Int](CtxCount), new Array[Int](CtxCount))
+  private def freshContexts(n: Int): (Array[Int], Array[Int]) =
+    (new Array[Int](n), new Array[Int](n))
 
-  final class Encoder(w: H264.BitWriter) {
+  /** `nCtx` sizes the adaptive-context space: H.264 intra uses the
+    * default [[CtxCount]]; H.265 ([[H265]]) reuses this exact engine —
+    * HEVC §9.3.4.3 specifies the SAME rangeTabLPS/transIdx tables and
+    * renormalization as H.264 §9.3 — with its own context map.
+    */
+  final class Encoder(w: H264.BitWriter, nCtx: Int = CtxCount) {
     private var low = 0
     private var range = 510
     private var bitsOutstanding = 0
     private var firstBit = true
-    private val (state, mps) = freshContexts()
+    private val (state, mps) = freshContexts(nCtx)
 
     private def putBit(b: Int): Unit = {
       if (firstBit) firstBit = false else w.put(b, 1)
@@ -195,7 +200,8 @@ object H264Cabac {
     }
   }
 
-  final class Decoder(bytes: Array[Byte], startBit: Int) {
+  final class Decoder(bytes: Array[Byte], startBit: Int,
+      nCtx: Int = CtxCount) {
     private var pos = startBit
     private def readBit(): Int =
       if (pos >= bytes.length * 8) { pos += 1; 0 } // RBSP zero extension
@@ -210,7 +216,7 @@ object H264Cabac {
       while (i < 9) { v = (v << 1) | readBit(); i += 1 }
       v
     }
-    private val (state, mps) = freshContexts()
+    private val (state, mps) = freshContexts(nCtx)
 
     def decision(ctxIdx: Int): Int = {
       val s = state(ctxIdx)

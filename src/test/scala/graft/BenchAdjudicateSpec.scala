@@ -136,6 +136,27 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(BenchAdjudicate.poolAssignment(names.reverse, 4) == a)
   }
 
+  test("mixed concurrent pass: picks cover three state-store families " +
+      "and are registered streaming queries; contention gate flags a " +
+      "collapse past pools+1, not FAIR-sharing slowdown") {
+    val picks = BenchAdjudicate.ConcurrentStreamingPicks
+    assert(picks.size == 3 && picks.distinct == picks)
+    assert(picks.toSet.subsetOf(SparkEntry.streamingQueries),
+      s"picks not registered: ${picks.filterNot(SparkEntry.streamingQueries)}")
+    val seq = Map("q41_streaming_tumbling" -> 3000.0,
+      "q108_streaming_decontaminate" -> 600.0,
+      "q184_tws_running_totals" -> 1500.0)
+    val conc = Map(
+      "q41_streaming_tumbling" -> 700.0, // 4.3x slower: inside pools+1=5
+      "q108_streaming_decontaminate" -> 90.0, // 6.7x: contention collapse
+      "q184_tws_running_totals" -> 1400.0) // barely moved
+    val drops = BenchAdjudicate.contentionDrops(seq, conc, factor = 5.0)
+    assert(drops.keySet == Set("q108_streaming_decontaminate"), s"got $drops")
+    assert(drops("q108_streaming_decontaminate") == (600.0, 90.0))
+    // a missing sequential rate never flags
+    assert(BenchAdjudicate.contentionDrops(Map.empty, conc).isEmpty)
+  }
+
   test("Fs.cleanupStale sweeps only old graft dirs, keeps fresh + scale corpora") {
     val root = java.nio.file.Files.createTempDirectory("cleanup-spec").toString
     def mk(name: String, old: Boolean): java.nio.file.Path = {

@@ -84,6 +84,47 @@ class StreamingLadderSpec extends AnyFunSuite {
     assert(StreamingLadder.RowBufferingQueries.subsetOf(SparkEntry.streamingQueries))
   }
 
+  test("row-buffering bound: observed state past 2x the feed-derived " +
+      "expectation flags; within-bound and unknown rungs do not") {
+    val expected = Map(
+      "q119_streaming_interval_join" -> 1000L,
+      "q132_streaming_outer_nulls" -> 1000L,
+      "q220_tws_replay_buffer" -> 400L)
+    val actual = Map(
+      "q119_streaming_interval_join" -> 1900L, // 1.9x: inside the gate
+      "q132_streaming_outer_nulls" -> 9500L, // synthetic leak: no eviction
+      "q220_tws_replay_buffer" -> 401L, // ~exact
+      "q_unknown" -> 999999L) // no expectation -> not gated
+    val regs = StreamingLadder.bufferRegressions(expected, actual)
+    assert(regs.keySet == Set("q132_streaming_outer_nulls"), s"got $regs")
+    assert(regs("q132_streaming_outer_nulls") == (1000L, 9500L))
+    // a zero/absent expectation never divides or flags
+    assert(StreamingLadder.bufferRegressions(Map("q" -> 0L), Map("q" -> 5L)).isEmpty)
+  }
+
+  test("expectedBufferRows derives interval-join and replay bounds " +
+      "from the sf0.001 feed (every row-buffering rung covered)") {
+    val spark = SparkSpec.spark
+    val exp = StreamingLadder.expectedBufferRows(spark,
+      "/root/testdata/sf0.001", 2000)
+    assert(StreamingLadder.RowBufferingQueries.forall(exp.contains))
+    // interval joins: at least the batch-1 residue (half the pc feed),
+    // never more than the whole feed plus slack
+    val pcN = graft.core.Tables(spark, "/root/testdata/sf0.001", "events")
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("purchase", "click")).limit(2000).count()
+    val ivj = exp("q119_streaming_interval_join")
+    assert(ivj >= pcN / 2 && ivj <= pcN, s"ivj=$ivj pcN=$pcN")
+    assert(exp("q119_streaming_interval_join") ==
+      exp("q132_streaming_outer_nulls"))
+    // replay buffer: exactly 2 state rows per distinct user
+    val users = graft.core.Tables(spark, "/root/testdata/sf0.001", "events")
+      .orderBy("ts", "event_id").limit(2000)
+      .select(org.apache.spark.sql.functions.countDistinct("user_id"))
+      .head().getLong(0)
+    assert(exp("q220_tws_replay_buffer") == 2 * users)
+  }
+
   test("streaming feed knob: default 2000, override is scoped to the thread") {
     import graft.streaming.StreamingOps
     assert(StreamingOps.feedLimit == 2000)
