@@ -1,0 +1,1611 @@
+package graft.operators
+
+/** H.265/HEVC intra baseline (ITU-T H.265 §8.4 intra prediction, §8.6
+  * transforms, §9.3 CABAC, §7.3 syntax) — hand-written clean-room
+  * encoder/decoder pair, the q315 construction-inverse gate (VERDICT
+  * r15 item 8). HEVC mandates CABAC; the §9.3.4.3 arithmetic engine is
+  * bit-identical to H.264's (same rangeTabLPS / transIdxLPS tables,
+  * renormalization, bypass and terminate), so this file reuses
+  * [[H264Cabac.Encoder]]/[[H264Cabac.Decoder]] with HEVC's own context
+  * map ([[H265.CtxCount]]).
+  *
+  * Coverage:
+  *  - NAL layer: 2-byte nal_unit_header, VPS/SPS/PPS with full
+  *    profile_tier_level, IDR_W_RADL slices, emulation prevention
+  *    (shared [[H264.emulationPrevent]]/[[H264.emulationStrip]] —
+  *    identical §7.4.2 mechanism in both standards).
+  *  - Coding quadtree: 32x32 CTBs, split_cu_flag with neighbor-depth
+  *    contexts, CUs 32/16/8; PART_2Nx2N everywhere plus PART_NxN at
+  *    8x8 (the spec's only 4x4 luma TB producer, hence the only DST
+  *    user).
+  *  - Intra prediction (§8.4.4.2): reference substitution, the
+  *    [1 2 1] smoothing filter with the intraHorVerDistThres rule,
+  *    planar, DC with luma boundary smoothing, all 33 angular modes
+  *    with inverse-angle reference extension and the mode-10/26 edge
+  *    filters; 3-candidate MPM derivation (§8.4.2, including the
+  *    above-outside-CTB → DC rule) and the 5-entry chroma candidate
+  *    list with the mode-34 substitution (§8.4.3 Table 8-3).
+  *  - Transforms (§8.6): levelScale dequant with flat 16 scaling
+  *    lists, the 4x4 DST-VII for intra luma 4x4, and 4..32-point
+  *    inverse DCT from the integer matrix family (see
+  *    [[H265.CosTab]] provenance note), 7-bit/clip/12-bit two-stage
+  *    inverse.
+  *  - Residual coding (§7.3.8.11 + §9.3.4.2.5): mode-dependent scan
+  *    selection for 4x4/8x8 blocks, diagonal/horizontal/vertical
+  *    scans, last_sig_coeff prefix/suffix (with the vertical-scan
+  *    swap), per-4x4 coefficient groups with coded_sub_block_flag
+  *    neighbor contexts and the inferred-DC-significance rule, the
+  *    position/pattern sig_coeff_flag context derivation, greater1/
+  *    greater2 context sets with cross-CG carry, bypass signs, and
+  *    coeff_abs_level_remaining as adaptive Golomb-Rice with the
+  *    3<<rice escape to Exp-Golomb.
+  *
+  * Clean-room provenance and documented SCOPE BOUNDS (the same policy
+  * as [[H264Cabac]]/[[Mp3]]):
+  *
+  *  - Context INITIALIZATION is the uniform stand-in (pStateIdx 0,
+  *    valMPS 0) — HEVC's initValue tables affect only coding
+  *    efficiency, any encoder/decoder-shared init yields a decodable
+  *    stream, and they are deliberately not transcribed from memory.
+  *    Streams are spec-STRUCTURED but not interoperable with decoders
+  *    applying the trained init.
+  *  - [[H265.CosTab]] carries HEVC's published integer DCT family
+  *    (4-pt {64,83,36}, 8-pt +{89,75,50,18}, 16-pt +{90,87,80,70,57,
+  *    43,25,9}, 32-pt +{90,88,85,82,78,73,67,61,54,46,38,31,22,13,4})
+  *    — these deviate from rounded cosines in a few entries (e.g.
+  *    cos(13π/32)·64√2 ≈ 26.3 but the matrix value is 25), so they
+  *    are transcribed, not computed; H265Spec pins first-column and
+  *    orthogonality-shaped invariants. The DST rows {29,55,74,84} are
+  *    the published §8.6.4.1 matrix.
+  *  - Mode-dependent scan mapping (modes 6..14 → vertical scan,
+  *    22..30 → horizontal, else up-right diagonal, applied when
+  *    log2TrafoSize is 2, or 3 for luma) is pinned in H265Spec as
+  *    this repo's reading of §7.4.9.11.
+  *  - Tool scope: Main-profile-shaped streams with CTB 32, one slice
+  *    per picture, intra TUs = CUs (max_transform_hierarchy_depth 0,
+  *    so the only transform split is the forced PART_NxN one), QP ≤
+  *    27 with zero chroma offsets (keeps the §8.6.1 chroma QP table
+  *    in its identity range), and SAO / deblocking / transform-skip /
+  *    sign-data-hiding / strong-intra-smoothing / scaling lists / PCM
+  *    / cu_qp_delta all disabled and so declared in the headers.
+  *    Inter prediction (P/B), tiles and wavefronts are out of scope;
+  *    [[decode]] returns None for any stream outside this envelope.
+  *  - The arithmetic decoder zero-extends past the RBSP end exactly
+  *    like [[H264Cabac.Decoder]] (the lookahead reason
+  *    cabac_zero_words exist in both standards).
+  */
+object H265 {
+
+  import H264.{BitReader, BitWriter}
+
+  // -------------------------------------------------------------------
+  // context index map (HEVC subset; uniform init — see scope note)
+  // -------------------------------------------------------------------
+  val CtxSplitCu = 0 // + inc 0..2 (neighbor cqtDepth > current)
+  val CtxPartMode = 3 // intra: single bin, 1 = PART_2Nx2N
+  val CtxPrevIntraLuma = 4
+  val CtxIntraChroma = 5 // bin0 only; index bins are bypass
+  val CtxCbfLuma = 6 // + (trafoDepth == 0 ? 1 : 0)
+  val CtxCbfChroma = 8 // + trafoDepth (0..4)
+  val CtxCsbf = 13 // + (luma ? 0 : 2) + min(1, neighbor flags)
+  /** last_sig prefix: ONE shared 18-ctx space per coordinate — luma
+    * occupies offsets 0..14 via 3*(log2-2)+((log2-1)>>2), chroma
+    * 15..17 via the fixed offset 15 (§9.3.4.2.3).
+    */
+  val CtxLastX = 17 // 18 shared
+  val CtxLastY = 35 // 18 shared
+  val CtxSig = 53 // 27 luma + 15 chroma (§9.3.4.2.5)
+  val CtxGt1 = 95 // 4 sets x 4 luma + 2 sets x 4 chroma
+  val CtxGt2 = 119 // 4 luma + 2 chroma
+  val CtxCount = 125
+
+  // -------------------------------------------------------------------
+  // transform matrices (§8.6.4; transcribed — see provenance note)
+  // -------------------------------------------------------------------
+
+  /** CosTab(j) = the integer standing for cos(j·π/64) in the 32-point
+    * matrix family; row k, column n of the 32-pt matrix is
+    * ±CosTab(index) via DCT-II symmetry ([[dctM]]), rows of the
+    * 16/8/4-pt matrices are rows 2k/4k/8k of the 32-pt one.
+    * j=16 is cos(π/4) → 64; odd j are the 32-pt odd rows, j≡2 (mod 4)
+    * the 16-pt ones, j≡4 (mod 8) the 8-pt ones, j∈{8,24} the 4-pt.
+    */
+  private val CosTab: Array[Int] = {
+    val t = new Array[Int](33)
+    t(16) = 64; t(32) = 0
+    val o32 = Array(90, 90, 88, 85, 82, 78, 73, 67, 61, 54, 46, 38, 31, 22, 13, 4)
+    for (i <- 0 until 16) t(2 * i + 1) = o32(i)
+    val o16 = Array(90, 87, 80, 70, 57, 43, 25, 9)
+    for (i <- 0 until 8) t(4 * i + 2) = o16(i)
+    val o8 = Array(89, 75, 50, 18)
+    for (i <- 0 until 4) t(8 * i + 4) = o8(i)
+    t(8) = 83; t(24) = 36
+    t
+  }
+
+  /** Entry [k][n] of the nTbS-point inverse-DCT matrix (nTbS 4..32). */
+  def dctM(nTbS: Int, k: Int, n: Int): Int = {
+    if (k == 0) return 64
+    val k32 = k * (32 / nTbS)
+    val j = (k32 * (2 * n + 1)) % 128
+    if (j <= 32) CosTab(j)
+    else if (j <= 64) -CosTab(64 - j)
+    else if (j <= 96) -CosTab(j - 64)
+    else CosTab(128 - j)
+  }
+
+  /** 4x4 DST-VII rows (§8.6.4.1; intra luma 4x4 only). */
+  val DstM: Array[Array[Int]] = Array(
+    Array(29, 55, 74, 84), Array(74, 74, 0, -74),
+    Array(84, -29, -74, 55), Array(55, -84, 74, -29))
+
+  /** levelScale[qp % 6] (§8.6.3). */
+  private val LevelScale = Array(40, 45, 51, 57, 64, 72)
+
+  private def clip16(v: Int): Int =
+    if (v < -32768) -32768 else if (v > 32767) 32767 else v
+  private def clip8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Dequantize one coefficient (§8.6.3, flat m=16 scaling list,
+    * bit depth 8: bdShift = log2(nTbS) + 3).
+    */
+  def dequant(level: Int, qp: Int, log2TbS: Int): Int = {
+    val bdShift = log2TbS + 3
+    clip16(((level * 16 * LevelScale(qp % 6) << (qp / 6)) +
+      (1 << (bdShift - 1))) >> bdShift)
+  }
+
+  /** Two-stage inverse transform (§8.6.4.2): vertical pass, clip to 16
+    * bits after a 7-bit shift, horizontal pass with a 12-bit shift
+    * (bit depth 8). `d` is the dequantized block in raster order;
+    * `dst` selects DST-VII (intra luma 4x4).
+    */
+  def inverseTransform(d: Array[Int], nTbS: Int, dst: Boolean): Array[Int] = {
+    def m(k: Int, n: Int): Int = if (dst) DstM(k)(n) else dctM(nTbS, k, n)
+    val e = new Array[Int](nTbS * nTbS)
+    var x = 0
+    while (x < nTbS) {
+      var yy = 0
+      while (yy < nTbS) {
+        var s = 0
+        var k = 0
+        while (k < nTbS) { s += d(k * nTbS + x) * m(k, yy); k += 1 }
+        e(yy * nTbS + x) = clip16((s + 64) >> 7)
+        yy += 1
+      }
+      x += 1
+    }
+    val r = new Array[Int](nTbS * nTbS)
+    var yy = 0
+    while (yy < nTbS) {
+      var xx = 0
+      while (xx < nTbS) {
+        var s = 0
+        var k = 0
+        while (k < nTbS) { s += e(yy * nTbS + k) * m(k, xx); k += 1 }
+        r(yy * nTbS + xx) = (s + 2048) >> 12
+        xx += 1
+      }
+      yy += 1
+    }
+    r
+  }
+
+  // -------------------------------------------------------------------
+  // scans (§6.5.3)
+  // -------------------------------------------------------------------
+
+  /** Scan-order position list for an nS x nS block: scanIdx 0 =
+    * up-right diagonal (each anti-diagonal bottom-left → top-right),
+    * 1 = horizontal, 2 = vertical. Returns raster offsets y*nS+x in
+    * scan order. Memoized — the codec calls this per block.
+    */
+  private val scanCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Int]]()
+  def scanOrder(nS: Int, scanIdx: Int): Array[Int] =
+    scanCache.computeIfAbsent((nS, scanIdx), { case (n, si) =>
+      val out = new Array[Int](n * n)
+      var i = 0
+      si match {
+        case 1 => // horizontal: row by row
+          for (y <- 0 until n; x <- 0 until n) { out(i) = y * n + x; i += 1 }
+        case 2 => // vertical: column by column
+          for (x <- 0 until n; y <- 0 until n) { out(i) = y * n + x; i += 1 }
+        case _ => // up-right diagonal
+          for (s <- 0 until 2 * n - 1) {
+            var x = math.max(0, s - (n - 1))
+            while (x <= math.min(s, n - 1)) {
+              out(i) = (s - x) * n + x; i += 1; x += 1
+            }
+          }
+      }
+      out
+    })
+
+  /** scanIdx for a TB (§7.4.9.11 as pinned in the scaladoc): intra,
+    * log2TbS 2 (any component) or 3 (luma): modes 6..14 → vertical,
+    * 22..30 → horizontal, else diagonal. Everything else diagonal.
+    */
+  def scanIdxFor(log2TbS: Int, luma: Boolean, predMode: Int): Int =
+    if (log2TbS == 2 || (log2TbS == 3 && luma)) {
+      if (predMode >= 6 && predMode <= 14) 2
+      else if (predMode >= 22 && predMode <= 30) 1
+      else 0
+    } else 0
+
+  // -------------------------------------------------------------------
+  // intra prediction (§8.4.4.2)
+  // -------------------------------------------------------------------
+
+  /** intraPredAngle (§8.4.4.2.6 Table 8-5) indexed by mode 2..34. */
+  private val Angles = Array(
+    32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9, -13, -17, -21, -26, -32,
+    -26, -21, -17, -13, -9, -5, -2, 0, 2, 5, 9, 13, 17, 21, 26, 32)
+
+  /** invAngle (Table 8-6) for negative angles, indexed by |angle|. */
+  private def invAngle(angle: Int): Int = angle match {
+    case -2 => -4096
+    case -5 => -1638
+    case -9 => -910
+    case -13 => -630
+    case -17 => -482
+    case -21 => -390
+    case -26 => -315
+    case -32 => -256
+    case a => throw new IllegalStateException(s"no invAngle for $a")
+  }
+
+  /** Predict one nTbS x nTbS block at (x0, y0) of `plane` (w x h),
+    * writing predSamples in raster order. `avail(x, y)` answers
+    * whether the RECONSTRUCTED sample at plane coords is available
+    * (in picture + already decoded). Luma enables the smoothing
+    * filter and the DC/edge boundary filters (§8.4.4.2.3/5/6).
+    */
+  def predictBlock(mode: Int, plane: Array[Int], w: Int, h: Int,
+      x0: Int, y0: Int, nTbS: Int, luma: Boolean,
+      avail: (Int, Int) => Boolean): Array[Int] = {
+    val n2 = 2 * nTbS
+    // reference array ref(i): i in [0, 4*nTbS]: index 0 = below-left
+    // corner p[-1][2N-1], rising to p[-1][-1] at i = 2N, then across
+    // the top row to p[2N-1][-1] at i = 4N. Availability + §8.4.4.2.2
+    // substitution run over this 1-D walk exactly as the spec's scan.
+    val total = 4 * nTbS + 1
+    val raw = new Array[Int](total)
+    val ok = new Array[Boolean](total)
+    var i = 0
+    while (i < total) {
+      val (px, py) =
+        if (i < n2) (x0 - 1, y0 + n2 - 1 - i) // left column, bottom-up
+        else if (i == n2) (x0 - 1, y0 - 1)
+        else (x0 + (i - n2 - 1), y0 - 1) // top row, left-to-right
+      if (px >= 0 && py >= 0 && px < w && py < h && avail(px, py)) {
+        raw(i) = plane(py * w + px); ok(i) = true
+      }
+      i += 1
+    }
+    if (!ok.exists(identity)) java.util.Arrays.fill(raw, 128)
+    else {
+      // substitution: fill index 0 from the first available sample in
+      // scan order, then propagate forward
+      if (!ok(0)) {
+        var j = 1
+        while (!ok(j)) j += 1
+        raw(0) = raw(j); ok(0) = true
+      }
+      var j = 1
+      while (j < total) {
+        if (!ok(j)) { raw(j) = raw(j - 1); ok(j) = true }
+        j += 1
+      }
+    }
+    // smoothing filter (§8.4.4.2.3): luma, nTbS > 4, planar or
+    // minDistVerHor > intraHorVerDistThres; no strong smoothing (off)
+    val filtered =
+      if (!luma || nTbS == 4 || mode == 1) raw
+      else {
+        val minDist = math.min(math.abs(mode - 26), math.abs(mode - 10))
+        val thres = nTbS match { case 8 => 7; case 16 => 1; case _ => 0 }
+        if (mode != 0 && minDist <= thres) raw
+        else {
+          val f = new Array[Int](total)
+          f(0) = raw(0); f(total - 1) = raw(total - 1)
+          var k = 1
+          while (k < total - 1) {
+            f(k) = (raw(k - 1) + 2 * raw(k) + raw(k + 1) + 2) >> 2
+            k += 1
+          }
+          f
+        }
+      }
+    // spec-coordinate accessors over the substituted/filtered walk
+    def left(yy: Int): Int = filtered(n2 - 1 - yy) // p[-1][y], y in [-1, 2N-1]
+    def top(xx: Int): Int = filtered(n2 + 1 + xx) // p[x][-1], x in [-1, 2N-1]
+    def corner: Int = filtered(n2)
+    val out = new Array[Int](nTbS * nTbS)
+    mode match {
+      case 0 => // planar (§8.4.4.2.4)
+        val shift = Integer.numberOfTrailingZeros(nTbS) + 1
+        for (yy <- 0 until nTbS; xx <- 0 until nTbS)
+          out(yy * nTbS + xx) =
+            ((nTbS - 1 - xx) * left(yy) + (xx + 1) * top(nTbS) +
+              (nTbS - 1 - yy) * top(xx) + (yy + 1) * left(nTbS) + nTbS) >> shift
+      case 1 => // DC (§8.4.4.2.5)
+        var s = nTbS
+        for (k <- 0 until nTbS) s += top(k) + left(k)
+        val dc = s >> (Integer.numberOfTrailingZeros(nTbS) + 1)
+        for (yy <- 0 until nTbS; xx <- 0 until nTbS)
+          out(yy * nTbS + xx) = dc
+        if (luma && nTbS < 32) {
+          out(0) = (left(0) + 2 * dc + top(0) + 2) >> 2
+          for (xx <- 1 until nTbS) out(xx) = (top(xx) + 3 * dc + 2) >> 2
+          for (yy <- 1 until nTbS) out(yy * nTbS) = (left(yy) + 3 * dc + 2) >> 2
+        }
+      case m => // angular (§8.4.4.2.6)
+        val angle = Angles(m - 2)
+        val vertical = m >= 18
+        // main reference: ref(i) for i in [-nTbS, 2*nTbS]; offset store
+        val ref = new Array[Int](3 * nTbS + 1)
+        val off = nTbS // ref(off + i) = spec ref[i]
+        def main(i: Int): Int = if (vertical) top(i - 1) else left(i - 1)
+        def side(i: Int): Int = if (vertical) left(i - 1) else top(i - 1)
+        for (i <- 0 to nTbS) ref(off + i) = main(i)
+        if (angle < 0) {
+          val lim = (nTbS * angle) >> 5
+          if (lim < -1) {
+            val ia = invAngle(angle)
+            var i = -1
+            while (i >= lim) {
+              ref(off + i) = side(((i * ia + 128) >> 8) + 1)
+              i -= 1
+            }
+          }
+        } else {
+          for (i <- nTbS + 1 to 2 * nTbS) ref(off + i) = main(i)
+        }
+        for (yy <- 0 until nTbS; xx <- 0 until nTbS) {
+          // (u, v): u runs along the prediction rows for vertical
+          // modes (u = x, v = y) and is transposed for horizontal
+          val (u, v) = if (vertical) (xx, yy) else (yy, xx)
+          val iIdx = ((v + 1) * angle) >> 5
+          val iFact = ((v + 1) * angle) & 31
+          // iFact == 0 uses only the first sample — the second index
+          // can sit one past ref[2N] there, with weight zero (§8.4.4.2.6)
+          val p =
+            if (iFact == 0) ref(off + u + iIdx + 1)
+            else ((32 - iFact) * ref(off + u + iIdx + 1) +
+              iFact * ref(off + u + iIdx + 2) + 16) >> 5
+          out(yy * nTbS + xx) = p
+        }
+        // edge filters for pure vertical/horizontal (luma, nTbS < 32)
+        if (luma && nTbS < 32) {
+          if (m == 26)
+            for (yy <- 0 until nTbS)
+              out(yy * nTbS) = clip8(top(0) + ((left(yy) - corner) >> 1))
+          else if (m == 10)
+            for (xx <- 0 until nTbS)
+              out(xx) = clip8(left(0) + ((top(xx) - corner) >> 1))
+        }
+    }
+    out
+  }
+
+  // -------------------------------------------------------------------
+  // MPM + chroma mode derivation (§8.4.2 / §8.4.3)
+  // -------------------------------------------------------------------
+
+  /** 3-candidate MPM list from the left/above PU luma modes; -1 marks
+    * an unavailable neighbor (treated as DC). The above candidate must
+    * come from inside the current CTB row or it degrades to DC.
+    */
+  def mpmList(candA0: Int, candB0: Int): Array[Int] = {
+    val a = if (candA0 < 0) 1 else candA0
+    val b = if (candB0 < 0) 1 else candB0
+    if (a == b) {
+      if (a < 2) Array(0, 1, 26)
+      else Array(a, 2 + ((a + 29) % 32), 2 + ((a - 2 + 1) % 32))
+    } else {
+      val c =
+        if (a != 0 && b != 0) 0
+        else if (a + b < 2) 26 // one of them is planar, the other DC
+        else 1
+      Array(a, b, c)
+    }
+  }
+
+  /** Chroma mode from intra_chroma_pred_mode (0..4) and the CU's first
+    * luma mode (§8.4.3): list {planar, vertical, horizontal, DC} with
+    * the duplicate replaced by 34; 4 = derived (DM).
+    */
+  def chromaMode(icpm: Int, lumaMode: Int): Int =
+    if (icpm == 4) lumaMode
+    else {
+      val cand = Array(0, 26, 10, 1)(icpm)
+      if (cand == lumaMode) 34 else cand
+    }
+
+  // -------------------------------------------------------------------
+  // deterministic construction (shared by the q315 gate, its DuckDB
+  // oracle — which re-derives every formula in SQL — and H265Spec)
+  // -------------------------------------------------------------------
+  object ConstructV {
+    def qp(id: Long): Int = (20 + id % 8).toInt
+    /** CTU at raster index c of frame f splits into 16x16 quadrants. */
+    def split32(id: Long, f: Int, c: Int): Boolean = (id + f + c) % 3 == 0
+    /** Quadrant q (z-order) splits further into four 8x8 CUs. */
+    def split16(id: Long, f: Int, c: Int, q: Int): Boolean =
+      (id + f + c + q) % 2 == 0
+    /** 8x8 CUs alternate PART_2Nx2N / PART_NxN on this key. */
+    def isNxN(id: Long, cuKey: Int): Boolean = (id + cuKey) % 3 == 0
+    /** Position key: 8-pel CU grid, 16 columns per row. */
+    def cuKey(cuX: Int, cuY: Int): Int = (cuY >> 3) * 16 + (cuX >> 3)
+    /** Luma mode of PU `s2` (0 for 2Nx2N) — deliberately neighbor-free
+      * so the oracle derives it without replaying the MPM chain.
+      */
+    def lumaMode(id: Long, f: Int, cuX: Int, cuY: Int, log2Size: Int,
+        s2: Int): Int =
+      ((id + f + (cuX >> 3) + 2 * (cuY >> 3) + log2Size + 2 * s2) % 35).toInt
+    /** intra_chroma_pred_mode syntax value (0..4). */
+    def icpm(id: Long, f: Int, cuX: Int, cuY: Int): Int =
+      ((id + f + (cuX >> 3) + (cuY >> 3)) % 5).toInt
+    /** cbf for luma TU s2 (0 for 2Nx2N), cb (s2 = 4), cr (s2 = 5). */
+    def cbf(id: Long, cuKey: Int, s2: Int): Boolean =
+      (id + cuKey + s2) % 4 != 3
+    /** Per-TU tag: luma sub-TUs 0..3 (0 when unsplit), cb 4, cr 5. */
+    def tuTag(cuKey: Int, s2: Int): Int = cuKey * 8 + s2
+    def nSig(id: Long, tag: Int, maxPos: Int): Int = {
+      val step = this.step(id, tag)
+      math.min(1 + ((id + tag) % 8).toInt, maxPos / step + 1)
+    }
+    def step(id: Long, tag: Int): Int = 1 + ((id + tag) % 3).toInt
+    /** Signed level of the k-th significant coefficient (scan index
+      * k * step); k = 0 occasionally carries a wide magnitude that
+      * escapes greater1/greater2 into the Golomb-Rice remainder.
+      */
+    def level(id: Long, tag: Int, k: Int): Int = {
+      val base = 1 + ((id + tag + k) % 5).toInt +
+        (if (k == 0 && (id + tag) % 7 == 0) 40 else 0)
+      if ((id + tag + k) % 2 == 0) base else -base
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // residual coding (§7.3.8.11 syntax, §9.3.4.2.5 contexts)
+  // -------------------------------------------------------------------
+
+  /** sig_coeff_flag context for position (x, y) of an nTbS block
+    * (§9.3.4.2.5). `prevCsbf` = right-CG flag + 2 * below-CG flag.
+    * Returns the offset within the per-component context space
+    * (luma 0..26, chroma 0..14).
+    */
+  def sigCtx(luma: Boolean, log2TbS: Int, x: Int, y: Int,
+      scanIdx: Int, prevCsbf: Int): Int = {
+    if (log2TbS == 2) {
+      // fixed 4x4 position map (position 15 is only ever the last
+      // significant coefficient, which is never explicitly coded)
+      val map = SigCtx4x4
+      map(y * 4 + x)
+    } else if (x == 0 && y == 0) 0
+    else {
+      val xP = x & 3; val yP = y & 3
+      var ctx = prevCsbf match {
+        case 0 => if (xP + yP == 0) 2 else if (xP + yP < 3) 1 else 0
+        case 1 => if (yP == 0) 2 else if (yP == 1) 1 else 0
+        case 2 => if (xP == 0) 2 else if (xP == 1) 1 else 0
+        case _ => 2
+      }
+      if (luma) {
+        if ((x >> 2) + (y >> 2) > 0) ctx += 3 // not the DC CG
+        if (log2TbS == 3) ctx += (if (scanIdx == 0) 9 else 15)
+        else ctx += 21
+      } else {
+        if (log2TbS == 3) ctx += 9 else ctx += 12
+      }
+      ctx
+    }
+  }
+  private val SigCtx4x4 =
+    Array(0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
+
+  /** last_sig_coeff prefix context parameters: (offset, shift). */
+  private def lastCtxParams(luma: Boolean, log2TbS: Int): (Int, Int) =
+    if (luma) (3 * (log2TbS - 2) + ((log2TbS - 1) >> 2), (log2TbS + 1) >> 2)
+    else (15, log2TbS - 2)
+
+  /** Encode one TB's residual: `levels` is the raster-order signed
+    * coefficient block (nTbS x nTbS), guaranteed non-all-zero by the
+    * caller (cbf gating). Returns lastScanPos for the gate checksum.
+    */
+  private[operators] def encodeResidual(e: H264Cabac.Encoder,
+      levels: Array[Int], nTbS: Int, luma: Boolean, scanIdx: Int): Int = {
+    val log2TbS = Integer.numberOfTrailingZeros(nTbS)
+    val order = scanOrder(nTbS, scanIdx)
+    val nPos = nTbS * nTbS
+    var lastScan = -1
+    var i = 0
+    while (i < nPos) { if (levels(order(i)) != 0) lastScan = i; i += 1 }
+    require(lastScan >= 0, "encodeResidual on an all-zero block")
+    // last_sig_coeff_x/y: swapped under the vertical scan
+    val lastPos = order(lastScan)
+    var lx = lastPos % nTbS; var ly = lastPos / nTbS
+    if (scanIdx == 2) { val t = lx; lx = ly; ly = t }
+    val compOff = if (luma) 0 else 18
+    val (ctxOff, ctxShift) = lastCtxParams(luma, log2TbS)
+    def encodeLast(base: Int, v: Int): Unit = {
+      val groupIdx = posToGroupIdx(v)
+      val cMax = (log2TbS << 1) - 1
+      var b = 0
+      while (b < math.min(groupIdx, cMax)) {
+        e.decision(base + compOff + ctxOff + (b >> ctxShift), 1); b += 1
+      }
+      if (groupIdx < cMax)
+        e.decision(base + compOff + ctxOff + (groupIdx >> ctxShift), 0)
+      if (groupIdx > 3) { // fixed-length bypass suffix
+        val nBits = (groupIdx >> 1) - 1
+        val suffix = v - groupMinPos(groupIdx)
+        var k = nBits - 1
+        while (k >= 0) { e.bypass((suffix >> k) & 1); k -= 1 }
+      }
+    }
+    encodeLast(CtxLastX, lx)
+    encodeLast(CtxLastY, ly)
+    val nCg = nPos >> 4
+    val cgOrder = scanOrder(nTbS >> 2, scanIdx) // CG-level scan
+    val csbf = new Array[Boolean](nCg)
+    // mark coded CGs; the DC group's flag is INFERRED 1 (§7.3.8.11),
+    // so its significance map is walked even with no coefficients
+    i = 0
+    while (i <= lastScan) {
+      if (levels(order(i)) != 0) csbf(i >> 4) = true
+      i += 1
+    }
+    csbf(0) = true
+    val lastCg = lastScan >> 4
+    var ctxSet1Carry = false // a >1 level seen in the previous CG
+    var cg = lastCg
+    while (cg >= 0) {
+      val cgPos = cgOrder(cg)
+      val cgX = (cgPos % (nTbS >> 2)) << 2
+      val cgY = (cgPos / (nTbS >> 2)) << 2
+      // coded_sub_block_flag (inferred for CG0 and the last CG)
+      val prevCsbf = {
+        var p = 0
+        if (cgX + 4 < nTbS && csbfAt(csbf, cgOrder, nTbS, cgX + 4, cgY)) p |= 1
+        if (cgY + 4 < nTbS && csbfAt(csbf, cgOrder, nTbS, cgX, cgY + 4)) p |= 2
+        p
+      }
+      if (cg != 0 && cg != lastCg) {
+        val inc = math.min(1, prevCsbf)
+        e.decision(CtxCsbf + (if (luma) 0 else 2) + inc,
+          if (csbf(cg)) 1 else 0)
+      }
+      if (csbf(cg)) {
+        val first = cg << 4
+        val lastInCg = if (cg == lastCg) lastScan else (cg << 4) + 15
+        // significance map, reverse scan; the last-significant position
+        // is skipped; in a CG whose csbf was explicitly coded, if all
+        // higher positions are zero the CG-DC significance is inferred
+        val explicitCsbf = cg != 0 && cg != lastCg
+        var anySig = false
+        var p = lastInCg
+        while (p >= first) {
+          val pos = order(p)
+          val sig = levels(pos) != 0
+          val isCgDc = p == first
+          val infer = explicitCsbf && isCgDc && !anySig
+          if (p != lastScan && !infer) {
+            val ctx = sigCtx(luma, log2TbS, pos % nTbS, pos / nTbS,
+              scanIdx, prevCsbf)
+            e.decision(CtxSig + (if (luma) 0 else 27) + ctx,
+              if (sig) 1 else 0)
+          }
+          if (sig) anySig = true
+          p -= 1
+        }
+        // gather the significant coefficients of this CG, reverse scan
+        val sigPos = new scala.collection.mutable.ArrayBuffer[Int](16)
+        p = lastInCg
+        while (p >= first) {
+          if (levels(order(p)) != 0) sigPos += order(p)
+          p -= 1
+        }
+        var ctxSet = if (cg == 0 || !luma) 0 else 2
+        if (ctxSet1Carry) ctxSet += 1
+        var c1 = 1
+        var sawGt1 = false
+        val nFlags = math.min(sigPos.length, 8)
+        var gt2Coded = false
+        var gt2Idx = -1
+        var fi = 0
+        while (fi < nFlags) {
+          val lvl = math.abs(levels(sigPos(fi)))
+          val gt1 = lvl > 1
+          e.decision(CtxGt1 + (if (luma) 0 else 16) + ctxSet * 4 +
+            math.min(c1, 3), if (gt1) 1 else 0)
+          if (gt1) {
+            if (!gt2Coded) {
+              e.decision(CtxGt2 + (if (luma) 0 else 4) + ctxSet,
+                if (lvl > 2) 1 else 0)
+              gt2Coded = true; gt2Idx = fi
+            }
+            c1 = 0; sawGt1 = true
+          } else if (c1 > 0 && c1 < 3) c1 += 1
+          fi += 1
+        }
+        // signs (no sign data hiding)
+        fi = 0
+        while (fi < sigPos.length) {
+          e.bypass(if (levels(sigPos(fi)) < 0) 1 else 0); fi += 1
+        }
+        // coeff_abs_level_remaining, adaptive Rice
+        var rice = 0
+        fi = 0
+        while (fi < sigPos.length) {
+          val lvl = math.abs(levels(sigPos(fi)))
+          val baseLevel =
+            if (fi >= nFlags) 1
+            else if (fi == gt2Idx) 3
+            else if (lvl > 1) 2 // gt1 flag was 1, no gt2 on this coeff
+            else 1
+          val needRemaining =
+            fi >= nFlags || (fi == gt2Idx && lvl > 2) ||
+              (fi != gt2Idx && fi < nFlags && lvl > 1 && gt2IdxBefore(gt2Idx, fi))
+          if (needRemaining) {
+            encodeRemaining(e, lvl - baseLevel, rice)
+            if (lvl > (3 << rice)) rice = math.min(rice + 1, 4)
+          }
+          fi += 1
+        }
+        ctxSet1Carry = sawGt1
+      }
+      cg -= 1
+    }
+    lastScan
+  }
+
+  /** A coeff with gt1 == 1 that is not the gt2 carrier still needs a
+    * remaining only when a gt2 slot existed earlier in the CG — i.e.
+    * gt2 was claimed by a PRIOR coeff (gt2Idx >= 0 and before fi);
+    * when this coeff IS the first gt1 it would have been the carrier.
+    */
+  private def gt2IdxBefore(gt2Idx: Int, fi: Int): Boolean =
+    gt2Idx >= 0 && gt2Idx != fi
+
+  /** posToGroupIdx / groupMinPos: the §9.3.3.1.2 last-position
+    * binarization groups (prefix value ↔ position range).
+    */
+  private def posToGroupIdx(pos: Int): Int =
+    if (pos < 4) pos
+    else {
+      val g = (31 - Integer.numberOfLeadingZeros(pos)) * 2
+      if (pos >= groupMinPos(g + 1)) g + 1 else g
+    }
+  private def groupMinPos(g: Int): Int =
+    if (g < 4) g else (2 + (g & 1)) << ((g >> 1) - 1)
+
+  /** coeff_abs_level_remaining (§9.3.3.1.3): Rice prefix with the
+    * 3 << rice escape into (rice+1)-ish Exp-Golomb.
+    */
+  private def encodeRemaining(e: H264Cabac.Encoder, v: Int,
+      rice: Int): Unit = {
+    if (v < (3 << rice)) {
+      val q = v >> rice
+      var i = 0
+      while (i < q) { e.bypass(1); i += 1 }
+      e.bypass(0)
+      var k = rice - 1
+      while (k >= 0) { e.bypass((v >> k) & 1); k -= 1 }
+    } else {
+      var length = rice
+      var rem = v - (3 << rice)
+      while (rem >= (1 << length)) { rem -= 1 << length; length += 1 }
+      val ones = 3 + length + 1 - rice
+      var i = 0
+      while (i < ones - 1) { e.bypass(1); i += 1 }
+      e.bypass(0)
+      var k = length - 1
+      while (k >= 0) { e.bypass((rem >> k) & 1); k -= 1 }
+    }
+  }
+
+  private def csbfAt(csbf: Array[Boolean], cgOrder: Array[Int],
+      nTbS: Int, x: Int, y: Int): Boolean = {
+    val nCgS = nTbS >> 2
+    val raster = (y >> 2) * nCgS + (x >> 2)
+    var i = 0
+    while (i < cgOrder.length) {
+      if (cgOrder(i) == raster) return csbf(i)
+      i += 1
+    }
+    false
+  }
+
+  /** Decode one TB's residual into a raster-order block. Mirrors
+    * [[encodeResidual]] bin for bin.
+    */
+  private[operators] def decodeResidual(d: H264Cabac.Decoder,
+      nTbS: Int, luma: Boolean, scanIdx: Int): (Array[Int], Int) = {
+    val log2TbS = Integer.numberOfTrailingZeros(nTbS)
+    val order = scanOrder(nTbS, scanIdx)
+    val compOff = if (luma) 0 else 18
+    val (ctxOff, ctxShift) = lastCtxParams(luma, log2TbS)
+    def decodeLast(base: Int): Int = {
+      val cMax = (log2TbS << 1) - 1
+      var g = 0
+      while (g < cMax &&
+        d.decision(base + compOff + ctxOff + (g >> ctxShift)) == 1) g += 1
+      if (g > 3) {
+        val nBits = (g >> 1) - 1
+        var suffix = 0
+        var k = 0
+        while (k < nBits) { suffix = (suffix << 1) | d.bypass(); k += 1 }
+        groupMinPos(g) + suffix
+      } else g
+    }
+    var lx = decodeLast(CtxLastX)
+    var ly = decodeLast(CtxLastY)
+    if (scanIdx == 2) { val t = lx; lx = ly; ly = t }
+    val lastRaster = ly * nTbS + lx
+    var lastScan = -1
+    var i = 0
+    while (i < order.length) {
+      if (order(i) == lastRaster) { lastScan = i; i = order.length }
+      i += 1
+    }
+    require(lastScan >= 0, "bad last position")
+    val out = new Array[Int](nTbS * nTbS)
+    val nCgS = nTbS >> 2
+    val cgOrder = scanOrder(nCgS, scanIdx)
+    val csbf = new Array[Boolean](cgOrder.length)
+    val lastCg = lastScan >> 4
+    csbf(lastCg) = true; csbf(0) = true
+    var ctxSet1Carry = false
+    var cg = lastCg
+    while (cg >= 0) {
+      val cgPos = cgOrder(cg)
+      val cgX = (cgPos % nCgS) << 2
+      val cgY = (cgPos / nCgS) << 2
+      val prevCsbf = {
+        var p = 0
+        if (cgX + 4 < nTbS && csbfAt(csbf, cgOrder, nTbS, cgX + 4, cgY)) p |= 1
+        if (cgY + 4 < nTbS && csbfAt(csbf, cgOrder, nTbS, cgX, cgY + 4)) p |= 2
+        p
+      }
+      val explicitCsbf = cg != 0 && cg != lastCg
+      if (explicitCsbf) {
+        val inc = math.min(1, prevCsbf)
+        csbf(cg) =
+          d.decision(CtxCsbf + (if (luma) 0 else 2) + inc) == 1
+      }
+      if (csbf(cg)) {
+        val first = cg << 4
+        val lastInCg = if (cg == lastCg) lastScan else (cg << 4) + 15
+        val sigPos = new scala.collection.mutable.ArrayBuffer[Int](16)
+        var anySig = false
+        var p = lastInCg
+        while (p >= first) {
+          val pos = order(p)
+          val isCgDc = p == first
+          val infer = explicitCsbf && isCgDc && !anySig
+          val sig =
+            if (p == lastScan) true
+            else if (infer) true
+            else {
+              val ctx = sigCtx(luma, log2TbS, pos % nTbS, pos / nTbS,
+                scanIdx, prevCsbf)
+              d.decision(CtxSig + (if (luma) 0 else 27) + ctx) == 1
+            }
+          if (sig) { sigPos += pos; anySig = true }
+          p -= 1
+        }
+        var ctxSet = if (cg == 0 || !luma) 0 else 2
+        if (ctxSet1Carry) ctxSet += 1
+        var c1 = 1
+        var sawGt1 = false
+        val nFlags = math.min(sigPos.length, 8)
+        val gt1 = new Array[Boolean](sigPos.length)
+        var gt2Idx = -1
+        var gt2Val = false
+        var fi = 0
+        while (fi < nFlags) {
+          val g1 = d.decision(CtxGt1 + (if (luma) 0 else 16) +
+            ctxSet * 4 + math.min(c1, 3)) == 1
+          gt1(fi) = g1
+          if (g1) {
+            if (gt2Idx < 0) {
+              gt2Val = d.decision(CtxGt2 + (if (luma) 0 else 4) + ctxSet) == 1
+              gt2Idx = fi
+            }
+            c1 = 0; sawGt1 = true
+          } else if (c1 > 0 && c1 < 3) c1 += 1
+          fi += 1
+        }
+        val neg = new Array[Boolean](sigPos.length)
+        fi = 0
+        while (fi < sigPos.length) { neg(fi) = d.bypass() == 1; fi += 1 }
+        var rice = 0
+        fi = 0
+        while (fi < sigPos.length) {
+          var lvl =
+            if (fi >= nFlags) 1
+            else if (fi == gt2Idx) { if (gt2Val) 3 else 2 }
+            else if (gt1(fi)) 2
+            else 1
+          val needRemaining =
+            fi >= nFlags || (fi == gt2Idx && gt2Val) ||
+              (fi != gt2Idx && fi < nFlags && gt1(fi) &&
+                gt2IdxBefore(gt2Idx, fi))
+          if (needRemaining) {
+            lvl += decodeRemaining(d, rice)
+            if (lvl > (3 << rice)) rice = math.min(rice + 1, 4)
+          }
+          out(sigPos(fi)) = if (neg(fi)) -lvl else lvl
+          fi += 1
+        }
+        ctxSet1Carry = sawGt1
+      }
+      cg -= 1
+    }
+    (out, lastScan)
+  }
+
+  private def decodeRemaining(d: H264Cabac.Decoder, rice: Int): Int = {
+    var q = 0
+    while (d.bypass() == 1) {
+      q += 1
+      if (q > 40) throw new IllegalStateException("runaway Rice prefix")
+    }
+    if (q < 3) {
+      var suffix = 0
+      var k = 0
+      while (k < rice) { suffix = (suffix << 1) | d.bypass(); k += 1 }
+      (q << rice) + suffix
+    } else {
+      val length = q - 3 + rice
+      var suffix = 0
+      var k = 0
+      while (k < length) { suffix = (suffix << 1) | d.bypass(); k += 1 }
+      (3 << rice) + (1 << length) - (1 << rice) + suffix
+    }
+  }
+
+  /** One decoded frame plus the gate sums the oracle re-derives. */
+  final case class H265Frame(
+      y: Array[Int], cb: Array[Int], cr: Array[Int],
+      nCus: Long, nNxN: Long, splitSum: Long, modeSum: Long,
+      chromaModeSum: Long, cbfSum: Long, lastChecksum: Long,
+      levelChecksum: Long)
+
+  final case class H265Stream(width: Int, height: Int, qp: Int,
+      frames: Vector[H265Frame])
+
+  // -------------------------------------------------------------------
+  // per-slice state: planes, 4x4-cell done/mode/depth grids
+  // -------------------------------------------------------------------
+  private final class SliceState(val w: Int, val h: Int) {
+    val cw: Int = w / 2; val ch: Int = h / 2
+    val y = new Array[Int](w * h)
+    val cb = new Array[Int](cw * ch)
+    val cr = new Array[Int](cw * ch)
+    // 4x4-cell grids in luma coords
+    val cellsW: Int = w / 4; val cellsH: Int = h / 4
+    val doneY = new Array[Boolean](cellsW * cellsH)
+    val modeGrid = Array.fill(cellsW * cellsH)(-1)
+    val depthGrid = Array.fill(cellsW * cellsH)(-1)
+    // 4x4-cell grid in chroma coords
+    val cCellsW: Int = cw / 4; val cCellsH: Int = ch / 4
+    val doneC = new Array[Boolean](cCellsW * cCellsH)
+
+    def availY(px: Int, py: Int): Boolean =
+      doneY((py >> 2) * cellsW + (px >> 2))
+    def availC(px: Int, py: Int): Boolean =
+      doneC((py >> 2) * cCellsW + (px >> 2))
+    def markY(x0: Int, y0: Int, n: Int): Unit =
+      for (cy <- y0 / 4 until (y0 + n) / 4; cx <- x0 / 4 until (x0 + n) / 4)
+        doneY(cy * cellsW + cx) = true
+    def markC(x0: Int, y0: Int, n: Int): Unit =
+      for (cy <- y0 / 4 until (y0 + n) / 4; cx <- x0 / 4 until (x0 + n) / 4)
+        doneC(cy * cCellsW + cx) = true
+    def setMode(x0: Int, y0: Int, n: Int, mode: Int): Unit =
+      for (cy <- y0 / 4 until (y0 + n) / 4; cx <- x0 / 4 until (x0 + n) / 4)
+        modeGrid(cy * cellsW + cx) = mode
+    def setDepth(x0: Int, y0: Int, n: Int, d: Int): Unit =
+      for (cy <- y0 / 4 until (y0 + n) / 4; cx <- x0 / 4 until (x0 + n) / 4)
+        depthGrid(cy * cellsW + cx) = d
+    /** Luma mode at a neighbor position, -1 when unavailable. The
+      * availability notion here is Z-SCAN precedence (§6.4.1) — a
+      * PARSED block is available even before its samples reconstruct,
+      * which is what lets sub-PU 1's MPM list see sub-PU 0's mode —
+      * so this reads the parse-time mode grid, not the recon grid.
+      */
+    def modeAt(px: Int, py: Int): Int =
+      if (px < 0 || py < 0 || px >= w || py >= h) -1
+      else modeGrid((py >> 2) * cellsW + (px >> 2))
+    def depthAt(px: Int, py: Int): Int =
+      if (px < 0 || py < 0 || px >= w || py >= h) -1
+      else depthGrid((py >> 2) * cellsW + (px >> 2))
+
+    /** split_cu_flag ctxInc (§9.3.4.2.2): one per neighbor whose
+      * cqtDepth exceeds the current depth.
+      */
+    def splitCtxInc(x0: Int, y0: Int, depth: Int): Int = {
+      var inc = 0
+      if (depthAt(x0 - 1, y0) > depth) inc += 1
+      if (depthAt(x0, y0 - 1) > depth) inc += 1
+      inc
+    }
+    /** MPM neighbor candidates: left PU mode, above PU mode (above
+      * degraded to DC when outside the current 32-CTB row, §8.4.2).
+      */
+    def candA(x0: Int, y0: Int): Int = modeAt(x0 - 1, y0)
+    def candB(x0: Int, y0: Int): Int =
+      if (((y0 - 1) >> 5) != (y0 >> 5)) 1 else modeAt(x0, y0 - 1)
+  }
+
+  /** Accumulates the per-frame gate sums while coding. */
+  private final class FrameSums {
+    var nCus = 0L; var nNxN = 0L; var splitSum = 0L; var modeSum = 0L
+    var chromaModeSum = 0L; var cbfSum = 0L; var lastChecksum = 0L
+    var levelChecksum = 0L
+    def addLevels(tag: Int, levels: Array[(Int, Int)]): Unit =
+      levels.foreach { case (k, v) =>
+        levelChecksum += v.toLong * (tag.toLong * 31 + k + 1)
+      }
+  }
+
+  /** Raster-order block of one TU's construction: the k-th significant
+    * coefficient sits at scan index k * step with value level(k).
+    */
+  private def buildLevels(id: Long, tag: Int, nTbS: Int,
+      scanIdx: Int): (Array[Int], Array[(Int, Int)]) = {
+    val order = scanOrder(nTbS, scanIdx)
+    val maxPos = nTbS * nTbS - 1
+    val n = ConstructV.nSig(id, tag, maxPos)
+    val step = ConstructV.step(id, tag)
+    val out = new Array[Int](nTbS * nTbS)
+    val pairs = new Array[(Int, Int)](n)
+    var k = 0
+    while (k < n) {
+      val v = ConstructV.level(id, tag, k)
+      out(order(k * step)) = v
+      pairs(k) = (k, v)
+      k += 1
+    }
+    (out, pairs)
+  }
+
+  // -------------------------------------------------------------------
+  // shared reconstruction (encoder expectation == decoder output)
+  // -------------------------------------------------------------------
+
+  /** Reconstruct one TB in `plane`: predict, dequant+inverse-transform
+    * `levels` (raster), add, clip, and mark the cells done.
+    */
+  private def reconTb(st: SliceState, luma: Boolean, comp: Int,
+      x0: Int, y0: Int, nTbS: Int, mode: Int, levels: Array[Int],
+      qp: Int, hasResidual: Boolean): Unit = {
+    val (plane, w, h) =
+      if (luma) (st.y, st.w, st.h)
+      else if (comp == 1) (st.cb, st.cw, st.ch)
+      else (st.cr, st.cw, st.ch)
+    val avail: (Int, Int) => Boolean =
+      if (luma) st.availY else st.availC
+    val pred = predictBlock(mode, plane, w, h, x0, y0, nTbS, luma, avail)
+    val res: Array[Int] =
+      if (!hasResidual) null
+      else {
+        val log2 = Integer.numberOfTrailingZeros(nTbS)
+        val deq = new Array[Int](nTbS * nTbS)
+        var i = 0
+        while (i < deq.length) {
+          if (levels(i) != 0) deq(i) = dequant(levels(i), qp, log2)
+          i += 1
+        }
+        inverseTransform(deq, nTbS, dst = luma && nTbS == 4)
+      }
+    var yy = 0
+    while (yy < nTbS) {
+      var xx = 0
+      while (xx < nTbS) {
+        val p = pred(yy * nTbS + xx) +
+          (if (res == null) 0 else res(yy * nTbS + xx))
+        plane((y0 + yy) * w + x0 + xx) = clip8(p)
+        xx += 1
+      }
+      yy += 1
+    }
+    if (luma) st.markY(x0, y0, nTbS) else st.markC(x0, y0, nTbS)
+  }
+
+  // -------------------------------------------------------------------
+  // headers (NAL / VPS / SPS / PPS / slice header)
+  // -------------------------------------------------------------------
+
+  /** 2-byte HEVC nal_unit_header + emulation-prevented payload. */
+  private def nal(typ: Int, rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0, 0, 0, 1))
+    out.write((typ << 1) & 0x7e) // forbidden 0, type(6), layer_id hi 0
+    out.write(1) // layer_id lo 5 bits = 0, temporal_id_plus1 = 1
+    out.write(H264.emulationPrevent(rbsp))
+    out.toByteArray
+  }
+
+  /** profile_tier_level, general layer only (12 bytes): Main profile,
+    * main tier, level 1.
+    */
+  private def writePtl(w: BitWriter): Unit = {
+    w.put(0, 2); w.put(0, 1); w.put(1, 5) // space, tier, profile_idc
+    w.put(0x60000000, 32) // compatibility: idc1 + idc2
+    w.put(1, 1); w.put(0, 1); w.put(0, 1); w.put(0, 1) // progressive...
+    w.put(0, 22); w.put(0, 22) // general_reserved_zero_44bits
+    w.put(30, 8) // general_level_idc
+  }
+  private def readPtl(r: BitReader): Boolean = {
+    r.get(8) // space/tier/profile
+    r.get(32); r.get(4)
+    r.get(22); r.get(22)
+    r.get(8)
+    true
+  }
+
+  private def vpsRbsp(): Array[Byte] = {
+    val w = new BitWriter
+    w.put(0, 4) // vps_id
+    w.put(3, 2); w.put(0, 6) // reserved 3, max_layers_minus1
+    w.put(0, 3); w.put(1, 1) // max_sub_layers_minus1, nesting
+    w.put(0xffff, 16) // reserved 0xffff
+    writePtl(w)
+    w.put(0, 1) // sub_layer_ordering_info_present
+    w.ue(1); w.ue(0); w.ue(0) // dec_pic_buffering, reorder, latency
+    w.put(0, 6); w.ue(0) // max_layer_id, num_layer_sets_minus1
+    w.put(0, 1) // timing_info_present
+    w.put(0, 1) // extension
+    w.rbspTrailing()
+    w.result()
+  }
+
+  private def spsRbsp(width: Int, height: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.put(0, 4); w.put(0, 3); w.put(1, 1) // vps_id, max_sub_layers, nesting
+    writePtl(w)
+    w.ue(0) // sps_id
+    w.ue(1) // chroma_format_idc 4:2:0
+    w.ue(width); w.ue(height)
+    w.put(0, 1) // conformance_window
+    w.ue(0); w.ue(0) // bit depths 8
+    w.ue(4) // log2_max_pic_order_cnt_lsb_minus4
+    w.put(0, 1) // sps_sub_layer_ordering_info_present
+    w.ue(1); w.ue(0); w.ue(0)
+    w.ue(0) // log2_min_luma_coding_block_size_minus3: min CB 8
+    w.ue(2) // log2_diff_max_min: CTB 32
+    w.ue(0) // log2_min_transform_block_size_minus2: min TB 4
+    w.ue(3) // log2_diff_max_min_transform: max TB 32
+    w.ue(0); w.ue(0) // max_transform_hierarchy_depth inter/intra
+    w.put(0, 1) // scaling_list_enabled
+    w.put(0, 1) // amp_enabled
+    w.put(0, 1) // sample_adaptive_offset_enabled
+    w.put(0, 1) // pcm_enabled
+    w.ue(0) // num_short_term_ref_pic_sets
+    w.put(0, 1) // long_term_ref_pics_present
+    w.put(0, 1) // sps_temporal_mvp_enabled
+    w.put(0, 1) // strong_intra_smoothing_enabled
+    w.put(0, 1) // vui_parameters_present
+    w.put(0, 1) // sps_extension_present
+    w.rbspTrailing()
+    w.result()
+  }
+
+  private def ppsRbsp(qp: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0); w.ue(0) // pps_id, sps_id
+    w.put(0, 1); w.put(0, 1) // dependent_slice_segments, output_flag
+    w.put(0, 3) // num_extra_slice_header_bits
+    w.put(0, 1) // sign_data_hiding_enabled
+    w.put(0, 1) // cabac_init_present
+    w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default
+    w.se(qp - 26) // init_qp_minus26
+    w.put(0, 1) // constrained_intra_pred
+    w.put(0, 1) // transform_skip_enabled
+    w.put(0, 1) // cu_qp_delta_enabled
+    w.se(0); w.se(0) // cb/cr qp offsets
+    w.put(0, 1) // pps_slice_chroma_qp_offsets_present
+    w.put(0, 1); w.put(0, 1) // weighted_pred, weighted_bipred
+    w.put(0, 1) // transquant_bypass
+    w.put(0, 1); w.put(0, 1) // tiles_enabled, entropy_coding_sync
+    w.put(1, 1) // pps_loop_filter_across_slices_enabled
+    w.put(1, 1) // deblocking_filter_control_present
+    w.put(0, 1) // deblocking_filter_override_enabled
+    w.put(1, 1) // pps_deblocking_filter_disabled
+    w.put(0, 1) // pps_scaling_list_data_present
+    w.put(0, 1) // lists_modification_present
+    w.ue(0) // log2_parallel_merge_level_minus2
+    w.put(0, 1) // slice_segment_header_extension_present
+    w.put(0, 1) // pps_extension_present
+    w.rbspTrailing()
+    w.result()
+  }
+
+  // -------------------------------------------------------------------
+  // encode
+  // -------------------------------------------------------------------
+
+  /** Encode one intra stream (q315). Returns (bytes, per-frame
+    * expected reconstructions + gate sums) — the decoder must
+    * reproduce every plane bit-exactly.
+    */
+  def encode(id: Long, wCtb: Int, hCtb: Int, nFrames: Int,
+      qp: Int): (Array[Byte], Vector[H265Frame]) = {
+    val width = wCtb * 32; val height = hCtb * 32
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(nal(32, vpsRbsp()))
+    out.write(nal(33, spsRbsp(width, height)))
+    out.write(nal(34, ppsRbsp(qp)))
+    val frames = Vector.newBuilder[H265Frame]
+    for (f <- 0 until nFrames)
+      out.write(nal(19, encodeSlice(id, f, wCtb, hCtb, qp, frames)))
+    (out.toByteArray, frames.result())
+  }
+
+  private def encodeSlice(id: Long, f: Int, wCtb: Int, hCtb: Int,
+      qp: Int,
+      frames: scala.collection.mutable.Builder[H265Frame, Vector[H265Frame]]): Array[Byte] = {
+    val w = new BitWriter
+    w.put(1, 1) // first_slice_segment_in_pic_flag
+    w.put(1, 1) // no_output_of_prior_pics_flag (IRAP)
+    w.ue(0) // slice_pic_parameter_set_id
+    w.ue(2) // slice_type I
+    w.se(0) // slice_qp_delta (init_qp carries the QP)
+    w.put(1, 1) // byte_alignment: alignment_bit_equal_to_one
+    w.alignByte()
+    val e = new H264Cabac.Encoder(w, CtxCount)
+    val st = new SliceState(wCtb * 32, hCtb * 32)
+    val sums = new FrameSums
+    val nCtus = wCtb * hCtb
+    for (c <- 0 until nCtus) {
+      val x0 = (c % wCtb) * 32; val y0 = (c / wCtb) * 32
+      // coding_quadtree at depth 0
+      val s32 = ConstructV.split32(id, f, c)
+      e.decision(CtxSplitCu + st.splitCtxInc(x0, y0, 0), if (s32) 1 else 0)
+      if (s32) {
+        sums.splitSum += c + 1
+        for (q <- 0 until 4) {
+          val qx = x0 + (q % 2) * 16; val qy = y0 + (q / 2) * 16
+          val s16 = ConstructV.split16(id, f, c, q)
+          e.decision(CtxSplitCu + st.splitCtxInc(qx, qy, 1),
+            if (s16) 1 else 0)
+          if (s16) {
+            sums.splitSum += c * 4 + q + 1
+            for (s <- 0 until 4) {
+              val sx = qx + (s % 2) * 8; val sy = qy + (s / 2) * 8
+              encodeCu(e, st, sums, id, f, sx, sy, 3, qp)
+            }
+          } else encodeCu(e, st, sums, id, f, qx, qy, 4, qp)
+        }
+      } else encodeCu(e, st, sums, id, f, x0, y0, 5, qp)
+      e.terminate(if (c == nCtus - 1) 1 else 0) // end_of_slice_segment_flag
+    }
+    w.alignByte() // trailing zeros (the stop bit is in the flush)
+    frames += H265Frame(st.y, st.cb, st.cr, sums.nCus, sums.nNxN,
+      sums.splitSum, sums.modeSum, sums.chromaModeSum, sums.cbfSum,
+      sums.lastChecksum, sums.levelChecksum)
+    w.result()
+  }
+
+  private def encodeCu(e: H264Cabac.Encoder, st: SliceState,
+      sums: FrameSums, id: Long, f: Int, x0: Int, y0: Int,
+      log2Size: Int, qp: Int): Unit = {
+    val size = 1 << log2Size
+    val depth = 5 - log2Size
+    val cuKey = ConstructV.cuKey(x0, y0)
+    st.setDepth(x0, y0, size, depth)
+    sums.nCus += 1
+    val nxn = log2Size == 3 && ConstructV.isNxN(id, cuKey)
+    if (log2Size == 3)
+      e.decision(CtxPartMode, if (nxn) 0 else 1) // part_mode
+    if (nxn) sums.nNxN += 1
+    val nPu = if (nxn) 4 else 1
+    val puSize = if (nxn) size / 2 else size
+    val modes = Array.tabulate(nPu)(s2 =>
+      ConstructV.lumaMode(id, f, x0, y0, log2Size, s2))
+    // prev_intra_luma_pred_flag for every PU first (§7.3.8.5), then
+    // the mpm_idx / rem chain per PU in order — the MPM list of a
+    // later sub-PU sees the earlier ones' modes via the grid, so the
+    // lists are derived in PU order with each mode registered as the
+    // decoder will see it
+    val inMpm = new Array[Boolean](nPu)
+    val lists = new Array[Array[Int]](nPu)
+    for (p <- 0 until nPu) {
+      val px = x0 + (p % 2) * puSize; val py = y0 + (p / 2) * puSize
+      val list = mpmList(st.candA(px, py), st.candB(px, py))
+      lists(p) = list
+      inMpm(p) = list.contains(modes(p))
+      st.setMode(px, py, puSize, modes(p))
+    }
+    for (p <- 0 until nPu)
+      e.decision(CtxPrevIntraLuma, if (inMpm(p)) 1 else 0)
+    for (p <- 0 until nPu) {
+      val list = lists(p)
+      if (inMpm(p)) {
+        val idx = list.indexOf(modes(p))
+        e.bypass(if (idx == 0) 0 else 1)
+        if (idx != 0) e.bypass(if (idx == 1) 0 else 1)
+      } else {
+        val sorted = list.sorted
+        var rem = modes(p)
+        for (cand <- sorted) if (modes(p) > cand) rem -= 1
+        var k = 4
+        while (k >= 0) { e.bypass((rem >> k) & 1); k -= 1 }
+      }
+      sums.modeSum += modes(p).toLong * (ConstructV.tuTag(cuKey, p) + 1)
+    }
+    val icpmV = ConstructV.icpm(id, f, x0, y0)
+    if (icpmV == 4) e.decision(CtxIntraChroma, 0)
+    else {
+      e.decision(CtxIntraChroma, 1)
+      e.bypass((icpmV >> 1) & 1); e.bypass(icpmV & 1)
+    }
+    val cMode = chromaMode(icpmV, modes(0))
+    sums.chromaModeSum += cMode.toLong * (cuKey + 1)
+    // transform tree: cbf_cb / cbf_cr at depth 0, then the TUs
+    val cbfCb = ConstructV.cbf(id, cuKey, 4)
+    val cbfCr = ConstructV.cbf(id, cuKey, 5)
+    e.decision(CtxCbfChroma + 0, if (cbfCb) 1 else 0)
+    e.decision(CtxCbfChroma + 0, if (cbfCr) 1 else 0)
+    if (cbfCb) sums.cbfSum += ConstructV.tuTag(cuKey, 4) + 1
+    if (cbfCr) sums.cbfSum += ConstructV.tuTag(cuKey, 5) + 1
+    val chromaScan = scanIdxFor(log2Size - 1, luma = false, cMode)
+    if (!nxn) {
+      val tag = ConstructV.tuTag(cuKey, 0)
+      val cbfY = ConstructV.cbf(id, cuKey, 0)
+      e.decision(CtxCbfLuma + 1, if (cbfY) 1 else 0)
+      if (cbfY) sums.cbfSum += tag + 1
+      val lumaScan = scanIdxFor(log2Size, luma = true, modes(0))
+      var lumaLv: Array[Int] = null
+      if (cbfY) {
+        val (lv, pairs) = buildLevels(id, tag, size, lumaScan)
+        lumaLv = lv
+        val last = encodeResidual(e, lv, size, luma = true, lumaScan)
+        sums.lastChecksum += last.toLong * (tag + 1)
+        sums.addLevels(tag, pairs)
+      }
+      val (cbLv, crLv) = encodeChroma(e, sums, id, cuKey, size / 2,
+        chromaScan, cbfCb, cbfCr)
+      reconTb(st, luma = true, 0, x0, y0, size, modes(0), lumaLv, qp,
+        hasResidual = cbfY)
+      reconChroma(st, x0, y0, size / 2, cMode, cbLv, crLv, qp, cbfCb, cbfCr)
+    } else {
+      // forced transform split: four 4x4 luma TUs (DST), chroma 4x4
+      // at the parent; chroma residual rides with blkIdx 3
+      val cbfY = Array.tabulate(4)(s2 => ConstructV.cbf(id, cuKey, s2))
+      val lv = new Array[Array[Int]](4)
+      var cbLv: Array[Int] = null; var crLv: Array[Int] = null
+      for (s2 <- 0 until 4) {
+        val tag = ConstructV.tuTag(cuKey, s2)
+        e.decision(CtxCbfLuma + 0, if (cbfY(s2)) 1 else 0)
+        if (cbfY(s2)) {
+          sums.cbfSum += tag + 1
+          val scan = scanIdxFor(2, luma = true, modes(s2))
+          val (l, pairs) = buildLevels(id, tag, 4, scan)
+          lv(s2) = l
+          val last = encodeResidual(e, l, 4, luma = true, scan)
+          sums.lastChecksum += last.toLong * (tag + 1)
+          sums.addLevels(tag, pairs)
+        }
+        if (s2 == 3) {
+          val r = encodeChroma(e, sums, id, cuKey, 4, chromaScan,
+            cbfCb, cbfCr)
+          cbLv = r._1; crLv = r._2
+        }
+      }
+      for (s2 <- 0 until 4) {
+        val px = x0 + (s2 % 2) * 4; val py = y0 + (s2 / 2) * 4
+        reconTb(st, luma = true, 0, px, py, 4, modes(s2), lv(s2), qp,
+          hasResidual = cbfY(s2))
+      }
+      reconChroma(st, x0, y0, 4, cMode, cbLv, crLv, qp, cbfCb, cbfCr)
+    }
+  }
+
+  /** Encode the cb/cr residuals (if coded) and return their raster
+    * level blocks for the shared reconstruction.
+    */
+  private def encodeChroma(e: H264Cabac.Encoder, sums: FrameSums,
+      id: Long, cuKey: Int, nTbS: Int, scan: Int, cbfCb: Boolean,
+      cbfCr: Boolean): (Array[Int], Array[Int]) = {
+    var cbLv: Array[Int] = null; var crLv: Array[Int] = null
+    if (cbfCb) {
+      val tag = ConstructV.tuTag(cuKey, 4)
+      val (l, pairs) = buildLevels(id, tag, nTbS, scan)
+      cbLv = l
+      val last = encodeResidual(e, l, nTbS, luma = false, scan)
+      sums.lastChecksum += last.toLong * (tag + 1)
+      sums.addLevels(tag, pairs)
+    }
+    if (cbfCr) {
+      val tag = ConstructV.tuTag(cuKey, 5)
+      val (l, pairs) = buildLevels(id, tag, nTbS, scan)
+      crLv = l
+      val last = encodeResidual(e, l, nTbS, luma = false, scan)
+      sums.lastChecksum += last.toLong * (tag + 1)
+      sums.addLevels(tag, pairs)
+    }
+    (cbLv, crLv)
+  }
+
+  private def reconChroma(st: SliceState, x0: Int, y0: Int, nTbS: Int,
+      cMode: Int, cbLv: Array[Int], crLv: Array[Int], qp: Int,
+      cbfCb: Boolean, cbfCr: Boolean): Unit = {
+    reconTb(st, luma = false, 1, x0 / 2, y0 / 2, nTbS, cMode, cbLv, qp,
+      hasResidual = cbfCb)
+    reconTb(st, luma = false, 2, x0 / 2, y0 / 2, nTbS, cMode, crLv, qp,
+      hasResidual = cbfCr)
+  }
+
+  // -------------------------------------------------------------------
+  // decode
+  // -------------------------------------------------------------------
+
+  /** Decode a stream this construction emits; None for anything
+    * outside the documented envelope (inter slices, SAO/deblocking
+    * on, transform skip, other CTB sizes — the fall-through
+    * contract).
+    */
+  def decode(bytes: Array[Byte]): Option[H265Stream] = {
+    try {
+      // split on start codes; HEVC NAL header is 2 bytes
+      val nals = Vector.newBuilder[(Int, Array[Byte])]
+      var i = 0
+      var start = -1
+      var typ = -1
+      while (i + 2 < bytes.length) {
+        if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
+          if (start >= 0) {
+            val end = if (i > 0 && bytes(i - 1) == 0) i - 1 else i
+            nals += ((typ, H264.emulationStrip(
+              java.util.Arrays.copyOfRange(bytes, start, end))))
+          }
+          typ = (bytes(i + 3) >> 1) & 0x3f
+          start = i + 5 // skip the 2-byte nal_unit_header
+          i += 5
+        } else i += 1
+      }
+      if (start >= 0 && start <= bytes.length)
+        nals += ((typ, H264.emulationStrip(
+          java.util.Arrays.copyOfRange(bytes, start, bytes.length))))
+      val all = nals.result()
+      if (all.isEmpty) return None
+      var width = -1; var height = -1
+      var qp = -1
+      var sawSps = false; var sawPps = false
+      val frames = Vector.newBuilder[H265Frame]
+      all.foreach {
+        case (32, _) => // VPS carries nothing the slice needs
+        case (33, rbsp) =>
+          val r = new BitReader(rbsp)
+          r.get(8) // vps_id, max_sub_layers, nesting
+          if (!readPtl(r)) return None
+          if (r.ue() != 0) return None // sps_id
+          if (r.ue() != 1) return None // 4:2:0 only
+          width = r.ue(); height = r.ue()
+          if (width % 32 != 0 || height % 32 != 0) return None
+          if (r.get(1) != 0) return None // conformance window
+          if (r.ue() != 0 || r.ue() != 0) return None // 8-bit only
+          if (r.ue() != 4) return None // poc lsb bits
+          r.get(1) // sub_layer_ordering_info_present
+          r.ue(); r.ue(); r.ue()
+          if (r.ue() != 0) return None // min CB 8
+          if (r.ue() != 2) return None // CTB 32
+          if (r.ue() != 0) return None // min TB 4
+          if (r.ue() != 3) return None // max TB 32
+          if (r.ue() != 0 || r.ue() != 0) return None // trafo depth 0
+          // scaling lists / amp / sao / pcm must be off
+          if (r.get(4) != 0) return None
+          if (r.ue() != 0) return None // no ref pic sets
+          if (r.get(3) != 0) return None // long-term, tmvp, strong-smooth
+          sawSps = true
+        case (34, rbsp) =>
+          val r = new BitReader(rbsp)
+          if (r.ue() != 0 || r.ue() != 0) return None // pps/sps ids
+          if (r.get(2) != 0) return None // dependent, output_flag
+          if (r.get(3) != 0) return None // extra slice header bits
+          if (r.get(1) != 0) return None // sign data hiding OFF only
+          if (r.get(1) != 0) return None // cabac_init_present
+          r.ue(); r.ue() // ref idx defaults
+          qp = 26 + r.se() // init_qp_minus26
+          if (r.get(1) != 0) return None // constrained intra
+          if (r.get(1) != 0) return None // transform skip OFF only
+          if (r.get(1) != 0) return None // cu_qp_delta OFF only
+          if (r.se() != 0 || r.se() != 0) return None // chroma offsets
+          if (r.get(3) != 0) return None // slice-offsets, weighted pred/bipred
+          if (r.get(1) != 0) return None // transquant bypass
+          if (r.get(2) != 0) return None // tiles, wavefront
+          r.get(1) // loop filter across slices
+          if (r.get(1) != 1) return None // deblocking control present
+          if (r.get(1) != 0) return None // override enabled
+          if (r.get(1) != 1) return None // deblocking DISABLED only
+          sawPps = true
+        case (19, rbsp) if sawSps && sawPps =>
+          decodeSlice(rbsp, width, height, qp, frames)
+        case (t, _) if t == 19 => return None // slice before SPS/PPS
+        case _ => return None // anything else is out of envelope
+      }
+      val fr = frames.result()
+      if (fr.isEmpty) None else Some(H265Stream(width, height, qp, fr))
+    } catch {
+      case e: RuntimeException =>
+        if (java.lang.Boolean.getBoolean("graft.h265.debug")) e.printStackTrace()
+        None
+    }
+  }
+
+  private def decodeSlice(rbsp: Array[Byte], width: Int, height: Int,
+      qp: Int,
+      frames: scala.collection.mutable.Builder[H265Frame, Vector[H265Frame]]): Unit = {
+    def bad(msg: String): Nothing = throw new IllegalStateException(msg)
+    val r = new BitReader(rbsp)
+    if (r.get(1) != 1) bad("not first slice segment")
+    r.get(1) // no_output_of_prior_pics_flag
+    if (r.ue() != 0) bad("pps id")
+    if (r.ue() != 2) bad("not an I slice")
+    if (r.se() != 0) bad("nonzero slice_qp_delta") // QP is the PPS init_qp
+    if (r.get(1) != 1) bad("alignment bit")
+    r.alignByte()
+    val d = new H264Cabac.Decoder(rbsp, r.bitPos, CtxCount)
+    val st = new SliceState(width, height)
+    val sums = new FrameSums
+    val wCtb = width / 32; val hCtb = height / 32
+    val nCtus = wCtb * hCtb
+    var c = 0
+    while (c < nCtus) {
+      val x0 = (c % wCtb) * 32; val y0 = (c / wCtb) * 32
+      if (d.decision(CtxSplitCu + st.splitCtxInc(x0, y0, 0)) == 1) {
+        sums.splitSum += c + 1
+        for (q <- 0 until 4) {
+          val qx = x0 + (q % 2) * 16; val qy = y0 + (q / 2) * 16
+          if (d.decision(CtxSplitCu + st.splitCtxInc(qx, qy, 1)) == 1) {
+            sums.splitSum += c * 4 + q + 1
+            for (s <- 0 until 4) {
+              val sx = qx + (s % 2) * 8; val sy = qy + (s / 2) * 8
+              decodeCu(d, st, sums, sx, sy, 3, qp)
+            }
+          } else decodeCu(d, st, sums, qx, qy, 4, qp)
+        }
+      } else decodeCu(d, st, sums, x0, y0, 5, qp)
+      val end = d.terminate() == 1
+      if (c == nCtus - 1) { if (!end) bad("missing end_of_slice") }
+      else if (end) bad("early end_of_slice")
+      c += 1
+    }
+    frames += H265Frame(st.y, st.cb, st.cr, sums.nCus, sums.nNxN,
+      sums.splitSum, sums.modeSum, sums.chromaModeSum, sums.cbfSum,
+      sums.lastChecksum, sums.levelChecksum)
+  }
+
+  private def decodeCu(d: H264Cabac.Decoder, st: SliceState,
+      sums: FrameSums, x0: Int, y0: Int, log2Size: Int, qp: Int): Unit = {
+    val size = 1 << log2Size
+    val depth = 5 - log2Size
+    val cuKey = ConstructV.cuKey(x0, y0)
+    st.setDepth(x0, y0, size, depth)
+    sums.nCus += 1
+    val nxn = log2Size == 3 && d.decision(CtxPartMode) == 0
+    if (nxn) sums.nNxN += 1
+    val nPu = if (nxn) 4 else 1
+    val puSize = if (nxn) size / 2 else size
+    val prev = Array.fill(nPu)(false)
+    for (p <- 0 until nPu) prev(p) = d.decision(CtxPrevIntraLuma) == 1
+    val modes = new Array[Int](nPu)
+    for (p <- 0 until nPu) {
+      val px = x0 + (p % 2) * puSize; val py = y0 + (p / 2) * puSize
+      val list = mpmList(st.candA(px, py), st.candB(px, py))
+      if (prev(p)) {
+        val idx = if (d.bypass() == 0) 0 else if (d.bypass() == 0) 1 else 2
+        modes(p) = list(idx)
+      } else {
+        var rem = 0
+        var k = 0
+        while (k < 5) { rem = (rem << 1) | d.bypass(); k += 1 }
+        val sorted = list.sorted
+        for (cand <- sorted) if (rem >= cand) rem += 1
+        modes(p) = rem
+      }
+      st.setMode(px, py, puSize, modes(p))
+      sums.modeSum += modes(p).toLong * (ConstructV.tuTag(cuKey, p) + 1)
+    }
+    val icpmV =
+      if (d.decision(CtxIntraChroma) == 0) 4
+      else (d.bypass() << 1) | d.bypass()
+    val cMode = chromaMode(icpmV, modes(0))
+    sums.chromaModeSum += cMode.toLong * (cuKey + 1)
+    val cbfCb = d.decision(CtxCbfChroma + 0) == 1
+    val cbfCr = d.decision(CtxCbfChroma + 0) == 1
+    if (cbfCb) sums.cbfSum += ConstructV.tuTag(cuKey, 4) + 1
+    if (cbfCr) sums.cbfSum += ConstructV.tuTag(cuKey, 5) + 1
+    val chromaScan = scanIdxFor(log2Size - 1, luma = false, cMode)
+    if (!nxn) {
+      val tag = ConstructV.tuTag(cuKey, 0)
+      val cbfY = d.decision(CtxCbfLuma + 1) == 1
+      if (cbfY) sums.cbfSum += tag + 1
+      val lumaScan = scanIdxFor(log2Size, luma = true, modes(0))
+      var lumaLv: Array[Int] = null
+      if (cbfY) {
+        val (lv, last) = decodeResidual(d, size, luma = true, lumaScan)
+        lumaLv = lv
+        sums.lastChecksum += last.toLong * (tag + 1)
+        addDecodedLevels(sums, tag, lv, size, lumaScan)
+      }
+      val (cbLv, crLv) = decodeChroma(d, sums, cuKey, size / 2,
+        chromaScan, cbfCb, cbfCr)
+      reconTb(st, luma = true, 0, x0, y0, size, modes(0), lumaLv, qp,
+        hasResidual = cbfY)
+      reconChroma(st, x0, y0, size / 2, cMode, cbLv, crLv, qp, cbfCb, cbfCr)
+    } else {
+      val cbfY = new Array[Boolean](4)
+      val lv = new Array[Array[Int]](4)
+      var cbLv: Array[Int] = null; var crLv: Array[Int] = null
+      for (s2 <- 0 until 4) {
+        val tag = ConstructV.tuTag(cuKey, s2)
+        cbfY(s2) = d.decision(CtxCbfLuma + 0) == 1
+        if (cbfY(s2)) {
+          sums.cbfSum += tag + 1
+          val scan = scanIdxFor(2, luma = true, modes(s2))
+          val (l, last) = decodeResidual(d, 4, luma = true, scan)
+          lv(s2) = l
+          sums.lastChecksum += last.toLong * (tag + 1)
+          addDecodedLevels(sums, tag, l, 4, scan)
+        }
+        if (s2 == 3) {
+          val res = decodeChroma(d, sums, cuKey, 4, chromaScan,
+            cbfCb, cbfCr)
+          cbLv = res._1; crLv = res._2
+        }
+      }
+      for (s2 <- 0 until 4) {
+        val px = x0 + (s2 % 2) * 4; val py = y0 + (s2 / 2) * 4
+        reconTb(st, luma = true, 0, px, py, 4, modes(s2), lv(s2), qp,
+          hasResidual = cbfY(s2))
+      }
+      reconChroma(st, x0, y0, 4, cMode, cbLv, crLv, qp, cbfCb, cbfCr)
+    }
+  }
+
+  private def decodeChroma(d: H264Cabac.Decoder, sums: FrameSums,
+      cuKey: Int, nTbS: Int, scan: Int, cbfCb: Boolean,
+      cbfCr: Boolean): (Array[Int], Array[Int]) = {
+    var cbLv: Array[Int] = null; var crLv: Array[Int] = null
+    if (cbfCb) {
+      val tag = ConstructV.tuTag(cuKey, 4)
+      val (l, last) = decodeResidual(d, nTbS, luma = false, scan)
+      cbLv = l
+      sums.lastChecksum += last.toLong * (tag + 1)
+      addDecodedLevels(sums, tag, l, nTbS, scan)
+    }
+    if (cbfCr) {
+      val tag = ConstructV.tuTag(cuKey, 5)
+      val (l, last) = decodeResidual(d, nTbS, luma = false, scan)
+      crLv = l
+      sums.lastChecksum += last.toLong * (tag + 1)
+      addDecodedLevels(sums, tag, l, nTbS, scan)
+    }
+    (cbLv, crLv)
+  }
+
+  /** The decoder's level checksum walks significant coefficients in
+    * scan order, numbering them k = 0, 1, ... — the construction's
+    * k-th-significant indexing, re-derived from the decoded block.
+    */
+  private def addDecodedLevels(sums: FrameSums, tag: Int,
+      levels: Array[Int], nTbS: Int, scanIdx: Int): Unit = {
+    val order = scanOrder(nTbS, scanIdx)
+    var k = 0
+    var i = 0
+    while (i < order.length) {
+      val v = levels(order(i))
+      if (v != 0) {
+        sums.levelChecksum += v.toLong * (tag.toLong * 31 + k + 1)
+        k += 1
+      }
+      i += 1
+    }
+  }
+}

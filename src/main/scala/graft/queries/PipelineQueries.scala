@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Model._
 import graft.llm.{LlmOperator, MockLlmClient}
-import graft.operators.{H264, H264Cabac, Mp2, Mp3, Multimodal, Sampling, StableMatcher}
+import graft.operators.{H264, H264Cabac, H265, Mp2, Mp3, Multimodal, Sampling, StableMatcher}
 import graft.ops.{Parsers, PromptRenderer}
 import graft.streaming.StreamingOps
 
@@ -2673,6 +2673,191 @@ object PipelineQueries extends Registry {
           LEFT JOIN cmode cm ON cm.id = fr.id AND cm.frame_idx = fr.frame_idx
           LEFT JOIN lsums l ON l.id = fr.id AND l.frame_idx = fr.frame_idx
           ORDER BY fr.id, fr.frame_idx""")),
+
+    // ---- H.265/HEVC INTRA decode (VERDICT r15 item 8, q315): CTB-32
+    //      coding quadtree (split_cu_flag with neighbor-depth
+    //      contexts), PART_2Nx2N CUs 8..32 plus PART_NxN at 8x8 (the
+    //      spec's only 4x4-DST producer), all 35 intra modes through
+    //      the 3-candidate MPM chain, HEVC residual coding (last_sig
+    //      prefix/suffix, coefficient groups, pattern-based sig
+    //      contexts, gt1/gt2 sets, adaptive Golomb-Rice remainder)
+    //      over the SAME arithmetic engine as q314 (HEVC §9.3.4.3 ==
+    //      H.264 §9.3 tables), uniform-init contexts documented in
+    //      H265's scope note. The oracle re-derives the quadtree, the
+    //      per-PU mode/chroma-candidate substitution, cbf layout, and
+    //      the last-position/level checksums from the construction
+    //      formulas in SQL; recon_exact gates BIT-EXACT planes through
+    //      prediction + DST/DCT inverse transforms both directions.
+    //      Row-local fan-out, zero shuffle. ------------------------------
+    Q("q315_h265_intra",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 43 === 17)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, nch) =>
+              val wCtb = (2 + id % 2).toInt
+              val hCtb = (1 + nch % 2).toInt
+              val nf = (1 + (id + nch) % 2).toInt
+              val qp = H265.ConstructV.qp(id)
+              val (bytes, expect) = H265.encode(id, wCtb, hCtb, nf, qp)
+              val st = H265.decode(bytes).get
+              st.frames.zip(expect).zipWithIndex.map { case ((got, exp), f) =>
+                val exact = got.y.sameElements(exp.y) &&
+                  got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr)
+                (id, f.toLong, (wCtb * 32).toLong, (hCtb * 32).toLong,
+                  qp.toLong, (wCtb * hCtb).toLong, got.nCus, got.nNxN,
+                  got.splitSum, got.modeSum, got.chromaModeSum,
+                  got.cbfSum, got.lastChecksum, got.levelChecksum,
+                  if (exact) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "width", "height", "qp", "n_ctus",
+            "n_cus", "n_nxn", "split_sum", "mode_sum",
+            "chroma_mode_sum", "cbf_sum", "last_checksum",
+            "level_checksum", "recon_exact")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""WITH d AS (
+            SELECT doc_id AS id, n_chars,
+              CAST(2 + doc_id % 2 AS BIGINT) AS wctb,
+              CAST(1 + n_chars % 2 AS BIGINT) AS hctb,
+              CAST(20 + doc_id % 8 AS BIGINT) AS qp
+            FROM documents WHERE doc_id % 43 = 17),
+          fr AS (
+            SELECT id, wctb, hctb, qp, CAST(t.f AS BIGINT) AS f
+            FROM d, UNNEST(range(0, 1 + (id + n_chars) % 2)) AS t(f)),
+          ctu AS (
+            SELECT fr.*, CAST(t.c AS BIGINT) AS c,
+              CAST(t.c % wctb AS BIGINT) * 32 AS x32,
+              CAST(t.c // wctb AS BIGINT) * 32 AS y32,
+              (id + f + t.c) % 3 = 0 AS split32
+            FROM fr, UNNEST(range(0, wctb * hctb)) AS t(c)),
+          q16 AS (
+            SELECT ctu.*, CAST(t.q AS BIGINT) AS q,
+              x32 + (t.q % 2) * 16 AS qx, y32 + (t.q // 2) * 16 AS qy,
+              (id + f + c + t.q) % 2 = 0 AS split16
+            FROM ctu, UNNEST(range(0, 4)) AS t(q)
+            WHERE split32),
+          -- the coding-quadtree leaves at their three sizes
+          cus AS (
+            SELECT id, f, qp, x32 AS cux, y32 AS cuy,
+              CAST(5 AS BIGINT) AS log2s FROM ctu WHERE NOT split32
+            UNION ALL
+            SELECT id, f, qp, qx, qy, CAST(4 AS BIGINT) FROM q16
+            WHERE NOT split16
+            UNION ALL
+            SELECT q16.id, q16.f, q16.qp,
+              qx + (t.s % 2) * 8, qy + (t.s // 2) * 8, CAST(3 AS BIGINT)
+            FROM q16, UNNEST(range(0, 4)) AS t(s)
+            WHERE split16),
+          cuk AS (
+            SELECT cus.*, (cuy // 8) * 16 + (cux // 8) AS cukey,
+              log2s = 3 AND (id + (cuy // 8) * 16 + (cux // 8)) % 3 = 0
+                AS nxn
+            FROM cus),
+          splits AS (
+            SELECT id, f,
+              CAST(sum(CASE WHEN split32 THEN c + 1 ELSE 0 END)
+                AS BIGINT) AS s32
+            FROM ctu GROUP BY id, f),
+          splits16 AS (
+            SELECT id, f,
+              CAST(sum(CASE WHEN split16 THEN c * 4 + q + 1 ELSE 0 END)
+                AS BIGINT) AS s16
+            FROM q16 GROUP BY id, f),
+          -- luma PUs: one for 2Nx2N, four for NxN
+          pus AS (
+            SELECT cuk.*, CAST(t.s2 AS BIGINT) AS s2,
+              (id + f + (cux // 8) + 2 * (cuy // 8) + log2s + 2 * t.s2)
+                % 35 AS pmode
+            FROM cuk, UNNEST(range(0, 4)) AS t(s2)
+            WHERE t.s2 < CASE WHEN nxn THEN 4 ELSE 1 END),
+          msums AS (
+            SELECT id, f,
+              CAST(sum(pmode * (cukey * 8 + s2 + 1)) AS BIGINT)
+                AS mode_sum,
+              CAST(count(*) FILTER (WHERE s2 = 0) AS BIGINT) AS n_cus,
+              CAST(count(*) FILTER (WHERE s2 = 0 AND nxn) AS BIGINT)
+                AS n_nxn
+            FROM pus GROUP BY id, f),
+          -- chroma mode: candidate list {planar,26,10,DC} with the
+          -- duplicate-of-luma slot replaced by 34; icpm 4 = derived
+          cmodes AS (
+            SELECT cuk.*, icpm,
+              CASE WHEN icpm = 4 THEN pm0
+                   WHEN cand = pm0 THEN 34 ELSE cand END AS cmode
+            FROM (
+              SELECT cuk.*,
+                (id + f + (cux // 8) + (cuy // 8)) % 5 AS icpm,
+                (id + f + (cux // 8) + 2 * (cuy // 8) + log2s) % 35
+                  AS pm0,
+                list_extract([0, 26, 10, 1],
+                  CAST((id + f + (cux // 8) + (cuy // 8)) % 5 AS INT)
+                    % 4 + 1) AS cand
+              FROM cuk) cuk),
+          csums AS (
+            SELECT id, f,
+              CAST(sum(cmode * (cukey + 1)) AS BIGINT)
+                AS chroma_mode_sum
+            FROM cmodes GROUP BY id, f),
+          -- TUs: luma s2 (0 or 0..3 under NxN), chroma cb=4 / cr=5;
+          -- coded iff (id + cukey + s2) % 4 != 3
+          tus AS (
+            SELECT cuk.*, CAST(t.s2 AS BIGINT) AS s2,
+              cukey * 8 + t.s2 AS tag,
+              CASE WHEN t.s2 >= 4 THEN (1 << (log2s - 1))
+                   WHEN nxn THEN 4 ELSE (1 << log2s) END AS ntbs
+            FROM cuk, UNNEST(range(0, 6)) AS t(s2)
+            WHERE (t.s2 >= 4 OR t.s2 < CASE WHEN nxn THEN 4 ELSE 1 END)
+              AND (id + cukey + t.s2) % 4 != 3),
+          tuk AS (
+            SELECT tus.*, 1 + (id + tag) % 3 AS step,
+              least(1 + (id + tag) % 8,
+                (ntbs * ntbs - 1) // (1 + (id + tag) % 3) + 1) AS nsig
+            FROM tus),
+          cbfsums AS (
+            SELECT id, f,
+              CAST(sum(tag + 1) AS BIGINT) AS cbf_sum,
+              CAST(sum((step * (nsig - 1)) * (tag + 1)) AS BIGINT)
+                AS last_checksum
+            FROM tuk GROUP BY id, f),
+          lev AS (
+            SELECT tuk.id, tuk.f, tuk.tag, CAST(t.k AS BIGINT) AS k
+            FROM tuk, UNNEST(range(0, 8)) AS t(k)
+            WHERE t.k < nsig),
+          lsums AS (
+            SELECT id, f, CAST(sum(
+              (1 + (id + tag + k) % 5 +
+                CASE WHEN k = 0 AND (id + tag) % 7 = 0 THEN 40 ELSE 0
+                END) *
+              (CASE WHEN (id + tag + k) % 2 = 0 THEN 1 ELSE -1 END) *
+              (tag * 31 + k + 1)) AS BIGINT) AS level_checksum
+            FROM lev GROUP BY id, f)
+          SELECT fr.id, fr.f AS frame_idx,
+            CAST(fr.wctb * 32 AS BIGINT) AS width,
+            CAST(fr.hctb * 32 AS BIGINT) AS height,
+            fr.qp AS qp,
+            CAST(fr.wctb * fr.hctb AS BIGINT) AS n_ctus,
+            m.n_cus, m.n_nxn,
+            coalesce(s.s32, 0) + coalesce(s16.s16, 0) AS split_sum,
+            m.mode_sum,
+            c.chroma_mode_sum,
+            coalesce(cb.cbf_sum, 0) AS cbf_sum,
+            coalesce(cb.last_checksum, 0) AS last_checksum,
+            coalesce(l.level_checksum, 0) AS level_checksum,
+            CAST(1 AS BIGINT) AS recon_exact
+          FROM fr
+          JOIN msums m ON m.id = fr.id AND m.f = fr.f
+          JOIN csums c ON c.id = fr.id AND c.f = fr.f
+          LEFT JOIN splits s ON s.id = fr.id AND s.f = fr.f
+          LEFT JOIN splits16 s16 ON s16.id = fr.id AND s16.f = fr.f
+          LEFT JOIN cbfsums cb ON cb.id = fr.id AND cb.f = fr.f
+          LEFT JOIN lsums l ON l.id = fr.id AND l.f = fr.f
+          ORDER BY fr.id, fr.f""")),
 
     // ---- MP2 STEREO + Table-B.2b operating point + the PERFECT-
     //      RECONSTRUCTION gate (VERDICT r14 item 3): q302's sibling at
