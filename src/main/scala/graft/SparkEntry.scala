@@ -42,7 +42,8 @@ object SparkEntry {
       "q299_png_adam7", "q301_tiff_ingest", "q302_mp2_audio",
       "q303_h264_intra", "q307_h264_i4x4", "q309_h264_pframes",
       "q310_mp2_stereo", "q311_mp3_layer3", "q312_h264_cavlc_full",
-      "q313_h264_bframes", "q314_h264_cabac_intra", "q315_h265_intra")
+      "q313_h264_bframes", "q314_h264_cabac_intra", "q315_h265_intra",
+      "q316_h264_cabac_inter")
       .map(_ -> GateClass.ConstructionInverse)
     // the shared-sql-text class is EMPTY since r15: q127's oracle is now
     // an independently-formulated DuckDB program (set-wise longest-prefix

@@ -1731,16 +1731,16 @@ object H264 {
   /** One inter MB: ptype 0=P_L0_16x16 1=16x8 2=8x16 3=P_8x8 (all subs
     * P_L0_8x8); per-partition refIdx + FINAL mv; residual per CBP.
     */
-  private final case class InterMb(ptype: Int, refIdx: Array[Int],
+  private[operators] final case class InterMb(ptype: Int, refIdx: Array[Int],
       mv: Array[(Int, Int)], cbpL: Int, cbpC: Int,
       ac: Array[Array[Int]], cdc: Array[Array[Int]],
       cac: Array[Array[Array[Int]]])
 
-  private def nPartsOf(ptype: Int): Int =
+  private[operators] def nPartsOf(ptype: Int): Int =
     ptype match { case 0 => 1; case 3 => 4; case _ => 2 }
 
   /** Partition rect in 4x4-cell units relative to the MB. */
-  private def partRect(ptype: Int, part: Int): (Int, Int, Int, Int) =
+  private[operators] def partRect(ptype: Int, part: Int): (Int, Int, Int, Int) =
     ptype match {
       case 0 => (0, 0, 4, 4)
       case 1 => (0, part * 2, 4, 2) // 16x8
@@ -1748,20 +1748,20 @@ object H264 {
       case _ => ((part % 2) * 2, (part / 2) * 2, 2, 2) // 8x8
     }
 
-  private def partKindOf(ptype: Int, part: Int): Int = ptype match {
+  private[operators] def partKindOf(ptype: Int, part: Int): Int = ptype match {
     case 1 => if (part == 0) PartKind.Top16x8 else PartKind.Bottom16x8
     case 2 => if (part == 0) PartKind.Left8x16 else PartKind.Right8x16
     case _ => PartKind.Full
   }
 
-  private val skipMb = InterMb(0, Array(0), Array((0, 0)), 0, 0,
+  private[operators] val skipMb = InterMb(0, Array(0), Array((0, 0)), 0, 0,
     Array.empty, Array.empty, Array.empty)
 
   /** Shared encoder/decoder inter-MB reconstruction: per-partition MC
     * from the selected reference, then CBP-gated residual add. Bit-exact
     * on both sides by construction.
     */
-  private def reconstructInterMb(mb: InterMb, qp: Int, mbX: Int, mbY: Int,
+  private[operators] def reconstructInterMb(mb: InterMb, qp: Int, mbX: Int, mbY: Int,
       refs: IndexedSeq[(Array[Int], Array[Int], Array[Int])],
       y: Array[Int], cb: Array[Int], cr: Array[Int], wMb: Int,
       hMb: Int): Unit = {

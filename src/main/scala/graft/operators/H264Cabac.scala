@@ -288,7 +288,7 @@ object H264Cabac {
   // -------------------------------------------------------------------
   // per-slice neighbor state for context increments
   // -------------------------------------------------------------------
-  private final class SliceCtx(wMb: Int, hMb: Int) {
+  private[operators] final class SliceCtx(wMb: Int, hMb: Int) {
     // per-MB: -1 undecoded, 0 I_NxN, 1 I_16x16 (mb_type bin0 ctxInc)
     val mbKind = Array.fill(wMb * hMb)(-1)
     // per-MB intra_chroma_pred_mode (for its bin0 ctxInc)
@@ -343,22 +343,26 @@ object H264Cabac {
       c(mbX - 1, mbY) + 2 * c(mbX, mbY - 1)
     }
     /** coded_block_flag ctxInc = condA + 2·condB, where an unavailable
-      * neighbor MB counts 1 (current MB is intra, §9.3.3.1.1.9), a
-      * missing block in an available MB counts 0, else the stored cbf.
+      * neighbor MB counts 1 when the CURRENT MB is intra-coded and 0
+      * when it is inter (§9.3.3.1.1.9 — `curIntra`, added for the
+      * q316 P-slice path), a missing block in an available MB counts
+      * 0, else the stored cbf.
       */
-    def cbfInc(cat: Int, mbX: Int, mbY: Int, blk: Int, comp: Int): Int = {
+    def cbfInc(cat: Int, mbX: Int, mbY: Int, blk: Int, comp: Int,
+        curIntra: Boolean = true): Int = {
+      val u = if (curIntra) 1 else 0
       def lumaDcAt(x: Int, y: Int): Int =
-        if (!avail(x, y)) 1
+        if (!avail(x, y)) u
         else math.max(0, lumaDcCbf(y * wMb + x))
       def luma4At(gx: Int, gy: Int): Int =
-        if (gx < 0 || gy < 0) 1 // outside the picture, intra MB
-        else if (!avail(gx / 4, gy / 4)) 1
+        if (gx < 0 || gy < 0) u // outside the picture
+        else if (!avail(gx / 4, gy / 4)) u
         else lumaCbf(gy)(gx)
       def chromaDcAt(x: Int, y: Int): Int =
-        if (!avail(x, y)) 1 else chromaDcCbf(comp)(y * wMb + x)
+        if (!avail(x, y)) u else chromaDcCbf(comp)(y * wMb + x)
       def chroma4At(gx: Int, gy: Int): Int =
-        if (gx < 0 || gy < 0) 1
-        else if (!avail(gx / 2, gy / 2)) 1
+        if (gx < 0 || gy < 0) u
+        else if (!avail(gx / 2, gy / 2)) u
         else chromaAcCbf(comp)(gy)(gx)
       cat match {
         case CatI16Dc =>
@@ -380,10 +384,12 @@ object H264Cabac {
   // residual block coding (§9.3.3.1.3, frame-coded)
   // -------------------------------------------------------------------
 
-  private def encodeResidual(e: Encoder, sc: SliceCtx, cat: Int,
-      mbX: Int, mbY: Int, blk: Int, comp: Int, coeffs: Array[Int]): Int = {
+  private[operators] def encodeResidual(e: Encoder, sc: SliceCtx, cat: Int,
+      mbX: Int, mbY: Int, blk: Int, comp: Int, coeffs: Array[Int],
+      curIntra: Boolean = true): Int = {
     val cbf = if (coeffs.exists(_ != 0)) 1 else 0
-    e.decision(CtxCbf + cat * 4 + sc.cbfInc(cat, mbX, mbY, blk, comp), cbf)
+    e.decision(CtxCbf + cat * 4 +
+      sc.cbfInc(cat, mbX, mbY, blk, comp, curIntra), cbf)
     if (cbf == 0) return 0
     val maxC = coeffs.length
     var last = maxC - 1
@@ -440,11 +446,12 @@ object H264Cabac {
     cbf
   }
 
-  private def decodeResidual(d: Decoder, sc: SliceCtx, cat: Int,
+  private[operators] def decodeResidual(d: Decoder, sc: SliceCtx, cat: Int,
       mbX: Int, mbY: Int, blk: Int, comp: Int,
-      maxC: Int): (Array[Int], Int) = {
+      maxC: Int, curIntra: Boolean = true): (Array[Int], Int) = {
     val coeffs = new Array[Int](maxC)
-    val cbf = d.decision(CtxCbf + cat * 4 + sc.cbfInc(cat, mbX, mbY, blk, comp))
+    val cbf = d.decision(CtxCbf + cat * 4 +
+      sc.cbfInc(cat, mbX, mbY, blk, comp, curIntra))
     if (cbf == 0) return (coeffs, 0)
     val sig = new Array[Boolean](maxC)
     var lastIdx = -1
@@ -541,7 +548,7 @@ object H264Cabac {
     (out.toByteArray, frames.result())
   }
 
-  private def encodeSlice(id: Long, f: Int, wMb: Int, hMb: Int, qp: Int,
+  private[operators] def encodeSlice(id: Long, f: Int, wMb: Int, hMb: Int, qp: Int,
       frames: scala.collection.mutable.Builder[H264Frame, Vector[H264Frame]]): Array[Byte] = {
     val w = new H264.BitWriter
     w.ue(0) // first_mb_in_slice
@@ -808,7 +815,7 @@ object H264Cabac {
     } catch { case _: Exception => None }
   }
 
-  private def decodeSlice(rbsp: Array[Byte], startBit: Int, wMb: Int,
+  private[operators] def decodeSlice(rbsp: Array[Byte], startBit: Int, wMb: Int,
       hMb: Int, qp: Int): H264Frame = {
     def bad(msg: String): Nothing = throw new IllegalStateException(msg)
     val d = new Decoder(rbsp, startBit)

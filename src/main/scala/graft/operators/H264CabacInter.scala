@@ -1,0 +1,600 @@
+package graft.operators
+
+/** H.264/AVC CABAC INTER decoding — P slices under
+  * entropy_coding_mode_flag = 1 (ITU-T H.264 §9.3.3.1.1, the q316
+  * construction-inverse gate; the CAVLC twin is q309). Reuses
+  * [[H264Cabac]]'s arithmetic engine, residual chain and intra slice
+  * codec (frame 0 is a full q314 CABAC intra IDR picture), and
+  * [[H264]]'s motion machinery unchanged: median MV prediction with
+  * the directional shortcuts, P_Skip motion inference, quarter-pel
+  * 6-tap luma + eighth-pel chroma MC, the two-frame sliding-window
+  * DPB, and the shared encoder/decoder inter reconstruction.
+  *
+  * CABAC inter syntax covered, with neighbor-based context increments:
+  *
+  *  - mb_skip_flag (§9.3.3.1.1.1: one context per count of available
+  *    non-skipped neighbors) — replacing CAVLC's mb_skip_run.
+  *  - P mb_type as the Table 9-37 tree over bins ('000' P_L0_16x16,
+  *    '011' 16x8, '010' 8x16, '001' P_8x8; the '1' intra-suffix
+  *    prefix is out of construction scope and falls through), with
+  *    the bin-2 context split on bin 1 pinned as this repo's
+  *    convention (same policy as the q314 Table 9-39 row pin).
+  *  - sub_mb_type P tree ('1' P_L0_8x8 — the only value the
+  *    construction emits; the 8x4/4x8/4x4 branches parse and fall
+  *    through, mirroring q309's CAVLC scope).
+  *  - ref_idx_l0 unary with the refIdx>0 neighbor conditions.
+  *  - mvd_l0 as UEG3 (uCoff 9): TU prefix whose bin-0 context is the
+  *    |mvdA|+|mvdB| bucket (<3 / ≤32 / >32) over per-4x4-cell mvd
+  *    grids, per-bin contexts for bins 1-3, a shared context past
+  *    bin 3, bypass 3rd-order Exp-Golomb suffix and bypass sign.
+  *  - coded_block_pattern bin-coded (the full 0..47 sweep — CAVLC's
+  *    q309 was bounded by the transcribed me(v) subset head; CABAC
+  *    has no such table, so the construction sweeps every value).
+  *  - The residual chain is [[H264Cabac.encodeResidual]] with
+  *    curIntra = false: §9.3.3.1.1.9's unavailable-neighbor
+  *    coded_block_flag condition flips to 0 for inter macroblocks.
+  *
+  * Scope bounds (documented fall-throughs, same policy as the CAVLC
+  * inter path): P slices with mb_qp_delta 0 and no intra MBs inside
+  * them, one or two L0 references, B slices and temporal direct under
+  * CABAC stay out (q313 covers them under CAVLC), uniform context
+  * init per [[H264Cabac]]'s scope note.
+  */
+object H264CabacInter {
+
+  import H264.{BitReader, BitWriter, ConstructH, ConstructP, H264Frame,
+    H264Stream, InterMb, MotionGrid, PartKind, blkPos, mvPred, skipMv,
+    nPartsOf, partKindOf, partRect, reconstructInterMb, skipMb}
+  import H264Cabac.{CatChromaAc, CatChromaDc, CatLuma4, CtxCbpChroma,
+    CtxCbpLuma, CtxMbQpDelta, Decoder, Encoder, SliceCtx,
+    encodeResidual, decodeResidual}
+
+  // -------------------------------------------------------------------
+  // context map extension (appended after H264Cabac's intra space)
+  // -------------------------------------------------------------------
+  val CtxSkipP = 280 // + inc 0..2 (available non-skipped neighbors)
+  val CtxMbTypeP = 283 // bins: +0, +1, +2 (b1=0) / +3 (b1=1)
+  val CtxSubMbTypeP = 287 // bins 0..2
+  val CtxRefIdx = 290 // bin0 + inc 0..3; bin1 at +4; rest at +5
+  val CtxMvdX = 296 // bin0 + inc 0..2; bins 1-3 at +3..+5; rest +6
+  val CtxMvdY = 303
+  val CtxCountP = 310
+
+  /** mbKind codes stored into [[H264Cabac.SliceCtx]] for P slices
+    * (the intra codes 0/1 never occur inside a P slice here).
+    */
+  final val KindInter = 2
+  final val KindSkip = 3
+
+  /** q316's deterministic construction: [[H264.ConstructP]] for skip/
+    * type/refIdx/mvd/levels, plus a full-sweep CBP (CABAC codes the
+    * pattern as six bins, so unlike CAVLC's transcribed me(v) head
+    * every value 0..47 is reachable).
+    */
+  object ConstructPC {
+    def cbp48(id: Long, f: Int, mb: Int): Int =
+      ((id + 5L * f + 29L * mb) % 48).toInt
+    /** Wider than q309's ±8: |mvd| reaches 20 quarter-pels so the
+      * UEG3 prefix saturates at uCoff 9 and the bypass Exp-Golomb
+      * suffix is genuinely exercised (±8 never escapes the TU part).
+      */
+    def mvdX(id: Long, f: Int, mb: Int, part: Int): Int =
+      (((id + 3L * f + 5L * mb + 7L * part) % 41) - 20).toInt
+    def mvdY(id: Long, f: Int, mb: Int, part: Int): Int =
+      (((3L * id + f + 2L * mb + 5L * part) % 41) - 20).toInt
+  }
+
+  // -------------------------------------------------------------------
+  // encode
+  // -------------------------------------------------------------------
+
+  /** Encode an IDR + P-frame CABAC stream (q316): frame 0 is the q314
+    * CABAC intra construction, frames 1.. are P slices. Returns
+    * (bytes, per-frame expected reconstructions + gate sums).
+    */
+  def encodeInter(id: Long, wMb: Int, hMb: Int, nFrames: Int,
+      qp: Int): (Array[Byte], Vector[H264Frame]) = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(nal(7, spsRbsp(wMb, hMb)))
+    out.write(nal(8, ppsRbsp()))
+    val frames = Vector.newBuilder[H264Frame]
+    val b0 = Vector.newBuilder[H264Frame]
+    val rbsp0 = H264Cabac.encodeSlice(id, 0, wMb, hMb, qp, b0)
+    out.write(nal(5, rbsp0))
+    val fr0 = b0.result().head
+    frames += fr0
+    var dpb: List[(Array[Int], Array[Int], Array[Int])] =
+      List((fr0.y, fr0.cb, fr0.cr))
+    for (f <- 1 until nFrames) {
+      val (rbsp, fr) = encodePSlice(id, f, wMb, hMb, qp, dpb.toIndexedSeq)
+      out.write(nal(1, rbsp))
+      frames += fr
+      dpb = ((fr.y, fr.cb, fr.cr) :: dpb).take(2)
+    }
+    (out.toByteArray, frames.result())
+  }
+
+  private def nal(typ: Int, rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0, 0, 0, 1))
+    out.write((3 << 5) | typ)
+    out.write(H264.emulationPrevent(rbsp))
+    out.toByteArray
+  }
+
+  private def spsRbsp(wMb: Int, hMb: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.put(77, 8) // profile_idc: Main
+    w.put(0, 8); w.put(10, 8)
+    w.ue(0); w.ue(0) // sps_id, log2_max_frame_num_minus4
+    w.ue(2) // pic_order_cnt_type 2 (decode order = display order)
+    w.ue(2) // max_num_ref_frames: two-frame sliding window
+    w.put(0, 1)
+    w.ue(wMb - 1); w.ue(hMb - 1)
+    w.put(1, 1) // frame_mbs_only
+    w.put(0, 1); w.put(0, 1); w.put(0, 1)
+    w.rbspTrailing()
+    w.result()
+  }
+
+  private def ppsRbsp(): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0); w.ue(0)
+    w.put(1, 1) // entropy_coding_mode_flag = 1: CABAC
+    w.put(0, 1)
+    w.ue(0); w.ue(0); w.ue(0) // one slice group, 1 active ref per list
+    w.put(0, 1); w.put(0, 2)
+    w.se(0); w.se(0); w.se(0)
+    w.put(1, 1) // deblocking_filter_control_present
+    w.put(0, 1); w.put(0, 1)
+    w.rbspTrailing()
+    w.result()
+  }
+
+  /** mb_skip_flag ctxInc: available neighbors that are NOT skipped
+    * (§9.3.3.1.1.1; within this P slice every decoded MB is inter).
+    */
+  private def skipInc(sc: SliceCtx, wMb: Int, mbX: Int, mbY: Int): Int = {
+    def c(x: Int, y: Int): Int =
+      if (sc.avail(x, y) && sc.mbKind(y * wMb + x) != KindSkip) 1 else 0
+    c(mbX - 1, mbY) + c(mbX, mbY - 1)
+  }
+
+  /** ref_idx_l0 bin-0 conditions from the motion grid (a neighbor
+    * partition with refIdx > 0; skip cells carry refIdx 0).
+    */
+  private def refInc(g: MotionGrid, gx: Int, gy: Int): Int = {
+    def c(x: Int, y: Int): Int =
+      if (g.decoded(x, y) && g.ref(y)(x) > 0) 1 else 0
+    c(gx - 1, gy) + 2 * c(gx, gy - 1)
+  }
+
+  /** |mvd| bucket for the UEG3 prefix's bin 0 (§9.3.3.1.1.7). */
+  private def mvdInc(am: Array[Array[Int]], gx: Int, gy: Int): Int = {
+    def at(x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || y >= am.length || x >= am(0).length) 0
+      else am(y)(x)
+    val s = at(gx - 1, gy) + at(gx, gy - 1)
+    if (s < 3) 0 else if (s <= 32) 1 else 2
+  }
+
+  private def mvdCtx(base: Int, inc0: Int, bin: Int): Int =
+    if (bin == 0) base + inc0
+    else if (bin <= 3) base + 2 + bin
+    else base + 6
+
+  private def encodeMvd(e: Encoder, base: Int, inc0: Int, v: Int): Unit = {
+    val a = math.abs(v)
+    val prefix = math.min(a, 9)
+    var b = 0
+    while (b < prefix) { e.decision(mvdCtx(base, inc0, b), 1); b += 1 }
+    if (prefix < 9) e.decision(mvdCtx(base, inc0, prefix), 0)
+    else {
+      // 3rd-order Exp-Golomb bypass suffix of a - 9
+      var k = 3
+      var rem = a - 9
+      while (rem >= (1 << k)) { e.bypass(1); rem -= 1 << k; k += 1 }
+      e.bypass(0)
+      var i = k - 1
+      while (i >= 0) { e.bypass((rem >> i) & 1); i -= 1 }
+    }
+    if (a > 0) e.bypass(if (v < 0) 1 else 0)
+  }
+
+  private def decodeMvd(d: Decoder, base: Int, inc0: Int): Int = {
+    var a = 0
+    while (a < 9 && d.decision(mvdCtx(base, inc0, a)) == 1) a += 1
+    if (a == 9) {
+      var k = 3
+      while (d.bypass() == 1) {
+        a += 1 << k; k += 1
+        if (k > 24) throw new IllegalStateException("runaway mvd EG3")
+      }
+      var i = 0
+      var suffix = 0
+      while (i < k) { suffix = (suffix << 1) | d.bypass(); i += 1 }
+      a += suffix
+    }
+    if (a > 0 && d.bypass() == 1) -a else a
+  }
+
+  /** Spec hooks: the mvd UEG3 round-trip with a fixed bin-0 bucket. */
+  private[operators] def testEncodeMvd(e: Encoder, v: Int): Unit =
+    encodeMvd(e, CtxMvdX, 0, v)
+  private[operators] def testDecodeMvd(d: Decoder): Int =
+    decodeMvd(d, CtxMvdX, 0)
+
+  private def encodePSlice(id: Long, f: Int, wMb: Int, hMb: Int,
+      qp: Int, refs: IndexedSeq[(Array[Int], Array[Int], Array[Int])])
+    : (Array[Byte], H264Frame) = {
+    val nRefs = math.min(refs.size, 2)
+    val w = new BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(5) // slice_type: P (all slices in pic)
+    w.ue(0) // pps_id
+    w.put(f % 16, 4) // frame_num
+    if (nRefs == 2) { w.put(1, 1); w.ue(1) } else w.put(0, 1)
+    w.put(0, 1) // ref_pic_list_modification_flag_l0
+    w.put(0, 1) // adaptive_ref_pic_marking_mode_flag
+    w.ue(0) // cabac_init_idc
+    w.se(qp - 26)
+    w.ue(1) // disable_deblocking_filter_idc
+    w.alignByteOnes() // cabac_alignment_one_bit
+    val e = new Encoder(w, CtxCountP)
+    val sc = new SliceCtx(wMb, hMb)
+    val grid = new MotionGrid(wMb * 4, hMb * 4)
+    val amx = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val amy = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val y = new Array[Int](wMb * 16 * hMb * 16)
+    val cb = new Array[Int](wMb * 8 * hMb * 8)
+    val cr = new Array[Int](wMb * 8 * hMb * 8)
+    var checksum = 0L; var mvdSum = 0L; var refSum = 0L
+    var nSkip = 0L; var typeSum = 0L; var cbpSum = 0L
+    def sumBlock(mbIdx: Int, tag: Int, levels: Array[Int]): Unit = {
+      var s = 0
+      while (s < levels.length) {
+        if (levels(s) != 0)
+          checksum += levels(s).toLong * (mbIdx * 131 + tag * 17 + s + 1)
+        s += 1
+      }
+    }
+    val total = wMb * hMb
+    for (mbIdx <- 0 until total) {
+      val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+      val gx0 = mbX * 4; val gy0 = mbY * 4
+      val skip = ConstructP.isSkip(id, f, mbIdx)
+      e.decision(CtxSkipP + skipInc(sc, wMb, mbX, mbY), if (skip) 1 else 0)
+      if (skip) {
+        nSkip += 1
+        sc.mbKind(mbIdx) = KindSkip
+        val (mx, my) = skipMv(grid, gx0, gy0)
+        grid.fill(gx0, gy0, 4, 4, mx, my, 0)
+        reconstructInterMb(skipMb.copy(mv = Array((mx, my))), qp, mbX,
+          mbY, refs, y, cb, cr, wMb, hMb)
+      } else {
+        sc.mbKind(mbIdx) = KindInter
+        val pt = ConstructP.ptype(id, f, mbIdx)
+        typeSum += (pt + 1L) * (mbIdx + 1)
+        // mb_type tree: '0' inter prefix, then (b1, b2)
+        e.decision(CtxMbTypeP + 0, 0)
+        val b1 = if (pt == 1 || pt == 2) 1 else 0
+        val b2 = if (pt == 3 || pt == 1) 1 else 0
+        e.decision(CtxMbTypeP + 1, b1)
+        e.decision(CtxMbTypeP + (if (b1 == 0) 2 else 3), b2)
+        val np = nPartsOf(pt)
+        if (pt == 3)
+          for (_ <- 0 until np) e.decision(CtxSubMbTypeP + 0, 1) // P_L0_8x8
+        val refIdxArr = Array.tabulate(np)(p =>
+          ConstructP.refIdx(id, mbIdx, p, nRefs))
+        val mvds = Array.tabulate(np)(p =>
+          (ConstructPC.mvdX(id, f, mbIdx, p), ConstructPC.mvdY(id, f, mbIdx, p)))
+        val mvs = new Array[(Int, Int)](np)
+        for (p <- 0 until np) {
+          val (cx, cy, cw, ch) = partRect(pt, p)
+          if (nRefs == 2) {
+            val inc = refInc(grid, gx0 + cx, gy0 + cy)
+            e.decision(CtxRefIdx + inc, if (refIdxArr(p) > 0) 1 else 0)
+            if (refIdxArr(p) > 0) e.decision(CtxRefIdx + 4, 0) // unary stop
+            refSum += refIdxArr(p).toLong * (mbIdx + 1)
+          }
+          encodeMvd(e, CtxMvdX, mvdInc(amx, gx0 + cx, gy0 + cy), mvds(p)._1)
+          encodeMvd(e, CtxMvdY, mvdInc(amy, gx0 + cx, gy0 + cy), mvds(p)._2)
+          mvdSum += (mbIdx * 64L + p * 8 + 1) * mvds(p)._1 +
+            (mbIdx * 64L + p * 8 + 3) * mvds(p)._2
+          val (mpx, mpy) = mvPred(grid, gx0 + cx, gy0 + cy, cw,
+            refIdxArr(p), partKindOf(pt, p))
+          mvs(p) = (mpx + mvds(p)._1, mpy + mvds(p)._2)
+          grid.fill(gx0 + cx, gy0 + cy, cw, ch, mvs(p)._1, mvs(p)._2,
+            refIdxArr(p))
+          for (yy <- gy0 + cy until gy0 + cy + ch;
+              xx <- gx0 + cx until gx0 + cx + cw) {
+            amx(yy)(xx) = math.abs(mvds(p)._1)
+            amy(yy)(xx) = math.abs(mvds(p)._2)
+          }
+        }
+        val cbp = ConstructPC.cbp48(id, f, mbIdx)
+        cbpSum += cbp.toLong * (mbIdx + 1)
+        val cbpL = cbp & 15; val cbpC = cbp >> 4
+        for (b8 <- 0 until 4) {
+          val bx = b8 % 2; val by = b8 / 2
+          e.decision(CtxCbpLuma + sc.cbpLumaInc(mbX, mbY, bx, by),
+            (cbpL >> b8) & 1)
+          sc.cbpLumaBit(mbY * 2 + by)(mbX * 2 + bx) = (cbpL >> b8) & 1
+        }
+        e.decision(CtxCbpChroma + sc.cbpChromaInc(mbX, mbY, 0),
+          if (cbpC > 0) 1 else 0)
+        if (cbpC > 0)
+          e.decision(CtxCbpChroma + 4 + sc.cbpChromaInc(mbX, mbY, 1),
+            if (cbpC == 2) 1 else 0)
+        sc.cbpChroma(mbIdx) = cbpC
+        if (cbp != 0) e.decision(CtxMbQpDelta, 0) // mb_qp_delta = 0
+        val ac = Array.tabulate(16) { b =>
+          if (((cbpL >> (b / 4)) & 1) != 0)
+            ConstructH.blockLevels(id, f, mbIdx, 1 + b, 16)
+          else new Array[Int](16)
+        }
+        for (b <- 0 until 16 if ((cbpL >> (b / 4)) & 1) != 0) {
+          sumBlock(mbIdx, 1 + b, ac(b))
+          val (x4, y4) = blkPos(b)
+          val cbf = encodeResidual(e, sc, CatLuma4, mbX, mbY, b, 0,
+            ac(b), curIntra = false)
+          sc.lumaCbf(mbY * 4 + y4)(mbX * 4 + x4) = cbf
+        }
+        val cdc = Array.tabulate(2)(c =>
+          if (cbpC > 0) ConstructH.blockLevels(id, f, mbIdx, 17 + c, 4)
+          else new Array[Int](4))
+        if (cbpC > 0) for (c <- 0 until 2) {
+          sumBlock(mbIdx, 17 + c, cdc(c))
+          sc.chromaDcCbf(c)(mbIdx) = encodeResidual(e, sc, CatChromaDc,
+            mbX, mbY, 0, c, cdc(c), curIntra = false)
+        }
+        val cac = Array.tabulate(2, 4)((c, b) =>
+          if (cbpC == 2) ConstructH.blockLevels(id, f, mbIdx, 19 + 4 * c + b, 15)
+          else new Array[Int](15))
+        if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+          sumBlock(mbIdx, 19 + 4 * c + b, cac(c)(b))
+          sc.chromaAcCbf(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) =
+            encodeResidual(e, sc, CatChromaAc, mbX, mbY, b, c,
+              cac(c)(b), curIntra = false)
+        }
+        reconstructInterMb(InterMb(pt, refIdxArr, mvs, cbpL, cbpC, ac,
+          cdc, cac), qp, mbX, mbY, refs, y, cb, cr, wMb, hMb)
+      }
+      e.terminate(if (mbIdx == total - 1) 1 else 0) // end_of_slice_flag
+    }
+    w.alignByte()
+    (w.result(), H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L,
+      mvdSum, refSum, nSkip, typeSum, cbpSum = cbpSum))
+  }
+
+  // -------------------------------------------------------------------
+  // decode
+  // -------------------------------------------------------------------
+
+  /** Decode a stream this construction emits; None for anything
+    * outside the envelope (CAVLC PPS, B slices, intra MBs inside P
+    * slices, sub-partitions other than P_L0_8x8, nonzero mb_qp_delta
+    * — the fall-through contract).
+    */
+  def decode(bytes: Array[Byte]): Option[H264Stream] = {
+    try {
+      val nals = Vector.newBuilder[(Int, Array[Byte])]
+      var i = 0
+      var start = -1
+      var typ = -1
+      while (i + 2 < bytes.length) {
+        if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
+          if (start >= 0) {
+            val end = if (i > 0 && bytes(i - 1) == 0) i - 1 else i
+            nals += ((typ, H264.emulationStrip(
+              java.util.Arrays.copyOfRange(bytes, start, end))))
+          }
+          typ = bytes(i + 3) & 0x1f
+          start = i + 4
+          i += 4
+        } else i += 1
+      }
+      if (start >= 0 && start <= bytes.length)
+        nals += ((typ, H264.emulationStrip(
+          java.util.Arrays.copyOfRange(bytes, start, bytes.length))))
+      var wMb = -1; var hMb = -1
+      var sawPps = false
+      var qp = -1
+      var dpb: List[(Array[Int], Array[Int], Array[Int])] = Nil
+      val frames = Vector.newBuilder[H264Frame]
+      nals.result().foreach {
+        case (7, rbsp) =>
+          val r = new BitReader(rbsp)
+          if (r.get(8) != 77) return None // Main profile
+          r.get(16)
+          if (r.ue() != 0 || r.ue() != 0) return None
+          if (r.ue() != 2) return None // POC type 2
+          r.ue(); r.get(1) // max_num_ref_frames, gaps flag
+          wMb = r.ue() + 1; hMb = r.ue() + 1
+          if (r.get(1) != 1) return None
+        case (8, rbsp) =>
+          val r = new BitReader(rbsp)
+          if (r.ue() != 0 || r.ue() != 0) return None
+          if (r.get(1) != 1) return None // CABAC only here
+          r.get(1); r.ue(); r.ue(); r.ue(); r.get(1); r.get(2)
+          r.se(); r.se(); r.se()
+          if (r.get(1) != 1) return None
+          r.get(1); r.get(1)
+          sawPps = true
+        case (5, rbsp) =>
+          if (wMb < 0 || !sawPps) return None
+          val r = new BitReader(rbsp)
+          if (r.ue() != 0) return None
+          if (r.ue() != 7) return None // I slice
+          if (r.ue() != 0) return None
+          r.get(4); r.ue()
+          r.get(1); r.get(1)
+          qp = 26 + r.se()
+          if (qp > 29) return None
+          if (r.ue() != 1) return None
+          val pad = (8 - r.bitPos % 8) % 8
+          if (pad > 0 && r.get(pad) != (1 << pad) - 1) return None
+          val fr = H264Cabac.decodeSlice(rbsp, r.bitPos, wMb, hMb, qp)
+          frames += fr
+          dpb = List((fr.y, fr.cb, fr.cr))
+        case (1, rbsp) =>
+          if (wMb < 0 || !sawPps || dpb.isEmpty) return None
+          val r = new BitReader(rbsp)
+          if (r.ue() != 0) return None
+          if (r.ue() != 5) return None // P slice
+          if (r.ue() != 0) return None
+          r.get(4) // frame_num
+          val nRefs =
+            if (r.get(1) == 1) { // num_ref_idx_active_override
+              val n = r.ue() + 1
+              if (n > 2) return None
+              n
+            } else 1
+          if (nRefs > dpb.size) return None
+          if (r.get(1) != 0) return None // list modification
+          if (r.get(1) != 0) return None // adaptive marking
+          if (r.ue() != 0) return None // cabac_init_idc
+          if (26 + r.se() != qp) return None
+          if (r.ue() != 1) return None
+          val pad = (8 - r.bitPos % 8) % 8
+          if (pad > 0 && r.get(pad) != (1 << pad) - 1) return None
+          val fr = decodePSlice(rbsp, r.bitPos, wMb, hMb, qp, nRefs,
+            dpb.toIndexedSeq)
+          frames += fr
+          dpb = ((fr.y, fr.cb, fr.cr) :: dpb).take(2)
+        case _ => return None
+      }
+      val fs = frames.result()
+      if (wMb < 0 || fs.size < 2) None
+      else Some(H264Stream(wMb, hMb, qp, fs))
+    } catch { case _: Exception => None }
+  }
+
+  private def decodePSlice(rbsp: Array[Byte], startBit: Int, wMb: Int,
+      hMb: Int, qp: Int, nRefs: Int,
+      refs: IndexedSeq[(Array[Int], Array[Int], Array[Int])]): H264Frame = {
+    def bad(msg: String): Nothing = throw new IllegalStateException(msg)
+    val d = new Decoder(rbsp, startBit, CtxCountP)
+    val sc = new SliceCtx(wMb, hMb)
+    val grid = new MotionGrid(wMb * 4, hMb * 4)
+    val amx = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val amy = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val y = new Array[Int](wMb * 16 * hMb * 16)
+    val cb = new Array[Int](wMb * 8 * hMb * 8)
+    val cr = new Array[Int](wMb * 8 * hMb * 8)
+    var checksum = 0L; var mvdSum = 0L; var refSum = 0L
+    var nSkip = 0L; var typeSum = 0L; var cbpSum = 0L
+    def sumBlock(mbIdx: Int, tag: Int, levels: Array[Int]): Unit = {
+      var s = 0
+      while (s < levels.length) {
+        if (levels(s) != 0)
+          checksum += levels(s).toLong * (mbIdx * 131 + tag * 17 + s + 1)
+        s += 1
+      }
+    }
+    val total = wMb * hMb
+    for (mbIdx <- 0 until total) {
+      val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+      val gx0 = mbX * 4; val gy0 = mbY * 4
+      val skip = d.decision(CtxSkipP + skipInc(sc, wMb, mbX, mbY)) == 1
+      if (skip) {
+        nSkip += 1
+        sc.mbKind(mbIdx) = KindSkip
+        val (mx, my) = skipMv(grid, gx0, gy0)
+        grid.fill(gx0, gy0, 4, 4, mx, my, 0)
+        reconstructInterMb(skipMb.copy(mv = Array((mx, my))), qp, mbX,
+          mbY, refs, y, cb, cr, wMb, hMb)
+      } else {
+        sc.mbKind(mbIdx) = KindInter
+        if (d.decision(CtxMbTypeP + 0) != 0) bad("intra MB in P slice")
+        val b1 = d.decision(CtxMbTypeP + 1)
+        val b2 = d.decision(CtxMbTypeP + (if (b1 == 0) 2 else 3))
+        val pt =
+          if (b1 == 0) { if (b2 == 0) 0 else 3 }
+          else { if (b2 == 0) 2 else 1 }
+        typeSum += (pt + 1L) * (mbIdx + 1)
+        val np = nPartsOf(pt)
+        if (pt == 3) for (_ <- 0 until np)
+          if (d.decision(CtxSubMbTypeP + 0) != 1)
+            bad("sub_mb_type beyond P_L0_8x8 out of scope")
+        val refIdxArr = new Array[Int](np)
+        val mvs = new Array[(Int, Int)](np)
+        for (p <- 0 until np) {
+          val (cx, cy, cw, ch) = partRect(pt, p)
+          refIdxArr(p) =
+            if (nRefs == 2) {
+              val inc = refInc(grid, gx0 + cx, gy0 + cy)
+              if (d.decision(CtxRefIdx + inc) == 0) 0
+              else {
+                if (d.decision(CtxRefIdx + 4) != 0)
+                  bad("ref_idx beyond active list")
+                1
+              }
+            } else 0
+          if (nRefs == 2) refSum += refIdxArr(p).toLong * (mbIdx + 1)
+          val mvdx = decodeMvd(d, CtxMvdX, mvdInc(amx, gx0 + cx, gy0 + cy))
+          val mvdy = decodeMvd(d, CtxMvdY, mvdInc(amy, gx0 + cx, gy0 + cy))
+          mvdSum += (mbIdx * 64L + p * 8 + 1) * mvdx +
+            (mbIdx * 64L + p * 8 + 3) * mvdy
+          val (mpx, mpy) = mvPred(grid, gx0 + cx, gy0 + cy, cw,
+            refIdxArr(p), partKindOf(pt, p))
+          mvs(p) = (mpx + mvdx, mpy + mvdy)
+          grid.fill(gx0 + cx, gy0 + cy, cw, ch, mvs(p)._1, mvs(p)._2,
+            refIdxArr(p))
+          for (yy <- gy0 + cy until gy0 + cy + ch;
+              xx <- gx0 + cx until gx0 + cx + cw) {
+            amx(yy)(xx) = math.abs(mvdx)
+            amy(yy)(xx) = math.abs(mvdy)
+          }
+        }
+        var cbpL = 0
+        for (b8 <- 0 until 4) {
+          val bx = b8 % 2; val by = b8 / 2
+          val bit = d.decision(CtxCbpLuma + sc.cbpLumaInc(mbX, mbY, bx, by))
+          cbpL |= bit << b8
+          sc.cbpLumaBit(mbY * 2 + by)(mbX * 2 + bx) = bit
+        }
+        var cbpC = 0
+        if (d.decision(CtxCbpChroma + sc.cbpChromaInc(mbX, mbY, 0)) == 1)
+          cbpC = 1 + d.decision(CtxCbpChroma + 4 + sc.cbpChromaInc(mbX, mbY, 1))
+        sc.cbpChroma(mbIdx) = cbpC
+        val cbp = cbpL | (cbpC << 4)
+        cbpSum += cbp.toLong * (mbIdx + 1)
+        if (cbp != 0 && d.decision(CtxMbQpDelta) != 0)
+          bad("nonzero mb_qp_delta out of scope")
+        val ac = Array.fill(16)(new Array[Int](16))
+        for (b <- 0 until 16 if ((cbpL >> (b / 4)) & 1) != 0) {
+          val (blk, cbf) = decodeResidual(d, sc, CatLuma4, mbX, mbY, b,
+            0, 16, curIntra = false)
+          ac(b) = blk
+          sumBlock(mbIdx, 1 + b, blk)
+          val (x4, y4) = blkPos(b)
+          sc.lumaCbf(mbY * 4 + y4)(mbX * 4 + x4) = cbf
+        }
+        val cdc = Array.fill(2)(new Array[Int](4))
+        if (cbpC > 0) for (c <- 0 until 2) {
+          val (blk, cbf) = decodeResidual(d, sc, CatChromaDc, mbX, mbY,
+            0, c, 4, curIntra = false)
+          cdc(c) = blk
+          sumBlock(mbIdx, 17 + c, blk)
+          sc.chromaDcCbf(c)(mbIdx) = cbf
+        }
+        val cac = Array.fill(2, 4)(new Array[Int](15))
+        if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+          val (blk, cbf) = decodeResidual(d, sc, CatChromaAc, mbX, mbY,
+            b, c, 15, curIntra = false)
+          cac(c)(b) = blk
+          sumBlock(mbIdx, 19 + 4 * c + b, blk)
+          sc.chromaAcCbf(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = cbf
+        }
+        reconstructInterMb(InterMb(pt, refIdxArr, mvs, cbpL, cbpC, ac,
+          cdc, cac), qp, mbX, mbY, refs, y, cb, cr, wMb, hMb)
+      }
+      val end = d.terminate() == 1
+      if (mbIdx == total - 1) { if (!end) bad("missing end_of_slice") }
+      else if (end) bad("early end_of_slice")
+    }
+    H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L, mvdSum, refSum,
+      nSkip, typeSum, cbpSum = cbpSum)
+  }
+}

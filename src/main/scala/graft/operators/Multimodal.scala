@@ -1495,6 +1495,12 @@ object Multimodal {
     def decodeH265(bytes: Array[Byte]): Option[Decoded] =
       H265.decode(bytes).map(st =>
         Decoded(st.width, st.height, st.frames.size, 0))
+
+    def decodeH264Cabac(bytes: Array[Byte]): Option[Decoded] =
+      H264Cabac.decode(bytes)
+        .orElse(H264CabacInter.decode(bytes))
+        .map(st => Decoded(st.widthMb * 16, st.heightMb * 16,
+          st.frames.size, 0))
   }
 
   /** Production decode: real header parsers first, stub fallback for
@@ -1517,6 +1523,7 @@ object Multimodal {
         .orElse(MediaCodecs.decodeMp2(bytes))
         .orElse(MediaCodecs.decodeMp3Payload(bytes))
         .orElse(MediaCodecs.decodeH264(bytes))
+        .orElse(MediaCodecs.decodeH264Cabac(bytes))
         .orElse(MediaCodecs.decodeH265(bytes))
         .orElse(MediaCodecs.decodeMp4(bytes))
         .getOrElse(stub.decode(modality, mime, bytes))
@@ -1524,9 +1531,10 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake standing in for the codec library
     * on the formats [[MediaCodecs]] can't parse. Since r16 that is
-    * H.264 CABAC-INTER (P/B slices under entropy_coding_mode 1,
-    * including temporal direct) and H.265 INTER (P/B slices; intra
-    * decodes for real via [[graft.operators.H265]], q315) —
+    * H.264 CABAC B slices (and temporal direct) and H.265 INTER —
+    * CABAC intra (q314) and CABAC P slices (q316) decode for real
+    * via [[graft.operators.H264Cabac]]/[[H264CabacInter]], H.265
+    * intra via [[graft.operators.H265]] (q315) —
     * documented next rungs:
     * MPEG-1 video decodes for real across the WHOLE picture-type
     * alphabet — entropy-coded I-frames (q287), forward motion-

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Model._
 import graft.llm.{LlmOperator, MockLlmClient}
-import graft.operators.{H264, H264Cabac, H265, Mp2, Mp3, Multimodal, Sampling, StableMatcher}
+import graft.operators.{H264, H264Cabac, H264CabacInter, H265, Mp2, Mp3, Multimodal, Sampling, StableMatcher}
 import graft.ops.{Parsers, PromptRenderer}
 import graft.streaming.StreamingOps
 
@@ -2672,6 +2672,284 @@ object PipelineQueries extends Registry {
           LEFT JOIN i4m i4 ON i4.id = fr.id AND i4.frame_idx = fr.frame_idx
           LEFT JOIN cmode cm ON cm.id = fr.id AND cm.frame_idx = fr.frame_idx
           LEFT JOIN lsums l ON l.id = fr.id AND l.frame_idx = fr.frame_idx
+          ORDER BY fr.id, fr.frame_idx""")),
+
+    // ---- H.264 CABAC INTER decode (q316 — the entropy-coding
+    //      completion of q309: P slices under entropy_coding_mode 1,
+    //      the profile real corpora actually use): per-MB mb_skip_flag
+    //      with availability contexts (replacing CAVLC's skip runs),
+    //      the Table 9-37 P mb_type tree, sub_mb_type, unary ref_idx
+    //      with refIdx>0 neighbor conditions, UEG3 mvd with the
+    //      |mvdA|+|mvdB| bucket contexts over per-cell mvd grids,
+    //      bin-coded CBP sweeping ALL 48 values (CAVLC was bounded by
+    //      the transcribed me(v) head), and the q314 residual chain
+    //      with the inter coded_block_flag neighbor rule
+    //      (§9.3.3.1.1.9's unavailable→0 flip). Frame 0 is a full
+    //      q314 CABAC intra IDR; motion machinery (median MVP,
+    //      P_Skip inference, quarter-pel MC, 2-frame DPB) is q309's,
+    //      unchanged. The oracle re-derives BOTH constructions in
+    //      SQL: the intra frame's mode/cbp/bin/level sums and the P
+    //      frames' skip/type/ref/mvd/cbp48/level sums; recon_exact
+    //      gates bit-exact planes through the whole prediction chain.
+    //      Row-local fan-out, zero shuffle. ------------------------------
+    Q("q316_h264_cabac_inter",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 47 === 19)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, nch) =>
+              val (wMb, hMb) = H264.ConstructH.dims(id, nch)
+              val nf = H264.ConstructP.nFrames(id)
+              val qp = H264.ConstructH.qp(id)
+              val (bytes, expect) =
+                H264CabacInter.encodeInter(id, wMb, hMb, nf, qp)
+              val st = H264CabacInter.decode(bytes).get
+              st.frames.zip(expect).zipWithIndex.map { case ((got, exp), f) =>
+                val exact = got.y.sameElements(exp.y) &&
+                  got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr)
+                (id, f.toLong, (wMb * 16).toLong, (hMb * 16).toLong,
+                  (wMb * hMb).toLong, qp.toLong,
+                  if (f == 0) 1L else 0L, got.nI4Mbs, got.modeSum,
+                  got.i4ModeSum, got.chromaModeSum, got.binChecksum,
+                  got.nSkip, got.typeSum, got.refSum, got.mvdChecksum,
+                  got.cbpSum, got.levelChecksum, if (exact) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "width", "height", "n_mbs", "qp",
+            "is_intra", "n_i4", "mode_sum", "i4_mode_sum",
+            "chroma_mode_sum", "bin_checksum", "n_skip", "type_sum",
+            "ref_sum", "mvd_checksum", "cbp_sum", "level_checksum",
+            "recon_exact")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""WITH d AS (
+            SELECT doc_id AS id, n_chars,
+              CAST(1 + doc_id % 3 AS BIGINT) AS wmb,
+              CAST(1 + n_chars % 2 AS BIGINT) AS hmb,
+              CAST(20 + doc_id % 8 AS BIGINT) AS qp
+            FROM documents WHERE doc_id % 47 = 19),
+          fr AS (
+            SELECT id, wmb, hmb, qp, CAST(t.f AS BIGINT) AS frame_idx
+            FROM d, UNNEST(range(0, 3 + id % 2)) AS t(f)),
+          -- ============ frame 0: the q314 CABAC intra construction
+          imb AS (
+            SELECT fr.*, CAST(m.m AS BIGINT) AS mb,
+              CAST(m.m % wmb AS BIGINT) AS mbx,
+              CAST(m.m // wmb AS BIGINT) AS mby
+            FROM fr, UNNEST(range(0, wmb * hmb)) AS m(m)
+            WHERE frame_idx = 0),
+          icls AS (
+            SELECT imb.*, (id + mb) % 2 = 0 AS isi4,
+              CASE WHEN (id + mb) % 2 = 0
+                THEN (id + 29 * mb) // 2 % 48 ELSE 0 END AS cbp4
+            FROM imb),
+          ipm16 AS (
+            SELECT icls.*, CASE
+                WHEN mbx > 0 AND mby > 0 THEN
+                  list_extract([0, 1, 2, 3], CAST((id + mb) % 4 AS INT) + 1)
+                WHEN mby > 0 THEN
+                  list_extract([0, 2], CAST((id + mb) % 2 AS INT) + 1)
+                WHEN mbx > 0 THEN
+                  list_extract([1, 2], CAST((id + mb) % 2 AS INT) + 1)
+                ELSE 2 END AS pm,
+              (id + mb) % 3 != 2 AS cbpl15,
+              (id + 2 + mb) % 3 AS cbpc16
+            FROM icls WHERE NOT isi4),
+          im16 AS (
+            SELECT id, frame_idx,
+              CAST(sum(pm) AS BIGINT) AS mode_sum,
+              CAST(sum((mb * 8 + 1) +
+                CASE WHEN cbpl15 THEN mb * 8 + 3 ELSE 0 END +
+                CASE WHEN cbpc16 > 0 THEN mb * 8 + 4 ELSE 0 END +
+                CASE WHEN cbpc16 = 2 THEN mb * 8 + 5 ELSE 0 END +
+                CASE WHEN pm // 2 = 1 THEN mb * 8 + 6 ELSE 0 END +
+                CASE WHEN pm % 2 = 1 THEN mb * 8 + 7 ELSE 0 END)
+                AS BIGINT) AS bin_checksum
+            FROM ipm16 GROUP BY id, frame_idx),
+          icbps AS (
+            SELECT id, frame_idx,
+              CAST(sum(CASE WHEN isi4 THEN cbp4 * (mb + 1) ELSE 0 END)
+                AS BIGINT) AS cbp_sum,
+              CAST(sum(CASE WHEN isi4 THEN 1 ELSE 0 END) AS BIGINT) AS n_i4
+            FROM icls GROUP BY id, frame_idx),
+          icmode AS (
+            SELECT id, frame_idx, CAST(sum(CASE
+                WHEN mbx > 0 AND mby > 0 THEN
+                  list_extract([0, 1, 2, 3], CAST((id + 2 * mb) % 4 AS INT) + 1)
+                WHEN mby > 0 THEN
+                  list_extract([0, 2], CAST((id + 2 * mb) % 2 AS INT) + 1)
+                WHEN mbx > 0 THEN
+                  list_extract([0, 1], CAST((id + 2 * mb) % 2 AS INT) + 1)
+                ELSE 0 END) AS BIGINT) AS chroma_mode_sum
+            FROM icls GROUP BY id, frame_idx),
+          ii4m AS (
+            SELECT id, frame_idx, CAST(sum(CASE
+                WHEN gx > 0 AND gy > 0 THEN (id + mb + blk) % 9
+                WHEN gy > 0 THEN
+                  list_extract([0, 2, 3, 7], CAST((id + mb + blk) % 4 AS INT) + 1)
+                WHEN gx > 0 THEN
+                  list_extract([1, 2, 8], CAST((id + mb + blk) % 3 AS INT) + 1)
+                ELSE 2 END) AS BIGINT) AS i4_mode_sum
+            FROM (
+              SELECT icls.*, CAST(bk.blk AS BIGINT) AS blk,
+                mbx * 4 + 2 * ((bk.blk // 4) % 2) + bk.blk % 2 AS gx,
+                mby * 4 + 2 * (bk.blk // 8) + (bk.blk // 2) % 2 AS gy
+              FROM icls, UNNEST(range(0, 16)) AS bk(blk)
+              WHERE isi4)
+            GROUP BY id, frame_idx),
+          itags AS (
+            SELECT c.*, CAST(tg.tag AS BIGINT) AS tag,
+              CASE WHEN tg.tag BETWEEN 1 AND 16 THEN
+                     CASE WHEN c.isi4 THEN 16 ELSE 15 END
+                   WHEN tg.tag BETWEEN 17 AND 18 THEN 4
+                   ELSE 15 END AS ncoeffs
+            FROM (SELECT icls.*,
+                    CASE WHEN isi4 THEN cbp4 % 16
+                      WHEN (id + mb) % 3 != 2 THEN 15 ELSE 0 END AS cbpl,
+                    CASE WHEN isi4 THEN cbp4 // 16
+                      ELSE (id + 2 + mb) % 3 END AS cbpc
+                  FROM icls) c,
+              UNNEST(range(1, 27)) AS tg(tag)
+            WHERE (tg.tag BETWEEN 1 AND 16 AND
+                     (c.cbpl >> CAST((tg.tag - 1) // 4 AS INT)) & 1 = 1)
+               OR (tg.tag BETWEEN 17 AND 18 AND c.cbpc > 0)
+               OR (tg.tag BETWEEN 19 AND 26 AND c.cbpc = 2)),
+          ilev AS (
+            SELECT t.*, CAST(kk.k AS BIGINT) AS k,
+              CASE WHEN ncoeffs = 4 THEN 1
+                   ELSE 1 + CAST((id + tag) % 4 AS BIGINT) END AS step,
+              CAST((id + frame_idx + mb + tag) %
+                (CASE WHEN tag >= 19 THEN 3 ELSE 4 END) AS BIGINT) AS n
+            FROM itags t, UNNEST(range(0, 3)) AS kk(k)
+            WHERE kk.k < (id + frame_idx + mb + tag) %
+              (CASE WHEN tag >= 19 THEN 3 ELSE 4 END)),
+          icontrib AS (
+            SELECT id, frame_idx,
+              (1 + (id + mb + tag * 2 + k + frame_idx) % 3) *
+              (CASE WHEN (id + mb + tag + k) % 2 = 0 THEN 1 ELSE -1 END) *
+              (mb * 131 + tag * 17 +
+                (CASE WHEN ncoeffs = 4 THEN (id + tag + mb) % 2
+                 ELSE (id + mb + tag) % (ncoeffs - (n - 1) * step) END)
+                + k * step + 1) AS c
+            FROM ilev),
+          iwidedc AS (
+            SELECT p.id, p.frame_idx, p.mb, CAST(kk.k AS BIGINT) AS k,
+              1 + CAST(p.id % 4 AS BIGINT) AS step,
+              CAST((p.id + p.frame_idx + p.mb) % 4 AS BIGINT) AS n
+            FROM ipm16 p, UNNEST(range(0, 3)) AS kk(k)
+            WHERE kk.k < (p.id + p.frame_idx + p.mb) % 4),
+          iwidec AS (
+            SELECT id, frame_idx,
+              (1 + (id + mb + 3 * k + frame_idx) % 25) *
+              (CASE WHEN (id + mb + k) % 2 = 0 THEN 1 ELSE -1 END) *
+              (mb * 131 +
+                ((id + mb) % (16 - (n - 1) * step)) + k * step + 1) AS c
+            FROM iwidedc),
+          ilsums AS (
+            SELECT id, frame_idx, CAST(sum(c) AS BIGINT) AS level_checksum
+            FROM (SELECT * FROM icontrib UNION ALL SELECT * FROM iwidec)
+            GROUP BY id, frame_idx),
+          -- ============ P frames: q309's construction + cbp48 sweep
+          pmb AS (
+            SELECT fr.*, CAST(m.m AS BIGINT) AS mb,
+              (id + frame_idx + m.m) % 5 = 1 AS skip,
+              CAST((id + 2 * frame_idx + m.m) % 4 AS BIGINT) AS pt,
+              CASE WHEN frame_idx >= 2 THEN 2 ELSE 1 END AS nrefs,
+              CAST((id + 5 * frame_idx + 29 * m.m) % 48 AS BIGINT) AS cbp
+            FROM fr, UNNEST(range(0, wmb * hmb)) AS m(m)
+            WHERE frame_idx >= 1),
+          pcoded AS (
+            SELECT *,
+              CASE pt WHEN 0 THEN 1 WHEN 3 THEN 4 ELSE 2 END AS np
+            FROM pmb WHERE NOT skip),
+          pparts AS (
+            SELECT pcoded.*, CAST(pp.p AS BIGINT) AS part,
+              CAST(((id + 3 * frame_idx + 5 * mb + 7 * pp.p) % 41) - 20
+                AS BIGINT) AS mvdx,
+              CAST(((3 * id + frame_idx + 2 * mb + 5 * pp.p) % 41) - 20
+                AS BIGINT) AS mvdy,
+              CASE WHEN nrefs = 2 THEN (id + mb + pp.p) % 2 ELSE 0 END AS ref
+            FROM pcoded, UNNEST(range(0, np)) AS pp(p)),
+          ppsums AS (
+            SELECT id, frame_idx,
+              CAST(sum((mb * 64 + part * 8 + 1) * mvdx +
+                       (mb * 64 + part * 8 + 3) * mvdy) AS BIGINT)
+                AS mvd_checksum,
+              CAST(sum(ref * (mb + 1)) AS BIGINT) AS ref_sum
+            FROM pparts GROUP BY id, frame_idx),
+          pmsums AS (
+            SELECT id, frame_idx,
+              CAST(sum((pt + 1) * (mb + 1)) AS BIGINT) AS type_sum,
+              CAST(sum(cbp * (mb + 1)) AS BIGINT) AS cbp_sum
+            FROM pcoded GROUP BY id, frame_idx),
+          pssums AS (
+            SELECT id, frame_idx,
+              CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT) AS n_skip
+            FROM pmb GROUP BY id, frame_idx),
+          ptags AS (
+            SELECT pcoded.*, CAST(tg.tag AS BIGINT) AS tag,
+              CASE WHEN tg.tag BETWEEN 1 AND 16 THEN 16
+                   WHEN tg.tag BETWEEN 17 AND 18 THEN 4
+                   ELSE 15 END AS ncoeffs
+            FROM pcoded, UNNEST(range(1, 27)) AS tg(tag)
+            WHERE (tg.tag BETWEEN 1 AND 16 AND
+                   ((cbp % 16) >> CAST((tg.tag - 1) // 4 AS INT)) & 1 = 1)
+               OR (tg.tag BETWEEN 17 AND 18 AND cbp // 16 > 0)
+               OR (tg.tag BETWEEN 19 AND 26 AND cbp // 16 = 2)),
+          plev AS (
+            SELECT t.*, CAST(kk.k AS BIGINT) AS k,
+              CASE WHEN ncoeffs = 4 THEN 1
+                   ELSE 1 + CAST((id + tag) % 4 AS BIGINT) END AS step,
+              CAST((id + frame_idx + mb + tag) %
+                (CASE WHEN tag >= 19 THEN 3 ELSE 4 END) AS BIGINT) AS n
+            FROM ptags t, UNNEST(range(0, 3)) AS kk(k)
+            WHERE kk.k < (id + frame_idx + mb + tag) %
+              (CASE WHEN tag >= 19 THEN 3 ELSE 4 END)),
+          pcontrib AS (
+            SELECT id, frame_idx,
+              (1 + (id + mb + tag * 2 + k + frame_idx) % 3) *
+              (CASE WHEN (id + mb + tag + k) % 2 = 0 THEN 1 ELSE -1 END) *
+              (mb * 131 + tag * 17 +
+                (CASE WHEN ncoeffs = 4 THEN (id + tag + mb) % 2
+                 ELSE (id + mb + tag) % (ncoeffs - (n - 1) * step) END)
+                + k * step + 1) AS c
+            FROM plev),
+          plsums AS (
+            SELECT id, frame_idx, CAST(sum(c) AS BIGINT) AS level_checksum
+            FROM pcontrib GROUP BY id, frame_idx)
+          SELECT fr.id, fr.frame_idx,
+            CAST(fr.wmb * 16 AS BIGINT) AS width,
+            CAST(fr.hmb * 16 AS BIGINT) AS height,
+            CAST(fr.wmb * fr.hmb AS BIGINT) AS n_mbs,
+            fr.qp AS qp,
+            CASE WHEN fr.frame_idx = 0 THEN 1 ELSE 0 END AS is_intra,
+            coalesce(icb.n_i4, 0) AS n_i4,
+            coalesce(im.mode_sum, 0) AS mode_sum,
+            coalesce(ii4.i4_mode_sum, 0) AS i4_mode_sum,
+            coalesce(icm.chroma_mode_sum, 0) AS chroma_mode_sum,
+            coalesce(im.bin_checksum, 0) AS bin_checksum,
+            coalesce(pss.n_skip, 0) AS n_skip,
+            coalesce(pms.type_sum, 0) AS type_sum,
+            coalesce(pps.ref_sum, 0) AS ref_sum,
+            coalesce(pps.mvd_checksum, 0) AS mvd_checksum,
+            coalesce(icb.cbp_sum, pms.cbp_sum, 0) AS cbp_sum,
+            coalesce(il.level_checksum, pl.level_checksum, 0)
+              AS level_checksum,
+            CAST(1 AS BIGINT) AS recon_exact
+          FROM fr
+          LEFT JOIN icbps icb ON icb.id = fr.id AND icb.frame_idx = fr.frame_idx
+          LEFT JOIN im16 im ON im.id = fr.id AND im.frame_idx = fr.frame_idx
+          LEFT JOIN ii4m ii4 ON ii4.id = fr.id AND ii4.frame_idx = fr.frame_idx
+          LEFT JOIN icmode icm ON icm.id = fr.id AND icm.frame_idx = fr.frame_idx
+          LEFT JOIN ilsums il ON il.id = fr.id AND il.frame_idx = fr.frame_idx
+          LEFT JOIN pssums pss ON pss.id = fr.id AND pss.frame_idx = fr.frame_idx
+          LEFT JOIN pmsums pms ON pms.id = fr.id AND pms.frame_idx = fr.frame_idx
+          LEFT JOIN ppsums pps ON pps.id = fr.id AND pps.frame_idx = fr.frame_idx
+          LEFT JOIN plsums pl ON pl.id = fr.id AND pl.frame_idx = fr.frame_idx
           ORDER BY fr.id, fr.frame_idx""")),
 
     // ---- H.265/HEVC INTRA decode (VERDICT r15 item 8, q315): CTB-32
