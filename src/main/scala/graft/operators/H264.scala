@@ -2043,7 +2043,7 @@ object H264 {
   /** Record a direct MB's per-cell motion in the per-list grids (the
     * derived motion participates in later neighbors' MV prediction).
     */
-  private def fillDirect(gridL0: MotionGrid, gridL1: MotionGrid,
+  private[operators] def fillDirect(gridL0: MotionGrid, gridL1: MotionGrid,
       dm: DirectMotion, gx0: Int, gy0: Int): Unit =
     for (cy <- 0 until 4; cx <- 0 until 4) {
       val (m0x, m0y) = dm.mv0(cy * 4 + cx)
@@ -2057,7 +2057,7 @@ object H264 {
     * bipredictive average when both lists are used, then the shared
     * CBP-gated residual add (zero residual for B_Skip).
     */
-  private def reconstructDirectMb(dm: DirectMotion, l0: Planes,
+  private[operators] def reconstructDirectMb(dm: DirectMotion, l0: Planes,
       l1: Planes, residual: InterMb, qp: Int, mbX: Int, mbY: Int,
       y: Array[Int], cb: Array[Int], cr: Array[Int], wMb: Int,
       hMb: Int): Unit = {
@@ -2441,7 +2441,7 @@ object H264 {
     * default bipredictive sample average when both, then the shared
     * CBP-gated residual add (§8.4.2.3 / q309's residual machinery).
     */
-  private def reconstructBMb(useL0: Boolean, useL1: Boolean,
+  private[operators] def reconstructBMb(useL0: Boolean, useL1: Boolean,
       mvL0: (Int, Int), mvL1: (Int, Int),
       l0: (Array[Int], Array[Int], Array[Int]),
       l1: (Array[Int], Array[Int], Array[Int]),

@@ -34,17 +34,28 @@ package graft.operators
   *    curIntra = false: §9.3.3.1.1.9's unavailable-neighbor
   *    coded_block_flag condition flips to 0 for inter macroblocks.
   *
+  * B slices (q317) ride the same engine: mb_skip_flag and the
+  * Table 9-37 B mb_type tree ('0' B_Direct_16x16, '100' B_L0_16x16,
+  * '101' B_L1_16x16, '110000' B_Bi_16x16) with the explicit-neighbor
+  * bin-0 condition (skip/direct neighbors count 0), per-list UEG3
+  * mvd contexts over per-list grids, and q313's spatial-direct
+  * machinery (MinPositive refs, per-cell colZeroFlag, default
+  * biprediction) plus POC-type-0 output ordering, all unchanged.
+  *
   * Scope bounds (documented fall-throughs, same policy as the CAVLC
-  * inter path): P slices with mb_qp_delta 0 and no intra MBs inside
-  * them, one or two L0 references, B slices and temporal direct under
-  * CABAC stay out (q313 covers them under CAVLC), uniform context
-  * init per [[H264Cabac]]'s scope note.
+  * inter path): P/B slices with mb_qp_delta 0 and no intra MBs inside
+  * them, one or two L0 references (one per list in B), non-reference
+  * B pictures, spatial direct only — temporal direct stays out under
+  * both entropy coders — and uniform context init per
+  * [[H264Cabac]]'s scope note.
   */
 object H264CabacInter {
 
-  import H264.{BitReader, BitWriter, ConstructH, ConstructP, H264Frame,
-    H264Stream, InterMb, MotionGrid, PartKind, blkPos, mvPred, skipMv,
-    nPartsOf, partKindOf, partRect, reconstructInterMb, skipMb}
+  import H264.{BitReader, BitWriter, ConstructB, ConstructH, ConstructP,
+    DirectMotion, H264Frame, H264Stream, InterMb, MotionGrid, PartKind,
+    Planes, blkPos, directMotion, fillDirect, mvPred, skipMv, nPartsOf,
+    partKindOf, partRect, reconstructBMb, reconstructDirectMb,
+    reconstructInterMb, skipMb}
   import H264Cabac.{CatChromaAc, CatChromaDc, CatLuma4, CtxCbpChroma,
     CtxCbpLuma, CtxMbQpDelta, Decoder, Encoder, SliceCtx,
     encodeResidual, decodeResidual}
@@ -58,13 +69,21 @@ object H264CabacInter {
   val CtxRefIdx = 290 // bin0 + inc 0..3; bin1 at +4; rest at +5
   val CtxMvdX = 296 // bin0 + inc 0..2; bins 1-3 at +3..+5; rest +6
   val CtxMvdY = 303
-  val CtxCountP = 310
+  /** B-slice additions (q317): mvd_l1 gets its own component pair —
+    * §9.3.3.1.1.7 buckets on the SAME list's neighbor |mvd|.
+    */
+  val CtxMvdX1 = 310
+  val CtxMvdY1 = 317
+  val CtxSkipB = 324 // + inc 0..2
+  val CtxMbTypeB = 327 // bin0 + inc 0..2; bin1 at +3; bins >= 2 at +4
+  val CtxCountP = 332
 
   /** mbKind codes stored into [[H264Cabac.SliceCtx]] for P slices
     * (the intra codes 0/1 never occur inside a P slice here).
     */
   final val KindInter = 2
   final val KindSkip = 3
+  final val KindDirect = 4
 
   /** q316's deterministic construction: [[H264.ConstructP]] for skip/
     * type/refIdx/mvd/levels, plus a full-sweep CBP (CABAC codes the
@@ -106,7 +125,7 @@ object H264CabacInter {
     var dpb: List[(Array[Int], Array[Int], Array[Int])] =
       List((fr0.y, fr0.cb, fr0.cr))
     for (f <- 1 until nFrames) {
-      val (rbsp, fr) = encodePSlice(id, f, wMb, hMb, qp, dpb.toIndexedSeq)
+      val (rbsp, fr, _) = encodePSlice(id, f, wMb, hMb, qp, dpb.toIndexedSeq)
       out.write(nal(1, rbsp))
       frames += fr
       dpb = ((fr.y, fr.cb, fr.cr) :: dpb).take(2)
@@ -114,21 +133,24 @@ object H264CabacInter {
     (out.toByteArray, frames.result())
   }
 
-  private def nal(typ: Int, rbsp: Array[Byte]): Array[Byte] = {
+  private def nal(typ: Int, rbsp: Array[Byte],
+      refIdc: Int = 3): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte](0, 0, 0, 1))
-    out.write((3 << 5) | typ)
+    out.write((refIdc << 5) | typ)
     out.write(H264.emulationPrevent(rbsp))
     out.toByteArray
   }
 
-  private def spsRbsp(wMb: Int, hMb: Int): Array[Byte] = {
+  private def spsRbsp(wMb: Int, hMb: Int,
+      pocType: Int = 2): Array[Byte] = {
     val w = new BitWriter
     w.put(77, 8) // profile_idc: Main
     w.put(0, 8); w.put(10, 8)
     w.ue(0); w.ue(0) // sps_id, log2_max_frame_num_minus4
-    w.ue(2) // pic_order_cnt_type 2 (decode order = display order)
-    w.ue(2) // max_num_ref_frames: two-frame sliding window
+    w.ue(pocType) // pic_order_cnt_type (0 for the B stream's reorder)
+    if (pocType == 0) w.ue(4) // log2_max_pic_order_cnt_lsb_minus4 -> 8 bits
+    w.ue(2) // max_num_ref_frames: two-frame sliding window (after pocType)
     w.put(0, 1)
     w.ue(wMb - 1); w.ue(hMb - 1)
     w.put(1, 1) // frame_mbs_only
@@ -225,14 +247,16 @@ object H264CabacInter {
     decodeMvd(d, CtxMvdX, 0)
 
   private def encodePSlice(id: Long, f: Int, wMb: Int, hMb: Int,
-      qp: Int, refs: IndexedSeq[(Array[Int], Array[Int], Array[Int])])
-    : (Array[Byte], H264Frame) = {
+      qp: Int, refs: IndexedSeq[(Array[Int], Array[Int], Array[Int])],
+      pocLsb: Option[Int] = None)
+    : (Array[Byte], H264Frame, MotionGrid) = {
     val nRefs = math.min(refs.size, 2)
     val w = new BitWriter
     w.ue(0) // first_mb_in_slice
     w.ue(5) // slice_type: P (all slices in pic)
     w.ue(0) // pps_id
     w.put(f % 16, 4) // frame_num
+    pocLsb.foreach(v => w.put(v, 8)) // pic_order_cnt_lsb (POC type 0)
     if (nRefs == 2) { w.put(1, 1); w.ue(1) } else w.put(0, 1)
     w.put(0, 1) // ref_pic_list_modification_flag_l0
     w.put(0, 1) // adaptive_ref_pic_marking_mode_flag
@@ -364,7 +388,229 @@ object H264CabacInter {
     }
     w.alignByte()
     (w.result(), H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L,
-      mvdSum, refSum, nSkip, typeSum, cbpSum = cbpSum))
+      mvdSum, refSum, nSkip, typeSum, cbpSum = cbpSum,
+      poc = pocLsb.map(_.toLong).getOrElse(-1L)), grid)
+  }
+
+  // -------------------------------------------------------------------
+  // B slices (q317): spatial direct + biprediction under CABAC
+  // -------------------------------------------------------------------
+
+  /** mb_type bin-0 / mb_skip_flag conditions for B slices: only an
+    * available EXPLICIT inter neighbor counts (B_Skip and B_Direct
+    * neighbors contribute 0, §9.3.3.1.1.2-3).
+    */
+  private def btypeInc(sc: SliceCtx, wMb: Int, mbX: Int, mbY: Int): Int = {
+    def c(x: Int, y: Int): Int =
+      if (sc.avail(x, y) && sc.mbKind(y * wMb + x) == KindInter) 1 else 0
+    c(mbX - 1, mbY) + c(mbX, mbY - 1)
+  }
+
+  /** Encode the q313 decode-order plan — I(poc 0), P(poc 6), B(poc 2),
+    * B(poc 4) — under CABAC (q317). Frame 0 is the q314 intra
+    * construction with a POC-type-0 slice header; the P frame is the
+    * q316 P slice; the two non-reference B frames carry B_Skip,
+    * B_Direct_16x16 and explicit L0/L1/Bi MBs with the full bin-coded
+    * CBP sweep. Returns frames in DECODE order with their POCs.
+    */
+  def encodeBi(id: Long, wMb: Int, hMb: Int,
+      qp: Int): (Array[Byte], Vector[H264Frame]) = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(nal(7, spsRbsp(wMb, hMb, pocType = 0)))
+    out.write(nal(8, ppsRbsp()))
+    val frames = Vector.newBuilder[H264Frame]
+    val b0 = Vector.newBuilder[H264Frame]
+    val rbsp0 = H264Cabac.encodeSlice(id, 0, wMb, hMb, qp, b0,
+      pocLsb = Some(ConstructB.Pocs(0)))
+    out.write(nal(5, rbsp0))
+    val fr0 = b0.result().head.copy(poc = ConstructB.Pocs(0).toLong)
+    frames += fr0
+    val ref0 = (fr0.y, fr0.cb, fr0.cr)
+    val (rbspP, frP0, gridP) = encodePSlice(id, 1, wMb, hMb, qp,
+      IndexedSeq(ref0), pocLsb = Some(ConstructB.Pocs(1)))
+    val frP = frP0.copy(poc = ConstructB.Pocs(1).toLong)
+    out.write(nal(1, rbspP))
+    frames += frP
+    val refP = (frP.y, frP.cb, frP.cr)
+    for (f <- 2 until 4) {
+      val (rbspB, frB) = encodeBSlice(id, f, wMb, hMb, qp,
+        ref0, refP, Some(gridP), ConstructB.Pocs(f))
+      out.write(nal(1, rbspB, refIdc = 0)) // non-reference picture
+      frames += frB.copy(poc = ConstructB.Pocs(f).toLong)
+    }
+    (out.toByteArray, frames.result())
+  }
+
+  private def emptyResidual: InterMb =
+    InterMb(0, Array(0), Array((0, 0)), 0, 0,
+      Array.fill(16)(new Array[Int](16)), Array.fill(2)(new Array[Int](4)),
+      Array.fill(2, 4)(new Array[Int](15)))
+
+  private def encodeBSlice(id: Long, f: Int, wMb: Int, hMb: Int,
+      qp: Int, l0: Planes, l1: Planes, colGrid: Option[MotionGrid],
+      pocLsb: Int): (Array[Byte], H264Frame) = {
+    val w = new BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(6) // slice_type: B (all slices in pic)
+    w.ue(0) // pps_id
+    w.put(f % 16, 4) // frame_num
+    w.put(pocLsb, 8) // pic_order_cnt_lsb
+    w.put(1, 1) // direct_spatial_mv_pred_flag
+    w.put(0, 1) // num_ref_idx override: one active ref per list
+    w.put(0, 1); w.put(0, 1) // ref_pic_list_modification l0, l1
+    // non-reference picture: NO dec_ref_pic_marking
+    w.ue(0) // cabac_init_idc
+    w.se(qp - 26)
+    w.ue(1) // disable_deblocking_filter_idc
+    w.alignByteOnes() // cabac_alignment_one_bit
+    val e = new Encoder(w, CtxCountP)
+    val sc = new SliceCtx(wMb, hMb)
+    val gridL0 = new MotionGrid(wMb * 4, hMb * 4)
+    val gridL1 = new MotionGrid(wMb * 4, hMb * 4)
+    val amx0 = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val amy0 = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val amx1 = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val amy1 = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val y = new Array[Int](wMb * 16 * hMb * 16)
+    val cb = new Array[Int](wMb * 8 * hMb * 8)
+    val cr = new Array[Int](wMb * 8 * hMb * 8)
+    var checksum = 0L; var mvdSum = 0L; var typeSum = 0L
+    var nSkip = 0L; var nDirect = 0L; var cbpSum = 0L
+    def sumBlock(mbIdx: Int, tag: Int, levels: Array[Int]): Unit = {
+      var s = 0
+      while (s < levels.length) {
+        if (levels(s) != 0)
+          checksum += levels(s).toLong * (mbIdx * 131 + tag * 17 + s + 1)
+        s += 1
+      }
+    }
+    def constructLevels(mbIdx: Int, cbpL: Int, cbpC: Int) = {
+      val ac = Array.tabulate(16)(b =>
+        if ((cbpL >> (b / 4) & 1) != 0)
+          ConstructH.blockLevels(id, f, mbIdx, 1 + b, 16)
+        else new Array[Int](16))
+      val cdc = Array.tabulate(2)(c =>
+        if (cbpC > 0) ConstructH.blockLevels(id, f, mbIdx, 17 + c, 4)
+        else new Array[Int](4))
+      val cac = Array.tabulate(2, 4)((c, b) =>
+        if (cbpC == 2) ConstructH.blockLevels(id, f, mbIdx, 19 + 4 * c + b, 15)
+        else new Array[Int](15))
+      (ac, cdc, cac)
+    }
+    // CBP bins + qp_delta + residual, shared by direct/explicit paths
+    def encodeCbpResiduals(mbIdx: Int, mbX: Int, mbY: Int)
+      : (Int, Int, Array[Array[Int]], Array[Array[Int]], Array[Array[Array[Int]]]) = {
+      val cbp = ConstructPC.cbp48(id, f, mbIdx)
+      cbpSum += cbp.toLong * (mbIdx + 1)
+      val cbpL = cbp & 15; val cbpC = cbp >> 4
+      for (b8 <- 0 until 4) {
+        val bx = b8 % 2; val by = b8 / 2
+        e.decision(CtxCbpLuma + sc.cbpLumaInc(mbX, mbY, bx, by),
+          (cbpL >> b8) & 1)
+        sc.cbpLumaBit(mbY * 2 + by)(mbX * 2 + bx) = (cbpL >> b8) & 1
+      }
+      e.decision(CtxCbpChroma + sc.cbpChromaInc(mbX, mbY, 0),
+        if (cbpC > 0) 1 else 0)
+      if (cbpC > 0)
+        e.decision(CtxCbpChroma + 4 + sc.cbpChromaInc(mbX, mbY, 1),
+          if (cbpC == 2) 1 else 0)
+      sc.cbpChroma(mbIdx) = cbpC
+      if (cbp != 0) e.decision(CtxMbQpDelta, 0) // mb_qp_delta = 0
+      val (ac, cdc, cac) = constructLevels(mbIdx, cbpL, cbpC)
+      for (b <- 0 until 16 if ((cbpL >> (b / 4)) & 1) != 0) {
+        sumBlock(mbIdx, 1 + b, ac(b))
+        val (x4, y4) = blkPos(b)
+        sc.lumaCbf(mbY * 4 + y4)(mbX * 4 + x4) = encodeResidual(e, sc,
+          CatLuma4, mbX, mbY, b, 0, ac(b), curIntra = false)
+      }
+      if (cbpC > 0) for (c <- 0 until 2) {
+        sumBlock(mbIdx, 17 + c, cdc(c))
+        sc.chromaDcCbf(c)(mbIdx) = encodeResidual(e, sc, CatChromaDc,
+          mbX, mbY, 0, c, cdc(c), curIntra = false)
+      }
+      if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+        sumBlock(mbIdx, 19 + 4 * c + b, cac(c)(b))
+        sc.chromaAcCbf(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) =
+          encodeResidual(e, sc, CatChromaAc, mbX, mbY, b, c,
+            cac(c)(b), curIntra = false)
+      }
+      (cbpL, cbpC, ac, cdc, cac)
+    }
+    val total = wMb * hMb
+    for (mbIdx <- 0 until total) {
+      val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+      val gx0 = mbX * 4; val gy0 = mbY * 4
+      val skip = ConstructB.isSkipB(id, f, mbIdx)
+      e.decision(CtxSkipB + skipInc(sc, wMb, mbX, mbY), if (skip) 1 else 0)
+      if (skip) {
+        nSkip += 1
+        sc.mbKind(mbIdx) = KindSkip
+        val dm = directMotion(gridL0, gridL1, gx0, gy0, colGrid)
+        fillDirect(gridL0, gridL1, dm, gx0, gy0)
+        reconstructDirectMb(dm, l0, l1, emptyResidual, qp, mbX, mbY,
+          y, cb, cr, wMb, hMb)
+      } else if (ConstructB.isDirectB(id, f, mbIdx)) {
+        nDirect += 1
+        e.decision(CtxMbTypeB + btypeInc(sc, wMb, mbX, mbY), 0) // '0'
+        sc.mbKind(mbIdx) = KindDirect
+        val dm = directMotion(gridL0, gridL1, gx0, gy0, colGrid)
+        fillDirect(gridL0, gridL1, dm, gx0, gy0)
+        val (cbpL, cbpC, ac, cdc, cac) = encodeCbpResiduals(mbIdx, mbX, mbY)
+        reconstructDirectMb(dm, l0, l1,
+          InterMb(0, Array(0), Array((0, 0)), cbpL, cbpC, ac, cdc, cac),
+          qp, mbX, mbY, y, cb, cr, wMb, hMb)
+      } else {
+        val bt = ConstructB.btype(id, f, mbIdx) // 1 L0 / 2 L1 / 3 Bi
+        typeSum += bt.toLong * (mbIdx + 1)
+        e.decision(CtxMbTypeB + btypeInc(sc, wMb, mbX, mbY), 1)
+        // '100' L0 / '101' L1 / '110000' Bi
+        if (bt == 3) {
+          e.decision(CtxMbTypeB + 3, 1)
+          for (_ <- 0 until 4) e.decision(CtxMbTypeB + 4, 0)
+        } else {
+          e.decision(CtxMbTypeB + 3, 0)
+          e.decision(CtxMbTypeB + 4, if (bt == 2) 1 else 0)
+        }
+        sc.mbKind(mbIdx) = KindInter
+        val useL0 = bt == 1 || bt == 3
+        val useL1 = bt == 2 || bt == 3
+        var mvL0 = (0, 0); var mvL1 = (0, 0)
+        if (useL0) {
+          val (dx, dy) = (ConstructB.mvdX(id, f, mbIdx, 0),
+            ConstructB.mvdY(id, f, mbIdx, 0))
+          encodeMvd(e, CtxMvdX, mvdInc(amx0, gx0, gy0), dx)
+          encodeMvd(e, CtxMvdY, mvdInc(amy0, gx0, gy0), dy)
+          mvdSum += (mbIdx * 64L + 1) * dx + (mbIdx * 64L + 3) * dy
+          val (px, py) = mvPred(gridL0, gx0, gy0, 4, 0, PartKind.Full)
+          mvL0 = (px + dx, py + dy)
+          for (yy <- gy0 until gy0 + 4; xx <- gx0 until gx0 + 4) {
+            amx0(yy)(xx) = math.abs(dx); amy0(yy)(xx) = math.abs(dy)
+          }
+        }
+        if (useL1) {
+          val (dx, dy) = (ConstructB.mvdX(id, f, mbIdx, 1),
+            ConstructB.mvdY(id, f, mbIdx, 1))
+          encodeMvd(e, CtxMvdX1, mvdInc(amx1, gx0, gy0), dx)
+          encodeMvd(e, CtxMvdY1, mvdInc(amy1, gx0, gy0), dy)
+          mvdSum += (mbIdx * 64L + 17) * dx + (mbIdx * 64L + 19) * dy
+          val (px, py) = mvPred(gridL1, gx0, gy0, 4, 0, PartKind.Full)
+          mvL1 = (px + dx, py + dy)
+          for (yy <- gy0 until gy0 + 4; xx <- gx0 until gx0 + 4) {
+            amx1(yy)(xx) = math.abs(dx); amy1(yy)(xx) = math.abs(dy)
+          }
+        }
+        gridL0.fill(gx0, gy0, 4, 4, mvL0._1, mvL0._2, if (useL0) 0 else -1)
+        gridL1.fill(gx0, gy0, 4, 4, mvL1._1, mvL1._2, if (useL1) 0 else -1)
+        val (cbpL, cbpC, ac, cdc, cac) = encodeCbpResiduals(mbIdx, mbX, mbY)
+        reconstructBMb(useL0, useL1, mvL0, mvL1, l0, l1,
+          InterMb(0, Array(0), Array((0, 0)), cbpL, cbpC, ac, cdc, cac),
+          qp, mbX, mbY, y, cb, cr, wMb, hMb)
+      }
+      e.terminate(if (mbIdx == total - 1) 1 else 0)
+    }
+    w.alignByte()
+    (w.result(), H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L,
+      mvdSum, 0L, nSkip, typeSum, nDirect = nDirect, cbpSum = cbpSum))
   }
 
   // -------------------------------------------------------------------
@@ -372,47 +618,57 @@ object H264CabacInter {
   // -------------------------------------------------------------------
 
   /** Decode a stream this construction emits; None for anything
-    * outside the envelope (CAVLC PPS, B slices, intra MBs inside P
-    * slices, sub-partitions other than P_L0_8x8, nonzero mb_qp_delta
-    * — the fall-through contract).
+    * outside the envelope (CAVLC PPS, intra MBs inside P/B slices,
+    * sub-partitions other than P_L0_8x8, temporal direct, nonzero
+    * mb_qp_delta — the fall-through contract). Handles both the
+    * POC-type-2 P stream (q316) and the POC-type-0 I/P/B stream
+    * (q317); B frames never enter the DPB.
     */
   def decode(bytes: Array[Byte]): Option[H264Stream] = {
     try {
-      val nals = Vector.newBuilder[(Int, Array[Byte])]
+      val nals = Vector.newBuilder[(Int, Int, Array[Byte])]
       var i = 0
       var start = -1
       var typ = -1
+      var refIdc = 0
       while (i + 2 < bytes.length) {
         if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
           if (start >= 0) {
             val end = if (i > 0 && bytes(i - 1) == 0) i - 1 else i
-            nals += ((typ, H264.emulationStrip(
+            nals += ((typ, refIdc, H264.emulationStrip(
               java.util.Arrays.copyOfRange(bytes, start, end))))
           }
           typ = bytes(i + 3) & 0x1f
+          refIdc = (bytes(i + 3) >> 5) & 3
           start = i + 4
           i += 4
         } else i += 1
       }
       if (start >= 0 && start <= bytes.length)
-        nals += ((typ, H264.emulationStrip(
+        nals += ((typ, refIdc, H264.emulationStrip(
           java.util.Arrays.copyOfRange(bytes, start, bytes.length))))
       var wMb = -1; var hMb = -1
       var sawPps = false
       var qp = -1
-      var dpb: List[(Array[Int], Array[Int], Array[Int])] = Nil
+      var pocType = -1
+      var decOrder = 0
+      // (poc, planes, motion grid) — grid only for P pictures, used as
+      // the co-located field by spatial direct
+      var dpb: List[(Int, Planes, Option[MotionGrid])] = Nil
       val frames = Vector.newBuilder[H264Frame]
       nals.result().foreach {
-        case (7, rbsp) =>
+        case (7, _, rbsp) =>
           val r = new BitReader(rbsp)
           if (r.get(8) != 77) return None // Main profile
           r.get(16)
           if (r.ue() != 0 || r.ue() != 0) return None
-          if (r.ue() != 2) return None // POC type 2
+          pocType = r.ue()
+          if (pocType == 0) { if (r.ue() != 4) return None }
+          else if (pocType != 2) return None
           r.ue(); r.get(1) // max_num_ref_frames, gaps flag
           wMb = r.ue() + 1; hMb = r.ue() + 1
           if (r.get(1) != 1) return None
-        case (8, rbsp) =>
+        case (8, _, rbsp) =>
           val r = new BitReader(rbsp)
           if (r.ue() != 0 || r.ue() != 0) return None
           if (r.get(1) != 1) return None // CABAC only here
@@ -421,47 +677,78 @@ object H264CabacInter {
           if (r.get(1) != 1) return None
           r.get(1); r.get(1)
           sawPps = true
-        case (5, rbsp) =>
+        case (5, _, rbsp) =>
           if (wMb < 0 || !sawPps) return None
           val r = new BitReader(rbsp)
           if (r.ue() != 0) return None
           if (r.ue() != 7) return None // I slice
           if (r.ue() != 0) return None
-          r.get(4); r.ue()
-          r.get(1); r.get(1)
+          r.get(4); r.ue() // frame_num, idr_pic_id
+          val poc = if (pocType == 0) r.get(8) else decOrder * 2
+          r.get(1); r.get(1) // dec_ref_pic_marking
           qp = 26 + r.se()
           if (qp > 29) return None
           if (r.ue() != 1) return None
           val pad = (8 - r.bitPos % 8) % 8
           if (pad > 0 && r.get(pad) != (1 << pad) - 1) return None
-          val fr = H264Cabac.decodeSlice(rbsp, r.bitPos, wMb, hMb, qp)
+          val fr0 = H264Cabac.decodeSlice(rbsp, r.bitPos, wMb, hMb, qp)
+          val fr = if (pocType == 0) fr0.copy(poc = poc.toLong) else fr0
           frames += fr
-          dpb = List((fr.y, fr.cb, fr.cr))
-        case (1, rbsp) =>
+          decOrder += 1
+          dpb = List((poc, (fr.y, fr.cb, fr.cr), None))
+        case (1, nri, rbsp) =>
           if (wMb < 0 || !sawPps || dpb.isEmpty) return None
           val r = new BitReader(rbsp)
           if (r.ue() != 0) return None
-          if (r.ue() != 5) return None // P slice
-          if (r.ue() != 0) return None
-          r.get(4) // frame_num
-          val nRefs =
-            if (r.get(1) == 1) { // num_ref_idx_active_override
-              val n = r.ue() + 1
-              if (n > 2) return None
-              n
-            } else 1
-          if (nRefs > dpb.size) return None
-          if (r.get(1) != 0) return None // list modification
-          if (r.get(1) != 0) return None // adaptive marking
-          if (r.ue() != 0) return None // cabac_init_idc
-          if (26 + r.se() != qp) return None
-          if (r.ue() != 1) return None
-          val pad = (8 - r.bitPos % 8) % 8
-          if (pad > 0 && r.get(pad) != (1 << pad) - 1) return None
-          val fr = decodePSlice(rbsp, r.bitPos, wMb, hMb, qp, nRefs,
-            dpb.toIndexedSeq)
-          frames += fr
-          dpb = ((fr.y, fr.cb, fr.cr) :: dpb).take(2)
+          r.ue() match {
+            case 5 => // P slice
+              if (r.ue() != 0) return None
+              r.get(4) // frame_num
+              val poc = if (pocType == 0) r.get(8) else decOrder * 2
+              val nRefs =
+                if (r.get(1) == 1) { // num_ref_idx_active_override
+                  val n = r.ue() + 1
+                  if (n > 2) return None
+                  n
+                } else 1
+              if (nRefs > dpb.size) return None
+              if (r.get(1) != 0) return None // list modification
+              if (r.get(1) != 0) return None // adaptive marking
+              if (r.ue() != 0) return None // cabac_init_idc
+              if (26 + r.se() != qp) return None
+              if (r.ue() != 1) return None
+              val pad = (8 - r.bitPos % 8) % 8
+              if (pad > 0 && r.get(pad) != (1 << pad) - 1) return None
+              val (fr0, grid) = decodePSlice(rbsp, r.bitPos, wMb, hMb,
+                qp, nRefs, dpb.map(_._2).toIndexedSeq)
+              val fr = if (pocType == 0) fr0.copy(poc = poc.toLong) else fr0
+              frames += fr
+              decOrder += 1
+              dpb = ((poc, (fr.y, fr.cb, fr.cr),
+                Some(grid): Option[MotionGrid]) :: dpb).take(2)
+            case 6 => // B slice: non-reference, POC type 0 only
+              if (pocType != 0) return None
+              if (nri != 0) return None
+              if (r.ue() != 0) return None
+              r.get(4) // frame_num
+              val poc = r.get(8)
+              if (r.get(1) != 1) return None // spatial direct only
+              if (r.get(1) != 0) return None // num_ref_idx override
+              if (r.get(1) != 0 || r.get(1) != 0) return None // list mods
+              // non-reference: no dec_ref_pic_marking
+              if (r.ue() != 0) return None // cabac_init_idc
+              if (26 + r.se() != qp) return None
+              if (r.ue() != 1) return None
+              val pad = (8 - r.bitPos % 8) % 8
+              if (pad > 0 && r.get(pad) != (1 << pad) - 1) return None
+              val past = dpb.filter(_._1 < poc).sortBy(-_._1)
+              val future = dpb.filter(_._1 > poc).sortBy(_._1)
+              if (past.isEmpty || future.isEmpty) return None
+              frames += decodeBSlice(rbsp, r.bitPos, wMb, hMb, qp, poc,
+                past.head._2, future.head._2, future.head._3)
+              decOrder += 1
+            case _ => return None
+          }
         case _ => return None
       }
       val fs = frames.result()
@@ -472,7 +759,8 @@ object H264CabacInter {
 
   private def decodePSlice(rbsp: Array[Byte], startBit: Int, wMb: Int,
       hMb: Int, qp: Int, nRefs: Int,
-      refs: IndexedSeq[(Array[Int], Array[Int], Array[Int])]): H264Frame = {
+      refs: IndexedSeq[(Array[Int], Array[Int], Array[Int])])
+    : (H264Frame, MotionGrid) = {
     def bad(msg: String): Nothing = throw new IllegalStateException(msg)
     val d = new Decoder(rbsp, startBit, CtxCountP)
     val sc = new SliceCtx(wMb, hMb)
@@ -594,7 +882,147 @@ object H264CabacInter {
       if (mbIdx == total - 1) { if (!end) bad("missing end_of_slice") }
       else if (end) bad("early end_of_slice")
     }
-    H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L, mvdSum, refSum,
-      nSkip, typeSum, cbpSum = cbpSum)
+    (H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L, mvdSum, refSum,
+      nSkip, typeSum, cbpSum = cbpSum), grid)
+  }
+
+  private def decodeBSlice(rbsp: Array[Byte], startBit: Int, wMb: Int,
+      hMb: Int, qp: Int, poc: Int, l0: Planes, l1: Planes,
+      colGrid: Option[MotionGrid]): H264Frame = {
+    def bad(msg: String): Nothing = throw new IllegalStateException(msg)
+    val d = new Decoder(rbsp, startBit, CtxCountP)
+    val sc = new SliceCtx(wMb, hMb)
+    val gridL0 = new MotionGrid(wMb * 4, hMb * 4)
+    val gridL1 = new MotionGrid(wMb * 4, hMb * 4)
+    val amx0 = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val amy0 = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val amx1 = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val amy1 = Array.ofDim[Int](hMb * 4, wMb * 4)
+    val y = new Array[Int](wMb * 16 * hMb * 16)
+    val cb = new Array[Int](wMb * 8 * hMb * 8)
+    val cr = new Array[Int](wMb * 8 * hMb * 8)
+    var checksum = 0L; var mvdSum = 0L; var typeSum = 0L
+    var nSkip = 0L; var nDirect = 0L; var cbpSum = 0L
+    def sumBlock(mbIdx: Int, tag: Int, levels: Array[Int]): Unit = {
+      var s = 0
+      while (s < levels.length) {
+        if (levels(s) != 0)
+          checksum += levels(s).toLong * (mbIdx * 131 + tag * 17 + s + 1)
+        s += 1
+      }
+    }
+    def decodeCbpResiduals(mbIdx: Int, mbX: Int, mbY: Int)
+      : (Int, Int, Array[Array[Int]], Array[Array[Int]], Array[Array[Array[Int]]]) = {
+      var cbpL = 0
+      for (b8 <- 0 until 4) {
+        val bx = b8 % 2; val by = b8 / 2
+        val bit = d.decision(CtxCbpLuma + sc.cbpLumaInc(mbX, mbY, bx, by))
+        cbpL |= bit << b8
+        sc.cbpLumaBit(mbY * 2 + by)(mbX * 2 + bx) = bit
+      }
+      var cbpC = 0
+      if (d.decision(CtxCbpChroma + sc.cbpChromaInc(mbX, mbY, 0)) == 1)
+        cbpC = 1 + d.decision(CtxCbpChroma + 4 + sc.cbpChromaInc(mbX, mbY, 1))
+      sc.cbpChroma(mbIdx) = cbpC
+      val cbp = cbpL | (cbpC << 4)
+      cbpSum += cbp.toLong * (mbIdx + 1)
+      if (cbp != 0 && d.decision(CtxMbQpDelta) != 0)
+        bad("nonzero mb_qp_delta out of scope")
+      val ac = Array.fill(16)(new Array[Int](16))
+      for (b <- 0 until 16 if ((cbpL >> (b / 4)) & 1) != 0) {
+        val (blk, cbf) = decodeResidual(d, sc, CatLuma4, mbX, mbY, b,
+          0, 16, curIntra = false)
+        ac(b) = blk
+        sumBlock(mbIdx, 1 + b, blk)
+        val (x4, y4) = blkPos(b)
+        sc.lumaCbf(mbY * 4 + y4)(mbX * 4 + x4) = cbf
+      }
+      val cdc = Array.fill(2)(new Array[Int](4))
+      if (cbpC > 0) for (c <- 0 until 2) {
+        val (blk, cbf) = decodeResidual(d, sc, CatChromaDc, mbX, mbY,
+          0, c, 4, curIntra = false)
+        cdc(c) = blk
+        sumBlock(mbIdx, 17 + c, blk)
+        sc.chromaDcCbf(c)(mbIdx) = cbf
+      }
+      val cac = Array.fill(2, 4)(new Array[Int](15))
+      if (cbpC == 2) for (c <- 0 until 2; b <- 0 until 4) {
+        val (blk, cbf) = decodeResidual(d, sc, CatChromaAc, mbX, mbY,
+          b, c, 15, curIntra = false)
+        cac(c)(b) = blk
+        sumBlock(mbIdx, 19 + 4 * c + b, blk)
+        sc.chromaAcCbf(c)(mbY * 2 + b / 2)(mbX * 2 + b % 2) = cbf
+      }
+      (cbpL, cbpC, ac, cdc, cac)
+    }
+    val total = wMb * hMb
+    for (mbIdx <- 0 until total) {
+      val mbX = mbIdx % wMb; val mbY = mbIdx / wMb
+      val gx0 = mbX * 4; val gy0 = mbY * 4
+      val skip = d.decision(CtxSkipB + skipInc(sc, wMb, mbX, mbY)) == 1
+      if (skip) {
+        nSkip += 1
+        sc.mbKind(mbIdx) = KindSkip
+        val dm = directMotion(gridL0, gridL1, gx0, gy0, colGrid)
+        fillDirect(gridL0, gridL1, dm, gx0, gy0)
+        reconstructDirectMb(dm, l0, l1, emptyResidual, qp, mbX, mbY,
+          y, cb, cr, wMb, hMb)
+      } else if (d.decision(CtxMbTypeB + btypeInc(sc, wMb, mbX, mbY)) == 0) {
+        // B_Direct_16x16
+        nDirect += 1
+        sc.mbKind(mbIdx) = KindDirect
+        val dm = directMotion(gridL0, gridL1, gx0, gy0, colGrid)
+        fillDirect(gridL0, gridL1, dm, gx0, gy0)
+        val (cbpL, cbpC, ac, cdc, cac) = decodeCbpResiduals(mbIdx, mbX, mbY)
+        reconstructDirectMb(dm, l0, l1,
+          InterMb(0, Array(0), Array((0, 0)), cbpL, cbpC, ac, cdc, cac),
+          qp, mbX, mbY, y, cb, cr, wMb, hMb)
+      } else {
+        val bt =
+          if (d.decision(CtxMbTypeB + 3) == 1) {
+            for (_ <- 0 until 4)
+              if (d.decision(CtxMbTypeB + 4) != 0)
+                bad("B mb_type beyond Bi_16x16 out of scope")
+            3
+          } else if (d.decision(CtxMbTypeB + 4) == 1) 2
+          else 1
+        typeSum += bt.toLong * (mbIdx + 1)
+        sc.mbKind(mbIdx) = KindInter
+        val useL0 = bt == 1 || bt == 3
+        val useL1 = bt == 2 || bt == 3
+        var mvL0 = (0, 0); var mvL1 = (0, 0)
+        if (useL0) {
+          val dx = decodeMvd(d, CtxMvdX, mvdInc(amx0, gx0, gy0))
+          val dy = decodeMvd(d, CtxMvdY, mvdInc(amy0, gx0, gy0))
+          mvdSum += (mbIdx * 64L + 1) * dx + (mbIdx * 64L + 3) * dy
+          val (px, py) = mvPred(gridL0, gx0, gy0, 4, 0, PartKind.Full)
+          mvL0 = (px + dx, py + dy)
+          for (yy <- gy0 until gy0 + 4; xx <- gx0 until gx0 + 4) {
+            amx0(yy)(xx) = math.abs(dx); amy0(yy)(xx) = math.abs(dy)
+          }
+        }
+        if (useL1) {
+          val dx = decodeMvd(d, CtxMvdX1, mvdInc(amx1, gx0, gy0))
+          val dy = decodeMvd(d, CtxMvdY1, mvdInc(amy1, gx0, gy0))
+          mvdSum += (mbIdx * 64L + 17) * dx + (mbIdx * 64L + 19) * dy
+          val (px, py) = mvPred(gridL1, gx0, gy0, 4, 0, PartKind.Full)
+          mvL1 = (px + dx, py + dy)
+          for (yy <- gy0 until gy0 + 4; xx <- gx0 until gx0 + 4) {
+            amx1(yy)(xx) = math.abs(dx); amy1(yy)(xx) = math.abs(dy)
+          }
+        }
+        gridL0.fill(gx0, gy0, 4, 4, mvL0._1, mvL0._2, if (useL0) 0 else -1)
+        gridL1.fill(gx0, gy0, 4, 4, mvL1._1, mvL1._2, if (useL1) 0 else -1)
+        val (cbpL, cbpC, ac, cdc, cac) = decodeCbpResiduals(mbIdx, mbX, mbY)
+        reconstructBMb(useL0, useL1, mvL0, mvL1, l0, l1,
+          InterMb(0, Array(0), Array((0, 0)), cbpL, cbpC, ac, cdc, cac),
+          qp, mbX, mbY, y, cb, cr, wMb, hMb)
+      }
+      val end = d.terminate() == 1
+      if (mbIdx == total - 1) { if (!end) bad("missing end_of_slice") }
+      else if (end) bad("early end_of_slice")
+    }
+    H264Frame(y, cb, cr, checksum, 0L, 0L, 0L, 0L, mvdSum, 0L,
+      nSkip, typeSum, poc = poc.toLong, nDirect = nDirect, cbpSum = cbpSum)
   }
 }

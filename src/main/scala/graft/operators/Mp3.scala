@@ -348,15 +348,28 @@ object Mp3 {
   // -------------------------------------------------------------------
 
   /** 36-point long IMDCT with the sine window (§2.4.3.4.12). */
+  // precomputed IMDCT/window tables: the basis values are loop
+  // invariants, and computing cos() per sample made the hybrid
+  // filterbank (and the q311 PR probe that runs it 384 times per id)
+  // trig-bound — ~10 ms/id before, sub-ms after
+  private val ImdctLongCos: Array[Array[Double]] = Array.tabulate(36, 18)(
+    (i, k) => math.cos(math.Pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1)))
+  private val LongWin: Array[Double] =
+    Array.tabulate(36)(i => math.sin(math.Pi / 36.0 * (i + 0.5)))
+  private val ImdctShortCos: Array[Array[Double]] = Array.tabulate(12, 6)(
+    (p, j) => math.cos(math.Pi / 24.0 * (2 * p + 1 + 6) * (2 * j + 1)))
+  private val ShortWin: Array[Double] =
+    Array.tabulate(12)(p => math.sin(math.Pi / 12.0 * (p + 0.5)))
+
   def imdctLong(xIn: Array[Double]): Array[Double] =
     Array.tabulate(36) { i =>
       var acc = 0.0
       var k = 0
       while (k < 18) {
-        acc += xIn(k) * math.cos(math.Pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
+        acc += xIn(k) * ImdctLongCos(i)(k)
         k += 1
       }
-      acc * math.sin(math.Pi / 36.0 * (i + 0.5))
+      acc * LongWin(i)
     }
 
   /** 12-point×3 short IMDCT: input is one subband's 18 reordered lines
@@ -372,11 +385,10 @@ object Mp3 {
         var acc = 0.0
         var j = 0
         while (j < 6) {
-          acc += xIn(3 * j + w) *
-            math.cos(math.Pi / 24.0 * (2 * p + 1 + 6) * (2 * j + 1))
+          acc += xIn(3 * j + w) * ImdctShortCos(p)(j)
           j += 1
         }
-        z(6 + 6 * w + p) += acc * math.sin(math.Pi / 12.0 * (p + 0.5))
+        z(6 + 6 * w + p) += acc * ShortWin(p)
         p += 1
       }
       w += 1
@@ -416,8 +428,7 @@ object Mp3 {
       var acc = 0.0
       var i = 0
       while (i < 36) {
-        acc += x(i) * math.sin(math.Pi / 36.0 * (i + 0.5)) *
-          math.cos(math.Pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
+        acc += x(i) * LongWin(i) * ImdctLongCos(i)(k)
         i += 1
       }
       acc / 9.0
@@ -432,8 +443,7 @@ object Mp3 {
       var acc = 0.0
       var p = 0
       while (p < 12) {
-        acc += x(6 + 6 * w + p) * math.sin(math.Pi / 12.0 * (p + 0.5)) *
-          math.cos(math.Pi / 24.0 * (2 * p + 1 + 6) * (2 * j + 1))
+        acc += x(6 + 6 * w + p) * ShortWin(p) * ImdctShortCos(p)(j)
         p += 1
       }
       out(3 * j + w) = acc / 3.0

@@ -63,6 +63,41 @@ class H264CabacInterSpec extends AnyFunSuite {
     assert(sawTwoRefs, "no frame ever used two references")
   }
 
+  test("CABAC B streams (q317): bit-exact planes + POC reorder + gate " +
+      "sums; skip runs, direct MBs, all three explicit types and both " +
+      "lists' mvd contexts exercised") {
+    var sawSkip = false
+    var sawDirect = false
+    val btSeen = scala.collection.mutable.Set[Int]()
+    for (id <- 0L until 16L) {
+      val (wMb, hMb) = H264.ConstructH.dims(id, id + 1)
+      val qp = H264.ConstructH.qp(id)
+      val (bytes, expect) = H264CabacInter.encodeBi(id, wMb, hMb, qp)
+      val st = H264CabacInter.decode(bytes).getOrElse(fail(s"id=$id -> None"))
+      assert(st.frames.size == 4)
+      // decode order I P B B; POCs 0 6 2 4 -> display order I B B P
+      assert(st.frames.map(_.poc) == Vector(0L, 6L, 2L, 4L))
+      st.frames.zip(expect).zipWithIndex.foreach { case ((got, exp), f) =>
+        assert(got.y.sameElements(exp.y), s"id=$id f=$f luma drift")
+        assert(got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr),
+          s"id=$id f=$f chroma drift")
+        assert(got.levelChecksum == exp.levelChecksum, s"id=$id f=$f levels")
+        assert(got.mvdChecksum == exp.mvdChecksum, s"id=$id f=$f mvd")
+        assert(got.typeSum == exp.typeSum)
+        assert(got.cbpSum == exp.cbpSum)
+        assert(got.nSkip == exp.nSkip)
+        assert(got.nDirect == exp.nDirect)
+      }
+      for (f <- 2 until 4; mb <- 0 until wMb * hMb) {
+        if (H264.ConstructB.isSkipB(id, f, mb)) sawSkip = true
+        else if (H264.ConstructB.isDirectB(id, f, mb)) sawDirect = true
+        else btSeen += H264.ConstructB.btype(id, f, mb)
+      }
+    }
+    assert(sawSkip && sawDirect, "construction missed B_Skip or B_Direct")
+    assert(btSeen == Set(1, 2, 3), s"B types seen: $btSeen")
+  }
+
   test("rejection: truncation, CAVLC inter cross-decode, intra-only " +
       "decoder on a P stream, corrupted payload all fall through") {
     val (bytes, _) = H264CabacInter.encodeInter(5L, 2, 2, 3, 24)
