@@ -1959,8 +1959,11 @@ object H264 {
   // (§8.4.1.2.2: MinPositive refs, median MVP, directZeroPrediction,
   // per-4x4 colZeroFlag against the co-located L1[0] motion field —
   // direct_8x8_inference_flag is 0 in this SPS so the test is per
-  // 4x4 cell). Temporal direct (direct_spatial_mv_pred_flag 0) and
-  // CABAC stay documented fall-throughs.
+  // 4x4 cell). Temporal direct (direct_spatial_mv_pred_flag 0) stays
+  // a fall-through in THIS CAVLC path; under CABAC the whole alphabet
+  // decodes — intra (q314), P slices (q316), B slices with spatial
+  // direct (q317) AND temporal direct (q318) via
+  // [[H264CabacInter]].
   // -------------------------------------------------------------------
 
   object ConstructB {

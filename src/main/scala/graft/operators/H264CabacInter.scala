@@ -45,9 +45,10 @@ package graft.operators
   * Scope bounds (documented fall-throughs, same policy as the CAVLC
   * inter path): P/B slices with mb_qp_delta 0 and no intra MBs inside
   * them, one or two L0 references (one per list in B), non-reference
-  * B pictures, spatial direct only — temporal direct stays out under
-  * both entropy coders — and uniform context init per
-  * [[H264Cabac]]'s scope note.
+  * B pictures, and uniform context init per [[H264Cabac]]'s scope
+  * note. BOTH direct modes decode: spatial (§8.4.1.2.2, q317) and
+  * TEMPORAL (§8.4.1.2.3 POC-distance MV scaling, q318) — the
+  * direct_spatial_mv_pred_flag picks the derivation per slice.
   */
 object H264CabacInter {
 
@@ -406,15 +407,50 @@ object H264CabacInter {
     c(mbX - 1, mbY) + c(mbX, mbY - 1)
   }
 
+  private def clip3(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
+
+  /** TEMPORAL direct motion (§8.4.1.2.3, q318): the co-located 4x4
+    * cell's L0 motion in RefPicList1[0] is scaled by the POC-distance
+    * ratio — tx = (16384 + |td/2|) / td, DistScaleFactor =
+    * Clip3(-1024, 1023, (tb*tx + 32) >> 6), mvL0 = (DSF*mvCol + 128)
+    * >> 8, mvL1 = mvL0 - mvCol — with both prediction flags set and
+    * refIdx 0 in each single-entry list. An intra/absent co-located
+    * field contributes zero motion; the long-term-reference branch
+    * (mvL0 = mvCol, mvL1 = 0) is out of scope with no long-term refs
+    * in the DPB.
+    */
+  def directMotionTemporal(colGrid: Option[MotionGrid], gx0: Int,
+      gy0: Int, pocCur: Int, pocL0: Int, pocL1: Int): DirectMotion = {
+    val tb = clip3(-128, 127, pocCur - pocL0)
+    val td = clip3(-128, 127, pocL1 - pocL0)
+    val tx = (16384 + math.abs(td / 2)) / td
+    val dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+    val mv0 = new Array[(Int, Int)](16)
+    val mv1 = new Array[(Int, Int)](16)
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val (colX, colY) = colGrid match {
+        case Some(cg) if cg.ref(gy0 + cy)(gx0 + cx) >= 0 =>
+          (cg.mvx(gy0 + cy)(gx0 + cx), cg.mvy(gy0 + cy)(gx0 + cx))
+        case _ => (0, 0)
+      }
+      val l0 = ((dsf * colX + 128) >> 8, (dsf * colY + 128) >> 8)
+      mv0(cy * 4 + cx) = l0
+      mv1(cy * 4 + cx) = (l0._1 - colX, l0._2 - colY)
+    }
+    DirectMotion(use0 = true, use1 = true, mv0, mv1)
+  }
+
   /** Encode the q313 decode-order plan — I(poc 0), P(poc 6), B(poc 2),
-    * B(poc 4) — under CABAC (q317). Frame 0 is the q314 intra
-    * construction with a POC-type-0 slice header; the P frame is the
-    * q316 P slice; the two non-reference B frames carry B_Skip,
+    * B(poc 4) — under CABAC (q317; q318 with `spatial = false` flips
+    * every direct/skip MB to TEMPORAL direct). Frame 0 is the q314
+    * intra construction with a POC-type-0 slice header; the P frame is
+    * the q316 P slice; the two non-reference B frames carry B_Skip,
     * B_Direct_16x16 and explicit L0/L1/Bi MBs with the full bin-coded
     * CBP sweep. Returns frames in DECODE order with their POCs.
     */
-  def encodeBi(id: Long, wMb: Int, hMb: Int,
-      qp: Int): (Array[Byte], Vector[H264Frame]) = {
+  def encodeBi(id: Long, wMb: Int, hMb: Int, qp: Int,
+      spatial: Boolean = true): (Array[Byte], Vector[H264Frame]) = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(nal(7, spsRbsp(wMb, hMb, pocType = 0)))
     out.write(nal(8, ppsRbsp()))
@@ -434,7 +470,7 @@ object H264CabacInter {
     val refP = (frP.y, frP.cb, frP.cr)
     for (f <- 2 until 4) {
       val (rbspB, frB) = encodeBSlice(id, f, wMb, hMb, qp,
-        ref0, refP, Some(gridP), ConstructB.Pocs(f))
+        ref0, refP, Some(gridP), ConstructB.Pocs(f), spatial)
       out.write(nal(1, rbspB, refIdc = 0)) // non-reference picture
       frames += frB.copy(poc = ConstructB.Pocs(f).toLong)
     }
@@ -448,14 +484,20 @@ object H264CabacInter {
 
   private def encodeBSlice(id: Long, f: Int, wMb: Int, hMb: Int,
       qp: Int, l0: Planes, l1: Planes, colGrid: Option[MotionGrid],
-      pocLsb: Int): (Array[Byte], H264Frame) = {
+      pocLsb: Int, spatial: Boolean): (Array[Byte], H264Frame) = {
+    // the Bi plan's fixed reference POCs (I past, P future)
+    val pocL0 = ConstructB.Pocs(0); val pocL1 = ConstructB.Pocs(1)
+    def derive(gridL0: MotionGrid, gridL1: MotionGrid, gx0: Int,
+        gy0: Int): DirectMotion =
+      if (spatial) directMotion(gridL0, gridL1, gx0, gy0, colGrid)
+      else directMotionTemporal(colGrid, gx0, gy0, pocLsb, pocL0, pocL1)
     val w = new BitWriter
     w.ue(0) // first_mb_in_slice
     w.ue(6) // slice_type: B (all slices in pic)
     w.ue(0) // pps_id
     w.put(f % 16, 4) // frame_num
     w.put(pocLsb, 8) // pic_order_cnt_lsb
-    w.put(1, 1) // direct_spatial_mv_pred_flag
+    w.put(if (spatial) 1 else 0, 1) // direct_spatial_mv_pred_flag
     w.put(0, 1) // num_ref_idx override: one active ref per list
     w.put(0, 1); w.put(0, 1) // ref_pic_list_modification l0, l1
     // non-reference picture: NO dec_ref_pic_marking
@@ -545,7 +587,7 @@ object H264CabacInter {
       if (skip) {
         nSkip += 1
         sc.mbKind(mbIdx) = KindSkip
-        val dm = directMotion(gridL0, gridL1, gx0, gy0, colGrid)
+        val dm = derive(gridL0, gridL1, gx0, gy0)
         fillDirect(gridL0, gridL1, dm, gx0, gy0)
         reconstructDirectMb(dm, l0, l1, emptyResidual, qp, mbX, mbY,
           y, cb, cr, wMb, hMb)
@@ -553,7 +595,7 @@ object H264CabacInter {
         nDirect += 1
         e.decision(CtxMbTypeB + btypeInc(sc, wMb, mbX, mbY), 0) // '0'
         sc.mbKind(mbIdx) = KindDirect
-        val dm = directMotion(gridL0, gridL1, gx0, gy0, colGrid)
+        val dm = derive(gridL0, gridL1, gx0, gy0)
         fillDirect(gridL0, gridL1, dm, gx0, gy0)
         val (cbpL, cbpC, ac, cdc, cac) = encodeCbpResiduals(mbIdx, mbX, mbY)
         reconstructDirectMb(dm, l0, l1,
@@ -732,7 +774,7 @@ object H264CabacInter {
               if (r.ue() != 0) return None
               r.get(4) // frame_num
               val poc = r.get(8)
-              if (r.get(1) != 1) return None // spatial direct only
+              val spatialDirect = r.get(1) == 1 // else temporal (q318)
               if (r.get(1) != 0) return None // num_ref_idx override
               if (r.get(1) != 0 || r.get(1) != 0) return None // list mods
               // non-reference: no dec_ref_pic_marking
@@ -745,7 +787,8 @@ object H264CabacInter {
               val future = dpb.filter(_._1 > poc).sortBy(_._1)
               if (past.isEmpty || future.isEmpty) return None
               frames += decodeBSlice(rbsp, r.bitPos, wMb, hMb, qp, poc,
-                past.head._2, future.head._2, future.head._3)
+                past.head._1, past.head._2, future.head._1,
+                future.head._2, future.head._3, spatialDirect)
               decOrder += 1
             case _ => return None
           }
@@ -887,9 +930,14 @@ object H264CabacInter {
   }
 
   private def decodeBSlice(rbsp: Array[Byte], startBit: Int, wMb: Int,
-      hMb: Int, qp: Int, poc: Int, l0: Planes, l1: Planes,
-      colGrid: Option[MotionGrid]): H264Frame = {
+      hMb: Int, qp: Int, poc: Int, pocL0: Int, l0: Planes, pocL1: Int,
+      l1: Planes, colGrid: Option[MotionGrid],
+      spatial: Boolean): H264Frame = {
     def bad(msg: String): Nothing = throw new IllegalStateException(msg)
+    def derive(gridL0: MotionGrid, gridL1: MotionGrid, gx0: Int,
+        gy0: Int): DirectMotion =
+      if (spatial) directMotion(gridL0, gridL1, gx0, gy0, colGrid)
+      else directMotionTemporal(colGrid, gx0, gy0, poc, pocL0, pocL1)
     val d = new Decoder(rbsp, startBit, CtxCountP)
     val sc = new SliceCtx(wMb, hMb)
     val gridL0 = new MotionGrid(wMb * 4, hMb * 4)
@@ -963,7 +1011,7 @@ object H264CabacInter {
       if (skip) {
         nSkip += 1
         sc.mbKind(mbIdx) = KindSkip
-        val dm = directMotion(gridL0, gridL1, gx0, gy0, colGrid)
+        val dm = derive(gridL0, gridL1, gx0, gy0)
         fillDirect(gridL0, gridL1, dm, gx0, gy0)
         reconstructDirectMb(dm, l0, l1, emptyResidual, qp, mbX, mbY,
           y, cb, cr, wMb, hMb)
@@ -971,7 +1019,7 @@ object H264CabacInter {
         // B_Direct_16x16
         nDirect += 1
         sc.mbKind(mbIdx) = KindDirect
-        val dm = directMotion(gridL0, gridL1, gx0, gy0, colGrid)
+        val dm = derive(gridL0, gridL1, gx0, gy0)
         fillDirect(gridL0, gridL1, dm, gx0, gy0)
         val (cbpL, cbpC, ac, cdc, cac) = decodeCbpResiduals(mbIdx, mbX, mbY)
         reconstructDirectMb(dm, l0, l1,

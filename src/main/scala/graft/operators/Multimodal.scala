@@ -1531,10 +1531,12 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake standing in for the codec library
     * on the formats [[MediaCodecs]] can't parse. Since r16 that is
-    * H.264 CABAC B slices (and temporal direct) and H.265 INTER —
-    * CABAC intra (q314) and CABAC P slices (q316) decode for real
-    * via [[graft.operators.H264Cabac]]/[[H264CabacInter]], H.265
-    * intra via [[graft.operators.H265]] (q315) —
+    * ONLY H.265 INTER (P/B slices) and the CAVLC-entropy temporal-
+    * direct niche — the ENTIRE H.264 CABAC alphabet decodes for real
+    * (intra q314, P slices q316, B slices with spatial direct q317
+    * and temporal direct q318) via [[graft.operators.H264Cabac]]/
+    * [[H264CabacInter]], and H.265 intra via
+    * [[graft.operators.H265]] (q315) —
     * documented next rungs:
     * MPEG-1 video decodes for real across the WHOLE picture-type
     * alphabet — entropy-coded I-frames (q287), forward motion-

@@ -3092,6 +3092,145 @@ object PipelineQueries extends Registry {
           LEFT JOIN lsums l ON l.id = fr.id AND l.frame_idx = fr.frame_idx
           ORDER BY fr.id, fr.frame_idx""")),
 
+    // ---- H.264 TEMPORAL DIRECT under CABAC (q318 — the LAST H.264
+    //      alphabet fall-through): the same I/P/B/B plan as q317 with
+    //      direct_spatial_mv_pred_flag = 0, so every B_Skip and
+    //      B_Direct_16x16 macroblock derives its motion by POC-
+    //      distance scaling of the co-located P-frame cell's MV
+    //      (§8.4.1.2.3: tx = (16384+|td/2|)/td, DistScaleFactor =
+    //      clip((tb*tx+32)>>6), mvL0 = (DSF*mvCol+128)>>8, mvL1 =
+    //      mvL0 - mvCol, biprediction always on). The transmitted
+    //      syntax is identical to q317's (the derivation is decoder-
+    //      side), so the oracle re-derives the same type/mvd/cbp/
+    //      level sums from the construction on a DIFFERENT document
+    //      slice and the discriminating gate is recon_exact: planes
+    //      must be bit-exact through the temporal MV scaling on both
+    //      B frames. Row-local fan-out, zero shuffle. -------------------
+    Q("q318_h264_cabac_tdirect",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 59 === 29)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, nch) =>
+              val (wMb, hMb) = H264.ConstructH.dims(id, nch)
+              val qp = H264.ConstructH.qp(id)
+              val (bytes, expect) = H264CabacInter.encodeBi(id, wMb, hMb, qp, spatial = false)
+              val st = H264CabacInter.decode(bytes).get
+              st.frames.zip(expect).zipWithIndex.map { case ((got, exp), f) =>
+                val exact = got.y.sameElements(exp.y) &&
+                  got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr)
+                val isB = f >= 2
+                (id, f.toLong, got.poc, got.poc / 2,
+                  (wMb * 16).toLong, (hMb * 16).toLong,
+                  (wMb * hMb).toLong, qp.toLong,
+                  if (isB) got.typeSum else 0L,
+                  if (isB) got.mvdChecksum else 0L,
+                  if (isB) got.cbpSum else 0L,
+                  if (isB) got.levelChecksum else 0L,
+                  if (isB) got.nSkip else 0L,
+                  if (isB) got.nDirect else 0L,
+                  if (exact) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "poc", "display_idx", "width",
+            "height", "n_mbs", "qp", "b_type_sum", "b_mvd_checksum",
+            "b_cbp_sum", "b_level_checksum", "n_b_skip", "n_direct",
+            "recon_exact")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""WITH d AS (
+            SELECT doc_id AS id, n_chars,
+              CAST(1 + doc_id % 3 AS BIGINT) AS wmb,
+              CAST(1 + n_chars % 2 AS BIGINT) AS hmb,
+              CAST(20 + doc_id % 8 AS BIGINT) AS qp
+            FROM documents WHERE doc_id % 59 = 29),
+          fr AS (
+            SELECT id, wmb, hmb, qp, CAST(t.f AS BIGINT) AS frame_idx,
+              list_extract([0, 6, 2, 4], CAST(t.f AS INT) + 1) AS poc
+            FROM d, UNNEST(range(0, 4)) AS t(f)),
+          bmb AS (
+            -- q313's MB classes; the CBP is the bin-coded 48 sweep
+            SELECT fr.*, CAST(m.m AS BIGINT) AS mb,
+              (id + frame_idx + m.m) % 7 AS cls,
+              1 + (id + frame_idx + m.m) % 3 AS bt,
+              CAST((id + 5 * frame_idx + 29 * m.m) % 48 AS BIGINT) AS cbp
+            FROM fr, UNNEST(range(0, wmb * hmb)) AS m(m)
+            WHERE frame_idx >= 2),
+          bsums AS (
+            SELECT id, frame_idx,
+              CAST(sum(CASE WHEN cls IN (2, 4) THEN 0
+                ELSE bt * (mb + 1) END) AS BIGINT) AS b_type_sum,
+              CAST(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b_skip,
+              CAST(sum(CASE WHEN cls = 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_direct,
+              CAST(sum(CASE WHEN cls = 2 THEN 0
+                ELSE cbp * (mb + 1) END) AS BIGINT) AS b_cbp_sum,
+              CAST(sum(CASE WHEN cls IN (2, 4) THEN 0 ELSE
+                (CASE WHEN bt IN (1, 3) THEN
+                  (mb * 64 + 1) * (((id + 3 * frame_idx + 5 * mb) % 17) - 8) +
+                  (mb * 64 + 3) * (((3 * id + frame_idx + 2 * mb) % 17) - 8)
+                 ELSE 0 END) +
+                (CASE WHEN bt IN (2, 3) THEN
+                  (mb * 64 + 17) * (((id + 3 * frame_idx + 5 * mb + 11) % 17) - 8) +
+                  (mb * 64 + 19) * (((3 * id + frame_idx + 2 * mb + 7) % 17) - 8)
+                 ELSE 0 END) END) AS BIGINT) AS b_mvd_checksum
+            FROM bmb GROUP BY id, frame_idx),
+          tags AS (
+            SELECT bmb.*, CAST(tg.tag AS BIGINT) AS tag,
+              CASE WHEN tg.tag BETWEEN 1 AND 16 THEN 16
+                   WHEN tg.tag BETWEEN 17 AND 18 THEN 4
+                   ELSE 15 END AS ncoeffs
+            FROM bmb, UNNEST(range(1, 27)) AS tg(tag)
+            WHERE bmb.cls != 2 -- B_Skip MBs carry no residual
+              AND ((tg.tag BETWEEN 1 AND 16 AND
+                   ((cbp % 16) >> CAST((tg.tag - 1) // 4 AS INT)) & 1 = 1)
+               OR (tg.tag BETWEEN 17 AND 18 AND cbp // 16 > 0)
+               OR (tg.tag BETWEEN 19 AND 26 AND cbp // 16 = 2))),
+          lev AS (
+            SELECT t.*, CAST(kk.k AS BIGINT) AS k,
+              CASE WHEN ncoeffs = 4 THEN 1
+                   ELSE 1 + CAST((id + tag) % 4 AS BIGINT) END AS step,
+              CAST((id + frame_idx + mb + tag) %
+                (CASE WHEN tag >= 19 THEN 3 ELSE 4 END) AS BIGINT) AS n
+            FROM tags t, UNNEST(range(0, 3)) AS kk(k)
+            WHERE kk.k < (id + frame_idx + mb + tag) %
+              (CASE WHEN tag >= 19 THEN 3 ELSE 4 END)),
+          contrib AS (
+            SELECT id, frame_idx,
+              (1 + (id + mb + tag * 2 + k + frame_idx) % 3) *
+              (CASE WHEN (id + mb + tag + k) % 2 = 0 THEN 1 ELSE -1 END) *
+              (mb * 131 + tag * 17 +
+                (CASE WHEN ncoeffs = 4 THEN (id + tag + mb) % 2
+                 ELSE (id + mb + tag) % (ncoeffs - (n - 1) * step) END)
+                + k * step + 1) AS c
+            FROM lev),
+          lsums AS (
+            SELECT id, frame_idx, CAST(sum(c) AS BIGINT) AS b_level_checksum
+            FROM contrib GROUP BY id, frame_idx)
+          SELECT fr.id, fr.frame_idx,
+            CAST(fr.poc AS BIGINT) AS poc,
+            CAST(fr.poc // 2 AS BIGINT) AS display_idx,
+            CAST(fr.wmb * 16 AS BIGINT) AS width,
+            CAST(fr.hmb * 16 AS BIGINT) AS height,
+            CAST(fr.wmb * fr.hmb AS BIGINT) AS n_mbs,
+            fr.qp AS qp,
+            coalesce(b.b_type_sum, 0) AS b_type_sum,
+            coalesce(b.b_mvd_checksum, 0) AS b_mvd_checksum,
+            coalesce(b.b_cbp_sum, 0) AS b_cbp_sum,
+            coalesce(l.b_level_checksum, 0) AS b_level_checksum,
+            coalesce(b.n_b_skip, 0) AS n_b_skip,
+            coalesce(b.n_direct, 0) AS n_direct,
+            CAST(1 AS BIGINT) AS recon_exact
+          FROM fr
+          LEFT JOIN bsums b ON b.id = fr.id AND b.frame_idx = fr.frame_idx
+          LEFT JOIN lsums l ON l.id = fr.id AND l.frame_idx = fr.frame_idx
+          ORDER BY fr.id, fr.frame_idx""")),
+
     // ---- H.265/HEVC INTRA decode (VERDICT r15 item 8, q315): CTB-32
     //      coding quadtree (split_cu_flag with neighbor-depth
     //      contexts), PART_2Nx2N CUs 8..32 plus PART_NxN at 8x8 (the

@@ -98,6 +98,43 @@ class H264CabacInterSpec extends AnyFunSuite {
     assert(btSeen == Set(1, 2, 3), s"B types seen: $btSeen")
   }
 
+  test("TEMPORAL direct (q318): bit-exact round-trip; the flag " +
+      "actually switches derivations (planes differ from the spatial " +
+      "stream on some direct MB); scaled MVs match the closed form") {
+    var sawDifference = false
+    for (id <- 0L until 12L) {
+      val (wMb, hMb) = H264.ConstructH.dims(id, id + 1)
+      val qp = H264.ConstructH.qp(id)
+      val (bt, expT) = H264CabacInter.encodeBi(id, wMb, hMb, qp,
+        spatial = false)
+      val st = H264CabacInter.decode(bt).getOrElse(fail(s"id=$id -> None"))
+      st.frames.zip(expT).zipWithIndex.foreach { case ((got, exp), f) =>
+        assert(got.y.sameElements(exp.y), s"id=$id f=$f luma drift")
+        assert(got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr))
+        assert(got.levelChecksum == exp.levelChecksum)
+        assert(got.nDirect == exp.nDirect && got.nSkip == exp.nSkip)
+      }
+      val (bs, expS) = H264CabacInter.encodeBi(id, wMb, hMb, qp)
+      // same transmitted residual/mvd syntax, different derivation: any
+      // direct MB whose spatial and temporal motion disagree shows up
+      // as a B-frame plane difference
+      if (expT.drop(2).zip(expS.drop(2)).exists { case (t, sp) =>
+        !t.y.sameElements(sp.y) }) sawDifference = true
+      assert(bt.length != 0 && bs.length != 0)
+    }
+    assert(sawDifference,
+      "temporal and spatial direct never produced different planes")
+    // the §8.4.1.2.3 closed form at the plan's POCs (0, 6, cur 2):
+    // td=6, tx=2731, DSF for tb=2 is 85 -> mvCol 32 scales to 10,
+    // mvL1 = 10 - 32 = -22
+    val g = new H264.MotionGrid(4, 4)
+    g.fill(0, 0, 4, 4, 32, -32, 0)
+    val dm = H264CabacInter.directMotionTemporal(Some(g), 0, 0, 2, 0, 6)
+    assert(dm.use0 && dm.use1)
+    assert(dm.mv0(0) == ((32 * 85 + 128) >> 8, ((-32) * 85 + 128) >> 8))
+    assert(dm.mv1(0) == (dm.mv0(0)._1 - 32, dm.mv0(0)._2 + 32))
+  }
+
   test("rejection: truncation, CAVLC inter cross-decode, intra-only " +
       "decoder on a P stream, corrupted payload all fall through") {
     val (bytes, _) = H264CabacInter.encodeInter(5L, 2, 2, 3, 24)
