@@ -868,12 +868,18 @@ object H265 {
     }
   }
 
-  /** One decoded frame plus the gate sums the oracle re-derives. */
+  /** One decoded frame plus the gate sums the oracle re-derives. The
+    * trailing defaults are the INTER sums ([[H265Inter]], q319) —
+    * zero on intra frames.
+    */
   final case class H265Frame(
       y: Array[Int], cb: Array[Int], cr: Array[Int],
       nCus: Long, nNxN: Long, splitSum: Long, modeSum: Long,
       chromaModeSum: Long, cbfSum: Long, lastChecksum: Long,
-      levelChecksum: Long)
+      levelChecksum: Long,
+      nSkipCu: Long = 0L, nMergeCu: Long = 0L, nAmvpCu: Long = 0L,
+      nIntraCu: Long = 0L, mergeIdxSum: Long = 0L,
+      mvdChecksum: Long = 0L, rootCbfSum: Long = 0L)
 
   final case class H265Stream(width: Int, height: Int, qp: Int,
       frames: Vector[H265Frame])
@@ -881,7 +887,7 @@ object H265 {
   // -------------------------------------------------------------------
   // per-slice state: planes, 4x4-cell done/mode/depth grids
   // -------------------------------------------------------------------
-  private final class SliceState(val w: Int, val h: Int) {
+  private[operators] final class SliceState(val w: Int, val h: Int) {
     val cw: Int = w / 2; val ch: Int = h / 2
     val y = new Array[Int](w * h)
     val cb = new Array[Int](cw * ch)
@@ -942,7 +948,7 @@ object H265 {
   }
 
   /** Accumulates the per-frame gate sums while coding. */
-  private final class FrameSums {
+  private[operators] final class FrameSums {
     var nCus = 0L; var nNxN = 0L; var splitSum = 0L; var modeSum = 0L
     var chromaModeSum = 0L; var cbfSum = 0L; var lastChecksum = 0L
     var levelChecksum = 0L
@@ -955,7 +961,7 @@ object H265 {
   /** Raster-order block of one TU's construction: the k-th significant
     * coefficient sits at scan index k * step with value level(k).
     */
-  private def buildLevels(id: Long, tag: Int, nTbS: Int,
+  private[operators] def buildLevels(id: Long, tag: Int, nTbS: Int,
       scanIdx: Int): (Array[Int], Array[(Int, Int)]) = {
     val order = scanOrder(nTbS, scanIdx)
     val maxPos = nTbS * nTbS - 1
@@ -980,7 +986,7 @@ object H265 {
   /** Reconstruct one TB in `plane`: predict, dequant+inverse-transform
     * `levels` (raster), add, clip, and mark the cells done.
     */
-  private def reconTb(st: SliceState, luma: Boolean, comp: Int,
+  private[operators] def reconTb(st: SliceState, luma: Boolean, comp: Int,
       x0: Int, y0: Int, nTbS: Int, mode: Int, levels: Array[Int],
       qp: Int, hasResidual: Boolean): Unit = {
     val (plane, w, h) =
@@ -1021,7 +1027,7 @@ object H265 {
   // -------------------------------------------------------------------
 
   /** 2-byte HEVC nal_unit_header + emulation-prevented payload. */
-  private def nal(typ: Int, rbsp: Array[Byte]): Array[Byte] = {
+  private[operators] def nal(typ: Int, rbsp: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte](0, 0, 0, 1))
     out.write((typ << 1) & 0x7e) // forbidden 0, type(6), layer_id hi 0
@@ -1033,14 +1039,14 @@ object H265 {
   /** profile_tier_level, general layer only (12 bytes): Main profile,
     * main tier, level 1.
     */
-  private def writePtl(w: BitWriter): Unit = {
+  private[operators] def writePtl(w: BitWriter): Unit = {
     w.put(0, 2); w.put(0, 1); w.put(1, 5) // space, tier, profile_idc
     w.put(0x60000000, 32) // compatibility: idc1 + idc2
     w.put(1, 1); w.put(0, 1); w.put(0, 1); w.put(0, 1) // progressive...
     w.put(0, 22); w.put(0, 22) // general_reserved_zero_44bits
     w.put(30, 8) // general_level_idc
   }
-  private def readPtl(r: BitReader): Boolean = {
+  private[operators] def readPtl(r: BitReader): Boolean = {
     r.get(8) // space/tier/profile
     r.get(32); r.get(4)
     r.get(22); r.get(22)
@@ -1048,7 +1054,7 @@ object H265 {
     true
   }
 
-  private def vpsRbsp(): Array[Byte] = {
+  private[operators] def vpsRbsp(): Array[Byte] = {
     val w = new BitWriter
     w.put(0, 4) // vps_id
     w.put(3, 2); w.put(0, 6) // reserved 3, max_layers_minus1
@@ -1064,7 +1070,7 @@ object H265 {
     w.result()
   }
 
-  private def spsRbsp(width: Int, height: Int): Array[Byte] = {
+  private[operators] def spsRbsp(width: Int, height: Int): Array[Byte] = {
     val w = new BitWriter
     w.put(0, 4); w.put(0, 3); w.put(1, 1) // vps_id, max_sub_layers, nesting
     writePtl(w)
@@ -1095,7 +1101,7 @@ object H265 {
     w.result()
   }
 
-  private def ppsRbsp(qp: Int): Array[Byte] = {
+  private[operators] def ppsRbsp(qp: Int): Array[Byte] = {
     val w = new BitWriter
     w.ue(0); w.ue(0) // pps_id, sps_id
     w.put(0, 1); w.put(0, 1) // dependent_slice_segments, output_flag
@@ -1146,7 +1152,7 @@ object H265 {
     (out.toByteArray, frames.result())
   }
 
-  private def encodeSlice(id: Long, f: Int, wCtb: Int, hCtb: Int,
+  private[operators] def encodeSlice(id: Long, f: Int, wCtb: Int, hCtb: Int,
       qp: Int,
       frames: scala.collection.mutable.Builder[H265Frame, Vector[H265Frame]]): Array[Byte] = {
     val w = new BitWriter
@@ -1191,7 +1197,7 @@ object H265 {
     w.result()
   }
 
-  private def encodeCu(e: H264Cabac.Encoder, st: SliceState,
+  private[operators] def encodeCu(e: H264Cabac.Encoder, st: SliceState,
       sums: FrameSums, id: Long, f: Int, x0: Int, y0: Int,
       log2Size: Int, qp: Int): Unit = {
     val size = 1 << log2Size
@@ -1438,7 +1444,7 @@ object H265 {
     }
   }
 
-  private def decodeSlice(rbsp: Array[Byte], width: Int, height: Int,
+  private[operators] def decodeSlice(rbsp: Array[Byte], width: Int, height: Int,
       qp: Int,
       frames: scala.collection.mutable.Builder[H265Frame, Vector[H265Frame]]): Unit = {
     def bad(msg: String): Nothing = throw new IllegalStateException(msg)
@@ -1481,7 +1487,7 @@ object H265 {
       sums.lastChecksum, sums.levelChecksum)
   }
 
-  private def decodeCu(d: H264Cabac.Decoder, st: SliceState,
+  private[operators] def decodeCu(d: H264Cabac.Decoder, st: SliceState,
       sums: FrameSums, x0: Int, y0: Int, log2Size: Int, qp: Int): Unit = {
     val size = 1 << log2Size
     val depth = 5 - log2Size

@@ -1493,7 +1493,7 @@ object Multimodal {
         Decoded(st.widthMb * 16, st.heightMb * 16, st.frames.size, 0))
 
     def decodeH265(bytes: Array[Byte]): Option[Decoded] =
-      H265.decode(bytes).map(st =>
+      H265.decode(bytes).orElse(H265Inter.decode(bytes)).map(st =>
         Decoded(st.width, st.height, st.frames.size, 0))
 
     def decodeH264Cabac(bytes: Array[Byte]): Option[Decoded] =
@@ -1531,12 +1531,13 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake standing in for the codec library
     * on the formats [[MediaCodecs]] can't parse. Since r16 that is
-    * ONLY H.265 INTER (P/B slices) and the CAVLC-entropy temporal-
-    * direct niche — the ENTIRE H.264 CABAC alphabet decodes for real
-    * (intra q314, P slices q316, B slices with spatial direct q317
-    * and temporal direct q318) via [[graft.operators.H264Cabac]]/
-    * [[H264CabacInter]], and H.265 intra via
-    * [[graft.operators.H265]] (q315) —
+    * ONLY H.265 B slices and the CAVLC-entropy temporal-direct
+    * niche — the ENTIRE H.264 CABAC alphabet decodes for real (intra
+    * q314, P slices q316, B slices with spatial direct q317 and
+    * temporal direct q318) via [[graft.operators.H264Cabac]]/
+    * [[H264CabacInter]], and H.265 through intra (q315) AND inter
+    * P-slices with merge/AMVP + DCT-IF quarter-pel MC (q319) via
+    * [[graft.operators.H265]]/[[H265Inter]] —
     * documented next rungs:
     * MPEG-1 video decodes for real across the WHOLE picture-type
     * alphabet — entropy-coded I-frames (q287), forward motion-

@@ -210,6 +210,110 @@ class H265Spec extends AnyFunSuite {
     assert(scansSeen == Set(0, 1, 2), s"scans seen: $scansSeen")
   }
 
+  test("inter filters: every row sums to 64, half-pel rows are " +
+      "symmetric, quarter-pel rows mirror each other") {
+    for (f <- H265Inter.LumaFilters) assert(f.sum == 64)
+    for (f <- H265Inter.ChromaFilters) assert(f.sum == 64)
+    assert(H265Inter.LumaFilters(2).toSeq ==
+      H265Inter.LumaFilters(2).reverse.toSeq)
+    assert(H265Inter.ChromaFilters(4).toSeq ==
+      H265Inter.ChromaFilters(4).reverse.toSeq)
+    assert(H265Inter.LumaFilters(1).reverse.toSeq ==
+      H265Inter.LumaFilters(3).toSeq)
+    for (p <- 1 to 7)
+      assert(H265Inter.ChromaFilters(p).reverse.toSeq ==
+        H265Inter.ChromaFilters(8 - p).toSeq)
+    // integer-position MC is the identity; fractional stays in range
+    val ref = Array.tabulate(64 * 32)(i => (i * 37) % 256)
+    val out = new Array[Int](64 * 32)
+    H265Inter.mc(ref, 64, 32, out, 64, 8, 8, 16, 16, 8, -16, luma = true)
+    for (r <- 0 until 16; c <- 0 until 16)
+      assert(out((8 + r) * 64 + 8 + c) == ref((4 + r) * 64 + 10 + c))
+    H265Inter.mc(ref, 64, 32, out, 64, 8, 8, 16, 16, 5, 7, luma = true)
+    for (r <- 0 until 16; c <- 0 until 16) {
+      val v = out((8 + r) * 64 + 8 + c)
+      assert(v >= 0 && v <= 255)
+    }
+  }
+
+  test("merge/AMVP candidate lists: availability, pruning order, " +
+      "zero fill; skip cells count as inter") {
+    val mf = new H265Inter.MotionField(64, 32)
+    // nothing decoded: all zero-fill
+    assert(H265Inter.mergeCandidates(mf, 16, 16, 16) ==
+      IndexedSeq((0, 0), (0, 0), (0, 0)))
+    assert(H265Inter.amvpCandidates(mf, 16, 16, 16) ==
+      IndexedSeq((0, 0), (0, 0)))
+    // left CU inter (A1), above CU with a DIFFERENT mv (B1)
+    mf.fill(0, 16, 16, 4, -8, 1)
+    mf.fill(16, 0, 16, 12, 20, 2) // skip kind still counts as inter
+    val m = H265Inter.mergeCandidates(mf, 16, 16, 16)
+    assert(m(0) == (4, -8) && m(1) == (12, 20) && m(2) == (0, 0))
+    // identical motion above -> pruned, only one real candidate
+    val mf2 = new H265Inter.MotionField(64, 32)
+    mf2.fill(0, 16, 16, 4, -8, 1)
+    mf2.fill(16, 0, 16, 4, -8, 1)
+    val m2 = H265Inter.mergeCandidates(mf2, 16, 16, 16)
+    assert(m2(0) == (4, -8) && m2(1) == (0, 0))
+    val a2 = H265Inter.amvpCandidates(mf2, 16, 16, 16)
+    assert(a2 == IndexedSeq((4, -8), (0, 0)))
+    // intra neighbors are unavailable
+    val mf3 = new H265Inter.MotionField(64, 32)
+    mf3.fill(0, 16, 16, 9, 9, 0) // intra kind
+    assert(H265Inter.mergeCandidates(mf3, 16, 16, 16).head == (0, 0))
+  }
+
+  test("inter streams (q319): encode -> decode BIT-EXACT planes + " +
+      "gate sums; skip/merge/AMVP/intra-in-P all hit, a fractional " +
+      "phase in every direction, the cbf_luma inference fires") {
+    var sawSkip = false; var sawMerge = false; var sawAmvp = false
+    var sawIntraInP = false; var sawInference = false
+    val phases = scala.collection.mutable.Set[(Int, Int)]()
+    for (id <- 0L until 16L) {
+      val wCtb = (2 + id % 2).toInt
+      val hCtb = (1 + (id / 2) % 2).toInt
+      val nf = (2 + id % 2).toInt
+      val qp = H265.ConstructV.qp(id)
+      val (bytes, expect) = H265Inter.encode(id, wCtb, hCtb, nf, qp)
+      val st = H265Inter.decode(bytes).getOrElse(fail(s"id=$id -> None"))
+      assert(st.frames.size == nf)
+      st.frames.zip(expect).zipWithIndex.foreach { case ((got, exp), f) =>
+        assert(got.y.sameElements(exp.y), s"id=$id f=$f luma drift")
+        assert(got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr),
+          s"id=$id f=$f chroma drift")
+        assert(got.nSkipCu == exp.nSkipCu && got.nMergeCu == exp.nMergeCu)
+        assert(got.nAmvpCu == exp.nAmvpCu && got.nIntraCu == exp.nIntraCu)
+        assert(got.mergeIdxSum == exp.mergeIdxSum)
+        assert(got.mvdChecksum == exp.mvdChecksum, s"id=$id f=$f mvd")
+        assert(got.rootCbfSum == exp.rootCbfSum)
+        assert(got.levelChecksum == exp.levelChecksum, s"id=$id f=$f levels")
+        assert(got.cbfSum == exp.cbfSum && got.lastChecksum == exp.lastChecksum)
+        assert(got.modeSum == exp.modeSum) // intra-in-P modes
+        if (f > 0) {
+          if (got.nSkipCu > 0) sawSkip = true
+          if (got.nMergeCu > 0) sawMerge = true
+          if (got.nAmvpCu > 0) sawAmvp = true
+          if (got.nIntraCu > 0) sawIntraInP = true
+        }
+      }
+      // construction coverage: mvd phases and the inference corner
+      for (f <- 1 until nf; key <- 0 until 128) {
+        if (H265Inter.ConstructVI.cuClass(id, f, key) >= 3) {
+          phases += ((H265Inter.ConstructVI.mvdX(id, f, key) & 3,
+            H265Inter.ConstructVI.mvdY(id, f, key) & 3))
+          if (H265Inter.ConstructVI.rootCbf(id, f, key) &&
+            !H265Inter.ConstructVI.cbfCb(id, key) &&
+            !H265Inter.ConstructVI.cbfCr(id, key))
+            sawInference = true
+        }
+      }
+    }
+    assert(sawSkip && sawMerge && sawAmvp && sawIntraInP,
+      "a CU class never occurred")
+    assert(phases.size == 16, s"mvd phases seen: ${phases.size}/16")
+    assert(sawInference, "the cbf_luma inference corner never fired")
+  }
+
   test("rejection: truncation, cross-standard decode, H.264 CABAC " +
       "stream, corrupted payload all fall through") {
     val (bytes, _) = H265.encode(5L, 2, 2, 1, 24)
