@@ -44,7 +44,8 @@ object SparkEntry {
       "q310_mp2_stereo", "q311_mp3_layer3", "q312_h264_cavlc_full",
       "q313_h264_bframes", "q314_h264_cabac_intra", "q315_h265_intra",
       "q316_h264_cabac_inter", "q317_h264_cabac_bframes",
-      "q318_h264_cabac_tdirect", "q319_h265_inter")
+      "q318_h264_cabac_tdirect", "q319_h265_inter",
+      "q320_h265_bframes")
       .map(_ -> GateClass.ConstructionInverse)
     // the shared-sql-text class is EMPTY since r15: q127's oracle is now
     // an independently-formulated DuckDB program (set-wise longest-prefix

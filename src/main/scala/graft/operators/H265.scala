@@ -879,7 +879,8 @@ object H265 {
       levelChecksum: Long,
       nSkipCu: Long = 0L, nMergeCu: Long = 0L, nAmvpCu: Long = 0L,
       nIntraCu: Long = 0L, mergeIdxSum: Long = 0L,
-      mvdChecksum: Long = 0L, rootCbfSum: Long = 0L)
+      mvdChecksum: Long = 0L, rootCbfSum: Long = 0L,
+      predIdcSum: Long = 0L)
 
   final case class H265Stream(width: Int, height: Int, qp: Int,
       frames: Vector[H265Frame])

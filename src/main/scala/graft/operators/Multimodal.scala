@@ -1493,8 +1493,9 @@ object Multimodal {
         Decoded(st.widthMb * 16, st.heightMb * 16, st.frames.size, 0))
 
     def decodeH265(bytes: Array[Byte]): Option[Decoded] =
-      H265.decode(bytes).orElse(H265Inter.decode(bytes)).map(st =>
-        Decoded(st.width, st.height, st.frames.size, 0))
+      H265.decode(bytes).orElse(H265Inter.decode(bytes))
+        .orElse(H265Inter.decodeGop(bytes)).map(st =>
+          Decoded(st.width, st.height, st.frames.size, 0))
 
     def decodeH264Cabac(bytes: Array[Byte]): Option[Decoded] =
       H264Cabac.decode(bytes)
@@ -1530,13 +1531,15 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake standing in for the codec library
-    * on the formats [[MediaCodecs]] can't parse. Since r16 that is
-    * ONLY H.265 B slices and the CAVLC-entropy temporal-direct
-    * niche — the ENTIRE H.264 CABAC alphabet decodes for real (intra
-    * q314, P slices q316, B slices with spatial direct q317 and
-    * temporal direct q318) via [[graft.operators.H264Cabac]]/
-    * [[H264CabacInter]], and H.265 through intra (q315) AND inter
-    * P-slices with merge/AMVP + DCT-IF quarter-pel MC (q319) via
+    * on the formats [[MediaCodecs]] can't parse. Since r16 the VIDEO
+    * stub surface is EMPTY (the one niche left is CAVLC-entropy
+    * H.264 temporal direct): the ENTIRE H.264 CABAC alphabet decodes
+    * for real (intra q314, P slices q316, B slices with spatial
+    * direct q317 and temporal direct q318) via
+    * [[graft.operators.H264Cabac]]/[[H264CabacInter]], and H.265
+    * through intra (q315), inter P-slices with merge/AMVP + DCT-IF
+    * quarter-pel MC (q319) AND B slices with combined-candidate
+    * merge and default bi-prediction (q320) via
     * [[graft.operators.H265]]/[[H265Inter]] —
     * documented next rungs:
     * MPEG-1 video decodes for real across the WHOLE picture-type

@@ -3647,6 +3647,249 @@ object PipelineQueries extends Registry {
           LEFT JOIN lsums l ON l.id = fr.id AND l.f = fr.f
           ORDER BY fr.id, fr.f""")),
 
+    // ---- H.265/HEVC B-SLICES (q320 — the video stub surface is now
+    //      EMPTY): a fixed I/P/B group (decode order; display I,B,P)
+    //      where the non-reference TRAIL_N B picture carries two
+    //      reference lists (L0 = the I frame, L1 = the P frame),
+    //      inter_pred_idc with the depth-keyed bin-0 context,
+    //      per-list HEVC mvd_coding + mvp flags, the B merge list
+    //      (full-motion spatial pruning + COMBINED bi-predictive
+    //      candidates + bi zero fill), and DEFAULT BI-PREDICTION that
+    //      averages the two lists' unrounded 14-bit DCT-IF
+    //      intermediates per §8.5.4.2.3 (the mcRaw/mc split exists
+    //      for exactly this). Skip/merge/L0/L1/BI/intra CU classes
+    //      all occur; the oracle re-derives every per-frame sum
+    //      (including pred_idc and the per-list mvd terms) and
+    //      recon_exact gates bit-exact planes through bi-prediction.
+    //      Row-local fan-out, zero shuffle. ------------------------------
+    Q("q320_h265_bframes",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" % 67 === 37)
+          .select($"doc_id", $"n_chars")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, nch) =>
+              val wCtb = (2 + id % 2).toInt
+              val hCtb = (1 + nch % 2).toInt
+              val qp = H265.ConstructV.qp(id)
+              val (bytes, expect) = H265Inter.encodeGop(id, wCtb, hCtb, qp)
+              val st = H265Inter.decodeGop(bytes).get
+              st.frames.zip(expect).zipWithIndex.map { case ((got, exp), f) =>
+                val exact = got.y.sameElements(exp.y) &&
+                  got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr)
+                (id, f.toLong, (wCtb * 32).toLong, (hCtb * 32).toLong,
+                  qp.toLong, got.nCus, got.nNxN,
+                  got.splitSum, got.modeSum, got.chromaModeSum,
+                  got.cbfSum, got.lastChecksum, got.levelChecksum,
+                  got.nSkipCu, got.nMergeCu, got.nAmvpCu, got.nIntraCu,
+                  got.mergeIdxSum, got.mvdChecksum, got.rootCbfSum,
+                  got.predIdcSum, if (exact) 1L else 0L)
+              }
+            }
+          }
+          .toDF("id", "frame_idx", "width", "height", "qp",
+            "n_cus", "n_nxn", "split_sum", "mode_sum",
+            "chroma_mode_sum", "cbf_sum", "last_checksum",
+            "level_checksum", "n_skip_cu", "n_merge_cu", "n_amvp_cu",
+            "n_intra_cu", "merge_idx_sum", "mvd_checksum",
+            "root_cbf_sum", "pred_idc_sum", "recon_exact")
+          .orderBy($"id", $"frame_idx")
+      },
+      Some("""WITH d AS (
+            SELECT doc_id AS id, n_chars,
+              CAST(2 + doc_id % 2 AS BIGINT) AS wctb,
+              CAST(1 + n_chars % 2 AS BIGINT) AS hctb,
+              CAST(20 + doc_id % 8 AS BIGINT) AS qp
+            FROM documents WHERE doc_id % 67 = 37),
+          fr AS (
+            SELECT id, wctb, hctb, qp, CAST(t.f AS BIGINT) AS f
+            FROM d, UNNEST(range(0, 3)) AS t(f)),
+          ctu AS (
+            SELECT fr.*, CAST(t.c AS BIGINT) AS c,
+              CAST(t.c % wctb AS BIGINT) * 32 AS x32,
+              CAST(t.c // wctb AS BIGINT) * 32 AS y32,
+              (id + f + t.c) % 3 = 0 AS split32
+            FROM fr, UNNEST(range(0, wctb * hctb)) AS t(c)),
+          q16 AS (
+            SELECT ctu.*, CAST(t.q AS BIGINT) AS q,
+              x32 + (t.q % 2) * 16 AS qx, y32 + (t.q // 2) * 16 AS qy,
+              (id + f + c + t.q) % 2 = 0 AS split16
+            FROM ctu, UNNEST(range(0, 4)) AS t(q)
+            WHERE split32),
+          cus AS (
+            SELECT id, f, qp, x32 AS cux, y32 AS cuy,
+              CAST(5 AS BIGINT) AS log2s FROM ctu WHERE NOT split32
+            UNION ALL
+            SELECT id, f, qp, qx, qy, CAST(4 AS BIGINT) FROM q16
+            WHERE NOT split16
+            UNION ALL
+            SELECT q16.id, q16.f, q16.qp,
+              qx + (t.s % 2) * 8, qy + (t.s // 2) * 8, CAST(3 AS BIGINT)
+            FROM q16, UNNEST(range(0, 4)) AS t(s)
+            WHERE split16),
+          -- CU classes: frame 0 is all-intra; P frames split 5 ways
+          cuk AS (
+            SELECT cus.*, (cuy // 8) * 16 + (cux // 8) AS cukey,
+              CASE WHEN f = 0 THEN 2
+                   WHEN f = 1 THEN
+                     (id + f + (cuy // 8) * 16 + (cux // 8)) % 5
+                   ELSE (id + f + (cuy // 8) * 16 + (cux // 8)) % 6
+                   END AS cls
+            FROM cus),
+          cukx AS (
+            SELECT cuk.*, f = 0 OR cls = 2 AS isintra
+            FROM cuk),
+          cuki AS (
+            SELECT cukx.*,
+              log2s = 3 AND isintra AND (id + cukey) % 3 = 0 AS nxn,
+              NOT isintra AND cls != 0 AND (id + f + cukey) % 4 != 3
+                AS rootcbf
+            FROM cukx),
+          splits AS (
+            SELECT id, f, CAST(sum(CASE WHEN split32 THEN c + 1 ELSE 0
+              END) AS BIGINT) AS s32
+            FROM ctu GROUP BY id, f),
+          splits16 AS (
+            SELECT id, f, CAST(sum(CASE WHEN split16 THEN c * 4 + q + 1
+              ELSE 0 END) AS BIGINT) AS s16
+            FROM q16 GROUP BY id, f),
+          clssums AS (
+            SELECT id, f,
+              CAST(count(*) AS BIGINT) AS n_cus,
+              CAST(count(*) FILTER (WHERE nxn) AS BIGINT) AS n_nxn,
+              CAST(count(*) FILTER (WHERE f > 0 AND cls = 0) AS BIGINT)
+                AS n_skip_cu,
+              CAST(count(*) FILTER (WHERE f > 0 AND cls = 1) AS BIGINT)
+                AS n_merge_cu,
+              CAST(count(*) FILTER (WHERE f > 0 AND cls >= 3)
+                AS BIGINT) AS n_amvp_cu,
+              CAST(count(*) FILTER (WHERE f > 0 AND cls = 2) AS BIGINT)
+                AS n_intra_cu,
+              CAST(sum(CASE WHEN f > 0 AND cls IN (0, 1)
+                THEN ((id + cukey) % 3) * (cukey + 1) ELSE 0 END)
+                AS BIGINT) AS merge_idx_sum,
+              CAST(sum(CASE
+                WHEN f = 1 AND cls IN (3, 4) THEN
+                  (((id + 3 * f + 5 * cukey) % 37) - 18) * (cukey * 4 + 1) +
+                  (((3 * id + f + 2 * cukey) % 37) - 18) * (cukey * 4 + 3)
+                WHEN f = 2 AND cls IN (3, 5) THEN
+                  (((id + 3 * f + 5 * cukey) % 37) - 18) * (cukey * 8 + 1) +
+                  (((3 * id + f + 2 * cukey) % 37) - 18) * (cukey * 8 + 3) +
+                  CASE WHEN cls = 5 THEN
+                    (((id + 5 * f + 7 * cukey) % 37) - 18) * (cukey * 8 + 5) +
+                    (((5 * id + 3 * f + cukey) % 37) - 18) * (cukey * 8 + 7)
+                  ELSE 0 END
+                WHEN f = 2 AND cls = 4 THEN
+                  (((id + 5 * f + 7 * cukey) % 37) - 18) * (cukey * 8 + 5) +
+                  (((5 * id + 3 * f + cukey) % 37) - 18) * (cukey * 8 + 7)
+                ELSE 0 END) AS BIGINT) AS mvd_checksum,
+              CAST(sum(CASE WHEN rootcbf THEN cukey + 1 ELSE 0 END)
+                AS BIGINT) AS root_cbf_sum,
+              CAST(sum(CASE WHEN f = 2 AND cls >= 3
+                THEN (cls - 2) * (cukey + 1) ELSE 0 END) AS BIGINT)
+                AS pred_idc_sum
+            FROM cuki GROUP BY id, f),
+          -- intra PU modes (frame 0 + cls-2 CUs in P frames)
+          pus AS (
+            SELECT cuki.*, CAST(t.s2 AS BIGINT) AS s2,
+              (id + f + (cux // 8) + 2 * (cuy // 8) + log2s + 2 * t.s2)
+                % 35 AS pmode
+            FROM cuki, UNNEST(range(0, 4)) AS t(s2)
+            WHERE isintra AND t.s2 < CASE WHEN nxn THEN 4 ELSE 1 END),
+          msums AS (
+            SELECT id, f,
+              CAST(sum(pmode * (cukey * 8 + s2 + 1)) AS BIGINT)
+                AS mode_sum
+            FROM pus GROUP BY id, f),
+          cmodes AS (
+            SELECT cuki.*, icpm,
+              CASE WHEN icpm = 4 THEN pm0
+                   WHEN cand = pm0 THEN 34 ELSE cand END AS cmode
+            FROM (
+              SELECT cuki.*,
+                (id + f + (cux // 8) + (cuy // 8)) % 5 AS icpm,
+                (id + f + (cux // 8) + 2 * (cuy // 8) + log2s) % 35
+                  AS pm0,
+                list_extract([0, 26, 10, 1],
+                  CAST((id + f + (cux // 8) + (cuy // 8)) % 5 AS INT)
+                    % 4 + 1) AS cand
+              FROM cuki WHERE isintra) cuki),
+          csums AS (
+            SELECT id, f,
+              CAST(sum(cmode * (cukey + 1)) AS BIGINT)
+                AS chroma_mode_sum
+            FROM cmodes GROUP BY id, f),
+          -- unified TU table: intra CUs carry the q315 layout; inter
+          -- CUs with rqt_root_cbf carry TU 0/4/5 with the cbf_luma
+          -- inference (both chroma zero -> luma forced on)
+          tus AS (
+            SELECT cuki.*, CAST(t.s2 AS BIGINT) AS s2,
+              cukey * 8 + t.s2 AS tag,
+              CASE WHEN t.s2 >= 4 THEN (1 << (log2s - 1))
+                   WHEN isintra AND nxn THEN 4 ELSE (1 << log2s)
+                   END AS ntbs
+            FROM cuki, UNNEST(range(0, 6)) AS t(s2)
+            WHERE CASE
+              WHEN isintra THEN
+                (t.s2 >= 4 OR t.s2 < CASE WHEN nxn THEN 4 ELSE 1 END)
+                AND (id + cukey + t.s2) % 4 != 3
+              WHEN rootcbf THEN
+                (t.s2 = 4 AND (id + cukey) % 3 != 2) OR
+                (t.s2 = 5 AND (id + 2 * cukey + 1) % 3 != 2) OR
+                (t.s2 = 0 AND (
+                  ((id + cukey) % 3 = 2 AND (id + 2 * cukey + 1) % 3 = 2)
+                  OR (id + cukey) % 4 != 3))
+              ELSE FALSE END),
+          tuk AS (
+            SELECT tus.*, 1 + (id + tag) % 3 AS step,
+              least(1 + (id + tag) % 8,
+                (ntbs * ntbs - 1) // (1 + (id + tag) % 3) + 1) AS nsig
+            FROM tus),
+          cbfsums AS (
+            SELECT id, f,
+              CAST(sum(tag + 1) AS BIGINT) AS cbf_sum,
+              CAST(sum((step * (nsig - 1)) * (tag + 1)) AS BIGINT)
+                AS last_checksum
+            FROM tuk GROUP BY id, f),
+          lev AS (
+            SELECT tuk.id, tuk.f, tuk.tag, CAST(t.k AS BIGINT) AS k
+            FROM tuk, UNNEST(range(0, 8)) AS t(k)
+            WHERE t.k < nsig),
+          lsums AS (
+            SELECT id, f, CAST(sum(
+              (1 + (id + tag + k) % 5 +
+                CASE WHEN k = 0 AND (id + tag) % 7 = 0 THEN 40 ELSE 0
+                END) *
+              (CASE WHEN (id + tag + k) % 2 = 0 THEN 1 ELSE -1 END) *
+              (tag * 31 + k + 1)) AS BIGINT) AS level_checksum
+            FROM lev GROUP BY id, f)
+          SELECT fr.id, fr.f AS frame_idx,
+            CAST(fr.wctb * 32 AS BIGINT) AS width,
+            CAST(fr.hctb * 32 AS BIGINT) AS height,
+            fr.qp AS qp,
+            cl.n_cus, cl.n_nxn,
+            coalesce(s.s32, 0) + coalesce(s16.s16, 0) AS split_sum,
+            coalesce(m.mode_sum, 0) AS mode_sum,
+            coalesce(c.chroma_mode_sum, 0) AS chroma_mode_sum,
+            coalesce(cb.cbf_sum, 0) AS cbf_sum,
+            coalesce(cb.last_checksum, 0) AS last_checksum,
+            coalesce(l.level_checksum, 0) AS level_checksum,
+            cl.n_skip_cu, cl.n_merge_cu, cl.n_amvp_cu, cl.n_intra_cu,
+            cl.merge_idx_sum, cl.mvd_checksum,
+            cl.root_cbf_sum, cl.pred_idc_sum,
+            CAST(1 AS BIGINT) AS recon_exact
+          FROM fr
+          JOIN clssums cl ON cl.id = fr.id AND cl.f = fr.f
+          LEFT JOIN splits s ON s.id = fr.id AND s.f = fr.f
+          LEFT JOIN splits16 s16 ON s16.id = fr.id AND s16.f = fr.f
+          LEFT JOIN msums m ON m.id = fr.id AND m.f = fr.f
+          LEFT JOIN csums c ON c.id = fr.id AND c.f = fr.f
+          LEFT JOIN cbfsums cb ON cb.id = fr.id AND cb.f = fr.f
+          LEFT JOIN lsums l ON l.id = fr.id AND l.f = fr.f
+          ORDER BY fr.id, fr.f""")),
+
     // ---- MP2 STEREO + Table-B.2b operating point + the PERFECT-
     //      RECONSTRUCTION gate (VERDICT r14 item 3): q302's sibling at
     //      32 kHz / 192 kbit/s / STEREO — Table B.2b's sblimit 30, the

@@ -26,7 +26,7 @@ class QueriesSpec extends SparkSpec {
     assert(gc.filter(_._2 == graft.queries.GateClass.SharedSqlText).isEmpty)
     // every construction-inverse gate is a media/container codec query
     val ci = gc.filter(_._2 == graft.queries.GateClass.ConstructionInverse).keySet
-    assert(ci.size == 30 && ci.forall(SparkEntry.oracleSql.contains))
+    assert(ci.size == 31 && ci.forall(SparkEntry.oracleSql.contains))
   }
 
   test("q127 shared-SQL gate: independent in-JVM greedy tokenizer re-derives " +

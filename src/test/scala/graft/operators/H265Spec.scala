@@ -314,6 +314,63 @@ class H265Spec extends AnyFunSuite {
     assert(sawInference, "the cbf_luma inference corner never fired")
   }
 
+  test("B slices (q320): bit-exact I/P/B round-trip; every CU class " +
+      "occurs including BI; bi-prediction averages unrounded 14-bit " +
+      "intermediates (differs from rounding each list separately)") {
+    var sawBi = false; var sawL0 = false; var sawL1 = false
+    var sawSkip = false; var sawMerge = false; var sawIntra = false
+    for (id <- 0L until 16L) {
+      val wCtb = (2 + id % 2).toInt
+      val hCtb = (1 + (id / 2) % 2).toInt
+      val qp = H265.ConstructV.qp(id)
+      val (bytes, expect) = H265Inter.encodeGop(id, wCtb, hCtb, qp)
+      val st = H265Inter.decodeGop(bytes).getOrElse(fail(s"id=$id -> None"))
+      assert(st.frames.size == 3)
+      st.frames.zip(expect).zipWithIndex.foreach { case ((got, exp), f) =>
+        assert(got.y.sameElements(exp.y), s"id=$id f=$f luma drift")
+        assert(got.cb.sameElements(exp.cb) && got.cr.sameElements(exp.cr))
+        assert(got.mvdChecksum == exp.mvdChecksum)
+        assert(got.predIdcSum == exp.predIdcSum)
+        assert(got.mergeIdxSum == exp.mergeIdxSum)
+        assert(got.levelChecksum == exp.levelChecksum)
+      }
+      // the plain decode must REJECT the B NAL (fall-through contract)
+      assert(H265Inter.decode(bytes).isEmpty,
+        "P-only decoder accepted a B picture")
+      for (key <- 0 until 128) {
+        H265Inter.ConstructVI.cuClassB(id, 2, key) match {
+          case 0 => sawSkip = true
+          case 1 => sawMerge = true
+          case 2 => sawIntra = true
+          case 3 => sawL0 = true
+          case 4 => sawL1 = true
+          case 5 => sawBi = true
+        }
+      }
+    }
+    assert(sawSkip && sawMerge && sawIntra && sawL0 && sawL1 && sawBi,
+      "a B CU class never occurred")
+    // the normative bi average: (a14 + b14 + 64) >> 7 on the raw
+    // intermediates, not an average of the two rounded predictions
+    val ref = Array.tabulate(64 * 32)(i => (i * 131) % 256)
+    val a = H265Inter.mcRaw(ref, 64, 32, 8, 8, 8, 8, 1, 2, luma = true)
+    val b = H265Inter.mcRaw(ref, 64, 32, 8, 8, 8, 8, 3, 1, luma = true)
+    val out = new Array[Int](64 * 32)
+    H265Inter.mcBi(ref, ref, 64, 32, out, 64, 8, 8, 8, 8, (1, 2), (3, 1),
+      luma = true)
+    var diffFromRounded = false
+    for (r <- 0 until 8; c <- 0 until 8) {
+      val bi = out((8 + r) * 64 + 8 + c)
+      assert(bi == math.max(0, math.min(255,
+        (a(r * 8 + c) + b(r * 8 + c) + 64) >> 7)))
+      val roundedAvg = (((a(r * 8 + c) + 32) >> 6) +
+        ((b(r * 8 + c) + 32) >> 6) + 1) >> 1
+      if (bi != roundedAvg) diffFromRounded = true
+    }
+    assert(diffFromRounded,
+      "bi average never differed from rounding each list first")
+  }
+
   test("rejection: truncation, cross-standard decode, H.264 CABAC " +
       "stream, corrupted payload all fall through") {
     val (bytes, _) = H265.encode(5L, 2, 2, 1, 24)
