@@ -96,7 +96,4 @@ object TextFunctions {
     s"min(($a * hm + $b) % $minhashP)"
   }
 
-  /** LSH band key from minhash values (string-joined). */
-  def bandKey(minhashes: Seq[Column]): Column =
-    concat_ws("_", minhashes: _*)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
@@ -94,13 +94,38 @@ object TextQueries extends Registry {
     p
   }
 
-  /** doc_id -> 16 minhash columns h0..h15 (bigint). */
+  /** doc_id -> 16 minhash columns h0..h15 (bigint).
+    *
+    * ROW-LOCAL since r16 (guide §2.4, remove shuffles outright): a doc's
+    * signature is a pure function of its own shingle multiset — min over
+    * the affine-permuted 60-bit base hashes — so the former
+    * explode → distinct → groupBy pipeline (two corpus-wide shuffles whose
+    * payload was the shingle STRINGS) is replaced by per-row array
+    * kernels: hash every shingle once (`hma` gets its own projection so
+    * the md5 is not re-evaluated per permutation — CSE does not reach
+    * inside lambdas), then 16 array_min passes over the long array.
+    * Dropping the DISTINCT is exact: min over a multiset equals min over
+    * its set, and the affine map is injective mod p, so duplicate
+    * shingles (or 60-bit prefix collisions within one doc) cannot move
+    * any h_j. Docs with fewer than 3 tokens have no shingles and are
+    * absent from the result — same as the explode path. The oracle CTE
+    * (distinct-then-min over the same md5 arithmetic) is unchanged; the
+    * 12 green minhash-family gates re-certify the equivalence.
+    */
   private def minhashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val aggs = (0 until nPerms).map(j => minhashAgg($"hm", j).as(s"h$j"))
-    shingleSet(s, dir)
-      .withColumn("hm", baseHash($"shingle"))
-      .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val hm = (sh: Column) =>
+      conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % minhashP
+    val mins = (0 until nPerms).map { j =>
+      val (a, b) = permConsts(j)
+      array_min(transform($"hma", x => (lit(a) * x + lit(b)) % minhashP))
+        .as(s"h$j")
+    }
+    docs(s, dir)
+      .select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", transform(wordShingles($"w", 3), hm).as("hma"))
+      .select($"doc_id" +: mins: _*)
   }
 
   private val minhashCte = {
@@ -128,14 +153,29 @@ object TextQueries extends Registry {
   private[queries] def lshScoredWith(mh: org.apache.spark.sql.DataFrame,
       nb: Int): org.apache.spark.sql.DataFrame = {
     require(nPerms % nb == 0, s"bands=$nb must divide nPerms=$nPerms")
+    val nSlots = nPerms / nb
+    // EXACT band-key packing (r16; guide §2.3, shuffle narrower keys):
+    // every h_j < minhashP, so h_i·P + h_{i+1} is a bijection on pairs —
+    // the band key becomes ⌈slots/2⌉ BIGINT columns instead of a
+    // "_"-joined string (~40 B/row → 8-16 B/row through the bands
+    // self-join shuffle), with a PROVABLY identical bucket partition (a
+    // pack collision is impossible, so the candidate set cannot move;
+    // the string-keyed DuckDB oracle is unchanged).
+    val nKeys = (nSlots + 1) / 2
     val bandStructs = (0 until nb).map { b =>
-      struct(lit(b).as("band"),
-        bandKey((0 until nPerms / nb).map(j => col(s"h${nPerms / nb * b + j}"))).as("bkey"))
+      val hs = (0 until nSlots).map(j => col(s"h${nSlots * b + j}"))
+      val packed = hs.grouped(2).map {
+        case Seq(x, y) => x * lit(minhashP) + y
+        case Seq(x) => x
+      }.toSeq
+      struct(lit(b).as("band") +:
+        packed.zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*)
     }
+    val keyNames = "band" +: (0 until nKeys).map(i => s"k$i")
     val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("doc_id") +: keyNames.map(n => col(s"bb.$n").as(n)): _*)
     val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        keyNames.map(n => col(s"a.$n") === col(s"b.$n")).reduce(_ && _) &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -1077,11 +1117,26 @@ object TextQueries extends Registry {
             size(filter($"w", x => x.isin(stops: _*))).as("stops"),
             (size($"g3") - size(array_distinct($"g3"))).as("dup3"),
             size($"g3").as("ng3"))
-        val top2 = base.select($"doc_id", explode($"g2").as("gm"))
-          .groupBy($"doc_id", $"gm").agg(count(lit(1)).as("cnt"))
-          .groupBy($"doc_id").agg(max($"cnt" * length($"gm")).as("top2chars"))
-        val flags = base.join(top2, Seq("doc_id"), "left")
-          .withColumn("t2", coalesce($"top2chars", lit(0L)))
+        // ROW-LOCAL top-bigram coverage since r16 (guide §2.4): the rule's
+        // t2 = max over a doc's distinct bigrams of count·length is a pure
+        // function of the doc's own bigram array, so the former
+        // explode → (doc_id, gm) agg → doc_id agg → join-back (the one
+        // corpus shuffle this funnel paid, with every bigram STRING as
+        // payload) collapses to sort + one run-scan inside the row: equal
+        // bigrams are adjacent after array_sort, a run's final element
+        // sees run-length = the bigram's full count, and intermediate
+        // run prefixes are dominated by their own run's last step — so
+        // the fold's best equals max(cnt·len) exactly. Empty g2 folds to
+        // 0, matching the old left-join + coalesce(0). Oracle unchanged.
+        val flags = base
+          .withColumn("t2", expr(
+            """aggregate(array_sort(g2),
+                 struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS best),
+                 (acc, x) -> struct(x AS prev,
+                   IF(x = acc.prev, acc.run + 1L, 1L) AS run,
+                   GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L)
+                     * CAST(length(x) AS BIGINT)) AS best),
+                 acc -> acc.best)"""))
           .select($"lang",
             ($"n" >= 30 && $"n" <= 10000).cast("int").as("p1"),
             ($"sumw" >= $"n" * 3 && $"sumw" <= $"n" * 10).cast("int").as("p2"),
@@ -3202,21 +3257,32 @@ object TextQueries extends Registry {
       (s, dir) => {
         import s.implicits._
         val L = 20
+        // r16 (guide §2.3/§2.4): the gram hash travels as unhex(md5) BINARY
+        // (16 B, the same 128 bits the 32-char hex string carried — a pure
+        // re-encoding, so the duplicate relation is bit-identical), and
+        // the former agg + join-back-to-g (TWO scans of the corpus grams,
+        // two shuffles on h, then the join) is one groupBy(h) carrying the
+        // (doc_id, start) occurrence list, filtered to cnt>1 and exploded
+        // back — ONE scan, ONE shuffle; per-h groups are bounded by the
+        // duplicate fan-out the old join paid anyway. Oracle unchanged.
         val g = docs(s, dir)
           .select($"doc_id", tokens(lower($"text")).as("w"))
           .filter(size($"w") >= L)
           .select($"doc_id", explode(expr(
             s"""transform(sequence(1, size(w) - ${L - 1}),
-                i -> struct(i as start, md5(array_join(slice(w, i, $L), ' ')) as h))"""))
+                i -> struct(i as start, unhex(md5(array_join(slice(w, i, $L), ' '))) as h))"""))
             .as("gh"))
           .select($"doc_id", $"gh.start".as("start"), $"gh.h".as("h"))
-        val dup = g.groupBy($"h").agg(count(lit(1)).as("cnt"))
-          .filter($"cnt" > 1).select($"h")
         val wPrev = Window.partitionBy($"doc_id").orderBy($"start")
           .rowsBetween(Window.unboundedPreceding, -1)
         val wRun = Window.partitionBy($"doc_id").orderBy($"start")
           .rowsBetween(Window.unboundedPreceding, 0)
-        g.join(dup, Seq("h")).select($"doc_id", $"start")
+        g.groupBy($"h")
+          .agg(count(lit(1)).as("cnt"),
+            collect_list(struct($"doc_id", $"start")).as("os"))
+          .filter($"cnt" > 1)
+          .select(explode($"os").as("o"))
+          .select($"o.doc_id".as("doc_id"), $"o.start".as("start"))
           .withColumn("brk",
             when($"start" > coalesce(max($"start" + L).over(wPrev), lit(-1)), 1L)
               .otherwise(0L))

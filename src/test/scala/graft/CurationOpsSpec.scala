@@ -27,6 +27,47 @@ class CurationOpsSpec extends SparkSpec {
     })
   }
 
+  test("q23: r16 row-local minhash + packed band keys ≡ explode/distinct/groupBy + string keys") {
+    // the pre-r16 formulation, rebuilt inline from the same TextFunctions
+    // kernels: shingle explode → DISTINCT → per-doc min aggregate, and
+    // "_"-joined string band keys. The r16 kernel (row-local array_min
+    // over the hashed shingle array; band keys packed as h_i·P + h_{i+1})
+    // must produce the IDENTICAL candidate set and estimates — dropping
+    // the distinct is exact because min over a multiset is min over its
+    // set, and the key packing is a bijection since every h_j < P.
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextFunctions._
+    val docs = graft.core.Tables(s, sfDir, "documents")
+    val sh = docs.select($"doc_id",
+      explode(wordShingles(split($"text", " "), 3)).as("shingle")).distinct()
+    val aggs = (0 until 16).map(j => minhashAgg($"hm", j).as(s"h$j"))
+    val mh = sh.withColumn("hm", baseHash($"shingle"))
+      .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until 4).map(j => col(s"h${4 * b + j}")): _*).as("bkey"))
+    }
+    val bands = mh.select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val agree = (0 until 16)
+      .map(j => when(col(s"ma.h$j") === col(s"mb.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val ref = cand
+      .join(mh.as("ma"), col("doc_a") === col("ma.doc_id"))
+      .join(mh.as("mb"), col("doc_b") === col("mb.doc_id"))
+      .select($"doc_a", $"doc_b", (agree.cast("double") / 16).as("est_jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ours = q("q23_minhash_lsh")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ours == ref,
+      s"row-local minhash diverged: only-new=${(ours -- ref).take(5)} only-old=${(ref -- ours).take(5)}")
+  }
+
   test("q104: no benchmark docs in output; hits imply a genuinely shared shingle") {
     val s = spark
     import s.implicits._

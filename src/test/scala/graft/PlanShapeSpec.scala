@@ -30,6 +30,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q04_semi_join_active").contains("LeftSemi"))
   }
 
+  test("q23: minhash signatures are row-local (r16) — array_min kernel, no shingle shuffle") {
+    val p = plan("q23_minhash_lsh")
+    assert(p.contains("array_min"),
+      s"row-local minhash kernel absent — signature pipeline regressed to a shuffle:\n$p")
+    assert(!p.toLowerCase.contains("shingle"),
+      s"a shingle column reached the physical plan — the string explode path is back:\n$p")
+  }
+
   test("q30: query side broadcast, no cartesian product") {
     val p = plan("q30_cosine_topk")
     assert(p.contains("Broadcast"), s"query set not broadcast:\n$p")
