@@ -5399,9 +5399,13 @@ object PipelineQueries extends Registry {
               .map(e => (e._3, e._1)).toSeq)
             query.processAllAvailable()
           }
-          // watermark-advancing sentinels (user -1 matches no real row);
-          // two rounds: advance, then evict-and-emit
-          Seq(2, 4).foreach { d =>
+          // watermark-advancing sentinel (user -1 matches no real row).
+          // ONE round since r16: processAllAvailable already reruns the
+          // eviction micro-batch itself when the watermark advances
+          // (WatermarkTracker / shouldRunAnotherBatch), so the second
+          // sentinel round only bought two more no-op micro-batches
+          // (~0.6 s each on this harness); output verified identical.
+          Seq(2).foreach { d =>
             memP.addData(Seq((-1L, -1L, sentinelTs(d))))
             memC.addData(Seq((-1L, sentinelTs(d))))
             query.processAllAvailable()
@@ -5668,9 +5672,10 @@ object PipelineQueries extends Registry {
           val (b1, b2) = evts.splitAt(evts.length / 2)
           mem.addData(b1.toSeq); query.processAllAvailable()
           mem.addData(b2.toSeq); query.processAllAvailable()
-          // advance the watermark past every real 6-hour window, then
-          // trigger the flushing micro-batch (q132's two-round recipe)
-          Seq(2, 4).foreach { d =>
+          // advance the watermark past every real 6-hour window; the
+          // flushing micro-batch runs inside the same processAllAvailable
+          // (shouldRunAnotherBatch — see q132), so ONE round since r16
+          Seq(2).foreach { d =>
             mem.addData(Seq((new java.sql.Timestamp(maxMs + d * 86400000L),
               "zz_sentinel")))
             query.processAllAvailable()
@@ -5729,10 +5734,11 @@ object PipelineQueries extends Registry {
           val (b1, b2) = evts.splitAt(evts.length / 2)
           mem.addData(b1.toSeq); query.processAllAvailable()
           mem.addData(b2.toSeq); query.processAllAvailable()
-          // advance the watermark past every real window, then trigger the
-          // flushing micro-batch (q132/q196's two-round recipe); sentinel
-          // windows are cut by the window_start bound below
-          Seq(2, 4).foreach { d =>
+          // advance the watermark past every real window; the flushing
+          // micro-batch runs inside the same processAllAvailable
+          // (shouldRunAnotherBatch — see q132), so ONE round since r16;
+          // sentinel windows are cut by the window_start bound below
+          Seq(2).foreach { d =>
             mem.addData(Seq((new java.sql.Timestamp(maxMs + d * 86400000L), -1L)))
             query.processAllAvailable()
           }
@@ -5799,9 +5805,10 @@ object PipelineQueries extends Registry {
           val (b1, b2) = evts.splitAt(evts.length / 2)
           mem.addData(b1.toSeq); query.processAllAvailable()
           mem.addData(b2.toSeq); query.processAllAvailable()
-          // advance the watermark past every real window, then trigger the
-          // flushing micro-batch (q132/q196's two-round recipe)
-          Seq(2, 4).foreach { d =>
+          // advance the watermark past every real window; the flushing
+          // micro-batch runs inside the same processAllAvailable
+          // (shouldRunAnotherBatch — see q132), so ONE round since r16
+          Seq(2).foreach { d =>
             mem.addData(Seq((new java.sql.Timestamp(maxMs + d * 86400000L),
               "zz_sentinel")))
             query.processAllAvailable()
