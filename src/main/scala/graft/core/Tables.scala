@@ -47,6 +47,27 @@ object Tables {
     "spark.sql.warehouse.dir" ->
       s"/tmp/graft-warehouse/${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}")
 
+  /** Fan CPU-bound row-local work across every core (r16; guide §2.5
+    * "input skew: one huge unsplittable file → repartition immediately
+    * after the read"). The driver-generated parquet is a SINGLE row group
+    * per table, so a scan is one unsplittable task — and every pre-shuffle
+    * stage (tokenize/explode/md5 kernels, codec encode+decode, map-side
+    * partial aggregation) ran on one core of however many the session
+    * has. Scale-adaptive, not local-tuned: when the scan already carries
+    * at least defaultParallelism splits (any real multi-file table at
+    * cluster scale), this is the IDENTITY and adds no exchange; it only
+    * round-robins when the file layout under-splits the scan, and what it
+    * moves is the query's own narrow projection. Round-robin repartition
+    * is retry-safe (sortBeforeRepartition) and placement-independent:
+    * every gate query's determinism contract (value-keyed hashing,
+    * decimal/quantized sums, sorted collect_lists, total ORDER BY)
+    * already holds at any partitioning.
+    */
+  def fanout[T](d: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    val p = d.sparkSession.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions >= p) d else d.repartition(p)
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)

@@ -21,6 +21,15 @@ import graft.streaming.StreamingOps
   */
 object PipelineQueries extends Registry {
 
+  /** Fan the per-row encoder+decoder codec stages across every core —
+    * [[graft.core.Tables.fanout]] (r16): identity when the scan is
+    * already well-split; round-robins the 2-long projection when the
+    * single-row-group fixture parquet under-splits it.
+    */
+  private implicit class FanoutOps[T](private val d: org.apache.spark.sql.Dataset[T]) {
+    def fanout: org.apache.spark.sql.Dataset[T] = Tables.fanout(d)
+  }
+
   /** Deterministic schema-pair cases from the benchmark star schema.
     *
     * Case-count scale knob (VERDICT r13 item 6): the reference-core
@@ -685,7 +694,7 @@ object PipelineQueries extends Registry {
         import s.implicits._
         val media = Tables(s, dir, "documents")
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .map { case (id, nch) =>
             if (id % 2 == 0) {
               val w = (4 + id % 32).toInt; val h = (4 + nch % 16).toInt
@@ -729,7 +738,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 2 === 0)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .map { case (id, nch) =>
             val w = (4 + id % 32).toInt; val h = (4 + nch % 16).toInt
             val src = Multimodal.MediaCodecs.encodeBmp(w, h, id)
@@ -777,7 +786,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 2 === 1)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .map { case (id, nch) =>
             val sr = (8000 + (id % 5) * 8000).toInt
             val ns = (100 + nch % 100).toInt
@@ -824,7 +833,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 2 === 0)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .map { case (id, nch) =>
             val w = (8 + id % 8).toInt
             val h = (4 + nch % 8).toInt
@@ -863,7 +872,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 3 === 0)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.map { case (id, nch) =>
               val w = (16 + id % 16).toInt
@@ -918,7 +927,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 4 === 2)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val w = (16 + id % 16).toInt
@@ -982,7 +991,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 5 === 1)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val w = (16 * (1 + id % 3)).toInt
@@ -1065,7 +1074,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 7 === 3)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val w = (16 * (3 + id % 2)).toInt // 48 or 64
@@ -1184,7 +1193,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 8 === 5)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val w = 64; val h = 64
@@ -1335,7 +1344,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 7 === 2)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.map { case (id, nch) =>
               val w = (4 + id % 13).toInt
@@ -1391,7 +1400,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 6 === 1)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.map { case (id, nch) =>
               val w = (5 + id % 12).toInt
@@ -1451,7 +1460,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 9 === 4)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.map { case (id, nch) =>
               val spb = 121 // blockAlign 64 → (64-4)*2+1 samples per block
@@ -1703,7 +1712,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 13 === 5)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val (wMb, hMb) = H264.ConstructH.dims(id, nch)
@@ -1830,7 +1839,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 17 === 7)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val (wMb, hMb) = H264.ConstructH.dims(id, nch)
@@ -1996,7 +2005,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 19 === 9)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val (wMb, hMb) = H264.ConstructH.dims(id, nch)
@@ -2139,7 +2148,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 31 === 17)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val wMb = (2 + id % 2).toInt
@@ -2354,7 +2363,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 37 === 19)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val (wMb, hMb) = H264.ConstructH.dims(id, nch)
@@ -2497,7 +2506,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 41 === 23)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val wMb = (2 + id % 2).toInt
@@ -2698,7 +2707,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 47 === 19)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val (wMb, hMb) = H264.ConstructH.dims(id, nch)
@@ -2973,7 +2982,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 53 === 23)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val (wMb, hMb) = H264.ConstructH.dims(id, nch)
@@ -3112,7 +3121,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 59 === 29)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val (wMb, hMb) = H264.ConstructH.dims(id, nch)
@@ -3252,7 +3261,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 43 === 17)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val wCtb = (2 + id % 2).toInt
@@ -3441,7 +3450,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 61 === 31)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val wCtb = (2 + id % 2).toInt
@@ -3668,7 +3677,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 67 === 37)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .mapPartitions { it =>
             it.flatMap { case (id, nch) =>
               val wCtb = (2 + id % 2).toInt
@@ -4281,7 +4290,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 4 === 1)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .flatMap { case (id, nch) =>
             val w = (8 + id % 8).toInt
             val h = (4 + nch % 8).toInt
@@ -4325,7 +4334,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 4 === 3)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .flatMap { case (id, nch) =>
             val w = (4 + id % 8).toInt
             val h = (2 + nch % 8).toInt
@@ -4369,7 +4378,7 @@ object PipelineQueries extends Registry {
         import s.implicits._
         val media = Tables(s, dir, "documents")
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .map { case (id, nch) =>
             val w = (8 + id % 8).toInt
             val h = (4 + nch % 8).toInt
@@ -5561,7 +5570,7 @@ object PipelineQueries extends Registry {
         import s.implicits._
         Tables(s, dir, "documents")
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .map { case (id, nch) =>
             val video = ("avc1", (160 + (id % 8) * 16).toInt,
               (120 + (nch % 6) * 16).toInt, (24 + id % 48).toInt, 8)
@@ -5611,7 +5620,7 @@ object PipelineQueries extends Registry {
         import s.implicits._
         Tables(s, dir, "documents")
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)]
+          .as[(Long, Long)].fanout
           .map { case (id, nch) =>
             val bytes = Multimodal.MediaCodecs.encodeMp3(
               bitrateIdx = 1 + (id % 14).toInt, rateIdx = (id % 3).toInt,

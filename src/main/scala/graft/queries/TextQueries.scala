@@ -19,6 +19,12 @@ import graft.functions.TextFunctions._
   */
 object TextQueries extends Registry {
 
+  // NOT blanket-fanned-out (r16, measured): a global Tables.fanout here
+  // shuffles the full-width doc rows ahead of every consumer and costs
+  // more than the single-task scan it parallelizes for the many light
+  // queries (q21 0.15→0.48 s, q87 0.54→1.38 s measured at sf0.1).
+  // Queries whose per-row kernels are genuinely heavy apply
+  // Tables.fanout AFTER their own narrow projection instead.
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
   /** Distinct (doc_id, shingle) pairs — the inverted-index building block.
@@ -1106,7 +1112,11 @@ object TextQueries extends Registry {
                THEN transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))
                ELSE array() END""")
         val stops = LangLexicon.entries.map(_._1)
-        val base = docs(s, dir)
+        // fanout (r16): the whole funnel is row-local since the top-bigram
+        // fold moved in-row — without it the entire rule chain runs on the
+        // one unsplittable scan task (measured 0.97 → 0.49 s at sf0.1)
+        val base = graft.core.Tables.fanout(
+            docs(s, dir).select($"doc_id", $"lang", $"text"))
           .withColumn("w", tokens($"text"))
           .withColumn("g2", grams(2)).withColumn("g3", grams(3))
           .select($"doc_id", $"lang", $"g2",
@@ -3265,9 +3275,11 @@ object TextQueries extends Registry {
         // (doc_id, start) occurrence list, filtered to cnt>1 and exploded
         // back — ONE scan, ONE shuffle; per-h groups are bounded by the
         // duplicate fan-out the old join paid anyway. Oracle unchanged.
-        val g = docs(s, dir)
-          .select($"doc_id", tokens(lower($"text")).as("w"))
-          .filter(size($"w") >= L)
+        // fanout (r16): one md5 per gram position is the scan-side cost
+        // here, and the single-row-group scan ran it all on one task
+        val g = graft.core.Tables.fanout(docs(s, dir)
+            .select($"doc_id", tokens(lower($"text")).as("w"))
+            .filter(size($"w") >= L))
           .select($"doc_id", explode(expr(
             s"""transform(sequence(1, size(w) - ${L - 1}),
                 i -> struct(i as start, unhex(md5(array_join(slice(w, i, $L), ' '))) as h))"""))
