@@ -103,7 +103,9 @@ object Sampling {
     import graft.plans.TopK
     val u = detRand(seed, keyCols.map(col): _*)
     val key = pow(u, lit(1.0) / greatest(col(weightCol).cast("double"), lit(1e-12)))
-    val withK = df.withColumn("__k", key)
+    // fanout (r16): same reasoning as uniformPerGroup — md5 + pow + the
+    // partial heap are scan-side; spread them when the scan under-splits
+    val withK = graft.core.Tables.fanout(df).withColumn("__k", key)
     val cut =
       if (groupCols.isEmpty) // global draw: orderBy+limit plans as TakeOrdered (bounded heap)
         withK.orderBy(col("__k").desc +: keyCols.map(col): _*).limit(n)

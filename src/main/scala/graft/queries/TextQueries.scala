@@ -3006,7 +3006,12 @@ object TextQueries extends Registry {
           s"cast(conv(substring(md5(concat('cms$j:', token)), 1, 12), 16, 10) as bigint) % 16")
         def rcArr = array((0 until 4).map(j =>
           struct(lit(j.toLong).as("j"), cmsCol(j).as("c"))): _*)
-        val toks = docs(s, dir).select(explode(tokens(lower($"text"))).as("token"))
+        // r16: the token explode feeds BOTH aggregations (exact counts and
+        // sketch cells), and the 4-hash cell derivation ran on the one
+        // unsplittable scan task — materialize the fanned-out token column
+        // once; both consumers read the 32-way cache
+        val toks = materialize(graft.core.Tables.fanout(
+          docs(s, dir).select(explode(tokens(lower($"text"))).as("token"))))
         val exact = toks.groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
         val probes = exact.orderBy($"exact_cnt".desc, $"token").limit(20)
         val cells = toks.select(explode(rcArr).as("rc"))
@@ -3762,8 +3767,15 @@ object TextQueries extends Registry {
         val scored = m2.as("m").join(d2.as("d"), Seq("p_brand", "bk"))
           .select($"p_partkey".as("key_m"), $"key_d",
             call_function("jaro_winkler", $"p_name", $"dirty").as("jw"))
-        val w = Window.partitionBy($"key_d").orderBy($"jw".desc, $"key_m")
-        scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        // r16: the top-1 cut runs on the heap-based TopKPerKey operator
+        // instead of a row_number window — same single key shuffle, but
+        // O(keys·1) heap state instead of buffering + sorting every
+        // key_d's whole candidate block (the memory bound that survives a
+        // hot block at 100 TB; q36/q42's operator). Same order key
+        // (jw desc, key_m), so the selected row is identical.
+        graft.plans.TopK.perKey(scored, Seq("key_d"),
+            Seq(graft.plans.TopK.Order("jw", ascending = false),
+              graft.plans.TopK.Order("key_m")), 1)
           .select($"key_d", $"key_m", $"jw",
             when($"key_m" === $"key_d", 1L).otherwise(0L).as("is_true"))
           .orderBy($"key_d")
