@@ -127,6 +127,10 @@ object TextQueries extends Registry {
       array_min(transform($"hma", x => (lit(a) * x + lit(b)) % minhashP))
         .as(s"h$j")
     }
+    // NOT fanned out (r16, measured): spreading the (doc_id, text)
+    // projection before these kernels regressed the whole dedup family
+    // 10-30% at sf0.1 — the md5-per-shingle pass is too light to buy the
+    // extra exchange (contrast q198, whose heavier in-row fold does pay)
     docs(s, dir)
       .select($"doc_id", tokens($"text").as("w"))
       .filter(size($"w") >= 3)
