@@ -1574,7 +1574,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 11 === 3)
           .select($"doc_id")
-          .as[Long]
+          .as[Long].fanout
           .mapPartitions { it =>
             it.flatMap { id =>
               val nf = (2 + id % 3).toInt
@@ -3921,7 +3921,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 23 === 11)
           .select($"doc_id")
-          .as[Long]
+          .as[Long].fanout
           .mapPartitions { it =>
             it.flatMap { id =>
               val nf = (2 + id % 2).toInt
@@ -4075,7 +4075,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 29 === 13)
           .select($"doc_id")
-          .as[Long]
+          .as[Long].fanout
           .mapPartitions { it =>
             it.flatMap { id =>
               val bytes = Mp3.encode(id)
