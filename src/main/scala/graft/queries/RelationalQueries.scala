@@ -1917,7 +1917,12 @@ object RelationalQueries extends Registry {
       (s, dir) => {
         import s.implicits._
         val ps = Seq(0.5, 0.9, 0.99)
-        val li = t(s, dir, "lineitem").select($"l_returnflag", $"l_extendedprice")
+        // r16: four consumers (cum build, rank table, approx sketch, rank
+        // audit) each re-scanned the table — materialize the 2-column
+        // projection once (q263's pattern); dropped between queries
+        val li = t(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_extendedprice").persist()
+        li.count()
         // cumulative counts over DISTINCT prices per group (the window sorts
         // ~distinct-values rows, not the raw table). The type-7 interpolation
         // x_lo + (x_hi − x_lo)·frac is written out EXPLICITLY and identically
@@ -1930,6 +1935,9 @@ object RelationalQueries extends Registry {
             .orderBy($"l_extendedprice")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("prev", $"cum" - $"cnt")
+          .persist() // r16: both rank probes (lo, hi) read it — one window
+        cum.count() // eager: a lazy persist first touched inside the
+                    // lo⋈hi self-join plans pathologically (A13 pattern)
         val ranks = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
           .select($"l_returnflag", $"n", explode(typedLit(ps)).as("p"))
           .withColumn("r", ($"n" - 1).cast("double") * $"p")

@@ -3714,6 +3714,13 @@ object TextQueries extends Registry {
         val m2 = p.withColumn("bk", substring($"p_name", 1, 1))
         val d2 = dirty.withColumn("bk", substring($"dirty", 1, 1))
         m2.as("m").join(d2.as("d"), Seq("p_brand", "bk"))
+          // r16 kernel-skip prefilter: every edit op moves string length
+          // by at most 1, so dl ≤ 2 ⇒ |len(a) − len(b)| ≤ 2 — the O(1)
+          // length test provably keeps every emitted row while most
+          // cross-length block pairs skip the O(n·m) DP entirely (the
+          // kernel was the whole post-join cost). Oracle unchanged: its
+          // WHERE dl <= 2 subsumes the same bound.
+          .filter(abs(length($"p_name") - length($"dirty")) <= 2)
           .select($"p_partkey".as("key_m"), $"key_d",
             call_function("damerau_levenshtein", $"p_name", $"dirty")
               .cast("long").as("dl"),
