@@ -4945,10 +4945,17 @@ object PipelineQueries extends Registry {
         import graft.functions.TextFunctions.{tokens, wordShingles}
         // static side: the benchmark shingle set, persisted so each
         // micro-batch probes the cache instead of re-deriving the scan +
-        // distinct per trigger
-        val bench = TextQueries.sourceShingles(ss, dir)
+        // distinct per trigger. Derived LEAN since r16: the shared
+        // sourceShingles distincts (doc_id, source, shingle) corpus-wide
+        // before this filter could cut it to the bench slice — deriving
+        // the shingle set directly from the bench docs pushes the source
+        // filter to the scan and distincts ONE column over the slice
+        // (identical set; the oracle's bench CTE is unchanged).
+        import graft.functions.TextFunctions.{tokens => tfTokens, wordShingles => tfShingles}
+        val bench = Tables(ss, dir, "documents")
           .filter($"source".isin(TextQueries.benchSources: _*))
-          .select($"shingle").distinct().persist()
+          .select(explode(tfShingles(tfTokens($"text"), 3)).as("shingle"))
+          .distinct().persist()
         bench.count()
         // harness feed capped at a 2000-doc prefix (bounded driver memory,
         // same rule as the q41/q77 event feeds); production would

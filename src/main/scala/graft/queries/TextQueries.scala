@@ -630,7 +630,15 @@ object TextQueries extends Registry {
     Q("q161_curation_funnel",
       (s, dir) => {
         import s.implicits._
-        funnelStages(s, dir).map { case (i, nm, df) =>
+        // r16: persist every stage — stage i's plan contains stages 1..i-1
+        // as subtrees, so without the caches the 6-branch union re-derived
+        // the whole prefix chain per count (O(stages²) passes: the lang-id
+        // window ran 4×, the shingle decontamination 2×, exact dedup 5×).
+        // CacheManager sameResult-substitutes each cached stage into every
+        // later branch; blocks drop via SessionHygiene between queries.
+        val staged = funnelStages(s, dir)
+        staged.foreach { case (_, _, df) => df.persist() }
+        staged.map { case (i, nm, df) =>
           df.agg(count(lit(1)).as("n_docs"))
             .select(lit(i).as("stage"), lit(nm).as("stage_name"), $"n_docs")
         }.reduce(_.unionAll(_)).orderBy($"stage")
