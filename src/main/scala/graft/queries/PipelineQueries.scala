@@ -25,6 +25,13 @@ object PipelineQueries extends Registry {
     * [[graft.core.Tables.fanout]] (r16): identity when the scan is
     * already well-split; round-robins the 2-long projection when the
     * single-row-group fixture parquet under-splits it.
+    *
+    * r17 (VERDICT r16 item 1): fanout REMOVED from the seven LIGHT codec
+    * queries — q139, q141, q156, q158, q159, q290, q299 — whose per-row
+    * kernels are too small to pay for the round-robin exchange (measured
+    * 1.4–2.5× warm regressions in the r16 driver bench). It stays on the
+    * heavy encode+parse family (MP3/MPEG-1/H.264/H.265/MP4/AVI/TIFF/MP2),
+    * where the same A/B showed 2–4× wins.
     */
   private implicit class FanoutOps[T](private val d: org.apache.spark.sql.Dataset[T]) {
     def fanout: org.apache.spark.sql.Dataset[T] = Tables.fanout(d)
@@ -738,7 +745,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 2 === 0)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)].fanout
+          .as[(Long, Long)]
           .map { case (id, nch) =>
             val w = (4 + id % 32).toInt; val h = (4 + nch % 16).toInt
             val src = Multimodal.MediaCodecs.encodeBmp(w, h, id)
@@ -786,7 +793,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 2 === 1)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)].fanout
+          .as[(Long, Long)]
           .map { case (id, nch) =>
             val sr = (8000 + (id % 5) * 8000).toInt
             val ns = (100 + nch % 100).toInt
@@ -833,7 +840,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 2 === 0)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)].fanout
+          .as[(Long, Long)]
           .map { case (id, nch) =>
             val w = (8 + id % 8).toInt
             val h = (4 + nch % 8).toInt
@@ -1400,7 +1407,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 6 === 1)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)].fanout
+          .as[(Long, Long)]
           .mapPartitions { it =>
             it.map { case (id, nch) =>
               val w = (5 + id % 12).toInt
@@ -1460,7 +1467,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 9 === 4)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)].fanout
+          .as[(Long, Long)]
           .mapPartitions { it =>
             it.map { case (id, nch) =>
               val spb = 121 // blockAlign 64 → (64-4)*2+1 samples per block
@@ -4290,7 +4297,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 4 === 1)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)].fanout
+          .as[(Long, Long)]
           .flatMap { case (id, nch) =>
             val w = (8 + id % 8).toInt
             val h = (4 + nch % 8).toInt
@@ -4334,7 +4341,7 @@ object PipelineQueries extends Registry {
         Tables(s, dir, "documents")
           .filter($"doc_id" % 4 === 3)
           .select($"doc_id", $"n_chars")
-          .as[(Long, Long)].fanout
+          .as[(Long, Long)]
           .flatMap { case (id, nch) =>
             val w = (4 + id % 8).toInt
             val h = (2 + nch % 8).toInt
