@@ -37,11 +37,10 @@ object SketchQueries extends Registry {
     * again. One materialization, k cheap cache reads; dropped by
     * SessionHygiene between queries, so nothing leaks across runs.
     */
-  private def materialize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val p = df.persist()
-    p.count()
-    p
-  }
+  // shared core helper since r17 (ADVICE r16): this copy used to omit the
+  // storage-level assertion the TextQueries original carried
+  private def materialize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.core.Caching.materialize(df)
 
   /** KMV sample size. */
   private val kmvK = 256

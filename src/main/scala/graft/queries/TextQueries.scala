@@ -88,17 +88,10 @@ object TextQueries extends Registry {
     * 3-8× slower than computing it twice); forcing it with a count first
     * makes every downstream use a cheap cache scan.
     */
-  private def materialize(df: DataFrame): DataFrame = {
-    val p = df.persist()
-    p.count()
-    // A13 driver-visible cache assertion: every green q22/q23/q103/q104 run
-    // certifies the experiment cache is actually registered — if persist()
-    // ever degrades to StorageLevel.NONE, the gated query itself fails
-    // instead of silently recomputing the subplan per consumer
-    require(p.storageLevel.useMemory || p.storageLevel.useDisk,
-      "experiment cache inactive: persist() registered no storage level")
-    p
-  }
+  // shared core helper since r17 (ADVICE r16) — the A13 storage-level
+  // assertion lives there; every green q22/q23/q103/q104 run certifies it
+  private def materialize(df: DataFrame): DataFrame =
+    graft.core.Caching.materialize(df)
 
   /** doc_id -> 16 minhash columns h0..h15 (bigint).
     *
@@ -540,7 +533,14 @@ object TextQueries extends Registry {
           .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
           .select($"doc_id")
         val lex = LangLexicon.entries.toDF("word", "cand_lang")
-        val hits = docs(s, dir)
+        // fanout (r17, guide §2.5): the lang-id token explode and the
+        // row-local quality fold are per-token kernels that ran on one
+        // core of the single-row-group fixture scan; round-robin the
+        // narrow (doc_id, text) projection first. Identity on well-split
+        // input. (Contrast the r16 docs()-blanket rejection, which moved
+        // FULL-width doc rows ahead of every consumer.)
+        val hits = graft.core.Tables.fanout(
+            docs(s, dir).select($"doc_id", $"text"))
           .select($"doc_id", explode(tokens(lower($"text"))).as("word"))
           .join(broadcast(lex), "word")
           .groupBy($"doc_id", $"cand_lang").agg(count(lit(1)).as("n_hits"))
@@ -548,7 +548,9 @@ object TextQueries extends Registry {
         val en = hits.withColumn("rn", row_number().over(lw)).filter($"rn" === 1)
           .filter($"cand_lang" === "en").select($"doc_id")
         val s2 = s1.join(en, Seq("doc_id"))
-        val qual = docs(s, dir).withColumn("w", tokens($"text"))
+        val qual = graft.core.Tables.fanout(
+            docs(s, dir).select($"doc_id", $"text"))
+          .withColumn("w", tokens($"text"))
           .filter(docQuality >= 0.4).select($"doc_id")
         val s3 = s2.join(qual, Seq("doc_id"))
         val contaminated = sourceShingles(s, dir)
@@ -4150,32 +4152,50 @@ object TextQueries extends Registry {
         // shingles shuffle as the shared md5 HASH, not 5-word strings —
         // the 100x rung's shuffle-byte knob (a collision is deterministic
         // and the oracle replays the same hash, so the gate is unmoved)
-        val shingles5 = docs(s, dir)
-          .select($"doc_id", $"source",
+        // r17 restructure (guide §2.4/§3.2): the old form materialized a
+        // corpus-wide DISTINCT of (doc_id, source, sh) triples — the
+        // query's largest shuffle — only to probe it against its own tiny
+        // bench slice. The bench-side hash set is derived from the bench
+        // docs alone (source filter pushed to the scan), and the corpus
+        // side streams through the broadcast semi-join with NO pre-
+        // distinct (duplicate hits collapse in the final doc_id distinct,
+        // which is contamination-sized, not corpus-sized). The 5-gram
+        // md5 kernel is fanned out past the single-row-group scan.
+        def sh5(d: DataFrame) = d
+          .select($"doc_id",
             explode(graft.functions.TextFunctions.wordShingles(
               tokens($"text"), 5)).as("shingle"))
-          .select($"doc_id", $"source",
+          .select($"doc_id",
             graft.functions.TextFunctions.baseHash($"shingle").as("sh"))
-          .distinct()
-          .persist()
-        val contaminated5 = shingles5
-          .filter(!$"source".isin(benchSources: _*))
-          .join(broadcast(shingles5.filter($"source".isin(benchSources: _*))
-            .select($"sh").distinct()), Seq("sh"))
+        val benchSh5 = sh5(docs(s, dir)
+            .filter($"source".isin(benchSources: _*)))
+          .select($"sh").distinct()
+        val contaminated5 = sh5(graft.core.Tables.fanout(docs(s, dir)
+            .filter(!$"source".isin(benchSources: _*))
+            .select($"doc_id", $"text")))
+          .join(broadcast(benchSh5), Seq("sh"))
           .select($"doc_id").distinct()
         val benchDocs = docs(s, dir)
           .filter($"source".isin(benchSources: _*)).select($"doc_id")
         val s4 = s3.join(contaminated5.unionAll(benchDocs),
           Seq("doc_id"), "left_anti")
-        val fp = docs(s, dir)
+        // fanout (r17): normalize is two full-text regex passes per doc —
+        // the per-row cost dwarfs the exchange of a (doc_id, text) row
+        val fp = graft.core.Tables.fanout(
+            docs(s, dir).select($"doc_id", $"text"))
           .select($"doc_id", md5(normalize($"text")).as("fingerprint"))
         val surv = s4.join(fp, Seq("doc_id"))
           .groupBy($"fingerprint").agg(min($"doc_id").as("doc_id"))
           .select($"doc_id")
-        val sized = docs(s, dir).join(surv, Seq("doc_id"))
+        // r17 (VERDICT item 5): sized feeds BOTH the ids rollup and
+        // packShards — without the cache the whole survivor chain
+        // (funnel prefix + 5-gram decontamination + fingerprint collapse)
+        // executed twice per run. Three narrow columns per surviving doc;
+        // dropped by SessionHygiene between queries.
+        val sized = materialize(docs(s, dir).join(surv, Seq("doc_id"))
           .select($"doc_id",
             ($"doc_id" % 16).cast("long").as("shard"),
-            least(size(tokens($"text")).cast("long"), lit(cap)).as("tok"))
+            least(size(tokens($"text")).cast("long"), lit(cap)).as("tok")))
         val ids = sized.groupBy($"shard")
           .agg(sort_array(collect_list($"doc_id")).as("ids"))
           .select($"shard", md5(concat_ws(",",
@@ -4567,7 +4587,14 @@ object TextQueries extends Registry {
 
   private def simhashDF(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tok = docs(s, dir)
+    // fanout (r17): the md5-per-token + 60 partial-agg vote columns are the
+    // heaviest pre-shuffle kernel in the repo, and on the single-row-group
+    // fixture they ran on ONE core (probe: 4.8 s of q193's 5.0 s cold was
+    // this subtree). Unlike the minhash feed (r16 measured rejection — 16
+    // array_min's over an already-hashed array are too light to buy the
+    // exchange), the 60-vote explode pays for moving (doc_id, text) once.
+    // Identity on well-split input, as everywhere.
+    val tok = graft.core.Tables.fanout(docs(s, dir).select($"doc_id", $"text"))
       .select($"doc_id", explode(tokens($"text")).as("tok"))
       .select($"doc_id", md5($"tok").as("h"))
     // per-occurrence vote: summing ±1 over occurrences equals the
