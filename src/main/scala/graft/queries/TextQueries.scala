@@ -4541,48 +4541,71 @@ object TextQueries extends Registry {
     */
   private[graft] def cdcChunks(s: SparkSession, d: DataFrame): DataFrame = {
     import s.implicits._
-    // REWRITTEN round 7 (perf): the original computed everything as nested
-    // higher-order array expressions over materialized array columns;
-    // CollapseProject inlined each intermediate into every use site, and
-    // the resulting expression tree cost ~270 s of Catalyst/codegen work
-    // PER RUN at any scale factor (data-independent — pure planning).
-    // This formulation explodes once and uses lag windows + a prefix count
-    // per doc: tiny expression trees, one (doc_id)-keyed shuffle, and the
-    // heavy per-token md5 runs data-parallel instead of single-task.
-    // Semantics are IDENTICAL: boundary at 1-based position i ≥ 4 where
-    // hash(c[i-3..i]) ≡ 0 (mod 16); a token at position p belongs to chunk
-    // #(boundaries strictly before p); the forced EOF boundary is implicit
-    // (trailing tokens form the last chunk); chunk hash = md5 of the
-    // space-joined token span.
+    // REWRITTEN round 17 (VERDICT r16 item 3; history: the round-7 nested
+    // higher-order-expression form cost ~270 s of pure Catalyst/codegen,
+    // its round-7 replacement exploded to tokens and used lag windows + a
+    // prefix count — tiny expressions, but a corpus-sized token explode,
+    // TWO window passes and TWO collect_list aggregations on the doc_id
+    // shuffle, and it was the #1 cold query in the r16 driver bench).
+    // The chunk list is a pure function of the row's own token sequence,
+    // so it is now ONE typed mapPartitions kernel: hash each token once,
+    // scan for boundary positions, md5 each span — zero shuffles, zero
+    // windows, one tight codegen-free loop per row. Semantics IDENTICAL
+    // to both prior forms (equivalence spec rebuilds the window form):
+    // boundary at 0-based position i ≥ 3 where
+    // (c[i-3]·29791 + c[i-2]·961 + c[i-1]·31 + c[i]) % M % 16 == 0 — the
+    // boundary token ENDS its chunk; trailing tokens form the last chunk
+    // (the implicit EOF boundary); chunk hash = md5 of the space-joined
+    // span; token code = md5 60-bit prefix % p % M, exact in long math.
+    // NULL text is coalesced to '' BEFORE the kernel so it behaves exactly
+    // like an empty document (split('', ' ') = [''] in both engines: one
+    // empty-string token, one single-token chunk). lower() stays a Spark
+    // expression so locale semantics cannot drift from the oracle's.
+    // fanout: the md5-per-token kernel is exactly the simhash-class
+    // pre-shuffle cost that ran single-task on the fixture scan.
     val M = 1000003L
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    // NULL text is coalesced to '' so it behaves exactly like an empty
-    // document rather than taking a null-propagation path of its own.
-    // Note split('', ' ') yields [''] in BOTH Spark and DuckDB, so a
-    // null/empty document contributes ONE empty-string token row (one
-    // single-token chunk) — engine-consistent, and row accounting stays
-    // identical across formulations if a feed ever carries null text
-    d.select($"doc_id",
-        posexplode(tokens(lower(coalesce($"text", lit(""))))).as(Seq("pos", "tk")))
-      .withColumn("c",
-        (conv(substring(md5($"tk"), 1, 15), 16, 10).cast("long")
-          % minhashP) % M)
-      // null lags (positions 1-3) null out the hash; a null condition
-      // falls to otherwise(0) — exactly the i >= 4 rule
-      .withColumn("bflag", when(
-        (lag($"c", 3).over(w) * 29791L + lag($"c", 2).over(w) * 961L +
-          lag($"c", 1).over(w) * 31L + $"c") % M % 16 === 0,
-        1L).otherwise(0L))
-      .withColumn("cid", coalesce(sum($"bflag").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .groupBy($"doc_id", $"cid")
-      .agg(expr(
-        "md5(concat_ws(' ', transform(array_sort(collect_list(struct(pos, tk))), x -> x.tk)))")
-        .as("chunk"))
-      .groupBy($"doc_id")
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(cid, chunk))), x -> x.chunk)")
-        .as("chunks"))
+    val P = minhashP
+    graft.core.Tables.fanout(
+        d.select($"doc_id", lower(coalesce($"text", lit(""))).as("t")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(str: String): String = {
+          val b = md.digest(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val sb = new java.lang.StringBuilder(32)
+          var i = 0
+          while (i < 16) {
+            sb.append(Character.forDigit((b(i) >> 4) & 0xf, 16))
+            sb.append(Character.forDigit(b(i) & 0xf, 16))
+            i += 1
+          }
+          sb.toString
+        }
+        it.map { case (id, t) =>
+          val toks = t.split(" ", -1)
+          val n = toks.length
+          val c = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            // same 60-bit prefix the SQL conv(substring(md5, 1, 15)) reads
+            c(i) = java.lang.Long.parseLong(md5hex(toks(i)).substring(0, 15), 16) % P % M
+            i += 1
+          }
+          val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+          var start = 0
+          i = 3
+          while (i < n) {
+            if ((c(i - 3) * 29791L + c(i - 2) * 961L + c(i - 1) * 31L + c(i)) % M % 16 == 0L) {
+              chunks += md5hex(toks.slice(start, i + 1).mkString(" "))
+              start = i + 1
+            }
+            i += 1
+          }
+          if (start < n) chunks += md5hex(toks.slice(start, n).mkString(" "))
+          (id, chunks.toSeq)
+        }
+      }
+      .toDF("doc_id", "chunks")
   }
 
   private def simhashDF(s: SparkSession, dir: String): DataFrame = {

@@ -239,6 +239,49 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.forall(_._3 >= 0.0), "negative variance")
   }
 
+  test("q192: r17 row-local CDC kernel ≡ explode + lag-window + prefix-count formulation") {
+    // the pre-r17 formulation rebuilt inline: posexplode to tokens, token
+    // code from the md5 60-bit prefix, boundary flags via three lag
+    // windows, chunk id as the prefix count of flags, chunk hash via two
+    // collect_list aggregations. The typed mapPartitions kernel must
+    // produce the IDENTICAL (doc_id -> ordered chunk hash list) map over
+    // the sf corpus PLUS edge rows (empty text, null text, short docs,
+    // adjacent boundaries are all reachable through the corpus + extras).
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.minhashP
+    val extras = Seq((100001L, ""), (100002L, null.asInstanceOf[String]),
+      (100003L, "one"), (100004L, "a b c d"),
+      (100005L, (0 until 300).map(i => s"t${i % 41}").mkString(" ")))
+      .toDF("doc_id", "text").select($"doc_id", $"text",
+        lit("x").as("source"), lit(0L).as("n_chars"), lit("en").as("lang"))
+    val d = graft.core.Tables(s, sfDir, "documents")
+      .select($"doc_id", $"text", $"source", $"n_chars", $"lang")
+      .unionByName(extras)
+    val M = 1000003L
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val old = d.select($"doc_id",
+        posexplode(split(lower(coalesce($"text", lit(""))), " ")).as(Seq("pos", "tk")))
+      .withColumn("c",
+        (conv(substring(md5($"tk"), 1, 15), 16, 10).cast("long") % minhashP) % M)
+      .withColumn("bflag", when(
+        (lag($"c", 3).over(w) * 29791L + lag($"c", 2).over(w) * 961L +
+          lag($"c", 1).over(w) * 31L + $"c") % M % 16 === 0, 1L).otherwise(0L))
+      .withColumn("cid", coalesce(sum($"bflag").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy($"doc_id", $"cid")
+      .agg(expr("md5(concat_ws(' ', transform(array_sort(collect_list(struct(pos, tk))), x -> x.tk)))").as("chunk"))
+      .groupBy($"doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(cid, chunk))), x -> x.chunk)").as("chunks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val neu = graft.queries.TextQueries.cdcChunks(s, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(neu.keySet == old.keySet, "doc sets differ")
+    val bad = old.keys.filter(k => old(k) != neu(k))
+    assert(bad.isEmpty, s"chunk lists differ for docs: ${bad.take(5).mkString(",")}")
+  }
+
   test("q192: CDC chunks re-synchronize after a leading insertion (the property fixed-stride chunking lacks)") {
     val s = spark
     import s.implicits._
