@@ -23,28 +23,42 @@ import org.apache.spark.sql.types.DecimalType
   * Each round REFERENCES the previous labels twice (neighbor-min join +
   * left-join base), so without lineage truncation the logical plan doubles
   * per round and Catalyst analysis goes exponential (measured 3 s → 42 s
-  * per round by round 4 on a 69-node graph). `localCheckpoint(eager=true)`
-  * cuts the plan back to a leaf each round: per-round cost stays flat and
-  * the loop is one shuffle per round. Each round's checkpoint blocks are
-  * unpersisted EAGERLY once the next round has materialized (tracked via
-  * `sc.getPersistentRDDs` deltas) — waiting for the ContextCleaner would
-  * let O(rounds × |labels|) copies pile up in executor storage. On a real
-  * cluster prefer reliable `checkpoint()` (HDFS) if executor loss during
-  * the loop must be recoverable.
+  * per round by round 4 on a 69-node graph). Each round therefore ends in
+  * [[ckTruncate]]: the round's rows are materialized into a persisted RDD
+  * and re-wrapped as a LogicalRDD LEAF — per-round Catalyst cost stays
+  * flat and the loop is one shuffle per round. Each round's blocks are
+  * unpersisted EAGERLY once the next round has materialized — waiting for
+  * the ContextCleaner would let O(rounds × |labels|) copies pile up in
+  * executor storage.
+  *
+  * r17 (VERDICT r16 item 2): this used to be `localCheckpoint(eager)`
+  * with block ids harvested from a GLOBAL `sc.getPersistentRDDs` delta.
+  * Two kernels looping concurrently (the driver's mixed concurrent bench)
+  * could capture each other's ids in the delta and release blocks the
+  * other loop still needed — and a localCheckpoint block loss is FATAL
+  * (`CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`: lineage is discarded), which is
+  * exactly the q264 error in BENCH_r16's concurrent block, and on a real
+  * cluster is what any executor loss does to a localCheckpoint loop. Now
+  * each round holds a direct reference to ITS OWN persisted RDD (nothing
+  * cross-thread to misattribute) and the RDD keeps its lineage, so an
+  * evicted block — concurrent hygiene, memory pressure, executor loss —
+  * is recomputed instead of killing the query (spec: ComponentsSpec
+  * evicts every persisted block after every job mid-loop and the kernels
+  * still converge).
   */
 object Components {
 
-  /** localCheckpoint(eager) + the ids of the blocks it registered, so
-    * iterative kernels can release the PREVIOUS round's blocks the moment
-    * the next round has materialized (waiting for the ContextCleaner lets
-    * O(rounds × |state|) copies pile up in executor storage). Shared by
-    * every round-loop kernel in this object.
+  /** One round's rows, materialized eagerly into a persisted RDD and
+    * re-wrapped as a leaf plan (see the object comment). Returns the leaf
+    * DataFrame plus the exact RDD to release once the NEXT round has
+    * materialized. Shared by every round-loop kernel in this object.
     */
-  private def ckWithIds(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val ck = df.localCheckpoint(true)
-    (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+  private def ckTruncate(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val rdd = GraftSqlBridge.internalRdd(df).map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // eager: materialized before the caller drops the previous round
+    (GraftSqlBridge.fromRdd(df, rdd), rdd)
   }
 
   /** Undirected canonical form: (lo, hi) with lo < hi, distinct, self-loops
@@ -67,7 +81,7 @@ object Components {
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
     und.count()
-    var (labels, prevIds) = ckWithIds(
+    var (labels, prevRdd) = ckTruncate(
       und.select(col("src").as("node")).distinct().withColumn("comp", col("node")))
     var iter = 0
     var converged = false
@@ -93,10 +107,10 @@ object Components {
           r
         }
       }(enc)
-      val (step, stepIds) = ckWithIds(instrumented.toDF())
+      val (step, stepRdd) = ckTruncate(instrumented.toDF())
       // the new round is materialized — release the previous round's blocks
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      prevIds = stepIds
+      prevRdd.unpersist(false)
+      prevRdd = stepRdd
       converged = acc.value == 0L
       labels = step.select("node", "comp")
       iter += 1
@@ -135,7 +149,6 @@ object Components {
   def starComponents(
       edges: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIter: Int = 25): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
     // canonical undirected form (lo, hi), self-loops dropped
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("x"), col("y")).as("lo"), greatest(col("x"), col("y")).as("hi"))
@@ -160,20 +173,19 @@ object Components {
       canon(e.join(m, "hi").select(col("lo").as("x"), col("mv").as("y"))
         .unionByName(m.select(col("hi").as("x"), col("mv").as("y"))))
     }
-    var cur = canon(edges.select(col(aCol).as("x"), col(bCol).as("y")))
-      .localCheckpoint(true)
+    var (cur, prevRdd) = ckTruncate(
+      canon(edges.select(col(aCol).as("x"), col(bCol).as("y"))))
     var fp = fingerprint(cur)
     var iter = 0
     var converged = false
-    var prev = cur
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val (next, nextRdd) = ckTruncate(smallStar(largeStar(cur)))
       val nfp = fingerprint(next)
-      prev = cur
+      prevRdd.unpersist(false)
+      prevRdd = nextRdd
       cur = next
       converged = nfp == fp
       fp = nfp
-      prev.unpersist()
       iter += 1
     }
     // at fixpoint (hi, lo) edges are (node, component-min) stars; roots
@@ -219,34 +231,32 @@ object Components {
     * skip re-canonicalizing (a distinct shuffle) per call.
     */
   def kCoreCanonical(canon: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
-    val sc = canon.sparkSession.sparkContext
     def degrees(e: DataFrame): DataFrame =
       e.select(col("lo").as("v")).unionByName(e.select(col("hi").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    var (cur, prevIds) = ckWithIds(canon)
+    var (cur, prevRdd) = ckTruncate(canon)
     var edgeCount = cur.count()
     var iter = 0
     var converged = false
     while (!converged && iter < rounds) {
       val keep = degrees(cur).filter(col("deg") >= k).select(col("v"))
-      val (next, nextIds) = ckWithIds(cur
+      val (next, nextRdd) = ckTruncate(cur
         .join(keep.withColumnRenamed("v", "lo"), Seq("lo"), "left_semi")
         .join(keep.withColumnRenamed("v", "hi"), Seq("hi"), "left_semi")
         .select(col("lo"), col("hi")))
       val nextCount = next.count()
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      prevIds = nextIds
+      prevRdd.unpersist(false)
+      prevRdd = nextRdd
       converged = nextCount == edgeCount
       edgeCount = nextCount
       cur = next
       iter += 1
     }
     // materialize the result BEFORE releasing the final round's blocks —
-    // localCheckpoint truncates lineage, so blocks must outlive consumers
-    val out = degrees(cur)
-      .select(col("v").as("node"), col("deg").cast("long").as("degree"))
-      .localCheckpoint(true)
-    prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // consumers then read the result's own persisted rows
+    val (out, _) = ckTruncate(degrees(cur)
+      .select(col("v").as("node"), col("deg").cast("long").as("degree")))
+    prevRdd.unpersist(false)
     out
   }
 
@@ -283,7 +293,6 @@ object Components {
     * form (same contract as [[kCoreCanonical]]).
     */
   def labelPropagationCanonical(canon: DataFrame, rounds: Int): DataFrame = {
-    val sc = canon.sparkSession.sparkContext
     val sym = canon.select(col("lo").as("u"), col("hi").as("v"))
       .unionByName(canon.select(col("hi").as("u"), col("lo").as("v")))
       .persist()
@@ -298,19 +307,19 @@ object Components {
       require(minId >= 0 && maxId < (1L << 31),
         s"labelPropagation needs node ids in [0, 2^31); got [$minId, $maxId]")
     }
-    var (labels, prevIds) = ckWithIds(
+    var (labels, prevRdd) = ckTruncate(
       sym.select(col("u").as("node")).distinct().withColumn("lbl", col("node")))
     var iter = 0
     while (iter < rounds) {
       val counts = sym.join(labels, sym("v") === labels("node"))
         .groupBy(sym("u").as("cu"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      val (next, nextIds) = ckWithIds(counts
+      val (next, nextRdd) = ckTruncate(counts
         .groupBy(col("cu").as("node"))
         .agg(max(struct((col("cnt") * lit(1L << 32) - col("lbl")).as("key"),
           col("lbl").as("lbl"))).as("m"))
         .select(col("node"), col("m.lbl").as("lbl")))
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      prevIds = nextIds
+      prevRdd.unpersist(false)
+      prevRdd = nextRdd
       labels = next
       iter += 1
     }
