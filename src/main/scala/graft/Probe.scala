@@ -24,6 +24,7 @@ object Probe {
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
     val stageTask = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageN = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.put(j.jobId, (System.nanoTime(),
@@ -33,6 +34,7 @@ object Probe {
         if (t.taskMetrics != null) stageTask.synchronized {
           stageTask.put(t.stageId,
             stageTask.getOrDefault(t.stageId, 0L) + t.taskMetrics.executorRunTime)
+          stageN.put(t.stageId, stageN.getOrDefault(t.stageId, 0) + 1)
         }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val s = jobs.remove(j.jobId)
@@ -64,7 +66,10 @@ object Probe {
           println(f"[probe-job] $name job=$id wall=$sec%.2f $desc")
         }
         stageTask.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (sid, ms) =>
-          println(f"[probe-stage] $name stage=$sid taskSec=${ms / 1e3}%.2f")
+          println(f"[probe-stage] $name stage=$sid taskSec=${ms / 1e3}%.2f nTasks=${stageN.get(sid)}")
+        }
+        BenchListener.drain().foreach { b =>
+          println(s"[probe-batch] $name rows=${b.inputRows} triggerMs=${b.triggerMs}")
         }
       }
     }

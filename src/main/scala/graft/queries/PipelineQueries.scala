@@ -4822,7 +4822,7 @@ object PipelineQueries extends Registry {
           mem.addData(b1.toSeq); query.processAllAvailable()
           mem.addData(b2.toSeq); query.processAllAvailable()
           ss.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
+            .coalesce(1).localCheckpoint(eager = true) // detach from the stopped stream
             .orderBy($"window_start", $"event_type")
         } finally query.stop()
       },
@@ -4865,7 +4865,7 @@ object PipelineQueries extends Registry {
             (new java.sql.Timestamp(e._1.getTime + 60000L), e._2, e._3, e._4))
           mem.addData((redelivered ++ b2).toSeq); query.processAllAvailable()
           ss.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
+            .coalesce(1).localCheckpoint(eager = true) // detach from the stopped stream
             .orderBy($"event_id")
         } finally query.stop()
       },
@@ -4926,7 +4926,7 @@ object PipelineQueries extends Registry {
         try { mem.addData((redelivered ++ b2).toSeq); q2.processAllAvailable() }
         finally q2.stop()
         val result = ss.read.parquet(out)
-          .localCheckpoint(eager = true) // detach before the dir is swept
+          .coalesce(1).localCheckpoint(eager = true) // detach before the dir is swept
         rm(base)
         // sort on the detached frame so the global ORDER BY is the plan's
         // final operator (the driver-gate contract QueriesSpec sweeps)
@@ -4971,7 +4971,15 @@ object PipelineQueries extends Registry {
           .filter(!$"source".isin(TextQueries.benchSources: _*))
           .select($"doc_id", $"text").orderBy($"doc_id").limit(StreamingOps.feedLimit)
           .as[(Long, String)].collect()
-        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        // r17: a MemoryStream batch is ONE input partition per addData
+        // block by default, so the per-batch shingle explode + broadcast
+        // probe (the whole cost of this stateless query) ran single-task
+        // (probe: ~1.2 s/batch; the 8-core bench beat the 32-core one).
+        // Asking the source for the child session's partition count
+        // spreads each batch across its 4 tasks; the groupBy output is
+        // partitioning-independent.
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+          ss.conf.get("spark.sql.shuffle.partitions").toInt)
         val qn = s"graft_decon_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         try {
           val stream = mem.toDF().toDF("doc_id", "text")
@@ -4984,7 +4992,7 @@ object PipelineQueries extends Registry {
             mem.addData(b1.toSeq); query.processAllAvailable()
             mem.addData(b2.toSeq); query.processAllAvailable()
             ss.table(qn)
-              .localCheckpoint(eager = true) // detach from the stopped stream
+              .coalesce(1).localCheckpoint(eager = true) // detach from the stopped stream
               .groupBy($"doc_id")
               .agg(countDistinct($"shingle").as("n_hits"))
               .orderBy($"doc_id")
@@ -5031,22 +5039,31 @@ object PipelineQueries extends Registry {
         val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
         val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
         val qn = s"graft_ivj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val (b1, b2) = pref.splitAt(pref.length / 2)
+        def feed(b: Array[(java.sql.Timestamp, Long, Long, String)]): Unit = {
+          memP.addData(b.filter(_._4 == "purchase")
+            .map(e => (e._3, e._2, e._1)).toSeq)
+          memC.addData(b.filter(_._4 == "click")
+            .map(e => (e._3, e._1)).toSeq)
+        }
+        // r17: round 1 is fed BEFORE start() — with the engine already
+        // polling, the two per-source addData calls raced the trigger and
+        // round 1 routinely split into two data micro-batches (probe: 489
+        // then 511 rows), each paying the full per-batch state-store
+        // commit + incremental-planning floor. Offsets added before start
+        // land in one batch; the two-round feed protocol is unchanged.
+        feed(b1)
         val query = StreamingOps.intervalJoin(
             memP.toDF().toDF("p_user", "purchase_id", "p_ts"),
             memC.toDF().toDF("c_user", "c_ts"))
           .writeStream.format("memory").queryName(qn)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
         try {
-          val (b1, b2) = pref.splitAt(pref.length / 2)
-          Seq(b1, b2).foreach { b =>
-            memP.addData(b.filter(_._4 == "purchase")
-              .map(e => (e._3, e._2, e._1)).toSeq)
-            memC.addData(b.filter(_._4 == "click")
-              .map(e => (e._3, e._1)).toSeq)
-            query.processAllAvailable()
-          }
+          query.processAllAvailable()
+          feed(b2)
+          query.processAllAvailable()
           ss.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
+            .coalesce(1).localCheckpoint(eager = true) // detach from the stopped stream
             .filter($"c_ts".isNotNull)
             .groupBy($"purchase_id", $"p_ts")
             .agg(count(lit(1)).as("n_prior_clicks"),
@@ -5097,7 +5114,7 @@ object PipelineQueries extends Registry {
           mem.addData(b1.toSeq); query.processAllAvailable()
           mem.addData(b2.toSeq); query.processAllAvailable()
           ss.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
+            .coalesce(1).localCheckpoint(eager = true) // detach from the stopped stream
             .groupBy($"user_id").agg(max($"n").as("n_events"))
             .orderBy($"user_id")
         } finally query.stop()
@@ -5279,7 +5296,7 @@ object PipelineQueries extends Registry {
           mem.addData(b1.toSeq); query.processAllAvailable()
           mem.addData(b2.toSeq); query.processAllAvailable()
           ss.table(qn)
-            .localCheckpoint(eager = true) // detach result from the stopped stream
+            .coalesce(1).localCheckpoint(eager = true) // detach result from the stopped stream
             .orderBy($"user_id", $"session_start")
         } finally query.stop()
       },
@@ -5408,20 +5425,26 @@ object PipelineQueries extends Registry {
         val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
         val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
         val qn = s"graft_ivjo_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val (b1, b2) = pref.splitAt(pref.length / 2)
+        def feed(b: Array[(java.sql.Timestamp, Long, Long, String)]): Unit = {
+          memP.addData(b.filter(_._4 == "purchase")
+            .map(e => (e._3, e._2, e._1)).toSeq)
+          memC.addData(b.filter(_._4 == "click")
+            .map(e => (e._3, e._1)).toSeq)
+        }
+        // r17: round 1 fed before start() so both sources land in ONE
+        // micro-batch (see q119 — the polling engine raced the two
+        // addData calls and split the round)
+        feed(b1)
         val query = StreamingOps.intervalJoin(
             memP.toDF().toDF("p_user", "purchase_id", "p_ts"),
             memC.toDF().toDF("c_user", "c_ts"))
           .writeStream.format("memory").queryName(qn)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
         try {
-          val (b1, b2) = pref.splitAt(pref.length / 2)
-          Seq(b1, b2).foreach { b =>
-            memP.addData(b.filter(_._4 == "purchase")
-              .map(e => (e._3, e._2, e._1)).toSeq)
-            memC.addData(b.filter(_._4 == "click")
-              .map(e => (e._3, e._1)).toSeq)
-            query.processAllAvailable()
-          }
+          query.processAllAvailable()
+          feed(b2)
+          query.processAllAvailable()
           // watermark-advancing sentinel (user -1 matches no real row).
           // ONE round since r16: processAllAvailable already reruns the
           // eviction micro-batch itself when the watermark advances
@@ -5434,7 +5457,7 @@ object PipelineQueries extends Registry {
             query.processAllAvailable()
           }
           ss.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
+            .coalesce(1).localCheckpoint(eager = true) // detach from the stopped stream
             .filter($"c_ts".isNull && $"purchase_id" >= 0)
             .select($"purchase_id", $"p_ts")
             .orderBy($"purchase_id")
@@ -5488,7 +5511,7 @@ object PipelineQueries extends Registry {
           mem.addData(b1.toSeq); query.processAllAvailable()
           mem.addData(b2.toSeq); query.processAllAvailable()
           val inc = ss.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
+            .coalesce(1).localCheckpoint(eager = true) // detach from the stopped stream
             .groupBy($"lang").agg(max($"n").as("n_inc"))
           val ref = docsAll.filter($"doc_id" < cut)
             .groupBy($"lang").agg(count(lit(1)).as("n_ref"))
@@ -5704,7 +5727,7 @@ object PipelineQueries extends Registry {
             query.processAllAvailable()
           }
           ss.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
+            .coalesce(1).localCheckpoint(eager = true) // detach from the stopped stream
             .filter($"event_type" =!= "zz_sentinel")
             .orderBy($"bucket_start", $"event_type")
         } finally query.stop()
@@ -5766,7 +5789,7 @@ object PipelineQueries extends Registry {
             query.processAllAvailable()
           }
           ss.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
+            .coalesce(1).localCheckpoint(eager = true) // detach from the stopped stream
             .filter($"window_start" <= new java.sql.Timestamp(maxMs))
             .orderBy($"window_start")
         } finally query.stop()
@@ -5837,7 +5860,7 @@ object PipelineQueries extends Registry {
             query.processAllAvailable()
           }
           val cells = ss.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
+            .coalesce(1).localCheckpoint(eager = true) // detach from the stopped stream
             .filter($"window_start" <= new java.sql.Timestamp(maxMs))
           // point-estimate audit over the same feed: per (window, key)
           // exact counts probe their d cells, estimate = min — the same
@@ -5986,7 +6009,7 @@ object PipelineQueries extends Registry {
           mem.addData(b1.map(_._1).toSeq); query.processAllAvailable()
           mem.addData(b2.map(_._1).toSeq); query.processAllAvailable()
           val accepted = ss.table(qn)
-            .localCheckpoint(eager = true) // detach from the stopped stream
+            .coalesce(1).localCheckpoint(eager = true) // detach from the stopped stream
             .groupBy($"window.start".as("window_start"))
             .agg(max($"n").as("n_accepted"))
           // per-window input totals from the same 2000-row feed: the

@@ -612,7 +612,12 @@ object StreamingOps {
       val (b1, b2) = data.splitAt(data.length / 2)
       mem.addData(b1); query.processAllAvailable()
       mem.addData(b2); query.processAllAvailable()
-      ss.table(qn).localCheckpoint(eager = true) // detach from the stopped stream
+      // detach from the stopped stream; coalesce(1) first (r17) — the
+      // sink holds a feed-bounded handful of rows, but toRdd of the
+      // memory table parallelizes to defaultParallelism, so the eager
+      // checkpoint burned one trivial task PER CORE (32 on the bench box,
+      // ~0.15 s each of pure task overhead) at every detach site
+      ss.table(qn).coalesce(1).localCheckpoint(eager = true)
     } finally query.stop()
   }
 }
