@@ -6123,6 +6123,10 @@ object PipelineQueries extends Registry {
     val bwd = LlmOperator.score(bwdQ, MockLlmClient.Factory())
       .toDF("case_id", "query_attr", "cand_attr", "score")
       .withColumn("direction", lit("fwd"))
+    // MEASURED REJECTION (r17): materializing prefs (consumed by both the
+    // matcher's collect and the published audit) read WORSE in quiet-box
+    // fresh-JVM A/B (cold 3.05→3.6 s, warm 1.54→1.72 s) — the mock scoring
+    // re-run is cheaper than the cache write + eager pass it replaces.
     val prefs = fwd.unionByName(bwd)
     val matches = StableMatcher.matchCases(prefs, maxRounds = maxRounds)
     // mirror the matcher's clean(): lowercase/trim both attrs, drop

@@ -1141,12 +1141,23 @@ object RelationalQueries extends Registry {
     Q("q298_layout_decision",
       (s, dir) => {
         import s.implicits._
-        val base = t(s, dir, "lineitem").select(
-          datediff($"l_shipdate".cast("date"),
-            lit("1992-01-01").cast("date")).cast("long").as("x"),
-          ($"l_suppkey" % 65536).cast("long").as("y"),
-          graft.operators.Sampling.detRand(298L, $"l_orderkey".cast("string"),
-            $"l_linenumber".cast("string")).as("u"))
+        // r17: the decision's three passes (min/max grid, 1/16 sample,
+        // full rewrite) each re-scanned lineitem's 3 splits single-threaded
+        // (probe: stages of 3 tasks owning ~70% of the warm time) and
+        // re-derived the md5 sample draw. Fan the narrow raw columns past
+        // the 3-split scan (identity on well-split input), compute x/y/u
+        // once, cache for all three consumers (blocks dropped by
+        // SessionHygiene after the query). NOTE this is NOT the r16-rejected
+        // layout-WRITE fanout — the write still partitions by bucket.
+        val base = graft.core.Caching.materialize(
+          graft.core.Tables.fanout(t(s, dir, "lineitem")
+              .select($"l_shipdate", $"l_suppkey", $"l_orderkey", $"l_linenumber"))
+            .select(
+              datediff($"l_shipdate".cast("date"),
+                lit("1992-01-01").cast("date")).cast("long").as("x"),
+              ($"l_suppkey" % 65536).cast("long").as("y"),
+              graft.operators.Sampling.detRand(298L, $"l_orderkey".cast("string"),
+                $"l_linenumber".cast("string")).as("u")))
         val mmRow = base.agg(min($"x"), max($"x"), min($"y"), max($"y")).head()
         val (xmin, xmax) = (mmRow.getLong(0), mmRow.getLong(1))
         val (ymin, ymax) = (mmRow.getLong(2), mmRow.getLong(3))

@@ -2623,6 +2623,11 @@ object TextQueries extends Registry {
     //      same pathological tokens). --------------------------------------
     Q("q127_subword_tokenize",
       (s, dir) => {
+        // MEASURED REJECTION (r17): fanning out the docs view past the
+        // single-row-group scan removed the 2.3 s single-task explode stage
+        // from the job trace, but the RoundRobin exchange is re-paid by the
+        // recursion's references to the view — quiet-box fresh-JVM A/B read
+        // warm 3.5-3.8 s without fanout vs 4.5-4.8 s with. Kept unfanned.
         docs(s, dir).createOrReplaceTempView("q127_docs")
         s.sql(subwordSql(
           "SELECT doc_id, explode(split(lower(text), ' ')) AS token FROM q127_docs"))
