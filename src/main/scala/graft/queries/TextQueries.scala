@@ -120,11 +120,13 @@ object TextQueries extends Registry {
       array_min(transform($"hma", x => (lit(a) * x + lit(b)) % minhashP))
         .as(s"h$j")
     }
-    // NOT fanned out (r16, measured): spreading the (doc_id, text)
-    // projection before these kernels regressed the whole dedup family
-    // 10-30% at sf0.1 — the md5-per-shingle pass is too light to buy the
-    // extra exchange (contrast q198, whose heavier in-row fold does pay)
-    docs(s, dir)
+    // r17 RE-MEASURE of the r16 fanout rejection: that A/B predated the
+    // split-decision memo — every fanout call then paid a full extra
+    // physical-planning pass, which on this hot shared feed dominated the
+    // exchange it added (the r16 "10-30% family regression"). With the memo
+    // the probe runs once per file set and the exchange is the only cost;
+    // the 2.2 s single-task md5+array_min kernel spreads across all cores.
+    graft.core.Tables.fanout(docs(s, dir).select($"doc_id", $"text"))
       .select($"doc_id", tokens($"text").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id", transform(wordShingles($"w", 3), hm).as("hma"))
@@ -3715,8 +3717,13 @@ object TextQueries extends Registry {
       (s, dir) => {
         import s.implicits._
         graft.expressions.TextExpressions.register(s)
-        val p = graft.core.Tables(s, dir, "part")
-          .select($"p_partkey", $"p_brand", $"p_name")
+        // r17: the part scan is one split, so the broadcast block-join
+        // streamed it — and ran the whole DP kernel — as ONE task (probe:
+        // two 1.6 s single-task stages were the entire exec+warm). Fan the
+        // shared feed past the scan (identity on well-split input); the
+        // kernel now runs across all cores.
+        val p = graft.core.Tables.fanout(graft.core.Tables(s, dir, "part")
+          .select($"p_partkey", $"p_brand", $"p_name"))
         val dirty = p.select($"p_partkey".as("key_d"), $"p_brand",
           concat(substring($"p_name", 1, 1), substring($"p_name", 3, 1),
             substring($"p_name", 2, 1), substring($"p_name", 4, 100000))
@@ -3780,8 +3787,10 @@ object TextQueries extends Registry {
       (s, dir) => {
         import s.implicits._
         graft.expressions.TextExpressions.register(s)
-        val p = graft.core.Tables(s, dir, "part")
-          .select($"p_partkey", $"p_brand", $"p_name")
+        // r17: same single-split part feed as q199 — fan it out so the
+        // block-join's streamed side (and the JW kernel) uses all cores.
+        val p = graft.core.Tables.fanout(graft.core.Tables(s, dir, "part")
+          .select($"p_partkey", $"p_brand", $"p_name"))
         val dirty = p.select($"p_partkey".as("key_d"), $"p_brand",
           concat(substring($"p_name", 1, 1), substring($"p_name", 3, 100000))
             .as("dirty"))
