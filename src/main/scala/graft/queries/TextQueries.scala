@@ -777,11 +777,20 @@ object TextQueries extends Registry {
               conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long")))
               .as("set"),
             count(lit(1)).as("n")))
+        // r17 (§2.3): the candidate self-join travels/compares the 60-bit
+        // md5 long of the prefix token, not the ~40 B shingle string (the
+        // global (df, shingle) ORDER that defines the prefix is unchanged —
+        // only the join key is packed). Losslessness is preserved: string
+        // equality implies hash equality, so no qualifying pair is dropped;
+        // a 60-bit collision can only ADD a candidate, which the exact
+        // verify (3·common ≥ na+nb over the same md5-long sets) discards.
         val prefix = byDoc
           .select($"doc_id", $"n",
             posexplode(expr("slice(by_df, 1, CAST(n DIV 2 + 1 AS INT))"))
               .as(Seq("i", "t")))
-          .select($"doc_id", $"n", ($"i" + 1).as("rk"), $"t.shingle".as("shingle"))
+          .select($"doc_id", $"n", ($"i" + 1).as("rk"),
+            conv(substring(md5($"t.shingle"), 1, 15), 16, 10).cast("long")
+              .as("shingle"))
         // PPJoin position filter, PROVABLY lossless: for a qualifying pair
         // its FIRST common token t0 (lowest in the global (df, shingle)
         // order) is inside both prefixes whenever any common token is, and
@@ -3907,13 +3916,17 @@ object TextQueries extends Registry {
             expr(s"shiftright(simhash, ${15 * b}) & 32767").as("bval")))
         val bands = sim.select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
           .select($"doc_id", $"bb.band".as("band"), $"bb.bval".as("bval"))
-        val simPairs = bands.as("a").join(bands.as("b"),
+        // r17: each pair set feeds TWO consumers (its own count and the
+        // intersection join) — without the cache the band self-join +
+        // DISTINCT and the whole LSH scoring pipeline ran twice per query
+        // (probe: the three heaviest stages were the kernels' second pass)
+        val simPairs = materialize(bands.as("a").join(bands.as("b"),
             $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
               $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-        val mhPairs = lshScored(materialize(minhashes(s, dir)))
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct())
+        val mhPairs = materialize(lshScored(materialize(minhashes(s, dir)))
           .filter(col("agree") >= nPerms / 2)
-          .select(col("doc_a"), col("doc_b"))
+          .select(col("doc_a"), col("doc_b")))
         val nA = simPairs.agg(count(lit(1)).as("n_simhash"))
         val nB = mhPairs.agg(count(lit(1)).as("n_lsh"))
         val nBoth = simPairs.join(mhPairs, Seq("doc_a", "doc_b"))
