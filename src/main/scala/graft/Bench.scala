@@ -128,8 +128,19 @@ object Bench {
         if (triggerMs <= 0) 0.0 else inputRows * 1000.0 / triggerMs
     }
     val strmStats = scala.collection.mutable.Map[String, StrmStats]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+    // mid-suite canary (r17, VERDICT r16 item 8): one extra reading halfway
+    // through, BETWEEN queries, so load that arrives and clears inside the
+    // suite is named; feeds the drift block below. Skipped on tiny subset
+    // runs where "mid-suite" is meaningless.
+    var canaryMid: Option[Double] = None
+    val results = toRun.zipWithIndex.map { case ((name, fn), qIdx) =>
+      if (qIdx == toRun.size / 2 && toRun.size >= 10) {
+        val m = math.min(canarySec(), canarySec())
+        canaryMid = Some(m)
+        System.err.println(f"[bench] canary mid $m%.3f s")
+      }
       System.err.println(s"[bench] start $name @${java.time.Instant.now()}")
       val isStreaming = SparkEntry.streamingQueries(name)
       // discard listener events left over from a previous query so the
@@ -424,6 +435,24 @@ object Bench {
       s""""streaming_regressions":$strmDropsJson,""" +
       concurrentJson +
       q127Iters.map(n => s""""q127_cte_iterations":$n,""").getOrElse("") +
+      // drift block (r17, VERDICT r16 item 8): the session-wide canary
+      // drift factor plus per-query warm speedups vs the prior artifact
+      // AFTER dividing that factor out — so a uniformly slower session
+      // reads as drift, not as 250 phantom per-query regressions. Purely
+      // additional: raw warm/cold fields above are unchanged.
+      {
+        val sessionDrift = BenchAdjudicate.sessionDrift(canaryBest, priorCanary)
+        val midJson = canaryMid.map(m => s""""canary_mid_sec":${d3(m)},""").getOrElse("")
+        sessionDrift.map { dr =>
+          val adjWarm = results.map { case (k, (_, w, _)) =>
+            k -> math.min(w, warmRetry.getOrElse(k, w)) }.toMap
+          val corr = BenchAdjudicate.driftCorrected(adjWarm, priorWarm, dr)
+          s""""drift":{$midJson"session_drift":${d3(dr)},""" +
+            s""""total_warm_drift_corrected":${d3(totalWarmAdjudicated / math.max(dr, 1e-9))},""" +
+            s""""speedups_vs_prior_drift_corrected":${corr.toSeq.sortBy(_._1)
+              .map { case (k, sp) => jstr(k) + ":" + d3(sp) }.mkString("{", ",", "}")}},"""
+        }.getOrElse(if (midJson.isEmpty) "" else s""""drift":{${midJson.stripSuffix(",")}},""")
+      } +
       (if (!altArtifact) "" else {
         // scale-ratio audit vs the canonical sf0.1 run: adjudicated warm
         // here over adjudicated-warm there. Data is 10x, so linear cost

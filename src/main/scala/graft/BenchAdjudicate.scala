@@ -178,6 +178,33 @@ object BenchAdjudicate {
     math.max(1.0, math.max(drift, vsPrior))
   }
 
+  /** Session-drift factor (r17, VERDICT r16 item 8): this session's best
+    * canary over the prior artifact's best — a data-independent estimate
+    * of how much slower the WHOLE session runs (JVM/box ambience). r16's
+    * 256 untouched queries read +16% on identical code because nothing
+    * separated per-session fixed overhead from plan cost; this factor
+    * names it. > 1 = this session is uniformly slower than the prior's.
+    */
+  def sessionDrift(canaryBest: Double,
+      priorBest: Option[Double]): Option[Double] =
+    priorBest.filter(_ > 1e-9).map(canaryBest / _)
+
+  /** Drift-corrected warm speedups vs the prior artifact: for every query
+    * with a positive prior, prior / (warmAdjudicated / drift) — i.e. the
+    * round-over-round speedup AFTER dividing out the session-wide canary
+    * drift, so a uniformly slower box does not read as per-query
+    * regressions. Purely additional: the raw warm numbers stay the
+    * round-over-round record.
+    */
+  def driftCorrected(warmAdj: Map[String, Double],
+      prior: Map[String, Double], drift: Double): Map[String, Double] =
+    if (drift <= 0) Map.empty
+    else warmAdj.flatMap { case (k, w) =>
+      prior.get(k).collect { case p if p > 0 && w > 0 =>
+        k -> p / (w / drift)
+      }
+    }
+
   /** Secondary pressure signal (ADVICE r12): [[pressure]] is blind to
     * load that CLEARS mid-run — start slow + end quiet gives drift < 1
     * and min(start, end) ≈ prior, reporting 1.0 although the suite's

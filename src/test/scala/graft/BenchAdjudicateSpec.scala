@@ -87,6 +87,29 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(BenchAdjudicate.pressurePeak(0.84, 0.42, None) == 1.0)
   }
 
+  test("drift block: session factor from canaries, corrected speedups divide it out (r16 item 8)") {
+    // session ran 1.2x slower than the prior artifact's canary floor
+    assert(BenchAdjudicate.sessionDrift(0.504, Some(0.42)).exists(d =>
+      math.abs(d - 1.2) < 1e-9))
+    // no prior canary (first round / host change): no drift estimate
+    assert(BenchAdjudicate.sessionDrift(0.504, None).isEmpty)
+    assert(BenchAdjudicate.sessionDrift(0.504, Some(0.0)).isEmpty)
+    // an untouched query that merely inherited the 1.2x session drift
+    // (2.0 s -> 2.4 s) must read as flat once corrected...
+    val corr = BenchAdjudicate.driftCorrected(
+      Map("untouched" -> 2.4, "improved" -> 1.0, "noprior" -> 3.0),
+      Map("untouched" -> 2.0, "improved" -> 2.0), drift = 1.2)
+    assert(math.abs(corr("untouched") - 1.0) < 1e-9)
+    // ...while a real 2x win still reads as a win on top of the drift
+    assert(math.abs(corr("improved") - 2.4) < 1e-9)
+    // queries without a prior are omitted, zero/negative guarded
+    assert(!corr.contains("noprior"))
+    assert(BenchAdjudicate.driftCorrected(
+      Map("q" -> 1.0), Map("q" -> 2.0), drift = 0.0).isEmpty)
+    assert(BenchAdjudicate.driftCorrected(
+      Map("q" -> 0.0), Map("q" -> 2.0), drift = 1.0).isEmpty)
+  }
+
   test("host fingerprint round-trips through the artifact; parse sanity flags empty parses") {
     val fp = BenchAdjudicate.hostFingerprint()
     assert(fp.contains("/") && fp.endsWith("cpu"))
