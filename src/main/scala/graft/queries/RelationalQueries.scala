@@ -1025,7 +1025,9 @@ object RelationalQueries extends Registry {
             "x8", "y8", "h16")
           .withColumn("hbucket", expr("(h16 * 48) DIV 65536"))
           .select($"x", $"y", $"hbucket")
-          .repartition(col("hbucket"))
+          // r17: pin to the 48-bucket space (see q259) — AQE otherwise
+          // coalesced the write to 4 tasks
+          .repartition(48, col("hbucket"))
           .write.mode("overwrite")
           .option("parquet.block.size", (1L << 30).toString)
           .partitionBy("hbucket").parquet(hdir)
@@ -1044,7 +1046,10 @@ object RelationalQueries extends Registry {
         }
         final case class FileStats(rowGroups: Int, rows: Long,
             fxMin: Long, fxMax: Long, fyMin: Long, fyMax: Long)
-        val stats = files.map { p =>
+        // r17: the footer walk is driver-side and was sequential — ~1 s of
+        // open/close over the bucket files; order-preserving parallel map,
+        // and every consumer reduces with order-independent aggregates
+        val stats = graft.core.Par.mapOrdered(files) { p =>
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
           try {
@@ -1188,6 +1193,9 @@ object RelationalQueries extends Registry {
         val ldir = "/tmp/graft-hilbert-skip/" +
           graft.core.Det.md5hex(dir).take(12) + "-" + zorderProcToken + "-dec"
         withKeys(base).select($"x", $"y", col(bucket).as("bucket"))
+          // r17: pinning this exchange to the 48-bucket width (as q259/q296
+          // do) A/B'd flat-to-worse here — the rewrite reads the 32-partition
+          // cache, so the write is already wide; left on AQE
           .repartition($"bucket")
           .write.mode("overwrite").partitionBy("bucket").parquet(ldir)
         val fs = new org.apache.hadoop.fs.Path(ldir)
@@ -1377,7 +1385,11 @@ object RelationalQueries extends Registry {
             graft.functions.ZOrder.interleave("x8", "y8", bits = 8).cast("long"))
           .withColumn("zbucket", expr("z16 DIV 1024"))
           .select($"x", $"y", $"zbucket")
-          .repartition(col("zbucket"))
+          // r17: pin the write exchange to the bucket-space width (z16 <
+          // 65536 DIV 1024 = 64 buckets — value-derived, not a core-count
+          // tune); without it AQE coalesced the small exchange to 4 tasks
+          // and the write ran 4-wide. One file per bucket either way.
+          .repartition(64, col("zbucket"))
           // layout CONTRACT: one row group per file, so file == row group
           // == pruning unit and the oracle's n_rowgroups (= bucket count)
           // is exact by construction, not by accident of small test files.
@@ -1400,7 +1412,10 @@ object RelationalQueries extends Registry {
         }
         final case class FileStats(rowGroups: Int, rows: Long,
             fxMin: Long, fxMax: Long, fyMin: Long, fyMax: Long)
-        val stats = files.map { p =>
+        // r17: the footer walk is driver-side and was sequential — ~1 s of
+        // open/close over the bucket files; order-preserving parallel map,
+        // and every consumer reduces with order-independent aggregates
+        val stats = graft.core.Par.mapOrdered(files) { p =>
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
           try {
