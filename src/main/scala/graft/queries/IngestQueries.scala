@@ -1044,15 +1044,26 @@ object IngestQueries extends Registry {
         import s.implicits._
         val key = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + jvmTok
         val (lt, ot) = (s"q181_lineitem_$key", s"q181_orders_$key")
+        // r17: the bucket count IS the join's parallelism (each merge-join
+        // task reads one bucket of each side) — derive it from the session
+        // instead of the constant 8 the comment above already calls "≈
+        // cluster cores at production scale" (probe: the 8-task SMJ stage
+        // owned the warm time on 32 cores). Repartitioning by the join key
+        // to the same width first gives one file per bucket and spreads the
+        // write+sort, which otherwise ran as the scan's 3 splits. Bucketing
+        // stays layout-only: the oracle recomputes from the raw parquet.
+        val nb = math.max(8, s.sparkContext.defaultParallelism)
         Tables(s, dir, "lineitem")
           .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+          .repartition(nb, $"l_orderkey")
           .write.mode("overwrite").format("parquet")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$fixDir/$lt").saveAsTable(lt)
         Tables(s, dir, "orders")
           .select($"o_orderkey", $"o_orderpriority")
+          .repartition(nb, $"o_orderkey")
           .write.mode("overwrite").format("parquet")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
           .option("path", s"$fixDir/$ot").saveAsTable(ot)
         // The two tables stay registered for the JVM's lifetime BY DESIGN:
         // bucketing metadata lives in the catalog entry, and the returned
