@@ -418,6 +418,12 @@ object TextQueries extends Registry {
     * handful of partitions (the per-round jobs are latency-bound).
     */
   private def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    // MEASURED REJECTION (r17): fanning the text feed past the single-split
+    // scan (the probe showed a 1.5 s one-task explode+regex stage) read
+    // WORSE end to end — q305 3.3/1.6 s → 7.5/2.9 s cold/warm in quiet-box
+    // fresh-JVM A/B. The vocab is built once and the six latency-bound
+    // rounds dominate; the extra exchange ahead of the coalesce(4) chain
+    // costs more than the one-task stage it removes. Kept unfanned.
     materialize(docs(s, dir)
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike("^[a-z0-9]{2,12}$"))
