@@ -5451,6 +5451,13 @@ object PipelineQueries extends Registry {
           // (WatermarkTracker / shouldRunAnotherBatch), so the second
           // sentinel round only bought two more no-op micro-batches
           // (~0.6 s each on this harness); output verified identical.
+          // SPARK-VERSION DEPENDENCY (ADVICE r16 #5): this one-round
+          // protocol relies on the pinned Spark's no-data-batch semantics
+          // (MicroBatchExecution reruns the eviction batch inside the same
+          // processAllAvailable). On a Spark upgrade, re-check the five
+          // one-round streaming queries (q132/q196/q255/q274 + here)
+          // against the oracle FIRST — the row-count/hash gate catches a
+          // semantics change, this note says where to look.
           Seq(2).foreach { d =>
             memP.addData(Seq((-1L, -1L, sentinelTs(d))))
             memC.addData(Seq((-1L, sentinelTs(d))))

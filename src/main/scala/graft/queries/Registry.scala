@@ -6,6 +6,13 @@ import org.apache.spark.sql.types.DecimalType
 /** One engine query: a Spark implementation plus (where SQL-expressible) an
   * equivalent ANSI-SQL oracle the driver runs in DuckDB over the same parquet
   * tables. Column names and ORDER BY must match exactly between the two.
+  *
+  * CALLER CONTRACT (ADVICE r16 #4): query bodies may persist intermediates
+  * (`graft.core.Caching.materialize`) and deliberately do NOT unpersist —
+  * the frames they return still reference those blocks lazily. Every
+  * driver that executes registry queries (Bench/Verify/StreamingLadder do)
+  * must call `graft.core.SessionHygiene.dropAllBlocks` between queries, or
+  * cached blocks accumulate across the run.
   */
 final case class Q(
     name: String,

@@ -30,12 +30,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q04_semi_join_active").contains("LeftSemi"))
   }
 
-  test("q23: minhash signatures are row-local (r16) — array_min kernel, no shingle shuffle") {
+  test("q23: minhash signatures are row-local (r16) — array_min kernel, one explode") {
     val p = plan("q23_minhash_lsh")
     assert(p.contains("array_min"),
       s"row-local minhash kernel absent — signature pipeline regressed to a shuffle:\n$p")
-    assert(!p.toLowerCase.contains("shingle"),
-      s"a shingle column reached the physical plan — the string explode path is back:\n$p")
+    // structural (ADVICE r16 #3 — a column-name substring was brittle):
+    // the only Generates in the plan are the bands explode, once per side
+    // of the candidate self-join; the old formulation ALSO exploded the
+    // shingle strings below each signature subtree, so a regression shows
+    // up as extra Generate nodes in the tree section (detail paragraphs
+    // repeat the name but start with "(n) Generate", excluded here)
+    val generates = "(?m)^[-+:* ]*Generate ".r.findAllIn(p).size
+    assert(generates == 2,
+      s"expected the two band explodes only, found $generates Generate nodes:\n$p")
   }
 
   test("q30: query side broadcast, no cartesian product") {
